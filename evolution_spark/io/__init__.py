@@ -1,0 +1,9 @@
+from evolution_spark.io.flf import (
+    encode_flf,
+    parse_flf,
+    read_flf,
+    write_flf,
+)
+from evolution_spark.io.ipc import write_ipc
+
+__all__ = ["read_flf", "parse_flf", "encode_flf", "write_flf", "write_ipc"]

@@ -1,0 +1,132 @@
+"""Converter + Mocker + IPC sink end-to-end (reference O11-O15, the full
+mock -> convert -> verify loop that the reference only runs manually via
+tools/verify_parquet.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from evolution_spark.converter import Converter, Target
+from evolution_spark.io.flf import read_flf
+from evolution_spark.io.ipc import write_ipc
+from evolution_spark.mocker import Mocker
+from evolution_spark.schema import FixedSchema
+
+SCHEMA = FixedSchema.from_dict(
+    {
+        "name": "EvolutionExampleSchema",
+        "version": 1337,
+        "columns": [
+            {"name": "cool", "offset": 0, "length": 9, "dtype": "Int32",
+             "alignment": "Right", "pad_symbol": "Underscore", "is_nullable": False},
+            {"name": "salary", "offset": 9, "length": 20, "dtype": "Float16",
+             "alignment": "Left", "pad_symbol": "Asterisk", "is_nullable": False},
+            {"name": "name", "offset": 29, "length": 30, "dtype": "Utf8",
+             "alignment": "Center", "pad_symbol": "Semicolon", "is_nullable": True},
+            {"name": "employed", "offset": 59, "length": 8, "dtype": "Boolean",
+             "alignment": "Center", "pad_symbol": "Zero", "is_nullable": True},
+        ],
+    }
+)
+
+
+def test_mock_deterministic(spark, tmp_path):
+    a = Mocker(SCHEMA, 100, str(tmp_path / "a.flf"), seed=7).dataframe(spark).collect()
+    b = Mocker(SCHEMA, 100, str(tmp_path / "b.flf"), seed=7).dataframe(spark).collect()
+    assert a == b
+    c = Mocker(SCHEMA, 100, str(tmp_path / "c.flf"), seed=8).dataframe(spark).collect()
+    assert a != c
+
+
+def test_mock_value_ranges(spark):
+    df = Mocker(SCHEMA, 500, "unused", seed=1).dataframe(spark)
+    rows = df.collect()
+    assert all(-1_000_000 <= r.cool <= 1_000_000 for r in rows)
+    assert all(-256.0 <= r.salary <= 256.0 for r in rows)
+    assert all(isinstance(r.employed, bool) for r in rows)
+    names = {r.name for r in rows}
+    assert len(names) > 10  # drawn from the name pool
+
+
+def test_mock_convert_roundtrip(spark, tmp_path):
+    """The reference's de-facto E2E loop, automated: mock -> FLF -> convert ->
+    parquet -> values match the pre-encoding mock DataFrame."""
+    flf = str(tmp_path / "mock.flf")
+    out = str(tmp_path / "out.parquet")
+    mocker = Mocker(SCHEMA, 1000, flf, seed=42)
+    mocker.run(spark)
+    Converter(flf, SCHEMA, out, target=Target.PARQUET).run(spark)
+
+    expected = {
+        (r.cool, round(r.salary, 1), r.name, r.employed)
+        for r in mocker.dataframe(spark).collect()
+    }
+    got = {
+        (r.cool, round(r.salary, 1), r.name, r.employed)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == expected
+    # schema parity with the declared FixedSchema mapping (names + types;
+    # Spark reads all parquet fields back as nullable, so flags aren't compared)
+    got_schema = spark.read.parquet(out).schema
+    assert [(f.name, f.dataType) for f in got_schema.fields] == \
+        [(f.name, f.dataType) for f in SCHEMA.to_spark_schema().fields]
+
+
+def test_convert_to_flf_identity(spark, tmp_path):
+    flf = str(tmp_path / "m.flf")
+    Mocker(SCHEMA, 200, flf, seed=3).run(spark)
+    out = str(tmp_path / "re.flf")
+    Converter(flf, SCHEMA, out, target=Target.FLF).run(spark)
+    a = sorted(read_flf(spark, flf, SCHEMA).collect())
+    b = sorted(read_flf(spark, out, SCHEMA).collect())
+    assert a == b
+
+
+def test_single_file_mode(spark, tmp_path):
+    import glob
+    flf = str(tmp_path / "m.flf")
+    Mocker(SCHEMA, 50, flf, seed=3, single_file=True).run(spark)
+    assert len(glob.glob(flf + "/part-*")) == 1
+    out = str(tmp_path / "o.parquet")
+    Converter(flf, SCHEMA, out, single_file=True).run(spark)
+    assert len(glob.glob(out + "/part-*.parquet")) == 1
+
+
+def test_ipc_sink(spark, tmp_path):
+    df = spark.range(1000).selectExpr("id", "id * 2 as dbl")
+    parts = write_ipc(df, str(tmp_path / "ipc"))
+    assert sum(n for _, n in parts) == 1000
+    tables = [pa.ipc.open_file(p).read_all() for p, _ in parts]
+    total = pa.concat_tables(tables)
+    assert total.num_rows == 1000
+    assert sorted(total.column("id").to_pylist()) == list(range(1000))
+
+
+def test_parquet_writer_options(spark, tmp_path):
+    flf = str(tmp_path / "m.flf")
+    Mocker(SCHEMA, 100, flf, seed=3).run(spark)
+    out = str(tmp_path / "o.parquet")
+    Converter(
+        flf, SCHEMA, out,
+        writer_options={"compression": "gzip"},
+    ).run(spark)
+    import glob
+    f = glob.glob(out + "/part-*.parquet")[0]
+    assert pq.ParquetFile(f).metadata.row_group(0).column(0).compression == "GZIP"
+
+
+def test_abort_mode_propagates_to_converter(spark, tmp_path):
+    from pyspark.errors import PySparkException
+    bad = tmp_path / "bad.flf"
+    # 'cool' (Int32, non-nullable) is garbage
+    bad.write_text("___ab____" + "1.5*****************" + ";" * 30 + "000true0" + "\n")
+    conv = Converter(str(bad), SCHEMA, str(tmp_path / "o.parquet"))
+    with pytest.raises(PySparkException, match="cool"):
+        conv.run(spark)
+    # permissive mode: null instead
+    conv2 = Converter(str(bad), SCHEMA, str(tmp_path / "o2.parquet"), mode="permissive")
+    conv2.run(spark)
+    assert spark.read.parquet(str(tmp_path / "o2.parquet")).collect()[0].cool is None
