@@ -71,7 +71,7 @@ def trim_padding(col: Column, column: FixedColumn) -> Column:
     return _strip(col, column.pad_char, side)
 
 
-def _cast_trimmed(trimmed: Column, column: FixedColumn) -> Column:
+def _cast_trimmed(trimmed: Column, column: FixedColumn, raw: Column | None = None) -> Column:
     """Cast the trimmed field text to the column's Spark type.
 
     Boolean is strict (exactly ``true``/``false``, reference
@@ -89,7 +89,15 @@ def _cast_trimmed(trimmed: Column, column: FixedColumn) -> Column:
         )
     if dt in _INT_BOUNDS:
         lo, hi = _INT_BOUNDS[dt]
-        as_big = F.when(trimmed.rlike(_INT_RE), trimmed).otherwise(F.lit(None)).try_cast("bigint")
+        # Digit pad symbols: an all-pad field trims to "" but is a valid
+        # number in the reference's digit-run scan (trimmer.rs:111-167 —
+        # "000000" with Zero pad is the value 0, "555555" with Five pad is
+        # 555555). Fall back to the raw field when the trim consumed
+        # everything and the raw text is numeric.
+        source = trimmed
+        if raw is not None and column.pad_char.isdigit():
+            source = F.when((trimmed == "") & raw.rlike(_INT_RE), raw).otherwise(trimmed)
+        as_big = F.when(source.rlike(_INT_RE), source).otherwise(F.lit(None)).try_cast("bigint")
         in_range = as_big.isNotNull() & as_big.between(lo, hi)
         target = {"Int16": "smallint", "Int32": "int", "Int64": "bigint"}[dt]
         return F.when(in_range, as_big).otherwise(F.lit(None)).cast(target)
@@ -114,7 +122,7 @@ def parse_column(raw_line: Column, column: FixedColumn, mode: str = "abort") -> 
     # substring is 1-based and codepoint-counting -> rune semantics for free.
     raw = F.substring(raw_line, column.offset + 1, column.length)
     trimmed = trim_padding(raw, column)
-    typed = _cast_trimmed(trimmed, column)
+    typed = _cast_trimmed(trimmed, column, raw=raw)
     if column.dtype in ("Utf8", "LargeUtf8"):
         return typed.alias(column.name)
     if column.is_nullable or mode == "permissive":

@@ -1,0 +1,50 @@
+"""Registry plumbing for the declared query surface.
+
+Each query is a ``(spark, sf_dir) -> DataFrame`` callable registered under a
+stable name, optionally paired with an ANSI-SQL oracle string that DuckDB runs
+on the same parquet tables (views ``region nation customer supplier part
+orders lineitem events documents embeddings`` are pre-registered by the
+driver). The driver compares row count + schema + order-insensitive value
+hash, with result columns sorted by name — so every computed column is aliased
+identically on both sides, float aggregates are rounded explicitly, and
+timestamps are rendered as strings (engine-neutral).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query; ``oracle=None`` marks it non-SQL-expressible (the
+    driver then records a weaker rows-only check)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a driver table. ``events.ts`` is TIMESTAMP(NANOS) in parquet,
+    which Spark's reader rejects outright (SPARK-40819); read it as raw
+    nanos (legacy conf) and convert with exact integer division to
+    microseconds — the same truncation DuckDB applies when it reads the
+    nanos column into its microsecond timestamps."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

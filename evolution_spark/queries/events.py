@@ -1,0 +1,231 @@
+"""Date/time functions and time-window analytics over the ``events`` table.
+
+Batch-mode equivalents of the streaming surface (tumbling/sliding/session
+windows, dedup) — the same logic runs incrementally in
+``evolution_spark.streaming``. Timestamps are rendered as strings in outputs
+(engine-neutral for the DuckDB oracle hash).
+
+Scale notes: every window here shuffles once on its partition key; session
+windows use the gaps-and-islands pattern (lag + cumulative sum) which is the
+scalable batch formulation (no per-session state object, just two window
+functions over one shuffle by user).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from evolution_spark.queries.base import query, table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "date_extract_parts",
+    oracle="""
+    SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+           CAST(dayofmonth(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+    FROM events GROUP BY 1, 2, 3, 4
+    """,
+)
+def date_extract_parts(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value"),
+    )
+
+
+@query(
+    "date_trunc_daily",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type, COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) * 1.0 / COUNT(*) / 100.0 AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def date_trunc_daily(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("bigint")) * 1.0
+         / F.count(F.lit(1)) / 100.0).alias("avg_value"),
+    )
+
+
+@query(
+    "date_diff_arithmetic",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey, l.l_linenumber AS linenumber,
+           datediff('day', o.o_orderdate, l.l_shipdate) AS ship_delay_days,
+           strftime(o.o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           CAST(dayofweek(o.o_orderdate) + 1 AS INT) AS order_dow
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_linenumber = 1
+    """,
+)
+def date_diff_arithmetic(spark, sf_dir):
+    """datediff / interval arithmetic / day-of-week. Spark datediff(end,start)
+    == DuckDB datediff('day', start, end); Spark dayofweek is 1=Sunday while
+    DuckDB's is 0=Sunday, so the oracle adds 1."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    return o.join(l, o.o_orderkey == l.l_orderkey).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.datediff("l_shipdate", "o_orderdate").alias("ship_delay_days"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("due_date"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+    )
+
+
+@query(
+    "tumbling_window_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_hourly(spark, sf_dir):
+    """Tumbling 1-hour window via F.window — the batch twin of the
+    Structured Streaming tumbling aggregation (streaming/events.py)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_30min",
+    oracle="""
+    WITH buckets AS (
+      SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                          - offs * 1800)::TIMESTAMP AS window_start, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS offs)
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+    FROM buckets GROUP BY 1
+    """,
+)
+def sliding_window_30min(spark, sf_dir):
+    """Sliding window (1 h length, 30 min slide): each event lands in 2
+    windows. F.window handles assignment natively; the oracle replicates via
+    the two shifted half-hour buckets."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "session_window_gaps",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def session_window_gaps(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) via gaps-and-islands: lag to
+    mark session starts, running sum to number sessions. Two window functions
+    over ONE shuffle by user_id — the scalable batch sessionizer. The
+    streaming twin uses session_window() (streaming/events.py)."""
+    e = table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts", "value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # unix_micros: microsecond-exact gap comparison (cast('long') truncates to
+    # seconds, which would disagree with the oracle's INTERVAL comparison)
+    marked = e.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_order)
+            > 30 * 60 * 1_000_000,
+            1,
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(w_run))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value"),
+        F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
+    )
+
+
+@query(
+    "event_dedup_exact",
+    oracle="""
+    SELECT user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def event_dedup_exact(spark, sf_dir):
+    """Duplicate detection on (user, type, second-truncated ts) — the batch
+    twin of dropDuplicatesWithinWatermark."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        "user_id",
+        "event_type",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_value
+    FROM events
+    """,
+)
+def json_props_extract(spark, sf_dir):
+    """JSON extraction from the props column (semi-structured support)."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )

@@ -1,0 +1,451 @@
+"""Text analysis + deduplication over the ``documents`` table — the
+LLM-training-data-pipeline surface (BASELINE.json north star).
+
+All hot-path expressions are Spark built-ins (JVM, codegen); the only hash
+primitive is ``conv(substr(md5(x),1,8),16,10)`` which is bit-identical to
+DuckDB's ``('0x'||substr(md5(x),1,8))::BIGINT`` — so every operator here,
+including MinHash-LSH, is oracle-checkable.
+
+Scale design (100 TB corpus):
+* Exact dedup: hash-groupBy on a 128-bit fingerprint — one shuffle on the
+  hash, never on the text.
+* MinHash-LSH: per-doc signature (narrow), explode to (band, band_hash) keys
+  (b rows/doc), shuffle-join on band hash — candidate generation cost is
+  O(docs x bands), never O(docs^2). Only candidate pairs (tiny) compute exact
+  Jaccard.
+* SimHash: 64-bit signature per doc; near-dup = small Hamming distance.
+* All tokenization is regex/split built-ins — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from evolution_spark.queries.base import query, table
+
+# Stopword sets for the n-gram language-ID heuristic (top function words).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "est", "une", "dans", "que"),
+}
+
+
+def _norm_text(col) -> Column:
+    """Normalization for fingerprinting: lowercase + collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           length(text) AS n_chars_actual,
+           len(string_split(trim(text), ' ')) AS n_words,
+           len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+           ROUND(length(text) * 1.0 / len(string_split(trim(text), ' ')), 4) AS chars_per_word
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Per-document statistics: char/word/punct counts — one narrow
+    projection over the scan."""
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), " "))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_actual"),
+        n_words.alias("n_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,;:!?]"), 0)).alias("n_punct"),
+        F.round(F.length("text") * 1.0 / n_words, 4).alias("chars_per_word"),
+    )
+
+
+@query(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(trim(text), ' ')) AS ws_tokens,
+           len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letter runs / digit runs / single symbols)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+def _stopword_count(lang: str) -> Column:
+    pattern = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower("text"), F.lit(pattern), 0))
+
+
+def _stopword_count_sql(lang: str) -> str:
+    pattern = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pattern}'))"
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_true,
+           CASE
+             WHEN len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 THEN 'zh'
+             WHEN {_stopword_count_sql('en')} >= {_stopword_count_sql('de')}
+              AND {_stopword_count_sql('en')} >= {_stopword_count_sql('es')}
+              AND {_stopword_count_sql('en')} >= {_stopword_count_sql('fr')} THEN 'en'
+             WHEN {_stopword_count_sql('de')} >= {_stopword_count_sql('es')}
+              AND {_stopword_count_sql('de')} >= {_stopword_count_sql('fr')} THEN 'de'
+             WHEN {_stopword_count_sql('es')} >= {_stopword_count_sql('fr')} THEN 'es'
+             ELSE 'fr'
+           END AS lang_pred
+    FROM documents
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    """Language ID: CJK codepoint presence -> zh, else argmax of per-language
+    stopword hits (deterministic tie-break by the fixed en>de>es>fr order so
+    both engines agree)."""
+    d = table(spark, sf_dir, "documents")
+    en, de, es, fr = (_stopword_count(x) for x in ("en", "de", "es", "fr"))
+    has_cjk = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[\x{4e00}-\x{9fff}]"), 0)) > 0
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        F.when(has_cjk, "zh")
+        .when((en >= de) & (en >= es) & (en >= fr), "en")
+        .when((de >= es) & (de >= fr), "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+        .alias("lang_pred"),
+    )
+
+
+@query(
+    "quality_score",
+    oracle="""
+    SELECT doc_id,
+           ROUND(
+             0.4 * least(length(text) / 500.0, 1.0)
+           + 0.3 * (1.0 - least(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s\\x{4e00}-\\x{9fff}]')) * 1.0
+                                / greatest(length(text), 1), 1.0))
+           + 0.3 * least(len(list_distinct(string_split(lower(trim(text)), ' '))) * 1.0
+                         / greatest(len(string_split(trim(text), ' ')), 1), 1.0)
+           , 4) AS quality
+    FROM documents
+    """,
+)
+def quality_score(spark, sf_dir):
+    """Heuristic quality score in [0,1]: length saturation + low symbol noise
+    + lexical diversity (type/token ratio)."""
+    d = table(spark, sf_dir, "documents")
+    length_term = F.least(F.length("text") / 500.0, F.lit(1.0))
+    n_sym = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s\x{4e00}-\x{9fff}]"), 0))
+    noise_term = 1.0 - F.least(n_sym * 1.0 / F.greatest(F.length("text"), F.lit(1)), F.lit(1.0))
+    words = F.split(F.trim(F.col("text")), " ")
+    lower_words = F.split(F.lower(F.trim(F.col("text"))), " ")
+    ttr_term = F.least(
+        F.size(F.array_distinct(lower_words)) * 1.0 / F.greatest(F.size(words), F.lit(1)),
+        F.lit(1.0),
+    )
+    return d.select(
+        "doc_id",
+        F.round(0.4 * length_term + 0.3 * noise_term + 0.3 * ttr_term, 4).alias("quality"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """128-bit content fingerprint of normalized text (lowercase, collapsed
+    whitespace) — the dedup key. Shuffles the 32-hex fingerprint, never the
+    document body."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("fingerprint"))
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS fingerprint,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the fingerprint; min doc_id is the
+    canonical survivor. At 100 TB this shuffles 32 bytes + 8 bytes per doc."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-duplicate detection
+# ---------------------------------------------------------------------------
+
+N_HASHES = 16
+BAND_ROWS = 4  # 4 bands x 4 rows
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+
+
+def _shingles(col) -> Column:
+    """Distinct word 3-gram shingles of the normalized text (JVM-side:
+    split + transform + slice + array_distinct)."""
+    words = F.split(_norm_text(col), " ")
+    k = SHINGLE_K
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    return F.array_distinct(grams)
+
+
+_SHINGLES_SQL = f"""
+list_distinct(list_transform(
+    range(greatest(len(string_split({_NORM_SQL}, ' ')) - {SHINGLE_K - 1}, 1)),
+    i -> array_to_string((string_split({_NORM_SQL}, ' '))[i+1:i+{SHINGLE_K}], ' ')))
+""".strip()
+
+
+def _minhash_sig(shingles: Column) -> Column:
+    """MinHash signature: for seed i, h_i(s) = first 8 md5 hex digits of
+    'i:s' as an int; signature[i] = min over shingles.
+
+    NOTE: the per-seed lambda must be built by a factory — a two-parameter
+    ``lambda s, i=i`` would be treated by PySpark as an (element, index)
+    higher-order function and silently bind ``i`` to the array index column.
+    """
+
+    def hasher(i: int):
+        prefix = f"{i}:"
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 8), 16, 10
+        ).cast("bigint")
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, hasher(i))) for i in range(N_HASHES)]
+    )
+
+
+_MINHASH_SQL = (
+    "["
+    + ", ".join(
+        f"list_min(list_transform(shingles, s -> ('0x'||substr(md5('{i}:'||s),1,8))::BIGINT))"
+        for i in range(N_HASHES)
+    )
+    + "]"
+)
+
+
+@query(
+    "dedup_minhash_signature",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents)
+    SELECT doc_id, ({_MINHASH_SQL})[1] AS sig0, ({_MINHASH_SQL})[{N_HASHES}] AS sig{N_HASHES - 1}
+    FROM sh
+    """,
+)
+def dedup_minhash_signature(spark, sf_dir):
+    """First/last MinHash signature components per doc (signature
+    correctness probe for the LSH pipeline)."""
+    d = table(spark, sf_dir, "documents")
+    sig = _minhash_sig(_shingles(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.element_at(sig, 1).alias("sig0"),
+        F.element_at(sig, N_HASHES).alias(f"sig{N_HASHES - 1}"),
+    )
+
+
+def minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
+    """Candidate pairs via LSH banding + exact Jaccard verification.
+
+    Pipeline: signature (narrow) -> explode to (band_idx, band_hash) ->
+    self-join on band identity -> distinct pairs -> Jaccard on shingle sets
+    -> threshold. The self-join shuffles only (band_hash, doc_id) tuples.
+    """
+    d = table(spark, sf_dir, "documents")
+    sig = _minhash_sig(_shingles(F.col("text")))
+    with_sig = d.select("doc_id", _shingles(F.col("text")).alias("shingles"), sig.alias("sig"))
+    bands = with_sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "-",
+                                *[
+                                    F.element_at(F.col("sig"), b * BAND_ROWS + r + 1)
+                                    for r in range(BAND_ROWS)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_HASHES // BAND_ROWS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "shingles", "band.band_idx", "band.band_hash")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        "band_idx",
+        "band_hash",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        "band_idx",
+        "band_hash",
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) * 1.0 / F.size(F.array_union("sh_a", "sh_b"))
+    return pairs.select(
+        "doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard")
+    ).where(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+_BANDS_SQL = ", ".join(
+    "md5(" + "||'-'||".join(f"CAST(sig[{b * BAND_ROWS + r + 1}] AS VARCHAR)" for r in range(BAND_ROWS)) + ")"
+    for b in range(N_HASHES // BAND_ROWS)
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, shingles, {_MINHASH_SQL} AS sig
+      FROM (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents)
+    ), bands AS (
+      SELECT doc_id, shingles, band_idx, band_hash
+      FROM sh, (SELECT unnest(range({N_HASHES // BAND_ROWS})) AS band_idx),
+      LATERAL (SELECT ([{_BANDS_SQL}])[band_idx + 1] AS band_hash)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.shingles AS sh_a, b.shingles AS sh_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(len(list_intersect(sh_a, sh_b)) * 1.0 /
+                 (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 4) AS jaccard
+    FROM pairs
+    WHERE len(list_intersect(sh_a, sh_b)) * 1.0 /
+          (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (see ``minhash_lsh_pairs``)."""
+    return minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, {_SHINGLES_SQL} AS shingles FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                 (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+          (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Blocked n-gram Jaccard: candidate pairs restricted to the same
+    ``source`` block (the classic blocking-key pattern — at 100 TB the block
+    key bounds the quadratic term; MinHash-LSH above removes even that)."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "source", _shingles(F.col("text")).alias("shingles"))
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"), F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")) * 1.0
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        a.join(b, (F.col("source_a") == F.col("source_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.2)
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_distinct(string_split({_NORM_SQL}, ' ')) AS words
+      FROM documents
+    ), hashes AS (
+      SELECT doc_id,
+             list_transform(words, w -> ('0x'||substr(md5(w),1,15))::BIGINT) AS hs
+      FROM tok
+    )
+    SELECT doc_id,
+           ROUND(len(list_filter(hs, h -> (h & 1) != 0)) * 1.0 / len(hs), 4) AS bit0_ratio,
+           ROUND(len(list_filter(hs, h -> (h & 2) != 0)) * 1.0 / len(hs), 4) AS bit1_ratio
+    FROM hashes
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash bit statistics (probe of the 64-bit token-hash machinery; the
+    full signature assembly lives in operators/dedup.py). Uses the first 16
+    md5 hex digits as a 64-bit token hash."""
+    d = table(spark, sf_dir, "documents")
+    words = F.array_distinct(F.split(_norm_text(F.col("text")), " "))
+    hs = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")
+    )
+    return d.select(
+        "doc_id",
+        F.round(
+            F.size(F.filter(hs, lambda h: h.bitwiseAND(1) != 0)) * 1.0 / F.size(hs), 4
+        ).alias("bit0_ratio"),
+        F.round(
+            F.size(F.filter(hs, lambda h: h.bitwiseAND(2) != 0)) * 1.0 / F.size(hs), 4
+        ).alias("bit1_ratio"),
+    )

@@ -1,0 +1,276 @@
+"""Embedding similarity search over the ``embeddings`` table
+(``vec_id BIGINT, embedding ARRAY<FLOAT>[64], label INT``).
+
+Dot products are computed as an explicit left-to-right double-precision fold
+(``aggregate(zip_with(...))`` in Spark == ``list_inner_product(::DOUBLE[])``
+in DuckDB) so both engines produce bit-comparable sums; similarities are
+rounded before ranking and ids break ties, keeping top-k deterministic.
+
+Scale design (billions of vectors):
+* Brute-force top-k is the baseline for a bounded probe set: probes broadcast
+  against the full corpus — cost O(probes x corpus), one scan, no shuffle of
+  the corpus.
+* The scale path is LSH bucketing (random-hyperplane signs): each vector maps
+  to a bucket key; neighbor search touches only its bucket. Hyperplanes are
+  deterministic +/-1 patterns derived from md5 parity so the oracle can
+  replicate them.
+* Centroid/norm analytics: posexplode -> groupBy(component) — a shuffle of
+  n_vectors x 64 scalar rows, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from evolution_spark.queries.base import query, table
+
+N_PROBES = 10
+TOP_K = 5
+N_PLANES = 8
+DIM = 64
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Sequential double-precision dot product (order-stable across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: str | Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+_DOT_SQL = "list_inner_product({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    d = _DOT_SQL.format(a=a, b=b)
+    na = f"sqrt({_DOT_SQL.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT_SQL.format(a=b, b=b)})"
+    return f"({d} / ({na} * {nb}))"
+
+
+@query(
+    "vector_norms",
+    oracle=f"""
+    SELECT label, COUNT(*) AS n_vectors,
+           ROUND(AVG(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm,
+           ROUND(MIN(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS min_norm,
+           ROUND(MAX(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def vector_norms(spark, sf_dir):
+    """L2-norm statistics per label — one narrow projection + small-key agg."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(norm("embedding")), 4).alias("avg_norm"),
+        F.round(F.min(norm("embedding")), 4).alias("min_norm"),
+        F.round(F.max(norm("embedding")), 4).alias("max_norm"),
+    )
+
+
+@query(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+    WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+                    WHERE vec_id < {N_PROBES}),
+         scored AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id,
+             ROUND({_cos_sql('p.pe', 'e.embedding')}, 6) AS cos_sim
+      FROM probes p CROSS JOIN embeddings e
+      WHERE e.vec_id != p.probe_id
+    )
+    SELECT probe_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) WHERE rn <= {TOP_K}
+    """,
+)
+def knn_bruteforce_cosine(spark, sf_dir):
+    """Brute-force cosine top-k for a probe set: probes broadcast against the
+    corpus scan (no corpus shuffle); ranking rounds similarity to 6 dp and
+    tie-breaks on id for cross-engine determinism."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine("pe", "embedding"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cos_sim")
+    )
+
+
+def _plane_sign_sql(j: int, c: str) -> str:
+    # deterministic pseudo-random +/-1: parity of a hash of (plane j, dim c)
+    return f"(CASE WHEN (('0x'||substr(md5('{j}:'|| {c}),1,8))::BIGINT % 2) = 0 THEN 1.0 ELSE -1.0 END)"
+
+
+def _plane_sign(j: int, c: Column) -> Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{j}:"), c.cast("string"))), 1, 8), 16, 10
+    ).cast("bigint")
+    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def _bucket_expr() -> Column:
+    """LSH bucket key: concatenated sign bits of N_PLANES hyperplane dots.
+    Plane j has components +/-1 chosen by md5 parity of 'j:i' (i = dim index)."""
+    def signs_for_plane(j: int):
+        # factory keeps the lambda single-parameter: a two-param lambda would
+        # be read by PySpark as an (element, index) higher-order function
+        return lambda i: _plane_sign(j, i)
+
+    bits = []
+    for j in range(N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.transform(F.sequence(F.lit(0), F.lit(DIM - 1)), signs_for_plane(j)),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _bucket_sql() -> str:
+    parts = []
+    for j in range(N_PLANES):
+        proj = (
+            "list_sum(list_transform(range(64), i -> "
+            f"embedding[i+1]::DOUBLE * {_plane_sign_sql(j, 'i')}))"
+        )
+        parts.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(parts)
+
+
+@query(
+    "ann_lsh_buckets",
+    oracle=f"""
+    SELECT {_bucket_sql()} AS bucket, COUNT(*) AS n_vectors
+    FROM embeddings GROUP BY 1
+    """,
+)
+def ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucket histogram — the partitioning layer of the
+    scale-path ANN (each query then searches ~corpus/2^planes vectors). The
+    hyperplanes are deterministic md5-parity +/-1 vectors, identical in the
+    oracle."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.groupBy(_bucket_expr().alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS probe_id, embedding AS pe, bucket FROM bucketed
+      WHERE vec_id < {N_PROBES}
+    ), scored AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id,
+             ROUND({_cos_sql('p.pe', 'e.embedding')}, 6) AS cos_sim
+      FROM probes p JOIN bucketed e ON p.bucket = e.bucket
+      WHERE e.vec_id != p.probe_id
+    )
+    SELECT probe_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) WHERE rn <= {TOP_K}
+    """,
+)
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k: probes search only their own LSH bucket — the join
+    is on the bucket key, so at a billion vectors each task touches one
+    bucket's worth of candidates instead of the corpus."""
+    e = table(spark, sf_dir, "embeddings")
+    bucketed = e.select("vec_id", "embedding", _bucket_expr().alias("bucket"))
+    probes = bucketed.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        "bucket",
+    )
+    scored = (
+        bucketed.join(F.broadcast(probes), "bucket")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine("pe", "embedding"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cos_sim")
+    )
+
+
+@query(
+    "embedding_centroid_distance",
+    oracle="""
+    WITH comps AS (
+      SELECT label, vec_id, i.i AS pos,
+             CAST(floor(embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS vq
+      FROM embeddings, (SELECT unnest(range(64)) AS i) i
+    ), centroids AS (
+      SELECT label, pos, SUM(vq) AS s, COUNT(*) AS n FROM comps GROUP BY label, pos
+    )
+    SELECT comps.vec_id, comps.label,
+           ROUND(sqrt(SUM((comps.vq - centroids.s * 1.0 / centroids.n)
+                          * (comps.vq - centroids.s * 1.0 / centroids.n))) / 1000000.0, 4) AS dist_to_centroid
+    FROM comps JOIN centroids ON comps.label = centroids.label AND comps.pos = centroids.pos
+    GROUP BY comps.vec_id, comps.label
+    """,
+)
+def embedding_centroid_distance(spark, sf_dir):
+    """Distance of each vector to its label centroid: posexplode ->
+    per-(label, component) mean -> rejoin -> per-vector reduce. Two shuffles
+    of scalar rows; no vector is ever held whole on the agg path."""
+    e = table(spark, sf_dir, "embeddings")
+    # Components are floor-quantized to 1e-6 ints so the centroid mean is a
+    # ratio of exact integers — identical across engines regardless of
+    # aggregation order (a raw double AVG is order-sensitive in the last ulp).
+    comps = e.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos", "v_raw")
+    ).select(
+        "label", "vec_id", "pos",
+        F.floor(F.col("v_raw").cast("double") * 1000000).cast("bigint").alias("vq"),
+    )
+    centroids = comps.groupBy("label", "pos").agg(
+        F.sum("vq").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    diff = F.col("vq") - F.col("s") * 1.0 / F.col("n")
+    return (
+        comps.join(centroids, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sqrt(F.sum(diff * diff)) / 1000000.0, 4).alias("dist_to_centroid"))
+    )

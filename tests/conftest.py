@@ -1,10 +1,13 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from evolution_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.001"
+# Override with PARITY_SF_DIR=/root/testdata/sf0.01 for driver-scale checks.
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,81 @@
+"""Spark-vs-DuckDB oracle parity for every registered query — a local mirror
+of the driver's CORRECTNESS gate (row count + schema + order-insensitive
+values, columns sorted by name)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(df_pandas):
+    """Sort columns by name, then rows; stringify with float rounding."""
+    import numpy as np
+    import pandas as pd
+
+    df = df_pandas[sorted(df_pandas.columns)].copy()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype.kind == "f":
+            df[c] = col.round(6)
+        elif col.dtype == object:
+            df[c] = col.map(
+                lambda v: round(v, 6) if isinstance(v, float) else v
+            )
+    rows = sorted(
+        (
+            tuple(None if (isinstance(v, float) and math.isnan(v)) else v for v in row)
+            for row in df.itertuples(index=False, name=None)
+        ),
+        key=lambda r: tuple((v is None, str(v)) for v in r),
+    )
+    return list(df.columns), rows
+
+
+QUERY_NAMES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, sf_dir, ddb, name):
+    q = entry_mod.queries()[name]
+    spark_df = q(spark, sf_dir)
+    spark_pd = spark_df.toPandas()
+    assert spark_pd is not None
+
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        # rows-only check (driver's weaker path)
+        assert len(spark_pd) >= 0
+        return
+
+    duck_pd = ddb.sql(oracle).df()
+    s_cols, s_rows = _normalize(spark_pd)
+    d_cols, d_rows = _normalize(duck_pd)
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
