@@ -1,0 +1,111 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver-side collect). The FLF conversion throughput entry covers the
+reference's own workload (mock -> convert 1M rows, operators O1-O15).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+BENCH_QUERIES = [
+    # relational core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_orders",
+    "window_row_number_latest",
+    "topk_per_group",
+    "agg_rollup",
+    # events / time
+    "session_window_gaps",
+    "tumbling_window_hourly",
+    # LLM pipeline
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_bruteforce_cosine",
+    "ann_lsh_topk",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from evolution_spark.session import get_spark
+
+    spark = get_spark(app_name="evolution-spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from evolution_spark.queries import QUERIES
+
+    def run_noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # JVM warmup (codegen, parquet footers) outside the timed region
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    # One warmup run (absorbs one-time JIT of the generated plan), then the
+    # min of two timed runs: the host carries unrelated background load
+    # (observed loadavg ~10 at idle), so a single sample can be 10x noise —
+    # min-of-2 steady-state is the stable, comparable figure.
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        run_noop(QUERIES[name](spark, sf_dir))
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_noop(QUERIES[name](spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(min(samples), 3)
+
+    # FLF conversion throughput: mock 1M rows -> FLF, then convert -> parquet
+    from evolution_spark.converter import Converter
+    from evolution_spark.mocker import Mocker
+    from evolution_spark.schema import FixedSchema
+
+    sch = FixedSchema.from_dict(
+        {"name": "Bench", "version": 1, "columns": [
+            {"name": "id", "offset": 0, "length": 12, "dtype": "Int64", "is_nullable": False},
+            {"name": "name", "offset": 12, "length": 16, "dtype": "Utf8", "is_nullable": False},
+            {"name": "score", "offset": 28, "length": 16, "dtype": "Float64", "is_nullable": True},
+            {"name": "flag", "offset": 44, "length": 6, "dtype": "Boolean", "is_nullable": True},
+        ]}
+    )
+    tmp = tempfile.mkdtemp(prefix="evobench-")
+    try:
+        t0 = time.perf_counter()
+        Mocker(sch, 1_000_000, f"{tmp}/mock.flf", seed=42).run(spark)
+        times["flf_mock_1m"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        Converter(f"{tmp}/mock.flf", sch, f"{tmp}/out.parquet").run(spark)
+        times["flf_convert_1m"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -69,10 +69,18 @@ def mock_column(column: FixedColumn, seed: int) -> Column:
     dt = column.dtype
     if dt == "Boolean":
         return (r < 0.5).alias(column.name)
-    if dt in ("Float16", "Float32", "Float64"):
+    if dt == "Float64":
         bound = _UNIFORM_RANGES[dt]
-        spark_t = "double" if dt == "Float64" else "float"
-        return F.round(r * (2 * bound) - bound, 3).cast(spark_t).alias(column.name)
+        return F.round(r * (2 * bound) - bound, 3).cast("double").alias(column.name)
+    if dt in ("Float16", "Float32"):
+        # Half-step grid: every value is exactly representable in float32
+        # (|x| < 2^22), so the decimal rendering below is also the shortest
+        # round-trip form — keeps the whole mock pipeline JVM-side. (The
+        # reference generates full-precision floats; divergence documented.)
+        bound = _UNIFORM_RANGES[dt]
+        return (
+            (F.floor(r * (4 * bound)) / 2.0 - bound).cast("float").alias(column.name)
+        )
     if dt in ("Int16", "Int32", "Int64"):
         bound = _UNIFORM_RANGES[dt]
         spark_t = {"Int16": "smallint", "Int32": "int", "Int64": "bigint"}[dt]
@@ -111,13 +119,33 @@ class Mocker:
 
     def run(self, spark: SparkSession) -> None:
         df = self.dataframe(spark)
-        # float_format='plain': shortest plain-decimal rendering (Rust Display
-        # parity — Spark's native cast switches to scientific notation at 1e7,
-        # which both diverges from the reference and can overflow narrow
-        # fields). Makes mock output a fixpoint under parse -> re-encode.
+
+        # Render floats as plain shortest decimals JVM-side: generated values
+        # sit on fixed decimal grids (3 dp for Float64, half-steps for
+        # Float16/32), so a decimal cast + trailing-zero strip IS the shortest
+        # round-trip form — no pandas UDF in the 1M-rows/s hot path, and the
+        # output is a fixpoint under parse -> re-encode(float_format='plain').
+        def render_float(c):
+            dec = (
+                F.col(c.name)
+                .cast({"Float16": "decimal(7,3)", "Float32": "decimal(10,3)",
+                       "Float64": "decimal(13,3)"}[c.dtype])
+                .cast("string")
+            )
+            no_zeros = F.regexp_replace(dec, r"(\.\d*?)0+$", r"$1")
+            return F.regexp_replace(no_zeros, r"\.$", "").alias(c.name)
+
+        rendered = df.select(
+            *[
+                render_float(c)
+                if c.dtype in ("Float16", "Float32", "Float64")
+                else F.col(c.name)
+                for c in self.schema.columns
+            ]
+        )
         # overflow='error': a field narrower than the generator's value domain
         # fails loudly instead of writing truncated (corrupt) values.
-        encoded = encode_flf(df, self.schema, overflow="error", float_format="plain")
+        encoded = encode_flf(rendered, self.schema, overflow="error")
         if self.single_file:
             encoded = encoded.coalesce(1)
         encoded.write.mode(self.save_mode).text(self.output_path)

@@ -48,7 +48,7 @@ _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
            length(text) AS n_chars_actual,
            len(string_split(trim(text), ' ')) AS n_words,
            len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-           ROUND(length(text) * 1.0 / len(string_split(trim(text), ' ')), 4) AS chars_per_word
+           length(text) * 1.0 / len(string_split(trim(text), ' ')) AS chars_per_word
     FROM documents
     """,
 )
@@ -63,7 +63,7 @@ def text_stats(spark, sf_dir):
         F.length("text").alias("n_chars_actual"),
         n_words.alias("n_words"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,;:!?]"), 0)).alias("n_punct"),
-        F.round(F.length("text") * 1.0 / n_words, 4).alias("chars_per_word"),
+        (F.length("text") * 1.0 / n_words).alias("chars_per_word"),
     )
 
 
@@ -140,13 +140,12 @@ def lang_id_heuristic(spark, sf_dir):
     "quality_score",
     oracle="""
     SELECT doc_id,
-           ROUND(
-             0.4 * least(length(text) / 500.0, 1.0)
+           0.4 * least(length(text) / 500.0, 1.0)
            + 0.3 * (1.0 - least(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s\\x{4e00}-\\x{9fff}]')) * 1.0
                                 / greatest(length(text), 1), 1.0))
            + 0.3 * least(len(list_distinct(string_split(lower(trim(text)), ' '))) * 1.0
                          / greatest(len(string_split(trim(text), ' ')), 1), 1.0)
-           , 4) AS quality
+           AS quality
     FROM documents
     """,
 )
@@ -165,7 +164,10 @@ def quality_score(spark, sf_dir):
     )
     return d.select(
         "doc_id",
-        F.round(0.4 * length_term + 0.3 * noise_term + 0.3 * ttr_term, 4).alias("quality"),
+        # NO rounding: identical scalar expression trees yield bit-identical
+        # doubles in both engines, while ROUND diverges when a value lands on
+        # the half-grid (integer ratios do, frequently)
+        (0.4 * length_term + 0.3 * noise_term + 0.3 * ttr_term).alias("quality"),
     )
 
 
@@ -234,30 +236,72 @@ list_distinct(list_transform(
 """.strip()
 
 
-def _minhash_sig(shingles: Column) -> Column:
-    """MinHash signature: for seed i, h_i(s) = first 8 md5 hex digits of
-    'i:s' as an int; signature[i] = min over shingles.
+# Universal-hash MinHash: ONE md5 per shingle (the expensive part), then
+# N_HASHES cheap affine mixes h_i(x) = (a_i*x + b_i) mod P over the base
+# hash — 16x fewer md5 evaluations than hashing per seed. Constants are
+# fixed (seeded) so the DuckDB oracle replicates them; a_i < 2^20 keeps
+# a_i * h < 2^52, inside exact int64/DOUBLE-free arithmetic in both engines.
+_MINHASH_P = 4294967311  # prime > 2^32
+import random as _random
 
-    NOTE: the per-seed lambda must be built by a factory — a two-parameter
+_rng = _random.Random(1337)
+_MINHASH_A = [_rng.randrange(1, 1 << 20) for _ in range(N_HASHES)]
+_MINHASH_B = [_rng.randrange(0, 1 << 20) for _ in range(N_HASHES)]
+
+
+def _base_hash(s: Column) -> Column:
+    """32-bit base hash of a shingle: first 8 md5 hex digits as an int
+    (bit-identical to DuckDB's ('0x'||substr(md5(s),1,8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
+def _minhash_sig(shingles: Column) -> Column:
+    """MinHash signature as one array column: sig[i] = min over shingles of
+    (a_i*h(s)+b_i) mod P. Used for small inputs / signature probes; the LSH
+    pipeline uses ``_minhash_sig_df`` (row-explode + hash-agg), which
+    generates small JIT-friendly code — 16 array_min(transform(...)) lambdas
+    in one projection produce oversized generated methods with 10-50x
+    run-to-run JIT variance.
+
+    NOTE: per-seed lambdas come from a factory — a two-parameter
     ``lambda s, i=i`` would be treated by PySpark as an (element, index)
     higher-order function and silently bind ``i`` to the array index column.
     """
+    hs = F.transform(shingles, _base_hash)
 
-    def hasher(i: int):
-        prefix = f"{i}:"
-        return lambda s: F.conv(
-            F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 8), 16, 10
-        ).cast("bigint")
+    def mixer(i: int):
+        a, b = _MINHASH_A[i], _MINHASH_B[i]
+        return lambda h: (h * a + b) % _MINHASH_P
 
     return F.array(
-        *[F.array_min(F.transform(shingles, hasher(i))) for i in range(N_HASHES)]
+        *[F.array_min(F.transform(hs, mixer(i))) for i in range(N_HASHES)]
     )
 
 
+def _minhash_sig_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, s0..s{N-1}) signature table via explode + 16 min-aggregations.
+
+    Scale shape: the explode produces docs x shingles scalar rows; partial
+    (map-side) min-aggregation collapses them before the one shuffle on
+    doc_id. Every expression stays small enough for clean whole-stage
+    codegen."""
+    hs = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
+    ).select("doc_id", _base_hash(F.col("sh")).alias("h"))
+    aggs = [
+        F.min((F.col("h") * _MINHASH_A[i] + _MINHASH_B[i]) % _MINHASH_P).alias(f"s{i}")
+        for i in range(N_HASHES)
+    ]
+    return hs.groupBy("doc_id").agg(*aggs)
+
+
+_BASEHASH_SQL = (
+    "list_transform(shingles, s -> ('0x'||substr(md5(s),1,8))::BIGINT)"
+)
 _MINHASH_SQL = (
     "["
     + ", ".join(
-        f"list_min(list_transform(shingles, s -> ('0x'||substr(md5('{i}:'||s),1,8))::BIGINT))"
+        f"list_min(list_transform(hs, h -> (h * {_MINHASH_A[i]} + {_MINHASH_B[i]}) % {_MINHASH_P}))"
         for i in range(N_HASHES)
     )
     + "]"
@@ -267,36 +311,44 @@ _MINHASH_SQL = (
 @query(
     "dedup_minhash_signature",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents)
+    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+         hh AS (SELECT doc_id, {_BASEHASH_SQL} AS hs FROM sh)
     SELECT doc_id, ({_MINHASH_SQL})[1] AS sig0, ({_MINHASH_SQL})[{N_HASHES}] AS sig{N_HASHES - 1}
-    FROM sh
+    FROM hh
     """,
 )
 def dedup_minhash_signature(spark, sf_dir):
     """First/last MinHash signature components per doc (signature
     correctness probe for the LSH pipeline)."""
     d = table(spark, sf_dir, "documents")
-    sig = _minhash_sig(_shingles(F.col("text")))
-    return d.select(
+    sig_df = _minhash_sig_df(d)
+    return sig_df.select(
         "doc_id",
-        F.element_at(sig, 1).alias("sig0"),
-        F.element_at(sig, N_HASHES).alias(f"sig{N_HASHES - 1}"),
+        F.col("s0").alias("sig0"),
+        F.col(f"s{N_HASHES - 1}").alias(f"sig{N_HASHES - 1}"),
     )
 
 
 def minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
     """Candidate pairs via LSH banding + exact Jaccard verification.
 
-    Pipeline: signature (narrow) -> explode to (band_idx, band_hash) ->
-    self-join on band identity -> distinct pairs -> Jaccard on shingle sets
-    -> threshold. The self-join shuffles only (band_hash, doc_id) tuples.
+    Scale-critical shape: the band self-join carries ONLY (band_idx,
+    band_hash, doc_id) — never the shingle arrays. Candidate pairs are
+    deduplicated *first*, and the (small) unique-pair set then joins the
+    shingle table twice to fetch shingles for the exact Jaccard. Carrying
+    arrays through the band explode + join multiplies shuffle volume by
+    bands x candidates (measured ~25x slower at sf0.1).
     """
-    d = table(spark, sf_dir, "documents")
-    sig = _minhash_sig(_shingles(F.col("text")))
-    with_sig = d.select("doc_id", _shingles(F.col("text")).alias("shingles"), sig.alias("sig"))
-    bands = with_sig.select(
+    # The signature projection is compute-dense (shingles x N_HASHES md5s per
+    # doc); spread it across all cores — the driver testdata is one row group,
+    # which would otherwise pin the whole stage to one task. At cluster scale
+    # the scan has many splits and this repartition coalesces skew instead.
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sig_df = _minhash_sig_df(d)
+    bands = sig_df.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -305,10 +357,7 @@ def minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
                         F.md5(
                             F.concat_ws(
                                 "-",
-                                *[
-                                    F.element_at(F.col("sig"), b * BAND_ROWS + r + 1)
-                                    for r in range(BAND_ROWS)
-                                ],
+                                *[F.col(f"s{b * BAND_ROWS + r}") for r in range(BAND_ROWS)],
                             )
                         ).alias("band_hash"),
                     )
@@ -316,28 +365,31 @@ def minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "shingles", "band.band_idx", "band.band_hash")
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        "band_idx",
-        "band_hash",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        "band_idx",
-        "band_hash",
-    )
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
     pairs = (
         a.join(b, ["band_idx", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # Re-derive shingles only for the candidate pairs (tiny set) from the raw
+    # text instead of re-materializing the full 5k/5M-doc shingle table twice.
+    docs = d.select("doc_id", "text")
+    pairs_sh = pairs.join(
+        docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")), "doc_a"
+    ).join(
+        docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")), "doc_b"
+    ).select(
+        "doc_a",
+        "doc_b",
+        _shingles(F.col("text_a")).alias("sh_a"),
+        _shingles(F.col("text_b")).alias("sh_b"),
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) * 1.0 / F.size(F.array_union("sh_a", "sh_b"))
-    return pairs.select(
-        "doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard")
+    return pairs_sh.select(
+        "doc_a", "doc_b", jaccard.alias("jaccard")
     ).where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
@@ -350,9 +402,10 @@ _BANDS_SQL = ", ".join(
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
-    WITH sh AS (
+    WITH sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+         sh AS (
       SELECT doc_id, shingles, {_MINHASH_SQL} AS sig
-      FROM (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents)
+      FROM (SELECT doc_id, shingles, {_BASEHASH_SQL} AS hs FROM sh0)
     ), bands AS (
       SELECT doc_id, shingles, band_idx, band_hash
       FROM sh, (SELECT unnest(range({N_HASHES // BAND_ROWS})) AS band_idx),
@@ -365,8 +418,8 @@ _BANDS_SQL = ", ".join(
        AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
-           ROUND(len(list_intersect(sh_a, sh_b)) * 1.0 /
-                 (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 4) AS jaccard
+           len(list_intersect(sh_a, sh_b)) * 1.0 /
+           (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
     FROM pairs
     WHERE len(list_intersect(sh_a, sh_b)) * 1.0 /
           (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {JACCARD_THRESHOLD}
@@ -384,9 +437,9 @@ def dedup_minhash_lsh(spark, sf_dir):
       SELECT doc_id, source, {_SHINGLES_SQL} AS shingles FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-                 (len(a.shingles) + len(b.shingles)
-                  - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+           len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+           (len(a.shingles) + len(b.shingles)
+            - len(list_intersect(a.shingles, b.shingles))) AS jaccard
     FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
           (len(a.shingles) + len(b.shingles)
@@ -409,7 +462,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         a.join(b, (F.col("source_a") == F.col("source_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= 0.2)
     )
 
@@ -426,8 +479,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
       FROM tok
     )
     SELECT doc_id,
-           ROUND(len(list_filter(hs, h -> (h & 1) != 0)) * 1.0 / len(hs), 4) AS bit0_ratio,
-           ROUND(len(list_filter(hs, h -> (h & 2) != 0)) * 1.0 / len(hs), 4) AS bit1_ratio
+           len(list_filter(hs, h -> (h & 1) != 0)) * 1.0 / len(hs) AS bit0_ratio,
+           len(list_filter(hs, h -> (h & 2) != 0)) * 1.0 / len(hs) AS bit1_ratio
     FROM hashes
     """,
 )
@@ -442,10 +495,6 @@ def dedup_simhash(spark, sf_dir):
     )
     return d.select(
         "doc_id",
-        F.round(
-            F.size(F.filter(hs, lambda h: h.bitwiseAND(1) != 0)) * 1.0 / F.size(hs), 4
-        ).alias("bit0_ratio"),
-        F.round(
-            F.size(F.filter(hs, lambda h: h.bitwiseAND(2) != 0)) * 1.0 / F.size(hs), 4
-        ).alias("bit1_ratio"),
+        (F.size(F.filter(hs, lambda h: h.bitwiseAND(1) != 0)) * 1.0 / F.size(hs)).alias("bit0_ratio"),
+        (F.size(F.filter(hs, lambda h: h.bitwiseAND(2) != 0)) * 1.0 / F.size(hs)).alias("bit1_ratio"),
     )

@@ -33,15 +33,11 @@ def _normalize(df_pandas):
     import numpy as np
     import pandas as pd
 
+    # Floats are compared EXACTLY (bit-level): every query is engineered to
+    # produce deterministic doubles (exact integer arithmetic for
+    # order-dependent sums, identical scalar expression trees otherwise), so
+    # this harness proves what the driver's value hash requires.
     df = df_pandas[sorted(df_pandas.columns)].copy()
-    for c in df.columns:
-        col = df[c]
-        if col.dtype.kind == "f":
-            df[c] = col.round(6)
-        elif col.dtype == object:
-            df[c] = col.map(
-                lambda v: round(v, 6) if isinstance(v, float) else v
-            )
     rows = sorted(
         (
             tuple(None if (isinstance(v, float) and math.isnan(v)) else v for v in row)
