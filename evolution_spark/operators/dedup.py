@@ -1,0 +1,263 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Every operator is a pure DataFrame -> DataFrame transformation built from the
+expression library in ``evolution_spark.functions`` — no Python in the row
+path, no driver-side loops. Scale design notes per operator below; the
+shuffle keys are always fixed-width hashes/ids, never document bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from evolution_spark.functions.text import (
+    MINHASH_P,
+    fingerprint128,
+    hash32,
+    minhash_mix,
+    simhash64,
+    word_shingles,
+)
+from evolution_spark.functions.vectors import cosine, lsh_bucket
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct normalized text.
+
+    Scale: one shuffle on the 128-bit fingerprint; the kept-id set joins back
+    broadcast-free on the id. 100 TB cost = shuffle of (32B hash, 8B id) per
+    row, never the text."""
+    fp = df.select(
+        F.col(id_col), fingerprint128(F.col(text_col)).alias("__fp")
+    )
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col)).drop("__fp")
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dedup
+# ---------------------------------------------------------------------------
+
+def _signatures(df: DataFrame, id_col: str, text_col: str, n_hashes: int,
+                shingle_k: int) -> DataFrame:
+    """(id, s0..s{n-1}) via explode + n min-aggregations: map-side partial
+    aggregation collapses the docs x shingles rows before the single shuffle
+    on id; every generated method stays small (JIT-friendly)."""
+    hs = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__sh")
+    ).select(id_col, hash32(F.col("__sh")).alias("__h"))
+    aggs = [
+        F.min(minhash_mix(F.col("__h"), i)).alias(f"s{i}") for i in range(n_hashes)
+    ]
+    return hs.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    band_rows: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, jaccard) via MinHash-LSH banding.
+
+    Scale shape (the O(n^2)-free near-dedup):
+      1. signature: narrow projection + hash-agg (one shuffle on id)
+      2. banding: n_hashes/band_rows rows per doc, self-join on
+         (band, band_hash) carrying ONLY ids
+      3. distinct candidate pairs (tiny), then re-join the raw text to
+         compute exact Jaccard just for candidates
+    """
+    n_bands = n_hashes // band_rows
+    sig = _signatures(df, id_col, text_col, n_hashes, shingle_k)
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "-", *[F.col(f"s{b * band_rows + r}") for r in range(band_rows)]
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    pairs = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    docs = df.select(F.col(id_col), F.col(text_col))
+    pairs_sh = (
+        pairs.join(
+            docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")), "id_a"
+        )
+        .join(
+            docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            word_shingles(F.col("__ta"), shingle_k).alias("__sa"),
+            word_shingles(F.col("__tb"), shingle_k).alias("__sb"),
+        )
+    )
+    jac = F.size(F.array_intersect("__sa", "__sb")) * 1.0 / F.size(
+        F.array_union("__sa", "__sb")
+    )
+    return pairs_sh.select("id_a", "id_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= jaccard_threshold
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, id_col: str, text_col: str, **kwargs
+) -> DataFrame:
+    """Greedy near-dedup: drop every row that has a confirmed near-duplicate
+    with a smaller id (single-pass approximation of connected components —
+    each duplicate cluster keeps at least its minimum-id member; a chain
+    a~b~c with a<b<c keeps only a, which is the standard greedy outcome)."""
+    pairs = minhash_lsh_candidates(df, id_col, text_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (blocked)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard over word shingles for pairs sharing a blocking key.
+    The block key bounds the quadratic term; use minhash_lsh_candidates when
+    no natural blocking key exists."""
+    sh = df.select(
+        F.col(id_col), F.col(block_col).alias("__blk"),
+        word_shingles(F.col(text_col), shingle_k).alias("__sh"),
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("__blk").alias("__blk_a"), F.col("__sh").alias("__sa")
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("__blk").alias("__blk_b"), F.col("__sh").alias("__sb")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")) * 1.0
+    union = F.size("__sa") + F.size("__sb") - F.size(F.array_intersect("__sa", "__sb"))
+    return (
+        a.join(b, (F.col("__blk_a") == F.col("__blk_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — 60-bit signatures, one narrow projection."""
+    return df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Scale: pigeonhole banding — split the 60-bit signature into n_chunks
+    15-bit chunks; any pair within Hamming distance < n_chunks shares at
+    least one exact chunk, so candidates come from n_chunks equality
+    self-joins (shuffle on (chunk_idx, chunk_value)), never a cross join.
+    """
+    sig = simhash_signatures(df, id_col, text_col)
+    bits_per = 60 // n_chunks
+    chunks = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright(F.col("simhash"), c * bits_per)
+                        .bitwiseAND((1 << bits_per) - 1)
+                        .alias("chunk_val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.chunk_idx", "ch.chunk_val")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("__ha"), "chunk_idx", "chunk_val"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("__hb"), "chunk_idx", "chunk_val"
+    )
+    hamming = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dedup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    Scale: LSH-bucketed — candidates only form within a hyperplane-sign
+    bucket (corpus/2^planes per bucket); exact cosine verifies. Highly
+    similar vectors agree on almost all hyperplane signs, so recall for
+    near-dup thresholds (>=0.9) is high with 8 planes."""
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("__bucket"),
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket"
+    )
+    return (
+        a.join(b, "__bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

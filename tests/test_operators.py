@@ -1,0 +1,160 @@
+"""Operator-library tests: dedup family, similarity search, multimodal
+plumbing — small in-memory corpora with known ground truth."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from evolution_spark.operators import (
+    cosine_topk,
+    dedup_exact,
+    embedding_near_dups,
+    lsh_ann_topk,
+    minhash_lsh_candidates,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    simhash_signatures,
+)
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+OTHER = "completely different content about spark query engines and columnar formats"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE, "a"),
+        (1, BASE, "a"),              # exact dup of 0
+        (2, "  The   Quick brown fox jumps over the lazy dog again and again today ", "a"),  # dup after normalization
+        (3, NEAR, "a"),              # near dup of 0
+        (4, OTHER, "b"),
+        (5, OTHER + " with a small suffix", "b"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "src"])
+
+
+def test_dedup_exact(spark, docs):
+    kept = dedup_exact(docs, "text", "doc_id")
+    ids = sorted(r.doc_id for r in kept.collect())
+    # 0,1,2 collapse to 0 (normalization folds case+whitespace); 3,4,5 survive
+    assert ids == [0, 3, 4, 5]
+
+
+def test_minhash_candidates_find_near_dup(spark, docs):
+    pairs = minhash_lsh_candidates(docs, "doc_id", "text", jaccard_threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 3) in got or (0, 1) in got  # near/exact pairs surface
+    assert (0, 1) in got  # identical docs always collide
+    assert all(r.jaccard >= 0.5 for r in pairs.collect())
+    assert not any({a, b} == {0, 4} for a, b in got)  # unrelated never pairs
+
+
+def test_minhash_dedup_keeps_min_ids(spark, docs):
+    kept = minhash_lsh_dedup(docs, "doc_id", "text", jaccard_threshold=0.5)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert 0 in ids and 4 in ids
+    assert 1 not in ids and 2 not in ids and 3 not in ids
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", "src", threshold=0.2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got and (4, 5) in got
+    # cross-block pairs never appear even if similar
+    assert all(
+        {a, b} <= {0, 1, 2, 3} or {a, b} <= {4, 5} for a, b in got
+    )
+
+
+def test_simhash_near_dups(spark, docs):
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs, "doc_id", "text").collect()}
+    assert sigs[0] == sigs[1]  # identical text -> identical signature
+    pairs = simhash_near_dups(docs, "doc_id", "text", max_hamming=6)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert not any({a, b} == {0, 4} for a, b in got)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+    rows = []
+    for i in range(50):
+        base = [math.sin(0.1 * i + 0.01 * j) for j in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    # 50 and 51: near-identical to 0
+    rows.append((50, [x + 0.001 for x in rows[0][1]]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(spark, vectors):
+    probes = vectors.where(F.col("vec_id") == 0)
+    top = cosine_topk(vectors, probes, "vec_id", "embedding", k=3)
+    rows = top.collect()
+    assert len(rows) == 3
+    assert rows == sorted(rows, key=lambda r: (-r.cos_sim, r.neighbor_id))
+    assert rows[0].neighbor_id == 50  # the planted near-duplicate wins
+    assert rows[0].cos_sim > 0.999
+
+
+def test_lsh_ann_finds_planted_neighbor(spark, vectors):
+    probes = vectors.where(F.col("vec_id") == 0)
+    top = lsh_ann_topk(vectors, probes, "vec_id", "embedding", dim=8, k=3)
+    rows = top.collect()
+    # near-identical vector shares every hyperplane sign -> always in bucket
+    assert rows and rows[0].neighbor_id == 50
+
+
+def test_embedding_near_dups(spark, vectors):
+    pairs = embedding_near_dups(vectors, "vec_id", "embedding", dim=8, threshold=0.9999)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 50) in got
+
+
+def test_multimodal_pipeline(spark):
+    from evolution_spark.operators.multimodal import (
+        FEATURE_DIM,
+        MEDIA_SCHEMA,
+        decode_media,
+        extract_features,
+        media_stats,
+        resize_images,
+        sample_frames,
+    )
+
+    rows = [
+        (0, "image", b"\x89PNG fake bytes 0", "image/png", 64, 64, None),
+        (1, "image", b"\x89PNG fake bytes 1", "image/png", 32, 32, None),
+        (2, "audio", b"RIFF fake wav", "audio/wav", None, None, 1200),
+        (3, "video", b"\x00\x00ftyp fake mp4", "video/mp4", 640, 480, 5000),
+        (4, "image", None, "image/png", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    # real decode is stubbed
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_media(b"x", "image")
+
+    feats = extract_features(df, fake=True).collect()
+    by_id = {r.media_id: r for r in feats}
+    assert len(by_id[0].features) == FEATURE_DIM
+    assert by_id[4].features is None
+    # determinism: same payload -> same features
+    feats2 = extract_features(df, fake=True).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+    resized = resize_images(df.where(F.col("kind") == "image"), 8, 8).collect()
+    assert all(r.payload is None or len(r.payload) == 64 for r in resized)
+
+    frames = sample_frames(df.where(F.col("kind") == "video"), n_frames=3).collect()
+    assert len(frames) == 3
+    assert sorted(f.frame_idx for f in frames) == [0, 1, 2]
+
+    stats = {r.kind: r for r in media_stats(df).collect()}
+    assert stats["image"].n_rows == 3 and stats["image"].n_with_payload == 2
+    assert stats["video"].total_bytes == len(b"\x00\x00ftyp fake mp4")
