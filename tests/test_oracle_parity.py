@@ -38,9 +38,20 @@ def _normalize(df_pandas):
     # order-dependent sums, identical scalar expression trees otherwise), so
     # this harness proves what the driver's value hash requires.
     df = df_pandas[sorted(df_pandas.columns)].copy()
+    import numpy as np
+
+    def norm_val(v):
+        if isinstance(v, np.ndarray):
+            return tuple(v.tolist())
+        if isinstance(v, list):
+            return tuple(v)
+        if isinstance(v, float) and math.isnan(v):
+            return None
+        return v
+
     rows = sorted(
         (
-            tuple(None if (isinstance(v, float) and math.isnan(v)) else v for v in row)
+            tuple(norm_val(v) for v in row)
             for row in df.itertuples(index=False, name=None)
         ),
         key=lambda r: tuple((v is None, str(v)) for v in r),

@@ -1,0 +1,113 @@
+"""Physical-plan quality gates: the scale properties claimed in docstrings
+must be visible in ``explain()`` output — filters pushed to the parquet scan,
+dimension joins broadcast, aggregations partial (map-side), hot paths inside
+WholeStageCodegen, and no Python evaluation in JVM-only pipelines."""
+
+from __future__ import annotations
+
+import pytest
+
+from evolution_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(spark, sf_dir, name) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark, sf_dir):
+    plan = formatted(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # partial aggregation before the exchange (map-side combine)
+    assert "HashAggregate" in plan and "Exchange" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange") or plan.count("HashAggregate") >= 2
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    plan = formatted(spark, sf_dir, "q1_pricing_summary")
+    # ReadSchema must NOT include unused columns like l_orderkey/l_partkey
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" in read_schema and "l_quantity" in read_schema
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_local_supplier_volume",
+                                  "q10_returned_items", "q14_promo_revenue",
+                                  "topk_per_group"])
+def test_dimension_joins_broadcast(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+
+
+def test_q3_take_ordered_no_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # limit+orderBy fused, no full sort
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "join_left_semi")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "join_left_anti")
+
+
+def test_jvm_only_pipelines_have_no_python(spark, sf_dir):
+    """Core pipelines must not drop into Python row evaluation."""
+    for name in ["q1_pricing_summary", "dedup_exact", "dedup_minhash_lsh",
+                 "text_stats", "knn_bruteforce_cosine", "tumbling_window_hourly"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    import contextlib
+    import io
+
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    df.collect()  # AQE materializes codegen subtrees only after execution
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    out = buf.getvalue()
+    assert "Found" in out and "WholeStageCodegen subtrees" in out
+    assert "Found 0" not in out
+
+
+def test_flf_parse_is_single_narrow_stage(spark, tmp_path):
+    """The FLF convert pipeline must be shuffle-free: scan -> project -> sink."""
+    from evolution_spark.converter import Converter
+    from evolution_spark.mocker import Mocker
+    from evolution_spark.schema import FixedSchema
+
+    sch = FixedSchema.from_dict(
+        {"name": "s", "version": 1, "columns": [
+            {"name": "a", "offset": 0, "length": 10, "dtype": "Int64", "is_nullable": False},
+            {"name": "b", "offset": 10, "length": 20, "dtype": "Utf8", "is_nullable": True}]}
+    )
+    flf = str(tmp_path / "m.flf")
+    Mocker(sch, 100, flf, seed=1).run(spark)
+    df = Converter(flf, sch, "unused").dataframe(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow: no shuffle anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_probes_are_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "knn_bruteforce_cosine")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_minhash_band_join_carries_only_ids(spark, sf_dir):
+    """The LSH band self-join must not shuffle shingle arrays."""
+    plan = formatted(spark, sf_dir, "dedup_minhash_lsh")
+    # No exchange may carry shingle arrays or document text — shuffles move
+    # only ids/hashes. (At tiny SF the band join may broadcast instead of
+    # shuffle; the invariant is about what any exchange carries.)
+    lines = plan.splitlines()
+    exch_cols = [l for l in lines if "Arguments: hashpartitioning" in l]
+    assert exch_cols, "expected at least one exchange"
+    assert all("shingle" not in l and " text#" not in l for l in exch_cols)
