@@ -23,19 +23,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from evolution_spark.queries.base import query, table
-
-# Stopword sets for the n-gram language-ID heuristic (top function words).
-LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
-    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
-    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
-    "fr": ("le", "la", "de", "et", "les", "des", "est", "une", "dans", "que"),
-}
-
-
-def _norm_text(col) -> Column:
-    """Normalization for fingerprinting: lowercase + collapse whitespace."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+from evolution_spark.functions.text import (
+    LANG_STOPWORDS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    hash32 as _base_hash,
+    norm_text as _norm_text,
+    word_shingles,
+)
 
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -218,15 +214,8 @@ JACCARD_THRESHOLD = 0.5
 
 
 def _shingles(col) -> Column:
-    """Distinct word 3-gram shingles of the normalized text (JVM-side:
-    split + transform + slice + array_distinct)."""
-    words = F.split(_norm_text(col), " ")
-    k = SHINGLE_K
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
-    )
-    return F.array_distinct(grams)
+    """Distinct word 3-gram shingles (shared impl: functions.text)."""
+    return word_shingles(col, SHINGLE_K)
 
 
 _SHINGLES_SQL = f"""
@@ -236,23 +225,12 @@ list_distinct(list_transform(
 """.strip()
 
 
-# Universal-hash MinHash: ONE md5 per shingle (the expensive part), then
-# N_HASHES cheap affine mixes h_i(x) = (a_i*x + b_i) mod P over the base
-# hash — 16x fewer md5 evaluations than hashing per seed. Constants are
-# fixed (seeded) so the DuckDB oracle replicates them; a_i < 2^20 keeps
-# a_i * h < 2^52, inside exact int64/DOUBLE-free arithmetic in both engines.
-_MINHASH_P = 4294967311  # prime > 2^32
-import random as _random
-
-_rng = _random.Random(1337)
-_MINHASH_A = [_rng.randrange(1, 1 << 20) for _ in range(N_HASHES)]
-_MINHASH_B = [_rng.randrange(0, 1 << 20) for _ in range(N_HASHES)]
-
-
-def _base_hash(s: Column) -> Column:
-    """32-bit base hash of a shingle: first 8 md5 hex digits as an int
-    (bit-identical to DuckDB's ('0x'||substr(md5(s),1,8))::BIGINT)."""
-    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+# Universal-hash MinHash over the shared seeded constants
+# (functions.text.MINHASH_A/B — same values the operator library uses, so
+# the oracle SQL below and operators/dedup.py agree by construction).
+_MINHASH_P = MINHASH_P
+_MINHASH_A = MINHASH_A[:N_HASHES]
+_MINHASH_B = MINHASH_B[:N_HASHES]
 
 
 def _minhash_sig(shingles: Column) -> Column:

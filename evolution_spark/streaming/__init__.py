@@ -1,3 +1,8 @@
+from evolution_spark.streaming.flf_stream import (
+    convert_flf_stream,
+    enrich_events_with_dims,
+    read_flf_stream,
+)
 from evolution_spark.streaming.events import (
     dedup_events,
     read_event_stream,
@@ -8,6 +13,9 @@ from evolution_spark.streaming.events import (
 )
 
 __all__ = [
+    "convert_flf_stream",
+    "read_flf_stream",
+    "enrich_events_with_dims",
     "read_event_stream",
     "tumbling_counts",
     "sliding_counts",

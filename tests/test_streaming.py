@@ -167,3 +167,55 @@ def test_sliding_counts_stream(spark, stream_env):
         assert starts == [0, 30]
     finally:
         q.stop()
+
+
+def test_streaming_flf_conversion(spark, tmp_path):
+    """The reference's convert workload as a stream: FLF files landing
+    incrementally -> typed parquet, exactly-once."""
+    from evolution_spark.schema import FixedSchema
+    from evolution_spark.streaming.flf_stream import convert_flf_stream
+
+    sch = FixedSchema.from_dict(
+        {"name": "s", "version": 1, "columns": [
+            {"name": "id", "offset": 0, "length": 6, "dtype": "Int32", "is_nullable": False},
+            {"name": "name", "offset": 6, "length": 10, "dtype": "Utf8",
+             "alignment": "Left", "is_nullable": True}]}
+    )
+    src = tmp_path / "flf_src"; src.mkdir()
+    out = str(tmp_path / "flf_out"); ckpt = str(tmp_path / "flf_ckpt")
+
+    (src / "a.flf").write_text("     1alice     \n     2bob       \n")
+    q = convert_flf_stream(spark, str(src), sch, out, ckpt)
+    try:
+        q.processAllAvailable()
+        (src / "b.flf").write_text("     3carol     \n")
+        q.processAllAvailable()
+        rows = sorted((r.id, r.name) for r in spark.read.parquet(out).collect())
+        assert rows == [(1, "alice"), (2, "bob"), (3, "carol")]
+        got = dict(spark.read.parquet(out).dtypes)
+        assert got["id"] == "int" and got["name"] == "string"
+    finally:
+        q.stop()
+
+
+def test_stream_static_join(spark, stream_env, tmp_path):
+    from evolution_spark.streaming.flf_stream import enrich_events_with_dims
+
+    src, ckpt, add_batch = stream_env
+    add_batch([(1, 0, 7, "view", 1.0), (2, 1, 99, "view", 2.0)])
+    dims = spark.createDataFrame([(7, "gold")], ["user_id", "tier"])
+    stream = read_event_stream(spark, src)
+    import uuid
+    name = f"j_{uuid.uuid4().hex[:8]}"
+    q = (
+        enrich_events_with_dims(stream, dims, "user_id")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "jckpt"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        out = {r.event_id: r.tier for r in spark.table(name).collect()}
+        assert out == {1: "gold", 2: None}
+    finally:
+        q.stop()

@@ -1,0 +1,92 @@
+"""asof_join / range_join operator semantics on hand-built frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from evolution_spark.operators.temporal import asof_join, range_join
+
+
+def ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    rows = [
+        ("A", ts(9), 10.0), ("A", ts(11), 11.0),
+        ("B", ts(10), 20.0),
+    ]
+    return spark.createDataFrame(rows, ["sym", "t", "price"])
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        ("A", ts(8), 5), ("A", ts(9), 1), ("A", ts(10), 2), ("A", ts(12), 3),
+        ("B", ts(9, 30), 4), ("B", ts(10), 6),
+    ]
+    return spark.createDataFrame(rows, ["sym", "t", "qty"])
+
+
+def test_asof_backward(spark, quotes, trades):
+    out = {(r.sym, r.t.hour, r.t.minute): r.price
+           for r in asof_join(trades, quotes, on="t", by="sym").collect()}
+    assert out[("A", 8, 0)] is None          # no quote yet
+    assert out[("A", 9, 0)] == 10.0          # exact tie matches (<=)
+    assert out[("A", 10, 0)] == 10.0         # carried forward
+    assert out[("A", 12, 0)] == 11.0         # latest quote
+    assert out[("B", 9, 30)] is None
+    assert out[("B", 10, 0)] == 20.0
+
+
+def test_asof_forward(spark, quotes, trades):
+    out = {(r.sym, r.t.hour, r.t.minute): r.price
+           for r in asof_join(trades, quotes, on="t", by="sym", direction="forward").collect()}
+    assert out[("A", 8, 0)] == 10.0          # next quote
+    assert out[("A", 10, 0)] == 11.0
+    assert out[("A", 12, 0)] is None         # nothing after
+    assert out[("B", 9, 30)] == 20.0
+
+
+def test_asof_without_by_key(spark):
+    left = spark.createDataFrame([(ts(10), 1), (ts(12), 2)], ["t", "lid"])
+    right = spark.createDataFrame([(ts(9), "x"), (ts(11), "y")], ["t", "tag"])
+    out = {r.lid: r.tag for r in asof_join(left, right, on="t").collect()}
+    assert out == {1: "x", 2: "y"}
+
+
+def test_asof_name_collision_gets_suffix(spark, quotes, trades):
+    q = quotes.withColumnRenamed("price", "qty")  # collides with trades.qty
+    out = asof_join(trades, q, on="t", by="sym")
+    assert "qty" in out.columns and "qty_right" in out.columns
+
+
+def test_range_join_contains(spark):
+    events = spark.createDataFrame(
+        [(1, ts(9, 30)), (2, ts(10, 30)), (3, ts(23, 59))], ["eid", "t"]
+    )
+    windows = spark.createDataFrame(
+        [("w1", ts(9), ts(10)), ("w2", ts(9), ts(12))], ["wid", "start", "end"]
+    )
+    out = {(r.eid, r.wid) for r in
+           range_join(events, windows, "t", "start", "end", bin_width_seconds=1800).collect()}
+    assert out == {(1, "w1"), (1, "w2"), (2, "w2")}
+
+
+def test_range_join_boundary_semantics(spark):
+    # [start, end): start inclusive, end exclusive
+    events = spark.createDataFrame([(1, ts(9)), (2, ts(10))], ["eid", "t"])
+    windows = spark.createDataFrame([("w", ts(9), ts(10))], ["wid", "start", "end"])
+    out = {r.eid for r in range_join(events, windows, "t", "start", "end").collect()}
+    assert out == {1}
+
+
+def test_range_join_wide_interval_fanout(spark):
+    # interval spanning many bins still matches exactly once
+    events = spark.createDataFrame([(1, ts(15))], ["eid", "t"])
+    windows = spark.createDataFrame([("w", ts(8), ts(23))], ["wid", "start", "end"])
+    rows = range_join(events, windows, "t", "start", "end", bin_width_seconds=600).collect()
+    assert len(rows) == 1
