@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "knn_bruteforce_cosine",
     "ann_lsh_topk",
+    # temporal joins
+    "asof_join_orders",
+    "range_join_sessions",
 ]
 
 

@@ -1,0 +1,200 @@
+"""Third relational batch: set-operation ALL variants, union-by-name with
+missing columns, lateral view (explode), SQL-surface subqueries (IN,
+correlated scalar), and the second string-function tier (initcap/translate/
+split_part/repeat/reverse/levenshtein)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from evolution_spark.queries.base import query, table
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'A'
+    EXCEPT ALL
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_except_all(spark, sf_dir):
+    """EXCEPT ALL (multiset difference — keeps surplus multiplicity)."""
+    l = table(spark, sf_dir, "lineitem")
+    a = l.where(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("suppkey"))
+    r = l.where(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("suppkey"))
+    return a.exceptAll(r)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (multiset intersection)."""
+    l = table(spark, sf_dir, "lineitem")
+    a = l.where(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("suppkey"))
+    r = l.where(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("suppkey"))
+    return a.intersectAll(r)
+
+
+@query(
+    "union_by_name_missing",
+    oracle="""
+    SELECT c_name AS name, c_acctbal AS acctbal, NULL AS nationkey FROM customer
+    WHERE c_acctbal > 9990
+    UNION ALL
+    SELECT s_name AS name, NULL AS acctbal, s_nationkey AS nationkey FROM supplier
+    """,
+)
+def union_by_name_missing(spark, sf_dir):
+    """unionByName(allowMissingColumns=True): schema-aligning union where
+    each side misses a column (filled with typed nulls)."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9990)
+        .select(F.col("c_name").alias("name"), F.col("c_acctbal").alias("acctbal"))
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "lateral_view_explode",
+    oracle="""
+    SELECT doc_id, word, COUNT(*) AS n
+    FROM (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+          FROM documents)
+    WHERE length(word) >= 6
+    GROUP BY doc_id, word
+    """,
+)
+def lateral_view_explode(spark, sf_dir):
+    """Lateral view / explode: per-document word frequency for long words —
+    the table-generating-function surface."""
+    d = table(spark, sf_dir, "documents")
+    from evolution_spark.functions.text import norm_text
+
+    return (
+        d.select("doc_id", F.explode(F.split(norm_text(F.col("text")), " ")).alias("word"))
+        .where(F.length("word") >= 6)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "sql_in_subquery",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      AND o_orderstatus = 'F'
+    """,
+)
+def sql_in_subquery(spark, sf_dir):
+    """IN-subquery through the SQL surface (parser + subquery planning —
+    Catalyst rewrites to a left-semi join)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+        FROM orders_v
+        WHERE o_custkey IN (SELECT c_custkey FROM customer_v
+                            WHERE c_mktsegment = 'MACHINERY')
+          AND o_orderstatus = 'F'
+        """
+    )
+
+
+@query(
+    "sql_correlated_scalar_subquery",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey
+            AND o.o_totalprice > 200000) AS n_big_orders
+    FROM customer c
+    """,
+)
+def sql_correlated_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery (rewritten by Catalyst into an aggregate +
+    left outer join)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v2")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v2")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey,
+               (SELECT COUNT(*) FROM orders_v2 o WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 200000) AS n_big_orders
+        FROM customer_v2 c
+        """
+    )
+
+
+@query(
+    "string_functions_2",
+    oracle="""
+    SELECT s_suppkey AS suppkey,
+           -- DuckDB 1.0 has no initcap; supplier names are single-token so
+           -- first-letter-upper is the equivalent of Spark's initcap here
+           upper(substr(lower(s_name), 1, 1)) || substr(lower(s_name), 2) AS name_title,
+           translate(s_name, '#', '_') AS name_translated,
+           split_part(s_name, '#', 2) AS name_num,
+           repeat('ab', 3) AS repeated,
+           reverse(s_name) AS name_rev,
+           levenshtein(s_name, 'Supplier#1') AS edit_dist,
+           left(s_name, 4) AS name_left,
+           right(s_name, 2) AS name_right,
+           contains(s_name, '#') AS has_hash,
+           starts_with(s_name, 'Supplier') AS is_supplier,
+           ends_with(s_name, '1') AS ends_one
+    FROM supplier
+    """,
+)
+def string_functions_2(spark, sf_dir):
+    """Second string tier: initcap/translate/split_part/repeat/reverse/
+    levenshtein/left/right/contains/starts_with/ends_with."""
+    s = table(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.initcap(F.lower("s_name")).alias("name_title"),
+        F.translate("s_name", "#", "_").alias("name_translated"),
+        F.split_part(F.col("s_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.reverse("s_name").alias("name_rev"),
+        F.levenshtein("s_name", F.lit("Supplier#1")).alias("edit_dist"),
+        F.substring("s_name", 1, 4).alias("name_left"),
+        F.col("s_name").substr(F.length("s_name") - 1, F.lit(2)).alias("name_right"),
+        F.contains("s_name", F.lit("#")).alias("has_hash"),
+        F.startswith("s_name", F.lit("Supplier")).alias("is_supplier"),
+        F.endswith("s_name", F.lit("1")).alias("ends_one"),
+    )
+
+
+@query(
+    "exists_not_exists_sql",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey) AS has_supplier
+    FROM nation n
+    """,
+)
+def exists_not_exists_sql(spark, sf_dir):
+    """EXISTS as a boolean projection (not just a filter) through SQL."""
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v3")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v3")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation_name,
+               EXISTS (SELECT 1 FROM supplier_v3 s
+                       WHERE s.s_nationkey = n.n_nationkey) AS has_supplier
+        FROM nation_v3 n
+        """
+    )
