@@ -1,0 +1,130 @@
+"""Oracle queries for the extension operators: multi-granularity time
+rollup, IVF cell assignment, and embedding near-dup with planted duplicates
+(the testdata has no natural near-identical vectors, so the query plants
+them deterministically — both engines construct the same perturbed copies)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from evolution_spark.operators.rollup import time_rollup
+from evolution_spark.queries.base import query, table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "time_rollup_multi",
+    oracle="""
+    WITH g AS (SELECT unnest(['hour', 'day']) AS granularity)
+    SELECT g.granularity,
+           strftime(CASE WHEN g.granularity = 'hour' THEN date_trunc('hour', ts)
+                         ELSE date_trunc('day', ts) END, '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+    FROM events CROSS JOIN g
+    GROUP BY 1, 2, 3
+    """,
+)
+def time_rollup_multi(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hour + day levels in ONE
+    shuffle (operators/rollup.py)."""
+    e = table(spark, sf_dir, "events")
+    rolled = time_rollup(
+        e,
+        "ts",
+        ["hour", "day"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "sum_value": F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0,
+        },
+        keys=["event_type"],
+    )
+    return rolled.select(
+        "granularity",
+        F.date_format("bucket_start", _TS_FMT).alias("bucket"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@query(
+    "ivf_cell_assignment",
+    oracle="""
+    WITH hashed AS (
+      SELECT vec_id, embedding,
+             ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT AS h
+      FROM embeddings
+    ), centroids AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) AS cell_id,
+             embedding AS centroid
+      FROM hashed
+      ORDER BY h, vec_id LIMIT 8
+    ), scored AS (
+      SELECT e.vec_id, c.cell_id,
+             sqrt(list_inner_product(
+                 list_transform(range(64), i -> e.embedding[i+1]::DOUBLE - c.centroid[i+1]::DOUBLE),
+                 list_transform(range(64), i -> e.embedding[i+1]::DOUBLE - c.centroid[i+1]::DOUBLE)
+             )) AS dist
+      FROM embeddings e CROSS JOIN centroids c
+    )
+    SELECT vec_id, cell_id FROM (
+      SELECT vec_id, cell_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+      FROM scored) WHERE rn = 1
+    """,
+)
+def ivf_cell_assignment(spark, sf_dir):
+    """IVF build step: deterministic sampled centroids + nearest-cell
+    assignment (operators/ivf.py). The cell histogram is the partition-size
+    profile of the ANN index."""
+    from evolution_spark.operators.ivf import assign_cells, sample_centroids
+
+    e = table(spark, sf_dir, "embeddings")
+    centroids = sample_centroids(e, "vec_id", "embedding", 8)
+    assigned = assign_cells(e, centroids, "vec_id", "embedding")
+    return assigned.select("vec_id", "cell_id")
+
+
+@query(
+    "embedding_near_dup_planted",
+    oracle="""
+    WITH planted AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding::DOUBLE[], x -> x * 1.0000001) AS v
+      FROM embeddings WHERE vec_id % 100 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM planted a JOIN planted b ON a.vec_id + 1000000 = b.vec_id
+    WHERE (list_inner_product(a.v, b.v)
+           / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))))
+          >= 0.9999
+    """,
+)
+def embedding_near_dup_planted(spark, sf_dir):
+    """Embedding near-duplicate detection with planted duplicates: every
+    100th vector gets a 1e-7-perturbed copy; cosine >= 0.9999 must recover
+    exactly the planted pairs. (Production pair generation goes through the
+    LSH buckets — operators/dedup.embedding_near_dups; this query verifies
+    the similarity math end-to-end against the oracle.)"""
+    from evolution_spark.functions.vectors import cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    planted = base.unionByName(
+        e.where(F.col("vec_id") % 100 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform("embedding", lambda x: x.cast("double") * 1.0000001).alias("v"),
+        )
+    )
+    a = planted.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = planted.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") + 1000000 == F.col("id_b"))
+        .where(cosine(F.col("va"), F.col("vb")) >= 0.9999)
+        .select("id_a", "id_b")
+    )
