@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     conv.add_argument("--save-mode", default="error")
     conv.add_argument("--single-file", action="store_true",
                       help="one output file (reference parity via coalesce(1))")
+    conv.add_argument("--float-format", default="native",
+                      choices=["native", "plain"],
+                      help="FLF sink float rendering: native Spark (scientific"
+                           " >=1e7) or plain shortest decimal (Rust Display"
+                           " parity; required for byte-identical roundtrips)")
     conv.add_argument("-R", "--max-partition-bytes", type=int, default=None)
     conv.add_argument("-C", "--thread-channel-capacity", type=int, default=None,
                       help="accepted for reference CLI parity; no-op on Spark")
@@ -70,6 +75,7 @@ def main(argv: list[str] | None = None) -> int:
                 save_mode=args.save_mode,
                 single_file=args.single_file,
                 max_partition_bytes=args.max_partition_bytes,
+                float_format=args.float_format,
             ).run(spark)
         else:
             Mocker(

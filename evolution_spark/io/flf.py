@@ -52,15 +52,17 @@ _INT_RE = r"^-?[0-9]+$"  # optional '-' + digit run (FIXTURES.md oracle rule 3)
 def _strip(col: Column, pad: str, side: str) -> Column:
     """Strip `pad` repetitions from one or both ends.
 
-    Regex-based so any of the 21 pad symbols works (including regex
-    metacharacters like ``*`` and ``\\``); stays JVM-side/codegen.
+    Spark 4's two-arg ltrim/rtrim/trim strip a character *set* — for a
+    single pad char that's exactly pad-run removal, handles all 21 symbols
+    (no regex escaping), and codegens to a simple char loop (measurably
+    faster than regexp_replace in the convert hot path).
     """
-    esc = re.escape(pad)
+    trim_chars = F.lit(pad)
     if side == "leading":
-        return F.regexp_replace(col, f"^(?:{esc})+", "")
+        return F.ltrim(col, trim_chars)
     if side == "trailing":
-        return F.regexp_replace(col, f"(?:{esc})+$", "")
-    return F.regexp_replace(col, f"^(?:{esc})+|(?:{esc})+$", "")
+        return F.rtrim(col, trim_chars)
+    return F.trim(col, trim_chars)
 
 
 def trim_padding(col: Column, column: FixedColumn) -> Column:

@@ -127,34 +127,13 @@ def _plane_sign_sql(j: int, c: str) -> str:
     return f"(CASE WHEN (('0x'||substr(md5('{j}:'|| {c}),1,8))::BIGINT % 2) = 0 THEN 1.0 ELSE -1.0 END)"
 
 
-def _plane_sign(j: int, c: Column) -> Column:
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{j}:"), c.cast("string"))), 1, 8), 16, 10
-    ).cast("bigint")
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-
-
 def _bucket_expr() -> Column:
-    """LSH bucket key: concatenated sign bits of N_PLANES hyperplane dots.
-    Plane j has components +/-1 chosen by md5 parity of 'j:i' (i = dim index)."""
-    def signs_for_plane(j: int):
-        # factory keeps the lambda single-parameter: a two-param lambda would
-        # be read by PySpark as an (element, index) higher-order function
-        return lambda i: _plane_sign(j, i)
+    """LSH bucket key via the shared library (functions/vectors.lsh_bucket):
+    hyperplane +/-1 components are md5-parity constants precomputed
+    driver-side — the oracle recomputes the identical values in SQL."""
+    from evolution_spark.functions.vectors import lsh_bucket
 
-    bits = []
-    for j in range(N_PLANES):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.transform(F.sequence(F.lit(0), F.lit(DIM - 1)), signs_for_plane(j)),
-                lambda x, s: x.cast("double") * s,
-            ),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    return lsh_bucket(F.col("embedding"), N_PLANES, DIM)
 
 
 def _bucket_sql() -> str:
