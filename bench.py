@@ -38,6 +38,10 @@ BENCH_QUERIES = [
     # temporal joins
     "asof_join_orders",
     "range_join_sessions",
+    # extensions
+    "time_rollup_multi",
+    "ivf_cell_assignment",
+    "percentile_exact",
 ]
 
 

@@ -198,3 +198,99 @@ def exists_not_exists_sql(spark, sf_dir):
         FROM nation_v3 n
         """
     )
+
+
+@query(
+    "percentile_exact",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5)  AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95,
+           median(l_quantity) AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_exact(spark, sf_dir):
+    """Exact interpolated percentiles: Spark ``percentile`` and DuckDB
+    ``quantile_cont`` implement the same linear interpolation over the sorted
+    values — verified bit-exact. (The sketch-based one-pass path for 100 TB
+    is ``approx_percentile_prices``.)"""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+        F.median("l_quantity").alias("median_qty"),
+    )
+
+
+@query(
+    "window_ntile_dist",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           NTILE(4) OVER w AS price_quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_dist(spark, sf_dir):
+    """ntile / percent_rank / cume_dist over a fully tie-broken global
+    ordering (orderkey disambiguates equal prices, keeping bucket membership
+    engine-independent)."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "stats_variance_exact",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x
+      FROM lineitem
+    ), sums AS (
+      SELECT l_returnflag AS returnflag, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS s,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS ss
+      FROM c GROUP BY 1
+    )
+    SELECT returnflag, n,
+           (n * ss - s * s) / (n * (n - 1.0)) / 10000.0 AS var_price,
+           sqrt((n * ss - s * s) / (n * (n - 1.0))) / 100.0 AS stddev_price
+    FROM sums
+    """,
+)
+def stats_variance_exact(spark, sf_dir):
+    """Sample variance/stddev with EXACT integer accumulation: sum(x) and
+    sum(x^2) run in exact integer/decimal arithmetic (order-independent),
+    then one identical double-precision formula per group. Native
+    stddev_samp would diverge across engines (Welford vs naive summation,
+    order-dependent in the last ulps)."""
+    l = table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    sums = (
+        l.select(F.col("l_returnflag").alias("returnflag"), x.alias("x"))
+        .groupBy("returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("double").alias("s"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).cast("double").alias("ss"),
+        )
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    return sums.select(
+        "returnflag",
+        "n",
+        ((n * ss - s * s) / (n * (n - 1.0)) / 10000.0).alias("var_price"),
+        (F.sqrt((n * ss - s * s) / (n * (n - 1.0))) / 100.0).alias("stddev_price"),
+    )

@@ -17,9 +17,9 @@ from evolution_spark.queries.base import query, table
            strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
            o.o_orderkey AS orderkey
     FROM (SELECT event_id, user_id, ts FROM events) e
-    ASOF LEFT JOIN (SELECT o_custkey, o_orderkey,
+    ASOF LEFT JOIN (SELECT o_custkey, MAX(o_orderkey) AS o_orderkey,
                            o_orderdate + INTERVAL 10220 DAY AS odate
-                    FROM orders) o
+                    FROM orders GROUP BY o_custkey, odate) o
       ON e.user_id = o.o_custkey AND e.ts >= o.odate
     """,
 )
@@ -27,12 +27,10 @@ def asof_join_orders(spark, sf_dir):
     """For each event, the most recent prior order of the same user
     (orders dates shifted into the events epoch so matches exist).
 
-    DuckDB ASOF ties break by picking the greatest odate <= ts; when two
-    orders share the max odate DuckDB picks one arbitrarily — the shifted
-    o_orderdate is day-granular with many same-day orders per user, so the
-    Spark side resolves ties identically by taking max(orderkey) per
-    (event, odate)... instead both sides aggregate to a tie-free value:
-    the MAX orderkey among rows at the as-of date."""
+    BOTH sides pre-aggregate orders to one row per (custkey, date) with the
+    max orderkey: with same-day duplicate orders (which appear from sf0.1
+    up), an as-of match against raw rows is engine-arbitrary — DuckDB's
+    ASOF picks an unspecified row among equal timestamps."""
     e = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = table(spark, sf_dir, "orders").select(
         F.col("o_custkey"),
