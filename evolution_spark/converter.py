@@ -88,6 +88,44 @@ class Converter:
             max_partition_bytes=self.max_partition_bytes,
         )
 
+    def validate(self, spark: SparkSession, sample_rows: int = 20) -> DataFrame:
+        """Eager two-pass validation (SURVEY §4.2 note on O9): returns a
+        DataFrame of rows that would abort the conversion — (line, column,
+        raw_field) for every parse failure on a non-nullable column.
+
+        The default ``run()`` path stays single-pass (``raise_error`` aborts
+        on the first bad row); use this when you want the full defect list
+        up front (e.g. data quality triage) at the cost of one extra scan.
+        ``sample_rows`` limits the result via ``limit`` — the scan
+        short-circuits once enough failures are found.
+        """
+        from pyspark.sql import functions as F
+
+        from evolution_spark.io.flf import parse_column
+
+        lines = spark.read.text(self.input_path)
+        checks = []
+        for c in self.schema.columns:
+            if c.is_nullable or c.dtype in ("Utf8", "LargeUtf8"):
+                continue
+            typed = parse_column(F.col("value"), c, mode="permissive")
+            raw = F.substring(F.col("value"), c.offset + 1, c.length)
+            checks.append(
+                F.when(typed.isNull(), F.struct(F.lit(c.name).alias("column"), raw.alias("raw_field")))
+            )
+        if not checks:
+            return spark.createDataFrame([], "line string, column string, raw_field string")
+        failures = (
+            lines.select(
+                F.col("value").alias("line"),
+                F.explode(
+                    F.filter(F.array(*checks), lambda x: x.isNotNull())
+                ).alias("f"),
+            )
+            .select("line", "f.column", "f.raw_field")
+        )
+        return failures.limit(sample_rows)
+
     def run(self, spark: SparkSession) -> None:
         df = self.dataframe(spark)
         target = Target(self.target)

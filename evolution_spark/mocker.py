@@ -86,11 +86,14 @@ def mock_column(column: FixedColumn, seed: int) -> Column:
         spark_t = {"Int16": "smallint", "Int32": "int", "Int64": "bigint"}[dt]
         # uniform integer in [-bound, bound]
         return (F.floor(r * (2 * bound + 1)) - bound).cast(spark_t).alias(column.name)
-    # Utf8 / LargeUtf8: random first name
-    idx = (F.floor(F.rand(seed) * len(US_FIRST_NAMES)) + 1).cast("int")
-    return F.element_at(F.array(*[F.lit(n) for n in US_FIRST_NAMES]), idx).alias(
-        column.name
-    )
+    # Utf8 / LargeUtf8: random first name, restricted to names that fit the
+    # declared field width ("conforming to a schema" means encodable — the
+    # reference would overflow-pad names wider than the field)
+    pool = [n for n in US_FIRST_NAMES if len(n) <= column.length] or [
+        n[: column.length] for n in US_FIRST_NAMES[:20]
+    ]
+    idx = (F.floor(F.rand(seed) * len(pool)) + 1).cast("int")
+    return F.element_at(F.array(*[F.lit(n) for n in pool]), idx).alias(column.name)
 
 
 @dataclass(frozen=True)
