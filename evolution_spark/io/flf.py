@@ -32,7 +32,6 @@ Semantics divergences from the reference (documented per SURVEY.md §7):
 
 from __future__ import annotations
 
-import re
 from typing import Iterable
 
 from pyspark.sql import Column, DataFrame, SparkSession

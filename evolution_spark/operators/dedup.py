@@ -12,7 +12,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from evolution_spark.functions.text import (
-    MINHASH_P,
     fingerprint128,
     hash32,
     minhash_mix,
