@@ -11,6 +11,7 @@ from evolution_spark.queries.base import ORACLES, QUERIES, query, table
 from evolution_spark.queries import relational  # noqa: E402,F401
 from evolution_spark.queries import relational2  # noqa: E402,F401
 from evolution_spark.queries import relational3  # noqa: E402,F401
+from evolution_spark.queries import relational4  # noqa: E402,F401
 from evolution_spark.queries import events  # noqa: E402,F401
 from evolution_spark.queries import text  # noqa: E402,F401
 from evolution_spark.queries import vectors  # noqa: E402,F401
