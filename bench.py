@@ -64,19 +64,21 @@ def main() -> int:
     # JVM warmup (codegen, parquet footers) outside the timed region
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # One warmup run (absorbs one-time JIT of the generated plan), then the
-    # min of two timed runs: the host carries unrelated background load
-    # (observed loadavg ~10 at idle), so a single sample can be 10x noise —
-    # min-of-2 steady-state is the stable, comparable figure.
-    times: dict[str, float] = {}
+    # One warmup pass (absorbs one-time JIT of the generated plans), then two
+    # timed passes over the WHOLE suite, per-query time = min of the passes.
+    # The host carries unrelated background load (observed loadavg spikes to
+    # ~10+ for minutes at a time), so consecutive samples of one query share
+    # the same spike; samples minutes apart in separate passes don't — the
+    # min across passes is the stable, comparable steady-state figure.
+    samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
     for name in BENCH_QUERIES:
         run_noop(QUERIES[name](spark, sf_dir))
-        samples = []
-        for _ in range(2):
+    for _ in range(2):
+        for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             run_noop(QUERIES[name](spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-        times[name] = round(min(samples), 3)
+            samples[name].append(time.perf_counter() - t0)
+    times: dict[str, float] = {n: round(min(s), 3) for n, s in samples.items()}
 
     # FLF conversion throughput: mock 1M rows -> FLF, then convert -> parquet
     from evolution_spark.converter import Converter

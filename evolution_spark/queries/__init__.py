@@ -18,5 +18,6 @@ from evolution_spark.queries import vectors  # noqa: E402,F401
 from evolution_spark.queries import flf_queries  # noqa: E402,F401
 from evolution_spark.queries import temporal_queries  # noqa: E402,F401
 from evolution_spark.queries import extensions  # noqa: E402,F401
+from evolution_spark.queries import pipeline  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query", "table"]

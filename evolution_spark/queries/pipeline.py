@@ -1,0 +1,230 @@
+"""Training-data pipeline operations over ``documents`` and ``embeddings``:
+deterministic dataset splitting, stratified sampling, entity scrubbing,
+length bucketing, int8 embedding quantization, and random-projection
+dimensionality reduction.
+
+These are the dataset-curation steps of a large-scale LLM data pipeline
+(alongside the dedup family in queries/text.py and similarity search in
+queries/vectors.py). Every operator is deterministic — splits and samples
+assign membership by content hash, not RNG — so each has a bit-exact DuckDB
+oracle, and re-running a 100 TB pipeline reproduces the same datasets.
+
+All expressions are Spark built-ins (no UDFs): hashing via md5-prefix ints
+(functions/text.hash32), vector math via explicit double folds
+(functions/vectors), so everything stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from evolution_spark.functions.text import hash32
+from evolution_spark.functions.vectors import plane_sign_value
+from evolution_spark.queries.base import query, table
+
+_HASH_SQL = "('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT"
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+TRAIN_PCT = 90  # train/test split: hash mod 100 < 90 -> train
+SAMPLE_PER_MILLE = 100  # stratified sample: hash mod 1000 < 100 -> 10%
+DIM = 64
+REDUCED_DIM = 8
+
+
+@query(
+    "train_test_split_hash",
+    oracle=f"""
+    SELECT CASE WHEN {_HASH_SQL} % 100 < {TRAIN_PCT} THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) * 1.0 / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def train_test_split_hash(spark, sf_dir):
+    """Deterministic train/test split by content-id hash (md5 mod 100):
+    membership is a pure function of doc_id, so the split is stable across
+    runs, machines, and engine versions — no RNG, no sampled() nondeterminism.
+    At 100 TB this is a narrow projection (no shuffle) followed by a 2-key
+    aggregation."""
+    d = table(spark, sf_dir, "documents")
+    split = F.when(
+        hash32(F.col("doc_id").cast("string")) % 100 < TRAIN_PCT, "train"
+    ).otherwise("test")
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars") * 1.0 / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@query(
+    "stratified_sample_hash",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_HASH_SQL} % 1000 < {SAMPLE_PER_MILLE}
+    """,
+)
+def stratified_sample_hash(spark, sf_dir):
+    """Deterministic ~10% sample via hash threshold (hash mod 1000 < 100).
+    Unlike ``df.sample()`` this is reproducible and join-stable: the same
+    doc_id is always in or out, so downstream tables sampled with the same
+    key stay referentially consistent. Per-stratum rates just vary the
+    threshold by stratum (the hash is uniform within every lang/source
+    stratum by construction)."""
+    d = table(spark, sf_dir, "documents")
+    return d.where(
+        hash32(F.col("doc_id").cast("string")) % 1000 < SAMPLE_PER_MILLE
+    ).select("doc_id", "lang", "source")
+
+
+_ENT_PAT = r"\b(customer|spark)\b"
+
+
+@query(
+    "entity_scrub_redact",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_ENT_PAT}')) AS n_redacted,
+           length(regexp_replace(text, '{_ENT_PAT}', '[ENT]', 'g')) AS scrubbed_len
+    FROM documents
+    WHERE len(regexp_extract_all(text, '{_ENT_PAT}')) > 0
+    """,
+)
+def entity_scrub_redact(spark, sf_dir):
+    """Pattern scrubbing (the PII-redaction shape): regexp-replace a term
+    lexicon with a placeholder token, reporting per-doc redaction counts.
+    The synthetic corpus has no real PII, so the lexicon here is a
+    two-word stand-in; a production pipeline swaps in email/phone/SSN
+    patterns — the dataflow (scan -> regexp count/replace -> filter) is
+    identical and fully pushed into codegen."""
+    d = table(spark, sf_dir, "documents")
+    n_red = F.size(F.regexp_extract_all("text", F.lit(_ENT_PAT), 0))
+    scrubbed = F.regexp_replace("text", _ENT_PAT, "[ENT]")
+    return (
+        d.select(
+            "doc_id",
+            n_red.alias("n_redacted"),
+            F.length(scrubbed).alias("scrubbed_len"),
+        )
+        .where(F.col("n_redacted") > 0)
+    )
+
+
+@query(
+    "doc_length_histogram",
+    oracle=f"""
+    SELECT LEAST(len(string_split({_NORM_SQL}, ' ')) // 20, 9) AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(len(string_split({_NORM_SQL}, ' '))) AS min_tokens,
+           MAX(len(string_split({_NORM_SQL}, ' '))) AS max_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def doc_length_histogram(spark, sf_dir):
+    """Token-length histogram (capped width-20 buckets) — the
+    length-distribution audit every curation pipeline runs before filtering.
+    One narrow projection, one tiny-key aggregation."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    )
+    bucket = F.least(F.floor(n_tokens / 20), F.lit(9)).cast("bigint")
+    return (
+        d.select(n_tokens.alias("nt"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("nt").alias("min_tokens"),
+            F.max("nt").alias("max_tokens"),
+        )
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+      FROM embeddings
+    )
+    SELECT e.vec_id,
+           ROUND(s.scale, 9) AS scale,
+           CAST(ROUND(e.embedding[1]::DOUBLE / s.scale) AS INT) AS q_first,
+           CAST(ROUND(e.embedding[64]::DOUBLE / s.scale) AS INT) AS q_last,
+           ROUND(list_max(list_transform(embedding,
+                 x -> abs(x::DOUBLE - ROUND(x::DOUBLE / s.scale) * s.scale))), 9) AS max_abs_err
+    FROM embeddings e JOIN scaled s USING (vec_id)
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization of embeddings (per-vector absmax scale,
+    q = round(v/scale) in [-127, 127]) with the max reconstruction error —
+    the storage-compression step before ANN indexing (4x smaller than f32).
+    Pure array expressions per row: no shuffle, no UDF; at 100 TB this is
+    scan-bound."""
+    e = table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(xd(x)))) / 127.0
+    )
+    # The raw scale keeps an internal name: aliasing the ROUNDED value as
+    # "scale" in the same select would capture the q/err expressions via
+    # lateral column alias resolution (they must quantize with full
+    # precision, exactly as the oracle's CTE does).
+    raw = F.col("_scale_raw")
+    q = lambda v: F.round(xd(v) / raw).cast("int")  # noqa: E731
+    err = F.array_max(
+        F.transform(
+            "embedding",
+            lambda x: F.abs(xd(x) - F.round(xd(x) / raw) * raw),
+        )
+    )
+    return (
+        e.withColumn("_scale_raw", scale)
+        .select(
+            "vec_id",
+            F.round("_scale_raw", 9).alias("scale"),
+            q(F.element_at("embedding", 1)).alias("q_first"),
+            q(F.element_at("embedding", DIM)).alias("q_last"),
+            F.round(err, 9).alias("max_abs_err"),
+        )
+    )
+
+
+def _proj_sql(j: int) -> str:
+    # Mirror of the Spark literal sign arrays: same md5-parity constants.
+    terms = "+".join(
+        f"embedding[{i + 1}]::DOUBLE * ({plane_sign_value(j, i)})" for i in range(DIM)
+    )
+    return f"ROUND({terms}, 6)"
+
+
+@query(
+    "random_projection_reduce",
+    oracle=f"""
+    SELECT vec_id, {", ".join(f"{_proj_sql(j)} AS p{j}" for j in range(REDUCED_DIM))}
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def random_projection_reduce(spark, sf_dir):
+    """Random-projection dimensionality reduction 64 -> 8 (Johnson-
+    Lindenstrauss style): each output component is a dot product with a
+    deterministic +/-1 sign vector (md5-parity constants, the same family
+    the LSH bucketing uses — functions/vectors.plane_sign_value). Signs are
+    literal arrays, so each row is 8x64 multiply-adds in codegen; the
+    left-to-right double fold makes the sums bit-identical to the oracle's
+    explicit term chain."""
+    e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    cols = []
+    for j in range(REDUCED_DIM):
+        signs = F.array(*[F.lit(plane_sign_value(j, i)) for i in range(DIM)])
+        proj = F.aggregate(
+            F.zip_with("embedding", signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        cols.append(F.round(proj, 6).alias(f"p{j}"))
+    return e.select("vec_id", *cols)
