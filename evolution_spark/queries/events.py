@@ -229,3 +229,38 @@ def json_props_extract(spark, sf_dir):
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_value"),
     )
+
+
+@query(
+    "attribution_click_purchase",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c
+      JOIN events p
+        ON p.user_id = c.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def attribution_click_purchase(spark, sf_dir):
+    """Click→purchase attribution: batch twin of the stream-stream interval
+    join (streaming/events.click_purchase_join — the SAME function body runs
+    here; withWatermark is a no-op in batch). Each click matches the user's
+    purchases within 30 minutes after it. In batch this is an equi-join on
+    user_id with a range residual — one shuffle of each side; streaming keeps
+    only a watermark-bounded window of both sides in state."""
+    from evolution_spark.streaming.events import click_purchase_join
+
+    e = table(spark, sf_dir, "events")
+    joined = click_purchase_join(e, max_gap="30 minutes", watermark="1 hour")
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.date_format("click_ts", _TS_FMT).alias("click_ts"),
+        F.date_format("purchase_ts", _TS_FMT).alias("purchase_ts"),
+        "purchase_value",
+    )

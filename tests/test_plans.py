@@ -111,3 +111,53 @@ def test_minhash_band_join_carries_only_ids(spark, sf_dir):
     exch_cols = [l for l in lines if "Arguments: hashpartitioning" in l]
     assert exch_cols, "expected at least one exchange"
     assert all("shingle" not in l and " text#" not in l for l in exch_cols)
+
+
+@pytest.mark.parametrize("name", ["q2_min_cost_supplier", "q8_market_share",
+                                  "q9_product_type_profit", "q20_part_promotion"])
+def test_batch4_dimension_joins_broadcast(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+    assert "CartesianProduct" not in plan, f"{name}: unexpected cartesian product"
+
+
+def test_q8_single_shuffle(spark, sf_dir):
+    """Q8's only exchange should be the final year aggregation — every
+    dimension join must broadcast (at real scale orders/lineitem join may
+    shuffle; the invariant at test SF is no unnecessary exchange)."""
+    plan = plan_of(spark, sf_dir, "q8_market_share")
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q11_scalar_total_is_broadcast(spark, sf_dir):
+    """The global-total scalar must reach the per-part rows via a broadcast
+    (nested-loop of a 1-row side), never a shuffle of the big side."""
+    plan = plan_of(spark, sf_dir, "q11_important_parts")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q17_window_not_rejoin(spark, sf_dir):
+    """The correlated AVG is a window over l_partkey: exactly one exchange
+    for the window, no self-join of lineitem."""
+    plan = plan_of(spark, sf_dir, "q17_small_quantity_revenue")
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert plan.count("Scan parquet") <= 2  # lineitem once + part once
+
+
+@pytest.mark.parametrize("name", ["train_test_split_hash", "stratified_sample_hash",
+                                  "entity_scrub_redact", "doc_length_histogram",
+                                  "embedding_quantize_int8", "random_projection_reduce"])
+def test_pipeline_ops_stay_jvm_side(spark, sf_dir, name):
+    """Curation operators are pure column expressions: no Python eval, and
+    the narrow ones (split/sample/scrub/quantize/projection) have no shuffle."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    if name != "train_test_split_hash" and name != "doc_length_histogram":
+        assert "Exchange" not in plan, f"{name}: unexpected shuffle in narrow op"
+
+
+def test_stratified_sample_pushes_id_scan_only(spark, sf_dir):
+    """The hash-threshold sample must not read the text column at all."""
+    plan = formatted(spark, sf_dir, "stratified_sample_hash")
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema

@@ -219,3 +219,26 @@ def test_stream_static_join(spark, stream_env, tmp_path):
         assert out == {1: "gold", 2: None}
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, stream_env):
+    from evolution_spark.streaming.events import click_purchase_join
+
+    src, ckpt, add_batch = stream_env
+    # user 1: click at 0 -> purchase at 10 (match) and 50 (outside 30min gap)
+    # user 2: purchase at 5 with no click -> no match
+    add_batch([(1, 0, 1, "click", 0.0), (2, 10, 1, "purchase", 9.99)])
+    name = f"j_{uuid.uuid4().hex[:8]}"
+    q = _run_to_memory(
+        click_purchase_join(read_event_stream(spark, src), "30 minutes", "1 hour"),
+        name, ckpt, "append",
+    )
+    try:
+        q.processAllAvailable()
+        add_batch([(3, 50, 1, "purchase", 5.0), (4, 5, 2, "purchase", 1.0)])
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+        pairs = sorted((r.click_id, r.purchase_id, r.purchase_value) for r in rows)
+        assert pairs == [(1, 2, 9.99)]
+    finally:
+        q.stop()
