@@ -228,3 +228,46 @@ def random_projection_reduce(spark, sf_dir):
         )
         cols.append(F.round(proj, 6).alias(f"p{j}"))
     return e.select("vec_id", *cols)
+
+
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+_STEP = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+@query(
+    "chunk_documents_overlap",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ), ex AS (
+      SELECT doc_id, w, unnest(range(((len(w) - 1) // {_STEP}) + 1)) AS chunk_idx
+      FROM tok
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           len(w[chunk_idx * {_STEP} + 1 : chunk_idx * {_STEP} + {CHUNK_TOKENS}]) AS n_tokens,
+           md5(array_to_string(w[chunk_idx * {_STEP} + 1 : chunk_idx * {_STEP} + {CHUNK_TOKENS}], ' ')) AS chunk_hash
+    FROM ex
+    """,
+)
+def chunk_documents_overlap(spark, sf_dir):
+    """Token-window chunking with overlap (32-token windows, 8-token
+    overlap) — the chunking step of a RAG / pretraining-data pipeline. Pure
+    array expressions: split once, explode a start-index sequence, slice per
+    chunk; one Generate (explode), no shuffle, no UDF. Emits a content hash
+    per chunk (chunk texts stay out of the result for compact comparison).
+    At 100 TB this is scan-bound and embarrassingly parallel."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    tok = d.select("doc_id", w.alias("w"))
+    ex = tok.select(
+        "doc_id", "w",
+        F.explode(F.sequence(F.lit(0), F.floor((F.size("w") - 1) / _STEP).cast("int"))).alias("chunk_idx"),
+    )
+    chunk = F.slice("w", F.col("chunk_idx") * _STEP + 1, CHUNK_TOKENS)
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )

@@ -141,3 +141,48 @@ def test_write_rollup_partitioned(spark, tmp_path):
     # partition pruning: reading one granularity scans only its partition
     day = spark.read.parquet(path).where(F.col("granularity") == "day")
     assert day.count() == 1
+
+
+def test_udtf_chunker_agrees_with_jvm_path(spark):
+    """The Python UDTF chunker and the JVM-side array-expression chunker
+    must enumerate identical chunks (same starts, same tails)."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+         (2, "one two three"),
+         (3, " ".join(f"w{i}" for i in range(80)))],
+        "doc_id: long, text: string",
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.n_tokens, md5(c.chunk_text) AS h "
+        "FROM udtf_docs d, LATERAL chunk_text(text, 32, 8) c"
+    ).collect()
+    step = 24
+    w = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    ex = docs.select("doc_id", w.alias("w")).select(
+        "doc_id", "w",
+        F.explode(F.sequence(F.lit(0), F.floor((F.size("w") - 1) / step).cast("int"))).alias("chunk_idx"),
+    )
+    chunk = F.slice("w", F.col("chunk_idx") * step + 1, 32)
+    via_jvm = ex.select(
+        "doc_id", "chunk_idx", F.size(chunk).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("h"),
+    ).collect()
+    key = lambda r: (r.doc_id, r.chunk_idx, r.n_tokens, r.h)  # noqa: E731
+    assert sorted(map(key, via_udtf)) == sorted(map(key, via_jvm))
+
+
+def test_udtf_kv_parser(spark):
+    from evolution_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    out = spark.sql(
+        "SELECT p.key, p.value FROM VALUES ('a=1;b=2;c = 3') t(s), "
+        "LATERAL parse_kv_pairs(s) p"
+    ).collect()
+    assert sorted((r.key, r.value) for r in out) == [("a", "1"), ("b", "2"), ("c", "3")]
