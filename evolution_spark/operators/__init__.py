@@ -8,8 +8,22 @@ from evolution_spark.operators.dedup import (
     simhash_near_dups,
 )
 from evolution_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from evolution_spark.operators.curation import (
+    chunk_tokens,
+    dequantize_embeddings,
+    quantize_embeddings_int8,
+    sample_deterministic,
+    scrub_patterns,
+    split_assign,
+)
 
 __all__ = [
+    "chunk_tokens",
+    "dequantize_embeddings",
+    "quantize_embeddings_int8",
+    "sample_deterministic",
+    "scrub_patterns",
+    "split_assign",
     "dedup_exact",
     "minhash_lsh_candidates",
     "minhash_lsh_dedup",

@@ -158,3 +158,93 @@ def test_multimodal_pipeline(spark):
     stats = {r.kind: r for r in media_stats(df).collect()}
     assert stats["image"].n_rows == 3 and stats["image"].n_with_payload == 2
     assert stats["video"].total_bytes == len(b"\x00\x00ftyp fake mp4")
+
+
+# ---------------------------------------------------------------------------
+# Curation operators
+# ---------------------------------------------------------------------------
+
+
+def test_split_assign_partitions_and_determinism(spark):
+    from evolution_spark.operators import split_assign
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = split_assign(df, "doc_id", {"train": 90, "val": 5, "test": 5})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1600  # ~90% of 2000
+    # exhaustive + disjoint: every row gets exactly one split
+    assert sum(counts.values()) == 2000
+    # deterministic: re-running yields identical assignment
+    again = split_assign(df, "doc_id", {"train": 90, "val": 5, "test": 5})
+    assert out.exceptAll(again).count() == 0
+    with pytest.raises(ValueError):
+        split_assign(df, "doc_id", {"train": 80, "test": 10})
+
+
+def test_sample_deterministic_stable_and_join_consistent(spark):
+    from evolution_spark.operators import sample_deterministic
+
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    s1 = sample_deterministic(df, "k", 0.2)
+    n = s1.count()
+    assert 800 < n < 1200  # ~20% of 5000
+    # join-stability: sampling a second table by the same key keeps rows aligned
+    df2 = df.withColumn("payload", F.col("k") * 2)
+    s2 = sample_deterministic(df2, "k", 0.2)
+    assert s1.join(s2, "k").count() == n
+
+
+def test_scrub_patterns_counts_and_replaces(spark):
+    from evolution_spark.operators import scrub_patterns
+
+    df = spark.createDataFrame(
+        [(1, "contact a@b.com or c@d.org now"), (2, "no addresses here")],
+        "id: long, text: string",
+    )
+    out = scrub_patterns(
+        df, "text", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert by_id[1].n_redacted == 2 and by_id[1].text == "contact [EMAIL] or [EMAIL] now"
+    assert by_id[2].n_redacted == 0 and by_id[2].text == "no addresses here"
+
+
+def test_chunk_tokens_windows_and_tail(spark):
+    from evolution_spark.operators import chunk_tokens
+
+    text = " ".join(f"t{i}" for i in range(50))
+    df = spark.createDataFrame([(7, text)], "doc_id: long, text: string")
+    rows = sorted(
+        chunk_tokens(df, "text", ["doc_id"], chunk_tokens=32, overlap=8).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # starts 0, 24, 48: t0..t31 (32), t24..t49 (26), tail t48..t49 (2)
+    assert [(r.chunk_idx, r.n_tokens) for r in rows] == [(0, 32), (1, 26), (2, 2)]
+    assert rows[0].chunk_text.startswith("t0 ") and rows[1].chunk_text.startswith("t24 ")
+    # overlap region appears in both chunks
+    assert " t24 " in " " + rows[0].chunk_text + " "
+
+
+def test_quantize_dequantize_roundtrip(spark):
+    from evolution_spark.operators import (
+        dequantize_embeddings,
+        quantize_embeddings_int8,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    q = quantize_embeddings_int8(e)
+    deq = dequantize_embeddings(q.drop("embedding"), out_col="rec")
+    joined = q.select("vec_id", "embedding").join(deq.select("vec_id", "rec", "scale"), "vec_id")
+    err = joined.select(
+        F.array_max(
+            F.zip_with("embedding", "rec", lambda a, b: F.abs(a.cast("double") - b.cast("double")))
+        ).alias("e"),
+        "scale",
+    ).collect()
+    # reconstruction error bounded by scale/2 (+ float32 storage rounding)
+    assert all(r.e <= r.scale / 2 + 1e-6 for r in err)
+    # quantized components fit int8 range
+    qmax = q.select(F.array_max(F.transform("q_embedding", F.abs)).alias("m")).agg(F.max("m")).collect()[0][0]
+    assert qmax <= 127
