@@ -441,3 +441,37 @@ def q21_waiting_suppliers(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS quantity_c,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS discount_c
+      FROM lineitem WHERE l_orderkey < 1000
+    ) UNPIVOT (val FOR metric IN (quantity_c, price_c, discount_c))
+    """,
+)
+def unpivot_melt(spark, sf_dir):
+    """Wide→long unpivot (``DataFrame.unpivot``, the inverse of pivot):
+    three measure columns melt into (metric, val) rows. Narrow Expand node —
+    output is 3× the rows but no shuffle; cents-quantized so values are
+    integers in both engines."""
+    l = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    wide = l.select(
+        "l_orderkey",
+        "l_linenumber",
+        _cents(F.col("l_quantity")).alias("quantity_c"),
+        _cents(F.col("l_extendedprice")).alias("price_c"),
+        _cents(F.col("l_discount")).alias("discount_c"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity_c", "price_c", "discount_c"],
+        "metric",
+        "val",
+    )
