@@ -1,3 +1,4 @@
+from evolution_spark.io.bucketed import read_table, write_bucketed
 from evolution_spark.io.flf import (
     encode_flf,
     parse_flf,
@@ -6,4 +7,12 @@ from evolution_spark.io.flf import (
 )
 from evolution_spark.io.ipc import write_ipc
 
-__all__ = ["read_flf", "parse_flf", "encode_flf", "write_flf", "write_ipc"]
+__all__ = [
+    "read_flf",
+    "parse_flf",
+    "encode_flf",
+    "write_flf",
+    "write_ipc",
+    "write_bucketed",
+    "read_table",
+]

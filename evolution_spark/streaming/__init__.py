@@ -1,9 +1,11 @@
+from evolution_spark.streaming.sinks import idempotent_parquet_sink
 from evolution_spark.streaming.flf_stream import (
     convert_flf_stream,
     enrich_events_with_dims,
     read_flf_stream,
 )
 from evolution_spark.streaming.events import (
+    click_purchase_join,
     dedup_events,
     read_event_stream,
     running_user_totals,
@@ -22,4 +24,6 @@ __all__ = [
     "session_agg",
     "dedup_events",
     "running_user_totals",
+    "click_purchase_join",
+    "idempotent_parquet_sink",
 ]

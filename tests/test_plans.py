@@ -161,3 +161,41 @@ def test_stratified_sample_pushes_id_scan_only(spark, sf_dir):
     plan = formatted(spark, sf_dir, "stratified_sample_hash")
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" not in read_schema
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Tables bucketed+sorted on the join key must join with NO Exchange and
+    NO Sort on either side — the write-time shuffle is reused forever."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.bucketed import read_table, write_bucketed
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed(o, "orders_b", str(tmp_path / "orders_b"), "o_orderkey", 8)
+    write_bucketed(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", str(tmp_path / "lineitem_b"), "o_orderkey", 8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            read_table(spark, "orders_b")
+            .join(read_table(spark, "lineitem_b"), "o_orderkey")
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        join_part = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange hashpartitioning" not in join_part, "bucketed join shuffled"
+        # row-count sanity: same result as the plain (shuffling) join
+        expected = o.join(
+            l.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        ).count()
+        assert joined.agg(F.sum("n")).collect()[0][0] == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
