@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
                            " >=1e7) or plain shortest decimal (Rust Display"
                            " parity; required for byte-identical roundtrips)")
     conv.add_argument("-R", "--max-partition-bytes", type=int, default=None)
+    conv.add_argument("-p", "--partition-by", default=None,
+                      help="comma-separated columns for hive-style output partitioning")
     conv.add_argument("-C", "--thread-channel-capacity", type=int, default=None,
                       help="accepted for reference CLI parity; no-op on Spark")
     conv.add_argument("-N", "--cpus", type=int, default=None)
@@ -75,6 +77,7 @@ def main(argv: list[str] | None = None) -> int:
                 save_mode=args.save_mode,
                 single_file=args.single_file,
                 max_partition_bytes=args.max_partition_bytes,
+                partition_by=args.partition_by.split(",") if args.partition_by else None,
                 float_format=args.float_format,
             ).run(spark)
         else:

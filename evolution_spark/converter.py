@@ -63,6 +63,11 @@ class Converter:
     save_mode: str = "error"  # Spark SaveMode for the sink
     single_file: bool = False
     max_partition_bytes: int | None = None
+    # Hive-style output partitioning (parquet/delta/iceberg targets): at
+    # warehouse scale a date/tenant-partitioned layout is what makes
+    # partition PRUNING possible — queries filtering on these columns skip
+    # whole directories. Mutually exclusive with single_file.
+    partition_by: list[str] | None = None
     writer_options: dict[str, str] = field(default_factory=dict)
     # FLF sink float rendering: 'native' (Spark shortest, scientific >=1e7)
     # or 'plain' (Rust-Display parity; pandas-UDF path)
@@ -140,9 +145,13 @@ class Converter:
             )
             return
         if self.single_file:
+            if self.partition_by:
+                raise ValueError("single_file and partition_by are mutually exclusive")
             df = df.coalesce(1)
         if target is Target.PARQUET:
             writer = df.write.mode(self.save_mode)
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
             for k, v in self.writer_options.items():
                 writer = writer.option(k, v)
             writer.parquet(self.output_path)
@@ -153,6 +162,8 @@ class Converter:
         # delta / iceberg need their connector on the classpath; fail with a
         # clear message when absent (this container ships neither).
         writer = df.write.format(target.value).mode(self.save_mode)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
         for k, v in self.writer_options.items():
             writer = writer.option(k, v)
         try:

@@ -130,3 +130,33 @@ def test_abort_mode_propagates_to_converter(spark, tmp_path):
     conv2 = Converter(str(bad), SCHEMA, str(tmp_path / "o2.parquet"), mode="permissive")
     conv2.run(spark)
     assert spark.read.parquet(str(tmp_path / "o2.parquet")).collect()[0].cool is None
+
+
+def test_partitioned_output_and_pruning(spark, tmp_path):
+    """partition_by writes a hive layout; a filter on the partition column
+    prunes at planning time (PartitionFilters, not a data filter)."""
+    from evolution_spark.converter import Converter
+    from evolution_spark.mocker import Mocker
+    from evolution_spark.schema import FixedSchema
+
+    sch = FixedSchema.from_dict(
+        {"name": "P", "version": 1, "columns": [
+            {"name": "id", "offset": 0, "length": 10, "dtype": "Int64", "is_nullable": False},
+            {"name": "flag", "offset": 10, "length": 6, "dtype": "Boolean", "is_nullable": False}]}
+    )
+    flf = str(tmp_path / "p.flf")
+    out = str(tmp_path / "p.parquet")
+    Mocker(sch, 1000, flf, seed=3).run(spark)
+    Converter(flf, sch, out, partition_by=["flag"]).run(spark)
+    import os
+    subdirs = sorted(d for d in os.listdir(out) if d.startswith("flag="))
+    assert subdirs == ["flag=false", "flag=true"]
+    from pyspark.sql import functions as F
+
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    pruned = back.where(F.col("flag") == True)  # noqa: E712
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(flag" in plan
+    with pytest.raises(ValueError):
+        Converter(flf, sch, out, partition_by=["flag"], single_file=True).run(spark)
