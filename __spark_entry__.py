@@ -2,10 +2,13 @@
 
 ``entry(spark)`` runs the flagship query (TPC-H Q1-shape pricing summary) on
 sf0.001. ``queries()``/``oracle_sql()`` expose the engine's full declared
-query surface (SURVEY.md §2.3): relational operators, date/window analytics,
-text analysis + dedup (exact, MinHash-LSH, n-gram Jaccard, SimHash),
-embedding similarity (brute-force + LSH ANN), and the FLF converter itself
-surfaced as identity-oracle queries.
+query surface (SURVEY.md §2.3): all 22 TPC-H shapes, date/window analytics,
+temporal joins (as-of/range), text analysis + dedup (exact, MinHash-LSH,
+n-gram Jaccard, SimHash), embedding similarity (brute-force + LSH ANN + IVF)
+and compression (int8, random projection), dataset curation (splits,
+sampling, scrubbing, chunking), streaming batch twins (windows, sessions,
+stream-join attribution), and the FLF converter itself surfaced as
+identity-oracle queries.
 """
 
 from __future__ import annotations
