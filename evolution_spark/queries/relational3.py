@@ -294,3 +294,90 @@ def stats_variance_exact(spark, sf_dir):
         ((n * ss - s * s) / (n * (n - 1.0)) / 10000.0).alias("var_price"),
         (F.sqrt((n * ss - s * s) / (n * (n - 1.0))) / 100.0).alias("stddev_price"),
     )
+
+
+@query(
+    "date_series_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+             MAX(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ),
+    cal AS (
+      SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    )
+    SELECT strftime(cal.day, '%Y-%m-%d') AS day,
+           COALESCE(daily.n_orders, 0) AS n_orders,
+           COALESCE(daily.revenue, 0.0) AS revenue
+    FROM cal LEFT JOIN daily USING (day)
+    """,
+)
+def date_series_gap_fill(spark, sf_dir):
+    """Time-series gap filling: generate a contiguous daily calendar with
+    ``sequence(min, max)`` + ``explode`` (DuckDB: ``generate_series``) and
+    left-join per-day order aggregates, zero-filling missing days. The
+    reference has no date types at all (SURVEY §1.2); this is the canonical
+    densification step before any window/forecast pass.
+
+    Scale: the calendar derives from a single-row global min/max aggregate
+    (one map-side-combined pass), and both join sides are one-row-per-day —
+    tiny regardless of input scale, so the join broadcasts and the only
+    full-data work is the pre-aggregation."""
+    o = table(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate")
+    daily = o.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    bounds = o.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    return cal.join(F.broadcast(daily), "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_orders", F.lit(0).cast("bigint")).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT l_orderkey AS orderkey,
+           l_returnflag AS flag,
+           COUNT(*) * 10 AS cnt10
+    FROM lineitem
+    GROUP BY 1, 2
+    HAVING COUNT(*) * 10 >= 20
+    """,
+)
+def map_functions(spark, sf_dir):
+    """Map-typed column surface: build a per-order ``flag -> count`` map with
+    ``map_from_entries``, rescale values with ``transform_values``, prune
+    entries with ``map_filter``, and ``explode`` back to rows (the
+    engine-neutral comparison form). The oracle is the equivalent relational
+    formulation — the values prove the map path end-to-end.
+
+    Scale: one shuffle on (orderkey, flag) with map-side combine, then a
+    shuffle-free per-order map build; map cardinality is bounded by the
+    flag domain (3), so state per key is O(1)."""
+    l = table(spark, sf_dir, "lineitem")
+    per = l.groupBy("l_orderkey", "l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
+    maps = per.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_returnflag", "cnt")))
+        ).alias("m")
+    )
+    pruned = maps.select(
+        "orderkey",
+        F.map_filter(
+            F.transform_values("m", lambda _, v: v * 10), lambda _, v: v >= 20
+        ).alias("m"),
+    )
+    return pruned.select("orderkey", F.explode("m").alias("flag", "cnt10"))
