@@ -128,3 +128,24 @@ def embedding_near_dup_planted(spark, sf_dir):
         .where(cosine(F.col("va"), F.col("vb")) >= 0.9999)
         .select("id_a", "id_b")
     )
+
+
+@query("hll_sketch_mergeable")  # no oracle: DataSketches estimate by design
+def hll_sketch_mergeable(spark, sf_dir):
+    """Mergeable distinct-count sketches: per-day HLL sketches of ``user_id``
+    (``hll_sketch_agg``), merged with ``hll_union_agg`` into one global
+    estimate. Unlike a plain approx_count_distinct, the per-day sketch
+    column can be PERSISTED and re-merged over any date range without
+    rescanning raw events — the 100 TB pattern for distinct-count rollups
+    (one scan ever; merges are O(sketch) not O(data)). Driver records the
+    rows-only check (estimates are engine-specific by design)."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_est"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("n_events"),
+    )
