@@ -217,11 +217,23 @@ def percentile_exact(spark, sf_dir):
     values — verified bit-exact. (The sketch-based one-pass path for 100 TB
     is ``approx_percentile_prices``.)"""
     l = table(spark, sf_dir, "lineitem")
-    return l.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
-        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
-        F.median("l_quantity").alias("median_qty"),
+    # One percentile buffer for all three quantiles (array form) instead of
+    # three independent full-copy accumulations of the same column.
+    return (
+        l.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95))
+            ).alias("ps"),
+            F.median("l_quantity").alias("median_qty"),
+        )
+        .select(
+            "returnflag",
+            F.col("ps")[0].alias("p25"),
+            F.col("ps")[1].alias("p50"),
+            F.col("ps")[2].alias("p95"),
+            "median_qty",
+        )
     )
 
 
