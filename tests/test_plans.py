@@ -199,3 +199,19 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_gap_fill_calendar_join_is_broadcast(spark, sf_dir):
+    # both sides collapse to one-row-per-day before the join; the daily
+    # aggregate side is explicitly broadcast, so no shuffle join at any scale
+    plan = plan_of(spark, sf_dir, "date_series_gap_fill")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_map_functions_single_wide_shuffle(spark, sf_dir):
+    # the (orderkey, flag) pre-agg must be partial (map-side combine) and the
+    # per-order map build is an objectagg over already-shuffled rows
+    plan = plan_of(spark, sf_dir, "map_functions")
+    assert "Exchange" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
