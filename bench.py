@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "attribution_click_purchase",
     "chunk_documents_overlap",
     "embedding_quantize_int8",
+    # batch-5 (added same round; new lines, no prior baseline to compare)
+    "date_series_gap_fill",
+    "map_functions",
+    "hll_sketch_mergeable",
 ]
 
 
