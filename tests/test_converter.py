@@ -160,3 +160,35 @@ def test_partitioned_output_and_pruning(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(flag" in plan
     with pytest.raises(ValueError):
         Converter(flf, sch, out, partition_by=["flag"], single_file=True).run(spark)
+
+
+def test_range_clustered_layout(spark, tmp_path):
+    """write_range_clustered must yield disjoint per-file key ranges (proven
+    from the parquet footers) and sorted rows within each file — the
+    data-skipping contract."""
+    import glob
+
+    from evolution_spark.io import write_range_clustered
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = str(tmp_path / "clustered")
+    write_range_clustered(df, out, "l_shipdate", n_files=4)
+
+    ranges = []
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        idx = [meta.schema.column(i).name for i in range(meta.num_columns)].index(
+            "l_shipdate"
+        )
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+        # sorted within file => row-group ranges are themselves ordered
+        assert maxs == sorted(maxs) and mins == sorted(mins)
+    assert len(ranges) >= 2  # sampling produced a real multi-file clustering
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # disjoint: file N's max <= file N+1's min
