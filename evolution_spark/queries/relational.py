@@ -224,16 +224,24 @@ def q10_returned_items(spark, sf_dir):
 )
 def q18_large_orders(spark, sf_dir):
     """Large-volume orders (TPC-H Q18 shape): group on the join key
-    (orderkey), HAVING as post-agg filter."""
+    (orderkey), HAVING as post-agg filter.
+
+    Scale shape: lineitem is aggregated to one row per orderkey and
+    HAVING-filtered BEFORE the join (grouping by (orderkey, name, price) is
+    equivalent because name/price are functionally dependent on orderkey) —
+    the join input shrinks from every lineitem row to the few qualifying
+    orders, and the shuffle carries (orderkey, sum) pairs, never lineitem."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     l = table(spark, sf_dir, "lineitem")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("o_orderkey", "c_name", "o_totalprice")
+    lq = (
+        l.groupBy("l_orderkey")
         .agg(F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("sum_qty"))
         .where(F.col("sum_qty") > 120)
+    )
+    return (
+        lq.join(o, lq.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select(
             F.col("o_orderkey").alias("orderkey"),
             F.col("c_name").alias("name"),
