@@ -264,3 +264,36 @@ def attribution_click_purchase(spark, sf_dir):
         F.date_format("purchase_ts", _TS_FMT).alias("purchase_ts"),
         "purchase_value",
     )
+
+
+@query(
+    "changelog_compaction",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, printf('%020d|%012d', epoch_us(ts), event_id)) AS last_type,
+           arg_max(value, printf('%020d|%012d', epoch_us(ts), event_id)) AS last_value,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(event_type = 'purchase') AS any_purchase,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def changelog_compaction(spark, sf_dir):
+    """Latest-state extraction (changelog compaction): one ``max_by`` pass
+    per key instead of the window row_number + filter formulation — single
+    shuffle with map-side combine, no per-partition sort, O(1) state per
+    key. The ordering key is a zero-padded (epoch_us, event_id) string so
+    ties are impossible and both engines pick the same row. bool_and /
+    bool_or cover the predicate-aggregate surface.
+
+    At 100 TB this is the CDC-merge primitive: compacting an append-only
+    event log to current state without sorting the log."""
+    e = table(spark, sf_dir, "events")
+    key = F.format_string("%020d|%012d", F.unix_micros("ts"), F.col("event_id"))
+    return e.groupBy("user_id").agg(
+        F.max_by("event_type", key).alias("last_type"),
+        F.max_by("value", key).alias("last_value"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("event_type") == "purchase").alias("any_purchase"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
