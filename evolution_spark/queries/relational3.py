@@ -393,3 +393,61 @@ def map_functions(spark, sf_dir):
         ).alias("m"),
     )
     return pruned.select("orderkey", F.explode("m").alias("flag", "cnt10"))
+
+
+@query(
+    "stats_corr_exact",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag AS returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                      * CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT returnflag, n,
+           (n * sxy - sx * sy) / (n * (n - 1.0)) / 100.0 AS covar_qty_price,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+    FROM sums
+    """,
+)
+def stats_corr_exact(spark, sf_dir):
+    """Sample covariance + Pearson correlation with EXACT integer
+    accumulation (the ``stats_variance_exact`` pattern extended to the
+    cross-moment): all five sums are order-independent integers, then one
+    identical double-precision formula per group — native covar_samp/corr
+    would diverge across engines in the last ulps (merge-formula and
+    order dependent)."""
+    l = table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    sums = (
+        l.select(F.col("l_returnflag").alias("returnflag"), x.alias("x"), y.alias("y"))
+        .groupBy("returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+            F.sum((F.col("y").cast("decimal(38,0)") * F.col("y"))).cast("double").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return sums.select(
+        "returnflag",
+        "n",
+        ((n * sxy - sx * sy) / (n * (n - 1.0)) / 100.0).alias("covar_qty_price"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+    )
