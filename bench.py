@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "date_series_gap_fill",
     "map_functions",
     "hll_sketch_mergeable",
+    "changelog_compaction",
+    "stats_corr_exact",
 ]
 
 
