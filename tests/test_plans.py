@@ -215,3 +215,16 @@ def test_map_functions_single_wide_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "map_functions")
     assert "Exchange" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q18_preaggregates_before_join(spark, sf_dir):
+    # the lineitem sum+HAVING must run BEFORE the orders join so the join
+    # input is qualifying orders, not raw lineitem (see q18 docstring).
+    # In executedPlan.toString the root prints first and children after, so
+    # the aggregate feeding the join must appear AFTER the join line; and
+    # the HAVING filter on the aggregated sum must exist at all.
+    plan = plan_of(spark, sf_dir, "q18_large_orders")
+    join_pos = plan.index("Join")
+    assert plan.count("HashAggregate") >= 2  # partial + final on lineitem
+    assert plan.index("HashAggregate") > join_pos
+    assert "sum_qty" in plan and "> 120" in plan
