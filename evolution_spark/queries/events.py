@@ -158,8 +158,8 @@ def sliding_window_30min(spark, sf_dir):
       FROM events
     ), sessions AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM marked
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -39,7 +39,7 @@ from evolution_spark.queries.base import query, table
              CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_p
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00')
     SELECT l_returnflag, l_linestatus,
-           SUM(qty)                                          AS sum_qty,
+           CAST(SUM(qty) AS BIGINT)                          AS sum_qty,
            SUM(price_c) / 100.0                              AS sum_base_price,
            SUM(price_c * (100 - disc_p)) / 10000.0           AS sum_disc_price,
            SUM(price_c * (100 - disc_p) * (100 + tax_p)) / 1000000.0 AS sum_charge,
@@ -212,7 +212,7 @@ def q10_returned_items(spark, sf_dir):
     oracle="""
     SELECT o.o_orderkey AS orderkey, c.c_name AS name,
            o.o_totalprice AS totalprice,
-           SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS sum_qty
+           CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
     FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -441,7 +441,7 @@ def join_cross(spark, sf_dir):
     "agg_global_stats",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
            SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) * 1.0 / COUNT(*) / 100.0 AS avg_price,
            MIN(l_extendedprice) AS min_price,
            MAX(l_extendedprice) AS max_price,
@@ -556,7 +556,7 @@ def agg_cube(spark, sf_dir):
     "agg_grouping_sets",
     oracle="""
     SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
-           SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -902,8 +902,8 @@ def conditional_functions(spark, sf_dir):
     oracle="""
     SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
            ROUND(ABS(l_extendedprice - 30000), 2) AS abs_diff,
-           FLOOR(l_quantity) AS qty_floor,
-           CEIL(l_discount * 100) AS disc_pct_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
            ROUND(SQRT(l_extendedprice), 4) AS price_sqrt,
            ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
            ROUND(POW(l_quantity, 2), 2) AS qty_sq,

@@ -272,9 +272,9 @@ def q22_idle_customers(spark, sf_dir):
     )
     SELECT o_custkey AS custkey,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN o_orderstatus IS NOT DISTINCT FROM prev_status
-                    THEN 1 ELSE 0 END) AS n_same_as_prev,
-           SUM(CASE WHEN prev_status IS NULL THEN 1 ELSE 0 END) AS n_first
+           CAST(SUM(CASE WHEN o_orderstatus IS NOT DISTINCT FROM prev_status
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_same_as_prev,
+           CAST(SUM(CASE WHEN prev_status IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_first
     FROM lagged GROUP BY o_custkey
     """,
 )
@@ -302,9 +302,9 @@ def null_safe_comparison(spark, sf_dir):
     "pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority AS priority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -386,21 +386,27 @@ def window_first_last_nth(spark, sf_dir):
     "array_functions",
     oracle="""
     SELECT l_orderkey AS orderkey,
-           list_sort(list(l_linenumber)) AS linenumbers,
-           len(list(l_linenumber)) AS n_lines,
-           list_sort(list(DISTINCT l_returnflag)) AS flags,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers,
+           CAST(len(list(l_linenumber)) AS BIGINT) AS n_lines,
+           array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags,
            list_contains(list(l_returnflag), 'R') AS has_return
     FROM lineitem GROUP BY l_orderkey
     """,
 )
 def array_functions(spark, sf_dir):
     """Array aggregation + manipulation: collect_list (sorted for
-    determinism), collect_set, size, array_contains."""
+    determinism), collect_set, size, array_contains.
+
+    Arrays are emitted as comma-joined strings: the driver canonicalizes
+    results through a pandas lexsort, which cannot hash Python-list cells
+    (r01 `array_functions` crash) — a deterministic string is both hashable
+    and engine-comparable."""
     l = table(spark, sf_dir, "lineitem")
     return l.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
-        F.array_sort(F.collect_list("l_linenumber")).alias("linenumbers"),
-        F.size(F.collect_list("l_linenumber")).alias("n_lines"),
-        F.array_sort(F.collect_set("l_returnflag")).alias("flags"),
+        F.array_join(F.array_sort(F.collect_list("l_linenumber")).cast("array<string>"), ",")
+        .alias("linenumbers"),
+        F.size(F.collect_list("l_linenumber")).cast("bigint").alias("n_lines"),
+        F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias("flags"),
         F.array_contains(F.collect_list("l_returnflag"), "R").alias("has_return"),
     )
 
