@@ -32,9 +32,51 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+def _coverage_priority() -> list[str]:
+    """Order queries so driver correctness coverage rotates across rounds.
+
+    The driver records CORRECTNESS rows for a prefix of ``queries()`` (r01:
+    exactly the first 50 of 113), so a static order leaves the tail forever
+    unverified. Sort by (never-checked first, then checked-but-failed, then
+    green — oldest check first) using the CORRECTNESS_r*.json files committed
+    in the repo root; ties keep registration order. Every registered query
+    therefore gets a driver row within ceil(n_queries / cap) rounds, and
+    fixed failures re-enter the checked window immediately.
+    """
+    import json
+
+    last_round: dict[str, int] = {}
+    last_green: dict[str, bool] = {}
+    for path in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(path.stem.split("_r")[1])
+            data = json.loads(path.read_text())
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name, row in data.items():
+            last_round[name] = rnd
+            checks = (row.get("rows_match"), row.get("schema_match"), row.get("hash_match"))
+            last_green[name] = all(c is not False for c in checks) and row.get("err") in (
+                None,
+                "no_oracle",
+            )
+
+    reg_order = {n: i for i, n in enumerate(QUERIES)}
+
+    def key(name: str):
+        if name in last_round and not last_green[name]:
+            return (0, 0, reg_order[name])          # failed last check: re-verify now
+        if name not in last_round:
+            return (1, 0, reg_order[name])          # never driver-checked
+        return (2, last_round[name], reg_order[name])  # green: stalest first
+
+    return sorted(QUERIES, key=key)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so the
+    driver's correctness prefix covers never-checked / failed queries first."""
+    return {n: QUERIES[n] for n in _coverage_priority()}
 
 
 def oracle_sql() -> dict[str, str]:
