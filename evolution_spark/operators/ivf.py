@@ -25,32 +25,54 @@ from evolution_spark.functions.vectors import cosine, euclidean
 def sample_centroids(corpus: DataFrame, id_col: str, vec_col: str, n_cells: int) -> DataFrame:
     """Deterministic centroid sample: the n_cells rows with the smallest
     md5-hash of their id — stable across runs/engines (a k-means refinement
-    can replace this without changing the search)."""
+    can replace this without changing the search).
+
+    Scale shape: ``orderBy().limit()`` compiles to TakeOrderedAndProject
+    (distributed per-partition top-k, then a single merge of n_cells-row
+    heaps) — NOT a global window, which would funnel the whole corpus
+    through one task (the r01 design flaw). Ranks become cell ids by
+    packing the tiny result into one sorted array and posexploding."""
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint")
-    w = Window.orderBy(h, F.col(id_col))
-    return (
-        corpus.select(F.col(id_col), F.col(vec_col), h.alias("__h"))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= n_cells)
-        .select(
-            F.col("__rn").alias("cell_id"),
-            F.col(vec_col).alias("centroid"),
-        )
+    top = (
+        corpus.select(h.alias("__h"), F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy("__h", "__id")
+        .limit(n_cells)
+    )
+    packed = top.agg(
+        F.sort_array(F.collect_list(F.struct("__h", "__id", "__v"))).alias("__cs")
+    )
+    return packed.select(F.posexplode("__cs").alias("pos", "c")).select(
+        (F.col("pos") + 1).cast("int").alias("cell_id"),
+        F.col("c.__v").alias("centroid"),
     )
 
 
 def assign_cells(corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Attach each vector's nearest centroid (euclidean): cross join against
-    the broadcast centroid set + min_by — one narrow pass."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("cell_id"),
-        euclidean(F.col(vec_col), F.col("centroid")).alias("__dist"),
+    """Attach each vector's nearest centroid (euclidean) with ZERO shuffle of
+    the corpus: the k centroids are collapsed into one sorted array row,
+    broadcast, and the argmin is computed per corpus row as
+    ``array_min(transform(...))`` over (dist, cell_id) structs — lexicographic
+    struct ordering gives exactly min_by-with-cell_id-tiebreak semantics.
+
+    The r01 version cross-joined then ``groupBy(id)``-ed, shuffling every
+    vector by id; this pass is narrow (BroadcastNestedLoopJoin against one
+    packed row), so at 100 TB the corpus is read once and never exchanged."""
+    packed = centroids.agg(
+        F.sort_array(F.collect_list(F.struct("cell_id", "centroid"))).alias("__cells")
     )
-    return scored.groupBy(id_col).agg(
-        F.min_by("cell_id", F.struct(F.col("__dist"), F.col("cell_id"))).alias("cell_id"),
-        F.first(vec_col).alias(vec_col),
+    best = F.array_min(
+        F.transform(
+            F.col("__cells"),
+            lambda c: F.struct(
+                euclidean(F.col(vec_col), c["centroid"]).alias("dist"),
+                c["cell_id"].alias("cell_id"),
+            ),
+        )
+    )
+    return corpus.crossJoin(F.broadcast(packed)).select(
+        F.col(id_col),
+        best["cell_id"].alias("cell_id"),
+        F.col(vec_col),
     )
 
 

@@ -14,8 +14,11 @@ Scale design:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 
@@ -32,25 +35,50 @@ def asof_join(
     next ``right.on >= left.on``), optionally matching a ``by`` key.
 
     Implementation: tag both sides, union on (by, on), sort within the
-    window, forward-fill (or backward-fill) the right columns with
-    ``last(ignoreNulls)``, keep left rows. One shuffle + one window pass.
+    window, forward-fill (or backward-fill), keep left rows. One shuffle +
+    one window pass.
+
+    All right columns are packed into ONE struct before the fill: the struct
+    is non-null for every right row even when individual fields are null, so
+    (a) a matched right row's genuine NULLs survive as NULLs instead of being
+    replaced by stale earlier values, and (b) all output columns always come
+    from the SAME right row (per-column ``last(ignorenulls)`` could stitch
+    values from different rows). Ties among right rows at the same (by, on)
+    are broken deterministically by a hash of the packed payload, so repeated
+    runs pick the same row.
+
+    ``by=None`` degenerates to a single global sort partition — fine for
+    small reference tables, a scale hazard otherwise (a warning is issued).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if by is None:
+        warnings.warn(
+            "asof_join(by=None) sorts ALL rows in one window partition — "
+            "distributed only in name. Pass a `by` key (e.g. the entity id) "
+            "for scale; proceeding for small-data use.",
+            stacklevel=2,
+        )
 
     right_cols = [c for c in right.columns if c != on and c != by]
     out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols}
+    payload_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in right_cols]
+    )
 
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(payload_type).alias("__r"),
+        F.lit(None).cast("bigint").alias("__seq"),
     )
+    payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
     key_cols = [F.col(on)] + ([F.col(by)] if by else [])
     r_tagged = right.select(
         *key_cols,
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        payload.alias("__r"),
+        F.xxhash64(*[F.col(c) for c in right_cols]).alias("__seq"),
     )
     # align schemas: left columns missing on the right become typed nulls
     for c in left.columns:
@@ -63,35 +91,28 @@ def asof_join(
     part = [by] if by else []
     if direction == "backward":
         # right rows sort BEFORE left rows at the same timestamp so an exact
-        # tie matches (right.on <= left.on)
+        # tie matches (right.on <= left.on); __seq orders same-timestamp
+        # right rows so last() is deterministic
         w = (
             Window.partitionBy(*part)
-            .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+            .orderBy(F.col(on).asc(), F.col("__is_left").asc(), F.col("__seq").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        filled = unioned.select(
-            *[F.col(c) for c in unioned.columns if not c.startswith("__r_")],
-            *[
-                F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-                for c in right_cols
-            ],
-        )
+        fill = F.last("__r", ignorenulls=True).over(w)
     else:
         w = (
             Window.partitionBy(*part)
-            .orderBy(F.col(on).asc(), F.col("__is_left").desc())
+            .orderBy(F.col(on).asc(), F.col("__is_left").desc(), F.col("__seq").asc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        filled = unioned.select(
-            *[F.col(c) for c in unioned.columns if not c.startswith("__r_")],
-            *[
-                F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-                for c in right_cols
-            ],
-        )
+        fill = F.first("__r", ignorenulls=True).over(w)
+    filled = unioned.select(
+        *[F.col(c) for c in unioned.columns if c not in ("__r", "__seq")],
+        fill.alias("__f"),
+    )
     return filled.where(F.col("__is_left") == 1).select(
         *[F.col(c) for c in left.columns],
-        *[F.col(f"__f_{c}").alias(out_names[c]) for c in right_cols],
+        *[F.col("__f").getField(c).alias(out_names[c]) for c in right_cols],
     )
 
 

@@ -228,3 +228,38 @@ def test_q18_preaggregates_before_join(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2  # partial + final on lineitem
     assert plan.index("HashAggregate") > join_pos
     assert "sum_qty" in plan and "> 120" in plan
+
+
+def test_ivf_centroids_no_global_window(spark, sf_dir):
+    # sample_centroids must compile to TakeOrderedAndProject (distributed
+    # top-k), never an unpartitioned Window over the whole corpus
+    from evolution_spark.operators.ivf import sample_centroids
+    from evolution_spark.queries.base import table
+
+    e = table(spark, sf_dir, "embeddings")
+    plan = (
+        sample_centroids(e, "vec_id", "embedding", 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrdered" in plan
+    assert "Window" not in plan
+
+
+def test_ivf_assignment_no_corpus_shuffle(spark, sf_dir):
+    # assign_cells must never hash-exchange the corpus (vectors included):
+    # centroids collapse to one broadcast row, argmin is per-row array math
+    from evolution_spark.operators.ivf import assign_cells, sample_centroids
+    from evolution_spark.queries.base import table
+
+    e = table(spark, sf_dir, "embeddings")
+    c = sample_centroids(e, "vec_id", "embedding", 8)
+    plan = (
+        assign_cells(e, c, "vec_id", "embedding")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan

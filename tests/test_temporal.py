@@ -90,3 +90,53 @@ def test_range_join_wide_interval_fanout(spark):
     windows = spark.createDataFrame([("w", ts(8), ts(23))], ["wid", "start", "end"])
     rows = range_join(events, windows, "t", "start", "end", bin_width_seconds=600).collect()
     assert len(rows) == 1
+
+
+def test_asof_matched_row_nulls_survive(spark):
+    # a matched right row's genuine NULL must NOT be replaced by a stale
+    # value from an earlier right row (struct-packed fill, not per-column)
+    left = spark.createDataFrame([("a", 10, "L1")], "sym string, t int, lid string")
+    right = spark.createDataFrame(
+        [("a", 1, "old-tag", 100), ("a", 5, None, 200)],
+        "sym string, t int, tag string, px int",
+    )
+    row = asof_join(left, right, on="t", by="sym").collect()[0]
+    assert row.px == 200          # matched row t=5
+    assert row.tag is None        # its NULL tag survives (not "old-tag")
+
+
+def test_asof_all_columns_from_same_right_row(spark):
+    # per-column fill could stitch tag from row A and px from row B when
+    # each has a different NULL; the struct fill keeps rows atomic
+    left = spark.createDataFrame([("a", 10, "L1")], "sym string, t int, lid string")
+    right = spark.createDataFrame(
+        [("a", 1, "t1", None), ("a", 5, None, 500)],
+        "sym string, t int, tag string, px int",
+    )
+    row = asof_join(left, right, on="t", by="sym").collect()[0]
+    assert (row.tag, row.px) == (None, 500)  # the t=5 row, atomically
+
+
+def test_asof_tie_is_deterministic(spark):
+    # two right rows at the same (by, on): repeated runs must pick the same
+    # one (hash-of-payload tiebreak)
+    left = spark.createDataFrame([("a", 10, "L1")], "sym string, t int, lid string")
+    right = spark.createDataFrame(
+        [("a", 5, "x"), ("a", 5, "y")], "sym string, t int, tag string"
+    )
+    picks = {
+        asof_join(left, right.repartition(n), on="t", by="sym").collect()[0].tag
+        for n in (1, 2, 4, 8)
+    }
+    assert len(picks) == 1
+
+
+def test_asof_without_by_warns(spark):
+    import warnings as w
+
+    left = spark.createDataFrame([(1, 1)], "t int, lid int")
+    right = spark.createDataFrame([(1, 2)], "t int, rv int")
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        asof_join(left, right, on="t")
+        assert any("by" in str(c.message) for c in caught)
