@@ -29,7 +29,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-from evolution_spark.io.flf import read_flf, write_flf
+from evolution_spark.io.flf import read_flf, scoped_max_partition_bytes, write_flf
 from evolution_spark.io.ipc import write_ipc
 from evolution_spark.schema import FixedSchema
 
@@ -132,6 +132,12 @@ class Converter:
         return failures.limit(sample_rows)
 
     def run(self, spark: SparkSession) -> None:
+        # The split-size knob is read by Spark when the job RUNS, so it must
+        # stay set across the whole read->write span; scope + restore here.
+        with scoped_max_partition_bytes(spark, self.max_partition_bytes):
+            self._run(spark)
+
+    def _run(self, spark: SparkSession) -> None:
         df = self.dataframe(spark)
         target = Target(self.target)
         if target is Target.FLF:

@@ -32,6 +32,7 @@ Semantics divergences from the reference (documented per SURVEY.md §7):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Iterable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -182,12 +183,44 @@ def read_flf(
     moral equivalent of the reference's ``read_buffer_size`` knob
     (examples/full/src/cli.rs:73-82) — at cluster scale it controls the split
     (= task) granularity of the scan.
+
+    Split sizing is a *session* conf (``spark.sql.files.maxPartitionBytes``)
+    that Spark reads at ACTION time, not when the DataFrame is defined — a
+    per-reader ``.option(...)`` is silently ignored by the text source, and a
+    set-then-restore around this call would be a no-op (verified: restoring
+    the conf before the action reverts the split count). So when
+    ``max_partition_bytes`` is given, this sets the session conf and LEAVES
+    it set; callers wanting it scoped to one job wrap the whole read→action
+    span in :func:`scoped_max_partition_bytes` (``Converter.run`` does).
     """
-    reader = spark.read
     if max_partition_bytes is not None:
-        reader = reader.option("maxPartitionBytes", str(max_partition_bytes))
-    lines = reader.text(path)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_partition_bytes))
+    lines = spark.read.text(path)
     return parse_flf(lines, schema, column="value", mode=mode)
+
+
+@contextmanager
+def scoped_max_partition_bytes(spark: SparkSession, nbytes: int | None):
+    """Scope ``spark.sql.files.maxPartitionBytes`` to a read→action span.
+
+    Spark resolves file splits when the job RUNS, so the conf must still be
+    set at action time — this manager wraps the whole span (build the plan
+    AND run the action inside the ``with`` block) and restores the prior
+    value afterwards. ``nbytes=None`` is a no-op passthrough.
+    """
+    if nbytes is None:
+        yield
+        return
+    key = "spark.sql.files.maxPartitionBytes"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, str(nbytes))
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
 
 
 # ---------------------------------------------------------------------------

@@ -109,12 +109,21 @@ def quantize_embeddings_int8(
     round(v/scale) in [-127, 127] as ``array<int>`` plus a ``scale`` double
     for dequantization (v ≈ q * scale). 4x smaller than float32 — the
     compression step before building a billion-vector ANN index. Narrow,
-    per-row array math."""
+    per-row array math.
+
+    An all-zero vector has absmax 0; its scale is kept at 0.0 (nothing to
+    dequantize back) and the quantized components are 0, not NULL/NaN —
+    the division is guarded rather than emitting 0/0."""
     xd = lambda x: x.cast("double")  # noqa: E731
     scale = F.array_max(F.transform(vec_col, lambda x: F.abs(xd(x)))) / 127.0
     return df.withColumn("scale", scale).withColumn(
         out_col,
-        F.transform(vec_col, lambda x: F.round(xd(x) / F.col("scale")).cast("int")),
+        F.when(
+            F.col("scale") == 0.0,
+            F.transform(vec_col, lambda x: F.lit(0).cast("int")),
+        ).otherwise(
+            F.transform(vec_col, lambda x: F.round(xd(x) / F.col("scale")).cast("int"))
+        ),
     )
 
 

@@ -196,6 +196,17 @@ class FixedSchema:
             if c.name in seen:
                 raise SchemaError(f"duplicate column name {c.name!r}")
             seen.add(c.name)
+        # overlap check: encode would otherwise fail late (inside write_flf)
+        # with an opaque slot-collision error; catch it at construction
+        prev_name, prev_end = None, 0
+        for c in sorted(self.columns, key=lambda c: c.offset):
+            if c.offset < prev_end:
+                raise SchemaError(
+                    f"columns {prev_name!r} and {c.name!r} overlap: "
+                    f"{c.name!r} starts at offset {c.offset} before "
+                    f"{prev_name!r} ends at {prev_end}"
+                )
+            prev_name, prev_end = c.name, c.offset + c.length
 
     # -- constructors ------------------------------------------------------
 
@@ -238,8 +249,13 @@ class FixedSchema:
 
     @property
     def row_length(self) -> int:
-        """Total row width in runes, excluding the newline
-        (reference: schema.rs:119-121 computes the same sum-of-lengths)."""
+        """Total row width in runes, excluding the newline.
+
+        Intentional divergence from reference schema.rs:119-121, which sums
+        column *lengths* and ignores offsets: for schemas with inter-column
+        gaps the reference under-counts the physical line width, while
+        ``max(offset + length)`` is the actual layout extent. The two agree
+        on gap-free schemas (every schema the reference ships)."""
         return max((c.offset + c.length) for c in self.columns)
 
     def column(self, name: str) -> FixedColumn:

@@ -19,11 +19,16 @@ from pyspark.sql import DataFrame
 
 def idempotent_parquet_sink(out_dir: str):
     """Return a ``foreachBatch`` function writing each micro-batch to
-    ``out_dir/batch_id=N`` with overwrite. Downstream reads
-    ``spark.read.parquet(out_dir)`` (the batch_id partition column is
-    excluded from data by path-only layout). Replays of a batch after a
+    ``out_dir/batch_id=N`` with overwrite. Replays of a batch after a
     checkpoint restart rewrite the same directory — exactly-once output
     from at-least-once delivery.
+
+    Reading back: the hive-style directory names make
+    ``spark.read.parquet(out_dir)`` partition-INFER a ``batch_id`` column
+    into the schema (it is not in the data files). Readers that want only
+    the payload columns should ``.drop("batch_id")``, or pass explicit
+    batch paths with ``.option("basePath", out_dir)`` disabled — the column
+    is also useful as provenance, which is why the layout keeps it.
 
     Usage::
 

@@ -223,3 +223,26 @@ def test_plain_float_format_roundtrip_idempotent(spark, tmp_path):
     b = sorted(l for p in (tmp_path / "src.flf").glob("part-*.txt")
                for l in p.read_text().splitlines())
     assert a == b
+
+
+def test_max_partition_bytes_controls_splits(spark, tmp_path):
+    """The split-size knob must change the ACTION-time task count: Spark
+    reads spark.sql.files.maxPartitionBytes when the job runs, so the knob
+    is a session conf (a per-reader .option is silently ignored)."""
+    from evolution_spark.io.flf import scoped_max_partition_bytes
+
+    p = str(tmp_path / "wide.flf")
+    line = "x" * 49 + "\n"
+    with open(p, "w") as f:
+        f.write(line * 4000)  # ~200 KB
+    sch = FixedSchema.from_dict(
+        {"name": "W", "version": 1, "columns": [
+            {"name": "s", "offset": 0, "length": 49, "dtype": "Utf8",
+             "alignment": "Left", "pad_symbol": "Whitespace", "is_nullable": True}]}
+    )
+    prior = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    with scoped_max_partition_bytes(spark, 16 * 1024):
+        n_small = read_flf(spark, p, sch).rdd.getNumPartitions()
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == prior
+    n_default = read_flf(spark, p, sch).rdd.getNumPartitions()
+    assert n_small > n_default  # ~13 splits at 16 KB vs 1 at 128 MB

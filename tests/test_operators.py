@@ -248,3 +248,16 @@ def test_quantize_dequantize_roundtrip(spark):
     # quantized components fit int8 range
     qmax = q.select(F.array_max(F.transform("q_embedding", F.abs)).alias("m")).agg(F.max("m")).collect()[0][0]
     assert qmax <= 127
+
+
+def test_quantize_zero_vector_guarded(spark):
+    from evolution_spark.operators import quantize_embeddings_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id int, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings_int8(df).collect()}
+    assert rows[1].scale == 0.0
+    assert rows[1].q_embedding == [0, 0, 0]  # not NULL/NaN
+    assert rows[2].q_embedding[1] == -127

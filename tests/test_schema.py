@@ -96,3 +96,17 @@ def test_delta_type_mapping():
     assert FixedColumn("a", 0, 1, "Float16", True).delta_type == "float"
     assert FixedColumn("a", 0, 1, "LargeUtf8", True).delta_type == "string"
     assert FixedColumn("a", 0, 1, "Int16", True).delta_type == "short"
+
+
+def test_overlapping_columns_rejected():
+    bad = json.loads(json.dumps(VALID))
+    bad["columns"][1]["offset"] = 5  # starts inside 'id' (0..9)
+    with pytest.raises(SchemaError, match="overlap"):
+        FixedSchema.from_json(json.dumps(bad))
+
+
+def test_gap_schema_row_length_is_layout_extent():
+    gapped = json.loads(json.dumps(VALID))
+    gapped["columns"][3]["offset"] = 50  # 4-rune gap after 'employed'
+    s = FixedSchema.from_json(json.dumps(gapped))
+    assert s.row_length == 70  # max(offset+length), not sum-of-lengths (66)
