@@ -2,11 +2,13 @@
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schemas, batch iteration, partition-preserving
-transforms, deterministic fake decoders — is real and tested. The actual
-media decoding (PIL/libav/ffmpeg) is STUBBED: this container ships no media
-libraries, so decoders raise ``NotImplementedError`` unless
-``fake=True`` requests the deterministic fake (hash-derived pixels/samples),
-which exercises every byte of the pipeline except the codec itself.
+transforms, deterministic fake decoders — is real and tested. Two codecs are
+REAL and dependency-free (pure numpy): 24-bit uncompressed BMP and 16-bit PCM
+WAV, with matching encoders for round-trip tests and mock-data generation.
+Everything else (JPEG/PNG/MP3/video — needs PIL/soundfile/av, none shipped in
+this container) raises ``NotImplementedError`` unless ``fake=True`` requests
+the deterministic fake (hash-derived pixels/samples), which exercises every
+byte of the pipeline except the codec itself.
 
 Scale design: media bytes never shuffle — every transform here is a narrow
 ``mapInPandas`` over the scan, so a 100 TB image corpus processes at scan
@@ -68,18 +70,124 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return np.frombuffer((digest * 8)[:256], dtype=np.uint8).astype(np.float32)
 
 
-def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
-    """Decode a media payload to a raw sample array.
+# ---------------------------------------------------------------------------
+# Real codecs (pure numpy, no dependencies): 24-bit BMP, 16-bit PCM WAV
+# ---------------------------------------------------------------------------
 
-    STUB: real decoding needs PIL (image) / soundfile (audio) / av (video),
-    none of which exist in this container. ``fake=True`` substitutes the
-    deterministic fake decoder."""
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to an RGB ``uint8`` array of shape
+    ``(height, width, 3)``, rows top-down. Handles 4-byte row padding and
+    both bottom-up (positive height) and top-down (negative) layouts."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_offset = int.from_bytes(payload[10:14], "little")
+    header_size = int.from_bytes(payload[14:18], "little")
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size} (need >= 40)")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp}, compression={compression})")
+    top_down, h = height < 0, abs(height)
+    stride = (width * 3 + 3) & ~3
+    if data_offset + stride * h > len(payload):
+        raise ValueError("BMP payload truncated")
+    px = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_offset)
+    px = px.reshape(h, stride)[:, : width * 3].reshape(h, width, 3)
+    if not top_down:
+        px = px[::-1]
+    return px[..., ::-1].copy()  # stored BGR -> returned RGB
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an ``(h, w, 3)`` RGB uint8 array as a 24-bit bottom-up BMP."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got shape {px.shape}")
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, RGB->BGR
+    body = rows.tobytes()
+    info = (
+        (40).to_bytes(4, "little") + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little") + b"\x00" * 16
+    )
+    header = b"BM" + (14 + 40 + len(body)).to_bytes(4, "little") + b"\x00" * 4 + (54).to_bytes(4, "little")
+    return header + info + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a 16-bit PCM WAV to ``(samples, sample_rate)`` where samples is
+    an ``int16`` array of shape ``(n_frames, n_channels)``. Walks the RIFF
+    chunk list, so extra chunks (LIST/fact/...) are tolerated."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos, n_channels, sample_rate, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format = int.from_bytes(body[0:2], "little")
+            if audio_format != 1:
+                raise ValueError(f"only PCM WAV supported (format={audio_format})")
+            n_channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if n_channels is None or data is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    if bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    return samples.reshape(-1, n_channels), sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode an int16 array (``(n_frames,)`` or ``(n_frames, n_channels)``)
+    as a 16-bit PCM WAV."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n_channels = s.shape[1]
+    body = s.tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + n_channels.to_bytes(2, "little") + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little") + (n_channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    data = b"data" + len(body).to_bytes(4, "little") + body
+    return b"RIFF" + (4 + len(fmt) + len(data)).to_bytes(4, "little") + b"WAVE" + fmt + data
+
+
+def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
+    """Decode a media payload to a flat float32 sample array.
+
+    REAL for 24-bit BMP and 16-bit PCM WAV (pure-numpy decoders above,
+    dispatched on magic bytes). ``fake=True`` forces the deterministic fake
+    decoder regardless of format (the test/CI path). Everything else needs
+    PIL (image) / soundfile (audio) / av (video), none of which exist in
+    this container, and raises ``NotImplementedError``."""
     if fake:
         return _fake_decode(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload).astype(np.float32).ravel()
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)[0].astype(np.float32).ravel()
     raise NotImplementedError(
-        f"decoding kind={kind!r} requires a media codec library (PIL/soundfile/av); "
-        "none is installed in this environment — pass fake=True for the "
-        "deterministic test decoder"
+        f"decoding kind={kind!r}: only BMP and PCM WAV decode without a media "
+        "codec library (PIL/soundfile/av, none installed) — pass fake=True "
+        "for the deterministic test decoder"
     )
 
 
