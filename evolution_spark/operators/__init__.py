@@ -7,6 +7,7 @@ from evolution_spark.operators.dedup import (
     simhash_signatures,
     simhash_near_dups,
 )
+from evolution_spark.operators.graph import connected_components, dedup_clusters
 from evolution_spark.operators.similarity import cosine_topk, lsh_ann_topk
 from evolution_spark.operators.curation import (
     chunk_tokens,
@@ -31,6 +32,8 @@ __all__ = [
     "simhash_signatures",
     "simhash_near_dups",
     "embedding_near_dups",
+    "connected_components",
+    "dedup_clusters",
     "cosine_topk",
     "lsh_ann_topk",
 ]

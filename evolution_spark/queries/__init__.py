@@ -19,5 +19,6 @@ from evolution_spark.queries import flf_queries  # noqa: E402,F401
 from evolution_spark.queries import temporal_queries  # noqa: E402,F401
 from evolution_spark.queries import extensions  # noqa: E402,F401
 from evolution_spark.queries import pipeline  # noqa: E402,F401
+from evolution_spark.queries import ranking  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query", "table"]

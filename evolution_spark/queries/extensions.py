@@ -6,6 +6,7 @@ them deterministically — both engines construct the same perturbed copies)."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from evolution_spark.operators.rollup import time_rollup
 from evolution_spark.queries.base import query, table
@@ -148,4 +149,116 @@ def hll_sketch_mergeable(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_est"),
         F.count(F.lit(1)).alias("n_days"),
         F.sum("n_events").alias("n_events"),
+    )
+
+
+@query(
+    "rolling_features_events",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           COUNT(*) OVER w AS roll_cnt,
+           CAST(SUM(cents) OVER w AS BIGINT) AS roll_sum_cents,
+           CAST(MIN(cents) OVER w AS BIGINT) AS roll_min_cents,
+           CAST(MAX(cents) OVER w AS BIGINT) AS roll_max_cents,
+           CAST(SUM(cents) OVER w AS BIGINT) / (COUNT(*) OVER w * CAST(100 AS DOUBLE)) AS roll_avg
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_features_events(spark, sf_dir):
+    """Per-user rolling 5-row features (count/sum/min/max/mean of value) —
+    the time-series featurization step of an events pipeline. Values scale
+    to integer cents BEFORE the rolling sum so the window arithmetic is
+    exact in both engines (float accumulation order inside a frame is not
+    cross-engine reproducible); the mean divides the exact sum once.
+
+    Plan: one shuffle on user_id, one window pass, bounded row frame."""
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        F.count(F.lit(1)).over(w).alias("roll_cnt"),
+        F.sum(cents).over(w).alias("roll_sum_cents"),
+        F.min(cents).over(w).alias("roll_min_cents"),
+        F.max(cents).over(w).alias("roll_max_cents"),
+        (
+            F.sum(cents).over(w)
+            / (F.count(F.lit(1)).over(w) * F.lit(100).cast("double"))
+        ).alias("roll_avg"),
+    )
+
+
+@query(
+    "skew_join_salted",
+    oracle="""
+    SELECT s.s_nationkey AS nationkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def skew_join_salted(spark, sf_dir):
+    """The salted-join operator (operators/skew.py) under an oracle: lineitem
+    x supplier through salt-and-replicate, then aggregate per nation. The
+    salt is a physical rewrite only — the result must equal the plain join,
+    which is exactly what the oracle asserts. For when one suppkey is hot
+    enough that even AQE's skew splitting can't save the straggler."""
+    from evolution_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_cents")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    j = salted_join(li, s, on="l_suppkey", n_salts=8)
+    return j.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum("qty_cents") / 100.0).alias("sum_qty"),
+    )
+
+
+@query(
+    "jsonl_roundtrip_documents",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM documents GROUP BY lang
+    """,
+)
+def jsonl_roundtrip_documents(spark, sf_dir):
+    """documents -> JSONL sink -> explicit-schema JSONL source -> aggregate;
+    identity-through-roundtrip oracle (any escaping/encoding/type loss in
+    the JSONL path breaks the hash). The write is partition-parallel; the
+    read is single-pass (schema given, no inference scan)."""
+    import os
+    import tempfile
+
+    from evolution_spark.io.jsonl import read_jsonl, write_jsonl
+
+    d = table(spark, sf_dir, "documents")
+    tmp = os.path.join(tempfile.mkdtemp(prefix="evo_jsonl_"), "documents.jsonl")
+    write_jsonl(d, tmp)
+    back = read_jsonl(spark, tmp, d.schema)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
     )

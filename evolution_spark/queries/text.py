@@ -476,3 +476,43 @@ def dedup_simhash(spark, sf_dir):
         (F.size(F.filter(hs, lambda h: h.bitwiseAND(1) != 0)) * 1.0 / F.size(hs)).alias("bit0_ratio"),
         (F.size(F.filter(hs, lambda h: h.bitwiseAND(2) != 0)) * 1.0 / F.size(hs)).alias("bit1_ratio"),
     )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, source, {_SHINGLES_SQL} AS shingles FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+            (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.2
+    ), sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(id, comp) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.id
+    )
+    SELECT id AS doc_id, MIN(comp) AS component,
+           (id = MIN(comp)) AS is_keeper
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_components(spark, sf_dir):
+    """Transitive closure of the n-gram-Jaccard near-dup pairs: connected
+    components via distributed label propagation (operators/graph.py), the
+    keeper per cluster being the min doc_id. The step that turns pairwise
+    similarity output into actually-deletable duplicate sets — A~B and B~C
+    collapse to one keeper even though A~C was never emitted.
+
+    Oracle: DuckDB recursive CTE enumerating reachable vertices (exact
+    closure, feasible at oracle scale); the Spark side converges in
+    O(diameter) rounds shuffling only (id, label) pairs."""
+    from evolution_spark.operators.graph import dedup_clusters
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return dedup_clusters(pairs)

@@ -263,3 +263,21 @@ def test_ivf_assignment_no_corpus_shuffle(spark, sf_dir):
     )
     assert "Exchange hashpartitioning" not in plan
     assert "Window" not in plan
+
+
+def test_ranking_broadcasts_and_topk(spark, sf_dir):
+    """TF-IDF/BM25: the DF/N/avgdl side-aggregates must broadcast (never
+    shuffle the TF frame against them), and BM25's top-10 must be
+    TakeOrderedAndProject, not a global sort."""
+    for name in ["tfidf_top_terms", "bm25_rank"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: side aggregates not broadcast"
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "bm25_rank")
+
+
+def test_connected_components_shuffles_only_labels(spark, sf_dir):
+    """The component loop's shuffles carry (id, label) pairs only — document
+    text must stay out of the iterated frames."""
+    df = QUERIES["dedup_cluster_components"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "text" not in plan.lower().replace("context", "")
