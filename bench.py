@@ -54,6 +54,11 @@ BENCH_QUERIES = [
     "hll_sketch_mergeable",
     "changelog_compaction",
     "stats_corr_exact",
+    # batch-6: corpus-quality surface (round 2; new lines)
+    "repetition_metrics",
+    "ngram_contamination",
+    "pack_sequences_budget",
+    "scd2_user_status",
 ]
 
 

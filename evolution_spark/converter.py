@@ -12,6 +12,9 @@ engine implements all four targets plus the FLF re-encode sink:
   including the Float16->FLOAT widening)
 * ipc — distributed Arrow IPC part files (``evolution_spark.io.ipc``)
 * flf — fixed-width text re-encode (reference O13)
+* orc / csv — Spark-built-in sinks (executable here; the reference has no
+  analogue); avro — ``df.write.format("avro")``, gated like delta/iceberg
+  on the spark-avro module being on the classpath
 
 Whole pipeline: ``spark.read.text`` -> one codegen'd projection -> sink.
 Narrow (shuffle-free), scales linearly with input splits; every task writes
@@ -35,13 +38,17 @@ from evolution_spark.schema import FixedSchema
 
 
 class Target(str, Enum):
-    """Output targets (reference target.rs:31-37 + the FLF sink)."""
+    """Output targets (reference target.rs:31-37 + the FLF sink + the
+    Spark-built-in columnar/text formats the reference has no analogue for)."""
 
     PARQUET = "parquet"
     DELTA = "delta"
     ICEBERG = "iceberg"
     IPC = "ipc"
     FLF = "flf"
+    ORC = "orc"
+    CSV = "csv"
+    AVRO = "avro"
 
 
 @dataclass(frozen=True)
@@ -154,19 +161,25 @@ class Converter:
             if self.partition_by:
                 raise ValueError("single_file and partition_by are mutually exclusive")
             df = df.coalesce(1)
-        if target is Target.PARQUET:
+        if target in (Target.PARQUET, Target.ORC, Target.CSV):
             writer = df.write.mode(self.save_mode)
             if self.partition_by:
                 writer = writer.partitionBy(*self.partition_by)
+            if target is Target.CSV:
+                # header on by default so the file is self-describing; Spark
+                # quotes/escapes embedded delimiters per RFC 4180.
+                writer = writer.option("header", "true")
             for k, v in self.writer_options.items():
                 writer = writer.option(k, v)
-            writer.parquet(self.output_path)
+            getattr(writer, target.value)(self.output_path)
             return
         if target is Target.IPC:
             write_ipc(df, self.output_path)
             return
-        # delta / iceberg need their connector on the classpath; fail with a
-        # clear message when absent (this container ships neither).
+        # delta / iceberg / avro need their connector on the classpath; fail
+        # with a clear message when absent (this container ships none of the
+        # three — avro-core jars are present but the spark-avro datasource
+        # module is not).
         writer = df.write.format(target.value).mode(self.save_mode)
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
@@ -177,5 +190,6 @@ class Converter:
         except Exception as e:  # pragma: no cover - connector-dependent
             raise RuntimeError(
                 f"{target.value} sink requires the {target.value} connector on the "
-                f"Spark classpath (e.g. delta-spark / iceberg-spark-runtime): {e}"
+                f"Spark classpath (e.g. delta-spark / iceberg-spark-runtime / "
+                f"spark-avro): {e}"
             ) from e

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from evolution_spark.functions.text import hash32, norm_text
 
@@ -135,3 +136,32 @@ def dequantize_embeddings(
         out_col,
         F.transform(q_col, lambda q: (q.cast("double") * F.col("scale")).cast("float")),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    by: str,
+    order: str,
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Assign each document to a token-budget pack (sequence-packing planner
+    for pretraining batches): within each ``by`` partition, walk documents in
+    ``order`` and place each at the running token offset; ``pack_id`` =
+    offset // budget. Contiguous-fill semantics (a document may straddle a
+    pack boundary and is counted in the pack where it starts) — the
+    deterministic, single-window-pass formulation; greedy first-fit would
+    need sequential state.
+
+    Scale: one shuffle on ``by`` + one window cumsum. At 100 TB, pick a
+    ``by`` key with bounded partition size (e.g. shard = hash(doc) % N, not
+    a single global key), since each partition is one sorted task.
+    """
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(order).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn(out_col, F.floor(offset / F.lit(budget)))

@@ -116,6 +116,41 @@ def asof_join(
     )
 
 
+def scd2_from_changelog(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    attr_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Build SCD-type-2 validity intervals from an append-only changelog.
+
+    For each ``key``, order events by ``order_col`` (plus ``tiebreak`` for
+    determinism on timestamp ties), drop consecutive rows whose ``attr_cols``
+    are unchanged (no-op updates), and emit one row per attribute regime:
+    ``valid_from`` = the change's timestamp, ``valid_to`` = the next change's
+    timestamp (NULL while current), ``is_current``.
+
+    Scale: one shuffle on ``key`` + two window passes over the same
+    partitioning (Catalyst reuses the sort); no self-join. Change detection
+    compares a struct of the attributes against its lag — NULL-safe via
+    eqNullSafe, so NULL->value and value->NULL transitions are real changes.
+    """
+    order = [F.col(order_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    changed = ~attrs.eqNullSafe(F.lag(attrs, 1).over(w))
+    changes = df.withColumn("__chg", changed).where("__chg")
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return changes.select(
+        F.col(key),
+        *[F.col(c) for c in attr_cols],
+        F.col(order_col).alias("valid_from"),
+        F.lead(order_col, 1).over(w2).alias("valid_to"),
+        F.lead(order_col, 1).over(w2).isNull().alias("is_current"),
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -20,5 +20,7 @@ from evolution_spark.queries import temporal_queries  # noqa: E402,F401
 from evolution_spark.queries import extensions  # noqa: E402,F401
 from evolution_spark.queries import pipeline  # noqa: E402,F401
 from evolution_spark.queries import ranking  # noqa: E402,F401
+from evolution_spark.queries import formats  # noqa: E402,F401
+from evolution_spark.queries import quality  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query", "table"]

@@ -1,0 +1,100 @@
+"""Sink-format round-trip queries: ORC and CSV (Spark-built-in targets the
+reference has no analogue for — its only executable sink is Parquet,
+crates/evolution-writer/src/parquet.rs:53-70, with Delta/Iceberg/IPC left as
+``todo!()``, examples/full/src/cli.rs:205-207).
+
+Each query writes a driver table through ``Converter``'s sink dispatch
+surface (``df.write.orc`` / ``df.write.csv``), reads it back with an
+explicit schema (single-pass, no inference scan), and aggregates — an
+identity-through-roundtrip oracle: any type loss, encoding corruption, or
+quoting bug in the sink/source pair breaks the value hash.
+
+Scale notes: both writes are partition-parallel (one part file per task, no
+coalesce); the read-back is a plain distributed scan. ORC round-trips the
+exact logical types; CSV serializes timestamps/doubles to text, so the CSV
+query asserts the textual codec (quoting, timestamp format, shortest-float)
+is lossless for the driver schema.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from evolution_spark.queries.base import query, table
+
+
+def _roundtrip(df, fmt: str, read_options: dict | None = None):
+    """Write ``df`` to a temp dir in ``fmt``, read it back with the source
+    schema. The temp dir persists until process exit (Spark reads lazily);
+    repeated calls reuse one dir per format+plan to stay idempotent."""
+    spark = df.sparkSession
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"evo_fmt_{fmt}_{abs(hash(df.schema.json())) % 10**8}"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    getattr(writer, fmt)(tmp)
+    reader = spark.read.schema(df.schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    for k, v in (read_options or {}).items():
+        reader = reader.option(k, v)
+    return getattr(reader, fmt)(tmp)
+
+
+@query(
+    "orc_roundtrip_customer",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+           MIN(c_name) AS min_name, MAX(c_name) AS max_name
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def orc_roundtrip_customer(spark, sf_dir):
+    """customer -> ORC sink -> explicit-schema ORC source -> aggregate.
+
+    ORC preserves the logical types exactly (BIGINT/INT/DOUBLE/VARCHAR), so
+    the oracle is the same aggregate over the original parquet table."""
+    c = table(spark, sf_dir, "customer")
+    back = _roundtrip(c, "orc")
+    return back.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("acctbal_cents"),
+        F.min("c_name").alias("min_name"),
+        F.max("c_name").alias("max_name"),
+    )
+
+
+@query(
+    "csv_roundtrip_orders",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_date,
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_date,
+           MAX(o_orderstatus) AS max_status
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def csv_roundtrip_orders(spark, sf_dir):
+    """orders -> CSV sink (header, RFC-4180 quoting) -> explicit-schema CSV
+    source -> aggregate. Exercises the text codec on every driver dtype:
+    BIGINT, DOUBLE (shortest-repr round-trip), TIMESTAMP, VARCHAR."""
+    o = table(spark, sf_dir, "orders")
+    back = _roundtrip(o, "csv")
+    return back.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("total_cents"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("first_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("last_date"),
+        F.max("o_orderstatus").alias("max_status"),
+    )

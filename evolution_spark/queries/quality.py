@@ -1,0 +1,367 @@
+"""Training-corpus quality & curation queries: intra-document repetition
+metrics (Gopher-style), rule-based quality filtering, benchmark n-gram
+contamination screening, token-budget sequence packing, SCD2 changelog
+compaction, and the real-BMP multimodal feature path.
+
+These extend the LLM-pipeline surface (SURVEY.md §2.3 north star) past
+dedup/similarity into the measurement side of corpus curation — the ops a
+100 TB pretraining pipeline runs between ingestion and batch building.
+
+Scale design:
+* repetition/quality/contamination are explode + hash-agg pipelines — the
+  shuffle keys are (doc_id, token-hash) pairs, never document bodies; all
+  expressions are Spark built-ins (JVM, codegen).
+* contamination broadcasts the benchmark gram set (benchmarks are small by
+  construction); the corpus side never shuffles.
+* packing is one shuffle on the shard key + one window cumsum.
+* SCD2 is one shuffle on the entity key + two window passes sharing a sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from evolution_spark.operators.curation import pack_sequences
+from evolution_spark.operators.temporal import scd2_from_changelog
+from evolution_spark.queries.base import query, table
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_SHINGLES3_SQL = f"""
+list_distinct(list_transform(
+    range(greatest(len({_WORDS_SQL}) - 2, 1)),
+    i -> array_to_string(({_WORDS_SQL})[i+1:i+3], ' ')))
+""".strip()
+
+
+def _words(col):
+    from evolution_spark.functions.text import words
+
+    return words(col)
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition metrics (Gopher-style duplication signals)
+# ---------------------------------------------------------------------------
+
+@query(
+    "repetition_metrics",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_WORDS_SQL} AS w,
+             len(list_distinct({_SHINGLES3_SQL})) AS distinct_3grams,
+             greatest(len({_WORDS_SQL}) - 2, 1) AS total_3grams
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, COUNT(*) AS cnt,
+             MAX(n_words) AS n_words,
+             MAX(distinct_3grams) AS distinct_3grams,
+             MAX(total_3grams) AS total_3grams
+      FROM (SELECT doc_id, unnest(w) AS word, len(w) AS n_words,
+                   distinct_3grams, total_3grams FROM base)
+      GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           MAX(n_words) AS n_words,
+           COUNT(*) AS n_distinct_words,
+           1.0 - COUNT(*) * 1.0 / MAX(n_words) AS dup_word_frac,
+           MAX(cnt) * 1.0 / MAX(n_words) AS top_word_frac,
+           1.0 - MAX(distinct_3grams) * 1.0 / MAX(total_3grams) AS dup_3gram_frac
+    FROM wc GROUP BY doc_id
+    """,
+)
+def repetition_metrics(spark, sf_dir):
+    """Per-document duplication signals (the Gopher repetition filters):
+    duplicate-word fraction, most-frequent-word fraction, duplicate word
+    3-gram fraction.
+
+    Plan: one narrow projection computes the per-doc scalars (word count,
+    distinct 3-gram count), explode carries them alongside each token, and
+    two hash-aggregations — (doc_id, word) then (doc_id) — produce every
+    metric in a single pipeline: 2 shuffles total, keys are (id, token),
+    document text never shuffles."""
+    from evolution_spark.functions.text import word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    base = d.select(
+        F.col("doc_id"),
+        w.alias("__w"),
+        F.size(word_shingles(F.col("text"), 3)).alias("__d3"),
+        F.greatest(F.size(w) - 2, F.lit(1)).alias("__t3"),
+    )
+    tokens = base.select(
+        "doc_id",
+        F.explode("__w").alias("__word"),
+        F.size("__w").alias("__n"),
+        "__d3",
+        "__t3",
+    )
+    wc = tokens.groupBy("doc_id", "__word").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.max("__n").alias("__n"),
+        F.max("__d3").alias("__d3"),
+        F.max("__t3").alias("__t3"),
+    )
+    return wc.groupBy("doc_id").agg(
+        F.max("__n").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        (F.lit(1.0) - F.count(F.lit(1)) * 1.0 / F.max("__n")).alias("dup_word_frac"),
+        (F.max("__cnt") * 1.0 / F.max("__n")).alias("top_word_frac"),
+        (F.lit(1.0) - F.max("__d3") * 1.0 / F.max("__t3")).alias("dup_3gram_frac"),
+    )
+
+
+@query(
+    "quality_filter_gopher",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             len({_WORDS_SQL}) AS n_words,
+             len(list_distinct({_WORDS_SQL})) AS n_distinct,
+             (length({_NORM_SQL}) - (len({_WORDS_SQL}) - 1)) * 1.0
+               / len({_WORDS_SQL}) AS mean_word_len
+      FROM documents
+    )
+    SELECT doc_id, lang, n_words, mean_word_len,
+           1.0 - n_distinct * 1.0 / n_words AS dup_word_frac
+    FROM m
+    WHERE n_words BETWEEN 20 AND 100000
+      AND mean_word_len BETWEEN 2 AND 10
+      AND 1.0 - n_distinct * 1.0 / n_words < 0.55
+    """,
+)
+def quality_filter_gopher(spark, sf_dir):
+    """Rule-based document quality gate (Gopher-style): word-count range,
+    mean word length range, duplicate-word-fraction ceiling. Pure narrow
+    projection + filter — no shuffle at all; at 100 TB this runs at scan
+    speed with the predicate evaluated inside codegen."""
+    d = table(spark, sf_dir, "documents")
+    from evolution_spark.functions.text import norm_text
+
+    w = _words(F.col("text"))
+    n_words = F.size(w)
+    n_distinct = F.size(F.array_distinct(w))
+    mean_wl = (F.length(norm_text(F.col("text"))) - (n_words - 1)) * 1.0 / n_words
+    dup_frac = F.lit(1.0) - n_distinct * 1.0 / n_words
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            n_words.alias("n_words"),
+            mean_wl.alias("mean_word_len"),
+            dup_frac.alias("dup_word_frac"),
+        )
+        .where(
+            F.col("n_words").between(20, 100000)
+            & F.col("mean_word_len").between(2, 10)
+            & (F.col("dup_word_frac") < 0.55)
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination screening
+# ---------------------------------------------------------------------------
+
+@query(
+    "ngram_contamination",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, unnest({_SHINGLES3_SQL}) AS g FROM documents
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+    SELECT grams.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS contaminated_grams,
+           SUM(CASE WHEN bench.g IS NOT NULL THEN 1.0 ELSE 0.0 END) / COUNT(*)
+             AS contamination_frac,
+           grams.doc_id % 97 = 0 AS is_benchmark
+    FROM grams LEFT JOIN bench ON grams.g = bench.g
+    GROUP BY grams.doc_id
+    """,
+)
+def ngram_contamination(spark, sf_dir):
+    """Benchmark-contamination screen: fraction of each document's distinct
+    word 3-grams that appear in a benchmark set (here: every 97th document
+    stands in for the eval benchmark).
+
+    Scale shape: the benchmark gram set is DISTINCT-reduced then BROADCAST —
+    the 100 TB corpus side is explode + broadcast-hash-join + hash-agg on
+    doc_id, with no corpus shuffle on gram text. Benchmarks are small by
+    construction (eval suites, not corpora); if one weren't, the join falls
+    back to a sort-merge on the gram key."""
+    from evolution_spark.functions.text import word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("g")
+    )
+    bench = (
+        grams.where(F.col("doc_id") % 97 == 0)
+        .select("g")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = grams.join(F.broadcast(bench), "g", "left")
+    hit = F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+    hit_f = F.when(F.col("__hit").isNotNull(), 1.0).otherwise(0.0)
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(hit).cast("bigint").alias("contaminated_grams"),
+        (F.sum(hit_f) / F.count(F.lit(1))).alias("contamination_frac"),
+        (F.first(F.col("doc_id") % 97 == 0)).alias("is_benchmark"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+@query(
+    "pack_sequences_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, doc_id, len({_WORDS_SQL}) AS n_tokens FROM documents
+    ),
+    p AS (
+      SELECT lang, n_tokens,
+             CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+             AS BIGINT) AS pack_id
+      FROM t
+    )
+    SELECT lang, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM p GROUP BY lang, pack_id
+    """,
+)
+def pack_sequences_budget(spark, sf_dir):
+    """Sequence-packing planner: assign documents to 512-token training
+    packs per language (contiguous fill in doc_id order), then summarize
+    each pack. One shuffle on the shard key (lang), one window cumsum, one
+    hash-agg — see operators/curation.py:pack_sequences for the 100 TB
+    sharding note."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("lang", "doc_id", F.size(_words(F.col("text"))).alias("n_tokens"))
+    packed = pack_sequences(t, "n_tokens", 512, by="lang", order="doc_id")
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity intervals from the events changelog
+# ---------------------------------------------------------------------------
+
+@query(
+    "scd2_user_status",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    iv AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM changes
+    )
+    SELECT user_id, event_type,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           valid_to IS NULL AS is_current
+    FROM iv
+    """,
+)
+def scd2_user_status(spark, sf_dir):
+    """Slowly-changing-dimension type 2 from the events changelog: one
+    validity interval per per-user event_type regime (consecutive repeats
+    collapse; NULL valid_to marks the current regime). See
+    operators/temporal.py:scd2_from_changelog for the single-shuffle,
+    shared-sort plan."""
+    e = table(spark, sf_dir, "events")
+    iv = scd2_from_changelog(
+        e.select("user_id", "ts", "event_id", "event_type"),
+        key="user_id",
+        order_col="ts",
+        attr_cols=["event_type"],
+        tiebreak="event_id",
+    )
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: real BMP decode end-to-end (rows-only: binary codec path)
+# ---------------------------------------------------------------------------
+
+@query("multimodal_bmp_features")
+def multimodal_bmp_features(spark, sf_dir):
+    """REAL 24-bit BMP codec end-to-end: deterministically synthesize an
+    8x8 BMP per document id (pure-numpy encoder), run the production
+    ``extract_features`` path with ``fake=False`` (magic-byte dispatch to
+    the real decoder), and emit scalar feature summaries.
+
+    No SQL oracle (binary image codec); the driver records the rows-only
+    check. Determinism is pixel-exact: payload bytes are a pure function of
+    media_id, so rows/values are stable across runs and engines.
+
+    Scale shape: generation and decode are both partition-local mapInPandas
+    (Arrow-batched, no shuffle); media bytes never leave their partition."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        extract_features,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 64)
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                px = (
+                    (np.arange(8 * 8 * 3, dtype=np.int64) * (int(i) + 3)) % 251
+                ).astype(np.uint8).reshape(8, 8, 3)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/bmp",
+                    "width": 8,
+                    "height": 8,
+                    "duration_ms": None,
+                }
+            )
+
+    media = d.mapInPandas(gen, MEDIA_SCHEMA)
+    feats = extract_features(media, fake=False)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 3).alias("f0"),
+        F.round(F.element_at("features", 8), 3).alias("f7"),
+        F.round(F.element_at("features", 16), 3).alias("f15"),
+    )

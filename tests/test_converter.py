@@ -192,3 +192,51 @@ def test_range_clustered_layout(spark, tmp_path):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next  # disjoint: file N's max <= file N+1's min
+
+
+def test_orc_target_roundtrip(spark, tmp_path):
+    """ORC sink is a real executable target (jars ship with Spark)."""
+    from evolution_spark.converter import Converter, Target
+    from evolution_spark.mocker import Mocker
+
+    sch = SCHEMA
+    flf = str(tmp_path / "m.flf")
+    Mocker(sch, 500, flf, seed=11).run(spark)
+    out = str(tmp_path / "out.orc")
+    Converter(flf, sch, out, target=Target.ORC).run(spark)
+    back = spark.read.schema(sch.to_spark_schema()).orc(out)
+    ref = Converter(flf, sch, str(tmp_path / "ref.parquet")).dataframe(spark)
+    assert back.count() == 500
+    assert back.exceptAll(ref).count() == 0 and ref.exceptAll(back).count() == 0
+
+
+def test_csv_target_roundtrip(spark, tmp_path):
+    """CSV sink writes header'd RFC-4180 text; explicit-schema read-back
+    recovers the exact typed rows."""
+    from evolution_spark.converter import Converter, Target
+    from evolution_spark.mocker import Mocker
+
+    sch = SCHEMA
+    flf = str(tmp_path / "m.flf")
+    Mocker(sch, 500, flf, seed=12).run(spark)
+    out = str(tmp_path / "out.csv")
+    Converter(flf, sch, out, target=Target.CSV).run(spark)
+    back = spark.read.schema(sch.to_spark_schema()).option("header", "true").csv(out)
+    ref = Converter(flf, sch, str(tmp_path / "ref.parquet")).dataframe(spark)
+    assert back.count() == 500
+    assert back.exceptAll(ref).count() == 0 and ref.exceptAll(back).count() == 0
+
+
+def test_avro_target_errors_without_connector(spark, tmp_path):
+    """spark-avro is not on this classpath: the avro target must fail with
+    the clear connector message (same gate as delta/iceberg)."""
+    import pytest
+
+    from evolution_spark.converter import Converter, Target
+    from evolution_spark.mocker import Mocker
+
+    sch = SCHEMA
+    flf = str(tmp_path / "m.flf")
+    Mocker(sch, 50, flf, seed=13).run(spark)
+    with pytest.raises(RuntimeError, match="avro sink requires"):
+        Converter(flf, sch, str(tmp_path / "o"), target=Target.AVRO).run(spark)

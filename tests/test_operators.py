@@ -307,3 +307,37 @@ def test_real_bmp_wav_codecs(spark):
     flat = decode_media(bmp, "image")
     pooled = flat[: (len(flat) // 16) * 16].reshape(16, -1).mean(axis=1)
     assert abs(feats[0].features[0] - float(pooled[0])) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_contiguous_fill(spark):
+    from evolution_spark.operators.curation import pack_sequences
+
+    rows = [("a", 1, 300), ("a", 2, 300), ("a", 3, 300), ("a", 4, 50), ("b", 1, 600)]
+    df = spark.createDataFrame(rows, "shard string, seq int, n_tokens int")
+    out = {
+        (r.shard, r.seq): r.pack_id
+        for r in pack_sequences(df, "n_tokens", 512, by="shard", order="seq").collect()
+    }
+    # offsets: a -> 0,300,600,900 // 512 = packs 0,0,1,1 ; b -> 0
+    assert out == {("a", 1): 0, ("a", 2): 0, ("a", 3): 1, ("a", 4): 1, ("b", 1): 0}
+
+
+def test_pack_sequences_deterministic_and_complete(spark):
+    from evolution_spark.operators.curation import pack_sequences
+    from evolution_spark.queries.base import table
+    import pyspark.sql.functions as F
+
+    d = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    a = pack_sequences(d, "n_tokens", 512, by="lang", order="doc_id")
+    b = pack_sequences(d, "n_tokens", 512, by="lang", order="doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # every doc assigned exactly one pack; packs are dense from 0 per shard
+    assert a.where("pack_id IS NULL").count() == 0
+    firsts = a.groupBy("lang").agg(F.min("pack_id").alias("m")).collect()
+    assert all(r.m == 0 for r in firsts)

@@ -140,3 +140,78 @@ def test_asof_without_by_warns(spark):
         w.simplefilter("always")
         asof_join(left, right, on="t")
         assert any("by" in str(c.message) for c in caught)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 from changelog
+# ---------------------------------------------------------------------------
+
+def test_scd2_collapses_consecutive_repeats(spark):
+    from evolution_spark.operators.temporal import scd2_from_changelog
+
+    rows = [
+        (1, 10, 100, "a"),
+        (1, 20, 101, "a"),   # no-op update: collapses into the first regime
+        (1, 30, 102, "b"),
+        (1, 40, 103, "a"),   # a reappears: NEW regime, not merged with row 1
+        (2, 10, 104, "x"),
+    ]
+    df = spark.createDataFrame(rows, "key int, ts int, seq int, status string")
+    out = scd2_from_changelog(df, "key", "ts", ["status"], tiebreak="seq")
+    got = sorted(
+        out.select("key", "status", "valid_from", "valid_to", "is_current").collect()
+    )
+    assert [tuple(r) for r in got] == [
+        (1, "a", 10, 30, False),
+        (1, "a", 40, None, True),
+        (1, "b", 30, 40, False),
+        (2, "x", 10, None, True),
+    ]
+
+
+def test_scd2_null_transitions_are_changes(spark):
+    from evolution_spark.operators.temporal import scd2_from_changelog
+
+    rows = [(1, 10, 1, "a"), (1, 20, 2, None), (1, 30, 3, None), (1, 40, 4, "a")]
+    df = spark.createDataFrame(rows, "key int, ts int, seq int, status string")
+    out = scd2_from_changelog(df, "key", "ts", ["status"], tiebreak="seq")
+    got = sorted(out.collect(), key=lambda r: r.valid_from)
+    assert [(r.status, r.valid_from, r.valid_to) for r in got] == [
+        ("a", 10, 20),
+        (None, 20, 40),  # the two consecutive NULL rows collapse
+        ("a", 40, None),
+    ]
+
+
+def test_scd2_intervals_tile_the_timeline(spark):
+    """Intervals per key are contiguous: each valid_to equals the next
+    valid_from, exactly one open (is_current) interval per key."""
+    from evolution_spark.operators.temporal import scd2_from_changelog
+
+    # events.ts is TIMESTAMP(NANOS): read via the queries helper
+    from evolution_spark.queries.base import table
+
+    e = table(spark, "/root/testdata/sf0.001", "events")
+    out = scd2_from_changelog(
+        e.select("user_id", "ts", "event_id", "event_type"),
+        key="user_id",
+        order_col="ts",
+        attr_cols=["event_type"],
+        tiebreak="event_id",
+    ).cache()
+    per_key = out.groupBy("user_id").count().collect()
+    assert len(per_key) > 0
+    import pyspark.sql.functions as F
+
+    open_per_key = out.where("is_current").groupBy("user_id").count().collect()
+    assert all(r["count"] == 1 for r in open_per_key)
+    # tiling: sort intervals per key, valid_to[i] == valid_from[i+1]
+    rows = out.orderBy("user_id", "valid_from").collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.user_id, []).append(r)
+    for ivs in by_key.values():
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+        assert ivs[-1].valid_to is None
+    out.unpersist()
