@@ -281,3 +281,36 @@ def test_connected_components_shuffles_only_labels(spark, sf_dir):
     df = QUERIES["dedup_cluster_components"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "text" not in plan.lower().replace("context", "")
+
+
+def test_contamination_bench_set_is_broadcast(spark, sf_dir):
+    """ngram_contamination: the benchmark gram set must arrive via
+    BroadcastHashJoin — the corpus side never shuffles gram text."""
+    plan = plan_of(spark, sf_dir, "ngram_contamination")
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere (corpus grams never co-partitioned by text)
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_metrics_two_shuffles_no_text(spark, sf_dir):
+    """repetition_metrics: exactly the two claimed hash-agg exchanges
+    ((doc_id, word) then doc_id), and the shuffled columns are tokens and
+    counters — never the document body."""
+    plan = plan_of(spark, sf_dir, "repetition_metrics")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, f"expected 2 shuffles, plan has {n_exchanges}"
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
+
+
+def test_quality_filter_is_shuffle_free(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "quality_filter_gopher")
+    assert "Exchange" not in plan, "quality gate must run at scan speed"
+
+
+def test_scd2_single_shuffle_shared_sort(spark, sf_dir):
+    """scd2: one exchange on the entity key; the two window passes reuse
+    one sort (no second Exchange, at most the sorts Catalyst keeps)."""
+    plan = plan_of(spark, sf_dir, "scd2_user_status")
+    assert plan.count("Exchange hashpartitioning") == 1
