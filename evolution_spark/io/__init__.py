@@ -1,5 +1,5 @@
 from evolution_spark.io.bucketed import read_table, write_bucketed
-from evolution_spark.io.clustered import write_range_clustered
+from evolution_spark.io.clustered import write_range_clustered, write_zorder_clustered
 from evolution_spark.io.flf import (
     encode_flf,
     parse_flf,
@@ -16,5 +16,6 @@ __all__ = [
     "write_ipc",
     "write_bucketed",
     "write_range_clustered",
+    "write_zorder_clustered",
     "read_table",
 ]

@@ -47,3 +47,75 @@ def write_range_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def _morton_interleave(cols, bits: int):
+    """Morton (Z-curve) bit-interleave of k pre-scaled integer columns:
+    bit i of column j lands at output bit i*k + j. Static expression tree
+    (k*bits OR/shift terms), fully inside codegen — no UDF."""
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            z = z.bitwiseOR(F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * k + j))
+    return z
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet Z-order-clustered on ``cluster_cols`` — the
+    multi-dimensional data-skipping layout (Delta/Iceberg ``OPTIMIZE
+    ZORDER`` equivalent, built from Spark primitives).
+
+    Range clustering gives perfect skipping on ONE key and none on the
+    others; interleaving the keys' bits on the Z space-filling curve makes
+    every file cover a small hyper-rectangle of the key space, so per-file
+    min/max footers stay tight on EVERY clustered column and a k-dimensional
+    box predicate prunes most files on each dimension.
+
+    Mechanics: each column is min-max scaled to a ``bits``-bit integer (one
+    scalar aggregate, broadcast back — no shuffle), the Morton code is a
+    static shift/OR expression tree, and the write is
+    ``repartitionByRange(z)`` + ``sortWithinPartitions(z)``. Two passes over
+    the data (stats + write) — the standard cost of any clustering rewrite.
+
+    Scale: the z-value shuffle is the only data movement; range boundaries
+    come from Spark's reservoir sampling, so files stay balanced under skew.
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(cluster_cols)
+    n = n_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"__mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__mx_{c}") for c in cols],
+    )
+    with_stats = df.crossJoin(F.broadcast(stats))
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+        scaled.append(
+            F.least(
+                F.floor((F.col(c).cast("double") - mn) / span * top).cast("long"),
+                F.lit(top).cast("long"),
+            )
+        )
+    z = _morton_interleave(scaled, bits)
+    (
+        with_stats.withColumn("__z", z)
+        .repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols])
+        .write.mode(mode)
+        .parquet(path)
+    )

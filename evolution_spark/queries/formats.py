@@ -98,3 +98,47 @@ def csv_roundtrip_orders(spark, sf_dir):
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("last_date"),
         F.max("o_orderstatus").alias("max_status"),
     )
+
+
+@query(
+    "zorder_cluster_scan",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem
+    WHERE l_orderkey % 10 < 3 AND l_partkey % 7 < 2
+    GROUP BY l_returnflag
+    """,
+)
+def zorder_cluster_scan(spark, sf_dir):
+    """lineitem -> Z-order-clustered parquet on (l_orderkey, l_partkey) ->
+    filtered scan -> aggregate; oracle runs the same predicate on the
+    original table, so the clustering rewrite is proven lossless. The layout
+    contract itself (tight 2-D footers, minority-overlap pruning) is proven
+    from footers in test_converter.py::test_zorder_clustered_2d_skipping."""
+    import os
+    import tempfile
+
+    from evolution_spark.io import write_zorder_clustered
+
+    li = table(spark, sf_dir, "lineitem")
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"evo_zorder_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_zorder_clustered(li, tmp, ["l_orderkey", "l_partkey"], n_files=8)
+    back = spark.read.parquet(tmp)
+    return (
+        back.where((F.col("l_orderkey") % 10 < 3) & (F.col("l_partkey") % 7 < 2))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "price_cents"
+            ),
+        )
+    )

@@ -240,3 +240,42 @@ def test_avro_target_errors_without_connector(spark, tmp_path):
     Mocker(sch, 50, flf, seed=13).run(spark)
     with pytest.raises(RuntimeError, match="avro sink requires"):
         Converter(flf, sch, str(tmp_path / "o"), target=Target.AVRO).run(spark)
+
+
+def test_zorder_clustered_2d_skipping(spark, tmp_path):
+    """write_zorder_clustered must make per-file footers tight on BOTH
+    clustered columns: a narrow single-dimension predicate overlaps only a
+    minority of files, whereas single-column range clustering on the OTHER
+    column cannot prune it at all. Proven from the written parquet footers."""
+    import glob
+
+    from evolution_spark.io import write_range_clustered, write_zorder_clustered
+
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    zdir, rdir = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zorder_clustered(df, zdir, ["l_orderkey", "l_partkey"], n_files=16)
+    write_range_clustered(df, rdir, "l_orderkey", n_files=16)
+
+    def file_ranges(path, col):
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            meta = pq.ParquetFile(f).metadata
+            idx = [meta.schema.column(i).name for i in range(meta.num_columns)].index(col)
+            stats = [meta.row_group(rg).column(idx).statistics for rg in range(meta.num_row_groups)]
+            out.append((min(s.min for s in stats), max(s.max for s in stats)))
+        return out
+
+    lo, hi = df.selectExpr("min(l_partkey)", "max(l_partkey)").first()
+    box_lo, box_hi = lo, lo + (hi - lo) // 10  # 10% partkey stripe
+
+    def overlapping(ranges):
+        return sum(1 for mn, mx in ranges if not (mx < box_lo or mn > box_hi))
+
+    z_ranges = file_ranges(zdir, "l_partkey")
+    r_ranges = file_ranges(rdir, "l_partkey")
+    assert len(z_ranges) >= 8 and len(r_ranges) >= 8
+    z_hit, r_hit = overlapping(z_ranges), overlapping(r_ranges)
+    # orderkey-range clustering leaves partkey footers wide open: no pruning
+    assert r_hit == len(r_ranges)
+    # z-order keeps partkey footers tight: most files pruned by the stripe
+    assert z_hit <= len(z_ranges) * 0.6, f"z-order pruned too little: {z_hit}/{len(z_ranges)}"
