@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "ngram_contamination",
     "pack_sequences_budget",
     "scd2_user_status",
+    "corpus_curation_pipeline",
 ]
 
 

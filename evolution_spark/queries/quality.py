@@ -76,11 +76,13 @@ def repetition_metrics(spark, sf_dir):
     duplicate-word fraction, most-frequent-word fraction, duplicate word
     3-gram fraction.
 
-    Plan: one narrow projection computes the per-doc scalars (word count,
-    distinct 3-gram count), explode carries them alongside each token, and
-    two hash-aggregations — (doc_id, word) then (doc_id) — produce every
-    metric in a single pipeline: 2 shuffles total, keys are (id, token),
-    document text never shuffles."""
+    Plan: ENTIRELY narrow — zero shuffles. The most-frequent-word count is
+    the maximum run length over the SORTED word array (``array_sort`` +
+    one ``aggregate`` fold per document, O(n log n) per doc inside
+    codegen), so no token ever leaves its scan partition; every other
+    metric is array arithmetic on the same row. At 100 TB this runs at
+    scan speed; the explode+groupBy formulation it replaces shuffled every
+    token twice (plan-gated: tests/test_plans.py asserts no Exchange)."""
     from evolution_spark.functions.text import word_shingles
 
     d = table(spark, sf_dir, "documents")
@@ -91,25 +93,35 @@ def repetition_metrics(spark, sf_dir):
         F.size(word_shingles(F.col("text"), 3)).alias("__d3"),
         F.greatest(F.size(w) - 2, F.lit(1)).alias("__t3"),
     )
-    tokens = base.select(
+    # max run length over the sorted array == max per-word count
+    top_cnt = F.aggregate(
+        F.array_sort("__w"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n = F.size("__w")
+    n_distinct = F.size(F.array_distinct("__w"))
+    return base.select(
         "doc_id",
-        F.explode("__w").alias("__word"),
-        F.size("__w").alias("__n"),
-        "__d3",
-        "__t3",
-    )
-    wc = tokens.groupBy("doc_id", "__word").agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        F.max("__n").alias("__n"),
-        F.max("__d3").alias("__d3"),
-        F.max("__t3").alias("__t3"),
-    )
-    return wc.groupBy("doc_id").agg(
-        F.max("__n").alias("n_words"),
-        F.count(F.lit(1)).alias("n_distinct_words"),
-        (F.lit(1.0) - F.count(F.lit(1)) * 1.0 / F.max("__n")).alias("dup_word_frac"),
-        (F.max("__cnt") * 1.0 / F.max("__n")).alias("top_word_frac"),
-        (F.lit(1.0) - F.max("__d3") * 1.0 / F.max("__t3")).alias("dup_3gram_frac"),
+        n.alias("n_words"),
+        n_distinct.cast("bigint").alias("n_distinct_words"),
+        (F.lit(1.0) - n_distinct * 1.0 / n).alias("dup_word_frac"),
+        (top_cnt * 1.0 / n).alias("top_word_frac"),
+        (F.lit(1.0) - F.col("__d3") * 1.0 / F.col("__t3")).alias("dup_3gram_frac"),
     )
 
 
@@ -190,22 +202,24 @@ def ngram_contamination(spark, sf_dir):
 
     Scale shape: the benchmark gram set is DISTINCT-reduced then BROADCAST —
     the 100 TB corpus side is explode + broadcast-hash-join + hash-agg on
-    doc_id, with no corpus shuffle on gram text. Benchmarks are small by
-    construction (eval suites, not corpora); if one weren't, the join falls
-    back to a sort-merge on the gram key."""
-    from evolution_spark.functions.text import word_shingles
+    doc_id, with no corpus shuffle on gram text. Grams join on a 60-bit
+    hash, not the string: the broadcast table and the join keys are 8-byte
+    ints (collision odds ~n_bench*n_doc_grams/2^60 — nil for any real eval
+    suite). Benchmarks are small by construction; if one weren't, the join
+    falls back to a sort-merge on the hash key."""
+    from evolution_spark.functions.text import hash60, word_shingles
 
     d = table(spark, sf_dir, "documents")
     grams = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("g")
-    )
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("__g")
+    ).select("doc_id", hash60(F.col("__g")).alias("__gh"))
     bench = (
         grams.where(F.col("doc_id") % 97 == 0)
-        .select("g")
+        .select("__gh")
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    joined = grams.join(F.broadcast(bench), "g", "left")
+    joined = grams.join(F.broadcast(bench), "__gh", "left")
     hit = F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
     hit_f = F.when(F.col("__hit").isNotNull(), 1.0).otherwise(0.0)
     return joined.groupBy("doc_id").agg(
@@ -364,4 +378,69 @@ def multimodal_bmp_features(spark, sf_dir):
         F.round(F.element_at("features", 1), 3).alias("f0"),
         F.round(F.element_at("features", 8), 3).alias("f7"),
         F.round(F.element_at("features", 16), 3).alias("f15"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (the user story, one query)
+# ---------------------------------------------------------------------------
+
+_HASH_SQL = "('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT"
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang, n_chars,
+             len({_WORDS_SQL}) AS n_words,
+             md5({_NORM_SQL}) AS fp
+      FROM documents
+      WHERE len({_WORDS_SQL}) BETWEEN 20 AND 100000
+        AND (length({_NORM_SQL}) - (len({_WORDS_SQL}) - 1)) * 1.0
+              / len({_WORDS_SQL}) BETWEEN 2 AND 10
+        AND 1.0 - len(list_distinct({_WORDS_SQL})) * 1.0 / len({_WORDS_SQL}) < 0.55
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY fp)
+    SELECT lang,
+           CASE WHEN {_HASH_SQL} % 100 < 90 THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM q JOIN keep USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    """The full curation pass in one declarative plan: quality gate (narrow
+    filter) -> exact near-dup removal (fingerprint group, min-id keeper,
+    semi-join back) -> deterministic train/test split (content hash) ->
+    per-(lang, split) accounting. Composes the quality, dedup, and split
+    primitives exactly as a production 100 TB pipeline chains them; one
+    scan, two hash shuffles (fingerprint, final group), no RNG anywhere."""
+    from evolution_spark.functions.text import fingerprint128, hash32, norm_text
+
+    d = table(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    n_words = F.size(w)
+    n_distinct = F.size(F.array_distinct(w))
+    mean_wl = (F.length(norm_text(F.col("text"))) - (n_words - 1)) * 1.0 / n_words
+    dup_frac = F.lit(1.0) - n_distinct * 1.0 / n_words
+    q = d.select(
+        "doc_id", "lang", "n_chars", n_words.alias("n_words"),
+        fingerprint128(F.col("text")).alias("__fp"),
+    ).where(
+        n_words.between(20, 100000)
+        & mean_wl.between(2, 10)
+        & (dup_frac < 0.55)
+    )
+    keep = q.groupBy("__fp").agg(F.min("doc_id").alias("doc_id")).drop("__fp")
+    dd = q.join(keep, "doc_id", "left_semi")
+    split = F.when(
+        hash32(F.col("doc_id").cast("string")) % 100 < 90, "train"
+    ).otherwise("test")
+    return dd.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
     )

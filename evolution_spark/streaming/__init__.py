@@ -1,4 +1,8 @@
-from evolution_spark.streaming.sinks import idempotent_parquet_sink
+from evolution_spark.streaming.sinks import (
+    idempotent_parquet_sink,
+    read_scd2_dimension,
+    scd2_upsert_sink,
+)
 from evolution_spark.streaming.flf_stream import (
     convert_flf_stream,
     enrich_events_with_dims,
@@ -26,4 +30,6 @@ __all__ = [
     "running_user_totals",
     "click_purchase_join",
     "idempotent_parquet_sink",
+    "read_scd2_dimension",
+    "scd2_upsert_sink",
 ]

@@ -41,3 +41,104 @@ def idempotent_parquet_sink(out_dir: str):
         batch_df.write.mode("overwrite").parquet(target)
 
     return _write
+
+
+def scd2_upsert_sink(
+    dim_dir: str,
+    key: str,
+    order_col: str,
+    attr_cols: list[str],
+    tiebreak: str,
+):
+    """Return a ``foreachBatch`` function that incrementally maintains an
+    SCD-type-2 dimension (``operators.temporal.scd2_from_changelog``
+    semantics) from a streaming changelog.
+
+    Layout (all idempotent under micro-batch replay):
+
+    * ``dim_dir/open/v=N`` — the open (is_current) intervals after batch N;
+      batch N+1 reads the latest ``v < N+1``. Size = one row per live key.
+    * ``dim_dir/closed/batch_id=N`` — intervals CLOSED during batch N,
+      append-only: history is never rewritten, so the per-batch write cost
+      is O(live keys + batch), not O(all history). Replaying batch N
+      overwrites exactly its own directories.
+
+    The full dimension = ``closed/*`` UNION ``open/v=latest``.
+
+    Merge: the previous open intervals re-enter the window as synthetic
+    changelog rows (ordered by their ``valid_from``, tiebreak -1 so they
+    sort before same-timestamp events), union the batch, re-run the
+    change-detection window per key. Keys untouched by the batch flow
+    through unchanged; a batch event with the same attributes as the open
+    regime collapses into it (keeping the original ``valid_from``).
+
+    Late data: events older than a key's open-interval start reorder only
+    the open regime; closed intervals are immutable. Bound lateness
+    upstream with ``withWatermark`` if the changelog can be disordered.
+
+    Scale: per batch, one shuffle of (live keys + batch rows) on ``key`` —
+    the incremental shape; nothing proportional to history size.
+    """
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from evolution_spark.operators.temporal import scd2_from_changelog
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        changelog = batch_df.select(key, order_col, tiebreak, *attr_cols)
+
+        versions = []
+        for p in _glob.glob(os.path.join(dim_dir, "open", "v=*")):
+            try:
+                v = int(p.rsplit("v=", 1)[1])
+            except ValueError:
+                continue
+            if v < batch_id:
+                versions.append(v)
+        if versions:
+            prev_open = spark.read.parquet(
+                os.path.join(dim_dir, "open", f"v={max(versions)}")
+            )
+            reentry = prev_open.select(
+                F.col(key),
+                F.col("valid_from").alias(order_col),
+                F.lit(-1).cast(changelog.schema[tiebreak].dataType).alias(tiebreak),
+                *[F.col(c) for c in attr_cols],
+            )
+            changelog = reentry.unionByName(changelog)
+
+        intervals = scd2_from_changelog(
+            changelog, key=key, order_col=order_col, attr_cols=attr_cols,
+            tiebreak=tiebreak,
+        )
+        newly_closed = intervals.where(~F.col("is_current"))
+        now_open = intervals.where(F.col("is_current"))
+        newly_closed.write.mode("overwrite").parquet(
+            os.path.join(dim_dir, "closed", f"batch_id={batch_id}")
+        )
+        now_open.write.mode("overwrite").parquet(
+            os.path.join(dim_dir, "open", f"v={batch_id}")
+        )
+
+    return _write
+
+
+def read_scd2_dimension(spark, dim_dir: str) -> DataFrame:
+    """Assemble the full SCD2 dimension maintained by ``scd2_upsert_sink``:
+    all closed intervals plus the latest open set."""
+    import glob as _glob
+
+    closed = sorted(_glob.glob(os.path.join(dim_dir, "closed", "batch_id=*")))
+    opens = sorted(
+        _glob.glob(os.path.join(dim_dir, "open", "v=*")),
+        key=lambda p: int(p.rsplit("v=", 1)[1]),
+    )
+    parts = closed + opens[-1:]
+    if not parts:
+        raise FileNotFoundError(f"no SCD2 state under {dim_dir}")
+    df = spark.read.parquet(parts[0])
+    for p in parts[1:]:
+        df = df.unionByName(spark.read.parquet(p))
+    return df

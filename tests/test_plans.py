@@ -292,16 +292,11 @@ def test_contamination_bench_set_is_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_repetition_metrics_two_shuffles_no_text(spark, sf_dir):
-    """repetition_metrics: exactly the two claimed hash-agg exchanges
-    ((doc_id, word) then doc_id), and the shuffled columns are tokens and
-    counters — never the document body."""
+def test_repetition_metrics_shuffle_free(spark, sf_dir):
+    """repetition_metrics: zero shuffles — every metric (including the
+    max-run-length top-word count) is computed narrow, per scan partition."""
     plan = plan_of(spark, sf_dir, "repetition_metrics")
-    n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges == 2, f"expected 2 shuffles, plan has {n_exchanges}"
-    for line in plan.splitlines():
-        if "Exchange hashpartitioning" in line:
-            assert "text" not in line
+    assert "Exchange" not in plan, "repetition metrics must run at scan speed"
 
 
 def test_quality_filter_is_shuffle_free(spark, sf_dir):

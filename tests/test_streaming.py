@@ -279,3 +279,66 @@ def test_idempotent_foreachbatch_sink(spark, stream_env, tmp_path):
     run_once()
     final = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert final == [1, 2, 3]
+
+
+def test_scd2_upsert_sink_incremental_equals_batch(spark, tmp_path):
+    """Incrementally maintained SCD2 (3 micro-batches) must equal one batch
+    scd2_from_changelog over the concatenated changelog; replaying a batch
+    must not change the result (idempotence)."""
+    from evolution_spark.operators.temporal import scd2_from_changelog
+    from evolution_spark.streaming.sinks import read_scd2_dimension, scd2_upsert_sink
+
+    dim = str(tmp_path / "dim")
+    batches = [
+        [(1, 10, 100, "a"), (2, 20, 101, "a"), (1, 30, 102, "b")],
+        [(1, 40, 103, "b"), (2, 50, 104, "c"), (3, 60, 105, "x")],
+        [(1, 70, 106, "a"), (3, 80, 107, "x"), (2, 90, 108, "a")],
+    ]
+    schema = "key int, ts int, seq int, status string"
+    sink = scd2_upsert_sink(dim, key="key", order_col="ts",
+                            attr_cols=["status"], tiebreak="seq")
+    for i, rows in enumerate(batches):
+        sink(spark.createDataFrame(rows, schema), i)
+    # replay batch 2 (at-least-once delivery) — must be a no-op
+    sink(spark.createDataFrame(batches[2], schema), 2)
+
+    got = read_scd2_dimension(spark, dim)
+    full = spark.createDataFrame([r for b in batches for r in b], schema)
+    want = scd2_from_changelog(full, "key", "ts", ["status"], tiebreak="seq")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # exactly one open interval per key
+    opens = got.where("is_current").groupBy("key").count().collect()
+    assert all(r["count"] == 1 for r in opens)
+
+
+def test_scd2_upsert_sink_from_real_stream(spark, stream_env, tmp_path):
+    """The sink under an actual readStream: file-source micro-batches of the
+    events schema maintain a user_id/event_type dimension."""
+    from evolution_spark.streaming.sinks import read_scd2_dimension, scd2_upsert_sink
+
+    src, ckpt, add_batch = stream_env
+    dim = str(tmp_path / "dim")
+    stream = read_event_stream(spark, src)
+    q = (
+        stream.writeStream.foreachBatch(
+            scd2_upsert_sink(dim, key="user_id", order_col="ts",
+                             attr_cols=["event_type"], tiebreak="event_id")
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        add_batch([(1, 0, 7, "view", 1.0), (2, 5, 7, "click", 2.0)])
+        q.processAllAvailable()
+        add_batch([(3, 10, 7, "click", 3.0), (4, 15, 7, "buy", 4.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = read_scd2_dimension(spark, dim)
+    rows = sorted(
+        got.select("event_type", "is_current").collect(), key=lambda r: r[0]
+    )
+    # view -> click (collapsed across batches) -> buy
+    assert [(r[0], r[1]) for r in rows] == [
+        ("buy", True), ("click", False), ("view", False),
+    ]
