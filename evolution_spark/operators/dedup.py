@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from evolution_spark.functions.text import (
     fingerprint128,
     hash32,
+    hash60,
     minhash_mix,
     simhash64,
     word_shingles,
@@ -151,23 +152,38 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over word shingles for pairs sharing a blocking key.
     The block key bounds the quadratic term; use minhash_lsh_candidates when
-    no natural blocking key exists."""
+    no natural blocking key exists.
+
+    Token-join formulation: each (id, gram-hash) explodes once, an
+    equi-join on (block, gram) plus a pair-count aggregation computes
+    |A∩B| directly — cost follows gram co-frequency (Σ c·(c−1)/2), not
+    all-pairs × set-size, and the join rows carry 8-byte hashes, never
+    gram text. Pairs sharing no gram (Jaccard 0) are correctly absent.
+    Skewed corpora with hot grams: salt the gram key (operators/skew.py)
+    or pre-drop stop-grams above a co-frequency cap."""
     sh = df.select(
         F.col(id_col), F.col(block_col).alias("__blk"),
         word_shingles(F.col(text_col), shingle_k).alias("__sh"),
     )
-    a = sh.select(
-        F.col(id_col).alias("id_a"), F.col("__blk").alias("__blk_a"), F.col("__sh").alias("__sa")
+    g = sh.select(
+        F.col(id_col), "__blk", F.explode("__sh").alias("__g")
+    ).select(F.col(id_col), "__blk", hash60(F.col("__g")).alias("__gh"))
+    a = g.select(F.col(id_col).alias("id_a"), "__blk", "__gh")
+    b = g.select(F.col(id_col).alias("id_b"), "__blk", "__gh")
+    inter = (
+        a.join(b, ["__blk", "__gh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
     )
-    b = sh.select(
-        F.col(id_col).alias("id_b"), F.col("__blk").alias("__blk_b"), F.col("__sh").alias("__sb")
+    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
+    joined = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb")), "id_b")
     )
-    inter = F.size(F.array_intersect("__sa", "__sb")) * 1.0
-    union = F.size("__sa") + F.size("__sb") - F.size(F.array_intersect("__sa", "__sb"))
-    return (
-        a.join(b, (F.col("__blk_a") == F.col("__blk_b")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+    jac = F.col("__i") * 1.0 / (F.col("__na") + F.col("__nb") - F.col("__i"))
+    return joined.select("id_a", "id_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
     )
 
 
