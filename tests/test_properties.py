@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis) for the composed operators whose edge
+cases are hard to enumerate by hand: as-of join vs pandas merge_asof, SCD2
+interval algebra, and sequence packing conservation.
+
+Each property runs a bounded number of examples (Spark jobs are ~0.5 s
+each); shrinking still produces minimal counterexamples on failure.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# changelog rows: (key, ts, seq, status) — seq unique per example via index
+_changelogs = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),     # key
+        st.integers(min_value=0, max_value=40),    # ts (collisions likely)
+        st.sampled_from(["a", "b", "c"]),          # status
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_changelogs)
+@settings(**_SETTINGS)
+def test_scd2_interval_algebra(spark, rows):
+    """For ANY changelog: per key, intervals tile the timeline (each
+    valid_to = next valid_from), exactly one open interval, consecutive
+    intervals differ in attrs, and the first interval starts at the key's
+    earliest event."""
+    from evolution_spark.operators.temporal import scd2_from_changelog
+
+    data = [(k, t, i, s) for i, (k, t, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "key int, ts int, seq int, status string")
+    out = scd2_from_changelog(df, "key", "ts", ["status"], tiebreak="seq").collect()
+
+    by_key: dict = {}
+    for r in sorted(out, key=lambda r: (r.key, r.valid_from, r.valid_to is None)):
+        by_key.setdefault(r.key, []).append(r)
+    first_ts = {}
+    for k, t, _i, _s in data:
+        first_ts[k] = min(first_ts.get(k, t), t)
+    for k, ivs in by_key.items():
+        assert ivs[0].valid_from == first_ts[k]
+        assert sum(1 for r in ivs if r.is_current) == 1
+        assert ivs[-1].valid_to is None and ivs[-1].is_current
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.status != b.status or a.valid_to is None
+
+
+_series = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),     # by key
+        st.integers(min_value=0, max_value=50),    # on value
+        st.integers(min_value=-5, max_value=5),    # payload
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(left=_series, right=_series, direction=st.sampled_from(["backward", "forward"]))
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
+    """asof_join must agree with pandas.merge_asof for any inputs whose
+    right side has unique (by, on) keys (pandas picks an arbitrary row on
+    exact duplicates; ours picks a deterministic one — so dedupe first)."""
+    from evolution_spark.operators.temporal import asof_join
+
+    rdedup = {}
+    for k, t, v in right:
+        rdedup[(k, t)] = v
+    right_rows = [(k, t, v) for (k, t), v in sorted(rdedup.items())]
+
+    ldf = spark.createDataFrame(
+        [(k, t, v) for k, t, v in left], "k int, t int, lv int"
+    )
+    rdf = spark.createDataFrame(right_rows, "k int, t int, rv int")
+    got = (
+        asof_join(ldf, rdf, on="t", by="k", direction=direction)
+        .select("k", "t", "lv", "rv")
+        .toPandas()
+        .sort_values(["k", "t", "lv"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+    lp = pd.DataFrame(left, columns=["k", "t", "lv"]).sort_values("t", kind="mergesort")
+    rp = pd.DataFrame(right_rows, columns=["k", "t", "rv"]).sort_values(
+        "t", kind="mergesort"
+    )
+    want = (
+        pd.merge_asof(lp, rp, on="t", by="k", direction=direction)
+        .sort_values(["k", "t", "lv"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    got_t = [tuple(None if pd.isna(x) else int(x) for x in row)
+             for row in got.itertuples(index=False)]
+    want_t = [tuple(None if pd.isna(x) else int(x) for x in row)
+              for row in want.itertuples(index=False)]
+    assert got_t == want_t
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=30),
+    budget=st.integers(min_value=1, max_value=400),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_conservation(spark, tokens, budget):
+    """Packing never loses or duplicates documents; pack ids are dense,
+    start at 0, and are monotone in document order; each document's pack is
+    exactly prefix_sum // budget."""
+    from evolution_spark.operators.curation import pack_sequences
+
+    rows = [("s", i, n) for i, n in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "shard string, seq int, n_tokens int")
+    out = sorted(
+        pack_sequences(df, "n_tokens", budget, by="shard", order="seq").collect(),
+        key=lambda r: r.seq,
+    )
+    assert len(out) == len(tokens)
+    prefix = 0
+    prev_pack = 0
+    for r in out:
+        assert r.pack_id == prefix // budget
+        assert r.pack_id >= prev_pack
+        prev_pack = r.pack_id
+        prefix += r.n_tokens
