@@ -18,7 +18,7 @@ import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import DateType, StructField, StructType, TimestampNTZType
 from pyspark.sql.window import Window
 
 
@@ -29,6 +29,7 @@ def asof_join(
     by: str | None = None,
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.on <= left.on`` (direction='backward'; 'forward' attaches the
@@ -49,6 +50,11 @@ def asof_join(
 
     ``by=None`` degenerates to a single global sort partition — fine for
     small reference tables, a scale hazard otherwise (a warning is issued).
+
+    ``tolerance`` (pandas ``merge_asof(tolerance=...)`` parity): a match
+    further than ``tolerance`` from the left timestamp (one-sided, in the
+    join direction) is discarded — the left row keeps NULL right columns.
+    Compared on ``on`` cast to double, so timestamps use SECONDS.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -64,6 +70,7 @@ def asof_join(
     out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols}
     payload_type = StructType(
         [StructField(c, right.schema[c].dataType, True) for c in right_cols]
+        + [StructField("__on", right.schema[on].dataType, True)]
     )
 
     l_tagged = left.select(
@@ -72,7 +79,9 @@ def asof_join(
         F.lit(None).cast(payload_type).alias("__r"),
         F.lit(None).cast("bigint").alias("__seq"),
     )
-    payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    payload = F.struct(
+        *[F.col(c).alias(c) for c in right_cols], F.col(on).alias("__on")
+    )
     key_cols = [F.col(on)] + ([F.col(by)] if by else [])
     r_tagged = right.select(
         *key_cols,
@@ -110,9 +119,24 @@ def asof_join(
         *[F.col(c) for c in unioned.columns if c not in ("__r", "__seq")],
         fill.alias("__f"),
     )
+    match = F.col("__f")
+    if tolerance is not None:
+        # timestamp_ntz/date have no direct numeric cast; route via timestamp
+        # (epoch seconds — the same session-tz shift applies to both sides,
+        # so the difference is unaffected)
+        def _secs(c, dtype):
+            if isinstance(dtype, (DateType, TimestampNTZType)):
+                c = c.cast("timestamp")
+            return c.cast("double")
+
+        gap = F.abs(
+            _secs(F.col(on), left.schema[on].dataType)
+            - _secs(match.getField("__on"), right.schema[on].dataType)
+        )
+        match = F.when(gap <= F.lit(float(tolerance)), match)
     return filled.where(F.col("__is_left") == 1).select(
         *[F.col(c) for c in left.columns],
-        *[F.col("__f").getField(c).alias(out_names[c]) for c in right_cols],
+        *[match.getField(c).alias(out_names[c]) for c in right_cols],
     )
 
 

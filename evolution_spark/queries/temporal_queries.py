@@ -88,3 +88,45 @@ def range_join_sessions(spark, sf_dir):
         F.count("event_id").alias("n_events"),
         (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value"),
     )
+
+
+@query(
+    "asof_join_tolerance",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           CASE WHEN o.odate >= e.ts - INTERVAL 7 DAY THEN o.o_orderkey END
+             AS orderkey
+    FROM (SELECT event_id, user_id, ts FROM events) e
+    ASOF LEFT JOIN (SELECT o_custkey, MAX(o_orderkey) AS o_orderkey,
+                           o_orderdate + INTERVAL 10220 DAY AS odate
+                    FROM orders GROUP BY o_custkey, odate) o
+      ON e.user_id = o.o_custkey AND e.ts >= o.odate
+    """,
+)
+def asof_join_tolerance(spark, sf_dir):
+    """asof_join_orders with a 7-day tolerance: a prior order further than
+    7 days before the event is no match (pandas merge_asof(tolerance=...)
+    semantics). Oracle: DuckDB native ASOF picks the nearest prior row,
+    then the CASE nulls matches outside the window — identical semantics
+    because nulling the NEAREST match implies no admissible match exists."""
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey"),
+        F.col("o_orderkey"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 10220 DAYS")).alias("odate"),
+    )
+    o1 = o.groupBy("o_custkey", "odate").agg(F.max("o_orderkey").alias("o_orderkey"))
+    joined = asof_join(
+        e.withColumnRenamed("ts", "t"),
+        o1.select(F.col("o_custkey").alias("user_id"), F.col("odate").alias("t"), "o_orderkey"),
+        on="t",
+        by="user_id",
+        tolerance=7 * 86400,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        F.col("o_orderkey").alias("orderkey"),
+    )

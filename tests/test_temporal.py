@@ -215,3 +215,32 @@ def test_scd2_intervals_tile_the_timeline(spark):
             assert a.valid_to == b.valid_from
         assert ivs[-1].valid_to is None
     out.unpersist()
+
+
+def test_asof_tolerance_discards_far_matches(spark):
+    from evolution_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 50)], "k int, t int"
+    )
+    right = spark.createDataFrame(
+        [(1, 95, "near"), (1, 120, "mid"), (2, 10, "far")], "k int, t int, v string"
+    )
+    out = {
+        (r.k, r.t): r.v
+        for r in asof_join(left, right, on="t", by="k", tolerance=10).collect()
+    }
+    # (1,100): match t=95, gap 5 <= 10 -> kept
+    # (1,200): nearest prior is t=120, gap 80 -> nulled
+    # (2,50): nearest prior t=10, gap 40 -> nulled
+    assert out == {(1, 100): "near", (1, 200): None, (2, 50): None}
+
+
+def test_asof_tolerance_forward(spark):
+    from evolution_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k int, t int")
+    right = spark.createDataFrame([(1, 104, "x")], "k int, t int, v string")
+    hit = asof_join(left, right, on="t", by="k", direction="forward", tolerance=5)
+    miss = asof_join(left, right, on="t", by="k", direction="forward", tolerance=3)
+    assert hit.first().v == "x" and miss.first().v is None
