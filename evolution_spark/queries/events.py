@@ -297,3 +297,87 @@ def changelog_compaction(spark, sf_dir):
         F.bool_or(F.col("event_type") == "purchase").alias("any_purchase"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ), per_session AS (
+      SELECT user_id, session_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM sessions GROUP BY user_id, session_id
+    ), flags AS (
+      SELECT COUNT(*) AS n_sessions,
+             CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                           THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                            AND t_purchase > t_click
+                           THEN 1 ELSE 0 END) AS BIGINT) AS s3
+      FROM per_session
+    )
+    SELECT 'all_sessions' AS stage, n_sessions AS n FROM flags
+    UNION ALL SELECT 'view', s1 FROM flags
+    UNION ALL SELECT 'view>click', s2 FROM flags
+    UNION ALL SELECT 'view>click>purchase', s3 FROM flags
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Session funnel view -> click -> purchase: a session reaches stage k
+    when the FIRST occurrence of each stage's event strictly follows the
+    previous stage's first occurrence (the standard first-touch funnel;
+    strict > keeps simultaneous events from double-counting and matches the
+    oracle's NULL-propagating comparison).
+
+    Plan: the gaps-and-islands sessionizer (one shuffle on user_id, two
+    windows over one sort) -> one hash-agg per session -> a scalar
+    aggregate broadcast into 4 output rows. Nothing in the plan grows with
+    history except the per-session agg."""
+    e = table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_type").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = e.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_order)
+            > 30 * 60 * 1_000_000,
+            1,
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(w_run))
+
+    def first_of(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    reach1 = F.col("t_view").isNotNull()
+    reach2 = reach1 & (F.col("t_click") > F.col("t_view"))
+    reach3 = reach2 & (F.col("t_purchase") > F.col("t_click"))
+    flags = per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(reach1.cast("int")).cast("bigint").alias("s1"),
+        F.sum(reach2.cast("int")).cast("bigint").alias("s2"),
+        F.sum(reach3.cast("int")).cast("bigint").alias("s3"),
+    )
+    return flags.selectExpr(
+        "stack(4, 'all_sessions', n_sessions, 'view', s1, "
+        "'view>click', s2, 'view>click>purchase', s3) AS (stage, n)"
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from evolution_spark.queries.base import query, table
 from evolution_spark.functions.text import (
@@ -545,3 +546,36 @@ def dedup_cluster_components(spark, sf_dir):
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     return dedup_clusters(pairs)
+
+
+@query(
+    "topk_frequent_words",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS word FROM documents
+    ), counts AS (
+      SELECT lang, word, COUNT(*) AS n FROM tok GROUP BY lang, word
+    ), ranked AS (
+      SELECT lang, word, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk
+      FROM counts
+    )
+    SELECT lang, word, n, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def topk_frequent_words(spark, sf_dir):
+    """Top-5 corpus vocabulary per language (frequency-ranked, word as the
+    deterministic tiebreak). Explode -> two-level hash-agg (map-side combine
+    collapses each partition's token stream to its distinct words before
+    the shuffle) -> per-lang top-k window over the tiny counts table. The
+    shuffled rows are (lang, word, partial count) — corpus text never
+    moves."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("word"))
+    counts = tok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("lang", "word", "n", "rk")
+    )
