@@ -8,6 +8,7 @@ from evolution_spark.operators.dedup import (
     simhash_near_dups,
 )
 from evolution_spark.operators.graph import connected_components, dedup_clusters
+from evolution_spark.operators.rank import ntile_from_rank, with_global_rank
 from evolution_spark.operators.similarity import cosine_topk, lsh_ann_topk
 from evolution_spark.operators.curation import (
     chunk_tokens,
@@ -19,6 +20,8 @@ from evolution_spark.operators.curation import (
 )
 
 __all__ = [
+    "ntile_from_rank",
+    "with_global_rank",
     "chunk_tokens",
     "dequantize_embeddings",
     "quantize_embeddings_int8",

@@ -1,0 +1,79 @@
+"""Distributed global ranking — the scalable replacement for
+``Window.orderBy(...)`` with no partition key, which funnels the entire
+dataset through ONE task (the single-partition-window anti-pattern).
+
+``with_global_rank`` computes the exact global rank of every row in a fully
+distributed plan:
+
+1. ``repartitionByRange`` on the order keys (Spark samples boundaries —
+   balanced output partitions) + ``sortWithinPartitions``.
+2. ``monotonically_increasing_id`` stamps each row with
+   ``partition_id * 2^33 + local_index`` — after the range sort the local
+   index IS the within-partition rank, with no extra window pass or
+   shuffle.
+3. Per-partition row counts (tiny: one row per partition) turn into prefix
+   offsets with one driver-free window over the counts table; a broadcast
+   join adds each partition's offset to its local index.
+
+Global rank = offset + local index + 1. The rank values are independent of
+where the sampled range boundaries land: boundaries only decide WHICH task
+computes a row's rank, never the rank itself, so the result is
+deterministic for unique order keys.
+
+From the exact rank (and the broadcast global count) every global
+order-statistic window function is closed-form: percent_rank, cume_dist
+(unique keys), and ntile with SQL's first-buckets-bigger fill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_PARTITION_ID_SHIFT = 33  # monotonically_increasing_id() = pid * 2^33 + idx
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Append the exact 1-based global rank under ``order_cols`` (which must
+    uniquely order rows — add a tiebreak column if they don't; with
+    duplicate keys the rank among equals is partition-placement-arbitrary).
+    """
+    n = n_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    parted = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    mid = parted.withColumn("__mid", F.monotonically_increasing_id())
+    pid = F.shiftrightunsigned("__mid", _PARTITION_ID_SHIFT)
+    idx = F.col("__mid").bitwiseAND(F.lit((1 << _PARTITION_ID_SHIFT) - 1))
+    stamped = mid.select("*", pid.alias("__pid"), idx.alias("__idx")).drop("__mid")
+
+    counts = stamped.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
+    )
+    # offsets has exactly n rows — the single-partition window above and the
+    # broadcast below cost O(n_partitions), never O(rows)
+    return (
+        stamped.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__off") + F.col("__idx") + 1))
+        .drop("__pid", "__idx", "__off")
+    )
+
+
+def ntile_from_rank(rank: Column, n_rows: Column, k: int) -> Column:
+    """SQL NTILE(k) from a precomputed global rank: the first ``n mod k``
+    buckets get ``ceil(n/k)`` rows, the rest ``floor(n/k)`` (first-buckets-
+    bigger, exactly Spark's/DuckDB's semantics)."""
+    q = F.floor(n_rows / k)
+    rem = n_rows % k
+    big = (q + 1) * rem  # rows covered by the bigger buckets
+    return F.when(
+        rank <= big, F.floor((rank - 1) / (q + 1)) + 1
+    ).otherwise(rem + F.floor((rank - 1 - big) / q) + 1).cast("int")

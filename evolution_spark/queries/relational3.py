@@ -251,16 +251,25 @@ def percentile_exact(spark, sf_dir):
 def window_ntile_dist(spark, sf_dir):
     """ntile / percent_rank / cume_dist over a fully tie-broken global
     ordering (orderkey disambiguates equal prices, keeping bucket membership
-    engine-independent)."""
-    from pyspark.sql.window import Window
+    engine-independent).
 
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    NOT a global Window.orderBy (single-partition funnel): the exact global
+    rank comes from operators/rank.with_global_rank (range repartition +
+    per-partition offsets, fully distributed), and all three order
+    statistics are closed-form from (rank, n): percent_rank=(r-1)/(n-1),
+    cume_dist=r/n (keys are unique), ntile via first-buckets-bigger fill.
+    The global row count broadcasts as a 1-row join."""
+    from evolution_spark.operators.rank import ntile_from_rank, with_global_rank
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = with_global_rank(o, ["o_totalprice", "o_orderkey"], rank_col="__r")
+    n_df = o.agg(F.count(F.lit(1)).alias("__n"))
+    r, n = F.col("__r"), F.col("__n")
+    return ranked.crossJoin(F.broadcast(n_df)).select(
         F.col("o_orderkey").alias("orderkey"),
-        F.ntile(4).over(w).alias("price_quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        ntile_from_rank(r, n, 4).alias("price_quartile"),
+        F.when(n > 1, (r - 1) / (n - 1)).otherwise(F.lit(0.0)).alias("pct_rank"),
+        (r / n).alias("cume"),
     )
 
 

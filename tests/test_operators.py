@@ -341,3 +341,43 @@ def test_pack_sequences_deterministic_and_complete(spark):
     assert a.where("pack_id IS NULL").count() == 0
     firsts = a.groupBy("lang").agg(F.min("pack_id").alias("m")).collect()
     assert all(r.m == 0 for r in firsts)
+
+
+# ---------------------------------------------------------------------------
+# Distributed global rank
+# ---------------------------------------------------------------------------
+
+def test_global_rank_is_exact_and_partition_invariant(spark):
+    from evolution_spark.operators.rank import with_global_rank
+
+    vals = [(i, (i * 37) % 101) for i in range(500)]  # unique scrambled keys
+    df = spark.createDataFrame(vals, "id int, key int")
+    for nparts in (1, 3, 16):
+        got = {
+            r.id: r.rank
+            for r in with_global_rank(
+                df, ["key", "id"], n_partitions=nparts
+            ).collect()
+        }
+        want = {
+            i: rk + 1
+            for rk, (i, _k) in enumerate(sorted(vals, key=lambda t: (t[1], t[0])))
+        }
+        assert got == want, f"nparts={nparts}"
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    """Closed-form ntile must equal Spark's own NTILE for many (n, k)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from evolution_spark.operators.rank import ntile_from_rank
+
+    for n, k in [(10, 4), (7, 3), (12, 5), (5, 5), (4, 7), (1, 3), (100, 8)]:
+        df = spark.range(1, n + 1).withColumnRenamed("id", "r")
+        w = Window.orderBy("r")
+        got = df.select(
+            "r", ntile_from_rank(F.col("r"), F.lit(n), k).alias("a"),
+            F.ntile(k).over(w).alias("b"),
+        ).where("a <> b").count()
+        assert got == 0, f"n={n} k={k}"

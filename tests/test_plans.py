@@ -309,3 +309,21 @@ def test_scd2_single_shuffle_shared_sort(spark, sf_dir):
     one sort (no second Exchange, at most the sorts Catalyst keeps)."""
     plan = plan_of(spark, sf_dir, "scd2_user_status")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ntile_dist_has_no_single_partition_window(spark, sf_dir):
+    """window_ntile_dist must compute global order statistics WITHOUT the
+    single-partition global-window funnel; the only SinglePartition
+    exchanges allowed are the O(n_partitions) offsets table and the 1-row
+    global count."""
+    plan = plan_of(spark, sf_dir, "window_ntile_dist")
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange SinglePartition" not in l:
+            continue
+        above = "".join(lines[max(0, i - 6):i])
+        assert "__cnt" in above or "count" in above or "HashAggregate" in above, (
+            "SinglePartition exchange feeds something other than the tiny "
+            f"offsets/count aggregates:\n{''.join(lines[max(0, i-6):i+1])}"
+        )
+    assert "rangepartitioning" in plan.lower()
