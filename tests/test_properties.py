@@ -138,3 +138,45 @@ def test_pack_sequences_conservation(spark, tokens, budget):
         assert r.pack_id >= prev_pack
         prev_pack = r.pack_id
         prefix += r.n_tokens
+
+
+# ---------------------------------------------------------------------------
+# Partition invariance: results must not depend on the cluster shape
+# ---------------------------------------------------------------------------
+
+_INVARIANCE_QUERIES = [
+    # every family with engineered determinism risk: window tie-breaks,
+    # greedy dedup, global rank, hash splits, as-of tie resolution, funnel
+    "q1_pricing_summary",
+    "window_row_number_latest",
+    "topk_per_group",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "window_ntile_dist",
+    "asof_join_orders",
+    "scd2_user_status",
+    "pack_sequences_budget",
+    "funnel_conversion",
+    "corpus_curation_pipeline",
+]
+
+
+@pytest.mark.parametrize("name", _INVARIANCE_QUERIES)
+def test_result_is_partition_invariant(spark, sf_dir, name):
+    """A 1000-executor cluster repartitions everything differently from
+    local[8]; a query whose RESULT depends on spark.sql.shuffle.partitions
+    is nondeterministic at scale. Run each engineered-determinism query
+    under two very different partition counts and require identical rows."""
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, q(spark, sf_dir).collect()), key=repr)
+        spark.conf.set("spark.sql.shuffle.partitions", "19")
+        b = sorted(map(tuple, q(spark, sf_dir).collect()), key=repr)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
