@@ -122,3 +122,52 @@ def ivf_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 8,
+    n_iters: int = 1,
+    scale: int = 1000,
+):
+    """Lloyd k-means refinement of the sampled centroids, on an INTEGER
+    grid so every step is exact cross-engine arithmetic (the float vectors
+    quantize to ``round(x*scale)`` longs; per-(cell, dim) means are exact
+    integer sums divided once, rounded back to the grid).
+
+    Per iteration: one narrow assignment pass (broadcast centroids, argmin
+    inside codegen — see ``assign_cells``), one explode + hash-agg on
+    (cell_id, dim) for the update (64·n rows of 3 longs — never the raw
+    vectors), and a k-row rebuild. Deterministic end-to-end: hash-sampled
+    init, lexicographic (dist, cell_id) argmin, fixed rounding; empty
+    cells drop out identically in any engine.
+
+    Returns ``(assignments, centroids)``: (id, cell_id, quantized vec) and
+    (cell_id, centroid) on the integer grid.
+    """
+    vi = F.transform(F.col(vec_col), lambda x: F.round(x * scale).cast("bigint"))
+    q = corpus.select(F.col(id_col), vi.alias("__vi"))
+    cents = sample_centroids(q, id_col, "__vi", n_cells)
+    for _ in range(n_iters):
+        assigned = assign_cells(q, cents, id_col, "__vi")
+        dims = assigned.select("cell_id", F.posexplode("__vi").alias("dim", "val"))
+        upd = (
+            dims.groupBy("cell_id", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cell_id",
+                "dim",
+                F.round(F.col("s") * 1.0 / F.col("n")).cast("bigint").alias("c"),
+            )
+        )
+        cents = (
+            upd.groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("__dc"))
+            .select(
+                "cell_id", F.transform("__dc", lambda t: t["c"]).alias("centroid")
+            )
+        )
+    assigned = assign_cells(q, cents, id_col, "__vi")
+    return assigned, cents

@@ -262,3 +262,84 @@ def jsonl_roundtrip_documents(spark, sf_dir):
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+@query(
+    "kmeans_cluster_summary",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(ROUND(x*1000) AS BIGINT)) AS vi
+      FROM embeddings
+    ), c0 AS (
+      SELECT ROW_NUMBER() OVER (
+               ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT,
+                        vec_id) AS cell_id,
+             vi AS cen
+      FROM v
+      ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT, vec_id
+      LIMIT 8
+    ), d1 AS (
+      SELECT v.vec_id, v.vi, c0.cell_id,
+             list_sum(list_transform(range(64),
+                      i -> (vi[i+1]-cen[i+1])*(vi[i+1]-cen[i+1]))) AS d2
+      FROM v CROSS JOIN c0
+    ), a1 AS (
+      SELECT vec_id, vi, cell_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cell_id) AS rk FROM d1
+      ) WHERE rk = 1
+    ), u1 AS (
+      SELECT cell_id, dim,
+             CAST(ROUND(SUM(val)*1.0/COUNT(*)) AS BIGINT) AS c
+      FROM (SELECT cell_id, i.i AS dim, vi[i.i+1] AS val
+            FROM a1, (SELECT unnest(range(64)) AS i) i)
+      GROUP BY cell_id, dim
+    ), c1 AS (
+      SELECT cell_id, list(c ORDER BY dim) AS cen FROM u1 GROUP BY cell_id
+    ), d2t AS (
+      SELECT v.vec_id, c1.cell_id,
+             list_sum(list_transform(range(64),
+                      i -> (vi[i+1]-cen[i+1])*(vi[i+1]-cen[i+1]))) AS d2
+      FROM v CROSS JOIN c1
+    ), a2 AS (
+      SELECT vec_id, cell_id, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cell_id) AS rk FROM d2t
+      ) WHERE rk = 1
+    )
+    SELECT a2.cell_id, COUNT(*) AS n_members,
+           CAST(SUM(d2) AS BIGINT) AS inertia,
+           MAX(c1.cen[1]) AS c0, MAX(c1.cen[2]) AS c1
+    FROM a2 JOIN c1 ON a2.cell_id = c1.cell_id
+    GROUP BY a2.cell_id
+    """,
+)
+def kmeans_cluster_summary(spark, sf_dir):
+    """One Lloyd iteration of k-means (k=8) over the embeddings on the
+    integer grid (operators/ivf.py:kmeans_refine): hash-sampled init ->
+    exact integer argmin assignment -> exact-mean centroid update -> final
+    assignment. Summary per cell: member count, exact integer inertia, the
+    first two centroid coordinates. Bit-exact vs the unrolled DuckDB CTE
+    chain because every step is integer arithmetic with one fixed-rounding
+    division."""
+    from evolution_spark.operators.ivf import kmeans_refine
+
+    e = table(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_refine(e, "vec_id", "embedding", n_cells=8, n_iters=1)
+    d2 = F.aggregate(
+        F.zip_with(F.col("__vi"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + x,
+    )
+    scored = assigned.join(cents, "cell_id").select("cell_id", d2.alias("__d2"))
+    summary = scored.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("__d2").alias("inertia"),
+    )
+    firsts = cents.select(
+        "cell_id",
+        F.element_at("centroid", 1).alias("c0"),
+        F.element_at("centroid", 2).alias("c1"),
+    )
+    return summary.join(firsts, "cell_id")

@@ -381,3 +381,37 @@ def test_ntile_from_rank_matches_sql_ntile(spark):
             F.ntile(k).over(w).alias("b"),
         ).where("a <> b").count()
         assert got == 0, f"n={n} k={k}"
+
+
+def test_kmeans_refine_reduces_inertia(spark):
+    """Each Lloyd iteration must not increase total inertia (assignment and
+    update are both argmin steps); empty cells may drop but every vector
+    stays assigned."""
+    import pyspark.sql.functions as F
+
+    from evolution_spark.operators.ivf import kmeans_refine
+    from evolution_spark.queries.base import table
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def inertia(n_iters):
+        assigned, cents = kmeans_refine(
+            e, "vec_id", "embedding", n_cells=8, n_iters=n_iters
+        )
+        d2 = F.aggregate(
+            F.zip_with(F.col("__vi"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda s, x: s + x,
+        )
+        j = assigned.join(cents, "cell_id")
+        total = j.agg(F.sum(d2).alias("i")).first().i
+        n_rows = assigned.count()
+        return total, n_rows
+
+    base = e.count()
+    i0, n0 = inertia(0)
+    i1, n1 = inertia(1)
+    i2, n2 = inertia(2)
+    assert n0 == n1 == n2 == base
+    assert i1 <= i0 and i2 <= i1
+    assert i1 < i0  # sampled init is far from optimal: one step must help
