@@ -381,3 +381,38 @@ def funnel_conversion(spark, sf_dir):
         "stack(4, 'all_sessions', n_sessions, 'view', s1, "
         "'view>click', s2, 'view>click>purchase', s3) AS (stage, n)"
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day FROM events
+      GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    distinct on each subsequent active day offset. Two shuffles (first-seen
+    per user, then the cohort/offset count-distinct); the firsts side is
+    user-keyed and joins back on user_id — broadcastable when the user
+    dimension is small, sort-merge otherwise (no forced hint)."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    j = e.join(firsts, "user_id")
+    return j.groupBy(
+        "cohort_day",
+        F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).alias("day_offset"),
+    ).agg(F.count_distinct("user_id").alias("active_users")).select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "active_users",
+    )

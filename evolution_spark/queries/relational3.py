@@ -460,3 +460,87 @@ def stats_corr_exact(spark, sf_dir):
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("corr_qty_price"),
     )
+
+
+@query(
+    "table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def table_profile(spark, sf_dir):
+    """Column profiler (the data-quality pass every ingestion pipeline runs
+    first): null count, exact distinct count, min/max per profiled column.
+    One scan computes all three columns' profiles (a single multi-distinct
+    aggregate — Spark expands it to one Expand + hash-agg, not three
+    scans); output is one row per column, stringified for a uniform
+    schema."""
+    o = table(spark, sf_dir, "orders")
+
+    def prof(c):
+        return [
+            F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = [a for c in cols for a in prof(c)]
+    one = o.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS (col, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+@query(
+    "equidepth_histogram",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM ranked GROUP BY bucket
+    """,
+)
+def equidepth_histogram(spark, sf_dir):
+    """Equi-depth (equal-count) histogram of order prices: 8 buckets with
+    near-equal populations and data-adaptive boundaries — the distribution
+    summary optimizers and skew detectors use. Built on the DISTRIBUTED
+    global rank (operators/rank.py, no single-partition window) + the
+    closed-form ntile; DuckDB's native NTILE is the oracle."""
+    from evolution_spark.operators.rank import ntile_from_rank, with_global_rank
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = with_global_rank(o, ["o_totalprice", "o_orderkey"], rank_col="__r")
+    n_df = o.agg(F.count(F.lit(1)).alias("__n"))
+    bucketed = ranked.crossJoin(F.broadcast(n_df)).select(
+        "o_totalprice",
+        ntile_from_rank(F.col("__r"), F.col("__n"), 8).alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
