@@ -60,6 +60,12 @@ BENCH_QUERIES = [
     "pack_sequences_budget",
     "scd2_user_status",
     "corpus_curation_pipeline",
+    # batch-7: clustering + distributed-rank analytics (round 2; new lines)
+    "kmeans_cluster_summary",
+    "equidepth_histogram",
+    "funnel_conversion",
+    "cohort_retention",
+    "dedup_ngram_jaccard",
 ]
 
 

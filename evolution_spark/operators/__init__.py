@@ -9,6 +9,12 @@ from evolution_spark.operators.dedup import (
 )
 from evolution_spark.operators.graph import connected_components, dedup_clusters
 from evolution_spark.operators.rank import ntile_from_rank, with_global_rank
+from evolution_spark.operators.temporal import (
+    asof_join,
+    range_join,
+    scd2_from_changelog,
+    sessionize,
+)
 from evolution_spark.operators.similarity import cosine_topk, lsh_ann_topk
 from evolution_spark.operators.curation import (
     chunk_tokens,
@@ -20,6 +26,10 @@ from evolution_spark.operators.curation import (
 )
 
 __all__ = [
+    "asof_join",
+    "range_join",
+    "scd2_from_changelog",
+    "sessionize",
     "ntile_from_rank",
     "with_global_rank",
     "chunk_tokens",

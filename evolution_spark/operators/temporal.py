@@ -205,3 +205,38 @@ def range_join(
         (F.col(left_point) >= F.col(right_start)) & (F.col(left_point) < F.col(right_end))
     )
     return joined.drop("__bin")
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    tiebreak: str | None = None,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Gaps-and-islands sessionization: number each ``key``'s events into
+    sessions split by inactivity longer than ``gap_minutes``.
+
+    One shuffle on ``key``, two window functions over one sort (lag marks
+    session starts, running sum numbers them) — the scalable batch
+    sessionizer; the streaming twin is ``session_window`` with a watermark
+    (streaming/events.py). Gap comparison is microsecond-exact
+    (``unix_micros``; a seconds cast would disagree with engines comparing
+    at full timestamp precision)."""
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w_order = Window.partitionBy(key).orderBy(*order)
+    marked = df.withColumn(
+        "__new_session",
+        F.when(
+            F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w_order)
+            > gap_minutes * 60 * 1_000_000,
+            1,
+        ).otherwise(0),
+    )
+    w_run = Window.partitionBy(key).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return marked.withColumn(out_col, F.sum("__new_session").over(w_run)).drop(
+        "__new_session"
+    )

@@ -244,3 +244,35 @@ def test_asof_tolerance_forward(spark):
     hit = asof_join(left, right, on="t", by="k", direction="forward", tolerance=5)
     miss = asof_join(left, right, on="t", by="k", direction="forward", tolerance=3)
     assert hit.first().v == "x" and miss.first().v is None
+
+
+def test_sessionize_gaps_and_islands(spark):
+    from evolution_spark.operators.temporal import sessionize
+
+    rows = [
+        (1, 0, 1), (1, 10, 2), (1, 50, 3),       # gap 40 > 30 -> new session
+        (1, 55, 4), (2, 0, 5),
+    ]
+    df = spark.createDataFrame(
+        [(k, __import__("datetime").datetime(2024, 1, 1, 0, m), i) for k, m, i in rows],
+        "k int, ts timestamp, seq int",
+    )
+    out = {
+        r.seq: r.session_id
+        for r in sessionize(df, "k", "ts", gap_minutes=30, tiebreak="seq").collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_sessionize_exact_gap_boundary(spark):
+    """A gap of exactly gap_minutes does NOT split (strictly-greater)."""
+    import datetime as _dt
+
+    from evolution_spark.operators.temporal import sessionize
+
+    df = spark.createDataFrame(
+        [(1, _dt.datetime(2024, 1, 1, 0, 0), 1), (1, _dt.datetime(2024, 1, 1, 0, 30), 2)],
+        "k int, ts timestamp, seq int",
+    )
+    out = {r.seq: r.session_id for r in sessionize(df, "k", "ts", 30, "seq").collect()}
+    assert out == {1: 0, 2: 0}
