@@ -20,6 +20,12 @@ Everything is a single ``select`` of JVM-side column expressions: shuffle-free,
 whole-stage-codegen'd, and scale-linear — one task per file split, no Python in
 the hot path.
 
+Compressed input: ``spark.read.text`` decompresses ``.gz``/``.bz2``/... FLF
+transparently (tested in test_flf.py). A gzip file is NOT splittable — one
+task per file — so large compressed drops should arrive as many files (or
+use a splittable codec); ``max_partition_bytes`` only affects uncompressed
+splits.
+
 Semantics divergences from the reference (documented per SURVEY.md §7):
 * Int parsing trims the *declared* pad symbol before the cast instead of
   scanning for the first sign+digit run (trimmer.rs:111-167), so digit pad

@@ -235,11 +235,26 @@ _RESIZE_SCHEMA = StructType(
 )
 
 
+def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for 24-bit BMP payloads (pure numpy):
+    decode -> index-map sample -> re-encode. The standard decimation/
+    upsample kernel; no interpolation library needed."""
+    px = decode_bmp(payload)  # (h, w, 3) uint8
+    src_h, src_w = px.shape[0], px.shape[1]
+    rows = (np.arange(height) * src_h // height).clip(0, src_h - 1)
+    cols = (np.arange(width) * src_w // width).clip(0, src_w - 1)
+    return encode_bmp(px[rows][:, cols])
+
+
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
-    """Image resize plumbing (STUB codec). With ``fake=True`` the payload is
-    re-hashed to the target size deterministically; a real deployment swaps
-    the inner function for PIL's ``Image.resize`` without touching the Spark
-    plumbing."""
+    """Image resize over Arrow-batched mapInPandas.
+
+    REAL for 24-bit BMP payloads when ``fake=False`` (magic-byte dispatch
+    to the pure-numpy nearest-neighbor ``resize_bmp``; the output payload
+    is itself a valid BMP). ``fake=True`` keeps the deterministic
+    byte-resample stub for formats whose codecs aren't in this container
+    (JPEG/PNG need PIL); swapping in a real library touches only the inner
+    function, never the Spark plumbing."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
@@ -249,7 +264,11 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> 
                 if payload is None:
                     out.append(None)
                     continue
-                raw = decode_media(bytes(payload), "image", fake=fake)
+                raw_bytes = bytes(payload)
+                if not fake and raw_bytes[:2] == b"BM":
+                    out.append(resize_bmp(raw_bytes, width, height))
+                    continue
+                raw = decode_media(raw_bytes, "image", fake=fake)
                 resized = np.resize(raw, target).astype(np.uint8)
                 out.append(resized.tobytes())
             yield pd.DataFrame(

@@ -246,3 +246,33 @@ def test_max_partition_bytes_controls_splits(spark, tmp_path):
     assert spark.conf.get("spark.sql.files.maxPartitionBytes") == prior
     n_default = read_flf(spark, p, sch).rdd.getNumPartitions()
     assert n_small > n_default  # ~13 splits at 16 KB vs 1 at 128 MB
+
+
+def test_gzipped_flf_input(spark, tmp_path):
+    """spark.read.text decompresses .gz FLF transparently, so compressed
+    fixed-width drops convert without any code path change. (A .gz file is
+    NOT splittable — one task per file — so compressed inputs should arrive
+    as many files; noted in io/flf.py.)"""
+    import glob
+    import gzip
+
+    from evolution_spark.converter import Converter
+    from evolution_spark.mocker import Mocker
+    from evolution_spark.schema import FixedSchema
+
+    sch = FixedSchema.from_dict(
+        {"name": "gz", "version": 1, "columns": [
+            {"name": "id", "offset": 0, "length": 10, "dtype": "Int64", "is_nullable": False},
+            {"name": "tag", "offset": 10, "length": 8, "dtype": "Utf8", "is_nullable": True}]}
+    )
+    plain = str(tmp_path / "plain.flf")
+    Mocker(sch, 200, plain, seed=5).run(spark)
+    gzdir = tmp_path / "gz"
+    gzdir.mkdir()
+    for i, part in enumerate(sorted(glob.glob(f"{plain}/part-*"))):
+        with open(part, "rb") as fin, gzip.open(gzdir / f"part-{i}.flf.gz", "wb") as fout:
+            fout.write(fin.read())
+    ref = Converter(plain, sch, "unused").dataframe(spark)
+    got = Converter(str(gzdir), sch, "unused").dataframe(spark)
+    assert got.count() == 200
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0

@@ -415,3 +415,33 @@ def test_kmeans_refine_reduces_inertia(spark):
     assert n0 == n1 == n2 == base
     assert i1 <= i0 and i2 <= i1
     assert i1 < i0  # sampled init is far from optimal: one step must help
+
+
+def test_resize_bmp_real_roundtrip(spark):
+    """resize_images(fake=False) on real BMP payloads: output is itself a
+    decodable BMP at the target size, nearest-neighbor exact (identity
+    resize returns identical pixels, 2x downsample picks every other
+    pixel)."""
+    import numpy as np
+
+    from evolution_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_bmp,
+        encode_bmp,
+        resize_bmp,
+        resize_images,
+    )
+
+    px = (np.arange(8 * 8 * 3, dtype=np.int64) % 251).astype(np.uint8).reshape(8, 8, 3)
+    payload = encode_bmp(px)
+    # identity
+    assert np.array_equal(decode_bmp(resize_bmp(payload, 8, 8)), px)
+    # 2x downsample = every other row/col
+    down = decode_bmp(resize_bmp(payload, 4, 4))
+    assert np.array_equal(down, px[::2][:, ::2])
+    # through the Spark plumbing
+    rows = [(1, "image", bytearray(payload), "image/bmp", 8, 8, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(df, 4, 4, fake=False).collect()[0]
+    assert np.array_equal(decode_bmp(bytes(out.payload)), px[::2][:, ::2])
+    assert (out.width, out.height) == (4, 4)
