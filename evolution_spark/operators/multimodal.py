@@ -170,6 +170,24 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return b"RIFF" + (4 + len(fmt) + len(data)).to_bytes(4, "little") + b"WAVE" + fmt + data
 
 
+def resample_wav(payload: bytes, target_rate: int) -> bytes:
+    """REAL sample-rate conversion for 16-bit PCM WAV (pure numpy): decode,
+    per-channel linear interpolation onto the target time grid, re-encode.
+    The standard audio-normalization step before feature extraction (e.g.
+    everything -> 16 kHz mono-friendly grids)."""
+    samples, rate = decode_wav(payload)
+    n_in = samples.shape[0]
+    n_out = max(1, round(n_in * target_rate / rate))
+    src_pos = np.arange(n_out) * (rate / target_rate)
+    grid = np.arange(n_in)
+    chans = [
+        np.interp(src_pos, grid, samples[:, c].astype(np.float64))
+        for c in range(samples.shape[1])
+    ]
+    out = np.stack(chans, axis=1)
+    return encode_wav(np.round(out).astype(np.int16), target_rate)
+
+
 def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Decode a media payload to a flat float32 sample array.
 

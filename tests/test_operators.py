@@ -445,3 +445,39 @@ def test_resize_bmp_real_roundtrip(spark):
     out = resize_images(df, 4, 4, fake=False).collect()[0]
     assert np.array_equal(decode_bmp(bytes(out.payload)), px[::2][:, ::2])
     assert (out.width, out.height) == (4, 4)
+
+
+def test_resample_wav_real():
+    """resample_wav: output decodes at the target rate with the expected
+    frame count; identity resample is lossless; a pure sine survives 2x
+    downsampling with low distortion."""
+    import numpy as np
+
+    from evolution_spark.operators.multimodal import decode_wav, encode_wav, resample_wav
+
+    t = np.arange(3200)
+    sine = (10000 * np.sin(2 * np.pi * 220 * t / 32000)).astype(np.int16)
+    payload = encode_wav(sine, 32000)
+
+    same, rate_same = decode_wav(resample_wav(payload, 32000))
+    assert rate_same == 32000 and np.array_equal(same[:, 0], sine)
+
+    down, rate_down = decode_wav(resample_wav(payload, 16000))
+    assert rate_down == 16000 and down.shape[0] == 1600
+    # 220 Hz is far below the new Nyquist: linear interp error stays small
+    expect = (10000 * np.sin(2 * np.pi * 220 * np.arange(1600) / 16000))
+    err = np.abs(down[:, 0].astype(np.float64) - expect).max()
+    assert err < 150  # < 1.5% of amplitude
+
+
+def test_resample_wav_stereo_shapes():
+    import numpy as np
+
+    from evolution_spark.operators.multimodal import decode_wav, encode_wav, resample_wav
+
+    stereo = np.stack(
+        [np.arange(100, dtype=np.int16), -np.arange(100, dtype=np.int16)], axis=1
+    )
+    payload = encode_wav(stereo, 8000)
+    up, rate = decode_wav(resample_wav(payload, 12000))
+    assert rate == 12000 and up.shape == (150, 2)
