@@ -147,7 +147,13 @@ def kmeans_refine(
     Returns ``(assignments, centroids)``: (id, cell_id, quantized vec) and
     (cell_id, centroid) on the integer grid.
     """
-    vi = F.transform(F.col(vec_col), lambda x: F.round(x * scale).cast("bigint"))
+    # the multiply must run in float64 on BOTH engines: float32 * int keeps
+    # float32 precision in Spark, and a product landing a half-ulp across
+    # the .5 grid rounds differently than DuckDB's float64 product (seen at
+    # sf0.1); float->double cast is exact, so double math is engine-neutral
+    vi = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("bigint")
+    )
     q = corpus.select(F.col(id_col), vi.alias("__vi"))
     cents = sample_centroids(q, id_col, "__vi", n_cells)
     for _ in range(n_iters):

@@ -269,7 +269,7 @@ def jsonl_roundtrip_documents(spark, sf_dir):
     oracle="""
     WITH v AS (
       SELECT vec_id,
-             list_transform(embedding, x -> CAST(ROUND(x*1000) AS BIGINT)) AS vi
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vi
       FROM embeddings
     ), c0 AS (
       SELECT ROW_NUMBER() OVER (
