@@ -343,3 +343,29 @@ def kmeans_cluster_summary(spark, sf_dir):
         F.element_at("centroid", 2).alias("c1"),
     )
     return summary.join(firsts, "cell_id")
+
+
+@query("theta_sketch_set_ops")  # no oracle: DataSketches estimates by design
+def theta_sketch_set_ops(spark, sf_dir):
+    """Theta sketches: the distinct-count algebra HLL cannot do. Per
+    event_type theta sketches of user_id support UNION (like HLL) and also
+    INTERSECTION — here: users who both viewed AND purchased, estimated
+    without ever materializing either user set. Sketches persist/re-merge
+    like the HLL rollup (one scan ever); estimate accuracy is tested
+    against exact counts in test_extensions.py. Driver records rows-only
+    (estimates are engine-specific by design)."""
+    e = table(spark, sf_dir, "events")
+    sketches = (
+        e.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    both = sketches.agg(
+        F.expr("theta_sketch_estimate(theta_intersection_agg(sk))").alias(
+            "users_view_and_purchase_est"
+        ),
+        F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias(
+            "users_view_or_purchase_est"
+        ),
+    )
+    return both

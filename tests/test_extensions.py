@@ -186,3 +186,49 @@ def test_udtf_kv_parser(spark):
         "LATERAL parse_kv_pairs(s) p"
     ).collect()
     assert sorted((r.key, r.value) for r in out) == [("a", "1"), ("b", "2"), ("c", "3")]
+
+
+def test_theta_sketch_set_ops_match_exact(spark):
+    """At test-SF cardinalities theta sketches run in exact mode: the
+    intersection/union estimates must equal the true distinct counts."""
+    import pyspark.sql.functions as F
+
+    from evolution_spark.queries import QUERIES
+    from evolution_spark.queries.base import table
+
+    sf = "/root/testdata/sf0.001"
+    est = QUERIES["theta_sketch_set_ops"](spark, sf).first()
+    e = table(spark, sf, "events")
+    viewers = {r.user_id for r in e.where("event_type = 'view'").select("user_id").distinct().collect()}
+    buyers = {r.user_id for r in e.where("event_type = 'purchase'").select("user_id").distinct().collect()}
+    assert round(est.users_view_and_purchase_est) == len(viewers & buyers)
+    assert round(est.users_view_or_purchase_est) == len(viewers | buyers)
+
+
+def test_count_min_sketch_binary_is_mergeable_and_bounded(spark):
+    """Spark's count_min_sketch aggregate yields a binary sketch the JVM
+    CountMinSketch class reads back: merged day-sketches never undercount
+    and overcount by at most eps*N — the mergeable heavy-hitter contract
+    (persist per-partition sketches, re-merge in O(sketch))."""
+    import pyspark.sql.functions as F
+
+    from evolution_spark.queries.base import table
+
+    e = table(spark, "/root/testdata/sf0.001", "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").alias("cms")
+    )
+    rows = daily.collect()
+    jvm = spark.sparkContext._jvm
+    merged = None
+    for r in rows:
+        bb = jvm.java.io.ByteArrayInputStream(bytes(r.cms))
+        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bb)
+        merged = sk if merged is None else merged.mergeInPlace(sk)
+    exact = {r.event_type: r.cnt for r in
+             e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    total = sum(exact.values())
+    for t, n in exact.items():
+        est = merged.estimateCount(t)
+        assert est >= n                      # CMS never undercounts
+        assert est <= n + 0.001 * total + 1  # eps * N bound
