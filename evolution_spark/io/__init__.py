@@ -1,5 +1,6 @@
 from evolution_spark.io.bucketed import read_table, write_bucketed
 from evolution_spark.io.clustered import write_range_clustered, write_zorder_clustered
+from evolution_spark.io.compact import compact_parquet
 from evolution_spark.io.flf import (
     encode_flf,
     parse_flf,
@@ -15,6 +16,7 @@ __all__ = [
     "write_flf",
     "write_ipc",
     "write_bucketed",
+    "compact_parquet",
     "write_range_clustered",
     "write_zorder_clustered",
     "read_table",

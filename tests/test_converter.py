@@ -279,3 +279,39 @@ def test_zorder_clustered_2d_skipping(spark, tmp_path):
     assert r_hit == len(r_ranges)
     # z-order keeps partkey footers tight: most files pruned by the stripe
     assert z_hit <= len(z_ranges) * 0.6, f"z-order pruned too little: {z_hit}/{len(z_ranges)}"
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """compact_parquet merges a fragmented table into few files, preserves
+    every row exactly, and swaps atomically (original path stays a valid
+    table)."""
+    from evolution_spark.io import compact_parquet
+
+    src = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS k")
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    before_rows = sorted(
+        (r.id, r.k) for r in spark.read.parquet(src).collect()
+    )
+    stats = compact_parquet(spark, src, target_file_mb=512)
+    after = spark.read.parquet(src)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] <= 2
+    assert sorted((r.id, r.k) for r in after.collect()) == before_rows
+
+
+def test_compact_parquet_sort_within_refreshes_footers(spark, tmp_path):
+    import glob
+
+    from evolution_spark.io import compact_parquet
+
+    src = str(tmp_path / "frag2")
+    spark.range(0, 5000).selectExpr("id", "(id * 37) % 5000 AS key").repartition(
+        16
+    ).write.parquet(src)
+    compact_parquet(spark, src, target_file_mb=512, sort_within=["key"])
+    for f in glob.glob(f"{src}/part-*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        idx = [meta.schema.column(i).name for i in range(meta.num_columns)].index("key")
+        mins = [meta.row_group(rg).column(idx).statistics.min for rg in range(meta.num_row_groups)]
+        assert mins == sorted(mins)  # sorted within file -> ordered row groups
