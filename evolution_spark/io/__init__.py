@@ -1,6 +1,6 @@
 from evolution_spark.io.bucketed import read_table, write_bucketed
 from evolution_spark.io.clustered import write_range_clustered, write_zorder_clustered
-from evolution_spark.io.compact import compact_parquet
+from evolution_spark.io.compact import compact_parquet, expire_partitions
 from evolution_spark.io.flf import (
     encode_flf,
     parse_flf,
@@ -17,6 +17,7 @@ __all__ = [
     "write_ipc",
     "write_bucketed",
     "compact_parquet",
+    "expire_partitions",
     "write_range_clustered",
     "write_zorder_clustered",
     "read_table",

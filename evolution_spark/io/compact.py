@@ -70,3 +70,34 @@ def compact_parquet(
         if f.endswith(".parquet")
     )
     return {"files_before": len(sizes), "files_after": n_after, "bytes": total}
+
+
+def expire_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keep_predicate,
+) -> dict:
+    """Retention/TTL maintenance for hive-partitioned tables: drop whole
+    partition DIRECTORIES whose value fails ``keep_predicate`` (a Python
+    callable on the partition's string value). Deletion is directory-level
+    — no data is read or rewritten, which is the only retention mechanism
+    that stays O(expired partitions) at 100 TB (a row-level delete would
+    rewrite the table).
+
+    Only values encoded in the directory name are consulted, so the op is
+    safe under concurrent reads of retained partitions. Returns
+    ``{"dropped": [values...], "kept": n}``.
+    """
+    prefix = f"{partition_col}="
+    dropped, kept = [], 0
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(prefix):
+            continue
+        value = entry[len(prefix):]
+        if keep_predicate(value):
+            kept += 1
+        else:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(value)
+    return {"dropped": dropped, "kept": kept}

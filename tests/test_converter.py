@@ -315,3 +315,23 @@ def test_compact_parquet_sort_within_refreshes_footers(spark, tmp_path):
         idx = [meta.schema.column(i).name for i in range(meta.num_columns)].index("key")
         mins = [meta.row_group(rg).column(idx).statistics.min for rg in range(meta.num_row_groups)]
         assert mins == sorted(mins)  # sorted within file -> ordered row groups
+
+
+def test_expire_partitions_directory_level(spark, tmp_path):
+    """expire_partitions drops failing partition dirs without touching
+    retained data; the table stays readable with partition pruning."""
+    from evolution_spark.io import expire_partitions
+
+    src = str(tmp_path / "part_table")
+    spark.range(0, 1000).selectExpr(
+        "id", "CAST(date_add('2024-01-01', CAST(id % 10 AS INT)) AS STRING) AS day"
+    ).write.partitionBy("day").parquet(src)
+    stats = expire_partitions(
+        spark, src, "day", lambda v: v >= "2024-01-05"
+    )
+    assert stats["dropped"] == [f"2024-01-0{i}" for i in range(1, 5)]
+    assert stats["kept"] == 6
+    back = spark.read.parquet(src)
+    assert back.count() == 600
+    # partition inference types day as DATE; compare its rendered form
+    assert str(back.selectExpr("min(day)").first()[0]) == "2024-01-05"
