@@ -335,3 +335,19 @@ def test_expire_partitions_directory_level(spark, tmp_path):
     assert back.count() == 600
     # partition inference types day as DATE; compare its rendered form
     assert str(back.selectExpr("min(day)").first()[0]) == "2024-01-05"
+
+
+def test_ipc_roundtrip_distributed(spark, tmp_path):
+    """write_ipc -> read_ipc round-trip: executor-side deserialization
+    recovers exactly the written rows (the full O12 IPC loop the reference
+    declared but never shipped)."""
+    from evolution_spark.io.ipc import read_ipc, write_ipc
+
+    df = spark.range(0, 5000).selectExpr("id", "CAST(id % 13 AS DOUBLE) AS v",
+                                         "CAST(id AS STRING) AS s")
+    out = str(tmp_path / "ipc_rt")
+    parts = write_ipc(df.repartition(6), out)
+    assert len(parts) == 6
+    back = read_ipc(spark, out, df.schema)
+    assert back.count() == 5000
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
