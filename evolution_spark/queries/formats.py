@@ -33,7 +33,8 @@ def _roundtrip(df, fmt: str, read_options: dict | None = None):
     repeated calls reuse one dir per format+plan to stay idempotent."""
     spark = df.sparkSession
     tmp = os.path.join(
-        tempfile.gettempdir(), f"evo_fmt_{fmt}_{abs(hash(df.schema.json())) % 10**8}"
+        tempfile.gettempdir(),
+        f"evo_fmt_{fmt}_{os.getpid()}_{abs(hash(df.schema.json())) % 10**8}"
     )
     shutil.rmtree(tmp, ignore_errors=True)
     writer = df.write.mode("overwrite")
@@ -126,7 +127,7 @@ def zorder_cluster_scan(spark, sf_dir):
 
     li = table(spark, sf_dir, "lineitem")
     tmp = os.path.join(
-        tempfile.gettempdir(), f"evo_zorder_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(), f"evo_zorder_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
     )
     shutil.rmtree(tmp, ignore_errors=True)
     write_zorder_clustered(li, tmp, ["l_orderkey", "l_partkey"], n_files=8)
