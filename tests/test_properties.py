@@ -159,6 +159,8 @@ _INVARIANCE_QUERIES = [
     "pack_sequences_budget",
     "funnel_conversion",
     "corpus_curation_pipeline",
+    "equidepth_histogram",
+    "kmeans_cluster_summary",
 ]
 
 

@@ -342,3 +342,34 @@ def test_scd2_upsert_sink_from_real_stream(spark, stream_env, tmp_path):
     assert [(r[0], r[1]) for r in rows] == [
         ("buy", True), ("click", False), ("view", False),
     ]
+
+
+def test_scd2_upsert_sink_late_event_rewrites_only_open_regime(spark, tmp_path):
+    """A late event older than a key's OPEN interval start reorders the open
+    regime (documented semantics) while closed intervals stay immutable."""
+    from evolution_spark.streaming.sinks import read_scd2_dimension, scd2_upsert_sink
+
+    dim = str(tmp_path / "dim")
+    schema = "key int, ts int, seq int, status string"
+    sink = scd2_upsert_sink(dim, key="key", order_col="ts",
+                            attr_cols=["status"], tiebreak="seq")
+    # batch 0: a@10 -> b@30  (a closes at 30, b open from 30)
+    sink(spark.createDataFrame([(1, 10, 100, "a"), (1, 30, 101, "b")], schema), 0)
+    closed_before = sorted(
+        (r.status, r.valid_from, r.valid_to)
+        for r in read_scd2_dimension(spark, dim).where("NOT is_current").collect()
+    )
+    # batch 1: late c@20 — older than the open b@30 but newer than closed a's
+    # start; it lands between the open re-entry (b@30) and nothing else, so
+    # the open-regime window re-sorts to c@20 -> b@30
+    sink(spark.createDataFrame([(1, 20, 102, "c")], schema), 1)
+    got = sorted(
+        (r.status, r.valid_from, r.valid_to, r.is_current)
+        for r in read_scd2_dimension(spark, dim).collect()
+    )
+    # closed history from batch 0 is untouched
+    assert closed_before == [("a", 10, 30)]
+    assert ("a", 10, 30, False) in got
+    # late c closed at 30 by b; b reopened from 30
+    assert ("c", 20, 30, False) in got
+    assert ("b", 30, None, True) in got
