@@ -544,3 +544,41 @@ def equidepth_histogram(spark, sf_dir):
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+@query(
+    "stats_mad_exact",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS rf,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x
+      FROM lineitem
+    ), m AS (
+      SELECT rf, quantile_cont(x, 0.5) AS med FROM c GROUP BY rf
+    )
+    SELECT c.rf AS returnflag,
+           MAX(m.med) / 100.0 AS median_price,
+           quantile_cont(ABS(c.x - m.med), 0.5) / 100.0 AS mad_price
+    FROM c JOIN m ON c.rf = m.rf
+    GROUP BY c.rf
+    """,
+)
+def stats_mad_exact(spark, sf_dir):
+    """Median absolute deviation per group — the robust dispersion measure
+    (outlier-proof where stddev is not). Two grouped exact percentiles in
+    integer-cents space: the per-group median broadcasts back (tiny side,
+    AQE picks broadcast), then the median of absolute deviations. Both
+    interpolated percentiles run over exact integers / exact halves, so
+    the doubles are bit-identical cross-engine (same discipline as
+    percentile_exact)."""
+    l = table(spark, sf_dir, "lineitem")
+    c = l.select(
+        F.col("l_returnflag").alias("rf"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("x"),
+    )
+    m = c.groupBy("rf").agg(F.expr("percentile(x, 0.5)").alias("med"))
+    j = c.join(m, "rf")
+    return j.groupBy(F.col("rf").alias("returnflag")).agg(
+        (F.max("med") / 100.0).alias("median_price"),
+        (F.expr("percentile(ABS(x - med), 0.5)") / 100.0).alias("mad_price"),
+    )
