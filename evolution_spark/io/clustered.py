@@ -89,10 +89,20 @@ def write_zorder_clustered(
 
     Scale: the z-value shuffle is the only data movement; range boundaries
     come from Spark's reservoir sampling, so files stay balanced under skew.
+
+    ``bits`` is clamped to ``63 // len(cluster_cols)`` so the interleaved
+    code never reaches bit 63 (the long sign bit) — an overflow there would
+    make high-key z-values negative and silently destroy locality for the
+    top of the key range (e.g. 4 columns at the default 16 bits).
     """
     from pyspark.sql import functions as F
 
     cols = list(cluster_cols)
+    if not cols:
+        raise ValueError("cluster_cols must be non-empty")
+    bits = min(bits, 63 // len(cols))
+    if bits < 1:
+        raise ValueError(f"too many cluster columns ({len(cols)}): need >=1 bit each")
     n = n_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"__mn_{c}") for c in cols],

@@ -7,9 +7,17 @@ unit; thousands of tiny files turn a 100 TB scan into a metadata storm).
 target: it sums the current file sizes from the filesystem (no data read),
 derives the output file count, and rewrites with ``coalesce`` (narrow, no
 shuffle) or ``repartition`` (when raising the file count or when output
-ordering should be randomized for balance). The rewrite is atomic-by-swap:
-written to a sibling temp dir, then moved over the original only after
-success, so readers never observe a half-compacted table.
+ordering should be randomized for balance). The rewrite is swap-based:
+written to a sibling temp dir, then swapped in via two renames. The swap
+is NOT atomic (POSIX has no two-path atomic swap short of renameat2): a
+crash between the renames, or a concurrent reader racing them, can observe
+a briefly-missing path. On failure mid-swap the original is renamed back so
+no committed data is lost; a production lake should layer a table format's
+commit protocol (Delta/Iceberg) on top for reader-visible atomicity.
+
+Hive-partitioned layouts (``col=value`` subdirectories) are rejected — a
+flat rewrite would silently demote partition columns to data columns.
+Compact each partition directory individually instead.
 
 The same pass optionally re-sorts within files (``sort_within``) so
 compaction doubles as a statistics refresh — tight min/max footers survive
@@ -39,6 +47,15 @@ def compact_parquet(
     of whole input files; pass ``sort_within`` to re-sort rows inside each
     output file (adds a local sort, still no shuffle).
     """
+    part_dirs = [
+        e for e in os.listdir(path)
+        if os.path.isdir(os.path.join(path, e)) and "=" in e and not e.startswith(".")
+    ]
+    if part_dirs:
+        raise ValueError(
+            f"{path} looks hive-partitioned ({part_dirs[0]}, ...): compact each "
+            "partition directory individually to preserve the partition columns"
+        )
     sizes = []
     for root, _dirs, files in os.walk(path):
         sizes += [
@@ -60,7 +77,11 @@ def compact_parquet(
     out.write.mode("overwrite").parquet(tmp)
     back = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, back)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(back, path)  # restore the original; compaction output kept in tmp
+        raise
     shutil.rmtree(back, ignore_errors=True)
 
     n_after = sum(

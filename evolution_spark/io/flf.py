@@ -234,33 +234,45 @@ def scoped_max_partition_bytes(spark: SparkSession, nbytes: int | None):
 # ---------------------------------------------------------------------------
 
 
-def _plain_float_udf(single_precision: bool):
+def _plain_float_expr(col: Column) -> Column:
     """Shortest-roundtrip *plain* decimal rendering of a float column
     (Rust ``Display`` parity: ``-652053955.456``, never ``-6.52E8``).
 
-    Arrow-batched pandas UDF; used only by ``float_format='plain'`` FLF
-    encodes — the default path stays JVM-side. NULLs are masked out by the
-    caller (pandas float series conflate NULL with NaN), so every value seen
-    here renders to text.
+    Pure JVM expression — no Python anywhere: the JVM's cast-to-string
+    already emits the shortest-roundtrip digits (Ryu/Grisu), just sometimes
+    in scientific notation; this expression re-positions the decimal point
+    with string ops, all inside whole-stage codegen. Precision (Float32 vs
+    Float64 shortest repr) comes from the column's own type, exactly as the
+    JVM cast renders it.
+
+    Mechanics: split ``dEe`` into sign, integer digits ``d``, fraction
+    digits ``f`` (trailing zeros trimmed — shortest repr only carries them
+    in the ``x.0`` integral case), exponent ``e``; the decimal point then
+    belongs after ``p = len(d) + e`` digits of ``d||f`` — pad with zeros on
+    whichever side ``p`` falls outside.
     """
-
-    @F.pandas_udf("string")
-    def fmt_series(s):  # type: ignore[misc]
-        import numpy as np
-
-        ftype = np.float32 if single_precision else np.float64
-
-        def fmt(f):
-            v = ftype(f)
-            if np.isnan(v):
-                return "NaN"
-            if np.isinf(v):
-                return "Infinity" if v > 0 else "-Infinity"
-            return np.format_float_positional(v, unique=True, trim="-")
-
-        return s.map(fmt)
-
-    return fmt_series
+    s = col.cast("string")
+    mant = F.split_part(s, F.lit("E"), F.lit(1))
+    exp = F.coalesce(
+        F.nullif(F.split_part(s, F.lit("E"), F.lit(2)), F.lit("")).cast("int"),
+        F.lit(0),
+    )
+    neg = mant.startswith("-")
+    m = F.when(neg, mant.substr(F.lit(2), F.length(mant))).otherwise(mant)
+    d = F.split_part(m, F.lit("."), F.lit(1))
+    f = F.regexp_replace(F.split_part(m, F.lit("."), F.lit(2)), "0+$", "")
+    digits = F.concat(d, f)
+    p = F.length(d) + exp  # digits left of the decimal point
+    n = F.length(digits)
+    body = (
+        F.when(p >= n, F.concat(digits, F.repeat(F.lit("0"), p - n)))
+        .when(p <= 0, F.concat(F.lit("0."), F.repeat(F.lit("0"), -p), digits))
+        .otherwise(
+            F.concat(digits.substr(F.lit(1), p), F.lit("."), digits.substr(p + 1, n))
+        )
+    )
+    plain = F.when(neg, F.concat(F.lit("-"), body)).otherwise(body)
+    return F.when(s.isin("NaN", "Infinity", "-Infinity"), s).otherwise(plain)
 
 
 def _value_as_text(col: Column, column: FixedColumn, float_format: str = "native") -> Column:
@@ -268,12 +280,11 @@ def _value_as_text(col: Column, column: FixedColumn, float_format: str = "native
     (Rust Display parity); NULL renders as the empty string (an all-pad field,
     which parses back to NULL). Floats: ``float_format='native'`` uses Spark's
     shortest cast-to-string (scientific notation at >=1e7); ``'plain'``
-    matches Rust's plain Display via a pandas UDF."""
+    matches Rust's plain Display via a codegen-resident string expression."""
     if column.dtype == "Boolean":
         text = F.when(col, F.lit("true")).when(~col, F.lit("false"))
     elif float_format == "plain" and column.dtype in ("Float16", "Float32", "Float64"):
-        udf = _plain_float_udf(column.dtype != "Float64")
-        text = F.when(col.isNotNull(), udf(col))
+        text = F.when(col.isNotNull(), _plain_float_expr(col))
     else:
         text = col.cast("string")
     return F.coalesce(text, F.lit(""))

@@ -158,9 +158,17 @@ def ngram_jaccard_pairs(
     equi-join on (block, gram) plus a pair-count aggregation computes
     |A∩B| directly — cost follows gram co-frequency (Σ c·(c−1)/2), not
     all-pairs × set-size, and the join rows carry 8-byte hashes, never
-    gram text. Pairs sharing no gram (Jaccard 0) are correctly absent.
+    gram text. Pairs sharing no gram (Jaccard 0) are never emitted — the
+    token join cannot see them — so ``threshold`` must be > 0; a caller
+    wanting the full block-pair matrix including zero-overlap pairs needs
+    the quadratic block crossJoin this formulation exists to avoid.
     Skewed corpora with hot grams: salt the gram key (operators/skew.py)
     or pre-drop stop-grams above a co-frequency cap."""
+    if threshold <= 0:
+        raise ValueError(
+            "threshold must be > 0: zero-overlap pairs are structurally absent "
+            "from the token-join formulation"
+        )
     sh = df.select(
         F.col(id_col), F.col(block_col).alias("__blk"),
         word_shingles(F.col(text_col), shingle_k).alias("__sh"),

@@ -145,12 +145,13 @@ def scd2_from_changelog(
     key: str,
     order_col: str,
     attr_cols: list[str],
-    tiebreak: str | None = None,
+    tiebreak: str | list[str] | None = None,
 ) -> DataFrame:
     """Build SCD-type-2 validity intervals from an append-only changelog.
 
-    For each ``key``, order events by ``order_col`` (plus ``tiebreak`` for
-    determinism on timestamp ties), drop consecutive rows whose ``attr_cols``
+    For each ``key``, order events by ``order_col`` (plus ``tiebreak`` — a
+    column or list of columns — for determinism on timestamp ties), drop
+    consecutive rows whose ``attr_cols``
     are unchanged (no-op updates), and emit one row per attribute regime:
     ``valid_from`` = the change's timestamp, ``valid_to`` = the next change's
     timestamp (NULL while current), ``is_current``.
@@ -160,7 +161,8 @@ def scd2_from_changelog(
     compares a struct of the attributes against its lag — NULL-safe via
     eqNullSafe, so NULL->value and value->NULL transitions are real changes.
     """
-    order = [F.col(order_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    ties = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
+    order = [F.col(order_col).asc()] + [F.col(t).asc() for t in ties]
     w = Window.partitionBy(key).orderBy(*order)
     attrs = F.struct(*[F.col(c) for c in attr_cols])
     changed = ~attrs.eqNullSafe(F.lag(attrs, 1).over(w))
@@ -221,16 +223,18 @@ def sessionize(
     One shuffle on ``key``, two window functions over one sort (lag marks
     session starts, running sum numbers them) — the scalable batch
     sessionizer; the streaming twin is ``session_window`` with a watermark
-    (streaming/events.py). Gap comparison is microsecond-exact
-    (``unix_micros``; a seconds cast would disagree with engines comparing
-    at full timestamp precision)."""
+    (streaming/events.py). Gap comparison is microsecond-exact and NTZ-safe
+    (``micros_since_epoch``; a seconds cast would disagree with engines
+    comparing at full timestamp precision)."""
+    from evolution_spark.functions.time import micros_since_epoch
+
     order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
     w_order = Window.partitionBy(key).orderBy(*order)
+    us = micros_since_epoch(df, ts_col)
     marked = df.withColumn(
         "__new_session",
         F.when(
-            F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w_order)
-            > gap_minutes * 60 * 1_000_000,
+            us - F.lag(us).over(w_order) > gap_minutes * 60 * 1_000_000,
             1,
         ).otherwise(0),
     )

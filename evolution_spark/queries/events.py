@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from evolution_spark.functions.time import micros_since_epoch
 from evolution_spark.queries.base import query, table
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -178,13 +179,13 @@ def session_window_gaps(spark, sf_dir):
     w_run = Window.partitionBy("user_id").orderBy("ts", "value").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    # unix_micros: microsecond-exact gap comparison (cast('long') truncates to
-    # seconds, which would disagree with the oracle's INTERVAL comparison)
+    # micros_since_epoch: microsecond-exact, NTZ-safe gap comparison (a
+    # seconds cast would disagree with the oracle's INTERVAL comparison)
+    us = micros_since_epoch(e, "ts")
     marked = e.withColumn(
         "new_session",
         F.when(
-            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_order)
-            > 30 * 60 * 1_000_000,
+            us - F.lag(us).over(w_order) > 30 * 60 * 1_000_000,
             1,
         ).otherwise(0),
     )
@@ -289,7 +290,7 @@ def changelog_compaction(spark, sf_dir):
     At 100 TB this is the CDC-merge primitive: compacting an append-only
     event log to current state without sorting the log."""
     e = table(spark, sf_dir, "events")
-    key = F.format_string("%020d|%012d", F.unix_micros("ts"), F.col("event_id"))
+    key = F.format_string("%020d|%012d", micros_since_epoch(e, "ts"), F.col("event_id"))
     return e.groupBy("user_id").agg(
         F.max_by("event_type", key).alias("last_type"),
         F.max_by("value", key).alias("last_value"),
@@ -303,13 +304,13 @@ def changelog_compaction(spark, sf_dir):
     "funnel_conversion",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts, event_type,
+      SELECT user_id, ts, event_id, event_type,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
       FROM events
     ), sessions AS (
       SELECT user_id, ts, event_type,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_type
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     ), per_session AS (
@@ -347,14 +348,17 @@ def funnel_conversion(spark, sf_dir):
     history except the per-session agg."""
     e = table(spark, sf_dir, "events")
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_run = Window.partitionBy("user_id").orderBy("ts", "event_type").rowsBetween(
+    # Both windows order by (ts, event_id) — a total order per user — so the
+    # running sum is tie-independent and matches the oracle bit-for-bit even
+    # with duplicate (user_id, ts, event_type) rows.
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    us = micros_since_epoch(e, "ts")
     marked = e.withColumn(
         "new_session",
         F.when(
-            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_order)
-            > 30 * 60 * 1_000_000,
+            us - F.lag(us).over(w_order) > 30 * 60 * 1_000_000,
             1,
         ).otherwise(0),
     )

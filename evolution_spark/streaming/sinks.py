@@ -66,9 +66,12 @@ def scd2_upsert_sink(
     The full dimension = ``closed/*`` UNION ``open/v=latest``.
 
     Merge: the previous open intervals re-enter the window as synthetic
-    changelog rows (ordered by their ``valid_from``, tiebreak -1 so they
-    sort before same-timestamp events), union the batch, re-run the
-    change-detection window per key. Keys untouched by the batch flow
+    changelog rows ordered by their ``valid_from``; an explicit synthetic
+    rank column (0 for reentry rows, 1 for batch events, sorted before the
+    user tiebreak) guarantees reentry rows sort first on timestamp ties for
+    ANY tiebreak value or type — no assumption that real tiebreaks are
+    non-negative. Union the batch, re-run the change-detection window per
+    key. Keys untouched by the batch flow
     through unchanged; a batch event with the same attributes as the open
     regime collapses into it (keeping the original ``valid_from``).
 
@@ -87,7 +90,9 @@ def scd2_upsert_sink(
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        changelog = batch_df.select(key, order_col, tiebreak, *attr_cols)
+        changelog = batch_df.select(key, order_col, tiebreak, *attr_cols).withColumn(
+            "__synth_rank", F.lit(1)
+        )
 
         versions = []
         for p in _glob.glob(os.path.join(dim_dir, "open", "v=*")):
@@ -104,14 +109,14 @@ def scd2_upsert_sink(
             reentry = prev_open.select(
                 F.col(key),
                 F.col("valid_from").alias(order_col),
-                F.lit(-1).cast(changelog.schema[tiebreak].dataType).alias(tiebreak),
+                F.lit(None).cast(changelog.schema[tiebreak].dataType).alias(tiebreak),
                 *[F.col(c) for c in attr_cols],
-            )
+            ).withColumn("__synth_rank", F.lit(0))
             changelog = reentry.unionByName(changelog)
 
         intervals = scd2_from_changelog(
             changelog, key=key, order_col=order_col, attr_cols=attr_cols,
-            tiebreak=tiebreak,
+            tiebreak=["__synth_rank", tiebreak],
         )
         newly_closed = intervals.where(~F.col("is_current"))
         now_open = intervals.where(F.col("is_current"))
