@@ -146,6 +146,12 @@ def kmeans_refine(
 
     Returns ``(assignments, centroids)``: (id, cell_id, quantized vec) and
     (cell_id, centroid) on the integer grid.
+
+    Lineage bound: each iteration stacks an assignment + two aggregations
+    onto the centroid plan, so deep refinement would grow the DAG without
+    bound; every 4th iteration the k-row centroid frame is
+    ``localCheckpoint``-ed (same remedy as graph.py's label propagation),
+    keeping plan depth O(1) for any ``n_iters``.
     """
     # the multiply must run in float64 on BOTH engines: float32 * int keeps
     # float32 precision in Spark, and a product landing a half-ulp across
@@ -156,7 +162,11 @@ def kmeans_refine(
     )
     q = corpus.select(F.col(id_col), vi.alias("__vi"))
     cents = sample_centroids(q, id_col, "__vi", n_cells)
-    for _ in range(n_iters):
+    for it in range(n_iters):
+        if it and it % 4 == 0:
+            # truncate lineage: cents is k rows, so the checkpoint is
+            # k * dim longs — O(centroids), never the corpus
+            cents = cents.localCheckpoint(eager=True)
         assigned = assign_cells(q, cents, id_col, "__vi")
         dims = assigned.select("cell_id", F.posexplode("__vi").alias("dim", "val"))
         upd = (

@@ -481,3 +481,40 @@ def test_resample_wav_stereo_shapes():
     payload = encode_wav(stereo, 8000)
     up, rate = decode_wav(resample_wav(payload, 12000))
     assert rate == 12000 and up.shape == (150, 2)
+
+
+def test_kmeans_refine_deep_iters_checkpoint_invariant(spark):
+    """n_iters past the localCheckpoint cadence (every 4th iteration) must
+    produce the same centroids as the logical plan would without
+    truncation: checkpointing is a lineage optimization, not a semantic
+    change — verified by monotone non-increasing inertia through the
+    checkpoint boundary and exact determinism across two runs."""
+    import pyspark.sql.functions as F
+
+    from evolution_spark.operators.ivf import kmeans_refine
+    from evolution_spark.queries.base import table
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def run(n_iters):
+        assigned, cents = kmeans_refine(
+            e, "vec_id", "embedding", n_cells=8, n_iters=n_iters
+        )
+        rows = sorted(
+            (r.cell_id, tuple(r.centroid)) for r in cents.collect()
+        )
+        d2 = F.aggregate(
+            F.zip_with(F.col("__vi"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda s, x: s + x,
+        )
+        inertia = (
+            assigned.join(cents, "cell_id").agg(F.sum(d2).alias("i")).first().i
+        )
+        return rows, inertia
+
+    c5a, i5 = run(5)
+    c5b, _ = run(5)
+    assert c5a == c5b  # deterministic through the checkpoint
+    _, i2 = run(2)
+    assert i5 <= i2  # refinement kept improving across the boundary
