@@ -39,6 +39,69 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
+def dedup_repeated_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Corpus-wide repeated-span removal: split every document into
+    consecutive ``chunk_words``-word chunks, keep only the FIRST occurrence
+    of each distinct chunk (ordered by ``(id, chunk_idx)``), and rebuild
+    documents from their surviving chunks in order. The span-level analogue
+    of ``dedup_exact`` — the curation step that strips boilerplate
+    (headers, license blocks, navigation text) repeated across documents
+    while keeping each document's unique content. Documents whose every
+    chunk was seen earlier vanish (their rebuilt text would be empty).
+
+    Scale (100 TB): winner election is a hash-groupBy of narrow rows
+    (two independent 64-bit chunk hashes — 2^-128 collision odds, same
+    contract as ``dedup_exact`` — plus id + index), so map-side partial
+    aggregation collapses hot chunks BEFORE the shuffle: a chunk repeated
+    a million times contributes one row per map task, not a million-row
+    window partition. Chunk text crosses the wire only in the two
+    reassembly shuffles (semi-join of winners, groupBy id), each carrying
+    every surviving chunk exactly once.
+
+    Returns ``(id_col, dedup_text)``.
+    """
+    k = chunk_words
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * k + 1, F.lit(k)), " "),
+    )
+    chunks = df.where(F.size(words) > 0).select(
+        F.col(id_col), F.posexplode(chunk_arr).alias("chunk_idx", "chunk")
+    )
+    keyed = chunks.select(
+        id_col,
+        "chunk_idx",
+        F.xxhash64("chunk").alias("__h1"),
+        F.xxhash64(F.lit(1), F.col("chunk")).alias("__h2"),
+    )
+    winners = (
+        keyed.groupBy("__h1", "__h2")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("chunk_idx").alias("x"))
+            ).alias("__w")
+        )
+        .select(F.col("__w.i").alias(id_col), F.col("__w.x").alias("chunk_idx"))
+    )
+    kept = chunks.join(winners, [id_col, "chunk_idx"], "left_semi")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda t: t["chunk"],
+            ),
+            " ",
+        ).alias("dedup_text")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash-LSH near-dedup
 # ---------------------------------------------------------------------------

@@ -204,6 +204,31 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_repeated_chunks",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    c AS (SELECT doc_id, CAST(t.i AS INT) AS chunk_idx,
+                 array_to_string(words[t.i*10+1 : t.i*10+10], ' ') AS chunk
+          FROM w CROSS JOIN UNNEST(range(CAST(ceil(len(words)/10.0) AS BIGINT))) AS t(i)),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk
+                                       ORDER BY doc_id, chunk_idx) AS rn FROM c)
+    SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS dedup_text
+    FROM r WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def dedup_repeated_chunks(spark, sf_dir):
+    """Repeated-span removal (10-word chunks, first occurrence wins): the
+    boilerplate-stripping curation pass. Winner election aggregates narrow
+    hash rows with map-side combine (hot spans collapse before the
+    shuffle); see operators/dedup.dedup_repeated_chunks for the scale
+    contract."""
+    from evolution_spark.operators.dedup import dedup_repeated_chunks as op
+
+    d = table(spark, sf_dir, "documents")
+    return op(d, "text", "doc_id", chunk_words=10)
+
+
 # ---------------------------------------------------------------------------
 # MinHash-LSH near-duplicate detection
 # ---------------------------------------------------------------------------
