@@ -327,3 +327,17 @@ def test_ntile_dist_has_no_single_partition_window(spark, sf_dir):
             f"offsets/count aggregates:\n{''.join(lines[max(0, i-6):i+1])}"
         )
     assert "rangepartitioning" in plan.lower()
+
+
+def test_dedup_repeated_chunks_partial_agg_no_python(spark, sf_dir):
+    """Winner election must be a hash aggregate with map-side combine
+    (partial_min before the exchange), the keep-set must re-enter via a
+    LeftSemi join, and nothing in the pipeline may fall back to Python
+    evaluation (pure built-in expressions end to end)."""
+    plan = plan_of(spark, sf_dir, "dedup_repeated_chunks")
+    assert "partial_min" in plan  # hot chunks collapse before the shuffle
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # no window operator anywhere: a row_number-over-chunk formulation would
+    # build one unbounded partition per hot span
+    assert "Window" not in plan
