@@ -253,3 +253,105 @@ def embedding_centroid_distance(spark, sf_dir):
         .groupBy("vec_id", "label")
         .agg(F.round(F.sqrt(F.sum(diff * diff)) / 1000000.0, 4).alias("dist_to_centroid"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/pq.py)
+# ---------------------------------------------------------------------------
+
+PQ_CODES = 16
+PQ_SUBSPACES = 8
+PQ_SCALE = 1000
+
+_PQ_V_SQL = """
+    v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(ROUND(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vi
+      FROM embeddings
+    ), s AS (
+      SELECT ROW_NUMBER() OVER (
+               ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT,
+                        vec_id) - 1 AS code,
+             vi
+      FROM v
+      ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT, vec_id
+      LIMIT 16
+    ), d AS (
+      SELECT v.vec_id, j.j AS subspace, s.code,
+             list_sum(list_transform(range(8),
+                      i -> (v.vi[j.j*8+i+1]-s.vi[j.j*8+i+1])
+                         * (v.vi[j.j*8+i+1]-s.vi[j.j*8+i+1]))) AS d2
+      FROM v CROSS JOIN (SELECT unnest(range(8)) AS j) j CROSS JOIN s
+    ), a AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                     ORDER BY d2, code) AS rk FROM d)
+      WHERE rk = 1
+    )
+""".strip()
+
+
+@query(
+    "pq_encode_codes",
+    oracle=f"""
+    WITH {_PQ_V_SQL}
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), ',' ORDER BY subspace) AS codes
+    FROM a GROUP BY vec_id
+    """,
+)
+def pq_encode_codes(spark, sf_dir):
+    """Product-quantization encoding: each 64-dim vector compresses to 8
+    subspace codes against a 16-entry deterministic codebook (hash-sampled
+    training vectors, integer grid). The codebook broadcasts as one packed
+    row; encoding is a per-row argmin inside codegen — zero corpus shuffle.
+    Codes render as a comma string (engine-neutral array form)."""
+    from evolution_spark.operators.pq import pq_encode, pq_train
+
+    e = table(spark, sf_dir, "embeddings")
+    cb = pq_train(e, "vec_id", "embedding", n_codes=PQ_CODES, scale=PQ_SCALE)
+    enc = pq_encode(e, cb, "vec_id", "embedding",
+                    n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE)
+    return enc.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",").alias("codes"),
+    )
+
+
+@query(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_V_SQL},
+    p AS (SELECT vi FROM v WHERE vec_id = 0),
+    t AS (
+      SELECT j.j AS subspace, s.code,
+             list_sum(list_transform(range(8),
+                      i -> (p.vi[j.j*8+i+1]-s.vi[j.j*8+i+1])
+                         * (p.vi[j.j*8+i+1]-s.vi[j.j*8+i+1]))) AS pd2
+      FROM p CROSS JOIN (SELECT unnest(range(8)) AS j) j CROSS JOIN s
+    )
+    SELECT a.vec_id, CAST(SUM(t.pd2) AS BIGINT) AS adc_score
+    FROM a JOIN t ON a.subspace = t.subspace AND a.code = t.code
+    GROUP BY a.vec_id
+    ORDER BY adc_score, vec_id LIMIT 10
+    """,
+)
+def pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance top-10 for probe vec_id=0 over PQ codes: the
+    m x k partial-distance table is built once from the collected (tiny,
+    deterministic) codebook and probe, shipped as a literal, and each row
+    reduces its 8 codes against it — corpus scanned once, never shuffled,
+    top-k via TakeOrderedAndProject. Exact integer arithmetic end to end,
+    so the oracle's join formulation is bit-identical."""
+    from evolution_spark.operators.pq import pq_adc_topk as adc
+    from evolution_spark.operators.pq import pq_encode, pq_train
+
+    e = table(spark, sf_dir, "embeddings")
+    cb = pq_train(e, "vec_id", "embedding", n_codes=PQ_CODES, scale=PQ_SCALE)
+    enc = pq_encode(e, cb, "vec_id", "embedding",
+                    n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE)
+    cb_rows = [(r["code"], list(r["cen"])) for r in cb.first()["__pq"]]
+    probe_vi = list(enc.where(F.col("vec_id") == 0).first()["__vi"])
+    return adc(enc, cb_rows, probe_vi, "vec_id",
+               n_subspaces=PQ_SUBSPACES, topk=10)

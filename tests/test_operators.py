@@ -518,3 +518,32 @@ def test_kmeans_refine_deep_iters_checkpoint_invariant(spark):
     assert c5a == c5b  # deterministic through the checkpoint
     _, i2 = run(2)
     assert i5 <= i2  # refinement kept improving across the boundary
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """On clustered data, PQ asymmetric-distance top-k must retrieve the
+    probe's own cluster: 8 planted centers, 25 points each; the ADC top-10
+    for a cluster-0 probe must be >=80% cluster-0 points and rank the probe
+    itself first (its reconstruction is the global minimum)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from evolution_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
+
+    rng = np.random.default_rng(7)
+    centers = rng.uniform(-1.0, 1.0, size=(8, 64))
+    rows = []
+    for i in range(200):
+        c = i % 8
+        v = centers[c] + rng.normal(0, 0.02, size=64)
+        rows.append((i, [float(x) for x in v], c))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+
+    cb = pq_train(df, "vec_id", "embedding", n_codes=16)
+    enc = pq_encode(df, cb, "vec_id", "embedding", n_subspaces=8)
+    cb_rows = [(r["code"], list(r["cen"])) for r in cb.first()["__pq"]]
+    probe_vi = list(enc.where(F.col("vec_id") == 0).first()["__vi"])
+    top = [r.vec_id for r in pq_adc_topk(enc, cb_rows, probe_vi, "vec_id", topk=10).collect()]
+    assert top[0] == 0  # probe's own code is the minimum
+    same_cluster = sum(1 for i in top if i % 8 == 0)
+    assert same_cluster >= 8, top

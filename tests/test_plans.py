@@ -341,3 +341,14 @@ def test_dedup_repeated_chunks_partial_agg_no_python(spark, sf_dir):
     # no window operator anywhere: a row_number-over-chunk formulation would
     # build one unbounded partition per hot span
     assert "Window" not in plan
+
+
+def test_pq_encode_no_corpus_shuffle(spark, sf_dir):
+    """PQ encoding must be a narrow pass: the packed codebook arrives by
+    broadcast and no Exchange touches the corpus before the codes project
+    (the only exchanges allowed belong to the tiny codebook build)."""
+    plan = plan_of(spark, sf_dir, "pq_encode_codes")
+    assert "Broadcast" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    plan2 = plan_of(spark, sf_dir, "pq_adc_topk")
+    assert "TakeOrderedAndProject" in plan2
