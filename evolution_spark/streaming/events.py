@@ -184,6 +184,57 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+class _RunningTotalsProcessor:
+    """``StatefulProcessor`` twin of ``running_user_totals`` on Spark 4's
+    ``transformWithState`` API: explicit named state (a single ValueState
+    here), timer support, and a RocksDB-backed store with changelog
+    checkpointing — the forward-looking home for custom streaming state
+    (list/map state and TTL hang off the same handle when an operator
+    needs them). Requires
+    ``spark.sql.streaming.stateStore.providerClass =
+    ...state.RocksDBStateStoreProvider`` and the ``protobuf`` Python
+    package (the transformWithState state-server protocol; absent from
+    this container, so the covering test skip-gates on it — same
+    environment-gate policy as the Delta/Iceberg connectors)."""
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._agg = handle.getValueState("agg", "n BIGINT, total DOUBLE")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        self._agg.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` version of ``running_user_totals`` —
+    identical semantics (running per-user count/total, one row per updated
+    user per micro-batch), expressed as a ``StatefulProcessor`` so state is
+    named, typed, and RocksDB-resident (changelog checkpoints instead of
+    full-store snapshots — the 100 TB-stream state story)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass dynamically so importing this module never requires the
+    # stateful_processor module (present since Spark 4.0)
+    proc = type(
+        "RunningTotalsProcessor", (StatefulProcessor,), dict(_RunningTotalsProcessor.__dict__)
+    )()
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=_TOTALS_OUT,
+        outputMode="update",
+        timeMode="none",
+    )
+
+
 def click_purchase_join(
     events: DataFrame,
     max_gap: str = "30 minutes",

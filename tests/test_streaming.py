@@ -373,3 +373,51 @@ def test_scd2_upsert_sink_late_event_rewrites_only_open_regime(spark, tmp_path):
     # late c closed at 30 by b; b reopened from 30
     assert ("c", 20, 30, False) in got
     assert ("b", 30, None, True) in got
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python state-server protocol needs protobuf, "
+    "absent from this container (environment-gated like the Delta/Iceberg jars)",
+)
+def test_running_user_totals_transform_with_state(spark, stream_env):
+    """transformWithStateInPandas twin: same running totals, state carried
+    across micro-batches in a RocksDB ValueState."""
+    from evolution_spark.streaming.events import running_user_totals_tws
+
+    src, ckpt, add_batch = stream_env
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        add_batch([(1, 0, 1, "view", 1.0), (2, 1, 2, "view", 10.0)])
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        q = _run_to_memory(
+            running_user_totals_tws(read_event_stream(spark, src)), name, ckpt, "update"
+        )
+        try:
+            q.processAllAvailable()
+            add_batch([(3, 2, 1, "click", 4.0)])
+            q.processAllAvailable()
+            latest = {}
+            for r in spark.table(name).collect():
+                latest[r.user_id] = (r.n_events, r.total_value)
+            assert latest[1] == (2, 5.0)
+            assert latest[2] == (1, 10.0)
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
