@@ -355,3 +355,86 @@ def pq_adc_topk(spark, sf_dir):
     probe_vi = list(enc.where(F.col("vec_id") == 0).first()["__vi"])
     return adc(enc, cb_rows, probe_vi, "vec_id",
                n_subspaces=PQ_SUBSPACES, topk=10)
+
+
+@query(
+    "ivf_pq_topk",
+    oracle=f"""
+    WITH {_PQ_V_SQL},
+    cells AS (
+      SELECT ROW_NUMBER() OVER (
+               ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT,
+                        vec_id) AS cell_id,
+             vi AS cen
+      FROM v
+      ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT, vec_id
+      LIMIT 8
+    ), ad AS (
+      SELECT v.vec_id, c.cell_id,
+             list_sum(list_transform(range(64),
+                      i -> (v.vi[i+1]-c.cen[i+1])*(v.vi[i+1]-c.cen[i+1]))) AS cd2
+      FROM v CROSS JOIN cells c
+    ), asg AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cd2, cell_id) AS rn FROM ad)
+      WHERE rn = 1
+    ), pcells AS (
+      SELECT cell_id FROM ad WHERE vec_id = 0 ORDER BY cd2, cell_id LIMIT 2
+    ), p AS (SELECT vi FROM v WHERE vec_id = 0),
+    t AS (
+      SELECT j.j AS subspace, s.code,
+             list_sum(list_transform(range(8),
+                      i -> (p.vi[j.j*8+i+1]-s.vi[j.j*8+i+1])
+                         * (p.vi[j.j*8+i+1]-s.vi[j.j*8+i+1]))) AS pd2
+      FROM p CROSS JOIN (SELECT unnest(range(8)) AS j) j CROSS JOIN s
+    )
+    SELECT a.vec_id, CAST(SUM(t.pd2) AS BIGINT) AS adc_score
+    FROM a
+    JOIN t ON a.subspace = t.subspace AND a.code = t.code
+    JOIN asg ON asg.vec_id = a.vec_id
+    WHERE asg.cell_id IN (SELECT cell_id FROM pcells)
+    GROUP BY a.vec_id
+    ORDER BY adc_score, a.vec_id LIMIT 10
+    """,
+)
+def ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ search, the billion-scale ANN recipe end to end: 8 IVF cells
+    prune the corpus to the probe's 2 nearest cells, PQ codes + an ADC
+    lookup table score the survivors — ONE narrow corpus scan (per-row
+    cell argmin against 8 literal centroids -> cell filter -> 8 table
+    lookups), zero shuffle, top-k via TakeOrderedAndProject. At real scale
+    the corpus would be written partitioned by cell_id, turning the cell
+    filter into partition pruning so non-probed cells are never read."""
+    from evolution_spark.operators.pq import _d2, pq_adc_topk, pq_encode, pq_train
+
+    e = table(spark, sf_dir, "embeddings")
+    cb = pq_train(e, "vec_id", "embedding", n_codes=PQ_CODES, scale=PQ_SCALE)
+    enc = pq_encode(e, cb, "vec_id", "embedding",
+                    n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE)
+    cb_rows = [(r["code"], list(r["cen"])) for r in cb.first()["__pq"]]
+    probe_vi = list(enc.where(F.col("vec_id") == 0).first()["__vi"])
+
+    # IVF cells: the 8 smallest-hash training vectors double as cell
+    # centroids (ranks 0-7 of the same deterministic sample); probe cells
+    # are picked on the driver with exact integer arithmetic.
+    cells = [(code + 1, cen) for code, cen in sorted(cb_rows)[:8]]
+    d2_int = lambda a, b: sum((x - y) * (x - y) for x, y in zip(a, b))
+    probed = sorted((d2_int(probe_vi, cen), cid) for cid, cen in cells)
+    best_cells = [cid for _d, cid in probed[:2]]
+
+    lit_vec = lambda cen: F.array(*[F.lit(v).cast("bigint") for v in cen])
+    cell_of = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _d2(F.col("__vi"), lit_vec(cen)).alias("dist"),
+                    F.lit(cid).cast("int").alias("cell_id"),
+                )
+                for cid, cen in cells
+            ]
+        )
+    )["cell_id"]
+    pruned = enc.where(cell_of.isin(best_cells))
+    return pq_adc_topk(pruned, cb_rows, probe_vi, "vec_id",
+                       n_subspaces=PQ_SUBSPACES, topk=10)

@@ -352,3 +352,13 @@ def test_pq_encode_no_corpus_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     plan2 = plan_of(spark, sf_dir, "pq_adc_topk")
     assert "TakeOrderedAndProject" in plan2
+
+
+def test_ivf_pq_topk_narrow_scan(spark, sf_dir):
+    """IVF-PQ search: the corpus path must stay narrow (broadcast codebook,
+    literal centroid/ADC tables, no Python eval) with top-k as
+    TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "ivf_pq_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Broadcast" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
