@@ -66,6 +66,11 @@ BENCH_QUERIES = [
     "funnel_conversion",
     "cohort_retention",
     "dedup_ngram_jaccard",
+    # batch-8: round-3 additions (new lines, first-recorded = their baseline)
+    "dedup_repeated_chunks",
+    "pq_encode_codes",
+    "ivf_pq_topk",
+    "count_min_heavy_hitters",
 ]
 
 

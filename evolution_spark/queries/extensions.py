@@ -173,11 +173,11 @@ def count_min_heavy_hitters(spark, sf_dir):
 
     The exact-count oracle is sound: estimate = min over depth rows, and a
     key's estimate exceeds its true count only if it collides in EVERY row
-    — P < (k/width)^depth ≈ 1e-25 at width 27183, depth 7 for the handful
+    — P < (k/width)^depth ≈ 1e-17 at width 2719, depth 7 for the handful
     of event types, so the seeded sketch returns exact counts here."""
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
-        F.expr("count_min_sketch(event_type, 0.0001d, 0.999d, 42)").alias("cms")
+        F.expr("count_min_sketch(event_type, 0.001d, 0.999d, 42)").alias("cms")
     )
     jvm = spark.sparkContext._jvm
     merged = None
