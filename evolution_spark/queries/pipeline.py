@@ -17,6 +17,7 @@ All expressions are Spark built-ins (no UDFs): hashing via md5-prefix ints
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from evolution_spark.functions.text import hash32
 from evolution_spark.functions.vectors import plane_sign_value
@@ -76,6 +77,49 @@ def stratified_sample_hash(spark, sf_dir):
     return d.where(
         hash32(F.col("doc_id").cast("string")) % 1000 < SAMPLE_PER_MILLE
     ).select("doc_id", "lang", "source")
+
+
+SOURCE_QUOTA = 50
+
+
+@query(
+    "source_quota_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY {_HASH_SQL}, doc_id) AS rk
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM ranked WHERE rk <= {SOURCE_QUOTA}
+    GROUP BY source
+    """,
+)
+def source_quota_sample(spark, sf_dir):
+    """Per-source document quota: keep at most N docs per source, chosen by
+    content-id hash order (deterministic, engine-stable — no RNG) — the
+    domain-balancing pass of a web-scale corpus (no single crawl host may
+    dominate the training mix). One window over a shuffle by source; the
+    hash ordering means the kept set is a stable function of the corpus,
+    so re-runs and incremental extensions agree on what was kept. A hot
+    source at 100 TB sorts only its own partition; for pathological
+    single-source skew, pre-filter with an approximate per-source count
+    and hash threshold before the exact window."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash32(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.where(F.col("rk") <= SOURCE_QUOTA)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
 
 
 _ENT_PAT = r"\b(customer|spark)\b"

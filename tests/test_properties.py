@@ -182,3 +182,99 @@ def test_result_is_partition_invariant(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+_docs = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]),  # tiny vocab -> chunk collisions
+        min_size=1,
+        max_size=12,
+    ).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(texts=_docs, k=st.integers(min_value=1, max_value=4))
+@settings(**_SETTINGS)
+def test_dedup_repeated_chunks_matches_reference(spark, texts, k):
+    """For ANY corpus and chunk size: the operator equals the obvious
+    sequential reference (walk docs in id order, keep a chunk iff its text
+    was never seen before, rebuild)."""
+    from evolution_spark.operators.dedup import dedup_repeated_chunks
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: r.dedup_text
+        for r in dedup_repeated_chunks(df, "text", "doc_id", chunk_words=k).collect()
+    }
+
+    seen: set = set()
+    want: dict = {}
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        kept = []
+        for s in range(0, len(words), k):
+            chunk = " ".join(words[s : s + k])
+            if chunk not in seen:
+                seen.add(chunk)
+                kept.append(chunk)
+        if kept:
+            want[i] = " ".join(kept)
+    assert got == want
+
+
+_vecs = st.lists(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+        min_size=8,
+        max_size=8,
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(vecs=_vecs)
+@settings(**_SETTINGS)
+def test_pq_encode_matches_reference(spark, vecs):
+    """For ANY small corpus (dim 8, 2 subspaces of 4): PQ codes equal the
+    reference argmin over the same deterministic hash-sampled codebook
+    (quantization replicated with Spark's own round to dodge Python
+    rounding differences)."""
+    import hashlib
+
+    from evolution_spark.operators.pq import pq_encode, pq_train
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    n_codes = min(4, len(vecs))
+    cb = pq_train(df, "vec_id", "embedding", n_codes=n_codes)
+    enc = pq_encode(df, cb, "vec_id", "embedding", n_subspaces=2).collect()
+    got = {r["vec_id"]: (list(r["__vi"]), list(r["codes"])) for r in enc}
+
+    # reference sample: n_codes smallest (md5-prefix, id); centroids = their
+    # quantized vectors as Spark computed them (read back from `got`)
+    order = sorted(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16), i)
+        for i in range(len(vecs))
+    )
+    cents = [got[i][0] for _h, i in order[:n_codes]]
+    sub = 4
+    for vid, (vi, codes) in got.items():
+        for j in range(2):
+            best = min(
+                (
+                    sum(
+                        (vi[j * sub + d] - cents[c][j * sub + d]) ** 2
+                        for d in range(sub)
+                    ),
+                    c,
+                )
+                for c in range(n_codes)
+            )
+            assert codes[j] == best[1], (vid, j, codes)
