@@ -344,15 +344,21 @@ def pq_adc_topk(spark, sf_dir):
     reduces its 8 codes against it — corpus scanned once, never shuffled,
     top-k via TakeOrderedAndProject. Exact integer arithmetic end to end,
     so the oracle's join formulation is bit-identical."""
+    from evolution_spark.operators.pq import _quantized, pq_encode, pq_train
     from evolution_spark.operators.pq import pq_adc_topk as adc
-    from evolution_spark.operators.pq import pq_encode, pq_train
 
     e = table(spark, sf_dir, "embeddings")
     cb = pq_train(e, "vec_id", "embedding", n_codes=PQ_CODES, scale=PQ_SCALE)
     enc = pq_encode(e, cb, "vec_id", "embedding",
                     n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE)
     cb_rows = [(r["code"], list(r["cen"])) for r in cb.first()["__pq"]]
-    probe_vi = list(enc.where(F.col("vec_id") == 0).first()["__vi"])
+    # probe from the corpus with the operator's own quantizer: collecting it
+    # from `enc` would re-execute the codebook build just to read one row
+    probe_vi = list(
+        e.where(F.col("vec_id") == 0)
+        .select(_quantized("embedding", PQ_SCALE).alias("vi"))
+        .first()["vi"]
+    )
     return adc(enc, cb_rows, probe_vi, "vec_id",
                n_subspaces=PQ_SUBSPACES, topk=10)
 
@@ -406,14 +412,26 @@ def ivf_pq_topk(spark, sf_dir):
     lookups), zero shuffle, top-k via TakeOrderedAndProject. At real scale
     the corpus would be written partitioned by cell_id, turning the cell
     filter into partition pruning so non-probed cells are never read."""
-    from evolution_spark.operators.pq import _d2, pq_adc_topk, pq_encode, pq_train
+    from evolution_spark.operators.pq import (
+        _d2,
+        _quantized,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
 
     e = table(spark, sf_dir, "embeddings")
     cb = pq_train(e, "vec_id", "embedding", n_codes=PQ_CODES, scale=PQ_SCALE)
     enc = pq_encode(e, cb, "vec_id", "embedding",
                     n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE)
     cb_rows = [(r["code"], list(r["cen"])) for r in cb.first()["__pq"]]
-    probe_vi = list(enc.where(F.col("vec_id") == 0).first()["__vi"])
+    # probe from the corpus with the operator's own quantizer: collecting it
+    # from `enc` would re-execute the codebook build just to read one row
+    probe_vi = list(
+        e.where(F.col("vec_id") == 0)
+        .select(_quantized("embedding", PQ_SCALE).alias("vi"))
+        .first()["vi"]
+    )
 
     # IVF cells: the 8 smallest-hash training vectors double as cell
     # centroids (ranks 0-7 of the same deterministic sample); probe cells
