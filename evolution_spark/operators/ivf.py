@@ -47,12 +47,24 @@ def sample_centroids(corpus: DataFrame, id_col: str, vec_col: str, n_cells: int)
     )
 
 
-def assign_cells(corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    keep_dist_sq: bool = False,
+) -> DataFrame:
     """Attach each vector's nearest centroid (euclidean) with ZERO shuffle of
     the corpus: the k centroids are collapsed into one sorted array row,
     broadcast, and the argmin is computed per corpus row as
     ``array_min(transform(...))`` over (dist, cell_id) structs — lexicographic
     struct ordering gives exactly min_by-with-cell_id-tiebreak semantics.
+
+    ``keep_dist_sq`` adds a ``__d2`` column: the winner's squared distance,
+    carried through the argmin struct so consumers (inertia, summary
+    queries) need no rejoin-and-recompute pass. For integer-grid vectors
+    the fold stays in long arithmetic — exact, matching the DuckDB
+    oracles' integer sums.
 
     The r01 version cross-joined then ``groupBy(id)``-ed, shuffling every
     vector by id; this pass is narrow (BroadcastNestedLoopJoin against one
@@ -60,20 +72,33 @@ def assign_cells(corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: 
     packed = centroids.agg(
         F.sort_array(F.collect_list(F.struct("cell_id", "centroid"))).alias("__cells")
     )
-    best = F.array_min(
-        F.transform(
-            F.col("__cells"),
-            lambda c: F.struct(
-                euclidean(F.col(vec_col), c["centroid"]).alias("dist"),
-                c["cell_id"].alias("cell_id"),
-            ),
+
+    def d2_same_type(a, b):
+        # no double cast: long inputs fold exactly in long arithmetic
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0) * F.element_at(a, 1) * F.lit(0),  # zero of the element type
+            lambda s, v: s + v,
         )
-    )
-    return corpus.crossJoin(F.broadcast(packed)).select(
+
+    def entry(c):
+        fields = [
+            euclidean(F.col(vec_col), c["centroid"]).alias("dist"),
+            c["cell_id"].alias("cell_id"),
+        ]
+        if keep_dist_sq:
+            fields.append(d2_same_type(F.col(vec_col), c["centroid"]).alias("d2"))
+        return F.struct(*fields)
+
+    best = F.array_min(F.transform(F.col("__cells"), entry))
+    cols = [
         F.col(id_col),
         best["cell_id"].alias("cell_id"),
         F.col(vec_col),
-    )
+    ]
+    if keep_dist_sq:
+        cols.append(best["d2"].alias("__d2"))
+    return corpus.crossJoin(F.broadcast(packed)).select(*cols)
 
 
 def ivf_topk(
@@ -185,5 +210,7 @@ def kmeans_refine(
                 "cell_id", F.transform("__dc", lambda t: t["c"]).alias("centroid")
             )
         )
-    assigned = assign_cells(q, cents, id_col, "__vi")
+    # the returned assignment carries __d2 (exact long winner distance) so
+    # inertia/summary consumers need no rejoin-and-recompute pass
+    assigned = assign_cells(q, cents, id_col, "__vi", keep_dist_sq=True)
     return assigned, cents

@@ -365,13 +365,10 @@ def kmeans_cluster_summary(spark, sf_dir):
 
     e = table(spark, sf_dir, "embeddings")
     assigned, cents = kmeans_refine(e, "vec_id", "embedding", n_cells=8, n_iters=1)
-    d2 = F.aggregate(
-        F.zip_with(F.col("__vi"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda s, x: s + x,
-    )
-    scored = assigned.join(cents, "cell_id").select("cell_id", d2.alias("__d2"))
-    summary = scored.groupBy("cell_id").agg(
+    # __d2 rides along from the assignment argmin (keep_dist_sq) — no
+    # rejoin-and-recompute pass; the fold stayed in long arithmetic, so
+    # inertia is the oracle's exact integer sum
+    summary = assigned.groupBy("cell_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum("__d2").alias("inertia"),
     )
