@@ -93,16 +93,18 @@ def main() -> int:
     # JVM warmup (codegen, parquet footers) outside the timed region
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # One warmup pass (absorbs one-time JIT of the generated plans), then two
-    # timed passes over the WHOLE suite, per-query time = min of the passes.
-    # The host carries unrelated background load (observed loadavg spikes to
-    # ~10+ for minutes at a time), so consecutive samples of one query share
-    # the same spike; samples minutes apart in separate passes don't — the
-    # min across passes is the stable, comparable steady-state figure.
+    # One warmup pass (absorbs one-time JIT of the generated plans), then
+    # three timed passes over the WHOLE suite, per-query time = min of the
+    # passes. The host carries unrelated background load (observed loadavg
+    # spikes to ~10+ for minutes at a time), so consecutive samples of one
+    # query share the same spike; samples minutes apart in separate passes
+    # don't — the min across passes is the stable, comparable steady-state
+    # figure. Three passes (was two) after the r02 FLF entries showed both
+    # samples of a min-of-2 can land on spikes.
     samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
     for name in BENCH_QUERIES:
         run_noop(QUERIES[name](spark, sf_dir))
-    for _ in range(2):
+    for _ in range(3):
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             run_noop(QUERIES[name](spark, sf_dir))
