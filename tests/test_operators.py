@@ -547,3 +547,26 @@ def test_pq_adc_recall_vs_exact(spark):
     assert top[0] == 0  # probe's own code is the minimum
     same_cluster = sum(1 for i in top if i % 8 == 0)
     assert same_cluster >= 8, top
+
+
+def test_micros_since_epoch_both_timestamp_types(spark):
+    """micros_since_epoch must return identical values for the same wall
+    clock whether the column is TIMESTAMP or TIMESTAMP_NTZ (the regenerated
+    testdata is NTZ; earlier data read as TIMESTAMP) — and match the known
+    epoch arithmetic."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from evolution_spark.functions.time import micros_since_epoch
+
+    t = dt.datetime(2024, 1, 1, 0, 0, 1, 500000)
+    want = int(
+        (t - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+    )
+    ntz = spark.createDataFrame([(t,)], "ts timestamp_ntz")
+    tz = spark.createDataFrame([(t,)], "ts timestamp")
+    got_ntz = ntz.select(micros_since_epoch(ntz, "ts").alias("us")).first().us
+    got_tz = tz.select(micros_since_epoch(tz, "ts").alias("us")).first().us
+    assert got_ntz == want  # NTZ: naive arithmetic, tz-independent
+    assert got_tz == want   # TIMESTAMP under UTC session tz
