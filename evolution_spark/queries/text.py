@@ -204,6 +204,56 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+INCR_BATCH_START = 400  # doc_id >= this = "the new batch"
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM documents
+      WHERE doc_id < {INCR_BATCH_START}
+    ), batch AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS fp, lang FROM documents
+      WHERE doc_id >= {INCR_BATCH_START}
+    )
+    SELECT b.lang,
+           COUNT(*) AS n_batch,
+           CAST(SUM(CASE WHEN c.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           MIN(CASE WHEN c.fp IS NULL THEN b.doc_id END) AS first_new_doc
+    FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+    GROUP BY b.lang
+    """,
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental dedup: screen a NEW batch of documents against the
+    fingerprints of the existing corpus (left-anti semantics; here counted
+    per lang with the first surviving id). This is how dedup actually runs
+    in production — the corpus fingerprint table persists, each day's
+    batch joins against it, and only survivors append; the full-corpus
+    passes (dedup_exact etc.) are the bootstrap. 100 TB cost: the batch
+    shuffles its 16-byte fingerprints against the fingerprint table's —
+    document text appears in neither side of the join."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(_norm_text(F.col("text")))
+    corpus = (
+        d.where(F.col("doc_id") < INCR_BATCH_START)
+        .select(fp.alias("fp"))
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    batch = d.where(F.col("doc_id") >= INCR_BATCH_START).select(
+        "doc_id", fp.alias("fp"), "lang"
+    )
+    joined = batch.join(corpus, "fp", "left")
+    is_new = F.col("__seen").isNull()
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(is_new.cast("int")).cast("bigint").alias("n_new"),
+        F.min(F.when(is_new, F.col("doc_id"))).alias("first_new_doc"),
+    )
+
+
 @query(
     "dedup_repeated_chunks",
     oracle="""
@@ -603,4 +653,27 @@ def topk_frequent_words(spark, sf_dir):
         counts.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 5)
         .select("lang", "word", "n", "rk")
+    )
+
+
+@query("bpe_token_stats")  # no oracle: greedy BPE is not SQL-expressible
+def bpe_token_stats(spark, sf_dir):
+    """Real byte-pair tokenization end to end: merges trained on the
+    corpus's own word-frequency table (driver-side over one distributed
+    word count — the sample-train/scale-apply split of production
+    tokenizers), applied with an Arrow-batched pandas UDF that memoizes
+    per distinct word. Per-lang token totals and compression vs raw chars.
+    Deterministic (tie-broken training, fixed merge count) but iterative —
+    rows-only driver check, exactness pinned by unit tests."""
+    from evolution_spark.functions.bpe import bpe_tokenize, train_bpe_merges
+
+    d = table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(d, "text", n_merges=40)
+    toks = d.select(
+        "lang", "n_chars", F.size(bpe_tokenize(d, "text", merges)).alias("n_tokens")
+    )
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.sum("n_chars") * 1.0 / F.sum("n_tokens")).alias("chars_per_token"),
     )

@@ -570,3 +570,31 @@ def test_micros_since_epoch_both_timestamp_types(spark):
     got_tz = tz.select(micros_since_epoch(tz, "ts").alias("us")).first().us
     assert got_ntz == want  # NTZ: naive arithmetic, tz-independent
     assert got_tz == want   # TIMESTAMP under UTC session tz
+
+
+def test_bpe_train_and_tokenize(spark):
+    """BPE on a corpus where 'ab' dominates: the first merge must be
+    ('a','b'); tokenization must apply merges greedily by rank, memo or
+    not; unknown characters fall back to single symbols; round-trip
+    concatenation restores the word."""
+    import pyspark.sql.functions as F
+
+    from evolution_spark.functions.bpe import bpe_tokenize, train_bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "abc ab xyz")], "id bigint, text string"
+    )
+    merges = train_bpe_merges(df, "text", n_merges=3)
+    assert merges[0] == ("a", "b")
+
+    out = {
+        r.id: list(r.toks)
+        for r in df.select(
+            "id", bpe_tokenize(df, "text", merges).alias("toks")
+        ).collect()
+    }
+    for i, text in ((1, "abab abab ab"), (2, "abc ab xyz")):
+        flat = "".join(t for t in out[i])
+        assert flat == "".join(w + "</w>" for w in text.split())
+    # determinism: retraining yields the same merges
+    assert train_bpe_merges(df, "text", n_merges=3) == merges
