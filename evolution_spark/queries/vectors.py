@@ -412,13 +412,18 @@ def ivf_pq_topk(spark, sf_dir):
     lookups), zero shuffle, top-k via TakeOrderedAndProject. At real scale
     the corpus would be written partitioned by cell_id, turning the cell
     filter into partition pruning so non-probed cells are never read."""
-    from evolution_spark.operators.pq import (
-        _d2,
-        _quantized,
-        pq_adc_topk,
-        pq_encode,
-        pq_train,
-    )
+    from evolution_spark.operators.pq import pq_adc_topk
+
+    enc, cb_rows, probe_vi, pruned = _ivf_pq_pruned(spark, sf_dir)
+    return pq_adc_topk(pruned, cb_rows, probe_vi, "vec_id",
+                       n_subspaces=PQ_SUBSPACES, topk=10)
+
+
+def _ivf_pq_pruned(spark, sf_dir):
+    """Shared IVF-PQ setup: encoded corpus, collected codebook, quantized
+    probe (vec 0), and the corpus pruned to the probe's 2 nearest of 8
+    cells — one narrow scan, all constants literal."""
+    from evolution_spark.operators.pq import _d2, _quantized, pq_encode, pq_train
 
     e = table(spark, sf_dir, "embeddings")
     cb = pq_train(e, "vec_id", "embedding", n_codes=PQ_CODES, scale=PQ_SCALE)
@@ -454,5 +459,71 @@ def ivf_pq_topk(spark, sf_dir):
         )
     )["cell_id"]
     pruned = enc.where(cell_of.isin(best_cells))
-    return pq_adc_topk(pruned, cb_rows, probe_vi, "vec_id",
-                       n_subspaces=PQ_SUBSPACES, topk=10)
+    return enc, cb_rows, probe_vi, pruned
+
+
+@query(
+    "ivf_pq_rerank_topk",
+    oracle=f"""
+    WITH {_PQ_V_SQL},
+    cells AS (
+      SELECT ROW_NUMBER() OVER (
+               ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT,
+                        vec_id) AS cell_id,
+             vi AS cen
+      FROM v
+      ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT, vec_id
+      LIMIT 8
+    ), ad AS (
+      SELECT v.vec_id, c.cell_id,
+             list_sum(list_transform(range(64),
+                      i -> (v.vi[i+1]-c.cen[i+1])*(v.vi[i+1]-c.cen[i+1]))) AS cd2
+      FROM v CROSS JOIN cells c
+    ), asg AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cd2, cell_id) AS rn FROM ad)
+      WHERE rn = 1
+    ), pcells AS (
+      SELECT cell_id FROM ad WHERE vec_id = 0 ORDER BY cd2, cell_id LIMIT 2
+    ), p AS (SELECT vi FROM v WHERE vec_id = 0),
+    t AS (
+      SELECT j.j AS subspace, s.code,
+             list_sum(list_transform(range(8),
+                      i -> (p.vi[j.j*8+i+1]-s.vi[j.j*8+i+1])
+                         * (p.vi[j.j*8+i+1]-s.vi[j.j*8+i+1]))) AS pd2
+      FROM p CROSS JOIN (SELECT unnest(range(8)) AS j) j CROSS JOIN s
+    ), shortlist AS (
+      SELECT a.vec_id
+      FROM a
+      JOIN t ON a.subspace = t.subspace AND a.code = t.code
+      JOIN asg ON asg.vec_id = a.vec_id
+      WHERE asg.cell_id IN (SELECT cell_id FROM pcells)
+      GROUP BY a.vec_id
+      ORDER BY CAST(SUM(t.pd2) AS BIGINT), a.vec_id LIMIT 50
+    )
+    SELECT v.vec_id,
+           CAST(list_sum(list_transform(range(64),
+                i -> (v.vi[i+1]-p.vi[i+1])*(v.vi[i+1]-p.vi[i+1]))) AS BIGINT) AS d2
+    FROM shortlist sl JOIN v ON v.vec_id = sl.vec_id CROSS JOIN p
+    ORDER BY d2, v.vec_id LIMIT 10
+    """,
+)
+def ivf_pq_rerank_topk(spark, sf_dir):
+    """IVF-PQ with exact reranking — the full production recipe: the ADC
+    pass shortlists 50 candidates from the probe's cells (compressed-domain
+    scan, cheap), then the shortlist ALONE is rescored with exact integer
+    L2 against the probe and re-cut to top-10. The expensive exact math
+    touches 50 rows instead of the corpus; the shortlist re-enters by
+    broadcast semi-join, so the corpus still shuffles nowhere."""
+    from evolution_spark.operators.pq import _d2, pq_adc_topk
+
+    enc, cb_rows, probe_vi, pruned = _ivf_pq_pruned(spark, sf_dir)
+    shortlist = pq_adc_topk(pruned, cb_rows, probe_vi, "vec_id",
+                            n_subspaces=PQ_SUBSPACES, topk=50).select("vec_id")
+    probe_lit = F.array(*[F.lit(v).cast("bigint") for v in probe_vi])
+    exact = (
+        enc.join(F.broadcast(shortlist), "vec_id", "left_semi")
+        .select("vec_id", _d2(F.col("__vi"), probe_lit).alias("d2"))
+    )
+    return exact.orderBy("d2", "vec_id").limit(10)
