@@ -62,6 +62,50 @@ _FEATURES_SCHEMA = StructType(
 )
 
 
+def read_media_dir(
+    spark,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Ingest a directory of media files into the canonical multimodal
+    schema via Spark's ``binaryFile`` source: one row per file with the
+    payload as an opaque binary column, kind sniffed from magic bytes
+    (BM -> image, RIFF/WAVE -> audio, else video), ``media_id`` = a stable
+    64-bit hash of the file path.
+
+    Scale: binaryFile splits by file (one task per file group), payloads
+    go straight into the scan's Arrow batches and — like every transform
+    in this module — never shuffle; filters on ``kind``/``mime`` prune
+    before any decode runs. Use ``glob`` (``pathGlobFilter``) to prune at
+    LISTING time, which matters more than row filters when the directory
+    holds billions of files."""
+    reader = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true" if recursive else "false")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    magic = F.substring(F.col("content"), 1, 4)
+    kind = (
+        F.when(F.substring(F.col("content"), 1, 2) == F.lit(b"BM"), "image")
+        .when(magic == F.lit(b"RIFF"), "audio")
+        .otherwise("video")
+    )
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        kind.alias("kind"),
+        F.col("content").alias("payload"),
+        F.when(F.substring(F.col("content"), 1, 2) == F.lit(b"BM"), "image/bmp")
+        .when(magic == F.lit(b"RIFF"), "audio/wav")
+        .alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic fake decoder: derives a pseudo-pixel buffer from the
     payload's sha256 — stable across runs/engines, exercises the full

@@ -598,3 +598,39 @@ def test_bpe_train_and_tokenize(spark):
         assert flat == "".join(w + "</w>" for w in text.split())
     # determinism: retraining yields the same merges
     assert train_bpe_merges(df, "text", n_merges=3) == merges
+
+
+def test_read_media_dir_binaryfile_ingest(spark, tmp_path):
+    """binaryFile ingest: a directory of real BMP + WAV files lands in the
+    canonical media schema with kinds sniffed from magic bytes, and the
+    payloads decode through the REAL codecs downstream."""
+    import numpy as np
+
+    from evolution_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+        extract_features,
+        read_media_dir,
+    )
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    (tmp_path / "a.bmp").write_bytes(encode_bmp(px))
+    smp = (np.sin(np.linspace(0, 3.14, 32)) * 1000).astype(np.int16)
+    (tmp_path / "b.wav").write_bytes(encode_wav(smp, 16000))
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "c.bmp").write_bytes(encode_bmp(px))
+
+    df = read_media_dir(spark, str(tmp_path))
+    collected = df.collect()
+    rows = {r.mime: r for r in collected}
+    assert sorted(r.kind for r in collected) == ["audio", "image", "image"]
+    assert (decode_bmp(bytes(rows["image/bmp"].payload)) == px).all()
+    got_smp, rate = decode_wav(bytes(rows["audio/wav"].payload))
+    assert rate == 16000 and (got_smp.ravel() == smp).all()
+    # glob pruning happens at listing time
+    assert read_media_dir(spark, str(tmp_path), glob="*.wav").count() == 1
+    # downstream real-codec features run on the ingested frame
+    feats = extract_features(df.where(F.col("kind") == "image"), fake=False)
+    assert feats.count() == 2
