@@ -70,7 +70,10 @@ BENCH_QUERIES = [
     "dedup_repeated_chunks",
     "pq_encode_codes",
     "ivf_pq_topk",
+    "ivf_pq_rerank_topk",
     "count_min_heavy_hitters",
+    "dedup_incremental_batch",
+    "source_quota_sample",
 ]
 
 

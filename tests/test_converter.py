@@ -351,3 +351,18 @@ def test_ipc_roundtrip_distributed(spark, tmp_path):
     back = read_ipc(spark, out, df.schema)
     assert back.count() == 5000
     assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+def test_compact_parquet_rejects_hive_partitioned(spark, tmp_path):
+    """A hive-partitioned layout must be refused outright — a flat rewrite
+    would silently demote partition columns to data columns."""
+    import pytest as _pytest
+
+    from evolution_spark.io import compact_parquet
+
+    src = str(tmp_path / "part_table")
+    spark.range(100).selectExpr("id", "id % 3 AS p").write.partitionBy(
+        "p"
+    ).parquet(src)
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, src, target_file_mb=512)
