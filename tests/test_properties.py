@@ -161,6 +161,13 @@ _INVARIANCE_QUERIES = [
     "corpus_curation_pipeline",
     "equidepth_histogram",
     "kmeans_cluster_summary",
+    # round-3 operators: winner election, sampling order, and shortlist
+    # cuts must all be partition-count independent
+    "dedup_repeated_chunks",
+    "pq_encode_codes",
+    "ivf_pq_rerank_topk",
+    "source_quota_sample",
+    "count_min_heavy_hitters",
 ]
 
 
