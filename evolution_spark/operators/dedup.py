@@ -59,9 +59,10 @@ def dedup_repeated_chunks(
     contract as ``dedup_exact`` — plus id + index), so map-side partial
     aggregation collapses hot chunks BEFORE the shuffle: a chunk repeated
     a million times contributes one row per map task, not a million-row
-    window partition. Chunk text crosses the wire only in the two
-    reassembly shuffles (semi-join of winners, groupBy id), each carrying
-    every surviving chunk exactly once.
+    window partition. Document text crosses the wire exactly ONCE: the
+    kept-index lists (ints) aggregate narrowly per doc, and the rebuild is
+    a single join of docs against those lists — chunks re-derive from each
+    doc's own row, so no chunk text ever enters the winner shuffles.
 
     Returns ``(id_col, dedup_text)``.
     """
@@ -90,16 +91,19 @@ def dedup_repeated_chunks(
         )
         .select(F.col("__w.i").alias(id_col), F.col("__w.x").alias("chunk_idx"))
     )
-    kept = chunks.join(winners, [id_col, "chunk_idx"], "left_semi")
-    return kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
-                lambda t: t["chunk"],
-            ),
-            " ",
-        ).alias("dedup_text")
+    kept_idx = winners.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("chunk_idx")).alias("__keep")
     )
+    # rebuild ONLY the surviving chunks, straight from the word array —
+    # no second materialization of the full chunk list
+    rebuilt = F.array_join(
+        F.transform(
+            F.col("__keep"),
+            lambda i: F.array_join(F.slice(words, i * k + 1, F.lit(k)), " "),
+        ),
+        " ",
+    )
+    return df.join(kept_idx, id_col).select(F.col(id_col), rebuilt.alias("dedup_text"))
 
 
 # ---------------------------------------------------------------------------

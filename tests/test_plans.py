@@ -331,12 +331,13 @@ def test_ntile_dist_has_no_single_partition_window(spark, sf_dir):
 
 def test_dedup_repeated_chunks_partial_agg_no_python(spark, sf_dir):
     """Winner election must be a hash aggregate with map-side combine
-    (partial_min before the exchange), the keep-set must re-enter via a
-    LeftSemi join, and nothing in the pipeline may fall back to Python
-    evaluation (pure built-in expressions end to end)."""
+    (partial_min before the exchange), the kept-index lists must rejoin
+    the docs in ONE join (document text crosses the wire at most once —
+    the winner shuffles carry only hashes and ints), and nothing may fall
+    back to Python evaluation (pure built-in expressions end to end)."""
     plan = plan_of(spark, sf_dir, "dedup_repeated_chunks")
     assert "partial_min" in plan  # hot chunks collapse before the shuffle
-    assert "LeftSemi" in plan
+    assert "Join" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # no window operator anywhere: a row_number-over-chunk formulation would
     # build one unbounded partition per hot span

@@ -22,7 +22,7 @@ AUDITED = {
     "q1_pricing_summary": "full lineitem scan, agg rows only cross the wire",
     "dedup_exact": "16B fingerprint + 8B id per doc; text stays put",
     "dedup_minhash_lsh": "band hashes + ids; text joins back by id at the end",
-    "dedup_repeated_chunks": "narrow winner election; chunks shuffle once to reassemble",
+    "dedup_repeated_chunks": "hash/int winner shuffles only; text re-derives per doc",
     "knn_bruteforce_cosine": "probes broadcast — corpus never shuffles",
     "ivf_pq_topk": "codebook broadcast + literal ADC table — corpus never shuffles",
     "pq_encode_codes": "encoding is a narrow pass; only codes move",
