@@ -349,9 +349,15 @@ def pq_adc_topk(spark, sf_dir):
 
     e = table(spark, sf_dir, "embeddings")
     cb = pq_train(e, "vec_id", "embedding", n_codes=PQ_CODES, scale=PQ_SCALE)
-    enc = pq_encode(e, cb, "vec_id", "embedding",
-                    n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE)
     cb_rows = [(r["code"], list(r["cen"])) for r in cb.first()["__pq"]]
+    # re-emit the collected codebook as a literal one-row frame: the main
+    # job then encodes against constants instead of re-running the
+    # sampling scan (one fewer corpus pass per action)
+    cb_lit = spark.createDataFrame(
+        [(cb_rows,)], "__pq array<struct<code:int,cen:array<bigint>>>"
+    )
+    enc = pq_encode(e, cb_lit, "vec_id", "embedding",
+                    n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE)
     # probe from the corpus with the operator's own quantizer: collecting it
     # from `enc` would re-execute the codebook build just to read one row
     probe_vi = list(
@@ -427,9 +433,15 @@ def _ivf_pq_pruned(spark, sf_dir):
 
     e = table(spark, sf_dir, "embeddings")
     cb = pq_train(e, "vec_id", "embedding", n_codes=PQ_CODES, scale=PQ_SCALE)
-    enc = pq_encode(e, cb, "vec_id", "embedding",
-                    n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE)
     cb_rows = [(r["code"], list(r["cen"])) for r in cb.first()["__pq"]]
+    # re-emit the collected codebook as a literal one-row frame: the main
+    # job then encodes against constants instead of re-running the
+    # sampling scan (one fewer corpus pass per action)
+    cb_lit = spark.createDataFrame(
+        [(cb_rows,)], "__pq array<struct<code:int,cen:array<bigint>>>"
+    )
+    enc = pq_encode(e, cb_lit, "vec_id", "embedding",
+                    n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE)
     # probe from the corpus with the operator's own quantizer: collecting it
     # from `enc` would re-execute the codebook build just to read one row
     probe_vi = list(
