@@ -363,3 +363,24 @@ def test_ivf_pq_topk_narrow_scan(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Broadcast" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_dedup_shuffles_fingerprints_only(spark, sf_dir):
+    """The batch-vs-corpus join must exchange md5 fingerprints, never
+    document text: no exchange argument list may contain the text column."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental_batch")
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_pq_rerank_shortlist_broadcasts(spark, sf_dir):
+    """Exact rescoring must touch only the broadcast shortlist: a
+    BroadcastExchange feeds the semi-join and the final cut is
+    TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "ivf_pq_rerank_topk")
+    assert "Broadcast" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
