@@ -677,3 +677,71 @@ def bpe_token_stats(spark, sf_dir):
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         (F.sum("n_chars") * 1.0 / F.sum("n_tokens")).alias("chars_per_token"),
     )
+
+
+@query(
+    "bigram_pmi_collocations",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+    ), tok AS (
+      SELECT unnest(ws) AS word FROM w
+    ), uni AS (
+      SELECT word, COUNT(*) AS n FROM tok GROUP BY word
+    ), tot AS (SELECT COUNT(*) AS n_tok FROM tok),
+    bi AS (
+      SELECT ws[t.i+1] AS w1, ws[t.i+2] AS w2, COUNT(*) AS n_pair
+      FROM w CROSS JOIN UNNEST(range(len(ws)-1)) AS t(i)
+      GROUP BY 1, 2
+    )
+    SELECT b.w1, b.w2, b.n_pair, u1.n AS n1, u2.n AS n2,
+           b.n_pair * tot.n_tok * 1.0 / (u1.n * u2.n) AS lift
+    FROM bi b
+    JOIN uni u1 ON b.w1 = u1.word
+    JOIN uni u2 ON b.w2 = u2.word
+    CROSS JOIN tot
+    WHERE b.n_pair >= 5
+    ORDER BY lift DESC, b.w1, b.w2 LIMIT 20
+    """,
+)
+def bigram_pmi_collocations(spark, sf_dir):
+    """Collocation mining: top-20 adjacent word pairs by PMI lift
+    (pair-frequency over independence). Ranking uses the raw lift ratio —
+    one IEEE division of exact integer counts, bit-identical cross-engine
+    — instead of ``log`` (PMI's log is monotone in the ratio, and JVM vs
+    libm ``log`` can differ in the last ulp).
+
+    Scale: bigrams generate per-row (narrow transform over the word
+    array), then one hash-agg per distinct pair with map-side combine; the
+    unigram side aggregates the same scan and joins back broadcast (the
+    distinct-word table is vocabulary-sized, not corpus-sized)."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(_norm_text(F.col("text")), " ")
+    w = d.select(ws.alias("ws"))
+    tok = w.select(F.explode("ws").alias("word"))
+    uni = tok.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    n_tok = tok.count()
+    # guard: sequence(0, -1) DESCENDS for a 1-word doc; emit no pairs instead
+    pair_arr = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("ws"), i + 1).alias("w1"),
+                F.element_at(F.col("ws"), i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    pairs = w.select(F.explode(pair_arr).alias("p")).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("n").alias("n2"))
+    lift = F.col("n_pair") * F.lit(n_tok) * 1.0 / (F.col("n1") * F.col("n2"))
+    return (
+        bi.where(F.col("n_pair") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select("w1", "w2", "n_pair", "n1", "n2", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(20)
+    )
