@@ -234,16 +234,73 @@ def scoped_max_partition_bytes(spark: SparkSession, nbytes: int | None):
 # ---------------------------------------------------------------------------
 
 
+_JVM_SHORTEST_CACHE: dict[int, bool] = {}
+
+
+def _jvm_emits_shortest(spark) -> bool:
+    """True when the JVM's ``Double.toString``/``Float.toString`` emits
+    shortest-roundtrip digits — JDK >= 19 (JDK-4511638, fixed by the Ryu
+    rewrite in 19). Pre-19 JVMs (this container runs 17) can emit
+    non-shortest digits for rare values, so the plain-float renderer must
+    fall back to the numpy pandas-UDF path to keep Rust-Display/NumPy
+    parity and bounded field widths. Probed once per session via the public
+    ``java_method`` SQL reflection function (no internal JVM handles)."""
+    key = id(spark)
+    if key not in _JVM_SHORTEST_CACHE:
+        ver = str(
+            spark.sql(
+                "SELECT java_method('java.lang.System', 'getProperty', "
+                "'java.specification.version')"
+            ).first()[0]
+        )
+        major = ver.split(".")[1] if ver.startswith("1.") else ver.split(".")[0]
+        try:
+            _JVM_SHORTEST_CACHE[key] = int(major) >= 19
+        except ValueError:
+            _JVM_SHORTEST_CACHE[key] = False
+    return _JVM_SHORTEST_CACHE[key]
+
+
+def _plain_float_udf(single_precision: bool):
+    """Shortest-roundtrip *plain* decimal rendering via numpy
+    (``np.format_float_positional``, Ryu — guaranteed shortest digits on
+    any JDK). Arrow-batched pandas UDF; used by ``float_format='plain'``
+    encodes only when the JVM cast cannot guarantee shortest digits
+    (JDK < 19 — see ``_jvm_emits_shortest``). NULLs are masked out by the
+    caller (pandas float series conflate NULL with NaN), so every value
+    seen here renders to text."""
+
+    @F.pandas_udf("string")
+    def fmt_series(s):  # type: ignore[misc]
+        import numpy as np
+
+        ftype = np.float32 if single_precision else np.float64
+
+        def fmt(f):
+            v = ftype(f)
+            if np.isnan(v):
+                return "NaN"
+            if np.isinf(v):
+                return "Infinity" if v > 0 else "-Infinity"
+            return np.format_float_positional(v, unique=True, trim="-")
+
+        return s.map(fmt)
+
+    return fmt_series
+
+
 def _plain_float_expr(col: Column) -> Column:
     """Shortest-roundtrip *plain* decimal rendering of a float column
     (Rust ``Display`` parity: ``-652053955.456``, never ``-6.52E8``).
 
-    Pure JVM expression — no Python anywhere: the JVM's cast-to-string
-    already emits the shortest-roundtrip digits (Ryu/Grisu), just sometimes
-    in scientific notation; this expression re-positions the decimal point
-    with string ops, all inside whole-stage codegen. Precision (Float32 vs
-    Float64 shortest repr) comes from the column's own type, exactly as the
-    JVM cast renders it.
+    Pure JVM expression — no Python anywhere: on JDK >= 19 the JVM's
+    cast-to-string emits the shortest-roundtrip digits (Ryu), just
+    sometimes in scientific notation; this expression re-positions the
+    decimal point with string ops, all inside whole-stage codegen. On
+    older JDKs the caller routes to ``_plain_float_udf`` instead
+    (JDK-4511638: pre-19 ``Double.toString`` is not always shortest).
+    Precision (Float32 vs Float64 shortest repr) comes from the column's
+    own type, exactly as the JVM cast renders it.
 
     Mechanics: split ``dEe`` into sign, integer digits ``d``, fraction
     digits ``f`` (trailing zeros trimmed — shortest repr only carries them
@@ -275,16 +332,27 @@ def _plain_float_expr(col: Column) -> Column:
     return F.when(s.isin("NaN", "Infinity", "-Infinity"), s).otherwise(plain)
 
 
-def _value_as_text(col: Column, column: FixedColumn, float_format: str = "native") -> Column:
+def _value_as_text(
+    col: Column,
+    column: FixedColumn,
+    float_format: str = "native",
+    jvm_shortest: bool = False,
+) -> Column:
     """Render a typed value as field text. Booleans render ``true``/``false``
     (Rust Display parity); NULL renders as the empty string (an all-pad field,
     which parses back to NULL). Floats: ``float_format='native'`` uses Spark's
     shortest cast-to-string (scientific notation at >=1e7); ``'plain'``
-    matches Rust's plain Display via a codegen-resident string expression."""
+    matches Rust's plain Display — via a codegen-resident string expression
+    when the JVM guarantees shortest digits (``jvm_shortest``, JDK >= 19),
+    else via the numpy pandas UDF."""
     if column.dtype == "Boolean":
         text = F.when(col, F.lit("true")).when(~col, F.lit("false"))
     elif float_format == "plain" and column.dtype in ("Float16", "Float32", "Float64"):
-        text = F.when(col.isNotNull(), _plain_float_expr(col))
+        if jvm_shortest:
+            text = F.when(col.isNotNull(), _plain_float_expr(col))
+        else:
+            udf = _plain_float_udf(column.dtype != "Float64")
+            text = F.when(col.isNotNull(), udf(col))
     else:
         text = col.cast("string")
     return F.coalesce(text, F.lit(""))
@@ -339,6 +407,7 @@ def encode_flf(
     ragged tail up to ``row_length``) are filled with spaces. Returns a
     single-string-column DataFrame ready for ``write.text``.
     """
+    jvm_shortest = float_format == "plain" and _jvm_emits_shortest(df.sparkSession)
     pieces: list[Column] = []
     cursor = 0
     for c in sorted(schema.columns, key=lambda c: c.offset):
@@ -350,7 +419,9 @@ def encode_flf(
             pieces.append(F.lit(" " * (c.offset - cursor)))
         pieces.append(
             pad_field(
-                _value_as_text(F.col(c.name), c, float_format=float_format),
+                _value_as_text(
+                    F.col(c.name), c, float_format=float_format, jvm_shortest=jvm_shortest
+                ),
                 c,
                 overflow=overflow,
             )

@@ -73,11 +73,16 @@ def assign_cells(
         F.sort_array(F.collect_list(F.struct("cell_id", "centroid"))).alias("__cells")
     )
 
+    # typed zero from the column's declared element type: the old
+    # `lit(0) * element_at(a, 1) * lit(0)` trick evaluated to NULL for
+    # NULL-led or empty vectors, silently dropping rows from inertia sums
+    elem_type = corpus.schema[vec_col].dataType.elementType.simpleString()
+
     def d2_same_type(a, b):
         # no double cast: long inputs fold exactly in long arithmetic
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0) * F.element_at(a, 1) * F.lit(0),  # zero of the element type
+            F.lit(0).cast(elem_type),
             lambda s, v: s + v,
         )
 

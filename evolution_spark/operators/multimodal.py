@@ -41,7 +41,7 @@ from pyspark.sql.types import (
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
-        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("kind", StringType(), False),  # image | audio | video | binary
         StructField("payload", BinaryType(), True),
         StructField("mime", StringType(), True),
         StructField("width", IntegerType(), True),
@@ -88,17 +88,26 @@ def read_media_dir(
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.load(path)
     magic = F.substring(F.col("content"), 1, 4)
+    # RIFF is a container family: require the WAVE fourcc at bytes 9-12 for
+    # audio; RIFF....AVI is video; other RIFF forms stay opaque binary
+    is_bmp = F.substring(F.col("content"), 1, 2) == F.lit(b"BM")
+    riff_form = F.substring(F.col("content"), 9, 4)
+    is_wav = (magic == F.lit(b"RIFF")) & (riff_form == F.lit(b"WAVE"))
+    is_avi = (magic == F.lit(b"RIFF")) & (riff_form == F.lit(b"AVI "))
     kind = (
-        F.when(F.substring(F.col("content"), 1, 2) == F.lit(b"BM"), "image")
-        .when(magic == F.lit(b"RIFF"), "audio")
-        .otherwise("video")
+        F.when(is_bmp, "image")
+        .when(is_wav, "audio")
+        .when(is_avi, "video")
+        .otherwise("binary")
     )
     return raw.select(
         F.xxhash64("path").alias("media_id"),
         kind.alias("kind"),
         F.col("content").alias("payload"),
-        F.when(F.substring(F.col("content"), 1, 2) == F.lit(b"BM"), "image/bmp")
-        .when(magic == F.lit(b"RIFF"), "audio/wav")
+        F.when(is_bmp, "image/bmp")
+        .when(is_wav, "audio/wav")
+        .when(is_avi, "video/x-msvideo")
+        .otherwise("application/octet-stream")
         .alias("mime"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),

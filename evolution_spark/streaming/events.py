@@ -223,10 +223,15 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     # subclass dynamically so importing this module never requires the
-    # stateful_processor module (present since Spark 4.0)
-    proc = type(
-        "RunningTotalsProcessor", (StatefulProcessor,), dict(_RunningTotalsProcessor.__dict__)
-    )()
+    # stateful_processor module (present since Spark 4.0); exclude the
+    # __dict__/__weakref__ getset descriptors — copying them into the new
+    # class breaks cloudpickle when Spark ships the processor to workers
+    namespace = {
+        k: v
+        for k, v in _RunningTotalsProcessor.__dict__.items()
+        if k not in ("__dict__", "__weakref__")
+    }
+    proc = type("RunningTotalsProcessor", (StatefulProcessor,), namespace)()
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=proc,
         outputStructType=_TOTALS_OUT,

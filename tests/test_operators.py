@@ -622,10 +622,22 @@ def test_read_media_dir_binaryfile_ingest(spark, tmp_path):
     (tmp_path / "sub").mkdir()
     (tmp_path / "sub" / "c.bmp").write_bytes(encode_bmp(px))
 
+    # RIFF is a container family: AVI is video, unknown forms stay binary
+    (tmp_path / "d.avi").write_bytes(b"RIFF\x24\x00\x00\x00AVI LIST fake")
+    (tmp_path / "e.webp").write_bytes(b"RIFF\x24\x00\x00\x00WEBPVP8 fake")
+
     df = read_media_dir(spark, str(tmp_path))
     collected = df.collect()
     rows = {r.mime: r for r in collected}
-    assert sorted(r.kind for r in collected) == ["audio", "image", "image"]
+    assert sorted(r.kind for r in collected) == [
+        "audio",
+        "binary",
+        "image",
+        "image",
+        "video",
+    ]
+    assert rows["video/x-msvideo"].kind == "video"
+    assert rows["application/octet-stream"].kind == "binary"
     assert (decode_bmp(bytes(rows["image/bmp"].payload)) == px).all()
     got_smp, rate = decode_wav(bytes(rows["audio/wav"].payload))
     assert rate == 16000 and (got_smp.ravel() == smp).all()
