@@ -2,11 +2,11 @@
 vocabulary, apply them at scale with an Arrow-batched pandas UDF.
 
 The split mirrors production tokenizer pipelines: training runs where the
-data is SMALL (the distinct-word frequency table — collected to the driver
-and merged in pure Python; for a 100 TB corpus this table is the output of
-one distributed word-count, still driver-sized for natural-language
-vocabularies), while application — the part proportional to corpus size —
-runs distributed. The merge list broadcasts by closure; each executor
+data is SMALL (the distinct-word frequency table — top-``max_vocab`` by
+frequency via ``TakeOrderedAndProject``, so the driver materialization is
+bounded no matter how heavy-tailed the corpus vocabulary is — collected
+and merged in pure Python), while application — the part proportional to
+corpus size — runs distributed. The merge list broadcasts by closure; each executor
 tokenizes Arrow record batches without JVM round-trips per row.
 
 Application is the documented "UDF slow path" used deliberately: greedy
@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 
 
 def train_bpe_merges(
-    df: DataFrame, text_col: str, n_merges: int = 50
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 50,
+    max_vocab: int | None = 65536,
+    min_freq: int = 1,
 ) -> list[tuple[str, str]]:
     """Greedy BPE training: repeatedly merge the most frequent adjacent
     symbol pair in the (word, count) vocabulary. Deterministic: pair ties
@@ -31,14 +35,28 @@ def train_bpe_merges(
 
     One distributed word-count feeds a driver-side merge loop over the
     collected vocabulary — O(vocab) per merge, no further cluster work.
+
+    The driver materialization is BOUNDED (standard BPE practice): only the
+    ``max_vocab`` most frequent words (ties broken lexicographically for
+    determinism) at or above ``min_freq`` occurrences are collected — a
+    ``TakeOrderedAndProject``, so the driver never sees more than
+    ``max_vocab`` rows even when a 100 TB web crawl's distinct-"word" set
+    (URLs, hashes, typos) is itself cluster-sized. The dropped tail is by
+    construction the low-frequency end, which contributes least to pair
+    counts; ``max_vocab=None`` restores the unbounded collect for corpora
+    known to have driver-sized vocabularies.
     """
-    vocab_rows = (
+    counts = (
         df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
     )
+    if min_freq > 1:
+        counts = counts.where(F.col("n") >= min_freq)
+    if max_vocab is not None:
+        counts = counts.orderBy(F.desc("n"), F.asc("w")).limit(max_vocab)
+    vocab_rows = counts.collect()
     vocab = {
         tuple(r["w"]) + ("</w>",): r["n"]
         for r in sorted(vocab_rows, key=lambda r: r["w"])

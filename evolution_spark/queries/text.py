@@ -711,36 +711,46 @@ def bigram_pmi_collocations(spark, sf_dir):
     — instead of ``log`` (PMI's log is monotone in the ratio, and JVM vs
     libm ``log`` can differ in the last ulp).
 
-    Scale: bigrams generate per-row (narrow transform over the word
-    array), then one hash-agg per distinct pair with map-side combine; the
-    unigram side aggregates the same scan and joins back broadcast (the
-    distinct-word table is vocabulary-sized, not corpus-sized)."""
+    Scale: ONE exploded pass — each token emits ``(w1=token, w2=next
+    token, NULL at doc end)`` — feeds a single (w1, w2) hash-agg with
+    map-side combine; unigram counts (``sum`` over w2) and the corpus
+    token total re-aggregate that vocabulary-sized pair table, so Spark's
+    ReuseExchange collapses everything onto one scan + one corpus-sized
+    shuffle, and the total rides in-plan as a broadcast single row instead
+    of a separate ``count()`` job that would re-scan 100 TB."""
     d = table(spark, sf_dir, "documents")
     ws = F.split(_norm_text(F.col("text")), " ")
     w = d.select(ws.alias("ws"))
-    tok = w.select(F.explode("ws").alias("word"))
-    uni = tok.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
-    n_tok = tok.count()
-    # guard: sequence(0, -1) DESCENDS for a 1-word doc; emit no pairs instead
-    pair_arr = F.when(
-        F.size("ws") >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size("ws") - 2),
-            lambda i: F.struct(
-                F.element_at(F.col("ws"), i + 1).alias("w1"),
-                F.element_at(F.col("ws"), i + 2).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array())
-    pairs = w.select(F.explode(pair_arr).alias("p")).select("p.w1", "p.w2")
-    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
-    u1 = uni.select(F.col("word").alias("w1"), F.col("n").alias("n1"))
-    u2 = uni.select(F.col("word").alias("w2"), F.col("n").alias("n2"))
-    lift = F.col("n_pair") * F.lit(n_tok) * 1.0 / (F.col("n1") * F.col("n2"))
+    tp = w.select(F.col("ws"), F.posexplode("ws").alias("i", "w1")).select(
+        "w1", F.get("ws", F.col("i") + 1).alias("w2")
+    )
+    # Three tricks keep ALL consumers on one reused exchange (verified: the
+    # final plan has exactly one documents scan and 3 ReusedExchange nodes):
+    # 1. __has2 (constant per group: w2 is a key) carries the doc-end filter
+    #    as an AGG OUTPUT — written as `w2 IS NOT NULL` Catalyst would push
+    #    it below the agg and fork the bi branch's exchange;
+    # 2. uni/tot re-aggregate through a `__has2 IS NOT NULL` tautology
+    #    (first() is nullable to Catalyst, so it can't fold it away) so
+    #    column pruning can't produce a __has2-free partial agg;
+    # 3. the u1/u2 joins use null-safe equality — plain `=` would infer
+    #    IsNotNull(w1)/IsNotNull(w2) and push them below the shared agg.
+    bi_all = tp.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.col("w2").isNotNull()).alias("__has2"),
+    )
+    shared = bi_all.where(F.col("__has2").isNotNull())
+    uni = shared.groupBy("w1").agg(F.sum("n").cast("bigint").alias("n_u"))
+    tot = shared.agg(F.sum("n").cast("bigint").alias("n_tok"))
+    bi = bi_all.where(F.col("__has2") & (F.col("n") >= 5)).select(
+        "w1", "w2", F.col("n").alias("n_pair")
+    )
+    u1 = uni.select(F.col("w1").alias("w1k"), F.col("n_u").alias("n1"))
+    u2 = uni.select(F.col("w1").alias("w2k"), F.col("n_u").alias("n2"))
+    lift = F.col("n_pair") * F.col("n_tok") * 1.0 / (F.col("n1") * F.col("n2"))
     return (
-        bi.where(F.col("n_pair") >= 5)
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        bi.join(F.broadcast(u1), F.col("w1").eqNullSafe(F.col("w1k")))
+        .join(F.broadcast(u2), F.col("w2").eqNullSafe(F.col("w2k")))
+        .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "n_pair", "n1", "n2", lift.alias("lift"))
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(20)

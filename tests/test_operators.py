@@ -600,6 +600,31 @@ def test_bpe_train_and_tokenize(spark):
     assert train_bpe_merges(df, "text", n_merges=3) == merges
 
 
+def test_bpe_train_bounded_vocab(spark):
+    """The training collect is bounded: a cap at or above the distinct-word
+    count trains identically to the unbounded collect, and a heavy-tail
+    corpus (few frequent words + many singletons) trains identically above
+    the frequency floor to training on just the frequent sub-corpus — the
+    driver never needs the tail."""
+    from evolution_spark.functions.bpe import train_bpe_merges
+
+    head = [(i, "abab cdcd abab") for i in range(30)]
+    tail = [(1000 + i, f"w{i:03d}qz") for i in range(200)]  # 200 singletons
+    df = spark.createDataFrame(head + tail, "id bigint, text string")
+    head_df = spark.createDataFrame(head, "id bigint, text string")
+
+    unbounded = train_bpe_merges(df, "text", n_merges=4, max_vocab=None)
+    # cap >= distinct words: identical to unbounded
+    assert train_bpe_merges(df, "text", n_merges=4, max_vocab=100000) == unbounded
+    # frequency floor drops the singleton tail: merges come out exactly as
+    # if trained on the frequent sub-corpus alone
+    floored = train_bpe_merges(df, "text", n_merges=4, min_freq=2)
+    assert floored == train_bpe_merges(head_df, "text", n_merges=4, max_vocab=None)
+    # top-N cap keeps the most frequent words (ties lexicographic): with
+    # N=2 only {abab, cdcd} survive — same result as the floor
+    assert train_bpe_merges(df, "text", n_merges=4, max_vocab=2) == floored
+
+
 def test_read_media_dir_binaryfile_ingest(spark, tmp_path):
     """binaryFile ingest: a directory of real BMP + WAV files lands in the
     canonical media schema with kinds sniffed from magic bytes, and the

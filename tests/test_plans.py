@@ -384,3 +384,19 @@ def test_ivf_pq_rerank_shortlist_broadcasts(spark, sf_dir):
     assert "Broadcast" in plan
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_pmi_single_scan(spark, sf_dir):
+    """PMI collocations must read documents exactly ONCE: unigram counts,
+    the corpus token total, and the pair table all re-aggregate one shared
+    (w1, w2) exchange (ReusedExchange), and the total rides in-plan — no
+    separate count() job re-scanning the corpus."""
+    import re
+
+    df = QUERIES["bigram_pmi_collocations"](spark, sf_dir)
+    df.collect()  # AQE: reuse is visible only in the final plan
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    ).split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Scan parquet", plan)) == 1, plan
+    assert plan.count("ReusedExchange") >= 3, plan
