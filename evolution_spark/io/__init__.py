@@ -8,8 +8,11 @@ from evolution_spark.io.flf import (
     write_flf,
 )
 from evolution_spark.io.ipc import write_ipc
+from evolution_spark.io.ivf_layout import read_ivf_cells, write_ivf_partitioned
 
 __all__ = [
+    "write_ivf_partitioned",
+    "read_ivf_cells",
     "read_flf",
     "parse_flf",
     "encode_flf",

@@ -369,9 +369,7 @@ def pq_adc_topk(spark, sf_dir):
                n_subspaces=PQ_SUBSPACES, topk=10)
 
 
-@query(
-    "ivf_pq_topk",
-    oracle=f"""
+_IVF_PQ_TOPK_ORACLE = f"""
     WITH {_PQ_V_SQL},
     cells AS (
       SELECT ROW_NUMBER() OVER (
@@ -408,8 +406,10 @@ def pq_adc_topk(spark, sf_dir):
     WHERE asg.cell_id IN (SELECT cell_id FROM pcells)
     GROUP BY a.vec_id
     ORDER BY adc_score, a.vec_id LIMIT 10
-    """,
-)
+    """
+
+
+@query("ivf_pq_topk", oracle=_IVF_PQ_TOPK_ORACLE)
 def ivf_pq_topk(spark, sf_dir):
     """IVF-PQ search, the billion-scale ANN recipe end to end: 8 IVF cells
     prune the corpus to the probe's 2 nearest cells, PQ codes + an ADC
@@ -429,6 +429,14 @@ def _ivf_pq_pruned(spark, sf_dir):
     """Shared IVF-PQ setup: encoded corpus, collected codebook, quantized
     probe (vec 0), and the corpus pruned to the probe's 2 nearest of 8
     cells — one narrow scan, all constants literal."""
+    enc, cb_rows, probe_vi, cell_of, best_cells = _ivf_pq_setup(spark, sf_dir)
+    return enc, cb_rows, probe_vi, enc.where(cell_of.isin(best_cells))
+
+
+def _ivf_pq_setup(spark, sf_dir):
+    """Shared IVF-PQ pieces: encoded corpus, collected codebook, quantized
+    probe (vec 0), the per-row cell-argmin expression, and the probe's 2
+    nearest of 8 cell ids (picked on the driver with exact integer math)."""
     from evolution_spark.operators.pq import _d2, _quantized, pq_encode, pq_train
 
     e = table(spark, sf_dir, "embeddings")
@@ -470,8 +478,7 @@ def _ivf_pq_pruned(spark, sf_dir):
             ]
         )
     )["cell_id"]
-    pruned = enc.where(cell_of.isin(best_cells))
-    return enc, cb_rows, probe_vi, pruned
+    return enc, cb_rows, probe_vi, cell_of, best_cells
 
 
 @query(
@@ -539,3 +546,36 @@ def ivf_pq_rerank_topk(spark, sf_dir):
         .select("vec_id", _d2(F.col("__vi"), probe_lit).alias("d2"))
     )
     return exact.orderBy("d2", "vec_id").limit(10)
+
+
+@query("ivf_pq_topk_partitioned", oracle=_IVF_PQ_TOPK_ORACLE)
+def ivf_pq_topk_partitioned(spark, sf_dir):
+    """IVF-PQ search over the PRODUCTION layout: the encoded corpus is
+    written hive-partitioned by cell_id (``io/ivf_layout.py``), and the
+    probe reads back only its 2 nearest cells — the cell predicate becomes
+    ``PartitionFilters`` on the scan, so at a billion vectors the 6
+    non-probed cells are never read at all (I/O ~ nprobe/n_cells of the
+    corpus, vs ``ivf_pq_topk``'s full-scan-with-filter). Same ADC scoring,
+    same oracle: the layout is a lossless rewrite.
+
+    Plan gate: tests/test_plans.py::test_ivf_partitioned_scan_prunes_cells.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from evolution_spark.io.ivf_layout import read_ivf_cells, write_ivf_partitioned
+    from evolution_spark.operators.pq import pq_adc_topk
+
+    enc, cb_rows, probe_vi, cell_of, best_cells = _ivf_pq_setup(spark, sf_dir)
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        f"evo_ivfpart_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_ivf_partitioned(
+        enc.withColumn("cell_id", cell_of), tmp, sort_col="vec_id"
+    )
+    back = read_ivf_cells(spark, tmp, best_cells)
+    return pq_adc_topk(back, cb_rows, probe_vi, "vec_id",
+                       n_subspaces=PQ_SUBSPACES, topk=10)

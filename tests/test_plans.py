@@ -400,3 +400,42 @@ def test_bigram_pmi_single_scan(spark, sf_dir):
     ).split("== Initial Plan ==")[0]
     assert len(re.findall(r"Scan parquet", plan)) == 1, plan
     assert plan.count("ReusedExchange") >= 3, plan
+
+
+def test_ivf_partitioned_scan_prunes_cells(spark, tmp_path):
+    """The IVF production layout must turn the cell predicate into
+    PartitionFilters: only probed cell directories are read, and no data
+    filter on cell_id remains."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.ivf_layout import read_ivf_cells, write_ivf_partitioned
+
+    df = spark.range(400).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 8).cast("int").alias("cell_id")
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_partitioned(df, path)
+    back = read_ivf_cells(spark, path, [1, 3])
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "cell_id" in part_lines[0], plan
+    # the predicate is fully answered by pruning: no residual data filter
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert not pushed or "cell_id" not in pushed[0], plan
+    assert back.count() == 100
+    # pruning is physical: the executed scan reads only the files under the
+    # two probed cell directories (inputFiles() would list all 8 — it
+    # predates pruning)
+    import glob
+
+    probed_files = len(glob.glob(f"{path}/cell_id=1/*.parquet")) + len(
+        glob.glob(f"{path}/cell_id=3/*.parquet")
+    )
+    all_files = len(glob.glob(f"{path}/cell_id=*/*.parquet"))
+    back.collect()
+    scan = back._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    num_files_read = scan.metrics().apply("numFiles").value()
+    assert probed_files < all_files
+    assert num_files_read == probed_files, (num_files_read, probed_files)
