@@ -216,6 +216,7 @@ def ngram_jaccard_pairs(
     block_col: str,
     shingle_k: int = 3,
     threshold: float = 0.2,
+    max_gram_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word shingles for pairs sharing a blocking key.
     The block key bounds the quadratic term; use minhash_lsh_candidates when
@@ -229,8 +230,15 @@ def ngram_jaccard_pairs(
     token join cannot see them — so ``threshold`` must be > 0; a caller
     wanting the full block-pair matrix including zero-overlap pairs needs
     the quadratic block crossJoin this formulation exists to avoid.
-    Skewed corpora with hot grams: salt the gram key (operators/skew.py)
-    or pre-drop stop-grams above a co-frequency cap."""
+    Skewed corpora with hot grams: ``max_gram_freq`` caps the join's
+    quadratic term by dropping STOP-GRAMS — grams shared by more than
+    ``max_gram_freq`` documents within a block (each such gram alone
+    contributes c*(c-1)/2 join pairs). Per-document set sizes are then
+    recounted over the surviving grams, so the result is the EXACT Jaccard
+    over the stop-gram-filtered universe: when no gram exceeds the cap the
+    output is identical to the uncapped run (equivalence-tested), and when
+    the cap bites, boilerplate grams stop both the blowup and their
+    (near-zero) similarity signal."""
     if threshold <= 0:
         raise ValueError(
             "threshold must be > 0: zero-overlap pairs are structurally absent "
@@ -243,6 +251,21 @@ def ngram_jaccard_pairs(
     g = sh.select(
         F.col(id_col), "__blk", F.explode("__sh").alias("__g")
     ).select(F.col(id_col), "__blk", hash60(F.col("__g")).alias("__gh"))
+    if max_gram_freq is not None:
+        # co-frequency per (block, gram) with map-side combine; the keep
+        # list carries (block, 8-byte hash) only — never gram text
+        keep = (
+            g.groupBy("__blk", "__gh")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") <= max_gram_freq)
+            .select("__blk", "__gh")
+        )
+        g = g.join(keep, ["__blk", "__gh"], "left_semi")
+        # sizes over SURVIVING grams keeps Jaccard exact in the filtered
+        # universe (shingles are distinct, so rows-per-id == set size)
+        sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    else:
+        sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
     a = g.select(F.col(id_col).alias("id_a"), "__blk", "__gh")
     b = g.select(F.col(id_col).alias("id_b"), "__blk", "__gh")
     inter = (
@@ -251,7 +274,6 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__i"))
     )
-    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
     joined = (
         inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb")), "id_b")

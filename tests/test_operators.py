@@ -71,6 +71,53 @@ def test_ngram_jaccard_blocked(spark, docs):
     )
 
 
+def test_ngram_jaccard_hot_gram_guard(spark):
+    """max_gram_freq: a cap at or above the hottest gram's co-frequency is a
+    no-op (exact equivalence), and a biting cap drops only the boilerplate
+    stop-gram — the skew guard for web-scale corpora where one hot gram
+    alone would contribute c*(c-1)/2 join pairs."""
+    # every doc shares the boilerplate gram "terms of service"; pairs
+    # (0,1) and (2,3) also share real content grams
+    rows = [
+        (0, "terms of service alpha beta gamma delta", "b"),
+        (1, "terms of service alpha beta gamma delta epsilon", "b"),
+        (2, "terms of service red green blue yellow", "b"),
+        (3, "terms of service red green blue purple", "b"),
+        (4, "terms of service completely unrelated words here", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, src string")
+
+    base = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", "src", threshold=0.01
+        ).collect()
+    }
+    # cap above the hottest co-frequency (5 docs share "terms of service"):
+    # bit-identical to the uncapped run
+    capped_hi = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", "src", threshold=0.01, max_gram_freq=5
+        ).collect()
+    }
+    assert capped_hi == base
+    # a biting cap (grams in >2 docs dropped) removes the boilerplate-only
+    # pairs but keeps the true near-dups, with Jaccard over surviving grams
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", "src", threshold=0.01, max_gram_freq=2
+        ).collect()
+    }
+    assert (0, 1) in capped and (2, 3) in capped
+    assert (0, 4) not in capped and (1, 2) not in capped
+    # exact Jaccard over the filtered universe: docs 0/1 share 4 of 5
+    # surviving grams once the 5-doc "terms of service" gram is dropped
+    assert capped[(0, 1)] == pytest.approx(4 / 5)
+    assert base[(0, 1)] == pytest.approx(5 / 6)
+
+
 def test_simhash_near_dups(spark, docs):
     sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs, "doc_id", "text").collect()}
     assert sigs[0] == sigs[1]  # identical text -> identical signature
