@@ -14,8 +14,6 @@ Scale design:
 
 from __future__ import annotations
 
-import warnings
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DateType, StructField, StructType, TimestampNTZType
@@ -48,8 +46,14 @@ def asof_join(
     are broken deterministically by a hash of the packed payload, so repeated
     runs pick the same row.
 
-    ``by=None`` degenerates to a single global sort partition — fine for
-    small reference tables, a scale hazard otherwise (a warning is issued).
+    ``by=None`` runs fully distributed — NOT a single global window: the
+    union range-repartitions on the sort key (balanced sampled boundaries,
+    the ``operators/rank.py`` machinery), each partition forward-fills
+    locally, and a per-partition boundary carry (one payload row per
+    partition, filled across partitions with an O(n_partitions) window and
+    broadcast back) resolves left rows whose match lives in an earlier
+    (later, for ``forward``) partition. Partition-invariance is property-
+    tested: boundaries decide WHERE a row is filled, never WHAT it matches.
 
     ``tolerance`` (pandas ``merge_asof(tolerance=...)`` parity): a match
     further than ``tolerance`` from the left timestamp (one-sided, in the
@@ -58,13 +62,6 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    if by is None:
-        warnings.warn(
-            "asof_join(by=None) sorts ALL rows in one window partition — "
-            "distributed only in name. Pass a `by` key (e.g. the entity id) "
-            "for scale; proceeding for small-data use.",
-            stacklevel=2,
-        )
 
     right_cols = [c for c in right.columns if c != on and c != by]
     out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols}
@@ -97,28 +94,30 @@ def asof_join(
 
     unioned = l_tagged.unionByName(r_tagged)
 
-    part = [by] if by else []
-    if direction == "backward":
-        # right rows sort BEFORE left rows at the same timestamp so an exact
-        # tie matches (right.on <= left.on); __seq orders same-timestamp
-        # right rows so last() is deterministic
-        w = (
-            Window.partitionBy(*part)
-            .orderBy(F.col(on).asc(), F.col("__is_left").asc(), F.col("__seq").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    back = direction == "backward"
+    # __flag sorts the matchable side first at an exact timestamp tie:
+    # right-first for backward (right.on <= left.on), left-first for forward
+    flag = (
+        F.col("__is_left") if back else (F.lit(1) - F.col("__is_left"))
+    ).alias("__flag")
+    unioned = unioned.select("*", flag)
+    out_cols = [c for c in unioned.columns if c not in ("__r", "__seq", "__flag")]
+
+    if by is not None:
+        w = Window.partitionBy(by).orderBy(
+            F.col(on).asc(), F.col("__flag").asc(), F.col("__seq").asc()
         )
-        fill = F.last("__r", ignorenulls=True).over(w)
+        if back:
+            fill = F.last("__r", ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        else:
+            fill = F.first("__r", ignorenulls=True).over(
+                w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+        filled = unioned.select(*[F.col(c) for c in out_cols], fill.alias("__f"))
     else:
-        w = (
-            Window.partitionBy(*part)
-            .orderBy(F.col(on).asc(), F.col("__is_left").desc(), F.col("__seq").asc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        )
-        fill = F.first("__r", ignorenulls=True).over(w)
-    filled = unioned.select(
-        *[F.col(c) for c in unioned.columns if c not in ("__r", "__seq")],
-        fill.alias("__f"),
-    )
+        filled = _global_asof_fill(unioned, on, back, out_cols)
     match = F.col("__f")
     if tolerance is not None:
         # timestamp_ntz/date have no direct numeric cast; route via timestamp
@@ -137,6 +136,65 @@ def asof_join(
     return filled.where(F.col("__is_left") == 1).select(
         *[F.col(c) for c in left.columns],
         *[match.getField(c).alias(out_names[c]) for c in right_cols],
+    )
+
+
+def _global_asof_fill(
+    unioned: DataFrame, on: str, back: bool, out_cols: list[str]
+) -> DataFrame:
+    """Distributed fill for ``asof_join(by=None)``: the global-sort twin of
+    ``operators/rank.py``'s range-repartition + offsets machinery.
+
+    1. ``repartitionByRange`` on the full sort key (on, __flag, __seq) —
+       sampled boundaries give balanced partitions whose key ranges tile
+       the global order; ``spark_partition_id`` is the partition's rank.
+    2. One window PER PARTITION (partitionBy the pid — parallel, never a
+       single global partition) computes the within-partition fill.
+    3. The boundary carry: each partition's last (first, for forward)
+       right payload — ONE row per partition — is filled across the tiny
+       pid table with an O(n_partitions) window, then broadcast back;
+       rows whose local fill is null take the carried payload.
+
+    Every exchange moves the data once; nothing funnels through one task
+    except the n_partitions-row carry table."""
+    spark = unioned.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = unioned.repartitionByRange(
+        n, F.col(on).asc(), F.col("__flag").asc(), F.col("__seq").asc()
+    )
+    stamped = parted.select("*", F.spark_partition_id().alias("__pid"))
+
+    # one payload row per partition (right rows only); empty partitions and
+    # all-left partitions surface as NULL carries via the left join
+    order_key = F.struct(F.col(on), F.col("__seq"))
+    carry_agg = (
+        F.max_by("__r", order_key) if back else F.min_by("__r", order_key)
+    ).alias("__carry")
+    pids = stamped.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).drop("__cnt")
+    carries = stamped.where(F.col("__is_left") == 0).groupBy("__pid").agg(carry_agg)
+    ctab = pids.join(carries, "__pid", "left")
+    if back:
+        w_c = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+        carry_in = F.last("__carry", ignorenulls=True).over(w_c)
+    else:
+        w_c = Window.orderBy("__pid").rowsBetween(1, Window.unboundedFollowing)
+        carry_in = F.first("__carry", ignorenulls=True).over(w_c)
+    ctab = ctab.select("__pid", carry_in.alias("__carry_in"))
+
+    w = Window.partitionBy("__pid").orderBy(
+        F.col(on).asc(), F.col("__flag").asc(), F.col("__seq").asc()
+    )
+    if back:
+        local = F.last("__r", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        local = F.first("__r", ignorenulls=True).over(
+            w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+    return stamped.join(F.broadcast(ctab), "__pid").select(
+        *[F.col(c) for c in out_cols],
+        F.coalesce(local, F.col("__carry_in")).alias("__f"),
     )
 
 

@@ -131,15 +131,48 @@ def test_asof_tie_is_deterministic(spark):
     assert len(picks) == 1
 
 
-def test_asof_without_by_warns(spark):
-    import warnings as w
+def test_asof_without_by_distributed_partition_invariant(spark):
+    """by=None is fully distributed (range repartition + boundary carry,
+    no single global window partition) and the result is invariant to the
+    shuffle-partition count — boundaries decide WHERE a row fills, never
+    WHAT it matches. Brute-force python oracle, both directions."""
+    import random
 
-    left = spark.createDataFrame([(1, 1)], "t int, lid int")
-    right = spark.createDataFrame([(1, 2)], "t int, rv int")
-    with w.catch_warnings(record=True) as caught:
-        w.simplefilter("always")
-        asof_join(left, right, on="t")
-        assert any("by" in str(c.message) for c in caught)
+    rnd = random.Random(7)
+    lrows = [(i * 7 + rnd.randint(0, 6), i) for i in range(300)]
+    rts = rnd.sample(range(0, 2400), 120)  # unique right timestamps: no ties
+    rrows = [(t, float(t) / 2) for t in rts]
+    left = spark.createDataFrame(lrows, "t bigint, lid bigint")
+    right = spark.createDataFrame(rrows, "t bigint, rv double")
+
+    def brute(direction):
+        out = {}
+        for t, lid in lrows:
+            if direction == "backward":
+                cand = [rt for rt in rts if rt <= t]
+                out[lid] = max(cand) / 2 if cand else None
+            else:
+                cand = [rt for rt in rts if rt >= t]
+                out[lid] = min(cand) / 2 if cand else None
+        return out
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for direction in ("backward", "forward"):
+            want = brute(direction)
+            results = []
+            for n_part in ("3", "17"):
+                spark.conf.set("spark.sql.shuffle.partitions", n_part)
+                df = asof_join(left, right, on="t", direction=direction)
+                got = {r.lid: r.rv for r in df.collect()}
+                assert got == want, (direction, n_part)
+                results.append(got)
+            assert results[0] == results[1]
+            # the fill is range-partitioned, not one global window partition
+            plan = df._jdf.queryExecution().executedPlan().toString().lower()
+            assert "rangepartitioning" in plan
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
 
 
 # ---------------------------------------------------------------------------
