@@ -74,6 +74,14 @@ BENCH_QUERIES = [
     "count_min_heavy_hitters",
     "dedup_incremental_batch",
     "source_quota_sample",
+    # batch-9: the remaining never-benched round-3 queries + round-4 lines
+    "bpe_token_stats",
+    "topk_frequent_words",
+    "bigram_pmi_collocations",
+    "skew_join_salted",
+    "zorder_cluster_scan",
+    "rolling_features_events",
+    "ivf_pq_topk_partitioned",
 ]
 
 

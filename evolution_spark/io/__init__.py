@@ -9,10 +9,13 @@ from evolution_spark.io.flf import (
 )
 from evolution_spark.io.ipc import write_ipc
 from evolution_spark.io.ivf_layout import read_ivf_cells, write_ivf_partitioned
+from evolution_spark.io.partitioned import overwrite_partitions, write_partitioned
 
 __all__ = [
     "write_ivf_partitioned",
     "read_ivf_cells",
+    "write_partitioned",
+    "overwrite_partitions",
     "read_flf",
     "parse_flf",
     "encode_flf",

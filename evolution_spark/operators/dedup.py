@@ -39,6 +39,35 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware exact dedup: keep the HIGHEST-``score_col`` row per
+    distinct normalized text (ties -> min id, deterministic). The curation
+    variant of ``dedup_exact``: when the same document was crawled many
+    times, keep the best-scored capture (longest, cleanest, latest —
+    whatever the score encodes), not the arbitrary min-id one.
+
+    Scale: identical movement contract to ``dedup_exact`` — one shuffle of
+    (32 B fingerprint, 8 B id, 8 B score) per row with map-side ``max_by``
+    combine; the winner-id set semi-joins back on the id, text never
+    crosses the wire."""
+    fp = df.select(
+        F.col(id_col),
+        fingerprint128(F.col(text_col)).alias("__fp"),
+        F.col(score_col).alias("__s"),
+    )
+    # max_by over (score, -id): highest score wins, min id breaks ties
+    winner = F.max_by(
+        F.col(id_col), F.struct(F.col("__s"), (-F.col(id_col)).alias("__nid"))
+    ).alias(id_col)
+    keep = fp.groupBy("__fp").agg(winner).drop("__fp")
+    return df.join(keep, id_col, "left_semi")
+
+
 def dedup_repeated_chunks(
     df: DataFrame,
     text_col: str,

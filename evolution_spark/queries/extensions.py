@@ -380,15 +380,32 @@ def kmeans_cluster_summary(spark, sf_dir):
     return summary.join(firsts, "cell_id")
 
 
-@query("theta_sketch_set_ops")  # no oracle: DataSketches estimates by design
+@query(
+    "theta_sketch_set_ops",
+    oracle="""
+    WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v JOIN p USING (user_id))
+             AS users_view_and_purchase_est,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT user_id FROM v UNION SELECT user_id FROM p))
+             AS users_view_or_purchase_est
+    """,
+)
 def theta_sketch_set_ops(spark, sf_dir):
     """Theta sketches: the distinct-count algebra HLL cannot do. Per
     event_type theta sketches of user_id support UNION (like HLL) and also
     INTERSECTION — here: users who both viewed AND purchased, estimated
     without ever materializing either user set. Sketches persist/re-merge
-    like the HLL rollup (one scan ever); estimate accuracy is tested
-    against exact counts in test_extensions.py. Driver records rows-only
-    (estimates are engine-specific by design)."""
+    like the HLL rollup (one scan ever).
+
+    The oracle is EXACT set algebra: below the sketch's nominal capacity
+    (default lgK=12 -> 4096 retained hashes) a theta sketch never samples
+    (theta = 1.0), so union/intersection estimates are exact integers —
+    and every test/driver scale here has <= 1500 distinct users. Past
+    capacity the estimate would drift from the oracle by design; the
+    exact-mode bound is what makes this hash-checkable where HLL (always
+    approximate) stays rows-only."""
     e = table(spark, sf_dir, "events")
     sketches = (
         e.where(F.col("event_type").isin("view", "purchase"))
@@ -396,11 +413,11 @@ def theta_sketch_set_ops(spark, sf_dir):
         .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
     )
     both = sketches.agg(
-        F.expr("theta_sketch_estimate(theta_intersection_agg(sk))").alias(
-            "users_view_and_purchase_est"
-        ),
-        F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias(
-            "users_view_or_purchase_est"
-        ),
+        F.expr("theta_sketch_estimate(theta_intersection_agg(sk))")
+        .cast("bigint")
+        .alias("users_view_and_purchase_est"),
+        F.expr("theta_sketch_estimate(theta_union_agg(sk))")
+        .cast("bigint")
+        .alias("users_view_or_purchase_est"),
     )
     return both

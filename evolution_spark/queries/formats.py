@@ -143,3 +143,54 @@ def zorder_cluster_scan(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "incremental_partition_overwrite",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def incremental_partition_overwrite(spark, sf_dir):
+    """Daily-rollup maintenance via dynamic partition overwrite
+    (io/partitioned.py): the initial load lands with the last two days
+    PARTIAL (half the events — simulating an in-flight ingest), then the
+    correction batch recomputes exactly those two days and dynamic-
+    overwrites them. Only the stale partition directories are rewritten
+    (proven file-by-file in test_converter.py); the final table equals a
+    full recompute, which is what the oracle checks. At 100 TB the
+    correction costs two days of data, not a table rewrite."""
+    from evolution_spark.io.partitioned import overwrite_partitions, write_partitioned
+
+    e = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+
+    def rollup(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+
+    cutoff = e.agg(F.date_sub(F.max("day"), 1).alias("c")).first()["c"]
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        f"evo_dpo_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    stale = rollup(
+        e.where(F.col("day") < cutoff).unionByName(
+            e.where((F.col("day") >= cutoff) & (F.col("event_id") % 2 == 0))
+        )
+    )
+    write_partitioned(stale, tmp, "day")
+    correction = rollup(e.where(F.col("day") >= cutoff))
+    overwrite_partitions(correction, tmp, "day")
+    back = spark.read.parquet(tmp)
+    return back.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        "value_cents",
+    )

@@ -204,6 +204,31 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY md5({_NORM_SQL})
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware exact dedup (operators/dedup.dedup_keep_best): among
+    rows with identical normalized text, keep the highest-n_chars capture
+    (min doc_id on ties) instead of the arbitrary min-id one — the curation
+    policy for multiply-crawled pages. Same movement contract as
+    dedup_exact: one (fingerprint, id, score) shuffle with map-side max_by
+    combine, then an id semi-join; text never crosses the wire."""
+    from evolution_spark.operators.dedup import dedup_keep_best as keep_best
+
+    d = table(spark, sf_dir, "documents")
+    return keep_best(d, "text", "doc_id", "n_chars").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 INCR_BATCH_START = 400  # doc_id >= this = "the new batch"
 
 

@@ -344,27 +344,9 @@ def pq_adc_topk(spark, sf_dir):
     reduces its 8 codes against it — corpus scanned once, never shuffled,
     top-k via TakeOrderedAndProject. Exact integer arithmetic end to end,
     so the oracle's join formulation is bit-identical."""
-    from evolution_spark.operators.pq import _quantized, pq_encode, pq_train
     from evolution_spark.operators.pq import pq_adc_topk as adc
 
-    e = table(spark, sf_dir, "embeddings")
-    cb = pq_train(e, "vec_id", "embedding", n_codes=PQ_CODES, scale=PQ_SCALE)
-    cb_rows = [(r["code"], list(r["cen"])) for r in cb.first()["__pq"]]
-    # re-emit the collected codebook as a literal one-row frame: the main
-    # job then encodes against constants instead of re-running the
-    # sampling scan (one fewer corpus pass per action)
-    cb_lit = spark.createDataFrame(
-        [(cb_rows,)], "__pq array<struct<code:int,cen:array<bigint>>>"
-    )
-    enc = pq_encode(e, cb_lit, "vec_id", "embedding",
-                    n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE)
-    # probe from the corpus with the operator's own quantizer: collecting it
-    # from `enc` would re-execute the codebook build just to read one row
-    probe_vi = list(
-        e.where(F.col("vec_id") == 0)
-        .select(_quantized("embedding", PQ_SCALE).alias("vi"))
-        .first()["vi"]
-    )
+    enc, cb_rows, probe_vi, _cell_of, _best = _ivf_pq_setup(spark, sf_dir)
     return adc(enc, cb_rows, probe_vi, "vec_id",
                n_subspaces=PQ_SUBSPACES, topk=10)
 
@@ -441,7 +423,15 @@ def _ivf_pq_setup(spark, sf_dir):
 
     e = table(spark, sf_dir, "embeddings")
     cb = pq_train(e, "vec_id", "embedding", n_codes=PQ_CODES, scale=PQ_SCALE)
-    cb_rows = [(r["code"], list(r["cen"])) for r in cb.first()["__pq"]]
+    # ONE driver action fetches both tiny constants (codebook row x probe
+    # row via crossJoin of two 1-row frames) — collecting them separately
+    # cost a second job's fixed overhead at bench scale
+    probe = e.where(F.col("vec_id") == 0).select(
+        _quantized("embedding", PQ_SCALE).alias("__probe_vi")
+    )
+    consts = cb.crossJoin(probe).first()
+    cb_rows = [(r["code"], list(r["cen"])) for r in consts["__pq"]]
+    probe_vi = list(consts["__probe_vi"])
     # re-emit the collected codebook as a literal one-row frame: the main
     # job then encodes against constants instead of re-running the
     # sampling scan (one fewer corpus pass per action)
@@ -450,13 +440,6 @@ def _ivf_pq_setup(spark, sf_dir):
     )
     enc = pq_encode(e, cb_lit, "vec_id", "embedding",
                     n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE)
-    # probe from the corpus with the operator's own quantizer: collecting it
-    # from `enc` would re-execute the codebook build just to read one row
-    probe_vi = list(
-        e.where(F.col("vec_id") == 0)
-        .select(_quantized("embedding", PQ_SCALE).alias("vi"))
-        .first()["vi"]
-    )
 
     # IVF cells: the 8 smallest-hash training vectors double as cell
     # centroids (ranks 0-7 of the same deterministic sample); probe cells

@@ -366,3 +366,47 @@ def test_compact_parquet_rejects_hive_partitioned(spark, tmp_path):
     ).parquet(src)
     with _pytest.raises(ValueError, match="hive-partitioned"):
         compact_parquet(spark, src, target_file_mb=512)
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """overwrite_partitions replaces exactly the partitions in the batch:
+    untouched partition dirs keep their files byte-for-byte (same names,
+    same mtimes), overwritten dirs get new files, and the table reads back
+    as the merged result."""
+    import os
+
+    from evolution_spark.io.partitioned import overwrite_partitions, write_partitioned
+
+    path = str(tmp_path / "t")
+    init = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 30)],
+        "day string, n int",
+    )
+    write_partitioned(init, path, "day")
+
+    def listing(day):
+        d = f"{path}/day={day}"
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_d1, before_d2 = listing("2024-01-01"), listing("2024-01-02")
+    before_d3 = listing("2024-01-03")
+
+    patch = spark.createDataFrame([("2024-01-03", 3)], "day string, n int")
+    overwrite_partitions(patch, path, "day")
+
+    assert listing("2024-01-01") == before_d1  # untouched, same files
+    assert listing("2024-01-02") == before_d2
+    assert listing("2024-01-03") != before_d3  # replaced
+    import datetime as dt
+
+    # partition-type inference parses the day strings back as DATEs
+    got = {r.day: r.n for r in spark.read.parquet(path).collect()}
+    assert got == {
+        dt.date(2024, 1, 1): 1,
+        dt.date(2024, 1, 2): 2,
+        dt.date(2024, 1, 3): 3,
+    }

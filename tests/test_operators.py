@@ -45,6 +45,22 @@ def test_dedup_exact(spark, docs):
     assert ids == [0, 3, 4, 5]
 
 
+def test_dedup_keep_best(spark):
+    """Among identical normalized texts the highest score survives (min id
+    on ties); unique texts always survive."""
+    from evolution_spark.operators.dedup import dedup_keep_best
+
+    rows = [
+        (0, "Same Text", 5),
+        (1, "same text", 9),   # best capture of the dup group
+        (2, "SAME   TEXT", 9), # ties with 1 -> min id wins
+        (3, "unique", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, score bigint")
+    kept = sorted(r.doc_id for r in dedup_keep_best(df, "text", "doc_id", "score").collect())
+    assert kept == [1, 3]
+
+
 def test_minhash_candidates_find_near_dup(spark, docs):
     pairs = minhash_lsh_candidates(docs, "doc_id", "text", jaccard_threshold=0.5)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
