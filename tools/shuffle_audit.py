@@ -28,6 +28,10 @@ AUDITED = {
     "pq_encode_codes": "encoding is a narrow pass; only codes move",
     "session_window_gaps": "one shuffle of events by user_id",
     "text_stats": "narrow projection; shuffle-free",
+    "bigram_pmi_collocations": "one corpus scan; one vocab-sized pair exchange reused by all aggregates",
+    "dedup_keep_best": "fingerprint + id + score shuffle with map-side max_by; text stays put",
+    "ivf_pq_topk_partitioned": "pruned cells scan + narrow ADC; layout write shuffles by cell once",
+    "asof_join_orders": "one shuffle of both sides on the by key; payload struct, no re-join",
 }
 
 
