@@ -194,3 +194,42 @@ def incremental_partition_overwrite(spark, sf_dir):
         "n",
         "value_cents",
     )
+
+
+@query(
+    "schema_evolution_merge",
+    oracle="""
+    SELECT CASE WHEN event_id % 2 = 0 THEN 'unknown' ELSE event_type END
+             AS event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1
+    """,
+)
+def schema_evolution_merge(spark, sf_dir):
+    """Schema evolution across partitions: an old load written WITHOUT the
+    event_type column and a new load written WITH it read back as one
+    table via mergeSchema — old rows surface NULL for the added column
+    (coalesced to 'unknown'). The capability a long-lived 100 TB table
+    needs to add columns without rewriting history; per-file footers keep
+    the read a normal parallel scan (schema merge happens at planning,
+    not per row)."""
+    e = table(spark, sf_dir, "events")
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        f"evo_sev_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    old = e.where(F.col("event_id") % 2 == 0).select("event_id", "value")
+    new = e.where(F.col("event_id") % 2 == 1).select("event_id", "value", "event_type")
+    old.write.parquet(f"{tmp}/load=0")
+    new.write.parquet(f"{tmp}/load=1")
+    back = spark.read.option("mergeSchema", "true").parquet(tmp)
+    return (
+        back.groupBy(
+            F.coalesce(F.col("event_type"), F.lit("unknown")).alias("event_type")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+    )

@@ -1,5 +1,7 @@
 from evolution_spark.streaming.sinks import (
     idempotent_parquet_sink,
+    partitioned_rollup_sink,
+    read_partitioned_rollup,
     read_scd2_dimension,
     scd2_upsert_sink,
 )
@@ -30,6 +32,8 @@ __all__ = [
     "running_user_totals",
     "click_purchase_join",
     "idempotent_parquet_sink",
+    "partitioned_rollup_sink",
+    "read_partitioned_rollup",
     "read_scd2_dimension",
     "scd2_upsert_sink",
 ]

@@ -130,6 +130,59 @@ def scd2_upsert_sink(
     return _write
 
 
+def partitioned_rollup_sink(
+    out_dir: str,
+    day_col: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+):
+    """Return a ``foreachBatch`` function maintaining day-partitioned
+    rollup CONTRIBUTIONS: each micro-batch aggregates itself to
+    (day, keys) -> (n, sum_*) and dynamic-partition-overwrites
+    ``out_dir/<day>=D/batch_id=N`` for exactly the days it touches
+    (``io/partitioned.py``). Idempotent by construction: replaying batch N
+    rewrites only its own (day, N) directories — at-least-once delivery,
+    exactly-once totals. Late data lands as a new contribution under the
+    old day's directory; history files are never rewritten.
+
+    Serving view = ``read_partitioned_rollup`` (re-aggregates the count/
+    sum algebra — contributions are mergeable by design); fold old batches
+    with ``io/compact.py`` when the per-day file count grows.
+
+    Scale: per batch, one shuffle of batch-sized aggregate rows; write
+    cost is O(days touched by the batch), never O(table)."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.partitioned import overwrite_partitions
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        rolled = batch_df.groupBy(day_col, *key_cols).agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        ).withColumn("batch_id", F.lit(batch_id))
+        overwrite_partitions(rolled, out_dir, [day_col, "batch_id"])
+
+    return _write
+
+
+def read_partitioned_rollup(
+    spark, out_dir: str, day_col: str, key_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Merge the contributions written by ``partitioned_rollup_sink`` into
+    the current totals: one partition-pruned scan + re-aggregation of the
+    mergeable count/sum algebra."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy(day_col, *key_cols)
+        .agg(
+            F.sum("n").alias("n"),
+            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        )
+    )
+
+
 def read_scd2_dimension(spark, dim_dir: str) -> DataFrame:
     """Assemble the full SCD2 dimension maintained by ``scd2_upsert_sink``:
     all closed intervals plus the latest open set."""

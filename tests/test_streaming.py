@@ -281,6 +281,75 @@ def test_idempotent_foreachbatch_sink(spark, stream_env, tmp_path):
     assert final == [1, 2, 3]
 
 
+def test_partitioned_rollup_sink_incremental_late_and_replay(spark, stream_env, tmp_path):
+    """Day-partitioned rollup contributions: two micro-batches (the second
+    carrying LATE data for day 1) merge to the same totals as a single
+    batch groupBy; replaying a batch changes nothing (idempotence); day-1
+    files from batch 0 are never rewritten by batch 1."""
+    import glob
+    import os
+
+    from evolution_spark.streaming.sinks import (
+        partitioned_rollup_sink,
+        read_partitioned_rollup,
+    )
+
+    src, ckpt, add_batch = stream_env
+    out = str(tmp_path / "rollup_out")
+    sink = partitioned_rollup_sink(out, "day", ["event_type"], ["value"])
+
+    def run_once():
+        stream = read_event_stream(spark, src).withColumn("day", F.to_date("ts"))
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # batch 0: day 1 only (minutes < 1440); batch 1: day 2 + LATE day-1 row
+    b0 = [(1, 0, 1, "view", 1.0), (2, 60, 1, "view", 3.0), (3, 120, 2, "click", 5.0)]
+    b1 = [(4, 1500, 1, "view", 7.0), (5, 30, 2, "view", 9.0)]  # 5 is late day-1
+    add_batch(b0)
+    run_once()
+    d1_files_after_b0 = sorted(
+        (f, os.path.getmtime(f))
+        for f in glob.glob(f"{out}/day=2024-01-01/batch_id=0/*.parquet")
+    )
+    add_batch(b1)
+    run_once()
+
+    got = {
+        (str(r.day), r.event_type): (r.n, r.sum_value)
+        for r in read_partitioned_rollup(
+            spark, out, "day", ["event_type"], ["value"]
+        ).collect()
+    }
+    assert got == {
+        ("2024-01-01", "view"): (3, 13.0),   # includes the late row
+        ("2024-01-01", "click"): (1, 5.0),
+        ("2024-01-02", "view"): (1, 7.0),
+    }
+    # batch 0's day-1 contribution files are untouched by batch 1 (the late
+    # row landed under day=2024-01-01/batch_id=1)
+    assert sorted(
+        (f, os.path.getmtime(f))
+        for f in glob.glob(f"{out}/day=2024-01-01/batch_id=0/*.parquet")
+    ) == d1_files_after_b0
+    assert glob.glob(f"{out}/day=2024-01-01/batch_id=1/*.parquet")
+    # replay: re-apply batch 1's write; totals must not change
+    replay_df = _mk_events(spark, b1).withColumn("day", F.to_date("ts"))
+    sink(replay_df, 1)
+    again = {
+        (str(r.day), r.event_type): (r.n, r.sum_value)
+        for r in read_partitioned_rollup(
+            spark, out, "day", ["event_type"], ["value"]
+        ).collect()
+    }
+    assert again == got
+
+
 def test_scd2_upsert_sink_incremental_equals_batch(spark, tmp_path):
     """Incrementally maintained SCD2 (3 micro-batches) must equal one batch
     scd2_from_changelog over the concatenated changelog; replaying a batch
