@@ -14,6 +14,24 @@ from pyspark.sql import functions as F
 from evolution_spark.functions.text import hash32
 
 
+def lit_long_array(values) -> Column:
+    """Bigint array literal as ONE parsed SQL expression. Building the same
+    array with ``F.array(*[F.lit(v) ...])`` costs a py4j round-trip per
+    element — for the 64-512-element constants the ANN operators embed
+    (centroids, codebooks, probes, hyperplanes), that per-element chatter
+    dominates plan-build time; one expr string parse is ~10x cheaper."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in values) + ")")
+
+
+def lit_double_array(values) -> Column:
+    """Double array literal as ONE parsed SQL expression (see
+    ``lit_long_array``). ``repr(float)`` is shortest-roundtrip, so the
+    parsed constant is bit-identical to the ``F.lit`` form."""
+    return F.expr(
+        "array(" + ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in values) + ")"
+    )
+
+
 def dot(a, b) -> Column:
     """Sequential double-precision dot product."""
     return F.aggregate(
@@ -64,7 +82,7 @@ def lsh_bucket(vec_col, n_planes: int, dim: int) -> Column:
     (measured ~20x on the projection stage)."""
     bits = []
     for j in range(n_planes):
-        signs = F.array(*[F.lit(plane_sign_value(j, i)) for i in range(dim)])
+        signs = lit_double_array(plane_sign_value(j, i) for i in range(dim))
         proj = F.aggregate(
             F.zip_with(vec_col, signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0).cast("double"),

@@ -148,9 +148,9 @@ def pq_adc_topk(
         ]
         for j in range(n_subspaces)
     ]
-    lit_table = F.array(
-        *[F.array(*[F.lit(v).cast("bigint") for v in row]) for row in table]
-    )
+    from evolution_spark.functions.vectors import lit_long_array
+
+    lit_table = F.array(*[lit_long_array(row) for row in table])
     partials = F.zip_with(
         lit_table, F.col("codes"), lambda row, c: F.element_at(row, c + 1)
     )

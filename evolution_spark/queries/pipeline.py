@@ -261,10 +261,12 @@ def random_projection_reduce(spark, sf_dir):
     literal arrays, so each row is 8x64 multiply-adds in codegen; the
     left-to-right double fold makes the sums bit-identical to the oracle's
     explicit term chain."""
+    from evolution_spark.functions.vectors import lit_double_array
+
     e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
     cols = []
     for j in range(REDUCED_DIM):
-        signs = F.array(*[F.lit(plane_sign_value(j, i)) for i in range(DIM)])
+        signs = lit_double_array(plane_sign_value(j, i) for i in range(DIM))
         proj = F.aggregate(
             F.zip_with("embedding", signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0).cast("double"),

@@ -423,15 +423,14 @@ def _ivf_pq_setup(spark, sf_dir):
 
     e = table(spark, sf_dir, "embeddings")
     cb = pq_train(e, "vec_id", "embedding", n_codes=PQ_CODES, scale=PQ_SCALE)
-    # ONE driver action fetches both tiny constants (codebook row x probe
-    # row via crossJoin of two 1-row frames) — collecting them separately
-    # cost a second job's fixed overhead at bench scale
-    probe = e.where(F.col("vec_id") == 0).select(
-        _quantized("embedding", PQ_SCALE).alias("__probe_vi")
+    # two tiny driver actions (measured faster warm than fusing them via a
+    # 1-row crossJoin, whose joined plan defeats the TakeOrdered fast path)
+    cb_rows = [(r["code"], list(r["cen"])) for r in cb.first()["__pq"]]
+    probe_vi = list(
+        e.where(F.col("vec_id") == 0)
+        .select(_quantized("embedding", PQ_SCALE).alias("__probe_vi"))
+        .first()["__probe_vi"]
     )
-    consts = cb.crossJoin(probe).first()
-    cb_rows = [(r["code"], list(r["cen"])) for r in consts["__pq"]]
-    probe_vi = list(consts["__probe_vi"])
     # re-emit the collected codebook as a literal one-row frame: the main
     # job then encodes against constants instead of re-running the
     # sampling scan (one fewer corpus pass per action)
@@ -449,7 +448,7 @@ def _ivf_pq_setup(spark, sf_dir):
     probed = sorted((d2_int(probe_vi, cen), cid) for cid, cen in cells)
     best_cells = [cid for _d, cid in probed[:2]]
 
-    lit_vec = lambda cen: F.array(*[F.lit(v).cast("bigint") for v in cen])
+    from evolution_spark.functions.vectors import lit_long_array as lit_vec
     cell_of = F.array_min(
         F.array(
             *[
@@ -523,7 +522,9 @@ def ivf_pq_rerank_topk(spark, sf_dir):
     enc, cb_rows, probe_vi, pruned = _ivf_pq_pruned(spark, sf_dir)
     shortlist = pq_adc_topk(pruned, cb_rows, probe_vi, "vec_id",
                             n_subspaces=PQ_SUBSPACES, topk=50).select("vec_id")
-    probe_lit = F.array(*[F.lit(v).cast("bigint") for v in probe_vi])
+    from evolution_spark.functions.vectors import lit_long_array
+
+    probe_lit = lit_long_array(probe_vi)
     exact = (
         enc.join(F.broadcast(shortlist), "vec_id", "left_semi")
         .select("vec_id", _d2(F.col("__vi"), probe_lit).alias("d2"))
