@@ -24,6 +24,8 @@ AUDITED = {
     "dedup_repeated_chunks": "partial_min winner election; LeftSemi reassembly",
     "ivf_pq_topk": "broadcast codebook, literal ADC table, narrow corpus scan",
     "flf_parse_expression": "single narrow stage, no Python eval",
+    "bigram_pmi_collocations": "one documents scan; all aggregates reuse one exchange",
+    "ivf_pq_topk_partitioned": "PartitionFilters prune non-probed cells at the scan",
 }
 
 
