@@ -25,10 +25,12 @@ def lit_long_array(values) -> Column:
 
 def lit_double_array(values) -> Column:
     """Double array literal as ONE parsed SQL expression (see
-    ``lit_long_array``). ``repr(float)`` is shortest-roundtrip, so the
-    parsed constant is bit-identical to the ``F.lit`` form."""
+    ``lit_long_array``). ``repr(float)`` is shortest-roundtrip and the
+    string->double cast preserves every IEEE value including -0.0 and
+    subnormals (a bare ``-0.0`` literal would parse as DECIMAL and drop
+    the sign), so the parsed constant is bit-identical to ``F.lit``."""
     return F.expr(
-        "array(" + ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in values) + ")"
+        "array(" + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in values) + ")"
     )
 
 

@@ -734,3 +734,26 @@ def test_read_media_dir_binaryfile_ingest(spark, tmp_path):
     # downstream real-codec features run on the ingested frame
     feats = extract_features(df.where(F.col("kind") == "image"), fake=False)
     assert feats.count() == 2
+
+
+def test_lit_array_helpers_bit_identical(spark):
+    """The single-parse array constants must evaluate bit-identically to
+    the per-element F.lit form across edge values (negatives, int64
+    extremes, subnormal/huge doubles, shortest-repr floats)."""
+    import pyspark.sql.functions as F
+
+    from evolution_spark.functions.vectors import lit_double_array, lit_long_array
+
+    longs = [0, -1, 1, 2**63 - 1, -(2**63), 123456789012345678]
+    doubles = [0.0, -0.0, 1.0, -1.5, 1e308, 5e-324, 0.1, -2.5e-10, 3.141592653589793]
+    row = spark.range(1).select(
+        lit_long_array(longs).alias("l"),
+        F.array(*[F.lit(v).cast("bigint") for v in longs]).alias("l_ref"),
+        lit_double_array(doubles).alias("d"),
+        F.array(*[F.lit(float(v)).cast("double") for v in doubles]).alias("d_ref"),
+    ).first()
+    assert list(row.l) == list(row.l_ref) == longs
+    import struct
+
+    bits = lambda xs: [struct.pack("<d", x) for x in xs]
+    assert bits(row.d) == bits(row.d_ref) == bits([float(v) for v in doubles])
