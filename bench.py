@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "zorder_cluster_scan",
     "rolling_features_events",
     "ivf_pq_topk_partitioned",
+    "temperature_mix_sample",
+    "incremental_partition_overwrite",
+    "dedup_keep_best",
 ]
 
 

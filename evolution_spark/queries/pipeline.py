@@ -317,3 +317,62 @@ def chunk_documents_overlap(spark, sf_dir):
         F.size(chunk).alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     )
+
+
+MIX_ALPHA_BUDGET = 300  # total docs the temperature mix samples
+
+
+@query(
+    "temperature_mix_sample",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, n, sqrt(n::DOUBLE) AS wt FROM c),
+    t AS (SELECT SUM(wt) AS tw FROM w),
+    q AS (SELECT lang, n, CAST(ROUND(wt / t.tw * {MIX_ALPHA_BUDGET}) AS BIGINT)
+                 AS quota
+          FROM w CROSS JOIN t),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {_HASH_SQL}, doc_id) AS rk
+      FROM documents
+    )
+    SELECT r.lang, q.n AS n_total, q.quota,
+           COUNT(*) AS n_kept, MIN(r.doc_id) AS min_doc
+    FROM ranked r JOIN q USING (lang) WHERE r.rk <= q.quota
+    GROUP BY r.lang, q.n, q.quota
+    """,
+)
+def temperature_mix_sample(spark, sf_dir):
+    """Temperature-scaled language mixing (the mT5/Pile recipe): sampling
+    quota per language ~ n^alpha (alpha=0.5 here — sqrt flattening), so
+    low-resource languages are upsampled relative to their share and the
+    head language stops dominating the training mix. Quotas derive
+    IN-PLAN from the per-lang counts (a vocabulary-sized aggregate +
+    broadcast total — no driver round-trip); the kept set is hash-ranked
+    per language, so re-runs and incremental corpus extensions agree on
+    what was sampled. One shuffle by lang for the ranking window plus one
+    tiny quota broadcast; a hot language at 100 TB sorts only its own
+    partition (pre-filter with a hash threshold for pathological
+    single-lang skew, as source_quota_sample documents)."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w = c.select("lang", "n", F.sqrt(F.col("n").cast("double")).alias("wt"))
+    tot = w.agg(F.sum("wt").alias("tw"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        F.round(F.col("wt") / F.col("tw") * MIX_ALPHA_BUDGET)
+        .cast("bigint")
+        .alias("quota"),
+    )
+    wnd = Window.partitionBy("lang").orderBy(
+        hash32(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select("doc_id", "lang", F.row_number().over(wnd).alias("rk"))
+    return (
+        ranked.join(F.broadcast(q), "lang")
+        .where(F.col("rk") <= F.col("quota"))
+        .groupBy("lang", F.col("n").alias("n_total"), "quota")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_doc"))
+    )
