@@ -8,6 +8,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from pyspark.sql import functions as F
+
 from evolution_spark.converter import Converter, Target
 from evolution_spark.io.flf import read_flf
 from evolution_spark.io.ipc import write_ipc
@@ -224,6 +226,97 @@ def test_csv_target_roundtrip(spark, tmp_path):
     back = spark.read.schema(sch.to_spark_schema()).option("header", "true").csv(out)
     ref = Converter(flf, sch, str(tmp_path / "ref.parquet")).dataframe(spark)
     assert back.count() == 500
+    assert back.exceptAll(ref).count() == 0 and ref.exceptAll(back).count() == 0
+
+
+def test_delta_snapshot_log_contract(spark, tmp_path):
+    """The native Delta writer produces a spec-compliant version-0 commit:
+    protocol/metaData/add actions, schemaString == Spark schema JSON, add
+    paths cover exactly the data files with matching sizes and row stats,
+    and the log-driven read sees ONLY committed files (an orphan parquet
+    dropped into the dir is invisible — the Delta read contract)."""
+    import json
+
+    from evolution_spark.io.delta_log import read_delta_snapshot, write_delta_snapshot
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    )
+    path = str(tmp_path / "dtab")
+    summary = write_delta_snapshot(df, path, mode="error")
+    assert summary["version"] == 0 and summary["rows"] == 100
+
+    log = (tmp_path / "dtab" / "_delta_log" / f"{0:020d}.json").read_text()
+    actions = [json.loads(l) for l in log.splitlines()]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[1:3] == ["protocol", "metaData"] and "add" in kinds
+    meta = actions[2]["metaData"]
+    assert meta["schemaString"] == df.schema.json()
+    assert meta["format"]["provider"] == "parquet"
+    import os
+
+    adds = [a["add"] for a in actions if "add" in a]
+    on_disk = {
+        p.relative_to(tmp_path / "dtab").as_posix()
+        for p in (tmp_path / "dtab").rglob("*.parquet")
+        if "_delta_log" not in p.parts
+    }
+    assert {a["path"] for a in adds} == on_disk
+    for a in adds:
+        assert a["size"] == os.path.getsize(tmp_path / "dtab" / a["path"])
+    assert sum(json.loads(a["stats"])["numRecords"] for a in adds) == 100
+
+    back = read_delta_snapshot(spark, path)
+    assert sorted(r.id for r in back.collect()) == list(range(100))
+    # orphan data file (uncommitted writer crash debris) is invisible
+    df.limit(5).coalesce(1).write.parquet(str(tmp_path / "orphan"))
+    orphan = next((tmp_path / "orphan").glob("*.parquet"))
+    orphan.rename(tmp_path / "dtab" / "zz-orphan.parquet")
+    assert read_delta_snapshot(spark, path).count() == 100
+
+    # mode=error refuses to clobber; overwrite replaces the snapshot
+    with pytest.raises(ValueError, match="exists"):
+        write_delta_snapshot(df, path, mode="error")
+    write_delta_snapshot(df.limit(10), path, mode="overwrite")
+    assert read_delta_snapshot(spark, path).count() == 10
+
+
+def test_delta_snapshot_partitioned(spark, tmp_path):
+    """Partitioned Delta snapshot: partitionValues come from the hive dirs,
+    and the log-driven read resolves the partition column."""
+    import json
+
+    from evolution_spark.io.delta_log import read_delta_snapshot, write_delta_snapshot
+
+    df = spark.range(60).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("k")
+    )
+    path = str(tmp_path / "dpart")
+    write_delta_snapshot(df, path, partition_by=["k"])
+    log = (tmp_path / "dpart" / "_delta_log" / f"{0:020d}.json").read_text()
+    adds = [json.loads(l)["add"] for l in log.splitlines() if '"add"' in l]
+    assert {a["partitionValues"]["k"] for a in adds} == {"0", "1", "2"}
+    back = read_delta_snapshot(spark, path)
+    got = {(r.id, r.k) for r in back.collect()}
+    assert got == {(i, i % 3) for i in range(60)}
+
+
+def test_delta_target_via_converter(spark, tmp_path):
+    """Converter dispatch: target=delta runs the native snapshot writer
+    end-to-end from FLF input."""
+    from evolution_spark.converter import Converter, Target
+    from evolution_spark.io.delta_log import read_delta_snapshot
+    from evolution_spark.mocker import Mocker
+
+    sch = SCHEMA
+    flf = str(tmp_path / "m.flf")
+    Mocker(sch, 200, flf, seed=21).run(spark)
+    out = str(tmp_path / "dtab")
+    Converter(flf, sch, out, target=Target.DELTA).run(spark)
+    ref = Converter(flf, sch, "unused").dataframe(spark)
+    back = read_delta_snapshot(spark, out)
+    assert back.count() == 200
     assert back.exceptAll(ref).count() == 0 and ref.exceptAll(back).count() == 0
 
 
