@@ -32,6 +32,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from evolution_spark.io.avro import write_avro
 from evolution_spark.io.delta_log import write_delta_snapshot
 from evolution_spark.io.flf import read_flf, scoped_max_partition_bytes, write_flf
 from evolution_spark.io.ipc import write_ipc
@@ -188,11 +189,19 @@ class Converter:
                 df, self.output_path, mode=mode, partition_by=self.partition_by
             )
             return
-        # iceberg / avro need their connector on the classpath; fail with a
-        # clear message when absent (this container ships neither —
-        # avro-core jars are present but the spark-avro datasource module
-        # is not; iceberg manifests are Avro, so a native writer would need
-        # an avro encoder too).
+        if target is Target.AVRO:
+            # native container-file codec (io/avro.py): distributed
+            # one-file-per-partition write, spec-compliant bytes
+            # (cross-validated against the JVM's avro-core reader in
+            # tests) — no spark-avro module needed.
+            if self.partition_by:
+                raise ValueError("avro sink does not support partition_by")
+            write_avro(df, self.output_path)
+            return
+        # iceberg needs its connector on the classpath; fail with a clear
+        # message when absent (this container ships none; iceberg manifest
+        # files add snapshot/manifest-list layers beyond the raw Avro codec
+        # below, so the native-writer approach stops at delta + avro).
         writer = df.write.format(target.value).mode(self.save_mode)
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)

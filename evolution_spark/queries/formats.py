@@ -269,3 +269,40 @@ def delta_roundtrip_customer(spark, sf_dir):
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
     )
+
+
+@query(
+    "avro_roundtrip_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def avro_roundtrip_events(spark, sf_dir):
+    """events -> native Avro container sink (io/avro.py: pure-python
+    codec, one file per partition, spec bytes cross-validated against the
+    JVM's avro-core reader) -> distributed Avro source -> aggregate.
+    Identity-through-roundtrip oracle over every driver dtype the events
+    table carries (bigint, string, double, timestamp_ntz + nulls in
+    session_id)."""
+    from evolution_spark.io.avro import read_avro, write_avro
+
+    e = table(spark, sf_dir, "events")
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        f"evo_avro_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_avro(e, tmp)
+    back = read_avro(spark, tmp, e.schema)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )

@@ -320,9 +320,45 @@ def test_delta_target_via_converter(spark, tmp_path):
     assert back.exceptAll(ref).count() == 0 and ref.exceptAll(back).count() == 0
 
 
-def test_avro_target_errors_without_connector(spark, tmp_path):
-    """spark-avro is not on this classpath: the avro target must fail with
-    the clear connector message (same gate as delta/iceberg)."""
+def test_avro_target_roundtrip_and_jvm_crossread(spark, tmp_path):
+    """The native Avro sink (pure-python codec, no spark-avro module)
+    round-trips exactly, and the bytes are spec-compliant: the JVM's own
+    avro-core DataFileReader (on the classpath as a Spark internal) reads
+    the file and sees the same row count."""
+    from evolution_spark.converter import Converter, Target
+    from evolution_spark.io.avro import read_avro
+    from evolution_spark.mocker import Mocker
+
+    sch = SCHEMA
+    flf = str(tmp_path / "m.flf")
+    Mocker(sch, 300, flf, seed=13).run(spark)
+    out = str(tmp_path / "o.avro.d")
+    Converter(flf, sch, out, target=Target.AVRO).run(spark)
+
+    ref = Converter(flf, sch, "unused").dataframe(spark)
+    back = read_avro(spark, out, ref.schema)
+    assert back.count() == 300
+    assert back.exceptAll(ref).count() == 0 and ref.exceptAll(back).count() == 0
+
+    # cross-validate against the reference Java implementation
+    import glob
+
+    jvm = spark.sparkContext._jvm
+    total = 0
+    for p in glob.glob(f"{out}/*.avro"):
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(p), jvm.org.apache.avro.generic.GenericDatumReader()
+        )
+        while reader.hasNext():
+            reader.next()
+            total += 1
+        reader.close()
+    assert total == 300
+
+
+def test_iceberg_target_errors_without_connector(spark, tmp_path):
+    """iceberg-spark-runtime is not on this classpath: the iceberg target
+    must fail with the clear connector message."""
     import pytest
 
     from evolution_spark.converter import Converter, Target
@@ -331,8 +367,8 @@ def test_avro_target_errors_without_connector(spark, tmp_path):
     sch = SCHEMA
     flf = str(tmp_path / "m.flf")
     Mocker(sch, 50, flf, seed=13).run(spark)
-    with pytest.raises(RuntimeError, match="avro sink requires"):
-        Converter(flf, sch, str(tmp_path / "o"), target=Target.AVRO).run(spark)
+    with pytest.raises(RuntimeError, match="iceberg sink requires"):
+        Converter(flf, sch, str(tmp_path / "o"), target=Target.ICEBERG).run(spark)
 
 
 def test_zorder_clustered_2d_skipping(spark, tmp_path):
