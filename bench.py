@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "temperature_mix_sample",
     "incremental_partition_overwrite",
     "dedup_keep_best",
+    "delta_roundtrip_customer",
+    "avro_roundtrip_events",
 ]
 
 
