@@ -402,3 +402,55 @@ def embedding_near_dups(
         .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings, then pruning within-cluster
+    cosine near-duplicates — documents that say the same thing in
+    different words land in the same cluster even when no n-gram overlaps.
+
+    Returns the corpus annotated with ``cell_id`` and ``is_pruned``
+    (keep-lowest-id rule: a row is pruned iff some LOWER-id member of its
+    cluster has cosine >= threshold with it — deterministic and
+    engine-neutral, the standard greedy "keep first" approximation of the
+    paper's keep-farthest-from-centroid rule).
+
+    Scale: cell assignment is the zero-shuffle broadcast argmin of
+    operators/ivf.py; the only exchange is one hash partition of
+    (id, vec) by cell_id, and the pairwise pass is confined to each
+    cluster — per-cell cost is bounded by cluster size, and n_cells grows
+    with the corpus (the paper runs 50k clusters for LAION-440M), so the
+    per-task work stays constant under scale-up. No all-pairs anywhere."""
+    from evolution_spark.operators.ivf import assign_cells, sample_centroids
+
+    centroids = sample_centroids(df, id_col, vec_col, n_cells)
+    cells = assign_cells(df, centroids, id_col, vec_col)
+    a = cells.select(
+        "cell_id", F.col(id_col).alias("__id_a"), F.col(vec_col).alias("__va")
+    )
+    b = cells.select(
+        "cell_id", F.col(id_col).alias("__id_b"), F.col(vec_col).alias("__vb")
+    )
+    pruned = (
+        a.join(b, "cell_id")
+        .where(F.col("__id_a") < F.col("__id_b"))
+        .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+    )
+    return cells.join(
+        pruned.select(F.col(id_col), F.lit(True).alias("is_pruned")),
+        id_col,
+        "left",
+    ).select(
+        F.col(id_col),
+        "cell_id",
+        F.coalesce("is_pruned", F.lit(False)).alias("is_pruned"),
+    )

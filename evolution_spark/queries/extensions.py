@@ -131,6 +131,79 @@ def embedding_near_dup_planted(spark, sf_dir):
     )
 
 
+@query(
+    "semdedup_prune_summary",
+    oracle="""
+    WITH planted AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding::DOUBLE[], x -> x * 1.0000001) AS v
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), hashed AS (
+      SELECT vec_id, v,
+             ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT AS h
+      FROM planted
+    ), centroids AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) AS cell_id, v AS centroid
+      FROM hashed ORDER BY h, vec_id LIMIT 8
+    ), scored AS (
+      SELECT p.vec_id, c.cell_id,
+             sqrt(list_inner_product(
+                 list_transform(range(64), i -> p.v[i+1] - c.centroid[i+1]),
+                 list_transform(range(64), i -> p.v[i+1] - c.centroid[i+1])
+             )) AS dist
+      FROM planted p CROSS JOIN centroids c
+    ), assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+        FROM scored) WHERE rn = 1
+    ), pruned AS (
+      SELECT DISTINCT bc.vec_id
+      FROM assigned a
+      JOIN planted pa ON a.vec_id = pa.vec_id
+      JOIN assigned bc ON a.cell_id = bc.cell_id AND a.vec_id < bc.vec_id
+      JOIN planted pb ON bc.vec_id = pb.vec_id
+      WHERE list_inner_product(pa.v, pb.v)
+            / (sqrt(list_inner_product(pa.v, pa.v))
+               * sqrt(list_inner_product(pb.v, pb.v))) >= 0.999
+    )
+    SELECT a.cell_id, COUNT(*) AS n_members,
+           CAST(SUM(CASE WHEN pr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pruned
+    FROM assigned a LEFT JOIN pruned pr ON a.vec_id = pr.vec_id
+    GROUP BY a.cell_id
+    """,
+)
+def semdedup_prune_summary(spark, sf_dir):
+    """SemDeDup (operators/dedup.semdedup, after Abbas et al. 2023):
+    cluster the embedding space (deterministic sampled centroids + the
+    zero-shuffle broadcast argmin of operators/ivf.py), then prune
+    within-cluster cosine near-duplicates with the keep-lowest-id rule.
+    Every 50th vector gets a 1e-7-perturbed planted copy, so the prune
+    provably fires: the summary counts members and pruned rows per cell,
+    and any mis-assignment, missed pair, or over-prune breaks the hash."""
+    from evolution_spark.operators.dedup import semdedup
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    planted = base.unionByName(
+        e.where(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform("embedding", lambda x: x.cast("double") * 1.0000001).alias("v"),
+        )
+    )
+    marked = semdedup(planted, "vec_id", "v", n_cells=8, threshold=0.999)
+    return marked.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.when(F.col("is_pruned"), 1).otherwise(0)).alias("n_pruned"),
+    )
+
+
 @query("hll_sketch_mergeable")  # no oracle: DataSketches estimate by design
 def hll_sketch_mergeable(spark, sf_dir):
     """Mergeable distinct-count sketches: per-day HLL sketches of ``user_id``

@@ -757,3 +757,29 @@ def test_lit_array_helpers_bit_identical(spark):
 
     bits = lambda xs: [struct.pack("<d", x) for x in xs]
     assert bits(row.d) == bits(row.d_ref) == bits([float(v) for v in doubles])
+
+
+def test_semdedup_prunes_planted_only(spark):
+    """semdedup: planted near-identical copies are pruned (they land in the
+    same cluster as their source and cosine ~ 1), while distinct random
+    vectors survive; the keep-lowest-id rule keeps every original."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.operators.dedup import semdedup
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dup_ids = [r.vec_id for r in base.select("vec_id").limit(5).collect()]
+    planted = base.unionByName(
+        base.where(F.col("vec_id").isin(dup_ids)).select(
+            (F.col("vec_id") + 10**6).alias("vec_id"),
+            F.transform("v", lambda x: x * 1.0000001).alias("v"),
+        )
+    )
+    marked = semdedup(planted, "vec_id", "v", n_cells=4, threshold=0.999)
+    pruned = {r.vec_id for r in marked.where("is_pruned").collect()}
+    assert pruned == {i + 10**6 for i in dup_ids}
+    # membership is total and disjoint
+    assert marked.count() == base.count() + len(dup_ids)
