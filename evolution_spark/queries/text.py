@@ -780,3 +780,74 @@ def bigram_pmi_collocations(spark, sf_dir):
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "ngram_lm_perplexity",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+    ), tokp AS (
+      SELECT doc_id, ws[t.i+1] AS w1, ws[t.i+2] AS w2
+      FROM w CROSS JOIN UNNEST(range(len(ws)-1)) AS t(i)
+    ), tok AS (
+      SELECT unnest(ws) AS word FROM w
+    ), uni AS (
+      SELECT word, COUNT(*) AS n1 FROM tok GROUP BY word
+    ), vs AS (
+      SELECT COUNT(DISTINCT word) AS v FROM tok
+    ), bi AS (
+      SELECT w1, w2, COUNT(*) AS n12 FROM tokp GROUP BY w1, w2
+    )
+    SELECT t.doc_id, COUNT(*) AS n_pairs,
+           ROUND(exp(-SUM(ln((b.n12 + 1) * 1.0 / (u.n1 + vs.v))) / COUNT(*)), 3)
+             AS ppl
+    FROM tokp t
+    JOIN bi b ON t.w1 = b.w1 AND t.w2 = b.w2
+    JOIN uni u ON t.w1 = u.word
+    CROSS JOIN vs
+    GROUP BY t.doc_id
+    """,
+)
+def ngram_lm_perplexity(spark, sf_dir):
+    """CCNet-style statistical quality filter: a bigram language model with
+    add-one smoothing, trained on the corpus itself, scores every document
+    by pseudo-perplexity ``exp(-avg ln p(w2|w1))`` — boilerplate scores
+    low, lexical garbage scores high, and the filter needs no external
+    model. Per-doc ppl is ROUNDed to 3 decimals (sub-ulp libm ``ln``
+    divergence between engines vanishes at that precision; no ranking, so
+    no tie-flip risk — the hash covers every document's score).
+
+    Scale: the model is never collected — bigram and unigram count tables
+    live distributed and join the (doc_id, w1, w2) pair stream on their
+    token keys (co-partitioned hash joins with map-side combine on the
+    counts); the vocab size rides in-plan as one broadcast row
+    (``crossJoin(broadcast(v))`` — no separate count job, same one-scan
+    discipline as bigram_pmi_collocations). At 100 TB an optional
+    frequency floor would shrink the model below the broadcast threshold,
+    but the join form is the general, unbounded path."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(_norm_text(F.col("text")), " ")
+    w = d.select("doc_id", ws.alias("ws"))
+    tokp = w.select(
+        "doc_id", F.col("ws"), F.posexplode("ws").alias("i", "w1")
+    ).select("doc_id", "w1", F.get("ws", F.col("i") + 1).alias("w2")).where(
+        F.col("w2").isNotNull()
+    )
+    tok = w.select(F.explode("ws").alias("word"))
+    uni = tok.groupBy("word").agg(F.count(F.lit(1)).alias("n1"))
+    vs = tok.agg(F.countDistinct("word").alias("v"))
+    bi = tokp.groupBy(
+        F.col("w1").alias("b1"), F.col("w2").alias("b2")
+    ).agg(F.count(F.lit(1)).alias("n12"))
+    logp = F.log((F.col("n12") + 1) * 1.0 / (F.col("n1") + F.col("v")))
+    return (
+        tokp.join(bi, (F.col("w1") == F.col("b1")) & (F.col("w2") == F.col("b2")))
+        .join(uni, F.col("w1") == F.col("word"))
+        .crossJoin(F.broadcast(vs))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.exp(-F.sum(logp) / F.count(F.lit(1))), 3).alias("ppl"),
+        )
+    )
