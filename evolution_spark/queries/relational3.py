@@ -582,3 +582,54 @@ def stats_mad_exact(spark, sf_dir):
         (F.max("med") / 100.0).alias("median_price"),
         (F.expr("percentile(ABS(x - med), 0.5)") / 100.0).alias("mad_price"),
     )
+
+
+@query(
+    "recursive_cte_ancestry",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS custkey, c_custkey AS cur, 0 AS depth FROM customer
+      UNION ALL
+      SELECT custkey, cur // 10 AS cur, depth + 1 FROM anc WHERE cur >= 10
+    )
+    SELECT root, depth, COUNT(*) AS n_customers,
+           MIN(custkey) AS min_key, MAX(custkey) AS max_key
+    FROM (
+      SELECT custkey, MAX(depth) AS depth,
+             MIN(CASE WHEN cur < 10 THEN cur END) AS root
+      FROM anc GROUP BY custkey
+    ) GROUP BY root, depth
+    """,
+)
+def recursive_cte_ancestry(spark, sf_dir):
+    """Recursive CTE (Spark 4's WITH RECURSIVE, SPARK-24497): walk each
+    customer key up its implicit decimal-digit ancestry chain
+    (``parent = key div 10``) to the single-digit root — a bounded
+    hierarchical closure, the query shape behind org charts, category
+    trees, and BOM explosions that plain joins cannot express. Grouped by
+    (root, depth) so every customer's full walk feeds the hash. Integer
+    arithmetic end to end — bit-exact cross-engine.
+
+    Scale: Spark executes the recursion as iterative UNION steps, one job
+    per level; depth is log10(max key) (~7 at 100 TB key ranges), and each
+    level is a narrow projection+filter of the previous level's frontier —
+    the same bounded-rounds discipline as the label-propagation
+    connected-components operator (operators/graph.py)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT c_custkey AS custkey, c_custkey AS cur, 0 AS depth
+          FROM customer_rcte
+          UNION ALL
+          SELECT custkey, cur div 10 AS cur, depth + 1 FROM anc WHERE cur >= 10
+        )
+        SELECT root, depth, COUNT(*) AS n_customers,
+               MIN(custkey) AS min_key, MAX(custkey) AS max_key
+        FROM (
+          SELECT custkey, MAX(depth) AS depth,
+               MIN(CASE WHEN cur < 10 THEN cur END) AS root
+          FROM anc GROUP BY custkey
+        ) GROUP BY root, depth
+        """
+    )
