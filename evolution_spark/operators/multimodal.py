@@ -394,3 +394,108 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.sum(F.length("payload")).alias("total_bytes"),
         F.max(F.length("payload")).alias("max_bytes"),
     )
+
+
+_DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("dhash", LongType(), True),
+    ]
+)
+
+
+def dhash_bits(payload: bytes, fake: bool = False) -> int:
+    """64-bit difference hash (dHash) of one image payload: decode ->
+    luma (ITU-R BT.601 weights) -> 9x8 nearest-neighbor downsample ->
+    bit b set iff cell[r, c] > cell[r, c+1]. Brightness-invariant by
+    construction (a uniform shift leaves every comparison unchanged), so
+    re-encoded / re-exposed copies that raw-byte dedup misses hash
+    identically; small crops/edits flip only a few bits (hamming-near)."""
+    if fake:
+        raw = _fake_decode(payload)
+        px = raw[: 9 * 8 * 3].reshape(-1, 3) if raw.size >= 9 * 8 * 3 else None
+        if px is None:
+            raw = np.resize(raw, 9 * 8 * 3)
+            px = raw.reshape(-1, 3)
+        gray = px @ np.array([0.299, 0.587, 0.114])
+        grid = gray.reshape(8, 9)
+    else:
+        img = decode_bmp(payload).astype(np.float64)
+        gray = img @ np.array([0.299, 0.587, 0.114])
+        h, w = gray.shape
+        rows = (np.arange(8) * h) // 8
+        cols = (np.arange(9) * w) // 9
+        grid = gray[np.ix_(rows, cols)]
+    bits = (grid[:, :-1] > grid[:, 1:]).ravel()
+    acc = 0
+    for b in bits:
+        acc = (acc << 1) | int(b)
+    # interpret as signed 64-bit so it fits Spark's LongType exactly
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+
+def dhash_images(df: DataFrame, fake: bool = False) -> DataFrame:
+    """(media_id, payload) -> (media_id, dhash) via Arrow-batched
+    mapInPandas. Partition-preserving: payloads never shuffle; only the
+    16-byte (id, hash) pairs leave the task — the same bytes-stay-put
+    discipline as extract_features."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                out.append(
+                    dhash_bits(bytes(payload), fake=fake)
+                    if payload is not None
+                    else None
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "dhash": out})
+
+    return df.mapInPandas(_hash, _DHASH_SCHEMA)
+
+
+def dhash_near_dups(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-duplicate pairs among dHashes with hamming distance
+    <= max_hamming.
+
+    Scale: pigeonhole banding (the SimHash trick, operators/dedup.py): the
+    64-bit hash splits into 4 x 16-bit bands; any pair within hamming 3
+    agrees exactly on >= 1 band, so candidates come from equality
+    self-joins on (band, value) — never an all-pairs cross join — and the
+    exact popcount check runs only on collided candidates."""
+    bands = hashes.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("dhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("media_id", "dhash", "bv.band", "bv.val")
+    a = bands.select(
+        F.col("band"), F.col("val"),
+        F.col("media_id").alias("id_a"), F.col("dhash").alias("__ha"),
+    )
+    b = bands.select(
+        F.col("band"), F.col("val"),
+        F.col("media_id").alias("id_b"), F.col("dhash").alias("__hb"),
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -381,6 +381,54 @@ def multimodal_bmp_features(spark, sf_dir):
     )
 
 
+@query("multimodal_dhash_neardup")
+def multimodal_dhash_neardup(spark, sf_dir):
+    """Perceptual image dedup on the REAL BMP codec: every 8th document id
+    gets a +4-brightness copy of its synthesized image — byte-different,
+    so exact/raw-hash dedup misses it, but dHash is brightness-invariant
+    (difference bits compare adjacent luma cells), so each planted pair
+    surfaces at hamming 0 through the banded near-dup join
+    (operators/multimodal.dhash_images / dhash_near_dups).
+
+    No SQL oracle (binary image codec); rows-only driver check. Output is
+    deterministic: payloads are pure functions of media_id.
+
+    Scale shape: hashing is partition-local mapInPandas (payload bytes
+    never shuffle; 16-byte hashes do); candidate pairs come from 16-bit
+    band equality self-joins — the SimHash pigeonhole, no all-pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.multimodal import (
+        dhash_images,
+        dhash_near_dups,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 48)
+
+    def gen(batches):
+        from evolution_spark.operators.multimodal import encode_bmp
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                px = (
+                    (np.arange(16 * 16 * 3, dtype=np.int64) * (int(i) + 7)) % 241
+                ).astype(np.uint8).reshape(16, 16, 3)
+                ids.append(int(i))
+                payloads.append(encode_bmp(px))
+                if int(i) % 8 == 0:
+                    ids.append(int(i) + 100000)
+                    payloads.append(encode_bmp(px + 4))  # brightness shift
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(
+        gen, "media_id BIGINT, payload BINARY"
+    )
+    hashes = dhash_images(media, fake=False)
+    return dhash_near_dups(hashes, max_hamming=3).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # End-to-end curation pipeline (the user story, one query)
 # ---------------------------------------------------------------------------

@@ -783,3 +783,39 @@ def test_semdedup_prunes_planted_only(spark):
     assert pruned == {i + 10**6 for i in dup_ids}
     # membership is total and disjoint
     assert marked.count() == base.count() + len(dup_ids)
+
+
+def test_dhash_brightness_invariant_and_band_recall(spark):
+    """dHash: uniform brightness shift leaves the hash unchanged (planted
+    copies collide at hamming 0); a single flipped difference-bit is still
+    found by the 4x16 band join (pigeonhole recall for hamming <= 3); and
+    unrelated gradient images do not pair up."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from evolution_spark.operators.multimodal import (
+        dhash_bits,
+        dhash_images,
+        dhash_near_dups,
+        encode_bmp,
+    )
+
+    def img(seed, shift=0):
+        px = ((np.arange(12 * 12 * 3, dtype=np.int64) * (seed + 5)) % 239).astype(
+            np.uint8
+        ).reshape(12, 12, 3)
+        return encode_bmp(px + shift)
+
+    # brightness invariance, pixel-exact
+    assert dhash_bits(img(1)) == dhash_bits(img(1, shift=6))
+    assert dhash_bits(img(1)) != dhash_bits(img(2))
+
+    rows = [(i, img(i)) for i in range(20)] + [(100 + i, img(i, shift=6)) for i in range(20)]
+    df = spark.createDataFrame(rows, "media_id BIGINT, payload BINARY")
+    pairs = dhash_near_dups(dhash_images(df), max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    for i in range(20):
+        assert got.get((i, 100 + i)) == 0
+    assert all(b - a == 100 for (a, b) in got)
