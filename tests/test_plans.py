@@ -439,3 +439,69 @@ def test_ivf_partitioned_scan_prunes_cells(spark, tmp_path):
     num_files_read = scan.metrics().apply("numFiles").value()
     assert probed_files < all_files
     assert num_files_read == probed_files, (num_files_read, probed_files)
+
+
+def test_dynamic_partition_pruning_on_hive_layout(spark, tmp_path):
+    """Dynamic partition pruning: a fact table hive-partitioned on the join
+    key, joined to a dimension filtered by a non-partition predicate, must
+    scan only the partitions the dimension selects — the plan carries a
+    dynamicpruning expression in the fact scan's PartitionFilters. At
+    100 TB this is the difference between scanning one day's partitions
+    and scanning the table."""
+    from pyspark.sql import functions as F
+
+    l = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    fact = str(tmp_path / "fact")
+    l.write.partitionBy("l_returnflag").parquet(fact)
+    dim = spark.createDataFrame(
+        [("A", 1), ("N", 0), ("R", 0)], "flag STRING, keep INT"
+    )
+    f = spark.read.parquet(fact)
+    q = f.join(dim.where(F.col("keep") == 1), f.l_returnflag == dim.flag).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and the pruned result is correct
+    n = q.first()["n"]
+    assert n == l.where("l_returnflag = 'A'").count()
+
+
+def test_runtime_bloom_filter_on_shuffle_join(spark, tmp_path):
+    """Runtime bloom-filter join pruning: when a selective build side feeds
+    a shuffle join, Spark injects a bloom filter on the probe side so
+    non-matching fact rows die at the scan instead of crossing the
+    exchange. Forced here (broadcast off, size thresholds floored) and
+    asserted via the might_contain probe in the optimized plan — the
+    runtime-filter analogue of the broadcast-dim strategy the dimension
+    queries already gate."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        q = l.join(o, l.l_orderkey == o.o_orderkey).agg(
+            F.sum("l_quantity").alias("qty")
+        )
+        optimized = (
+            q._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "might_contain" in optimized.lower()
+        assert q.first()["qty"] is not None
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
