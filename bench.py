@@ -87,6 +87,13 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "delta_roundtrip_customer",
     "avro_roundtrip_events",
+    # batch-10: round-4 session-2 additions (first-recorded = their baseline)
+    "iceberg_roundtrip_supplier",
+    "semdedup_prune_summary",
+    "ngram_lm_perplexity",
+    "recursive_cte_ancestry",
+    "multimodal_dhash_neardup",
+    "fuzzy_join_supplier_names",
 ]
 
 

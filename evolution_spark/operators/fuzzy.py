@@ -1,0 +1,150 @@
+"""Edit-distance (fuzzy) string self-join: all pairs within Levenshtein
+distance <= k, without a cartesian product.
+
+Algorithm: PassJoin-style segment filtering (Li, Deng, Feng — VLDB 2012).
+Pigeonhole: partition a string into k+1 contiguous segments; any string
+within edit distance k of it must contain at least ONE of those segments
+as an EXACT substring, at a position shifted by at most k. So:
+
+* probe side: each string of length ``la`` emits its k+1 (slot, segment)
+  keys — O(k) keys per row;
+* candidate side: each string of length ``lb`` emits, for every possible
+  partner length ``la`` in [lb-k, lb+k] and slot, the substrings at the
+  slot's expected position shifted by d in [-k, +k] — O(k^3) keys per
+  row, a CONSTANT (k is 1-3 in practice);
+* candidates = equality join on (la, slot, substring) — a plain
+  shuffle/broadcast hash join, never an all-pairs cross join;
+* verify: Spark's built-in ``levenshtein`` (JVM codegen) on the deduped
+  candidate pairs only.
+
+Scale: the joins are keyed equality joins with map-side-combinable key
+streams; cost tracks segment-key co-frequency (like the n-gram Jaccard
+token join in operators/dedup.py), not |A| x |B|. Segment keys are short
+substrings — hot keys (common prefixes) behave like hot grams and can be
+salted the same way if a corpus demands it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _segments(col, length, k: int):
+    """k+1 even segments of ``col`` (1-based positions) as an array of
+    (slot, start, seg_len) structs, computed in pure JVM expressions.
+    Segment i gets len//(k+1) chars, the last ``len %% (k+1)`` segments
+    one extra (the standard even partition)."""
+    n = k + 1
+    base = (length / n).cast("int")
+    extra = length % n
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.struct(
+            i.alias("slot"),
+            # start = i*base + max(0, i - (n - extra)) ; segments with
+            # index >= n-extra are one longer
+            (
+                i * base
+                + F.greatest(F.lit(0), i - (F.lit(n) - extra))
+                + F.lit(1)
+            ).alias("start"),
+            F.when(i >= F.lit(n) - extra, base + 1).otherwise(base).alias("seg_len"),
+        ),
+    )
+
+
+def edit_distance_join(
+    df: DataFrame, id_col: str, str_col: str, k: int = 2
+) -> DataFrame:
+    """All pairs (id_a < id_b) with levenshtein(s_a, s_b) <= k.
+
+    Returns (id_a, id_b, dist). Exact — the segment filter is lossless
+    (pigeonhole over k+1 segments), verification is exact Levenshtein.
+    """
+    s = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(str_col).alias("__s"),
+        F.length(str_col).alias("__len"),
+    )
+    # probe side: the k+1 segments of each string
+    probe = s.select(
+        "__id",
+        "__s",
+        F.col("__len").alias("__la"),
+        F.explode(_segments(F.col("__s"), F.col("__len"), k)).alias("g"),
+    ).select(
+        F.col("__id").alias("id_a"),
+        F.col("__s").alias("__sa"),
+        "__la",
+        F.col("g.slot").alias("__slot"),
+        F.substring(F.col("__s"), F.col("g.start"), F.col("g.seg_len")).alias("__seg"),
+    )
+    # candidate side: substrings at every (partner length, slot, shift)
+    cand = (
+        s.select(
+            "__id",
+            "__s",
+            "__len",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("__len") - k, F.lit(1)), F.col("__len") + k
+                )
+            ).alias("__la"),
+        )
+        .select(
+            "__id",
+            "__s",
+            "__len",
+            "__la",
+            F.explode(_segments(F.col("__s"), F.col("__la"), k)).alias("g"),
+        )
+        .select(
+            "__id",
+            "__s",
+            "__la",
+            F.col("g.slot").alias("__slot"),
+            F.col("g.seg_len").alias("__sl"),
+            # empty array (explode drops the row) when the string is too
+            # short to contain the segment at any shifted position — a bare
+            # sequence(lo, hi) with hi < lo would run DESCENDING in Spark
+            F.explode(
+                F.when(
+                    F.least(
+                        F.col("g.start") + k,
+                        F.col("__len") - F.col("g.seg_len") + 1,
+                    )
+                    >= F.greatest(F.col("g.start") - k, F.lit(1)),
+                    F.sequence(
+                        F.greatest(F.col("g.start") - k, F.lit(1)),
+                        F.least(
+                            F.col("g.start") + k,
+                            F.col("__len") - F.col("g.seg_len") + 1,
+                        ),
+                    ),
+                ).otherwise(F.expr("array()").cast("array<int>"))
+            ).alias("__start"),
+        )
+        .where(F.col("__start") >= 1)
+        .select(
+            F.col("__id").alias("id_b"),
+            F.col("__s").alias("__sb"),
+            "__la",
+            "__slot",
+            F.substring(F.col("__s"), F.col("__start"), F.col("__sl")).alias("__seg"),
+        )
+    )
+    pairs = (
+        probe.join(cand, ["__la", "__slot", "__seg"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "__sa", "id_b", "__sb")
+        .distinct()
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__sa", "__sb").alias("dist"),
+        )
+        .where(F.col("dist") <= k)
+    )

@@ -204,6 +204,37 @@ def semdedup_prune_summary(spark, sf_dir):
     )
 
 
+@query(
+    "fuzzy_join_supplier_names",
+    oracle="""
+    SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           levenshtein(a.s_name, b.s_name) AS dist
+    FROM supplier a, supplier b
+    WHERE a.s_suppkey < b.s_suppkey
+      AND levenshtein(a.s_name, b.s_name) <= 1
+    """,
+)
+def fuzzy_join_supplier_names(spark, sf_dir):
+    """Edit-distance similarity self-join (operators/fuzzy.py, PassJoin
+    segment filtering): supplier-name pairs within Levenshtein distance 1
+    — the record-linkage primitive behind entity resolution and
+    typo-tolerant dedup. The Spark plan builds candidates from (length,
+    slot, segment) equality joins and verifies with the built-in JVM
+    ``levenshtein``; the oracle is the brute-force quadratic filter —
+    tractable for DuckDB at oracle scale, exactly what the segment filter
+    avoids at corpus scale. Results are exact (lossless pigeonhole), so
+    the hash must match the cross join's."""
+    from evolution_spark.operators.fuzzy import edit_distance_join
+
+    s = table(spark, sf_dir, "supplier")
+    return edit_distance_join(
+        s.select(F.col("s_suppkey").alias("id"), F.col("s_name").alias("name")),
+        "id",
+        "name",
+        k=1,
+    )
+
+
 @query("hll_sketch_mergeable")  # no oracle: DataSketches estimate by design
 def hll_sketch_mergeable(spark, sf_dir):
     """Mergeable distinct-count sketches: per-day HLL sketches of ``user_id``

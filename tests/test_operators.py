@@ -819,3 +819,38 @@ def test_dhash_brightness_invariant_and_band_recall(spark):
     for i in range(20):
         assert got.get((i, 100 + i)) == 0
     assert all(b - a == 100 for (a, b) in got)
+
+
+def test_edit_distance_join_exact_vs_bruteforce(spark):
+    """PassJoin segment filtering is LOSSLESS: the keyed candidate join +
+    levenshtein verify returns exactly the brute-force pair set, for k=1
+    and k=2, over an adversarial short-alphabet corpus (many near-ties,
+    lengths 1..9 including strings shorter than k+1 segments)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from evolution_spark.operators.fuzzy import edit_distance_join
+
+    random.seed(11)
+    strs = [
+        "".join(random.choice("ab") for _ in range(random.randint(1, 9)))
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame(list(enumerate(strs)), "id BIGINT, s STRING")
+    a = df.selectExpr("id id_a", "s sa")
+    b = df.selectExpr("id id_b", "s sb")
+    for k in (1, 2):
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_join(df, "id", "s", k=k).collect()
+        }
+        ref = {
+            (r.id_a, r.id_b, r.dist)
+            for r in a.crossJoin(b)
+            .where("id_a < id_b")
+            .select("id_a", "id_b", F.levenshtein("sa", "sb").alias("dist"))
+            .where(F.col("dist") <= k)
+            .collect()
+        }
+        assert got == ref, f"k={k}: {len(got)} vs {len(ref)}"

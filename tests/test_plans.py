@@ -505,3 +505,12 @@ def test_runtime_bloom_filter_on_shuffle_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_fuzzy_join_no_cartesian(spark, sf_dir):
+    """The edit-distance join must build candidates from keyed equality
+    joins (segment pigeonhole), never a cartesian/nested-loop product —
+    the whole point of PassJoin at corpus scale."""
+    plan = plan_of(spark, sf_dir, "fuzzy_join_supplier_names")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
