@@ -430,18 +430,38 @@ def semdedup(
     per-task work stays constant under scale-up. No all-pairs anywhere."""
     from evolution_spark.operators.ivf import assign_cells, sample_centroids
 
+    from evolution_spark.functions.vectors import dot, norm
+
     centroids = sample_centroids(df, id_col, vec_col, n_cells)
-    cells = assign_cells(df, centroids, id_col, vec_col)
+    cells = assign_cells(df, centroids, id_col, vec_col).withColumn(
+        # per-row norm hoisted out of the pairwise pass: each candidate
+        # pair then costs ONE dot-product fold instead of three (the
+        # division dot/(na*nb) is bit-identical to cosine's
+        # dot/(sqrt(aa)*sqrt(bb)) — same two doubles multiplied)
+        "__nrm",
+        norm(F.col(vec_col)),
+    )
+    # the assignment subtree feeds three consumers (both self-join sides +
+    # the final membership join); materialize it once instead of
+    # re-running the k x dim argmin fold per consumer. At production scale
+    # this materialization IS the cell_id-partitioned layout write
+    # (io/ivf_layout.py) — here a lineage-local checkpoint suffices.
+    cells = cells.localCheckpoint(eager=False)
     a = cells.select(
-        "cell_id", F.col(id_col).alias("__id_a"), F.col(vec_col).alias("__va")
+        "cell_id", F.col(id_col).alias("__id_a"),
+        F.col(vec_col).alias("__va"), F.col("__nrm").alias("__na"),
     )
     b = cells.select(
-        "cell_id", F.col(id_col).alias("__id_b"), F.col(vec_col).alias("__vb")
+        "cell_id", F.col(id_col).alias("__id_b"),
+        F.col(vec_col).alias("__vb"), F.col("__nrm").alias("__nb"),
     )
     pruned = (
         a.join(b, "cell_id")
         .where(F.col("__id_a") < F.col("__id_b"))
-        .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .where(
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+            >= threshold
+        )
         .select(F.col("__id_b").alias(id_col))
         .distinct()
     )

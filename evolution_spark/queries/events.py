@@ -233,6 +233,43 @@ def json_props_extract(spark, sf_dir):
 
 
 @query(
+    "variant_props_analytics",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS distinct_k,
+           MIN(CAST(json_extract_string(props, '$.missing') AS INT)) AS always_null
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_props_analytics(spark, sf_dir):
+    """Semi-structured analytics on Spark 4's VARIANT type: ``parse_json``
+    once into a variant column (the columnar-shredded open format — at
+    100 TB this is the difference between re-parsing JSON text per
+    expression and reading typed shredded subcolumns), then typed
+    ``variant_get`` extractions feed a per-type aggregate;
+    ``try_variant_get`` on an absent path proves the null-safe accessor.
+    Oracle: DuckDB's JSON extraction over the same props strings."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json("props").alias("p")
+    ).select(
+        "event_type",
+        F.expr("variant_get(p, '$.k', 'int')").alias("k"),
+        F.expr("try_variant_get(p, '$.missing', 'int')").alias("m"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.countDistinct("k").alias("distinct_k"),
+        F.min("m").alias("always_null"),
+    )
+
+
+@query(
     "attribution_click_purchase",
     oracle="""
     SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,

@@ -146,7 +146,7 @@ def embedding_near_dup_planted(spark, sf_dir):
       FROM planted
     ), centroids AS (
       SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) AS cell_id, v AS centroid
-      FROM hashed ORDER BY h, vec_id LIMIT 8
+      FROM hashed ORDER BY h, vec_id LIMIT 32
     ), scored AS (
       SELECT p.vec_id, c.cell_id,
              sqrt(list_inner_product(
@@ -197,7 +197,7 @@ def semdedup_prune_summary(spark, sf_dir):
             F.transform("embedding", lambda x: x.cast("double") * 1.0000001).alias("v"),
         )
     )
-    marked = semdedup(planted, "vec_id", "v", n_cells=8, threshold=0.999)
+    marked = semdedup(planted, "vec_id", "v", n_cells=32, threshold=0.999)
     return marked.groupBy("cell_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum(F.when(F.col("is_pruned"), 1).otherwise(0)).alias("n_pruned"),
