@@ -55,6 +55,24 @@ def sample_deterministic(df: DataFrame, key: str, rate: float) -> DataFrame:
     return df.where(hash32(F.col(key).cast("string")) % 1_000_000 < threshold)
 
 
+def weighted_sample(df: DataFrame, key: str, weight: str, k: int) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    priority = u^(1/w) with ``u`` a deterministic per-key uniform in (0, 1]
+    derived from ``md5(key)``; the k rows with the highest priority are an
+    exact weighted sample. Deterministic (re-runs pick the same rows) and
+    fully distributed: the top-k is a ``TakeOrderedAndProject`` — per-task
+    heaps of size k, no global sort, no shuffle of the losers. The standard
+    quality-weighted curation draw (sample ∝ doc quality/length)."""
+    u = (hash32(F.col(key).cast("string")) + 1) / F.lit(4294967296.0)
+    pr = F.pow(u, F.lit(1.0) / F.col(weight))
+    return (
+        df.withColumn("__pr", pr)
+        .orderBy(F.desc("__pr"), key)
+        .limit(k)
+        .drop("__pr")
+    )
+
+
 def scrub_patterns(
     df: DataFrame,
     text_col: str,

@@ -71,6 +71,63 @@ def connected_components(
     return labels
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    symmetric: bool = False,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list -> ``(id, rank)``.
+
+    Uses the un-normalized convention (rank = (1-d) + d * Σ contrib, start
+    rank 1.0) so results are independent of graph size — the same convention
+    GraphX's example implementation documents. ``symmetric=True`` mirrors
+    every edge first (undirected graphs, e.g. bipartite co-purchase).
+
+    Scale design: out-degrees are computed once and joined into the edge
+    list ONCE, so each iteration is exactly one shuffle — join current ranks
+    to the degree-annotated edges on ``src`` (hash-partitioned the same way
+    every round, so AQE reuses the exchange), then sum contributions by
+    ``dst``. Only (id, rank) pairs ever cross the wire; the edge list is
+    ``localCheckpoint``-ed so the per-iteration lineage stays O(1) and a
+    lost executor replays one round, not the whole loop. Dangling nodes
+    (no out-edges) keep their base rank, matching the convention.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if symmetric:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # one-time degree annotation; the loop below never re-joins degrees
+    ann = e.join(deg, "src").localCheckpoint()
+    nodes = (
+        e.select("src").union(e.select(F.col("dst").alias("src"))).distinct()
+        .select(F.col("src").alias("id"))
+    )
+    ranks = nodes.select("id", F.lit(1.0).alias("rank")).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            ann.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("__deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def dedup_clusters(
     pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
 ) -> DataFrame:

@@ -1,0 +1,436 @@
+"""Advanced analytics: graph ranking, Pareto frontiers, closed-form
+time-series smoothing, Markov transition mining, inverted-index builds,
+weighted sampling, and linear-interpolation gap fill.
+
+Everything here is oracle-backed (DuckDB SQL on the same parquet) and built
+from shuffle-lean DataFrame plans: the iterative pieces (PageRank) shuffle
+only (id, rank) pairs per round; the sequence pieces (EWMA) use a
+closed-form window sum instead of a sequential recurrence; the global-order
+pieces (skyline) use range partitioning with O(#partitions) boundary
+carries, never a single-task global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from evolution_spark.operators.curation import weighted_sample
+from evolution_spark.operators.graph import pagerank
+from evolution_spark.operators.pareto import skyline_2d
+from evolution_spark.queries.base import query, table
+
+
+# --------------------------------------------------------------------------
+# PageRank over the order graph
+# --------------------------------------------------------------------------
+
+_PR_ITER = """
+    c{i} AS (
+      SELECT e.dst AS id, SUM(r.rank / g.d) AS c
+      FROM edges e
+      JOIN r{p} r ON r.id = e.src
+      JOIN deg g ON g.src = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.id, 0.15 + 0.85 * COALESCE(c{i}.c, 0) AS rank
+      FROM nodes n LEFT JOIN c{i} ON c{i}.id = n.id
+    )"""
+
+_PAGERANK_SQL = (
+    """
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    r0 AS (SELECT id, 1.0 AS rank FROM nodes),"""
+    + ",".join(_PR_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT id, ROUND(rank, 6) AS pagerank FROM r3
+    ORDER BY pagerank DESC, id LIMIT 20
+    """
+)
+
+
+@query("pagerank_order_graph", oracle=_PAGERANK_SQL)
+def pagerank_order_graph(spark, sf_dir):
+    """PageRank (3 fixed iterations, d=0.85, un-normalized GraphX-style
+    convention) over the undirected bipartite customer<->supplier graph
+    induced by orders x lineitem — "which suppliers sit at the center of the
+    purchase network". Top 20 nodes by rank.
+
+    Scale: the edge list is degree-annotated ONCE and checkpointed; each
+    iteration is a single (id, rank) join + sum-by-dst shuffle (see
+    operators/graph.py:pagerank). Ranks are rounded to 6 dp before the
+    final top-k so cross-engine float summation order cannot flip the
+    ordering."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85, symmetric=True)
+    return (
+        ranks.select("id", F.round("rank", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# 2-D skyline / Pareto frontier
+# --------------------------------------------------------------------------
+
+
+@query(
+    "skyline_pareto_parts",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey, ROUND(p_retailprice, 2) AS price, p_size AS size
+      FROM part
+    )
+    SELECT p_partkey, price, size FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts o
+      WHERE o.price <= p.price AND o.size >= p.size
+        AND (o.price < p.price OR o.size > p.size)
+    )
+    """,
+)
+def skyline_pareto_parts(spark, sf_dir):
+    """Pareto-optimal parts: cheapest-for-their-size frontier (minimize
+    price, maximize size). The oracle is the quadratic NOT EXISTS dominance
+    test; the engine runs the distributed sort-scan skyline
+    (operators/pareto.py): one narrow (price, size) range shuffle +
+    running-max with per-partition boundary carries — O(n log n) and no
+    single-task global window, so it survives a 100x scale-up where the
+    self-join oracle would not."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").alias("size"),
+    )
+    return skyline_2d(p, "price", "size")
+
+
+# --------------------------------------------------------------------------
+# Closed-form EWMA
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ewma_customer_orders",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n
+      FROM orders
+    )
+    SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+           ROUND(SUM(CASE WHEN rn = 1 THEN o_totalprice * POW(0.7, n - 1)
+                          ELSE 0.3 * o_totalprice * POW(0.7, n - rn) END),
+                 4) AS ewma_price
+    FROM seq GROUP BY o_custkey HAVING COUNT(*) >= 3
+    """,
+)
+def ewma_customer_orders(spark, sf_dir):
+    """Exponentially-weighted moving average of each customer's order value
+    (alpha=0.3, s_1 = x_1), reported at their latest order. The recurrence
+    s_t = a*x_t + (1-a)*s_{t-1} unrolls to the closed form
+    s_n = (1-a)^(n-1)*x_1 + a * sum_t x_t (1-a)^(n-t) — one weighted sum per
+    key, so the engine computes it with a row_number window + one hash
+    aggregation instead of a sequential scan: O(1) per row, shuffle only on
+    the customer key, embarrassingly parallel across keys."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wc = Window.partitionBy("o_custkey")
+    seq = o.select(
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    term = F.when(
+        F.col("rn") == 1,
+        F.col("o_totalprice") * F.pow(F.lit(0.7), F.col("n") - 1),
+    ).otherwise(
+        F.lit(0.3) * F.col("o_totalprice") * F.pow(F.lit(0.7), F.col("n") - F.col("rn"))
+    )
+    return (
+        seq.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(term), 4).alias("ewma_price"),
+        )
+        .where(F.col("n_orders") >= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over event sequences
+# --------------------------------------------------------------------------
+
+
+@query(
+    "markov_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n_transitions
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, SUM(n_transitions) AS t FROM counts GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n_transitions,
+           ROUND(c.n_transitions / t.t, 6) AS prob
+    FROM counts c JOIN tot t USING (from_type)
+    """,
+)
+def markov_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user event sequences: for
+    every (from_type -> to_type) pair, the transition count and conditional
+    probability. The behavioral-model building block behind session
+    simulation and next-event prediction.
+
+    Scale: one window shuffle on user_id (sequences stay within their key
+    partition), then two tiny aggregations over the type-pair domain
+    (|types|^2 rows); the per-from totals broadcast back. No per-user
+    collect, no driver loop."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = counts.groupBy("from_type").agg(F.sum("n_transitions").alias("t"))
+    return counts.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.col("t"), 6).alias("prob"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Inverted index (capped postings)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "inverted_index_postings",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    filtered AS (SELECT * FROM toks WHERE term <> ''),
+    stats AS (SELECT term, COUNT(*) AS df FROM filtered GROUP BY term)
+    SELECT s.term, s.df,
+           array_to_string(
+             list_slice(list(CAST(f.doc_id AS VARCHAR) ORDER BY f.doc_id), 1, 50),
+             ',') AS postings
+    FROM stats s JOIN filtered f USING (term)
+    GROUP BY s.term, s.df
+    ORDER BY s.df DESC, s.term LIMIT 20
+    """,
+)
+def inverted_index_postings(spark, sf_dir):
+    """Build an inverted index: term -> document frequency + the first 50
+    doc ids of its posting list (sorted, comma-joined for engine-neutral
+    comparison), top 20 terms by df. The retrieval-side complement of the
+    BM25/TF-IDF rankers.
+
+    Scale: df is a pure hash aggregation; the posting-list build caps each
+    list at 50 ids BEFORE collecting (window row_number <= 50 per term), so
+    no aggregation buffer ever holds an O(corpus) list — the classic
+    bounded-postings shard layout. Uncapped lists would OOM on a stop-word
+    at 100 TB; the cap keeps state O(k) per term."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    stats = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    capped = toks.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 50)
+    postings = capped.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return (
+        stats.join(postings, "term")
+        .select("term", "df", "postings")
+        .orderBy(F.desc("df"), "term")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling (A-ES)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "weighted_sample_docs",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             POW((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                   / 4294967296.0,
+                 1.0 / n_chars) AS pr
+      FROM documents
+    )
+    SELECT doc_id, n_chars FROM keyed
+    ORDER BY pr DESC, doc_id LIMIT 20
+    """,
+)
+def weighted_sample_docs(spark, sf_dir):
+    """Deterministic weighted sample of 20 documents with probability
+    proportional to length (Efraimidis-Spirakis A-ES: priority u^(1/w),
+    u = md5-derived uniform — bit-identical in Spark and DuckDB). The
+    quality-weighted curation draw, reproducible across runs and engines.
+
+    Scale: TakeOrderedAndProject top-k — per-task k-heaps, no global sort
+    (see operators/curation.py:weighted_sample)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(d, key="doc_id", weight="n_chars", k=20)
+
+
+# --------------------------------------------------------------------------
+# Linear-interpolation gap fill (hourly)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "interpolate_gapfill_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(ROUND(AVG(value) * 10000) AS BIGINT) AS vi
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi FROM hourly GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type,
+             UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    joined AS (
+      SELECT s.event_type, s.hour, h.vi FROM spine s
+      LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour = s.hour
+    ),
+    ctx AS (
+      SELECT event_type, hour, vi,
+             last_value(vi IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN vi IS NOT NULL THEN hour END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             first_value(vi IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN vi IS NOT NULL THEN hour END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM joined
+    )
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           (vi IS NULL) AS interpolated,
+           CASE
+             WHEN vi IS NOT NULL THEN vi / 10000.0
+             WHEN pv IS NULL THEN nv / 10000.0
+             WHEN nv IS NULL THEN pv / 10000.0
+             ELSE CAST(pv * date_diff('hour', hour, nh)
+                       + nv * date_diff('hour', ph, hour) AS DOUBLE)
+                  / (date_diff('hour', ph, nh) * 10000.0)
+           END AS value_filled
+    FROM ctx
+    """,
+)
+def interpolate_gapfill_hourly(spark, sf_dir):
+    """Hourly per-type event-value series with LINEAR INTERPOLATION across
+    missing hours (the timescale-style ``interpolate(avg(value))`` rollup —
+    unlike ``date_series_gap_fill`` which zero-fills). Missing buckets get
+    pv + (nv-pv) * Δt/Δtotal between the bracketing observed hours; leading/
+    trailing gaps take the nearest observed value.
+
+    Scale: the hourly pre-aggregation collapses the raw scan before any
+    window; the spine is one row per (type, hour) — O(types x span), not
+    O(events); both IGNORE-NULLS windows partition by type so no global
+    single-task window exists. Hour arithmetic uses calendar timestampdiff,
+    immune to session-timezone/DST skew. The lerp runs in exact integer
+    arithmetic (1e4-scaled values, integer-weighted average, one final
+    division) so both engines produce bit-identical doubles — float lerp
+    lands exactly on round-half boundaries at rational fractions."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.round(F.avg("value") * 10000).cast("bigint").alias("vi"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    joined = spine.join(hourly, ["event_type", "hour"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("vi").isNotNull(), F.col("hour"))
+    ctx = joined.select(
+        "event_type",
+        "hour",
+        "vi",
+        F.last("vi", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(wp).alias("ph"),
+        F.first("vi", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(wn).alias("nh"),
+    )
+    num = F.col("pv") * F.expr("timestampdiff(HOUR, hour, nh)") + F.col(
+        "nv"
+    ) * F.expr("timestampdiff(HOUR, ph, hour)")
+    den = F.expr("timestampdiff(HOUR, ph, nh)") * F.lit(10000.0)
+    filled = (
+        F.when(F.col("vi").isNotNull(), F.col("vi") / 10000.0)
+        .when(F.col("pv").isNull(), F.col("nv") / 10000.0)
+        .when(F.col("nv").isNull(), F.col("pv") / 10000.0)
+        .otherwise(num.cast("double") / den)
+    )
+    return ctx.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("vi").isNull().alias("interpolated"),
+        filled.alias("value_filled"),
+    )

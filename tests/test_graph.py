@@ -39,3 +39,54 @@ def test_dedup_clusters_keeper(spark):
     assert rows[7].is_keeper and not rows[9].is_keeper
     # the delete set is exactly the non-keepers
     assert sorted(d for d, r in rows.items() if not r.is_keeper) == [9, 200, 300]
+
+
+# --------------------------------------------------------------------------
+# PageRank
+# --------------------------------------------------------------------------
+
+from evolution_spark.operators.graph import pagerank  # noqa: E402
+
+
+def _ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.id: r.rank for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_symmetric_pair_is_uniform(spark):
+    # two nodes linked both ways: ranks stay at the fixpoint 1.0 every round
+    r = _ranks(spark, [("a", "b")], symmetric=True, iters=4)
+    assert r["a"] == r["b"]
+    assert abs(r["a"] - 1.0) < 1e-12
+
+
+def test_pagerank_star_center_dominates(spark):
+    # undirected star: the hub must outrank every leaf, leaves tie exactly
+    edges = [("hub", f"leaf{i}") for i in range(6)]
+    r = _ranks(spark, edges, symmetric=True, iters=5)
+    leaves = [v for k, v in r.items() if k != "hub"]
+    assert r["hub"] > max(leaves) * 2
+    assert max(leaves) - min(leaves) < 1e-12
+
+
+def test_pagerank_dangling_node_keeps_base_rank(spark):
+    # directed a->b: a receives nothing, rank (1-d); b receives a's full mass
+    r = _ranks(spark, [("a", "b")], iters=3, damping=0.85)
+    assert abs(r["a"] - 0.15) < 1e-12
+    assert r["b"] > r["a"]
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    # dense 4-node digraph vs a driver-side numpy power iteration
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    r = _ranks(spark, edges, iters=10)
+    ranks = {n: 1.0 for n in "abcd"}
+    out = {"a": ["b", "c"], "b": ["c"], "c": ["a"], "d": ["c"]}
+    for _ in range(10):
+        contrib = {n: 0.0 for n in ranks}
+        for src, dsts in out.items():
+            for dst in dsts:
+                contrib[dst] += ranks[src] / len(dsts)
+        ranks = {n: 0.15 + 0.85 * contrib[n] for n in ranks}
+    for n in "abcd":
+        assert abs(r[n] - ranks[n]) < 1e-9, (n, r[n], ranks[n])

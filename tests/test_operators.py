@@ -854,3 +854,29 @@ def test_edit_distance_join_exact_vs_bruteforce(spark):
             .collect()
         }
         assert got == ref, f"k={k}: {len(got)} vs {len(ref)}"
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling (A-ES)
+# --------------------------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    from evolution_spark.operators.curation import weighted_sample
+
+    rows = [(i, 1000 if i < 50 else 10) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    a = sorted(r.id for r in weighted_sample(df, "id", "w", 40).collect())
+    b = sorted(r.id for r in weighted_sample(df, "id", "w", 40).collect())
+    assert a == b and len(a) == 40
+    # 50 heavy rows carry 100x the weight of the 450 light rows: they must
+    # dominate the sample (expected ~47 of 40 slots from the heavy pool)
+    heavy = sum(1 for i in a if i < 50)
+    assert heavy >= 30, heavy
+
+
+def test_weighted_sample_k_larger_than_input(spark):
+    from evolution_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame([(1, 5), (2, 5)], "id long, w long")
+    assert weighted_sample(df, "id", "w", 10).count() == 2
