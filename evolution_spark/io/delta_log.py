@@ -16,10 +16,13 @@ snapshot (version 0) of a DataFrame:
 ``metaData.schemaString`` is Spark's ``StructType.json()`` — the Delta
 spec adopts Spark's schema JSON verbatim, so the round-trip is exact.
 Any Delta reader (Spark+delta jar, delta-rs, DuckDB's delta extension)
-can open the result. Scope: snapshot writes (error/overwrite). Appends,
-deletes, time travel, and checkpoints are the connector's job — this is
-the write-side parity for the reference's declared-but-``todo!()`` Delta
-target (crates/evolution-target/src/target.rs:31-37,
+can open the result. Scope: version-0 snapshots (``write_delta_snapshot``),
+multi-version APPEND/OVERWRITE commits (``commit_delta`` — remove+add
+actions, optimistic-concurrency publish), and time-travel reads
+(``read_delta_snapshot(version=N)`` replays the log through N). Checkpoints
+and VACUUM remain the connector's job — this is the write-side parity for
+the reference's declared-but-``todo!()`` Delta target
+(crates/evolution-target/src/target.rs:31-37,
 examples/delta/src/main.rs:28-30).
 """
 
@@ -140,26 +143,167 @@ def write_delta_snapshot(
     return {"version": 0, "files": n_files, "rows": total_rows, "path": str(commit)}
 
 
-def read_delta_snapshot(spark, path: str) -> DataFrame:
-    """Read a version-0 snapshot written by ``write_delta_snapshot`` by
-    replaying the log's ``add`` actions (no connector): the file list
-    comes from the commit, NOT a directory listing — exactly the Delta
-    read contract (uncommitted/orphan files are invisible)."""
+def _log_versions(log_dir: Path) -> list[int]:
+    return sorted(int(p.stem) for p in log_dir.glob("*.json") if p.stem.isdigit())
+
+
+def _replay_log(table_dir: Path, version: int | None = None):
+    """Replay commits 0..version (default: latest). Returns (live add
+    actions keyed by stored path, schemaString, partitionColumns, the
+    resolved version). The live set applies ``add``/``remove`` in commit
+    order — exactly the Delta snapshot-reconstruction contract."""
+    log_dir = table_dir / "_delta_log"
+    versions = _log_versions(log_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {log_dir}")
+    target = versions[-1] if version is None else version
+    if target not in versions:
+        raise ValueError(f"version {target} not in log (have {versions})")
+    live: dict[str, dict] = {}
+    schema_string = None
+    part_cols: list[str] = []
+    for v in versions:
+        if v > target:
+            break
+        for line in (log_dir / f"{v:020d}.json").read_text().splitlines():
+            action = json.loads(line)
+            if "add" in action:
+                live[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                live.pop(action["remove"]["path"], None)
+            elif "metaData" in action:
+                schema_string = action["metaData"]["schemaString"]
+                part_cols = action["metaData"].get("partitionColumns", [])
+    return live, schema_string, part_cols, target
+
+
+def commit_delta(df: DataFrame, path: str, mode: str = "append") -> dict:
+    """Commit a new version to an existing Delta table (create version 0 if
+    the table does not exist). ``mode='append'`` adds files; ``'overwrite'``
+    also emits ``remove`` actions for every previously-live file (logical
+    delete — old versions stay readable, which is what makes time travel
+    work). Publish is optimistic-concurrency: the commit file is written to
+    a temp name and atomically renamed; a version collision from a
+    concurrent writer surfaces as an error instead of a lost update.
+
+    Scale: the data write is a normal distributed ``df.write.parquet`` into
+    a staging dir; only the file MOVES and the metadata-sized log write run
+    on the driver (one entry per file, never per row)."""
+    import pyarrow.parquet as pq
+
+    table_dir = Path(path)
+    if not (table_dir / "_delta_log").exists():
+        if mode not in ("append", "overwrite", "error"):
+            raise ValueError(f"unknown mode {mode!r}")
+        return write_delta_snapshot(df, path, mode="error")
+
+    from pyspark.sql.types import StructType
+
+    live, schema_string, part_cols, latest = _replay_log(table_dir)
+    stored = StructType.fromJson(json.loads(schema_string))
+    # names+types must match; writing a non-nullable column into a nullable
+    # table column is fine (the reverse would break the table invariant)
+    incompatible = [f.name for f in df.schema] != [f.name for f in stored] or any(
+        a.dataType != b.dataType or (a.nullable and not b.nullable)
+        for a, b in zip(df.schema, stored)
+    )
+    if incompatible:
+        raise ValueError(
+            "schema mismatch vs table metaData — evolve via a new metaData "
+            "commit (not supported here), or align the DataFrame schema"
+        )
+    version = latest + 1
+    stage = table_dir / f"_staging_v{version}"
+    if stage.exists():
+        shutil.rmtree(stage)
+    writer = df.write.mode("error")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(str(stage))
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {
+                    "mode": "Append" if mode == "append" else "Overwrite"
+                },
+                "engineInfo": "evolution-spark-delta-writer/1.0",
+            }
+        }
+    ]
+    if mode == "overwrite":
+        for stored_path in live:
+            actions.append(
+                {
+                    "remove": {
+                        "path": stored_path,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    total_rows = 0
+    n_files = 0
+    for src in sorted(stage.rglob("*.parquet")):
+        rel = src.relative_to(stage)
+        # version-unique physical name: appended files can never collide
+        # with a prior commit's part files
+        dest_rel = rel.parent / f"part-{version:05d}-{uuid.uuid4().hex}.parquet"
+        dest = table_dir / dest_rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        os.replace(src, dest)
+        n_rows = pq.ParquetFile(dest).metadata.num_rows
+        total_rows += n_rows
+        n_files += 1
+        values = {
+            k: v
+            for part in dest_rel.parts[:-1]
+            if "=" in part
+            for k, _, v in [part.partition("=")]
+        }
+        actions.append(
+            {
+                "add": {
+                    "path": quote(dest_rel.as_posix()),
+                    "partitionValues": values,
+                    "size": dest.stat().st_size,
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": n_rows}),
+                }
+            }
+        )
+    shutil.rmtree(stage)
+
+    log_dir = table_dir / "_delta_log"
+    commit = log_dir / f"{version:020d}.json"
+    if commit.exists():
+        raise RuntimeError(f"concurrent commit detected: {commit} exists")
+    tmp = log_dir / f".{version:020d}.json.tmp"
+    tmp.write_text("".join(json.dumps(a) + "\n" for a in actions))
+    os.replace(tmp, commit)
+    return {"version": version, "files": n_files, "rows": total_rows}
+
+
+def read_delta_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
+    """Read a snapshot of the table at ``version`` (default: latest) by
+    replaying the log's ``add``/``remove`` actions (no connector): the file
+    list comes from the commits, NOT a directory listing — exactly the
+    Delta read contract (uncommitted/orphan/staged files are invisible,
+    and every historical version stays readable until VACUUM)."""
     from urllib.parse import unquote
 
     table_dir = Path(path)
-    commit = table_dir / "_delta_log" / f"{0:020d}.json"
-    adds = []
-    schema_string = None
-    for line in commit.read_text().splitlines():
-        action = json.loads(line)
-        if "add" in action:
-            adds.append(str(table_dir / unquote(action["add"]["path"])))
-        elif "metaData" in action:
-            schema_string = action["metaData"]["schemaString"]
+    live, schema_string, _, _ = _replay_log(table_dir, version)
+    adds = [str(table_dir / unquote(p)) for p in sorted(live)]
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(schema_string))
+    if not adds:
+        return spark.createDataFrame([], schema)
     # basePath keeps hive partition columns resolvable from the file paths
     return (
         spark.read.schema(schema)

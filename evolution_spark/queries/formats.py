@@ -346,3 +346,57 @@ def iceberg_roundtrip_supplier(spark, sf_dir):
         F.min("s_suppkey").alias("min_key"),
         F.max("s_suppkey").alias("max_key"),
     )
+
+
+@query(
+    "delta_time_travel",
+    oracle="""
+    SELECT 0 AS version, c_mktsegment AS segment, COUNT(*) AS n_customers,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 1, c_mktsegment, COUNT(*), MIN(c_custkey), MAX(c_custkey)
+    FROM customer WHERE c_mktsegment = 'AUTOMOBILE' GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 2, c_mktsegment, COUNT(*), MIN(c_custkey), MAX(c_custkey)
+    FROM customer WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    GROUP BY c_mktsegment
+    """,
+)
+def delta_time_travel(spark, sf_dir):
+    """Delta time travel on the native log writer (io/delta_log.py):
+    version 0 = full customer snapshot, version 1 = OVERWRITE with only the
+    AUTOMOBILE segment (remove+add actions — old files logically deleted,
+    physically retained), version 2 = APPEND of the BUILDING segment. Each
+    version is then read back BY REPLAYING THE LOG through that commit and
+    aggregated — proving historical versions stay readable after
+    overwrites, the core Delta reproducibility guarantee (a training run
+    can pin the exact corpus version it saw). The oracle states each
+    version's expected contents directly against the source table."""
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer")
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        f"evo_delta_tt_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    write_delta_snapshot(c, tmp)
+    commit_delta(c.where(F.col("c_mktsegment") == "AUTOMOBILE"), tmp, mode="overwrite")
+    commit_delta(c.where(F.col("c_mktsegment") == "BUILDING"), tmp, mode="append")
+
+    out = None
+    for v in (0, 1, 2):
+        snap = read_delta_snapshot(spark, tmp, version=v)
+        agg = snap.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        ).select(F.lit(v).alias("version"), "segment", "n_customers", "min_key", "max_key")
+        out = agg if out is None else out.unionByName(agg)
+    return out

@@ -503,3 +503,70 @@ def corpus_curation_pipeline(spark, sf_dir):
         F.sum("n_words").cast("bigint").alias("total_tokens"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@query(
+    "multimodal_wav_features",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+    ts AS (SELECT doc_id, UNNEST(range(4000)) AS t FROM ids),
+    sig AS (
+      SELECT doc_id, t, ((t * (doc_id + 7)) % 2003) - 1001 AS v FROM ts
+    ),
+    paired AS (
+      SELECT doc_id, v,
+             LEAD(v) OVER (PARTITION BY doc_id ORDER BY t) AS nv
+      FROM sig
+    )
+    SELECT doc_id AS media_id,
+           COUNT(*) AS n_samples,
+           CAST(COUNT(*) * 1000 / 16000 AS BIGINT) AS duration_ms,
+           ROUND(SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)), 3) AS rms,
+           ROUND(CAST(SUM(CASE WHEN v * nv < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (COUNT(*) - 1), 6) AS zcr
+    FROM paired GROUP BY doc_id
+    """,
+)
+def multimodal_wav_features(spark, sf_dir):
+    """REAL 16-bit PCM WAV codec end-to-end WITH a value-level oracle: each
+    document id gets a deterministic integer signal s_t = ((t*(id+7)) mod
+    2003) - 1001 (4000 samples @ 16 kHz), encoded to actual RIFF/WAVE bytes
+    (operators/multimodal.encode_wav), decoded back through the production
+    chunk-walking parser, and reduced to audio features — RMS energy and
+    zero-crossing rate. Because the signal is a closed form, DuckDB
+    recomputes the SAME features from first principles with generate_series
+    — so the oracle hash-checks the entire encode->decode->feature path,
+    not just row counts. All arithmetic is exact integers until one final
+    division+sqrt (IEEE-correctly-rounded on both engines).
+
+    Scale shape: synthesis and feature extraction are partition-local
+    mapInPandas (Arrow batches); audio bytes never shuffle — only the
+    5-column feature rows do."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.multimodal import decode_wav, encode_wav
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 48)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                t = np.arange(4000, dtype=np.int64)
+                s = (((t * (int(i) + 7)) % 2003) - 1001).astype(np.int16)
+                payload = encode_wav(s, 16000)
+                samples, rate = decode_wav(payload)
+                v = samples[:, 0].astype(np.int64)
+                n = len(v)
+                rms = round(float(np.sqrt(float(np.sum(v * v)) / n)), 3)
+                zcr = round(float(np.sum(v[:-1] * v[1:] < 0)) / (n - 1), 6)
+                rows.append((int(i), n, n * 1000 // rate, rms, zcr))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "duration_ms", "rms", "zcr"]
+            )
+
+    return d.mapInPandas(
+        gen,
+        "media_id long, n_samples long, duration_ms long, rms double, zcr double",
+    )

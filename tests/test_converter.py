@@ -598,3 +598,70 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
         dt.date(2024, 1, 2): 2,
         dt.date(2024, 1, 3): 3,
     }
+
+
+def test_delta_multi_version_time_travel(spark, tmp_path):
+    """commit_delta append/overwrite + read_delta_snapshot(version=N):
+    every historical version stays readable; removes hide old files from
+    later versions; orphan files are invisible at every version."""
+    import pytest
+
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    path = str(tmp_path / "tt")
+    write_delta_snapshot(df, path)
+    assert commit_delta(df.where("k < 10"), path, mode="overwrite")["version"] == 1
+    assert commit_delta(df.where("k >= 95"), path, mode="append")["version"] == 2
+
+    # an orphan parquet dropped into the dir must never appear in any read
+    import shutil as _sh
+
+    orphan_src = next(
+        p for p in (tmp_path / "tt").rglob("*.parquet") if "_delta_log" not in p.parts
+    )
+    _sh.copy(orphan_src, tmp_path / "tt" / "orphan-not-committed.parquet")
+
+    assert read_delta_snapshot(spark, path, version=0).count() == 100
+    v1 = read_delta_snapshot(spark, path, version=1)
+    assert sorted(r.k for r in v1.collect()) == list(range(10))
+    v2 = read_delta_snapshot(spark, path)  # latest
+    assert sorted(r.k for r in v2.collect()) == list(range(10)) + [95, 96, 97, 98, 99]
+
+    # schema drift is refused (evolution is an explicit metaData commit)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        commit_delta(df.withColumn("extra", df.k * 2), path, mode="append")
+    # unknown version is refused
+    with pytest.raises(ValueError, match="not in log"):
+        read_delta_snapshot(spark, path, version=9)
+
+
+def test_delta_commit_partitioned_append(spark, tmp_path):
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    path = str(tmp_path / "ptab")
+    write_delta_snapshot(df, path, partition_by=["p"])
+    commit_delta(
+        spark.range(40, 50).select(
+            F.col("id").alias("k"), F.lit("0").alias("p")
+        ),
+        path,
+        mode="append",
+    )
+    back = read_delta_snapshot(spark, path)
+    assert back.count() == 50
+    # appended files landed under the hive partition dir and carry its value
+    assert back.where("p = '0'").count() == 30
+    assert read_delta_snapshot(spark, path, version=0).count() == 40
