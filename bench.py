@@ -94,6 +94,20 @@ BENCH_QUERIES = [
     "recursive_cte_ancestry",
     "multimodal_dhash_neardup",
     "fuzzy_join_supplier_names",
+    # batch-11: graph/analytics + versioned-io additions (first-recorded =
+    # their baseline)
+    "pagerank_order_graph",
+    "skyline_pareto_parts",
+    "ewma_customer_orders",
+    "markov_event_transitions",
+    "inverted_index_postings",
+    "interpolate_gapfill_hourly",
+    "weighted_sample_docs",
+    "delta_time_travel",
+    "delta_merge_cdc",
+    "multimodal_wav_features",
+    "copurchase_similarity",
+    "triangle_count_copurchase",
 ]
 
 

@@ -66,6 +66,7 @@ def write_delta_snapshot(
     mode: str = "error",
     partition_by: list[str] | None = None,
     name: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Write ``df`` as a version-0 Delta table at ``path``.
 
@@ -100,6 +101,8 @@ def write_delta_snapshot(
             }
         }
     )
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
     actions.append({"protocol": dict(PROTOCOL)})
     actions.append(
         {
@@ -177,7 +180,29 @@ def _replay_log(table_dir: Path, version: int | None = None):
     return live, schema_string, part_cols, target
 
 
-def commit_delta(df: DataFrame, path: str, mode: str = "append") -> dict:
+def last_txn_version(path: str, app_id: str) -> int | None:
+    """Highest ``txn`` action version committed for ``app_id`` (the Delta
+    spec's streaming-idempotence mechanism), or None if never seen."""
+    table_dir = Path(path)
+    log_dir = table_dir / "_delta_log"
+    if not log_dir.exists():
+        return None
+    best: int | None = None
+    for v in _log_versions(log_dir):
+        for line in (log_dir / f"{v:020d}.json").read_text().splitlines():
+            action = json.loads(line)
+            txn = action.get("txn")
+            if txn and txn.get("appId") == app_id:
+                best = txn["version"] if best is None else max(best, txn["version"])
+    return best
+
+
+def commit_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    txn: tuple[str, int] | None = None,
+) -> dict:
     """Commit a new version to an existing Delta table (create version 0 if
     the table does not exist). ``mode='append'`` adds files; ``'overwrite'``
     also emits ``remove`` actions for every previously-live file (logical
@@ -195,7 +220,7 @@ def commit_delta(df: DataFrame, path: str, mode: str = "append") -> dict:
     if not (table_dir / "_delta_log").exists():
         if mode not in ("append", "overwrite", "error"):
             raise ValueError(f"unknown mode {mode!r}")
-        return write_delta_snapshot(df, path, mode="error")
+        return write_delta_snapshot(df, path, mode="error", txn=txn)
 
     from pyspark.sql.types import StructType
 
@@ -234,6 +259,11 @@ def commit_delta(df: DataFrame, path: str, mode: str = "append") -> dict:
             }
         }
     ]
+    if txn is not None:
+        # spec `txn` action: (appId, version) marks this commit as having
+        # applied the app's batch `version` — the reader side of streaming
+        # exactly-once (see last_txn_version)
+        actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
     if mode == "overwrite":
         for stored_path in live:
             actions.append(
@@ -310,3 +340,56 @@ def read_delta_snapshot(spark, path: str, version: int | None = None) -> DataFra
         .option("basePath", str(table_dir))
         .parquet(*adds)
     )
+
+
+def merge_delta_cdc(
+    spark,
+    path: str,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "_op",
+) -> dict:
+    """MERGE a CDC change set into a Delta table as one new commit.
+
+    ``changes`` carries the table's columns plus ``op_col`` with ``'u'``
+    (upsert: update if the key exists, insert if not) or ``'d'`` (delete).
+    Semantics match ``MERGE INTO ... WHEN MATCHED [AND op='d'] THEN DELETE
+    / WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED [AND op='u'] THEN
+    INSERT *`` — implemented as one full-outer join of the current snapshot
+    with the change set, then committed via ``commit_delta(overwrite)`` so
+    the pre-merge version stays time-travel readable.
+
+    Scale: the join shuffles both sides on the key once; at production
+    scale the standard refinement is file pruning (join change keys against
+    add-action min/max stats to rewrite only touched files) — the log
+    layout here already records per-file stats to enable that."""
+    from pyspark.sql import functions as F
+
+    target = read_delta_snapshot(spark, path)
+    data_cols = target.columns
+    if key not in data_cols:
+        raise ValueError(f"key {key!r} not in table columns {data_cols}")
+    ch = changes.select(
+        F.col(key).alias("__k"),
+        F.col(op_col).alias("__op"),
+        *[F.col(c).alias(f"__c_{c}") for c in data_cols if c != key],
+    )
+    joined = target.join(ch, target[key] == ch["__k"], "full_outer")
+    merged = (
+        joined
+        # WHEN MATCHED AND op='d' THEN DELETE; a delete for a missing key is
+        # a no-op (also dropped here)
+        .where(~F.coalesce(F.col("__op") == "d", F.lit(False)))
+        .select(
+            F.coalesce(target[key], F.col("__k")).alias(key),
+            *[
+                F.when(F.col("__op") == "u", F.col(f"__c_{c}"))
+                .otherwise(target[c])
+                .alias(c)
+                for c in data_cols
+                if c != key
+            ],
+        )
+    )
+    summary = commit_delta(merged, path, mode="overwrite")
+    return summary

@@ -64,20 +64,28 @@ def pagerank_order_graph(spark, sf_dir):
     induced by orders x lineitem — "which suppliers sit at the center of the
     purchase network". Top 20 nodes by rank.
 
-    Scale: the edge list is degree-annotated ONCE and checkpointed; each
-    iteration is a single (id, rank) join + sum-by-dst shuffle (see
-    operators/graph.py:pagerank). Ranks are rounded to 6 dp before the
-    final top-k so cross-engine float summation order cannot flip the
-    ordering."""
+    Scale: each iteration is a single (id, rank) join + sum-by-dst shuffle
+    (see operators/graph.py:pagerank). Node ids stay BIGINT through the
+    whole loop (customer k -> 2k, supplier k -> 2k+1 — integer hashing and
+    exchanges, no string keys on the hot path); the 'c'/'s' display labels
+    are decoded only for the final 20 rows' projection. Ranks are rounded
+    to 6 dp before the final top-k so cross-engine float summation order
+    cannot flip the ordering."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = l.join(o, l.l_orderkey == o.o_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     ranks = pagerank(edges, iters=3, damping=0.85, symmetric=True)
+    label = F.when(
+        F.col("id") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("id") / 2).cast("bigint").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("id") - 1) / 2).cast("bigint").cast("string"))
+    )
     return (
-        ranks.select("id", F.round("rank", 6).alias("pagerank"))
+        ranks.select(label.alias("id"), F.round("rank", 6).alias("pagerank"))
         .orderBy(F.desc("pagerank"), "id")
         .limit(20)
     )
@@ -434,3 +442,124 @@ def interpolate_gapfill_hourly(spark, sf_dir):
         F.col("vi").isNull().alias("interpolated"),
         filled.alias("value_filled"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bipartite projection: co-purchase similarity + triadic closure
+# --------------------------------------------------------------------------
+
+_COPURCHASE_CTE = """
+    cs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT s, COUNT(*) AS d FROM cs GROUP BY s),
+    pairs AS (
+      SELECT a.s AS supp_a, b.s AS supp_b, COUNT(*) AS shared
+      FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.supp_a, p.supp_b, p.shared,
+             ROUND(p.shared * 1.0 / (da.d + db.d - p.shared), 6) AS jaccard
+      FROM pairs p
+      JOIN deg da ON da.s = p.supp_a
+      JOIN deg db ON db.s = p.supp_b
+    )"""
+
+
+def _scored_supplier_pairs(spark, sf_dir):
+    from evolution_spark.operators.graph import project_bipartite
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+    )
+    pairs = project_bipartite(cs, left="c", right="s").select(
+        F.col("a").alias("supp_a"), F.col("b").alias("supp_b"), "shared"
+    )
+    deg = cs.distinct().groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        pairs.join(
+            F.broadcast(deg.select(F.col("s").alias("supp_a"), F.col("d").alias("da"))),
+            "supp_a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("s").alias("supp_b"), F.col("d").alias("db"))),
+            "supp_b",
+        )
+        .select(
+            "supp_a",
+            "supp_b",
+            "shared",
+            F.round(
+                F.col("shared") / (F.col("da") + F.col("db") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "copurchase_similarity",
+    oracle=f"""
+    WITH {_COPURCHASE_CTE}
+    SELECT supp_a, supp_b, shared, jaccard FROM scored
+    ORDER BY jaccard DESC, supp_a, supp_b LIMIT 20
+    """,
+)
+def copurchase_similarity(spark, sf_dir):
+    """Item-item collaborative-filtering similarity: project the bipartite
+    customer->supplier purchase graph onto suppliers (operators/graph.py:
+    project_bipartite) and rank pairs by customer-set Jaccard. Top 20.
+
+    Scale: the projection self-join is bounded by per-customer degree (the
+    operator's max_left_degree guard handles web-scale hubs; TPC-H-shaped
+    degrees need no cap); supplier degree tables are dimension-sized and
+    broadcast; the top-k is a TakeOrderedAndProject. Jaccard is a single
+    exact integer division, so ordering is bit-identical across engines."""
+    return _scored_supplier_pairs(spark, sf_dir).orderBy(
+        F.desc("jaccard"), "supp_a", "supp_b"
+    ).limit(20)
+
+
+@query(
+    "triangle_count_copurchase",
+    oracle=f"""
+    WITH {_COPURCHASE_CTE},
+    top AS (
+      SELECT supp_a AS a, supp_b AS b FROM scored
+      ORDER BY jaccard DESC, supp_a, supp_b LIMIT 200
+    ),
+    wedge AS (
+      SELECT t1.a AS a, t1.b AS b, t2.b AS c
+      FROM top t1 JOIN top t2 ON t1.b = t2.a
+    ),
+    closed AS (
+      SELECT w.a, w.c FROM wedge w JOIN top t ON t.a = w.a AND t.b = w.c
+    )
+    SELECT (SELECT COUNT(*) FROM top) AS n_edges,
+           (SELECT COUNT(*) FROM wedge) AS n_wedges,
+           (SELECT COUNT(*) FROM closed) AS n_triangles
+    """,
+)
+def triangle_count_copurchase(spark, sf_dir):
+    """Triadic closure of the top-200 co-purchase similarity pairs: exact
+    triangle count via the oriented wedge join (operators/graph.py:
+    count_triangles — each triangle enumerated once as a<b<c). Measures
+    how clique-like the strongest similarity edges are — the structural
+    signal behind community detection on the similarity graph.
+
+    Scale: the similarity graph is capped at the top-200 edges
+    (TakeOrderedAndProject — deterministic because Jaccard is one exact
+    division), so wedge cardinality is bounded by 200^2 regardless of
+    corpus size; the wedge and closure joins shuffle only id pairs."""
+    from evolution_spark.operators.graph import count_triangles
+
+    top = (
+        _scored_supplier_pairs(spark, sf_dir)
+        .orderBy(F.desc("jaccard"), "supp_a", "supp_b")
+        .limit(200)
+        .select(F.col("supp_a").alias("a"), F.col("supp_b").alias("b"))
+    )
+    return count_triangles(top, src="a", dst="b")

@@ -400,3 +400,73 @@ def delta_time_travel(spark, sf_dir):
         ).select(F.lit(v).alias("version"), "segment", "n_customers", "min_key", "max_key")
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+@query(
+    "delta_merge_cdc",
+    oracle="""
+    WITH merged AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS bal
+      FROM customer WHERE c_custkey % 10 != 5
+      UNION ALL
+      SELECT c_custkey + 1000000, c_mktsegment, 0.0
+      FROM customer WHERE c_custkey < 5
+    )
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM merged GROUP BY c_mktsegment
+    """,
+)
+def delta_merge_cdc(spark, sf_dir):
+    """MERGE INTO the native Delta table from a CDC change set
+    (io/delta_log.merge_delta_cdc): updates (+100 to every 10th key),
+    deletes (every key ending in 5), and inserts (5 new high keys) land as
+    ONE new commit via a full-outer key join; the pre-merge snapshot stays
+    time-travel readable. The oracle restates the post-merge table
+    directly against the source. At 100 TB the join shuffles only once on
+    the key, and the logged per-file stats enable the standard refinement
+    of rewriting only files whose key range intersects the change set."""
+    from evolution_spark.io.delta_log import (
+        merge_delta_cdc,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        f"evo_delta_mrg_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_delta_snapshot(c, tmp)
+
+    updates = c.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("u").alias("_op"),
+    )
+    deletes = c.where(F.col("c_custkey") % 10 == 5).select(
+        "c_custkey", "c_mktsegment", "c_acctbal", F.lit("d").alias("_op")
+    )
+    inserts = c.where(F.col("c_custkey") < 5).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_mktsegment",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("u").alias("_op"),
+    )
+    merge_delta_cdc(
+        spark, tmp, updates.unionByName(deletes).unionByName(inserts), key="c_custkey"
+    )
+    back = read_delta_snapshot(spark, tmp)  # latest = post-merge
+    return back.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("acctbal_cents"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )

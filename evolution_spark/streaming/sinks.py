@@ -200,3 +200,35 @@ def read_scd2_dimension(spark, dim_dir: str) -> DataFrame:
     for p in parts[1:]:
         df = df.unionByName(spark.read.parquet(p))
     return df
+
+
+def delta_append_sink(table_path: str, app_id: str):
+    """Return a ``foreachBatch`` function that appends each micro-batch to a
+    native Delta table (``io/delta_log.commit_delta``) with EXACTLY-ONCE
+    semantics via the Delta spec's ``txn`` action: every commit records
+    ``(appId, batch_id)``, and a replayed batch (at-least-once delivery
+    after a checkpoint restart) is detected by ``last_txn_version`` and
+    skipped — the same transactional-idempotence contract the real Delta
+    streaming sink implements, here over the jar-free log writer.
+
+    Unlike ``idempotent_parquet_sink`` (per-batch directory overwrite),
+    this keeps ONE queryable table whose history is the batch sequence:
+    time travel to version N shows the stream's prefix, and downstream
+    batch jobs read a consistent snapshot mid-stream (the log, not a
+    directory listing, defines visibility).
+
+    Usage::
+
+        q = (df.writeStream
+               .foreachBatch(delta_append_sink("/data/tbl", "my-query"))
+               .option("checkpointLocation", ckpt).start())
+    """
+    from evolution_spark.io.delta_log import commit_delta, last_txn_version
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_txn_version(table_path, app_id)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already committed, skip
+        commit_delta(batch_df, table_path, mode="append", txn=(app_id, batch_id))
+
+    return _write

@@ -665,3 +665,41 @@ def test_delta_commit_partitioned_append(spark, tmp_path):
     # appended files landed under the hive partition dir and carry its value
     assert back.where("p = '0'").count() == 30
     assert read_delta_snapshot(spark, path, version=0).count() == 40
+
+
+def test_delta_merge_cdc_semantics(spark, tmp_path):
+    """MERGE: update existing, delete existing, insert new, delete-missing
+    is a no-op; pre-merge version stays readable."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        merge_delta_cdc,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    path = str(tmp_path / "mrg")
+    write_delta_snapshot(df, path)
+    changes = spark.createDataFrame(
+        [
+            (2, "B", 99.0, "u"),   # update
+            (3, None, None, "d"),  # delete
+            (4, "d", 40.0, "u"),   # insert
+            (9, None, None, "d"),  # delete of a missing key: no-op
+        ],
+        "k long, s string, v double, _op string",
+    )
+    summary = merge_delta_cdc(spark, path, changes, key="k")
+    assert summary["version"] == 1
+    rows = {r.k: (r.s, r.v) for r in read_delta_snapshot(spark, path).collect()}
+    assert rows == {1: ("a", 10.0), 2: ("B", 99.0), 4: ("d", 40.0)}
+    # time travel to the pre-merge version
+    assert read_delta_snapshot(spark, path, version=0).count() == 3
+    # bad key column is refused
+    import pytest
+
+    with pytest.raises(ValueError, match="not in table columns"):
+        merge_delta_cdc(spark, path, changes.withColumnRenamed("k", "kk"), key="kk")

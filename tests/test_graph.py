@@ -90,3 +90,46 @@ def test_pagerank_matches_reference_power_iteration(spark):
         ranks = {n: 0.15 + 0.85 * contrib[n] for n in ranks}
     for n in "abcd":
         assert abs(r[n] - ranks[n]) < 1e-9, (n, r[n], ranks[n])
+
+
+# --------------------------------------------------------------------------
+# Bipartite projection + triangle counting
+# --------------------------------------------------------------------------
+
+from evolution_spark.operators.graph import count_triangles, project_bipartite  # noqa: E402
+
+
+def test_project_bipartite_shared_counts(spark):
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (2, 30), (3, 30)], "c long, s long"
+    )
+    got = {
+        (r.a, r.b): r.shared
+        for r in project_bipartite(edges, "c", "s").collect()
+    }
+    assert got == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
+
+
+def test_project_bipartite_hub_cap_drops_blowup(spark):
+    # customer 99 connects to every supplier: capped out, contributes no pairs
+    rows = [(99, s) for s in range(50)] + [(1, 0), (1, 1)]
+    edges = spark.createDataFrame(rows, "c long, s long")
+    got = project_bipartite(edges, "c", "s", max_left_degree=10).collect()
+    assert {(r.a, r.b, r.shared) for r in got} == {(0, 1, 1)}
+
+
+def test_count_triangles_known_graphs(spark):
+    def tri(edges):
+        df = spark.createDataFrame(edges, "u long, v long")
+        return count_triangles(df, "u", "v").collect()[0]
+
+    # triangle
+    r = tri([(1, 2), (2, 3), (1, 3)])
+    assert (r.n_edges, r.n_triangles) == (3, 1)
+    # K4 has 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = tri(k4)
+    assert (r.n_edges, r.n_triangles) == (6, 4)
+    # path graph: none; duplicate/reversed edges must not inflate
+    r = tri([(1, 2), (2, 3), (3, 2), (2, 1)])
+    assert (r.n_edges, r.n_triangles) == (2, 0)

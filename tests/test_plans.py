@@ -514,3 +514,52 @@ def test_fuzzy_join_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "fuzzy_join_supplier_names")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skyline_range_partitioned_no_cartesian(spark, sf_dir):
+    """The distributed skyline must be the sort-scan plan: range exchange on
+    (price, size), no quadratic join, and the only unpartitioned window runs
+    over the per-partition max table (metadata-sized), never the data."""
+    plan = plan_of(spark, sf_dir, "skyline_pareto_parts")
+    assert "rangepartitioning" in plan.lower()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # survivors rejoin the full rows via semi join, payload never sorts
+    assert "LeftSemi" in plan
+
+
+def test_weighted_sample_is_topk_not_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "weighted_sample_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert "PythonUDF" not in plan  # md5/pow priority stays JVM-side
+
+
+def test_markov_transitions_single_user_shuffle(spark, sf_dir):
+    """One window shuffle on user_id; the per-from totals broadcast back."""
+    plan = plan_of(spark, sf_dir, "markov_event_transitions")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("hashpartitioning(user_id") <= 2  # window exchange (+AQE reuse)
+
+
+def test_ewma_no_python_no_extra_shuffle(spark, sf_dir):
+    """Closed-form EWMA: window + hash agg on the same customer key, all
+    JVM-side (the naive impl would be a sequential Python fold)."""
+    plan = plan_of(spark, sf_dir, "ewma_customer_orders")
+    assert "PythonUDF" not in plan and "FlatMapGroupsInPandas" not in plan
+    assert "WindowExec" in plan or "Window" in plan
+
+
+def test_interpolate_windows_partitioned_by_type(spark, sf_dir):
+    """Both IGNORE-NULLS windows must partition by event_type — a global
+    single-task window over the spine would serialize the whole series."""
+    plan = plan_of(spark, sf_dir, "interpolate_gapfill_hourly")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan.split("Window")[1][:400]
+
+
+def test_inverted_index_postings_capped_before_collect(spark, sf_dir):
+    """The posting-list build must filter to rn<=50 BEFORE collect_list —
+    the cap appears as a Filter under the window, so no aggregation buffer
+    holds an O(corpus) list."""
+    plan = plan_of(spark, sf_dir, "inverted_index_postings")
+    assert "row_number()" in plan
+    assert "rn#" in plan or "<= 50" in plan.replace("(", " ").replace(")", " ")

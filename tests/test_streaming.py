@@ -543,3 +543,48 @@ def test_running_user_totals_transform_with_state(spark, stream_env):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_delta_append_sink_exactly_once_and_time_travel(spark, stream_env, tmp_path):
+    """Streaming appends into the native Delta table: replayed batches are
+    skipped via the spec's txn action (exactly-once, including batch 0 on
+    a fresh table), and time travel shows the stream's prefix."""
+    from evolution_spark.io.delta_log import last_txn_version, read_delta_snapshot
+    from evolution_spark.streaming.sinks import delta_append_sink
+
+    src, ckpt, add_batch = stream_env
+    tbl = str(tmp_path / "delta_stream")
+    sink = delta_append_sink(tbl, app_id="q1")
+
+    add_batch([(1, 0, 1, "view", 1.0), (2, 5, 1, "click", 2.0)])
+
+    def run_once():
+        q = (
+            read_event_stream(spark, src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert sorted(r.event_id for r in read_delta_snapshot(spark, tbl).collect()) == [1, 2]
+    assert last_txn_version(tbl, "q1") == 0
+
+    # replay batch 0 (post-crash in-doubt delivery): must be a no-op —
+    # this covers the fresh-table path where version 0 carries the txn
+    batch0 = spark.read.parquet(src)
+    sink(batch0, 0)
+    assert sorted(r.event_id for r in read_delta_snapshot(spark, tbl).collect()) == [1, 2]
+
+    add_batch([(3, 10, 2, "view", 3.0)])
+    run_once()
+    latest = read_delta_snapshot(spark, tbl)
+    assert sorted(r.event_id for r in latest.collect()) == [1, 2, 3]
+    assert last_txn_version(tbl, "q1") == 1
+    # time travel: version 0 is exactly the first micro-batch
+    v0 = read_delta_snapshot(spark, tbl, version=0)
+    assert sorted(r.event_id for r in v0.collect()) == [1, 2]
+    # a different app_id has no txn history here
+    assert last_txn_version(tbl, "other") is None

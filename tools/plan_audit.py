@@ -26,6 +26,9 @@ AUDITED = {
     "flf_parse_expression": "single narrow stage, no Python eval",
     "bigram_pmi_collocations": "one documents scan; all aggregates reuse one exchange",
     "ivf_pq_topk_partitioned": "PartitionFilters prune non-probed cells at the scan",
+    "skyline_pareto_parts": "range exchange + boundary-carry windows; no quadratic join",
+    "weighted_sample_docs": "A-ES priority top-k as TakeOrderedAndProject, all JVM-side",
+    "inverted_index_postings": "rn<=50 cap filters under the window before collect_list",
 }
 
 

@@ -32,6 +32,9 @@ AUDITED = {
     "dedup_keep_best": "fingerprint + id + score shuffle with map-side max_by; text stays put",
     "ivf_pq_topk_partitioned": "pruned cells scan + narrow ADC; layout write shuffles by cell once",
     "asof_join_orders": "one shuffle of both sides on the by key; payload struct, no re-join",
+    "pagerank_order_graph": "per-iteration (id, rank) exchanges only; edges checkpointed once",
+    "skyline_pareto_parts": "one narrow (price, size) range shuffle + semi-join of survivors",
+    "markov_event_transitions": "one events shuffle on user_id; pair counts are domain-sized",
 }
 
 
