@@ -60,6 +60,50 @@ def _data_files(table_dir: Path, part_cols: list[str]):
         yield rel.as_posix(), values, p.stat().st_size
 
 
+
+def _file_stats(pq_file) -> dict:
+    """Delta-spec add-action stats from a parquet footer: numRecords plus
+    per-column minValues/maxValues (int/float/string/bool columns only —
+    the types file-pruning predicates compare against). Aggregated across
+    row groups; a column with any missing row-group statistics is omitted
+    rather than recorded wrong."""
+    md = pq_file.metadata
+    mins: dict = {}
+    maxs: dict = {}
+    ok: set = set()
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested: not a top-level prune target
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                ok.discard(name)
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str, bool)):
+                continue
+            if name in ok:
+                mins[name] = min(mins[name], lo)
+                maxs[name] = max(maxs[name], hi)
+            elif rg == 0:
+                mins[name], maxs[name] = lo, hi
+                ok.add(name)
+    return {
+        "numRecords": md.num_rows,
+        "minValues": {k: mins[k] for k in sorted(ok)},
+        "maxValues": {k: maxs[k] for k in sorted(ok)},
+    }
+
+
 def write_delta_snapshot(
     df: DataFrame,
     path: str,
@@ -120,8 +164,8 @@ def write_delta_snapshot(
     total_rows = 0
     n_files = 0
     for rel, values, size in _data_files(table_dir, part_cols):
-        n_rows = pq.ParquetFile(table_dir / rel).metadata.num_rows
-        total_rows += n_rows
+        stats = _file_stats(pq.ParquetFile(table_dir / rel))
+        total_rows += stats["numRecords"]
         n_files += 1
         actions.append(
             {
@@ -132,7 +176,7 @@ def write_delta_snapshot(
                     "size": size,
                     "modificationTime": now_ms,
                     "dataChange": True,
-                    "stats": json.dumps({"numRecords": n_rows}),
+                    "stats": json.dumps(stats),
                 }
             }
         )
@@ -202,12 +246,15 @@ def commit_delta(
     path: str,
     mode: str = "append",
     txn: tuple[str, int] | None = None,
+    remove_paths: list[str] | None = None,
 ) -> dict:
     """Commit a new version to an existing Delta table (create version 0 if
     the table does not exist). ``mode='append'`` adds files; ``'overwrite'``
-    also emits ``remove`` actions for every previously-live file (logical
-    delete — old versions stay readable, which is what makes time travel
-    work). Publish is optimistic-concurrency: the commit file is written to
+    also emits ``remove`` actions for every previously-live file;
+    ``'replace'`` removes exactly ``remove_paths`` (stored log paths) — the
+    partial-rewrite commit a file-pruned MERGE produces. Removes are
+    logical deletes: old versions stay readable, which is what makes time
+    travel work. Publish is optimistic-concurrency: the commit file is written to
     a temp name and atomically renamed; a version collision from a
     concurrent writer surfaces as an error instead of a lost update.
 
@@ -217,20 +264,23 @@ def commit_delta(
     import pyarrow.parquet as pq
 
     table_dir = Path(path)
+    if mode not in ("append", "overwrite", "replace", "error"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if (mode == "replace") != (remove_paths is not None):
+        raise ValueError("remove_paths is required for (and only for) mode='replace'")
     if not (table_dir / "_delta_log").exists():
-        if mode not in ("append", "overwrite", "error"):
-            raise ValueError(f"unknown mode {mode!r}")
         return write_delta_snapshot(df, path, mode="error", txn=txn)
 
     from pyspark.sql.types import StructType
 
     live, schema_string, part_cols, latest = _replay_log(table_dir)
     stored = StructType.fromJson(json.loads(schema_string))
-    # names+types must match; writing a non-nullable column into a nullable
-    # table column is fine (the reverse would break the table invariant)
+    # names+types must match; nullability is deliberately NOT compared —
+    # Spark cannot statically prove non-nullness through outer joins (a
+    # MERGE result is always "nullable" even when every row has a key), and
+    # the Delta contract enforces null constraints on data, not plan types
     incompatible = [f.name for f in df.schema] != [f.name for f in stored] or any(
-        a.dataType != b.dataType or (a.nullable and not b.nullable)
-        for a, b in zip(df.schema, stored)
+        a.dataType != b.dataType for a, b in zip(df.schema, stored)
     )
     if incompatible:
         raise ValueError(
@@ -253,7 +303,8 @@ def commit_delta(
                 "timestamp": now_ms,
                 "operation": "WRITE",
                 "operationParameters": {
-                    "mode": "Append" if mode == "append" else "Overwrite"
+                    "mode": {"append": "Append", "overwrite": "Overwrite",
+                             "replace": "Replace"}[mode]
                 },
                 "engineInfo": "evolution-spark-delta-writer/1.0",
             }
@@ -264,8 +315,15 @@ def commit_delta(
         # applied the app's batch `version` — the reader side of streaming
         # exactly-once (see last_txn_version)
         actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
-    if mode == "overwrite":
-        for stored_path in live:
+    if mode == "replace":
+        unknown = [p for p in remove_paths if p not in live]
+        if unknown:
+            raise ValueError(f"remove_paths not live in the table: {unknown}")
+    to_remove = (
+        list(live) if mode == "overwrite" else (remove_paths or [])
+    )
+    if to_remove:
+        for stored_path in to_remove:
             actions.append(
                 {
                     "remove": {
@@ -285,8 +343,8 @@ def commit_delta(
         dest = table_dir / dest_rel
         dest.parent.mkdir(parents=True, exist_ok=True)
         os.replace(src, dest)
-        n_rows = pq.ParquetFile(dest).metadata.num_rows
-        total_rows += n_rows
+        stats = _file_stats(pq.ParquetFile(dest))
+        total_rows += stats["numRecords"]
         n_files += 1
         values = {
             k: v
@@ -302,7 +360,7 @@ def commit_delta(
                     "size": dest.stat().st_size,
                     "modificationTime": now_ms,
                     "dataChange": True,
-                    "stats": json.dumps({"numRecords": n_rows}),
+                    "stats": json.dumps(stats),
                 }
             }
         )
@@ -348,6 +406,7 @@ def merge_delta_cdc(
     changes: DataFrame,
     key: str,
     op_col: str = "_op",
+    prune_files: bool = True,
 ) -> dict:
     """MERGE a CDC change set into a Delta table as one new commit.
 
@@ -355,20 +414,85 @@ def merge_delta_cdc(
     (upsert: update if the key exists, insert if not) or ``'d'`` (delete).
     Semantics match ``MERGE INTO ... WHEN MATCHED [AND op='d'] THEN DELETE
     / WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED [AND op='u'] THEN
-    INSERT *`` — implemented as one full-outer join of the current snapshot
-    with the change set, then committed via ``commit_delta(overwrite)`` so
-    the pre-merge version stays time-travel readable.
+    INSERT *`` — implemented as one full-outer key join, committed so the
+    pre-merge version stays time-travel readable.
 
-    Scale: the join shuffles both sides on the key once; at production
-    scale the standard refinement is file pruning (join change keys against
-    add-action min/max stats to rewrite only touched files) — the log
-    layout here already records per-file stats to enable that."""
+    FILE PRUNING (``prune_files=True``): instead of rewriting the whole
+    table, the change keys are joined against each live file's
+    ``minValues``/``maxValues`` key-range stats (recorded in every add
+    action; the ranges table is one row per file — metadata-sized and
+    broadcast). Only intersecting files are read, merged, and rewritten;
+    everything else is carried forward untouched by a ``mode='replace'``
+    commit (remove exactly the rewritten files). A key present in a file
+    is necessarily inside that file's min/max, so skipping non-intersecting
+    files cannot miss a match — inserts fall out of the outer join
+    regardless of which file ranges they land in. This is what turns MERGE
+    from an O(table) rewrite into an O(touched files) one on a 100 TB
+    table; files written from range/Z-order-clustered data give the
+    tightest ranges and the deepest pruning. Falls back to the full
+    rewrite when any live file lacks key stats."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
 
-    target = read_delta_snapshot(spark, path)
-    data_cols = target.columns
+    table_dir = Path(path)
+    live, schema_string, part_cols, _ = _replay_log(table_dir)
+    stored = StructType.fromJson(json.loads(schema_string))
+    data_cols = [f.name for f in stored]
     if key not in data_cols:
         raise ValueError(f"key {key!r} not in table columns {data_cols}")
+    key_type = stored[key].dataType
+
+    remove_paths: list[str] | None = None
+    if prune_files and live:
+        ranges = []
+        for stored_path, add in live.items():
+            st = json.loads(add.get("stats") or "{}")
+            lo = st.get("minValues", {}).get(key)
+            hi = st.get("maxValues", {}).get(key)
+            if lo is None or hi is None:
+                ranges = None  # a file without key stats: cannot prune safely
+                break
+            ranges.append((stored_path, lo, hi))
+        if ranges is not None:
+            ranges_df = spark.createDataFrame(
+                ranges,
+                StructType(
+                    [
+                        StructField("__path", StringType()),
+                        StructField("__lo", key_type),
+                        StructField("__hi", key_type),
+                    ]
+                ),
+            )
+            hits = (
+                changes.select(F.col(key).alias("__k"))
+                .where(F.col("__k").isNotNull())
+                .distinct()
+                .join(
+                    F.broadcast(ranges_df),
+                    (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
+                )
+                .select("__path")
+                .distinct()
+            )
+            remove_paths = sorted(r["__path"] for r in hits.collect())
+
+    if remove_paths is None:
+        target = read_delta_snapshot(spark, path)
+        mode, removes = "overwrite", None
+    else:
+        from urllib.parse import unquote
+
+        if remove_paths:
+            target = (
+                spark.read.schema(stored)
+                .option("basePath", str(table_dir))
+                .parquet(*[str(table_dir / unquote(p)) for p in remove_paths])
+            )
+        else:
+            target = spark.createDataFrame([], stored)
+        mode, removes = "replace", remove_paths
+
     ch = changes.select(
         F.col(key).alias("__k"),
         F.col(op_col).alias("__op"),
@@ -391,5 +515,9 @@ def merge_delta_cdc(
             ],
         )
     )
-    summary = commit_delta(merged, path, mode="overwrite")
+    summary = commit_delta(merged, path, mode=mode, remove_paths=removes)
+    summary["pruned"] = remove_paths is not None
+    if remove_paths is not None:
+        summary["files_rewritten"] = len(remove_paths)
+        summary["files_kept"] = len(live) - len(remove_paths)
     return summary

@@ -703,3 +703,74 @@ def test_delta_merge_cdc_semantics(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not in table columns"):
         merge_delta_cdc(spark, path, changes.withColumnRenamed("k", "kk"), key="kk")
+
+
+def test_delta_merge_prunes_untouched_files(spark, tmp_path):
+    """File-pruned MERGE: with range-clustered v0 files, a change set
+    touching one file's key range must rewrite ONLY that file — the other
+    files' physical paths survive into the new version's live set."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        _replay_log,
+        merge_delta_cdc,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    df = (
+        spark.range(400)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    path = str(tmp_path / "pruned")
+    write_delta_snapshot(df, path)
+    live0, *_ = _replay_log(__import__("pathlib").Path(path))
+    assert len(live0) == 4
+    # every add action carries key min/max stats
+    for add in live0.values():
+        st = _json.loads(add["stats"])
+        assert "k" in st["minValues"] and "k" in st["maxValues"]
+
+    # touch only keys 0-5 (one range file): update 3, delete 5, insert 1000
+    changes = spark.createDataFrame(
+        [(3, 999, "u"), (5, None, "d"), (1000, 42, "u")],
+        "k long, v long, _op string",
+    )
+    summary = merge_delta_cdc(spark, path, changes, key="k")
+    assert summary["pruned"] and summary["files_rewritten"] == 1
+    assert summary["files_kept"] == 3
+
+    live1, *_ = _replay_log(__import__("pathlib").Path(path))
+    kept = set(live0) & set(live1)
+    assert len(kept) == 3  # three original files carried forward untouched
+
+    back = {r.k: r.v for r in read_delta_snapshot(spark, path).collect()}
+    assert back[3] == 999 and 5 not in back and back[1000] == 42
+    assert len(back) == 400 - 1 + 1
+    # result equals the unpruned merge semantics
+    write_delta_snapshot(df, path + "_full")
+    merge_delta_cdc(spark, path + "_full", changes, key="k", prune_files=False)
+    full = {r.k: r.v for r in read_delta_snapshot(spark, path + "_full").collect()}
+    assert back == full
+
+
+def test_delta_merge_all_inserts_appends_without_rewrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        merge_delta_cdc,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    df = spark.range(10).select(F.col("id").alias("k"), F.lit(1).cast("long").alias("v"))
+    path = str(tmp_path / "ins")
+    write_delta_snapshot(df, path)
+    changes = spark.createDataFrame([(100, 7, "u"), (101, 8, "u")], "k long, v long, _op string")
+    summary = merge_delta_cdc(spark, path, changes, key="k")
+    assert summary["pruned"] and summary["files_rewritten"] == 0
+    assert read_delta_snapshot(spark, path).count() == 12
