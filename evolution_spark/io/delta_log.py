@@ -521,3 +521,78 @@ def merge_delta_cdc(
         summary["files_rewritten"] = len(remove_paths)
         summary["files_kept"] = len(live) - len(remove_paths)
     return summary
+
+
+def optimize_delta(
+    spark,
+    path: str,
+    target_files: int = 1,
+) -> dict:
+    """OPTIMIZE (small-file compaction): rewrite the live files of each
+    partition into ``target_files`` larger files via a ``mode='replace'``
+    commit. Pure layout change — row set identical, so the commit is
+    published even when nothing shrinks (idempotent, like the real
+    OPTIMIZE), and every pre-compaction version stays time-travel
+    readable. The streaming sink's many small per-batch files are the
+    canonical input.
+
+    Scale: the rewrite is a distributed read->coalesce->write of only the
+    live files; the log update is metadata-sized. Statistics are
+    recomputed from the new footers, so post-OPTIMIZE merges prune against
+    tight ranges again."""
+    table_dir = Path(path)
+    live, schema_string, part_cols, _ = _replay_log(table_dir)
+    from pyspark.sql.types import StructType
+
+    stored = StructType.fromJson(json.loads(schema_string))
+    from urllib.parse import unquote
+
+    if not live:
+        return {"version": None, "files": 0, "rows": 0, "note": "empty table"}
+    reader = spark.read.schema(stored).option("basePath", str(table_dir))
+    df = reader.parquet(*[str(table_dir / unquote(p)) for p in sorted(live)])
+    compacted = df.coalesce(target_files)
+    summary = commit_delta(
+        compacted, path, mode="replace", remove_paths=sorted(live)
+    )
+    summary["files_before"] = len(live)
+    return summary
+
+
+def vacuum_delta(path: str, keep_versions: int = 1) -> dict:
+    """VACUUM: physically delete data files that are not live in any of the
+    last ``keep_versions`` table versions. Time travel to the kept versions
+    keeps working; reads of older versions will fail on missing files
+    (exactly the real VACUUM trade-off — retention is measured in versions
+    here instead of hours, which is the honest equivalent for a
+    test-driven engine with no wall-clock contract).
+
+    The log itself is never rewritten (history/metadata stays auditable);
+    only unreferenced data files are unlinked. Driver-side cost is one log
+    replay per kept version — metadata-sized."""
+    table_dir = Path(path)
+    log_dir = table_dir / "_delta_log"
+    versions = _log_versions(log_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {log_dir}")
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    kept = versions[-keep_versions:]
+    referenced: set[str] = set()
+    for v in kept:
+        live, *_ = _replay_log(table_dir, v)
+        referenced.update(live)
+
+    from urllib.parse import unquote
+
+    deleted = []
+    for p in sorted(table_dir.rglob("*.parquet")):
+        if "_delta_log" in p.parts:
+            continue
+        rel = quote(p.relative_to(table_dir).as_posix())
+        if rel not in referenced and unquote(rel) not in {
+            unquote(r) for r in referenced
+        }:
+            p.unlink()
+            deleted.append(unquote(rel))
+    return {"deleted": deleted, "kept_versions": kept, "live_files": len(referenced)}

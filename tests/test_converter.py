@@ -774,3 +774,70 @@ def test_delta_merge_all_inserts_appends_without_rewrite(spark, tmp_path):
     summary = merge_delta_cdc(spark, path, changes, key="k")
     assert summary["pruned"] and summary["files_rewritten"] == 0
     assert read_delta_snapshot(spark, path).count() == 12
+
+
+def test_delta_optimize_compacts_and_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        _replay_log,
+        commit_delta,
+        optimize_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "opt")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    write_delta_snapshot(df.repartition(4), path)
+    # three appends -> many small files
+    for lo in (100, 110, 120):
+        commit_delta(
+            spark.range(lo, lo + 10).select(F.col("id").alias("k")).repartition(2),
+            path,
+            mode="append",
+        )
+    import pathlib
+
+    live_before, *_ = _replay_log(pathlib.Path(path))
+    assert len(live_before) >= 8
+    summary = optimize_delta(spark, path, target_files=1)
+    assert summary["files"] == 1 and summary["rows"] == 130
+    back = read_delta_snapshot(spark, path)
+    assert back.count() == 130
+    assert sorted(r.k for r in back.collect()) == list(range(130))
+    # pre-OPTIMIZE version still readable (layout change only)
+    prev = read_delta_snapshot(spark, path, version=summary["version"] - 1)
+    assert prev.count() == 130
+
+
+def test_delta_vacuum_unlinks_only_unreferenced(spark, tmp_path):
+    import pathlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        read_delta_snapshot,
+        vacuum_delta,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "vac")
+    df = spark.range(50).select(F.col("id").alias("k"))
+    write_delta_snapshot(df, path)                              # v0
+    commit_delta(df.where("k < 10"), path, mode="overwrite")    # v1
+    commit_delta(df.where("k >= 45"), path, mode="append")      # v2
+
+    res = vacuum_delta(path, keep_versions=2)  # keep v1, v2
+    assert res["kept_versions"] == [1, 2]
+    assert len(res["deleted"]) >= 1  # v0's files are gone
+    # kept versions still read fine
+    assert read_delta_snapshot(spark, path, version=1).count() == 10
+    assert read_delta_snapshot(spark, path).count() == 15
+    # v0 now fails on missing files (the documented trade-off)
+    with pytest.raises(Exception):
+        read_delta_snapshot(spark, path, version=0).count()
+    # a second vacuum is a no-op
+    assert vacuum_delta(path, keep_versions=2)["deleted"] == []
