@@ -325,16 +325,36 @@ def scd2_user_status(spark, sf_dir):
 # Multimodal: real BMP decode end-to-end (rows-only: binary codec path)
 # ---------------------------------------------------------------------------
 
-@query("multimodal_bmp_features")
+@query(
+    "multimodal_bmp_features",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+    ts AS (SELECT doc_id, UNNEST(range(192)) AS t FROM ids),
+    v AS (
+      SELECT doc_id, CAST(t // 12 AS INT) AS bucket,
+             (t * (doc_id + 3)) % 251 AS val
+      FROM ts
+    ),
+    f AS (SELECT doc_id, bucket, AVG(val) AS m FROM v GROUP BY 1, 2)
+    SELECT doc_id AS media_id, 'image' AS kind, 246 AS n_bytes,
+           ROUND(MAX(CASE WHEN bucket = 0 THEN m END), 3) AS f0,
+           ROUND(MAX(CASE WHEN bucket = 7 THEN m END), 3) AS f7,
+           ROUND(MAX(CASE WHEN bucket = 15 THEN m END), 3) AS f15
+    FROM f GROUP BY doc_id
+    """,
+)
 def multimodal_bmp_features(spark, sf_dir):
-    """REAL 24-bit BMP codec end-to-end: deterministically synthesize an
-    8x8 BMP per document id (pure-numpy encoder), run the production
-    ``extract_features`` path with ``fake=False`` (magic-byte dispatch to
-    the real decoder), and emit scalar feature summaries.
-
-    No SQL oracle (binary image codec); the driver records the rows-only
-    check. Determinism is pixel-exact: payload bytes are a pure function of
-    media_id, so rows/values are stable across runs and engines.
+    """REAL 24-bit BMP codec end-to-end WITH a value-level oracle:
+    deterministically synthesize an 8x8 BMP per document id (pure-numpy
+    encoder), run the production ``extract_features`` path with
+    ``fake=False`` (magic-byte dispatch to the real decoder), and emit
+    scalar feature summaries. The pixels are the closed form
+    ((t*(id+3)) mod 251) and decode is pixel-exact, so DuckDB recomputes
+    the 16-bucket mean-pool features from first principles with
+    generate_series — the oracle hash-checks the whole
+    encode->decode->pool path (n_bytes = 54-byte header + 8 rows x 24-byte
+    stride = 246). Bucket means are exact integer sums over 12 values
+    divided once — bit-identical across engines.
 
     Scale shape: generation and decode are both partition-local mapInPandas
     (Arrow-batched, no shuffle); media bytes never leave their partition."""
@@ -375,9 +395,9 @@ def multimodal_bmp_features(spark, sf_dir):
         "media_id",
         "kind",
         "n_bytes",
-        F.round(F.element_at("features", 1), 3).alias("f0"),
-        F.round(F.element_at("features", 8), 3).alias("f7"),
-        F.round(F.element_at("features", 16), 3).alias("f15"),
+        F.round(F.element_at("features", 1).cast("double"), 3).alias("f0"),
+        F.round(F.element_at("features", 8).cast("double"), 3).alias("f7"),
+        F.round(F.element_at("features", 16).cast("double"), 3).alias("f15"),
     )
 
 
