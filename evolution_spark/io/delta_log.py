@@ -198,7 +198,14 @@ def _replay_log(table_dir: Path, version: int | None = None):
     """Replay commits 0..version (default: latest). Returns (live add
     actions keyed by stored path, schemaString, partitionColumns, the
     resolved version). The live set applies ``add``/``remove`` in commit
-    order — exactly the Delta snapshot-reconstruction contract."""
+    order — exactly the Delta snapshot-reconstruction contract. Latest-
+    version reads go through the newest checkpoint when one exists
+    (checkpoint state + post-checkpoint commits — O(live files), not
+    O(history)); explicit historical versions replay the JSON chain."""
+    if version is None:
+        state = read_checkpoint_state(str(table_dir))
+        if state is not None:
+            return state
     log_dir = table_dir / "_delta_log"
     versions = _log_versions(log_dir)
     if not versions:
@@ -596,3 +603,151 @@ def vacuum_delta(path: str, keep_versions: int = 1) -> dict:
             p.unlink()
             deleted.append(unquote(rel))
     return {"deleted": deleted, "kept_versions": kept, "live_files": len(referenced)}
+
+
+def checkpoint_delta(path: str) -> dict:
+    """Write a Delta log CHECKPOINT for the latest version: a parquet file
+    ``_delta_log/<v>.checkpoint.parquet`` holding the fully-replayed state
+    (protocol, metaData, every live add, latest txn per appId — one action
+    per row in the spec's sparse-columns layout) plus the
+    ``_last_checkpoint`` pointer file. Readers then reconstruct a snapshot
+    from the checkpoint + the JSON commits AFTER it — O(live files), not
+    O(history) — which is what keeps a table with 10^5 commits openable.
+    JSON commits are never deleted, so time travel to pre-checkpoint
+    versions still replays the full chain."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    table_dir = Path(path)
+    log_dir = table_dir / "_delta_log"
+    versions = _log_versions(log_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {log_dir}")
+    version = versions[-1]
+
+    live: dict[str, dict] = {}
+    metadata_action = None
+    protocol_action = None
+    txns: dict[str, int] = {}
+    for v in versions:
+        for line in (log_dir / f"{v:020d}.json").read_text().splitlines():
+            action = json.loads(line)
+            if "add" in action:
+                live[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                live.pop(action["remove"]["path"], None)
+            elif "metaData" in action:
+                metadata_action = action["metaData"]
+            elif "protocol" in action:
+                protocol_action = action["protocol"]
+            elif "txn" in action:
+                t = action["txn"]
+                txns[t["appId"]] = max(t["version"], txns.get(t["appId"], -1))
+
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("name", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
+
+    rows_proto: list = [protocol_action]
+    rows_meta: list = [None]
+    rows_add: list = [None]
+    rows_txn: list = [None]
+
+    def push(proto=None, meta=None, add=None, txn=None):
+        rows_proto.append(proto)
+        rows_meta.append(meta)
+        rows_add.append(add)
+        rows_txn.append(txn)
+
+    m = dict(metadata_action)
+    m["format"] = {"provider": m.get("format", {}).get("provider", "parquet")}
+    m.pop("configuration", None)
+    push(meta=m)
+    for app_id, v in sorted(txns.items()):
+        push(txn={"appId": app_id, "version": v})
+    for stored_path in sorted(live):
+        a = dict(live[stored_path])
+        a["partitionValues"] = list(a.get("partitionValues", {}).items())
+        push(add=a)
+
+    table = pa.table(
+        {
+            "protocol": pa.array(rows_proto, type=proto_t),
+            "metaData": pa.array(rows_meta, type=meta_t),
+            "txn": pa.array(rows_txn, type=txn_t),
+            "add": pa.array(rows_add, type=add_t),
+        }
+    )
+    ckpt = log_dir / f"{version:020d}.checkpoint.parquet"
+    tmp = log_dir / f".{version:020d}.checkpoint.parquet.tmp"
+    papq.write_table(table, tmp)
+    os.replace(tmp, ckpt)
+    pointer = {"version": version, "size": table.num_rows}
+    tmp_p = log_dir / "._last_checkpoint.tmp"
+    tmp_p.write_text(json.dumps(pointer))
+    os.replace(tmp_p, log_dir / "_last_checkpoint")
+    return {"version": version, "actions": table.num_rows, "path": str(ckpt)}
+
+
+def read_checkpoint_state(path: str):
+    """Reconstruct (live adds, schemaString, partitionColumns, version)
+    from the newest checkpoint + the JSON commits after it. Returns None
+    when no checkpoint exists (callers fall back to the full JSON replay).
+    """
+    import pyarrow.parquet as papq
+
+    table_dir = Path(path)
+    log_dir = table_dir / "_delta_log"
+    pointer = log_dir / "_last_checkpoint"
+    if not pointer.exists():
+        return None
+    ckpt_version = json.loads(pointer.read_text())["version"]
+    ckpt = log_dir / f"{ckpt_version:020d}.checkpoint.parquet"
+    t = papq.read_table(ckpt).to_pylist()
+    live: dict[str, dict] = {}
+    schema_string = None
+    part_cols: list[str] = []
+    for row in t:
+        if row.get("add"):
+            a = dict(row["add"])
+            a["partitionValues"] = dict(a.get("partitionValues") or [])
+            live[a["path"]] = a
+        elif row.get("metaData"):
+            schema_string = row["metaData"]["schemaString"]
+            part_cols = list(row["metaData"].get("partitionColumns") or [])
+    latest = ckpt_version
+    for v in _log_versions(log_dir):
+        if v <= ckpt_version:
+            continue
+        for line in (log_dir / f"{v:020d}.json").read_text().splitlines():
+            action = json.loads(line)
+            if "add" in action:
+                live[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                live.pop(action["remove"]["path"], None)
+            elif "metaData" in action:
+                schema_string = action["metaData"]["schemaString"]
+                part_cols = action["metaData"].get("partitionColumns", [])
+        latest = v
+    return live, schema_string, part_cols, latest

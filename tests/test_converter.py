@@ -841,3 +841,47 @@ def test_delta_vacuum_unlinks_only_unreferenced(spark, tmp_path):
         read_delta_snapshot(spark, path, version=0).count()
     # a second vacuum is a no-op
     assert vacuum_delta(path, keep_versions=2)["deleted"] == []
+
+
+def test_delta_checkpoint_roundtrip_and_post_commits(spark, tmp_path):
+    """Checkpoint = fully-replayed state in parquet + _last_checkpoint
+    pointer; latest reads use it (plus commits after it), historical
+    versions still replay the JSON chain."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        checkpoint_delta,
+        commit_delta,
+        last_txn_version,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "ckpt")
+    df = spark.range(60).select(F.col("id").alias("k"))
+    write_delta_snapshot(df, path)                                     # v0
+    commit_delta(df.where("k < 20"), path, mode="overwrite")           # v1
+    commit_delta(df.where("k >= 50"), path, mode="append",
+                 txn=("app", 7))                                       # v2
+    res = checkpoint_delta(path)
+    assert res["version"] == 2
+    import pathlib
+
+    log = pathlib.Path(path) / "_delta_log"
+    assert (log / f"{2:020d}.checkpoint.parquet").exists()
+    assert _json.loads((log / "_last_checkpoint").read_text())["version"] == 2
+
+    # latest read resolves through the checkpoint
+    assert sorted(r.k for r in read_delta_snapshot(spark, path).collect()) == (
+        list(range(20)) + list(range(50, 60))
+    )
+    # txn state survives the checkpoint (streaming idempotence intact)
+    assert last_txn_version(path, "app") == 7
+    # a commit AFTER the checkpoint is applied on top of it
+    commit_delta(df.where("k = 30"), path, mode="append")              # v3
+    assert read_delta_snapshot(spark, path).count() == 31
+    # historical reads below the checkpoint still work (JSON replay)
+    assert read_delta_snapshot(spark, path, version=0).count() == 60
+    assert read_delta_snapshot(spark, path, version=1).count() == 20
