@@ -88,8 +88,14 @@ def _file_stats(pq_file) -> dict:
                 try:
                     lo, hi = lo.decode(), hi.decode()
                 except UnicodeDecodeError:
+                    mins.pop(name, None)
+                    maxs.pop(name, None)
+                    ok.discard(name)
                     continue
             if not isinstance(lo, (int, float, str, bool)):
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                ok.discard(name)
                 continue
             if name in ok:
                 mins[name] = min(mins[name], lo)
@@ -233,13 +239,33 @@ def _replay_log(table_dir: Path, version: int | None = None):
 
 def last_txn_version(path: str, app_id: str) -> int | None:
     """Highest ``txn`` action version committed for ``app_id`` (the Delta
-    spec's streaming-idempotence mechanism), or None if never seen."""
+    spec's streaming-idempotence mechanism), or None if never seen.
+
+    Resolves through the newest log checkpoint when one exists (checkpoint
+    txn rows + only the JSON commits after it) — without this a streaming
+    sink calling it per micro-batch would re-parse the whole commit
+    history every trigger, O(batches^2) over the stream's life."""
     table_dir = Path(path)
     log_dir = table_dir / "_delta_log"
     if not log_dir.exists():
         return None
     best: int | None = None
+    after = -1
+    pointer = log_dir / "_last_checkpoint"
+    if pointer.exists():
+        import pyarrow.parquet as papq
+
+        after = json.loads(pointer.read_text())["version"]
+        ckpt = papq.read_table(
+            log_dir / f"{after:020d}.checkpoint.parquet", columns=["txn"]
+        ).to_pylist()
+        for row in ckpt:
+            t = row.get("txn")
+            if t and t["appId"] == app_id:
+                best = t["version"] if best is None else max(best, t["version"])
     for v in _log_versions(log_dir):
+        if v <= after:
+            continue
         for line in (log_dir / f"{v:020d}.json").read_text().splitlines():
             action = json.loads(line)
             txn = action.get("txn")
@@ -294,6 +320,12 @@ def commit_delta(
             "schema mismatch vs table metaData — evolve via a new metaData "
             "commit (not supported here), or align the DataFrame schema"
         )
+    if mode == "error":
+        raise ValueError(f"Delta table already exists at {path} (mode='error')")
+    if mode == "replace":
+        unknown = [p for p in remove_paths if p not in live]
+        if unknown:
+            raise ValueError(f"remove_paths not live in the table: {unknown}")
     version = latest + 1
     stage = table_dir / f"_staging_v{version}"
     if stage.exists():
@@ -301,85 +333,92 @@ def commit_delta(
     writer = df.write.mode("error")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
-    writer.parquet(str(stage))
+    try:
+        writer.parquet(str(stage))
 
-    now_ms = int(time.time() * 1000)
-    actions: list[dict] = [
-        {
-            "commitInfo": {
-                "timestamp": now_ms,
-                "operation": "WRITE",
-                "operationParameters": {
-                    "mode": {"append": "Append", "overwrite": "Overwrite",
-                             "replace": "Replace"}[mode]
-                },
-                "engineInfo": "evolution-spark-delta-writer/1.0",
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "WRITE",
+                    "operationParameters": {
+                        "mode": {"append": "Append", "overwrite": "Overwrite",
+                                 "replace": "Replace"}[mode]
+                    },
+                    "engineInfo": "evolution-spark-delta-writer/1.0",
+                }
             }
-        }
-    ]
-    if txn is not None:
-        # spec `txn` action: (appId, version) marks this commit as having
-        # applied the app's batch `version` — the reader side of streaming
-        # exactly-once (see last_txn_version)
-        actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
-    if mode == "replace":
-        unknown = [p for p in remove_paths if p not in live]
-        if unknown:
-            raise ValueError(f"remove_paths not live in the table: {unknown}")
-    to_remove = (
-        list(live) if mode == "overwrite" else (remove_paths or [])
-    )
-    if to_remove:
-        for stored_path in to_remove:
+        ]
+        if txn is not None:
+            # spec `txn` action: (appId, version) marks this commit as having
+            # applied the app's batch `version` — the reader side of streaming
+            # exactly-once (see last_txn_version)
+            actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
+        to_remove = (
+            list(live) if mode == "overwrite" else (remove_paths or [])
+        )
+        if to_remove:
+            for stored_path in to_remove:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": stored_path,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        total_rows = 0
+        n_files = 0
+        for src in sorted(stage.rglob("*.parquet")):
+            rel = src.relative_to(stage)
+            # version-unique physical name: appended files can never collide
+            # with a prior commit's part files
+            dest_rel = rel.parent / f"part-{version:05d}-{uuid.uuid4().hex}.parquet"
+            dest = table_dir / dest_rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            os.replace(src, dest)
+            stats = _file_stats(pq.ParquetFile(dest))
+            total_rows += stats["numRecords"]
+            n_files += 1
+            values = {
+                k: v
+                for part in dest_rel.parts[:-1]
+                if "=" in part
+                for k, _, v in [part.partition("=")]
+            }
             actions.append(
                 {
-                    "remove": {
-                        "path": stored_path,
-                        "deletionTimestamp": now_ms,
+                    "add": {
+                        "path": quote(dest_rel.as_posix()),
+                        "partitionValues": values,
+                        "size": dest.stat().st_size,
+                        "modificationTime": now_ms,
                         "dataChange": True,
+                        "stats": json.dumps(stats),
                     }
                 }
             )
-    total_rows = 0
-    n_files = 0
-    for src in sorted(stage.rglob("*.parquet")):
-        rel = src.relative_to(stage)
-        # version-unique physical name: appended files can never collide
-        # with a prior commit's part files
-        dest_rel = rel.parent / f"part-{version:05d}-{uuid.uuid4().hex}.parquet"
-        dest = table_dir / dest_rel
-        dest.parent.mkdir(parents=True, exist_ok=True)
-        os.replace(src, dest)
-        stats = _file_stats(pq.ParquetFile(dest))
-        total_rows += stats["numRecords"]
-        n_files += 1
-        values = {
-            k: v
-            for part in dest_rel.parts[:-1]
-            if "=" in part
-            for k, _, v in [part.partition("=")]
-        }
-        actions.append(
-            {
-                "add": {
-                    "path": quote(dest_rel.as_posix()),
-                    "partitionValues": values,
-                    "size": dest.stat().st_size,
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                    "stats": json.dumps(stats),
-                }
-            }
-        )
-    shutil.rmtree(stage)
+    finally:
+        if stage.exists():
+            shutil.rmtree(stage)
 
     log_dir = table_dir / "_delta_log"
     commit = log_dir / f"{version:020d}.json"
-    if commit.exists():
-        raise RuntimeError(f"concurrent commit detected: {commit} exists")
-    tmp = log_dir / f".{version:020d}.json.tmp"
-    tmp.write_text("".join(json.dumps(a) + "\n" for a in actions))
-    os.replace(tmp, commit)
+    body = "".join(json.dumps(a) + "\n" for a in actions)
+    # create-EXCLUSIVE publish: O_CREAT|O_EXCL makes a same-version race a
+    # hard error for the loser instead of a silent lost update (os.replace
+    # would clobber the winner's commit)
+    try:
+        fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent commit detected: {commit} exists (retry the write "
+            "against the new table state)"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        f.write(body)
     return {"version": version, "files": n_files, "rows": total_rows}
 
 
@@ -505,22 +544,34 @@ def merge_delta_cdc(
         F.col(op_col).alias("__op"),
         *[F.col(c).alias(f"__c_{c}") for c in data_cols if c != key],
     )
+    # real MERGE raises when a target row matches multiple source rows —
+    # a duplicated change key would silently fan the row out instead
+    dup = ch.groupBy("__k").count().where("count > 1").limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"change set has duplicate key {dup[0]['__k']!r} — MERGE requires "
+            "at most one change per key (compact the changelog first, e.g. "
+            "latest-wins by timestamp)"
+        )
     joined = target.join(ch, target[key] == ch["__k"], "full_outer")
+
+    def out_col(c):
+        if c == key:
+            return F.coalesce(target[key], F.col("__k")).alias(key)
+        return (
+            F.when(F.col("__op") == "u", F.col(f"__c_{c}"))
+            .otherwise(target[c])
+            .alias(c)
+        )
+
     merged = (
         joined
         # WHEN MATCHED AND op='d' THEN DELETE; a delete for a missing key is
         # a no-op (also dropped here)
         .where(~F.coalesce(F.col("__op") == "d", F.lit(False)))
-        .select(
-            F.coalesce(target[key], F.col("__k")).alias(key),
-            *[
-                F.when(F.col("__op") == "u", F.col(f"__c_{c}"))
-                .otherwise(target[c])
-                .alias(c)
-                for c in data_cols
-                if c != key
-            ],
-        )
+        # output columns in the TABLE's declared order (not key-first) so
+        # the commit's order-sensitive schema check accepts any key position
+        .select(*[out_col(c) for c in data_cols])
     )
     summary = commit_delta(merged, path, mode=mode, remove_paths=removes)
     summary["pruned"] = remove_paths is not None
@@ -548,17 +599,10 @@ def optimize_delta(
     recomputed from the new footers, so post-OPTIMIZE merges prune against
     tight ranges again."""
     table_dir = Path(path)
-    live, schema_string, part_cols, _ = _replay_log(table_dir)
-    from pyspark.sql.types import StructType
-
-    stored = StructType.fromJson(json.loads(schema_string))
-    from urllib.parse import unquote
-
+    live, *_ = _replay_log(table_dir)
     if not live:
         return {"version": None, "files": 0, "rows": 0, "note": "empty table"}
-    reader = spark.read.schema(stored).option("basePath", str(table_dir))
-    df = reader.parquet(*[str(table_dir / unquote(p)) for p in sorted(live)])
-    compacted = df.coalesce(target_files)
+    compacted = read_delta_snapshot(spark, path).coalesce(target_files)
     summary = commit_delta(
         compacted, path, mode="replace", remove_paths=sorted(live)
     )

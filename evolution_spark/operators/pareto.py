@@ -62,16 +62,15 @@ def skyline_2d(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local_max = F.max(y).over(w_local)
+    # comparisons stay in y's NATIVE type (no double cast — a bigint y
+    # above 2^53 would collide with its neighbor after the cast and drop a
+    # frontier row); greatest() skips nulls, and a null best means "no
+    # preceding pair anywhere" — first in the global order, always survives
+    best_before = F.greatest(local_max, F.col("__carry"))
     survivors = (
         stamped.join(F.broadcast(carries), "__pid")
-        .withColumn(
-            "__best_before",
-            F.greatest(
-                F.coalesce(local_max.cast("double"), F.lit(float("-inf"))),
-                F.coalesce(F.col("__carry").cast("double"), F.lit(float("-inf"))),
-            ),
-        )
-        .where(F.col(y).cast("double") > F.col("__best_before"))
+        .withColumn("__best_before", best_before)
+        .where(F.col("__best_before").isNull() | (F.col(y) > F.col("__best_before")))
         .select(x, y)
     )
     return clean.join(survivors, [x, y], "left_semi")

@@ -225,10 +225,20 @@ def delta_append_sink(table_path: str, app_id: str):
     """
     from evolution_spark.io.delta_log import commit_delta, last_txn_version
 
+    # high-water cache: the log is consulted once per sink lifetime (and
+    # after that only on a replay suspicion), not once per micro-batch —
+    # per-batch full-log replay would be O(batches^2) over the stream
+    state: dict = {"last": None, "primed": False}
+
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        last = last_txn_version(table_path, app_id)
-        if last is not None and batch_id <= last:
+        if not state["primed"] or (
+            state["last"] is not None and batch_id <= state["last"]
+        ):
+            state["last"] = last_txn_version(table_path, app_id)
+            state["primed"] = True
+        if state["last"] is not None and batch_id <= state["last"]:
             return  # replayed batch: already committed, skip
         commit_delta(batch_df, table_path, mode="append", txn=(app_id, batch_id))
+        state["last"] = batch_id
 
     return _write

@@ -885,3 +885,81 @@ def test_delta_checkpoint_roundtrip_and_post_commits(spark, tmp_path):
     # historical reads below the checkpoint still work (JSON replay)
     assert read_delta_snapshot(spark, path, version=0).count() == 60
     assert read_delta_snapshot(spark, path, version=1).count() == 20
+
+
+def test_delta_merge_key_not_first_column(spark, tmp_path):
+    """MERGE must work when the key is not column 0 (output columns follow
+    the table's declared order, not key-first)."""
+    from evolution_spark.io.delta_log import (
+        merge_delta_cdc,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    df = spark.createDataFrame([("a", 1, 1.0), ("b", 2, 2.0)], "s string, k long, v double")
+    path = str(tmp_path / "keypos")
+    write_delta_snapshot(df, path)
+    changes = spark.createDataFrame([("B", 2, 9.0, "u")], "s string, k long, v double, _op string")
+    merge_delta_cdc(spark, path, changes, key="k")
+    back = read_delta_snapshot(spark, path)
+    assert back.columns == ["s", "k", "v"]
+    assert {(r.s, r.k, r.v) for r in back.collect()} == {("a", 1, 1.0), ("B", 2, 9.0)}
+
+
+def test_delta_merge_rejects_duplicate_change_keys(spark, tmp_path):
+    import pytest
+
+    from evolution_spark.io.delta_log import merge_delta_cdc, write_delta_snapshot
+
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    path = str(tmp_path / "dupkeys")
+    write_delta_snapshot(df, path)
+    changes = spark.createDataFrame(
+        [(1, 2.0, "u"), (1, 3.0, "u")], "k long, v double, _op string"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_delta_cdc(spark, path, changes, key="k")
+
+
+def test_delta_commit_race_is_hard_error_not_lost_update(spark, tmp_path, monkeypatch):
+    """Simulate the optimistic-concurrency race: our writer replays a STALE
+    view (latest=0) while a rival has already published version 1. The
+    publish must fail hard, and the rival's commit must survive intact
+    (os.replace would have silently clobbered it)."""
+    import pathlib
+
+    import pytest
+
+    import evolution_spark.io.delta_log as dl
+
+    df = spark.createDataFrame([(1,)], "k long")
+    path = str(tmp_path / "race")
+    dl.write_delta_snapshot(df, path)
+    rival = pathlib.Path(path) / "_delta_log" / f"{1:020d}.json"
+    rival.write_text('{"commitInfo": {"operation": "RIVAL"}}\n')
+
+    orig = dl._replay_log
+
+    def stale(table_dir, version=None):
+        live, schema, parts, _ = orig(table_dir, 0 if version is None else version)
+        return live, schema, parts, 0
+
+    monkeypatch.setattr(dl, "_replay_log", stale)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        dl.commit_delta(df, path, mode="append")
+    assert "RIVAL" in rival.read_text()
+
+
+def test_delta_commit_error_mode_fails_fast_without_staging(spark, tmp_path):
+    import pathlib
+
+    import pytest
+
+    from evolution_spark.io.delta_log import commit_delta, write_delta_snapshot
+
+    df = spark.createDataFrame([(1,)], "k long")
+    path = str(tmp_path / "errmode")
+    write_delta_snapshot(df, path)
+    with pytest.raises(ValueError, match="already exists"):
+        commit_delta(df, path, mode="error")
+    assert not list(pathlib.Path(path).glob("_staging_*"))

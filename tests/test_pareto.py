@@ -57,3 +57,12 @@ def test_skyline_nulls_excluded(spark):
     )
     got = sorted((r.x, r.y) for r in skyline_2d(df, "x", "y").collect())
     assert got == [(1.0, 5), (3.0, 6)]
+
+
+def test_skyline_bigint_beyond_double_precision(spark):
+    # 2^53 and 2^53+1 collide as doubles; native-type compare must keep both
+    big = 1 << 53
+    pts = [(1.0, big), (2.0, big + 1), (3.0, big)]
+    df = spark.createDataFrame(pts, "x double, y long")
+    got = sorted((r.x, r.y) for r in skyline_2d(df, "x", "y", n_partitions=2).collect())
+    assert got == [(1.0, big), (2.0, big + 1)]
