@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "multimodal_wav_features",
     "copurchase_similarity",
     "triangle_count_copurchase",
+    "iceberg_append_time_travel",
 ]
 
 

@@ -506,21 +506,28 @@ def write_iceberg_table(
     }
 
 
-def read_iceberg_table(spark, path: str) -> DataFrame:
+def read_iceberg_table(spark, path: str, snapshot_id: int | None = None) -> DataFrame:
     """Open an Iceberg table by replaying its metadata chain — version
     hint -> table metadata -> current snapshot -> manifest list ->
     manifests -> data files. The file list comes from the snapshot, NOT a
     directory listing (orphan/uncommitted files are invisible — the
     Iceberg read contract), and identity-partition columns resolve from
-    the hive paths under ``basePath`` with the schema's declared types."""
+    the hive paths under ``basePath`` with the schema's declared types.
+    ``snapshot_id`` time-travels to any snapshot in the table's history
+    (appends never rewrite old manifests, so the historical file lists
+    are still intact)."""
     table_dir = Path(path)
     meta_dir = table_dir / "metadata"
     hint = (meta_dir / "version-hint.text").read_text().strip()
     metadata = json.loads((meta_dir / hint).read_text())
-    current = metadata["current-snapshot-id"]
-    snapshot = next(
-        s for s in metadata["snapshots"] if s["snapshot-id"] == current
-    )
+    current = snapshot_id if snapshot_id is not None else metadata["current-snapshot-id"]
+    try:
+        snapshot = next(
+            s for s in metadata["snapshots"] if s["snapshot-id"] == current
+        )
+    except StopIteration:
+        known = [s["snapshot-id"] for s in metadata["snapshots"]]
+        raise ValueError(f"snapshot {current} not in table history {known}") from None
     files: list[str] = []
     for mf in _read_avro(Path(snapshot["manifest-list"])):
         for entry in _read_avro(Path(mf["manifest_path"])):
@@ -537,3 +544,192 @@ def read_iceberg_table(spark, path: str) -> DataFrame:
     )
     # Spark surfaces hive-partition columns last; restore declared order
     return df.select(*[f.name for f in schema.fields])
+
+
+def _load_metadata(table_dir: Path) -> tuple[dict, Path]:
+    meta_dir = table_dir / "metadata"
+    hint = (meta_dir / "version-hint.text").read_text().strip()
+    meta_file = meta_dir / hint
+    return json.loads(meta_file.read_text()), meta_file
+
+
+def append_iceberg_snapshot(df: DataFrame, path: str) -> dict:
+    """APPEND a new snapshot to an existing Iceberg v2 table.
+
+    The spec's append commit: stage-write the new data files, write ONE new
+    manifest for them, write a new manifest list = previous snapshot's
+    manifest entries + the new one (previous manifests are reused by
+    reference — an append never rewrites old metadata), and publish a new
+    ``NNNNN-<uuid>.metadata.json`` with the snapshot appended to
+    ``snapshots``/``snapshot-log``, ``last-sequence-number`` bumped, and
+    the previous metadata file recorded in ``metadata-log``. The
+    version-hint swap is the atomic commit point; every prior snapshot
+    stays readable by id (``read_iceberg_table(snapshot_id=...)``).
+
+    Scale: the data write is distributed; manifest/metadata work is
+    metadata-sized (one entry per file)."""
+    import pyarrow.parquet as pq
+
+    table_dir = Path(path)
+    metadata, prev_meta_file = _load_metadata(table_dir)
+    ice_schema = next(
+        s
+        for s in metadata["schemas"]
+        if s["schema-id"] == metadata["current-schema-id"]
+    )
+    expected = spark_schema_of(ice_schema)
+    if [f.name for f in df.schema] != [f.name for f in expected.fields] or any(
+        a.dataType != b.dataType for a, b in zip(df.schema, expected.fields)
+    ):
+        raise ValueError(
+            f"schema mismatch vs table schema {[f.name for f in expected.fields]}"
+        )
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    spec_fields = next(
+        s for s in metadata["partition-specs"] if s["spec-id"] == metadata["default-spec-id"]
+    )["fields"]
+    part_cols = [f["name"] for f in spec_fields]
+
+    seq = metadata["last-sequence-number"] + 1
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+    now_ms = int(time.time() * 1000)
+    data_dir = table_dir / "data"
+    stage = table_dir / f"_staging_s{seq}"
+    if stage.exists():
+        shutil.rmtree(stage)
+    writer = df.write.mode("error")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    try:
+        writer.parquet(str(stage))
+        moved: list[Path] = []
+        for src in sorted(stage.rglob("*.parquet")):
+            rel = src.relative_to(stage)
+            dest_rel = rel.parent / f"part-s{seq:05d}-{uuid.uuid4().hex}.parquet"
+            dest = data_dir / dest_rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            os.replace(src, dest)
+            moved.append(dest)
+    finally:
+        if stage.exists():
+            shutil.rmtree(stage)
+
+    part_schema = _partition_record_schema(spec_fields, ice_schema)
+    entry_schema = _manifest_entry_schema(part_schema)
+    entries = []
+    total_rows = 0
+    for p in moved:
+        rel = p.relative_to(data_dir)
+        values: dict[str, object] = {}
+        for part in rel.parts[:-1]:
+            if "=" in part:
+                k, _, v = part.partition("=")
+                values[k] = _parse_partition_value(by_name[k]["type"], v)
+        n_rows = pq.ParquetFile(p).metadata.num_rows
+        total_rows += n_rows
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": str(p),
+                    "file_format": "PARQUET",
+                    "partition": values,
+                    "record_count": n_rows,
+                    "file_size_in_bytes": p.stat().st_size,
+                },
+            }
+        )
+
+    meta_dir = table_dir / "metadata"
+    manifest_path = meta_dir / f"{uuid.uuid4()}-m0.avro"
+    manifest_len = _write_avro(
+        manifest_path,
+        entry_schema,
+        entries,
+        meta={
+            "schema": json.dumps(ice_schema),
+            "schema-id": str(metadata["current-schema-id"]),
+            "partition-spec": json.dumps(spec_fields),
+            "partition-spec-id": str(metadata["default-spec-id"]),
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+
+    # previous snapshot's manifests are carried by reference
+    current = metadata["current-snapshot-id"]
+    prev_snapshot = next(
+        s for s in metadata["snapshots"] if s["snapshot-id"] == current
+    )
+    prev_entries = _read_avro(Path(prev_snapshot["manifest-list"]))
+    new_entry = {
+        "manifest_path": str(manifest_path),
+        "manifest_length": manifest_len,
+        "partition_spec_id": metadata["default-spec-id"],
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": total_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    mlist_path = meta_dir / f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro"
+    _write_avro(
+        mlist_path,
+        _MANIFEST_LIST_SCHEMA,
+        prev_entries + [new_entry],
+        meta={"format-version": "2"},
+    )
+
+    prev_total_files = int(prev_snapshot["summary"].get("total-data-files", "0"))
+    prev_total_rows = int(prev_snapshot["summary"].get("total-records", "0"))
+    new_snapshot = {
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": current,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": str(mlist_path),
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(len(entries)),
+            "added-records": str(total_rows),
+            "total-data-files": str(prev_total_files + len(entries)),
+            "total-records": str(prev_total_rows + total_rows),
+        },
+        "schema-id": metadata["current-schema-id"],
+    }
+    new_meta = dict(metadata)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshots"] = metadata["snapshots"] + [new_snapshot]
+    new_meta["snapshot-log"] = metadata["snapshot-log"] + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    new_meta["metadata-log"] = metadata["metadata-log"] + [
+        {"timestamp-ms": metadata["last-updated-ms"], "metadata-file": str(prev_meta_file)}
+    ]
+    version_n = int(prev_meta_file.name.split("-", 1)[0]) + 1
+    meta_file = meta_dir / f"{version_n:05d}-{uuid.uuid4()}.metadata.json"
+    tmp = meta_dir / (meta_file.name + ".tmp")
+    tmp.write_text(json.dumps(new_meta, indent=1))
+    os.replace(tmp, meta_file)
+    # hint swap is the commit point
+    tmp_h = meta_dir / ".version-hint.tmp"
+    tmp_h.write_text(meta_file.name)
+    os.replace(tmp_h, meta_dir / "version-hint.text")
+    return {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "files": len(entries),
+        "rows": total_rows,
+        "metadata": str(meta_file),
+    }

@@ -470,3 +470,56 @@ def delta_merge_cdc(spark, sf_dir):
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
     )
+
+
+@query(
+    "iceberg_append_time_travel",
+    oracle="""
+    SELECT 0 AS snap, COUNT(*) AS n_rows,
+           CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM supplier
+    UNION ALL
+    SELECT 1, COUNT(*), CAST(SUM(s_suppkey) AS BIGINT),
+           CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+    FROM (
+      SELECT s_suppkey, s_acctbal FROM supplier
+      UNION ALL
+      SELECT s_suppkey, s_acctbal FROM supplier WHERE s_nationkey < 5
+    )
+    """,
+)
+def iceberg_append_time_travel(spark, sf_dir):
+    """Iceberg multi-snapshot append + snapshot-id time travel on the
+    native v2 writer (io/iceberg_meta.py): snapshot 0 = full supplier
+    table; snapshot 1 = APPEND of the nationkey<5 rows (new manifest +
+    manifest list reusing snapshot 0's manifests BY REFERENCE — appends
+    never rewrite old metadata; the version-hint swap is the atomic
+    commit). Both snapshots are then read back by id and aggregated; the
+    oracle restates each snapshot's contents against the source table.
+    The Iceberg twin of ``delta_time_travel``."""
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    s = table(spark, sf_dir, "supplier")
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        f"evo_ice_tt_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    s0 = write_iceberg_table(s, tmp)
+    append_iceberg_snapshot(s.where(F.col("s_nationkey") < 5), tmp)
+
+    out = None
+    for snap, sid in ((0, s0["snapshot-id"]), (1, None)):
+        df = read_iceberg_table(spark, tmp, snapshot_id=sid)
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("s_suppkey").alias("key_sum"),
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("bigint")).alias("bal_cents"),
+        ).select(F.lit(snap).alias("snap"), "n_rows", "key_sum", "bal_cents")
+        out = agg if out is None else out.unionByName(agg)
+    return out

@@ -963,3 +963,43 @@ def test_delta_commit_error_mode_fails_fast_without_staging(spark, tmp_path):
     with pytest.raises(ValueError, match="already exists"):
         commit_delta(df, path, mode="error")
     assert not list(pathlib.Path(path).glob("_staging_*"))
+
+
+def test_iceberg_append_snapshot_and_time_travel(spark, tmp_path):
+    """Iceberg appends: new manifest + manifest list reusing previous
+    manifests by reference, new metadata.json version, hint-swap commit;
+    every snapshot stays readable by id."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "ice_app")
+    df = spark.range(30).select(F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("p"))
+    s0 = write_iceberg_table(df, path, partition_by=["p"])
+    s1 = append_iceberg_snapshot(
+        spark.range(30, 40).select(F.col("id").alias("k"), F.lit("0").alias("p")), path
+    )
+    assert s1["sequence-number"] == 2 and s1["rows"] == 10
+
+    latest = read_iceberg_table(spark, path)
+    assert latest.count() == 40
+    assert latest.where("p = '0'").count() == 20
+    # time travel to the initial snapshot
+    v0 = read_iceberg_table(spark, path, snapshot_id=s0["snapshot-id"])
+    assert v0.count() == 30
+    # unknown snapshot is a clear error
+    with pytest.raises(ValueError, match="not in table history"):
+        read_iceberg_table(spark, path, snapshot_id=123)
+    # schema drift refused
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_iceberg_snapshot(spark.range(5).select(F.col("id").alias("z")), path)
+    # metadata log chain: two metadata versions, second points at first
+    import pathlib
+
+    metas = sorted((pathlib.Path(path) / "metadata").glob("*.metadata.json"))
+    assert len(metas) == 2
