@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "copurchase_similarity",
     "triangle_count_copurchase",
     "iceberg_append_time_travel",
+    "delta_maintenance_lifecycle",
 ]
 
 

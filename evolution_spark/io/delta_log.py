@@ -17,10 +17,15 @@ snapshot (version 0) of a DataFrame:
 spec adopts Spark's schema JSON verbatim, so the round-trip is exact.
 Any Delta reader (Spark+delta jar, delta-rs, DuckDB's delta extension)
 can open the result. Scope: version-0 snapshots (``write_delta_snapshot``),
-multi-version APPEND/OVERWRITE commits (``commit_delta`` — remove+add
-actions, optimistic-concurrency publish), and time-travel reads
-(``read_delta_snapshot(version=N)`` replays the log through N). Checkpoints
-and VACUUM remain the connector's job — this is the write-side parity for
+multi-version APPEND/OVERWRITE/REPLACE commits (``commit_delta`` —
+remove+add actions with per-file min/max stats, create-exclusive
+optimistic-concurrency publish), time-travel reads
+(``read_delta_snapshot(version=N)``), file-pruned CDC MERGE
+(``merge_delta_cdc``), streaming idempotence (``txn`` actions +
+``last_txn_version``), OPTIMIZE compaction (``optimize_delta``),
+version-retention VACUUM (``vacuum_delta``), and parquet log checkpoints
+(``checkpoint_delta`` + ``_last_checkpoint``). Remaining connector-only
+surface: row-level deletion vectors. This is the write-side parity for
 the reference's declared-but-``todo!()`` Delta target
 (crates/evolution-target/src/target.rs:31-37,
 examples/delta/src/main.rs:28-30).

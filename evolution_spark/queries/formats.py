@@ -523,3 +523,56 @@ def iceberg_append_time_travel(spark, sf_dir):
         ).select(F.lit(snap).alias("snap"), "n_rows", "key_sum", "bal_cents")
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+@query(
+    "delta_maintenance_lifecycle",
+    oracle="""
+    SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def delta_maintenance_lifecycle(spark, sf_dir):
+    """The full Delta small-files lifecycle as one checked pipeline:
+    4 fragmented appends (the streaming-sink shape) -> OPTIMIZE compaction
+    (replace commit) -> log CHECKPOINT (+_last_checkpoint) -> VACUUM of the
+    pre-compaction files -> read the final table THROUGH the checkpoint
+    path and aggregate. The oracle states the expected contents directly
+    against the source, so every maintenance step is value-checked: a
+    row lost in compaction, a live file vacuumed, or a checkpoint that
+    replays wrong all fail the hash."""
+    from evolution_spark.io.delta_log import (
+        checkpoint_delta,
+        commit_delta,
+        optimize_delta,
+        read_delta_snapshot,
+        vacuum_delta,
+        write_delta_snapshot,
+    )
+
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        f"evo_delta_life_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    # fragmented ingestion: 4 hash-sliced appends, several files each
+    write_delta_snapshot(o.where(F.col("o_orderkey") % 4 == 0).repartition(3), tmp)
+    for m in (1, 2, 3):
+        commit_delta(
+            o.where(F.col("o_orderkey") % 4 == m).repartition(3), tmp, mode="append"
+        )
+    optimize_delta(spark, tmp, target_files=2)
+    checkpoint_delta(tmp)
+    vacuum_delta(tmp, keep_versions=1)
+    back = read_delta_snapshot(spark, tmp)  # resolves via the checkpoint
+    return back.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("price_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
