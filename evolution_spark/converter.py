@@ -180,35 +180,68 @@ class Converter:
         if target is Target.IPC:
             write_ipc(df, self.output_path)
             return
+        import os as _os
+
+        exists = _os.path.exists(self.output_path)
         if target is Target.DELTA:
-            # native single-commit writer (io/delta_log.py): distributed
-            # parquet data + a spec-compliant _delta_log JSON commit, no
-            # connector jar needed. Appends/time-travel still need
-            # delta-spark — this covers the reference's declared (but
-            # todo!()) snapshot-write surface, target.rs:31-37.
-            mode = "overwrite" if self.save_mode == "overwrite" else "error"
+            # native writer (io/delta_log.py): distributed parquet data +
+            # a spec-compliant _delta_log commit, no connector jar needed.
+            # All four SaveModes map to real log semantics: append is a
+            # new commit, overwrite a remove+add commit, ignore a no-op on
+            # an existing table (target.rs:31-37).
+            from evolution_spark.io.delta_log import commit_delta
+
+            if self.save_mode == "ignore" and exists:
+                return
+            if self.save_mode == "append" and exists:
+                commit_delta(df, self.output_path, mode="append")
+                return
+            if self.save_mode == "overwrite" and exists:
+                commit_delta(df, self.output_path, mode="overwrite")
+                return
             write_delta_snapshot(
-                df, self.output_path, mode=mode, partition_by=self.partition_by
+                df, self.output_path, partition_by=self.partition_by
             )
             return
         if target is Target.AVRO:
             # native container-file codec (io/avro.py): distributed
             # one-file-per-partition write, spec-compliant bytes
             # (cross-validated against the JVM's avro-core reader in
-            # tests) — no spark-avro module needed.
+            # tests) — no spark-avro module needed. SaveModes: error
+            # refuses an existing dataset, overwrite replaces it, append
+            # adds container files, ignore no-ops.
             if self.partition_by:
                 raise ValueError("avro sink does not support partition_by")
+            if exists:
+                if self.save_mode == "ignore":
+                    return
+                if self.save_mode == "error":
+                    raise ValueError(
+                        f"avro output exists: {self.output_path} (save_mode='error')"
+                    )
+                if self.save_mode == "overwrite":
+                    import shutil as _shutil
+
+                    _shutil.rmtree(self.output_path)
             write_avro(df, self.output_path)
             return
         if target is Target.ICEBERG:
-            # native v2 snapshot writer (io/iceberg_meta.py): distributed
-            # parquet data + spec-compliant metadata.json / manifest-list /
-            # manifest Avro chain, no iceberg-spark-runtime needed. Appends,
-            # row-level deletes and time travel still need the connector —
-            # this covers the reference's declared (but todo!()) surface,
-            # target.rs:31-37, examples/iceberg/src/main.rs:28-30.
-            from evolution_spark.io.iceberg_meta import write_iceberg_table
+            # native v2 writer (io/iceberg_meta.py): distributed parquet
+            # data + spec-compliant metadata.json / manifest-list /
+            # manifest Avro chain, no iceberg-spark-runtime needed.
+            # SaveModes: append commits a new snapshot, overwrite rewrites
+            # the table, ignore no-ops on an existing table. Row-level
+            # deletes still need the connector (target.rs:31-37).
+            from evolution_spark.io.iceberg_meta import (
+                append_iceberg_snapshot,
+                write_iceberg_table,
+            )
 
+            if self.save_mode == "ignore" and exists:
+                return
+            if self.save_mode == "append" and exists:
+                append_iceberg_snapshot(df, self.output_path)
+                return
             mode = "overwrite" if self.save_mode == "overwrite" else "error"
             write_iceberg_table(
                 df, self.output_path, mode=mode, partition_by=self.partition_by

@@ -111,15 +111,32 @@ def _base_type(ft) -> str:
     return ft["type"] if isinstance(ft, dict) else ft
 
 
-def _encoder(ft):
-    """Encoder for one (non-union) avro type, honoring logical types."""
+def _encoder(ft, session_tz: str = "UTC"):
+    """Encoder for one (non-union) avro type, honoring logical types.
+
+    ``timestamp-micros`` is a UTC INSTANT per the spec, but pandas hands
+    executor code session-local NAIVE timestamps — so the encoder
+    localizes to ``session_tz`` before taking the epoch value; writing
+    from a non-UTC session would otherwise shift every instant by the
+    zone offset (only self-round-trips would cancel the error).
+    ``local-timestamp-micros`` (NTZ) is zone-free and stays naive."""
     base = _base_type(ft)
     logical = ft.get("logicalType") if isinstance(ft, dict) else None
 
     if base in ("long", "int"):
         if logical == "date":
             return lambda v, out: _enc_long(v.toordinal() - _EPOCH_DAYS, out)
-        if logical in ("timestamp-micros", "local-timestamp-micros"):
+        if logical == "timestamp-micros":
+            from zoneinfo import ZoneInfo
+
+            tzinfo = ZoneInfo(session_tz)
+
+            def enc_instant(v, out):
+                ts = v if v.tzinfo is not None else v.tz_localize(tzinfo)
+                _enc_long(ts.value // 1000, out)  # aware .value = UTC ns
+
+            return enc_instant
+        if logical == "local-timestamp-micros":
             return lambda v, out: _enc_long(v.value // 1000, out)  # pd ns->us
         return lambda v, out: _enc_long(int(v), out)
     if base == "double":
@@ -143,7 +160,7 @@ def _encoder(ft):
     raise TypeError(f"unsupported avro type {ft}")
 
 
-def _decoder(ft):
+def _decoder(ft, session_tz: str = "UTC"):
     base = _base_type(ft)
     logical = ft.get("logicalType") if isinstance(ft, dict) else None
 
@@ -155,7 +172,19 @@ def _decoder(ft):
                 n, pos = _dec_long(buf, pos)
                 return dt.date.fromordinal(n + _EPOCH_DAYS), pos
             return dec_date
-        if logical in ("timestamp-micros", "local-timestamp-micros"):
+        if logical == "timestamp-micros":
+            import datetime as dt
+            from zoneinfo import ZoneInfo
+
+            tzinfo = ZoneInfo(session_tz)
+            epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+
+            def dec_instant(buf, pos):
+                n, pos = _dec_long(buf, pos)
+                t = epoch + dt.timedelta(microseconds=n)
+                return t.astimezone(tzinfo).replace(tzinfo=None), pos
+            return dec_instant
+        if logical == "local-timestamp-micros":
             import datetime as dt
 
             def dec_ts(buf, pos):
@@ -182,31 +211,37 @@ def _decoder(ft):
     raise TypeError(f"unsupported avro type {ft}")
 
 
-def _field_encoders(avro_sch: dict):
+def _field_encoders(avro_sch: dict, session_tz: str = "UTC"):
+    """Per-field encoders. Nullable fields map pandas' null sentinels
+    (None / NaN / NaT, all of which fail ``v == v``) to the union's null
+    branch — the standard pandas<->SQL convention (a float column cannot
+    distinguish NULL from NaN once it has passed through pandas).
+    Non-nullable float fields encode NaN as an IEEE NaN (a legal Avro
+    double); substituting null there would corrupt a non-union stream."""
     encs = []
     for f in avro_sch["fields"]:
         ft = f["type"]
         if isinstance(ft, list):  # ["null", T]
-            inner = _encoder(ft[1])
+            inner = _encoder(ft[1], session_tz)
 
             def enc(v, out, _inner=inner):
-                if v is None:
+                if v is None or v != v:  # None / NaN / NaT -> null branch
                     _enc_long(0, out)
                 else:
                     _enc_long(1, out)
                     _inner(v, out)
             encs.append(enc)
         else:
-            encs.append(_encoder(ft))
+            encs.append(_encoder(ft, session_tz))
     return encs
 
 
-def _field_decoders(avro_sch: dict):
+def _field_decoders(avro_sch: dict, session_tz: str = "UTC"):
     decs = []
     for f in avro_sch["fields"]:
         ft = f["type"]
         if isinstance(ft, list):
-            inner = _decoder(ft[1])
+            inner = _decoder(ft[1], session_tz)
 
             def dec(buf, pos, _inner=inner):
                 branch, pos = _dec_long(buf, pos)
@@ -215,7 +250,7 @@ def _field_decoders(avro_sch: dict):
                 return _inner(buf, pos)
             decs.append(dec)
         else:
-            decs.append(_decoder(ft))
+            decs.append(_decoder(ft, session_tz))
     return decs
 
 
@@ -251,9 +286,10 @@ def write_avro(df: DataFrame, path: str) -> list[tuple[str, int]]:
     os.makedirs(path, exist_ok=True)
     avro_sch = avro_schema_of(df.schema)
     cols = [f["name"] for f in avro_sch["fields"]]
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
 
     def _write_partition(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        encs = _field_encoders(avro_sch)
+        encs = _field_encoders(avro_sch, session_tz)
         sync = uuid.uuid4().bytes
         out_path = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
         fh = None
@@ -268,7 +304,7 @@ def write_avro(df: DataFrame, path: str) -> list[tuple[str, int]]:
             rows = 0
             for tup in pdf[cols].itertuples(index=False):
                 for enc, v in zip(encs, tup):
-                    enc(None if v is None or v != v else v, block)  # NaN->null
+                    enc(v, block)  # null/NaN policy lives in the encoder
                 rows += 1
             head = bytearray()
             _enc_long(rows, head)
@@ -285,7 +321,7 @@ def write_avro(df: DataFrame, path: str) -> list[tuple[str, int]]:
     return [(r["path"], r["n_rows"]) for r in result]
 
 
-def decode_avro_file(fp) -> tuple[dict, list[tuple]]:
+def decode_avro_file(fp, session_tz: str = "UTC") -> tuple[dict, list[tuple]]:
     """Decode one Avro container file -> (schema, rows). Pure python; used
     executor-side by ``read_avro`` and directly by tests."""
     data = fp.read() if hasattr(fp, "read") else open(fp, "rb").read()
@@ -313,7 +349,7 @@ def decode_avro_file(fp) -> tuple[dict, list[tuple]]:
     avro_sch = json.loads(meta["avro.schema"])
     sync = bytes(buf[pos : pos + 16])
     pos += 16
-    decs = _field_decoders(avro_sch)
+    decs = _field_decoders(avro_sch, session_tz)
     rows: list[tuple] = []
     while pos < len(buf):
         count, pos = _dec_long(buf, pos)
@@ -334,7 +370,12 @@ def read_avro(spark, path: str, schema: StructType) -> DataFrame:
     """Distributed Avro source: file names list on the driver, decode in
     executors (one task per file — Avro blocks are splittable in principle,
     but one-file-per-write-partition keeps parts task-sized by
-    construction, the same sizing contract as the IPC source)."""
+    construction, the same sizing contract as the IPC source).
+
+    Pass NULLABLE float fields in ``schema``: the pandas transport under
+    ``mapInPandas`` folds IEEE NaN to null in transit, so a non-nullable
+    double column containing NaN (legal in the file — see
+    ``_field_encoders``) cannot surface through this reader."""
     import pandas as pd
 
     files = sorted(
@@ -346,11 +387,12 @@ def read_avro(spark, path: str, schema: StructType) -> DataFrame:
         [(f,) for f in files], StructType([StructField("path", StringType())])
     ).repartition(len(files))
     names = [f.name for f in schema.fields]
+    session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
 
     def _read(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in pdfs:
             for p in pdf["path"]:
-                _sch, rows = decode_avro_file(p)
+                _sch, rows = decode_avro_file(p, session_tz)
                 yield pd.DataFrame.from_records(
                     rows, columns=names
                 ) if rows else pd.DataFrame({n: [] for n in names})

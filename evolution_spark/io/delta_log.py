@@ -46,6 +46,18 @@ from pyspark.sql import DataFrame
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
+def _partition_value(raw: str) -> str | None:
+    """Decode one hive directory value: Spark's escapePathName percent-
+    encoding is reversed and the null sentinel maps to None (the Delta
+    spec records null partition values as JSON null) — recording the raw
+    dir string would make spec readers' partition filtering wrong."""
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    from urllib.parse import unquote
+
+    return unquote(raw)
+
+
 def _data_files(table_dir: Path, part_cols: list[str]):
     """Yield (relative_path, partition_values, size_bytes) for every data
     file under the table dir, parsing hive-style partition directories."""
@@ -53,11 +65,11 @@ def _data_files(table_dir: Path, part_cols: list[str]):
         if "_delta_log" in p.parts:
             continue
         rel = p.relative_to(table_dir)
-        values: dict[str, str] = {}
+        values: dict[str, str | None] = {}
         for part in rel.parts[:-1]:
             if "=" in part:
                 k, _, v = part.partition("=")
-                values[k] = v
+                values[k] = _partition_value(v)
         if sorted(values) != sorted(part_cols):
             raise ValueError(
                 f"partition dirs {sorted(values)} != declared {sorted(part_cols)}"
@@ -388,7 +400,7 @@ def commit_delta(
             total_rows += stats["numRecords"]
             n_files += 1
             values = {
-                k: v
+                k: _partition_value(v)
                 for part in dest_rel.parts[:-1]
                 if "=" in part
                 for k, _, v in [part.partition("=")]

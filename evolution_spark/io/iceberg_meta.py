@@ -212,6 +212,10 @@ def _read_avro(path: Path) -> list[dict]:
     n_meta, pos = _dec_long(buf, pos)
     meta = {}
     while n_meta:
+        if n_meta < 0:
+            # spec: a negative block count is followed by the block's byte
+            # size (which we don't need, but MUST consume to stay in sync)
+            _, pos = _dec_long(buf, pos)
         for _ in range(abs(n_meta)):
             k, pos = _dec_value("string", buf, pos)
             v, pos = _dec_value("bytes", buf, pos)
@@ -223,7 +227,7 @@ def _read_avro(path: Path) -> list[dict]:
     while pos < len(buf):
         n_rec, pos = _dec_long(buf, pos)
         _, pos = _dec_long(buf, pos)  # block byte length
-        for _ in range(n_rec):
+        for _ in range(abs(n_rec)):
             rec, pos = _dec_value(schema, buf, pos)
             records.append(rec)
         pos += 16  # sync
@@ -316,6 +320,11 @@ _MANIFEST_LIST_SCHEMA = {
 def _parse_partition_value(ice_type: str, raw: str):
     if raw == "__HIVE_DEFAULT_PARTITION__":
         return None
+    # Spark escapes path-hostile characters percent-style (escapePathName);
+    # decode so the manifest records the VALUE, not its dir encoding
+    from urllib.parse import unquote
+
+    raw = unquote(raw)
     if ice_type in ("int", "long"):
         return int(raw)
     if ice_type == "string":

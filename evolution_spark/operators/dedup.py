@@ -55,14 +55,24 @@ def dedup_keep_best(
     (32 B fingerprint, 8 B id, 8 B score) per row with map-side ``max_by``
     combine; the winner-id set semi-joins back on the id, text never
     crosses the wire."""
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(df.schema[score_col].dataType, NumericType):
+        raise TypeError(
+            f"score_col {score_col!r} must be numeric "
+            f"(got {df.schema[score_col].dataType.simpleString()})"
+        )
     fp = df.select(
         F.col(id_col),
         fingerprint128(F.col(text_col)).alias("__fp"),
         F.col(score_col).alias("__s"),
     )
-    # max_by over (score, -id): highest score wins, min id breaks ties
-    winner = F.max_by(
-        F.col(id_col), F.struct(F.col("__s"), (-F.col(id_col)).alias("__nid"))
+    # min_by over (-score, id): highest score wins, min id breaks ties.
+    # The id is NEVER negated, so string/any-orderable ids tie-break
+    # correctly (negating a string id casts to double -> NULL -> the
+    # "deterministic" pick silently became arbitrary).
+    winner = F.min_by(
+        F.col(id_col), F.struct((-F.col("__s")).alias("__ns"), F.col(id_col))
     ).alias(id_col)
     keep = fp.groupBy("__fp").agg(winner).drop("__fp")
     return df.join(keep, id_col, "left_semi")

@@ -88,7 +88,10 @@ def edit_distance_join(
             "__len",
             F.explode(
                 F.sequence(
-                    F.greatest(F.col("__len") - k, F.lit(1)), F.col("__len") + k
+                    # clamp to 0, not 1: a length-0 partner (the empty
+                    # string) is a legal match within k edits, and the
+                    # probe side emits __la=0 for it
+                    F.greatest(F.col("__len") - k, F.lit(0)), F.col("__len") + k
                 )
             ).alias("__la"),
         )

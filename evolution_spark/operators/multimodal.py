@@ -462,7 +462,15 @@ def dhash_near_dups(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     64-bit hash splits into 4 x 16-bit bands; any pair within hamming 3
     agrees exactly on >= 1 band, so candidates come from equality
     self-joins on (band, value) — never an all-pairs cross join — and the
-    exact popcount check runs only on collided candidates."""
+    exact popcount check runs only on collided candidates. The 4-band
+    pigeonhole only guarantees recall for ``max_hamming <= 3`` (4
+    differing bits can land one per band with no band equal), so larger
+    values are refused rather than silently losing pairs."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4x16-bit banding "
+            "guarantee (<= 3); use more/narrower bands for a looser radius"
+        )
     bands = hashes.select(
         "media_id",
         "dhash",

@@ -48,3 +48,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query_tmp(prefix: str, sf_dir: str, clean: bool = True) -> str:
+    """Scratch dir for a format/round-trip query: pid-scoped (parallel
+    test processes never collide) and sf-salted (sf0.001 and sf0.01 runs
+    in one session get distinct dirs). ``clean=True`` removes any
+    leftover from a prior run in this process so re-registration is
+    idempotent — the single cleanup contract for every site that used to
+    hand-roll this."""
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"evo_{prefix}_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    if clean and os.path.exists(path):
+        shutil.rmtree(path)
+    return path

@@ -24,7 +24,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from evolution_spark.queries.base import query, table
+from evolution_spark.queries.base import query, query_tmp, table
 
 
 def _roundtrip(df, fmt: str, read_options: dict | None = None):
@@ -126,10 +126,7 @@ def zorder_cluster_scan(spark, sf_dir):
     from evolution_spark.io import write_zorder_clustered
 
     li = table(spark, sf_dir, "lineitem")
-    tmp = os.path.join(
-        tempfile.gettempdir(), f"evo_zorder_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = query_tmp("zorder", sf_dir)
     write_zorder_clustered(li, tmp, ["l_orderkey", "l_partkey"], n_files=8)
     back = spark.read.parquet(tmp)
     return (
@@ -174,11 +171,7 @@ def incremental_partition_overwrite(spark, sf_dir):
         )
 
     cutoff = e.agg(F.date_sub(F.max("day"), 1).alias("c")).first()["c"]
-    tmp = os.path.join(
-        tempfile.gettempdir(),
-        f"evo_dpo_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = query_tmp("dpo", sf_dir)
     stale = rollup(
         e.where(F.col("day") < cutoff).unionByName(
             e.where((F.col("day") >= cutoff) & (F.col("event_id") % 2 == 0))
@@ -215,11 +208,7 @@ def schema_evolution_merge(spark, sf_dir):
     the read a normal parallel scan (schema merge happens at planning,
     not per row)."""
     e = table(spark, sf_dir, "events")
-    tmp = os.path.join(
-        tempfile.gettempdir(),
-        f"evo_sev_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = query_tmp("sev", sf_dir)
     old = e.where(F.col("event_id") % 2 == 0).select("event_id", "value")
     new = e.where(F.col("event_id") % 2 == 1).select("event_id", "value", "event_type")
     old.write.parquet(f"{tmp}/load=0")
@@ -257,10 +246,7 @@ def delta_roundtrip_customer(spark, sf_dir):
     from evolution_spark.io.delta_log import read_delta_snapshot, write_delta_snapshot
 
     c = table(spark, sf_dir, "customer")
-    tmp = os.path.join(
-        tempfile.gettempdir(),
-        f"evo_delta_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
-    )
+    tmp = query_tmp("delta", sf_dir)
     write_delta_snapshot(c, tmp, mode="overwrite")
     back = read_delta_snapshot(spark, tmp)
     return back.groupBy(F.col("c_mktsegment").alias("segment")).agg(
@@ -292,11 +278,7 @@ def avro_roundtrip_events(spark, sf_dir):
     from evolution_spark.io.avro import read_avro, write_avro
 
     e = table(spark, sf_dir, "events")
-    tmp = os.path.join(
-        tempfile.gettempdir(),
-        f"evo_avro_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = query_tmp("avro", sf_dir)
     write_avro(e, tmp)
     back = read_avro(spark, tmp, e.schema)
     return back.groupBy("event_type").agg(
@@ -334,10 +316,7 @@ def iceberg_roundtrip_supplier(spark, sf_dir):
     from evolution_spark.io.iceberg_meta import read_iceberg_table, write_iceberg_table
 
     s = table(spark, sf_dir, "supplier")
-    tmp = os.path.join(
-        tempfile.gettempdir(),
-        f"evo_iceberg_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
-    )
+    tmp = query_tmp("iceberg", sf_dir)
     write_iceberg_table(s, tmp, mode="overwrite", partition_by=["s_nationkey"])
     back = read_iceberg_table(spark, tmp)
     return back.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
@@ -380,12 +359,7 @@ def delta_time_travel(spark, sf_dir):
     )
 
     c = table(spark, sf_dir, "customer")
-    tmp = os.path.join(
-        tempfile.gettempdir(),
-        f"evo_delta_tt_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
-    )
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    tmp = query_tmp("delta_tt", sf_dir)
     write_delta_snapshot(c, tmp)
     commit_delta(c.where(F.col("c_mktsegment") == "AUTOMOBILE"), tmp, mode="overwrite")
     commit_delta(c.where(F.col("c_mktsegment") == "BUILDING"), tmp, mode="append")
@@ -438,11 +412,7 @@ def delta_merge_cdc(spark, sf_dir):
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    tmp = os.path.join(
-        tempfile.gettempdir(),
-        f"evo_delta_mrg_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = query_tmp("delta_mrg", sf_dir)
     write_delta_snapshot(c, tmp)
 
     updates = c.where(F.col("c_custkey") % 10 == 0).select(
@@ -505,11 +475,7 @@ def iceberg_append_time_travel(spark, sf_dir):
     )
 
     s = table(spark, sf_dir, "supplier")
-    tmp = os.path.join(
-        tempfile.gettempdir(),
-        f"evo_ice_tt_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = query_tmp("ice_tt", sf_dir)
     s0 = write_iceberg_table(s, tmp)
     append_iceberg_snapshot(s.where(F.col("s_nationkey") < 5), tmp)
 
@@ -555,11 +521,7 @@ def delta_maintenance_lifecycle(spark, sf_dir):
     )
 
     o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
-    tmp = os.path.join(
-        tempfile.gettempdir(),
-        f"evo_delta_life_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = query_tmp("delta_life", sf_dir)
     # fragmented ingestion: 4 hash-sliced appends, several files each
     write_delta_snapshot(o.where(F.col("o_orderkey") % 4 == 0).repartition(3), tmp)
     for m in (1, 2, 3):

@@ -24,7 +24,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from evolution_spark.queries.base import query, table
+from evolution_spark.queries.base import query, query_tmp, table
 
 N_PROBES = 10
 TOP_K = 5
@@ -544,19 +544,11 @@ def ivf_pq_topk_partitioned(spark, sf_dir):
 
     Plan gate: tests/test_plans.py::test_ivf_partitioned_scan_prunes_cells.
     """
-    import os
-    import shutil
-    import tempfile
-
     from evolution_spark.io.ivf_layout import read_ivf_cells, write_ivf_partitioned
     from evolution_spark.operators.pq import pq_adc_topk
 
     enc, cb_rows, probe_vi, cell_of, best_cells = _ivf_pq_setup(spark, sf_dir)
-    tmp = os.path.join(
-        tempfile.gettempdir(),
-        f"evo_ivfpart_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = query_tmp("ivfpart", sf_dir)
     write_ivf_partitioned(
         enc.withColumn("cell_id", cell_of), tmp, sort_col="vec_id"
     )

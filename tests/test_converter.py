@@ -1003,3 +1003,80 @@ def test_iceberg_append_snapshot_and_time_travel(spark, tmp_path):
 
     metas = sorted((pathlib.Path(path) / "metadata").glob("*.metadata.json"))
     assert len(metas) == 2
+
+
+def test_avro_nan_and_timezone_semantics(spark, tmp_path):
+    """NaN in a NON-nullable double encodes as an IEEE NaN (not a crash,
+    not a null); NaN/None in a NULLABLE double becomes SQL NULL (the
+    pandas convention); timestamp-micros is a UTC instant — a non-UTC
+    session round-trips instants unchanged."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from evolution_spark.io.avro import read_avro, write_avro
+
+    # non-nullable double with NaN
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), False),
+            T.StructField("w", T.DoubleType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, float("nan"), None), (2, 2.5, float("nan")), (3, 3.0, 4.0)], schema
+    )
+    out = str(tmp_path / "nan_avro")
+    paths = write_avro(df, out)  # must not crash on the non-nullable NaN
+    # the FILE carries a real IEEE NaN in the non-union column
+    from evolution_spark.io.avro import decode_avro_file
+
+    raw = {r[0]: r for p_, _n in paths for r in decode_avro_file(p_)[1]}
+    assert math.isnan(raw[1][1]) and raw[1][2] is None
+    assert raw[2][1] == 2.5 and raw[2][2] is None  # nullable NaN -> NULL
+    # read back with a nullable schema (the pandas transport folds NaN to
+    # null in transit — the read contract documents nullable-on-read)
+    read_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+            T.StructField("w", T.DoubleType(), True),
+        ]
+    )
+    back = {r.k: (r.v, r.w) for r in read_avro(spark, out, read_schema).collect()}
+    assert back[2] == (2.5, None) and back[3] == (3.0, 4.0)
+
+    # timestamp instant under a non-UTC session
+    orig_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ts_schema = T.StructType(
+            [
+                T.StructField("k", T.LongType(), False),
+                T.StructField("ts", T.TimestampType(), True),
+            ]
+        )
+        tdf = spark.createDataFrame([(1, "2024-06-01 12:00:00")], "k long, s string")
+        tdf = tdf.select("k", F.to_timestamp("s").alias("ts"))
+        out2 = str(tmp_path / "tz_avro")
+        paths = write_avro(tdf, out2)
+        # the written long must be the true UTC instant: 12:00 EDT = 16:00 UTC
+        from evolution_spark.io.avro import decode_avro_file
+
+        _, rows = decode_avro_file(paths[0][0], session_tz="UTC")
+        assert rows[0][1].strftime("%H:%M") == "16:00"
+        # and the session-aware read round-trips the instant: rendering in
+        # the (New York) session zone recovers the original wall clock
+        # (collect() itself returns system-local naive datetimes, so the
+        # render must go through date_format, which uses the session zone)
+        rendered = (
+            read_avro(spark, out2, ts_schema)
+            .select(F.date_format("ts", "yyyy-MM-dd HH:mm").alias("s"))
+            .collect()[0]
+            .s
+        )
+        assert rendered == "2024-06-01 12:00"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig_tz)

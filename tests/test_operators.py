@@ -880,3 +880,35 @@ def test_weighted_sample_k_larger_than_input(spark):
 
     df = spark.createDataFrame([(1, 5), (2, 5)], "id long, w long")
     assert weighted_sample(df, "id", "w", 10).count() == 2
+
+
+def test_edit_distance_join_empty_strings(spark):
+    """Empty strings are legal PassJoin participants: ("", "a") at k=1 and
+    ("", "") at any k must be found (regression: the candidate side used
+    to clamp partner length to 1, losing every pair involving "")."""
+    from evolution_spark.operators.fuzzy import edit_distance_join
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "a"), (2, ""), (3, "ab")], "id long, s string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_join(df, "id", "s", k=1).collect()
+    }
+    assert got == {(0, 1): 1, (0, 2): 0, (1, 2): 1, (1, 3): 1}
+
+
+def test_dedup_keep_best_string_ids_tie_deterministic(spark):
+    """Tie-break must be the MIN id even for string ids (regression: the
+    negated-id ordering cast string ids to NULL, making ties arbitrary)."""
+    from evolution_spark.operators.dedup import dedup_keep_best
+
+    rows = [("b", "same text", 1.0), ("a", "same text", 1.0), ("c", "same text", 0.5),
+            ("z", "other", 2.0)]
+    df = spark.createDataFrame(rows, "doc string, text string, score double")
+    kept = sorted(r.doc for r in dedup_keep_best(df, "text", "doc", "score").collect())
+    assert kept == ["a", "z"]
+    import pytest
+
+    with pytest.raises(TypeError, match="must be numeric"):
+        dedup_keep_best(df.withColumn("score", df.doc), "text", "doc", "score")
