@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "triangle_count_copurchase",
     "iceberg_append_time_travel",
     "delta_maintenance_lifecycle",
+    "winnow_fingerprints",
 ]
 
 

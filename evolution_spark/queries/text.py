@@ -851,3 +851,71 @@ def ngram_lm_perplexity(spark, sf_dir):
             F.round(F.exp(-F.sum(logp) / F.count(F.lit(1))), 3).alias("ppl"),
         )
     )
+
+
+@query(
+    "winnow_fingerprints",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, UNNEST(range(1, length(text) - 2)) AS i, text
+      FROM documents WHERE length(text) >= 4
+    ),
+    grams AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(substr(text, CAST(i AS INT), 4)), 1, 8))::BIGINT AS h
+      FROM pos
+    ),
+    sel AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+             i
+      FROM grams
+    )
+    SELECT doc_id,
+           COUNT(DISTINCT fp) AS n_fingerprints,
+           MIN(fp) AS min_fp, MAX(fp) AS max_fp
+    FROM sel WHERE i >= 4
+    GROUP BY doc_id
+    """,
+)
+def winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS scheme): hash every character 4-gram (rolling-hash position
+    stream), slide a window of 4 hashes, and keep each window's MINIMUM —
+    the guarantee is that any match of length >= w+k-1 between two
+    documents shares at least one selected fingerprint, which is what
+    makes the selected set a plagiarism/overlap detector at a fraction of
+    the full hash stream. Reported per doc: distinct-fingerprint count and
+    min/max (an engine-neutral digest of the selected set).
+
+    Scale: the gram explosion is O(chars) rows but stays partition-local
+    until one window shuffle on doc_id (windows partition by doc — no
+    global ordering); the hash is the md5-prefix integer primitive shared
+    with MinHash, bit-identical in DuckDB. Window starts are clamped to
+    full windows (i >= w) so both engines select over identical frames."""
+    d = table(spark, sf_dir, "documents").where(F.length("text") >= 4)
+    grams = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 3)).alias("i"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "i",
+        F.conv(F.substring(F.md5(F.substring("text", F.col("i"), 4)), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    sel = grams.select(
+        "doc_id", "i", F.min("h").over(w).alias("fp")
+    ).where(F.col("i") >= 4)
+    return sel.groupBy("doc_id").agg(
+        F.count_distinct("fp").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
