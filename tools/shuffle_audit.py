@@ -35,6 +35,7 @@ AUDITED = {
     "pagerank_order_graph": "per-iteration (id, rank) exchanges only; edges checkpointed once",
     "skyline_pareto_parts": "one narrow (price, size) range shuffle + semi-join of survivors",
     "markov_event_transitions": "one events shuffle on user_id; pair counts are domain-sized",
+    "winnow_fingerprints": "O(chars) gram rows, one doc_id window shuffle, agg rows out",
 }
 
 
