@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "iceberg_append_time_travel",
     "delta_maintenance_lifecycle",
     "winnow_fingerprints",
+    "concurrent_sessions_peak",
 ]
 
 

@@ -77,3 +77,45 @@ def ntile_from_rank(rank: Column, n_rows: Column, k: int) -> Column:
     return F.when(
         rank <= big, F.floor((rank - 1) / (q + 1)) + 1
     ).otherwise(rem + F.floor((rank - 1 - big) / q) + 1).cast("int")
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Exact cumulative sum of ``value_col`` under the GLOBAL ordering of
+    ``order_cols`` — without the single-task ``Window.orderBy`` that a
+    naive global running sum funnels everything through.
+
+    Same distributed shape as ``with_global_rank``: range-repartition on
+    the order keys, a per-partition running sum (windows partition by the
+    physical partition id), then per-partition totals (one row per
+    partition — metadata-sized) turned into prefix carries by one tiny
+    window and broadcast back. Rows with EQUAL order keys may receive
+    their intra-tie cumulative values in an arbitrary order (exactly like
+    any SQL ROWS-frame running sum); any aggregate that is tie-order
+    invariant — the sum after a tie group, a per-group max across a
+    monotone run — is deterministic."""
+    spark = df.sparkSession
+    n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    stamped = parted.withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = stamped.withColumn("__loc", F.sum(value_col).over(w_local))
+    totals = stamped.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    w_carry = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    carries = totals.select(
+        "__pid", F.sum("__tot").over(w_carry).alias("__carry")
+    )
+    return (
+        local.join(F.broadcast(carries), "__pid")
+        .withColumn(out_col, F.col("__loc") + F.coalesce("__carry", F.lit(0)))
+        .drop("__pid", "__loc", "__carry")
+    )

@@ -563,3 +563,79 @@ def triangle_count_copurchase(spark, sf_dir):
         .select(F.col("supp_a").alias("a"), F.col("supp_b").alias("b"))
     )
     return count_triangles(top, src="a", dst="b")
+
+
+# --------------------------------------------------------------------------
+# Sweep-line concurrency: peak simultaneous sessions per day
+# --------------------------------------------------------------------------
+
+
+@query(
+    "concurrent_sessions_peak",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM gaps
+    ),
+    sess AS (
+      SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+      FROM numbered GROUP BY 1, 2
+    ),
+    marks AS (
+      SELECT s AS t, 1 AS delta FROM sess
+      UNION ALL
+      SELECT e AS t, -1 AS delta FROM sess
+    ),
+    swept AS (
+      SELECT t, delta,
+             SUM(delta) OVER (ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS running
+      FROM marks
+    )
+    SELECT strftime(t, '%Y-%m-%d') AS day,
+           CAST(MAX(running) AS BIGINT) AS peak_concurrency,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+    FROM swept GROUP BY 1
+    """,
+)
+def concurrent_sessions_peak(spark, sf_dir):
+    """Peak simultaneous user sessions per day — the classic sweep line:
+    sessionize (30-min gap), emit (+1 at start, -1 at end) marks, take the
+    GLOBAL running sum ordered by (time, delta) (ends sort before starts
+    at the same instant, so touching sessions never double-count), and max
+    it per day. Sessions spanning midnight carry into the next day's
+    concurrency through the global prefix — a per-day window would lose
+    them.
+
+    Scale: the running sum uses operators/rank.global_running_sum — range
+    partition + per-partition cumsum + metadata-sized prefix carries —
+    never a single-task global window; marks are 2 rows per session, tiny
+    next to the event scan. Per-day MAX is tie-order invariant (within a
+    tie group the sum is monotone), so the result is deterministic even
+    though intra-tie row values are not."""
+    from evolution_spark.operators.rank import global_running_sum
+    from evolution_spark.operators.temporal import sessionize
+
+    e = table(spark, sf_dir, "events")
+    sess = sessionize(e, key="user_id", ts_col="ts", gap_minutes=30, tiebreak="event_id")
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    marks = spans.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        spans.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    swept = global_running_sum(marks, ["t", "delta"], "delta", out_col="running")
+    return swept.groupBy(F.date_format("t", "yyyy-MM-dd").alias("day")).agg(
+        F.max("running").cast("bigint").alias("peak_concurrency"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_starts"),
+    )

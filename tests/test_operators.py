@@ -912,3 +912,27 @@ def test_dedup_keep_best_string_ids_tie_deterministic(spark):
 
     with pytest.raises(TypeError, match="must be numeric"):
         dedup_keep_best(df.withColumn("score", df.doc), "text", "doc", "score")
+
+
+def test_global_running_sum_partition_invariance(spark):
+    """Exact global cumsum under range partitioning + carries: equals the
+    sequential prefix sum at every row, for any partition count."""
+    import random
+
+    from evolution_spark.operators.rank import global_running_sum
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(-5, 5)) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long")
+    seq = {}
+    acc = 0
+    for k, v in sorted(rows):
+        acc += v
+        seq[k] = acc
+    for n in (1, 3, 16):
+        got = {
+            r.k: r.running
+            for r in global_running_sum(df, ["k"], "v", n_partitions=n).collect()
+        }
+        assert got == seq, f"n_partitions={n}"
