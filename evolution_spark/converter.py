@@ -189,15 +189,37 @@ class Converter:
             # All four SaveModes map to real log semantics: append is a
             # new commit, overwrite a remove+add commit, ignore a no-op on
             # an existing table (target.rs:31-37).
-            from evolution_spark.io.delta_log import commit_delta
+            from evolution_spark.io.delta_log import _replay_log, commit_delta
 
+            is_table = _os.path.exists(
+                _os.path.join(self.output_path, "_delta_log")
+            )
             if self.save_mode == "ignore" and exists:
                 return
-            if self.save_mode == "append" and exists:
-                commit_delta(df, self.output_path, mode="append")
+            if exists and not is_table and self.save_mode == "overwrite":
+                # an existing NON-Delta dir (e.g. a prior parquet run at
+                # the same path): overwrite replaces it wholesale
+                write_delta_snapshot(
+                    df, self.output_path, mode="overwrite",
+                    partition_by=self.partition_by,
+                )
                 return
-            if self.save_mode == "overwrite" and exists:
-                commit_delta(df, self.output_path, mode="overwrite")
+            if is_table and self.save_mode in ("append", "overwrite"):
+                if self.partition_by:
+                    from pathlib import Path as _Path
+
+                    _, _, stored_parts, _ = _replay_log(_Path(self.output_path))
+                    if list(self.partition_by) != stored_parts:
+                        raise ValueError(
+                            f"partition_by {self.partition_by} != table's "
+                            f"partitionColumns {stored_parts} — commits keep "
+                            "the table's layout; drop the argument or "
+                            "recreate the table"
+                        )
+                # schema drift under overwrite still raises (commit_delta's
+                # check) — matching Delta, where replacing the schema is an
+                # explicit overwriteSchema opt-in, not a silent rewrite
+                commit_delta(df, self.output_path, mode=self.save_mode)
                 return
             write_delta_snapshot(
                 df, self.output_path, partition_by=self.partition_by

@@ -132,7 +132,17 @@ def _encoder(ft, session_tz: str = "UTC"):
             tzinfo = ZoneInfo(session_tz)
 
             def enc_instant(v, out):
-                ts = v if v.tzinfo is not None else v.tz_localize(tzinfo)
+                # DST policy mirrors the JVM: ambiguous wall times take the
+                # EARLIER offset (summer time), spring-forward gaps shift
+                # forward — tz_localize would otherwise raise mid-job on
+                # data Spark itself accepts
+                ts = (
+                    v
+                    if v.tzinfo is not None
+                    else v.tz_localize(
+                        tzinfo, ambiguous=True, nonexistent="shift_forward"
+                    )
+                )
                 _enc_long(ts.value // 1000, out)  # aware .value = UTC ns
 
             return enc_instant

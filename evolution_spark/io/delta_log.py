@@ -217,6 +217,31 @@ def _log_versions(log_dir: Path) -> list[int]:
     return sorted(int(p.stem) for p in log_dir.glob("*.json") if p.stem.isdigit())
 
 
+
+def _fold_action(action: dict, live: dict, state: dict) -> None:
+    """Apply ONE log action to the replay accumulators — the single
+    implementation of the snapshot-reconstruction fold shared by every
+    reader (_replay_log, last_txn_version, checkpoint_delta,
+    read_checkpoint_state), so a new action type or a path-convention
+    change lands in one place. ``live`` maps stored add-path -> add
+    action; ``state`` accumulates schema_string/part_cols/metadata/
+    protocol/txns as encountered."""
+    if "add" in action:
+        live[action["add"]["path"]] = action["add"]
+    elif "remove" in action:
+        live.pop(action["remove"]["path"], None)
+    elif "metaData" in action:
+        state["schema_string"] = action["metaData"]["schemaString"]
+        state["part_cols"] = action["metaData"].get("partitionColumns", [])
+        state["metadata"] = action["metaData"]
+    elif "protocol" in action:
+        state["protocol"] = action["protocol"]
+    elif "txn" in action:
+        t = action["txn"]
+        txns = state.setdefault("txns", {})
+        txns[t["appId"]] = max(t["version"], txns.get(t["appId"], -1))
+
+
 def _replay_log(table_dir: Path, version: int | None = None):
     """Replay commits 0..version (default: latest). Returns (live add
     actions keyed by stored path, schemaString, partitionColumns, the
@@ -237,21 +262,13 @@ def _replay_log(table_dir: Path, version: int | None = None):
     if target not in versions:
         raise ValueError(f"version {target} not in log (have {versions})")
     live: dict[str, dict] = {}
-    schema_string = None
-    part_cols: list[str] = []
+    state: dict = {}
     for v in versions:
         if v > target:
             break
         for line in (log_dir / f"{v:020d}.json").read_text().splitlines():
-            action = json.loads(line)
-            if "add" in action:
-                live[action["add"]["path"]] = action["add"]
-            elif "remove" in action:
-                live.pop(action["remove"]["path"], None)
-            elif "metaData" in action:
-                schema_string = action["metaData"]["schemaString"]
-                part_cols = action["metaData"].get("partitionColumns", [])
-    return live, schema_string, part_cols, target
+            _fold_action(json.loads(line), live, state)
+    return live, state.get("schema_string"), state.get("part_cols", []), target
 
 
 def last_txn_version(path: str, app_id: str) -> int | None:
@@ -280,14 +297,15 @@ def last_txn_version(path: str, app_id: str) -> int | None:
             t = row.get("txn")
             if t and t["appId"] == app_id:
                 best = t["version"] if best is None else max(best, t["version"])
+    state: dict = {}
     for v in _log_versions(log_dir):
         if v <= after:
             continue
         for line in (log_dir / f"{v:020d}.json").read_text().splitlines():
-            action = json.loads(line)
-            txn = action.get("txn")
-            if txn and txn.get("appId") == app_id:
-                best = txn["version"] if best is None else max(best, txn["version"])
+            _fold_action(json.loads(line), {}, state)
+    tail = state.get("txns", {}).get(app_id)
+    if tail is not None:
+        best = tail if best is None else max(best, tail)
     return best
 
 
@@ -562,7 +580,15 @@ def merge_delta_cdc(
         *[F.col(c).alias(f"__c_{c}") for c in data_cols if c != key],
     )
     # real MERGE raises when a target row matches multiple source rows —
-    # a duplicated change key would silently fan the row out instead
+    # a duplicated change key would silently fan the row out instead; an
+    # unknown op code would silently no-op (matched) or insert an
+    # all-NULL row (unmatched), so both are validated up front
+    bad_op = ch.where(~F.col("__op").isin("u", "d")).limit(1).collect()
+    if bad_op:
+        raise ValueError(
+            f"unknown op {bad_op[0]['__op']!r} in {op_col!r} — "
+            "use 'u' (upsert) or 'd' (delete)"
+        )
     dup = ch.groupBy("__k").count().where("count > 1").limit(1).collect()
     if dup:
         raise ValueError(
@@ -653,16 +679,15 @@ def vacuum_delta(path: str, keep_versions: int = 1) -> dict:
 
     from urllib.parse import unquote
 
+    referenced_decoded = {unquote(r) for r in referenced}
     deleted = []
     for p in sorted(table_dir.rglob("*.parquet")):
         if "_delta_log" in p.parts:
             continue
-        rel = quote(p.relative_to(table_dir).as_posix())
-        if rel not in referenced and unquote(rel) not in {
-            unquote(r) for r in referenced
-        }:
+        rel = p.relative_to(table_dir).as_posix()
+        if quote(rel) not in referenced and rel not in referenced_decoded:
             p.unlink()
-            deleted.append(unquote(rel))
+            deleted.append(rel)
     return {"deleted": deleted, "kept_versions": kept, "live_files": len(referenced)}
 
 
@@ -687,23 +712,13 @@ def checkpoint_delta(path: str) -> dict:
     version = versions[-1]
 
     live: dict[str, dict] = {}
-    metadata_action = None
-    protocol_action = None
-    txns: dict[str, int] = {}
+    state: dict = {}
     for v in versions:
         for line in (log_dir / f"{v:020d}.json").read_text().splitlines():
-            action = json.loads(line)
-            if "add" in action:
-                live[action["add"]["path"]] = action["add"]
-            elif "remove" in action:
-                live.pop(action["remove"]["path"], None)
-            elif "metaData" in action:
-                metadata_action = action["metaData"]
-            elif "protocol" in action:
-                protocol_action = action["protocol"]
-            elif "txn" in action:
-                t = action["txn"]
-                txns[t["appId"]] = max(t["version"], txns.get(t["appId"], -1))
+            _fold_action(json.loads(line), live, state)
+    metadata_action = state.get("metadata")
+    protocol_action = state.get("protocol")
+    txns: dict[str, int] = state.get("txns", {})
 
     add_t = pa.struct(
         [
@@ -798,17 +813,11 @@ def read_checkpoint_state(path: str):
             schema_string = row["metaData"]["schemaString"]
             part_cols = list(row["metaData"].get("partitionColumns") or [])
     latest = ckpt_version
+    state: dict = {"schema_string": schema_string, "part_cols": part_cols}
     for v in _log_versions(log_dir):
         if v <= ckpt_version:
             continue
         for line in (log_dir / f"{v:020d}.json").read_text().splitlines():
-            action = json.loads(line)
-            if "add" in action:
-                live[action["add"]["path"]] = action["add"]
-            elif "remove" in action:
-                live.pop(action["remove"]["path"], None)
-            elif "metaData" in action:
-                schema_string = action["metaData"]["schemaString"]
-                part_cols = action["metaData"].get("partitionColumns", [])
+            _fold_action(json.loads(line), live, state)
         latest = v
-    return live, schema_string, part_cols, latest
+    return live, state["schema_string"], state["part_cols"], latest

@@ -727,6 +727,19 @@ def append_iceberg_snapshot(df: DataFrame, path: str) -> dict:
         {"timestamp-ms": metadata["last-updated-ms"], "metadata-file": str(prev_meta_file)}
     ]
     version_n = int(prev_meta_file.name.split("-", 1)[0]) + 1
+    # create-EXCLUSIVE per-version marker: two appends racing from the
+    # same base version collide HERE — the loser errors instead of its
+    # hint swap silently discarding the winner's snapshot (the same
+    # optimistic-concurrency contract commit_delta enforces)
+    marker = meta_dir / f".commit-v{version_n:05d}"
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent append detected for version {version_n} — reload "
+            "the table metadata and retry"
+        ) from None
     meta_file = meta_dir / f"{version_n:05d}-{uuid.uuid4()}.metadata.json"
     tmp = meta_dir / (meta_file.name + ".tmp")
     tmp.write_text(json.dumps(new_meta, indent=1))

@@ -50,20 +50,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def query_tmp(prefix: str, sf_dir: str, clean: bool = True) -> str:
+def query_tmp(prefix: str, salt: str, clean: bool = True) -> str:
     """Scratch dir for a format/round-trip query: pid-scoped (parallel
-    test processes never collide) and sf-salted (sf0.001 and sf0.01 runs
-    in one session get distinct dirs). ``clean=True`` removes any
-    leftover from a prior run in this process so re-registration is
-    idempotent — the single cleanup contract for every site that used to
-    hand-roll this."""
+    test processes never collide) and salted by ``salt`` (callers pass
+    the sf_dir so sf0.001 and sf0.01 runs in one session get distinct
+    dirs, or a schema digest for plan-scoped dirs). ``clean=True``
+    removes any leftover from a prior run in this process so
+    re-registration is idempotent — the single cleanup contract for
+    every site that used to hand-roll this."""
     import os
     import shutil
     import tempfile
 
     path = os.path.join(
         tempfile.gettempdir(),
-        f"evo_{prefix}_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+        f"evo_{prefix}_{os.getpid()}_{abs(hash(salt)) % 10**8}",
     )
     if clean and os.path.exists(path):
         shutil.rmtree(path)

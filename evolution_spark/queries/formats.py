@@ -18,10 +18,6 @@ is lossless for the driver schema.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import functions as F
 
 from evolution_spark.queries.base import query, query_tmp, table
@@ -32,11 +28,7 @@ def _roundtrip(df, fmt: str, read_options: dict | None = None):
     schema. The temp dir persists until process exit (Spark reads lazily);
     repeated calls reuse one dir per format+plan to stay idempotent."""
     spark = df.sparkSession
-    tmp = os.path.join(
-        tempfile.gettempdir(),
-        f"evo_fmt_{fmt}_{os.getpid()}_{abs(hash(df.schema.json())) % 10**8}"
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = query_tmp(f"fmt_{fmt}", df.schema.json())
     writer = df.write.mode("overwrite")
     if fmt == "csv":
         writer = writer.option("header", "true")
