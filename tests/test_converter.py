@@ -1080,3 +1080,86 @@ def test_avro_nan_and_timezone_semantics(spark, tmp_path):
         assert rendered == "2024-06-01 12:00"
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig_tz)
+
+
+def test_delta_merge_rejects_unknown_op(spark, tmp_path):
+    import pytest
+
+    from evolution_spark.io.delta_log import merge_delta_cdc, write_delta_snapshot
+
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    path = str(tmp_path / "badop")
+    write_delta_snapshot(df, path)
+    changes = spark.createDataFrame([(2, 2.0, "i")], "k long, v double, _op string")
+    with pytest.raises(ValueError, match="unknown op 'i'"):
+        merge_delta_cdc(spark, path, changes, key="k")
+
+
+def test_converter_delta_overwrite_replaces_non_delta_dir(spark, tmp_path):
+    """save_mode=overwrite onto an existing NON-Delta dir (e.g. a prior
+    parquet run at the same path) must replace it, not raise."""
+    import pathlib
+
+    from evolution_spark.io.delta_log import read_delta_snapshot
+    from evolution_spark.converter import Converter, Target
+    from evolution_spark.mocker import Mocker
+    from evolution_spark.schema import FixedSchema
+
+    sch = FixedSchema.from_dict(
+        {"name": "T", "version": 1, "columns": [
+            {"name": "id", "offset": 0, "length": 12, "dtype": "Int64",
+             "is_nullable": False}]}
+    )
+    flf = str(tmp_path / "in.flf")
+    Mocker(sch, 500, flf, seed=3).run(spark)
+    out = str(tmp_path / "mixed_out")
+    # prior run left plain parquet here (no _delta_log)
+    spark.range(5).write.parquet(out)
+    Converter(flf, sch, out, target=Target.DELTA, save_mode="overwrite").run(spark)
+    assert (pathlib.Path(out) / "_delta_log").exists()
+    assert read_delta_snapshot(spark, out).count() == 500
+
+
+def test_converter_delta_partition_mismatch_raises(spark, tmp_path):
+    import pytest
+
+    from evolution_spark.converter import Converter, Target
+    from evolution_spark.mocker import Mocker
+    from evolution_spark.schema import FixedSchema
+
+    sch = FixedSchema.from_dict(
+        {"name": "T", "version": 1, "columns": [
+            {"name": "id", "offset": 0, "length": 12, "dtype": "Int64",
+             "is_nullable": False},
+            {"name": "tag", "offset": 12, "length": 8, "dtype": "Utf8",
+             "is_nullable": False}]}
+    )
+    flf = str(tmp_path / "in2.flf")
+    Mocker(sch, 200, flf, seed=4).run(spark)
+    out = str(tmp_path / "part_tbl")
+    Converter(flf, sch, out, target=Target.DELTA).run(spark)  # unpartitioned
+    with pytest.raises(ValueError, match="partitionColumns"):
+        Converter(
+            flf, sch, out, target=Target.DELTA, save_mode="append",
+            partition_by=["tag"],
+        ).run(spark)
+
+
+def test_iceberg_append_race_is_hard_error(spark, tmp_path, monkeypatch):
+    """Two appends from the same base metadata: the second must fail on
+    the exclusive version marker, not silently discard the first."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import evolution_spark.io.iceberg_meta as im
+
+    path = str(tmp_path / "ice_race")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    im.write_iceberg_table(df, path)
+    base = im._load_metadata(im.Path(path))
+
+    # freeze the metadata view both writers see
+    monkeypatch.setattr(im, "_load_metadata", lambda _d: base)
+    im.append_iceberg_snapshot(df.limit(3), path)
+    with pytest.raises(RuntimeError, match="concurrent append"):
+        im.append_iceberg_snapshot(df.limit(2), path)
