@@ -755,3 +755,83 @@ def append_iceberg_snapshot(df: DataFrame, path: str) -> dict:
         "rows": total_rows,
         "metadata": str(meta_file),
     }
+
+
+def expire_iceberg_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Expire all but the last ``keep_last`` snapshots: physically delete
+    data files referenced ONLY by expired snapshots (plus their manifest
+    lists/manifests), and publish a new metadata.json whose ``snapshots``
+    list carries only the keepers — the Iceberg twin of
+    ``delta_log.vacuum_delta``. Time travel to kept snapshot ids keeps
+    working; expired ids disappear from the table history (the spec's
+    expire-snapshots contract, retention measured in snapshots rather
+    than hours for a test-driven engine).
+
+    Driver cost: one manifest walk per snapshot — metadata-sized."""
+    table_dir = Path(path)
+    metadata, prev_meta_file = _load_metadata(table_dir)
+    snaps = metadata["snapshots"]
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    if len(snaps) <= keep_last:
+        return {"expired": [], "kept": [s["snapshot-id"] for s in snaps]}
+    # snapshots are appended in commit order; keep the tail
+    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    kept_ids = {s["snapshot-id"] for s in kept}
+    if metadata["current-snapshot-id"] not in kept_ids:
+        raise ValueError("cannot expire the current snapshot")
+
+    def files_of(snapshot) -> tuple[set[str], set[str]]:
+        data, meta_files = set(), {snapshot["manifest-list"]}
+        for mf in _read_avro(Path(snapshot["manifest-list"])):
+            meta_files.add(mf["manifest_path"])
+            for entry in _read_avro(Path(mf["manifest_path"])):
+                if entry["status"] != 2:
+                    data.add(entry["data_file"]["file_path"])
+        return data, meta_files
+
+    kept_data: set[str] = set()
+    kept_meta: set[str] = set()
+    for s in kept:
+        d, m = files_of(s)
+        kept_data |= d
+        kept_meta |= m
+    deleted_data: list[str] = []
+    deleted_meta: list[str] = []
+    for s in expired:
+        d, m = files_of(s)
+        for f in sorted(d - kept_data):
+            if os.path.exists(f):
+                os.unlink(f)
+                deleted_data.append(f)
+        for f in sorted(m - kept_meta):
+            if os.path.exists(f):
+                os.unlink(f)
+                deleted_meta.append(f)
+
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(metadata)
+    new_meta["snapshots"] = kept
+    new_meta["snapshot-log"] = [
+        e for e in metadata["snapshot-log"] if e["snapshot-id"] in kept_ids
+    ]
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["metadata-log"] = metadata["metadata-log"] + [
+        {"timestamp-ms": metadata["last-updated-ms"],
+         "metadata-file": str(prev_meta_file)}
+    ]
+    meta_dir = table_dir / "metadata"
+    version_n = int(prev_meta_file.name.split("-", 1)[0]) + 1
+    meta_file = meta_dir / f"{version_n:05d}-{uuid.uuid4()}.metadata.json"
+    tmp = meta_dir / (meta_file.name + ".tmp")
+    tmp.write_text(json.dumps(new_meta, indent=1))
+    os.replace(tmp, meta_file)
+    tmp_h = meta_dir / ".version-hint.tmp"
+    tmp_h.write_text(meta_file.name)
+    os.replace(tmp_h, meta_dir / "version-hint.text")
+    return {
+        "expired": [s["snapshot-id"] for s in expired],
+        "kept": [s["snapshot-id"] for s in kept],
+        "deleted_data_files": len(deleted_data),
+        "deleted_metadata_files": len(deleted_meta),
+    }

@@ -1,0 +1,42 @@
+"""Iceberg expire-snapshots: only expired-only files are deleted, kept
+snapshots stay readable, the current snapshot is protected."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from evolution_spark.io.iceberg_meta import (
+    append_iceberg_snapshot,
+    expire_iceberg_snapshots,
+    read_iceberg_table,
+    write_iceberg_table,
+)
+
+
+def test_expire_deletes_only_expired_files(spark, tmp_path):
+    path = str(tmp_path / "exp")
+    df = spark.range(20).select(F.col("id").alias("k"))
+    s0 = write_iceberg_table(df, path)
+    s1 = append_iceberg_snapshot(df.where("k >= 18"), path)
+
+    res = expire_iceberg_snapshots(path, keep_last=1)
+    # snapshot 1 (an append) still REFERENCES snapshot 0's data files via
+    # the carried-forward manifests, so nothing is deletable
+    assert res["expired"] == [s0["snapshot-id"]]
+    assert res["deleted_data_files"] == 0
+    latest = read_iceberg_table(spark, path)
+    assert latest.count() == 22
+    # the expired id is gone from history
+    with pytest.raises(ValueError, match="not in table history"):
+        read_iceberg_table(spark, path, snapshot_id=s0["snapshot-id"])
+    assert read_iceberg_table(spark, path, snapshot_id=s1["snapshot-id"]).count() == 22
+
+
+def test_expire_noop_and_guards(spark, tmp_path):
+    path = str(tmp_path / "exp2")
+    df = spark.range(5).select(F.col("id").alias("k"))
+    write_iceberg_table(df, path)
+    assert expire_iceberg_snapshots(path, keep_last=3)["expired"] == []
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_iceberg_snapshots(path, keep_last=0)
