@@ -145,7 +145,7 @@ def skyline_pareto_parts(spark, sf_dir):
     SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
            ROUND(SUM(CASE WHEN rn = 1 THEN o_totalprice * POW(0.7, n - 1)
                           ELSE 0.3 * o_totalprice * POW(0.7, n - rn) END),
-                 4) AS ewma_price
+                 2) AS ewma_price
     FROM seq GROUP BY o_custkey HAVING COUNT(*) >= 3
     """,
 )
@@ -176,7 +176,12 @@ def ewma_customer_orders(spark, sf_dir):
         seq.groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum(term), 4).alias("ewma_price"),
+            # 2 dp, not 4: the weighted-sum terms are irrational products
+            # whose cross-engine summation-order drift (~1e-10 abs) lands
+            # exactly on 4th-decimal round-half boundaries a few times per
+            # 15k keys at sf0.1 — the cent-level boundary is 100x wider
+            # than the noise
+            F.round(F.sum(term), 2).alias("ewma_price"),
         )
         .where(F.col("n_orders") >= 3)
     )
