@@ -11,6 +11,8 @@ Flag mapping (reference -> here):
 Usage:
   python -m evolution_spark convert -i data.flf -s schema.json -o out -t parquet
   python -m evolution_spark mock -s schema.json -o out.flf -n 1000000
+  python -m evolution_spark maintain -T table_dir -f delta \
+      --optimize 4 --checkpoint --vacuum 2
 """
 
 from __future__ import annotations
@@ -58,12 +60,86 @@ def build_parser() -> argparse.ArgumentParser:
     mock.add_argument("--single-file", action="store_true")
     mock.add_argument("--save-mode", default="error")
     mock.add_argument("-N", "--cpus", type=int, default=None)
+
+    maint = sub.add_parser(
+        "maintain",
+        help="table maintenance on native delta/iceberg tables "
+             "(optimize / vacuum / checkpoint / expire-snapshots)",
+    )
+    maint.add_argument("-T", "--table", required=True, help="table directory")
+    maint.add_argument("-f", "--format", default="delta",
+                       choices=["delta", "iceberg"])
+    maint.add_argument("--optimize", type=int, metavar="N", default=None,
+                       help="compact live files to N files (delta)")
+    maint.add_argument("--vacuum", type=int, metavar="KEEP", default=None,
+                       help="delta: delete files unreferenced by the last "
+                            "KEEP versions")
+    maint.add_argument("--checkpoint", action="store_true",
+                       help="delta: write a parquet log checkpoint")
+    maint.add_argument("--expire-snapshots", type=int, metavar="KEEP",
+                       default=None,
+                       help="iceberg: expire all but the last KEEP snapshots")
+    maint.add_argument("-N", "--cpus", type=int, default=None)
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     master = f"local[{args.cpus}]" if args.cpus else None
+
+    if args.command == "maintain":
+        import json as _json
+
+        results: dict = {}
+        if args.format == "delta":
+            from evolution_spark.io.delta_log import (
+                checkpoint_delta,
+                optimize_delta,
+                vacuum_delta,
+            )
+
+            if args.expire_snapshots is not None:
+                raise SystemExit("--expire-snapshots applies to iceberg tables")
+            if args.optimize is not None:
+                from pyspark.sql import SparkSession
+
+                # reuse an active session (library/test callers) — only
+                # stop one this command itself created
+                existing = SparkSession.getActiveSession()
+                spark = existing or get_spark(
+                    app_name="evolution-spark-maintain", master=master
+                )
+                try:
+                    results["optimize"] = optimize_delta(
+                        spark, args.table, target_files=args.optimize
+                    )
+                finally:
+                    if existing is None:
+                        spark.stop()
+            if args.checkpoint:
+                results["checkpoint"] = checkpoint_delta(args.table)
+            if args.vacuum is not None:
+                v = vacuum_delta(args.table, keep_versions=args.vacuum)
+                results["vacuum"] = {
+                    "deleted_files": len(v["deleted"]),
+                    "kept_versions": v["kept_versions"],
+                }
+        else:
+            from evolution_spark.io.iceberg_meta import expire_iceberg_snapshots
+
+            if args.optimize is not None or args.vacuum is not None or args.checkpoint:
+                raise SystemExit(
+                    "--optimize/--vacuum/--checkpoint apply to delta tables"
+                )
+            if args.expire_snapshots is not None:
+                results["expire"] = expire_iceberg_snapshots(
+                    args.table, keep_last=args.expire_snapshots
+                )
+        if not results:
+            raise SystemExit("maintain: no action requested")
+        print(_json.dumps(results, default=str))
+        return 0
+
     spark = get_spark(app_name=f"evolution-spark-{args.command}", master=master)
     try:
         schema = FixedSchema.from_path(args.schema)

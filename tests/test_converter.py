@@ -1163,3 +1163,40 @@ def test_iceberg_append_race_is_hard_error(spark, tmp_path, monkeypatch):
     im.append_iceberg_snapshot(df.limit(3), path)
     with pytest.raises(RuntimeError, match="concurrent append"):
         im.append_iceberg_snapshot(df.limit(2), path)
+
+
+def test_cli_maintain_delta_pipeline(spark, tmp_path, capsys):
+    """The maintain subcommand drives optimize -> checkpoint -> vacuum on a
+    native Delta table and prints a JSON summary."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from evolution_spark.cli import main as cli_main
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "cli_tbl")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    write_delta_snapshot(df.repartition(4), path)
+    commit_delta(df.where("k >= 90").repartition(2), path, mode="append")
+
+    rc = cli_main(
+        ["maintain", "-T", path, "-f", "delta",
+         "--optimize", "1", "--checkpoint", "--vacuum", "1", "-N", "2"]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["optimize"]["files"] == 1 and out["optimize"]["rows"] == 110
+    assert out["vacuum"]["deleted_files"] >= 6
+    assert read_delta_snapshot(spark, path).count() == 110
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="no action"):
+        cli_main(["maintain", "-T", path, "-f", "delta"])
+    with pytest.raises(SystemExit, match="iceberg tables"):
+        cli_main(["maintain", "-T", path, "-f", "delta", "--expire-snapshots", "1"])
