@@ -582,15 +582,27 @@ def merge_delta_cdc(
     # real MERGE raises when a target row matches multiple source rows —
     # a duplicated change key would silently fan the row out instead; an
     # unknown op code would silently no-op (matched) or insert an
-    # all-NULL row (unmatched), so both are validated up front
-    bad_op = ch.where(~F.col("__op").isin("u", "d")).limit(1).collect()
-    if bad_op:
+    # all-NULL row (unmatched). One combined aggregate validates both
+    # (map-side combined, no groupBy materialization); the detailed probe
+    # for the error message only runs on the failure path.
+    check = ch.agg(
+        F.sum((~F.col("__op").isin("u", "d")).cast("long")).alias("bad_ops"),
+        F.sum(F.col("__k").isNull().cast("long")).alias("null_keys"),
+        (F.count("__k") - F.count_distinct("__k")).alias("dup_keys"),
+    ).collect()[0]
+    if check["null_keys"]:
+        raise ValueError(
+            f"change set has {check['null_keys']} NULL merge key(s) — a null "
+            "key can never match a target row; filter or fix upstream"
+        )
+    if check["bad_ops"]:
+        bad_op = ch.where(~F.col("__op").isin("u", "d")).limit(1).collect()
         raise ValueError(
             f"unknown op {bad_op[0]['__op']!r} in {op_col!r} — "
             "use 'u' (upsert) or 'd' (delete)"
         )
-    dup = ch.groupBy("__k").count().where("count > 1").limit(1).collect()
-    if dup:
+    if check["dup_keys"]:
+        dup = ch.groupBy("__k").count().where("count > 1").limit(1).collect()
         raise ValueError(
             f"change set has duplicate key {dup[0]['__k']!r} — MERGE requires "
             "at most one change per key (compact the changelog first, e.g. "

@@ -1200,3 +1200,16 @@ def test_cli_maintain_delta_pipeline(spark, tmp_path, capsys):
         cli_main(["maintain", "-T", path, "-f", "delta"])
     with pytest.raises(SystemExit, match="iceberg tables"):
         cli_main(["maintain", "-T", path, "-f", "delta", "--expire-snapshots", "1"])
+
+
+def test_delta_merge_rejects_null_keys(spark, tmp_path):
+    import pytest
+
+    from evolution_spark.io.delta_log import merge_delta_cdc, write_delta_snapshot
+
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    path = str(tmp_path / "nullkey")
+    write_delta_snapshot(df, path)
+    changes = spark.createDataFrame([(None, 2.0, "u")], "k long, v double, _op string")
+    with pytest.raises(ValueError, match="NULL merge key"):
+        merge_delta_cdc(spark, path, changes, key="k")
