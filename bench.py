@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "delta_maintenance_lifecycle",
     "winnow_fingerprints",
     "concurrent_sessions_peak",
+    "rolling_distinct_users",
 ]
 
 

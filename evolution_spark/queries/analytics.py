@@ -644,3 +644,68 @@ def concurrent_sessions_peak(spark, sf_dir):
         .cast("bigint")
         .alias("n_starts"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling distinct count (7-day active users)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rolling_distinct_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_7d,
+           CAST(COUNT(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END)
+                AS BIGINT) AS active_1d
+    FROM days d
+    JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def rolling_distinct_users(spark, sf_dir):
+    """Rolling 7-day distinct active users per day — the window-distinct
+    aggregate SQL windows cannot express (COUNT(DISTINCT) OVER is
+    unsupported in Spark). Implemented by the contribution-explosion
+    pattern: dedup to (day, user) pairs ONCE (the only full-data shuffle),
+    then each pair contributes itself to the 7 window anchors it falls in
+    (a 7-element sequence+explode — pure codegen) and one hash aggregation
+    counts distinct users per anchor day. Daily actives ride along from
+    the same exchange.
+
+    Scale: cost is 7x the DEDUPED (day, user) cardinality — bounded by
+    users x days, independent of raw event volume; no per-day self-join
+    (the oracle's join formulation is the quadratic-ish naive version) and
+    no window state. The anchor explosion generalizes to any fixed-width
+    sliding distinct aggregate."""
+    e = table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    anchors = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", 6))
+        ).alias("anchor"),
+        "day",
+        "user_id",
+    )
+    # anchors beyond the observed range would fabricate trailing days;
+    # restrict to days that actually occur (matches the oracle's spine)
+    days = du.select("day").distinct().select(F.col("day").alias("anchor"))
+    return (
+        anchors.join(F.broadcast(days), "anchor")
+        .groupBy("anchor")
+        .agg(
+            F.count_distinct("user_id").alias("active_7d"),
+            F.count_distinct(
+                F.when(F.col("day") == F.col("anchor"), F.col("user_id"))
+            ).alias("active_1d"),
+        )
+        .select(
+            F.date_format("anchor", "yyyy-MM-dd").alias("day"),
+            "active_7d",
+            "active_1d",
+        )
+    )
