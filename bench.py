@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "concurrent_sessions_peak",
     "rolling_distinct_users",
+    "brand_association_rules",
 ]
 
 

@@ -709,3 +709,91 @@ def rolling_distinct_users(spark, sf_dir):
             "active_1d",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Association rules (market basket over co-ordered brands)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "brand_association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT o) AS n FROM baskets),
+    brand_n AS (SELECT b, COUNT(*) AS nb FROM baskets GROUP BY b),
+    pairs AS (
+      SELECT a.b AS lhs, c.b AS rhs, COUNT(*) AS nab
+      FROM baskets a JOIN baskets c ON a.o = c.o AND a.b < c.b
+      GROUP BY 1, 2
+    )
+    SELECT p.lhs, p.rhs, p.nab AS n_both,
+           ROUND(p.nab * 1.0 / t.n, 6) AS support,
+           ROUND(p.nab * 1.0 / la.nb, 6) AS confidence,
+           ROUND((p.nab * 1.0 / t.n) / ((la.nb * 1.0 / t.n) * (lb.nb * 1.0 / t.n)),
+                 4) AS lift
+    FROM pairs p
+    JOIN brand_n la ON la.b = p.lhs
+    JOIN brand_n lb ON lb.b = p.rhs
+    CROSS JOIN n_orders t
+    WHERE p.nab >= 5
+    ORDER BY lift DESC, lhs, rhs LIMIT 25
+    """,
+)
+def brand_association_rules(spark, sf_dir):
+    """Market-basket association rules over co-ordered part brands:
+    support, confidence, and lift for every brand pair appearing in >= 5
+    shared orders, top 25 by lift — the A-priori first level, which at
+    two-item rules is a join-and-count, not an iterative miner.
+
+    Scale: baskets dedup to (order, brand) — bounded by orders x brand
+    domain; the pair self-join is quadratic only in per-ORDER brand count
+    (single-digit), the brand marginals are domain-sized broadcasts, and
+    the global order count rides in as a one-row broadcast crossJoin.
+    Lift's division chain is identical scalar arithmetic on exact integer
+    counts in both engines, so the top-k ordering is bit-deterministic."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    total = baskets.agg(F.count_distinct("o").alias("n"))
+    brand_n = baskets.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    a = baskets.select("o", F.col("b").alias("lhs"))
+    c = baskets.select("o", F.col("b").alias("rhs"))
+    pairs = (
+        a.join(c, "o")
+        .where(F.col("lhs") < F.col("rhs"))
+        .groupBy("lhs", "rhs")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .where(F.col("nab") >= 5)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(brand_n.select(F.col("b").alias("lhs"), F.col("nb").alias("na"))),
+            "lhs",
+        )
+        .join(
+            F.broadcast(brand_n.select(F.col("b").alias("rhs"), F.col("nb").alias("nb2"))),
+            "rhs",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lhs",
+            "rhs",
+            F.col("nab").alias("n_both"),
+            F.round(F.col("nab") / F.col("n"), 6).alias("support"),
+            F.round(F.col("nab") / F.col("na"), 6).alias("confidence"),
+            F.round(
+                (F.col("nab") / F.col("n"))
+                / ((F.col("na") / F.col("n")) * (F.col("nb2") / F.col("n"))),
+                4,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "lhs", "rhs").limit(25)
