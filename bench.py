@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "concurrent_sessions_peak",
     "rolling_distinct_users",
     "brand_association_rules",
+    "time_weighted_average",
 ]
 
 

@@ -797,3 +797,63 @@ def brand_association_rules(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("lift"), "lhs", "rhs").limit(25)
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (TWAP)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "time_weighted_average",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, value, ts,
+             LEAD(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS nts
+      FROM events
+    ),
+    weighted AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             value, epoch_us(nts) - epoch_us(ts) AS dt
+      FROM seq WHERE nts IS NOT NULL
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           ROUND(SUM(value * dt) / SUM(dt), 2) AS twap
+    FROM weighted GROUP BY event_type, day
+    """,
+)
+def time_weighted_average(spark, sf_dir):
+    """Daily TWAP (time-weighted average) of event values per type: each
+    observation is weighted by how long it REMAINED the latest value
+    (duration to the next observation within the day), the standard
+    irregular-sampling average that a plain AVG gets wrong whenever
+    sampling density correlates with value. The financial/metrics rollup
+    the reference's fixed-interval pipeline cannot express.
+
+    Scale: one window shuffle on (type, day) for the lead, then a hash
+    aggregation — durations are exact integer microseconds
+    (micros_since_epoch, NTZ-safe), so weights are identical across
+    engines and only the final division rounds."""
+    from evolution_spark.functions.time import micros_since_epoch
+
+    e = table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    w = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
+    us = micros_since_epoch(e, "ts")
+    seq = e.select(
+        "event_type",
+        day.alias("day"),
+        "value",
+        (F.lead(us).over(w) - us).alias("dt"),
+    ).where(F.col("dt").isNotNull())
+    return seq.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 2).alias("twap"),
+    ).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_intervals",
+        "twap",
+    )
