@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "rolling_distinct_users",
     "brand_association_rules",
     "time_weighted_average",
+    "ohlc_daily_bars",
+    "dow_seasonality_profile",
 ]
 
 

@@ -857,3 +857,123 @@ def time_weighted_average(spark, sf_dir):
         "n_intervals",
         "twap",
     )
+
+
+# --------------------------------------------------------------------------
+# OHLC bars (open/high/low/close per type per day)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ohlc_daily_bars",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
+             lpad(CAST(event_id AS VARCHAR), 10, '0') AS ord
+      FROM events
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           ROUND(arg_min(value, ord), 2) AS open,
+           ROUND(MAX(value), 2) AS high,
+           ROUND(MIN(value), 2) AS low,
+           ROUND(arg_max(value, ord), 2) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM keyed
+    GROUP BY 1, 2
+    """,
+)
+def ohlc_daily_bars(spark, sf_dir):
+    """Daily OHLC candlesticks per event type: open/close via min_by/max_by
+    on the full (ts, event_id) ordering key (tie-proof — two ticks in the
+    same microsecond resolve identically in both engines), high/low as
+    plain extremes. The canonical downsampling of a tick stream to bars.
+
+    Scale: ONE hash aggregation with map-side combine — min_by/max_by
+    carry a single (value, key) pair per partial state, so the shuffle is
+    group-count-sized regardless of tick volume. No window, no sort. The
+    ordering key is a fixed-width "<epoch_us>-<event_id>" string whose
+    lexicographic order equals the numeric order (DuckDB's arg_min/max
+    take scalar keys, not structs)."""
+    from evolution_spark.functions.time import micros_since_epoch
+
+    e = table(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d-%010d", micros_since_epoch(e, "ts"), F.col("event_id")
+    )
+    return e.groupBy(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.round(F.min_by("value", key), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max_by("value", key), 2).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Day-of-week seasonality profile
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dow_seasonality_profile",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT event_type, dayofweek(day) + 1 AS dow,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(n_events) AS BIGINT) AS te,
+             CAST(SUM(n_days) AS BIGINT) AS td
+      FROM prof GROUP BY 1
+    )
+    SELECT p.event_type, p.dow, p.n_events, p.n_days,
+           ROUND((p.n_events * 1.0 / p.n_days) / (t.te * 1.0 / t.td), 4)
+             AS seasonal_index
+    FROM prof p JOIN tot t USING (event_type)
+    """,
+)
+def dow_seasonality_profile(spark, sf_dir):
+    """Day-of-week seasonality: per (type, weekday), the ratio of that
+    weekday's average daily event volume to the type's overall daily
+    average — the multiplicative seasonal index behind deseasonalized
+    anomaly thresholds (a Monday spike is only a spike relative to
+    Mondays). Weekday convention: Spark's dayofweek is 1=Sunday while
+    DuckDB's is 0=Sunday, so the oracle shifts by one to the shared
+    1-7 Sunday-first numbering.
+
+    Scale: two-level aggregation (daily pre-collapse, then the 7-row
+    weekday profile) + a type-level broadcast join — the raw scan
+    collapses immediately, everything after is domain-sized."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    prof = daily.groupBy(
+        "event_type", F.dayofweek("day").alias("dow")
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    tot = prof.groupBy("event_type").agg(
+        F.sum("n_events").alias("te"), F.sum("n_days").alias("td")
+    )
+    return prof.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "n_events",
+        "n_days",
+        F.round(
+            (F.col("n_events") / F.col("n_days")) / (F.col("te") / F.col("td")), 4
+        ).alias("seasonal_index"),
+    )
