@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "time_weighted_average",
     "ohlc_daily_bars",
     "dow_seasonality_profile",
+    "linear_trend_by_type",
 ]
 
 

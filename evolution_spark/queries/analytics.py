@@ -977,3 +977,91 @@ def dow_seasonality_profile(spark, sf_dir):
             (F.col("n_events") / F.col("n_days")) / (F.col("te") / F.col("td")), 4
         ).alias("seasonal_index"),
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped least-squares trend (exact-integer regression)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "linear_trend_by_type",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    anchored AS (
+      SELECT event_type,
+             CAST(day - MIN(day) OVER (PARTITION BY event_type) AS BIGINT) AS x,
+             y
+      FROM daily
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM anchored GROUP BY 1
+    )
+    SELECT event_type, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 4) AS slope_per_day,
+           ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 2) AS intercept,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM sums
+    """,
+)
+def linear_trend_by_type(spark, sf_dir):
+    """Per-type least-squares trend of daily event value: slope
+    (currency/day), intercept, and R² from the closed-form normal
+    equations over exact integer sums — the grouped regression behind
+    "is this metric drifting", computable in two hash aggregations with
+    no iterative solver. All moments (Σx, Σy, Σxy, Σx², Σy²) are exact
+    int64 (x is a small day index anchored at each type's first day; y is
+    cent-scaled), so both engines do identical float work: one division
+    per statistic.
+
+    Scale: the raw scan collapses to one row per (type, day) immediately;
+    the per-type min-day anchor is a window over that daily frame (group
+    domain, not event volume); the moments aggregation is map-side
+    combined."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y"))
+    w = Window.partitionBy("event_type")
+    anchored = daily.select(
+        "event_type",
+        F.datediff("day", F.min("day").over(w)).cast("bigint").alias("x"),
+        "y",
+    )
+    sums = anchored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    den = (n * sxx - sx * sx).cast("double")
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(num / den / 100.0, 4).alias("slope_per_day"),
+        F.round((sy * sxx - sx * sxy).cast("double") / den / 100.0, 2).alias(
+            "intercept"
+        ),
+        F.round(num * num / (den * (n * syy - sy * sy).cast("double")), 6).alias("r2"),
+    )
