@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "ohlc_daily_bars",
     "dow_seasonality_profile",
     "linear_trend_by_type",
+    "daily_new_vs_returning",
+    "rfm_segments",
 ]
 
 

@@ -1065,3 +1065,126 @@ def linear_trend_by_type(spark, sf_dir):
         ),
         F.round(num * num / (den * (n * syy - sy * sy).cast("double")), 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Growth accounting: daily new vs returning users
+# --------------------------------------------------------------------------
+
+
+@query(
+    "daily_new_vs_returning",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(day) AS first_day FROM du GROUP BY 1)
+    SELECT strftime(du.day, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN du.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(SUM(CASE WHEN du.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users
+    FROM du JOIN firsts f USING (user_id)
+    GROUP BY du.day
+    """,
+)
+def daily_new_vs_returning(spark, sf_dir):
+    """Growth accounting: per day, how many active users are NEW (first
+    ever active day) vs RETURNING — the decomposition behind every DAU
+    chart. One (day, user) dedup, a per-user first-day aggregate, and a
+    user-keyed join back; all shuffles are bounded by users x days, not
+    event volume. (A window MIN over user_id would fuse the agg+join into
+    one shuffle; the join form keeps the first-day frame reusable.)"""
+    e = table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    firsts = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        du.join(firsts, "user_id")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("long")).alias(
+                "new_users"
+            ),
+            F.sum((F.col("day") > F.col("first_day")).cast("long")).alias(
+                "returning_users"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH stats AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                       (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    seg AS (
+      SELECT *,
+             CASE WHEN recency_days <= 90 AND frequency >= 10 THEN 'champion'
+                  WHEN recency_days <= 90 THEN 'recent'
+                  WHEN frequency >= 10 THEN 'loyal_lapsing'
+                  ELSE 'at_risk' END AS segment
+      FROM stats
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS total_cents,
+           ROUND(AVG(frequency), 4) AS avg_frequency,
+           CAST(MIN(recency_days) AS BIGINT) AS min_recency,
+           CAST(MAX(recency_days) AS BIGINT) AS max_recency
+    FROM seg GROUP BY segment
+    """,
+)
+def rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation: per
+    customer, days since last order relative to the dataset's horizon,
+    order count, and cent-exact lifetime value, bucketed into the classic
+    four quadrants and summarized per segment. The standard curation of a
+    customer base into actionable cohorts.
+
+    Scale: one customer-keyed aggregation (map-side combined) + a one-row
+    global max-date broadcast (crossJoin); segmentation is a pure codegen
+    CASE; the final rollup is four rows. avg_frequency is an exact
+    integer-sum ratio, identical across engines."""
+    o = table(spark, sf_dir, "orders")
+    horizon = o.agg(F.max(F.to_date("o_orderdate")).alias("hmax"))
+    stats = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .withColumn("recency_days", F.datediff("hmax", "last_day").cast("bigint"))
+    )
+    seg = stats.withColumn(
+        "segment",
+        F.when(
+            (F.col("recency_days") <= 90) & (F.col("frequency") >= 10), "champion"
+        )
+        .when(F.col("recency_days") <= 90, "recent")
+        .when(F.col("frequency") >= 10, "loyal_lapsing")
+        .otherwise("at_risk"),
+    )
+    return seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").alias("total_cents"),
+        F.round(F.avg("frequency"), 4).alias("avg_frequency"),
+        F.min("recency_days").alias("min_recency"),
+        F.max("recency_days").alias("max_recency"),
+    )
