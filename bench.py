@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "linear_trend_by_type",
     "daily_new_vs_returning",
     "rfm_segments",
+    "fulfillment_lag_percentiles",
 ]
 
 
