@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "daily_new_vs_returning",
     "rfm_segments",
     "fulfillment_lag_percentiles",
+    "zipf_exponent",
 ]
 
 

@@ -1242,3 +1242,75 @@ def fulfillment_lag_percentiles(spark, sf_dir):
         pcts.getItem(2).alias("p99_days"),
         F.max("lag_days").cast("bigint").alias("max_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf exponent of the corpus word-frequency distribution
+# --------------------------------------------------------------------------
+
+
+@query(
+    "zipf_exponent",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM words
+      WHERE w <> '' GROUP BY w
+    ),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS r
+      FROM freq
+      ORDER BY n DESC, w LIMIT 1000
+    ),
+    logs AS (SELECT ln(r) AS x, ln(n) AS y FROM ranked),
+    sums AS (
+      SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM logs
+    )
+    SELECT CAST(k AS BIGINT) AS n_ranks,
+           ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope
+    FROM sums
+    """,
+)
+def zipf_exponent(spark, sf_dir):
+    """Zipf exponent of the corpus: least-squares slope of log-frequency
+    vs log-rank over the top-1000 words (natural language sits near -1;
+    a synthetic or heavily deduplicated corpus drifts away — a one-number
+    corpus-health signal).
+
+    Scale: word counts are a hash aggregation; the top-1000 selection is
+    a TakeOrderedAndProject (per-task heaps, deterministic freq-desc/word
+    tie-break), and only THAT bounded frame enters the single-partition
+    ranking window — the window cost is O(1000) regardless of vocabulary
+    size. The log-space regression reuses the closed-form normal
+    equations; cross-engine libm drift (~1 ulp/term) is ~1e-13 relative
+    on the summed moments, nine orders below the 4-dp rounding
+    boundary."""
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = freq.orderBy(F.desc("n"), "w").limit(1000)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("n"), "w"))
+    )
+    logs = ranked.select(F.log("r").alias("x"), F.log("n").alias("y"))
+    sums = logs.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    return sums.select(
+        k.cast("bigint").alias("n_ranks"),
+        F.round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4).alias("zipf_slope"),
+    )
