@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "rfm_segments",
     "fulfillment_lag_percentiles",
     "zipf_exponent",
+    "revenue_concentration",
 ]
 
 

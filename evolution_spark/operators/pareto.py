@@ -47,7 +47,10 @@ def skyline_2d(
     parted = pairs.repartitionByRange(
         n, F.col(x).asc(), F.col(y).desc()
     ).sortWithinPartitions(F.col(x).asc(), F.col(y).desc())
-    stamped = parted.withColumn("__pid", F.spark_partition_id())
+    # materialized once: the per-partition max branch and the carry join
+    # branch must observe the SAME partitioning (re-executing the range
+    # exchange per branch can coalesce differently under AQE)
+    stamped = parted.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
 
     # per-partition y-max -> prefix carry for every LATER partition
     pmax = stamped.groupBy("__pid").agg(F.max(y).alias("__pmax"))

@@ -51,7 +51,17 @@ def with_global_rank(
     mid = parted.withColumn("__mid", F.monotonically_increasing_id())
     pid = F.shiftrightunsigned("__mid", _PARTITION_ID_SHIFT)
     idx = F.col("__mid").bitwiseAND(F.lit((1 << _PARTITION_ID_SHIFT) - 1))
-    stamped = mid.select("*", pid.alias("__pid"), idx.alias("__idx")).drop("__mid")
+    # materialized ONCE: the per-partition counts branch and the data join
+    # branch below both consume this frame — without the cut each branch
+    # re-executes the range exchange, and AQE may coalesce the two
+    # executions into DIFFERENT partitionings (observed when exchange
+    # reuse is unavailable, e.g. over checkpointed inputs), attributing
+    # offsets to the wrong partition ids and corrupting ranks
+    stamped = (
+        mid.select("*", pid.alias("__pid"), idx.alias("__idx"))
+        .drop("__mid")
+        .localCheckpoint()
+    )
 
     counts = stamped.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -102,7 +112,9 @@ def global_running_sum(
     spark = df.sparkSession
     n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     parted = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
-    stamped = parted.withColumn("__pid", F.spark_partition_id())
+    # materialized once for the same two-branch reason as with_global_rank
+    # above: totals and the local-cumsum join must see ONE partitioning
+    stamped = parted.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)

@@ -1314,3 +1314,69 @@ def zipf_exponent(spark, sf_dir):
         k.cast("bigint").alias("n_ranks"),
         F.round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4).alias("zipf_slope"),
     )
+
+
+# --------------------------------------------------------------------------
+# Revenue concentration (Pareto 80/20)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "revenue_concentration",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS nc FROM cust),
+    run AS (
+      SELECT cents,
+             SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS r
+      FROM cust
+    )
+    SELECT t.nc AS n_customers,
+           CAST(MIN(CASE WHEN run.cum * 5 >= t.t * 4 THEN run.r END) AS BIGINT)
+             AS n_for_80pct,
+           ROUND(MIN(CASE WHEN run.cum * 5 >= t.t * 4 THEN run.r END)
+                 * 1.0 / t.nc, 4) AS frac_for_80pct
+    FROM run CROSS JOIN tot t
+    GROUP BY t.nc
+    """,
+)
+def revenue_concentration(spark, sf_dir):
+    """Pareto concentration: the smallest number (and fraction) of
+    customers whose cumulative revenue reaches 80% of the total — the
+    80/20 readout behind key-account analysis. Cumulative revenue is an
+    EXACT integer running sum (cents) under the global (revenue desc,
+    custkey) order, so the crossing rank is integer-deterministic
+    (cum*5 >= total*4 avoids any float threshold entirely).
+
+    Scale: per-customer totals are one keyed aggregation; the global
+    cumulative sum uses operators/rank.global_running_sum (range
+    partition + metadata-sized carries — no single-task window, unlike
+    the oracle's formulation); the crossing detection is a one-row
+    aggregate with the totals broadcast in."""
+    from evolution_spark.operators.rank import global_running_sum, with_global_rank
+
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    neg = cust.withColumn("__negc", -F.col("cents"))
+    run = global_running_sum(neg, ["__negc", "o_custkey"], "cents", out_col="cum")
+    run = with_global_rank(run, ["__negc", "o_custkey"], rank_col="r")
+    tot = cust.agg(
+        F.sum("cents").alias("t"), F.count(F.lit(1)).alias("nc")
+    )
+    crossed = run.crossJoin(F.broadcast(tot)).where(
+        F.col("cum") * 5 >= F.col("t") * 4
+    )
+    return crossed.groupBy(F.col("nc").alias("n_customers")).agg(
+        F.min("r").alias("n_for_80pct"),
+        F.round(F.min("r") / F.first("nc"), 4).alias("frac_for_80pct"),
+    )
