@@ -37,6 +37,7 @@ def skyline_2d(
     x: str,
     y: str,
     n_partitions: int | None = None,
+    cut_lineage: bool = True,
 ) -> DataFrame:
     """Rows of ``df`` on the Pareto frontier minimizing ``x``, maximizing
     ``y``. Null x/y rows are excluded (dominance is undefined on null)."""
@@ -50,7 +51,9 @@ def skyline_2d(
     # materialized once: the per-partition max branch and the carry join
     # branch must observe the SAME partitioning (re-executing the range
     # exchange per branch can coalesce differently under AQE)
-    stamped = parted.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
+    stamped = parted.withColumn("__pid", F.spark_partition_id())
+    if cut_lineage:
+        stamped = stamped.localCheckpoint()
 
     # per-partition y-max -> prefix carry for every LATER partition
     pmax = stamped.groupBy("__pid").agg(F.max(y).alias("__pmax"))

@@ -39,6 +39,7 @@ def with_global_rank(
     order_cols: list[str],
     rank_col: str = "rank",
     n_partitions: int | None = None,
+    cut_lineage: bool = True,
 ) -> DataFrame:
     """Append the exact 1-based global rank under ``order_cols`` (which must
     uniquely order rows — add a tiebreak column if they don't; with
@@ -57,11 +58,9 @@ def with_global_rank(
     # executions into DIFFERENT partitionings (observed when exchange
     # reuse is unavailable, e.g. over checkpointed inputs), attributing
     # offsets to the wrong partition ids and corrupting ranks
-    stamped = (
-        mid.select("*", pid.alias("__pid"), idx.alias("__idx"))
-        .drop("__mid")
-        .localCheckpoint()
-    )
+    stamped = mid.select("*", pid.alias("__pid"), idx.alias("__idx")).drop("__mid")
+    if cut_lineage:
+        stamped = stamped.localCheckpoint()
 
     counts = stamped.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -95,6 +94,7 @@ def global_running_sum(
     value_col: str,
     out_col: str = "running",
     n_partitions: int | None = None,
+    cut_lineage: bool = True,
 ) -> DataFrame:
     """Exact cumulative sum of ``value_col`` under the GLOBAL ordering of
     ``order_cols`` — without the single-task ``Window.orderBy`` that a
@@ -114,7 +114,9 @@ def global_running_sum(
     parted = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
     # materialized once for the same two-branch reason as with_global_rank
     # above: totals and the local-cumsum join must see ONE partitioning
-    stamped = parted.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
+    stamped = parted.withColumn("__pid", F.spark_partition_id())
+    if cut_lineage:
+        stamped = stamped.localCheckpoint()
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)

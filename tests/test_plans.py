@@ -316,7 +316,18 @@ def test_ntile_dist_has_no_single_partition_window(spark, sf_dir):
     single-partition global-window funnel; the only SinglePartition
     exchanges allowed are the O(n_partitions) offsets table and the 1-row
     global count."""
-    plan = plan_of(spark, sf_dir, "window_ntile_dist")
+    # gate the UNCUT plan: production cuts lineage at the stamped frame
+    # (two-branch partitioning hazard), which hides the range exchange
+    # behind a LogicalRDD in the final query plan
+    from pyspark.sql import functions as F
+
+    from evolution_spark.operators.rank import with_global_rank
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ranked = with_global_rank(
+        df, ["o_totalprice", "o_orderkey"], cut_lineage=False
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
     for i, l in enumerate(lines):
         if "Exchange SinglePartition" not in l:
@@ -520,7 +531,18 @@ def test_skyline_range_partitioned_no_cartesian(spark, sf_dir):
     """The distributed skyline must be the sort-scan plan: range exchange on
     (price, size), no quadratic join, and the only unpartitioned window runs
     over the per-partition max table (metadata-sized), never the data."""
-    plan = plan_of(spark, sf_dir, "skyline_pareto_parts")
+    from pyspark.sql import functions as F
+
+    from evolution_spark.operators.pareto import skyline_2d
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").alias("size"),
+    )
+    # uncut plan exposes the range exchange the production cut hides
+    df = skyline_2d(p, "price", "size", cut_lineage=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # survivors rejoin the full rows via semi join, payload never sorts
