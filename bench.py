@@ -200,13 +200,19 @@ def main() -> int:
         shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_query_suite_wall_time",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    })
+    # Console-progress frames (carriage-return redraws) truncated the r04
+    # capture; the session now sets spark.ui.showConsoleProgress=false, and
+    # the leading newline + explicit flush defend against any residual
+    # partial line on stdout.
+    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.flush()
     spark.stop()
     return 0
 

@@ -45,6 +45,46 @@ from pyspark.sql import DataFrame
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
+# Reader capabilities this module actually implements. We reconstruct
+# snapshots with plain add/remove replay (reader version 1). Anything a
+# higher reader version gates — column mapping (v2), deletion vectors /
+# v2 checkpoints / type widening etc. via table features (v3) — would be
+# silently WRONG if we ignored it (e.g. DV'd rows would resurrect), so the
+# spec's forward-compat obligation is to refuse loudly instead.
+SUPPORTED_READER_FEATURES: frozenset[str] = frozenset()
+
+
+class DeltaProtocolError(RuntimeError):
+    """Raised when a table's protocol action demands reader capabilities
+    this implementation does not have (Delta PROTOCOL.md, 'Protocol
+    Evolution': readers must refuse tables above their reader version)."""
+
+
+def _check_reader_protocol(protocol: dict | None) -> None:
+    """Enforce the Delta protocol's reader obligation before serving data:
+    a client MUST NOT read a table whose ``minReaderVersion`` (or, for
+    reader version 3, whose ``readerFeatures`` set) exceeds what it
+    implements. Raises ``DeltaProtocolError`` for v2 (column mapping), any
+    unknown v3 reader feature, and any future reader version."""
+    if not protocol:
+        return
+    v = int(protocol.get("minReaderVersion", 1))
+    if v <= 1:
+        return
+    features = set(protocol.get("readerFeatures") or [])
+    unsupported = sorted(features - SUPPORTED_READER_FEATURES)
+    if v == 3 and not unsupported:
+        return
+    raise DeltaProtocolError(
+        f"table requires minReaderVersion={v}"
+        + (f" with reader features {unsupported}" if unsupported else "")
+        + "; this reader implements version 1 "
+        + (f"(+features {sorted(SUPPORTED_READER_FEATURES)}) "
+           if SUPPORTED_READER_FEATURES else "")
+        + "— refusing to read rather than silently dropping protocol "
+        "semantics (e.g. deletion vectors or column mapping)"
+    )
+
 
 def _partition_value(raw: str) -> str | None:
     """Decode one hive directory value: Spark's escapePathName percent-
@@ -62,7 +102,9 @@ def _data_files(table_dir: Path, part_cols: list[str]):
     """Yield (relative_path, partition_values, size_bytes) for every data
     file under the table dir, parsing hive-style partition directories."""
     for p in sorted(table_dir.rglob("*.parquet")):
-        if "_delta_log" in p.parts:
+        if "_delta_log" in p.parts or any(
+            part.startswith("_staging_") for part in p.parts
+        ):
             continue
         rel = p.relative_to(table_dir)
         values: dict[str, str | None] = {}
@@ -228,8 +270,17 @@ def _fold_action(action: dict, live: dict, state: dict) -> None:
     protocol/txns as encountered."""
     if "add" in action:
         live[action["add"]["path"]] = action["add"]
+        # re-adding a path supersedes its tombstone (latest action per
+        # path wins in the spec's state reconstruction)
+        state.get("tombstones", {}).pop(action["add"]["path"], None)
     elif "remove" in action:
         live.pop(action["remove"]["path"], None)
+        # kept for checkpointing: the spec requires unexpired remove
+        # tombstones to be carried into checkpoints so external readers
+        # coordinate VACUUM correctly
+        state.setdefault("tombstones", {})[action["remove"]["path"]] = action[
+            "remove"
+        ]
     elif "metaData" in action:
         state["schema_string"] = action["metaData"]["schemaString"]
         state["part_cols"] = action["metaData"].get("partitionColumns", [])
@@ -268,6 +319,7 @@ def _replay_log(table_dir: Path, version: int | None = None):
             break
         for line in (log_dir / f"{v:020d}.json").read_text().splitlines():
             _fold_action(json.loads(line), live, state)
+    _check_reader_protocol(state.get("protocol"))
     return live, state.get("schema_string"), state.get("part_cols", []), target
 
 
@@ -362,9 +414,12 @@ def commit_delta(
         if unknown:
             raise ValueError(f"remove_paths not live in the table: {unknown}")
     version = latest + 1
-    stage = table_dir / f"_staging_v{version}"
-    if stage.exists():
-        shutil.rmtree(stage)
+    # uuid-suffixed staging dir OWNED by this process: two writers racing
+    # for the same version each stage into their own dir, so the commit
+    # race is decided solely by the O_CREAT|O_EXCL publish below — the
+    # loser can never rmtree the winner's in-flight staged files (which
+    # would publish a commit with remove actions but missing adds).
+    stage = table_dir / f"_staging_v{version}-{uuid.uuid4().hex}"
     writer = df.write.mode("error")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
@@ -694,7 +749,13 @@ def vacuum_delta(path: str, keep_versions: int = 1) -> dict:
     referenced_decoded = {unquote(r) for r in referenced}
     deleted = []
     for p in sorted(table_dir.rglob("*.parquet")):
-        if "_delta_log" in p.parts:
+        # _staging_* dirs belong to a concurrent in-flight commit — its files
+        # are not yet referenced by any log version, but unlinking them would
+        # sabotage that writer; only files that have LEFT staging and lost
+        # their log reference are garbage.
+        if "_delta_log" in p.parts or any(
+            part.startswith("_staging_") for part in p.parts
+        ):
             continue
         rel = p.relative_to(table_dir).as_posix()
         if quote(rel) not in referenced and rel not in referenced_decoded:
@@ -703,16 +764,24 @@ def vacuum_delta(path: str, keep_versions: int = 1) -> dict:
     return {"deleted": deleted, "kept_versions": kept, "live_files": len(referenced)}
 
 
-def checkpoint_delta(path: str) -> dict:
+def checkpoint_delta(
+    path: str, tombstone_retention_ms: int = 7 * 24 * 3600 * 1000
+) -> dict:
     """Write a Delta log CHECKPOINT for the latest version: a parquet file
     ``_delta_log/<v>.checkpoint.parquet`` holding the fully-replayed state
-    (protocol, metaData, every live add, latest txn per appId — one action
-    per row in the spec's sparse-columns layout) plus the
-    ``_last_checkpoint`` pointer file. Readers then reconstruct a snapshot
-    from the checkpoint + the JSON commits AFTER it — O(live files), not
-    O(history) — which is what keeps a table with 10^5 commits openable.
-    JSON commits are never deleted, so time travel to pre-checkpoint
-    versions still replays the full chain."""
+    (protocol, metaData incl. configuration, every live add, unexpired
+    remove tombstones, latest txn per appId — one action per row in the
+    spec's sparse-columns layout) plus the ``_last_checkpoint`` pointer
+    file. Readers then reconstruct a snapshot from the checkpoint + the
+    JSON commits AFTER it — O(live files), not O(history) — which is what
+    keeps a table with 10^5 commits openable. JSON commits are never
+    deleted, so time travel to pre-checkpoint versions still replays the
+    full chain.
+
+    Remove tombstones newer than ``tombstone_retention_ms`` (spec default:
+    ``delta.deletedFileRetentionDuration`` = 1 week) are carried so an
+    external spec reader reconstructing state from this checkpoint sees
+    the same tombstone/retention state as from the JSON log."""
     import pyarrow as pa
     import pyarrow.parquet as papq
 
@@ -749,6 +818,7 @@ def checkpoint_delta(path: str) -> dict:
             ("format", pa.struct([("provider", pa.string())])),
             ("schemaString", pa.string()),
             ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
             ("createdTime", pa.int64()),
         ]
     )
@@ -756,21 +826,30 @@ def checkpoint_delta(path: str) -> dict:
         [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
     )
     txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
+    remove_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
 
     rows_proto: list = [protocol_action]
     rows_meta: list = [None]
     rows_add: list = [None]
     rows_txn: list = [None]
+    rows_remove: list = [None]
 
-    def push(proto=None, meta=None, add=None, txn=None):
+    def push(proto=None, meta=None, add=None, txn=None, remove=None):
         rows_proto.append(proto)
         rows_meta.append(meta)
         rows_add.append(add)
         rows_txn.append(txn)
+        rows_remove.append(remove)
 
     m = dict(metadata_action)
     m["format"] = {"provider": m.get("format", {}).get("provider", "parquet")}
-    m.pop("configuration", None)
+    m["configuration"] = list((m.get("configuration") or {}).items())
     push(meta=m)
     for app_id, v in sorted(txns.items()):
         push(txn={"appId": app_id, "version": v})
@@ -778,6 +857,20 @@ def checkpoint_delta(path: str) -> dict:
         a = dict(live[stored_path])
         a["partitionValues"] = list(a.get("partitionValues", {}).items())
         push(add=a)
+    # unexpired remove tombstones (spec: carried until the deleted-file
+    # retention window passes, so external VACUUMs don't unlink files a
+    # slow reader of an old version may still be scanning)
+    expiry = int(time.time() * 1000) - tombstone_retention_ms
+    for stored_path in sorted(state.get("tombstones", {})):
+        r = state["tombstones"][stored_path]
+        if r.get("deletionTimestamp", 0) >= expiry:
+            push(
+                remove={
+                    "path": r["path"],
+                    "deletionTimestamp": r.get("deletionTimestamp"),
+                    "dataChange": bool(r.get("dataChange", True)),
+                }
+            )
 
     table = pa.table(
         {
@@ -785,6 +878,7 @@ def checkpoint_delta(path: str) -> dict:
             "metaData": pa.array(rows_meta, type=meta_t),
             "txn": pa.array(rows_txn, type=txn_t),
             "add": pa.array(rows_add, type=add_t),
+            "remove": pa.array(rows_remove, type=remove_t),
         }
     )
     ckpt = log_dir / f"{version:020d}.checkpoint.parquet"
@@ -816,6 +910,7 @@ def read_checkpoint_state(path: str):
     live: dict[str, dict] = {}
     schema_string = None
     part_cols: list[str] = []
+    protocol = None
     for row in t:
         if row.get("add"):
             a = dict(row["add"])
@@ -824,12 +919,22 @@ def read_checkpoint_state(path: str):
         elif row.get("metaData"):
             schema_string = row["metaData"]["schemaString"]
             part_cols = list(row["metaData"].get("partitionColumns") or [])
+        elif row.get("protocol"):
+            protocol = dict(row["protocol"])
     latest = ckpt_version
-    state: dict = {"schema_string": schema_string, "part_cols": part_cols}
+    state: dict = {
+        "schema_string": schema_string,
+        "part_cols": part_cols,
+        "protocol": protocol,
+    }
     for v in _log_versions(log_dir):
         if v <= ckpt_version:
             continue
         for line in (log_dir / f"{v:020d}.json").read_text().splitlines():
             _fold_action(json.loads(line), live, state)
         latest = v
+    # The guard runs on the RESOLVED protocol (checkpoint row, overridden by
+    # any post-checkpoint protocol-upgrade commit) — a foreign writer that
+    # upgraded the table after our checkpoint still gets refused.
+    _check_reader_protocol(state.get("protocol"))
     return live, state["schema_string"], state["part_cols"], latest

@@ -603,9 +603,11 @@ def append_iceberg_snapshot(df: DataFrame, path: str) -> dict:
     snapshot_id = uuid.uuid4().int % (1 << 62)
     now_ms = int(time.time() * 1000)
     data_dir = table_dir / "data"
-    stage = table_dir / f"_staging_s{seq}"
-    if stage.exists():
-        shutil.rmtree(stage)
+    # uuid-suffixed staging dir OWNED by this process: two appends racing
+    # for the same sequence number each stage privately, so the race is
+    # decided solely by the create-exclusive commit marker below — never by
+    # one writer rmtree'ing the other's in-flight staged files.
+    stage = table_dir / f"_staging_s{seq}-{uuid.uuid4().hex}"
     writer = df.write.mode("error")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
@@ -822,6 +824,18 @@ def expire_iceberg_snapshots(path: str, keep_last: int = 1) -> dict:
     ]
     meta_dir = table_dir / "metadata"
     version_n = int(prev_meta_file.name.split("-", 1)[0]) + 1
+    # same create-EXCLUSIVE per-version marker append_iceberg_snapshot uses:
+    # an expire racing a concurrent append is a hard error for the loser,
+    # not a last-writer-wins hint swap that silently discards a snapshot
+    marker = meta_dir / f".commit-v{version_n:05d}"
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent commit detected for version {version_n} — reload "
+            "the table metadata and retry the expire"
+        ) from None
     meta_file = meta_dir / f"{version_n:05d}-{uuid.uuid4()}.metadata.json"
     tmp = meta_dir / (meta_file.name + ".tmp")
     tmp.write_text(json.dumps(new_meta, indent=1))

@@ -62,9 +62,25 @@ def weighted_sample(df: DataFrame, key: str, weight: str, k: int) -> DataFrame:
     exact weighted sample. Deterministic (re-runs pick the same rows) and
     fully distributed: the top-k is a ``TakeOrderedAndProject`` — per-task
     heaps of size k, no global sort, no shuffle of the losers. The standard
-    quality-weighted curation draw (sample ∝ doc quality/length)."""
+    quality-weighted curation draw (sample ∝ doc quality/length).
+
+    Weights must be strictly positive: w=0 makes the priority NULL (the row
+    would silently vanish under desc-nulls-last) and w<0 makes u^(1/w) > 1
+    (the row would deterministically dominate the draw) — both corrupt the
+    A-ES sample silently, so non-positive weights fail loudly instead."""
     u = (hash32(F.col(key).cast("string")) + 1) / F.lit(4294967296.0)
-    pr = F.pow(u, F.lit(1.0) / F.col(weight))
+    w = F.col(weight)
+    checked_w = F.when(
+        w > 0, w
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"weighted_sample: non-positive weight in '{weight}': "),
+                w.cast("string"),
+            )
+        )
+    )
+    pr = F.pow(u, F.lit(1.0) / checked_w)
     return (
         df.withColumn("__pr", pr)
         .orderBy(F.desc("__pr"), key)

@@ -1213,3 +1213,156 @@ def test_delta_merge_rejects_null_keys(spark, tmp_path):
     changes = spark.createDataFrame([(None, 2.0, "u")], "k long, v double, _op string")
     with pytest.raises(ValueError, match="NULL merge key"):
         merge_delta_cdc(spark, path, changes, key="k")
+
+
+def test_delta_reader_protocol_guard(spark, tmp_path):
+    """Spec forward-compat obligation: refuse to read a table whose
+    protocol demands reader capabilities we don't implement (v2 column
+    mapping, v3 reader features like deletion vectors) instead of
+    silently reconstructing a wrong snapshot (e.g. resurrecting DV'd
+    rows)."""
+    import json as _json
+    import pathlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        DeltaProtocolError,
+        checkpoint_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "proto")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_delta_snapshot(df, path)  # v0: minReaderVersion=1
+    assert read_delta_snapshot(spark, path).count() == 10
+
+    log = pathlib.Path(path) / "_delta_log"
+
+    # a foreign writer upgrades the table to reader v3 + deletionVectors
+    (log / f"{1:020d}.json").write_text(
+        _json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }}) + "\n"
+    )
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        read_delta_snapshot(spark, path)
+    # time travel to BEFORE the upgrade still works (protocol at v0 is 1)
+    assert read_delta_snapshot(spark, path, version=0).count() == 10
+
+    # reader v2 (column mapping) is refused too
+    (log / f"{1:020d}.json").write_text(
+        _json.dumps({"protocol": {"minReaderVersion": 2,
+                                  "minWriterVersion": 5}}) + "\n"
+    )
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion=2"):
+        read_delta_snapshot(spark, path)
+
+    # the guard also runs on the checkpoint path: checkpoint BEFORE the
+    # upgrade, upgrade after it -> the resolved protocol still refuses
+    (log / f"{1:020d}.json").unlink()
+    checkpoint_delta(path)
+    (log / f"{1:020d}.json").write_text(
+        _json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"],
+        }}) + "\n"
+    )
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+        read_delta_snapshot(spark, path)
+
+
+def test_delta_checkpoint_carries_tombstones_and_configuration(spark, tmp_path):
+    """Delta checkpoint spec: unexpired remove tombstones and the
+    metaData.configuration map must be carried into the checkpoint so an
+    external spec reader reconstructs the same retention state as from
+    the JSON log."""
+    import pathlib
+
+    import pyarrow.parquet as papq
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        checkpoint_delta,
+        commit_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "tomb")
+    df = spark.range(40).select(F.col("id").alias("k"))
+    write_delta_snapshot(df, path)                            # v0
+    commit_delta(df.where("k < 5"), path, mode="overwrite")   # v1: removes v0 files
+    checkpoint_delta(path)
+
+    log = pathlib.Path(path) / "_delta_log"
+    t = papq.read_table(log / f"{1:020d}.checkpoint.parquet").to_pylist()
+    removes = [r["remove"] for r in t if r.get("remove")]
+    adds = [r["add"] for r in t if r.get("add")]
+    metas = [r["metaData"] for r in t if r.get("metaData")]
+    assert removes, "fresh remove tombstones must be carried"
+    assert all(r["deletionTimestamp"] is not None for r in removes)
+    # tombstoned paths are disjoint from live adds
+    assert {r["path"] for r in removes}.isdisjoint({a["path"] for a in adds})
+    assert metas and metas[0]["configuration"] is not None
+    # a reader going through this checkpoint still sees the right snapshot
+    assert read_delta_snapshot(spark, path).count() == 5
+
+    # an EXPIRED tombstone (retention 0) is dropped from the checkpoint
+    checkpoint_delta(path, tombstone_retention_ms=-1)
+    t2 = papq.read_table(log / f"{1:020d}.checkpoint.parquet").to_pylist()
+    assert not [r for r in t2 if r.get("remove")]
+
+
+def test_delta_vacuum_skips_staging_dirs(spark, tmp_path):
+    """A concurrent writer's in-flight _staging_* files are not yet
+    log-referenced but must survive VACUUM."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import vacuum_delta, write_delta_snapshot
+
+    path = str(tmp_path / "vacstage")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_delta_snapshot(df, path)
+    stage = pathlib.Path(path) / "_staging_v1-deadbeef"
+    stage.mkdir()
+    staged = stage / "part-inflight.parquet"
+    staged.write_bytes(b"PAR1fake")
+    res = vacuum_delta(path, keep_versions=1)
+    assert staged.exists()
+    assert "_staging_v1-deadbeef/part-inflight.parquet" not in res["deleted"]
+
+
+def test_iceberg_expire_commit_marker_blocks_race(spark, tmp_path):
+    """expire uses the same create-exclusive per-version marker as append:
+    a racing writer that already claimed the next metadata version makes
+    the expire fail loudly instead of last-writer-wins hint swapping."""
+    import pathlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        expire_iceberg_snapshots,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "iceexp")
+    df = spark.range(20).select(F.col("id").alias("k"))
+    write_iceberg_table(df, path)
+    append_iceberg_snapshot(df.where("k < 5"), path)
+    # simulate a concurrent writer having claimed the next version
+    meta_dir = pathlib.Path(path) / "metadata"
+    current = max(int(p.name.split("-", 1)[0])
+                  for p in meta_dir.glob("*.metadata.json"))
+    (meta_dir / f".commit-v{current + 1:05d}").touch()
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        expire_iceberg_snapshots(path, keep_last=1)

@@ -936,3 +936,22 @@ def test_global_running_sum_partition_invariance(spark):
             for r in global_running_sum(df, ["k"], "v", n_partitions=n).collect()
         }
         assert got == seq, f"n_partitions={n}"
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    """w=0 (NULL priority, silently dropped) and w<0 (u^(1/w)>1, silently
+    dominates) both corrupt the A-ES draw — they must fail loudly."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from evolution_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame([(1, 1.0), (2, 0.0)], "id long, w double")
+    with pytest.raises(PySparkException, match="non-positive weight"):
+        weighted_sample(df, "id", "w", 2).collect()
+    df2 = spark.createDataFrame([(1, 1.0), (2, -3.0)], "id long, w double")
+    with pytest.raises(PySparkException, match="non-positive weight"):
+        weighted_sample(df2, "id", "w", 2).collect()
+    # positive weights unaffected
+    df3 = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, w double")
+    assert weighted_sample(df3, "id", "w", 2).count() == 2
