@@ -47,6 +47,7 @@ def _coverage_priority() -> list[str]:
 
     last_round: dict[str, int] = {}
     last_green: dict[str, bool] = {}
+    last_rows_only: dict[str, bool] = {}
     for path in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
         try:
             rnd = int(path.stem.split("_r")[1])
@@ -60,6 +61,7 @@ def _coverage_priority() -> list[str]:
                 None,
                 "no_oracle",
             )
+            last_rows_only[name] = row.get("err") == "no_oracle"
 
     reg_order = {n: i for i, n in enumerate(QUERIES)}
 
@@ -68,6 +70,11 @@ def _coverage_priority() -> list[str]:
             return (0, 0, reg_order[name])          # failed last check: re-verify now
         if name not in last_round:
             return (1, 0, reg_order[name])          # never driver-checked
+        if last_rows_only.get(name) and name in ORACLES:
+            # last check was the weaker rows-only form but an oracle exists
+            # NOW (added after that check): promote so the hash check runs
+            # in the next prefix instead of waiting out the staleness queue
+            return (1, 0, reg_order[name])
         return (2, last_round[name], reg_order[name])  # green: stalest first
 
     return sorted(QUERIES, key=key)

@@ -401,7 +401,45 @@ def multimodal_bmp_features(spark, sf_dir):
     )
 
 
-@query("multimodal_dhash_neardup")
+def _dhash_planted_oracle() -> str:
+    """Closed-form oracle for multimodal_dhash_neardup: the payload set is
+    a pure function of doc_id (present as 0..47 at every sf), so the full
+    expected pair list is computable locally — same straight-line codec
+    (encode_bmp + dhash_bits) the distributed pipeline batches, ALL pairs
+    popcount-checked (coincidental near-dups would be enumerated too, not
+    just the planted ones). The SQL is a VALUES literal of that list,
+    which makes the driver check verify the distributed machinery end to
+    end: mapInPandas batching, the 4x16-bit band self-join, and the
+    candidate dedup."""
+    import numpy as np
+
+    from evolution_spark.operators.multimodal import dhash_bits, encode_bmp
+
+    hashes: dict[int, int] = {}
+    for i in range(48):
+        px = (
+            (np.arange(16 * 16 * 3, dtype=np.int64) * (i + 7)) % 241
+        ).astype(np.uint8).reshape(16, 16, 3)
+        hashes[i] = dhash_bits(encode_bmp(px))
+        if i % 8 == 0:
+            hashes[i + 100000] = dhash_bits(encode_bmp(px + 4))
+    ids = sorted(hashes)
+    rows = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            h = bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1")
+            if h <= 3:
+                rows.append(f"({a}, {b}, {h})")
+    values = ", ".join(rows)
+    return (
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, "
+        "CAST(hamming AS INT) AS hamming "
+        f"FROM (VALUES {values}) AS t(id_a, id_b, hamming) ORDER BY id_a, id_b"
+    )
+
+
+@query("multimodal_dhash_neardup", oracle=_dhash_planted_oracle())
 def multimodal_dhash_neardup(spark, sf_dir):
     """Perceptual image dedup on the REAL BMP codec: every 8th document id
     gets a +4-brightness copy of its synthesized image — byte-different,
@@ -410,8 +448,9 @@ def multimodal_dhash_neardup(spark, sf_dir):
     surfaces at hamming 0 through the banded near-dup join
     (operators/multimodal.dhash_images / dhash_near_dups).
 
-    No SQL oracle (binary image codec); rows-only driver check. Output is
-    deterministic: payloads are pure functions of media_id.
+    Oracle: closed-form VALUES list computed locally from the same pure
+    payload function (see _dhash_planted_oracle). Output is deterministic:
+    payloads are pure functions of media_id.
 
     Scale shape: hashing is partition-local mapInPandas (payload bytes
     never shuffle; 16-byte hashes do); candidate pairs come from 16-bit
