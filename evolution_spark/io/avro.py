@@ -287,11 +287,56 @@ def _header(avro_sch: dict, sync: bytes) -> bytes:
 # --------------------------------------------------------------------------
 
 
-def write_avro(df: DataFrame, path: str) -> list[tuple[str, int]]:
+_JVM_AVRO_CACHE: dict[str, bool] = {}
+
+
+def jvm_avro_available(spark) -> bool:
+    """True when the spark-avro datasource module is on the JVM classpath
+    (probed once per application via ``Class.forName``). When present, the
+    JVM columnar codec is strictly better than the pure-Python one — same
+    bytes, whole-stage speed — so the writers below prefer it; this
+    container ships only avro-core, so the probe returns False here and
+    the pure-Python path remains the tested default."""
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _JVM_AVRO_CACHE:
+        try:
+            # the exact resolution save()/load() perform — a bare
+            # Class.forName is NOT sufficient (avro classes can be present
+            # without the datasource being registered, as in this container)
+            spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                "avro", spark._jsparkSession.sessionState().conf()
+            )
+            _JVM_AVRO_CACHE[app_id] = True
+        except Exception:
+            _JVM_AVRO_CACHE[app_id] = False
+    return _JVM_AVRO_CACHE[app_id]
+
+
+def write_avro(
+    df: DataFrame, path: str, use_jvm: bool | None = None
+) -> list[tuple[str, int]]:
     """Write ``df`` as a directory of Avro container files, one per
     partition (tasks write independently; empty partitions write no
-    file). Returns ``[(file_path, n_rows), ...]``."""
+    file). Returns ``[(file_path, n_rows), ...]``.
+
+    Routing: when the spark-avro module is on the classpath (``use_jvm``
+    None = auto-probe), the write goes through ``.format("avro")`` — the
+    JVM columnar path, no Python in the row path; per-file row counts are
+    then reported as -1 (unknown without re-decoding — callers that need
+    them pass ``use_jvm=False``). Otherwise the pure-Python codec below
+    runs — the documented jar-less fallback, byte-validated against
+    avro-core in tests."""
     import pandas as pd
+
+    if use_jvm is None:
+        use_jvm = jvm_avro_available(df.sparkSession)
+    if use_jvm:
+        df.write.format("avro").mode("append").save(path)
+        return [
+            (os.path.join(path, f), -1)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".avro")
+        ]
 
     os.makedirs(path, exist_ok=True)
     avro_sch = avro_schema_of(df.schema)
@@ -376,17 +421,29 @@ def decode_avro_file(fp, session_tz: str = "UTC") -> tuple[dict, list[tuple]]:
     return avro_sch, rows
 
 
-def read_avro(spark, path: str, schema: StructType) -> DataFrame:
+def read_avro(
+    spark, path: str, schema: StructType, use_jvm: bool | None = None
+) -> DataFrame:
     """Distributed Avro source: file names list on the driver, decode in
     executors (one task per file — Avro blocks are splittable in principle,
     but one-file-per-write-partition keeps parts task-sized by
     construction, the same sizing contract as the IPC source).
 
-    Pass NULLABLE float fields in ``schema``: the pandas transport under
-    ``mapInPandas`` folds IEEE NaN to null in transit, so a non-nullable
-    double column containing NaN (legal in the file — see
-    ``_field_encoders``) cannot surface through this reader."""
+    Routing mirrors ``write_avro``: with spark-avro on the classpath
+    (``use_jvm`` None = auto-probe) the scan is ``.format("avro")`` —
+    columnar, splittable, no Python in the row path; otherwise the
+    pure-Python decoder runs under ``mapInPandas``.
+
+    On the Python path, pass NULLABLE float fields in ``schema``: the
+    pandas transport under ``mapInPandas`` folds IEEE NaN to null in
+    transit, so a non-nullable double column containing NaN (legal in the
+    file — see ``_field_encoders``) cannot surface through this reader."""
     import pandas as pd
+
+    if use_jvm is None:
+        use_jvm = jvm_avro_available(spark)
+    if use_jvm:
+        return spark.read.format("avro").schema(schema).load(path)
 
     files = sorted(
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")

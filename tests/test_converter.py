@@ -1366,3 +1366,43 @@ def test_iceberg_expire_commit_marker_blocks_race(spark, tmp_path):
     (meta_dir / f".commit-v{current + 1:05d}").touch()
     with pytest.raises(RuntimeError, match="concurrent commit"):
         expire_iceberg_snapshots(path, keep_last=1)
+
+
+def test_avro_jvm_routing_gate(spark, tmp_path):
+    """write_avro/read_avro prefer the JVM spark-avro datasource when it is
+    on the classpath and fall back to the pure-Python codec otherwise. In
+    either mode the round-trip must be lossless; when the JVM path is
+    active there must be no Python in the row path (no mapInPandas scan)."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.avro import jvm_avro_available, read_avro, write_avro
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.5).alias("v")
+    )
+    out = str(tmp_path / "route.avro")
+    available = jvm_avro_available(spark)
+    files = write_avro(df, out)  # auto-routed
+    assert files, "write must report the container files"
+    back = read_avro(spark, out, df.schema)
+    assert back.count() == 100
+    assert sorted(r.k for r in back.collect()) == list(range(100))
+
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    if available:
+        # jar present: columnar scan, no Python row path
+        assert "MapInPandas" not in plan
+        assert all(n >= 0 or n == -1 for _, n in files)
+    else:
+        # this container: pure-Python codec with exact per-file row counts
+        assert "MapInPandas" in plan
+        assert sum(n for _, n in files) == 100
+        # files must carry the Avro container magic (spec bytes, not pickle)
+        with open(files[0][0], "rb") as fh:
+            assert fh.read(4) == b"Obj\x01"
+
+    # the explicit python override works regardless of classpath
+    out2 = str(tmp_path / "route_py.avro")
+    files2 = write_avro(df, out2, use_jvm=False)
+    assert sum(n for _, n in files2) == 100
+    assert read_avro(spark, out2, df.schema, use_jvm=False).count() == 100

@@ -133,3 +133,28 @@ def test_count_triangles_known_graphs(spark):
     # path graph: none; duplicate/reversed edges must not inflate
     r = tri([(1, 2), (2, 3), (3, 2), (2, 1)])
     assert (r.n_edges, r.n_triangles) == (2, 0)
+
+
+def test_count_triangles_degree_vs_id_orientation(spark):
+    """The triangle count is identical under any total-order orientation;
+    only the wedge count differs. On a skewed graph (hub with the HIGHEST
+    id, so id-orientation points every spoke edge AT the hub and then
+    fans out), degree orientation must strictly reduce wedges."""
+    # hub 1000 with a MIDDLE id: 15 lower-id spokes point in under id
+    # order, 15 higher-id spokes point out -> 15*15=225 wedges route
+    # THROUGH the hub as middle vertex (the in*out inflation), plus the
+    # 0-1-2 triangle's 4. Degree orientation points every spoke edge INTO
+    # the max-degree hub -> hub out-degree 0 -> hub wedges vanish.
+    edges = (
+        [(s, 1000) for s in range(15)]
+        + [(1000, s) for s in range(2000, 2015)]
+        + [(0, 1), (1, 2), (0, 2)]
+    )
+    df = spark.createDataFrame(edges, "u long, v long")
+    r_deg = count_triangles(df, "u", "v", orient="degree").collect()[0]
+    r_id = count_triangles(df, "u", "v", orient="id").collect()[0]
+    assert r_deg.n_edges == r_id.n_edges == 33
+    # triangles: (0,1,2) + (0,1,hub) + (1,2,hub) + (0,2,hub)
+    assert r_deg.n_triangles == r_id.n_triangles == 4
+    assert r_id.n_wedges == 229      # hub-inflated
+    assert r_deg.n_wedges == 4       # skew engineered out

@@ -588,3 +588,49 @@ def test_delta_append_sink_exactly_once_and_time_travel(spark, stream_env, tmp_p
     assert sorted(r.event_id for r in v0.collect()) == [1, 2]
     # a different app_id has no txn history here
     assert last_txn_version(tbl, "other") is None
+
+
+def test_tws_processor_cloudpickle_roundtrip():
+    """The dynamically-built StatefulProcessor subclass must survive the
+    exact serialization Spark performs when shipping it to workers
+    (cloudpickle) — this is the protobuf-free repro of the descriptor bug:
+    copying __dict__/__weakref__ getset descriptors into the subclass
+    namespace makes cloudpickle raise. Runs without a streaming query, so
+    it covers the fix even in containers without protobuf."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    import cloudpickle
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from evolution_spark.streaming.events import _RunningTotalsProcessor
+
+    namespace = {
+        k: v
+        for k, v in _RunningTotalsProcessor.__dict__.items()
+        if k not in ("__dict__", "__weakref__")
+    }
+    proc = type("RunningTotalsProcessor", (StatefulProcessor,), namespace)()
+    blob = cloudpickle.dumps(proc)          # what Spark does at plan time
+    clone = cloudpickle.loads(blob)         # what the worker does
+
+    # behavioral check on the deserialized clone: drive handleInputRows
+    # with a fake ValueState and verify the running aggregate
+    class FakeState:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, v):
+            self.v = v
+
+    clone._agg = FakeState()
+    out1 = list(clone.handleInputRows(
+        ("u1",), iter([pd.DataFrame({"value": [1.0, 2.0]})]), None))
+    out2 = list(clone.handleInputRows(
+        ("u1",), iter([pd.DataFrame({"value": [4.0]})]), None))
+    assert out1[0].iloc[0]["n_events"] == 2
+    assert out2[0].iloc[0]["n_events"] == 3
+    assert out2[0].iloc[0]["total_value"] == 7.0
