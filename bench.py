@@ -123,6 +123,11 @@ BENCH_QUERIES = [
     "fulfillment_lag_percentiles",
     "zipf_exponent",
     "revenue_concentration",
+    # batch-12: round-5 additions (first-recorded = their baseline)
+    "referential_orphans_audit",
+    "event_value_outliers",
+    "session_path_topk",
+    "pit_join_scd2_purchases",
 ]
 
 

@@ -23,5 +23,6 @@ from evolution_spark.queries import ranking  # noqa: E402,F401
 from evolution_spark.queries import formats  # noqa: E402,F401
 from evolution_spark.queries import quality  # noqa: E402,F401
 from evolution_spark.queries import analytics  # noqa: E402,F401
+from evolution_spark.queries import analytics2  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query", "table"]

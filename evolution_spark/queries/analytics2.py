@@ -1,0 +1,271 @@
+"""Round-5 analytics battery: data-integrity auditing, anomaly scoring,
+user-journey path mining, and point-in-time dimension lookup.
+
+These fill the operational gaps a 100 TB ingest pipeline hits between the
+relational core and the curation stack: referential orphan auditing (did a
+partial load break FK integrity?), per-group z-score outliers (bad-sensor /
+fraud triage), sessionized path mining (what do users do first?), and the
+feature-store staple — "as of this fact's timestamp, what was the entity's
+dimension state?" over SCD2 intervals.
+
+All oracle-backed. Scale notes per query; none introduces a new shuffle
+shape — they compose the existing join/window/as-of machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from evolution_spark.operators.temporal import (
+    asof_join,
+    scd2_from_changelog,
+    sessionize,
+)
+from evolution_spark.queries.base import query, table
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit
+# --------------------------------------------------------------------------
+
+_FK_RELS = [
+    # (label, fact table, fact key, dim table, dim key)
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+_ORPHAN_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{label}' AS fk,
+       (SELECT COUNT(*) FROM {fact} f
+        WHERE NOT EXISTS (SELECT 1 FROM {dim} d WHERE d.{dk} = f.{fk}))
+         AS n_orphans,
+       (SELECT COUNT(*) FROM {fact}) AS n_rows"""
+    for label, fact, fk, dim, dk in _FK_RELS
+)
+
+
+@query(
+    "referential_orphans_audit",
+    oracle=f"SELECT fk, n_orphans, n_rows FROM ({_ORPHAN_ORACLE}) ORDER BY fk",
+)
+def referential_orphans_audit(spark, sf_dir):
+    """Foreign-key orphan audit across the four core relationships — the
+    post-load integrity gate a warehouse runs after every ingest (a
+    partial dimension load silently NULLs downstream joins; this surfaces
+    it as a count per relationship instead).
+
+    Scale: each relationship is fact LEFT ANTI dim-keys — the dim side is
+    reduced to its DISTINCT key column first, so even a billion-row
+    dimension ships only its key set through the join (broadcast when
+    small, shuffled-hash otherwise — Catalyst picks per AQE stats). The
+    fact side is one narrow scan per relationship; counts are map-side
+    partial aggregates."""
+    out = None
+    for label, fact, fk, dim, dk in _FK_RELS:
+        f_df = table(spark, sf_dir, fact).select(F.col(fk).alias("__k"))
+        d_keys = table(spark, sf_dir, dim).select(F.col(dk).alias("__k")).distinct()
+        orphans = f_df.join(d_keys, "__k", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        row = (
+            orphans.crossJoin(f_df.agg(F.count(F.lit(1)).alias("n_rows")))
+            .select(F.lit(label).alias("fk"), "n_orphans", "n_rows")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk")
+
+
+# --------------------------------------------------------------------------
+# Per-group z-score outliers
+# --------------------------------------------------------------------------
+
+
+@query(
+    "event_value_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.m) / s.sd, 3) AS z
+    FROM events e JOIN s USING (event_type)
+    ORDER BY ABS(ROUND((e.value - s.m) / s.sd, 3)) DESC, e.event_id
+    LIMIT 50
+    """,
+)
+def event_value_outliers(spark, sf_dir):
+    """Top-50 events by |z-score| of ``value`` within their event_type —
+    the standard per-segment anomaly triage (fraudulent amounts, broken
+    sensors) expressed without a window: group stats are one hash
+    aggregate (5 rows), broadcast back onto the stream, so the scoring
+    pass is narrow and the only ordering work is a TakeOrderedAndProject
+    top-50. z is rounded to 3 dp before ranking so cross-engine float-
+    summation drift (~1e-12) cannot reorder the cut."""
+    e = table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("__m"), F.stddev_samp("value").alias("__sd")
+    )
+    z = F.round((F.col("value") - F.col("__m")) / F.col("__sd"), 3)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .orderBy(F.abs(F.col("z")).desc(), "event_id")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionized path mining
+# --------------------------------------------------------------------------
+
+
+@query(
+    "session_path_topk",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM gaps
+    ),
+    rn AS (
+      SELECT user_id, session_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS r
+      FROM numbered
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY r) AS path
+      FROM rn WHERE r <= 3 GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def session_path_topk(spark, sf_dir):
+    """Top-20 opening paths (first three event types) across 30-minute-gap
+    sessions — "what do users do first?" journey mining. Uses the same
+    gap-sessionization convention as concurrent_sessions_peak.
+
+    Scale: one shuffle on user_id serves both window passes (gap flags and
+    per-session row numbers share the sort); the ≤3 rows kept per session
+    collapse into a path string via a size-3 in-memory sort, and the final
+    frequency count is a hash aggregate on short strings with a top-20
+    TakeOrderedAndProject — no global sort of sessions."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    numbered = sessionize(
+        e, key="user_id", ts_col="ts", gap_minutes=30, tiebreak="event_id"
+    )
+    w2 = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    first3 = numbered.withColumn("r", F.row_number().over(w2)).where(F.col("r") <= 3)
+    paths = first3.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("r", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time (PIT) dimension lookup over SCD2
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pit_join_scd2_purchases",
+    oracle="""
+    WITH np AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM np
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    ),
+    iv AS (
+      SELECT user_id, event_type AS status, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM changes
+    ),
+    p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.value, iv.status AS status_at_purchase
+    FROM p LEFT JOIN iv
+      ON iv.user_id = p.user_id
+     AND iv.valid_from <= p.ts
+     AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+    """,
+)
+def pit_join_scd2_purchases(spark, sf_dir):
+    """Point-in-time lookup: each purchase event joined to the user's
+    activity status (their SCD2 regime built from the NON-purchase event
+    stream) valid at the purchase timestamp — the feature-store staple
+    that prevents label leakage (training features must reflect dimension
+    state AS OF the fact, not today's).
+
+    Implementation: SCD2 intervals from scd2_from_changelog, then the
+    distributed as-of join (operators/temporal.asof_join) on
+    (user_id, ts): for contiguous non-overlapping intervals, "the latest
+    valid_from <= ts" IS the containing interval, so no interval-range
+    join is needed — one union + one keyed window pass, the same plan
+    shape that survives 100x (no per-interval fan-out). Purchases before
+    a user's first status regime surface with a NULL status, matching the
+    left-join oracle."""
+    e = table(spark, sf_dir, "events")
+    iv = scd2_from_changelog(
+        e.where(F.col("event_type") != "purchase").select(
+            "user_id", "ts", "event_id", "event_type"
+        ),
+        key="user_id",
+        order_col="ts",
+        attr_cols=["event_type"],
+        tiebreak="event_id",
+    ).select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.col("event_type").alias("status_at_purchase"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(purchases, iv, on="ts", by="user_id", direction="backward")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "value",
+        "status_at_purchase",
+    )

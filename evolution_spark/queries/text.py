@@ -889,12 +889,21 @@ def winnow_fingerprints(spark, sf_dir):
     the full hash stream. Reported per doc: distinct-fingerprint count and
     min/max (an engine-neutral digest of the selected set).
 
-    Scale: the gram explosion is O(chars) rows but stays partition-local
-    until one window shuffle on doc_id (windows partition by doc — no
-    global ordering); the hash is the md5-prefix integer primitive shared
-    with MinHash, bit-identical in DuckDB. Window starts are clamped to
-    full windows (i >= w) so both engines select over identical frames."""
-    d = table(spark, sf_dir, "documents").where(F.length("text") >= 4)
+    Scale: the ONE exchange runs on the raw text, not the gram stream —
+    repartitioning by doc_id BEFORE the explode satisfies the window's
+    hash-partitioning requirement, so the O(chars) gram rows (~20x the
+    text bytes once (doc_id, i, hash) tuples replace characters) never
+    shuffle, and the explode's parallelism no longer depends on input
+    file splits (a single-file table would otherwise run the whole gram
+    generation in one task). The hash is the md5-prefix integer primitive
+    shared with MinHash, bit-identical in DuckDB. Window starts are
+    clamped to full windows (i >= w) so both engines select over
+    identical frames."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 4)
+        .repartition("doc_id")
+    )
     grams = d.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.length("text") - 3)).alias("i"),

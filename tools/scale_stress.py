@@ -1,0 +1,164 @@
+"""One-tier-up scale stress: the FLF convert and the dedup/ANN headliners
+at ~10x the bench scale (sf0.1 x 10 ~= sf1-equivalent).
+
+The per-round bench (bench.py at sf0.1) verifies per-query steady state;
+this script anchors the 100 TB plan-shape arguments with one real
+order-of-magnitude data point: if a headliner's wall time grows ~10x or
+less when the data grows 10x, its plan is scan/shuffle-linear as claimed;
+superlinear growth exposes a hidden quadratic (e.g. an uncapped candidate
+join).
+
+Method: the sf0.1 documents/embeddings tables are replicated 10x into a
+temp dir under the SAME file names, each replica's ids offset by 10^7 and
+its text/vector deterministically perturbed (texts gain a replica token so
+replicas are near- but not exact-duplicates — the adversarial case for
+LSH banding; vectors gain a tiny per-replica bias). The registered QUERIES
+callables then run unchanged against that dir, timed with the same noop
+sink + min-of-N protocol as bench.py. FLF runs the bench schema at 10M
+rows (10x bench's 1M).
+
+Usage: python tools/scale_stress.py  [--reps 2]
+Prints one JSON line: {"sf_equiv": 1.0, "queries": {...}, "flf": {...}}
+Results are recorded in BASELINE.md (v2.0 section).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPLICAS = 10
+ID_STRIDE = 10_000_000
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINERS = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "semdedup_prune_summary",
+    "winnow_fingerprints",
+    "knn_bruteforce_cosine",
+    "ivf_pq_topk",
+    "ivf_pq_topk_partitioned",
+]
+
+
+def replicate_tables(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    reps = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("__rep")
+
+    docs = spark.read.parquet(f"{BASE_SF_DIR}/documents.parquet")
+    (
+        docs.select("*", reps)
+        .select(
+            (F.col("doc_id") + F.col("__rep") * ID_STRIDE).alias("doc_id"),
+            # replica token -> near-duplicates across replicas, not exact:
+            # stresses the LSH/banded joins instead of the trivial hash path
+            F.concat(
+                F.col("text"), F.lit(" r"), F.col("__rep").cast("string")
+            ).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + 3).alias("n_chars"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
+    )
+
+    emb = spark.read.parquet(f"{BASE_SF_DIR}/embeddings.parquet")
+    (
+        emb.select("*", reps)
+        .select(
+            (F.col("vec_id") + F.col("__rep") * ID_STRIDE).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (x + F.col("__rep").cast("float") * F.lit(1e-4)).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+            "label",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/embeddings.parquet")
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=2, help="timed passes (min taken)")
+    args = ap.parse_args()
+
+    from evolution_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="evolution-scale-stress", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from evolution_spark.queries import QUERIES
+
+    def run_noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    out = {"sf_equiv": 1.0, "replicas": REPLICAS, "queries": {}, "flf": {}}
+    tmp = tempfile.mkdtemp(prefix="evoscale-")
+    try:
+        t0 = time.perf_counter()
+        replicate_tables(spark, tmp)
+        out["replicate_s"] = round(time.perf_counter() - t0, 2)
+
+        for name in HEADLINERS:
+            run_noop(QUERIES[name](spark, tmp))  # warmup (codegen/JIT)
+            samples = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                run_noop(QUERIES[name](spark, tmp))
+                samples.append(time.perf_counter() - t0)
+            out["queries"][name] = round(min(samples), 3)
+
+        # FLF at 10M rows (bench schema, 10x bench volume)
+        from evolution_spark.converter import Converter
+        from evolution_spark.mocker import Mocker
+        from evolution_spark.schema import FixedSchema
+
+        sch = FixedSchema.from_dict(
+            {"name": "Bench", "version": 1, "columns": [
+                {"name": "id", "offset": 0, "length": 12, "dtype": "Int64",
+                 "is_nullable": False},
+                {"name": "name", "offset": 12, "length": 16, "dtype": "Utf8",
+                 "is_nullable": False},
+                {"name": "score", "offset": 28, "length": 16, "dtype": "Float64",
+                 "is_nullable": True},
+                {"name": "flag", "offset": 44, "length": 6, "dtype": "Boolean",
+                 "is_nullable": True},
+            ]}
+        )
+        Mocker(sch, 1_000_000, f"{tmp}/warm.flf", seed=7).run(spark)
+        Converter(f"{tmp}/warm.flf", sch, f"{tmp}/warm.parquet").run(spark)
+        t0 = time.perf_counter()
+        Mocker(sch, 10_000_000, f"{tmp}/mock10m.flf", seed=42).run(spark)
+        out["flf"]["mock_10m_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        Converter(f"{tmp}/mock10m.flf", sch, f"{tmp}/out10m.parquet").run(spark)
+        out["flf"]["convert_10m_s"] = round(time.perf_counter() - t0, 2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    sys.stdout.write("\n" + json.dumps(out) + "\n")
+    sys.stdout.flush()
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
