@@ -515,6 +515,13 @@ def write_iceberg_table(
     }
 
 
+class IcebergFormatError(RuntimeError):
+    """Raised when a table's metadata demands reader capabilities this
+    implementation does not have (format-version above 2, or row-level
+    delete files). Mirrors ``delta_log.DeltaProtocolError``: refusing
+    loudly beats silently resurrecting deleted rows."""
+
+
 def read_iceberg_table(spark, path: str, snapshot_id: int | None = None) -> DataFrame:
     """Open an Iceberg table by replaying its metadata chain — version
     hint -> table metadata -> current snapshot -> manifest list ->
@@ -524,11 +531,23 @@ def read_iceberg_table(spark, path: str, snapshot_id: int | None = None) -> Data
     the hive paths under ``basePath`` with the schema's declared types.
     ``snapshot_id`` time-travels to any snapshot in the table's history
     (appends never rewrite old manifests, so the historical file lists
-    are still intact)."""
+    are still intact).
+
+    Forward-compat guard (the spec's reader obligation): refuses
+    ``format-version`` > 2, DELETE manifests (manifest-list
+    ``content=1``), and position/equality delete files (data-file
+    ``content`` 1/2) — a foreign v2 writer's row-level deletes would
+    otherwise be silently ignored and deleted rows would resurrect."""
     table_dir = Path(path)
     meta_dir = table_dir / "metadata"
     hint = (meta_dir / "version-hint.text").read_text().strip()
     metadata = json.loads((meta_dir / hint).read_text())
+    fv = int(metadata.get("format-version", 1))
+    if fv > 2:
+        raise IcebergFormatError(
+            f"table format-version {fv} exceeds the implemented version 2 — "
+            "refusing to read rather than dropping v3 semantics"
+        )
     current = snapshot_id if snapshot_id is not None else metadata["current-snapshot-id"]
     try:
         snapshot = next(
@@ -539,9 +558,21 @@ def read_iceberg_table(spark, path: str, snapshot_id: int | None = None) -> Data
         raise ValueError(f"snapshot {current} not in table history {known}") from None
     files: list[str] = []
     for mf in _read_avro(Path(snapshot["manifest-list"])):
+        if int(mf.get("content") or 0) != 0:  # 1 = DELETES manifest
+            raise IcebergFormatError(
+                f"snapshot {current} carries a row-level DELETE manifest "
+                f"({mf['manifest_path']}); this reader implements data "
+                "manifests only — reading on would resurrect deleted rows"
+            )
         for entry in _read_avro(Path(mf["manifest_path"])):
             if entry["status"] != 2:  # not DELETED
-                files.append(entry["data_file"]["file_path"])
+                dfile = entry["data_file"]
+                if int(dfile.get("content") or 0) != 0:  # 1/2 = pos/eq deletes
+                    raise IcebergFormatError(
+                        f"data file {dfile['file_path']} has content="
+                        f"{dfile['content']} (row-level deletes); unsupported"
+                    )
+                files.append(dfile["file_path"])
     ice_schema = next(
         s for s in metadata["schemas"] if s["schema-id"] == metadata["current-schema-id"]
     )

@@ -40,3 +40,51 @@ def test_expire_noop_and_guards(spark, tmp_path):
     assert expire_iceberg_snapshots(path, keep_last=3)["expired"] == []
     with pytest.raises(ValueError, match="keep_last"):
         expire_iceberg_snapshots(path, keep_last=0)
+
+
+def test_iceberg_reader_format_guard(spark, tmp_path):
+    """Spec forward-compat: refuse format-version 3 tables and snapshots
+    carrying row-level DELETE manifests instead of silently resurrecting
+    deleted rows (the Iceberg twin of the Delta protocol guard)."""
+    import json as _json
+    import pathlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        IcebergFormatError,
+        _read_avro,
+        _write_avro,
+        read_iceberg_table,
+        write_iceberg_table,
+        _MANIFEST_LIST_SCHEMA,
+    )
+
+    path = str(tmp_path / "iceguard")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_iceberg_table(df, path)
+    assert read_iceberg_table(spark, path).count() == 10
+
+    meta_dir = pathlib.Path(path) / "metadata"
+    hint = (meta_dir / "version-hint.text").read_text().strip()
+    meta_file = meta_dir / hint
+    metadata = _json.loads(meta_file.read_text())
+
+    # a foreign writer upgrades the table to format-version 3
+    v3 = dict(metadata, **{"format-version": 3})
+    meta_file.write_text(_json.dumps(v3))
+    with pytest.raises(IcebergFormatError, match="format-version 3"):
+        read_iceberg_table(spark, path)
+    meta_file.write_text(_json.dumps(metadata))  # restore
+
+    # a foreign v2 writer adds a DELETE manifest to the snapshot
+    snap = metadata["snapshots"][-1]
+    mlist = pathlib.Path(snap["manifest-list"])
+    entries = _read_avro(mlist)
+    del_entry = dict(entries[0])
+    del_entry["content"] = 1  # DELETES
+    _write_avro(mlist, _MANIFEST_LIST_SCHEMA, entries + [del_entry],
+                meta={"format-version": "2"})
+    with pytest.raises(IcebergFormatError, match="DELETE manifest"):
+        read_iceberg_table(spark, path)
