@@ -585,3 +585,46 @@ def test_inverted_index_postings_capped_before_collect(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "inverted_index_postings")
     assert "row_number()" in plan
     assert "rn#" in plan or "<= 50" in plan.replace("(", " ").replace(")", " ")
+
+
+def test_winnow_single_exchange_pre_explode(spark, sf_dir):
+    """winnow's only exchange must be the PRE-explode doc_id repartition:
+    the gram stream (~20x the text bytes) never shuffles, and explode
+    parallelism is independent of input file splits."""
+    plan = plan_of(spark, sf_dir, "winnow_fingerprints")
+    assert plan.count("Exchange") == 1
+    # the exchange must sit below (after, in toString order) the generator:
+    # toString prints top-down, so Generate (explode) appears BEFORE the
+    # Exchange line only if the shuffle feeds the explode
+    assert "Generate explode" in plan
+    assert plan.index("Generate explode") < plan.index("Exchange")
+
+
+def test_event_value_outliers_broadcast_and_topk(spark, sf_dir):
+    """Group stats broadcast back onto the stream (no window over raw
+    events) and the ranking is a distributed top-50, not a global sort."""
+    plan = plan_of(spark, sf_dir, "event_value_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_session_path_topk_shares_session_sort(spark, sf_dir):
+    """Path mining tops out as TakeOrderedAndProject; the session windows
+    run over user_id partitioning, never a global (empty-partition)
+    window."""
+    plan = plan_of(spark, sf_dir, "session_path_topk")
+    assert "TakeOrderedAndProject" in plan
+    window_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert window_lines, "expected keyed window passes"
+    assert all("user_id" in l for l in window_lines), window_lines
+    # the r <= 3 filter is pushed into the window as a group limit
+    assert "WindowGroupLimit" in plan
+
+
+def test_referential_audit_anti_joins(spark, sf_dir):
+    """Each FK relationship audits via LEFT ANTI against the distinct dim
+    key set — no cartesian products beyond the single-row count stitches."""
+    plan = plan_of(spark, sf_dir, "referential_orphans_audit")
+    assert plan.count("LeftAnti") == 4
+    assert "CartesianProduct" not in plan
