@@ -208,7 +208,13 @@ def count_triangles(
     (only n_wedges differs), which the equivalence test asserts."""
     if orient not in ("degree", "id"):
         raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # materialized once AT THE INPUT BOUNDARY: the edge list is referenced
+    # twice by the symmetrization union and (via sym) by the degree table
+    # and orientation join — without the cut every reference re-derives the
+    # full upstream, and for a projected similarity graph that upstream is
+    # the expensive bipartite self-join (measured: 184 MiB re-read on the
+    # co-purchase query before this cut)
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     if orient == "degree":
         # undirected degree per vertex (sym carries both directions, so a

@@ -35,7 +35,12 @@ AUDITED = {
     "pagerank_order_graph": "per-iteration (id, rank) exchanges only; edges checkpointed once",
     "skyline_pareto_parts": "one narrow (price, size) range shuffle + semi-join of survivors",
     "markov_event_transitions": "one events shuffle on user_id; pair counts are domain-sized",
-    "winnow_fingerprints": "O(chars) gram rows, one doc_id window shuffle, agg rows out",
+    "winnow_fingerprints": "single PRE-explode text shuffle; gram stream never moves",
+    "referential_orphans_audit": "anti joins ship distinct dim keys; fact side scans narrow",
+    "event_value_outliers": "5-row stats broadcast; events scan narrow, top-50 heaps out",
+    "session_path_topk": "one events shuffle on user_id; path counts are domain-sized",
+    "pit_join_scd2_purchases": "one (user_id) union shuffle for the as-of fill",
+    "triangle_count_copurchase": "degree-oriented edges; wedge join ships id pairs only",
 }
 
 
