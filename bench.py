@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "event_value_outliers",
     "session_path_topk",
     "pit_join_scd2_purchases",
+    "bfs_khop_reach",
 ]
 
 

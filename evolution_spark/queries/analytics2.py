@@ -269,3 +269,67 @@ def pit_join_scd2_purchases(spark, sf_dir):
         "value",
         "status_at_purchase",
     )
+
+
+# --------------------------------------------------------------------------
+# k-hop BFS reach (blast radius / neighborhood size)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "bfs_khop_reach",
+    oracle="""
+    WITH RECURSIVE cs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT c * 2 AS u, s * 2 + 1 AS v FROM cs
+      UNION ALL
+      SELECT s * 2 + 1, c * 2 FROM cs
+    ),
+    reach(node, hop) AS (
+        SELECT CAST(2 AS BIGINT), 0
+      UNION
+        SELECT e.v, r.hop + 1
+        FROM reach r JOIN edges e ON e.u = r.node
+        WHERE r.hop < 3
+    ),
+    minhop AS (SELECT node, MIN(hop) AS hop FROM reach GROUP BY node)
+    SELECT hop,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           COUNT(*) AS n_nodes
+    FROM minhop GROUP BY hop, kind ORDER BY hop, kind
+    """,
+)
+def bfs_khop_reach(spark, sf_dir):
+    """3-hop breadth-first reach from customer 1 over the bipartite
+    customer<->supplier purchase graph: how many customers/suppliers are
+    first reached at each hop (hop 1 = their suppliers, hop 2 = customers
+    sharing a supplier, hop 3 = those customers' other suppliers) — the
+    blast-radius / neighborhood-size query behind recall expansion and
+    contagion analysis.
+
+    Scale: operators/graph.bfs_khops — each round shuffles only the
+    frontier's ids through one edge join (Pregel frontier discipline; the
+    visited set never moves). Node ids stay BIGINT through the loop
+    (customer k -> 2k, supplier k -> 2k+1, PageRank's encoding); kind
+    labels decode only in the final aggregation. The oracle is a bounded
+    recursive CTE with min-hop fold."""
+    from evolution_spark.operators.graph import bfs_khops
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        (F.col("o_custkey") * 2).alias("u"),
+        (F.col("l_suppkey") * 2 + 1).alias("v"),
+    )
+    edges = cs.union(cs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sources = spark.range(1).select((F.lit(2)).cast("long").alias("node"))
+    vis = bfs_khops(edges, sources, max_hops=3, src="u", dst="v")
+    kind = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
+    return (
+        vis.groupBy("hop", kind.alias("kind"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("hop", "kind")
+    )

@@ -158,3 +158,24 @@ def test_count_triangles_degree_vs_id_orientation(spark):
     assert r_deg.n_triangles == r_id.n_triangles == 4
     assert r_id.n_wedges == 229      # hub-inflated
     assert r_deg.n_wedges == 4       # skew engineered out
+
+
+def test_bfs_khops_min_hop_semantics(spark):
+    """hop = FIRST round that reaches the node, even when longer paths
+    exist; unreached nodes are absent; sources are hop 0."""
+    from evolution_spark.operators.graph import bfs_khops
+
+    # 1 -> 2 -> 3 -> 4, plus shortcut 1 -> 3, and island 9 -> 10
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (9, 10)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.hop for r in bfs_khops(edges, sources, 3).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}  # 3 via shortcut, 4 via 3
+    # hop budget cuts the frontier
+    got2 = {r.node: r.hop for r in bfs_khops(edges, sources, 1).collect()}
+    assert got2 == {1: 0, 2: 1, 3: 1}
+    # directedness: nothing reaches the island; reverse edges not followed
+    sources_b = spark.createDataFrame([(4,)], "node long")
+    got3 = {r.node: r.hop for r in bfs_khops(edges, sources_b, 3).collect()}
+    assert got3 == {4: 0}
