@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "session_path_topk",
     "pit_join_scd2_purchases",
     "bfs_khop_reach",
+    "winsorize_event_values",
+    "seasonal_decompose_orders",
 ]
 
 

@@ -1,15 +1,19 @@
 """Round-5 analytics battery: data-integrity auditing, anomaly scoring,
-user-journey path mining, and point-in-time dimension lookup.
+user-journey path mining, point-in-time dimension lookup, k-hop graph
+reach, robust winsorization, and seasonal decomposition.
 
 These fill the operational gaps a 100 TB ingest pipeline hits between the
 relational core and the curation stack: referential orphan auditing (did a
 partial load break FK integrity?), per-group z-score outliers (bad-sensor /
-fraud triage), sessionized path mining (what do users do first?), and the
+fraud triage), sessionized path mining (what do users do first?), the
 feature-store staple — "as of this fact's timestamp, what was the entity's
-dimension state?" over SCD2 intervals.
+dimension state?" over SCD2 intervals — BFS blast radius over the purchase
+graph, percentile clamping for robust features, and trend/seasonal/residual
+splits of metric series.
 
-All oracle-backed. Scale notes per query; none introduces a new shuffle
-shape — they compose the existing join/window/as-of machinery.
+All oracle-backed (the BFS oracle is a bounded recursive CTE). Scale notes
+per query; none introduces a new shuffle shape beyond the Pregel frontier
+loop — they compose the existing join/window/as-of machinery.
 """
 
 from __future__ import annotations
@@ -332,4 +336,168 @@ def bfs_khop_reach(spark, sf_dir):
         vis.groupBy("hop", kind.alias("kind"))
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("hop", "kind")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rank-based winsorization (outlier clamping)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "winsorize_event_values",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    cuts AS (
+      SELECT event_type,
+             MAX(CASE WHEN r = GREATEST(CAST(CEIL(0.05 * n) AS BIGINT), 1)
+                      THEN value END) AS lo,
+             MAX(CASE WHEN r = CAST(CEIL(0.95 * n) AS BIGINT)
+                      THEN value END) AS hi
+      FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(c.lo, 2) AS lo, ROUND(c.hi, 2) AS hi,
+           CAST(SUM(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_low,
+           CAST(SUM(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_high,
+           ROUND(AVG(e.value), 2) AS mean_before,
+           ROUND(AVG(LEAST(GREATEST(e.value, c.lo), c.hi)), 2) AS mean_after
+    FROM events e JOIN cuts c USING (event_type)
+    GROUP BY e.event_type, c.lo, c.hi ORDER BY e.event_type
+    """,
+)
+def winsorize_event_values(spark, sf_dir):
+    """Winsorization (outlier clamping to the 5th/95th percentile) of
+    event values per event_type — the standard robust-feature cleaning
+    step before training. Cutoffs use the NEAREST-RANK percentile
+    definition (the value at row ceil(q*n) of the sorted group) instead
+    of interpolation: rank selection is integer-exact, so both engines
+    pick the identical raw value and there is NO cross-engine float-
+    interpolation drift in the cut itself.
+
+    Scale: one window pass per group for ranks (same shuffle as any
+    per-key sort), cutoffs collapse to one row per group and broadcast
+    back; the clamp is a narrow LEAST/GREATEST projection. At 100 TB the
+    rank pass is the cost of one sort-shuffle of (type, value, id)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    cuts = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("r")
+                == F.greatest(F.ceil(0.05 * F.col("n")).cast("long"), F.lit(1)),
+                F.col("value"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("r") == F.ceil(0.95 * F.col("n")).cast("long"), F.col("value"))
+        ).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", F.round("lo", 2).alias("lo"), F.round("hi", 2).alias("hi"))
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias(
+                "n_clamped_low"
+            ),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).alias(
+                "n_clamped_high"
+            ),
+            F.round(F.avg("value"), 2).alias("mean_before"),
+            F.round(F.avg(clamped), 2).alias("mean_after"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Moving-average seasonal decomposition
+# --------------------------------------------------------------------------
+
+
+@query(
+    "seasonal_decompose_orders",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT d, revenue,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN AVG(revenue) OVER w END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    s AS (
+      SELECT dayofweek(d) AS dow, AVG(revenue - trend) AS seasonal
+      FROM t WHERE trend IS NOT NULL GROUP BY 1
+    )
+    SELECT strftime(t.d, '%Y-%m-%d') AS day, ROUND(t.revenue, 2) AS revenue,
+           ROUND(t.trend, 2) AS trend,
+           ROUND(s.seasonal, 2) AS seasonal,
+           ROUND(t.revenue - t.trend - s.seasonal, 2) AS residual
+    FROM t JOIN s ON s.dow = dayofweek(t.d)
+    WHERE t.trend IS NOT NULL
+    """,
+)
+def seasonal_decompose_orders(spark, sf_dir):
+    """Classical moving-average decomposition of the daily order-revenue
+    series: trend = centered 7-day moving average (full windows only),
+    seasonal = mean detrended value per day-of-week, residual = the rest —
+    the first-pass seasonality/anomaly split for any metric series.
+
+    Scale: the raw scan collapses to ONE row per day in a hash aggregate
+    before any window runs, so the global-ordering window operates on the
+    domain-sized daily series (thousands of rows per decade) — the same
+    post-agg-global-window pattern as equidepth_histogram, never a global
+    sort of raw orders. Day-of-week seasonal means broadcast back onto
+    the series."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    t = daily.select(
+        "d",
+        "revenue",
+        F.when(F.count(F.lit(1)).over(w) == 7, F.avg("revenue").over(w)).alias(
+            "trend"
+        ),
+    ).where(F.col("trend").isNotNull())
+    # Spark dayofweek: 1=Sunday..7=Saturday — same as DuckDB's dayofweek+1;
+    # align by computing DuckDB-style (0=Sunday..6=Saturday) explicitly
+    dow = F.dayofweek("d") - 1
+    s = (
+        t.groupBy(dow.alias("dow"))
+        .agg(F.avg(F.col("revenue") - F.col("trend")).alias("seasonal"))
+    )
+    return (
+        t.withColumn("dow", dow)
+        .join(F.broadcast(s), "dow")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round("revenue", 2).alias("revenue"),
+            F.round("trend", 2).alias("trend"),
+            F.round("seasonal", 2).alias("seasonal"),
+            F.round(
+                F.col("revenue") - F.col("trend") - F.col("seasonal"), 2
+            ).alias("residual"),
+        )
     )
