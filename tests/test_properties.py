@@ -168,6 +168,12 @@ _INVARIANCE_QUERIES = [
     "ivf_pq_rerank_topk",
     "source_quota_sample",
     "count_min_heavy_hitters",
+    # round-5 operators: frontier BFS, rank-based cuts, and top-k paths
+    # must be partition-count independent
+    "bfs_khop_reach",
+    "winsorize_event_values",
+    "session_path_topk",
+    "event_value_outliers",
 ]
 
 
