@@ -29,6 +29,10 @@ AUDITED = {
     "skyline_pareto_parts": "range exchange + boundary-carry windows; no quadratic join",
     "weighted_sample_docs": "A-ES priority top-k as TakeOrderedAndProject, all JVM-side",
     "inverted_index_postings": "rn<=50 cap filters under the window before collect_list",
+    "winnow_fingerprints": "single PRE-explode exchange; gram stream never shuffles",
+    "event_value_outliers": "broadcast group stats; TakeOrderedAndProject top-50",
+    "referential_orphans_audit": "four LeftAnti joins on distinct dim keys",
+    "winsorize_event_values": "rank window + broadcast cutoffs + narrow clamp",
 }
 
 
