@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "bfs_khop_reach",
     "winsorize_event_values",
     "seasonal_decompose_orders",
+    "cusum_changepoint_revenue",
+    "ab_test_event_values",
 ]
 
 

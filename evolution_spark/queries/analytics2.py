@@ -501,3 +501,125 @@ def seasonal_decompose_orders(spark, sf_dir):
             ).alias("residual"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cusum_changepoint_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    m AS (SELECT AVG(revenue) AS mu FROM daily),
+    c AS (
+      SELECT d, revenue,
+             SUM(revenue - m.mu) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      FROM daily, m
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, ROUND(revenue, 2) AS revenue,
+           ROUND(cusum, 2) AS cusum
+    FROM c ORDER BY ABS(ROUND(cusum, 2)) DESC, day LIMIT 5
+    """,
+)
+def cusum_changepoint_revenue(spark, sf_dir):
+    """CUSUM change-point scan of daily order revenue: cumulative sum of
+    deviations from the series mean; the |CUSUM| peak is the classic
+    single-change-point estimate (where the level shift most likely
+    happened). Top-5 candidate days.
+
+    Scale: raw orders collapse to one row per day BEFORE any ordering
+    (hash aggregate), so the global running sum operates on the
+    domain-sized daily series — the same post-agg pattern as
+    seasonal_decompose_orders; the mean is a 1-row broadcast. CUSUM adds
+    in day order in both engines, so summation order is identical and
+    2 dp rounding absorbs the remaining associativity drift."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    mu = daily.agg(F.avg("revenue").alias("mu"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.crossJoin(F.broadcast(mu)).select(
+        "d",
+        "revenue",
+        F.sum(F.col("revenue") - F.col("mu")).over(w).alias("cusum"),
+    )
+    return (
+        c.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round("revenue", 2).alias("revenue"),
+            F.round("cusum", 2).alias("cusum"),
+        )
+        .orderBy(F.abs(F.col("cusum")).desc(), "day")
+        .limit(5)
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-sample z-test (A/B comparison)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ab_test_event_values",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, COUNT(*) AS n, AVG(value) AS m,
+             VAR_SAMP(value) AS v
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY event_type
+    ),
+    a AS (SELECT * FROM g WHERE event_type = 'click'),
+    b AS (SELECT * FROM g WHERE event_type = 'view')
+    SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           ROUND(a.m, 4) AS mean_a, ROUND(b.m, 4) AS mean_b,
+           ROUND(a.m - b.m, 4) AS diff,
+           ROUND(SQRT(a.v / a.n + b.v / b.n), 4) AS se,
+           ROUND((a.m - b.m) / SQRT(a.v / a.n + b.v / b.n), 4) AS z,
+           ABS((a.m - b.m) / SQRT(a.v / a.n + b.v / b.n)) > 1.96
+             AS significant
+    FROM a, b
+    """,
+)
+def ab_test_event_values(spark, sf_dir):
+    """Two-sample z-test comparing mean event value between the 'click'
+    and 'view' arms — the A/B readout every experimentation platform
+    reduces to: difference of means over the pooled standard error, with
+    the |z| > 1.96 (95%) significance verdict.
+
+    Scale: the entire test is TWO aggregate rows (n, mean, variance per
+    arm) joined on nothing — one scan with map-side partial aggregates,
+    then driver-sized arithmetic. Nothing about this changes at 100 TB
+    except the scan."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = g.where(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"), F.col("v").alias("v_a")
+    )
+    b = g.where(F.col("event_type") == "view").select(
+        F.col("n").alias("n_b"), F.col("m").alias("m_b"), F.col("v").alias("v_b")
+    )
+    se = F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b"))
+    z = (F.col("m_a") - F.col("m_b")) / se
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round(F.col("m_a") - F.col("m_b"), 4).alias("diff"),
+        F.round(se, 4).alias("se"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
