@@ -176,16 +176,9 @@ def main() -> int:
     # FLF conversion throughput: mock 1M rows -> FLF, then convert -> parquet
     from evolution_spark.converter import Converter
     from evolution_spark.mocker import Mocker
-    from evolution_spark.schema import FixedSchema
+    from evolution_spark.schema import BENCH_FLF_SCHEMA_DICT, FixedSchema
 
-    sch = FixedSchema.from_dict(
-        {"name": "Bench", "version": 1, "columns": [
-            {"name": "id", "offset": 0, "length": 12, "dtype": "Int64", "is_nullable": False},
-            {"name": "name", "offset": 12, "length": 16, "dtype": "Utf8", "is_nullable": False},
-            {"name": "score", "offset": 28, "length": 16, "dtype": "Float64", "is_nullable": True},
-            {"name": "flag", "offset": 44, "length": 6, "dtype": "Boolean", "is_nullable": True},
-        ]}
-    )
+    sch = FixedSchema.from_dict(BENCH_FLF_SCHEMA_DICT)
     tmp = tempfile.mkdtemp(prefix="evobench-")
     try:
         # Warmup at 1/10 size: absorbs the one-time codegen/JIT of the mock

@@ -331,11 +331,19 @@ def write_avro(
     if use_jvm is None:
         use_jvm = jvm_avro_available(df.sparkSession)
     if use_jvm:
+        # snapshot pre-existing files so the return value covers exactly
+        # THIS write's output (append onto an existing dataset must not
+        # report another commit's files as ours)
+        before = (
+            {f for f in os.listdir(path) if f.endswith(".avro")}
+            if os.path.isdir(path)
+            else set()
+        )
         df.write.format("avro").mode("append").save(path)
         return [
             (os.path.join(path, f), -1)
             for f in sorted(os.listdir(path))
-            if f.endswith(".avro")
+            if f.endswith(".avro") and f not in before
         ]
 
     os.makedirs(path, exist_ok=True)

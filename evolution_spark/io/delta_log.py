@@ -86,6 +86,65 @@ def _check_reader_protocol(protocol: dict | None) -> None:
     )
 
 
+# Writer capabilities this module actually implements: plain append/
+# overwrite/replace commits with add/remove/txn/commitInfo actions
+# (writer version 2's appendOnly/invariants obligations are trivially met
+# because this module never writes those table properties itself — but a
+# FOREIGN table may carry them, and higher versions gate CHECK
+# constraints, generated columns, DV maintenance etc. that we'd silently
+# violate on write).
+SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset()
+
+
+def _check_writer_protocol(protocol: dict | None) -> None:
+    """Enforce the Delta protocol's writer obligation before committing: a
+    client MUST NOT write to a table whose ``minWriterVersion`` (or, for
+    writer version 7, whose ``writerFeatures`` set) exceeds what it
+    implements — e.g. appending to a table with CHECK constraints without
+    validating them corrupts the table's invariants silently."""
+    if not protocol:
+        return
+    v = int(protocol.get("minWriterVersion", 1))
+    if v <= 2:
+        return
+    features = set(protocol.get("writerFeatures") or [])
+    unsupported = sorted(features - SUPPORTED_WRITER_FEATURES)
+    if v == 7 and not unsupported:
+        return
+    raise DeltaProtocolError(
+        f"table requires minWriterVersion={v}"
+        + (f" with writer features {unsupported}" if unsupported else "")
+        + "; this writer implements version 2 — refusing to commit rather "
+        "than silently violating protocol obligations (e.g. CHECK "
+        "constraints, generated columns, deletion-vector maintenance)"
+    )
+
+
+def _table_protocol(table_dir: Path) -> dict | None:
+    """Resolved protocol action of the table's latest version (checkpoint
+    row + post-checkpoint commits, or full JSON replay) — metadata-sized."""
+    log_dir = table_dir / "_delta_log"
+    state: dict = {}
+    after = -1
+    pointer = log_dir / "_last_checkpoint"
+    if pointer.exists():
+        import pyarrow.parquet as papq
+
+        after = json.loads(pointer.read_text())["version"]
+        ckpt = papq.read_table(
+            log_dir / f"{after:020d}.checkpoint.parquet", columns=["protocol"]
+        ).to_pylist()
+        for row in ckpt:
+            if row.get("protocol"):
+                state["protocol"] = dict(row["protocol"])
+    for v in _log_versions(log_dir):
+        if v <= after:
+            continue
+        for line in (log_dir / f"{v:020d}.json").read_text().splitlines():
+            _fold_action(json.loads(line), {}, state)
+    return state.get("protocol")
+
+
 def _partition_value(raw: str) -> str | None:
     """Decode one hive directory value: Spark's escapePathName percent-
     encoding is reversed and the null sentinel maps to None (the Delta
@@ -393,6 +452,10 @@ def commit_delta(
 
     from pyspark.sql.types import StructType
 
+    # writer obligation: refuse tables whose protocol demands writer
+    # capabilities we don't implement (the read-side twin runs inside
+    # _replay_log below)
+    _check_writer_protocol(_table_protocol(table_dir))
     live, schema_string, part_cols, latest = _replay_log(table_dir)
     stored = StructType.fromJson(json.loads(schema_string))
     # names+types must match; nullability is deliberately NOT compared —
@@ -720,7 +783,9 @@ def optimize_delta(
     return summary
 
 
-def vacuum_delta(path: str, keep_versions: int = 1) -> dict:
+def vacuum_delta(
+    path: str, keep_versions: int = 1, stale_staging_hours: float = 24.0
+) -> dict:
     """VACUUM: physically delete data files that are not live in any of the
     last ``keep_versions`` table versions. Time travel to the kept versions
     keeps working; reads of older versions will fail on missing files
@@ -761,7 +826,29 @@ def vacuum_delta(path: str, keep_versions: int = 1) -> dict:
         if quote(rel) not in referenced and rel not in referenced_decoded:
             p.unlink()
             deleted.append(rel)
-    return {"deleted": deleted, "kept_versions": kept, "live_files": len(referenced)}
+    # reclaim ABANDONED staging dirs (writer crashed before its finally
+    # cleanup): uuid-suffixed names mean no future writer reuses them, so
+    # without this they leak forever. A dir is abandoned only when its
+    # NEWEST entry is older than stale_staging_hours — an in-flight writer
+    # is actively creating files, so its staging dir stays young.
+    stale_cutoff = time.time() - stale_staging_hours * 3600
+    reclaimed = []
+    for d in sorted(table_dir.glob("_staging_*")):
+        if not d.is_dir():
+            continue
+        newest = max(
+            (f.stat().st_mtime for f in d.rglob("*") if f.is_file()),
+            default=d.stat().st_mtime,
+        )
+        if newest < stale_cutoff:
+            shutil.rmtree(d, ignore_errors=True)
+            reclaimed.append(d.name)
+    return {
+        "deleted": deleted,
+        "kept_versions": kept,
+        "live_files": len(referenced),
+        "reclaimed_staging": reclaimed,
+    }
 
 
 def checkpoint_delta(

@@ -823,6 +823,23 @@ def expire_iceberg_snapshots(path: str, keep_last: int = 1) -> dict:
                     data.add(entry["data_file"]["file_path"])
         return data, meta_files
 
+    # claim the metadata version BEFORE unlinking anything: an expire that
+    # loses the race to a concurrent append must abort with the table
+    # untouched — deleting first would destroy files the winner's published
+    # metadata still references (its manifest list carries every prior
+    # snapshot's manifests by reference)
+    meta_dir = table_dir / "metadata"
+    version_n = int(prev_meta_file.name.split("-", 1)[0]) + 1
+    marker = meta_dir / f".commit-v{version_n:05d}"
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent commit detected for version {version_n} — reload "
+            "the table metadata and retry the expire"
+        ) from None
+
     kept_data: set[str] = set()
     kept_meta: set[str] = set()
     for s in kept:
@@ -842,6 +859,20 @@ def expire_iceberg_snapshots(path: str, keep_last: int = 1) -> dict:
                 os.unlink(f)
                 deleted_meta.append(f)
 
+    # reclaim ABANDONED staging dirs (writer crashed before its finally
+    # cleanup): uuid-suffixed names are never reused, so they'd leak
+    # forever; only dirs whose newest entry is older than 24h are touched —
+    # an in-flight append keeps its staging dir young.
+    stale_cutoff = time.time() - 24 * 3600
+    for d in sorted(table_dir.glob("_staging_*")):
+        if d.is_dir():
+            newest = max(
+                (f.stat().st_mtime for f in d.rglob("*") if f.is_file()),
+                default=d.stat().st_mtime,
+            )
+            if newest < stale_cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+
     now_ms = int(time.time() * 1000)
     new_meta = dict(metadata)
     new_meta["snapshots"] = kept
@@ -853,20 +884,6 @@ def expire_iceberg_snapshots(path: str, keep_last: int = 1) -> dict:
         {"timestamp-ms": metadata["last-updated-ms"],
          "metadata-file": str(prev_meta_file)}
     ]
-    meta_dir = table_dir / "metadata"
-    version_n = int(prev_meta_file.name.split("-", 1)[0]) + 1
-    # same create-EXCLUSIVE per-version marker append_iceberg_snapshot uses:
-    # an expire racing a concurrent append is a hard error for the loser,
-    # not a last-writer-wins hint swap that silently discards a snapshot
-    marker = meta_dir / f".commit-v{version_n:05d}"
-    try:
-        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.close(fd)
-    except FileExistsError:
-        raise RuntimeError(
-            f"concurrent commit detected for version {version_n} — reload "
-            "the table metadata and retry the expire"
-        ) from None
     meta_file = meta_dir / f"{version_n:05d}-{uuid.uuid4()}.metadata.json"
     tmp = meta_dir / (meta_file.name + ".tmp")
     tmp.write_text(json.dumps(new_meta, indent=1))

@@ -293,18 +293,18 @@ def bfs_khops(
         .withColumn("hop", F.lit(0))
         .localCheckpoint()
     )
-    layers = [frontier]
+    # ONE maintained visited set, checkpointed per round: the anti-join is
+    # a single join per round (not one per earlier layer, which would be
+    # O(max_hops^2) joins over a deep walk), and the checkpoint keeps its
+    # lineage O(1) like the frontier's
+    visited = frontier
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(e, frontier["node"] == e["u"])
             .select(F.col("v").alias("node"))
             .distinct()
+            .join(visited.select("node"), "node", "left_anti")
         )
-        for seen in layers:
-            nxt = nxt.join(seen.select("node"), "node", "left_anti")
         frontier = nxt.withColumn("hop", F.lit(h)).localCheckpoint()
-        layers.append(frontier)
-    out = layers[0]
-    for layer in layers[1:]:
-        out = out.unionByName(layer)
-    return out
+        visited = visited.unionByName(frontier).localCheckpoint()
+    return visited

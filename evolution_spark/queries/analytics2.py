@@ -257,6 +257,15 @@ def pit_join_scd2_purchases(spark, sf_dir):
         order_col="ts",
         attr_cols=["event_type"],
         tiebreak="event_id",
+    )
+    # drop zero-width intervals (two status changes at the same instant
+    # leave a [t, t) regime): the oracle's containment predicate excludes
+    # them, and after the filter valid_from is unique per user, so the
+    # as-of join's same-instant tie-break can never be exercised — the
+    # result stays deterministic and oracle-identical even on data with
+    # timestamp collisions
+    iv = iv.where(
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
     ).select(
         "user_id",
         F.col("valid_from").alias("ts"),

@@ -280,3 +280,23 @@ class FixedSchema:
 
     def to_json(self, **kwargs: Any) -> str:
         return json.dumps(self.to_dict(), **kwargs)
+
+
+# The 4-column FLF layout the throughput benchmarks (bench.py flf_mock_1m/
+# flf_convert_1m and tools/scale_stress.py's 10x tier) share — ONE
+# definition so the two harnesses can never silently measure different
+# layouts.
+BENCH_FLF_SCHEMA_DICT: dict[str, Any] = {
+    "name": "Bench",
+    "version": 1,
+    "columns": [
+        {"name": "id", "offset": 0, "length": 12, "dtype": "Int64",
+         "is_nullable": False},
+        {"name": "name", "offset": 12, "length": 16, "dtype": "Utf8",
+         "is_nullable": False},
+        {"name": "score", "offset": 28, "length": 16, "dtype": "Float64",
+         "is_nullable": True},
+        {"name": "flag", "offset": 44, "length": 6, "dtype": "Boolean",
+         "is_nullable": True},
+    ],
+}

@@ -1406,3 +1406,71 @@ def test_avro_jvm_routing_gate(spark, tmp_path):
     files2 = write_avro(df, out2, use_jvm=False)
     assert sum(n for _, n in files2) == 100
     assert read_avro(spark, out2, df.schema, use_jvm=False).count() == 100
+
+
+def test_delta_writer_protocol_guard(spark, tmp_path):
+    """Writer obligation: refuse to commit to a table whose protocol
+    demands writer capabilities we don't implement (e.g. CHECK
+    constraints at minWriterVersion 4+) — reading stays allowed when the
+    reader version is satisfied."""
+    import json as _json
+    import pathlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        DeltaProtocolError,
+        commit_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "wproto")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_delta_snapshot(df, path)
+    commit_delta(df.where("k < 3"), path, mode="append")  # baseline works
+
+    log = pathlib.Path(path) / "_delta_log"
+    (log / f"{2:020d}.json").write_text(
+        _json.dumps({"protocol": {"minReaderVersion": 1,
+                                  "minWriterVersion": 4}}) + "\n"
+    )
+    # reads still fine (reader v1), writes refused
+    assert read_delta_snapshot(spark, path).count() == 13
+    with pytest.raises(DeltaProtocolError, match="minWriterVersion=4"):
+        commit_delta(df.where("k >= 8"), path, mode="append")
+
+
+def test_iceberg_expire_aborts_before_deleting_on_race(spark, tmp_path):
+    """A lost expire race must leave the table UNTOUCHED: the commit
+    marker is claimed before any file is unlinked, so the concurrent
+    winner's metadata never references deleted files."""
+    import pathlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        expire_iceberg_snapshots,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "iceabort")
+    df = spark.range(30).select(F.col("id").alias("k"))
+    write_iceberg_table(df, path)
+    append_iceberg_snapshot(df.where("k < 5"), path)
+
+    data_before = sorted(p.name for p in (pathlib.Path(path) / "data").rglob("*.parquet"))
+    meta_dir = pathlib.Path(path) / "metadata"
+    current = max(int(p.name.split("-", 1)[0])
+                  for p in meta_dir.glob("*.metadata.json"))
+    (meta_dir / f".commit-v{current + 1:05d}").touch()  # concurrent claim
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        expire_iceberg_snapshots(path, keep_last=1)
+    data_after = sorted(p.name for p in (pathlib.Path(path) / "data").rglob("*.parquet"))
+    assert data_after == data_before, "lost race must not delete any file"
+    # the table still reads, including the historical snapshot
+    assert read_iceberg_table(spark, path).count() == 35

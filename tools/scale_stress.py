@@ -34,7 +34,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_STRESS_REPLICAS", "10"))
 ID_STRIDE = 10_000_000
 BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -56,18 +56,21 @@ def replicate_tables(spark, out_dir: str) -> None:
     reps = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("__rep")
 
     docs = spark.read.parquet(f"{BASE_SF_DIR}/documents.parquet")
+    # replica token -> near-duplicates across replicas, not exact:
+    # stresses the LSH/banded joins instead of the trivial hash path
+    new_text = F.concat(F.col("text"), F.lit(" r"), F.col("__rep").cast("string"))
     (
         docs.select("*", reps)
         .select(
             (F.col("doc_id") + F.col("__rep") * ID_STRIDE).alias("doc_id"),
-            # replica token -> near-duplicates across replicas, not exact:
-            # stresses the LSH/banded joins instead of the trivial hash path
-            F.concat(
-                F.col("text"), F.lit(" r"), F.col("__rep").cast("string")
-            ).alias("text"),
+            new_text.alias("text"),
             "lang",
             "source",
-            (F.col("n_chars") + 3).alias("n_chars"),
+            # keep the metadata invariant n_chars == length(text) — a
+            # hardcoded +3 breaks for replica indices >= 10 (' r10' is 4)
+            (F.col("n_chars") - F.length("text") + F.length(new_text)).alias(
+                "n_chars"
+            ),
         )
         .repartition(32)
         .write.mode("overwrite")
@@ -110,7 +113,7 @@ def main() -> int:
     def run_noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    out = {"sf_equiv": 1.0, "replicas": REPLICAS, "queries": {}, "flf": {}}
+    out = {"sf_equiv": round(0.1 * REPLICAS, 2), "replicas": REPLICAS, "queries": {}, "flf": {}}
     tmp = tempfile.mkdtemp(prefix="evoscale-")
     try:
         t0 = time.perf_counter()
@@ -129,20 +132,9 @@ def main() -> int:
         # FLF at 10M rows (bench schema, 10x bench volume)
         from evolution_spark.converter import Converter
         from evolution_spark.mocker import Mocker
-        from evolution_spark.schema import FixedSchema
+        from evolution_spark.schema import BENCH_FLF_SCHEMA_DICT, FixedSchema
 
-        sch = FixedSchema.from_dict(
-            {"name": "Bench", "version": 1, "columns": [
-                {"name": "id", "offset": 0, "length": 12, "dtype": "Int64",
-                 "is_nullable": False},
-                {"name": "name", "offset": 12, "length": 16, "dtype": "Utf8",
-                 "is_nullable": False},
-                {"name": "score", "offset": 28, "length": 16, "dtype": "Float64",
-                 "is_nullable": True},
-                {"name": "flag", "offset": 44, "length": 6, "dtype": "Boolean",
-                 "is_nullable": True},
-            ]}
-        )
+        sch = FixedSchema.from_dict(BENCH_FLF_SCHEMA_DICT)
         Mocker(sch, 1_000_000, f"{tmp}/warm.flf", seed=7).run(spark)
         Converter(f"{tmp}/warm.flf", sch, f"{tmp}/warm.parquet").run(spark)
         t0 = time.perf_counter()
