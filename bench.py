@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "seasonal_decompose_orders",
     "cusum_changepoint_revenue",
     "ab_test_event_values",
+    "delta_skipping_scan",
 ]
 
 

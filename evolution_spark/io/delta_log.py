@@ -575,17 +575,69 @@ def commit_delta(
     return {"version": version, "files": n_files, "rows": total_rows}
 
 
-def read_delta_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
+def _file_may_match(add: dict, col: str, op: str, value) -> bool:
+    """Can the file behind ``add`` contain rows where ``col <op> value``?
+    Decided from the add action's minValues/maxValues stats; a file with
+    no stats for the column conservatively matches (never prunes wrong).
+    Supported ops: ``== != < <= > >=``."""
+    st = json.loads(add.get("stats") or "{}")
+    lo = st.get("minValues", {}).get(col)
+    hi = st.get("maxValues", {}).get(col)
+    if lo is None or hi is None:
+        return True
+    if op == "==":
+        return lo <= value <= hi
+    if op == "<":
+        return lo < value
+    if op == "<=":
+        return lo <= value
+    if op == ">":
+        return hi > value
+    if op == ">=":
+        return hi >= value
+    if op == "!=":
+        # only an all-constant file (lo == hi == value) can be skipped
+        return not (lo == hi == value)
+    raise ValueError(f"unsupported skip predicate op {op!r}")
+
+
+def read_delta_snapshot(
+    spark,
+    path: str,
+    version: int | None = None,
+    skip_where: list[tuple[str, str, object]] | None = None,
+) -> DataFrame:
     """Read a snapshot of the table at ``version`` (default: latest) by
     replaying the log's ``add``/``remove`` actions (no connector): the file
     list comes from the commits, NOT a directory listing — exactly the
     Delta read contract (uncommitted/orphan/staged files are invisible,
-    and every historical version stays readable until VACUUM)."""
+    and every historical version stays readable until VACUUM).
+
+    DATA SKIPPING (``skip_where``): a conjunction of simple predicates
+    ``[(col, op, literal), ...]`` is evaluated against each add action's
+    minValues/maxValues stats, and files that provably contain no matching
+    row are dropped from the scan BEFORE Spark ever lists them — the
+    metadata-level pruning that makes a needle lookup on a sorted/
+    Z-ordered 100 TB table touch O(needle) files instead of O(table)
+    footers. This complements (not replaces) Spark's own parquet
+    row-group pushdown: the SAME predicate must still be applied with
+    ``.filter`` — skipping only removes files that cannot match. Files
+    without stats for a predicate column are conservatively kept."""
     from urllib.parse import unquote
 
     table_dir = Path(path)
     live, schema_string, _, _ = _replay_log(table_dir, version)
-    adds = [str(table_dir / unquote(p)) for p in sorted(live)]
+    kept = sorted(live)
+    if skip_where:
+        kept = [
+            p
+            for p in kept
+            if all(
+                _file_may_match(live[p], col, op, val)
+                for col, op, val in skip_where
+            )
+        ]
+    adds = [str(table_dir / unquote(p)) for p in kept]
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(schema_string))

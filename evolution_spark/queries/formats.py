@@ -530,3 +530,55 @@ def delta_maintenance_lifecycle(spark, sf_dir):
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@query(
+    "delta_skipping_scan",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_orderkey BETWEEN 500 AND 700
+    ORDER BY o_orderkey
+    """,
+)
+def delta_skipping_scan(spark, sf_dir):
+    """orders -> range-clustered Delta commits (one per o_orderkey band) ->
+    needle-range read through stats-based FILE skipping (add-action
+    minValues/maxValues decide which files can match BEFORE Spark lists
+    them) -> same rows as the plain predicate on the source table, proving
+    the skip is lossless. At 100 TB this is the difference between
+    touching O(needle) files and opening O(table) parquet footers; the
+    pruning contract itself (file counts per predicate) is pinned in
+    test_converter.py::test_delta_read_data_skipping."""
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tmp = query_tmp("deltaskip", sf_dir)
+    n = o.agg(F.max("o_orderkey")).collect()[0][0]
+    band = max(1, (int(n) + 1) // 4)
+    write_delta_snapshot(
+        o.where(F.col("o_orderkey") < band).coalesce(1), tmp
+    )
+    for i in range(1, 4):
+        commit_delta(
+            o.where(
+                (F.col("o_orderkey") >= i * band)
+                & (F.col("o_orderkey") < (i + 1) * band)
+            ).coalesce(1),
+            tmp,
+            mode="append",
+        )
+    back = read_delta_snapshot(
+        spark, tmp, skip_where=[("o_orderkey", ">=", 500), ("o_orderkey", "<=", 700)]
+    )
+    return (
+        back.where(F.col("o_orderkey").between(500, 700))
+        .select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("total")
+        )
+        .orderBy("o_orderkey")
+    )

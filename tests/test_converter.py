@@ -1474,3 +1474,53 @@ def test_iceberg_expire_aborts_before_deleting_on_race(spark, tmp_path):
     assert data_after == data_before, "lost race must not delete any file"
     # the table still reads, including the historical snapshot
     assert read_iceberg_table(spark, path).count() == 35
+
+
+def test_delta_read_data_skipping(spark, tmp_path):
+    """skip_where prunes files via add-action min/max stats BEFORE the
+    scan: a range-clustered table's needle lookup reads O(needle) files,
+    results stay identical to the unpruned read + filter."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "skip")
+    # three commits with DISJOINT key ranges -> per-file k-ranges disjoint
+    write_delta_snapshot(
+        spark.range(0, 100).select(F.col("id").alias("k")).coalesce(1), path
+    )
+    commit_delta(
+        spark.range(100, 200).select(F.col("id").alias("k")).coalesce(1),
+        path, mode="append",
+    )
+    commit_delta(
+        spark.range(200, 300).select(F.col("id").alias("k")).coalesce(1),
+        path, mode="append",
+    )
+
+    full = read_delta_snapshot(spark, path)
+    assert len(full.inputFiles()) == 3
+
+    pruned = read_delta_snapshot(spark, path, skip_where=[("k", "==", 150)])
+    assert len(pruned.inputFiles()) == 1  # only the 100-199 file survives
+    assert [r.k for r in pruned.where("k = 150").collect()] == [150]
+
+    rng = read_delta_snapshot(
+        spark, path, skip_where=[("k", ">=", 180), ("k", "<", 220)]
+    )
+    assert len(rng.inputFiles()) == 2
+    assert rng.where("k >= 180 and k < 220").count() == 40
+
+    # no matching file -> empty frame with the right schema
+    none = read_delta_snapshot(spark, path, skip_where=[("k", ">", 999)])
+    assert none.count() == 0 and none.columns == ["k"]
+
+    # files without stats for the column are conservatively kept
+    assert len(
+        read_delta_snapshot(spark, path, skip_where=[("nope_col", "==", 1)])
+        .inputFiles()
+    ) == 3
