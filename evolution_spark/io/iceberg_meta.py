@@ -522,7 +522,12 @@ class IcebergFormatError(RuntimeError):
     loudly beats silently resurrecting deleted rows."""
 
 
-def read_iceberg_table(spark, path: str, snapshot_id: int | None = None) -> DataFrame:
+def read_iceberg_table(
+    spark,
+    path: str,
+    snapshot_id: int | None = None,
+    partition_where: dict[str, object] | None = None,
+) -> DataFrame:
     """Open an Iceberg table by replaying its metadata chain — version
     hint -> table metadata -> current snapshot -> manifest list ->
     manifests -> data files. The file list comes from the snapshot, NOT a
@@ -537,7 +542,16 @@ def read_iceberg_table(spark, path: str, snapshot_id: int | None = None) -> Data
     ``format-version`` > 2, DELETE manifests (manifest-list
     ``content=1``), and position/equality delete files (data-file
     ``content`` 1/2) — a foreign v2 writer's row-level deletes would
-    otherwise be silently ignored and deleted rows would resurrect."""
+    otherwise be silently ignored and deleted rows would resurrect.
+
+    PARTITION PRUNING (``partition_where``): an equality map
+    ``{partition_col: value}`` is matched against each manifest entry's
+    ``data_file.partition`` record, dropping non-matching files from the
+    scan at the METADATA level — the Iceberg read path's core scale
+    feature (the delta twin is ``read_delta_snapshot(skip_where=...)``).
+    Spark's own partition-dir pruning would skip the same rows, but only
+    after listing every file; this never ships the pruned paths to the
+    reader at all."""
     table_dir = Path(path)
     meta_dir = table_dir / "metadata"
     hint = (meta_dir / "version-hint.text").read_text().strip()
@@ -572,11 +586,18 @@ def read_iceberg_table(spark, path: str, snapshot_id: int | None = None) -> Data
                         f"data file {dfile['file_path']} has content="
                         f"{dfile['content']} (row-level deletes); unsupported"
                     )
+                if partition_where and any(
+                    dfile.get("partition", {}).get(k) != v
+                    for k, v in partition_where.items()
+                ):
+                    continue  # metadata-level partition pruning
                 files.append(dfile["file_path"])
     ice_schema = next(
         s for s in metadata["schemas"] if s["schema-id"] == metadata["current-schema-id"]
     )
     schema = spark_schema_of(ice_schema)
+    if not files:
+        return spark.createDataFrame([], schema)
     df = (
         spark.read.schema(schema)
         .option("basePath", str(table_dir / "data"))

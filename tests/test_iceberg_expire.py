@@ -88,3 +88,35 @@ def test_iceberg_reader_format_guard(spark, tmp_path):
                 meta={"format-version": "2"})
     with pytest.raises(IcebergFormatError, match="DELETE manifest"):
         read_iceberg_table(spark, path)
+
+
+def test_iceberg_partition_pruned_read(spark, tmp_path):
+    """partition_where prunes data files from the manifest entries at the
+    metadata level: the scan's inputFiles are exactly the matching
+    partition's, results identical to the unpruned read + filter."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "icepart")
+    df = spark.range(90).select(
+        (F.col("id") % 3).alias("bucket"), F.col("id").alias("k")
+    )
+    write_iceberg_table(df, path, partition_by=["bucket"])
+
+    full = read_iceberg_table(spark, path)
+    assert full.count() == 90
+    pruned = read_iceberg_table(spark, path, partition_where={"bucket": 1})
+    assert pruned.count() == 30
+    assert all("bucket=1" in f for f in pruned.inputFiles())
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # values match the plain filter
+    assert sorted(r.k for r in pruned.collect()) == sorted(
+        r.k for r in full.where("bucket = 1").collect()
+    )
+    # no matching partition -> empty frame, right schema
+    none = read_iceberg_table(spark, path, partition_where={"bucket": 99})
+    assert none.count() == 0 and none.columns == ["bucket", "k"]
