@@ -244,13 +244,23 @@ def click_purchase_join(
     events: DataFrame,
     max_gap: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (attribution): each click joins the same
     user's purchases landing within ``max_gap`` AFTER the click. Both sides
     carry a watermark and the join condition bounds event-time distance, so
     Spark can evict join state once the watermark passes click_ts + max_gap
     — bounded state on an unbounded stream. Batch twin (oracle-checked):
-    queries/events.attribution_click_purchase."""
+    queries/events.attribution_click_purchase.
+
+    ``how='left_outer'`` is the unattributed-click variant: a click with NO
+    purchase in its window is emitted with NULL purchase columns — but only
+    once the watermark has passed the end of its join window (Spark must
+    prove no future purchase can match before it can emit the null row), so
+    outer results trail the inner ones by up to watermark + max_gap. Same
+    state bound; the standard funnel-leak detector."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     clicks = (
         events.where(F.col("event_type") == "click")
         .select(
@@ -275,7 +285,7 @@ def click_purchase_join(
         (F.col("c_user") == F.col("p_user"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
-        "inner",
+        how,
     ).select(
         "click_id",
         "purchase_id",

@@ -634,3 +634,40 @@ def test_tws_processor_cloudpickle_roundtrip():
     assert out1[0].iloc[0]["n_events"] == 2
     assert out2[0].iloc[0]["n_events"] == 3
     assert out2[0].iloc[0]["total_value"] == 7.0
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, stream_env):
+    """left_outer attribution: clicks with no purchase in their window are
+    emitted with NULL purchase columns, but only after the watermark
+    proves no future purchase can match (watermark + max_gap past the
+    click)."""
+    from evolution_spark.streaming.events import click_purchase_join
+
+    src, ckpt, add_batch = stream_env
+    # user 1: click at 0 min -> purchase at 10 (matched)
+    # user 2: click at 1 min -> NO purchase ever (unmatched, must surface)
+    add_batch([(1, 0, 1, "click", 0.0),
+               (2, 1, 2, "click", 0.0),
+               (3, 10, 1, "purchase", 9.99)])
+    name = f"lo_{uuid.uuid4().hex[:8]}"
+    q = _run_to_memory(
+        click_purchase_join(read_event_stream(spark, src),
+                            "30 minutes", "10 minutes", how="left_outer"),
+        name, ckpt, "append",
+    )
+    try:
+        q.processAllAvailable()
+        # advance BOTH sides' watermarks far past click(1min) + gap(30) +
+        # watermark(10): the global watermark is the min of the two input
+        # watermarks, and each only advances from rows that pass its type
+        # filter — a 'view' event would advance neither
+        add_batch([(9, 600, 3, "click", 0.0), (10, 600, 3, "purchase", 0.0)])
+        q.processAllAvailable()
+        add_batch([(11, 610, 3, "click", 0.0), (12, 610, 3, "purchase", 0.0)])
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+        got = {(r.click_id, r.purchase_id) for r in rows}
+        assert (1, 3) in got, f"matched pair missing: {got}"
+        assert (2, None) in got, f"unmatched click not emitted: {got}"
+    finally:
+        q.stop()
