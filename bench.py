@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "cusum_changepoint_revenue",
     "ab_test_event_values",
     "delta_skipping_scan",
+    "ipc_roundtrip_nation",
+    "attribution_unmatched_clicks",
 ]
 
 

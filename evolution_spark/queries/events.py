@@ -457,3 +457,43 @@ def cohort_retention(spark, sf_dir):
         "day_offset",
         "active_users",
     )
+
+
+@query(
+    "attribution_unmatched_clicks",
+    oracle="""
+    WITH unmatched AS (
+      SELECT c.event_id, c.ts
+      FROM events c
+      LEFT JOIN events p
+        ON p.user_id = c.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      WHERE c.event_type = 'click' AND p.event_id IS NULL
+    )
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_unmatched
+    FROM unmatched GROUP BY 1 ORDER BY day
+    """,
+)
+def attribution_unmatched_clicks(spark, sf_dir):
+    """Funnel-leak readout: clicks with NO purchase in the 30 minutes after
+    them, counted per day — the batch twin of the streaming left-outer
+    attribution join (streaming/events.click_purchase_join with
+    how='left_outer'; the SAME function body runs here, watermarks are
+    batch no-ops, and the stream's null-emission rows are exactly these).
+
+    Scale: one user_id equi-join with a range residual (same shuffle as
+    the inner attribution), then a per-day hash aggregate."""
+    from evolution_spark.streaming.events import click_purchase_join
+
+    e = table(spark, sf_dir, "events")
+    joined = click_purchase_join(
+        e, max_gap="30 minutes", watermark="1 hour", how="left_outer"
+    )
+    return (
+        joined.where(F.col("purchase_id").isNull())
+        .groupBy(F.date_format("click_ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_unmatched"))
+        .orderBy("day")
+    )

@@ -582,3 +582,26 @@ def delta_skipping_scan(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "ipc_roundtrip_nation",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+    """,
+)
+def ipc_roundtrip_nation(spark, sf_dir):
+    """nation -> Arrow IPC container files (io/ipc.py, distributed
+    mapInArrow write: one file per partition, zero-copy Arrow both sides)
+    -> distributed IPC read -> identity oracle, proving the IPC target the
+    reference declares but never shipped (target.rs:31-37) round-trips
+    losslessly."""
+    from evolution_spark.io.ipc import read_ipc, write_ipc
+
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = query_tmp("ipc", sf_dir)
+    write_ipc(n, tmp)
+    back = read_ipc(spark, tmp, n.schema)
+    return back.orderBy("n_nationkey")
