@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "delta_skipping_scan",
     "ipc_roundtrip_nation",
     "attribution_unmatched_clicks",
+    "data_contract_orders",
 ]
 
 

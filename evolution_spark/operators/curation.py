@@ -199,3 +199,32 @@ def pack_sequences(
     )
     offset = F.coalesce(F.sum(token_col).over(w), F.lit(0))
     return df.withColumn(out_col, F.floor(offset / F.lit(budget)))
+
+
+def data_contract_check(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """dbt-style data-contract assertion battery: ``rules`` maps rule name
+    -> boolean VALIDITY expression; returns one row per rule with
+    ``(rule, n_violations, n_rows)``. NULL rule results count as
+    violations (a null check is a failed check).
+
+    Scale: ALL rules evaluate in ONE scan — each rule is a conditional
+    count inside a single hash aggregate (map-side partial), so adding a
+    rule costs one codegen'd expression, not another pass over 100 TB.
+    The wide->long pivot happens on the single aggregate row via stack."""
+    if not rules:
+        raise ValueError("data_contract_check needs at least one rule")
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(expr, F.lit(False)), 0).otherwise(1)
+        ).alias(f"__v{i}")
+        for i, (_, expr) in enumerate(rules)
+    ] + [F.count(F.lit(1)).alias("__n")]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', __v{i}" for i, (name, _) in enumerate(rules)
+    )
+    return wide.selectExpr(
+        f"stack({len(rules)}, {stack_args}) as (rule, n_violations)", "__n as n_rows"
+    ).orderBy("rule")

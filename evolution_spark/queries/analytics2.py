@@ -632,3 +632,59 @@ def ab_test_event_values(spark, sf_dir):
         F.round(z, 4).alias("z"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# Data-contract assertion battery
+# --------------------------------------------------------------------------
+
+
+@query(
+    "data_contract_orders",
+    oracle="""
+    WITH w AS (
+      SELECT
+        CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+          AS v_custkey_not_null,
+        CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1990-01-01'
+                       AND o_orderdate < TIMESTAMP '2010-01-01'
+                      THEN 0 ELSE 1 END) AS BIGINT) AS v_orderdate_in_range,
+        CAST(SUM(CASE WHEN o_orderkey IS NOT NULL AND o_orderkey >= 0
+                      THEN 0 ELSE 1 END) AS BIGINT) AS v_orderkey_nonneg,
+        CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                      THEN 0 ELSE 1 END) AS BIGINT) AS v_status_enum,
+        CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+          AS v_totalprice_positive,
+        COUNT(*) AS n_rows
+      FROM orders
+    )
+    SELECT 'custkey_not_null' AS rule, v_custkey_not_null AS n_violations,
+           n_rows FROM w
+    UNION ALL SELECT 'orderdate_in_range', v_orderdate_in_range, n_rows FROM w
+    UNION ALL SELECT 'orderkey_nonneg', v_orderkey_nonneg, n_rows FROM w
+    UNION ALL SELECT 'status_enum', v_status_enum, n_rows FROM w
+    UNION ALL SELECT 'totalprice_positive', v_totalprice_positive, n_rows FROM w
+    ORDER BY rule
+    """,
+)
+def data_contract_orders(spark, sf_dir):
+    """dbt-style contract assertions over orders — non-null keys, enum
+    membership, positive amounts, date sanity — evaluated by
+    operators/curation.data_contract_check: every rule is a conditional
+    count in ONE hash aggregate over ONE scan, so the battery costs one
+    pass at 100 TB regardless of rule count."""
+    from evolution_spark.operators.curation import data_contract_check
+
+    o = table(spark, sf_dir, "orders")
+    rules = [
+        ("custkey_not_null", F.col("o_custkey").isNotNull()),
+        (
+            "orderdate_in_range",
+            (F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("2010-01-01").cast("timestamp_ntz")),
+        ),
+        ("orderkey_nonneg", F.col("o_orderkey").isNotNull() & (F.col("o_orderkey") >= 0)),
+        ("status_enum", F.col("o_orderstatus").isin("O", "F", "P")),
+        ("totalprice_positive", F.col("o_totalprice") > 0),
+    ]
+    return data_contract_check(o, rules)

@@ -955,3 +955,34 @@ def test_weighted_sample_rejects_nonpositive_weights(spark):
     # positive weights unaffected
     df3 = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, w double")
     assert weighted_sample(df3, "id", "w", 2).count() == 2
+
+
+def test_data_contract_check_semantics(spark):
+    """Per-rule violation counts in one scan; NULL rule results count as
+    violations; empty rule list refused."""
+    import pytest
+
+    from evolution_spark.operators.curation import data_contract_check
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -1.0), (None, "b", None)],
+        "k long, s string, v double",
+    )
+    out = {
+        r.rule: (r.n_violations, r.n_rows)
+        for r in data_contract_check(
+            df,
+            [
+                ("k_not_null", F.col("k").isNotNull()),
+                ("s_enum", F.col("s").isin("a", "b")),
+                ("v_positive", F.col("v") > 0),  # NULL v -> violation
+            ],
+        ).collect()
+    }
+    assert out == {
+        "k_not_null": (1, 3),
+        "s_enum": (1, 3),
+        "v_positive": (2, 3),
+    }
+    with pytest.raises(ValueError, match="at least one rule"):
+        data_contract_check(df, [])
