@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "ipc_roundtrip_nation",
     "attribution_unmatched_clicks",
     "data_contract_orders",
+    "feature_hash_vectorize",
 ]
 
 

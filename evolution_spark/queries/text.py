@@ -928,3 +928,42 @@ def winnow_fingerprints(spark, sf_dir):
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
     )
+
+
+@query(
+    "feature_hash_vectorize",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(('0x'||substr(md5(tok),1,8))::BIGINT % 16 AS INT) AS dim,
+           COUNT(*) AS n
+    FROM toks WHERE tok <> ''
+    GROUP BY doc_id, dim ORDER BY doc_id, dim
+    """,
+)
+def feature_hash_vectorize(spark, sf_dir):
+    """Feature hashing (the 'hashing trick'): tokens bucket into a fixed
+    16-dim count vector via the shared md5-prefix hash — the embedding-free
+    vectorizer behind cheap similarity/classification when no model is
+    available. Long format (doc_id, dim, n) so the oracle is a plain
+    GROUP BY; the dense array is one ``map_from/transform`` away.
+
+    Scale: explode -> two-level hash aggregate with map-side combine; the
+    shuffle carries (doc_id, dim, partial n) — 16 rows per doc max, never
+    tokens. Dimensionality is a constant, so output size is O(docs), and
+    the hash is engine-portable (bit-identical in DuckDB)."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    return (
+        toks.groupBy(
+            "doc_id", (_base_hash(F.col("tok")) % 16).cast("int").alias("dim")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("doc_id", "dim")
+    )
