@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "attribution_unmatched_clicks",
     "data_contract_orders",
     "feature_hash_vectorize",
+    "theil_sen_trend_revenue",
 ]
 
 

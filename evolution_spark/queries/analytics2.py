@@ -688,3 +688,62 @@ def data_contract_orders(spark, sf_dir):
         ("totalprice_positive", F.col("o_totalprice") > 0),
     ]
     return data_contract_check(o, rules)
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend
+# --------------------------------------------------------------------------
+
+
+@query(
+    "theil_sen_trend_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) - 1 AS x, y FROM daily
+    ),
+    slopes AS (
+      SELECT (b.y - a.y) / (b.x - a.x) AS s
+      FROM idx a JOIN idx b ON b.x > a.x AND b.x - a.x <= 30
+    )
+    SELECT ROUND(quantile_cont(s, 0.5), 4) AS slope,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM slopes
+    """,
+)
+def theil_sen_trend_revenue(spark, sf_dir):
+    """Theil-Sen robust trend of daily order revenue: the median of
+    pairwise slopes — insensitive to the outlier days that wreck
+    least-squares (the robust twin of linear_trend_by_type). Pairs are
+    WINDOW-LIMITED to lags <= 30 days: the estimator stays consistent,
+    pair count is O(days x 30) instead of O(days^2) — the standard
+    banded Theil-Sen that survives series of any length.
+
+    Scale: raw orders collapse to the domain-sized daily series first; the
+    banded self-join fans each day to <= 30 pairs (range-join on the day
+    index); the median is the same exact interpolated percentile the
+    percentile_exact query proved bit-identical cross-engine. 4 dp
+    rounding absorbs division associativity."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("y")
+    )
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("d")) - 1).alias("x"), "y"
+    )
+    a = idx.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = idx.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (
+        a.join(
+            b,
+            (F.col("xb") > F.col("xa")) & (F.col("xb") - F.col("xa") <= 30),
+        )
+        .select(((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias("s"))
+    )
+    return slopes.agg(
+        F.round(F.percentile("s", F.lit(0.5)), 4).alias("slope"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
