@@ -174,6 +174,11 @@ _INVARIANCE_QUERIES = [
     "winsorize_event_values",
     "session_path_topk",
     "event_value_outliers",
+    "cusum_changepoint_revenue",
+    "ab_test_event_values",
+    "data_contract_orders",
+    "theil_sen_trend_revenue",
+    "feature_hash_vectorize",
 ]
 
 
