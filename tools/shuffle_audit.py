@@ -41,6 +41,13 @@ AUDITED = {
     "session_path_topk": "one events shuffle on user_id; path counts are domain-sized",
     "pit_join_scd2_purchases": "one (user_id) union shuffle for the as-of fill",
     "triangle_count_copurchase": "degree-oriented edges; wedge join ships id pairs only",
+    "winsorize_event_values": "rank shuffle of (type,value,id); cutoffs broadcast back",
+    "seasonal_decompose_orders": "orders collapse to daily rows before any window",
+    "cusum_changepoint_revenue": "post-agg daily series; mean is a 1-row broadcast",
+    "theil_sen_trend_revenue": "banded pair join over the domain-sized series",
+    "data_contract_orders": "all rules in one scan; one aggregate row moves",
+    "feature_hash_vectorize": "(doc_id, dim, partial n) after map-side combine",
+    "bfs_khop_reach": "per-round frontier-id joins; visited set checkpointed",
 }
 
 
