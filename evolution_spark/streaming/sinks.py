@@ -242,3 +242,27 @@ def delta_append_sink(table_path: str, app_id: str):
         state["last"] = batch_id
 
     return _write
+
+
+def contract_monitor_sink(rules, out_dir: str):
+    """Streaming data-quality monitor: a ``foreachBatch`` function that
+    evaluates a data-contract rule battery
+    (``operators.curation.data_contract_check`` — every rule one
+    conditional count in ONE aggregate over the micro-batch) and appends
+    one row per rule per batch to ``out_dir/batch_id=N`` — the ingest-side
+    violation dashboard feed. Idempotent under replay: a restarted batch
+    overwrites its own directory, same contract as
+    ``idempotent_parquet_sink``.
+
+    The monitor is a SIDE channel: it does not filter or mutate the
+    stream; compose it after the real sink in the same foreachBatch, or
+    run it standalone for audit-only pipelines. Per-batch cost is one
+    codegen'd aggregate — no extra shuffle of the payload."""
+    from evolution_spark.operators.curation import data_contract_check
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        report = data_contract_check(batch_df, rules)
+        target = os.path.join(out_dir, f"batch_id={batch_id}")
+        report.write.mode("overwrite").parquet(target)
+
+    return _write

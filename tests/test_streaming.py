@@ -671,3 +671,37 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, stream_env):
         assert (2, None) in got, f"unmatched click not emitted: {got}"
     finally:
         q.stop()
+
+
+def test_streaming_contract_monitor(spark, stream_env, tmp_path):
+    """Per-micro-batch contract violation counts land under batch_id=N,
+    idempotent on replay; rule semantics match the batch operator."""
+    from evolution_spark.streaming.sinks import contract_monitor_sink
+
+    src, ckpt, add_batch = stream_env
+    out = str(tmp_path / "contract_out")
+    rules = [
+        ("value_positive", F.col("value") > 0),
+        ("type_enum", F.col("event_type").isin("view", "click", "purchase")),
+    ]
+    add_batch([(1, 0, 1, "view", 1.0), (2, 1, 1, "bogus", -2.0)])
+    q = (
+        read_event_stream(spark, src)
+        .writeStream.foreachBatch(contract_monitor_sink(rules, out))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        add_batch([(3, 2, 2, "click", 5.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rep = spark.read.parquet(out)
+    got = {
+        (r.batch_id, r.rule): (r.n_violations, r.n_rows) for r in rep.collect()
+    }
+    assert got[(0, "value_positive")] == (1, 2)
+    assert got[(0, "type_enum")] == (1, 2)
+    assert got[(1, "value_positive")] == (0, 1)
+    assert got[(1, "type_enum")] == (0, 1)
