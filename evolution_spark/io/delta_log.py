@@ -87,12 +87,12 @@ def _check_reader_protocol(protocol: dict | None) -> None:
 
 
 # Writer capabilities this module actually implements: plain append/
-# overwrite/replace commits with add/remove/txn/commitInfo actions
-# (writer version 2's appendOnly/invariants obligations are trivially met
-# because this module never writes those table properties itself — but a
-# FOREIGN table may carry them, and higher versions gate CHECK
-# constraints, generated columns, DV maintenance etc. that we'd silently
-# violate on write).
+# overwrite/replace commits with add/remove/txn/commitInfo actions.
+# Writer version 2's obligations on FOREIGN tables are enforced in
+# commit_delta: delta.appendOnly refuses remove-emitting modes, and
+# schemas carrying delta.invariants are refused outright (we cannot
+# validate them). Higher versions gate CHECK constraints, generated
+# columns, DV maintenance etc. — refused via _check_writer_protocol.
 SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset()
 
 
@@ -118,31 +118,6 @@ def _check_writer_protocol(protocol: dict | None) -> None:
         "than silently violating protocol obligations (e.g. CHECK "
         "constraints, generated columns, deletion-vector maintenance)"
     )
-
-
-def _table_protocol(table_dir: Path) -> dict | None:
-    """Resolved protocol action of the table's latest version (checkpoint
-    row + post-checkpoint commits, or full JSON replay) — metadata-sized."""
-    log_dir = table_dir / "_delta_log"
-    state: dict = {}
-    after = -1
-    pointer = log_dir / "_last_checkpoint"
-    if pointer.exists():
-        import pyarrow.parquet as papq
-
-        after = json.loads(pointer.read_text())["version"]
-        ckpt = papq.read_table(
-            log_dir / f"{after:020d}.checkpoint.parquet", columns=["protocol"]
-        ).to_pylist()
-        for row in ckpt:
-            if row.get("protocol"):
-                state["protocol"] = dict(row["protocol"])
-    for v in _log_versions(log_dir):
-        if v <= after:
-            continue
-        for line in (log_dir / f"{v:020d}.json").read_text().splitlines():
-            _fold_action(json.loads(line), {}, state)
-    return state.get("protocol")
 
 
 def _partition_value(raw: str) -> str | None:
@@ -352,18 +327,25 @@ def _fold_action(action: dict, live: dict, state: dict) -> None:
         txns[t["appId"]] = max(t["version"], txns.get(t["appId"], -1))
 
 
-def _replay_log(table_dir: Path, version: int | None = None):
+def _replay_log(
+    table_dir: Path, version: int | None = None, return_state: bool = False
+):
     """Replay commits 0..version (default: latest). Returns (live add
     actions keyed by stored path, schemaString, partitionColumns, the
-    resolved version). The live set applies ``add``/``remove`` in commit
-    order — exactly the Delta snapshot-reconstruction contract. Latest-
-    version reads go through the newest checkpoint when one exists
-    (checkpoint state + post-checkpoint commits — O(live files), not
-    O(history)); explicit historical versions replay the JSON chain."""
+    resolved version[, the full replay state when ``return_state``]). The
+    live set applies ``add``/``remove`` in commit order — exactly the
+    Delta snapshot-reconstruction contract. Latest-version reads go
+    through the newest checkpoint when one exists (checkpoint state +
+    post-checkpoint commits — O(live files), not O(history)); explicit
+    historical versions replay the JSON chain.
+
+    ``return_state=True`` exposes the accumulated state dict (protocol,
+    metadata, txns, tombstones) so write paths can enforce protocol/
+    configuration obligations WITHOUT a second replay of the log."""
     if version is None:
-        state = read_checkpoint_state(str(table_dir))
-        if state is not None:
-            return state
+        result = read_checkpoint_state(str(table_dir), return_state=return_state)
+        if result is not None:
+            return result
     log_dir = table_dir / "_delta_log"
     versions = _log_versions(log_dir)
     if not versions:
@@ -379,7 +361,8 @@ def _replay_log(table_dir: Path, version: int | None = None):
         for line in (log_dir / f"{v:020d}.json").read_text().splitlines():
             _fold_action(json.loads(line), live, state)
     _check_reader_protocol(state.get("protocol"))
-    return live, state.get("schema_string"), state.get("part_cols", []), target
+    out = (live, state.get("schema_string"), state.get("part_cols", []), target)
+    return out + (state,) if return_state else out
 
 
 def last_txn_version(path: str, app_id: str) -> int | None:
@@ -452,11 +435,29 @@ def commit_delta(
 
     from pyspark.sql.types import StructType
 
-    # writer obligation: refuse tables whose protocol demands writer
-    # capabilities we don't implement (the read-side twin runs inside
-    # _replay_log below)
-    _check_writer_protocol(_table_protocol(table_dir))
-    live, schema_string, part_cols, latest = _replay_log(table_dir)
+    # writer obligations, from the SAME replay that resolves the live set
+    # (no second log pass): refuse protocols above writer version 2,
+    # append-only violations, and tables carrying column invariants we
+    # cannot validate
+    live, schema_string, part_cols, latest, repl_state = _replay_log(
+        table_dir, return_state=True
+    )
+    _check_writer_protocol(repl_state.get("protocol"))
+    config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
+    if str(config.get("delta.appendOnly", "")).lower() == "true" and mode in (
+        "overwrite",
+        "replace",
+    ):
+        raise DeltaProtocolError(
+            f"table sets delta.appendOnly=true; mode={mode!r} would emit "
+            "remove actions — refusing to violate the append-only contract"
+        )
+    if '"delta.invariants"' in (schema_string or ""):
+        raise DeltaProtocolError(
+            "table schema declares column invariants (delta.invariants); "
+            "this writer cannot validate them — refusing to commit rather "
+            "than silently violating the writer-version-2 obligation"
+        )
     stored = StructType.fromJson(json.loads(schema_string))
     # names+types must match; nullability is deliberately NOT compared —
     # Spark cannot statically prove non-nullness through outer joins (a
@@ -878,23 +879,9 @@ def vacuum_delta(
         if quote(rel) not in referenced and rel not in referenced_decoded:
             p.unlink()
             deleted.append(rel)
-    # reclaim ABANDONED staging dirs (writer crashed before its finally
-    # cleanup): uuid-suffixed names mean no future writer reuses them, so
-    # without this they leak forever. A dir is abandoned only when its
-    # NEWEST entry is older than stale_staging_hours — an in-flight writer
-    # is actively creating files, so its staging dir stays young.
-    stale_cutoff = time.time() - stale_staging_hours * 3600
-    reclaimed = []
-    for d in sorted(table_dir.glob("_staging_*")):
-        if not d.is_dir():
-            continue
-        newest = max(
-            (f.stat().st_mtime for f in d.rglob("*") if f.is_file()),
-            default=d.stat().st_mtime,
-        )
-        if newest < stale_cutoff:
-            shutil.rmtree(d, ignore_errors=True)
-            reclaimed.append(d.name)
+    from evolution_spark.io.maintenance import reclaim_stale_staging
+
+    reclaimed = reclaim_stale_staging(table_dir, stale_staging_hours)
     return {
         "deleted": deleted,
         "kept_versions": kept,
@@ -1031,11 +1018,11 @@ def checkpoint_delta(
     return {"version": version, "actions": table.num_rows, "path": str(ckpt)}
 
 
-def read_checkpoint_state(path: str):
-    """Reconstruct (live adds, schemaString, partitionColumns, version)
-    from the newest checkpoint + the JSON commits after it. Returns None
-    when no checkpoint exists (callers fall back to the full JSON replay).
-    """
+def read_checkpoint_state(path: str, return_state: bool = False):
+    """Reconstruct (live adds, schemaString, partitionColumns, version
+    [, replay state]) from the newest checkpoint + the JSON commits after
+    it. Returns None when no checkpoint exists (callers fall back to the
+    full JSON replay)."""
     import pyarrow.parquet as papq
 
     table_dir = Path(path)
@@ -1050,14 +1037,18 @@ def read_checkpoint_state(path: str):
     schema_string = None
     part_cols: list[str] = []
     protocol = None
+    metadata = None
     for row in t:
         if row.get("add"):
             a = dict(row["add"])
             a["partitionValues"] = dict(a.get("partitionValues") or [])
             live[a["path"]] = a
         elif row.get("metaData"):
-            schema_string = row["metaData"]["schemaString"]
-            part_cols = list(row["metaData"].get("partitionColumns") or [])
+            metadata = dict(row["metaData"])
+            # checkpoint's configuration is an arrow map -> list of pairs
+            metadata["configuration"] = dict(metadata.get("configuration") or [])
+            schema_string = metadata["schemaString"]
+            part_cols = list(metadata.get("partitionColumns") or [])
         elif row.get("protocol"):
             protocol = dict(row["protocol"])
     latest = ckpt_version
@@ -1065,6 +1056,7 @@ def read_checkpoint_state(path: str):
         "schema_string": schema_string,
         "part_cols": part_cols,
         "protocol": protocol,
+        "metadata": metadata,
     }
     for v in _log_versions(log_dir):
         if v <= ckpt_version:
@@ -1076,4 +1068,5 @@ def read_checkpoint_state(path: str):
     # any post-checkpoint protocol-upgrade commit) — a foreign writer that
     # upgraded the table after our checkpoint still gets refused.
     _check_reader_protocol(state.get("protocol"))
-    return live, state["schema_string"], state["part_cols"], latest
+    out = (live, state["schema_string"], state["part_cols"], latest)
+    return out + (state,) if return_state else out

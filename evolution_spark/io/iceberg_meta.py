@@ -562,6 +562,21 @@ def read_iceberg_table(
             f"table format-version {fv} exceeds the implemented version 2 — "
             "refusing to read rather than dropping v3 semantics"
         )
+    if partition_where:
+        spec = next(
+            sp
+            for sp in metadata["partition-specs"]
+            if sp["spec-id"] == metadata["default-spec-id"]
+        )
+        part_cols = {f["name"] for f in spec["fields"]}
+        unknown = sorted(set(partition_where) - part_cols)
+        if unknown:
+            raise ValueError(
+                f"partition_where keys {unknown} are not partition columns "
+                f"of this table (spec: {sorted(part_cols)}) — refusing to "
+                "prune on a non-existent key (it would silently return an "
+                "empty result)"
+            )
     current = snapshot_id if snapshot_id is not None else metadata["current-snapshot-id"]
     try:
         snapshot = next(
@@ -811,7 +826,9 @@ def append_iceberg_snapshot(df: DataFrame, path: str) -> dict:
     }
 
 
-def expire_iceberg_snapshots(path: str, keep_last: int = 1) -> dict:
+def expire_iceberg_snapshots(
+    path: str, keep_last: int = 1, stale_staging_hours: float = 24.0
+) -> dict:
     """Expire all but the last ``keep_last`` snapshots: physically delete
     data files referenced ONLY by expired snapshots (plus their manifest
     lists/manifests), and publish a new metadata.json whose ``snapshots``
@@ -861,38 +878,35 @@ def expire_iceberg_snapshots(path: str, keep_last: int = 1) -> dict:
             "the table metadata and retry the expire"
         ) from None
 
-    kept_data: set[str] = set()
-    kept_meta: set[str] = set()
-    for s in kept:
-        d, m = files_of(s)
-        kept_data |= d
-        kept_meta |= m
-    deleted_data: list[str] = []
-    deleted_meta: list[str] = []
-    for s in expired:
-        d, m = files_of(s)
-        for f in sorted(d - kept_data):
-            if os.path.exists(f):
-                os.unlink(f)
-                deleted_data.append(f)
-        for f in sorted(m - kept_meta):
-            if os.path.exists(f):
-                os.unlink(f)
-                deleted_meta.append(f)
+    # any failure between the marker claim and the metadata publish must
+    # release the marker, or the table wedges permanently ("concurrent
+    # commit" forever) — the claim protects the version slot, not a crash
+    try:
+        kept_data: set[str] = set()
+        kept_meta: set[str] = set()
+        for s in kept:
+            d, m = files_of(s)
+            kept_data |= d
+            kept_meta |= m
+        deleted_data: list[str] = []
+        deleted_meta: list[str] = []
+        for s in expired:
+            d, m = files_of(s)
+            for f in sorted(d - kept_data):
+                if os.path.exists(f):
+                    os.unlink(f)
+                    deleted_data.append(f)
+            for f in sorted(m - kept_meta):
+                if os.path.exists(f):
+                    os.unlink(f)
+                    deleted_meta.append(f)
+    except BaseException:
+        marker.unlink(missing_ok=True)
+        raise
 
-    # reclaim ABANDONED staging dirs (writer crashed before its finally
-    # cleanup): uuid-suffixed names are never reused, so they'd leak
-    # forever; only dirs whose newest entry is older than 24h are touched —
-    # an in-flight append keeps its staging dir young.
-    stale_cutoff = time.time() - 24 * 3600
-    for d in sorted(table_dir.glob("_staging_*")):
-        if d.is_dir():
-            newest = max(
-                (f.stat().st_mtime for f in d.rglob("*") if f.is_file()),
-                default=d.stat().st_mtime,
-            )
-            if newest < stale_cutoff:
-                shutil.rmtree(d, ignore_errors=True)
+    from evolution_spark.io.maintenance import reclaim_stale_staging
+
+    reclaim_stale_staging(table_dir, stale_staging_hours)
 
     now_ms = int(time.time() * 1000)
     new_meta = dict(metadata)

@@ -216,15 +216,25 @@ def data_contract_check(
     if not rules:
         raise ValueError("data_contract_check needs at least one rule")
     aggs = [
-        F.sum(
-            F.when(F.coalesce(expr, F.lit(False)), 0).otherwise(1)
+        # coalesce(..., 0): an EMPTY input (idle streaming micro-batch)
+        # must report 0 violations, not NULL — a NULL would read as
+        # "unchecked" to any downstream alert
+        F.coalesce(
+            F.sum(F.when(F.coalesce(expr, F.lit(False)), 0).otherwise(1)),
+            F.lit(0),
         ).alias(f"__v{i}")
         for i, (_, expr) in enumerate(rules)
     ] + [F.count(F.lit(1)).alias("__n")]
     wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{name}', __v{i}" for i, (name, _) in enumerate(rules)
+    # rule names go through lit() columns, never an f-string SQL fragment —
+    # a name containing quotes must not break (or alter) the projection
+    pairs: list[Column] = []
+    for i, (name, _) in enumerate(rules):
+        pairs.extend([F.lit(name), F.col(f"__v{i}")])
+    return (
+        wide.select(
+            F.stack(F.lit(len(rules)), *pairs).alias("rule", "n_violations"),
+            F.col("__n").alias("n_rows"),
+        )
+        .orderBy("rule")
     )
-    return wide.selectExpr(
-        f"stack({len(rules)}, {stack_args}) as (rule, n_violations)", "__n as n_rows"
-    ).orderBy("rule")

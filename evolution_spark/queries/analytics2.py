@@ -734,13 +734,28 @@ def theil_sen_trend_revenue(spark, sf_dir):
     idx = daily.select(
         (F.row_number().over(Window.orderBy("d")) - 1).alias("x"), "y"
     )
-    a = idx.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
-    b = idx.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    # EQUI-key banding: xb - xa <= 30 implies xb's 30-bucket is xa's or the
+    # next one, so the left side fans to exactly 2 join keys and the join
+    # is a hash join on the bucket — a bare non-equi condition would plan
+    # as a nested-loop doing O(days^2) comparisons, which is what the
+    # banding exists to avoid
+    a = idx.select(
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.array(
+                F.floor(F.col("x") / 30), F.floor(F.col("x") / 30) + 1
+            )
+        ).alias("bkt"),
+    )
+    b = idx.select(
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.floor(F.col("x") / 30).alias("bkt"),
+    )
     slopes = (
-        a.join(
-            b,
-            (F.col("xb") > F.col("xa")) & (F.col("xb") - F.col("xa") <= 30),
-        )
+        a.join(b, "bkt")
+        .where((F.col("xb") > F.col("xa")) & (F.col("xb") - F.col("xa") <= 30))
         .select(((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias("s"))
     )
     return slopes.agg(

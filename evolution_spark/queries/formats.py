@@ -564,14 +564,12 @@ def delta_skipping_scan(spark, sf_dir):
         o.where(F.col("o_orderkey") < band).coalesce(1), tmp
     )
     for i in range(1, 4):
-        commit_delta(
-            o.where(
-                (F.col("o_orderkey") >= i * band)
-                & (F.col("o_orderkey") < (i + 1) * band)
-            ).coalesce(1),
-            tmp,
-            mode="append",
-        )
+        lo = F.col("o_orderkey") >= i * band
+        # the LAST band is unbounded above: (n+1)//4 truncates, so a
+        # capped final band would silently drop the max-key rows and the
+        # "lossless" claim vs the source-table oracle would be false
+        cond = lo if i == 3 else lo & (F.col("o_orderkey") < (i + 1) * band)
+        commit_delta(o.where(cond).coalesce(1), tmp, mode="append")
     back = read_delta_snapshot(
         spark, tmp, skip_where=[("o_orderkey", ">=", 500), ("o_orderkey", "<=", 700)]
     )

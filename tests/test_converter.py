@@ -1524,3 +1524,50 @@ def test_delta_read_data_skipping(spark, tmp_path):
         read_delta_snapshot(spark, path, skip_where=[("nope_col", "==", 1)])
         .inputFiles()
     ) == 3
+
+
+def test_delta_writer_v2_obligations(spark, tmp_path):
+    """Writer version 2 obligations on FOREIGN tables: appendOnly refuses
+    remove-emitting modes (appends stay allowed); schemas with column
+    invariants are refused outright (we cannot validate them)."""
+    import json as _json
+    import pathlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        DeltaProtocolError,
+        commit_delta,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "appendonly")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_delta_snapshot(df, path)
+
+    # foreign writer marks the table append-only
+    log = pathlib.Path(path) / "_delta_log"
+    v0_lines = (log / f"{0:020d}.json").read_text().splitlines()
+    meta = next(_json.loads(l) for l in v0_lines if "metaData" in l)
+    meta["metaData"]["configuration"] = {"delta.appendOnly": "true"}
+    (log / f"{1:020d}.json").write_text(_json.dumps(meta) + "\n")
+
+    commit_delta(df.where("k < 2"), path, mode="append")  # appends still OK
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        commit_delta(df, path, mode="overwrite")
+
+    # a schema carrying invariants is refused
+    path2 = str(tmp_path / "invariants")
+    write_delta_snapshot(df, path2)
+    log2 = pathlib.Path(path2) / "_delta_log"
+    v0 = (log2 / f"{0:020d}.json").read_text().splitlines()
+    meta2 = next(_json.loads(l) for l in v0 if "metaData" in l)
+    sch = _json.loads(meta2["metaData"]["schemaString"])
+    sch["fields"][0]["metadata"] = {
+        "delta.invariants": '{"expression":{"expression":"k > 0"}}'
+    }
+    meta2["metaData"]["schemaString"] = _json.dumps(sch)
+    (log2 / f"{1:020d}.json").write_text(_json.dumps(meta2) + "\n")
+    with pytest.raises(DeltaProtocolError, match="invariants"):
+        commit_delta(df.where("k < 2"), path2, mode="append")

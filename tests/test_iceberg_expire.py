@@ -120,3 +120,27 @@ def test_iceberg_partition_pruned_read(spark, tmp_path):
     # no matching partition -> empty frame, right schema
     none = read_iceberg_table(spark, path, partition_where={"bucket": 99})
     assert none.count() == 0 and none.columns == ["bucket", "k"]
+
+
+def test_iceberg_partition_where_validates_keys(spark, tmp_path):
+    """Pruning on a key that is not a partition column must raise, not
+    silently return an empty result."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "icevalidate")
+    df = spark.range(30).select((F.col("id") % 3).alias("bucket"),
+                                F.col("id").alias("k"))
+    write_iceberg_table(df, path, partition_by=["bucket"])
+    with pytest.raises(ValueError, match="not partition columns"):
+        read_iceberg_table(spark, path, partition_where={"bucket_": 1})
+    # unpartitioned table: ANY key is invalid
+    path2 = str(tmp_path / "icevalidate2")
+    write_iceberg_table(df.select("k"), path2)
+    with pytest.raises(ValueError, match="not partition columns"):
+        read_iceberg_table(spark, path2, partition_where={"k": 1})

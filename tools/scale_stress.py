@@ -113,7 +113,18 @@ def main() -> int:
     def run_noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    out = {"sf_equiv": round(0.1 * REPLICAS, 2), "replicas": REPLICAS, "queries": {}, "flf": {}}
+    base = BASE_SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        base_sf = float(base)
+    except ValueError:
+        base_sf = 0.1
+    out = {
+        "sf_equiv": round(base_sf * REPLICAS, 3),
+        "base_sf": base_sf,
+        "replicas": REPLICAS,
+        "queries": {},
+        "flf": {},
+    }
     tmp = tempfile.mkdtemp(prefix="evoscale-")
     try:
         t0 = time.perf_counter()
