@@ -63,6 +63,52 @@ def _morton_interleave(cols, bits: int):
     return z
 
 
+def zorder_dataframe(
+    df: DataFrame,
+    cluster_cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+) -> DataFrame:
+    """Return ``df`` Z-order-clustered (repartitionByRange + sort on the
+    Morton code of min-max-scaled ``cluster_cols``) WITHOUT writing — the
+    shared clustering core behind ``write_zorder_clustered`` and
+    ``delta_log.optimize_delta(zorder_by=...)``. Each output partition
+    covers a small hyper-rectangle of the key space, so whatever sink
+    consumes it produces files with tight per-column min/max footers."""
+    from pyspark.sql import functions as F
+
+    cols = list(cluster_cols)
+    if not cols:
+        raise ValueError("cluster_cols must be non-empty")
+    bits = min(bits, 63 // len(cols))
+    if bits < 1:
+        raise ValueError(f"too many cluster columns ({len(cols)}): need >=1 bit each")
+    n = n_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"__mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__mx_{c}") for c in cols],
+    )
+    with_stats = df.crossJoin(F.broadcast(stats))
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+        scaled.append(
+            F.least(
+                F.floor((F.col(c).cast("double") - mn) / span * top).cast("long"),
+                F.lit(top).cast("long"),
+            )
+        )
+    z = _morton_interleave(scaled, bits)
+    return (
+        with_stats.withColumn("__z", z)
+        .repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols])
+    )
+
+
 def write_zorder_clustered(
     df: DataFrame,
     path: str,
@@ -103,29 +149,8 @@ def write_zorder_clustered(
     bits = min(bits, 63 // len(cols))
     if bits < 1:
         raise ValueError(f"too many cluster columns ({len(cols)}): need >=1 bit each")
-    n = n_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    stats = df.agg(
-        *[F.min(c).cast("double").alias(f"__mn_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"__mx_{c}") for c in cols],
-    )
-    with_stats = df.crossJoin(F.broadcast(stats))
-    top = (1 << bits) - 1
-    scaled = []
-    for c in cols:
-        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
-        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
-        scaled.append(
-            F.least(
-                F.floor((F.col(c).cast("double") - mn) / span * top).cast("long"),
-                F.lit(top).cast("long"),
-            )
-        )
-    z = _morton_interleave(scaled, bits)
     (
-        with_stats.withColumn("__z", z)
-        .repartitionByRange(n, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z", *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols])
+        zorder_dataframe(df, cols, bits=bits, n_files=n_files)
         .write.mode(mode)
         .parquet(path)
     )

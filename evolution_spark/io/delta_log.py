@@ -811,6 +811,7 @@ def optimize_delta(
     spark,
     path: str,
     target_files: int = 1,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE (small-file compaction): rewrite the live files of each
     partition into ``target_files`` larger files via a ``mode='replace'``
@@ -820,7 +821,14 @@ def optimize_delta(
     readable. The streaming sink's many small per-batch files are the
     canonical input.
 
-    Scale: the rewrite is a distributed read->coalesce->write of only the
+    ``zorder_by`` (the real ``OPTIMIZE ... ZORDER BY`` shape): instead of
+    a plain coalesce, rows are re-clustered on the Morton code of the
+    given columns (io/clustered.zorder_dataframe) so each rewritten file
+    covers a small hyper-rectangle of the key space — the add actions'
+    recomputed min/max stats then make ``read_delta_snapshot(skip_where=
+    ...)`` prune on EVERY z-ordered column, not just one.
+
+    Scale: the rewrite is a distributed read->cluster->write of only the
     live files; the log update is metadata-sized. Statistics are
     recomputed from the new footers, so post-OPTIMIZE merges prune against
     tight ranges again."""
@@ -828,7 +836,13 @@ def optimize_delta(
     live, *_ = _replay_log(table_dir)
     if not live:
         return {"version": None, "files": 0, "rows": 0, "note": "empty table"}
-    compacted = read_delta_snapshot(spark, path).coalesce(target_files)
+    snapshot = read_delta_snapshot(spark, path)
+    if zorder_by:
+        from evolution_spark.io.clustered import zorder_dataframe
+
+        compacted = zorder_dataframe(snapshot, zorder_by, n_files=target_files)
+    else:
+        compacted = snapshot.coalesce(target_files)
     summary = commit_delta(
         compacted, path, mode="replace", remove_paths=sorted(live)
     )

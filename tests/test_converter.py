@@ -1571,3 +1571,45 @@ def test_delta_writer_v2_obligations(spark, tmp_path):
     (log2 / f"{1:020d}.json").write_text(_json.dumps(meta2) + "\n")
     with pytest.raises(DeltaProtocolError, match="invariants"):
         commit_delta(df.where("k < 2"), path2, mode="append")
+
+
+def test_delta_optimize_zorder_enables_2d_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: after the rewrite, stats-based file skipping
+    prunes on BOTH clustered columns; rows identical to before."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        optimize_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "optz")
+    # scattered layout: 8 files, each covering the FULL (a, b) range ->
+    # stats-based pruning can skip nothing
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"),
+        (F.floor(F.col("id") / 64) % 64).alias("b"),
+    ).repartition(8)
+    write_delta_snapshot(df, path)
+    pre = read_delta_snapshot(
+        spark, path, skip_where=[("a", "<", 8), ("b", "<", 8)]
+    )
+    assert len(pre.inputFiles()) == 8  # nothing skippable
+
+    res = optimize_delta(spark, path, target_files=16, zorder_by=["a", "b"])
+    assert res["files_before"] == 8
+
+    post_all = read_delta_snapshot(spark, path)
+    assert post_all.count() == 4096  # lossless rewrite
+    post = read_delta_snapshot(
+        spark, path, skip_where=[("a", "<", 8), ("b", "<", 8)]
+    )
+    # z-ordered files cover small (a, b) rectangles: the corner box must
+    # skip a clear majority of the 16 files
+    assert len(post.inputFiles()) <= 6, len(post.inputFiles())
+    assert post.where("a < 8 and b < 8").count() == pre.where(
+        "a < 8 and b < 8"
+    ).count()
+    # pre-optimize version stays time-travel readable
+    assert read_delta_snapshot(spark, path, version=0).count() == 4096
