@@ -940,8 +940,14 @@ def test_delta_commit_race_is_hard_error_not_lost_update(spark, tmp_path, monkey
 
     orig = dl._replay_log
 
-    def stale(table_dir, version=None):
-        live, schema, parts, _ = orig(table_dir, 0 if version is None else version)
+    def stale(table_dir, version=None, return_state=False):
+        result = orig(
+            table_dir, 0 if version is None else version, return_state=return_state
+        )
+        if return_state:
+            live, schema, parts, _, state = result
+            return live, schema, parts, 0, state
+        live, schema, parts, _ = result
         return live, schema, parts, 0
 
     monkeypatch.setattr(dl, "_replay_log", stale)
