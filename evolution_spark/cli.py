@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                        choices=["delta", "iceberg"])
     maint.add_argument("--optimize", type=int, metavar="N", default=None,
                        help="compact live files to N files (delta)")
+    maint.add_argument("--zorder-by", default=None, metavar="COL[,COL...]",
+                       help="delta: z-order-cluster the optimize rewrite on "
+                            "these columns (requires --optimize)")
     maint.add_argument("--vacuum", type=int, metavar="KEEP", default=None,
                        help="delta: delete files unreferenced by the last "
                             "KEEP versions")
@@ -100,6 +103,8 @@ def main(argv: list[str] | None = None) -> int:
 
             if args.expire_snapshots is not None:
                 raise SystemExit("--expire-snapshots applies to iceberg tables")
+            if args.zorder_by and args.optimize is None:
+                raise SystemExit("--zorder-by requires --optimize")
             if args.optimize is not None:
                 from pyspark.sql import SparkSession
 
@@ -111,7 +116,12 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 try:
                     results["optimize"] = optimize_delta(
-                        spark, args.table, target_files=args.optimize
+                        spark,
+                        args.table,
+                        target_files=args.optimize,
+                        zorder_by=(
+                            args.zorder_by.split(",") if args.zorder_by else None
+                        ),
                     )
                 finally:
                     if existing is None:

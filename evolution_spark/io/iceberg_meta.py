@@ -644,6 +644,30 @@ def append_iceberg_snapshot(df: DataFrame, path: str) -> dict:
 
     Scale: the data write is distributed; manifest/metadata work is
     metadata-sized (one entry per file)."""
+    return _commit_iceberg_snapshot(df, path, operation="append")
+
+
+def compact_iceberg_table(spark, path: str, target_files: int = 1) -> dict:
+    """OPTIMIZE (compaction) for the native Iceberg table — the Delta
+    ``optimize_delta`` twin: rewrite the CURRENT snapshot's rows into
+    ``target_files`` files and commit them as a REPLACE snapshot whose
+    manifest list references ONLY the new manifest (old data files stop
+    being referenced by the new snapshot; every prior snapshot keeps its
+    own manifest list, so time travel by id still reads the pre-compaction
+    layout until ``expire_iceberg_snapshots`` reclaims it).
+
+    Scale: the rewrite is a distributed read->coalesce->write of only the
+    live files; metadata work is one manifest + one manifest list."""
+    compacted = read_iceberg_table(spark, path).coalesce(target_files)
+    return _commit_iceberg_snapshot(compacted, path, operation="replace")
+
+
+def _commit_iceberg_snapshot(
+    df: DataFrame, path: str, operation: str = "append"
+) -> dict:
+    """Shared snapshot-commit core: ``operation='append'`` carries the
+    previous snapshot's manifests by reference; ``'replace'`` starts the
+    manifest list fresh (compaction/rewrite semantics)."""
     import pyarrow.parquet as pq
 
     table_dir = Path(path)
@@ -738,12 +762,17 @@ def append_iceberg_snapshot(df: DataFrame, path: str) -> dict:
         },
     )
 
-    # previous snapshot's manifests are carried by reference
     current = metadata["current-snapshot-id"]
     prev_snapshot = next(
         s for s in metadata["snapshots"] if s["snapshot-id"] == current
     )
-    prev_entries = _read_avro(Path(prev_snapshot["manifest-list"]))
+    # append: previous snapshot's manifests carried by reference;
+    # replace: the new manifest list stands alone (compaction rewrite)
+    prev_entries = (
+        _read_avro(Path(prev_snapshot["manifest-list"]))
+        if operation == "append"
+        else []
+    )
     new_entry = {
         "manifest_path": str(manifest_path),
         "manifest_length": manifest_len,
@@ -769,6 +798,13 @@ def append_iceberg_snapshot(df: DataFrame, path: str) -> dict:
 
     prev_total_files = int(prev_snapshot["summary"].get("total-data-files", "0"))
     prev_total_rows = int(prev_snapshot["summary"].get("total-records", "0"))
+    if operation == "append":
+        total_files, total_records = (
+            prev_total_files + len(entries),
+            prev_total_rows + total_rows,
+        )
+    else:  # replace: the new files ARE the table
+        total_files, total_records = len(entries), total_rows
     new_snapshot = {
         "snapshot-id": snapshot_id,
         "parent-snapshot-id": current,
@@ -776,11 +812,11 @@ def append_iceberg_snapshot(df: DataFrame, path: str) -> dict:
         "timestamp-ms": now_ms,
         "manifest-list": str(mlist_path),
         "summary": {
-            "operation": "append",
+            "operation": operation,
             "added-data-files": str(len(entries)),
             "added-records": str(total_rows),
-            "total-data-files": str(prev_total_files + len(entries)),
-            "total-records": str(prev_total_rows + total_rows),
+            "total-data-files": str(total_files),
+            "total-records": str(total_records),
         },
         "schema-id": metadata["current-schema-id"],
     }
@@ -888,18 +924,27 @@ def expire_iceberg_snapshots(
             d, m = files_of(s)
             kept_data |= d
             kept_meta |= m
-        deleted_data: list[str] = []
-        deleted_meta: list[str] = []
+        # walk ALL expired snapshots BEFORE deleting anything: snapshots
+        # share manifests by reference (an append's manifest list carries
+        # its ancestors' manifests), so deleting while walking would break
+        # the read of a later expired snapshot that references a manifest
+        # already unlinked for an earlier one
+        exp_data: set[str] = set()
+        exp_meta: set[str] = set()
         for s in expired:
             d, m = files_of(s)
-            for f in sorted(d - kept_data):
-                if os.path.exists(f):
-                    os.unlink(f)
-                    deleted_data.append(f)
-            for f in sorted(m - kept_meta):
-                if os.path.exists(f):
-                    os.unlink(f)
-                    deleted_meta.append(f)
+            exp_data |= d
+            exp_meta |= m
+        deleted_data: list[str] = []
+        deleted_meta: list[str] = []
+        for f in sorted(exp_data - kept_data):
+            if os.path.exists(f):
+                os.unlink(f)
+                deleted_data.append(f)
+        for f in sorted(exp_meta - kept_meta):
+            if os.path.exists(f):
+                os.unlink(f)
+                deleted_meta.append(f)
     except BaseException:
         marker.unlink(missing_ok=True)
         raise

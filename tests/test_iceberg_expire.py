@@ -144,3 +144,45 @@ def test_iceberg_partition_where_validates_keys(spark, tmp_path):
     write_iceberg_table(df.select("k"), path2)
     with pytest.raises(ValueError, match="not partition columns"):
         read_iceberg_table(spark, path2, partition_where={"k": 1})
+
+
+def test_iceberg_compaction_replace_snapshot(spark, tmp_path):
+    """compact_iceberg_table rewrites the current snapshot into fewer
+    files as a REPLACE snapshot: rows identical, file count drops, time
+    travel to the pre-compaction snapshot still reads the old layout, and
+    expire afterwards reclaims the superseded files."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        compact_iceberg_table,
+        expire_iceberg_snapshots,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "icecompact")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    write_iceberg_table(df.repartition(4), path)
+    s1 = append_iceberg_snapshot(df.where("k < 10").repartition(3), path)
+
+    before = read_iceberg_table(spark, path)
+    assert before.count() == 110
+    n_files_before = len(before.inputFiles())
+    assert n_files_before >= 7
+
+    res = compact_iceberg_table(spark, path, target_files=2)
+    after = read_iceberg_table(spark, path)
+    assert after.count() == 110
+    assert len(after.inputFiles()) <= 2
+    assert sorted(r.k for r in after.collect()) == sorted(
+        r.k for r in before.collect()
+    )
+    # pre-compaction snapshot still readable by id
+    assert read_iceberg_table(
+        spark, path, snapshot_id=s1["snapshot-id"]
+    ).count() == 110
+    # expire reclaims the superseded layout's files
+    exp = expire_iceberg_snapshots(path, keep_last=1)
+    assert exp["deleted_data_files"] >= n_files_before
+    assert read_iceberg_table(spark, path).count() == 110
