@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "data_contract_orders",
     "feature_hash_vectorize",
     "theil_sen_trend_revenue",
+    "iceberg_maintenance_lifecycle",
 ]
 
 

@@ -603,3 +603,48 @@ def ipc_roundtrip_nation(spark, sf_dir):
     write_ipc(n, tmp)
     back = read_ipc(spark, tmp, n.schema)
     return back.orderBy("n_nationkey")
+
+
+@query(
+    "iceberg_maintenance_lifecycle",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM events GROUP BY event_type
+    """,
+)
+def iceberg_maintenance_lifecycle(spark, sf_dir):
+    """The Iceberg small-files lifecycle as one checked pipeline:
+    fragmented initial write + 3 appends -> COMPACTION (replace snapshot)
+    -> EXPIRE of the superseded snapshots -> read the surviving snapshot
+    and aggregate. The oracle states the expected contents directly
+    against the source, so a row lost in the rewrite, a live file expired,
+    or a manifest-list chain broken by the replace all fail the hash."""
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        compact_iceberg_table,
+        expire_iceberg_snapshots,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    tmp = query_tmp("ice_life", sf_dir)
+    write_iceberg_table(e.where(F.col("event_id") % 4 == 0).repartition(3), tmp)
+    for m in (1, 2, 3):
+        append_iceberg_snapshot(
+            e.where(F.col("event_id") % 4 == m).repartition(3), tmp
+        )
+    compact_iceberg_table(spark, tmp, target_files=2)
+    expire_iceberg_snapshots(tmp, keep_last=1)
+    back = read_iceberg_table(spark, tmp)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
