@@ -112,9 +112,6 @@ def zorder_cluster_scan(spark, sf_dir):
     original table, so the clustering rewrite is proven lossless. The layout
     contract itself (tight 2-D footers, minority-overlap pruning) is proven
     from footers in test_converter.py::test_zorder_clustered_2d_skipping."""
-    import os
-    import tempfile
-
     from evolution_spark.io import write_zorder_clustered
 
     li = table(spark, sf_dir, "lineitem")
