@@ -137,9 +137,15 @@ def main(argv: list[str] | None = None) -> int:
         else:
             from evolution_spark.io.iceberg_meta import expire_iceberg_snapshots
 
-            if args.optimize is not None or args.vacuum is not None or args.checkpoint:
+            if (
+                args.optimize is not None
+                or args.vacuum is not None
+                or args.checkpoint
+                or args.zorder_by
+            ):
                 raise SystemExit(
-                    "--optimize/--vacuum/--checkpoint apply to delta tables"
+                    "--optimize/--zorder-by/--vacuum/--checkpoint apply to "
+                    "delta tables"
                 )
             if args.expire_snapshots is not None:
                 results["expire"] = expire_iceberg_snapshots(

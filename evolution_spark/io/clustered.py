@@ -83,6 +83,10 @@ def zorder_dataframe(
     bits = min(bits, 63 // len(cols))
     if bits < 1:
         raise ValueError(f"too many cluster columns ({len(cols)}): need >=1 bit each")
+    if n_files is not None and n_files < 1:
+        # `or`-fallback would silently treat 0 as "use the default" — the
+        # coalesce path errors on 0, so this path must too
+        raise ValueError(f"n_files must be >= 1, got {n_files}")
     n = n_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"__mn_{c}") for c in cols],
@@ -141,16 +145,8 @@ def write_zorder_clustered(
     make high-key z-values negative and silently destroy locality for the
     top of the key range (e.g. 4 columns at the default 16 bits).
     """
-    from pyspark.sql import functions as F
-
-    cols = list(cluster_cols)
-    if not cols:
-        raise ValueError("cluster_cols must be non-empty")
-    bits = min(bits, 63 // len(cols))
-    if bits < 1:
-        raise ValueError(f"too many cluster columns ({len(cols)}): need >=1 bit each")
     (
-        zorder_dataframe(df, cols, bits=bits, n_files=n_files)
+        zorder_dataframe(df, cluster_cols, bits=bits, n_files=n_files)
         .write.mode(mode)
         .parquet(path)
     )

@@ -658,20 +658,45 @@ def compact_iceberg_table(spark, path: str, target_files: int = 1) -> dict:
 
     Scale: the rewrite is a distributed read->coalesce->write of only the
     live files; metadata work is one manifest + one manifest list."""
+    table_dir = Path(path)
+    base_snapshot = _load_metadata(table_dir)[0]["current-snapshot-id"]
     compacted = read_iceberg_table(spark, path).coalesce(target_files)
-    return _commit_iceberg_snapshot(compacted, path, operation="replace")
+    return _commit_iceberg_snapshot(
+        compacted, path, operation="replace", expect_current=base_snapshot
+    )
 
 
 def _commit_iceberg_snapshot(
-    df: DataFrame, path: str, operation: str = "append"
+    df: DataFrame,
+    path: str,
+    operation: str = "append",
+    expect_current: int | None = None,
 ) -> dict:
     """Shared snapshot-commit core: ``operation='append'`` carries the
     previous snapshot's manifests by reference; ``'replace'`` starts the
-    manifest list fresh (compaction/rewrite semantics)."""
+    manifest list fresh (compaction/rewrite semantics).
+
+    ``expect_current`` (replace only): the snapshot id the rewrite was
+    BASED on — a replace discards all prior manifests by construction, so
+    if another writer committed after the base was read, publishing would
+    silently erase that writer's rows; the commit aborts instead (the
+    optimistic-concurrency validation an append doesn't need, because an
+    append carries whatever the latest snapshot references)."""
     import pyarrow.parquet as pq
 
     table_dir = Path(path)
     metadata, prev_meta_file = _load_metadata(table_dir)
+    if (
+        expect_current is not None
+        and metadata["current-snapshot-id"] != expect_current
+    ):
+        raise RuntimeError(
+            f"concurrent commit detected: table advanced from snapshot "
+            f"{expect_current} to {metadata['current-snapshot-id']} since "
+            "the rewrite was planned — retry the compaction against the "
+            "new table state (publishing would erase the other writer's "
+            "rows)"
+        )
     ice_schema = next(
         s
         for s in metadata["schemas"]

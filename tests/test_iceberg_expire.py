@@ -186,3 +186,32 @@ def test_iceberg_compaction_replace_snapshot(spark, tmp_path):
     exp = expire_iceberg_snapshots(path, keep_last=1)
     assert exp["deleted_data_files"] >= n_files_before
     assert read_iceberg_table(spark, path).count() == 110
+
+
+def test_iceberg_compaction_aborts_on_concurrent_append(spark, tmp_path, monkeypatch):
+    """A replace snapshot discards all prior manifests, so a compaction
+    whose base snapshot was superseded by a concurrent append must abort
+    instead of silently erasing the appended rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import evolution_spark.io.iceberg_meta as im
+
+    path = str(tmp_path / "icerace")
+    df = spark.range(20).select(F.col("id").alias("k"))
+    im.write_iceberg_table(df, path)
+
+    orig_read = im.read_iceberg_table
+
+    def read_then_append(spark_, p, snapshot_id=None, partition_where=None):
+        out = orig_read(spark_, p, snapshot_id, partition_where)
+        out = out.localCheckpoint()  # pin rows before the rival lands
+        im.append_iceberg_snapshot(df.where("k < 3"), p)  # rival append
+        return out
+
+    monkeypatch.setattr(im, "read_iceberg_table", read_then_append)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        im.compact_iceberg_table(spark, path, target_files=1)
+    monkeypatch.undo()
+    # the rival's rows are intact
+    assert im.read_iceberg_table(spark, path).count() == 23
