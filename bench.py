@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "feature_hash_vectorize",
     "theil_sen_trend_revenue",
     "iceberg_maintenance_lifecycle",
+    "benford_digit_test",
+    "lagged_crosscorr_orders",
 ]
 
 

@@ -762,3 +762,137 @@ def theil_sen_trend_revenue(spark, sf_dir):
         F.round(F.percentile("s", F.lit(0.5)), 4).alias("slope"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit forensics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "benford_digit_test",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+      SELECT d, COUNT(*) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts)
+    SELECT d, n,
+           ROUND(n / t, 4) AS observed,
+           ROUND(LOG10(1.0 + 1.0 / d), 4) AS expected,
+           ROUND(POW(n / t - LOG10(1.0 + 1.0 / d), 2)
+                 / LOG10(1.0 + 1.0 / d) * t, 2) AS chi2_term
+    FROM counts, tot ORDER BY d
+    """,
+)
+def benford_digit_test(spark, sf_dir):
+    """Benford's-law first-digit test of order amounts — the classic
+    fraud/fabrication forensic: natural multi-scale amounts follow
+    P(d) = log10(1 + 1/d); per-digit observed share, expected share, and
+    the chi-square contribution (sum them for the test statistic).
+
+    Scale: ONE scan -> 9-row hash aggregate; the total is a 1-row
+    broadcast. Note the driver's synthetic prices are ~uniform, so this
+    corpus FAILS Benford (huge chi2) — which is itself the point: the
+    test flags non-natural amount distributions, and the oracle pins the
+    arithmetic either way."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = F.substring(
+        F.col("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.select(d.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("double").alias("t"))
+    expected = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            F.round(F.col("n") / F.col("t"), 4).alias("observed"),
+            F.round(expected, 4).alias("expected"),
+            F.round(
+                F.pow(F.col("n") / F.col("t") - expected, 2)
+                / expected
+                * F.col("t"),
+                2,
+            ).alias("chi2_term"),
+        )
+        .orderBy("d")
+    )
+
+
+# --------------------------------------------------------------------------
+# Lagged cross-correlation of two daily series
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lagged_crosscorr_orders",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(o_totalprice) AS revenue,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT l.lag,
+             d.revenue AS x,
+             LAG(d.n_orders, l.lag) OVER (PARTITION BY l.lag ORDER BY d.d)
+               AS y
+      FROM daily d CROSS JOIN (SELECT UNNEST(range(4)) AS lag) l
+    )
+    SELECT CAST(lag AS INT) AS lag, ROUND(CORR(x, y), 4) AS corr,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM lagged WHERE y IS NOT NULL GROUP BY lag ORDER BY lag
+    """,
+)
+def lagged_crosscorr_orders(spark, sf_dir):
+    """Cross-correlation function of daily revenue against daily order
+    count at lags 0..3 — "does volume lead value?" — the lead-lag readout
+    behind demand forecasting features.
+
+    Scale: orders collapse to the domain-sized daily series, which fans
+    out 4x (one copy per lag) and runs per-lag keyed windows + one corr
+    aggregate per lag — all post-agg, never a window over raw orders.
+    Pearson corr is rounded to 4 dp (cross-engine summation drift on the
+    covariance accumulators is ~1e-12 relative)."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    lags = spark.range(4).select(F.col("id").cast("int").alias("lag"))
+    fan = daily.crossJoin(F.broadcast(lags))
+    w = Window.partitionBy("lag").orderBy("d")
+    lagged = fan.select(
+        "lag",
+        F.col("revenue").alias("x"),
+        F.lag("n_orders", 1).over(w).alias("__y1"),
+        F.col("n_orders").alias("__y0"),
+        F.lag("n_orders", 2).over(w).alias("__y2"),
+        F.lag("n_orders", 3).over(w).alias("__y3"),
+    ).select(
+        "lag",
+        "x",
+        F.when(F.col("lag") == 0, F.col("__y0"))
+        .when(F.col("lag") == 1, F.col("__y1"))
+        .when(F.col("lag") == 2, F.col("__y2"))
+        .otherwise(F.col("__y3"))
+        .alias("y"),
+    )
+    return (
+        lagged.where(F.col("y").isNotNull())
+        .groupBy("lag")
+        .agg(
+            F.round(F.corr("x", "y"), 4).alias("corr"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("lag")
+    )
