@@ -773,8 +773,8 @@ def theil_sen_trend_revenue(spark, sf_dir):
     "benford_digit_test",
     oracle="""
     WITH digits AS (
-      SELECT CAST(substr(CAST(CAST(o_totalprice AS BIGINT) AS VARCHAR), 1, 1)
-                  AS INT) AS d
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS d
       FROM orders WHERE o_totalprice >= 1
     ),
     counts AS (
@@ -801,8 +801,11 @@ def benford_digit_test(spark, sf_dir):
     test flags non-natural amount distributions, and the oracle pins the
     arithmetic either way."""
     o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    # explicit FLOOR on both sides: Spark's double->bigint cast truncates
+    # while DuckDB's ROUNDS, so a price at a .9997 boundary would flip its
+    # first digit between engines
     d = F.substring(
-        F.col("o_totalprice").cast("bigint").cast("string"), 1, 1
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
     ).cast("int")
     counts = o.select(d.alias("d")).groupBy("d").agg(
         F.count(F.lit(1)).alias("n")
