@@ -628,3 +628,12 @@ def test_referential_audit_anti_joins(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "referential_orphans_audit")
     assert plan.count("LeftAnti") == 4
     assert "CartesianProduct" not in plan
+
+
+def test_theil_sen_banded_join_is_hash_join(spark, sf_dir):
+    """The banded pair join must plan as an equi hash join on the lag
+    bucket — a bare non-equi condition would fall back to a nested-loop
+    doing O(days^2) comparisons."""
+    plan = plan_of(spark, sf_dir, "theil_sen_trend_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -179,6 +179,10 @@ _INVARIANCE_QUERIES = [
     "data_contract_orders",
     "theil_sen_trend_revenue",
     "feature_hash_vectorize",
+    "delta_skipping_scan",
+    "iceberg_maintenance_lifecycle",
+    "benford_digit_test",
+    "lagged_crosscorr_orders",
 ]
 
 
