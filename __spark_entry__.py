@@ -2,12 +2,17 @@
 
 ``entry(spark)`` runs the flagship query (TPC-H Q1-shape pricing summary) on
 sf0.001. ``queries()``/``oracle_sql()`` expose the engine's full declared
-query surface (SURVEY.md §2.3): all 22 TPC-H shapes, date/window analytics,
-temporal joins (as-of/range), text analysis + dedup (exact, MinHash-LSH,
-n-gram Jaccard, SimHash), embedding similarity (brute-force + LSH ANN + IVF)
-and compression (int8, random projection), dataset curation (splits,
-sampling, scrubbing, chunking), streaming batch twins (windows, sessions,
-stream-join attribution), and the FLF converter itself surfaced as
+query surface (SURVEY.md §2.3; 207 queries, 202 with DuckDB oracles): all
+22 TPC-H shapes, date/window analytics, temporal joins (as-of/range/PIT),
+text analysis + dedup (exact, MinHash-LSH, n-gram Jaccard, SimHash,
+SemDeDup, winnowing), embedding similarity (brute-force + LSH ANN +
+IVF-PQ, partitioned layouts) and compression (int8, random projection),
+dataset curation (splits, sampling, scrubbing, chunking, packing,
+contracts), graph analytics (PageRank, components, triangles, k-hop BFS),
+robust/time-series statistics (winsorize, CUSUM, Theil-Sen, seasonal
+decomposition, A/B z-test, Benford, CCF), native Delta/Iceberg/Avro/IPC
+format lifecycles, streaming batch twins (windows, sessions, stream-join
+attribution incl. left-outer), and the FLF converter itself surfaced as
 identity-oracle queries.
 """
 
