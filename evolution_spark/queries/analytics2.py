@@ -777,8 +777,11 @@ def theil_sen_trend_revenue(spark, sf_dir):
                          1, 1) AS INT) AS d
       FROM orders WHERE o_totalprice >= 1
     ),
+    spine AS (SELECT CAST(UNNEST(range(1, 10)) AS INT) AS d),
     counts AS (
-      SELECT d, COUNT(*) AS n FROM digits GROUP BY d
+      SELECT s.d, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      FROM spine s LEFT JOIN (SELECT d, COUNT(*) AS n FROM digits GROUP BY d) c
+        ON c.d = s.d
     ),
     tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts)
     SELECT d, n,
@@ -796,10 +799,13 @@ def benford_digit_test(spark, sf_dir):
     the chi-square contribution (sum them for the test statistic).
 
     Scale: ONE scan -> 9-row hash aggregate; the total is a 1-row
-    broadcast. Note the driver's synthetic prices are ~uniform, so this
-    corpus FAILS Benford (huge chi2) — which is itself the point: the
-    test flags non-natural amount distributions, and the oracle pins the
-    arithmetic either way."""
+    broadcast. A 9-row digit spine left-joins the counts so a digit that
+    NEVER occurs still contributes its (0 - t*p_d)^2 / (t*p_d) = t*p_d
+    chi-square term — dropping absent groups would understate the
+    statistic exactly when the data is most anomalous. Note the driver's
+    synthetic prices are ~uniform, so this corpus FAILS Benford (huge
+    chi2) — which is itself the point: the test flags non-natural amount
+    distributions, and the oracle pins the arithmetic either way."""
     o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
     # explicit FLOOR on both sides: Spark's double->bigint cast truncates
     # while DuckDB's ROUNDS, so a price at a .9997 boundary would flip its
@@ -807,8 +813,13 @@ def benford_digit_test(spark, sf_dir):
     d = F.substring(
         F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
     ).cast("int")
-    counts = o.select(d.alias("d")).groupBy("d").agg(
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    observed = o.select(d.alias("d")).groupBy("d").agg(
         F.count(F.lit(1)).alias("n")
+    )
+    counts = (
+        spine.join(observed, "d", "left")
+        .select("d", F.coalesce("n", F.lit(0)).alias("n"))
     )
     tot = counts.agg(F.sum("n").cast("double").alias("t"))
     expected = F.log10(1.0 + 1.0 / F.col("d"))
@@ -844,16 +855,15 @@ def benford_digit_test(spark, sf_dir):
              CAST(COUNT(*) AS DOUBLE) AS n_orders
       FROM orders GROUP BY 1
     ),
-    lagged AS (
-      SELECT l.lag,
-             d.revenue AS x,
-             LAG(d.n_orders, l.lag) OVER (PARTITION BY l.lag ORDER BY d.d)
-               AS y
-      FROM daily d CROSS JOIN (SELECT UNNEST(range(4)) AS lag) l
+    lags AS (SELECT CAST(UNNEST(range(4)) AS INT) AS lag),
+    pairs AS (
+      SELECT l.lag, a.revenue AS x, b.n_orders AS y
+      FROM daily a CROSS JOIN lags l
+      JOIN daily b ON b.d = a.d - l.lag * INTERVAL 1 DAY
     )
-    SELECT CAST(lag AS INT) AS lag, ROUND(CORR(x, y), 4) AS corr,
+    SELECT lag, ROUND(CORR(x, y), 4) AS corr,
            CAST(COUNT(*) AS BIGINT) AS n_days
-    FROM lagged WHERE y IS NOT NULL GROUP BY lag ORDER BY lag
+    FROM pairs GROUP BY lag ORDER BY lag
     """,
 )
 def lagged_crosscorr_orders(spark, sf_dir):
@@ -861,37 +871,31 @@ def lagged_crosscorr_orders(spark, sf_dir):
     count at lags 0..3 — "does volume lead value?" — the lead-lag readout
     behind demand forecasting features.
 
-    Scale: orders collapse to the domain-sized daily series, which fans
-    out 4x (one copy per lag) and runs per-lag keyed windows + one corr
-    aggregate per lag — all post-agg, never a window over raw orders.
-    Pearson corr is rounded to 4 dp (cross-engine summation drift on the
-    covariance accumulators is ~1e-12 relative)."""
+    Lags are CALENDAR-exact: y at lag k is the order count of the day
+    exactly k days earlier (a date_sub equi-join), so gaps in the daily
+    series drop the pair instead of silently correlating against the
+    previous OBSERVED day at an irregular true lag.
+
+    Scale: orders collapse to the domain-sized daily series; the lag
+    pairing is one equi-join of that series against itself on shifted
+    dates (4 keys per row) plus one corr aggregate per lag — all
+    post-agg, never a window over raw orders. Pearson corr is rounded to
+    4 dp (cross-engine summation drift on the covariance accumulators is
+    ~1e-12 relative)."""
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         F.sum("o_totalprice").alias("revenue"),
         F.count(F.lit(1)).cast("double").alias("n_orders"),
     )
     lags = spark.range(4).select(F.col("id").cast("int").alias("lag"))
-    fan = daily.crossJoin(F.broadcast(lags))
-    w = Window.partitionBy("lag").orderBy("d")
-    lagged = fan.select(
+    a = daily.crossJoin(F.broadcast(lags)).select(
         "lag",
         F.col("revenue").alias("x"),
-        F.lag("n_orders", 1).over(w).alias("__y1"),
-        F.col("n_orders").alias("__y0"),
-        F.lag("n_orders", 2).over(w).alias("__y2"),
-        F.lag("n_orders", 3).over(w).alias("__y3"),
-    ).select(
-        "lag",
-        "x",
-        F.when(F.col("lag") == 0, F.col("__y0"))
-        .when(F.col("lag") == 1, F.col("__y1"))
-        .when(F.col("lag") == 2, F.col("__y2"))
-        .otherwise(F.col("__y3"))
-        .alias("y"),
+        F.date_sub("d", F.col("lag")).alias("d_prev"),
     )
+    b = daily.select(F.col("d").alias("d_prev"), F.col("n_orders").alias("y"))
     return (
-        lagged.where(F.col("y").isNotNull())
+        a.join(b, "d_prev")
         .groupBy("lag")
         .agg(
             F.round(F.corr("x", "y"), 4).alias("corr"),
