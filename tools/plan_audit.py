@@ -33,6 +33,9 @@ AUDITED = {
     "event_value_outliers": "broadcast group stats; TakeOrderedAndProject top-50",
     "referential_orphans_audit": "four LeftAnti joins on distinct dim keys",
     "winsorize_event_values": "rank window + broadcast cutoffs + narrow clamp",
+    "theil_sen_trend_revenue": "equi-bucketed banded pair join (hash join, no nested loop)",
+    "benford_digit_test": "one scan; 9-row spine join + 1-row total broadcast",
+    "lagged_crosscorr_orders": "post-agg daily self-join on shifted dates",
 }
 
 
