@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import struct
 import uuid
 from typing import Iterator
@@ -331,20 +332,26 @@ def write_avro(
     if use_jvm is None:
         use_jvm = jvm_avro_available(df.sparkSession)
     if use_jvm:
-        # snapshot pre-existing files so the return value covers exactly
-        # THIS write's output (append onto an existing dataset must not
-        # report another commit's files as ours)
-        before = (
-            {f for f in os.listdir(path) if f.endswith(".avro")}
-            if os.path.isdir(path)
-            else set()
-        )
-        df.write.format("avro").mode("append").save(path)
-        return [
-            (os.path.join(path, f), -1)
-            for f in sorted(os.listdir(path))
-            if f.endswith(".avro") and f not in before
-        ]
+        # stage into a directory OWNED by this write, then move: the file
+        # list is derived from our own staged output, so a concurrent
+        # writer appending to `path` can never have its files misreported
+        # as this write's (a before/after listdir diff would)
+        os.makedirs(path, exist_ok=True)
+        stage = os.path.join(path, f"_staging_avro-{uuid.uuid4().hex}")
+        try:
+            df.write.format("avro").mode("overwrite").save(stage)
+            written: list[tuple[str, int]] = []
+            for f in sorted(os.listdir(stage)):
+                if not f.endswith(".avro"):
+                    continue
+                dest = os.path.join(path, f)
+                os.replace(os.path.join(stage, f), dest)
+                # -1: unknown without re-decoding — callers that need row
+                # counts pass use_jvm=False
+                written.append((dest, -1))
+            return written
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
 
     os.makedirs(path, exist_ok=True)
     avro_sch = avro_schema_of(df.schema)

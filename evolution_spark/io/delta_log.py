@@ -89,7 +89,8 @@ def _check_reader_protocol(protocol: dict | None) -> None:
 # Writer capabilities this module actually implements: plain append/
 # overwrite/replace commits with add/remove/txn/commitInfo actions.
 # Writer version 2's obligations on FOREIGN tables are enforced in
-# commit_delta: delta.appendOnly refuses remove-emitting modes, and
+# commit_delta: delta.appendOnly refuses dataChange=true removes (layout-
+# only OPTIMIZE rewrites pass data_change=False and are legal), and
 # schemas carrying delta.invariants are refused outright (we cannot
 # validate them). Higher versions gate CHECK constraints, generated
 # columns, DV maintenance etc. — refused via _check_writer_protocol.
@@ -409,6 +410,7 @@ def commit_delta(
     mode: str = "append",
     txn: tuple[str, int] | None = None,
     remove_paths: list[str] | None = None,
+    data_change: bool = True,
 ) -> dict:
     """Commit a new version to an existing Delta table (create version 0 if
     the table does not exist). ``mode='append'`` adds files; ``'overwrite'``
@@ -422,7 +424,16 @@ def commit_delta(
 
     Scale: the data write is a normal distributed ``df.write.parquet`` into
     a staging dir; only the file MOVES and the metadata-sized log write run
-    on the driver (one entry per file, never per row)."""
+    on the driver (one entry per file, never per row).
+
+    Orphan-file note: staged files are moved into the table dir BEFORE the
+    create-exclusive log publish (publishing first would require an empty
+    commit file on disk mid-write — a corrupt log to any concurrent
+    reader). A writer that loses the version race or crashes pre-publish
+    therefore leaves its moved files as unreferenced orphans; readers are
+    unaffected (the file list comes from the log) and a later
+    ``vacuum_delta`` reclaims them — same trade-off as object-store Delta
+    writers without a commit coordinator."""
     import pyarrow.parquet as pq
 
     table_dir = Path(path)
@@ -430,6 +441,11 @@ def commit_delta(
         raise ValueError(f"unknown mode {mode!r}")
     if (mode == "replace") != (remove_paths is not None):
         raise ValueError("remove_paths is required for (and only for) mode='replace'")
+    if not data_change and mode != "replace":
+        # dataChange=false marks a pure layout rewrite (OPTIMIZE): the row
+        # set must be provably unchanged, which only the replace shape
+        # (remove exactly these files, add their compaction) expresses
+        raise ValueError("data_change=False is only valid with mode='replace'")
     if not (table_dir / "_delta_log").exists():
         return write_delta_snapshot(df, path, mode="error", txn=txn)
 
@@ -444,13 +460,17 @@ def commit_delta(
     )
     _check_writer_protocol(repl_state.get("protocol"))
     config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
-    if str(config.get("delta.appendOnly", "")).lower() == "true" and mode in (
-        "overwrite",
-        "replace",
+    # the spec forbids only dataChange=true removes on append-only tables;
+    # OPTIMIZE-style rewrites (mode='replace' with data_change=False) are
+    # legal maintenance and pass through
+    if str(config.get("delta.appendOnly", "")).lower() == "true" and (
+        mode == "overwrite" or (mode == "replace" and data_change)
     ):
         raise DeltaProtocolError(
             f"table sets delta.appendOnly=true; mode={mode!r} would emit "
-            "remove actions — refusing to violate the append-only contract"
+            "dataChange=true remove actions — refusing to violate the "
+            "append-only contract (layout-only rewrites may pass "
+            "data_change=False)"
         )
     if '"delta.invariants"' in (schema_string or ""):
         raise DeltaProtocolError(
@@ -519,10 +539,22 @@ def commit_delta(
                         "remove": {
                             "path": stored_path,
                             "deletionTimestamp": now_ms,
-                            "dataChange": True,
+                            "dataChange": data_change,
                         }
                     }
                 )
+        # guard against the vacuum race: a commit stalled long enough for a
+        # concurrent reclaim_stale_staging to rmtree this staging dir must
+        # ABORT, not publish a replace/overwrite with removes but no adds
+        # (silent row loss). Spark marks a completed write with _SUCCESS;
+        # its absence here means the staged output vanished. Files deleted
+        # mid-move fail loudly via os.replace below.
+        if not (stage / "_SUCCESS").exists():
+            raise RuntimeError(
+                f"staged write output missing at {stage} — the staging dir "
+                "was reclaimed (or the write never completed); aborting "
+                "the commit instead of publishing without its add actions"
+            )
         total_rows = 0
         n_files = 0
         for src in sorted(stage.rglob("*.parquet")):
@@ -549,7 +581,7 @@ def commit_delta(
                         "partitionValues": values,
                         "size": dest.stat().st_size,
                         "modificationTime": now_ms,
-                        "dataChange": True,
+                        "dataChange": data_change,
                         "stats": json.dumps(stats),
                     }
                 }
@@ -843,8 +875,12 @@ def optimize_delta(
         compacted = zorder_dataframe(snapshot, zorder_by, n_files=target_files)
     else:
         compacted = snapshot.coalesce(target_files)
+    # dataChange=false: the row set is identical, so this commit is legal
+    # even on delta.appendOnly tables (the spec forbids only data-changing
+    # removes), and downstream streaming readers can skip the rewrite
     summary = commit_delta(
-        compacted, path, mode="replace", remove_paths=sorted(live)
+        compacted, path, mode="replace", remove_paths=sorted(live),
+        data_change=False,
     )
     summary["files_before"] = len(live)
     return summary

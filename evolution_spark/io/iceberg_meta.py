@@ -729,6 +729,16 @@ def _commit_iceberg_snapshot(
         writer = writer.partitionBy(*part_cols)
     try:
         writer.parquet(str(stage))
+        # vacuum-race guard (same as commit_delta): if a concurrent
+        # reclaim_stale_staging rmtree'd this dir during a long stall, the
+        # Spark _SUCCESS marker is gone — abort rather than committing a
+        # snapshot with no data files for a non-empty write
+        if not (stage / "_SUCCESS").exists():
+            raise RuntimeError(
+                f"staged write output missing at {stage} — the staging dir "
+                "was reclaimed (or the write never completed); aborting "
+                "the snapshot commit"
+            )
         moved: list[Path] = []
         for src in sorted(stage.rglob("*.parquet")):
             rel = src.relative_to(stage)
@@ -941,7 +951,12 @@ def expire_iceberg_snapshots(
 
     # any failure between the marker claim and the metadata publish must
     # release the marker, or the table wedges permanently ("concurrent
-    # commit" forever) — the claim protects the version slot, not a crash
+    # commit" forever) — the claim protects the version slot, not a crash.
+    # Publish-then-delete ordering (matches Iceberg's RemoveSnapshots): the
+    # new metadata.json goes live FIRST, and only files that no surviving
+    # snapshot references are reclaimed AFTER. A crash mid-reclaim then
+    # leaves harmless orphans (re-collectable by a later expire), never a
+    # published metadata pointing at already-deleted manifests.
     try:
         kept_data: set[str] = set()
         kept_meta: set[str] = set()
@@ -951,51 +966,55 @@ def expire_iceberg_snapshots(
             kept_meta |= m
         # walk ALL expired snapshots BEFORE deleting anything: snapshots
         # share manifests by reference (an append's manifest list carries
-        # its ancestors' manifests), so deleting while walking would break
-        # the read of a later expired snapshot that references a manifest
-        # already unlinked for an earlier one
+        # its ancestors' manifests), so the deletable set is exp - kept
+        # computed over the full walk
         exp_data: set[str] = set()
         exp_meta: set[str] = set()
         for s in expired:
             d, m = files_of(s)
             exp_data |= d
             exp_meta |= m
-        deleted_data: list[str] = []
-        deleted_meta: list[str] = []
-        for f in sorted(exp_data - kept_data):
-            if os.path.exists(f):
-                os.unlink(f)
-                deleted_data.append(f)
-        for f in sorted(exp_meta - kept_meta):
-            if os.path.exists(f):
-                os.unlink(f)
-                deleted_meta.append(f)
+
+        now_ms = int(time.time() * 1000)
+        new_meta = dict(metadata)
+        new_meta["snapshots"] = kept
+        new_meta["snapshot-log"] = [
+            e for e in metadata["snapshot-log"] if e["snapshot-id"] in kept_ids
+        ]
+        new_meta["last-updated-ms"] = now_ms
+        new_meta["metadata-log"] = metadata["metadata-log"] + [
+            {"timestamp-ms": metadata["last-updated-ms"],
+             "metadata-file": str(prev_meta_file)}
+        ]
+        meta_file = meta_dir / f"{version_n:05d}-{uuid.uuid4()}.metadata.json"
+        tmp = meta_dir / (meta_file.name + ".tmp")
+        tmp.write_text(json.dumps(new_meta, indent=1))
+        os.replace(tmp, meta_file)
+        tmp_h = meta_dir / ".version-hint.tmp"
+        tmp_h.write_text(meta_file.name)
+        os.replace(tmp_h, meta_dir / "version-hint.text")
     except BaseException:
         marker.unlink(missing_ok=True)
         raise
 
+    # reclaim AFTER the publish: failures here leave orphans, not a broken
+    # table — swallow per-file errors so a flaky unlink can't raise after
+    # the commit is already durable
+    deleted_data: list[str] = []
+    deleted_meta: list[str] = []
+    for bucket, out in ((sorted(exp_data - kept_data), deleted_data),
+                        (sorted(exp_meta - kept_meta), deleted_meta)):
+        for f in bucket:
+            try:
+                if os.path.exists(f):
+                    os.unlink(f)
+                    out.append(f)
+            except OSError:
+                pass
+
     from evolution_spark.io.maintenance import reclaim_stale_staging
 
     reclaim_stale_staging(table_dir, stale_staging_hours)
-
-    now_ms = int(time.time() * 1000)
-    new_meta = dict(metadata)
-    new_meta["snapshots"] = kept
-    new_meta["snapshot-log"] = [
-        e for e in metadata["snapshot-log"] if e["snapshot-id"] in kept_ids
-    ]
-    new_meta["last-updated-ms"] = now_ms
-    new_meta["metadata-log"] = metadata["metadata-log"] + [
-        {"timestamp-ms": metadata["last-updated-ms"],
-         "metadata-file": str(prev_meta_file)}
-    ]
-    meta_file = meta_dir / f"{version_n:05d}-{uuid.uuid4()}.metadata.json"
-    tmp = meta_dir / (meta_file.name + ".tmp")
-    tmp.write_text(json.dumps(new_meta, indent=1))
-    os.replace(tmp, meta_file)
-    tmp_h = meta_dir / ".version-hint.tmp"
-    tmp_h.write_text(meta_file.name)
-    os.replace(tmp_h, meta_dir / "version-hint.text")
     return {
         "expired": [s["snapshot-id"] for s in expired],
         "kept": [s["snapshot-id"] for s in kept],

@@ -1619,3 +1619,81 @@ def test_delta_optimize_zorder_enables_2d_skipping(spark, tmp_path):
     ).count()
     # pre-optimize version stays time-travel readable
     assert read_delta_snapshot(spark, path, version=0).count() == 4096
+
+
+def test_delta_optimize_allowed_on_append_only(spark, tmp_path):
+    """delta.appendOnly forbids only dataChange=true removes; OPTIMIZE is a
+    layout-only rewrite (dataChange=false) and must pass (ADVICE r5), while
+    data-changing overwrites stay refused."""
+    import json as _json
+    import pathlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        DeltaProtocolError,
+        commit_delta,
+        optimize_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "ao_opt")
+    df = spark.range(100).select(F.col("id").alias("k")).repartition(4)
+    write_delta_snapshot(df, path)
+    log = pathlib.Path(path) / "_delta_log"
+    v0_lines = (log / f"{0:020d}.json").read_text().splitlines()
+    meta = next(_json.loads(l) for l in v0_lines if "metaData" in l)
+    meta["metaData"]["configuration"] = {"delta.appendOnly": "true"}
+    (log / f"{1:020d}.json").write_text(_json.dumps(meta) + "\n")
+
+    res = optimize_delta(spark, path, target_files=1)
+    assert res["files_before"] == 4 and res["files"] == 1
+    assert read_delta_snapshot(spark, path).count() == 100
+    # the compaction's log actions all carry dataChange=false
+    body = (log / f"{res['version']:020d}.json").read_text()
+    for line in body.splitlines():
+        act = _json.loads(line)
+        for kind in ("add", "remove"):
+            if kind in act:
+                assert act[kind]["dataChange"] is False
+    # data-changing removes stay refused
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        commit_delta(df, path, mode="overwrite")
+    with pytest.raises(ValueError, match="data_change"):
+        commit_delta(df, path, mode="append", data_change=False)
+
+
+def test_delta_commit_aborts_if_staging_reclaimed(spark, tmp_path, monkeypatch):
+    """Vacuum-race guard (ADVICE r5): a commit whose staging dir was
+    reclaimed mid-flight must abort loudly instead of publishing an
+    overwrite with removes but no adds (silent row loss)."""
+    import shutil as _shutil
+
+    import pytest
+    import pyspark.sql.readwriter as rw
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "stale_stage")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_delta_snapshot(df, path)
+
+    orig = rw.DataFrameWriter.parquet
+
+    def write_then_reclaim(self, p, **kw):
+        orig(self, p, **kw)
+        _shutil.rmtree(p)  # concurrent reclaim_stale_staging fires here
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", write_then_reclaim)
+    with pytest.raises(RuntimeError, match="staged write output missing"):
+        commit_delta(df, path, mode="overwrite")
+    monkeypatch.undo()
+    # nothing was published: version 0 is still the table
+    assert read_delta_snapshot(spark, path).count() == 10

@@ -215,3 +215,41 @@ def test_iceberg_compaction_aborts_on_concurrent_append(spark, tmp_path, monkeyp
     monkeypatch.undo()
     # the rival's rows are intact
     assert im.read_iceberg_table(spark, path).count() == 23
+
+
+def test_expire_publishes_metadata_before_reclaim(spark, tmp_path, monkeypatch):
+    """Publish-then-delete ordering (ADVICE r5): a reclaim failure after
+    the metadata publish must leave a fully readable table with the commit
+    durable (orphans, not corruption) and must NOT wedge the table with a
+    leftover commit marker."""
+    import os
+
+    import evolution_spark.io.iceberg_meta as im
+
+    path = str(tmp_path / "exporder")
+    df = spark.range(20).select(F.col("id").alias("k"))
+    im.write_iceberg_table(df, path)
+    # a replace snapshot makes snapshot 0's files exclusively expired
+    im.compact_iceberg_table(spark, path, target_files=1)
+
+    real_unlink = os.unlink
+
+    def failing_unlink(p, *a, **kw):  # every reclaim unlink fails
+        raise OSError("simulated storage failure during reclaim")
+
+    monkeypatch.setattr(os, "unlink", failing_unlink)
+    res = expire_iceberg_snapshots(path, keep_last=1)
+    monkeypatch.setattr(os, "unlink", real_unlink)
+
+    # the expire COMMITTED despite the reclaim failure: history truncated,
+    # table readable, nothing deleted (orphans remain on disk)
+    assert len(res["expired"]) == 1
+    assert res["deleted_data_files"] == 0 and res["deleted_metadata_files"] == 0
+    assert read_iceberg_table(spark, path).count() == 20
+    # no wedge: the next commit (append) succeeds
+    append_iceberg_snapshot(df.where("k < 2"), path)
+    assert read_iceberg_table(spark, path).count() == 22
+    # no wedge for maintenance either: a later expire with working storage
+    # walks the surviving history cleanly
+    res2 = expire_iceberg_snapshots(path, keep_last=1)
+    assert len(res2["expired"]) == 1
