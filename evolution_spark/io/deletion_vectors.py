@@ -1,0 +1,329 @@
+"""Delta Lake deletion-vector (DV) codec: Z85 text encoding, the 64-bit
+RoaringBitmapArray "portable" serialization, and the on-disk DV file
+framing — everything needed to READ tables written with
+``delta.enableDeletionVectors`` (Databricks default) without resurrecting
+deleted rows.
+
+Format sources (all public):
+- Delta PROTOCOL.md "Deletion Vectors" / "Deletion Vector Descriptor
+  Schema": descriptor fields (storageType ``u``/``i``/``p``,
+  pathOrInlineDv, offset, sizeInBytes, cardinality), Z85 encoding of the
+  file-name UUID and of inline bitmap bytes, and the DV file layout
+  (1-byte format version, then per-DV ``[i32 BE size][bitmap bytes]
+  [i32 BE CRC-32 of the bitmap bytes]`` with ``offset`` pointing at the
+  size word).
+- RoaringFormatSpec (github.com/RoaringBitmap/RoaringFormatSpec): the
+  32-bit portable container serialization and its 64-bit bucket
+  extension; Delta prefixes the 64-bit stream with magic ``1681511377``
+  (little-endian).
+- Z85: ZeroMQ RFC 32 (4 bytes -> 5 chars, big-endian base-85); Delta
+  zero-pads inputs to a multiple of 4 and records the true byte length in
+  ``sizeInBytes``.
+
+Reference parity note: the reference engine refuses DV tables outright
+(its Delta example is a ``todo!()`` — examples/delta/src/main.rs:28-30);
+this module is strictly-more capability, built from the spec.
+
+Scale: DVs are decoded DRIVER-side — a DV is a compressed bitmap whose
+serialized size is orders of magnitude below its file's data (metadata-
+sized, like the log itself). The expansion to (file, position) pairs that
+feeds the anti-join in ``read_delta_snapshot`` is proportional to the
+number of DELETED rows in scanned files, never to table size.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import uuid
+import zlib
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Z85 (ZeroMQ RFC 32)
+# --------------------------------------------------------------------------
+
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    ".-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_DECODE = {c: i for i, c in enumerate(_Z85_CHARS)}
+
+
+def z85_encode(data: bytes) -> str:
+    """Z85-encode ``data``, zero-padding to a multiple of 4 bytes (the
+    Delta convention — the descriptor's sizeInBytes carries the true
+    length, so decode can strip the pad)."""
+    pad = (-len(data)) % 4
+    data = data + b"\x00" * pad
+    out = []
+    for i in range(0, len(data), 4):
+        n = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            n, r = divmod(n, 85)
+            chunk.append(_Z85_CHARS[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(text: str, length: int | None = None) -> bytes:
+    """Decode Z85 text; ``length`` trims the zero-pad added at encode."""
+    if len(text) % 5:
+        raise ValueError(f"Z85 length must be a multiple of 5, got {len(text)}")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        n = 0
+        for c in text[i : i + 5]:
+            try:
+                n = n * 85 + _Z85_DECODE[c]
+            except KeyError:
+                raise ValueError(f"invalid Z85 character {c!r}") from None
+        out.extend(n.to_bytes(4, "big"))
+    return bytes(out[:length] if length is not None else out)
+
+
+# --------------------------------------------------------------------------
+# 32-bit roaring portable codec
+# --------------------------------------------------------------------------
+
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE = 12347
+_NO_OFFSET_THRESHOLD = 4
+_ARRAY_MAX = 4096
+_MAGIC = 1681511377  # RoaringBitmapArray magic (LE) per Delta PROTOCOL.md
+
+
+def _serialize_bitmap32(values: np.ndarray) -> bytes:
+    """Portable serialization of one 32-bit roaring bitmap. Writer emits
+    only array/bitset containers (cookie 12346) — run containers are a
+    compression option, not an obligation; readers accept both."""
+    values = np.asarray(values, dtype=np.uint32)
+    keys16 = (values >> 16).astype(np.uint16)
+    lows = (values & 0xFFFF).astype(np.uint16)
+    uniq, starts = np.unique(keys16, return_index=True)
+    bounds = list(starts) + [len(values)]
+    out = bytearray()
+    out += struct.pack("<II", _SERIAL_COOKIE_NO_RUN, len(uniq))
+    cont_bytes: list[bytes] = []
+    for i, k in enumerate(uniq):
+        vals = lows[bounds[i] : bounds[i + 1]]
+        card = len(vals)
+        out += struct.pack("<HH", int(k), card - 1)
+        if card > _ARRAY_MAX:
+            bits = np.zeros(65536, dtype=bool)
+            bits[vals] = True
+            cont_bytes.append(np.packbits(bits, bitorder="little").tobytes())
+        else:
+            cont_bytes.append(vals.astype("<u2").tobytes())
+    # offset header (mandatory for the no-run cookie)
+    off = len(out) + 4 * len(uniq)
+    for b in cont_bytes:
+        out += struct.pack("<I", off)
+        off += len(b)
+    for b in cont_bytes:
+        out += b
+    return bytes(out)
+
+
+def _deserialize_bitmap32(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
+    """Parse one portable 32-bit roaring bitmap at ``buf[pos:]``; returns
+    (sorted uint32 values, next offset). Accepts array, bitset AND run
+    containers (foreign writers use runs freely)."""
+    (cookie16,) = struct.unpack_from("<H", buf, pos)
+    if cookie16 == _SERIAL_COOKIE:
+        (cookie,) = struct.unpack_from("<I", buf, pos)
+        n = (cookie >> 16) + 1
+        pos += 4
+        nbytes = (n + 7) // 8
+        run_flags = np.unpackbits(
+            np.frombuffer(buf, dtype=np.uint8, count=nbytes, offset=pos),
+            bitorder="little",
+        )[:n].astype(bool)
+        pos += nbytes
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    elif cookie16 == _SERIAL_COOKIE_NO_RUN:
+        cookie, n = struct.unpack_from("<II", buf, pos)
+        pos += 8
+        run_flags = np.zeros(n, dtype=bool)
+        has_offsets = True
+    else:
+        raise ValueError(f"not a roaring bitmap: cookie {cookie16}")
+    keys = np.empty(n, dtype=np.uint32)
+    cards = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        k, c = struct.unpack_from("<HH", buf, pos + 4 * i)
+        keys[i], cards[i] = k, c + 1
+    pos += 4 * n
+    if has_offsets:
+        pos += 4 * n  # containers are stored in order; offsets redundant
+    parts: list[np.ndarray] = []
+    for i in range(n):
+        if run_flags[i]:
+            (nruns,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            runs = np.frombuffer(buf, dtype="<u2", count=2 * nruns, offset=pos)
+            pos += 4 * nruns
+            starts_, lens_ = runs[0::2].astype(np.int64), runs[1::2].astype(np.int64)
+            vals = np.concatenate(
+                [np.arange(s, s + l + 1, dtype=np.uint32)
+                 for s, l in zip(starts_, lens_)]
+            ) if nruns else np.empty(0, dtype=np.uint32)
+        elif cards[i] > _ARRAY_MAX:
+            bits = np.unpackbits(
+                np.frombuffer(buf, dtype=np.uint8, count=8192, offset=pos),
+                bitorder="little",
+            )
+            pos += 8192
+            vals = np.nonzero(bits)[0].astype(np.uint32)
+        else:
+            vals = np.frombuffer(
+                buf, dtype="<u2", count=int(cards[i]), offset=pos
+            ).astype(np.uint32)
+            pos += 2 * int(cards[i])
+        parts.append((np.uint32(int(keys[i]) << 16)) | vals)
+    values = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint32)
+    return values, pos
+
+
+# --------------------------------------------------------------------------
+# 64-bit RoaringBitmapArray (magic + bucketed 32-bit bitmaps)
+# --------------------------------------------------------------------------
+
+
+def serialize_roaring64(positions) -> bytes:
+    """Serialize sorted row positions as a Delta RoaringBitmapArray:
+    ``[magic u32 LE][n_buckets u64 LE]`` then per bucket
+    ``[high u32 LE][32-bit portable bitmap]``."""
+    positions = np.unique(np.asarray(positions, dtype=np.uint64))
+    highs = (positions >> np.uint64(32)).astype(np.uint32)
+    lows = (positions & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    uniq, starts = np.unique(highs, return_index=True)
+    bounds = list(starts) + [len(positions)]
+    out = bytearray(struct.pack("<IQ", _MAGIC, len(uniq)))
+    for i, h in enumerate(uniq):
+        out += struct.pack("<I", int(h))
+        out += _serialize_bitmap32(lows[bounds[i] : bounds[i + 1]])
+    return bytes(out)
+
+
+def deserialize_roaring64(data: bytes) -> np.ndarray:
+    """Inverse of :func:`serialize_roaring64` -> sorted int64 positions."""
+    magic, n = struct.unpack_from("<IQ", data, 0)
+    if magic != _MAGIC:
+        raise ValueError(f"bad RoaringBitmapArray magic {magic}")
+    pos = 12
+    parts: list[np.ndarray] = []
+    for _ in range(n):
+        (high,) = struct.unpack_from("<I", data, pos)
+        vals, pos = _deserialize_bitmap32(data, pos + 4)
+        parts.append((np.uint64(high) << np.uint64(32)) | vals.astype(np.uint64))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(parts).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# DV files + descriptors
+# --------------------------------------------------------------------------
+
+
+def write_dv_file(table_dir, positions, prefix: str = "") -> dict:
+    """Write a single-DV deletion-vector file under ``table_dir`` and
+    return its descriptor dict (storageType ``u``). Layout per spec:
+    byte 0 = format version 1; at ``offset``: i32 BE size, bitmap bytes,
+    i32 BE CRC-32."""
+    from pathlib import Path
+
+    table_dir = Path(table_dir)
+    data = serialize_roaring64(positions)
+    u = uuid.uuid4()
+    name = f"deletion_vector_{u}.bin"
+    rel_dir = table_dir / prefix if prefix else table_dir
+    rel_dir.mkdir(parents=True, exist_ok=True)
+    offset = 1
+    body = (
+        b"\x01"
+        + struct.pack(">i", len(data))
+        + data
+        + struct.pack(">i", zlib.crc32(data) & 0x7FFFFFFF)
+    )
+    (rel_dir / name).write_bytes(body)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": (prefix + z85_encode(u.bytes)) if prefix else z85_encode(u.bytes),
+        "offset": offset,
+        "sizeInBytes": len(data),
+        "cardinality": int(np.unique(np.asarray(positions)).size),
+    }
+
+
+def inline_dv_descriptor(positions) -> dict:
+    """Descriptor for an INLINE deletion vector (storageType ``i``)."""
+    data = serialize_roaring64(positions)
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(data),
+        "sizeInBytes": len(data),
+        "cardinality": int(np.unique(np.asarray(positions)).size),
+    }
+
+
+def dv_absolute_path(descriptor: dict, table_dir) -> str:
+    """Resolve a ``u``/``p`` descriptor to the DV file's absolute path.
+    ``u``: last 20 chars of pathOrInlineDv are the Z85 UUID, any leading
+    chars are a directory prefix under the table root; ``p``: absolute."""
+    from pathlib import Path
+
+    st = descriptor["storageType"]
+    pth = descriptor["pathOrInlineDv"]
+    if st == "p":
+        return pth
+    if st != "u":
+        raise ValueError(f"unsupported DV storageType {st!r}")
+    prefix, enc = pth[:-20], pth[-20:]
+    u = uuid.UUID(bytes=z85_decode(enc, 16))
+    name = f"deletion_vector_{u}.bin"
+    return str(Path(table_dir) / prefix / name if prefix else Path(table_dir) / name)
+
+
+def read_dv_positions(descriptor: dict, table_dir) -> np.ndarray:
+    """Decode a DV descriptor (inline or on-disk) into sorted int64 row
+    positions, verifying size and CRC for the on-disk form."""
+    st = descriptor["storageType"]
+    if st == "i":
+        data = z85_decode(descriptor["pathOrInlineDv"], descriptor["sizeInBytes"])
+        return deserialize_roaring64(data)
+    path = dv_absolute_path(descriptor, table_dir)
+    with open(path, "rb") as f:
+        raw = f.read()
+    off = int(descriptor.get("offset") or 1)
+    (size,) = struct.unpack_from(">i", raw, off)
+    if size != descriptor["sizeInBytes"]:
+        raise ValueError(
+            f"DV size mismatch at {path}: framed {size} != descriptor "
+            f"{descriptor['sizeInBytes']}"
+        )
+    data = raw[off + 4 : off + 4 + size]
+    (crc,) = struct.unpack_from(">i", raw, off + 4 + size)
+    if (zlib.crc32(data) & 0x7FFFFFFF) != crc:
+        raise ValueError(f"DV checksum mismatch at {path}")
+    positions = deserialize_roaring64(data)
+    if len(positions) != descriptor.get("cardinality", len(positions)):
+        raise ValueError(
+            f"DV cardinality mismatch at {path}: {len(positions)} != "
+            f"{descriptor.get('cardinality')}"
+        )
+    return positions
+
+
+def dv_unique_id(descriptor: dict | None) -> str | None:
+    """The spec's DV unique id (storageType + pathOrInlineDv [+ @offset]);
+    add/remove actions pair on (path, dvUniqueId) during log replay."""
+    if not descriptor:
+        return None
+    uid = descriptor["storageType"] + descriptor["pathOrInlineDv"]
+    if descriptor.get("offset") is not None:
+        uid += f"@{descriptor['offset']}"
+    return uid

@@ -46,12 +46,14 @@ from pyspark.sql import DataFrame
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 # Reader capabilities this module actually implements. We reconstruct
-# snapshots with plain add/remove replay (reader version 1). Anything a
-# higher reader version gates — column mapping (v2), deletion vectors /
-# v2 checkpoints / type widening etc. via table features (v3) — would be
-# silently WRONG if we ignored it (e.g. DV'd rows would resurrect), so the
-# spec's forward-compat obligation is to refuse loudly instead.
-SUPPORTED_READER_FEATURES: frozenset[str] = frozenset()
+# snapshots with plain add/remove replay (reader version 1) PLUS deletion
+# vectors (reader version 3 feature `deletionVectors` — descriptors are
+# decoded via io/deletion_vectors.py and applied as a row-position
+# anti-join in read_delta_snapshot, so deleted rows never resurrect).
+# Anything else a higher reader version gates — column mapping (v2),
+# v2 checkpoints / type widening etc. (v3) — would be silently WRONG if
+# ignored, so the spec's forward-compat obligation is to refuse loudly.
+SUPPORTED_READER_FEATURES: frozenset[str] = frozenset({"deletionVectors"})
 
 
 class DeltaProtocolError(RuntimeError):
@@ -309,7 +311,19 @@ def _fold_action(action: dict, live: dict, state: dict) -> None:
         # path wins in the spec's state reconstruction)
         state.get("tombstones", {}).pop(action["add"]["path"], None)
     elif "remove" in action:
-        live.pop(action["remove"]["path"], None)
+        # the spec keys file actions by (path, dvUniqueId): a DELETE on a
+        # DV table emits remove(path, dv=old) + add(path, dv=new) in ONE
+        # commit, and action order within a commit is unspecified — pairing
+        # on the DV id makes the fold order-independent (the remove can
+        # never cancel the commit's own new add)
+        from evolution_spark.io.deletion_vectors import dv_unique_id
+
+        p = action["remove"]["path"]
+        cur = live.get(p)
+        if cur is not None and dv_unique_id(cur.get("deletionVector")) == dv_unique_id(
+            action["remove"].get("deletionVector")
+        ):
+            live.pop(p)
         # kept for checkpointing: the spec requires unexpired remove
         # tombstones to be carried into checkpoints so external readers
         # coordinate VACUUM correctly
@@ -534,15 +548,17 @@ def commit_delta(
         )
         if to_remove:
             for stored_path in to_remove:
-                actions.append(
-                    {
-                        "remove": {
-                            "path": stored_path,
-                            "deletionTimestamp": now_ms,
-                            "dataChange": data_change,
-                        }
-                    }
-                )
+                rm = {
+                    "path": stored_path,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": data_change,
+                }
+                # removes pair with adds on (path, dvUniqueId) in replay,
+                # so a remove of a DV-carrying add must echo its descriptor
+                dv = (live.get(stored_path) or {}).get("deletionVector")
+                if dv:
+                    rm["deletionVector"] = dv
+                actions.append({"remove": rm})
         # guard against the vacuum race: a commit stalled long enough for a
         # concurrent reclaim_stale_staging to rmtree this staging dir must
         # ABORT, not publish a replace/overwrite with removes but no adds
@@ -670,18 +686,71 @@ def read_delta_snapshot(
                 for col, op, val in skip_where
             )
         ]
-    adds = [str(table_dir / unquote(p)) for p in kept]
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(schema_string))
+    return _scan_adds(spark, table_dir, live, kept, schema)
+
+
+def _scan_adds(spark, table_dir: Path, live: dict, kept: list[str], schema):
+    """Scan the given stored add paths, applying any deletion vectors.
+
+    Files without a DV read as a plain pruned parquet scan. For DV-carrying
+    adds, each descriptor is decoded DRIVER-side (a DV is a compressed
+    roaring bitmap — metadata-sized, like the log) into (file, position)
+    pairs, and the scan drops those rows via a left-anti join on
+    ``_metadata.file_path``/``_metadata.row_index`` — JVM-side, no Python
+    in the row path. The anti-join's build side is proportional to the
+    DELETED row count in scanned files, never to table size; it is
+    broadcast while the summed descriptor cardinality stays small and falls
+    back to a shuffled join (AQE-planned) beyond that."""
+    from urllib.parse import unquote
+
+    adds = [str((table_dir / unquote(p)).resolve()) for p in kept]
     if not adds:
         return spark.createDataFrame([], schema)
     # basePath keeps hive partition columns resolvable from the file paths
-    return (
+    df = (
         spark.read.schema(schema)
         .option("basePath", str(table_dir))
         .parquet(*adds)
     )
+    dvd = [(p, live[p]["deletionVector"]) for p in kept
+           if live[p].get("deletionVector")]
+    if not dvd:
+        return df
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.deletion_vectors import read_dv_positions
+
+    frames = []
+    for p, desc in dvd:
+        pos = read_dv_positions(desc, table_dir)
+        frames.append(pd.DataFrame({
+            "__dv_path": str((table_dir / unquote(p)).resolve()),
+            "__dv_pos": pos,
+        }))
+    deleted = spark.createDataFrame(
+        pd.concat(frames, ignore_index=True),
+        schema="__dv_path string, __dv_pos long",
+    )
+    total_card = sum(int(d.get("cardinality") or 0) for _, d in dvd)
+    build = F.broadcast(deleted) if total_card <= 4_000_000 else deleted
+    # _metadata.file_path is a Hadoop URI (file:/x or file:///x); strip the
+    # scheme to compare against the plain filesystem path
+    phys = df.withColumns({
+        "__dv_fp": F.regexp_replace(
+            F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
+        ),
+        "__dv_ri": F.col("_metadata.row_index"),
+    })
+    return phys.join(
+        build,
+        (phys["__dv_fp"] == build["__dv_path"])
+        & (phys["__dv_ri"] == build["__dv_pos"]),
+        "left_anti",
+    ).drop("__dv_fp", "__dv_ri")
 
 
 def merge_delta_cdc(
@@ -765,16 +834,9 @@ def merge_delta_cdc(
         target = read_delta_snapshot(spark, path)
         mode, removes = "overwrite", None
     else:
-        from urllib.parse import unquote
-
-        if remove_paths:
-            target = (
-                spark.read.schema(stored)
-                .option("basePath", str(table_dir))
-                .parquet(*[str(table_dir / unquote(p)) for p in remove_paths])
-            )
-        else:
-            target = spark.createDataFrame([], stored)
+        # _scan_adds applies any deletion vectors on the pruned files, so a
+        # MERGE rewrite can never resurrect DV-deleted rows
+        target = _scan_adds(spark, table_dir, live, remove_paths, stored)
         mode, removes = "replace", remove_paths
 
     ch = changes.select(
@@ -977,6 +1039,18 @@ def checkpoint_delta(
     protocol_action = state.get("protocol")
     txns: dict[str, int] = state.get("txns", {})
 
+    # deletionVector descriptors must survive checkpointing — a checkpoint
+    # that dropped them would resurrect every DV-deleted row on the next
+    # checkpoint-based replay
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_t = pa.struct(
         [
             ("path", pa.string()),
@@ -985,6 +1059,7 @@ def checkpoint_delta(
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            ("deletionVector", dv_t),
         ]
     )
     meta_t = pa.struct(
@@ -1007,6 +1082,7 @@ def checkpoint_delta(
             ("path", pa.string()),
             ("deletionTimestamp", pa.int64()),
             ("dataChange", pa.bool_()),
+            ("deletionVector", dv_t),
         ]
     )
 
@@ -1045,6 +1121,7 @@ def checkpoint_delta(
                     "path": r["path"],
                     "deletionTimestamp": r.get("deletionTimestamp"),
                     "dataChange": bool(r.get("dataChange", True)),
+                    "deletionVector": r.get("deletionVector"),
                 }
             )
 

@@ -645,3 +645,153 @@ def iceberg_maintenance_lifecycle(spark, sf_dir):
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@query(
+    "delta_deletion_vector_read",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_alive,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM customer WHERE c_custkey % 7 <> 0
+    GROUP BY c_mktsegment
+    """,
+)
+def delta_deletion_vector_read(spark, sf_dir):
+    """READ a Delta table bearing deletion vectors the way a DV-enabled
+    foreign writer (e.g. a Databricks DELETE, where DVs are on by default)
+    leaves it: customer lands as a single sorted file under a reader-v3
+    ``deletionVectors`` protocol, then a DELETE commit pairs a remove with
+    an add carrying a roaring-bitmap DV file (io/deletion_vectors.py, per
+    Delta PROTOCOL.md) marking every ``c_custkey % 7 == 0`` row position.
+    ``read_delta_snapshot`` decodes the DV driver-side (compressed bitmap —
+    metadata-sized) and drops the positions via a broadcast anti-join on
+    ``_metadata.file_path``/``row_index`` — JVM-side, cost ~ deleted rows,
+    never table size. The oracle states the survivors straight from the
+    source table, so one resurrected or over-deleted row fails the hash.
+    The reference refuses DV tables (its Delta example is a ``todo!()`` —
+    examples/delta/src/main.rs:28-30); this exceeds it."""
+    import json
+    import uuid
+    from pathlib import Path
+
+    from evolution_spark.io.delta_log import read_delta_snapshot
+    from evolution_spark.io.deletion_vectors import write_dv_file
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tmp = Path(query_tmp("deltadv", sf_dir))
+    tmp.mkdir(parents=True, exist_ok=True)
+    # one sorted file -> position i == i-th smallest custkey (deterministic)
+    c.orderBy("c_custkey").coalesce(1).write.mode("overwrite").parquet(
+        str(tmp / "_stage")
+    )
+    name = f"part-00000-{uuid.uuid4().hex}.parquet"
+    import os
+
+    src = next((tmp / "_stage").glob("*.parquet"))
+    os.replace(src, tmp / name)
+    log = tmp / "_delta_log"
+    log.mkdir(exist_ok=True)
+    v0 = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": str(uuid.uuid4()), "format": {"provider": "parquet"},
+                      "schemaString": c.schema.json(), "partitionColumns": [],
+                      "configuration": {}, "createdTime": 0}},
+        {"add": {"path": name, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    (log / f"{0:020d}.json").write_text(
+        "".join(json.dumps(a) + "\n" for a in v0)
+    )
+    # deleted positions = sorted ranks of the matching keys (collect is the
+    # deleted-row set a DELETE materializes anyway — not a table collect)
+    from pyspark.sql import Window
+
+    pos = (
+        c.select(
+            (F.row_number().over(Window.orderBy("c_custkey")) - 1).alias("p"),
+            "c_custkey",
+        )
+        .where(F.col("c_custkey") % 7 == 0)
+        .collect()
+    )
+    desc = write_dv_file(tmp, [r.p for r in pos])
+    v1 = [
+        {"remove": {"path": name, "deletionTimestamp": 1, "dataChange": True}},
+        {"add": {"path": name, "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": True,
+                 "deletionVector": desc}},
+    ]
+    (log / f"{1:020d}.json").write_text(
+        "".join(json.dumps(a) + "\n" for a in v1)
+    )
+    back = read_delta_snapshot(spark, str(tmp))
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_alive"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "acctbal_cents"
+        ),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+@query(
+    "iceberg_position_delete_scan",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_alive,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM customer WHERE c_custkey % 5 <> 0
+    GROUP BY c_mktsegment
+    """,
+)
+def iceberg_position_delete_scan(spark, sf_dir):
+    """Iceberg v2 merge-on-read: customer becomes a native Iceberg table,
+    a DELETE snapshot tracks a POSITION delete file (plain parquet
+    ``(file_path, pos)`` rows in a content=1 manifest — Iceberg spec
+    "Position Delete Files") for every ``c_custkey % 5 == 0`` row, and the
+    scan drops those rows via a broadcast anti-join on the file/row-index
+    metadata columns — no rewrite of the data files. The delete positions
+    come from the scan metadata exactly as an engine's DELETE would compute
+    them. Oracle = the survivors from the source table; the reference's
+    iceberg example is a ``todo!()`` (examples/iceberg/src/main.rs:28-30)."""
+    from evolution_spark.io.iceberg_meta import (
+        append_position_deletes,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tmp = query_tmp("iceposdel", sf_dir)
+    write_iceberg_table(c.repartition(4), tmp)
+    dels = (
+        spark.read.option("pathGlobFilter", "part-*")
+        .parquet(f"{tmp}/data")
+        .where(F.col("c_custkey") % 5 == 0)
+        .select(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
+            ).alias("fp"),
+            F.col("_metadata.row_index").alias("ri"),
+        )
+        .collect()
+    )
+    append_position_deletes(tmp, [(r.fp, r.ri) for r in dels])
+    back = read_iceberg_table(spark, tmp)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_alive"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "acctbal_cents"
+        ),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )

@@ -1247,7 +1247,8 @@ def test_delta_reader_protocol_guard(spark, tmp_path):
 
     log = pathlib.Path(path) / "_delta_log"
 
-    # a foreign writer upgrades the table to reader v3 + deletionVectors
+    # a foreign writer upgrades the table to reader v3 + deletionVectors:
+    # since round 6 this reads fine (DV support — test_deletion_vectors.py)
     (log / f"{1:020d}.json").write_text(
         _json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
@@ -1255,7 +1256,16 @@ def test_delta_reader_protocol_guard(spark, tmp_path):
             "writerFeatures": ["deletionVectors"],
         }}) + "\n"
     )
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+    assert read_delta_snapshot(spark, path).count() == 10
+    # ...but an unknown v3 feature alongside it still refuses
+    (log / f"{1:020d}.json").write_text(
+        _json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "typeWidening"],
+            "writerFeatures": ["deletionVectors", "typeWidening"],
+        }}) + "\n"
+    )
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
         read_delta_snapshot(spark, path)
     # time travel to BEFORE the upgrade still works (protocol at v0 is 1)
     assert read_delta_snapshot(spark, path, version=0).count() == 10

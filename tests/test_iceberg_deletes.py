@@ -1,0 +1,145 @@
+"""Iceberg v2 position-delete (merge-on-read) support: DELETE snapshots
+written by ``append_position_deletes`` are applied during the scan, time
+travel sees pre-delete rows, compaction materializes the deletes, and
+equality deletes still refuse loudly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from evolution_spark.io.iceberg_meta import (
+    IcebergFormatError,
+    append_iceberg_snapshot,
+    append_position_deletes,
+    compact_iceberg_table,
+    read_iceberg_table,
+    write_iceberg_table,
+)
+
+
+def _positions_of(spark, table_dir, predicate):
+    """(file_path, pos) pairs of rows matching ``predicate`` — computed the
+    way a real DELETE would, from the scan's file/row-index metadata."""
+    rows = (
+        # pathGlobFilter: scan data files only (delete-* files share data/)
+        spark.read.option("pathGlobFilter", "part-*").parquet(f"{table_dir}/data")
+        .where(predicate)
+        .select(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
+            ).alias("fp"),
+            F.col("_metadata.row_index").alias("ri"),
+        )
+        .collect()
+    )
+    return [(r.fp, r.ri) for r in rows]
+
+
+def test_position_deletes_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "posdel")
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    write_iceberg_table(df, path)
+    append_iceberg_snapshot(df.select(F.col("k") + 100, F.col("v") + 1000).toDF("k", "v"), path)
+
+    dels = _positions_of(spark, path, "k % 7 = 0")
+    res = append_position_deletes(path, dels)
+    assert res["position-deletes"] == len(dels) > 0
+
+    got = {r.k for r in read_iceberg_table(spark, path).collect()}
+    assert got == {k for k in range(200) if k % 7 != 0}
+    # values of survivors intact
+    vs = {r.v for r in read_iceberg_table(spark, path).collect()}
+    assert vs == {k * 10 if k < 100 else (k - 100) * 10 + 1000
+                  for k in range(200) if k % 7 != 0}
+
+
+def test_position_deletes_time_travel_and_stacking(spark, tmp_path):
+    path = str(tmp_path / "posdel_tt")
+    df = spark.range(60).select(F.col("id").alias("k"))
+    s0 = write_iceberg_table(df, path)
+    d1 = append_position_deletes(path, _positions_of(spark, path, "k % 5 = 0"))
+    d2 = append_position_deletes(path, _positions_of(spark, path, "k % 9 = 0"))
+
+    assert read_iceberg_table(spark, path, snapshot_id=s0["snapshot-id"]).count() == 60
+    after1 = {r.k for r in read_iceberg_table(
+        spark, path, snapshot_id=d1["snapshot-id"]).collect()}
+    assert after1 == {k for k in range(60) if k % 5 != 0}
+    # deletes stack: the second snapshot carries the first delete manifest
+    # by reference
+    after2 = {r.k for r in read_iceberg_table(
+        spark, path, snapshot_id=d2["snapshot-id"]).collect()}
+    assert after2 == {k for k in range(60) if k % 5 != 0 and k % 9 != 0}
+    assert read_iceberg_table(spark, path).count() == len(after2)
+
+
+def test_compaction_materializes_deletes(spark, tmp_path):
+    """A REPLACE snapshot starts a fresh manifest list, so compaction
+    rewrites survivors only and drops the delete manifests."""
+    import json
+    from pathlib import Path
+
+    path = str(tmp_path / "posdel_compact")
+    df = spark.range(50).select(F.col("id").alias("k"))
+    write_iceberg_table(df, path)
+    append_position_deletes(path, _positions_of(spark, path, "k >= 40"))
+    compact_iceberg_table(spark, path, target_files=1)
+
+    got = {r.k for r in read_iceberg_table(spark, path).collect()}
+    assert got == set(range(40))
+    # post-compaction metadata: current snapshot has NO delete manifests
+    from evolution_spark.io.iceberg_meta import _load_metadata, _read_avro
+
+    meta, _ = _load_metadata(Path(path))
+    cur = next(s for s in meta["snapshots"]
+               if s["snapshot-id"] == meta["current-snapshot-id"])
+    contents = [int(m.get("content") or 0)
+                for m in _read_avro(Path(cur["manifest-list"]))]
+    assert contents == [0]
+
+
+def test_position_deletes_partitioned_table(spark, tmp_path):
+    path = str(tmp_path / "posdel_part")
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+    )
+    write_iceberg_table(df, path, partition_by=["p"])
+    append_position_deletes(path, _positions_of(spark, path, "k < 10"))
+    got = {r.k for r in read_iceberg_table(spark, path).collect()}
+    assert got == set(range(10, 40))
+    # partition pruning composes with delete application
+    pruned = read_iceberg_table(spark, path, partition_where={"p": 1})
+    assert {r.k for r in pruned.collect()} == {k for k in range(10, 40) if k % 4 == 1}
+
+
+def test_equality_deletes_still_refused(spark, tmp_path):
+    import json
+    from pathlib import Path
+
+    from evolution_spark.io.iceberg_meta import _load_metadata, _read_avro, _write_avro
+
+    path = str(tmp_path / "eqdel")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_iceberg_table(df, path)
+    append_position_deletes(path, _positions_of(spark, path, "k = 0"))
+    # flip the delete entry's content to 2 (equality) in the delete manifest
+    meta, _ = _load_metadata(Path(path))
+    cur = next(s for s in meta["snapshots"]
+               if s["snapshot-id"] == meta["current-snapshot-id"])
+    mlist = _read_avro(Path(cur["manifest-list"]))
+    dman = next(m for m in mlist if int(m.get("content") or 0) == 1)
+    # rewrite the manifest with content=2 on its entry
+    import evolution_spark.io.iceberg_meta as im
+
+    entries = _read_avro(Path(dman["manifest_path"]))
+    entries[0]["data_file"]["content"] = 2
+    ice_schema = next(s for s in meta["schemas"]
+                      if s["schema-id"] == meta["current-schema-id"])
+    spec_fields = next(sp for sp in meta["partition-specs"]
+                       if sp["spec-id"] == meta["default-spec-id"])["fields"]
+    part_schema = im._partition_record_schema(spec_fields, ice_schema)
+    _write_avro(Path(dman["manifest_path"]),
+                im._manifest_entry_schema(part_schema), entries,
+                meta={"format-version": "2", "content": "deletes"})
+    with pytest.raises(IcebergFormatError, match="equality"):
+        read_iceberg_table(spark, path)

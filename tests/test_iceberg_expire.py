@@ -78,15 +78,18 @@ def test_iceberg_reader_format_guard(spark, tmp_path):
         read_iceberg_table(spark, path)
     meta_file.write_text(_json.dumps(metadata))  # restore
 
-    # a foreign v2 writer adds a DELETE manifest to the snapshot
+    # a foreign v2 writer adds a DELETE manifest whose tracked file is a
+    # data file (content=0) — malformed; position deletes (content=1) are
+    # SUPPORTED since round 6 (tests/test_iceberg_deletes.py), equality
+    # deletes are covered by test_equality_deletes_still_refused
     snap = metadata["snapshots"][-1]
     mlist = pathlib.Path(snap["manifest-list"])
     entries = _read_avro(mlist)
     del_entry = dict(entries[0])
-    del_entry["content"] = 1  # DELETES
+    del_entry["content"] = 1  # DELETES manifest pointing at a data manifest
     _write_avro(mlist, _MANIFEST_LIST_SCHEMA, entries + [del_entry],
                 meta={"format-version": "2"})
-    with pytest.raises(IcebergFormatError, match="DELETE manifest"):
+    with pytest.raises(IcebergFormatError, match="malformed"):
         read_iceberg_table(spark, path)
 
 
