@@ -91,11 +91,12 @@ def read_media_dir(
     # RIFF is a container family: require the WAVE fourcc at bytes 9-12 for
     # audio; RIFF....AVI is video; other RIFF forms stay opaque binary
     is_bmp = F.substring(F.col("content"), 1, 2) == F.lit(b"BM")
+    is_png = F.substring(F.col("content"), 1, 8) == F.lit(_PNG_SIG)
     riff_form = F.substring(F.col("content"), 9, 4)
     is_wav = (magic == F.lit(b"RIFF")) & (riff_form == F.lit(b"WAVE"))
     is_avi = (magic == F.lit(b"RIFF")) & (riff_form == F.lit(b"AVI "))
     kind = (
-        F.when(is_bmp, "image")
+        F.when(is_bmp | is_png, "image")
         .when(is_wav, "audio")
         .when(is_avi, "video")
         .otherwise("binary")
@@ -105,6 +106,7 @@ def read_media_dir(
         kind.alias("kind"),
         F.col("content").alias("payload"),
         F.when(is_bmp, "image/bmp")
+        .when(is_png, "image/png")
         .when(is_wav, "audio/wav")
         .when(is_avi, "video/x-msvideo")
         .otherwise("application/octet-stream")
@@ -173,6 +175,155 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     )
     header = b"BM" + (14 + 40 + len(body)).to_bytes(4, "little") + b"\x00" * 4 + (54).to_bytes(4, "little")
     return header + info + body
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (8-bit depth, non-interlaced, no palette)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decoder, dependency-free (stdlib ``zlib`` + numpy): walks
+    the chunk list, inflates the IDAT stream, and reconstructs all five
+    scanline filters (None/Sub/Up/Average/Paeth) per the PNG spec
+    (RFC 2083 §6). Supports 8-bit grayscale / gray+alpha / RGB / RGBA,
+    non-interlaced — the shapes ``PIL.Image.save`` and virtually every
+    screenshot/web encoder emit. Returns ``(h, w, channels)`` uint8 (or
+    ``(h, w)`` for grayscale). Palette (color type 3), 16-bit, and Adam7
+    interlace still raise — stated limits, not silent corruption."""
+    import zlib as _zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(_PNG_SIG)
+    width = height = None
+    color_type = bit_depth = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type = body[8], body[9]
+            interlace = body[12]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + data + crc
+    if width is None:
+        raise ValueError("PNG payload missing IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG shape (bit_depth={bit_depth}, color_type="
+            f"{color_type}, interlace={interlace}): 8-bit non-interlaced "
+            "gray/gray+alpha/RGB/RGBA only"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    raw = _zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT stream has wrong length")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters, data = lines[:, 0], lines[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f, row = int(filters[y]), data[y].astype(np.int32)
+        if f == 0:  # None
+            rec = row
+        elif f == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif f == 1:  # Sub: sequential in x, vectorized across channels
+            rec = row.copy()
+            for x in range(ch, stride, ch):
+                rec[x : x + ch] = (rec[x : x + ch] + rec[x - ch : x]) & 0xFF
+        elif f == 3:  # Average
+            rec = row.copy()
+            rec[:ch] = (rec[:ch] + (prev[:ch].astype(np.int32) >> 1)) & 0xFF
+            for x in range(ch, stride, ch):
+                avg = (rec[x - ch : x].astype(np.int32) + prev[x : x + ch]) >> 1
+                rec[x : x + ch] = (rec[x : x + ch] + avg) & 0xFF
+        elif f == 4:  # Paeth
+            rec = row.copy()
+            rec[:ch] = (rec[:ch] + prev[:ch]) & 0xFF  # left=0 -> predictor=up
+            for x in range(ch, stride, ch):
+                a = rec[x - ch : x].astype(np.int32)
+                b = prev[x : x + ch].astype(np.int32)
+                c = prev[x - ch : x].astype(np.int32)
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                rec[x : x + ch] = (rec[x : x + ch] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f} on scanline {y}")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y].astype(np.uint8)
+    img = out.reshape(height, width, ch)
+    return img[..., 0] if ch == 1 else img
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode a uint8 array (``(h, w)`` gray, ``(h, w, 2/3/4)``) as an
+    8-bit non-interlaced PNG. ``filter_type`` applies one filter (0-4) to
+    every scanline — used by the tests/oracle to exercise each of the
+    decoder's reconstruction paths."""
+    import zlib as _zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    stride = w * ch
+    if filter_type not in range(5):
+        raise ValueError(f"filter_type must be 0-4, got {filter_type}")
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = flat[y]
+        left = np.zeros(stride, dtype=np.int32)
+        left[ch:] = row[:-ch]
+        upleft = np.zeros(stride, dtype=np.int32)
+        upleft[ch:] = prev[:-ch]
+        if filter_type == 0:
+            enc = row
+        elif filter_type == 1:
+            enc = (row - left) & 0xFF
+        elif filter_type == 2:
+            enc = (row - prev) & 0xFF
+        elif filter_type == 3:
+            enc = (row - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = (row - pred) & 0xFF
+        lines.append(filter_type)
+        lines += enc.astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = _zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return len(body).to_bytes(4, "big") + ctype + body + crc.to_bytes(4, "big")
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(lines), 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -253,12 +404,14 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
         return _fake_decode(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload).astype(np.float32).ravel()
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload).astype(np.float32).ravel()
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)[0].astype(np.float32).ravel()
     raise NotImplementedError(
-        f"decoding kind={kind!r}: only BMP and PCM WAV decode without a media "
-        "codec library (PIL/soundfile/av, none installed) — pass fake=True "
-        "for the deterministic test decoder"
+        f"decoding kind={kind!r}: only BMP, PNG and PCM WAV decode without a "
+        "media codec library (PIL/soundfile/av, none installed) — pass "
+        "fake=True for the deterministic test decoder"
     )
 
 

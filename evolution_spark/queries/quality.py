@@ -488,6 +488,76 @@ def multimodal_dhash_neardup(spark, sf_dir):
     return dhash_near_dups(hashes, max_hamming=3).orderBy("id_a", "id_b")
 
 
+@query(
+    "multimodal_png_features",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+    px AS (
+      SELECT doc_id,
+             (3 * doc_id + 5 * x.v + 7 * y.v + 11 * c.v) % 256 AS v
+      FROM ids
+      CROSS JOIN (SELECT UNNEST(range(32)) AS v) x
+      CROSS JOIN (SELECT UNNEST(range(24)) AS v) y
+      CROSS JOIN (SELECT UNNEST(range(3)) AS v) c
+    )
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 5 AS INT) AS png_filter,
+           CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           SUM(v) * 1.0 / COUNT(*) AS mean_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_png_features(spark, sf_dir):
+    """REAL PNG codec end-to-end WITH a value-level oracle — the query that
+    flips the multimodal component's last stub into capability: each
+    document id gets a deterministic 32x24 RGB image v(x,y,c) = (3*id +
+    5*x + 7*y + 11*c) mod 256, encoded to actual PNG bytes with scanline
+    filter ``id % 5`` (so all five reconstruction paths — None/Sub/Up/
+    Average/Paeth — execute against the driver's hash check), then decoded
+    back through the production dispatch (``decode_media`` -> stdlib-zlib
+    ``decode_png``) and reduced to pixel statistics. The pixel function is
+    closed-form, so DuckDB recomputes the same statistics from first
+    principles — one wrong reconstructed byte anywhere changes pixel_sum
+    and fails the hash. All arithmetic exact ints until one IEEE division.
+
+    Scale shape: synthesis/encode/decode are partition-local mapInPandas
+    (Arrow batches); image bytes never shuffle — only the 6-column feature
+    rows do."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.multimodal import decode_media, encode_png
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 40)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                y, x, c = np.meshgrid(
+                    np.arange(24), np.arange(32), np.arange(3), indexing="ij"
+                )
+                img = ((3 * i + 5 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+                payload = encode_png(img, filter_type=i % 5)
+                flat = decode_media(payload, "image")  # production dispatch
+                h, w = img.shape[0], img.shape[1]
+                s = int(np.sum(flat.astype(np.int64)))
+                rows.append((i, i % 5, w, h, s, s / flat.size))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "png_filter", "width", "height",
+                         "pixel_sum", "mean_px"],
+            )
+
+    return d.mapInPandas(
+        gen,
+        "media_id long, png_filter int, width int, height int, "
+        "pixel_sum long, mean_px double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end curation pipeline (the user story, one query)
 # ---------------------------------------------------------------------------

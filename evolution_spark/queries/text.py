@@ -681,19 +681,94 @@ def topk_frequent_words(spark, sf_dir):
     )
 
 
-@query("bpe_token_stats")  # no oracle: greedy BPE is not SQL-expressible
+# The pinned BPE setup that makes bpe_token_stats hash-checkable: merges
+# are trained on this PLANTED vocabulary (corpus-like words, fixed counts)
+# and must come out exactly as _BPE_PINNED_MERGES — the query asserts the
+# equality, so the trainer stays live-checked — while the scale-side
+# APPLICATION runs over the real documents corpus and is verified by a
+# DuckDB oracle that simulates the same priority-merge loop with a
+# recursive CTE (merge the first lowest-rank adjacent pair, repeat).
+_BPE_PLANT = [("table", 50), ("data", 40), ("value", 30), ("scan", 20),
+              ("batch", 15), ("the", 60), ("a", 45), ("join", 25),
+              ("hash", 18)]
+_BPE_PINNED_MERGES = [
+    ("e", "</w>"), ("t", "a"), ("t", "h"), ("th", "e</w>"), ("ta", "b"),
+    ("tab", "l"), ("tabl", "e</w>"), ("n", "</w>"), ("a", "</w>"),
+    ("ta", "</w>"), ("d", "a"), ("da", "ta</w>"),
+]
+# rank list as chr(1)-joined pair keys; list_position gives 1-based rank,
+# nullif(...,0) turns DuckDB's 0-for-missing into NULL so non-merge pairs
+# never win list_min
+_BPE_KEYS_SQL = ", ".join(
+    f"'{a}'||chr(1)||'{b}'" for a, b in _BPE_PINNED_MERGES
+)
+_BPE_RKS_SQL = (
+    "list_transform(range(1, len(sym)), i -> nullif(list_position(["
+    + _BPE_KEYS_SQL + "], sym[i]||chr(1)||sym[i+1]), 0))"
+)
+
+
+@query(
+    "bpe_token_stats",
+    oracle=f"""
+    WITH RECURSIVE
+    w AS (
+      SELECT lang, word, COUNT(*) AS occ
+      FROM (SELECT lang, unnest(string_split_regex(lower(text), '\\s+'))
+              AS word FROM documents)
+      WHERE word <> '' GROUP BY lang, word
+    ),
+    dw AS (SELECT DISTINCT word FROM w),
+    tok AS (
+      SELECT word, list_append(string_split(word, ''), '</w>') AS sym FROM dw
+      UNION ALL
+      SELECT word, sym[1:bi-1] || [sym[bi]||sym[bi+1]] || sym[bi+2:] AS sym
+      FROM (
+        SELECT word, sym, list_position(rks, list_min(rks)) AS bi
+        FROM (SELECT word, sym, {_BPE_RKS_SQL} AS rks FROM tok)
+      ) WHERE bi IS NOT NULL AND bi > 0
+    ),
+    fin AS (
+      SELECT word, len(sym) AS n_toks
+      FROM (SELECT word, sym, {_BPE_RKS_SQL} AS rks FROM tok)
+      WHERE list_min(rks) IS NULL
+    ),
+    tt AS (
+      SELECT w.lang, CAST(SUM(w.occ * f.n_toks) AS BIGINT) AS total_tokens
+      FROM w JOIN fin f USING (word) GROUP BY w.lang
+    ),
+    d AS (
+      SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, d.n_docs, tt.total_tokens,
+           d.chars * 1.0 / tt.total_tokens AS chars_per_token
+    FROM d JOIN tt USING (lang)
+    """,
+)
 def bpe_token_stats(spark, sf_dir):
-    """Real byte-pair tokenization end to end: merges trained on the
-    corpus's own word-frequency table (driver-side over one distributed
-    word count — the sample-train/scale-apply split of production
-    tokenizers), applied with an Arrow-batched pandas UDF that memoizes
-    per distinct word. Per-lang token totals and compression vs raw chars.
-    Deterministic (tie-broken training, fixed merge count) but iterative —
-    rows-only driver check, exactness pinned by unit tests."""
+    """Byte-pair tokenization end to end, hash-checked (rows-only until
+    round 6): merges train on a PLANTED vocabulary and the query asserts
+    they equal the pinned expectation — a drifted trainer fails loudly —
+    then the Arrow-batched pandas-UDF APPLICATION (the part proportional
+    to corpus size, memoized per distinct word) runs over the real
+    documents corpus. The oracle re-derives every word's token count in
+    DuckDB with a recursive CTE simulating the identical priority loop
+    (merge the FIRST occurrence of the LOWEST-rank adjacent pair, repeat
+    until none applies), so one mis-merged word anywhere in the corpus
+    fails the hash. chars_per_token is one IEEE division of exact integer
+    sums — bit-identical cross-engine."""
     from evolution_spark.functions.bpe import bpe_tokenize, train_bpe_merges
 
+    plant = spark.createDataFrame(
+        [((w + " ") * n,) for w, n in _BPE_PLANT], "text string"
+    )
+    merges = train_bpe_merges(plant, "text", n_merges=12)
+    if merges != _BPE_PINNED_MERGES:
+        raise AssertionError(
+            f"BPE trainer drifted from the pinned merge table: {merges}"
+        )
     d = table(spark, sf_dir, "documents")
-    merges = train_bpe_merges(d, "text", n_merges=40)
     toks = d.select(
         "lang", "n_chars", F.size(bpe_tokenize(d, "text", merges)).alias("n_tokens")
     )
