@@ -24,8 +24,13 @@ optimistic-concurrency publish), time-travel reads
 (``merge_delta_cdc``), streaming idempotence (``txn`` actions +
 ``last_txn_version``), OPTIMIZE compaction (``optimize_delta``),
 version-retention VACUUM (``vacuum_delta``), and parquet log checkpoints
-(``checkpoint_delta`` + ``_last_checkpoint``). Remaining connector-only
-surface: row-level deletion vectors. This is the write-side parity for
+(``checkpoint_delta`` + ``_last_checkpoint``), deletion-vector READS
+(reader-v3 ``deletionVectors`` tables — ``io/deletion_vectors.py``
+decodes the roaring-bitmap descriptors and ``_scan_adds`` anti-joins the
+deleted positions), and ADD COLUMN schema evolution
+(``evolve_delta_schema`` — metadata-only commit, legacy files scan as
+null). Remaining connector-only surface: DV writing/maintenance and
+column mapping. This is the write-side parity for
 the reference's declared-but-``todo!()`` Delta target
 (crates/evolution-target/src/target.rs:31-37,
 examples/delta/src/main.rs:28-30).
@@ -899,6 +904,76 @@ def merge_delta_cdc(
         summary["files_rewritten"] = len(remove_paths)
         summary["files_kept"] = len(live) - len(remove_paths)
     return summary
+
+
+def evolve_delta_schema(path: str, add_columns: list[tuple[str, object]]) -> dict:
+    """ADD COLUMN schema evolution (the first thing a long-lived table
+    needs after day one): publish a new commit whose ``metaData`` action
+    carries the widened ``schemaString``. Added columns must be nullable —
+    existing files don't have them, and the Delta contract is that readers
+    fill missing columns with null (which ``read_delta_snapshot``'s
+    explicit-schema parquet scan does for free). No data files are touched
+    or rewritten: this is a metadata-only commit, O(1) regardless of table
+    size. Time travel to pre-evolution versions replays the old metaData
+    and sees the old schema.
+
+    ``add_columns``: ``[(name, pyspark DataType), ...]``. Appending at the
+    end keeps every existing reader's column indices stable. Renames/drops/
+    type changes stay out of scope — those need column mapping (reader
+    v2+), which this module deliberately refuses."""
+    from pyspark.sql.types import DataType, StructField, StructType
+
+    table_dir = Path(path)
+    live, schema_string, part_cols, latest, repl_state = _replay_log(
+        table_dir, return_state=True
+    )
+    _check_writer_protocol(repl_state.get("protocol"))
+    if not add_columns:
+        raise ValueError("add_columns must be non-empty")
+    stored = StructType.fromJson(json.loads(schema_string))
+    existing = {f.name.lower() for f in stored}
+    fields = list(stored.fields)
+    for name, dtype in add_columns:
+        if not isinstance(dtype, DataType):
+            raise TypeError(
+                f"column {name!r}: pass a pyspark DataType instance, got "
+                f"{type(dtype).__name__}"
+            )
+        if name.lower() in existing:
+            raise ValueError(f"column {name!r} already exists in the schema")
+        existing.add(name.lower())
+        fields.append(StructField(name, dtype, nullable=True))
+    new_schema = StructType(fields)
+
+    metadata = dict(repl_state["metadata"])
+    metadata["schemaString"] = new_schema.json()
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "ADD COLUMNS",
+                "operationParameters": {
+                    "columns": json.dumps([n for n, _ in add_columns])
+                },
+                "engineInfo": "evolution-spark-delta-writer/1.0",
+            }
+        },
+        {"metaData": metadata},
+    ]
+    version = latest + 1
+    log_dir = table_dir / "_delta_log"
+    commit = log_dir / f"{version:020d}.json"
+    try:
+        fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent commit detected: {commit} exists (retry the "
+            "evolution against the new table state)"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        f.write("".join(json.dumps(a) + "\n" for a in actions))
+    return {"version": version, "schema": [f.name for f in new_schema.fields]}
 
 
 def optimize_delta(

@@ -26,9 +26,13 @@ JVM's own ``org.apache.avro.file.DataFileReader``.
 Spark's plain parquet writer does not embed Iceberg field-ids in the
 files, so the table metadata carries ``schema.name-mapping.default``
 (the spec's escape hatch for migrated/imported files): spec-compliant
-readers resolve columns by name through the mapping. Scope: single
-snapshot (append), identity partitioning; row-level deletes, schema
-evolution and time travel remain the connector's job.
+readers resolve columns by name through the mapping. Scope: v2 tables
+with append/replace snapshots, identity partitioning, time travel by
+snapshot id, POSITION-delete write+read (``append_position_deletes`` /
+the scan's delete-file anti-join), compaction + snapshot expiry, and ADD
+COLUMN schema evolution (``evolve_iceberg_schema`` — fresh field-ids
+under a new schema-id). Equality deletes remain the connector's job
+(refused loudly, never ignored).
 """
 
 from __future__ import annotations
@@ -633,8 +637,14 @@ def read_iceberg_table(
             ):
                 continue  # metadata-level partition pruning
             files.append(dfile["file_path"])
+    # time travel reads the schema that was CURRENT at the snapshot (each
+    # snapshot records its schema-id) — a post-evolution read of an old
+    # snapshot must not invent the added columns
+    want_schema_id = snapshot.get("schema-id", metadata["current-schema-id"])
+    if want_schema_id is None:
+        want_schema_id = metadata["current-schema-id"]
     ice_schema = next(
-        s for s in metadata["schemas"] if s["schema-id"] == metadata["current-schema-id"]
+        s for s in metadata["schemas"] if s["schema-id"] == want_schema_id
     )
     schema = spark_schema_of(ice_schema)
     if not files:
@@ -718,6 +728,96 @@ def compact_iceberg_table(spark, path: str, target_files: int = 1) -> dict:
     return _commit_iceberg_snapshot(
         compacted, path, operation="replace", expect_current=base_snapshot
     )
+
+
+def evolve_iceberg_schema(path: str, add_columns: list[tuple[str, str]]) -> dict:
+    """ADD COLUMN schema evolution, per the Iceberg spec's rules: every new
+    column gets a FRESH field-id (``last-column-id`` increments — ids are
+    assigned once and never reused, the invariant that makes Iceberg
+    evolution safe), the widened schema is appended to ``schemas`` under a
+    new ``schema-id``, ``current-schema-id`` moves to it, and the
+    name-mapping gains the new entries so field-id-less parquet files keep
+    resolving by name. Metadata-only — no data file is touched; old files
+    simply lack the column and scan as null. Historical snapshots keep
+    their recorded ``schema-id``, so time travel reads the schema that was
+    current at that snapshot.
+
+    ``add_columns``: ``[(name, iceberg_type_string)]`` with the primitive
+    types this module maps (boolean/int/long/float/double/string/binary/
+    date/timestamp/timestamptz). Added columns are optional (nullable) by
+    construction. Rename/drop/type-promotion stay out of scope."""
+    table_dir = Path(path)
+    metadata, prev_meta_file = _load_metadata(table_dir)
+    if not add_columns:
+        raise ValueError("add_columns must be non-empty")
+    current = next(
+        s for s in metadata["schemas"] if s["schema-id"] == metadata["current-schema-id"]
+    )
+    existing = {f["name"].lower() for f in current["fields"]}
+    col_id = metadata["last-column-id"]
+    new_fields = list(current["fields"])
+    for name, ice_type in add_columns:
+        if ice_type not in _FROM_ICEBERG:
+            raise TypeError(
+                f"column {name!r}: unsupported iceberg type {ice_type!r} "
+                f"(have {sorted(_FROM_ICEBERG)})"
+            )
+        if name.lower() in existing:
+            raise ValueError(f"column {name!r} already exists in the schema")
+        existing.add(name.lower())
+        col_id += 1
+        new_fields.append(
+            {"id": col_id, "name": name, "required": False, "type": ice_type}
+        )
+    new_schema_id = max(s["schema-id"] for s in metadata["schemas"]) + 1
+    new_schema = {"type": "struct", "schema-id": new_schema_id, "fields": new_fields}
+
+    props = dict(metadata.get("properties") or {})
+    mapping = json.loads(props.get("schema.name-mapping.default", "[]"))
+    known = {m["field-id"] for m in mapping}
+    for f in new_fields:
+        if f["id"] not in known:
+            mapping.append({"field-id": f["id"], "names": [f["name"]]})
+    props["schema.name-mapping.default"] = json.dumps(mapping)
+
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(metadata)
+    new_meta["schemas"] = metadata["schemas"] + [new_schema]
+    new_meta["current-schema-id"] = new_schema_id
+    new_meta["last-column-id"] = col_id
+    new_meta["properties"] = props
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["metadata-log"] = metadata["metadata-log"] + [
+        {"timestamp-ms": metadata["last-updated-ms"],
+         "metadata-file": str(prev_meta_file)}
+    ]
+    meta_dir = table_dir / "metadata"
+    version_n = int(prev_meta_file.name.split("-", 1)[0]) + 1
+    marker = meta_dir / f".commit-v{version_n:05d}"
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent commit detected for version {version_n} — reload "
+            "the table metadata and retry the evolution"
+        ) from None
+    try:
+        meta_file = meta_dir / f"{version_n:05d}-{uuid.uuid4()}.metadata.json"
+        tmp = meta_dir / (meta_file.name + ".tmp")
+        tmp.write_text(json.dumps(new_meta, indent=1))
+        os.replace(tmp, meta_file)
+        tmp_h = meta_dir / ".version-hint.tmp"
+        tmp_h.write_text(meta_file.name)
+        os.replace(tmp_h, meta_dir / "version-hint.text")
+    except BaseException:
+        marker.unlink(missing_ok=True)
+        raise
+    return {
+        "schema-id": new_schema_id,
+        "last-column-id": col_id,
+        "schema": [f["name"] for f in new_fields],
+    }
 
 
 def append_position_deletes(path: str, deletes: list[tuple[str, int]]) -> dict:

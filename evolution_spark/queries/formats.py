@@ -795,3 +795,96 @@ def iceberg_position_delete_scan(spark, sf_dir):
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
     )
+
+
+@query(
+    "delta_add_column_evolution",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_legacy,
+           CAST(SUM(CASE WHEN c_custkey % 2 = 0
+                         THEN CAST(ROUND(c_acctbal * 100) AS BIGINT) END)
+                AS BIGINT) AS acct_cents
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def delta_add_column_evolution(spark, sf_dir):
+    """ADD COLUMN schema evolution on the native Delta writer, round-trip
+    checked: half of customer lands under the ORIGINAL two-column schema,
+    a metadata-only ADD COLUMNS commit widens it (evolve_delta_schema —
+    no data file rewritten, O(1) at any table size), and the other half
+    appends WITH the new column. The read resolves both file generations
+    against the evolved schema — legacy files scan as null — and the
+    oracle pins exactly which rows must be null vs populated, so a
+    mis-filled column on either side of the evolution fails the hash."""
+    from pyspark.sql import types as T
+
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        evolve_delta_schema,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer")
+    tmp = query_tmp("deltaevo", sf_dir)
+    old = c.where(F.col("c_custkey") % 2 == 1).select("c_custkey", "c_mktsegment")
+    write_delta_snapshot(old, tmp)
+    evolve_delta_schema(tmp, [("acct_cents", T.LongType())])
+    new = c.where(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acct_cents"),
+    )
+    commit_delta(new, tmp, mode="append")
+    back = read_delta_snapshot(spark, tmp)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("acct_cents").isNull().cast("long")).cast("bigint").alias("n_legacy"),
+        F.sum("acct_cents").cast("bigint").alias("acct_cents"),
+    )
+
+
+@query(
+    "iceberg_add_column_evolution",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN c_custkey % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_legacy,
+           CAST(SUM(CASE WHEN c_custkey % 3 = 0
+                         THEN CAST(ROUND(c_acctbal * 100) AS BIGINT) END)
+                AS BIGINT) AS acct_cents
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def iceberg_add_column_evolution(spark, sf_dir):
+    """The Iceberg twin of delta_add_column_evolution: the widened schema
+    gets FRESH field-ids under a new schema-id (evolve_iceberg_schema —
+    the spec's never-reuse-ids invariant), the name-mapping grows with
+    them, and an evolved append lands beside the legacy snapshot's files.
+    The scan resolves both generations (legacy rows null in the added
+    column); time travel keeps reading each snapshot under its own
+    recorded schema-id (pinned in tests/test_schema_evolution.py)."""
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        evolve_iceberg_schema,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    c = table(spark, sf_dir, "customer")
+    tmp = query_tmp("iceevo", sf_dir)
+    old = c.where(F.col("c_custkey") % 3 != 0).select("c_custkey", "c_mktsegment")
+    write_iceberg_table(old, tmp)
+    evolve_iceberg_schema(tmp, [("acct_cents", "long")])
+    new = c.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acct_cents"),
+    )
+    append_iceberg_snapshot(new, tmp)
+    back = read_iceberg_table(spark, tmp)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("acct_cents").isNull().cast("long")).cast("bigint").alias("n_legacy"),
+        F.sum("acct_cents").cast("bigint").alias("acct_cents"),
+    )

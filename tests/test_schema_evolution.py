@@ -1,0 +1,134 @@
+"""ADD COLUMN schema evolution on the native Delta and Iceberg writers:
+metadata-only commits widen the schema, old files scan as null in the new
+columns, evolved appends round-trip, and time travel sees the schema that
+was current at each version/snapshot."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def test_delta_add_column_roundtrip(spark, tmp_path):
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        evolve_delta_schema,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "devolve")
+    df0 = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_delta_snapshot(df0, path)
+
+    res = evolve_delta_schema(
+        path, [("w", T.DoubleType()), ("tag", T.StringType())]
+    )
+    assert res["schema"] == ["k", "v", "w", "tag"]
+
+    # pre-evolution schema still refuses (commit validates vs metaData)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        commit_delta(df0, path, mode="append")
+
+    df1 = spark.range(10, 15).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        (F.col("id") * 1.5).alias("w"), F.lit("new").alias("tag"),
+    )
+    commit_delta(df1, path, mode="append")
+
+    back = read_delta_snapshot(spark, path)
+    assert back.columns == ["k", "v", "w", "tag"]
+    assert back.count() == 15
+    # old files scan as null in the added columns
+    assert back.where("k < 10 AND w IS NULL AND tag IS NULL").count() == 10
+    assert back.where("k >= 10 AND tag = 'new'").count() == 5
+    got = {(r.k, r.w) for r in back.where("k >= 10").collect()}
+    assert got == {(k, k * 1.5) for k in range(10, 15)}
+
+    # time travel to v0 replays the OLD metaData -> old schema
+    v0 = read_delta_snapshot(spark, path, version=0)
+    assert v0.columns == ["k", "v"] and v0.count() == 10
+
+
+def test_delta_evolution_guards_and_checkpoint(spark, tmp_path):
+    from evolution_spark.io.delta_log import (
+        checkpoint_delta,
+        evolve_delta_schema,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "devolve2")
+    df = spark.range(5).select(F.col("id").alias("k"))
+    write_delta_snapshot(df, path)
+    with pytest.raises(ValueError, match="already exists"):
+        evolve_delta_schema(path, [("K", T.LongType())])  # case-insensitive
+    with pytest.raises(TypeError, match="DataType"):
+        evolve_delta_schema(path, [("x", "double")])
+    with pytest.raises(ValueError, match="non-empty"):
+        evolve_delta_schema(path, [])
+
+    evolve_delta_schema(path, [("x", T.LongType())])
+    # checkpoints carry the evolved metaData
+    checkpoint_delta(path)
+    back = read_delta_snapshot(spark, path)
+    assert back.columns == ["k", "x"]
+    assert back.where("x IS NULL").count() == 5
+
+
+def test_iceberg_add_column_roundtrip(spark, tmp_path):
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        evolve_iceberg_schema,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "ievolve")
+    df0 = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    s0 = write_iceberg_table(df0, path)
+
+    res = evolve_iceberg_schema(path, [("w", "double"), ("tag", "string")])
+    assert res["schema"] == ["k", "v", "w", "tag"]
+    # fresh field-ids: last-column-id advanced past the original 2
+    assert res["last-column-id"] == 4
+
+    df1 = spark.range(10, 15).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        (F.col("id") * 1.5).alias("w"), F.lit("new").alias("tag"),
+    )
+    s1 = append_iceberg_snapshot(df1, path)
+
+    back = read_iceberg_table(spark, path)
+    assert back.columns == ["k", "v", "w", "tag"]
+    assert back.count() == 15
+    assert back.where("k < 10 AND w IS NULL AND tag IS NULL").count() == 10
+    got = {(r.k, r.w, r.tag) for r in back.where("k >= 10").collect()}
+    assert got == {(k, k * 1.5, "new") for k in range(10, 15)}
+
+    # time travel to the pre-evolution snapshot reads its recorded schema
+    old = read_iceberg_table(spark, path, snapshot_id=s0["snapshot-id"])
+    assert old.columns == ["k", "v"] and old.count() == 10
+    # the post-evolution snapshot reads the evolved schema
+    assert read_iceberg_table(
+        spark, path, snapshot_id=s1["snapshot-id"]
+    ).columns == ["k", "v", "w", "tag"]
+
+
+def test_iceberg_evolution_guards(spark, tmp_path):
+    from evolution_spark.io.iceberg_meta import (
+        evolve_iceberg_schema,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "ievolve2")
+    write_iceberg_table(
+        spark.range(3).select(F.col("id").alias("k")), path
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        evolve_iceberg_schema(path, [("K", "long")])
+    with pytest.raises(TypeError, match="unsupported iceberg type"):
+        evolve_iceberg_schema(path, [("x", "uuid")])
+    with pytest.raises(ValueError, match="non-empty"):
+        evolve_iceberg_schema(path, [])
