@@ -247,7 +247,10 @@ def write_dv_file(table_dir, positions, prefix: str = "") -> dict:
         b"\x01"
         + struct.pack(">i", len(data))
         + data
-        + struct.pack(">i", zlib.crc32(data) & 0x7FFFFFFF)
+        # FULL 32-bit CRC, the same byte pattern Java's `(int)
+        # CRC32.getValue()` writes — masking to 31 bits would reject ~half
+        # of all foreign DV files (and get ours rejected symmetrically)
+        + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
     )
     (rel_dir / name).write_bytes(body)
     return {
@@ -306,8 +309,8 @@ def read_dv_positions(descriptor: dict, table_dir) -> np.ndarray:
             f"{descriptor['sizeInBytes']}"
         )
     data = raw[off + 4 : off + 4 + size]
-    (crc,) = struct.unpack_from(">i", raw, off + 4 + size)
-    if (zlib.crc32(data) & 0x7FFFFFFF) != crc:
+    (crc,) = struct.unpack_from(">I", raw, off + 4 + size)
+    if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
         raise ValueError(f"DV checksum mismatch at {path}")
     positions = deserialize_roaring64(data)
     if len(positions) != descriptor.get("cardinality", len(positions)):

@@ -567,10 +567,11 @@ def commit_delta(
         # guard against the vacuum race: a commit stalled long enough for a
         # concurrent reclaim_stale_staging to rmtree this staging dir must
         # ABORT, not publish a replace/overwrite with removes but no adds
-        # (silent row loss). Spark marks a completed write with _SUCCESS;
-        # its absence here means the staged output vanished. Files deleted
-        # mid-move fail loudly via os.replace below.
-        if not (stage / "_SUCCESS").exists():
+        # (silent row loss). The dir-existence check is config-independent
+        # (a _SUCCESS check would false-abort healthy writes under
+        # marksuccessfuljobs=false); files deleted mid-move still fail
+        # loudly via os.replace below.
+        if not stage.exists():
             raise RuntimeError(
                 f"staged write output missing at {stage} — the staging dir "
                 "was reclaimed (or the write never completed); aborting "
@@ -711,13 +712,17 @@ def _scan_adds(spark, table_dir: Path, live: dict, kept: list[str], schema):
     back to a shuffled join (AQE-planned) beyond that."""
     from urllib.parse import unquote
 
-    adds = [str((table_dir / unquote(p)).resolve()) for p in kept]
+    # resolve ONCE and use the same root for file paths and basePath —
+    # mixing resolved adds with an unresolved basePath breaks partition
+    # discovery under symlinked table locations
+    root = table_dir.resolve()
+    adds = [str(root / unquote(p)) for p in kept]
     if not adds:
         return spark.createDataFrame([], schema)
     # basePath keeps hive partition columns resolvable from the file paths
     df = (
         spark.read.schema(schema)
-        .option("basePath", str(table_dir))
+        .option("basePath", str(root))
         .parquet(*adds)
     )
     dvd = [(p, live[p]["deletionVector"]) for p in kept
@@ -725,37 +730,23 @@ def _scan_adds(spark, table_dir: Path, live: dict, kept: list[str], schema):
     if not dvd:
         return df
     import pandas as pd
-    from pyspark.sql import functions as F
 
     from evolution_spark.io.deletion_vectors import read_dv_positions
+    from evolution_spark.io.scan_filters import anti_join_deleted_positions
 
     frames = []
     for p, desc in dvd:
         pos = read_dv_positions(desc, table_dir)
         frames.append(pd.DataFrame({
-            "__dv_path": str((table_dir / unquote(p)).resolve()),
-            "__dv_pos": pos,
+            "file_path": str(root / unquote(p)),
+            "pos": pos,
         }))
     deleted = spark.createDataFrame(
         pd.concat(frames, ignore_index=True),
-        schema="__dv_path string, __dv_pos long",
+        schema="file_path string, pos long",
     )
     total_card = sum(int(d.get("cardinality") or 0) for _, d in dvd)
-    build = F.broadcast(deleted) if total_card <= 4_000_000 else deleted
-    # _metadata.file_path is a Hadoop URI (file:/x or file:///x); strip the
-    # scheme to compare against the plain filesystem path
-    phys = df.withColumns({
-        "__dv_fp": F.regexp_replace(
-            F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
-        ),
-        "__dv_ri": F.col("_metadata.row_index"),
-    })
-    return phys.join(
-        build,
-        (phys["__dv_fp"] == build["__dv_path"])
-        & (phys["__dv_ri"] == build["__dv_pos"]),
-        "left_anti",
-    ).drop("__dv_fp", "__dv_ri")
+    return anti_join_deleted_positions(df, deleted, total_card)
 
 
 def merge_delta_cdc(
@@ -1112,6 +1103,10 @@ def checkpoint_delta(
             _fold_action(json.loads(line), live, state)
     metadata_action = state.get("metadata")
     protocol_action = state.get("protocol")
+    # refuse to checkpoint a table we cannot faithfully read: a checkpoint
+    # of a protocol with unsupported reader features would re-serialize
+    # state this implementation does not understand
+    _check_reader_protocol(protocol_action)
     txns: dict[str, int] = state.get("txns", {})
 
     # deletionVector descriptors must survive checkpointing — a checkpoint
@@ -1148,8 +1143,17 @@ def checkpoint_delta(
             ("createdTime", pa.int64()),
         ]
     )
+    # feature lists MUST survive checkpointing: a v3 protocol row without
+    # readerFeatures is spec-invalid, and dropping an unsupported feature
+    # here would let the post-checkpoint replay bypass the refuse-loudly
+    # reader guard (v3-with-no-features passes _check_reader_protocol)
     proto_t = pa.struct(
-        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
     )
     txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
     remove_t = pa.struct(

@@ -655,33 +655,20 @@ def read_iceberg_table(
         .parquet(*files)
     )
     if delete_files:
-        from pyspark.sql import functions as F
+        from evolution_spark.io.scan_filters import (
+            anti_join_deleted_positions,
+            decoded_file_path,
+        )
 
         dels = (
             spark.read.schema("file_path string, pos long")
             .parquet(*delete_files)
-            .withColumn(
-                # delete files may record paths as plain paths or URIs;
-                # normalize both sides to plain /-rooted paths
-                "file_path",
-                F.regexp_replace("file_path", "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"),
-            )
+            # delete files may record paths as plain paths or URIs;
+            # normalize to the same decoded plain-path form the join uses
+            .withColumn("file_path", decoded_file_path("file_path"))
         )
-        phys = df.withColumns({
-            "__del_fp": F.regexp_replace(
-                F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
-            ),
-            "__del_ri": F.col("_metadata.row_index"),
-        })
-        # build side ~ deleted-row count (from manifest record_counts):
-        # broadcast while small, else let AQE plan the shuffle join
-        build = F.broadcast(dels) if delete_rows <= 4_000_000 else dels
-        df = phys.join(
-            build,
-            (phys["__del_fp"] == build["file_path"])
-            & (phys["__del_ri"] == build["pos"]),
-            "left_anti",
-        ).drop("__del_fp", "__del_ri")
+        # build side ~ deleted-row count (from manifest record_counts)
+        df = anti_join_deleted_positions(df, dels, delete_rows)
     # Spark surfaces hive-partition columns last; restore declared order
     return df.select(*[f.name for f in schema.fields])
 
@@ -791,7 +778,24 @@ def evolve_iceberg_schema(path: str, add_columns: list[tuple[str, str]]) -> dict
         {"timestamp-ms": metadata["last-updated-ms"],
          "metadata-file": str(prev_meta_file)}
     ]
-    meta_dir = table_dir / "metadata"
+    _publish_metadata(table_dir / "metadata", prev_meta_file, new_meta)
+    return {
+        "schema-id": new_schema_id,
+        "last-column-id": col_id,
+        "schema": [f["name"] for f in new_fields],
+    }
+
+
+def _publish_metadata(meta_dir: Path, prev_meta_file: Path, new_meta: dict) -> Path:
+    """The ONE optimistic-concurrency metadata publish shared by every
+    commit path (snapshot commit, position deletes, schema evolution,
+    expire): claim the next version with a create-exclusive ``.commit-v``
+    marker — two writers racing from the same base version collide here,
+    and the loser errors instead of its hint swap silently discarding the
+    winner's metadata — then atomically write the new metadata.json and
+    swap the version-hint (the commit point). Any failure between claim
+    and publish releases the marker, so a crash never wedges the table
+    with a permanent 'concurrent commit' error."""
     version_n = int(prev_meta_file.name.split("-", 1)[0]) + 1
     marker = meta_dir / f".commit-v{version_n:05d}"
     try:
@@ -800,7 +804,7 @@ def evolve_iceberg_schema(path: str, add_columns: list[tuple[str, str]]) -> dict
     except FileExistsError:
         raise RuntimeError(
             f"concurrent commit detected for version {version_n} — reload "
-            "the table metadata and retry the evolution"
+            "the table metadata and retry"
         ) from None
     try:
         meta_file = meta_dir / f"{version_n:05d}-{uuid.uuid4()}.metadata.json"
@@ -813,11 +817,7 @@ def evolve_iceberg_schema(path: str, add_columns: list[tuple[str, str]]) -> dict
     except BaseException:
         marker.unlink(missing_ok=True)
         raise
-    return {
-        "schema-id": new_schema_id,
-        "last-column-id": col_id,
-        "schema": [f["name"] for f in new_fields],
-    }
+    return meta_file
 
 
 def append_position_deletes(path: str, deletes: list[tuple[str, int]]) -> dict:
@@ -959,27 +959,7 @@ def append_position_deletes(path: str, deletes: list[tuple[str, int]]) -> dict:
     new_meta["metadata-log"] = metadata["metadata-log"] + [
         {"timestamp-ms": metadata["last-updated-ms"], "metadata-file": str(prev_meta_file)}
     ]
-    version_n = int(prev_meta_file.name.split("-", 1)[0]) + 1
-    marker = meta_dir / f".commit-v{version_n:05d}"
-    try:
-        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.close(fd)
-    except FileExistsError:
-        raise RuntimeError(
-            f"concurrent commit detected for version {version_n} — reload "
-            "the table metadata and retry the delete"
-        ) from None
-    try:
-        meta_file = meta_dir / f"{version_n:05d}-{uuid.uuid4()}.metadata.json"
-        tmp = meta_dir / (meta_file.name + ".tmp")
-        tmp.write_text(json.dumps(new_meta, indent=1))
-        os.replace(tmp, meta_file)
-        tmp_h = meta_dir / ".version-hint.tmp"
-        tmp_h.write_text(meta_file.name)
-        os.replace(tmp_h, meta_dir / "version-hint.text")
-    except BaseException:
-        marker.unlink(missing_ok=True)
-        raise
+    _publish_metadata(meta_dir, prev_meta_file, new_meta)
     return {
         "snapshot-id": snapshot_id,
         "delete-file": str(del_path),
@@ -1051,10 +1031,11 @@ def _commit_iceberg_snapshot(
     try:
         writer.parquet(str(stage))
         # vacuum-race guard (same as commit_delta): if a concurrent
-        # reclaim_stale_staging rmtree'd this dir during a long stall, the
-        # Spark _SUCCESS marker is gone — abort rather than committing a
-        # snapshot with no data files for a non-empty write
-        if not (stage / "_SUCCESS").exists():
+        # reclaim_stale_staging rmtree'd this dir during a long stall,
+        # abort rather than committing a snapshot with no data files for a
+        # non-empty write (dir-existence, not _SUCCESS — the marker is
+        # disabled under marksuccessfuljobs=false)
+        if not stage.exists():
             raise RuntimeError(
                 f"staged write output missing at {stage} — the staging dir "
                 "was reclaimed (or the write never completed); aborting "
@@ -1187,28 +1168,7 @@ def _commit_iceberg_snapshot(
     new_meta["metadata-log"] = metadata["metadata-log"] + [
         {"timestamp-ms": metadata["last-updated-ms"], "metadata-file": str(prev_meta_file)}
     ]
-    version_n = int(prev_meta_file.name.split("-", 1)[0]) + 1
-    # create-EXCLUSIVE per-version marker: two appends racing from the
-    # same base version collide HERE — the loser errors instead of its
-    # hint swap silently discarding the winner's snapshot (the same
-    # optimistic-concurrency contract commit_delta enforces)
-    marker = meta_dir / f".commit-v{version_n:05d}"
-    try:
-        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.close(fd)
-    except FileExistsError:
-        raise RuntimeError(
-            f"concurrent append detected for version {version_n} — reload "
-            "the table metadata and retry"
-        ) from None
-    meta_file = meta_dir / f"{version_n:05d}-{uuid.uuid4()}.metadata.json"
-    tmp = meta_dir / (meta_file.name + ".tmp")
-    tmp.write_text(json.dumps(new_meta, indent=1))
-    os.replace(tmp, meta_file)
-    # hint swap is the commit point
-    tmp_h = meta_dir / ".version-hint.tmp"
-    tmp_h.write_text(meta_file.name)
-    os.replace(tmp_h, meta_dir / "version-hint.text")
+    meta_file = _publish_metadata(meta_dir, prev_meta_file, new_meta)
     return {
         "snapshot-id": snapshot_id,
         "sequence-number": seq,
@@ -1253,70 +1213,43 @@ def expire_iceberg_snapshots(
                     data.add(entry["data_file"]["file_path"])
         return data, meta_files
 
-    # claim the metadata version BEFORE unlinking anything: an expire that
-    # loses the race to a concurrent append must abort with the table
-    # untouched — deleting first would destroy files the winner's published
-    # metadata still references (its manifest list carries every prior
-    # snapshot's manifests by reference)
-    meta_dir = table_dir / "metadata"
-    version_n = int(prev_meta_file.name.split("-", 1)[0]) + 1
-    marker = meta_dir / f".commit-v{version_n:05d}"
-    try:
-        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.close(fd)
-    except FileExistsError:
-        raise RuntimeError(
-            f"concurrent commit detected for version {version_n} — reload "
-            "the table metadata and retry the expire"
-        ) from None
-
-    # any failure between the marker claim and the metadata publish must
-    # release the marker, or the table wedges permanently ("concurrent
-    # commit" forever) — the claim protects the version slot, not a crash.
     # Publish-then-delete ordering (matches Iceberg's RemoveSnapshots): the
-    # new metadata.json goes live FIRST, and only files that no surviving
-    # snapshot references are reclaimed AFTER. A crash mid-reclaim then
-    # leaves harmless orphans (re-collectable by a later expire), never a
-    # published metadata pointing at already-deleted manifests.
-    try:
-        kept_data: set[str] = set()
-        kept_meta: set[str] = set()
-        for s in kept:
-            d, m = files_of(s)
-            kept_data |= d
-            kept_meta |= m
-        # walk ALL expired snapshots BEFORE deleting anything: snapshots
-        # share manifests by reference (an append's manifest list carries
-        # its ancestors' manifests), so the deletable set is exp - kept
-        # computed over the full walk
-        exp_data: set[str] = set()
-        exp_meta: set[str] = set()
-        for s in expired:
-            d, m = files_of(s)
-            exp_data |= d
-            exp_meta |= m
+    # new metadata.json goes live FIRST — _publish_metadata's version claim
+    # aborts the expire if a concurrent append won the slot — and only
+    # files that no surviving snapshot references are reclaimed AFTER. A
+    # crash mid-reclaim then leaves harmless orphans (re-collectable by a
+    # later expire), never a published metadata pointing at already-deleted
+    # manifests.
+    meta_dir = table_dir / "metadata"
+    kept_data: set[str] = set()
+    kept_meta: set[str] = set()
+    for s in kept:
+        d, m = files_of(s)
+        kept_data |= d
+        kept_meta |= m
+    # walk ALL expired snapshots BEFORE deleting anything: snapshots
+    # share manifests by reference (an append's manifest list carries
+    # its ancestors' manifests), so the deletable set is exp - kept
+    # computed over the full walk
+    exp_data: set[str] = set()
+    exp_meta: set[str] = set()
+    for s in expired:
+        d, m = files_of(s)
+        exp_data |= d
+        exp_meta |= m
 
-        now_ms = int(time.time() * 1000)
-        new_meta = dict(metadata)
-        new_meta["snapshots"] = kept
-        new_meta["snapshot-log"] = [
-            e for e in metadata["snapshot-log"] if e["snapshot-id"] in kept_ids
-        ]
-        new_meta["last-updated-ms"] = now_ms
-        new_meta["metadata-log"] = metadata["metadata-log"] + [
-            {"timestamp-ms": metadata["last-updated-ms"],
-             "metadata-file": str(prev_meta_file)}
-        ]
-        meta_file = meta_dir / f"{version_n:05d}-{uuid.uuid4()}.metadata.json"
-        tmp = meta_dir / (meta_file.name + ".tmp")
-        tmp.write_text(json.dumps(new_meta, indent=1))
-        os.replace(tmp, meta_file)
-        tmp_h = meta_dir / ".version-hint.tmp"
-        tmp_h.write_text(meta_file.name)
-        os.replace(tmp_h, meta_dir / "version-hint.text")
-    except BaseException:
-        marker.unlink(missing_ok=True)
-        raise
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(metadata)
+    new_meta["snapshots"] = kept
+    new_meta["snapshot-log"] = [
+        e for e in metadata["snapshot-log"] if e["snapshot-id"] in kept_ids
+    ]
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["metadata-log"] = metadata["metadata-log"] + [
+        {"timestamp-ms": metadata["last-updated-ms"],
+         "metadata-file": str(prev_meta_file)}
+    ]
+    _publish_metadata(meta_dir, prev_meta_file, new_meta)
 
     # reclaim AFTER the publish: failures here leave orphans, not a broken
     # table — swallow per-file errors so a flaky unlink can't raise after

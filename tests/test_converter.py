@@ -1167,7 +1167,7 @@ def test_iceberg_append_race_is_hard_error(spark, tmp_path, monkeypatch):
     # freeze the metadata view both writers see
     monkeypatch.setattr(im, "_load_metadata", lambda _d: base)
     im.append_iceberg_snapshot(df.limit(3), path)
-    with pytest.raises(RuntimeError, match="concurrent append"):
+    with pytest.raises(RuntimeError, match="concurrent commit"):
         im.append_iceberg_snapshot(df.limit(2), path)
 
 

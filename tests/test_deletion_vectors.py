@@ -225,3 +225,76 @@ def test_reader_guard_still_refuses_unknown_features(spark, tmp_path):
     (log / f"{0:020d}.json").write_text("\n".join(lines) + "\n")
     with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         read_delta_snapshot(spark, str(table))
+
+
+def test_dv_full_32bit_crc(tmp_path):
+    """Foreign writers store the FULL 32-bit CRC (Java `(int)
+    CRC32.getValue()`); a 31-bit mask would reject ~half of all real DV
+    files. Pin a payload whose CRC has the high bit set."""
+    import struct
+    import zlib
+
+    from evolution_spark.io.deletion_vectors import (
+        dv_absolute_path,
+        serialize_roaring64,
+        write_dv_file,
+    )
+
+    # find a position set whose serialized bitmap CRC sets bit 31
+    for seed in range(200):
+        positions = [seed, seed + 2, seed + 70000]
+        if zlib.crc32(serialize_roaring64(positions)) & 0x80000000:
+            break
+    else:
+        raise AssertionError("no high-bit CRC found in 200 tries")
+    desc = write_dv_file(tmp_path, positions)
+    raw = Path(dv_absolute_path(desc, tmp_path)).read_bytes()
+    (stored,) = struct.unpack_from(">I", raw, 1 + 4 + desc["sizeInBytes"])
+    assert stored == zlib.crc32(serialize_roaring64(positions)) & 0xFFFFFFFF
+    assert stored & 0x80000000  # the adversarial case actually exercised
+    assert list(read_dv_positions(desc, tmp_path)) == sorted(positions)
+
+
+def test_dv_applies_under_percent_encoded_paths(spark, tmp_path):
+    """_metadata.file_path is a percent-encoded Hadoop URI (a dir named
+    'seg=A B' appears as 'seg=A%20B'); the DV anti-join must decode it or
+    deleted rows silently resurrect for any encodable path."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from evolution_spark.io.delta_log import read_delta_snapshot
+
+    table = tmp_path / "dvenc"
+    sub = table / "seg=A B"
+    sub.mkdir(parents=True)
+    name = f"seg=A B/part-{uuid.uuid4().hex}.parquet"
+    papq.write_table(
+        pa.table({"k": pa.array(range(20), pa.int64())}), table / name
+    )
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [{"name": "k", "type": "long", "nullable": True,
+                    "metadata": {}}],
+    })
+    log = table / "_delta_log"
+    log.mkdir()
+    from urllib.parse import quote
+
+    stored = quote(name)  # spec: add paths are URL-encoded
+    desc = write_dv_file(table, [0, 5, 19])
+    v0 = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": str(uuid.uuid4()), "format": {"provider": "parquet"},
+                      "schemaString": schema_string, "partitionColumns": [],
+                      "configuration": {}, "createdTime": 0}},
+        {"add": {"path": stored, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": desc}},
+    ]
+    (log / f"{0:020d}.json").write_text(
+        "".join(json.dumps(a) + "\n" for a in v0)
+    )
+    rows = {r.k for r in read_delta_snapshot(spark, str(table)).collect()}
+    assert rows == set(range(20)) - {0, 5, 19}

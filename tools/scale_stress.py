@@ -17,9 +17,22 @@ callables then run unchanged against that dir, timed with the same noop
 sink + min-of-N protocol as bench.py. FLF runs the bench schema at 10M
 rows (10x bench's 1M).
 
-Usage: python tools/scale_stress.py  [--reps 2]
+Usage: python tools/scale_stress.py  [--reps 2] [--mode cluster-growth|
+fixed-cluster] [--cluster-size 5]
 Prints one JSON line: {"sf_equiv": 1.0, "queries": {...}, "flf": {...}}
-Results are recorded in BASELINE.md (v2.0 section).
+Results are recorded in BASELINE.md (v2.0 section; v3.0 for fixed-cluster).
+
+MODES. ``cluster-growth`` (default, the v2.0 protocol): every replica of a
+document is a near-duplicate of every other, so the planted candidate-pair
+count grows C(REPLICAS, 2) — at 30x the pair-driven dedup operators are
+DOMINATED by that synthetic quadratic, which measures worst-case-cluster
+behavior but hides corpus-linear scaling. ``fixed-cluster``: replicas are
+near-duplicates only within buckets of ``--cluster-size`` (cross-bucket
+copies get ~1/3 of their words bucket-salted, pushing shingle Jaccard far
+below the dedup thresholds; embeddings get a bucket-dependent perturbation
+that breaks cosine near-duplicates the same way), so dup clusters stay
+r-sized as the corpus grows — the realistic web-corpus regime, isolating
+corpus-linear behavior from planted-pair quadratics.
 """
 
 from __future__ import annotations
@@ -50,7 +63,9 @@ HEADLINERS = [
 ]
 
 
-def replicate_tables(spark, out_dir: str) -> None:
+def replicate_tables(
+    spark, out_dir: str, mode: str = "cluster-growth", cluster_size: int = 5
+) -> None:
     from pyspark.sql import functions as F
 
     reps = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("__rep")
@@ -58,7 +73,22 @@ def replicate_tables(spark, out_dir: str) -> None:
     docs = spark.read.parquet(f"{BASE_SF_DIR}/documents.parquet")
     # replica token -> near-duplicates across replicas, not exact:
     # stresses the LSH/banded joins instead of the trivial hash path
-    new_text = F.concat(F.col("text"), F.lit(" r"), F.col("__rep").cast("string"))
+    base_text = F.col("text")
+    if mode == "fixed-cluster":
+        # bucket-salt ~1/3 of the words: cross-bucket replicas share too
+        # few shingles to band together, so dup clusters stay r-sized no
+        # matter how many replicas the corpus gets
+        bucket = (F.col("__rep") / F.lit(cluster_size)).cast("int")
+        base_text = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w, i: F.when(
+                    i % 3 == 0, F.concat(w, F.lit("q"), bucket.cast("string"))
+                ).otherwise(w),
+            ),
+            " ",
+        )
+    new_text = F.concat(base_text, F.lit(" r"), F.col("__rep").cast("string"))
     (
         docs.select("*", reps)
         .select(
@@ -78,16 +108,32 @@ def replicate_tables(spark, out_dir: str) -> None:
     )
 
     emb = spark.read.parquet(f"{BASE_SF_DIR}/embeddings.parquet")
+    if mode == "fixed-cluster":
+        # bucket-dependent deterministic perturbation large enough to break
+        # cosine near-duplicate thresholds across buckets; within a bucket
+        # the tiny per-replica bias keeps replicas near-duplicates
+        bucket = (F.col("__rep") / F.lit(cluster_size)).cast("int")
+        emb_col = F.transform(
+            "embedding",
+            lambda x, i: (
+                x
+                + F.col("__rep").cast("float") * F.lit(1e-4)
+                + F.sin((bucket.cast("double") + 1.0) * (i.cast("double") + 1.0))
+                * F.lit(0.2)
+            ).cast("float"),
+        )
+    else:
+        emb_col = F.transform(
+            "embedding",
+            lambda x: (x + F.col("__rep").cast("float") * F.lit(1e-4)).cast(
+                "float"
+            ),
+        )
     (
         emb.select("*", reps)
         .select(
             (F.col("vec_id") + F.col("__rep") * ID_STRIDE).alias("vec_id"),
-            F.transform(
-                "embedding",
-                lambda x: (x + F.col("__rep").cast("float") * F.lit(1e-4)).cast(
-                    "float"
-                ),
-            ).alias("embedding"),
+            emb_col.alias("embedding"),
             "label",
         )
         .repartition(32)
@@ -99,6 +145,15 @@ def replicate_tables(spark, out_dir: str) -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2, help="timed passes (min taken)")
+    ap.add_argument(
+        "--mode",
+        choices=["cluster-growth", "fixed-cluster"],
+        default="cluster-growth",
+        help="cluster-growth: every replica near-dups every other (planted "
+        "pairs grow C(R,2)); fixed-cluster: near-dups only within buckets "
+        "of --cluster-size (corpus-linear regime)",
+    )
+    ap.add_argument("--cluster-size", type=int, default=5)
     args = ap.parse_args()
 
     from evolution_spark.session import get_spark
@@ -122,13 +177,15 @@ def main() -> int:
         "sf_equiv": round(base_sf * REPLICAS, 3),
         "base_sf": base_sf,
         "replicas": REPLICAS,
+        "mode": args.mode,
+        "cluster_size": args.cluster_size if args.mode == "fixed-cluster" else REPLICAS,
         "queries": {},
         "flf": {},
     }
     tmp = tempfile.mkdtemp(prefix="evoscale-")
     try:
         t0 = time.perf_counter()
-        replicate_tables(spark, tmp)
+        replicate_tables(spark, tmp, mode=args.mode, cluster_size=args.cluster_size)
         out["replicate_s"] = round(time.perf_counter() - t0, 2)
 
         for name in HEADLINERS:
