@@ -94,14 +94,23 @@ def _check_reader_protocol(protocol: dict | None) -> None:
 
 
 # Writer capabilities this module actually implements: plain append/
-# overwrite/replace commits with add/remove/txn/commitInfo actions.
+# overwrite/replace commits with add/remove/txn/commitInfo actions, plus
+# (since round 6) DELETION-VECTOR maintenance — delete_delta_rows writes
+# merge-on-read DELETEs, removes echo live DV descriptors, and rewrites
+# (OPTIMIZE/MERGE) read through DVs so they can never resurrect rows.
 # Writer version 2's obligations on FOREIGN tables are enforced in
 # commit_delta: delta.appendOnly refuses dataChange=true removes (layout-
 # only OPTIMIZE rewrites pass data_change=False and are legal), and
 # schemas carrying delta.invariants are refused outright (we cannot
-# validate them). Higher versions gate CHECK constraints, generated
-# columns, DV maintenance etc. — refused via _check_writer_protocol.
-SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset()
+# validate them). The v7 feature set below is the honest claim:
+# deletionVectors (full read+maintain), appendOnly (enforced in
+# commit_delta), invariants (enforced by refusing any schema that
+# actually carries one — a table listing the feature with none declared
+# writes safely). Anything else (CHECK constraints, generated columns,
+# column mapping, ...) stays refused via _check_writer_protocol.
+SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
+    {"deletionVectors", "appendOnly", "invariants"}
+)
 
 
 def _check_writer_protocol(protocol: dict | None) -> None:
@@ -897,6 +906,149 @@ def merge_delta_cdc(
     return summary
 
 
+def delete_delta_rows(spark, path: str, predicate: str) -> dict:
+    """Merge-on-read DELETE: mark every live row matching ``predicate`` as
+    deleted via DELETION VECTORS — no data file is rewritten. For each
+    touched file the commit pairs a remove of the current add with an add
+    of the SAME file carrying a new DV whose bitmap is the union of the
+    file's previous DV (if any) and the newly matched row positions —
+    the (path, dvUniqueId) supersedence dance a Databricks DELETE performs.
+    Tables still on protocol v1/v2 are upgraded in the same commit
+    (reader 3 / writer 7 with the deletionVectors feature, per the spec's
+    feature-activation rule). A later OPTIMIZE materializes the deletes
+    away (its rewrite reads through DVs); VACUUM reclaims unreferenced DV
+    files.
+
+    Scale: the matched (file, position) set — the DELETE's changed-row
+    set, which any engine materializes — is collected to the driver to
+    build the per-file bitmaps; everything else (the predicate scan with
+    file/row-index metadata) is a distributed DV-filtered read. Stats on
+    the re-added file are carried unchanged (physical min/max stay valid
+    bounds; the spec marks them non-tight implicitly — numRecords remains
+    the PHYSICAL row count, matching what foreign DV writers record).
+
+    The reference engine has no DELETE at all (its Delta target is a
+    ``todo!()`` — examples/delta/src/main.rs:28-30)."""
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.deletion_vectors import read_dv_positions, write_dv_file
+    from evolution_spark.io.scan_filters import decoded_file_path
+
+    table_dir = Path(path)
+    live, schema_string, part_cols, latest, repl_state = _replay_log(
+        table_dir, return_state=True
+    )
+    proto = repl_state.get("protocol") or dict(PROTOCOL)
+    _check_writer_protocol(proto)
+    config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
+    if str(config.get("delta.appendOnly", "")).lower() == "true":
+        raise DeltaProtocolError(
+            "table sets delta.appendOnly=true; DELETE emits dataChange=true "
+            "removes — refusing to violate the append-only contract"
+        )
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(schema_string))
+    root = table_dir.resolve()
+    # DV-filtered scan: already-deleted rows can't re-match (their
+    # positions are unioned back in below regardless)
+    scan = _scan_adds(spark, table_dir, live, sorted(live), schema)
+    matched = (
+        scan.where(predicate)
+        .select(
+            decoded_file_path(F.col("_metadata.file_path")).alias("fp"),
+            F.col("_metadata.row_index").alias("ri"),
+        )
+        .collect()
+    )
+    if not matched:
+        return {"version": None, "deleted_rows": 0, "files_touched": 0}
+
+    by_abs: dict[str, list[int]] = {}
+    for r in matched:
+        by_abs.setdefault(r.fp, []).append(r.ri)
+    abs_of = {str(root / unquote(p)): p for p in live}
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": predicate},
+                "engineInfo": "evolution-spark-delta-writer/1.0",
+            }
+        }
+    ]
+    # activate the DV feature if the table predates it (same-commit
+    # protocol upgrade, as the spec prescribes for feature enablement)
+    v_r = int(proto.get("minReaderVersion", 1))
+    v_w = int(proto.get("minWriterVersion", 2))
+    feats_r = set(proto.get("readerFeatures") or [])
+    feats_w = set(proto.get("writerFeatures") or [])
+    if v_r < 3 or v_w < 7 or "deletionVectors" not in feats_r:
+        # v3/v7 feature lists must name every active legacy feature too
+        legacy_w = {"appendOnly", "invariants"} if v_w >= 2 else set()
+        actions.append({"protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(feats_r | {"deletionVectors"}),
+            "writerFeatures": sorted(feats_w | legacy_w | {"deletionVectors"}),
+        }})
+
+    deleted_rows = 0
+    for abs_path, new_pos in sorted(by_abs.items()):
+        stored = abs_of.get(abs_path)
+        if stored is None:
+            raise RuntimeError(
+                f"matched file {abs_path} is not live in the table — "
+                "concurrent rewrite during the DELETE scan; retry"
+            )
+        add = dict(live[stored])
+        old_desc = add.get("deletionVector")
+        old_pos = (
+            {int(x) for x in read_dv_positions(old_desc, table_dir)}
+            if old_desc
+            else set()
+        )
+        new_set = {int(x) for x in new_pos}
+        deleted_rows += len(new_set - old_pos)
+        desc = write_dv_file(table_dir, sorted(new_set | old_pos))
+        rm = {
+            "path": stored,
+            "deletionTimestamp": now_ms,
+            "dataChange": True,
+        }
+        if old_desc:
+            rm["deletionVector"] = old_desc
+        actions.append({"remove": rm})
+        add["deletionVector"] = desc
+        add["modificationTime"] = now_ms
+        add["dataChange"] = True
+        actions.append({"add": add})
+
+    version = latest + 1
+    log_dir = table_dir / "_delta_log"
+    commit = log_dir / f"{version:020d}.json"
+    try:
+        fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent commit detected: {commit} exists (retry the "
+            "DELETE against the new table state)"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        f.write("".join(json.dumps(a) + "\n" for a in actions))
+    return {
+        "version": version,
+        "deleted_rows": deleted_rows,
+        "files_touched": len(by_abs),
+    }
+
+
 def evolve_delta_schema(path: str, add_columns: list[tuple[str, object]]) -> dict:
     """ADD COLUMN schema evolution (the first thing a long-lived table
     needs after day one): publish a new commit whose ``metaData`` action
@@ -1036,9 +1188,16 @@ def vacuum_delta(
         raise ValueError("keep_versions must be >= 1")
     kept = versions[-keep_versions:]
     referenced: set[str] = set()
+    referenced_dvs: set[str] = set()
+    from evolution_spark.io.deletion_vectors import dv_absolute_path
+
     for v in kept:
         live, *_ = _replay_log(table_dir, v)
         referenced.update(live)
+        for add in live.values():
+            dv = add.get("deletionVector")
+            if dv and dv.get("storageType") in ("u", "p"):
+                referenced_dvs.add(str(Path(dv_absolute_path(dv, table_dir))))
 
     from urllib.parse import unquote
 
@@ -1057,6 +1216,15 @@ def vacuum_delta(
         if quote(rel) not in referenced and rel not in referenced_decoded:
             p.unlink()
             deleted.append(rel)
+    # deletion-vector files: reclaim the ones no kept version's live adds
+    # reference (superseded by a later DELETE's union bitmap, or their data
+    # file was rewritten away)
+    for p in sorted(table_dir.rglob("deletion_vector_*.bin")):
+        if any(part.startswith("_staging_") for part in p.parts):
+            continue
+        if str(p) not in referenced_dvs:
+            p.unlink()
+            deleted.append(p.relative_to(table_dir).as_posix())
     from evolution_spark.io.maintenance import reclaim_stale_staging
 
     reclaimed = reclaim_stale_staging(table_dir, stale_staging_hours)

@@ -888,3 +888,53 @@ def iceberg_add_column_evolution(spark, sf_dir):
         F.sum(F.col("acct_cents").isNull().cast("long")).cast("bigint").alias("n_legacy"),
         F.sum("acct_cents").cast("bigint").alias("acct_cents"),
     )
+
+
+@query(
+    "delta_mor_delete_lifecycle",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_alive,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM customer
+    WHERE NOT (c_acctbal < 0) AND NOT (c_custkey % 11 = 0)
+    GROUP BY c_mktsegment
+    """,
+)
+def delta_mor_delete_lifecycle(spark, sf_dir):
+    """Merge-on-read DELETE on the native Delta writer, full lifecycle:
+    customer lands as a plain v1/v2 table, then TWO ``delete_delta_rows``
+    calls (negative balances, then every 11th key) mark rows deleted via
+    deletion vectors — the first upgrades the protocol to reader-3/
+    writer-7 with the deletionVectors feature in the same commit, the
+    second supersedes the first file DVs with union bitmaps, and no data
+    file is rewritten at any point. OPTIMIZE then materializes the deletes
+    (its rewrite reads through the DVs), and the post-compaction read must
+    still equal the oracle's survivor set — one resurrected or
+    over-deleted row anywhere in delete-scan, bitmap union, or compaction
+    fails the hash."""
+    from evolution_spark.io.delta_log import (
+        delete_delta_rows,
+        optimize_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tmp = query_tmp("deltamor", sf_dir)
+    write_delta_snapshot(c.repartition(4), tmp)
+    delete_delta_rows(spark, tmp, "c_acctbal < 0")
+    delete_delta_rows(spark, tmp, "c_custkey % 11 = 0")
+    optimize_delta(spark, tmp, target_files=2)
+    back = read_delta_snapshot(spark, tmp)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_alive"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "acctbal_cents"
+        ),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )

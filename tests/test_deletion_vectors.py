@@ -298,3 +298,103 @@ def test_dv_applies_under_percent_encoded_paths(spark, tmp_path):
     )
     rows = {r.k for r in read_delta_snapshot(spark, str(table)).collect()}
     assert rows == set(range(20)) - {0, 5, 19}
+
+
+# --------------------------------------------------------------------------
+# merge-on-read DELETE (delete_delta_rows)
+# --------------------------------------------------------------------------
+
+
+def test_delete_delta_rows_merge_on_read(spark, tmp_path):
+    """DELETE writes DVs instead of rewriting files: data files untouched,
+    protocol upgraded in the same commit, deletes stack by union, time
+    travel sees pre-DELETE rows, OPTIMIZE materializes, VACUUM reclaims
+    superseded DV files."""
+    from evolution_spark.io.delta_log import (
+        delete_delta_rows,
+        optimize_delta,
+        read_delta_snapshot,
+        vacuum_delta,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "mor")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("m")
+    ).repartition(4)
+    write_delta_snapshot(df, path)
+    data_files = sorted(Path(path).rglob("*.parquet"))
+    mtimes = {p: p.stat().st_mtime_ns for p in data_files}
+
+    res = delete_delta_rows(spark, path, "m = 3")
+    assert res["deleted_rows"] == 10 and res["files_touched"] >= 1
+    # merge-on-read: no data file rewritten
+    assert {p: p.stat().st_mtime_ns for p in data_files} == mtimes
+    back = read_delta_snapshot(spark, path)
+    assert back.count() == 90 and back.where("m = 3").count() == 0
+
+    # protocol upgraded with the feature lists
+    lines = (Path(path) / "_delta_log" / f"{res['version']:020d}.json").read_text()
+    proto = next(json.loads(l)["protocol"] for l in lines.splitlines()
+                 if "protocol" in l)
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "deletionVectors" in proto["readerFeatures"]
+
+    # second DELETE: union bitmap, no resurrect of the first
+    res2 = delete_delta_rows(spark, path, "k < 20")
+    assert res2["deleted_rows"] == 18  # 20 minus k=3,13 already deleted
+    back2 = read_delta_snapshot(spark, path)
+    assert {r.k for r in back2.collect()} == {
+        k for k in range(100) if k % 10 != 3 and k >= 20
+    }
+    # empty match is a no-op (no commit published)
+    res3 = delete_delta_rows(spark, path, "k > 1000")
+    assert res3["version"] is None and res3["deleted_rows"] == 0
+
+    # time travel to before the deletes
+    assert read_delta_snapshot(spark, path, version=0).count() == 100
+
+    # OPTIMIZE materializes the deletes (reads through DVs)
+    opt = optimize_delta(spark, path, target_files=1)
+    assert read_delta_snapshot(spark, path).count() == 72
+    # VACUUM reclaims the rewritten-away files AND the orphaned DV files
+    vac = vacuum_delta(path, keep_versions=1)
+    assert not list(Path(path).rglob("deletion_vector_*.bin"))
+    assert read_delta_snapshot(spark, path).count() == 72
+
+
+def test_delete_delta_rows_guards(spark, tmp_path):
+    import pathlib
+
+    from evolution_spark.io.delta_log import (
+        DeltaProtocolError,
+        delete_delta_rows,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "mor_guard")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_delta_snapshot(df, path)
+    log = pathlib.Path(path) / "_delta_log"
+    v0 = (log / f"{0:020d}.json").read_text().splitlines()
+    meta = next(json.loads(l) for l in v0 if "metaData" in l)
+    meta["metaData"]["configuration"] = {"delta.appendOnly": "true"}
+    (log / f"{1:020d}.json").write_text(json.dumps(meta) + "\n")
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        delete_delta_rows(spark, path, "k = 1")
+
+
+def test_delete_on_foreign_dv_table(spark, tmp_path):
+    """Our DELETE composes with a FOREIGN writer's existing DVs: the new
+    bitmap unions the old positions (remove pairs on the old dvUniqueId)."""
+    from evolution_spark.io.delta_log import delete_delta_rows, read_delta_snapshot
+
+    table = tmp_path / "mor_foreign"
+    _, deleted1 = _write_foreign_dv_table(spark, table, n=100)  # k % 7 == 0
+    res = delete_delta_rows(spark, str(table), "k % 9 = 0")
+    expect_gone = {k for k in range(100) if k % 7 == 0 or k % 9 == 0}
+    assert res["deleted_rows"] == len(
+        {k for k in range(100) if k % 9 == 0 and k % 7 != 0}
+    )
+    rows = {r.k for r in read_delta_snapshot(spark, str(table)).collect()}
+    assert rows == set(range(100)) - expect_gone
