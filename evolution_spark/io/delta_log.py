@@ -54,11 +54,16 @@ PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 # snapshots with plain add/remove replay (reader version 1) PLUS deletion
 # vectors (reader version 3 feature `deletionVectors` — descriptors are
 # decoded via io/deletion_vectors.py and applied as a row-position
-# anti-join in read_delta_snapshot, so deleted rows never resurrect).
-# Anything else a higher reader version gates — column mapping (v2),
-# v2 checkpoints / type widening etc. (v3) — would be silently WRONG if
+# anti-join in read_delta_snapshot, so deleted rows never resurrect) PLUS
+# column mapping in NAME mode (reader version 2 / the v3 `columnMapping`
+# feature — physical-name scan + logical alias in read_delta_snapshot;
+# id mode and nested-struct mappings are refused at read time with the
+# mode/shape named). Anything else a higher reader version gates — v2
+# checkpoints / type widening etc. (v3) — would be silently WRONG if
 # ignored, so the spec's forward-compat obligation is to refuse loudly.
-SUPPORTED_READER_FEATURES: frozenset[str] = frozenset({"deletionVectors"})
+SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
+    {"deletionVectors", "columnMapping"}
+)
 
 
 class DeltaProtocolError(RuntimeError):
@@ -77,6 +82,11 @@ def _check_reader_protocol(protocol: dict | None) -> None:
         return
     v = int(protocol.get("minReaderVersion", 1))
     if v <= 1:
+        return
+    if v == 2:
+        # reader v2 gates exactly column mapping, which this reader
+        # implements (name mode; id mode refuses at scan time with the
+        # mode named)
         return
     features = set(protocol.get("readerFeatures") or [])
     unsupported = sorted(features - SUPPORTED_READER_FEATURES)
@@ -686,24 +696,66 @@ def read_delta_snapshot(
     footers. This complements (not replaces) Spark's own parquet
     row-group pushdown: the SAME predicate must still be applied with
     ``.filter`` — skipping only removes files that cannot match. Files
-    without stats for a predicate column are conservatively kept."""
-    from urllib.parse import unquote
+    without stats for a predicate column are conservatively kept.
 
+    COLUMN MAPPING (``delta.columnMapping.mode = 'name'``, reader v2 /
+    the v3 ``columnMapping`` feature): parquet files store PHYSICAL
+    column names (``col-<uuid>``) recorded per field in the schema
+    metadata; the scan reads under the physical schema and aliases back
+    to the logical names, so renamed/dropped-column foreign tables (the
+    other Databricks-default feature besides DVs) read correctly.
+    ``skip_where`` columns are logical and are translated to physical for
+    the stats lookup. Mode ``'id'`` (parquet field-id resolution) is
+    refused loudly."""
     table_dir = Path(path)
-    live, schema_string, _, _ = _replay_log(table_dir, version)
+    live, schema_string, _, _, state = _replay_log(
+        table_dir, version, return_state=True
+    )
+    config = dict((state.get("metadata") or {}).get("configuration") or {})
+    mode = config.get("delta.columnMapping.mode", "none")
+    schema_json = json.loads(schema_string)
+    phys_of: dict[str, str] = {}
+    if mode == "name":
+        for f in schema_json["fields"]:
+            if "struct" in json.dumps(f["type"]):
+                raise DeltaProtocolError(
+                    f"column mapping over nested struct field {f['name']!r} "
+                    "is not implemented — refusing to read rather than "
+                    "mis-resolving nested physical names"
+                )
+            meta = f.get("metadata") or {}
+            phys_of[f["name"]] = meta.get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+    elif mode not in ("none", ""):
+        raise DeltaProtocolError(
+            f"delta.columnMapping.mode={mode!r} is not implemented (name "
+            "mode only) — refusing to read rather than resolving columns "
+            "wrong"
+        )
     kept = sorted(live)
     if skip_where:
         kept = [
             p
             for p in kept
             if all(
-                _file_may_match(live[p], col, op, val)
+                _file_may_match(live[p], phys_of.get(col, col), op, val)
                 for col, op, val in skip_where
             )
         ]
     from pyspark.sql.types import StructType
 
-    schema = StructType.fromJson(json.loads(schema_string))
+    if mode == "name":
+        phys_fields = [dict(f, name=phys_of[f["name"]]) for f in schema_json["fields"]]
+        phys_schema = StructType.fromJson({"type": "struct", "fields": phys_fields})
+        df = _scan_adds(spark, table_dir, live, kept, phys_schema)
+        from pyspark.sql import functions as F
+
+        return df.select(
+            *[F.col(phys_of[f["name"]]).alias(f["name"])
+              for f in schema_json["fields"]]
+        )
+    schema = StructType.fromJson(schema_json)
     return _scan_adds(spark, table_dir, live, kept, schema)
 
 

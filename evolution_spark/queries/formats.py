@@ -938,3 +938,82 @@ def delta_mor_delete_lifecycle(spark, sf_dir):
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
     )
+
+
+@query(
+    "delta_column_mapping_read",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def delta_column_mapping_read(spark, sf_dir):
+    """READ a column-mapped Delta table (``delta.columnMapping.mode=name``,
+    the other Databricks-default feature besides DVs — enabled by any
+    RENAME/DROP COLUMN): the parquet files store PHYSICAL ``col-<hex>``
+    names, the Delta schema maps them to logical names via field metadata,
+    and ``read_delta_snapshot`` scans under the physical schema then
+    aliases back — so the result carries the logical customer columns with
+    exact values, hash-checked against the source table. The table is
+    built foreign-style here: physical-named files + a hand-written
+    reader-v3 log with the columnMapping feature."""
+    import json
+    import os
+    import uuid
+    from pathlib import Path
+
+    from evolution_spark.io.delta_log import read_delta_snapshot
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tmp = Path(query_tmp("deltacmap", sf_dir))
+    tmp.mkdir(parents=True, exist_ok=True)
+    phys = {c_name: f"col-{i}{uuid.uuid4().hex[:6]}"
+            for i, c_name in enumerate(c.columns)}
+    c.select(*[F.col(n).alias(p) for n, p in phys.items()]).repartition(
+        3
+    ).write.mode("overwrite").parquet(str(tmp / "_stage"))
+    adds = []
+    for src in sorted((tmp / "_stage").glob("*.parquet")):
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        os.replace(src, tmp / name)
+        adds.append({"add": {"path": name, "partitionValues": {}, "size": 1,
+                             "modificationTime": 0, "dataChange": True}})
+    types = {"c_custkey": "long", "c_mktsegment": "string",
+             "c_acctbal": "double"}
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": n, "type": types[n], "nullable": True,
+             "metadata": {"delta.columnMapping.id": i + 1,
+                          "delta.columnMapping.physicalName": phys[n]}}
+            for i, n in enumerate(c.columns)
+        ],
+    })
+    v0 = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"],
+                      "writerFeatures": ["columnMapping"]}},
+        {"metaData": {"id": str(uuid.uuid4()), "format": {"provider": "parquet"},
+                      "schemaString": schema_string, "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "name"},
+                      "createdTime": 0}},
+    ] + adds
+    log = tmp / "_delta_log"
+    log.mkdir(exist_ok=True)
+    (log / f"{0:020d}.json").write_text(
+        "".join(json.dumps(a) + "\n" for a in v0)
+    )
+    back = read_delta_snapshot(spark, str(tmp))
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "acctbal_cents"
+        ),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )

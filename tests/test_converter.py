@@ -1270,13 +1270,14 @@ def test_delta_reader_protocol_guard(spark, tmp_path):
     # time travel to BEFORE the upgrade still works (protocol at v0 is 1)
     assert read_delta_snapshot(spark, path, version=0).count() == 10
 
-    # reader v2 (column mapping) is refused too
+    # reader v2 (column mapping) now READS (round 6 — name-mode support;
+    # this table has no mapping configured, so mode 'none' scans plainly);
+    # id mode stays refused at scan time (tests/test_deletion_vectors.py)
     (log / f"{1:020d}.json").write_text(
         _json.dumps({"protocol": {"minReaderVersion": 2,
                                   "minWriterVersion": 5}}) + "\n"
     )
-    with pytest.raises(DeltaProtocolError, match="minReaderVersion=2"):
-        read_delta_snapshot(spark, path)
+    assert read_delta_snapshot(spark, path).count() == 10
 
     # the guard also runs on the checkpoint path: checkpoint BEFORE the
     # upgrade, upgrade after it -> the resolved protocol still refuses

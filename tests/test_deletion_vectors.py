@@ -398,3 +398,115 @@ def test_delete_on_foreign_dv_table(spark, tmp_path):
     )
     rows = {r.k for r in read_delta_snapshot(spark, str(table)).collect()}
     assert rows == set(range(100)) - expect_gone
+
+
+# --------------------------------------------------------------------------
+# column mapping (name mode)
+# --------------------------------------------------------------------------
+
+
+def _write_column_mapped_table(spark, table_dir: Path, n=30, with_dv=False):
+    """Foreign-style column-mapped table: parquet stores PHYSICAL names
+    (col-<hex>), the Delta schema maps them to logical names via field
+    metadata — what a Databricks table looks like after enabling
+    columnMapping (or any RENAME/DROP COLUMN)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    table_dir.mkdir(parents=True)
+    pk, pv = f"col-{uuid.uuid4().hex[:8]}", f"col-{uuid.uuid4().hex[:8]}"
+    name = f"part-00000-{uuid.uuid4().hex}.parquet"
+    papq.write_table(
+        pa.table({pk: pa.array(range(n), pa.int64()),
+                  pv: pa.array([i * 10 for i in range(n)], pa.int64())}),
+        table_dir / name,
+    )
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": pk}},
+            {"name": "v", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": pv}},
+        ],
+    })
+    feats = ["columnMapping"] + (["deletionVectors"] if with_dv else [])
+    add = {"path": name, "partitionValues": {}, "size": 1,
+           "modificationTime": 0, "dataChange": True,
+           # stats use PHYSICAL names on mapped tables
+           "stats": json.dumps({"numRecords": n,
+                                "minValues": {pk: 0},
+                                "maxValues": {pk: n - 1}})}
+    if with_dv:
+        add["deletionVector"] = write_dv_file(table_dir, [0, 2, 4])
+    v0 = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": feats, "writerFeatures": feats}},
+        {"metaData": {"id": str(uuid.uuid4()), "format": {"provider": "parquet"},
+                      "schemaString": schema_string, "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "name"},
+                      "createdTime": 0}},
+        {"add": add},
+    ]
+    log = table_dir / "_delta_log"
+    log.mkdir()
+    (log / f"{0:020d}.json").write_text(
+        "".join(json.dumps(a) + "\n" for a in v0)
+    )
+
+
+def test_column_mapping_name_mode_read(spark, tmp_path):
+    from evolution_spark.io.delta_log import read_delta_snapshot
+
+    table = tmp_path / "cmap"
+    _write_column_mapped_table(spark, table, n=30)
+    df = read_delta_snapshot(spark, str(table))
+    assert df.columns == ["k", "v"]  # LOGICAL names
+    got = {(r.k, r.v) for r in df.collect()}
+    assert got == {(i, i * 10) for i in range(30)}
+    # skip_where on the LOGICAL column translates to the physical stats
+    assert read_delta_snapshot(
+        spark, str(table), skip_where=[("k", ">", 100)]
+    ).count() == 0  # file pruned via physical-name stats
+    assert read_delta_snapshot(
+        spark, str(table), skip_where=[("k", "<=", 5)]
+    ).count() == 30  # file kept; predicate itself is the caller's job
+
+
+def test_column_mapping_composes_with_dv(spark, tmp_path):
+    from evolution_spark.io.delta_log import read_delta_snapshot
+
+    table = tmp_path / "cmapdv"
+    _write_column_mapped_table(spark, table, n=30, with_dv=True)
+    df = read_delta_snapshot(spark, str(table))
+    assert {r.k for r in df.collect()} == set(range(30)) - {0, 2, 4}
+    assert df.columns == ["k", "v"]
+
+
+def test_column_mapping_id_mode_and_writes_refused(spark, tmp_path):
+    from evolution_spark.io.delta_log import (
+        DeltaProtocolError,
+        commit_delta,
+        read_delta_snapshot,
+    )
+
+    table = tmp_path / "cmapid"
+    _write_column_mapped_table(spark, table, n=5)
+    log = table / "_delta_log"
+    lines = (log / f"{0:020d}.json").read_text().splitlines()
+    meta = json.loads(lines[1])
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    lines[1] = json.dumps(meta)
+    (log / f"{0:020d}.json").write_text("\n".join(lines) + "\n")
+    with pytest.raises(DeltaProtocolError, match="columnMapping.mode='id'"):
+        read_delta_snapshot(spark, str(table))
+    # writes to column-mapped tables refuse via the writer guard (v7 with
+    # the columnMapping WRITER feature is not claimed)
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "name"
+    lines[1] = json.dumps(meta)
+    (log / f"{0:020d}.json").write_text("\n".join(lines) + "\n")
+    df = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+        commit_delta(df, str(table), mode="append")
