@@ -142,6 +142,14 @@ BENCH_QUERIES = [
     "iceberg_maintenance_lifecycle",
     "benford_digit_test",
     "lagged_crosscorr_orders",
+    # batch-13: round-6 row-level-delete / evolution / codec surface
+    "delta_deletion_vector_read",
+    "iceberg_position_delete_scan",
+    "delta_add_column_evolution",
+    "iceberg_add_column_evolution",
+    "delta_mor_delete_lifecycle",
+    "delta_column_mapping_read",
+    "multimodal_png_features",
 ]
 
 

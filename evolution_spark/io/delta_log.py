@@ -958,6 +958,191 @@ def merge_delta_cdc(
     return summary
 
 
+def table_changes(
+    spark, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Change-data-feed-style reader: the row-level changes each commit in
+    ``[from_version, to_version]`` made, as the table columns plus
+    ``_change_type`` (``'insert'``/``'delete'``) and ``_commit_version`` —
+    what a downstream incremental consumer needs to stay in sync without
+    re-reading the table. Derived entirely from the log (no CDF sidecar
+    files needed):
+
+    - an add of a NEW file (dataChange=true) -> inserts of its rows minus
+      its DV positions;
+    - a remove+re-add of the SAME file with a different DV (the
+      merge-on-read DELETE shape) -> deletes at the NEW-minus-OLD bitmap
+      positions (and inserts for restored positions, if a writer ever
+      shrinks a DV);
+    - a remove without re-add (overwrite/materializing rewrite) -> deletes
+      of the file's previously-live rows;
+    - dataChange=false actions (OPTIMIZE) produce NOTHING — layout
+      rewrites are invisible to the feed, exactly why commit_delta stamps
+      them.
+
+    Scale: the log parse and DV decodes are driver-side metadata; row
+    recovery is a distributed scan of ONLY the files the change range
+    touches, with position filters as broadcast (inner/anti) joins on the
+    scan's file/row-index metadata. UPDATE appears as delete+insert (this
+    writer never updates in place), matching the CDF fallback semantics
+    for non-CDF tables."""
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from evolution_spark.io.deletion_vectors import read_dv_positions
+    from evolution_spark.io.scan_filters import decoded_file_path
+
+    table_dir = Path(path)
+    log_dir = table_dir / "_delta_log"
+    versions = _log_versions(log_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {log_dir}")
+    hi = versions[-1] if to_version is None else to_version
+    if from_version not in versions or hi not in versions:
+        raise ValueError(
+            f"version range [{from_version}, {hi}] not within log {versions}"
+        )
+
+    live: dict[str, dict] = {}
+    state: dict = {}
+    root = table_dir.resolve()
+
+    def positions_of(add: dict | None) -> set[int]:
+        dv = (add or {}).get("deletionVector")
+        if not dv:
+            return set()
+        return {int(x) for x in read_dv_positions(dv, table_dir)}
+
+    # (abs_file, version, excluded_positions) -> whole-file inserts
+    whole_inserts: list[tuple[str, int, set[int]]] = []
+    whole_deletes: list[tuple[str, int, set[int]]] = []  # excluded = old DV
+    # (abs_file, pos, version, change_type) -> positional rows
+    positional: list[tuple[str, int, int, str]] = []
+
+    for v in versions:
+        if v > hi:
+            break
+        acts = [
+            json.loads(line)
+            for line in (log_dir / f"{v:020d}.json").read_text().splitlines()
+        ]
+        if v >= from_version:
+            adds = {a["add"]["path"]: a["add"] for a in acts
+                    if "add" in a and a["add"].get("dataChange", True)}
+            removes = {a["remove"]["path"]: a["remove"] for a in acts
+                       if "remove" in a
+                       and a["remove"].get("dataChange", True)}
+            for p, add in adds.items():
+                ap = str(root / unquote(p))
+                prev = live.get(p)
+                if prev is not None and p in removes:
+                    old_pos, new_pos = positions_of(prev), positions_of(add)
+                    for pos in sorted(new_pos - old_pos):
+                        positional.append((ap, pos, v, "delete"))
+                    for pos in sorted(old_pos - new_pos):
+                        positional.append((ap, pos, v, "insert"))
+                else:
+                    whole_inserts.append((ap, v, positions_of(add)))
+            for p, rm in removes.items():
+                if p in adds:
+                    continue  # handled as a DV diff above
+                prev = live.get(p)
+                if prev is not None:
+                    whole_deletes.append(
+                        (str(root / unquote(p)), v, positions_of(prev))
+                    )
+        for a in acts:
+            _fold_action(a, live, state)
+
+    schema = StructType.fromJson(json.loads(state["schema_string"]))
+    parts: list[DataFrame] = []
+
+    def scan(files: list[str]):
+        return (
+            spark.read.schema(schema)
+            .option("basePath", str(root))
+            .parquet(*files)
+            .withColumns({
+                "__cdf_fp": decoded_file_path(F.col("_metadata.file_path")),
+                "__cdf_ri": F.col("_metadata.row_index"),
+            })
+        )
+
+    import pandas as pd
+
+    for groups, ctype in ((whole_inserts, "insert"), (whole_deletes, "delete")):
+        if not groups:
+            continue
+        df = scan(sorted({g[0] for g in groups}))
+        vers = spark.createDataFrame(
+            pd.DataFrame(
+                [(g[0], g[1]) for g in groups],
+                columns=["__cdf_file", "__cdf_ver"],
+            ),
+            schema="__cdf_file string, __cdf_ver long",
+        )
+        excluded_rows = [
+            (g[0], int(pos)) for g in groups for pos in g[2]
+        ]
+        out = df.join(
+            F.broadcast(vers), df["__cdf_fp"] == vers["__cdf_file"], "inner"
+        )
+        if excluded_rows:
+            exc = spark.createDataFrame(
+                pd.DataFrame(excluded_rows, columns=["file_path", "pos"]),
+                schema="file_path string, pos long",
+            )
+            out = out.join(
+                F.broadcast(exc),
+                (out["__cdf_fp"] == exc["file_path"])
+                & (out["__cdf_ri"] == exc["pos"]),
+                "left_anti",
+            )
+        parts.append(
+            out.select(
+                *[F.col(f.name) for f in schema.fields],
+                F.lit(ctype).alias("_change_type"),
+                F.col("__cdf_ver").alias("_commit_version"),
+            )
+        )
+
+    if positional:
+        pos_df = spark.createDataFrame(
+            pd.DataFrame(
+                positional,
+                columns=["file_path", "pos", "__cdf_ver", "__cdf_type"],
+            ),
+            schema="file_path string, pos long, __cdf_ver long, __cdf_type string",
+        )
+        df = scan(sorted({p[0] for p in positional}))
+        hit = df.join(
+            F.broadcast(pos_df),
+            (df["__cdf_fp"] == pos_df["file_path"])
+            & (df["__cdf_ri"] == pos_df["pos"]),
+            "inner",
+        )
+        parts.append(
+            hit.select(
+                *[F.col(f.name) for f in schema.fields],
+                F.col("__cdf_type").alias("_change_type"),
+                F.col("__cdf_ver").alias("_commit_version"),
+            )
+        )
+
+    if not parts:
+        empty = spark.createDataFrame([], schema)
+        return empty.withColumns({
+            "_change_type": F.lit(None).cast("string"),
+            "_commit_version": F.lit(None).cast("long"),
+        }).where(F.lit(False))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def delete_delta_rows(spark, path: str, predicate: str) -> dict:
     """Merge-on-read DELETE: mark every live row matching ``predicate`` as
     deleted via DELETION VECTORS — no data file is rewritten. For each

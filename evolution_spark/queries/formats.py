@@ -1017,3 +1017,48 @@ def delta_column_mapping_read(spark, sf_dir):
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
     )
+
+
+@query(
+    "delta_cdf_changes",
+    oracle="""
+    SELECT 'insert' AS change_type, c_mktsegment,
+           COUNT(*) AS n_rows, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer WHERE c_custkey % 2 = 0 GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'delete' AS change_type, c_mktsegment,
+           COUNT(*) AS n_rows, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer WHERE c_custkey % 7 = 0 GROUP BY c_mktsegment
+    """,
+)
+def delta_cdf_changes(spark, sf_dir):
+    """Change-data-feed consumption from the native Delta log: customer
+    lands in two generations (odd keys at v0, even keys appended at v1),
+    then a merge-on-read DELETE (every 7th key) at v2 — and
+    ``table_changes(spark, path, 1)`` recovers exactly what a downstream
+    incremental consumer must apply: the v1 inserts (even keys) and the
+    v2 deletes (every 7th key, emitted from the DV bitmap diff without
+    any CDF sidecar files). The oracle restates both change sets straight
+    from the source table, so a missed or phantom change row fails the
+    hash. Scale: log parse + DV decode are driver-side metadata; row
+    recovery scans only the touched files with broadcast position
+    joins."""
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        delete_delta_rows,
+        table_changes,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    tmp = query_tmp("deltacdf", sf_dir)
+    write_delta_snapshot(c.where(F.col("c_custkey") % 2 == 1), tmp)  # v0
+    commit_delta(c.where(F.col("c_custkey") % 2 == 0), tmp, mode="append")  # v1
+    delete_delta_rows(spark, tmp, "c_custkey % 7 = 0")  # v2
+    ch = table_changes(spark, tmp, 1)
+    return ch.groupBy(
+        F.col("_change_type").alias("change_type"), "c_mktsegment"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+    )

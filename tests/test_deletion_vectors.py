@@ -510,3 +510,90 @@ def test_column_mapping_id_mode_and_writes_refused(spark, tmp_path):
     df = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("v"))
     with pytest.raises(DeltaProtocolError, match="columnMapping"):
         commit_delta(df, str(table), mode="append")
+
+
+# --------------------------------------------------------------------------
+# change-data-feed reader (table_changes)
+# --------------------------------------------------------------------------
+
+
+def test_table_changes_lifecycle(spark, tmp_path):
+    """Inserts from appends, deletes from MOR DELETEs (DV bitmap diff),
+    full-file deletes from overwrites, and NOTHING from dataChange=false
+    OPTIMIZE rewrites."""
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        delete_delta_rows,
+        optimize_delta,
+        table_changes,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "cdf")
+    df0 = spark.range(0, 10).select(F.col("id").alias("k"))
+    write_delta_snapshot(df0, path)  # v0
+    commit_delta(
+        spark.range(10, 16).select(F.col("id").alias("k")), path, mode="append"
+    )  # v1
+    delete_delta_rows(spark, path, "k % 5 = 0")  # v2: deletes 0,5,10,15
+    optimize_delta(spark, path, target_files=1)  # v3: dataChange=false
+
+    ch = table_changes(spark, path, 0)
+    got = {(r.k, r._change_type, r._commit_version) for r in ch.collect()}
+    expect = (
+        {(k, "insert", 0) for k in range(10)}
+        | {(k, "insert", 1) for k in range(10, 16)}
+        | {(k, "delete", 2) for k in (0, 5, 10, 15)}
+    )
+    assert got == expect  # v3 (OPTIMIZE) contributes nothing
+
+    # range narrowing: only v2's deletes
+    ch2 = table_changes(spark, path, 2, 2)
+    assert {(r.k, r._change_type) for r in ch2.collect()} == {
+        (k, "delete") for k in (0, 5, 10, 15)
+    }
+
+    # overwrite -> full-file deletes of the LIVE rows + inserts of the new
+    commit_delta(
+        spark.range(100, 103).select(F.col("id").alias("k")),
+        path, mode="overwrite",
+    )  # v4
+    ch3 = table_changes(spark, path, 4, 4)
+    got3 = {(r.k, r._change_type) for r in ch3.collect()}
+    live_before = {k for k in range(16) if k % 5 != 0}
+    assert got3 == {(k, "delete") for k in live_before} | {
+        (k, "insert") for k in (100, 101, 102)
+    }
+
+
+def test_table_changes_insert_excludes_existing_dv(spark, tmp_path):
+    """A file added WITH a DV (foreign DELETE commit re-add) contributes
+    inserts only for its live positions."""
+    from evolution_spark.io.delta_log import table_changes
+
+    table = tmp_path / "cdf_dv"
+    _, deleted = _write_foreign_dv_table(spark, table, n=50)  # v1 = DELETE
+    ch = table_changes(spark, str(table), 0)
+    got = {(r.k, r._change_type, r._commit_version) for r in ch.collect()}
+    expect = {(k, "insert", 0) for k in range(50)} | {
+        (k, "delete", 1) for k in deleted
+    }
+    assert got == expect
+    # consuming only v1 sees just the deletes
+    ch1 = table_changes(spark, str(table), 1, 1)
+    assert {(r.k, r._change_type) for r in ch1.collect()} == {
+        (k, "delete") for k in deleted
+    }
+
+
+def test_table_changes_guards(spark, tmp_path):
+    from evolution_spark.io.delta_log import table_changes, write_delta_snapshot
+
+    path = str(tmp_path / "cdf_g")
+    write_delta_snapshot(spark.range(3).select(F.col("id").alias("k")), path)
+    with pytest.raises(ValueError, match="version range"):
+        table_changes(spark, path, 0, 7)
+    # empty change range -> empty frame with the full CDF schema
+    out = table_changes(spark, path, 0, 0).where("_change_type = 'delete'")
+    assert out.count() == 0
+    assert out.columns == ["k", "_change_type", "_commit_version"]
