@@ -637,3 +637,37 @@ def test_theil_sen_banded_join_is_hash_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "theil_sen_trend_revenue")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dv_scan_broadcast_anti_join(spark, sf_dir):
+    """The deletion-vector row filter must plan as a BROADCAST left-anti
+    hash join on (file, row_index) — a shuffled or nested-loop variant
+    would move table-sized data to drop a metadata-sized deleted set."""
+    plan = plan_of(spark, sf_dir, "delta_deletion_vector_read")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_iceberg_position_delete_broadcast_anti_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "iceberg_position_delete_scan")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdf_changes_broadcast_position_joins(spark, sf_dir):
+    """CDF row recovery joins the scan against driver-built position/
+    version tables — all must broadcast (they are metadata-sized by
+    construction); the scan side must never shuffle for them."""
+    plan = plan_of(spark, sf_dir, "delta_cdf_changes")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_column_mapping_read_is_plain_scan(spark, sf_dir):
+    """Physical->logical renaming is pure projection: the mapped read must
+    stay a single parquet scan with no exchange and no join."""
+    plan = plan_of(spark, sf_dir, "delta_column_mapping_read")
+    agg_free = plan.split("HashAggregate")[0]  # the query's own agg is fine
+    assert "Join" not in agg_free
