@@ -1062,3 +1062,47 @@ def delta_cdf_changes(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("c_custkey").cast("bigint").alias("key_sum"),
     )
+
+
+@query(
+    "delta_python_source_read",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_alive,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM customer WHERE c_custkey % 13 <> 0
+    GROUP BY c_mktsegment
+    """,
+)
+def delta_python_source_read(spark, sf_dir):
+    """The native Delta reader as a REAL Spark data source (PySpark 4
+    Python DataSource API): customer lands as a multi-file table, a
+    merge-on-read DELETE marks every 13th key via deletion vectors, and
+    the read goes through ``spark.read.format("evolution_delta")`` — Spark
+    plans one input partition per live file, and each EXECUTOR masks its
+    own file's DV positions out of the Arrow batches directly (no join at
+    all — compare the anti-join plan of delta_deletion_vector_read).
+    The oracle pins the survivor set, so a mis-masked position in any
+    file's batch stream fails the hash. This is the source-integration
+    shape the reference's ``todo!()`` targets imply
+    (crates/evolution-target/src/target.rs:31-37)."""
+    from evolution_spark.io.delta_log import delete_delta_rows, write_delta_snapshot
+    from evolution_spark.io.delta_source import register_delta_source
+
+    register_delta_source(spark)
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tmp = query_tmp("deltapysrc", sf_dir)
+    write_delta_snapshot(c.repartition(4), tmp)
+    delete_delta_rows(spark, tmp, "c_custkey % 13 = 0")
+    back = spark.read.format("evolution_delta").load(tmp)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_alive"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "acctbal_cents"
+        ),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
