@@ -712,27 +712,9 @@ def read_delta_snapshot(
         table_dir, version, return_state=True
     )
     config = dict((state.get("metadata") or {}).get("configuration") or {})
-    mode = config.get("delta.columnMapping.mode", "none")
     schema_json = json.loads(schema_string)
-    phys_of: dict[str, str] = {}
-    if mode == "name":
-        for f in schema_json["fields"]:
-            if "struct" in json.dumps(f["type"]):
-                raise DeltaProtocolError(
-                    f"column mapping over nested struct field {f['name']!r} "
-                    "is not implemented — refusing to read rather than "
-                    "mis-resolving nested physical names"
-                )
-            meta = f.get("metadata") or {}
-            phys_of[f["name"]] = meta.get(
-                "delta.columnMapping.physicalName", f["name"]
-            )
-    elif mode not in ("none", ""):
-        raise DeltaProtocolError(
-            f"delta.columnMapping.mode={mode!r} is not implemented (name "
-            "mode only) — refusing to read rather than resolving columns "
-            "wrong"
-        )
+    renames = mapping_renames(schema_json, config)  # physical -> logical
+    phys_of = {log: phys for phys, log in renames.items()}
     kept = sorted(live)
     if skip_where:
         kept = [
@@ -745,14 +727,15 @@ def read_delta_snapshot(
         ]
     from pyspark.sql.types import StructType
 
-    if mode == "name":
-        phys_fields = [dict(f, name=phys_of[f["name"]]) for f in schema_json["fields"]]
+    if renames:
+        phys_fields = [dict(f, name=phys_of.get(f["name"], f["name"]))
+                       for f in schema_json["fields"]]
         phys_schema = StructType.fromJson({"type": "struct", "fields": phys_fields})
         df = _scan_adds(spark, table_dir, live, kept, phys_schema)
         from pyspark.sql import functions as F
 
         return df.select(
-            *[F.col(phys_of[f["name"]]).alias(f["name"])
+            *[F.col(phys_of.get(f["name"], f["name"])).alias(f["name"])
               for f in schema_json["fields"]]
         )
     schema = StructType.fromJson(schema_json)
@@ -958,6 +941,36 @@ def merge_delta_cdc(
     return summary
 
 
+def mapping_renames(schema_json: dict, config: dict) -> dict[str, str]:
+    """physical -> logical rename map when ``delta.columnMapping.mode`` is
+    ``name`` (empty when mapping is off). The single refusal surface for
+    the unsupported shapes — id mode, nested mapped structs — shared by
+    read_delta_snapshot, table_changes, and the evolution_delta source so
+    no reader can resolve columns differently from the others."""
+    mode = config.get("delta.columnMapping.mode", "none")
+    if mode in ("none", ""):
+        return {}
+    if mode != "name":
+        raise DeltaProtocolError(
+            f"delta.columnMapping.mode={mode!r} is not implemented (name "
+            "mode only) — refusing to read rather than resolving columns "
+            "wrong"
+        )
+    renames: dict[str, str] = {}
+    for f in schema_json["fields"]:
+        if "struct" in json.dumps(f["type"]):
+            raise DeltaProtocolError(
+                f"column mapping over nested struct field {f['name']!r} "
+                "is not implemented — refusing to read rather than "
+                "mis-resolving nested physical names"
+            )
+        meta = f.get("metadata") or {}
+        phys = meta.get("delta.columnMapping.physicalName", f["name"])
+        if phys != f["name"]:
+            renames[phys] = f["name"]
+    return renames
+
+
 def table_changes(
     spark, path: str, from_version: int, to_version: int | None = None
 ) -> DataFrame:
@@ -1056,12 +1069,30 @@ def table_changes(
         for a in acts:
             _fold_action(a, live, state)
 
-    schema = StructType.fromJson(json.loads(state["schema_string"]))
+    # the resolved protocol/configuration govern how the files are read —
+    # same obligations as read_delta_snapshot (refuse unknown features;
+    # resolve column-mapped tables under their PHYSICAL schema, aliasing
+    # back to logical names at the end)
+    _check_reader_protocol(state.get("protocol"))
+    config = dict((state.get("metadata") or {}).get("configuration") or {})
+    schema_json = json.loads(state["schema_string"])
+    renames = mapping_renames(schema_json, config)  # physical -> logical
+    phys_of = {log: phys for phys, log in renames.items()}
+    if renames:
+        scan_fields = [dict(f, name=phys_of.get(f["name"], f["name"]))
+                       for f in schema_json["fields"]]
+        scan_schema = StructType.fromJson(
+            {"type": "struct", "fields": scan_fields}
+        )
+    else:
+        scan_schema = StructType.fromJson(schema_json)
+    logical_names = [f["name"] for f in schema_json["fields"]]
+
     parts: list[DataFrame] = []
 
     def scan(files: list[str]):
         return (
-            spark.read.schema(schema)
+            spark.read.schema(scan_schema)
             .option("basePath", str(root))
             .parquet(*files)
             .withColumns({
@@ -1069,6 +1100,14 @@ def table_changes(
                 "__cdf_ri": F.col("_metadata.row_index"),
             })
         )
+
+    def out_cols():
+        return [F.col(phys_of.get(n, n)).alias(n) for n in logical_names]
+
+    def maybe_broadcast(df, n_rows: int):
+        # metadata-sized in the common case; an overwrite of a huge table
+        # can make the position set large — fall back to AQE's plan
+        return F.broadcast(df) if n_rows <= 4_000_000 else df
 
     import pandas as pd
 
@@ -1083,26 +1122,31 @@ def table_changes(
             ),
             schema="__cdf_file string, __cdf_ver long",
         )
+        # exclusions are keyed by (file, pos, VERSION): a path removed and
+        # later re-added within the range has one row-copy per version in
+        # this frame, and each copy must only lose ITS version's DV
+        # positions
         excluded_rows = [
-            (g[0], int(pos)) for g in groups for pos in g[2]
+            (g[0], int(pos), g[1]) for g in groups for pos in g[2]
         ]
         out = df.join(
             F.broadcast(vers), df["__cdf_fp"] == vers["__cdf_file"], "inner"
         )
         if excluded_rows:
             exc = spark.createDataFrame(
-                pd.DataFrame(excluded_rows, columns=["file_path", "pos"]),
-                schema="file_path string, pos long",
+                pd.DataFrame(excluded_rows, columns=["file_path", "pos", "ver"]),
+                schema="file_path string, pos long, ver long",
             )
             out = out.join(
-                F.broadcast(exc),
+                maybe_broadcast(exc, len(excluded_rows)),
                 (out["__cdf_fp"] == exc["file_path"])
-                & (out["__cdf_ri"] == exc["pos"]),
+                & (out["__cdf_ri"] == exc["pos"])
+                & (out["__cdf_ver"] == exc["ver"]),
                 "left_anti",
             )
         parts.append(
             out.select(
-                *[F.col(f.name) for f in schema.fields],
+                *out_cols(),
                 F.lit(ctype).alias("_change_type"),
                 F.col("__cdf_ver").alias("_commit_version"),
             )
@@ -1118,21 +1162,21 @@ def table_changes(
         )
         df = scan(sorted({p[0] for p in positional}))
         hit = df.join(
-            F.broadcast(pos_df),
+            maybe_broadcast(pos_df, len(positional)),
             (df["__cdf_fp"] == pos_df["file_path"])
             & (df["__cdf_ri"] == pos_df["pos"]),
             "inner",
         )
         parts.append(
             hit.select(
-                *[F.col(f.name) for f in schema.fields],
+                *out_cols(),
                 F.col("__cdf_type").alias("_change_type"),
                 F.col("__cdf_ver").alias("_commit_version"),
             )
         )
 
     if not parts:
-        empty = spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], StructType.fromJson(schema_json))
         return empty.withColumns({
             "_change_type": F.lit(None).cast("string"),
             "_commit_version": F.lit(None).cast("long"),
@@ -1455,11 +1499,16 @@ def vacuum_delta(
             deleted.append(rel)
     # deletion-vector files: reclaim the ones no kept version's live adds
     # reference (superseded by a later DELETE's union bitmap, or their data
-    # file was rewritten away)
+    # file was rewritten away). Files younger than the staleness window are
+    # SPARED: delete_delta_rows writes its DV before publishing the commit
+    # that references it, so a fresh unreferenced DV may be an in-flight
+    # DELETE — unlinking it would break the table the moment that commit
+    # lands (the same race the _staging_ rule protects data files from).
+    dv_cutoff = time.time() - stale_staging_hours * 3600
     for p in sorted(table_dir.rglob("deletion_vector_*.bin")):
         if any(part.startswith("_staging_") for part in p.parts):
             continue
-        if str(p) not in referenced_dvs:
+        if str(p) not in referenced_dvs and p.stat().st_mtime < dv_cutoff:
             p.unlink()
             deleted.append(p.relative_to(table_dir).as_posix())
     from evolution_spark.io.maintenance import reclaim_stale_staging

@@ -12,15 +12,19 @@ column-mapping semantics into Spark's source contract, which buys
 live file), (b) per-file DV application WITHOUT any join — each executor
 drops its own file's deleted positions from the Arrow batches directly,
 and (c) a genuine Structured Streaming source whose offsets are log
-versions — each micro-batch reads exactly the files the next commits
-added, the incremental-consumption contract of the real Delta source
-(non-append changes fail the stream unless `ignoreChanges` is set).
+versions — the first micro-batch is the CURRENT SNAPSHOT (DV-masked, so
+streams start cleanly on tables whose history contains deletes or
+overwrites), and every later micro-batch reads exactly the files the new
+commits added, the incremental-consumption contract of the real Delta
+source (non-append changes after the start fail the stream unless
+`ignoreChanges` is set).
 
 Executors yield pyarrow RecordBatches (Arrow-native, no per-row Python);
 the driver side only replays the metadata-sized log. Batch options:
 ``version`` (time travel). Streaming options: ``startingVersion``
-(default: all existing data first), ``ignoreChanges`` (skip non-append
-commits instead of failing).
+(INCLUSIVE, like the real source: replay appends from that version
+instead of snapshotting), ``ignoreChanges`` (skip non-append commits
+instead of failing).
 
 The reference engine has no source integration at all (its targets are
 ``todo!()`` — crates/evolution-target/src/target.rs:31-37); this is the
@@ -53,33 +57,36 @@ class _FileSlice(InputPartition):
         self.renames = renames
 
 
-def _plan_slices(table_path: str, version=None):
-    """Driver-side: replay the log and return (logical_schema,
-    [_FileSlice...]). Pure metadata work — no SparkSession needed."""
-    from evolution_spark.io.delta_log import _replay_log
+def _plan_meta(table_path: str, version=None):
+    """Metadata-only plan: (live adds, logical schema_json, renames) —
+    one log replay, NO deletion-vector I/O (that happens per slice only
+    when slices are actually built). Column-mapping resolution and its
+    refusals come from delta_log.mapping_renames — the single shared
+    surface, so the source can never resolve columns differently from
+    read_delta_snapshot."""
+    from evolution_spark.io.delta_log import _replay_log, mapping_renames
 
     table_dir = Path(table_path)
-    live, schema_string, part_cols, _, state = _replay_log(
+    live, schema_string, _, _, state = _replay_log(
         table_dir, version, return_state=True
     )
     config = dict((state.get("metadata") or {}).get("configuration") or {})
-    mode = config.get("delta.columnMapping.mode", "none")
     schema_json = json.loads(schema_string)
-    renames = {}
-    if mode == "name":
-        for f in schema_json["fields"]:
-            meta = f.get("metadata") or {}
-            phys = meta.get("delta.columnMapping.physicalName", f["name"])
-            if phys != f["name"]:
-                renames[phys] = f["name"]
-    elif mode not in ("none", ""):
-        raise ValueError(f"columnMapping mode {mode!r} unsupported (name only)")
+    renames = mapping_renames(schema_json, config)
+    return live, schema_json, renames
+
+
+def _plan_slices(table_path: str, version=None):
+    """Driver-side: replay the log and return (logical_schema,
+    [_FileSlice...], renames). Pure metadata work — no SparkSession
+    needed."""
+    table_dir = Path(table_path)
+    live, schema_json, renames = _plan_meta(table_path, version)
     slices = [
         _slice_of(table_dir, p, add, renames)
         for p, add in sorted(live.items())
     ]
-    logical = StructType.fromJson(schema_json)
-    return logical, slices, renames
+    return StructType.fromJson(schema_json), slices, renames
 
 
 def _slice_of(table_dir: Path, stored_path: str, add: dict, renames) -> _FileSlice:
@@ -104,6 +111,33 @@ def _slice_of(table_dir: Path, stored_path: str, add: dict, renames) -> _FileSli
     )
 
 
+def _arrow_type_of(typ):
+    """Arrow type for a Delta primitive type string — used only for
+    columns ABSENT from the data file (partition / post-evolution
+    columns). Unmapped types raise with the type named rather than
+    silently materializing a mistyped column."""
+    import pyarrow as pa
+
+    table = {
+        "long": pa.int64(), "integer": pa.int32(), "short": pa.int16(),
+        "byte": pa.int8(), "double": pa.float64(), "float": pa.float32(),
+        "string": pa.string(), "boolean": pa.bool_(), "binary": pa.binary(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if isinstance(typ, str):
+        if typ in table:
+            return table[typ]
+        if typ.startswith("decimal("):
+            p, s = typ[8:-1].split(",")
+            return pa.decimal128(int(p), int(s))
+    raise ValueError(
+        f"cannot materialize a constant column of Delta type {typ!r} "
+        "(partition/evolved column absent from the data file)"
+    )
+
+
 def _read_slice(slice_, logical_schema_json: str):
     """EXECUTOR-side: one file -> Arrow batches in the declared column
     order, deleted positions masked out, partition columns injected as
@@ -117,12 +151,6 @@ def _read_slice(slice_, logical_schema_json: str):
     schema_json = json.loads(logical_schema_json)
     fields = schema_json["fields"]
     logical_names = [f["name"] for f in fields]
-    arrow_of = {
-        "long": pa.int64(), "integer": pa.int32(), "short": pa.int16(),
-        "byte": pa.int8(), "double": pa.float64(), "float": pa.float32(),
-        "string": pa.string(), "boolean": pa.bool_(), "binary": pa.binary(),
-        "date": pa.date32(),
-    }
     deleted = (
         deserialize_roaring64(slice_.dv_blob) if slice_.dv_blob is not None else None
     )
@@ -150,7 +178,7 @@ def _read_slice(slice_, logical_schema_json: str):
                 # partition column (or post-evolution column on a legacy
                 # file): typed constant from the add's partitionValues
                 raw = slice_.partition_values.get(name)
-                at = arrow_of.get(typ if isinstance(typ, str) else "", pa.string())
+                at = _arrow_type_of(typ)
                 if raw is None:
                     cols[name] = pa.nulls(batch.num_rows, type=at)
                 else:
@@ -161,14 +189,9 @@ def _read_slice(slice_, logical_schema_json: str):
 
 
 class _BatchReader(DataSourceReader):
-    def __init__(self, options):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("evolution_delta requires a path (.load(path))")
-        v = options.get("version")
-        self.version = int(v) if v is not None else None
-        schema, self.slices, _ = _plan_slices(self.path, self.version)
-        self.schema_json = schema.json()
+    def __init__(self, schema_json: str, slices):
+        self.schema_json = schema_json
+        self.slices = slices
 
     def partitions(self):
         return self.slices
@@ -178,10 +201,14 @@ class _BatchReader(DataSourceReader):
 
 
 class _StreamReader(DataSourceStreamReader):
-    """Offsets are LOG VERSIONS: micro-batch (start, end] reads exactly
-    the data files those commits added. Non-append commits (removes, DV
-    re-adds) fail the stream — the consumer's view would silently diverge
-    — unless ignoreChanges is set, which skips their adds too."""
+    """Offsets are LOG VERSIONS. The initial batch is the table's CURRENT
+    snapshot (DV-masked per file) — representable regardless of delete/
+    overwrite history, exactly like the real Delta source's initial
+    snapshot. Later micro-batches (start, end] read the files new commits
+    added; non-append commits after the start fail the stream — the
+    consumer's view would silently diverge — unless ignoreChanges is set,
+    which skips their adds too. ``startingVersion`` (INCLUSIVE) replays
+    appends from that version instead of snapshotting."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -191,27 +218,40 @@ class _StreamReader(DataSourceStreamReader):
             options.get("ignoreChanges", "false")
         ).lower() == "true"
         start = options.get("startingVersion")
-        self._start = int(start) if start is not None else -1
-        schema, _, self.renames = _plan_slices(self.path)
-        self.schema_json = schema.json()
+        # inclusive startingVersion: the offset is the last CONSUMED
+        # version, so start-1 makes version `start` itself arrive
+        self._start = (int(start) - 1) if start is not None else None
+        _, schema_json, self.renames = _plan_meta(self.path)
+        self.schema_json = json.dumps(schema_json)
 
     def initialOffset(self):
-        return {"version": self._start}
+        if self._start is not None:
+            return {"version": self._start, "snapshot_done": True}
+        # snapshot mode: nothing consumed yet; the first partitions() call
+        # emits the current snapshot and advances to its version
+        return {"version": -1, "snapshot_done": False}
 
     def latestOffset(self):
         from evolution_spark.io.delta_log import _log_versions
 
         versions = _log_versions(Path(self.path) / "_delta_log")
-        return {"version": versions[-1] if versions else -1}
+        latest = versions[-1] if versions else -1
+        return {"version": latest, "snapshot_done": True}
 
     def partitions(self, start, end):
-        from urllib.parse import unquote
-
         from evolution_spark.io.delta_log import _log_versions, _replay_log
 
         table_dir = Path(self.path)
         log_dir = table_dir / "_delta_log"
         lo, hi = int(start["version"]), int(end["version"])
+        if not start.get("snapshot_done", True):
+            # initial snapshot at `hi`: every live file, DV-masked —
+            # correct on any history
+            live, *_ = _replay_log(table_dir, hi)
+            return [
+                _slice_of(table_dir, p, add, self.renames)
+                for p, add in sorted(live.items())
+            ]
         live_before, *_ = (
             _replay_log(table_dir, lo) if lo >= 0 else ({}, None, None, None)
         )
@@ -255,16 +295,30 @@ class _StreamReader(DataSourceStreamReader):
 
 
 class EvolutionDeltaDataSource(DataSource):
+    def _plan(self):
+        # one plan per read: schema() and reader() share it (planning
+        # replays the log and decodes DVs — doing it twice per query
+        # doubles the driver's metadata cost for nothing)
+        if not hasattr(self, "_cached_plan"):
+            path = self.options.get("path")
+            if not path:
+                raise ValueError("evolution_delta requires a path (.load(path))")
+            v = self.options.get("version")
+            self._cached_plan = _plan_slices(
+                path, int(v) if v is not None else None
+            )
+        return self._cached_plan
+
     @classmethod
     def name(cls):
         return "evolution_delta"
 
     def schema(self):
-        schema, _, _ = _plan_slices(self.options.get("path"))
-        return schema
+        return self._plan()[0]
 
     def reader(self, schema):
-        return _BatchReader(self.options)
+        logical, slices, _ = self._plan()
+        return _BatchReader(logical.json(), slices)
 
     def streamReader(self, schema):
         return _StreamReader(self.options)

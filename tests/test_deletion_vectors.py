@@ -357,8 +357,12 @@ def test_delete_delta_rows_merge_on_read(spark, tmp_path):
     # OPTIMIZE materializes the deletes (reads through DVs)
     opt = optimize_delta(spark, path, target_files=1)
     assert read_delta_snapshot(spark, path).count() == 72
-    # VACUUM reclaims the rewritten-away files AND the orphaned DV files
-    vac = vacuum_delta(path, keep_versions=1)
+    # VACUUM with the default staleness window SPARES fresh DV files (an
+    # unreferenced young DV may belong to an in-flight DELETE)...
+    vacuum_delta(path, keep_versions=1)
+    assert list(Path(path).rglob("deletion_vector_*.bin"))
+    # ...and reclaims them once they age past the window
+    vacuum_delta(path, keep_versions=1, stale_staging_hours=0)
     assert not list(Path(path).rglob("deletion_vector_*.bin"))
     assert read_delta_snapshot(spark, path).count() == 72
 
@@ -597,3 +601,79 @@ def test_table_changes_guards(spark, tmp_path):
     out = table_changes(spark, path, 0, 0).where("_change_type = 'delete'")
     assert out.count() == 0
     assert out.columns == ["k", "_change_type", "_commit_version"]
+
+
+def test_table_changes_column_mapped(spark, tmp_path):
+    """CDF over a column-mapped table resolves physical names — without
+    the mapping, every data column would come back NULL."""
+    from evolution_spark.io.delta_log import table_changes
+
+    table = tmp_path / "cdf_cmap"
+    _write_column_mapped_table(spark, table, n=12, with_dv=True)
+    ch = table_changes(spark, str(table), 0)
+    rows = ch.collect()
+    assert ch.columns == ["k", "v", "_change_type", "_commit_version"]
+    assert all(r.k is not None and r.v is not None for r in rows)
+    got = {(r.k, r.v, r._change_type) for r in rows}
+    # v0: inserts of the NON-deleted positions (the add carries the DV)
+    assert got == {(k, k * 10, "insert") for k in range(12) if k not in (0, 2, 4)}
+
+
+def test_table_changes_readded_path_version_scoped_exclusions(spark, tmp_path):
+    """A path removed and later re-added within the range must not leak
+    one version's DV exclusions into the other version's rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from evolution_spark.io.delta_log import table_changes
+
+    table = tmp_path / "cdf_readd"
+    table.mkdir(parents=True)
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    papq.write_table(
+        pa.table({"k": pa.array(range(6), pa.int64())}), table / name
+    )
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [{"name": "k", "type": "long", "nullable": True,
+                    "metadata": {}}],
+    })
+    log = table / "_delta_log"
+    log.mkdir()
+    desc = write_dv_file(table, [0])
+    commits = [
+        [  # v0: plain add (all 6 rows insert)
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}},
+            {"metaData": {"id": str(uuid.uuid4()),
+                          "format": {"provider": "parquet"},
+                          "schemaString": schema_string,
+                          "partitionColumns": [], "configuration": {},
+                          "createdTime": 0}},
+            {"add": {"path": name, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+        [  # v1: full remove (all 6 rows delete)
+            {"remove": {"path": name, "deletionTimestamp": 1,
+                        "dataChange": True}},
+        ],
+        [  # v2: re-add with a DV on position 0 (5 rows insert)
+            {"add": {"path": name, "partitionValues": {}, "size": 1,
+                     "modificationTime": 2, "dataChange": True,
+                     "deletionVector": desc}},
+        ],
+    ]
+    for v, acts in enumerate(commits):
+        (log / f"{v:020d}.json").write_text(
+            "".join(json.dumps(a) + "\n" for a in acts)
+        )
+    ch = table_changes(spark, str(table), 0)
+    got = sorted((r.k, r._change_type, r._commit_version) for r in ch.collect())
+    expect = sorted(
+        [(k, "insert", 0) for k in range(6)]
+        + [(k, "delete", 1) for k in range(6)]
+        + [(k, "insert", 2) for k in range(6) if k != 0]
+    )
+    # the v2 DV exclusion must NOT swallow row 0's v0 insert
+    assert got == expect

@@ -120,6 +120,9 @@ def test_streaming_backfill_increment_and_nonappend_failure(
 
 
 def test_streaming_ignore_changes_skips_nonappend(registered, tmp_path):
+    """After the initial snapshot, a mid-stream non-append commit is
+    SKIPPED (not failed) under ignoreChanges, and later appends still
+    arrive."""
     from evolution_spark.io.delta_log import (
         commit_delta,
         delete_delta_rows,
@@ -129,10 +132,6 @@ def test_streaming_ignore_changes_skips_nonappend(registered, tmp_path):
     spark = registered
     path = str(tmp_path / "stream2")
     write_delta_snapshot(spark.range(5).select(F.col("id").alias("k")), path)
-    delete_delta_rows(spark, path, "k = 0")  # v1: non-append
-    commit_delta(
-        spark.range(5, 8).select(F.col("id").alias("k")), path, mode="append"
-    )  # v2
     q = (
         spark.readStream.format("evolution_delta")
         .option("ignoreChanges", "true")
@@ -143,9 +142,124 @@ def test_streaming_ignore_changes_skips_nonappend(registered, tmp_path):
     )
     try:
         q.processAllAvailable()
+        delete_delta_rows(spark, path, "k = 0")  # non-append, mid-stream
+        commit_delta(
+            spark.range(5, 8).select(F.col("id").alias("k")), path, mode="append"
+        )
+        q.processAllAvailable()
         got = {r.k for r in spark.sql("SELECT k FROM evo_src_skip").collect()}
-        # v0 backfill + v2 appends; v1's DV re-add skipped (documented
-        # ignoreChanges semantics: the consumer may see stale rows)
-        assert got == set(range(5)) | {5, 6, 7}
+        # snapshot (0..4) + appended (5..7); the DELETE's DV re-add was
+        # skipped (documented ignoreChanges semantics: deletes invisible)
+        assert got == set(range(8))
     finally:
         q.stop()
+
+
+def test_streaming_snapshot_backfill_on_delete_history(registered, tmp_path):
+    """A stream STARTING on a table whose history already contains a MOR
+    DELETE backfills the current snapshot (DV-masked) — no ignoreChanges
+    needed, and the deleted rows are absent."""
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        delete_delta_rows,
+        write_delta_snapshot,
+    )
+
+    spark = registered
+    path = str(tmp_path / "stream3")
+    write_delta_snapshot(spark.range(10).select(F.col("id").alias("k")), path)
+    delete_delta_rows(spark, path, "k % 2 = 0")  # v1 in HISTORY
+    q = (
+        spark.readStream.format("evolution_delta")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("evo_src_snap")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.k for r in spark.sql("SELECT k FROM evo_src_snap").collect()}
+        assert got == {k for k in range(10) if k % 2 == 1}
+        # incremental appends still flow after the snapshot
+        commit_delta(
+            spark.range(10, 12).select(F.col("id").alias("k")), path, mode="append"
+        )
+        q.processAllAvailable()
+        got = {r.k for r in spark.sql("SELECT k FROM evo_src_snap").collect()}
+        assert got == {k for k in range(10) if k % 2 == 1} | {10, 11}
+    finally:
+        q.stop()
+
+
+def test_streaming_starting_version_inclusive(registered, tmp_path):
+    """startingVersion follows the real source's INCLUSIVE semantics:
+    startingVersion=0 replays the v0 write itself."""
+    from evolution_spark.io.delta_log import commit_delta, write_delta_snapshot
+
+    spark = registered
+    path = str(tmp_path / "stream4")
+    write_delta_snapshot(spark.range(4).select(F.col("id").alias("k")), path)
+    commit_delta(
+        spark.range(4, 6).select(F.col("id").alias("k")), path, mode="append"
+    )
+    q = (
+        spark.readStream.format("evolution_delta")
+        .option("startingVersion", "1")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("evo_src_sv")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.k for r in spark.sql("SELECT k FROM evo_src_sv").collect()}
+        assert got == {4, 5}  # version 1 itself, not just later commits
+    finally:
+        q.stop()
+
+
+def test_batch_time_travel_across_schema_evolution(registered, tmp_path):
+    """schema() must honor the version option: a time-travel read of a
+    pre-evolution version declares AND yields the old schema."""
+    from pyspark.sql import types as T
+
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        evolve_delta_schema,
+        write_delta_snapshot,
+    )
+
+    spark = registered
+    path = str(tmp_path / "srcev")
+    write_delta_snapshot(spark.range(5).select(F.col("id").alias("k")), path)
+    evolve_delta_schema(path, [("w", T.DoubleType())])
+    commit_delta(
+        spark.range(5, 7).select(F.col("id").alias("k"),
+                                 (F.col("id") * 1.5).alias("w")),
+        path, mode="append",
+    )
+    latest = spark.read.format("evolution_delta").load(path)
+    assert latest.columns == ["k", "w"] and latest.count() == 7
+    # evolved column null on legacy files via the typed-constant path
+    assert latest.where("w IS NULL").count() == 5
+    v0 = spark.read.format("evolution_delta").option("version", 0).load(path)
+    assert v0.columns == ["k"] and v0.count() == 5
+
+
+def test_batch_date_partition_typed_constant(registered, tmp_path):
+    """Partition columns of non-string types (here: date) materialize as
+    typed constants matching the declared schema."""
+    from evolution_spark.io.delta_log import write_delta_snapshot
+
+    spark = registered
+    path = str(tmp_path / "srcdate")
+    df = spark.range(6).select(
+        F.col("id").alias("k"),
+        F.to_date(
+            F.concat(F.lit("2024-01-0"), ((F.col("id") % 3) + 1).cast("string"))
+        ).alias("d"),
+    )
+    write_delta_snapshot(df, path, partition_by=["d"])
+    back = spark.read.format("evolution_delta").load(path)
+    assert dict(back.dtypes)["d"] == "date"
+    assert back.where("d = DATE'2024-01-02'").count() == 2
