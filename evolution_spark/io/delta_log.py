@@ -583,50 +583,10 @@ def commit_delta(
                 if dv:
                     rm["deletionVector"] = dv
                 actions.append({"remove": rm})
-        # guard against the vacuum race: a commit stalled long enough for a
-        # concurrent reclaim_stale_staging to rmtree this staging dir must
-        # ABORT, not publish a replace/overwrite with removes but no adds
-        # (silent row loss). The dir-existence check is config-independent
-        # (a _SUCCESS check would false-abort healthy writes under
-        # marksuccessfuljobs=false); files deleted mid-move still fail
-        # loudly via os.replace below.
-        if not stage.exists():
-            raise RuntimeError(
-                f"staged write output missing at {stage} — the staging dir "
-                "was reclaimed (or the write never completed); aborting "
-                "the commit instead of publishing without its add actions"
-            )
-        total_rows = 0
-        n_files = 0
-        for src in sorted(stage.rglob("*.parquet")):
-            rel = src.relative_to(stage)
-            # version-unique physical name: appended files can never collide
-            # with a prior commit's part files
-            dest_rel = rel.parent / f"part-{version:05d}-{uuid.uuid4().hex}.parquet"
-            dest = table_dir / dest_rel
-            dest.parent.mkdir(parents=True, exist_ok=True)
-            os.replace(src, dest)
-            stats = _file_stats(pq.ParquetFile(dest))
-            total_rows += stats["numRecords"]
-            n_files += 1
-            values = {
-                k: _partition_value(v)
-                for part in dest_rel.parts[:-1]
-                if "=" in part
-                for k, _, v in [part.partition("=")]
-            }
-            actions.append(
-                {
-                    "add": {
-                        "path": quote(dest_rel.as_posix()),
-                        "partitionValues": values,
-                        "size": dest.stat().st_size,
-                        "modificationTime": now_ms,
-                        "dataChange": data_change,
-                        "stats": json.dumps(stats),
-                    }
-                }
-            )
+        add_actions, n_files, total_rows = _collect_staged_adds(
+            stage, table_dir, version, now_ms, data_change
+        )
+        actions.extend(add_actions)
     finally:
         if stage.exists():
             shutil.rmtree(stage)
@@ -941,6 +901,62 @@ def merge_delta_cdc(
     return summary
 
 
+def _collect_staged_adds(
+    stage: Path, table_dir: Path, version: int, now_ms: int, data_change: bool
+) -> tuple[list[dict], int, int]:
+    """Move a completed staged write's part files into the table dir and
+    return their add actions — shared by every commit that appends files
+    (commit_delta, update_delta_rows).
+
+    Vacuum-race guard: a commit stalled long enough for a concurrent
+    reclaim_stale_staging to rmtree the staging dir must ABORT, not
+    publish with removes but no adds (silent row loss). The dir-existence
+    check is config-independent (a _SUCCESS check would false-abort
+    healthy writes under marksuccessfuljobs=false); files deleted mid-move
+    still fail loudly via os.replace."""
+    import pyarrow.parquet as pq
+
+    if not stage.exists():
+        raise RuntimeError(
+            f"staged write output missing at {stage} — the staging dir "
+            "was reclaimed (or the write never completed); aborting "
+            "the commit instead of publishing without its add actions"
+        )
+    actions: list[dict] = []
+    total_rows = 0
+    n_files = 0
+    for src in sorted(stage.rglob("*.parquet")):
+        rel = src.relative_to(stage)
+        # version-unique physical name: appended files can never collide
+        # with a prior commit's part files
+        dest_rel = rel.parent / f"part-{version:05d}-{uuid.uuid4().hex}.parquet"
+        dest = table_dir / dest_rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        os.replace(src, dest)
+        stats = _file_stats(pq.ParquetFile(dest))
+        total_rows += stats["numRecords"]
+        n_files += 1
+        values = {
+            k: _partition_value(v)
+            for part in dest_rel.parts[:-1]
+            if "=" in part
+            for k, _, v in [part.partition("=")]
+        }
+        actions.append(
+            {
+                "add": {
+                    "path": quote(dest_rel.as_posix()),
+                    "partitionValues": values,
+                    "size": dest.stat().st_size,
+                    "modificationTime": now_ms,
+                    "dataChange": data_change,
+                    "stats": json.dumps(stats),
+                }
+            }
+        )
+    return actions, n_files, total_rows
+
+
 def mapping_renames(schema_json: dict, config: dict) -> dict[str, str]:
     """physical -> logical rename map when ``delta.columnMapping.mode`` is
     ``name`` (empty when mapping is off). The single refusal surface for
@@ -1187,55 +1203,13 @@ def table_changes(
     return out
 
 
-def delete_delta_rows(spark, path: str, predicate: str) -> dict:
-    """Merge-on-read DELETE: mark every live row matching ``predicate`` as
-    deleted via DELETION VECTORS — no data file is rewritten. For each
-    touched file the commit pairs a remove of the current add with an add
-    of the SAME file carrying a new DV whose bitmap is the union of the
-    file's previous DV (if any) and the newly matched row positions —
-    the (path, dvUniqueId) supersedence dance a Databricks DELETE performs.
-    Tables still on protocol v1/v2 are upgraded in the same commit
-    (reader 3 / writer 7 with the deletionVectors feature, per the spec's
-    feature-activation rule). A later OPTIMIZE materializes the deletes
-    away (its rewrite reads through DVs); VACUUM reclaims unreferenced DV
-    files.
-
-    Scale: the matched (file, position) set — the DELETE's changed-row
-    set, which any engine materializes — is collected to the driver to
-    build the per-file bitmaps; everything else (the predicate scan with
-    file/row-index metadata) is a distributed DV-filtered read. Stats on
-    the re-added file are carried unchanged (physical min/max stay valid
-    bounds; the spec marks them non-tight implicitly — numRecords remains
-    the PHYSICAL row count, matching what foreign DV writers record).
-
-    The reference engine has no DELETE at all (its Delta target is a
-    ``todo!()`` — examples/delta/src/main.rs:28-30)."""
-    from urllib.parse import unquote
-
+def _mor_match_positions(spark, table_dir: Path, live, schema, predicate):
+    """Shared DELETE/UPDATE front half: the DV-filtered matched-position
+    scan. Returns {abs_file_path: [row_positions]} ({} when no match)."""
     from pyspark.sql import functions as F
 
-    from evolution_spark.io.deletion_vectors import read_dv_positions, write_dv_file
     from evolution_spark.io.scan_filters import decoded_file_path
 
-    table_dir = Path(path)
-    live, schema_string, part_cols, latest, repl_state = _replay_log(
-        table_dir, return_state=True
-    )
-    proto = repl_state.get("protocol") or dict(PROTOCOL)
-    _check_writer_protocol(proto)
-    config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
-    if str(config.get("delta.appendOnly", "")).lower() == "true":
-        raise DeltaProtocolError(
-            "table sets delta.appendOnly=true; DELETE emits dataChange=true "
-            "removes — refusing to violate the append-only contract"
-        )
-
-    from pyspark.sql.types import StructType
-
-    schema = StructType.fromJson(json.loads(schema_string))
-    root = table_dir.resolve()
-    # DV-filtered scan: already-deleted rows can't re-match (their
-    # positions are unioned back in below regardless)
     scan = _scan_adds(spark, table_dir, live, sorted(live), schema)
     matched = (
         scan.where(predicate)
@@ -1245,48 +1219,63 @@ def delete_delta_rows(spark, path: str, predicate: str) -> dict:
         )
         .collect()
     )
-    if not matched:
-        return {"version": None, "deleted_rows": 0, "files_touched": 0}
-
     by_abs: dict[str, list[int]] = {}
     for r in matched:
         by_abs.setdefault(r.fp, []).append(r.ri)
-    abs_of = {str(root / unquote(p)): p for p in live}
+    return by_abs
 
-    now_ms = int(time.time() * 1000)
-    actions: list[dict] = [
-        {
-            "commitInfo": {
-                "timestamp": now_ms,
-                "operation": "DELETE",
-                "operationParameters": {"predicate": predicate},
-                "engineInfo": "evolution-spark-delta-writer/1.0",
-            }
-        }
-    ]
-    # activate the DV feature if the table predates it (same-commit
-    # protocol upgrade, as the spec prescribes for feature enablement)
+
+def _mor_guards(repl_state, operation: str):
+    """Protocol + appendOnly guards shared by DELETE and UPDATE."""
+    proto = repl_state.get("protocol") or dict(PROTOCOL)
+    _check_writer_protocol(proto)
+    config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
+    if str(config.get("delta.appendOnly", "")).lower() == "true":
+        raise DeltaProtocolError(
+            f"table sets delta.appendOnly=true; {operation} emits "
+            "dataChange=true removes — refusing to violate the append-only "
+            "contract"
+        )
+    return proto
+
+
+def _dv_protocol_upgrade(proto: dict) -> dict | None:
+    """The same-commit protocol-upgrade action activating deletionVectors
+    on a table that predates it (None when already active)."""
     v_r = int(proto.get("minReaderVersion", 1))
     v_w = int(proto.get("minWriterVersion", 2))
     feats_r = set(proto.get("readerFeatures") or [])
     feats_w = set(proto.get("writerFeatures") or [])
-    if v_r < 3 or v_w < 7 or "deletionVectors" not in feats_r:
-        # v3/v7 feature lists must name every active legacy feature too
-        legacy_w = {"appendOnly", "invariants"} if v_w >= 2 else set()
-        actions.append({"protocol": {
-            "minReaderVersion": 3,
-            "minWriterVersion": 7,
-            "readerFeatures": sorted(feats_r | {"deletionVectors"}),
-            "writerFeatures": sorted(feats_w | legacy_w | {"deletionVectors"}),
-        }})
+    if v_r >= 3 and v_w >= 7 and "deletionVectors" in feats_r:
+        return None
+    # v3/v7 feature lists must name every active legacy feature too
+    legacy_w = {"appendOnly", "invariants"} if v_w >= 2 else set()
+    return {"protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(feats_r | {"deletionVectors"}),
+        "writerFeatures": sorted(feats_w | legacy_w | {"deletionVectors"}),
+    }}
 
+
+def _dv_mark_actions(
+    table_dir: Path, live: dict, root: Path, by_abs: dict, now_ms: int
+) -> tuple[list[dict], int]:
+    """remove/add action pairs marking ``by_abs`` positions deleted via
+    union DV bitmaps; returns (actions, newly_deleted_row_count)."""
+    from urllib.parse import unquote
+
+    from evolution_spark.io.deletion_vectors import read_dv_positions, write_dv_file
+
+    abs_of = {str(root / unquote(p)): p for p in live}
+    actions: list[dict] = []
     deleted_rows = 0
     for abs_path, new_pos in sorted(by_abs.items()):
         stored = abs_of.get(abs_path)
         if stored is None:
             raise RuntimeError(
                 f"matched file {abs_path} is not live in the table — "
-                "concurrent rewrite during the DELETE scan; retry"
+                "concurrent rewrite during the scan; retry"
             )
         add = dict(live[stored])
         old_desc = add.get("deletionVector")
@@ -1310,23 +1299,175 @@ def delete_delta_rows(spark, path: str, predicate: str) -> dict:
         add["modificationTime"] = now_ms
         add["dataChange"] = True
         actions.append({"add": add})
+    return actions, deleted_rows
 
-    version = latest + 1
-    log_dir = table_dir / "_delta_log"
-    commit = log_dir / f"{version:020d}.json"
+
+def _publish_commit(table_dir: Path, version: int, actions: list[dict], what: str):
+    """create-EXCLUSIVE commit publish shared by every single-commit DML
+    path — a same-version race is a hard error for the loser."""
+    commit = table_dir / "_delta_log" / f"{version:020d}.json"
     try:
         fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
         raise RuntimeError(
             f"concurrent commit detected: {commit} exists (retry the "
-            "DELETE against the new table state)"
+            f"{what} against the new table state)"
         ) from None
     with os.fdopen(fd, "w") as f:
         f.write("".join(json.dumps(a) + "\n" for a in actions))
+
+
+def delete_delta_rows(spark, path: str, predicate: str) -> dict:
+    """Merge-on-read DELETE: mark every live row matching ``predicate`` as
+    deleted via DELETION VECTORS — no data file is rewritten. For each
+    touched file the commit pairs a remove of the current add with an add
+    of the SAME file carrying a new DV whose bitmap is the union of the
+    file's previous DV (if any) and the newly matched row positions —
+    the (path, dvUniqueId) supersedence dance a Databricks DELETE performs.
+    Tables still on protocol v1/v2 are upgraded in the same commit
+    (reader 3 / writer 7 with the deletionVectors feature, per the spec's
+    feature-activation rule). A later OPTIMIZE materializes the deletes
+    away (its rewrite reads through DVs); VACUUM reclaims unreferenced DV
+    files.
+
+    Scale: the matched (file, position) set — the DELETE's changed-row
+    set, which any engine materializes — is collected to the driver to
+    build the per-file bitmaps; everything else (the predicate scan with
+    file/row-index metadata) is a distributed DV-filtered read. Stats on
+    the re-added file are carried unchanged (physical min/max stay valid
+    bounds; the spec marks them non-tight implicitly — numRecords remains
+    the PHYSICAL row count, matching what foreign DV writers record).
+
+    The reference engine has no DELETE at all (its Delta target is a
+    ``todo!()`` — examples/delta/src/main.rs:28-30)."""
+    from pyspark.sql.types import StructType
+
+    table_dir = Path(path)
+    live, schema_string, part_cols, latest, repl_state = _replay_log(
+        table_dir, return_state=True
+    )
+    proto = _mor_guards(repl_state, "DELETE")
+    schema = StructType.fromJson(json.loads(schema_string))
+    root = table_dir.resolve()
+    by_abs = _mor_match_positions(spark, table_dir, live, schema, predicate)
+    if not by_abs:
+        return {"version": None, "deleted_rows": 0, "files_touched": 0}
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": predicate},
+                "engineInfo": "evolution-spark-delta-writer/1.0",
+            }
+        }
+    ]
+    upgrade = _dv_protocol_upgrade(proto)
+    if upgrade:
+        actions.append(upgrade)
+    dv_actions, deleted_rows = _dv_mark_actions(
+        table_dir, live, root, by_abs, now_ms
+    )
+    actions.extend(dv_actions)
+    version = latest + 1
+    _publish_commit(table_dir, version, actions, "DELETE")
     return {
         "version": version,
         "deleted_rows": deleted_rows,
         "files_touched": len(by_abs),
+    }
+
+
+def update_delta_rows(
+    spark, path: str, predicate: str, set_exprs: dict[str, str]
+) -> dict:
+    """Merge-on-read UPDATE: rows matching ``predicate`` get their
+    ``set_exprs`` columns rewritten (``{col: SQL expression}``, evaluated
+    against the matched row) WITHOUT rewriting the files that hold them —
+    ONE atomic commit marks the old row versions deleted via deletion
+    vectors (union bitmaps, exactly the DELETE machinery) AND appends a
+    new file carrying the updated copies. Downstream, ``table_changes``
+    shows the UPDATE as delete+insert at a single version — the CDF
+    fallback semantics for engines without preimage tracking.
+
+    Scale: the DV bookkeeping is the DELETE's metadata-sized path; the
+    updated-copies write is a distributed write of ONLY the matched rows.
+    Compare a copy-on-write UPDATE, which rewrites every touched FILE —
+    at 100 TB with point updates that is the difference between writing
+    kilobytes and rewriting gigabytes per touched file."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    table_dir = Path(path)
+    live, schema_string, part_cols, latest, repl_state = _replay_log(
+        table_dir, return_state=True
+    )
+    proto = _mor_guards(repl_state, "UPDATE")
+    stored_schema = StructType.fromJson(json.loads(schema_string))
+    if not set_exprs:
+        raise ValueError("set_exprs must be non-empty")
+    unknown = sorted(set(set_exprs) - {f.name for f in stored_schema.fields})
+    if unknown:
+        raise ValueError(f"set_exprs reference unknown columns: {unknown}")
+
+    root = table_dir.resolve()
+    by_abs = _mor_match_positions(
+        spark, table_dir, live, stored_schema, predicate
+    )
+    if not by_abs:
+        return {"version": None, "updated_rows": 0, "files_touched": 0}
+
+    # the updated copies, from the SAME pinned live set the positions came
+    # from (no commit happens in between — this is one atomic commit)
+    snapshot = _scan_adds(spark, table_dir, live, sorted(live), stored_schema)
+    updated = snapshot.where(predicate).select(
+        *[
+            F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in set_exprs
+            else F.col(f.name)
+            for f in stored_schema.fields
+        ]
+    )
+
+    now_ms = int(time.time() * 1000)
+    version = latest + 1
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "UPDATE",
+                "operationParameters": {"predicate": predicate},
+                "engineInfo": "evolution-spark-delta-writer/1.0",
+            }
+        }
+    ]
+    upgrade = _dv_protocol_upgrade(proto)
+    if upgrade:
+        actions.append(upgrade)
+    dv_actions, _ = _dv_mark_actions(table_dir, live, root, by_abs, now_ms)
+    actions.extend(dv_actions)
+
+    stage = table_dir / f"_staging_v{version}-{uuid.uuid4().hex}"
+    writer = updated.write.mode("error")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    try:
+        writer.parquet(str(stage))
+        add_actions, n_files, updated_rows = _collect_staged_adds(
+            stage, table_dir, version, now_ms, data_change=True
+        )
+        actions.extend(add_actions)
+    finally:
+        if stage.exists():
+            shutil.rmtree(stage)
+    _publish_commit(table_dir, version, actions, "UPDATE")
+    return {
+        "version": version,
+        "updated_rows": updated_rows,
+        "files_touched": len(by_abs),
+        "new_files": n_files,
     }
 
 

@@ -1106,3 +1106,52 @@ def delta_python_source_read(spark, sf_dir):
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
     )
+
+
+@query(
+    "delta_mor_update_lifecycle",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_alive,
+           CAST(SUM(CAST(ROUND(
+             (CASE WHEN c_mktsegment = 'BUILDING'
+                   THEN c_acctbal + 10 ELSE c_acctbal END) * 100
+           ) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM customer WHERE c_custkey % 9 <> 0
+    GROUP BY c_mktsegment
+    """,
+)
+def delta_mor_update_lifecycle(spark, sf_dir):
+    """Merge-on-read UPDATE completing the native Delta DML trio: one
+    ATOMIC commit marks the old row versions deleted via deletion vectors
+    and appends the updated copies (here: +10 to every BUILDING balance),
+    then a merge-on-read DELETE drops every 9th key — no data file is
+    rewritten at any point. The oracle restates the surviving rows with
+    the CASE-adjusted balances from the source table, so a lost update, a
+    double-applied update (old row resurrecting beside its copy), or an
+    over-delete all fail the hash."""
+    from evolution_spark.io.delta_log import (
+        delete_delta_rows,
+        read_delta_snapshot,
+        update_delta_rows,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tmp = query_tmp("deltamorupd", sf_dir)
+    write_delta_snapshot(c.repartition(4), tmp)
+    update_delta_rows(
+        spark, tmp, "c_mktsegment = 'BUILDING'", {"c_acctbal": "c_acctbal + 10"}
+    )
+    delete_delta_rows(spark, tmp, "c_custkey % 9 = 0")
+    back = read_delta_snapshot(spark, tmp)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_alive"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "acctbal_cents"
+        ),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )

@@ -677,3 +677,66 @@ def test_table_changes_readded_path_version_scoped_exclusions(spark, tmp_path):
     )
     # the v2 DV exclusion must NOT swallow row 0's v0 insert
     assert got == expect
+
+
+def test_update_delta_rows_atomic_merge_on_read(spark, tmp_path):
+    """UPDATE = ONE commit: DVs on the old row versions + an appended file
+    of updated copies; untouched files keep their bytes; CDF shows
+    delete+insert at the same version."""
+    from evolution_spark.io.delta_log import (
+        read_delta_snapshot,
+        table_changes,
+        update_delta_rows,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "mor_upd")
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).repartition(4)
+    write_delta_snapshot(df, path)
+    data_files = sorted(Path(path).rglob("*.parquet"))
+    mtimes = {p: p.stat().st_mtime_ns for p in data_files}
+
+    res = update_delta_rows(spark, path, "k % 8 = 0", {"v": "v + 1"})
+    assert res["updated_rows"] == 5
+    # original files untouched; exactly one commit published
+    assert all(p.stat().st_mtime_ns == mtimes[p] for p in data_files)
+    assert res["version"] == 1
+
+    back = read_delta_snapshot(spark, path)
+    got = {(r.k, r.v) for r in back.collect()}
+    assert got == {(k, k * 10 + 1 if k % 8 == 0 else k * 10) for k in range(40)}
+    # CDF: delete+insert at the SAME version
+    ch = table_changes(spark, path, 1, 1)
+    by_type = {}
+    for r in ch.collect():
+        by_type.setdefault(r._change_type, set()).add((r.k, r.v))
+        assert r._commit_version == 1
+    assert by_type["delete"] == {(k, k * 10) for k in range(40) if k % 8 == 0}
+    assert by_type["insert"] == {(k, k * 10 + 1) for k in range(40) if k % 8 == 0}
+
+    # guards
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_delta_rows(spark, path, "k = 1", {"nope": "1"})
+    assert update_delta_rows(spark, path, "k > 999", {"v": "0"})["version"] is None
+
+
+def test_update_composes_with_prior_deletes(spark, tmp_path):
+    """UPDATE over a table with existing DVs: already-deleted rows never
+    re-match, and the new DVs union with the old."""
+    from evolution_spark.io.delta_log import (
+        delete_delta_rows,
+        read_delta_snapshot,
+        update_delta_rows,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "mor_upd2")
+    write_delta_snapshot(
+        spark.range(30).select(F.col("id").alias("k"), F.lit(0).alias("v")), path
+    )
+    delete_delta_rows(spark, path, "k < 10")
+    update_delta_rows(spark, path, "k % 2 = 0", {"v": "99"})
+    got = {(r.k, r.v) for r in read_delta_snapshot(spark, path).collect()}
+    assert got == {(k, 99 if k % 2 == 0 else 0) for k in range(10, 30)}
