@@ -717,6 +717,165 @@ def compact_iceberg_table(spark, path: str, target_files: int = 1) -> dict:
     )
 
 
+def iceberg_table_changes(
+    spark,
+    path: str,
+    after_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+    skip_rewrites: bool = False,
+) -> DataFrame:
+    """Incremental change reader (the Delta ``table_changes`` twin): the
+    row-level changes each snapshot AFTER ``after_snapshot_id`` (exclusive
+    — pass the consumer's last-seen id; None = from table creation)
+    through ``to_snapshot_id`` (inclusive, default current) made, as the
+    table columns plus ``_change_type`` (``insert``/``delete``) and
+    ``_snapshot_id``. Derived from snapshot metadata alone:
+
+    - ``append`` snapshots -> inserts of the data files that snapshot
+      added (manifest entries with its snapshot id);
+    - ``delete`` snapshots (position deletes) -> delete rows recovered by
+      joining the delete file's (file, pos) pairs against the referenced
+      data files' row indexes;
+    - ``replace`` snapshots (compaction/overwrite) REFUSE by default —
+      a rewrite's row-level diff is not derivable from metadata (this
+      engine's own compactions are row-preserving, but a foreign replace
+      may not be); ``skip_rewrites=True`` opts into skipping them under
+      that compaction assumption.
+
+    Scale: metadata walk on the driver; row recovery scans only the files
+    the change window touches, with the delete positions as a broadcast
+    inner join."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.scan_filters import (
+        anti_join_deleted_positions,  # noqa: F401 (shared-module parity)
+        decoded_file_path,
+    )
+
+    table_dir = Path(path)
+    metadata, _ = _load_metadata(table_dir)
+    snaps = metadata["snapshots"]
+    ids = [s["snapshot-id"] for s in snaps]
+    start_idx = 0
+    if after_snapshot_id is not None:
+        if after_snapshot_id not in ids:
+            raise ValueError(
+                f"after_snapshot_id {after_snapshot_id} not in history {ids}"
+            )
+        start_idx = ids.index(after_snapshot_id) + 1
+    end_idx = len(snaps) - 1
+    if to_snapshot_id is not None:
+        if to_snapshot_id not in ids:
+            raise ValueError(
+                f"to_snapshot_id {to_snapshot_id} not in history {ids}"
+            )
+        end_idx = ids.index(to_snapshot_id)
+
+    insert_files: list[tuple[str, int]] = []  # (data file, snapshot id)
+    delete_files: list[tuple[str, int]] = []  # (delete parquet, snapshot id)
+    for snap in snaps[start_idx : end_idx + 1]:
+        sid = snap["snapshot-id"]
+        op = snap["summary"].get("operation", "append")
+        if op == "replace":
+            if skip_rewrites:
+                continue
+            raise IcebergFormatError(
+                f"snapshot {sid} is a REPLACE (rewrite); its row-level "
+                "diff is not derivable from metadata — pass "
+                "skip_rewrites=True if rewrites are known row-preserving "
+                "(this engine's compactions are), or re-read the table"
+            )
+        for mf in _read_avro(Path(snap["manifest-list"])):
+            if mf.get("added_snapshot_id") != sid:
+                continue  # carried by reference from an earlier snapshot
+            is_delete_manifest = int(mf.get("content") or 0) == 1
+            for entry in _read_avro(Path(mf["manifest_path"])):
+                if entry["status"] != 1:  # only files ADDED by this snapshot
+                    continue
+                fp = entry["data_file"]["file_path"]
+                if is_delete_manifest:
+                    delete_files.append((fp, sid))
+                else:
+                    insert_files.append((fp, sid))
+
+    ice_schema = next(
+        s for s in metadata["schemas"] if s["schema-id"] == metadata["current-schema-id"]
+    )
+    schema = spark_schema_of(ice_schema)
+    names = [f.name for f in schema.fields]
+    parts: list[DataFrame] = []
+    import pandas as pd
+
+    if insert_files:
+        df = (
+            spark.read.schema(schema)
+            .option("basePath", str(table_dir / "data"))
+            .parquet(*sorted({f for f, _ in insert_files}))
+            .withColumn(
+                "__chg_fp", decoded_file_path(F.col("_metadata.file_path"))
+            )
+        )
+        vers = spark.createDataFrame(
+            pd.DataFrame(insert_files, columns=["__chg_file", "__chg_sid"]),
+            schema="__chg_file string, __chg_sid long",
+        )
+        parts.append(
+            df.join(
+                F.broadcast(vers), df["__chg_fp"] == vers["__chg_file"], "inner"
+            ).select(
+                *[F.col(n) for n in names],
+                F.lit("insert").alias("_change_type"),
+                F.col("__chg_sid").alias("_snapshot_id"),
+            )
+        )
+    if delete_files:
+        dels = None
+        for dfp, sid in delete_files:
+            one = (
+                spark.read.schema("file_path string, pos long")
+                .parquet(dfp)
+                .withColumns({
+                    "file_path": decoded_file_path("file_path"),
+                    "__chg_sid": F.lit(sid),
+                })
+            )
+            dels = one if dels is None else dels.unionByName(one)
+        targets = sorted(
+            {r.file_path for r in dels.select("file_path").distinct().collect()}
+        )
+        df = (
+            spark.read.schema(schema)
+            .option("basePath", str(table_dir / "data"))
+            .parquet(*targets)
+            .withColumns({
+                "__chg_fp": decoded_file_path(F.col("_metadata.file_path")),
+                "__chg_ri": F.col("_metadata.row_index"),
+            })
+        )
+        parts.append(
+            df.join(
+                F.broadcast(dels),
+                (df["__chg_fp"] == dels["file_path"])
+                & (df["__chg_ri"] == dels["pos"]),
+                "inner",
+            ).select(
+                *[F.col(n) for n in names],
+                F.lit("delete").alias("_change_type"),
+                F.col("__chg_sid").alias("_snapshot_id"),
+            )
+        )
+    if not parts:
+        empty = spark.createDataFrame([], schema)
+        return empty.withColumns({
+            "_change_type": F.lit(None).cast("string"),
+            "_snapshot_id": F.lit(None).cast("long"),
+        }).where(F.lit(False))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def evolve_iceberg_schema(path: str, add_columns: list[tuple[str, str]]) -> dict:
     """ADD COLUMN schema evolution, per the Iceberg spec's rules: every new
     column gets a FRESH field-id (``last-column-id`` increments — ids are

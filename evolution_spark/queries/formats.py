@@ -1155,3 +1155,57 @@ def delta_mor_update_lifecycle(spark, sf_dir):
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
     )
+
+
+@query(
+    "iceberg_cdc_changes",
+    oracle="""
+    SELECT 'insert' AS change_type, c_mktsegment,
+           COUNT(*) AS n_rows, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer WHERE c_custkey % 2 = 0 GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'delete' AS change_type, c_mktsegment,
+           COUNT(*) AS n_rows, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer WHERE c_custkey % 13 = 0 GROUP BY c_mktsegment
+    """,
+)
+def iceberg_cdc_changes(spark, sf_dir):
+    """Incremental change consumption from native Iceberg metadata (the
+    delta_cdf_changes twin): odd keys land at the initial snapshot, even
+    keys in an append, every 13th key in a position-delete snapshot — and
+    ``iceberg_table_changes(after_snapshot_id=initial)`` recovers exactly
+    the insert/delete sets a downstream consumer must apply, with delete
+    rows rebuilt by joining the delete file's (file, pos) pairs against
+    the data files' row indexes. Oracle restates both change sets from
+    the source table."""
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        append_position_deletes,
+        iceberg_table_changes,
+        write_iceberg_table,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    tmp = query_tmp("icecdc", sf_dir)
+    s0 = write_iceberg_table(c.where(F.col("c_custkey") % 2 == 1), tmp)
+    append_iceberg_snapshot(c.where(F.col("c_custkey") % 2 == 0), tmp)
+    dels = (
+        spark.read.option("pathGlobFilter", "part-*")
+        .parquet(f"{tmp}/data")
+        .where(F.col("c_custkey") % 13 == 0)
+        .select(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
+            ).alias("fp"),
+            F.col("_metadata.row_index").alias("ri"),
+        )
+        .collect()
+    )
+    append_position_deletes(tmp, [(r.fp, r.ri) for r in dels])
+    ch = iceberg_table_changes(spark, tmp, after_snapshot_id=s0["snapshot-id"])
+    return ch.groupBy(
+        F.col("_change_type").alias("change_type"), "c_mktsegment"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+    )

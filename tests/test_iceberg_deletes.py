@@ -143,3 +143,67 @@ def test_equality_deletes_still_refused(spark, tmp_path):
                 meta={"format-version": "2", "content": "deletes"})
     with pytest.raises(IcebergFormatError, match="equality"):
         read_iceberg_table(spark, path)
+
+
+def test_iceberg_table_changes_lifecycle(spark, tmp_path):
+    """Inserts from appends, deletes from position-delete snapshots,
+    refusal on replace (and skip_rewrites opt-in), exclusive-after /
+    inclusive-to windowing."""
+    from evolution_spark.io.iceberg_meta import iceberg_table_changes
+
+    path = str(tmp_path / "icecdc")
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    s0 = write_iceberg_table(df, path)
+    s1 = append_iceberg_snapshot(
+        spark.range(10, 16).select(F.col("id").alias("k")), path
+    )
+    d2 = append_position_deletes(path, _positions_of(spark, path, "k % 5 = 0"))
+
+    ch = iceberg_table_changes(spark, path)
+    got = {(r.k, r._change_type, r._snapshot_id) for r in ch.collect()}
+    expect = (
+        {(k, "insert", s0["snapshot-id"]) for k in range(10)}
+        | {(k, "insert", s1["snapshot-id"]) for k in range(10, 16)}
+        | {(k, "delete", d2["snapshot-id"]) for k in (0, 5, 10, 15)}
+    )
+    assert got == expect
+
+    # consumer holding s1: only the delete snapshot arrives
+    inc = iceberg_table_changes(spark, path, after_snapshot_id=s1["snapshot-id"])
+    assert {(r.k, r._change_type) for r in inc.collect()} == {
+        (k, "delete") for k in (0, 5, 10, 15)
+    }
+    # windowed to s1: no deletes yet
+    upto = iceberg_table_changes(
+        spark, path, after_snapshot_id=s0["snapshot-id"],
+        to_snapshot_id=s1["snapshot-id"],
+    )
+    assert {(r.k, r._change_type) for r in upto.collect()} == {
+        (k, "insert") for k in range(10, 16)
+    }
+
+    # replace snapshots refuse by default, skip under the opt-in
+    compact_iceberg_table(spark, path, target_files=1)
+    with pytest.raises(IcebergFormatError, match="REPLACE"):
+        iceberg_table_changes(spark, path, after_snapshot_id=d2["snapshot-id"])
+    assert (
+        iceberg_table_changes(
+            spark, path, after_snapshot_id=d2["snapshot-id"], skip_rewrites=True
+        ).count()
+        == 0
+    )
+
+
+def test_iceberg_table_changes_guards(spark, tmp_path):
+    from evolution_spark.io.iceberg_meta import iceberg_table_changes
+
+    path = str(tmp_path / "icecdc2")
+    s0 = write_iceberg_table(
+        spark.range(3).select(F.col("id").alias("k")), path
+    )
+    with pytest.raises(ValueError, match="not in history"):
+        iceberg_table_changes(spark, path, after_snapshot_id=12345)
+    # empty window -> empty frame with the change schema
+    out = iceberg_table_changes(spark, path, after_snapshot_id=s0["snapshot-id"])
+    assert out.count() == 0
+    assert out.columns == ["k", "_change_type", "_snapshot_id"]
