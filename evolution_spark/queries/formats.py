@@ -1209,3 +1209,59 @@ def iceberg_cdc_changes(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("c_custkey").cast("bigint").alias("key_sum"),
     )
+
+
+@query(
+    "iceberg_python_source_read",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_alive,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM customer WHERE c_custkey % 17 <> 0
+    GROUP BY c_mktsegment
+    """,
+)
+def iceberg_python_source_read(spark, sf_dir):
+    """The native Iceberg reader as a REAL Spark data source (the
+    evolution_delta twin): customer becomes a multi-file Iceberg table
+    with a position-delete snapshot marking every 17th key, and the read
+    goes through ``spark.read.format("evolution_iceberg")`` — one input
+    partition per data file, each executor masking its own file's delete
+    positions out of the Arrow batches (delete files grouped per target
+    file driver-side, shipped as compact roaring bitmaps). Oracle pins the
+    survivor set at three scales."""
+    from evolution_spark.io.iceberg_meta import (
+        append_position_deletes,
+        write_iceberg_table,
+    )
+    from evolution_spark.io.iceberg_source import register_iceberg_source
+
+    register_iceberg_source(spark)
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tmp = query_tmp("icepysrc", sf_dir)
+    write_iceberg_table(c.repartition(4), tmp)
+    dels = (
+        spark.read.option("pathGlobFilter", "part-*")
+        .parquet(f"{tmp}/data")
+        .where(F.col("c_custkey") % 17 == 0)
+        .select(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
+            ).alias("fp"),
+            F.col("_metadata.row_index").alias("ri"),
+        )
+        .collect()
+    )
+    append_position_deletes(tmp, [(r.fp, r.ri) for r in dels])
+    back = spark.read.format("evolution_iceberg").load(tmp)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_alive"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "acctbal_cents"
+        ),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )

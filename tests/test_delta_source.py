@@ -263,3 +263,68 @@ def test_batch_date_partition_typed_constant(registered, tmp_path):
     back = spark.read.format("evolution_delta").load(path)
     assert dict(back.dtypes)["d"] == "date"
     assert back.where("d = DATE'2024-01-02'").count() == 2
+
+
+# --------------------------------------------------------------------------
+# evolution_iceberg (the Iceberg twin)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def ice_registered(spark):
+    from evolution_spark.io.iceberg_source import register_iceberg_source
+
+    register_iceberg_source(spark)
+    return spark
+
+
+def test_iceberg_source_batch_with_position_deletes(ice_registered, tmp_path):
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        append_position_deletes,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+    from tests.test_iceberg_deletes import _positions_of
+
+    spark = ice_registered
+    path = str(tmp_path / "isrc")
+    df = spark.range(40).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    s0 = write_iceberg_table(df, path)
+    append_iceberg_snapshot(
+        spark.range(40, 50).select(F.col("id").alias("k"),
+                                   (F.col("id") * 3).alias("v")), path
+    )
+    append_position_deletes(path, _positions_of(spark, path, "k % 6 = 0"))
+
+    got = spark.read.format("evolution_iceberg").load(path)
+    assert got.columns == ["k", "v"]
+    rows = {(r.k, r.v) for r in got.collect()}
+    assert rows == {(k, k * 3) for k in range(50) if k % 6 != 0}
+    # agrees with the manifest-driven reader
+    ref = {(r.k, r.v) for r in read_iceberg_table(spark, path).collect()}
+    assert rows == ref
+    # time travel by snapshot id
+    assert (
+        spark.read.format("evolution_iceberg")
+        .option("snapshot", str(s0["snapshot-id"])).load(path).count() == 40
+    )
+
+
+def test_iceberg_source_partitioned_and_pruned(ice_registered, tmp_path):
+    from evolution_spark.io.iceberg_meta import write_iceberg_table
+
+    spark = ice_registered
+    path = str(tmp_path / "isrcp")
+    df = spark.range(30).select(F.col("id").alias("k"), (F.col("id") % 3).alias("p"))
+    write_iceberg_table(df, path, partition_by=["p"])
+    full = spark.read.format("evolution_iceberg").load(path)
+    assert dict(full.dtypes)["p"] == "bigint"
+    assert full.count() == 30
+    pruned = (
+        spark.read.format("evolution_iceberg")
+        .option("partition.p", "1").load(path)
+    )
+    assert {r.k for r in pruned.collect()} == {k for k in range(30) if k % 3 == 1}
+    # metadata-level pruning: fewer input partitions than the full read
+    assert pruned.rdd.getNumPartitions() < full.rdd.getNumPartitions()
