@@ -472,8 +472,6 @@ def commit_delta(
     unaffected (the file list comes from the log) and a later
     ``vacuum_delta`` reclaims them — same trade-off as object-store Delta
     writers without a commit coordinator."""
-    import pyarrow.parquet as pq
-
     table_dir = Path(path)
     if mode not in ("append", "overwrite", "replace", "error"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -591,21 +589,7 @@ def commit_delta(
         if stage.exists():
             shutil.rmtree(stage)
 
-    log_dir = table_dir / "_delta_log"
-    commit = log_dir / f"{version:020d}.json"
-    body = "".join(json.dumps(a) + "\n" for a in actions)
-    # create-EXCLUSIVE publish: O_CREAT|O_EXCL makes a same-version race a
-    # hard error for the loser instead of a silent lost update (os.replace
-    # would clobber the winner's commit)
-    try:
-        fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise RuntimeError(
-            f"concurrent commit detected: {commit} exists (retry the write "
-            "against the new table state)"
-        ) from None
-    with os.fdopen(fd, "w") as f:
-        f.write(body)
+    _publish_commit(table_dir, version, actions, "write")
     return {"version": version, "files": n_files, "rows": total_rows}
 
 
@@ -1405,6 +1389,14 @@ def update_delta_rows(
         table_dir, return_state=True
     )
     proto = _mor_guards(repl_state, "UPDATE")
+    if '"delta.invariants"' in (schema_string or ""):
+        # same writer-v2 obligation commit_delta enforces: UPDATE appends
+        # new rows, and we cannot validate column invariants on them
+        raise DeltaProtocolError(
+            "table schema declares column invariants (delta.invariants); "
+            "this writer cannot validate them — refusing the UPDATE rather "
+            "than silently violating the writer obligation"
+        )
     stored_schema = StructType.fromJson(json.loads(schema_string))
     if not set_exprs:
         raise ValueError("set_exprs must be non-empty")
@@ -1419,9 +1411,15 @@ def update_delta_rows(
     if not by_abs:
         return {"version": None, "updated_rows": 0, "files_touched": 0}
 
-    # the updated copies, from the SAME pinned live set the positions came
-    # from (no commit happens in between — this is one atomic commit)
-    snapshot = _scan_adds(spark, table_dir, live, sorted(live), stored_schema)
+    # the updated copies come from ONLY the matched files (the positions
+    # pinned them — every predicate row lives in a by_abs file), from the
+    # SAME live set; no commit happens in between — one atomic commit. A
+    # point UPDATE therefore re-reads the touched files, never the table.
+    from urllib.parse import unquote
+
+    abs_of = {str(root / unquote(p)): p for p in live}
+    touched = sorted(abs_of[a] for a in by_abs)
+    snapshot = _scan_adds(spark, table_dir, live, touched, stored_schema)
     updated = snapshot.where(predicate).select(
         *[
             F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
@@ -1527,17 +1525,7 @@ def evolve_delta_schema(path: str, add_columns: list[tuple[str, object]]) -> dic
         {"metaData": metadata},
     ]
     version = latest + 1
-    log_dir = table_dir / "_delta_log"
-    commit = log_dir / f"{version:020d}.json"
-    try:
-        fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise RuntimeError(
-            f"concurrent commit detected: {commit} exists (retry the "
-            "evolution against the new table state)"
-        ) from None
-    with os.fdopen(fd, "w") as f:
-        f.write("".join(json.dumps(a) + "\n" for a in actions))
+    _publish_commit(table_dir, version, actions, "evolution")
     return {"version": version, "schema": [f.name for f in new_schema.fields]}
 
 

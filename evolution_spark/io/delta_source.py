@@ -138,6 +138,22 @@ def _arrow_type_of(typ):
     )
 
 
+def _const_array(raw, at, n):
+    """Constant arrow array of type ``at`` from a raw partition value that
+    may be a string (Delta partitionValues) or already typed (Iceberg
+    manifest partition records — e.g. date32 arrives as int days, which
+    arrow cannot cast from int64 directly)."""
+    import pyarrow as pa
+
+    try:
+        return pa.array([raw] * n, type=at)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError, TypeError):
+        pass
+    if pa.types.is_date32(at) and isinstance(raw, int):
+        return pa.array([raw] * n, type=pa.int32()).cast(at)
+    return pa.array([str(raw)] * n).cast(at)
+
+
 def _read_slice(slice_, logical_schema_json: str):
     """EXECUTOR-side: one file -> Arrow batches in the declared column
     order, deleted positions masked out, partition columns injected as
@@ -182,7 +198,7 @@ def _read_slice(slice_, logical_schema_json: str):
                 if raw is None:
                     cols[name] = pa.nulls(batch.num_rows, type=at)
                 else:
-                    cols[name] = pa.array([raw] * batch.num_rows).cast(at)
+                    cols[name] = _const_array(raw, at, batch.num_rows)
         yield pa.RecordBatch.from_arrays(
             [cols[n_] for n_ in logical_names], names=logical_names
         )

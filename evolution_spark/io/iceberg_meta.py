@@ -248,10 +248,16 @@ def _partition_record_schema(part_fields: list[dict], ice_schema: dict) -> dict:
     fields = []
     for pf in part_fields:
         ice_t = by_id[pf["source-id"]]["type"]
+        # the spec's Avro mapping: date is an int (days since epoch) with
+        # the `date` logical type — the value side already stores days
+        # (_parse_partition_value)
+        avro_t = (
+            {"type": "int", "logicalType": "date"} if ice_t == "date" else ice_t
+        )
         fields.append(
             {
                 "name": pf["name"],
-                "type": ["null", ice_t],
+                "type": ["null", avro_t],
                 "field-id": pf["field-id"],
                 "default": None,
             }
@@ -771,32 +777,59 @@ def iceberg_table_changes(
             )
         end_idx = ids.index(to_snapshot_id)
 
+    from evolution_spark.io.scan_filters import plain_path
+
     insert_files: list[tuple[str, int]] = []  # (data file, snapshot id)
     delete_files: list[tuple[str, int]] = []  # (delete parquet, snapshot id)
     for snap in snaps[start_idx : end_idx + 1]:
         sid = snap["snapshot-id"]
         op = snap["summary"].get("operation", "append")
-        if op == "replace":
-            if skip_rewrites:
+        if op not in ("append", "delete"):
+            # replace/overwrite/unknown: the rewrite's row diff is not
+            # derivable from metadata — refusing beats a silently
+            # incomplete feed
+            if skip_rewrites and op == "replace":
                 continue
             raise IcebergFormatError(
-                f"snapshot {sid} is a REPLACE (rewrite); its row-level "
-                "diff is not derivable from metadata — pass "
-                "skip_rewrites=True if rewrites are known row-preserving "
-                "(this engine's compactions are), or re-read the table"
+                f"snapshot {sid} has operation {op!r}; its row-level diff "
+                "is not derivable from metadata — pass skip_rewrites=True "
+                "for REPLACE snapshots known row-preserving (this engine's "
+                "compactions are), or re-read the table"
             )
         for mf in _read_avro(Path(snap["manifest-list"])):
             if mf.get("added_snapshot_id") != sid:
                 continue  # carried by reference from an earlier snapshot
             is_delete_manifest = int(mf.get("content") or 0) == 1
             for entry in _read_avro(Path(mf["manifest_path"])):
+                if entry["status"] == 2:
+                    # a file REMOVAL inside an append/delete snapshot is a
+                    # rewrite in disguise — same non-derivable diff
+                    raise IcebergFormatError(
+                        f"snapshot {sid} removes data file "
+                        f"{entry['data_file']['file_path']}; its row-level "
+                        "diff is not derivable from metadata"
+                    )
                 if entry["status"] != 1:  # only files ADDED by this snapshot
                     continue
-                fp = entry["data_file"]["file_path"]
+                dfile = entry["data_file"]
+                fp = dfile["file_path"]
+                content = int(dfile.get("content") or 0)
                 if is_delete_manifest:
+                    if content == 2:
+                        raise IcebergFormatError(
+                            f"delete file {fp} carries EQUALITY deletes "
+                            "(content=2); the change feed cannot recover "
+                            "their rows — refusing rather than emitting an "
+                            "incomplete change set"
+                        )
+                    if content != 1:
+                        raise IcebergFormatError(
+                            f"DELETE manifest entry {fp} has content="
+                            f"{content} — malformed metadata"
+                        )
                     delete_files.append((fp, sid))
                 else:
-                    insert_files.append((fp, sid))
+                    insert_files.append((plain_path(fp), sid))
 
     ice_schema = next(
         s for s in metadata["schemas"] if s["schema-id"] == metadata["current-schema-id"]

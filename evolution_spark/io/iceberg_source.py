@@ -47,6 +47,8 @@ def _plan_iceberg_slices(
         spark_schema_of,
     )
 
+    from evolution_spark.io.iceberg_meta import _parse_partition_value
+
     table_dir = Path(table_path)
     metadata, _ = _load_metadata(table_dir)
     current = (
@@ -59,6 +61,32 @@ def _plan_iceberg_slices(
     except StopIteration:
         known = [s["snapshot-id"] for s in metadata["snapshots"]]
         raise ValueError(f"snapshot {current} not in table history {known}")
+
+    if partition_where:
+        # option values arrive stringly; convert by the SPEC's source
+        # types (int-guessing would silently prune everything on string/
+        # date partitions), and reject unknown keys loudly — a typo'd key
+        # would otherwise prune ALL files into an empty result
+        spec_fields = next(
+            sp for sp in metadata["partition-specs"]
+            if sp["spec-id"] == metadata["default-spec-id"]
+        )["fields"]
+        cur_schema = next(
+            s for s in metadata["schemas"]
+            if s["schema-id"] == metadata["current-schema-id"]
+        )
+        col_type = {f["name"]: f["type"] for f in cur_schema["fields"]}
+        known_parts = {f["name"] for f in spec_fields}
+        unknown = sorted(set(partition_where) - known_parts)
+        if unknown:
+            raise ValueError(
+                f"partition option keys {unknown} are not partition "
+                f"columns of this table (spec: {sorted(known_parts)})"
+            )
+        partition_where = {
+            k: _parse_partition_value(col_type[k], str(v))
+            for k, v in partition_where.items()
+        }
 
     data_entries: list[dict] = []
     delete_files: list[str] = []
@@ -84,13 +112,19 @@ def _plan_iceberg_slices(
                 continue
             data_entries.append(dfile)
 
+    from evolution_spark.io.scan_filters import plain_path
+
+    # key deleted positions by the NORMALIZED path: delete files may
+    # record targets as plain paths or URIs (read_iceberg_table handles
+    # the same ambiguity scan-side) — raw-string keying would silently
+    # resurrect every deleted row of a URI-recorded target
     pos_by_file: dict[str, list[int]] = {}
     for dfp in delete_files:
         t = papq.read_table(dfp, columns=["file_path", "pos"])
         for fp, pos in zip(
             t.column("file_path").to_pylist(), t.column("pos").to_pylist()
         ):
-            pos_by_file.setdefault(fp, []).append(int(pos))
+            pos_by_file.setdefault(plain_path(fp), []).append(int(pos))
 
     sid = snapshot.get("schema-id", metadata["current-schema-id"])
     if sid is None:
@@ -102,7 +136,7 @@ def _plan_iceberg_slices(
     slices = []
     for dfile in sorted(data_entries, key=lambda d: d["file_path"]):
         fp = dfile["file_path"]
-        pos = pos_by_file.get(fp)
+        pos = pos_by_file.get(plain_path(fp))
         blob = (
             serialize_roaring64(np.asarray(sorted(set(pos)), dtype=np.uint64))
             if pos
@@ -136,7 +170,7 @@ class EvolutionIcebergDataSource(DataSource):
                 )
             snap = self.options.get("snapshot")
             part = {
-                k[len("partition."):]: _parse_option_value(v)
+                k[len("partition."):]: v
                 for k, v in self.options.items()
                 if k.startswith("partition.")
             }
@@ -157,17 +191,6 @@ class EvolutionIcebergDataSource(DataSource):
     def reader(self, schema):
         sch, slices = self._plan()
         return _IcebergBatchReader(sch.json(), slices)
-
-
-def _parse_option_value(v: str):
-    """Options arrive stringly; partition values in manifests are typed —
-    try int/float, fall back to the raw string."""
-    for cast in (int, float):
-        try:
-            return cast(v)
-        except ValueError:
-            continue
-    return v
 
 
 def register_iceberg_source(spark) -> None:

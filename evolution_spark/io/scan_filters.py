@@ -25,6 +25,17 @@ from pyspark.sql import functions as F
 URI_SCHEME_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*:/+"
 
 
+def plain_path(p: str) -> str:
+    """Driver-side twin of :func:`decoded_file_path`: catalog/manifest
+    paths may be plain or URI-form (``file:///x``, percent-encoded);
+    normalize to the decoded plain form so python-side keying matches the
+    scan-side column."""
+    import re
+    from urllib.parse import unquote
+
+    return unquote(re.sub(URI_SCHEME_RE, "/", p))
+
+
 def decoded_file_path(col: Column | str) -> Column:
     """``_metadata.file_path`` -> plain decoded filesystem path."""
     c = F.col(col) if isinstance(col, str) else col

@@ -740,3 +740,29 @@ def test_update_composes_with_prior_deletes(spark, tmp_path):
     update_delta_rows(spark, path, "k % 2 = 0", {"v": "99"})
     got = {(r.k, r.v) for r in read_delta_snapshot(spark, path).collect()}
     assert got == {(k, 99 if k % 2 == 0 else 0) for k in range(10, 30)}
+
+
+def test_update_refuses_invariant_tables(spark, tmp_path):
+    """UPDATE appends rows it cannot validate against delta.invariants —
+    the same refusal commit_delta enforces."""
+    import pathlib
+
+    from evolution_spark.io.delta_log import (
+        DeltaProtocolError,
+        update_delta_rows,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "upd_inv")
+    write_delta_snapshot(spark.range(5).select(F.col("id").alias("k")), path)
+    log = pathlib.Path(path) / "_delta_log"
+    v0 = (log / f"{0:020d}.json").read_text().splitlines()
+    meta = next(json.loads(l) for l in v0 if "metaData" in l)
+    sch = json.loads(meta["metaData"]["schemaString"])
+    sch["fields"][0]["metadata"] = {
+        "delta.invariants": '{"expression":{"expression":"k > 0"}}'
+    }
+    meta["metaData"]["schemaString"] = json.dumps(sch)
+    (log / f"{1:020d}.json").write_text(json.dumps(meta) + "\n")
+    with pytest.raises(DeltaProtocolError, match="invariants"):
+        update_delta_rows(spark, path, "k = 1", {"k": "-1"})

@@ -328,3 +328,58 @@ def test_iceberg_source_partitioned_and_pruned(ice_registered, tmp_path):
     assert {r.k for r in pruned.collect()} == {k for k in range(30) if k % 3 == 1}
     # metadata-level pruning: fewer input partitions than the full read
     assert pruned.rdd.getNumPartitions() < full.rdd.getNumPartitions()
+
+
+def test_iceberg_source_date_partition_and_typed_pruning(ice_registered, tmp_path):
+    """Date-identity partitions: manifest partition values are typed int
+    day-counts; the source must materialize date32 constants (a naive
+    int64->date32 cast crashes) and parse partition options by the SPEC
+    type (int-guessing would silently prune string/date partitions)."""
+    from evolution_spark.io.iceberg_meta import write_iceberg_table
+
+    spark = ice_registered
+    path = str(tmp_path / "isrcd")
+    df = spark.range(6).select(
+        F.col("id").alias("k"),
+        F.to_date(
+            F.concat(F.lit("2024-01-0"), ((F.col("id") % 3) + 1).cast("string"))
+        ).alias("d"),
+    )
+    write_iceberg_table(df, path, partition_by=["d"])
+    back = spark.read.format("evolution_iceberg").load(path)
+    assert dict(back.dtypes)["d"] == "date"
+    assert back.count() == 6
+    pruned = (
+        spark.read.format("evolution_iceberg")
+        .option("partition.d", "2024-01-02").load(path)
+    )
+    assert {r.k for r in pruned.collect()} == {1, 4}
+    # typo'd partition key raises instead of silently pruning everything
+    with pytest.raises(Exception, match="not partition columns"):
+        spark.read.format("evolution_iceberg").option(
+            "partition.nope", "1"
+        ).load(path).count()
+
+
+def test_iceberg_source_uri_recorded_delete_targets(ice_registered, tmp_path):
+    """A foreign delete file recording its targets as file:// URIs still
+    deletes — paths are normalized before keying the per-file bitmaps."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from evolution_spark.io.iceberg_meta import (
+        append_position_deletes,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+    from tests.test_iceberg_deletes import _positions_of
+
+    spark = ice_registered
+    path = str(tmp_path / "isrcu")
+    write_iceberg_table(spark.range(20).select(F.col("id").alias("k")), path)
+    dels = _positions_of(spark, path, "k < 5")
+    res = append_position_deletes(path, [(f"file://{fp}", ri) for fp, ri in dels])
+    got = spark.read.format("evolution_iceberg").load(path)
+    assert {r.k for r in got.collect()} == set(range(5, 20))
+    # the manifest-driven reader agrees
+    assert read_iceberg_table(spark, path).count() == 15

@@ -207,3 +207,23 @@ def test_iceberg_table_changes_guards(spark, tmp_path):
     out = iceberg_table_changes(spark, path, after_snapshot_id=s0["snapshot-id"])
     assert out.count() == 0
     assert out.columns == ["k", "_change_type", "_snapshot_id"]
+
+
+def test_iceberg_table_changes_refuses_overwrite_ops(spark, tmp_path):
+    """Snapshots with operations other than append/delete (e.g. a foreign
+    overwrite) refuse — their row diff is not derivable from metadata."""
+    import json
+    from pathlib import Path
+
+    from evolution_spark.io.iceberg_meta import (
+        _load_metadata,
+        iceberg_table_changes,
+    )
+
+    path = str(tmp_path / "icecdc3")
+    write_iceberg_table(spark.range(5).select(F.col("id").alias("k")), path)
+    meta, meta_file = _load_metadata(Path(path))
+    meta["snapshots"][-1]["summary"]["operation"] = "overwrite"
+    meta_file.write_text(json.dumps(meta))
+    with pytest.raises(IcebergFormatError, match="overwrite"):
+        iceberg_table_changes(spark, path)
