@@ -150,6 +150,12 @@ BENCH_QUERIES = [
     "delta_mor_delete_lifecycle",
     "delta_column_mapping_read",
     "multimodal_png_features",
+    # batch-14: DML trio completion, CDC readers, Python data sources
+    "delta_mor_update_lifecycle",
+    "delta_cdf_changes",
+    "iceberg_cdc_changes",
+    "delta_python_source_read",
+    "iceberg_python_source_read",
 ]
 
 

@@ -28,11 +28,13 @@ files, so the table metadata carries ``schema.name-mapping.default``
 (the spec's escape hatch for migrated/imported files): spec-compliant
 readers resolve columns by name through the mapping. Scope: v2 tables
 with append/replace snapshots, identity partitioning, time travel by
-snapshot id, POSITION-delete write+read (``append_position_deletes`` /
-the scan's delete-file anti-join), compaction + snapshot expiry, and ADD
-COLUMN schema evolution (``evolve_iceberg_schema`` — fresh field-ids
-under a new schema-id). Equality deletes remain the connector's job
-(refused loudly, never ignored).
+snapshot id, BOTH merge-on-read delete flavors write+read
+(``append_position_deletes`` / ``append_equality_deletes``; the scan
+applies position deletes as a (file, row-index) anti-join and equality
+deletes as sequence-scoped null-safe anti-joins per equality-column
+set), compaction + snapshot expiry, ADD COLUMN schema evolution
+(``evolve_iceberg_schema`` — fresh field-ids under a new schema-id),
+and the incremental change reader (``iceberg_table_changes``).
 """
 
 from __future__ import annotations
@@ -145,6 +147,14 @@ def _enc_value(ftype, v, out: bytearray) -> None:
         import struct as _s
 
         out.extend(_s.pack("<f", float(v)))
+    elif base == "array":
+        # avro arrays: one block of n items, then the 0 terminator
+        items = list(v)
+        if items:
+            _enc_long(len(items), out)
+            for item in items:
+                _enc_value(ftype["items"], item, out)
+        _enc_long(0, out)
     else:
         raise TypeError(f"unsupported avro type {ftype}")
 
@@ -179,6 +189,19 @@ def _dec_value(ftype, buf, pos: int):
         import struct as _s
 
         return _s.unpack_from("<f", buf, pos)[0], pos + 4
+    if base == "array":
+        items = []
+        while True:
+            n, pos = _dec_long(buf, pos)
+            if n == 0:
+                break
+            if n < 0:  # negative count form: |n| items preceded by a size
+                n = -n
+                _, pos = _dec_long(buf, pos)
+            for _ in range(n):
+                item, pos = _dec_value(ftype["items"], buf, pos)
+                items.append(item)
+        return items, pos
     raise TypeError(f"unsupported avro type {ftype}")
 
 
@@ -276,6 +299,14 @@ def _manifest_entry_schema(part_schema: dict) -> dict:
             {"name": "partition", "type": part_schema, "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                # spec field: the schema field-ids an EQUALITY delete file
+                # (content=2) matches on; null for data/position files
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "field-id": 135,
+                "default": None,
+            },
         ],
     }
     return {
@@ -427,6 +458,7 @@ def write_iceberg_table(
                     "partition": values,
                     "record_count": n_rows,
                     "file_size_in_bytes": p.stat().st_size,
+                    "equality_ids": None,
                 },
             }
         )
@@ -605,27 +637,38 @@ def read_iceberg_table(
         known = [s["snapshot-id"] for s in metadata["snapshots"]]
         raise ValueError(f"snapshot {current} not in table history {known}") from None
     files: list[str] = []
+    file_seq: dict[str, int] = {}  # decoded path -> data sequence number
     delete_files: list[str] = []
     delete_rows = 0
+    # (delete parquet, delete sequence, equality field-ids)
+    eq_deletes: list[tuple[str, int, list[int]]] = []
+    from evolution_spark.io.scan_filters import plain_path
+
     for mf in _read_avro(Path(snapshot["manifest-list"])):
         is_delete_manifest = int(mf.get("content") or 0) == 1
+        mf_seq = int(mf.get("sequence_number") or 0)
         for entry in _read_avro(Path(mf["manifest_path"])):
             if entry["status"] == 2:  # DELETED entry
                 continue
             dfile = entry["data_file"]
             content = int(dfile.get("content") or 0)
+            # entries inherit the manifest's sequence number unless they
+            # carry their own (the spec's sequence inheritance)
+            seq = int(entry.get("sequence_number") or mf_seq)
             if is_delete_manifest:
                 if content == 1:  # position deletes: applied below
                     delete_files.append(dfile["file_path"])
                     delete_rows += int(dfile.get("record_count") or 0)
                     continue
-                if content == 2:
-                    raise IcebergFormatError(
-                        f"delete file {dfile['file_path']} carries EQUALITY "
-                        "deletes (content=2); this reader applies position "
-                        "deletes only — reading on would resurrect deleted "
-                        "rows"
-                    )
+                if content == 2:  # equality deletes: applied below
+                    ids = dfile.get("equality_ids")
+                    if not ids:
+                        raise IcebergFormatError(
+                            f"equality delete file {dfile['file_path']} "
+                            "carries no equality_ids — malformed metadata"
+                        )
+                    eq_deletes.append((dfile["file_path"], seq, list(ids)))
+                    continue
                 raise IcebergFormatError(
                     f"DELETE manifest entry {dfile['file_path']} has "
                     f"content={content} — malformed metadata (delete "
@@ -643,6 +686,7 @@ def read_iceberg_table(
             ):
                 continue  # metadata-level partition pruning
             files.append(dfile["file_path"])
+            file_seq[plain_path(dfile["file_path"])] = seq
     # time travel reads the schema that was CURRENT at the snapshot (each
     # snapshot records its schema-id) — a post-evolution read of an old
     # snapshot must not invent the added columns
@@ -675,6 +719,48 @@ def read_iceberg_table(
         )
         # build side ~ deleted-row count (from manifest record_counts)
         df = anti_join_deleted_positions(df, dels, delete_rows)
+    if eq_deletes:
+        from pyspark.sql import functions as F
+
+        from evolution_spark.io.scan_filters import decoded_file_path
+
+        # the spec's sequence rule: an equality delete applies only to
+        # rows whose data file has a STRICTLY OLDER sequence number, so
+        # rows (re-)appended after the delete survive. Attach each row's
+        # file sequence via a broadcast (file -> seq) map, then anti-join
+        # per distinct equality-column set with null-safe equality.
+        name_of = {f["id"]: f["name"] for f in ice_schema["fields"]}
+        seq_rows = [(p, s) for p, s in file_seq.items()]
+        seq_df = spark.createDataFrame(seq_rows, "__eq_file string, __eq_seq long")
+        phys = df.withColumn(
+            "__eq_fp", decoded_file_path(F.col("_metadata.file_path"))
+        ).join(
+            F.broadcast(seq_df),
+            F.col("__eq_fp") == seq_df["__eq_file"],
+            "inner",
+        )
+        by_ids: dict[tuple[int, ...], list[tuple[str, int]]] = {}
+        for dfp, dseq, ids in eq_deletes:
+            by_ids.setdefault(tuple(sorted(ids)), []).append((dfp, dseq))
+        for ids, group in sorted(by_ids.items()):
+            try:
+                cols = [name_of[i] for i in ids]
+            except KeyError as e:
+                raise IcebergFormatError(
+                    f"equality_ids reference unknown field id {e} — the "
+                    "delete predates a schema this reader does not resolve"
+                ) from None
+            dset = None
+            for dfp, dseq in group:
+                one = spark.read.parquet(dfp).select(
+                    *[F.col(c).alias(f"__eqv_{c}") for c in cols]
+                ).withColumn("__eq_dseq", F.lit(dseq))
+                dset = one if dset is None else dset.unionByName(one)
+            cond = F.col("__eq_seq") < F.col("__eq_dseq")
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__eqv_{c}"))
+            phys = phys.join(F.broadcast(dset), cond, "left_anti")
+        df = phys.drop("__eq_fp", "__eq_seq", "__eq_file")
     # Spark surfaces hive-partition columns last; restore declared order
     return df.select(*[f.name for f in schema.fields])
 
@@ -909,6 +995,173 @@ def iceberg_table_changes(
     return out
 
 
+def append_equality_deletes(
+    path: str, rows: list[dict], equality_cols: list[str]
+) -> dict:
+    """Commit an EQUALITY-delete snapshot (Iceberg v2 merge-on-read, the
+    second delete flavor): a parquet file holding the ``equality_cols``
+    values of the rows to delete, tracked in a ``content=1`` DELETE
+    manifest whose entry carries ``content=2`` and the columns'
+    ``equality_ids``. The spec's sequence rule — an equality delete
+    applies only to rows whose data file has a STRICTLY OLDER sequence
+    number — is what ``read_iceberg_table`` enforces at scan time, so
+    rows appended AFTER the delete with the same key values survive (the
+    upsert-pattern semantics equality deletes exist for).
+
+    ``rows``: ``[{col: value, ...}, ...]`` — the delete's key set, driver
+    -sized by nature (it is the changed-key list an upsert materializes).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    if not rows:
+        raise ValueError("rows must be non-empty")
+    if not equality_cols:
+        raise ValueError("equality_cols must be non-empty")
+    table_dir = Path(path)
+    metadata, prev_meta_file = _load_metadata(table_dir)
+    ice_schema = next(
+        s for s in metadata["schemas"] if s["schema-id"] == metadata["current-schema-id"]
+    )
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    unknown = sorted(set(equality_cols) - set(by_name))
+    if unknown:
+        raise ValueError(f"equality_cols not in schema: {unknown}")
+    bad = [r for r in rows if set(r) != set(equality_cols)]
+    if bad:
+        raise ValueError(
+            f"every row must carry exactly {sorted(equality_cols)}; "
+            f"first bad row: {bad[0]}"
+        )
+    spec_fields = next(
+        s for s in metadata["partition-specs"] if s["spec-id"] == metadata["default-spec-id"]
+    )["fields"]
+    seq = metadata["last-sequence-number"] + 1
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+    now_ms = int(time.time() * 1000)
+
+    arrow_of = {
+        "long": pa.int64(), "int": pa.int32(), "double": pa.float64(),
+        "float": pa.float32(), "string": pa.string(),
+        "boolean": pa.bool_(), "date": pa.date32(),
+    }
+    unsupported = [c for c in equality_cols
+                   if by_name[c]["type"] not in arrow_of]
+    if unsupported:
+        raise TypeError(
+            f"equality delete on iceberg type(s) "
+            f"{[by_name[c]['type'] for c in unsupported]} not supported"
+        )
+    arrow_schema = pa.schema([
+        pa.field(
+            c,
+            arrow_of[by_name[c]["type"]],
+            metadata={b"PARQUET:field_id": str(by_name[c]["id"]).encode()},
+        )
+        for c in equality_cols
+    ])
+    del_path = table_dir / "data" / f"eqdelete-s{seq:05d}-{uuid.uuid4().hex}.parquet"
+    del_path.parent.mkdir(parents=True, exist_ok=True)
+    papq.write_table(
+        pa.table(
+            {c: pa.array([r[c] for r in rows], arrow_schema.field(c).type)
+             for c in equality_cols},
+            schema=arrow_schema,
+        ),
+        del_path,
+    )
+
+    part_schema = _partition_record_schema(spec_fields, ice_schema)
+    entry_schema = _manifest_entry_schema(part_schema)
+    entry = {
+        "status": 1,
+        "snapshot_id": snapshot_id,
+        "sequence_number": None,
+        "file_sequence_number": None,
+        "data_file": {
+            "content": 2,  # EQUALITY DELETES
+            "file_path": str(del_path),
+            "file_format": "PARQUET",
+            "partition": {f["name"]: None for f in spec_fields},
+            "record_count": len(rows),
+            "file_size_in_bytes": del_path.stat().st_size,
+            "equality_ids": [by_name[c]["id"] for c in equality_cols],
+        },
+    }
+    meta_dir = table_dir / "metadata"
+    manifest_path = meta_dir / f"{uuid.uuid4()}-d0.avro"
+    manifest_len = _write_avro(
+        manifest_path, entry_schema, [entry],
+        meta={
+            "schema": json.dumps(ice_schema),
+            "schema-id": str(metadata["current-schema-id"]),
+            "partition-spec": json.dumps(spec_fields),
+            "partition-spec-id": str(metadata["default-spec-id"]),
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    current = metadata["current-snapshot-id"]
+    prev_snapshot = next(
+        s for s in metadata["snapshots"] if s["snapshot-id"] == current
+    )
+    prev_entries = _read_avro(Path(prev_snapshot["manifest-list"]))
+    new_entry = {
+        "manifest_path": str(manifest_path),
+        "manifest_length": manifest_len,
+        "partition_spec_id": metadata["default-spec-id"],
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": 1,
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": len(rows),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    mlist_path = meta_dir / f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro"
+    _write_avro(
+        mlist_path, _MANIFEST_LIST_SCHEMA, prev_entries + [new_entry],
+        meta={"format-version": "2"},
+    )
+    new_snapshot = {
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": current,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": str(mlist_path),
+        "summary": {
+            "operation": "delete",
+            "added-delete-files": "1",
+            "added-equality-deletes": str(len(rows)),
+            "total-data-files": prev_snapshot["summary"].get("total-data-files", "0"),
+            "total-records": prev_snapshot["summary"].get("total-records", "0"),
+        },
+        "schema-id": metadata["current-schema-id"],
+    }
+    new_meta = dict(metadata)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshots"] = metadata["snapshots"] + [new_snapshot]
+    new_meta["snapshot-log"] = metadata["snapshot-log"] + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    new_meta["metadata-log"] = metadata["metadata-log"] + [
+        {"timestamp-ms": metadata["last-updated-ms"],
+         "metadata-file": str(prev_meta_file)}
+    ]
+    _publish_metadata(meta_dir, prev_meta_file, new_meta)
+    return {
+        "snapshot-id": snapshot_id,
+        "delete-file": str(del_path),
+        "equality-deletes": len(rows),
+        "sequence-number": seq,
+    }
+
+
 def evolve_iceberg_schema(path: str, add_columns: list[tuple[str, str]]) -> dict:
     """ADD COLUMN schema evolution, per the Iceberg spec's rules: every new
     column gets a FRESH field-id (``last-column-id`` increments — ids are
@@ -1081,6 +1334,7 @@ def append_position_deletes(path: str, deletes: list[tuple[str, int]]) -> dict:
             "partition": {f["name"]: None for f in spec_fields},
             "record_count": len(rows),
             "file_size_in_bytes": del_path.stat().st_size,
+            "equality_ids": None,
         },
     }
     meta_dir = table_dir / "metadata"
@@ -1271,6 +1525,7 @@ def _commit_iceberg_snapshot(
                     "partition": values,
                     "record_count": n_rows,
                     "file_size_in_bytes": p.stat().st_size,
+                    "equality_ids": None,
                 },
             }
         )

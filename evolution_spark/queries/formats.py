@@ -1265,3 +1265,50 @@ def iceberg_python_source_read(spark, sf_dir):
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
     )
+
+
+@query(
+    "iceberg_equality_delete_scan",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_alive,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer
+    WHERE c_custkey % 19 <> 0 OR (c_custkey % 19 = 0 AND c_custkey % 2 = 0)
+    GROUP BY c_mktsegment
+    """,
+)
+def iceberg_equality_delete_scan(spark, sf_dir):
+    """Iceberg v2 EQUALITY deletes end-to-end with the spec's sequence
+    rule live-checked: customer lands as a table, an equality-delete
+    snapshot drops every 19th key by VALUE (no positions — the upsert
+    primitive), and a LATER append re-adds the even ones among them. The
+    scan must delete the old generation's matching rows yet keep the
+    re-appended ones (their data files carry a NEWER sequence number than
+    the delete) — the oracle's survivor predicate encodes exactly that, so
+    an unscoped equality join (deleting the re-adds too) or an ignored
+    delete both fail the hash."""
+    from evolution_spark.io.iceberg_meta import (
+        append_equality_deletes,
+        append_iceberg_snapshot,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    tmp = query_tmp("iceeqdel", sf_dir)
+    write_iceberg_table(c.repartition(3), tmp)
+    keys = [
+        int(r.c_custkey)
+        for r in c.where(F.col("c_custkey") % 19 == 0).collect()
+    ]
+    append_equality_deletes(tmp, [{"c_custkey": k} for k in keys], ["c_custkey"])
+    # later generation: the even deleted keys come back and must SURVIVE
+    append_iceberg_snapshot(
+        c.where((F.col("c_custkey") % 19 == 0) & (F.col("c_custkey") % 2 == 0)),
+        tmp,
+    )
+    back = read_iceberg_table(spark, tmp)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_alive"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+    )

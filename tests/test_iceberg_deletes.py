@@ -227,3 +227,69 @@ def test_iceberg_table_changes_refuses_overwrite_ops(spark, tmp_path):
     meta_file.write_text(json.dumps(meta))
     with pytest.raises(IcebergFormatError, match="overwrite"):
         iceberg_table_changes(spark, path)
+
+
+def test_equality_deletes_read_with_sequence_scoping(spark, tmp_path):
+    """Equality deletes (content=2) now READ: matching rows in OLDER data
+    files disappear, while rows (re-)appended AFTER the delete with the
+    same key survive — the spec's strict sequence rule that makes
+    equality deletes the upsert primitive."""
+    from evolution_spark.io.iceberg_meta import append_equality_deletes
+
+    path = str(tmp_path / "eqread")
+    df = spark.range(20).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    write_iceberg_table(df, path)
+    append_equality_deletes(path, [{"k": 3}, {"k": 7}, {"k": 11}], ["k"])
+    got = {(r.k, r.v) for r in read_iceberg_table(spark, path).collect()}
+    assert got == {(k, k * 10) for k in range(20) if k not in (3, 7, 11)}
+
+    # re-append k=3 AFTER the delete: newer sequence -> survives
+    append_iceberg_snapshot(
+        spark.createDataFrame([(3, 999)], "k long, v long"), path
+    )
+    got = {(r.k, r.v) for r in read_iceberg_table(spark, path).collect()}
+    assert (3, 999) in got and (3, 30) not in got
+    assert len(got) == 18
+
+    # a second equality delete hits BOTH generations (both older than it)
+    append_equality_deletes(path, [{"k": 3}], ["k"])
+    got = {r.k for r in read_iceberg_table(spark, path).collect()}
+    assert 3 not in got and len(got) == 17
+
+
+def test_equality_deletes_multi_column_and_compaction(spark, tmp_path):
+    from evolution_spark.io.iceberg_meta import append_equality_deletes
+
+    path = str(tmp_path / "eqread2")
+    df = spark.range(12).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    write_iceberg_table(df, path)
+    # composite key: only (k, g) BOTH matching dies
+    append_equality_deletes(path, [{"k": 4, "g": 1}, {"k": 5, "g": 2}], ["k", "g"])
+    got = {(r.k, r.g) for r in read_iceberg_table(spark, path).collect()}
+    assert (4, 1) not in got and (5, 2) not in got and len(got) == 10
+    # compaction materializes equality deletes away
+    compact_iceberg_table(spark, path, target_files=1)
+    got2 = {(r.k, r.g) for r in read_iceberg_table(spark, path).collect()}
+    assert got2 == got
+    # position + equality compose
+    path2 = str(tmp_path / "eqread3")
+    write_iceberg_table(spark.range(10).select(F.col("id").alias("k"),
+                                               F.lit(0).alias("g")), path2)
+    append_position_deletes(path2, _positions_of(spark, path2, "k = 0"))
+    append_equality_deletes(path2, [{"k": 9}], ["k"])
+    assert {r.k for r in read_iceberg_table(spark, path2).collect()} == set(range(1, 9))
+
+
+def test_equality_deletes_guards(spark, tmp_path):
+    from evolution_spark.io.iceberg_meta import append_equality_deletes
+
+    path = str(tmp_path / "eqguard")
+    write_iceberg_table(spark.range(3).select(F.col("id").alias("k")), path)
+    with pytest.raises(ValueError, match="non-empty"):
+        append_equality_deletes(path, [], ["k"])
+    with pytest.raises(ValueError, match="not in schema"):
+        append_equality_deletes(path, [{"z": 1}], ["z"])
+    with pytest.raises(ValueError, match="exactly"):
+        append_equality_deletes(path, [{"k": 1, "extra": 2}], ["k"])
