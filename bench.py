@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "iceberg_cdc_changes",
     "delta_python_source_read",
     "iceberg_python_source_read",
+    "iceberg_equality_delete_scan",
 ]
 
 

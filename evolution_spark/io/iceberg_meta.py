@@ -559,10 +559,12 @@ def write_iceberg_table(
 
 class IcebergFormatError(RuntimeError):
     """Raised when a table's metadata demands reader capabilities this
-    implementation does not have (format-version above 2, or equality
-    delete files). Mirrors ``delta_log.DeltaProtocolError``: refusing
-    loudly beats silently resurrecting deleted rows. POSITION deletes
-    (content=1) are implemented — applied during scan — since round 6."""
+    implementation does not have (format-version above 2, malformed
+    delete metadata, partition-scoped equality deletes). Mirrors
+    ``delta_log.DeltaProtocolError``: refusing loudly beats silently
+    resurrecting deleted rows. Both POSITION (content=1) and GLOBAL
+    EQUALITY (content=2) deletes are implemented — applied during scan —
+    since round 6."""
 
 
 def read_iceberg_table(
@@ -589,11 +591,13 @@ def read_iceberg_table(
     cost proportional to DELETED rows in scanned files, not table size).
     A position delete names its target file explicitly, so applying by
     (file_path, pos) needs no sequence-number arithmetic — file paths are
-    never reused across snapshots. Forward-compat guard (the spec's
-    reader obligation): still refuses ``format-version`` > 2 and
-    EQUALITY delete files (``content=2``) — those would need
-    sequence-number-scoped predicate evaluation this reader does not
-    implement, and ignoring them would resurrect deleted rows.
+    never reused across snapshots. EQUALITY delete files (``content=2``)
+    apply as sequence-scoped null-safe anti-joins per equality-column set
+    — strictly-older data files only, so rows (re-)appended after the
+    delete survive (the upsert semantics). Forward-compat guard (the
+    spec's reader obligation): still refuses ``format-version`` > 2,
+    malformed delete metadata, and PARTITION-scoped equality deletes
+    (applying them globally would over-delete).
 
     PARTITION PRUNING (``partition_where``): an equality map
     ``{partition_col: value}`` is matched against each manifest entry's
@@ -641,7 +645,7 @@ def read_iceberg_table(
     delete_files: list[str] = []
     delete_rows = 0
     # (delete parquet, delete sequence, equality field-ids)
-    eq_deletes: list[tuple[str, int, list[int]]] = []
+    eq_deletes: list[tuple[str, int, list[int], int]] = []
     from evolution_spark.io.scan_filters import plain_path
 
     for mf in _read_avro(Path(snapshot["manifest-list"])):
@@ -653,8 +657,10 @@ def read_iceberg_table(
             dfile = entry["data_file"]
             content = int(dfile.get("content") or 0)
             # entries inherit the manifest's sequence number unless they
-            # carry their own (the spec's sequence inheritance)
-            seq = int(entry.get("sequence_number") or mf_seq)
+            # carry their own (the spec's sequence inheritance; an EXPLICIT
+            # 0 is a real sequence number, not absence)
+            es = entry.get("sequence_number")
+            seq = mf_seq if es is None else int(es)
             if is_delete_manifest:
                 if content == 1:  # position deletes: applied below
                     delete_files.append(dfile["file_path"])
@@ -667,7 +673,21 @@ def read_iceberg_table(
                             f"equality delete file {dfile['file_path']} "
                             "carries no equality_ids — malformed metadata"
                         )
-                    eq_deletes.append((dfile["file_path"], seq, list(ids)))
+                    part = dfile.get("partition") or {}
+                    if any(v is not None for v in part.values()):
+                        # spec: a partition-scoped delete applies only to
+                        # that partition; applying it globally would
+                        # over-delete — refuse until scoping is modeled
+                        raise IcebergFormatError(
+                            f"equality delete file {dfile['file_path']} is "
+                            f"PARTITION-scoped ({part}); this reader applies "
+                            "global equality deletes only — refusing rather "
+                            "than over-deleting other partitions"
+                        )
+                    eq_deletes.append(
+                        (dfile["file_path"], seq, list(ids),
+                         int(dfile.get("record_count") or 0))
+                    )
                     continue
                 raise IcebergFormatError(
                     f"DELETE manifest entry {dfile['file_path']} has "
@@ -739,9 +759,9 @@ def read_iceberg_table(
             F.col("__eq_fp") == seq_df["__eq_file"],
             "inner",
         )
-        by_ids: dict[tuple[int, ...], list[tuple[str, int]]] = {}
-        for dfp, dseq, ids in eq_deletes:
-            by_ids.setdefault(tuple(sorted(ids)), []).append((dfp, dseq))
+        by_ids: dict[tuple[int, ...], list[tuple[str, int, int]]] = {}
+        for dfp, dseq, ids, nrec in eq_deletes:
+            by_ids.setdefault(tuple(sorted(ids)), []).append((dfp, dseq, nrec))
         for ids, group in sorted(by_ids.items()):
             try:
                 cols = [name_of[i] for i in ids]
@@ -751,7 +771,7 @@ def read_iceberg_table(
                     "delete predates a schema this reader does not resolve"
                 ) from None
             dset = None
-            for dfp, dseq in group:
+            for dfp, dseq, _ in group:
                 one = spark.read.parquet(dfp).select(
                     *[F.col(c).alias(f"__eqv_{c}") for c in cols]
                 ).withColumn("__eq_dseq", F.lit(dseq))
@@ -759,7 +779,11 @@ def read_iceberg_table(
             cond = F.col("__eq_seq") < F.col("__eq_dseq")
             for c in cols:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__eqv_{c}"))
-            phys = phys.join(F.broadcast(dset), cond, "left_anti")
+            # build ~ delete-key count (manifest record_counts): broadcast
+            # while small, like the position path; AQE plans it beyond
+            group_rows = sum(n for _, _, n in group)
+            build = F.broadcast(dset) if group_rows <= 4_000_000 else dset
+            phys = phys.join(build, cond, "left_anti")
         df = phys.drop("__eq_fp", "__eq_seq", "__eq_file")
     # Spark surfaces hive-partition columns last; restore declared order
     return df.select(*[f.name for f in schema.fields])

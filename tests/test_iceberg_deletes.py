@@ -1,7 +1,8 @@
-"""Iceberg v2 position-delete (merge-on-read) support: DELETE snapshots
-written by ``append_position_deletes`` are applied during the scan, time
-travel sees pre-delete rows, compaction materializes the deletes, and
-equality deletes still refuse loudly."""
+"""Iceberg v2 merge-on-read deletes: position-delete snapshots
+(``append_position_deletes``) and sequence-scoped GLOBAL equality deletes
+(``append_equality_deletes``) apply during the scan, time travel sees
+pre-delete rows, compaction materializes both away, and the malformed /
+partition-scoped equality shapes refuse loudly."""
 
 from __future__ import annotations
 
@@ -112,7 +113,7 @@ def test_position_deletes_partitioned_table(spark, tmp_path):
     assert {r.k for r in pruned.collect()} == {k for k in range(10, 40) if k % 4 == 1}
 
 
-def test_equality_deletes_still_refused(spark, tmp_path):
+def test_malformed_equality_delete_metadata_refused(spark, tmp_path):
     import json
     from pathlib import Path
 
@@ -230,7 +231,7 @@ def test_iceberg_table_changes_refuses_overwrite_ops(spark, tmp_path):
 
 
 def test_equality_deletes_read_with_sequence_scoping(spark, tmp_path):
-    """Equality deletes (content=2) now READ: matching rows in OLDER data
+    """Equality deletes (content=2) READ: matching rows in OLDER data
     files disappear, while rows (re-)appended AFTER the delete with the
     same key survive — the spec's strict sequence rule that makes
     equality deletes the upsert primitive."""
