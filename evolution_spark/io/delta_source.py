@@ -39,7 +39,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -339,7 +342,199 @@ class EvolutionDeltaDataSource(DataSource):
     def streamReader(self, schema):
         return _StreamReader(self.options)
 
+    def writer(self, schema, overwrite):
+        if overwrite:
+            raise ValueError(
+                "evolution_delta sink is append-only (mode('append')); "
+                "overwrites go through write_delta_snapshot/commit_delta"
+            )
+        return _BatchWriter(self.options, schema.json())
+
+    def streamWriter(self, schema, overwrite):
+        return _StreamWriter(self.options)
+
 
 def register_delta_source(spark) -> None:
     """Idempotently register the format for this session."""
     spark.dataSource.register(EvolutionDeltaDataSource)
+
+
+# --------------------------------------------------------------------------
+# write side: batch append + EXACTLY-ONCE streaming sink
+# --------------------------------------------------------------------------
+
+
+class _ShardMessage(WriterCommitMessage):
+    """One executor task's staged parquet shard (path + row count)."""
+
+    def __init__(self, path, rows):
+        self.path = path
+        self.rows = rows
+
+
+def _write_shard(iterator, schema_json: str, stage_dir: str):
+    """EXECUTOR-side: drain this task's rows into one parquet shard under
+    the commit's staging dir. Rows arrive as tuples in schema order; the
+    shard is written with pyarrow in arrow batches."""
+    import os
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    schema_fields = json.loads(schema_json)["fields"]
+    names = [f["name"] for f in schema_fields]
+    os.makedirs(stage_dir, exist_ok=True)
+    out = os.path.join(stage_dir, f"shard-{_uuid.uuid4().hex}.parquet")
+    writer = None
+    rows = 0
+    buf: list = []
+    try:
+        for row in iterator:
+            buf.append(tuple(row))
+            if len(buf) >= 65536:
+                batch = pa.table(
+                    {n: [r[i] for r in buf] for i, n in enumerate(names)}
+                )
+                if writer is None:
+                    writer = papq.ParquetWriter(out, batch.schema)
+                writer.write_table(batch)
+                rows += len(buf)
+                buf = []
+        if buf or writer is None:
+            batch = pa.table(
+                {n: [r[i] for r in buf] for i, n in enumerate(names)}
+            )
+            if writer is None:
+                writer = papq.ParquetWriter(out, batch.schema)
+            writer.write_table(batch)
+            rows += len(buf)
+    finally:
+        if writer is not None:
+            writer.close()
+    return _ShardMessage(out, rows)
+
+
+def _commit_shards(path: str, messages, txn=None) -> None:
+    """DRIVER-side commit: hand the staged shards to the native log commit
+    as one atomic version (create-exclusive publish). ``txn`` carries the
+    streaming (appId, batchId) pair for exactly-once replay skipping."""
+    import shutil as _shutil
+
+    import pyarrow.parquet as papq
+
+    from evolution_spark.io.delta_log import (
+        _collect_staged_adds,
+        _publish_commit,
+        _replay_log,
+    )
+
+    shards = [m for m in messages if m is not None and m.rows > 0]
+    table_dir = Path(path)
+    if not (table_dir / "_delta_log").exists():
+        raise RuntimeError(
+            "evolution_delta sink appends to an EXISTING table — create it "
+            "first with write_delta_snapshot (the sink cannot invent the "
+            "table's schema/partitioning metadata from shards alone)"
+        )
+    live, schema_string, part_cols, latest, state = _replay_log(
+        table_dir, return_state=True
+    )
+    from evolution_spark.io.delta_log import _check_writer_protocol
+
+    _check_writer_protocol(state.get("protocol"))
+    if part_cols:
+        raise RuntimeError(
+            "evolution_delta sink supports unpartitioned tables (shards "
+            "carry no hive partition layout); write partitioned data with "
+            "commit_delta"
+        )
+    import time as _time
+
+    version = latest + 1
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "STREAMING UPDATE" if txn else "WRITE",
+                "operationParameters": {},
+                "engineInfo": "evolution-spark-delta-writer/1.0",
+            }
+        }
+    ]
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
+    # move shards under a commit-owned staging dir so _collect_staged_adds
+    # (vacuum-race guard + stats + version-unique names) applies unchanged
+    stage = table_dir / f"_staging_v{version}-sink"
+    stage.mkdir(parents=True, exist_ok=True)
+    try:
+        for m in shards:
+            import os as _os
+
+            _os.replace(m.path, stage / Path(m.path).name)
+        add_actions, n_files, total_rows = _collect_staged_adds(
+            stage, table_dir, version, now_ms, data_change=True
+        )
+        actions.extend(add_actions)
+    finally:
+        if stage.exists():
+            _shutil.rmtree(stage)
+    if not add_actions:
+        return
+    _publish_commit(table_dir, version, actions, "sink append")
+
+
+class _BatchWriter(DataSourceWriter):
+    def __init__(self, options, schema_json):
+        self.path = options.get("path")
+        self.schema_json = schema_json
+        self.stage = str(Path(self.path) / "_staging_sink-batch")
+
+    def write(self, iterator):
+        return _write_shard(iterator, self.schema_json, self.stage)
+
+    def commit(self, messages):
+        _commit_shards(self.path, messages)
+
+    def abort(self, messages):
+        import shutil as _shutil
+
+        _shutil.rmtree(self.stage, ignore_errors=True)
+
+
+class _StreamWriter(DataSourceStreamWriter):
+    """EXACTLY-ONCE streaming sink: each micro-batch commits as ONE Delta
+    version carrying a ``txn`` action keyed by the sink's checkpoint
+    identity — a replayed batch (post-crash re-delivery) is detected via
+    ``last_txn_version`` and skipped, the same idempotence contract the
+    function-style sink in streaming/sinks.py implements, now behind
+    ``df.writeStream.format("evolution_delta")``."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("evolution_delta sink requires a path")
+        self.app_id = options.get("txnAppId", "evolution_delta_sink")
+        from evolution_spark.io.delta_log import _replay_log
+
+        _, schema_string, _, _, _ = _replay_log(Path(self.path), return_state=True)
+        self.schema_json = schema_string
+        self.stage = str(Path(self.path) / "_staging_sink-stream")
+
+    def write(self, iterator):
+        return _write_shard(iterator, self.schema_json, self.stage)
+
+    def commit(self, messages, batchId):
+        from evolution_spark.io.delta_log import last_txn_version
+
+        seen = last_txn_version(self.path, self.app_id)
+        if seen is not None and batchId <= seen:
+            return  # replayed batch: already committed — exactly-once
+        _commit_shards(self.path, messages, txn=(self.app_id, batchId))
+
+    def abort(self, messages, batchId):
+        import shutil as _shutil
+
+        _shutil.rmtree(self.stage, ignore_errors=True)

@@ -383,3 +383,73 @@ def test_iceberg_source_uri_recorded_delete_targets(ice_registered, tmp_path):
     assert {r.k for r in got.collect()} == set(range(5, 20))
     # the manifest-driven reader agrees
     assert read_iceberg_table(spark, path).count() == 15
+
+
+# --------------------------------------------------------------------------
+# write side (batch append + exactly-once streaming sink)
+# --------------------------------------------------------------------------
+
+
+def test_batch_write_append(registered, tmp_path):
+    from evolution_spark.io.delta_log import read_delta_snapshot, write_delta_snapshot
+
+    spark = registered
+    path = str(tmp_path / "wsink")
+    write_delta_snapshot(spark.range(5).select(F.col("id").alias("k")), path)
+    spark.range(5, 9).select(F.col("id").alias("k")).write.format(
+        "evolution_delta"
+    ).mode("append").save(path)
+    assert {r.k for r in read_delta_snapshot(spark, path).collect()} == set(range(9))
+    # the sink's commit is a real log version readable by the source too
+    assert spark.read.format("evolution_delta").load(path).count() == 9
+    with pytest.raises(Exception, match="append-only"):
+        spark.range(3).select(F.col("id").alias("k")).write.format(
+            "evolution_delta"
+        ).mode("overwrite").save(path)
+
+
+def test_streaming_sink_exactly_once(registered, tmp_path):
+    """The format-level streaming sink: each micro-batch is ONE Delta
+    version carrying a txn action; a replayed batchId is skipped."""
+    import time
+
+    from evolution_spark.io.delta_log import (
+        last_txn_version,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    spark = registered
+    src = str(tmp_path / "ssrc")
+    dst = str(tmp_path / "sdst")
+    ck = str(tmp_path / "ck")
+    write_delta_snapshot(spark.range(0).select(F.col("id").alias("k")), dst)
+    write_delta_snapshot(spark.range(6).select(F.col("id").alias("k")), src)
+    q = (
+        spark.readStream.format("evolution_delta").load(src)
+        .writeStream.format("evolution_delta")
+        .option("checkpointLocation", ck)
+        .start(dst)
+    )
+    try:
+        q.processAllAvailable()
+        assert {r.k for r in read_delta_snapshot(spark, dst).collect()} == set(range(6))
+        from evolution_spark.io.delta_log import commit_delta
+
+        commit_delta(
+            spark.range(6, 10).select(F.col("id").alias("k")), src, mode="append"
+        )
+        q.processAllAvailable()
+        got = {r.k for r in read_delta_snapshot(spark, dst).collect()}
+        assert got == set(range(10))
+        # txn bookkeeping recorded for exactly-once replay skipping
+        assert last_txn_version(dst, "evolution_delta_sink") is not None
+    finally:
+        q.stop()
+    # replaying an already-committed batch is a no-op (idempotence)
+    from evolution_spark.io.delta_source import _StreamWriter
+
+    w = _StreamWriter({"path": dst})
+    seen = last_txn_version(dst, "evolution_delta_sink")
+    w.commit([], seen)  # batchId <= seen -> skipped, no new version
+    assert {r.k for r in read_delta_snapshot(spark, dst).collect()} == set(range(10))
