@@ -2,18 +2,26 @@
 
 ``entry(spark)`` runs the flagship query (TPC-H Q1-shape pricing summary) on
 sf0.001. ``queries()``/``oracle_sql()`` expose the engine's full declared
-query surface (SURVEY.md §2.3; 207 queries, 202 with DuckDB oracles): all
-22 TPC-H shapes, date/window analytics, temporal joins (as-of/range/PIT),
-text analysis + dedup (exact, MinHash-LSH, n-gram Jaccard, SimHash,
-SemDeDup, winnowing), embedding similarity (brute-force + LSH ANN +
-IVF-PQ, partitioned layouts) and compression (int8, random projection),
-dataset curation (splits, sampling, scrubbing, chunking, packing,
-contracts), graph analytics (PageRank, components, triangles, k-hop BFS),
-robust/time-series statistics (winsorize, CUSUM, Theil-Sen, seasonal
-decomposition, A/B z-test, Benford, CCF), native Delta/Iceberg/Avro/IPC
-format lifecycles, streaming batch twins (windows, sessions, stream-join
-attribution incl. left-outer), and the FLF converter itself surfaced as
-identity-oracle queries.
+query surface (SURVEY.md §2.3; 220 queries, 216 with DuckDB oracles — the
+4 rows-only are genuinely estimate/seeded): all 22 TPC-H shapes,
+date/window analytics, temporal joins (as-of/range/PIT), text analysis +
+dedup (exact, MinHash-LSH, n-gram Jaccard, SimHash, SemDeDup, winnowing),
+BPE tokenization (pinned-merge, recursive-CTE oracle), embedding
+similarity (brute-force + LSH ANN + IVF-PQ, partitioned layouts) and
+compression (int8, random projection), dataset curation (splits,
+sampling, scrubbing, chunking, packing, contracts), graph analytics
+(PageRank, components, triangles, k-hop BFS), robust/time-series
+statistics (winsorize, CUSUM, Theil-Sen, seasonal decomposition, A/B
+z-test, Benford, CCF), native Delta/Iceberg/Avro/IPC format lifecycles —
+including round 6's row-level-delete surface: Delta deletion-vector
+reads, merge-on-read DELETE/UPDATE, column mapping, CDF (table_changes),
+Iceberg position+equality deletes with sequence scoping, ADD COLUMN
+schema evolution on both writers, incremental change readers for both
+formats, and the evolution_delta / evolution_iceberg Python DataSources
+(batch + streaming source, exactly-once streaming sink) — streaming
+batch twins (windows, sessions, stream-join attribution incl.
+left-outer), multimodal codecs (BMP/WAV/PNG, all real), and the FLF
+converter itself surfaced as identity-oracle queries.
 """
 
 from __future__ import annotations

@@ -351,7 +351,13 @@ class EvolutionDeltaDataSource(DataSource):
         return _BatchWriter(self.options, schema.json())
 
     def streamWriter(self, schema, overwrite):
-        return _StreamWriter(self.options)
+        if overwrite:
+            raise ValueError(
+                "evolution_delta sink is append-only (outputMode "
+                "'append'); complete/update modes would re-append every "
+                "trigger's cumulative result"
+            )
+        return _StreamWriter(self.options, schema.json())
 
 
 def register_delta_source(spark) -> None:
@@ -374,8 +380,10 @@ class _ShardMessage(WriterCommitMessage):
 
 def _write_shard(iterator, schema_json: str, stage_dir: str):
     """EXECUTOR-side: drain this task's rows into one parquet shard under
-    the commit's staging dir. Rows arrive as tuples in schema order; the
-    shard is written with pyarrow in arrow batches."""
+    the commit's staging dir. Rows arrive as tuples in the WRITTEN
+    DataFrame's column order (schema_json IS that schema — value-inferred
+    arrow types would break on all-null columns and chunk-boundary type
+    flips, so the declared types are used)."""
     import os
     import uuid as _uuid
 
@@ -384,44 +392,43 @@ def _write_shard(iterator, schema_json: str, stage_dir: str):
 
     schema_fields = json.loads(schema_json)["fields"]
     names = [f["name"] for f in schema_fields]
+    arrow_schema = pa.schema(
+        [pa.field(f["name"], _arrow_type_of(f["type"])) for f in schema_fields]
+    )
     os.makedirs(stage_dir, exist_ok=True)
     out = os.path.join(stage_dir, f"shard-{_uuid.uuid4().hex}.parquet")
-    writer = None
+    writer = papq.ParquetWriter(out, arrow_schema)
     rows = 0
     buf: list = []
+
+    def flush():
+        nonlocal rows
+        batch = pa.table(
+            {n: pa.array([r[i] for r in buf],
+                         type=arrow_schema.field(n).type)
+             for i, n in enumerate(names)},
+            schema=arrow_schema,
+        )
+        writer.write_table(batch)
+        rows += len(buf)
+
     try:
         for row in iterator:
             buf.append(tuple(row))
             if len(buf) >= 65536:
-                batch = pa.table(
-                    {n: [r[i] for r in buf] for i, n in enumerate(names)}
-                )
-                if writer is None:
-                    writer = papq.ParquetWriter(out, batch.schema)
-                writer.write_table(batch)
-                rows += len(buf)
+                flush()
                 buf = []
-        if buf or writer is None:
-            batch = pa.table(
-                {n: [r[i] for r in buf] for i, n in enumerate(names)}
-            )
-            if writer is None:
-                writer = papq.ParquetWriter(out, batch.schema)
-            writer.write_table(batch)
-            rows += len(buf)
+        flush()
     finally:
-        if writer is not None:
-            writer.close()
+        writer.close()
     return _ShardMessage(out, rows)
 
 
-def _commit_shards(path: str, messages, txn=None) -> None:
+def _commit_shards(path: str, messages, txn=None, written_schema_json=None) -> None:
     """DRIVER-side commit: hand the staged shards to the native log commit
     as one atomic version (create-exclusive publish). ``txn`` carries the
     streaming (appId, batchId) pair for exactly-once replay skipping."""
     import shutil as _shutil
-
-    import pyarrow.parquet as papq
 
     from evolution_spark.io.delta_log import (
         _collect_staged_adds,
@@ -443,6 +450,16 @@ def _commit_shards(path: str, messages, txn=None) -> None:
     from evolution_spark.io.delta_log import _check_writer_protocol
 
     _check_writer_protocol(state.get("protocol"))
+    if written_schema_json is not None:
+        # refuse loudly on a schema mismatch — committing shards with the
+        # wrong columns would read back as silent all-null rows
+        want = [(f["name"], f["type"]) for f in json.loads(schema_string)["fields"]]
+        got = [(f["name"], f["type"]) for f in json.loads(written_schema_json)["fields"]]
+        if want != got:
+            raise RuntimeError(
+                f"schema mismatch vs table: writing {got} into a table "
+                f"declaring {want} — align the DataFrame columns"
+            )
     if part_cols:
         raise RuntimeError(
             "evolution_delta sink supports unpartitioned tables (shards "
@@ -469,10 +486,10 @@ def _commit_shards(path: str, messages, txn=None) -> None:
     # (vacuum-race guard + stats + version-unique names) applies unchanged
     stage = table_dir / f"_staging_v{version}-sink"
     stage.mkdir(parents=True, exist_ok=True)
+    import os as _os
+
     try:
         for m in shards:
-            import os as _os
-
             _os.replace(m.path, stage / Path(m.path).name)
         add_actions, n_files, total_rows = _collect_staged_adds(
             stage, table_dir, version, now_ms, data_change=True
@@ -488,15 +505,21 @@ def _commit_shards(path: str, messages, txn=None) -> None:
 
 class _BatchWriter(DataSourceWriter):
     def __init__(self, options, schema_json):
+        import uuid as _uuid
+
         self.path = options.get("path")
+        if not self.path:
+            raise ValueError("evolution_delta sink requires a path (.save(path))")
         self.schema_json = schema_json
-        self.stage = str(Path(self.path) / "_staging_sink-batch")
+        # per-writer staging dir: a concurrent job's abort can never
+        # rmtree this write's in-flight shards
+        self.stage = str(Path(self.path) / f"_staging_sink-{_uuid.uuid4().hex}")
 
     def write(self, iterator):
         return _write_shard(iterator, self.schema_json, self.stage)
 
     def commit(self, messages):
-        _commit_shards(self.path, messages)
+        _commit_shards(self.path, messages, written_schema_json=self.schema_json)
 
     def abort(self, messages):
         import shutil as _shutil
@@ -512,27 +535,48 @@ class _StreamWriter(DataSourceStreamWriter):
     function-style sink in streaming/sinks.py implements, now behind
     ``df.writeStream.format("evolution_delta")``."""
 
-    def __init__(self, options):
+    def __init__(self, options, schema_json):
+        import uuid as _uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("evolution_delta sink requires a path")
-        self.app_id = options.get("txnAppId", "evolution_delta_sink")
-        from evolution_spark.io.delta_log import _replay_log
-
-        _, schema_string, _, _, _ = _replay_log(Path(self.path), return_state=True)
-        self.schema_json = schema_string
-        self.stage = str(Path(self.path) / "_staging_sink-stream")
+        # exactly-once NEEDS a stable per-pipeline identity: a shared
+        # default would make one query's batchIds mask another's (or a
+        # restarted checkpoint's), silently dropping micro-batches
+        self.app_id = options.get("txnAppId")
+        if not self.app_id:
+            raise ValueError(
+                "evolution_delta sink requires .option('txnAppId', <stable "
+                "per-pipeline id>) — the txn identity that makes replayed "
+                "micro-batches idempotent"
+            )
+        self.schema_json = schema_json  # the WRITTEN DataFrame's schema
+        self.stage = str(Path(self.path) / f"_staging_sink-{_uuid.uuid4().hex}")
 
     def write(self, iterator):
         return _write_shard(iterator, self.schema_json, self.stage)
 
     def commit(self, messages, batchId):
+        import os as _os
+
         from evolution_spark.io.delta_log import last_txn_version
 
         seen = last_txn_version(self.path, self.app_id)
         if seen is not None and batchId <= seen:
-            return  # replayed batch: already committed — exactly-once
-        _commit_shards(self.path, messages, txn=(self.app_id, batchId))
+            # replayed batch: already committed — exactly-once. Drop the
+            # re-staged shards or they leak on every replay.
+            for m in messages:
+                if m is not None:
+                    try:
+                        _os.unlink(m.path)
+                    except OSError:
+                        pass
+            return
+        _commit_shards(
+            self.path, messages, txn=(self.app_id, batchId),
+            written_schema_json=self.schema_json,
+        )
 
     def abort(self, messages, batchId):
         import shutil as _shutil

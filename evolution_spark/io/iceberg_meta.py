@@ -674,6 +674,12 @@ def read_iceberg_table(
                             "carries no equality_ids — malformed metadata"
                         )
                     part = dfile.get("partition") or {}
+                    # convention: an all-null partition record = GLOBAL
+                    # delete (what append_equality_deletes writes); real
+                    # values = partition-scoped, which we refuse. A
+                    # foreign delete scoped to the literal null partition
+                    # is indistinguishable in this encoding and is treated
+                    # as global (documented over-approximation).
                     if any(v is not None for v in part.values()):
                         # spec: a partition-scoped delete applies only to
                         # that partition; applying it globally would

@@ -429,6 +429,7 @@ def test_streaming_sink_exactly_once(registered, tmp_path):
         spark.readStream.format("evolution_delta").load(src)
         .writeStream.format("evolution_delta")
         .option("checkpointLocation", ck)
+        .option("txnAppId", "pipeline_a")
         .start(dst)
     )
     try:
@@ -443,13 +444,42 @@ def test_streaming_sink_exactly_once(registered, tmp_path):
         got = {r.k for r in read_delta_snapshot(spark, dst).collect()}
         assert got == set(range(10))
         # txn bookkeeping recorded for exactly-once replay skipping
-        assert last_txn_version(dst, "evolution_delta_sink") is not None
+        assert last_txn_version(dst, "pipeline_a") is not None
     finally:
         q.stop()
     # replaying an already-committed batch is a no-op (idempotence)
+    from evolution_spark.io.delta_log import _replay_log
     from evolution_spark.io.delta_source import _StreamWriter
+    from pathlib import Path as _P
 
-    w = _StreamWriter({"path": dst})
-    seen = last_txn_version(dst, "evolution_delta_sink")
+    _, schema_string, *_ = _replay_log(_P(dst), return_state=True)
+    w = _StreamWriter({"path": dst, "txnAppId": "pipeline_a"}, schema_string)
+    seen = last_txn_version(dst, "pipeline_a")
     w.commit([], seen)  # batchId <= seen -> skipped, no new version
     assert {r.k for r in read_delta_snapshot(spark, dst).collect()} == set(range(10))
+    # a sink without txnAppId refuses (exactly-once needs the identity)
+    with pytest.raises(ValueError, match="txnAppId"):
+        _StreamWriter({"path": dst}, schema_string)
+
+
+def test_batch_write_schema_mismatch_and_nulls(registered, tmp_path):
+    """Schema-mismatched appends refuse loudly (silent all-null rows
+    otherwise); all-null columns write with the DECLARED type."""
+    from evolution_spark.io.delta_log import read_delta_snapshot, write_delta_snapshot
+
+    spark = registered
+    path = str(tmp_path / "wsink2")
+    write_delta_snapshot(
+        spark.range(2).select(F.col("id").alias("k"),
+                              F.lit("x").alias("s")), path
+    )
+    with pytest.raises(Exception, match="schema mismatch"):
+        spark.range(2).select(F.col("id").alias("kk"),
+                              F.lit("y").alias("s")).write.format(
+            "evolution_delta").mode("append").save(path)
+    # all-null string column: declared-type shard, not a Null-typed one
+    spark.range(2, 4).select(
+        F.col("id").alias("k"), F.lit(None).cast("string").alias("s")
+    ).write.format("evolution_delta").mode("append").save(path)
+    back = read_delta_snapshot(spark, path)
+    assert back.count() == 4 and back.where("s IS NULL").count() == 2
