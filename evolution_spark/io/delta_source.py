@@ -240,6 +240,18 @@ class _StreamReader(DataSourceStreamReader):
         # inclusive startingVersion: the offset is the last CONSUMED
         # version, so start-1 makes version `start` itself arrive
         self._start = (int(start) - 1) if start is not None else None
+        # rate limiting: cap how many log versions one micro-batch may
+        # consume (the real source's maxFilesPerTrigger analogue at this
+        # source's natural granularity) — keeps recovery batches bounded
+        # after downtime instead of one giant catch-up batch
+        mvpt = options.get("maxVersionsPerTrigger")
+        self._max_versions = int(mvpt) if mvpt is not None else None
+        if self._max_versions is not None and self._max_versions < 1:
+            raise ValueError("maxVersionsPerTrigger must be >= 1")
+        # the cap baseline: startingVersion-mode streams cap from their
+        # start; snapshot-mode streams take the initial snapshot as ONE
+        # batch (uncapped) and cap afterwards
+        self._last_end = self._start
         _, schema_json, self.renames = _plan_meta(self.path)
         self.schema_json = json.dumps(schema_json)
 
@@ -255,6 +267,11 @@ class _StreamReader(DataSourceStreamReader):
 
         versions = _log_versions(Path(self.path) / "_delta_log")
         latest = versions[-1] if versions else -1
+        if self._max_versions is not None and self._last_end is not None:
+            capped = [v for v in versions if v > self._last_end]
+            if capped:
+                latest = capped[: self._max_versions][-1]
+        self._last_end = latest
         return {"version": latest, "snapshot_done": True}
 
     def partitions(self, start, end):

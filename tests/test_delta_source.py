@@ -483,3 +483,35 @@ def test_batch_write_schema_mismatch_and_nulls(registered, tmp_path):
     ).write.format("evolution_delta").mode("append").save(path)
     back = read_delta_snapshot(spark, path)
     assert back.count() == 4 and back.where("s IS NULL").count() == 2
+
+
+def test_streaming_max_versions_per_trigger(registered, tmp_path):
+    """Rate limiting: a backlog of N versions drains in ceil(N/cap)
+    micro-batches instead of one giant catch-up batch."""
+    from evolution_spark.io.delta_log import commit_delta, write_delta_snapshot
+
+    spark = registered
+    path = str(tmp_path / "ratelim")
+    write_delta_snapshot(spark.range(2).select(F.col("id").alias("k")), path)
+    for i in range(1, 5):  # versions 1..4, 2 rows each
+        commit_delta(
+            spark.range(i * 10, i * 10 + 2).select(F.col("id").alias("k")),
+            path, mode="append",
+        )
+    q = (
+        spark.readStream.format("evolution_delta")
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "2")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("evo_rate")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.k for r in spark.sql("SELECT k FROM evo_rate").collect()}
+        assert got == {10, 11, 20, 21, 30, 31, 40, 41}
+        # the backlog of 4 versions drained over >= 2 micro-batches
+        assert len(q.recentProgress) >= 2
+    finally:
+        q.stop()
