@@ -38,6 +38,11 @@ AUDITED = {
     "winnow_fingerprints": "single PRE-explode text shuffle; gram stream never moves",
     "referential_orphans_audit": "anti joins ship distinct dim keys; fact side scans narrow",
     "event_value_outliers": "5-row stats broadcast; events scan narrow, top-50 heaps out",
+    "delta_deletion_vector_read": "DV positions broadcast; table scan never shuffles for the mask",
+    "iceberg_position_delete_scan": "delete (file,pos) pairs broadcast; data scan narrow",
+    "delta_cdf_changes": "change-window file scan + broadcast position/version tables",
+    "delta_python_source_read": "NO join: per-file executor-side DV masking in the source",
+    "iceberg_equality_delete_scan": "equality keys + file-seq map broadcast; scan narrow",
     "session_path_topk": "one events shuffle on user_id; path counts are domain-sized",
     "pit_join_scd2_purchases": "one (user_id) union shuffle for the as-of fill",
     "triangle_count_copurchase": "degree-oriented edges; wedge join ships id pairs only",
