@@ -25,7 +25,11 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-from pyspark.sql.datasource import DataSource, DataSourceReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+)
 
 from evolution_spark.io.delta_source import _FileSlice, _read_slice
 
@@ -192,7 +196,102 @@ class EvolutionIcebergDataSource(DataSource):
         sch, slices = self._plan()
         return _IcebergBatchReader(sch.json(), slices)
 
+    def streamReader(self, schema):
+        return _IcebergStreamReader(self.options)
+
 
 def register_iceberg_source(spark) -> None:
     """Idempotently register the format for this session."""
     spark.dataSource.register(EvolutionIcebergDataSource)
+
+
+class _IcebergStreamReader(DataSourceStreamReader):
+    """Structured Streaming over native Iceberg metadata: offsets are the
+    table's monotonic SEQUENCE NUMBERS. The first micro-batch is the
+    CURRENT snapshot (position deletes applied per file), later batches
+    read exactly the data files each append snapshot added. Non-append
+    snapshots after the start (delete/replace) fail the stream — the
+    consumer's view would silently diverge — unless ``ignoreChanges``
+    opts into skipping them."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("evolution_iceberg requires a path (.load(path))")
+        self.ignore_changes = str(
+            options.get("ignoreChanges", "false")
+        ).lower() == "true"
+        schema, _ = _plan_iceberg_slices(self.path)
+        self.schema_json = schema.json()
+
+    def _metadata(self):
+        from evolution_spark.io.iceberg_meta import _load_metadata
+
+        return _load_metadata(Path(self.path))[0]
+
+    def initialOffset(self):
+        return {"seq": -1, "snapshot_done": False}
+
+    def latestOffset(self):
+        return {
+            "seq": self._metadata()["last-sequence-number"],
+            "snapshot_done": True,
+        }
+
+    def partitions(self, start, end):
+        from evolution_spark.io.deletion_vectors import serialize_roaring64
+        from evolution_spark.io.iceberg_meta import IcebergFormatError, _read_avro
+
+        metadata = self._metadata()
+        lo, hi = int(start["seq"]), int(end["seq"])
+        if not start.get("snapshot_done", True):
+            # initial snapshot: the newest snapshot at or below `hi`
+            candidates = [
+                s for s in metadata["snapshots"]
+                if int(s.get("sequence-number") or 0) <= hi
+            ]
+            if not candidates:
+                return []
+            snap = candidates[-1]
+            _, slices = _plan_iceberg_slices(
+                self.path, snapshot_id=snap["snapshot-id"]
+            )
+            return slices
+        out = []
+        for snap in metadata["snapshots"]:
+            seq = int(snap.get("sequence-number") or 0)
+            if seq <= lo or seq > hi:
+                continue
+            op = snap["summary"].get("operation", "append")
+            if op != "append":
+                if self.ignore_changes:
+                    continue
+                raise RuntimeError(
+                    f"snapshot {snap['snapshot-id']} (seq {seq}) has "
+                    f"operation {op!r}; the stream cannot represent row "
+                    "deletion/rewrites — set ignoreChanges=true to skip, "
+                    "or consume iceberg_table_changes() instead"
+                )
+            sid = snap["snapshot-id"]
+            for mf in _read_avro(Path(snap["manifest-list"])):
+                if mf.get("added_snapshot_id") != sid:
+                    continue
+                if int(mf.get("content") or 0) != 0:
+                    continue  # delete manifests can't appear in appends
+                for entry in _read_avro(Path(mf["manifest_path"])):
+                    if entry["status"] != 1:
+                        continue
+                    dfile = entry["data_file"]
+                    out.append(
+                        _FileSlice(
+                            dfile["file_path"], None,
+                            dict(dfile.get("partition") or {}), {},
+                        )
+                    )
+        return out
+
+    def read(self, partition):
+        yield from _read_slice(partition, self.schema_json)
+
+    def commit(self, end):
+        pass

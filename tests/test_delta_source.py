@@ -515,3 +515,55 @@ def test_streaming_max_versions_per_trigger(registered, tmp_path):
         assert len(q.recentProgress) >= 2
     finally:
         q.stop()
+
+
+def test_iceberg_streaming_source(ice_registered, tmp_path):
+    """Iceberg streaming: snapshot backfill (position deletes applied),
+    incremental appends by sequence number, loud failure on delete
+    snapshots mid-stream, ignoreChanges skip."""
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        append_position_deletes,
+        write_iceberg_table,
+    )
+    from tests.test_iceberg_deletes import _positions_of
+
+    spark = ice_registered
+    path = str(tmp_path / "istream")
+    write_iceberg_table(spark.range(10).select(F.col("id").alias("k")), path)
+    append_position_deletes(path, _positions_of(spark, path, "k % 2 = 0"))
+    q = (
+        spark.readStream.format("evolution_iceberg").load(path)
+        .writeStream.format("memory").queryName("ice_stream").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.k for r in spark.sql("SELECT k FROM ice_stream").collect()}
+        # snapshot backfill sees the delete-filtered current state
+        assert got == {k for k in range(10) if k % 2 == 1}
+        append_iceberg_snapshot(
+            spark.range(10, 13).select(F.col("id").alias("k")), path
+        )
+        q.processAllAvailable()
+        got = {r.k for r in spark.sql("SELECT k FROM ice_stream").collect()}
+        assert got == {k for k in range(10) if k % 2 == 1} | {10, 11, 12}
+        # a delete snapshot mid-stream fails loudly
+        append_position_deletes(path, _positions_of(spark, path, "k = 1"))
+        with pytest.raises(Exception, match="STREAM_FAILED|cannot represent"):
+            q.processAllAvailable()
+        assert not q.isActive
+    finally:
+        if q.isActive:
+            q.stop()
+    # ignoreChanges: a fresh stream (snapshot covers the delete) + skipping
+    q2 = (
+        spark.readStream.format("evolution_iceberg")
+        .option("ignoreChanges", "true").load(path)
+        .writeStream.format("memory").queryName("ice_stream2").start()
+    )
+    try:
+        q2.processAllAvailable()
+        got = {r.k for r in spark.sql("SELECT k FROM ice_stream2").collect()}
+        assert got == ({k for k in range(10) if k % 2 == 1} | {10, 11, 12}) - {1}
+    finally:
+        q2.stop()
