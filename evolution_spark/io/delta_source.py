@@ -242,16 +242,16 @@ class _StreamReader(DataSourceStreamReader):
         self._start = (int(start) - 1) if start is not None else None
         # rate limiting: cap how many log versions one micro-batch may
         # consume (the real source's maxFilesPerTrigger analogue at this
-        # source's natural granularity) — keeps recovery batches bounded
-        # after downtime instead of one giant catch-up batch
+        # source's natural granularity). The baseline is IN-MEMORY reader
+        # state, so the FIRST batch of any (re)started query is uncapped —
+        # returning a capped offset below the checkpoint's committed
+        # offset would regress the stream and re-deliver versions; after
+        # the first trigger the cap bounds every subsequent batch.
         mvpt = options.get("maxVersionsPerTrigger")
         self._max_versions = int(mvpt) if mvpt is not None else None
         if self._max_versions is not None and self._max_versions < 1:
             raise ValueError("maxVersionsPerTrigger must be >= 1")
-        # the cap baseline: startingVersion-mode streams cap from their
-        # start; snapshot-mode streams take the initial snapshot as ONE
-        # batch (uncapped) and cap afterwards
-        self._last_end = self._start
+        self._last_end = None
         _, schema_json, self.renames = _plan_meta(self.path)
         self.schema_json = json.dumps(schema_json)
 
@@ -267,10 +267,16 @@ class _StreamReader(DataSourceStreamReader):
 
         versions = _log_versions(Path(self.path) / "_delta_log")
         latest = versions[-1] if versions else -1
+        if self._start is not None:
+            # a startingVersion ahead of the table must never be rewound:
+            # offsets below it would later deliver excluded versions
+            latest = max(latest, self._start)
         if self._max_versions is not None and self._last_end is not None:
             capped = [v for v in versions if v > self._last_end]
             if capped:
-                latest = capped[: self._max_versions][-1]
+                latest = max(capped[: self._max_versions][-1], self._last_end)
+            else:
+                latest = max(latest, self._last_end)
         self._last_end = latest
         return {"version": latest, "snapshot_done": True}
 
@@ -280,6 +286,10 @@ class _StreamReader(DataSourceStreamReader):
         table_dir = Path(self.path)
         log_dir = table_dir / "_delta_log"
         lo, hi = int(start["version"]), int(end["version"])
+        # sync the cap baseline with the CHECKPOINTED start (a restarted
+        # query's first partitions() call carries it)
+        if self._last_end is None or lo > self._last_end:
+            self._last_end = lo
         if not start.get("snapshot_done", True):
             # initial snapshot at `hi`: every live file, DV-masked —
             # correct on any history

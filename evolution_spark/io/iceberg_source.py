@@ -221,8 +221,21 @@ class _IcebergStreamReader(DataSourceStreamReader):
         self.ignore_changes = str(
             options.get("ignoreChanges", "false")
         ).lower() == "true"
-        schema, _ = _plan_iceberg_slices(self.path)
-        self.schema_json = schema.json()
+        # schema from the metadata alone — the full slice plan (manifest
+        # walk + delete-file reads) is wasted work at stream start
+        from evolution_spark.io.iceberg_meta import spark_schema_of
+
+        md = self._metadata()
+        if "last-sequence-number" not in md:
+            raise ValueError(
+                "streaming needs format-version 2 sequence numbers; this "
+                "table's metadata has none (v1?) — batch reads still work"
+            )
+        cur = next(
+            s for s in md["schemas"]
+            if s["schema-id"] == md["current-schema-id"]
+        )
+        self.schema_json = spark_schema_of(cur).json()
 
     def _metadata(self):
         from evolution_spark.io.iceberg_meta import _load_metadata
@@ -239,8 +252,7 @@ class _IcebergStreamReader(DataSourceStreamReader):
         }
 
     def partitions(self, start, end):
-        from evolution_spark.io.deletion_vectors import serialize_roaring64
-        from evolution_spark.io.iceberg_meta import IcebergFormatError, _read_avro
+        from evolution_spark.io.iceberg_meta import _read_avro
 
         metadata = self._metadata()
         lo, hi = int(start["seq"]), int(end["seq"])
@@ -252,7 +264,9 @@ class _IcebergStreamReader(DataSourceStreamReader):
             ]
             if not candidates:
                 return []
-            snap = candidates[-1]
+            # newest by SEQUENCE (the snapshots array's order is not
+            # guaranteed by the spec)
+            snap = max(candidates, key=lambda s: int(s.get("sequence-number") or 0))
             _, slices = _plan_iceberg_slices(
                 self.path, snapshot_id=snap["snapshot-id"]
             )

@@ -486,21 +486,18 @@ def test_batch_write_schema_mismatch_and_nulls(registered, tmp_path):
 
 
 def test_streaming_max_versions_per_trigger(registered, tmp_path):
-    """Rate limiting: a backlog of N versions drains in ceil(N/cap)
-    micro-batches instead of one giant catch-up batch."""
+    """Rate limiting: the FIRST batch of a (re)started query is uncapped
+    (a capped offset below the checkpointed commit would regress the
+    stream), then a backlog of N versions drains in >= N/cap capped
+    micro-batches."""
     from evolution_spark.io.delta_log import commit_delta, write_delta_snapshot
 
     spark = registered
     path = str(tmp_path / "ratelim")
     write_delta_snapshot(spark.range(2).select(F.col("id").alias("k")), path)
-    for i in range(1, 5):  # versions 1..4, 2 rows each
-        commit_delta(
-            spark.range(i * 10, i * 10 + 2).select(F.col("id").alias("k")),
-            path, mode="append",
-        )
     q = (
         spark.readStream.format("evolution_delta")
-        .option("startingVersion", "1")
+        .option("startingVersion", "0")
         .option("maxVersionsPerTrigger", "2")
         .load(path)
         .writeStream.format("memory")
@@ -508,13 +505,24 @@ def test_streaming_max_versions_per_trigger(registered, tmp_path):
         .start()
     )
     try:
+        q.processAllAvailable()  # first batch: v0, baseline set
+        for i in range(1, 5):  # backlog of 4 versions lands mid-stream
+            commit_delta(
+                spark.range(i * 10, i * 10 + 2).select(F.col("id").alias("k")),
+                path, mode="append",
+            )
         q.processAllAvailable()
         got = {r.k for r in spark.sql("SELECT k FROM evo_rate").collect()}
-        assert got == {10, 11, 20, 21, 30, 31, 40, 41}
-        # the backlog of 4 versions drained over >= 2 micro-batches
-        assert len(q.recentProgress) >= 2
+        assert got == {0, 1, 10, 11, 20, 21, 30, 31, 40, 41}
+        # the 4-version backlog drained over >= 2 DATA batches, each at
+        # most cap(2) x 2 rows (a vacuous progress-count check would pass
+        # even with the cap broken)
+        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(data_batches) >= 3  # v0 batch + >=2 capped batches
+        assert all(p["numInputRows"] <= 4 for p in data_batches)
     finally:
         q.stop()
+
 
 
 def test_iceberg_streaming_source(ice_registered, tmp_path):
