@@ -17,14 +17,26 @@ streams start cleanly on tables whose history contains deletes or
 overwrites), and every later micro-batch reads exactly the files the new
 commits added, the incremental-consumption contract of the real Delta
 source (non-append changes after the start fail the stream unless
-`ignoreChanges` is set).
+`ignoreChanges` / `skipChangeCommits` opt into a weaker contract).
 
 Executors yield pyarrow RecordBatches (Arrow-native, no per-row Python);
 the driver side only replays the metadata-sized log. Batch options:
 ``version`` (time travel). Streaming options: ``startingVersion``
 (INCLUSIVE, like the real source: replay appends from that version
-instead of snapshotting), ``ignoreChanges`` (skip non-append commits
-instead of failing).
+instead of snapshotting), ``ignoreChanges`` (re-emit a non-append
+commit's files — upstream's at-least-once semantics: live rows of
+rewritten files arrive AGAIN, deleted rows never do because each file's
+DV is applied), ``skipChangeCommits`` (skip non-append commits
+entirely — rows changed mid-stream are simply not re-delivered).
+
+WHEN TO PREFER THE LIBRARY READERS: ``read_delta_snapshot`` plans the
+scan as a native JVM parquet read (anti-joining metadata-sized DV/delete
+tables), so a batch query pays no Python in the row path at all; this
+DataSource pays the Python-worker Arrow bridge per batch (~0.8 s
+constant at sf0.1, independent of data size). Use the DataSource when
+you need the *source contract* — Structured Streaming, format-string
+composability, per-file executor-side DV masking with no join — and
+``read_delta_snapshot`` for latency-sensitive batch reads.
 
 The reference engine has no source integration at all (its targets are
 ``todo!()`` — crates/evolution-target/src/target.rs:31-37); this is the
@@ -141,11 +153,13 @@ def _arrow_type_of(typ):
     )
 
 
-def _const_array(raw, at, n):
+def _const_array(raw, at, n, col=None):
     """Constant arrow array of type ``at`` from a raw partition value that
     may be a string (Delta partitionValues) or already typed (Iceberg
     manifest partition records — e.g. date32 arrives as int days, which
-    arrow cannot cast from int64 directly)."""
+    arrow cannot cast from int64 directly). A value that fits neither the
+    declared type nor its string rendering raises HERE, naming the
+    partition column — not as a cast failure far downstream."""
     import pyarrow as pa
 
     try:
@@ -154,7 +168,13 @@ def _const_array(raw, at, n):
         pass
     if pa.types.is_date32(at) and isinstance(raw, int):
         return pa.array([raw] * n, type=pa.int32()).cast(at)
-    return pa.array([str(raw)] * n).cast(at)
+    try:
+        return pa.array([str(raw)] * n).cast(at)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError) as e:
+        raise ValueError(
+            f"partition column {col!r}: stored value {raw!r} cannot be "
+            f"materialized as {at} — malformed partition metadata ({e})"
+        ) from None
 
 
 def _read_slice(slice_, logical_schema_json: str):
@@ -201,7 +221,7 @@ def _read_slice(slice_, logical_schema_json: str):
                 if raw is None:
                     cols[name] = pa.nulls(batch.num_rows, type=at)
                 else:
-                    cols[name] = _const_array(raw, at, batch.num_rows)
+                    cols[name] = _const_array(raw, at, batch.num_rows, col=name)
         yield pa.RecordBatch.from_arrays(
             [cols[n_] for n_ in logical_names], names=logical_names
         )
@@ -225,9 +245,14 @@ class _StreamReader(DataSourceStreamReader):
     overwrite history, exactly like the real Delta source's initial
     snapshot. Later micro-batches (start, end] read the files new commits
     added; non-append commits after the start fail the stream — the
-    consumer's view would silently diverge — unless ignoreChanges is set,
-    which skips their adds too. ``startingVersion`` (INCLUSIVE) replays
-    appends from that version instead of snapshotting."""
+    consumer's view would silently diverge — unless ``ignoreChanges``
+    (re-emit the commit's files, DV-applied: upstream's at-least-once
+    duplicates, never loss) or ``skipChangeCommits`` (skip the commit
+    entirely) opts out. ``startingVersion`` (INCLUSIVE) replays appends
+    from that version instead of snapshotting. A schema-changing
+    metaData commit mid-stream fails the stream (the pinned schema can
+    no longer represent later files); missing log versions inside
+    (start, end] fail it too rather than silently dropping commits."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -235,6 +260,9 @@ class _StreamReader(DataSourceStreamReader):
             raise ValueError("evolution_delta requires a path (.load(path))")
         self.ignore_changes = str(
             options.get("ignoreChanges", "false")
+        ).lower() == "true"
+        self.skip_change_commits = str(
+            options.get("skipChangeCommits", "false")
         ).lower() == "true"
         start = options.get("startingVersion")
         # inclusive startingVersion: the offset is the last CONSUMED
@@ -301,12 +329,34 @@ class _StreamReader(DataSourceStreamReader):
         live_before, *_ = (
             _replay_log(table_dir, lo) if lo >= 0 else ({}, None, None, None)
         )
+        present = [v for v in _log_versions(log_dir) if lo < v <= hi]
+        missing = sorted(set(range(lo + 1, hi + 1)) - set(present))
+        if missing:
+            # interior gap (log files cleaned by a foreign writer's
+            # retention while the stream was stopped): silently skipping
+            # would DROP those commits' rows — fail like the real source
+            raise RuntimeError(
+                f"log versions {missing} are missing from {log_dir} "
+                f"(expected contiguous versions in ({lo}, {hi}]); the "
+                "stream cannot skip commits without losing rows — restart "
+                "from a fresh checkpoint to re-snapshot the table"
+            )
+        pinned_fields = json.loads(self.schema_json).get("fields")
         out = []
-        for v in _log_versions(log_dir):
-            if v <= lo or v > hi:
-                continue
+        for v in present:
             acts = [json.loads(l) for l in
                     (log_dir / f"{v:020d}.json").read_text().splitlines()]
+            for a in acts:
+                md = a.get("metaData")
+                if md and json.loads(md["schemaString"]).get("fields") != pinned_fields:
+                    # the reader pinned the schema at stream start; later
+                    # files would be silently projected down to it —
+                    # fail loudly like the real Delta source
+                    raise RuntimeError(
+                        f"commit {v} changes the table schema mid-stream; "
+                        "the running query pinned the schema at start — "
+                        "restart the stream to pick up the new schema"
+                    )
             adds = [a["add"] for a in acts
                     if "add" in a and a["add"].get("dataChange", True)]
             removes = [a for a in acts
@@ -315,14 +365,21 @@ class _StreamReader(DataSourceStreamReader):
                 a["path"] in live_before or a.get("deletionVector")
                 for a in adds
             )
-            if non_append and not self.ignore_changes:
+            if non_append and not (self.ignore_changes or self.skip_change_commits):
                 raise RuntimeError(
                     f"commit {v} is not an append (removes or DV re-adds "
                     "present); the stream cannot represent row deletion — "
-                    "set ignoreChanges=true to skip such commits, or "
-                    "consume table_changes() instead"
+                    "set skipChangeCommits=true to skip such commits, "
+                    "ignoreChanges=true to re-emit their files "
+                    "(at-least-once duplicates), or consume "
+                    "table_changes() instead"
                 )
-            if not non_append:
+            if not non_append or (self.ignore_changes
+                                  and not self.skip_change_commits):
+                # append commits always emit; under ignoreChanges a change
+                # commit's (re-)added files emit too — DV applied, so live
+                # rows may arrive twice but deleted rows never arrive
+                # (upstream's at-least-once contract, never loss)
                 for add in adds:
                     out.append(
                         _slice_of(table_dir, add["path"], add, self.renames)
@@ -530,6 +587,20 @@ def _commit_shards(path: str, messages, txn=None, written_schema_json=None) -> N
     _publish_commit(table_dir, version, actions, "sink append")
 
 
+def _reclaim_stages(messages, fallback_stage: str) -> None:
+    """Remove the per-writer staging dirs a commit/abort leaves behind.
+    The committing writer instance is NOT the writing one (the DataSource
+    is re-instantiated across the plan/write/commit boundaries, each with
+    a fresh staging uuid), so the dirs are derived from the shard
+    messages' parent paths; ``fallback_stage`` covers the zero-task case."""
+    import shutil as _shutil
+
+    stages = {str(Path(m.path).parent) for m in messages if m is not None}
+    stages.add(fallback_stage)
+    for s in stages:
+        _shutil.rmtree(s, ignore_errors=True)
+
+
 class _BatchWriter(DataSourceWriter):
     def __init__(self, options, schema_json):
         import uuid as _uuid
@@ -546,12 +617,18 @@ class _BatchWriter(DataSourceWriter):
         return _write_shard(iterator, self.schema_json, self.stage)
 
     def commit(self, messages):
-        _commit_shards(self.path, messages, written_schema_json=self.schema_json)
+        try:
+            _commit_shards(
+                self.path, messages, written_schema_json=self.schema_json
+            )
+        finally:
+            # the commit moved the non-empty shards out; drop the staging
+            # dirs (and any zero-row shard files) now instead of waiting
+            # for a 24h reclaim_stale_staging pass
+            _reclaim_stages(messages, self.stage)
 
     def abort(self, messages):
-        import shutil as _shutil
-
-        _shutil.rmtree(self.stage, ignore_errors=True)
+        _reclaim_stages(messages, self.stage)
 
 
 class _StreamWriter(DataSourceStreamWriter):
@@ -585,27 +662,23 @@ class _StreamWriter(DataSourceStreamWriter):
         return _write_shard(iterator, self.schema_json, self.stage)
 
     def commit(self, messages, batchId):
-        import os as _os
-
         from evolution_spark.io.delta_log import last_txn_version
 
         seen = last_txn_version(self.path, self.app_id)
         if seen is not None and batchId <= seen:
             # replayed batch: already committed — exactly-once. Drop the
-            # re-staged shards or they leak on every replay.
-            for m in messages:
-                if m is not None:
-                    try:
-                        _os.unlink(m.path)
-                    except OSError:
-                        pass
+            # re-staged shards (whole staging dirs) or they leak on replay.
+            _reclaim_stages(messages, self.stage)
             return
-        _commit_shards(
-            self.path, messages, txn=(self.app_id, batchId),
-            written_schema_json=self.schema_json,
-        )
+        try:
+            _commit_shards(
+                self.path, messages, txn=(self.app_id, batchId),
+                written_schema_json=self.schema_json,
+            )
+        finally:
+            # non-empty shards were moved out by the commit; reclaim the
+            # staging dirs and any zero-row shard files
+            _reclaim_stages(messages, self.stage)
 
     def abort(self, messages, batchId):
-        import shutil as _shutil
-
-        _shutil.rmtree(self.stage, ignore_errors=True)
+        _reclaim_stages(messages, self.stage)

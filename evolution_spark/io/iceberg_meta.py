@@ -1050,6 +1050,11 @@ def append_equality_deletes(
         raise ValueError("equality_cols must be non-empty")
     table_dir = Path(path)
     metadata, prev_meta_file = _load_metadata(table_dir)
+    if metadata.get("current-snapshot-id") is None:
+        raise ValueError(
+            "cannot add equality deletes to a table with no current "
+            "snapshot (empty table) — there are no data files to delete from"
+        )
     ice_schema = next(
         s for s in metadata["schemas"] if s["schema-id"] == metadata["current-schema-id"]
     )
@@ -1318,6 +1323,11 @@ def append_position_deletes(path: str, deletes: list[tuple[str, int]]) -> dict:
         raise ValueError("deletes must be non-empty")
     table_dir = Path(path)
     metadata, prev_meta_file = _load_metadata(table_dir)
+    if metadata.get("current-snapshot-id") is None:
+        raise ValueError(
+            "cannot add position deletes to a table with no current "
+            "snapshot (empty table) — there are no data files to delete from"
+        )
     ice_schema = next(
         s for s in metadata["schemas"] if s["schema-id"] == metadata["current-schema-id"]
     )

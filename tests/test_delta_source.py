@@ -119,10 +119,12 @@ def test_streaming_backfill_increment_and_nonappend_failure(
             q.stop()
 
 
-def test_streaming_ignore_changes_skips_nonappend(registered, tmp_path):
-    """After the initial snapshot, a mid-stream non-append commit is
-    SKIPPED (not failed) under ignoreChanges, and later appends still
-    arrive."""
+def test_streaming_ignore_changes_reemits_nonappend(registered, tmp_path):
+    """ignoreChanges matches upstream's at-least-once contract: a
+    mid-stream non-append commit RE-EMITS its (re-)added files with their
+    DVs applied — surviving rows of the rewritten file arrive again
+    (duplicates), deleted rows are never delivered again, and genuinely
+    new rows in a change commit are not lost."""
     from evolution_spark.io.delta_log import (
         commit_delta,
         delete_delta_rows,
@@ -131,13 +133,15 @@ def test_streaming_ignore_changes_skips_nonappend(registered, tmp_path):
 
     spark = registered
     path = str(tmp_path / "stream2")
-    write_delta_snapshot(spark.range(5).select(F.col("id").alias("k")), path)
+    write_delta_snapshot(
+        spark.range(5).select(F.col("id").alias("k")).coalesce(1), path
+    )
     q = (
         spark.readStream.format("evolution_delta")
         .option("ignoreChanges", "true")
         .load(path)
         .writeStream.format("memory")
-        .queryName("evo_src_skip")
+        .queryName("evo_src_reemit")
         .start()
     )
     try:
@@ -147,12 +151,113 @@ def test_streaming_ignore_changes_skips_nonappend(registered, tmp_path):
             spark.range(5, 8).select(F.col("id").alias("k")), path, mode="append"
         )
         q.processAllAvailable()
-        got = {r.k for r in spark.sql("SELECT k FROM evo_src_skip").collect()}
-        # snapshot (0..4) + appended (5..7); the DELETE's DV re-add was
-        # skipped (documented ignoreChanges semantics: deletes invisible)
-        assert got == set(range(8))
+        counts = {
+            r.k: r.c
+            for r in spark.sql(
+                "SELECT k, count(*) c FROM evo_src_reemit GROUP BY k"
+            ).collect()
+        }
+        # k=0: snapshot only (the re-emitted file's DV masks it out);
+        # k=1..4: snapshot + re-emit = 2 (at-least-once); k=5..7: once
+        assert counts[0] == 1
+        assert all(counts[k] == 2 for k in range(1, 5))
+        assert all(counts[k] == 1 for k in range(5, 8))
     finally:
         q.stop()
+
+
+def test_streaming_skip_change_commits(registered, tmp_path):
+    """skipChangeCommits skips a non-append commit entirely (the former
+    ignoreChanges behavior, under upstream's name for it): no duplicates,
+    no re-delivery, later appends still arrive."""
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        delete_delta_rows,
+        write_delta_snapshot,
+    )
+
+    spark = registered
+    path = str(tmp_path / "stream2b")
+    write_delta_snapshot(
+        spark.range(5).select(F.col("id").alias("k")).coalesce(1), path
+    )
+    q = (
+        spark.readStream.format("evolution_delta")
+        .option("skipChangeCommits", "true")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("evo_src_skipcc")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        delete_delta_rows(spark, path, "k = 0")
+        commit_delta(
+            spark.range(5, 8).select(F.col("id").alias("k")), path, mode="append"
+        )
+        q.processAllAvailable()
+        rows = [r.k for r in spark.sql("SELECT k FROM evo_src_skipcc").collect()]
+        assert sorted(rows) == list(range(8))  # no duplicates, no loss
+    finally:
+        q.stop()
+
+
+def test_streaming_missing_log_version_fails(registered, tmp_path):
+    """An interior gap in (start, end] — e.g. log files cleaned by a
+    foreign writer's retention while the stream was down — fails loudly
+    instead of silently dropping the missing commits' rows."""
+    import pytest as _pytest
+
+    from evolution_spark.io.delta_log import commit_delta, write_delta_snapshot
+    from evolution_spark.io.delta_source import _StreamReader
+
+    spark = registered
+    path = tmp_path / "streamgap"
+    write_delta_snapshot(spark.range(3).select(F.col("id").alias("k")), str(path))
+    for lo_, hi_ in [(3, 6), (6, 9), (9, 12)]:
+        commit_delta(
+            spark.range(lo_, hi_).select(F.col("id").alias("k")),
+            str(path), mode="append",
+        )
+    reader = _StreamReader({"path": str(path)})
+    (path / "_delta_log" / f"{2:020d}.json").unlink()  # foreign cleanup
+    with _pytest.raises(RuntimeError, match=r"missing|\[2\]"):
+        reader.partitions(
+            {"version": 1, "snapshot_done": True},
+            {"version": 3, "snapshot_done": True},
+        )
+
+
+def test_streaming_schema_change_fails(registered, tmp_path):
+    """A schema-changing metaData commit inside (start, end] fails the
+    stream (the pinned schema would silently project later files down),
+    like the real Delta source."""
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        evolve_delta_schema,
+        write_delta_snapshot,
+    )
+    from evolution_spark.io.delta_source import _StreamReader
+
+    spark = registered
+    path = str(tmp_path / "streamschema")
+    write_delta_snapshot(spark.range(3).select(F.col("id").alias("k")), path)
+    reader = _StreamReader({"path": path})  # pins the v0 schema
+    evolve_delta_schema(path, [("w", T.DoubleType())])  # v1: metaData only
+    commit_delta(
+        spark.range(3, 5).select(F.col("id").alias("k"),
+                                 (F.col("id") * 1.0).alias("w")),
+        path, mode="append",
+    )
+    with _pytest.raises(RuntimeError, match="schema"):
+        reader.partitions(
+            {"version": 0, "snapshot_done": True},
+            {"version": 2, "snapshot_done": True},
+        )
 
 
 def test_streaming_snapshot_backfill_on_delete_history(registered, tmp_path):
@@ -402,6 +507,9 @@ def test_batch_write_append(registered, tmp_path):
     assert {r.k for r in read_delta_snapshot(spark, path).collect()} == set(range(9))
     # the sink's commit is a real log version readable by the source too
     assert spark.read.format("evolution_delta").load(path).count() == 9
+    # the per-writer staging dir is reclaimed at commit, not left for a
+    # 24h reclaim_stale_staging pass
+    assert list((tmp_path / "wsink").glob("_staging_sink-*")) == []
     with pytest.raises(Exception, match="append-only"):
         spark.range(3).select(F.col("id").alias("k")).write.format(
             "evolution_delta"
@@ -447,6 +555,8 @@ def test_streaming_sink_exactly_once(registered, tmp_path):
         assert last_txn_version(dst, "pipeline_a") is not None
     finally:
         q.stop()
+    # streaming commits reclaim their per-writer staging dirs immediately
+    assert list((tmp_path / "sdst").glob("_staging_sink-*")) == []
     # replaying an already-committed batch is a no-op (idempotence)
     from evolution_spark.io.delta_log import _replay_log
     from evolution_spark.io.delta_source import _StreamWriter
@@ -575,3 +685,19 @@ def test_iceberg_streaming_source(ice_registered, tmp_path):
         assert got == ({k for k in range(10) if k % 2 == 1} | {10, 11, 12}) - {1}
     finally:
         q2.stop()
+
+
+def test_const_array_malformed_partition_value_named_error():
+    """A stored partition value that fits neither the declared type nor
+    its string rendering raises a typed error NAMING the column, instead
+    of a downstream cast failure far from its cause."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from evolution_spark.io.delta_source import _const_array
+
+    # well-formed paths still work
+    assert _const_array("7", pa.int32(), 2, col="p").to_pylist() == [7, 7]
+    assert _const_array(19723, pa.date32(), 1, col="d").to_pylist() is not None
+    with _pytest.raises(ValueError, match=r"partition column 'p'.*'not-a-number'"):
+        _const_array("not-a-number", pa.int64(), 3, col="p")

@@ -294,3 +294,32 @@ def test_equality_deletes_guards(spark, tmp_path):
         append_equality_deletes(path, [{"z": 1}], ["z"])
     with pytest.raises(ValueError, match="exactly"):
         append_equality_deletes(path, [{"k": 1, "extra": 2}], ["k"])
+
+
+def test_deletes_refused_on_empty_table(tmp_path):
+    """A table with no current snapshot (foreign-created, never appended)
+    refuses position/equality deletes with a clear error instead of a
+    bare StopIteration from the snapshot lookup."""
+    import json as _json
+
+    from evolution_spark.io.iceberg_meta import (
+        append_equality_deletes,
+        append_position_deletes,
+    )
+
+    meta_dir = tmp_path / "empty" / "metadata"
+    meta_dir.mkdir(parents=True)
+    meta_name = "00000-deadbeef.metadata.json"
+    (meta_dir / meta_name).write_text(_json.dumps({
+        "format-version": 2,
+        "current-snapshot-id": None,
+        "snapshots": [],
+        "schemas": [],
+        "partition-specs": [],
+    }))
+    (meta_dir / "version-hint.text").write_text(meta_name)
+    path = str(tmp_path / "empty")
+    with pytest.raises(ValueError, match="no current snapshot"):
+        append_position_deletes(path, [("f.parquet", 0)])
+    with pytest.raises(ValueError, match="no current snapshot"):
+        append_equality_deletes(path, [{"k": 1}], ["k"])
