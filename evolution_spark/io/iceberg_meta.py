@@ -820,6 +820,23 @@ def append_iceberg_snapshot(df: DataFrame, path: str) -> dict:
     return _commit_iceberg_snapshot(df, path, operation="append")
 
 
+def last_iceberg_txn(path: str, app_id: str) -> int | None:
+    """Largest batch id a streaming sink with txn identity ``app_id`` has
+    committed to this table, or None — read from the snapshot summaries
+    (``evolution.txn-app-id`` / ``evolution.txn-batch-id`` properties,
+    the Iceberg analogue of Delta's ``txn`` action). Metadata-sized: one
+    pass over the snapshot list."""
+    metadata, _ = _load_metadata(Path(path))
+    best = None
+    for s in metadata.get("snapshots") or []:
+        summ = s.get("summary") or {}
+        if summ.get("evolution.txn-app-id") == app_id:
+            b = int(summ["evolution.txn-batch-id"])
+            if best is None or b > best:
+                best = b
+    return best
+
+
 def compact_iceberg_table(spark, path: str, target_files: int = 1) -> dict:
     """OPTIMIZE (compaction) for the native Iceberg table — the Delta
     ``optimize_delta`` twin: rewrite the CURRENT snapshot's rows into
@@ -1469,8 +1486,6 @@ def _commit_iceberg_snapshot(
     silently erase that writer's rows; the commit aborts instead (the
     optimistic-concurrency validation an append doesn't need, because an
     append carries whatever the latest snapshot references)."""
-    import pyarrow.parquet as pq
-
     table_dir = Path(path)
     metadata, prev_meta_file = _load_metadata(table_dir)
     if (
@@ -1496,15 +1511,12 @@ def _commit_iceberg_snapshot(
         raise ValueError(
             f"schema mismatch vs table schema {[f.name for f in expected.fields]}"
         )
-    by_name = {f["name"]: f for f in ice_schema["fields"]}
     spec_fields = next(
         s for s in metadata["partition-specs"] if s["spec-id"] == metadata["default-spec-id"]
     )["fields"]
     part_cols = [f["name"] for f in spec_fields]
 
     seq = metadata["last-sequence-number"] + 1
-    snapshot_id = uuid.uuid4().int % (1 << 62)
-    now_ms = int(time.time() * 1000)
     data_dir = table_dir / "data"
     # uuid-suffixed staging dir OWNED by this process: two appends racing
     # for the same sequence number each stage privately, so the race is
@@ -1538,6 +1550,43 @@ def _commit_iceberg_snapshot(
     finally:
         if stage.exists():
             shutil.rmtree(stage)
+
+    return _commit_files_as_snapshot(
+        table_dir, metadata, prev_meta_file, moved, operation
+    )
+
+
+def _commit_files_as_snapshot(
+    table_dir: Path,
+    metadata: dict,
+    prev_meta_file: Path,
+    moved: list[Path],
+    operation: str,
+    extra_summary: dict | None = None,
+) -> dict:
+    """Back half of a data-file commit, shared by the DataFrame path
+    (``_commit_iceberg_snapshot``) and the DataSource sink (which stages
+    its own shards): parquet files already placed under ``data/`` become
+    ONE new snapshot — one manifest, one manifest list (append: previous
+    entries carried by reference), one published metadata version.
+    ``extra_summary`` lands in the snapshot summary (the sink's txn
+    identity for exactly-once replay skipping)."""
+    import pyarrow.parquet as pq
+
+    ice_schema = next(
+        s
+        for s in metadata["schemas"]
+        if s["schema-id"] == metadata["current-schema-id"]
+    )
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    spec_fields = next(
+        s for s in metadata["partition-specs"]
+        if s["spec-id"] == metadata["default-spec-id"]
+    )["fields"]
+    seq = metadata["last-sequence-number"] + 1
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+    now_ms = int(time.time() * 1000)
+    data_dir = table_dir / "data"
 
     part_schema = _partition_record_schema(spec_fields, ice_schema)
     entry_schema = _manifest_entry_schema(part_schema)
@@ -1641,6 +1690,7 @@ def _commit_iceberg_snapshot(
             "added-records": str(total_rows),
             "total-data-files": str(total_files),
             "total-records": str(total_records),
+            **{k: str(v) for k, v in (extra_summary or {}).items()},
         },
         "schema-id": metadata["current-schema-id"],
     }

@@ -1,10 +1,13 @@
 """`evolution_iceberg` — the Iceberg twin of `evolution_delta`: the
 native snapshot/manifest reader exposed as a real Spark DataSource
-(PySpark 4 Python DataSource API), batch:
+(PySpark 4 Python DataSource API), batch + streaming, read AND write:
 
     spark.dataSource.register(EvolutionIcebergDataSource)
     spark.read.format("evolution_iceberg").load(path)
     spark.read.format("evolution_iceberg").option("snapshot", id).load(path)
+    df.write.format("evolution_iceberg").mode("append").save(path)
+    df.writeStream.format("evolution_iceberg")
+      .option("txnAppId", "pipeline").start(path)   # exactly-once
 
 One input partition per data file; each executor applies its own file's
 POSITION DELETES directly to the Arrow batches (the delete files'
@@ -29,9 +32,16 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
 )
 
-from evolution_spark.io.delta_source import _FileSlice, _read_slice
+from evolution_spark.io.delta_source import (
+    _FileSlice,
+    _read_slice,
+    _reclaim_stages,
+    _write_shard,
+)
 
 
 def _plan_iceberg_slices(
@@ -199,6 +209,24 @@ class EvolutionIcebergDataSource(DataSource):
     def streamReader(self, schema):
         return _IcebergStreamReader(self.options)
 
+    def writer(self, schema, overwrite):
+        if overwrite:
+            raise ValueError(
+                "evolution_iceberg sink is append-only (mode('append')); "
+                "overwrites go through write_iceberg_table/"
+                "compact_iceberg_table"
+            )
+        return _IcebergBatchWriter(self.options, schema.json())
+
+    def streamWriter(self, schema, overwrite):
+        if overwrite:
+            raise ValueError(
+                "evolution_iceberg sink is append-only (outputMode "
+                "'append'); complete/update modes would re-append every "
+                "trigger's cumulative result"
+            )
+        return _IcebergStreamWriter(self.options, schema.json())
+
 
 def register_iceberg_source(spark) -> None:
     """Idempotently register the format for this session."""
@@ -309,3 +337,180 @@ class _IcebergStreamReader(DataSourceStreamReader):
 
     def commit(self, end):
         pass
+
+
+# --------------------------------------------------------------------------
+# write side: batch append + EXACTLY-ONCE streaming sink (the Delta twin's
+# stage-shards -> one-atomic-snapshot-per-commit design, delta_source.py)
+# --------------------------------------------------------------------------
+
+
+def _commit_iceberg_shards(
+    path: str, messages, txn=None, written_schema_json=None
+) -> None:
+    """DRIVER-side commit: move the executor-staged shards under ``data/``
+    and publish them as ONE append snapshot via the same
+    ``_commit_files_as_snapshot`` core the DataFrame append uses. ``txn``
+    carries the streaming (appId, batchId) pair, recorded as
+    ``evolution.txn-*`` snapshot-summary properties for exactly-once
+    replay skipping (``last_iceberg_txn``)."""
+    import os as _os
+    import uuid as _uuid
+
+    from pyspark.sql.types import StructType
+
+    from evolution_spark.io.iceberg_meta import (
+        _commit_files_as_snapshot,
+        _load_metadata,
+        spark_schema_of,
+    )
+
+    shards = [m for m in messages if m is not None and m.rows > 0]
+    table_dir = Path(path)
+    if not (table_dir / "metadata" / "version-hint.text").exists():
+        raise RuntimeError(
+            "evolution_iceberg sink appends to an EXISTING table — create "
+            "it first with write_iceberg_table (the sink cannot invent the "
+            "table's schema/spec metadata from shards alone)"
+        )
+    metadata, prev_meta_file = _load_metadata(table_dir)
+    if int(metadata.get("format-version", 1)) != 2:
+        raise RuntimeError(
+            f"sink requires a format-version 2 table, got "
+            f"{metadata.get('format-version')}"
+        )
+    if metadata.get("current-snapshot-id") is None:
+        raise RuntimeError(
+            "table has no current snapshot; the sink appends to a table "
+            "with at least one committed snapshot (write_iceberg_table "
+            "creates one)"
+        )
+    spec_fields = next(
+        sp for sp in metadata["partition-specs"]
+        if sp["spec-id"] == metadata["default-spec-id"]
+    )["fields"]
+    if spec_fields:
+        raise RuntimeError(
+            "evolution_iceberg sink supports unpartitioned tables (shards "
+            "carry no partition layout); write partitioned data with "
+            "append_iceberg_snapshot"
+        )
+    ice_schema = next(
+        s for s in metadata["schemas"]
+        if s["schema-id"] == metadata["current-schema-id"]
+    )
+    if written_schema_json is not None:
+        # refuse loudly on a schema mismatch — committing shards with the
+        # wrong columns would read back as silent all-null rows
+        expected = spark_schema_of(ice_schema)
+        got = StructType.fromJson(json.loads(written_schema_json))
+        want_sig = [(f.name, f.dataType) for f in expected.fields]
+        got_sig = [(f.name, f.dataType) for f in got.fields]
+        if want_sig != got_sig:
+            raise RuntimeError(
+                f"schema mismatch vs table: writing "
+                f"{[(n, t.simpleString()) for n, t in got_sig]} into a "
+                f"table declaring "
+                f"{[(n, t.simpleString()) for n, t in want_sig]} — align "
+                "the DataFrame columns"
+            )
+    if not shards:
+        return
+    seq = metadata["last-sequence-number"] + 1
+    data_dir = table_dir / "data"
+    data_dir.mkdir(parents=True, exist_ok=True)
+    moved = []
+    for m in shards:
+        dest = data_dir / f"part-s{seq:05d}-{_uuid.uuid4().hex}.parquet"
+        _os.replace(m.path, dest)
+        moved.append(dest)
+    extra = (
+        {"evolution.txn-app-id": txn[0], "evolution.txn-batch-id": txn[1]}
+        if txn is not None
+        else None
+    )
+    _commit_files_as_snapshot(
+        table_dir, metadata, prev_meta_file, moved, "append",
+        extra_summary=extra,
+    )
+
+
+class _IcebergBatchWriter(DataSourceWriter):
+    def __init__(self, options, schema_json):
+        import uuid as _uuid
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "evolution_iceberg sink requires a path (.save(path))"
+            )
+        self.schema_json = schema_json
+        # per-writer staging dir: a concurrent job's abort can never
+        # rmtree this write's in-flight shards
+        self.stage = str(
+            Path(self.path) / f"_staging_sink-{_uuid.uuid4().hex}"
+        )
+
+    def write(self, iterator):
+        return _write_shard(iterator, self.schema_json, self.stage)
+
+    def commit(self, messages):
+        try:
+            _commit_iceberg_shards(
+                self.path, messages, written_schema_json=self.schema_json
+            )
+        finally:
+            _reclaim_stages(messages, self.stage)
+
+    def abort(self, messages):
+        _reclaim_stages(messages, self.stage)
+
+
+class _IcebergStreamWriter(DataSourceStreamWriter):
+    """EXACTLY-ONCE streaming sink: each micro-batch commits as ONE
+    Iceberg snapshot whose summary carries the sink's txn identity; a
+    replayed batch (post-crash re-delivery) is detected via
+    ``last_iceberg_txn`` and skipped — the contract of the Delta twin
+    (delta_source._StreamWriter), on Iceberg metadata."""
+
+    def __init__(self, options, schema_json):
+        import uuid as _uuid
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("evolution_iceberg sink requires a path")
+        # exactly-once NEEDS a stable per-pipeline identity: a shared
+        # default would make one query's batchIds mask another's
+        self.app_id = options.get("txnAppId")
+        if not self.app_id:
+            raise ValueError(
+                "evolution_iceberg sink requires .option('txnAppId', "
+                "<stable per-pipeline id>) — the txn identity that makes "
+                "replayed micro-batches idempotent"
+            )
+        self.schema_json = schema_json
+        self.stage = str(
+            Path(self.path) / f"_staging_sink-{_uuid.uuid4().hex}"
+        )
+
+    def write(self, iterator):
+        return _write_shard(iterator, self.schema_json, self.stage)
+
+    def commit(self, messages, batchId):
+        from evolution_spark.io.iceberg_meta import last_iceberg_txn
+
+        seen = last_iceberg_txn(self.path, self.app_id)
+        if seen is not None and batchId <= seen:
+            # replayed batch: already committed — exactly-once
+            _reclaim_stages(messages, self.stage)
+            return
+        try:
+            _commit_iceberg_shards(
+                self.path, messages, txn=(self.app_id, batchId),
+                written_schema_json=self.schema_json,
+            )
+        finally:
+            _reclaim_stages(messages, self.stage)
+
+    def abort(self, messages, batchId):
+        _reclaim_stages(messages, self.stage)

@@ -1268,6 +1268,53 @@ def iceberg_python_source_read(spark, sf_dir):
 
 
 @query(
+    "iceberg_python_source_write",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def iceberg_python_source_write(spark, sf_dir):
+    """The WRITE side of the ``evolution_iceberg`` data source — the
+    capability the reference's Iceberg target declares and leaves as a
+    ``todo!()`` (examples/iceberg/src/main.rs:28-30): odd customer keys
+    land via the library writer, even keys flow through
+    ``df.write.format("evolution_iceberg").mode("append")`` — executor
+    tasks stage parquet shards, the driver commit publishes them as ONE
+    atomic append snapshot through the same manifest/metadata core the
+    DataFrame path uses. Reading the union back through the source and
+    matching the full-table oracle proves the sink's snapshot carries
+    every shard exactly once (a dropped or double-moved shard fails the
+    hash). Scale: shard writes are distributed; the commit is
+    metadata-sized (one manifest entry per shard)."""
+    from evolution_spark.io.iceberg_meta import write_iceberg_table
+    from evolution_spark.io.iceberg_source import register_iceberg_source
+
+    register_iceberg_source(spark)
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tmp = query_tmp("icepysink", sf_dir)
+    write_iceberg_table(c.where(F.col("c_custkey") % 2 == 1), tmp)
+    c.where(F.col("c_custkey") % 2 == 0).repartition(4).write.format(
+        "evolution_iceberg"
+    ).mode("append").save(tmp)
+    back = spark.read.format("evolution_iceberg").load(tmp)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "acctbal_cents"
+        ),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+@query(
     "iceberg_equality_delete_scan",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_alive,

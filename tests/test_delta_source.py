@@ -701,3 +701,144 @@ def test_const_array_malformed_partition_value_named_error():
     assert _const_array(19723, pa.date32(), 1, col="d").to_pylist() is not None
     with _pytest.raises(ValueError, match=r"partition column 'p'.*'not-a-number'"):
         _const_array("not-a-number", pa.int64(), 3, col="p")
+
+
+def test_iceberg_batch_write_append(ice_registered, tmp_path):
+    from evolution_spark.io.iceberg_meta import (
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    spark = ice_registered
+    path = str(tmp_path / "iwsink")
+    write_iceberg_table(spark.range(5).select(F.col("id").alias("k")), path)
+    spark.range(5, 9).select(F.col("id").alias("k")).write.format(
+        "evolution_iceberg"
+    ).mode("append").save(path)
+    assert {r.k for r in read_iceberg_table(spark, path).collect()} == set(range(9))
+    # the sink's snapshot is readable by the source (and snapshot-listed)
+    assert spark.read.format("evolution_iceberg").load(path).count() == 9
+    # staging reclaimed at commit
+    assert list((tmp_path / "iwsink").glob("_staging_sink-*")) == []
+    with pytest.raises(Exception, match="append-only"):
+        spark.range(3).select(F.col("id").alias("k")).write.format(
+            "evolution_iceberg"
+        ).mode("overwrite").save(path)
+    # schema mismatch refuses loudly
+    with pytest.raises(Exception, match="schema mismatch"):
+        spark.range(3).select(F.col("id").alias("wrong")).write.format(
+            "evolution_iceberg"
+        ).mode("append").save(path)
+
+
+def test_iceberg_batch_write_guards(ice_registered, tmp_path):
+    from evolution_spark.io.iceberg_meta import write_iceberg_table
+
+    spark = ice_registered
+    # nonexistent table refuses (the sink cannot invent table metadata)
+    with pytest.raises(Exception, match="EXISTING table"):
+        spark.range(2).select(F.col("id").alias("k")).write.format(
+            "evolution_iceberg"
+        ).mode("append").save(str(tmp_path / "absent"))
+    # partitioned table refuses (shards carry no partition layout)
+    ppath = str(tmp_path / "ipart")
+    write_iceberg_table(
+        spark.range(6).select(F.col("id").alias("k"), (F.col("id") % 2).alias("p")),
+        ppath, partition_by=["p"],
+    )
+    with pytest.raises(Exception, match="unpartitioned"):
+        spark.range(6, 8).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+        ).write.format("evolution_iceberg").mode("append").save(ppath)
+
+
+def test_iceberg_streaming_sink_exactly_once(ice_registered, tmp_path):
+    """The Iceberg format-level streaming sink: each micro-batch is ONE
+    snapshot carrying the txn identity in its summary; a replayed batchId
+    is skipped (the Delta twin's contract on Iceberg metadata)."""
+    from evolution_spark.io.delta_log import write_delta_snapshot
+    from evolution_spark.io.delta_source import register_delta_source
+    from evolution_spark.io.iceberg_meta import (
+        last_iceberg_txn,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    spark = ice_registered
+    register_delta_source(spark)
+    src = str(tmp_path / "issrc")
+    dst = str(tmp_path / "isdst")
+    ck = str(tmp_path / "ick")
+    write_iceberg_table(spark.range(0).select(F.col("id").alias("k")), dst)
+    write_delta_snapshot(spark.range(6).select(F.col("id").alias("k")), src)
+    q = (
+        spark.readStream.format("evolution_delta").load(src)
+        .writeStream.format("evolution_iceberg")
+        .option("checkpointLocation", ck)
+        .option("txnAppId", "ice_pipeline")
+        .start(dst)
+    )
+    try:
+        q.processAllAvailable()
+        assert {r.k for r in read_iceberg_table(spark, dst).collect()} == set(
+            range(6)
+        )
+        from evolution_spark.io.delta_log import commit_delta
+
+        commit_delta(
+            spark.range(6, 10).select(F.col("id").alias("k")), src, mode="append"
+        )
+        q.processAllAvailable()
+        got = {r.k for r in read_iceberg_table(spark, dst).collect()}
+        assert got == set(range(10))
+        assert last_iceberg_txn(dst, "ice_pipeline") is not None
+    finally:
+        q.stop()
+    assert list((tmp_path / "isdst").glob("_staging_sink-*")) == []
+    # replaying an already-committed batch is a no-op (idempotence)
+    from evolution_spark.io.iceberg_source import _IcebergStreamWriter
+
+    schema_json = read_iceberg_table(spark, dst).schema.json()
+    w = _IcebergStreamWriter(
+        {"path": dst, "txnAppId": "ice_pipeline"}, schema_json
+    )
+    seen = last_iceberg_txn(dst, "ice_pipeline")
+    w.commit([], seen)  # batchId <= seen -> skipped, no new snapshot
+    assert read_iceberg_table(spark, dst).count() == 10
+    # a sink without txnAppId refuses (exactly-once needs the identity)
+    with pytest.raises(ValueError, match="txnAppId"):
+        _IcebergStreamWriter({"path": dst}, schema_json)
+
+
+def test_iceberg_sink_shards_are_distributed(ice_registered, tmp_path):
+    """Plan-shape gate for the sink: each executor task stages its own
+    shard (distributed write — no driver-side collect), and the commit
+    adds exactly one manifest entry per non-empty shard."""
+    from evolution_spark.io.iceberg_meta import (
+        _load_metadata,
+        _read_avro,
+        write_iceberg_table,
+    )
+    from pathlib import Path as _P
+
+    spark = ice_registered
+    path = str(tmp_path / "ishard")
+    write_iceberg_table(spark.range(2).select(F.col("id").alias("k")), path)
+    spark.range(2, 42).select(F.col("id").alias("k")).repartition(5).write.format(
+        "evolution_iceberg"
+    ).mode("append").save(path)
+    metadata, _ = _load_metadata(_P(path))
+    snap = next(
+        s for s in metadata["snapshots"]
+        if s["snapshot-id"] == metadata["current-snapshot-id"]
+    )
+    added = [
+        mf for mf in _read_avro(_P(snap["manifest-list"]))
+        if mf["added_snapshot_id"] == snap["snapshot-id"]
+    ]
+    assert len(added) == 1  # ONE manifest for the whole commit
+    entries = _read_avro(_P(added[0]["manifest_path"]))
+    # one data file per writing task (5 repartitioned shards)
+    assert len(entries) == 5
+    assert all(e["status"] == 1 for e in entries)
+    assert int(snap["summary"]["added-records"]) == 40
