@@ -572,6 +572,7 @@ def read_iceberg_table(
     path: str,
     snapshot_id: int | None = None,
     partition_where: dict[str, object] | None = None,
+    _lineage: bool = False,
 ) -> DataFrame:
     """Open an Iceberg table by replaying its metadata chain — version
     hint -> table metadata -> current snapshot -> manifest list ->
@@ -723,13 +724,36 @@ def read_iceberg_table(
         s for s in metadata["schemas"] if s["schema-id"] == want_schema_id
     )
     schema = spark_schema_of(ice_schema)
+    out_names = [f.name for f in schema.fields]
+    if _lineage:
+        # internal (DML planning): expose each surviving row's physical
+        # (file, position) so DELETE/UPDATE can emit position deletes
+        out_names = out_names + ["_src_file", "_src_pos"]
     if not files:
-        return spark.createDataFrame([], schema)
+        empty_schema = (
+            T.StructType(
+                schema.fields
+                + [T.StructField("_src_file", T.StringType(), True),
+                   T.StructField("_src_pos", T.LongType(), True)]
+            )
+            if _lineage
+            else schema
+        )
+        return spark.createDataFrame([], empty_schema)
     df = (
         spark.read.schema(schema)
         .option("basePath", str(table_dir / "data"))
         .parquet(*files)
     )
+    if _lineage:
+        from pyspark.sql import functions as F
+
+        from evolution_spark.io.scan_filters import decoded_file_path as _dfp
+
+        df = df.withColumns({
+            "_src_file": _dfp(F.col("_metadata.file_path")),
+            "_src_pos": F.col("_metadata.row_index"),
+        })
     if delete_files:
         from evolution_spark.io.scan_filters import (
             anti_join_deleted_positions,
@@ -792,7 +816,7 @@ def read_iceberg_table(
             phys = phys.join(build, cond, "left_anti")
         df = phys.drop("__eq_fp", "__eq_seq", "__eq_file")
     # Spark surfaces hive-partition columns last; restore declared order
-    return df.select(*[f.name for f in schema.fields])
+    return df.select(*out_names)
 
 
 def _load_metadata(table_dir: Path) -> tuple[dict, Path]:
@@ -1326,16 +1350,14 @@ def append_position_deletes(path: str, deletes: list[tuple[str, int]]) -> dict:
     then drops those rows during the scan; ``compact_iceberg_table``
     materializes them away (its REPLACE snapshot starts a fresh manifest
     list). ``deletes`` holds (data_file_path, row_position) pairs exactly
-    as recorded in the target table's manifests.
+    as recorded in the target table's manifests — the predicate front-end
+    is ``delete_iceberg_rows``.
 
     Driver cost: metadata-sized — the delete list a DELETE produces is the
     changed-row set, and the parquet/manifest writes are one file each.
     Iceberg spec refs: "Position Delete Files" and "Delete Manifests"
     (format v2); the reference engine's iceberg example is a ``todo!()``
     (examples/iceberg/src/main.rs:28-30), so this exceeds it."""
-    import pyarrow as pa
-    import pyarrow.parquet as papq
-
     if not deletes:
         raise ValueError("deletes must be non-empty")
     table_dir = Path(path)
@@ -1345,128 +1367,156 @@ def append_position_deletes(path: str, deletes: list[tuple[str, int]]) -> dict:
             "cannot add position deletes to a table with no current "
             "snapshot (empty table) — there are no data files to delete from"
         )
-    ice_schema = next(
-        s for s in metadata["schemas"] if s["schema-id"] == metadata["current-schema-id"]
+    res = _commit_files_as_snapshot(
+        table_dir, metadata, prev_meta_file, [], "delete",
+        position_deletes=list(deletes),
     )
-    spec_fields = next(
-        s for s in metadata["partition-specs"] if s["spec-id"] == metadata["default-spec-id"]
-    )["fields"]
-    seq = metadata["last-sequence-number"] + 1
-    snapshot_id = uuid.uuid4().int % (1 << 62)
-    now_ms = int(time.time() * 1000)
-
-    # the delete file: sorted by (file_path, pos) as the spec requires
-    rows = sorted(deletes)
-    del_path = table_dir / "data" / f"delete-s{seq:05d}-{uuid.uuid4().hex}.parquet"
-    del_path.parent.mkdir(parents=True, exist_ok=True)
-    papq.write_table(
-        pa.table(
-            {
-                "file_path": pa.array([r[0] for r in rows], pa.string()),
-                "pos": pa.array([int(r[1]) for r in rows], pa.int64()),
-            },
-            schema=pa.schema([
-                pa.field("file_path", pa.string(), nullable=False,
-                         metadata={b"PARQUET:field_id": b"2147483546"}),
-                pa.field("pos", pa.int64(), nullable=False,
-                         metadata={b"PARQUET:field_id": b"2147483545"}),
-            ]),
-        ),
-        del_path,
-    )
-
-    part_schema = _partition_record_schema(spec_fields, ice_schema)
-    entry_schema = _manifest_entry_schema(part_schema)
-    entry = {
-        "status": 1,  # ADDED
-        "snapshot_id": snapshot_id,
-        "sequence_number": None,
-        "file_sequence_number": None,
-        "data_file": {
-            "content": 1,  # POSITION DELETES
-            "file_path": str(del_path),
-            "file_format": "PARQUET",
-            # path-position delete file: applies across partitions, so the
-            # partition record is all-null (spec: unscoped delete files)
-            "partition": {f["name"]: None for f in spec_fields},
-            "record_count": len(rows),
-            "file_size_in_bytes": del_path.stat().st_size,
-            "equality_ids": None,
-        },
-    }
-    meta_dir = table_dir / "metadata"
-    manifest_path = meta_dir / f"{uuid.uuid4()}-d0.avro"
-    manifest_len = _write_avro(
-        manifest_path,
-        entry_schema,
-        [entry],
-        meta={
-            "schema": json.dumps(ice_schema),
-            "schema-id": str(metadata["current-schema-id"]),
-            "partition-spec": json.dumps(spec_fields),
-            "partition-spec-id": str(metadata["default-spec-id"]),
-            "format-version": "2",
-            "content": "deletes",
-        },
-    )
-    current = metadata["current-snapshot-id"]
-    prev_snapshot = next(
-        s for s in metadata["snapshots"] if s["snapshot-id"] == current
-    )
-    prev_entries = _read_avro(Path(prev_snapshot["manifest-list"]))
-    new_entry = {
-        "manifest_path": str(manifest_path),
-        "manifest_length": manifest_len,
-        "partition_spec_id": metadata["default-spec-id"],
-        "content": 1,  # DELETES manifest
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": snapshot_id,
-        "added_data_files_count": 1,
-        "existing_data_files_count": 0,
-        "deleted_data_files_count": 0,
-        "added_rows_count": len(rows),
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-    }
-    mlist_path = meta_dir / f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro"
-    _write_avro(
-        mlist_path,
-        _MANIFEST_LIST_SCHEMA,
-        prev_entries + [new_entry],
-        meta={"format-version": "2"},
-    )
-    new_snapshot = {
-        "snapshot-id": snapshot_id,
-        "parent-snapshot-id": current,
-        "sequence-number": seq,
-        "timestamp-ms": now_ms,
-        "manifest-list": str(mlist_path),
-        "summary": {
-            "operation": "delete",
-            "added-delete-files": "1",
-            "added-position-deletes": str(len(rows)),
-            "total-data-files": prev_snapshot["summary"].get("total-data-files", "0"),
-            "total-records": prev_snapshot["summary"].get("total-records", "0"),
-        },
-        "schema-id": metadata["current-schema-id"],
-    }
-    new_meta = dict(metadata)
-    new_meta["last-sequence-number"] = seq
-    new_meta["last-updated-ms"] = now_ms
-    new_meta["current-snapshot-id"] = snapshot_id
-    new_meta["snapshots"] = metadata["snapshots"] + [new_snapshot]
-    new_meta["snapshot-log"] = metadata["snapshot-log"] + [
-        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
-    ]
-    new_meta["metadata-log"] = metadata["metadata-log"] + [
-        {"timestamp-ms": metadata["last-updated-ms"], "metadata-file": str(prev_meta_file)}
-    ]
-    _publish_metadata(meta_dir, prev_meta_file, new_meta)
     return {
-        "snapshot-id": snapshot_id,
-        "delete-file": str(del_path),
-        "position-deletes": len(rows),
+        "snapshot-id": res["snapshot-id"],
+        "position-deletes": res["position-deletes"],
+        "sequence-number": res["sequence-number"],
+    }
+
+
+def delete_iceberg_rows(spark, path: str, predicate: str) -> dict:
+    """Predicate-driven merge-on-read DELETE — the Iceberg twin of
+    ``delete_delta_rows``: scan the CURRENT snapshot with per-row physical
+    lineage (the scan applies existing position/equality deletes, so
+    already-dead rows are never re-deleted), collect the matched
+    (file, position) pairs — the DELETE's changed-row set, which any
+    engine materializes — and commit them as ONE position-delete snapshot.
+    No data file is rewritten; ``compact_iceberg_table`` materializes the
+    deletes away and ``expire_iceberg_snapshots`` reclaims the files.
+
+    Scale: the predicate scan is a distributed delete-filtered read; only
+    the matched positions come to the driver."""
+    table_dir = Path(path)
+    metadata, prev_meta_file = _load_metadata(table_dir)
+    if metadata.get("current-snapshot-id") is None:
+        raise ValueError(
+            "cannot DELETE from a table with no current snapshot"
+        )
+    # pin the scan to the snapshot the commit will be based on — a commit
+    # racing in between must not shift which rows the predicate saw
+    snap_id = metadata["current-snapshot-id"]
+    matched = (
+        read_iceberg_table(spark, path, snapshot_id=snap_id, _lineage=True)
+        .where(predicate)
+        .select("_src_file", "_src_pos")
+        .collect()
+    )
+    if not matched:
+        return {"snapshot-id": None, "deleted_rows": 0}
+    res = _commit_files_as_snapshot(
+        table_dir, metadata, prev_meta_file, [], "delete",
+        position_deletes=[(r["_src_file"], r["_src_pos"]) for r in matched],
+    )
+    return {
+        "snapshot-id": res["snapshot-id"],
+        "deleted_rows": len(matched),
+        "sequence-number": res["sequence-number"],
+    }
+
+
+def update_iceberg_rows(
+    spark, path: str, predicate: str, set_exprs: dict[str, str]
+) -> dict:
+    """Predicate-driven merge-on-read UPDATE — the Iceberg twin of
+    ``update_delta_rows``: rows matching ``predicate`` get their
+    ``set_exprs`` columns rewritten (``{col: SQL expression}``) WITHOUT
+    rewriting the files that hold them. ONE atomic snapshot (operation
+    ``overwrite``, the spec's row-level-modified operation) carries BOTH
+    a position-delete file marking the old row versions AND the new data
+    files holding the updated copies — a reader sees the pre-update or
+    post-update table, never the in-between.
+
+    Scale: the position bookkeeping is the DELETE's metadata-sized path;
+    the updated-copies write is a distributed write of ONLY the matched
+    rows (partition layout preserved). Compare a copy-on-write UPDATE,
+    which rewrites every touched FILE — at 100 TB with point updates that
+    is kilobytes vs gigabytes per touched file."""
+    from pyspark.sql import functions as F
+
+    table_dir = Path(path)
+    metadata, prev_meta_file = _load_metadata(table_dir)
+    if metadata.get("current-snapshot-id") is None:
+        raise ValueError("cannot UPDATE a table with no current snapshot")
+    ice_schema = next(
+        s for s in metadata["schemas"]
+        if s["schema-id"] == metadata["current-schema-id"]
+    )
+    stored_schema = spark_schema_of(ice_schema)
+    if not set_exprs:
+        raise ValueError("set_exprs must be non-empty")
+    unknown = sorted(set(set_exprs) - {f.name for f in stored_schema.fields})
+    if unknown:
+        raise ValueError(f"set_exprs reference unknown columns: {unknown}")
+    spec_fields = next(
+        s for s in metadata["partition-specs"]
+        if s["spec-id"] == metadata["default-spec-id"]
+    )["fields"]
+    part_cols = [f["name"] for f in spec_fields]
+    if set(set_exprs) & set(part_cols):
+        raise ValueError(
+            f"set_exprs touch partition columns {sorted(set(set_exprs) & set(part_cols))} "
+            "— rewriting partition values would move rows across "
+            "partitions; delete + re-append instead"
+        )
+
+    snap_id = metadata["current-snapshot-id"]
+    scan = read_iceberg_table(
+        spark, path, snapshot_id=snap_id, _lineage=True
+    ).where(predicate)
+    # ONE pass: cache the matched rows so positions and updated copies
+    # come from the same scan (the predicate is evaluated once)
+    scan = scan.localCheckpoint(eager=True)
+    matched = scan.select("_src_file", "_src_pos").collect()
+    if not matched:
+        return {"snapshot-id": None, "updated_rows": 0}
+    updated = scan.select(
+        *[
+            F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in set_exprs
+            else F.col(f.name)
+            for f in stored_schema.fields
+        ]
+    )
+
+    seq = metadata["last-sequence-number"] + 1
+    data_dir = table_dir / "data"
+    stage = table_dir / f"_staging_s{seq}-{uuid.uuid4().hex}"
+    writer = updated.write.mode("error")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    try:
+        writer.parquet(str(stage))
+        if not stage.exists():
+            raise RuntimeError(
+                f"staged write output missing at {stage} — the staging dir "
+                "was reclaimed (or the write never completed); aborting "
+                "the UPDATE commit"
+            )
+        moved: list[Path] = []
+        for src in sorted(stage.rglob("*.parquet")):
+            rel = src.relative_to(stage)
+            dest_rel = rel.parent / f"part-s{seq:05d}-{uuid.uuid4().hex}.parquet"
+            dest = data_dir / dest_rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            os.replace(src, dest)
+            moved.append(dest)
+    finally:
+        if stage.exists():
+            shutil.rmtree(stage)
+
+    res = _commit_files_as_snapshot(
+        table_dir, metadata, prev_meta_file, moved, "overwrite",
+        position_deletes=[(r["_src_file"], r["_src_pos"]) for r in matched],
+    )
+    return {
+        "snapshot-id": res["snapshot-id"],
+        "updated_rows": len(matched),
+        "new_files": res["files"],
+        "sequence-number": res["sequence-number"],
     }
 
 
@@ -1556,6 +1606,33 @@ def _commit_iceberg_snapshot(
     )
 
 
+def _write_position_delete_file(table_dir: Path, seq: int, rows) -> Path:
+    """Write a spec-conformant POSITION delete parquet file (sorted
+    (file_path, pos) pairs, field-ids 2147483546/2147483545)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    rows = sorted(rows)
+    del_path = table_dir / "data" / f"delete-s{seq:05d}-{uuid.uuid4().hex}.parquet"
+    del_path.parent.mkdir(parents=True, exist_ok=True)
+    papq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([r[0] for r in rows], pa.string()),
+                "pos": pa.array([int(r[1]) for r in rows], pa.int64()),
+            },
+            schema=pa.schema([
+                pa.field("file_path", pa.string(), nullable=False,
+                         metadata={b"PARQUET:field_id": b"2147483546"}),
+                pa.field("pos", pa.int64(), nullable=False,
+                         metadata={b"PARQUET:field_id": b"2147483545"}),
+            ]),
+        ),
+        del_path,
+    )
+    return del_path
+
+
 def _commit_files_as_snapshot(
     table_dir: Path,
     metadata: dict,
@@ -1563,14 +1640,21 @@ def _commit_files_as_snapshot(
     moved: list[Path],
     operation: str,
     extra_summary: dict | None = None,
+    position_deletes: list[tuple[str, int]] | None = None,
 ) -> dict:
-    """Back half of a data-file commit, shared by the DataFrame path
-    (``_commit_iceberg_snapshot``) and the DataSource sink (which stages
-    its own shards): parquet files already placed under ``data/`` become
-    ONE new snapshot — one manifest, one manifest list (append: previous
-    entries carried by reference), one published metadata version.
-    ``extra_summary`` lands in the snapshot summary (the sink's txn
-    identity for exactly-once replay skipping)."""
+    """Back half of a snapshot commit, shared by the DataFrame path
+    (``_commit_iceberg_snapshot``), the DataSource sink (which stages its
+    own shards), predicate DML (``delete_iceberg_rows`` /
+    ``update_iceberg_rows``) and ``append_position_deletes``: parquet
+    files already placed under ``data/`` (and/or a position-delete row
+    set) become ONE new snapshot — at most one data manifest + one delete
+    manifest, one manifest list (non-replace: previous entries carried by
+    reference), one published metadata version. ``extra_summary`` lands
+    in the snapshot summary (the sink's txn identity for exactly-once
+    replay skipping). An UPDATE passes BOTH ``moved`` and
+    ``position_deletes``, making the delete-old + append-new pair atomic
+    — a reader sees the pre-update or post-update table, never the
+    in-between."""
     import pyarrow.parquet as pq
 
     ice_schema = next(
@@ -1587,9 +1671,27 @@ def _commit_files_as_snapshot(
     snapshot_id = uuid.uuid4().int % (1 << 62)
     now_ms = int(time.time() * 1000)
     data_dir = table_dir / "data"
-
+    meta_dir = table_dir / "metadata"
     part_schema = _partition_record_schema(spec_fields, ice_schema)
     entry_schema = _manifest_entry_schema(part_schema)
+    manifest_meta = {
+        "schema": json.dumps(ice_schema),
+        "schema-id": str(metadata["current-schema-id"]),
+        "partition-spec": json.dumps(spec_fields),
+        "partition-spec-id": str(metadata["default-spec-id"]),
+        "format-version": "2",
+    }
+
+    mlist_entries = []
+    current = metadata["current-snapshot-id"]
+    prev_snapshot = next(
+        s for s in metadata["snapshots"] if s["snapshot-id"] == current
+    )
+    # non-replace: previous snapshot's manifests carried by reference;
+    # replace: the new manifest list stands alone (compaction rewrite)
+    if operation != "replace":
+        mlist_entries.extend(_read_avro(Path(prev_snapshot["manifest-list"])))
+
     entries = []
     total_rows = 0
     for p in moved:
@@ -1618,80 +1720,105 @@ def _commit_files_as_snapshot(
                 },
             }
         )
+    if entries:
+        manifest_path = meta_dir / f"{uuid.uuid4()}-m0.avro"
+        manifest_len = _write_avro(
+            manifest_path, entry_schema, entries,
+            meta={**manifest_meta, "content": "data"},
+        )
+        mlist_entries.append({
+            "manifest_path": str(manifest_path),
+            "manifest_length": manifest_len,
+            "partition_spec_id": metadata["default-spec-id"],
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        })
 
-    meta_dir = table_dir / "metadata"
-    manifest_path = meta_dir / f"{uuid.uuid4()}-m0.avro"
-    manifest_len = _write_avro(
-        manifest_path,
-        entry_schema,
-        entries,
-        meta={
-            "schema": json.dumps(ice_schema),
-            "schema-id": str(metadata["current-schema-id"]),
-            "partition-spec": json.dumps(spec_fields),
-            "partition-spec-id": str(metadata["default-spec-id"]),
-            "format-version": "2",
-            "content": "data",
-        },
-    )
+    n_pos_deletes = 0
+    if position_deletes:
+        n_pos_deletes = len(position_deletes)
+        del_path = _write_position_delete_file(table_dir, seq, position_deletes)
+        del_entry = {
+            "status": 1,  # ADDED
+            "snapshot_id": snapshot_id,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 1,  # POSITION DELETES
+                "file_path": str(del_path),
+                "file_format": "PARQUET",
+                # path-position delete file: applies across partitions, so
+                # the partition record is all-null (spec: unscoped deletes)
+                "partition": {f["name"]: None for f in spec_fields},
+                "record_count": n_pos_deletes,
+                "file_size_in_bytes": del_path.stat().st_size,
+                "equality_ids": None,
+            },
+        }
+        del_manifest_path = meta_dir / f"{uuid.uuid4()}-d0.avro"
+        del_manifest_len = _write_avro(
+            del_manifest_path, entry_schema, [del_entry],
+            meta={**manifest_meta, "content": "deletes"},
+        )
+        mlist_entries.append({
+            "manifest_path": str(del_manifest_path),
+            "manifest_length": del_manifest_len,
+            "partition_spec_id": metadata["default-spec-id"],
+            "content": 1,  # DELETES manifest
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": 1,
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": n_pos_deletes,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        })
 
-    current = metadata["current-snapshot-id"]
-    prev_snapshot = next(
-        s for s in metadata["snapshots"] if s["snapshot-id"] == current
-    )
-    # append: previous snapshot's manifests carried by reference;
-    # replace: the new manifest list stands alone (compaction rewrite)
-    prev_entries = (
-        _read_avro(Path(prev_snapshot["manifest-list"]))
-        if operation == "append"
-        else []
-    )
-    new_entry = {
-        "manifest_path": str(manifest_path),
-        "manifest_length": manifest_len,
-        "partition_spec_id": metadata["default-spec-id"],
-        "content": 0,
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": snapshot_id,
-        "added_data_files_count": len(entries),
-        "existing_data_files_count": 0,
-        "deleted_data_files_count": 0,
-        "added_rows_count": total_rows,
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-    }
     mlist_path = meta_dir / f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro"
     _write_avro(
         mlist_path,
         _MANIFEST_LIST_SCHEMA,
-        prev_entries + [new_entry],
+        mlist_entries,
         meta={"format-version": "2"},
     )
 
     prev_total_files = int(prev_snapshot["summary"].get("total-data-files", "0"))
     prev_total_rows = int(prev_snapshot["summary"].get("total-records", "0"))
-    if operation == "append":
+    if operation == "replace":  # replace: the new files ARE the table
+        total_files, total_records = len(entries), total_rows
+    else:
         total_files, total_records = (
             prev_total_files + len(entries),
             prev_total_rows + total_rows,
         )
-    else:  # replace: the new files ARE the table
-        total_files, total_records = len(entries), total_rows
+    summary = {
+        "operation": operation,
+        "added-data-files": str(len(entries)),
+        "added-records": str(total_rows),
+        "total-data-files": str(total_files),
+        "total-records": str(total_records),
+        **{k: str(v) for k, v in (extra_summary or {}).items()},
+    }
+    if position_deletes:
+        summary["added-delete-files"] = "1"
+        summary["added-position-deletes"] = str(n_pos_deletes)
     new_snapshot = {
         "snapshot-id": snapshot_id,
         "parent-snapshot-id": current,
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": str(mlist_path),
-        "summary": {
-            "operation": operation,
-            "added-data-files": str(len(entries)),
-            "added-records": str(total_rows),
-            "total-data-files": str(total_files),
-            "total-records": str(total_records),
-            **{k: str(v) for k, v in (extra_summary or {}).items()},
-        },
+        "summary": summary,
         "schema-id": metadata["current-schema-id"],
     }
     new_meta = dict(metadata)
@@ -1711,6 +1838,7 @@ def _commit_files_as_snapshot(
         "sequence-number": seq,
         "files": len(entries),
         "rows": total_rows,
+        "position-deletes": n_pos_deletes,
         "metadata": str(meta_file),
     }
 

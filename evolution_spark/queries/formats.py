@@ -1315,6 +1315,109 @@ def iceberg_python_source_write(spark, sf_dir):
 
 
 @query(
+    "iceberg_mor_delete_lifecycle",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_alive,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM customer
+    WHERE NOT (c_acctbal < 0) AND NOT (c_custkey % 11 = 0)
+    GROUP BY c_mktsegment
+    """,
+)
+def iceberg_mor_delete_lifecycle(spark, sf_dir):
+    """Predicate-driven merge-on-read DELETE on the native Iceberg v2
+    writer, full lifecycle (the ``delta_mor_delete_lifecycle`` twin):
+    customer lands as a table, then TWO ``delete_iceberg_rows`` calls
+    (negative balances, then every 11th key) commit position-delete
+    snapshots — the second's lineage scan reads THROUGH the first's
+    deletes, so already-dead rows are never re-deleted — and compaction
+    materializes the survivors into fresh files (REPLACE snapshot, fresh
+    manifest list). The post-compaction read must equal the oracle's
+    survivor set — a resurrected or over-deleted row anywhere in the
+    lineage scan, delete-file application, or compaction fails the hash.
+    Scale: predicate scans are distributed delete-filtered reads; only
+    matched (file, position) pairs — the changed-row set — reach the
+    driver."""
+    from evolution_spark.io.iceberg_meta import (
+        compact_iceberg_table,
+        delete_iceberg_rows,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tmp = query_tmp("icemordel", sf_dir)
+    write_iceberg_table(c.repartition(4), tmp)
+    delete_iceberg_rows(spark, tmp, "c_acctbal < 0")
+    delete_iceberg_rows(spark, tmp, "c_custkey % 11 = 0")
+    compact_iceberg_table(spark, tmp, target_files=2)
+    back = read_iceberg_table(spark, tmp)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_alive"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "acctbal_cents"
+        ),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+@query(
+    "iceberg_mor_update_lifecycle",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_alive,
+           CAST(SUM(CAST(ROUND(
+             (CASE WHEN c_mktsegment = 'BUILDING'
+                   THEN c_acctbal + 10 ELSE c_acctbal END) * 100
+           ) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM customer WHERE c_custkey % 9 <> 0
+    GROUP BY c_mktsegment
+    """,
+)
+def iceberg_mor_update_lifecycle(spark, sf_dir):
+    """Predicate-driven merge-on-read UPDATE on the native Iceberg v2
+    writer (the ``delta_mor_update_lifecycle`` twin): ONE atomic
+    ``overwrite`` snapshot carries BOTH the position deletes marking the
+    old row versions AND the new files holding the updated copies (+10 to
+    every BUILDING balance); a predicate DELETE then drops every 9th key.
+    No data file is rewritten at any point. The oracle restates the
+    surviving rows with CASE-adjusted balances from the source table, so
+    a lost update, double-applied update, or row leaked between the
+    delete half and the append half of the UPDATE snapshot fails the
+    hash."""
+    from evolution_spark.io.iceberg_meta import (
+        delete_iceberg_rows,
+        read_iceberg_table,
+        update_iceberg_rows,
+        write_iceberg_table,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tmp = query_tmp("icemorupd", sf_dir)
+    write_iceberg_table(c.repartition(4), tmp)
+    update_iceberg_rows(
+        spark, tmp, "c_mktsegment = 'BUILDING'", {"c_acctbal": "c_acctbal + 10"}
+    )
+    delete_iceberg_rows(spark, tmp, "c_custkey % 9 = 0")
+    back = read_iceberg_table(spark, tmp)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_alive"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "acctbal_cents"
+        ),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+@query(
     "iceberg_equality_delete_scan",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_alive,

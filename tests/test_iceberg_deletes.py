@@ -323,3 +323,106 @@ def test_deletes_refused_on_empty_table(tmp_path):
         append_position_deletes(path, [("f.parquet", 0)])
     with pytest.raises(ValueError, match="no current snapshot"):
         append_equality_deletes(path, [{"k": 1}], ["k"])
+
+
+def test_delete_iceberg_rows_predicate_lifecycle(spark, tmp_path):
+    """Predicate-driven DELETE: matched rows vanish from the scan, a
+    second DELETE stacks, already-deleted rows are not re-deleted, and
+    compaction materializes the survivors."""
+    from evolution_spark.io.iceberg_meta import (
+        compact_iceberg_table,
+        delete_iceberg_rows,
+        read_iceberg_table,
+    )
+
+    path = str(tmp_path / "preddel")
+    write_iceberg_table(
+        spark.range(40).selectExpr("id AS k", "id * 2 AS v").repartition(3),
+        path,
+    )
+    res = delete_iceberg_rows(spark, path, "k % 5 = 0")
+    assert res["deleted_rows"] == 8
+    got = {r.k for r in read_iceberg_table(spark, path).collect()}
+    assert got == {k for k in range(40) if k % 5 != 0}
+    # second predicate stacks; overlap with the first is NOT re-deleted
+    res2 = delete_iceberg_rows(spark, path, "k % 2 = 0")
+    assert res2["deleted_rows"] == 16  # evens minus the 4 already-dead %10
+    got = {r.k for r in read_iceberg_table(spark, path).collect()}
+    assert got == {k for k in range(40) if k % 5 != 0 and k % 2 != 0}
+    # no match -> no-op, no new snapshot
+    assert delete_iceberg_rows(spark, path, "k = -1")["deleted_rows"] == 0
+    # compaction materializes the deletes away
+    compact_iceberg_table(spark, path)
+    assert {r.k for r in read_iceberg_table(spark, path).collect()} == got
+
+
+def test_update_iceberg_rows_atomic_snapshot(spark, tmp_path):
+    """Predicate-driven UPDATE: one snapshot carries BOTH the position
+    deletes and the updated copies — time travel to the parent shows the
+    pre-update rows, the new snapshot the post-update rows, and no
+    intermediate state exists."""
+    from evolution_spark.io.iceberg_meta import (
+        _load_metadata,
+        read_iceberg_table,
+        update_iceberg_rows,
+    )
+    from pathlib import Path as _P
+
+    path = str(tmp_path / "predupd")
+    write_iceberg_table(
+        spark.range(30).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .repartition(3),
+        path,
+    )
+    metadata, _ = _load_metadata(_P(path))
+    base_snap = metadata["current-snapshot-id"]
+    n_snaps = len(metadata["snapshots"])
+    res = update_iceberg_rows(spark, path, "k % 3 = 0", {"v": "v + 100"})
+    assert res["updated_rows"] == 10
+    metadata, _ = _load_metadata(_P(path))
+    assert len(metadata["snapshots"]) == n_snaps + 1  # ONE snapshot
+    snap = next(
+        s for s in metadata["snapshots"]
+        if s["snapshot-id"] == metadata["current-snapshot-id"]
+    )
+    assert snap["summary"]["operation"] == "overwrite"
+    assert snap["summary"]["added-position-deletes"] == "10"
+    got = {(r.k, r.v) for r in read_iceberg_table(spark, path).collect()}
+    assert got == {
+        (k, float(k) + (100 if k % 3 == 0 else 0)) for k in range(30)
+    }
+    # parent snapshot still reads the pre-update rows
+    old = {(r.k, r.v) for r in
+           read_iceberg_table(spark, path, snapshot_id=base_snap).collect()}
+    assert old == {(k, float(k)) for k in range(30)}
+    # no match -> no-op
+    assert update_iceberg_rows(spark, path, "k = -1", {"v": "0.0"})[
+        "updated_rows"
+    ] == 0
+
+
+def test_update_iceberg_rows_partitioned(spark, tmp_path):
+    """UPDATE preserves the partition layout of the updated copies and
+    refuses to rewrite partition values."""
+    from evolution_spark.io.iceberg_meta import (
+        read_iceberg_table,
+        update_iceberg_rows,
+    )
+
+    path = str(tmp_path / "predupdp")
+    write_iceberg_table(
+        spark.range(20).selectExpr("id AS k", "id % 2 AS p", "id * 10 AS v"),
+        path, partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="partition columns"):
+        update_iceberg_rows(spark, path, "k < 5", {"p": "1 - p"})
+    res = update_iceberg_rows(spark, path, "p = 1 AND k < 10", {"v": "v + 1"})
+    assert res["updated_rows"] == 5
+    got = {(r.k, r.p, r.v) for r in read_iceberg_table(spark, path).collect()}
+    assert got == {
+        (k, k % 2, k * 10 + (1 if k % 2 == 1 and k < 10 else 0))
+        for k in range(20)
+    }
+    # partition pruning still works on the updated table (metadata-level)
+    pruned = read_iceberg_table(spark, path, partition_where={"p": 1})
+    assert {r.k for r in pruned.collect()} == {k for k in range(20) if k % 2}
