@@ -119,7 +119,7 @@ def _check_reader_protocol(protocol: dict | None) -> None:
 # writes safely). Anything else (CHECK constraints, generated columns,
 # column mapping, ...) stays refused via _check_writer_protocol.
 SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
-    {"deletionVectors", "appendOnly", "invariants"}
+    {"deletionVectors", "appendOnly", "invariants", "columnMapping"}
 )
 
 
@@ -237,13 +237,23 @@ def write_delta_snapshot(
     partition_by: list[str] | None = None,
     name: str | None = None,
     txn: tuple[str, int] | None = None,
+    column_mapping: bool = False,
 ) -> dict:
     """Write ``df`` as a version-0 Delta table at ``path``.
 
     ``mode``: ``error`` refuses an existing table dir; ``overwrite``
     replaces it (fresh snapshot — still one commit). Returns the commit
     summary (version, file count, row count) for logging/tests.
-    """
+
+    ``column_mapping=True`` creates the table in NAME mapping mode (the
+    Databricks default after any RENAME/DROP COLUMN): every field gets a
+    stable ``delta.columnMapping.id`` and a generated physical name
+    (``col-<hex>``), the data files store the physical names, and the
+    protocol claims the v3/v7 ``columnMapping`` feature — which is what
+    makes ``rename_delta_column`` / ``drop_delta_column`` metadata-only
+    commits later. Unpartitioned tables only (partition values under
+    mapping use physical directory names; this engine keeps mapped
+    tables unpartitioned rather than shipping a half-correct layout)."""
     import pyarrow.parquet as pq
 
     table_dir = Path(path)
@@ -254,6 +264,40 @@ def write_delta_snapshot(
             raise ValueError(f"Delta table dir exists: {path} (mode={mode})")
 
     part_cols = list(partition_by or [])
+    mapped_fields = None
+    config: dict[str, str] = {}
+    protocol = dict(PROTOCOL)
+    if column_mapping:
+        if part_cols:
+            raise ValueError(
+                "column_mapping=True supports unpartitioned tables only "
+                "(mapped partition-directory layout is not implemented)"
+            )
+        base = json.loads(df.schema.json())["fields"]
+        mapped_fields = []
+        for i, f in enumerate(base, start=1):
+            phys = f"col-{uuid.uuid4().hex[:12]}"
+            mapped_fields.append(dict(
+                f,
+                metadata={
+                    **(f.get("metadata") or {}),
+                    "delta.columnMapping.id": i,
+                    "delta.columnMapping.physicalName": phys,
+                },
+            ))
+        config = {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(len(base)),
+        }
+        protocol = {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"],
+            "writerFeatures": ["columnMapping"],
+        }
+        df = df.withColumnsRenamed({
+            f["name"]: mf["metadata"]["delta.columnMapping.physicalName"]
+            for f, mf in zip(base, mapped_fields)
+        })
     writer = df.write.mode("error")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
@@ -273,16 +317,21 @@ def write_delta_snapshot(
     )
     if txn is not None:
         actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
-    actions.append({"protocol": dict(PROTOCOL)})
+    actions.append({"protocol": protocol})
+    schema_string = (
+        json.dumps({"type": "struct", "fields": mapped_fields})
+        if mapped_fields is not None
+        else df.schema.json()
+    )
     actions.append(
         {
             "metaData": {
                 "id": str(uuid.uuid4()),
                 "name": name,
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": df.schema.json(),
+                "schemaString": schema_string,
                 "partitionColumns": part_cols,
-                "configuration": {},
+                "configuration": config,
                 "createdTime": now_ms,
             }
         }
@@ -540,7 +589,10 @@ def commit_delta(
     # loser can never rmtree the winner's in-flight staged files (which
     # would publish a commit with remove actions but missing adds).
     stage = table_dir / f"_staging_v{version}-{uuid.uuid4().hex}"
-    writer = df.write.mode("error")
+    # mapped tables: files must store PHYSICAL names (else mapped readers
+    # resolve the appended files as all-null); no-op when mapping is off
+    df_out = _physicalize(df, json.loads(schema_string), config)
+    writer = df_out.write.mode("error")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     try:
@@ -1187,14 +1239,64 @@ def table_changes(
     return out
 
 
-def _mor_match_positions(spark, table_dir: Path, live, schema, predicate):
+def _logical_scan(spark, table_dir: Path, live, kept, schema_json, config):
+    """``_scan_adds`` under column mapping: scan with the PHYSICAL schema
+    (what the parquet files store) and rename back to logical — the
+    projection keeps ``_metadata`` resolvable, so DML position scans work
+    on mapped tables. No-op when mapping is off."""
+    from pyspark.sql.types import StructType
+
+    renames = mapping_renames(schema_json, config)  # physical -> logical
+    if not renames:
+        return _scan_adds(
+            spark, table_dir, live, kept, StructType.fromJson(schema_json)
+        )
+    phys_of = {log: phys for phys, log in renames.items()}
+    phys_fields = [dict(f, name=phys_of.get(f["name"], f["name"]))
+                   for f in schema_json["fields"]]
+    df = _scan_adds(
+        spark, table_dir, live, kept,
+        StructType.fromJson({"type": "struct", "fields": phys_fields}),
+    )
+    from pyspark.sql import functions as F
+
+    # ONE atomic projection (not sequential renames: a physical name may
+    # equal another field's logical name on upgraded-in-place tables);
+    # _metadata stays resolvable through a plain alias select
+    return df.select(
+        *[F.col(phys_of.get(f["name"], f["name"])).alias(f["name"])
+          for f in schema_json["fields"]]
+    )
+
+
+def _physicalize(df, schema_json: dict, config: dict):
+    """Rename a logical-schema DataFrame to PHYSICAL column names for
+    writing into a column-mapped table (files must store physical names
+    or every mapped reader resolves the new files as all-null). No-op
+    when mapping is off."""
+    renames = mapping_renames(schema_json, config)
+    if not renames:
+        return df
+    from pyspark.sql import functions as F
+
+    phys_of = {log: phys for phys, log in renames.items()}
+    # one atomic projection, same collision reasoning as _logical_scan
+    return df.select(
+        *[F.col(f["name"]).alias(phys_of.get(f["name"], f["name"]))
+          for f in schema_json["fields"]]
+    )
+
+
+def _mor_match_positions(spark, table_dir: Path, live, schema_json, config, predicate):
     """Shared DELETE/UPDATE front half: the DV-filtered matched-position
-    scan. Returns {abs_file_path: [row_positions]} ({} when no match)."""
+    scan (mapping-aware: predicates are over LOGICAL names, files store
+    physical ones). Returns {abs_file_path: [row_positions]} ({} when no
+    match)."""
     from pyspark.sql import functions as F
 
     from evolution_spark.io.scan_filters import decoded_file_path
 
-    scan = _scan_adds(spark, table_dir, live, sorted(live), schema)
+    scan = _logical_scan(spark, table_dir, live, sorted(live), schema_json, config)
     matched = (
         scan.where(predicate)
         .select(
@@ -1331,9 +1433,12 @@ def delete_delta_rows(spark, path: str, predicate: str) -> dict:
         table_dir, return_state=True
     )
     proto = _mor_guards(repl_state, "DELETE")
-    schema = StructType.fromJson(json.loads(schema_string))
+    config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
+    schema_json = json.loads(schema_string)
     root = table_dir.resolve()
-    by_abs = _mor_match_positions(spark, table_dir, live, schema, predicate)
+    by_abs = _mor_match_positions(
+        spark, table_dir, live, schema_json, config, predicate
+    )
     if not by_abs:
         return {"version": None, "deleted_rows": 0, "files_touched": 0}
 
@@ -1404,9 +1509,11 @@ def update_delta_rows(
     if unknown:
         raise ValueError(f"set_exprs reference unknown columns: {unknown}")
 
+    config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
+    schema_json = json.loads(schema_string)
     root = table_dir.resolve()
     by_abs = _mor_match_positions(
-        spark, table_dir, live, stored_schema, predicate
+        spark, table_dir, live, schema_json, config, predicate
     )
     if not by_abs:
         return {"version": None, "updated_rows": 0, "files_touched": 0}
@@ -1419,7 +1526,9 @@ def update_delta_rows(
 
     abs_of = {str(root / unquote(p)): p for p in live}
     touched = sorted(abs_of[a] for a in by_abs)
-    snapshot = _scan_adds(spark, table_dir, live, touched, stored_schema)
+    snapshot = _logical_scan(
+        spark, table_dir, live, touched, schema_json, config
+    )
     updated = snapshot.where(predicate).select(
         *[
             F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
@@ -1448,7 +1557,8 @@ def update_delta_rows(
     actions.extend(dv_actions)
 
     stage = table_dir / f"_staging_v{version}-{uuid.uuid4().hex}"
-    writer = updated.write.mode("error")
+    # mapped tables: the updated copies must land under PHYSICAL names
+    writer = _physicalize(updated, schema_json, config).write.mode("error")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     try:
@@ -1493,9 +1603,17 @@ def evolve_delta_schema(path: str, add_columns: list[tuple[str, object]]) -> dic
     _check_writer_protocol(repl_state.get("protocol"))
     if not add_columns:
         raise ValueError("add_columns must be non-empty")
-    stored = StructType.fromJson(json.loads(schema_string))
+    config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
+    schema_json = json.loads(schema_string)
+    mapped = config.get("delta.columnMapping.mode") == "name"
+    stored = StructType.fromJson(schema_json)
     existing = {f.name.lower() for f in stored}
     fields = list(stored.fields)
+    next_id = max(
+        [int(config.get("delta.columnMapping.maxColumnId", 0))]
+        + [int((f.get("metadata") or {}).get("delta.columnMapping.id", 0))
+           for f in schema_json["fields"]]
+    )
     for name, dtype in add_columns:
         if not isinstance(dtype, DataType):
             raise TypeError(
@@ -1505,11 +1623,24 @@ def evolve_delta_schema(path: str, add_columns: list[tuple[str, object]]) -> dic
         if name.lower() in existing:
             raise ValueError(f"column {name!r} already exists in the schema")
         existing.add(name.lower())
-        fields.append(StructField(name, dtype, nullable=True))
+        if mapped:
+            # fresh physical name + id: a re-added name after DROP must
+            # NOT resurrect the dropped column's stored data
+            next_id += 1
+            fields.append(StructField(name, dtype, nullable=True, metadata={
+                "delta.columnMapping.id": next_id,
+                "delta.columnMapping.physicalName": f"col-{uuid.uuid4().hex[:12]}",
+            }))
+        else:
+            fields.append(StructField(name, dtype, nullable=True))
     new_schema = StructType(fields)
 
     metadata = dict(repl_state["metadata"])
     metadata["schemaString"] = new_schema.json()
+    if mapped:
+        metadata["configuration"] = {
+            **config, "delta.columnMapping.maxColumnId": str(next_id),
+        }
     now_ms = int(time.time() * 1000)
     actions = [
         {
@@ -1859,3 +1990,214 @@ def read_checkpoint_state(path: str, return_state: bool = False):
     _check_reader_protocol(state.get("protocol"))
     out = (live, state["schema_string"], state["part_cols"], latest)
     return out + (state,) if return_state else out
+
+
+def _require_name_mapping(config: dict, operation: str) -> None:
+    mode = config.get("delta.columnMapping.mode", "none")
+    if mode != "name":
+        raise DeltaProtocolError(
+            f"{operation} needs delta.columnMapping.mode='name' (current: "
+            f"{mode or 'none'}); run upgrade_delta_to_column_mapping(path) "
+            "first — without mapping, renaming/dropping is a physical "
+            "rewrite of every data file"
+        )
+
+
+def _cm_protocol_upgrade(proto: dict) -> dict | None:
+    """Same-commit protocol-upgrade action activating columnMapping on a
+    table that predates it (None when already active) — the
+    ``_dv_protocol_upgrade`` shape for the mapping feature."""
+    v_r = int(proto.get("minReaderVersion", 1))
+    v_w = int(proto.get("minWriterVersion", 2))
+    feats_r = set(proto.get("readerFeatures") or [])
+    feats_w = set(proto.get("writerFeatures") or [])
+    if v_r >= 3 and v_w >= 7 and "columnMapping" in feats_r:
+        return None
+    legacy_w = {"appendOnly", "invariants"} if v_w >= 2 else set()
+    return {"protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(feats_r | {"columnMapping"}),
+        "writerFeatures": sorted(feats_w | legacy_w | {"columnMapping"}),
+    }}
+
+
+def upgrade_delta_to_column_mapping(path: str) -> dict:
+    """Enable NAME-mode column mapping on an existing table — the
+    ``ALTER TABLE ... SET TBLPROPERTIES('delta.columnMapping.mode'='name')``
+    shape, and the prerequisite for metadata-only RENAME/DROP COLUMN:
+    every existing field gets ``delta.columnMapping.physicalName`` equal
+    to its CURRENT name (existing files keep resolving unchanged — the
+    upgrade touches no data) plus a stable ``delta.columnMapping.id``;
+    the same commit upgrades the protocol to v3/v7 with the
+    ``columnMapping`` feature. Idempotent: an already-mapped table
+    returns without a new commit. Partitioned tables are refused (this
+    engine keeps mapped tables unpartitioned; renaming a partition
+    column would also have to rewrite the directory layout)."""
+    table_dir = Path(path)
+    live, schema_string, part_cols, latest, repl_state = _replay_log(
+        table_dir, return_state=True
+    )
+    _check_writer_protocol(repl_state.get("protocol"))
+    config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
+    if config.get("delta.columnMapping.mode") == "name":
+        return {"version": None, "note": "column mapping already enabled"}
+    if config.get("delta.columnMapping.mode") not in (None, "", "none"):
+        raise DeltaProtocolError(
+            f"table is in mapping mode "
+            f"{config['delta.columnMapping.mode']!r}; only none->name "
+            "upgrades are supported"
+        )
+    if part_cols:
+        raise ValueError(
+            "cannot enable column mapping on a partitioned table (mapped "
+            "partition-directory layout is not implemented)"
+        )
+    schema_json = json.loads(schema_string)
+    new_fields = []
+    for i, f in enumerate(schema_json["fields"], start=1):
+        if "struct" in json.dumps(f["type"]):
+            raise DeltaProtocolError(
+                f"column mapping over nested struct field {f['name']!r} "
+                "is not implemented"
+            )
+        new_fields.append(dict(f, metadata={
+            **(f.get("metadata") or {}),
+            "delta.columnMapping.id": i,
+            # the spec's upgrade semantics: physical name = current name,
+            # so every existing file resolves without rewriting anything
+            "delta.columnMapping.physicalName": f["name"],
+        }))
+    metadata = dict(repl_state["metadata"])
+    metadata["schemaString"] = json.dumps(
+        {"type": "struct", "fields": new_fields}
+    )
+    metadata["configuration"] = {
+        **config,
+        "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": str(len(new_fields)),
+    }
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps(
+                        {"delta.columnMapping.mode": "name"}
+                    )
+                },
+                "engineInfo": "evolution-spark-delta-writer/1.0",
+            }
+        }
+    ]
+    upgrade = _cm_protocol_upgrade(repl_state.get("protocol") or dict(PROTOCOL))
+    if upgrade:
+        actions.append(upgrade)
+    actions.append({"metaData": metadata})
+    version = latest + 1
+    _publish_commit(table_dir, version, actions, "mapping upgrade")
+    return {"version": version, "mode": "name"}
+
+
+def rename_delta_column(path: str, old: str, new: str) -> dict:
+    """RENAME COLUMN as a METADATA-ONLY commit (what column mapping
+    exists for): the field's logical ``name`` changes, its
+    ``physicalName`` and ``id`` stay — so no data file is touched, every
+    reader resolves old files through the unchanged physical name, and
+    time travel to pre-rename versions replays the old metaData and sees
+    the old name. Requires name-mode mapping
+    (``upgrade_delta_to_column_mapping``). The reference engine has no
+    schema evolution at all (its targets are ``todo!()``)."""
+    table_dir = Path(path)
+    live, schema_string, part_cols, latest, repl_state = _replay_log(
+        table_dir, return_state=True
+    )
+    _check_writer_protocol(repl_state.get("protocol"))
+    config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
+    _require_name_mapping(config, "RENAME COLUMN")
+    if old in part_cols:
+        raise ValueError(f"cannot rename partition column {old!r}")
+    if not new or new == old:
+        raise ValueError(f"invalid new name {new!r}")
+    schema_json = json.loads(schema_string)
+    names = {f["name"] for f in schema_json["fields"]}
+    if old not in names:
+        raise ValueError(f"column {old!r} not in schema {sorted(names)}")
+    if new.lower() in {n.lower() for n in names}:
+        raise ValueError(f"column {new!r} already exists")
+    new_fields = []
+    for f in schema_json["fields"]:
+        if f["name"] == old:
+            meta = dict(f.get("metadata") or {})
+            # a field upgraded in-place may carry physicalName == old
+            # name; pin it explicitly so the rename cannot orphan it
+            meta.setdefault("delta.columnMapping.physicalName", f["name"])
+            new_fields.append(dict(f, name=new, metadata=meta))
+        else:
+            new_fields.append(f)
+    metadata = dict(repl_state["metadata"])
+    metadata["schemaString"] = json.dumps(
+        {"type": "struct", "fields": new_fields}
+    )
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RENAME COLUMN",
+                "operationParameters": {"from": old, "to": new},
+                "engineInfo": "evolution-spark-delta-writer/1.0",
+            }
+        },
+        {"metaData": metadata},
+    ]
+    version = latest + 1
+    _publish_commit(table_dir, version, actions, "rename")
+    return {"version": version, "schema": [f["name"] for f in new_fields]}
+
+
+def drop_delta_column(path: str, name: str) -> dict:
+    """DROP COLUMN as a METADATA-ONLY commit: the field leaves the
+    schema; its stored data stays in the files but no mapped reader
+    resolves it (the physical name is no longer referenced), and a later
+    ADD COLUMN with the same logical name gets a FRESH physical name +
+    id, so the dropped data can never resurrect. Time travel to
+    pre-drop versions still reads the column. Requires name-mode
+    mapping."""
+    table_dir = Path(path)
+    live, schema_string, part_cols, latest, repl_state = _replay_log(
+        table_dir, return_state=True
+    )
+    _check_writer_protocol(repl_state.get("protocol"))
+    config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
+    _require_name_mapping(config, "DROP COLUMN")
+    if name in part_cols:
+        raise ValueError(f"cannot drop partition column {name!r}")
+    schema_json = json.loads(schema_string)
+    names = [f["name"] for f in schema_json["fields"]]
+    if name not in names:
+        raise ValueError(f"column {name!r} not in schema {sorted(names)}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the last column of a table")
+    new_fields = [f for f in schema_json["fields"] if f["name"] != name]
+    metadata = dict(repl_state["metadata"])
+    metadata["schemaString"] = json.dumps(
+        {"type": "struct", "fields": new_fields}
+    )
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DROP COLUMNS",
+                "operationParameters": {"columns": json.dumps([name])},
+                "engineInfo": "evolution-spark-delta-writer/1.0",
+            }
+        },
+        {"metaData": metadata},
+    ]
+    version = latest + 1
+    _publish_commit(table_dir, version, actions, "drop")
+    return {"version": version, "schema": [f["name"] for f in new_fields]}

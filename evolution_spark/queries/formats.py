@@ -1315,6 +1315,87 @@ def iceberg_python_source_write(spark, sf_dir):
 
 
 @query(
+    "delta_rename_drop_time_travel",
+    oracle="""
+    SELECT 'latest' AS snapshot, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(balance * 100) AS BIGINT)) AS BIGINT)
+             AS balance_cents,
+           CAST(0 AS BIGINT) AS n_segments,
+           MIN(k) AS min_key, MAX(k) AS max_key
+    FROM (
+      SELECT c_custkey AS k, c_acctbal AS balance FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000, c_acctbal + 5
+      FROM customer WHERE c_custkey % 4 = 0
+    )
+    UNION ALL
+    SELECT 'v0', COUNT(*),
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT),
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+           MIN(c_custkey), MAX(c_custkey)
+    FROM customer
+    """,
+)
+def delta_rename_drop_time_travel(spark, sf_dir):
+    """Column-mapping WRITE + metadata-only RENAME/DROP COLUMN, round
+    tripped through time travel: customer lands as a NAME-mapped table
+    (files store ``col-<hex>`` physical names), ``c_acctbal`` is renamed
+    to ``balance`` (metadata-only — the physical name pins the stored
+    data), an append lands under the NEW logical name, and
+    ``c_mktsegment`` is dropped. The result unions the LATEST read
+    (renamed column over old+new files, dropped column gone) with a
+    time-travel read of VERSION 0 (old names, dropped column still
+    readable) — so a mis-resolved physical column, a lost append, or a
+    resurrected dropped column in either schema epoch fails the hash.
+    Scale: rename/drop are O(1) metadata commits regardless of table
+    size — the point of column mapping at 100 TB."""
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        drop_delta_column,
+        read_delta_snapshot,
+        rename_delta_column,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tmp = query_tmp("deltarename", sf_dir)
+    write_delta_snapshot(c, tmp, column_mapping=True)             # v0
+    rename_delta_column(tmp, "c_acctbal", "balance")              # v1
+    commit_delta(                                                 # v2
+        c.where(F.col("c_custkey") % 4 == 0).select(
+            (F.col("c_custkey") + 10000000).alias("c_custkey"),
+            F.col("c_mktsegment"),
+            (F.col("c_acctbal") + 5).alias("balance"),
+        ),
+        tmp, mode="append",
+    )
+    drop_delta_column(tmp, "c_mktsegment")                        # v3
+    latest = read_delta_snapshot(spark, tmp).agg(
+        F.lit("latest").alias("snapshot"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("balance") * 100).cast("bigint")).alias(
+            "balance_cents"
+        ),
+        F.lit(0).cast("bigint").alias("n_segments"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+    v0 = read_delta_snapshot(spark, tmp, version=0).agg(
+        F.lit("v0").alias("snapshot"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "balance_cents"
+        ),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+    return latest.unionByName(v0)
+
+
+@query(
     "iceberg_mor_delete_lifecycle",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_alive,

@@ -506,14 +506,27 @@ def test_column_mapping_id_mode_and_writes_refused(spark, tmp_path):
     (log / f"{0:020d}.json").write_text("\n".join(lines) + "\n")
     with pytest.raises(DeltaProtocolError, match="columnMapping.mode='id'"):
         read_delta_snapshot(spark, str(table))
-    # writes to column-mapped tables refuse via the writer guard (v7 with
-    # the columnMapping WRITER feature is not claimed)
+    # writes to name-mode column-mapped tables are SUPPORTED: the append
+    # lands under PHYSICAL names so every mapped reader resolves it
     meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "name"
     lines[1] = json.dumps(meta)
     (log / f"{0:020d}.json").write_text("\n".join(lines) + "\n")
-    df = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("v"))
-    with pytest.raises(DeltaProtocolError, match="columnMapping"):
-        commit_delta(df, str(table), mode="append")
+    df = spark.range(5, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    commit_delta(df, str(table), mode="append")
+    back = read_delta_snapshot(spark, str(table))
+    assert back.columns == ["k", "v"]  # logical names
+    assert {(r.k, r.v) for r in back.collect()} == {
+        (i, i * 10) for i in range(8)
+    }
+    # the appended parquet files store physical names, not logical ones
+    import pyarrow.parquet as papq
+
+    fields = set()
+    for p in table.glob("*.parquet"):
+        fields |= set(papq.ParquetFile(p).schema_arrow.names)
+    assert "k" not in fields and "v" not in fields
 
 
 # --------------------------------------------------------------------------

@@ -132,3 +132,133 @@ def test_iceberg_evolution_guards(spark, tmp_path):
         evolve_iceberg_schema(path, [("x", "uuid")])
     with pytest.raises(ValueError, match="non-empty"):
         evolve_iceberg_schema(path, [])
+
+
+# --------------------------------------------------------------------------
+# column mapping write + RENAME/DROP COLUMN (metadata-only evolution)
+# --------------------------------------------------------------------------
+
+
+def test_delta_column_mapping_write_and_rename_drop(spark, tmp_path):
+    """Native mapped write -> metadata-only RENAME -> append under the new
+    name -> DML -> DROP -> re-ADD with the same name; every step reads
+    back correctly and time travel shows each historical schema."""
+    from pyspark.sql import types as T
+
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        delete_delta_rows,
+        drop_delta_column,
+        evolve_delta_schema,
+        read_delta_snapshot,
+        rename_delta_column,
+        update_delta_rows,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "cmw")
+    write_delta_snapshot(
+        spark.range(10).select(F.col("id").alias("k"),
+                               (F.col("id") * 10).alias("v")),
+        path, column_mapping=True,
+    )
+    # files store physical names
+    import pyarrow.parquet as papq
+
+    for p in (tmp_path / "cmw").glob("*.parquet"):
+        assert all(n.startswith("col-")
+                   for n in papq.ParquetFile(p).schema_arrow.names)
+    rename_delta_column(path, "v", "val")  # v1: metadata only
+    df = read_delta_snapshot(spark, path)
+    assert df.columns == ["k", "val"]
+    assert {(r.k, r.val) for r in df.collect()} == {(i, i * 10)
+                                                    for i in range(10)}
+    # append under the NEW logical name (lands under the old physical one)
+    commit_delta(
+        spark.range(10, 13).select(F.col("id").alias("k"),
+                                   (F.col("id") * 10).alias("val")),
+        path, mode="append",
+    )
+    # merge-on-read DML over the mapped table (logical-name predicates)
+    delete_delta_rows(spark, path, "k % 2 = 0")
+    update_delta_rows(spark, path, "k = 3", {"val": "val + 1"})
+    got = {(r.k, r.val) for r in read_delta_snapshot(spark, path).collect()}
+    assert got == {(i, i * 10 + (1 if i == 3 else 0))
+                   for i in range(13) if i % 2 == 1}
+    drop_delta_column(path, "val")
+    assert read_delta_snapshot(spark, path).columns == ["k"]
+    # re-added name gets a FRESH physical column: dropped data cannot
+    # resurrect
+    evolve_delta_schema(path, [("val", T.LongType())])
+    assert all(r.val is None
+               for r in read_delta_snapshot(spark, path).collect())
+    # time travel replays each version's metaData
+    v0 = read_delta_snapshot(spark, path, version=0)
+    assert v0.columns == ["k", "v"] and v0.count() == 10
+
+
+def test_delta_mapping_upgrade_and_rename_chain(spark, tmp_path):
+    """Upgrading an existing table keeps physical names equal to the old
+    logical names (no file rewrite); a rename chain that reuses a freed
+    logical name still resolves correctly (atomic projection, not
+    sequential renames)."""
+    from evolution_spark.io.delta_log import (
+        read_delta_snapshot,
+        rename_delta_column,
+        upgrade_delta_to_column_mapping,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "cmu")
+    write_delta_snapshot(
+        spark.range(5).select(F.col("id").alias("a"),
+                              (F.col("id") * 2).alias("b")),
+        path,
+    )
+    assert upgrade_delta_to_column_mapping(path)["mode"] == "name"
+    assert upgrade_delta_to_column_mapping(path)["version"] is None  # idempotent
+    rename_delta_column(path, "a", "key")
+    rename_delta_column(path, "b", "a")  # 'a' is free again
+    df = read_delta_snapshot(spark, path)
+    assert df.columns == ["key", "a"]
+    assert {(r.key, r.a) for r in df.collect()} == {(i, i * 2)
+                                                    for i in range(5)}
+
+
+def test_delta_rename_drop_guards(spark, tmp_path):
+    """Unmapped tables refuse rename/drop with a pointer to the upgrade;
+    partition columns, duplicate names, and last-column drops refuse."""
+    import pytest
+
+    from evolution_spark.io.delta_log import (
+        DeltaProtocolError,
+        drop_delta_column,
+        rename_delta_column,
+        upgrade_delta_to_column_mapping,
+        write_delta_snapshot,
+    )
+
+    plain = str(tmp_path / "plain")
+    write_delta_snapshot(
+        spark.range(4).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        plain,
+    )
+    with pytest.raises(DeltaProtocolError, match="upgrade_delta_to_column_mapping"):
+        rename_delta_column(plain, "k", "kk")
+    with pytest.raises(DeltaProtocolError, match="upgrade_delta_to_column_mapping"):
+        drop_delta_column(plain, "v")
+    upgrade_delta_to_column_mapping(plain)
+    with pytest.raises(ValueError, match="already exists"):
+        rename_delta_column(plain, "k", "V")  # case-insensitive collision
+    with pytest.raises(ValueError, match="not in schema"):
+        rename_delta_column(plain, "zz", "y")
+    drop_delta_column(plain, "v")
+    with pytest.raises(ValueError, match="last column"):
+        drop_delta_column(plain, "k")
+    part = str(tmp_path / "part")
+    write_delta_snapshot(
+        spark.range(4).select(F.col("id").alias("k"), (F.col("id") % 2).alias("p")),
+        part, partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        upgrade_delta_to_column_mapping(part)
