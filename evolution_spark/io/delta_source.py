@@ -212,7 +212,16 @@ def _read_slice(slice_, logical_schema_json: str):
         for f in fields:
             name, typ = f["name"], f["type"]
             if name in present:
-                cols[name] = present[name]
+                arr = present[name]
+                try:
+                    at = _arrow_type_of(typ)
+                except ValueError:
+                    at = None
+                if at is not None and arr.type != at:
+                    # schema-evolved file: stored narrower than declared
+                    # (e.g. int32 under a widened long column) — upcast
+                    arr = arr.cast(at)
+                cols[name] = arr
             else:
                 # partition column (or post-evolution column on a legacy
                 # file): typed constant from the add's partitionValues

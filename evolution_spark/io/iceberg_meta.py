@@ -233,6 +233,13 @@ def _write_avro(path: Path, schema: dict, records: list[dict], meta: dict) -> in
 
 
 def _read_avro(path: Path) -> list[dict]:
+    return _read_avro_with_meta(path)[0]
+
+
+def _read_avro_with_meta(path: Path) -> tuple[list[dict], dict]:
+    """Avro file -> (records, file-metadata map). The metadata carries
+    the manifest's ``schema-id`` — what lets the reader resolve files
+    written under OLDER schemas (rename/widen evolution) by field id."""
     buf = memoryview(path.read_bytes())
     assert bytes(buf[:4]) == MAGIC, f"not an avro file: {path}"
     pos = 4
@@ -258,7 +265,7 @@ def _read_avro(path: Path) -> list[dict]:
             rec, pos = _dec_value(schema, buf, pos)
             records.append(rec)
         pos += 16  # sync
-    return records
+    return records, meta
 
 
 # --------------------------------------------------------------------------
@@ -643,6 +650,7 @@ def read_iceberg_table(
         raise ValueError(f"snapshot {current} not in table history {known}") from None
     files: list[str] = []
     file_seq: dict[str, int] = {}  # decoded path -> data sequence number
+    file_sid: dict[str, int] = {}  # raw path -> manifest schema-id
     delete_files: list[str] = []
     delete_rows = 0
     # (delete parquet, delete sequence, equality field-ids)
@@ -652,7 +660,14 @@ def read_iceberg_table(
     for mf in _read_avro(Path(snapshot["manifest-list"])):
         is_delete_manifest = int(mf.get("content") or 0) == 1
         mf_seq = int(mf.get("sequence_number") or 0)
-        for entry in _read_avro(Path(mf["manifest_path"])):
+        mf_entries, mf_meta = _read_avro_with_meta(Path(mf["manifest_path"]))
+        try:
+            mf_sid = int((mf_meta.get("schema-id") or b"").decode())
+        except ValueError:
+            # a manifest without a recorded schema-id (pre-spec writers)
+            # is assumed current — the pre-evolution behavior
+            mf_sid = metadata["current-schema-id"]
+        for entry in mf_entries:
             if entry["status"] == 2:  # DELETED entry
                 continue
             dfile = entry["data_file"]
@@ -714,12 +729,18 @@ def read_iceberg_table(
                 continue  # metadata-level partition pruning
             files.append(dfile["file_path"])
             file_seq[plain_path(dfile["file_path"])] = seq
-    # time travel reads the schema that was CURRENT at the snapshot (each
-    # snapshot records its schema-id) — a post-evolution read of an old
-    # snapshot must not invent the added columns
-    want_schema_id = snapshot.get("schema-id", metadata["current-schema-id"])
-    if want_schema_id is None:
+            file_sid[dfile["file_path"]] = mf_sid
+    # a CURRENT-table read always uses the CURRENT schema (metadata-only
+    # evolution like RENAME/DROP/widen creates no snapshot, so the last
+    # snapshot's recorded schema-id may lag); TIME TRAVEL reads the schema
+    # that was current at that snapshot — a post-evolution read of an old
+    # snapshot must not invent added columns or apply later renames
+    if snapshot_id is None:
         want_schema_id = metadata["current-schema-id"]
+    else:
+        want_schema_id = snapshot.get("schema-id", metadata["current-schema-id"])
+        if want_schema_id is None:
+            want_schema_id = metadata["current-schema-id"]
     ice_schema = next(
         s for s in metadata["schemas"] if s["schema-id"] == want_schema_id
     )
@@ -740,6 +761,81 @@ def read_iceberg_table(
             else schema
         )
         return spark.createDataFrame([], empty_schema)
+    group_of: dict[int, list[str]] = {}
+    for f in files:
+        group_of.setdefault(file_sid.get(f, want_schema_id), []).append(f)
+    if set(group_of) != {want_schema_id}:
+        # SCHEMA-EVOLVED READ (rename/widen/drop history): data files were
+        # written under older schemas whose column names/types differ from
+        # the wanted one. Per group: scan with the WRITTEN schema, mask
+        # that group's position deletes, then realign to the wanted schema
+        # BY FIELD ID (rename -> alias, widen -> upcast, added -> null,
+        # dropped -> not selected) and union. Field-id stability is what
+        # makes this metadata-only; no file is rewritten.
+        if eq_deletes:
+            raise IcebergFormatError(
+                "equality deletes over schema-evolved data files are not "
+                "implemented (delete-file columns would need per-epoch "
+                "field-id resolution) — compact the table first"
+            )
+        from pyspark.sql import functions as F
+
+        dels_df = None
+        if delete_files:
+            from evolution_spark.io.scan_filters import decoded_file_path
+
+            dels_df = (
+                spark.read.schema("file_path string, pos long")
+                .parquet(*delete_files)
+                .withColumn("file_path", decoded_file_path("file_path"))
+            )
+        branches = []
+        for sid in sorted(group_of):
+            g_schema = next(
+                (s for s in metadata["schemas"] if s["schema-id"] == sid),
+                None,
+            )
+            if g_schema is None:
+                raise IcebergFormatError(
+                    f"manifest references unknown schema-id {sid}"
+                )
+            gdf = (
+                spark.read.schema(spark_schema_of(g_schema))
+                .option("basePath", str(table_dir / "data"))
+                .parquet(*group_of[sid])
+            )
+            if _lineage:
+                from evolution_spark.io.scan_filters import (
+                    decoded_file_path as _dfp,
+                )
+
+                gdf = gdf.withColumns({
+                    "_src_file": _dfp(F.col("_metadata.file_path")),
+                    "_src_pos": F.col("_metadata.row_index"),
+                })
+            if dels_df is not None:
+                from evolution_spark.io.scan_filters import (
+                    anti_join_deleted_positions,
+                )
+
+                gdf = anti_join_deleted_positions(gdf, dels_df, delete_rows)
+            g_by_id = {f["id"]: f for f in g_schema["fields"]}
+            sel = []
+            for f, sf in zip(ice_schema["fields"], schema.fields):
+                gf = g_by_id.get(f["id"])
+                if gf is None:  # column added after these files were written
+                    sel.append(F.lit(None).cast(sf.dataType).alias(f["name"]))
+                else:
+                    sel.append(
+                        F.col(gf["name"]).cast(sf.dataType).alias(f["name"])
+                    )
+            if _lineage:
+                sel += [F.col("_src_file"), F.col("_src_pos")]
+            branches.append(gdf.select(*sel))
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out.select(*out_names)
     df = (
         spark.read.schema(schema)
         .option("basePath", str(table_dir / "data"))
@@ -1305,6 +1401,139 @@ def evolve_iceberg_schema(path: str, add_columns: list[tuple[str, str]]) -> dict
         "last-column-id": col_id,
         "schema": [f["name"] for f in new_fields],
     }
+
+
+def _publish_evolved_schema(
+    path: str, new_fields: list[dict], op: str, mapping_aliases: dict[int, str] | None = None
+) -> dict:
+    """Shared metadata-only schema-evolution publish (rename/drop/widen):
+    append the evolved field list as a NEW schema under a fresh
+    schema-id, move ``current-schema-id`` to it, and extend the
+    name-mapping (``mapping_aliases``: field-id -> newly-current name,
+    prepended so id-less parquet files keep resolving under every name
+    the field ever had). Field-ids never change — that stability is what
+    makes Iceberg evolution metadata-only."""
+    table_dir = Path(path)
+    metadata, prev_meta_file = _load_metadata(table_dir)
+    new_schema_id = max(s["schema-id"] for s in metadata["schemas"]) + 1
+    new_schema = {
+        "type": "struct", "schema-id": new_schema_id, "fields": new_fields
+    }
+    props = dict(metadata.get("properties") or {})
+    mapping = json.loads(props.get("schema.name-mapping.default", "[]"))
+    by_fid = {m["field-id"]: m for m in mapping}
+    for fid, new_name in (mapping_aliases or {}).items():
+        entry = by_fid.get(fid)
+        if entry is None:
+            entry = {"field-id": fid, "names": []}
+            mapping.append(entry)
+        if new_name in entry["names"]:
+            entry["names"].remove(new_name)
+        entry["names"].insert(0, new_name)
+    props["schema.name-mapping.default"] = json.dumps(mapping)
+
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(metadata)
+    new_meta["schemas"] = metadata["schemas"] + [new_schema]
+    new_meta["current-schema-id"] = new_schema_id
+    new_meta["properties"] = props
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["metadata-log"] = metadata["metadata-log"] + [
+        {"timestamp-ms": metadata["last-updated-ms"],
+         "metadata-file": str(prev_meta_file)}
+    ]
+    _publish_metadata(table_dir / "metadata", prev_meta_file, new_meta)
+    return {
+        "schema-id": new_schema_id,
+        "operation": op,
+        "schema": [f["name"] for f in new_fields],
+    }
+
+
+def _current_schema_and_guards(path: str, col: str, op: str):
+    """Load metadata, resolve the current schema + the named field, and
+    refuse evolution on partition-source columns (changing them would
+    invalidate every manifest's partition records)."""
+    metadata, _ = _load_metadata(Path(path))
+    current = next(
+        s for s in metadata["schemas"]
+        if s["schema-id"] == metadata["current-schema-id"]
+    )
+    by_name = {f["name"]: f for f in current["fields"]}
+    if col not in by_name:
+        raise ValueError(
+            f"column {col!r} not in schema {sorted(by_name)}"
+        )
+    spec_fields = next(
+        sp for sp in metadata["partition-specs"]
+        if sp["spec-id"] == metadata["default-spec-id"]
+    )["fields"]
+    source_ids = {pf["source-id"] for pf in spec_fields}
+    if by_name[col]["id"] in source_ids:
+        raise ValueError(
+            f"cannot {op} column {col!r}: it is a partition source of the "
+            "default spec (the partition records in every manifest are "
+            "keyed on it)"
+        )
+    return metadata, current, by_name
+
+
+def rename_iceberg_column(path: str, old: str, new: str) -> dict:
+    """RENAME COLUMN, metadata-only (the Iceberg spec's core promise:
+    field-ids are stable, names are labels): the field keeps its id and
+    type under a new name in a NEW schema version; historical snapshots
+    keep their recorded schema-id and still read the old name. Data
+    files written before the rename carry the OLD column name —
+    ``read_iceberg_table`` resolves them per manifest schema-id and
+    realigns by field id, so no file is rewritten."""
+    _, current, by_name = _current_schema_and_guards(path, old, "rename")
+    if not new or new == old:
+        raise ValueError(f"invalid new name {new!r}")
+    if new.lower() in {n.lower() for n in by_name}:
+        raise ValueError(f"column {new!r} already exists")
+    new_fields = [
+        dict(f, name=new) if f["name"] == old else f
+        for f in current["fields"]
+    ]
+    return _publish_evolved_schema(
+        path, new_fields, "rename",
+        mapping_aliases={by_name[old]["id"]: new},
+    )
+
+
+def drop_iceberg_column(path: str, name: str) -> dict:
+    """DROP COLUMN, metadata-only: the field leaves the current schema;
+    its id is retired (``last-column-id`` never decreases, so a later
+    ADD COLUMN can never reuse it and resurrect the stored data).
+    Historical snapshots still read the column via their schema-id."""
+    _, current, by_name = _current_schema_and_guards(path, name, "drop")
+    if len(current["fields"]) == 1:
+        raise ValueError("cannot drop the last column of a table")
+    new_fields = [f for f in current["fields"] if f["name"] != name]
+    return _publish_evolved_schema(path, new_fields, "drop")
+
+
+_ICEBERG_PROMOTIONS = {("int", "long"), ("float", "double")}
+
+
+def widen_iceberg_column(path: str, name: str, new_type: str) -> dict:
+    """Type promotion per the spec's evolution rules: ``int -> long`` and
+    ``float -> double`` only (widenings every reader can apply losslessly
+    at scan time); anything else refuses. Metadata-only — old files keep
+    their narrow physical type and ``read_iceberg_table`` upcasts them
+    during the per-schema-group realignment."""
+    _, current, by_name = _current_schema_and_guards(path, name, "widen")
+    old_type = by_name[name]["type"]
+    if (old_type, new_type) not in _ICEBERG_PROMOTIONS:
+        raise TypeError(
+            f"cannot widen {name!r} from {old_type!r} to {new_type!r}; "
+            f"the spec's lossless promotions are {sorted(_ICEBERG_PROMOTIONS)}"
+        )
+    new_fields = [
+        dict(f, type=new_type) if f["name"] == name else f
+        for f in current["fields"]
+    ]
+    return _publish_evolved_schema(path, new_fields, "widen")
 
 
 def _publish_metadata(meta_dir: Path, prev_meta_file: Path, new_meta: dict) -> Path:

@@ -102,11 +102,18 @@ def _plan_iceberg_slices(
             for k, v in partition_where.items()
         }
 
-    data_entries: list[dict] = []
+    data_entries: list[tuple[dict, int]] = []  # (data_file, schema-id)
     delete_files: list[str] = []
+    from evolution_spark.io.iceberg_meta import _read_avro_with_meta
+
     for mf in _read_avro(Path(snapshot["manifest-list"])):
         is_delete_manifest = int(mf.get("content") or 0) == 1
-        for entry in _read_avro(Path(mf["manifest_path"])):
+        mf_entries, mf_meta = _read_avro_with_meta(Path(mf["manifest_path"]))
+        try:
+            mf_sid = int((mf_meta.get("schema-id") or b"").decode())
+        except ValueError:
+            mf_sid = metadata["current-schema-id"]
+        for entry in mf_entries:
             if entry["status"] == 2:
                 continue
             dfile = entry["data_file"]
@@ -124,7 +131,7 @@ def _plan_iceberg_slices(
                 for k, v in partition_where.items()
             ):
                 continue
-            data_entries.append(dfile)
+            data_entries.append((dfile, mf_sid))
 
     from evolution_spark.io.scan_filters import plain_path
 
@@ -140,15 +147,42 @@ def _plan_iceberg_slices(
         ):
             pos_by_file.setdefault(plain_path(fp), []).append(int(pos))
 
-    sid = snapshot.get("schema-id", metadata["current-schema-id"])
-    if sid is None:
+    # current read: CURRENT schema (metadata-only evolution creates no
+    # snapshot); time travel: the snapshot's recorded schema
+    if snapshot_id is None:
         sid = metadata["current-schema-id"]
+    else:
+        sid = snapshot.get("schema-id", metadata["current-schema-id"])
+        if sid is None:
+            sid = metadata["current-schema-id"]
     ice_schema = next(
         s for s in metadata["schemas"] if s["schema-id"] == sid
     )
     schema = spark_schema_of(ice_schema)
+    # per-schema-group physical->logical renames (rename evolution): a
+    # file written under an older schema stores the OLD column names;
+    # field-id stability maps them to the wanted names. Widened types are
+    # upcast executor-side in _read_slice.
+    want_by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    renames_of: dict[int, dict[str, str]] = {}
+    for g in {g for _, g in data_entries}:
+        if g == sid:
+            renames_of[g] = {}
+            continue
+        g_schema = next(
+            (s for s in metadata["schemas"] if s["schema-id"] == g), None
+        )
+        if g_schema is None:
+            from evolution_spark.io.iceberg_meta import IcebergFormatError
+
+            raise IcebergFormatError(f"manifest references unknown schema-id {g}")
+        renames_of[g] = {
+            f["name"]: want_by_id[f["id"]]
+            for f in g_schema["fields"]
+            if f["id"] in want_by_id and f["name"] != want_by_id[f["id"]]
+        }
     slices = []
-    for dfile in sorted(data_entries, key=lambda d: d["file_path"]):
+    for dfile, g in sorted(data_entries, key=lambda d: d[0]["file_path"]):
         fp = dfile["file_path"]
         pos = pos_by_file.get(plain_path(fp))
         blob = (
@@ -157,7 +191,9 @@ def _plan_iceberg_slices(
             else None
         )
         slices.append(
-            _FileSlice(fp, blob, dict(dfile.get("partition") or {}), {})
+            _FileSlice(
+                fp, blob, dict(dfile.get("partition") or {}), renames_of[g]
+            )
         )
     return schema, slices
 
@@ -263,6 +299,7 @@ class _IcebergStreamReader(DataSourceStreamReader):
             s for s in md["schemas"]
             if s["schema-id"] == md["current-schema-id"]
         )
+        self._pinned_schema_id = md["current-schema-id"]
         self.schema_json = spark_schema_of(cur).json()
 
     def _metadata(self):
@@ -283,6 +320,15 @@ class _IcebergStreamReader(DataSourceStreamReader):
         from evolution_spark.io.iceberg_meta import _read_avro
 
         metadata = self._metadata()
+        if metadata["current-schema-id"] != self._pinned_schema_id:
+            # mirror the Delta source: the reader pinned the schema at
+            # stream start; files written under a later schema would be
+            # silently mis-projected (renamed columns read as null)
+            raise RuntimeError(
+                "table schema changed mid-stream (schema-id "
+                f"{self._pinned_schema_id} -> {metadata['current-schema-id']})"
+                " — restart the stream to pick up the new schema"
+            )
         lo, hi = int(start["seq"]), int(end["seq"])
         if not start.get("snapshot_done", True):
             # initial snapshot: the newest snapshot at or below `hi`

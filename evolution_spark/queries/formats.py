@@ -1396,6 +1396,90 @@ def delta_rename_drop_time_travel(spark, sf_dir):
 
 
 @query(
+    "iceberg_rename_widen_time_travel",
+    oracle="""
+    SELECT 'latest' AS snapshot, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(balance * 100) AS BIGINT)) AS BIGINT)
+             AS balance_cents,
+           MIN(k) AS min_key, MAX(k) AS max_key
+    FROM (
+      SELECT c_custkey AS k, c_acctbal AS balance FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000, c_acctbal + 5
+      FROM customer WHERE c_custkey % 4 = 0
+    )
+    UNION ALL
+    SELECT 'v0', COUNT(*),
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT),
+           MIN(c_custkey), MAX(c_custkey)
+    FROM customer
+    """,
+)
+def iceberg_rename_widen_time_travel(spark, sf_dir):
+    """Iceberg RENAME + type-widen evolution round-tripped through time
+    travel (the ``delta_rename_drop_time_travel`` twin, on field-id
+    stability instead of physical names): customer lands with an INT key,
+    ``c_acctbal`` is renamed to ``balance`` and the key widened to LONG
+    (both metadata-only — no file rewritten), then an append lands under
+    the NEW schema. The LATEST read realigns the pre-evolution files by
+    field id (old name aliased, int upcast) and unions them with the new
+    epoch; the snapshot-1 time-travel read shows the ORIGINAL names and
+    the narrow key. A mis-aliased column, a lost upcast, or a rename
+    applied to the historical snapshot fails the hash. Scale: evolution
+    is O(1) metadata regardless of table size."""
+    from evolution_spark.io.iceberg_meta import (
+        _load_metadata,
+        append_iceberg_snapshot,
+        read_iceberg_table,
+        rename_iceberg_column,
+        widen_iceberg_column,
+        write_iceberg_table,
+    )
+    from pathlib import Path as _P
+
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("int").alias("c_custkey"),
+        "c_acctbal",
+    )
+    tmp = query_tmp("icerename", sf_dir)
+    write_iceberg_table(c, tmp)                                    # snap 1
+    rename_iceberg_column(tmp, "c_acctbal", "balance")
+    widen_iceberg_column(tmp, "c_custkey", "long")
+    append_iceberg_snapshot(                                       # snap 2
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 4 == 0)
+        .select(
+            (F.col("c_custkey") + 10000000).alias("c_custkey"),
+            (F.col("c_acctbal") + 5).alias("balance"),
+        ),
+        tmp,
+    )
+    latest = read_iceberg_table(spark, tmp).agg(
+        F.lit("latest").alias("snapshot"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("balance") * 100).cast("bigint")).alias(
+            "balance_cents"
+        ),
+        F.min("c_custkey").cast("bigint").alias("min_key"),
+        F.max("c_custkey").cast("bigint").alias("max_key"),
+    )
+    md, _ = _load_metadata(_P(tmp))
+    first = min(md["snapshots"], key=lambda s: s["sequence-number"])
+    v0 = read_iceberg_table(
+        spark, tmp, snapshot_id=first["snapshot-id"]
+    ).agg(
+        F.lit("v0").alias("snapshot"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "balance_cents"
+        ),
+        F.min("c_custkey").cast("bigint").alias("min_key"),
+        F.max("c_custkey").cast("bigint").alias("max_key"),
+    )
+    return latest.unionByName(v0)
+
+
+@query(
     "iceberg_mor_delete_lifecycle",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_alive,

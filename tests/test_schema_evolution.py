@@ -262,3 +262,146 @@ def test_delta_rename_drop_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="partitioned"):
         upgrade_delta_to_column_mapping(part)
+
+
+# --------------------------------------------------------------------------
+# Iceberg RENAME / DROP / type-widen (field-id-stable, metadata-only)
+# --------------------------------------------------------------------------
+
+
+def test_iceberg_rename_widen_drop_lifecycle(spark, tmp_path):
+    """rename -> append -> widen -> append -> DML across schema epochs ->
+    drop -> re-add -> compaction; the per-schema-group realigned read
+    resolves every epoch by field id."""
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        compact_iceberg_table,
+        delete_iceberg_rows,
+        drop_iceberg_column,
+        evolve_iceberg_schema,
+        read_iceberg_table,
+        rename_iceberg_column,
+        widen_iceberg_column,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "icevol")
+    write_iceberg_table(
+        spark.range(10).select(F.col("id").cast("int").alias("k"),
+                               (F.col("id") * 10).alias("v")),
+        path,
+    )
+    rename_iceberg_column(path, "v", "val")  # metadata-only
+    df = read_iceberg_table(spark, path)
+    assert df.columns == ["k", "val"]
+    assert {(r.k, r.val) for r in df.collect()} == {(i, i * 10)
+                                                    for i in range(10)}
+    append_iceberg_snapshot(
+        spark.range(10, 13).select(F.col("id").cast("int").alias("k"),
+                                   (F.col("id") * 10).alias("val")),
+        path,
+    )
+    widen_iceberg_column(path, "k", "long")
+    df = read_iceberg_table(spark, path)
+    assert dict(df.dtypes)["k"] == "bigint"
+    assert {r.k for r in df.collect()} == set(range(13))
+    append_iceberg_snapshot(
+        spark.range(13, 15).select(F.col("id").alias("k"),
+                                   (F.col("id") * 10).alias("val")),
+        path,
+    )
+    # predicate DML spans all three schema epochs
+    delete_iceberg_rows(spark, path, "k % 2 = 0")
+    got = {(r.k, r.val) for r in read_iceberg_table(spark, path).collect()}
+    assert got == {(i, i * 10) for i in range(15) if i % 2 == 1}
+    drop_iceberg_column(path, "val")
+    assert read_iceberg_table(spark, path).columns == ["k"]
+    # re-added name -> fresh field id, dropped data cannot resurrect
+    evolve_iceberg_schema(path, [("val", "long")])
+    assert all(r.val is None
+               for r in read_iceberg_table(spark, path).collect())
+    compact_iceberg_table(spark, path)
+    assert {r.k for r in read_iceberg_table(spark, path).collect()} == {
+        i for i in range(15) if i % 2 == 1
+    }
+
+
+def test_iceberg_evolution_time_travel_and_source(spark, tmp_path):
+    """Time travel reads each snapshot under ITS schema; the
+    evolution_iceberg DataSource resolves evolved tables via per-slice
+    renames + executor-side upcasts."""
+    from evolution_spark.io.iceberg_meta import (
+        _load_metadata,
+        append_iceberg_snapshot,
+        delete_iceberg_rows,
+        read_iceberg_table,
+        rename_iceberg_column,
+        widen_iceberg_column,
+        write_iceberg_table,
+    )
+    from evolution_spark.io.iceberg_source import register_iceberg_source
+    from pathlib import Path as _P
+
+    register_iceberg_source(spark)
+    path = str(tmp_path / "icevolsrc")
+    write_iceberg_table(
+        spark.range(8).select(F.col("id").cast("int").alias("k"),
+                              (F.col("id") * 10).alias("v")),
+        path,
+    )
+    rename_iceberg_column(path, "v", "val")
+    widen_iceberg_column(path, "k", "long")
+    append_iceberg_snapshot(
+        spark.range(8, 11).select(F.col("id").alias("k"),
+                                  (F.col("id") * 10).alias("val")),
+        path,
+    )
+    delete_iceberg_rows(spark, path, "k = 1")
+    df = spark.read.format("evolution_iceberg").load(path)
+    assert df.columns == ["k", "val"] and dict(df.dtypes)["k"] == "bigint"
+    assert {(r.k, r.val) for r in df.collect()} == {
+        (i, i * 10) for i in range(11) if i != 1
+    }
+    # time travel: the first snapshot keeps its original schema, both via
+    # the library reader and the DataSource
+    md, _ = _load_metadata(_P(path))
+    first = min(md["snapshots"], key=lambda s: s["sequence-number"])
+    old = read_iceberg_table(spark, path, snapshot_id=first["snapshot-id"])
+    assert old.columns == ["k", "v"] and dict(old.dtypes)["k"] == "int"
+    assert old.count() == 8
+    src_old = (spark.read.format("evolution_iceberg")
+               .option("snapshot", first["snapshot-id"]).load(path))
+    assert src_old.columns == ["k", "v"] and src_old.count() == 8
+
+
+def test_iceberg_rename_widen_guards(spark, tmp_path):
+    """Partition-source columns refuse rename/drop/widen; non-promotable
+    widenings refuse; duplicate/missing names refuse."""
+    import pytest
+
+    from evolution_spark.io.iceberg_meta import (
+        drop_iceberg_column,
+        rename_iceberg_column,
+        widen_iceberg_column,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "icevg")
+    write_iceberg_table(
+        spark.range(6).select(F.col("id").cast("int").alias("k"),
+                              (F.col("id") % 2).alias("p"),
+                              (F.col("id") * 1.0).alias("x")),
+        path, partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="partition source"):
+        rename_iceberg_column(path, "p", "q")
+    with pytest.raises(ValueError, match="partition source"):
+        drop_iceberg_column(path, "p")
+    with pytest.raises(TypeError, match="promotions"):
+        widen_iceberg_column(path, "k", "double")  # int->double refused
+    with pytest.raises(TypeError, match="promotions"):
+        widen_iceberg_column(path, "x", "long")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_iceberg_column(path, "k", "X")  # case-insensitive
+    with pytest.raises(ValueError, match="not in schema"):
+        rename_iceberg_column(path, "zz", "y")
