@@ -789,6 +789,42 @@ def _scan_adds(spark, table_dir: Path, live: dict, kept: list[str], schema):
     return anti_join_deleted_positions(df, deleted, total_card)
 
 
+def _check_cdc_changes(ch, op_col: str) -> None:
+    """Validate a prepared CDC change set (columns ``__k``/``__op``) —
+    shared by ``merge_delta_cdc`` and ``iceberg_meta.merge_iceberg_cdc``.
+    Real MERGE raises when a target row matches multiple source rows — a
+    duplicated change key would silently fan the row out instead; an
+    unknown op code would silently no-op (matched) or insert an all-NULL
+    row (unmatched). One combined aggregate validates everything
+    (map-side combined, no groupBy materialization); the detailed probe
+    for the error message only runs on the failure path."""
+    from pyspark.sql import functions as F
+
+    check = ch.agg(
+        F.sum((~F.col("__op").isin("u", "d")).cast("long")).alias("bad_ops"),
+        F.sum(F.col("__k").isNull().cast("long")).alias("null_keys"),
+        (F.count("__k") - F.count_distinct("__k")).alias("dup_keys"),
+    ).collect()[0]
+    if check["null_keys"]:
+        raise ValueError(
+            f"change set has {check['null_keys']} NULL merge key(s) — a null "
+            "key can never match a target row; filter or fix upstream"
+        )
+    if check["bad_ops"]:
+        bad_op = ch.where(~F.col("__op").isin("u", "d")).limit(1).collect()
+        raise ValueError(
+            f"unknown op {bad_op[0]['__op']!r} in {op_col!r} — "
+            "use 'u' (upsert) or 'd' (delete)"
+        )
+    if check["dup_keys"]:
+        dup = ch.groupBy("__k").count().where("count > 1").limit(1).collect()
+        raise ValueError(
+            f"change set has duplicate key {dup[0]['__k']!r} — MERGE requires "
+            "at most one change per key (compact the changelog first, e.g. "
+            "latest-wins by timestamp)"
+        )
+
+
 def merge_delta_cdc(
     spark,
     path: str,
@@ -880,35 +916,7 @@ def merge_delta_cdc(
         F.col(op_col).alias("__op"),
         *[F.col(c).alias(f"__c_{c}") for c in data_cols if c != key],
     )
-    # real MERGE raises when a target row matches multiple source rows —
-    # a duplicated change key would silently fan the row out instead; an
-    # unknown op code would silently no-op (matched) or insert an
-    # all-NULL row (unmatched). One combined aggregate validates both
-    # (map-side combined, no groupBy materialization); the detailed probe
-    # for the error message only runs on the failure path.
-    check = ch.agg(
-        F.sum((~F.col("__op").isin("u", "d")).cast("long")).alias("bad_ops"),
-        F.sum(F.col("__k").isNull().cast("long")).alias("null_keys"),
-        (F.count("__k") - F.count_distinct("__k")).alias("dup_keys"),
-    ).collect()[0]
-    if check["null_keys"]:
-        raise ValueError(
-            f"change set has {check['null_keys']} NULL merge key(s) — a null "
-            "key can never match a target row; filter or fix upstream"
-        )
-    if check["bad_ops"]:
-        bad_op = ch.where(~F.col("__op").isin("u", "d")).limit(1).collect()
-        raise ValueError(
-            f"unknown op {bad_op[0]['__op']!r} in {op_col!r} — "
-            "use 'u' (upsert) or 'd' (delete)"
-        )
-    if check["dup_keys"]:
-        dup = ch.groupBy("__k").count().where("count > 1").limit(1).collect()
-        raise ValueError(
-            f"change set has duplicate key {dup[0]['__k']!r} — MERGE requires "
-            "at most one change per key (compact the changelog first, e.g. "
-            "latest-wins by timestamp)"
-        )
+    _check_cdc_changes(ch, op_col)
     joined = target.join(ch, target[key] == ch["__k"], "full_outer")
 
     def out_col(c):

@@ -2169,3 +2169,141 @@ def expire_iceberg_snapshots(
         "deleted_data_files": len(deleted_data),
         "deleted_metadata_files": len(deleted_meta),
     }
+
+
+def merge_iceberg_cdc(
+    spark, path: str, changes: DataFrame, key: str, op_col: str = "_op"
+) -> dict:
+    """MERGE a CDC change set into the native Iceberg v2 table — the
+    ``delta_merge_cdc`` twin, but MERGE-ON-READ: instead of rewriting
+    every file whose key range intersects the change set (the Delta
+    copy-on-write shape), ONE atomic ``overwrite`` snapshot carries a
+    position-delete file marking every matched row version (superseded by
+    an update, or deleted) plus new data files holding exactly the
+    upserted rows. Write volume is O(change set), not O(touched files) —
+    on a 100 TB table with point changes that is kilobytes of deletes +
+    the new rows, vs rewriting every intersecting gigabyte-sized file;
+    ``compact_iceberg_table`` amortizes the read-side delete-application
+    cost later, on maintenance time instead of ingest time.
+
+    ``changes`` carries the table's columns plus ``op_col`` with ``'u'``
+    (upsert: update if the key exists, insert if not) or ``'d'``
+    (delete). Semantics match ``MERGE INTO ... WHEN MATCHED [AND op='d']
+    THEN DELETE / WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED [AND
+    op='u'] THEN INSERT *``. The same guards as the Delta twin refuse
+    NULL/duplicate change keys and unknown ops; additionally an upsert
+    key matching MULTIPLE target rows refuses (merge-on-read appends ONE
+    new version per change — silently collapsing a duplicated target key
+    would change the table's cardinality).
+
+    Scale: the match scan is one distributed delete-filtered read joined
+    on the key; only the matched (file, position) pairs — the MERGE's
+    changed-row set — reach the driver."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import _check_cdc_changes
+
+    table_dir = Path(path)
+    metadata, prev_meta_file = _load_metadata(table_dir)
+    if metadata.get("current-snapshot-id") is None:
+        raise ValueError("cannot MERGE into a table with no current snapshot")
+    ice_schema = next(
+        s for s in metadata["schemas"]
+        if s["schema-id"] == metadata["current-schema-id"]
+    )
+    stored_schema = spark_schema_of(ice_schema)
+    data_cols = [f.name for f in stored_schema.fields]
+    if key not in data_cols:
+        raise ValueError(f"key {key!r} not in table columns {data_cols}")
+    missing = sorted(set(data_cols) - set(changes.columns))
+    if missing:
+        raise ValueError(f"change set lacks table columns {missing}")
+    spec_fields = next(
+        s for s in metadata["partition-specs"]
+        if s["spec-id"] == metadata["default-spec-id"]
+    )["fields"]
+    part_cols = [f["name"] for f in spec_fields]
+
+    ch = changes.select(
+        F.col(key).alias("__k"),
+        F.col(op_col).alias("__op"),
+        *[F.col(c) for c in data_cols if c != key],
+    )
+    _check_cdc_changes(ch, op_col)
+
+    snap_id = metadata["current-snapshot-id"]
+    scan = read_iceberg_table(
+        spark, path, snapshot_id=snap_id, _lineage=True
+    )
+    matched = (
+        scan.select(F.col(key).alias("__mk"), "_src_file", "_src_pos")
+        .join(ch.select("__k", "__op"), F.col("__mk") == F.col("__k"), "inner")
+        .select("__mk", "__op", "_src_file", "_src_pos")
+        .collect()
+    )
+    # an upsert key matching multiple target row versions is ambiguous
+    # under merge-on-read (one appended version cannot stand in for N
+    # surviving rows) — refuse rather than silently deduplicating
+    from collections import Counter
+
+    u_counts = Counter(r["__mk"] for r in matched if r["__op"] == "u")
+    dup_target = [k for k, n in u_counts.items() if n > 1]
+    if dup_target:
+        raise ValueError(
+            f"upsert key {dup_target[0]!r} matches {u_counts[dup_target[0]]} "
+            "target rows — merge-on-read MERGE requires unique target keys "
+            "for updates (deduplicate the table first, e.g. via "
+            "exact-dedup keep-best)"
+        )
+    positions = [(r["_src_file"], r["_src_pos"]) for r in matched]
+
+    new_rows = changes.where(F.col(op_col) == "u").select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in stored_schema.fields
+        ]
+    )
+    seq = metadata["last-sequence-number"] + 1
+    data_dir = table_dir / "data"
+    stage = table_dir / f"_staging_s{seq}-{uuid.uuid4().hex}"
+    writer = new_rows.write.mode("error")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    moved: list[Path] = []
+    try:
+        writer.parquet(str(stage))
+        if not stage.exists():
+            raise RuntimeError(
+                f"staged write output missing at {stage} — the staging dir "
+                "was reclaimed (or the write never completed); aborting "
+                "the MERGE commit"
+            )
+        import pyarrow.parquet as _pq
+
+        for src in sorted(stage.rglob("*.parquet")):
+            if _pq.ParquetFile(src).metadata.num_rows == 0:
+                continue  # a pure-delete MERGE stages empty shards
+            rel = src.relative_to(stage)
+            dest_rel = rel.parent / f"part-s{seq:05d}-{uuid.uuid4().hex}.parquet"
+            dest = data_dir / dest_rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            os.replace(src, dest)
+            moved.append(dest)
+    finally:
+        if stage.exists():
+            shutil.rmtree(stage)
+    if not moved and not positions:
+        return {"snapshot-id": None, "matched": 0, "new_files": 0}
+    res = _commit_files_as_snapshot(
+        table_dir, metadata, prev_meta_file, moved,
+        "overwrite" if positions else "append",
+        position_deletes=positions or None,
+        extra_summary={"cdc-merge": "true"},
+    )
+    return {
+        "snapshot-id": res["snapshot-id"],
+        "matched": len(positions),
+        "new_rows": res["rows"],
+        "new_files": res["files"],
+        "sequence-number": res["sequence-number"],
+    }

@@ -1583,6 +1583,76 @@ def iceberg_mor_update_lifecycle(spark, sf_dir):
 
 
 @query(
+    "iceberg_merge_cdc",
+    oracle="""
+    WITH merged AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS bal
+      FROM customer WHERE c_custkey % 10 != 5
+      UNION ALL
+      SELECT c_custkey + 1000000, c_mktsegment, 0.0
+      FROM customer WHERE c_custkey < 5
+    )
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM merged GROUP BY c_mktsegment
+    """,
+)
+def iceberg_merge_cdc(spark, sf_dir):
+    """MERGE INTO the native Iceberg table from the same CDC change set
+    as ``delta_merge_cdc`` — but MERGE-ON-READ
+    (io/iceberg_meta.merge_iceberg_cdc): ONE atomic overwrite snapshot
+    position-deletes every matched row version and appends exactly the
+    upserted rows, so write volume is O(change set) instead of the Delta
+    twin's O(intersecting files) rewrite; compaction then materializes
+    the merge on maintenance time. Updates (+100 to every 10th key),
+    deletes (keys ending in 5), inserts (5 new high keys); the oracle
+    restates the post-merge table directly against the source, so a
+    missed delete, double-applied update, or lost insert fails the
+    hash."""
+    from evolution_spark.io.iceberg_meta import (
+        merge_iceberg_cdc,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tmp = query_tmp("ice_mrg", sf_dir)
+    write_iceberg_table(c, tmp)
+    updates = c.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_mktsegment",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("u").alias("_op"),
+    )
+    deletes = c.where(F.col("c_custkey") % 10 == 5).select(
+        "c_custkey", "c_mktsegment", "c_acctbal", F.lit("d").alias("_op")
+    )
+    inserts = c.where(F.col("c_custkey") < 5).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_mktsegment",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("u").alias("_op"),
+    )
+    merge_iceberg_cdc(
+        spark, tmp, updates.unionByName(deletes).unionByName(inserts),
+        key="c_custkey",
+    )
+    back = read_iceberg_table(spark, tmp)
+    return back.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "acctbal_cents"
+        ),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+@query(
     "iceberg_equality_delete_scan",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_alive,

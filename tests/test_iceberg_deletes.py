@@ -426,3 +426,96 @@ def test_update_iceberg_rows_partitioned(spark, tmp_path):
     # partition pruning still works on the updated table (metadata-level)
     pruned = read_iceberg_table(spark, path, partition_where={"p": 1})
     assert {r.k for r in pruned.collect()} == {k for k in range(20) if k % 2}
+
+
+def test_merge_iceberg_cdc_lifecycle(spark, tmp_path):
+    """Merge-on-read MERGE: one snapshot carries position deletes for
+    every matched row version plus new files with exactly the upserted
+    rows; updates, deletes and inserts land atomically and the pre-merge
+    snapshot stays time-travel readable."""
+    from evolution_spark.io.iceberg_meta import (
+        _load_metadata,
+        compact_iceberg_table,
+        merge_iceberg_cdc,
+        read_iceberg_table,
+    )
+    from pathlib import Path as _P
+
+    path = str(tmp_path / "icemrg")
+    write_iceberg_table(
+        spark.range(20).selectExpr("id AS k", "id * 10 AS v").repartition(3),
+        path,
+    )
+    md, _ = _load_metadata(_P(path))
+    base_snap = md["current-snapshot-id"]
+    changes = spark.createDataFrame(
+        [(5, 555, "u"), (7, 777, "u"), (4, None, "d"),
+         (100, 1000, "u"), (999, None, "d")],  # missing-key delete: no-op
+        "k long, v long, _op string",
+    )
+    res = merge_iceberg_cdc(spark, path, changes, key="k")
+    assert res["matched"] == 3  # 5, 7 (updates) + 4 (delete)
+    assert res["new_rows"] == 3  # updated 5, 7 + inserted 100
+    got = {(r.k, r.v) for r in read_iceberg_table(spark, path).collect()}
+    want = {(k, k * 10) for k in range(20) if k not in (4, 5, 7)}
+    want |= {(5, 555), (7, 777), (100, 1000)}
+    assert got == want
+    # ONE snapshot; pre-merge state still readable
+    md, _ = _load_metadata(_P(path))
+    assert len(md["snapshots"]) == 2
+    old = read_iceberg_table(spark, path, snapshot_id=base_snap)
+    assert {(r.k, r.v) for r in old.collect()} == {
+        (k, k * 10) for k in range(20)
+    }
+    # compaction materializes the merge away
+    compact_iceberg_table(spark, path)
+    assert {(r.k, r.v) for r in read_iceberg_table(spark, path).collect()} == want
+
+
+def test_merge_iceberg_cdc_guards(spark, tmp_path):
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        merge_iceberg_cdc,
+    )
+
+    path = str(tmp_path / "icemrgg")
+    write_iceberg_table(
+        spark.range(5).selectExpr("id AS k", "id AS v"), path
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_iceberg_cdc(
+            spark, path,
+            spark.createDataFrame([(1, 1, "u"), (1, 2, "u")],
+                                  "k long, v long, _op string"),
+            key="k",
+        )
+    with pytest.raises(ValueError, match="unknown op"):
+        merge_iceberg_cdc(
+            spark, path,
+            spark.createDataFrame([(1, 1, "x")], "k long, v long, _op string"),
+            key="k",
+        )
+    with pytest.raises(ValueError, match="NULL merge key"):
+        merge_iceberg_cdc(
+            spark, path,
+            spark.createDataFrame([(None, 1, "u")], "k long, v long, _op string"),
+            key="k",
+        )
+    # duplicated TARGET key under an upsert refuses (MOR appends ONE
+    # version; collapsing two surviving rows would change cardinality)
+    append_iceberg_snapshot(
+        spark.createDataFrame([(2, 99)], "k long, v long"), path
+    )
+    with pytest.raises(ValueError, match="matches 2 target rows"):
+        merge_iceberg_cdc(
+            spark, path,
+            spark.createDataFrame([(2, 5, "u")], "k long, v long, _op string"),
+            key="k",
+        )
+    # pure-delete merge: no data manifest needed, rows vanish
+    res = merge_iceberg_cdc(
+        spark, path,
+        spark.createDataFrame([(0, None, "d")], "k long, v long, _op string"),
+        key="k",
+    )
+    assert res["matched"] == 1 and res["new_files"] == 0
