@@ -395,11 +395,12 @@ def resample_wav(payload: bytes, target_rate: int) -> bytes:
 def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Decode a media payload to a flat float32 sample array.
 
-    REAL for 24-bit BMP and 16-bit PCM WAV (pure-numpy decoders above,
-    dispatched on magic bytes). ``fake=True`` forces the deterministic fake
-    decoder regardless of format (the test/CI path). Everything else needs
-    PIL (image) / soundfile (audio) / av (video), none of which exist in
-    this container, and raises ``NotImplementedError``."""
+    REAL for 24-bit BMP, 8-bit PNG, BASELINE JPEG, and 16-bit PCM WAV
+    (pure-numpy decoders in this module, dispatched on magic bytes).
+    ``fake=True`` forces the deterministic fake decoder regardless of
+    format (the test/CI path). Remaining gaps (progressive JPEG, video
+    containers) need PIL/av, none of which exist in this container, and
+    raise ``NotImplementedError``."""
     if fake:
         return _fake_decode(payload)
     if payload[:2] == b"BM":
@@ -408,10 +409,12 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
         return decode_png(payload).astype(np.float32).ravel()
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)[0].astype(np.float32).ravel()
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload).astype(np.float32).ravel()
     raise NotImplementedError(
-        f"decoding kind={kind!r}: only BMP, PNG and PCM WAV decode without a "
-        "media codec library (PIL/soundfile/av, none installed) — pass "
-        "fake=True for the deterministic test decoder"
+        f"decoding kind={kind!r}: only BMP, PNG, baseline JPEG and PCM WAV "
+        "decode without a media codec library (PIL/soundfile/av, none "
+        "installed) — pass fake=True for the deterministic test decoder"
     )
 
 
@@ -660,3 +663,474 @@ def dhash_near_dups(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# JPEG baseline codec (ITU-T T.81, sequential DCT, Huffman) — pure numpy.
+# Closes the last real-image NotImplementedError: real corpora are
+# JPEG-heavy, and the reference engine has no media path at all.
+# --------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K quantization tables (luminance / chrominance), row-major
+_JPEG_QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,   12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,   14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+_JPEG_QT_CHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,  18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,  47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,  99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,  99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# Annex K Huffman specs: (BITS counts per code length 1..16, HUFFVAL)
+_JPEG_HT = {
+    ("dc", 0): ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12))),
+    ("dc", 1): ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                list(range(12))),
+    ("ac", 0): ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+    ("ac", 1): ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+}
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix: forward C = D @ B @ D.T,
+    inverse B = D.T @ C @ D."""
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    d = np.sqrt(2.0 / 8.0) * np.cos(np.pi * (2 * n + 1) * k / 16.0)
+    d[0, :] = np.sqrt(1.0 / 8.0)
+    return d
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} (Annex C)."""
+    codes = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[idx]] = (code, length)
+            code += 1
+            idx += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 50 = Annex K tables as-is."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qt = (base * scale + 50) // 100
+    return np.clip(qt, 1, 255).astype(np.int64)
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """value -> (category ssss, magnitude bits) per T.81 F.1.2."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 50) -> bytes:
+    """Encode a uint8 array (``(h, w)`` grayscale or ``(h, w, 3)`` RGB)
+    as a BASELINE sequential JPEG (JFIF, Annex K quantization + Huffman
+    tables, 4:4:4 — no chroma subsampling, so block geometry stays
+    1 block per 8x8 tile for every component). Forward path: level shift
+    -> orthonormal DCT (matrix multiply) -> quantize -> zigzag -> DC
+    diff / AC run-length -> canonical Huffman with 0xFF byte stuffing."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if not gray and px.shape[2] != 3:
+        raise ValueError("encode_jpeg takes (h, w) gray or (h, w, 3) RGB")
+    if gray:
+        planes = [px.astype(np.float64)]
+    else:
+        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    qts = [_jpeg_scaled_qt(_JPEG_QT_LUM, quality)]
+    if not gray:
+        qts.append(_jpeg_scaled_qt(_JPEG_QT_CHR, quality))
+    dct = _jpeg_dct_matrix()
+    enc_dc = [_jpeg_canonical_codes(*_JPEG_HT[("dc", 0)]),
+              _jpeg_canonical_codes(*_JPEG_HT[("dc", 1)])]
+    enc_ac = [_jpeg_canonical_codes(*_JPEG_HT[("ac", 0)]),
+              _jpeg_canonical_codes(*_JPEG_HT[("ac", 1)])]
+
+    bw = _JpegBitWriter()
+    mcus_y, mcus_x = -(-h // 8), -(-w // 8)
+    pred = [0] * len(planes)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, plane in enumerate(planes):
+                t = 0 if ci == 0 else 1
+                block = np.full((8, 8), 128.0)
+                ys, xs = my * 8, mx * 8
+                tile = plane[ys:ys + 8, xs:xs + 8]
+                block[: tile.shape[0], : tile.shape[1]] = tile
+                # edge replication beats zero-padding for ringing, and
+                # keeps constant images constant in partial edge blocks
+                if tile.shape[0] < 8:
+                    block[tile.shape[0]:, :] = block[tile.shape[0] - 1, :]
+                if tile.shape[1] < 8:
+                    block[:, tile.shape[1]:] = block[:, tile.shape[1] - 1][:, None]
+                coef = dct @ (block - 128.0) @ dct.T
+                q = np.round(coef / qts[t]).astype(np.int64)
+                zz = q.ravel()[_JPEG_ZIGZAG]
+                # DC: difference from predictor
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                s, bits = _jpeg_magnitude(diff)
+                code, ln = enc_dc[t][s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(bits, s)
+                # AC: (run, size) pairs with ZRL and EOB
+                run = 0
+                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = enc_ac[t][0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    s, bits = _jpeg_magnitude(v)
+                    code, ln = enc_ac[t][(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(bits, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = enc_ac[t][0x00]  # EOB
+                    bw.write(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for t, qt in enumerate(qts):
+        out += seg(0xDB, bytes([t]) + bytes(int(x) for x in qt.ravel()[_JPEG_ZIGZAG]))
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4
+    out += seg(0xC0, sof)
+    for cls, t in (("dc", 0), ("ac", 0)) if gray else (
+        ("dc", 0), ("ac", 0), ("dc", 1), ("ac", 1)
+    ):
+        bits, vals = _JPEG_HT[(cls, t)]
+        out += seg(0xC4, bytes([(0 if cls == "dc" else 0x10) | t])
+                   + bytes(bits) + bytes(vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    unstuffing already applied."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                # T.81 allows the final code to be completed by pad bits
+                return 1
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_decode_symbol(br: _JpegBitReader, table: dict) -> int:
+    """table: {(length, code): symbol} — canonical Huffman, max 16 bits."""
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code (corrupt entropy stream)")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """REAL BASELINE JPEG decoder, dependency-free (numpy only): marker
+    walk -> DQT/DHT/SOF0/SOS(+DRI) -> Huffman-decode each MCU's blocks
+    (DC prediction, AC run-length, restart-marker resets) -> dequantize
+    -> inverse zigzag -> orthonormal IDCT -> chroma upsample (4:4:4 /
+    4:2:2 / 4:2:0 sampling factors) -> YCbCr->RGB. Returns ``(h, w, 3)``
+    uint8 for color scans, ``(h, w)`` for grayscale. Progressive (SOF2),
+    arithmetic coding, 12-bit precision, and hierarchical modes raise —
+    stated limits, not silent corruption (ITU-T T.81 §F)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): sym}
+    comps = None  # [(cid, h, v, tq)]
+    height = width = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        size = int.from_bytes(payload[pos + 2: pos + 4], "big")
+        body = payload[pos + 4: pos + 2 + size]
+        pos += 2 + size
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if pq == 0:
+                    vals = np.frombuffer(body[i:i + 64], dtype=np.uint8).astype(np.int64)
+                    i += 64
+                else:  # 16-bit entries
+                    vals = np.frombuffer(body[i:i + 128], dtype=">u2").astype(np.int64)
+                    i += 128
+                qt = np.zeros(64, dtype=np.int64)
+                qt[_JPEG_ZIGZAG] = vals
+                qts[tq] = qt.reshape(8, 8)
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1: i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17: i + 17 + n])
+                i += 17 + n
+                table = {}
+                code = 0
+                idx = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[idx]
+                        code += 1
+                        idx += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xC0:  # SOF0: baseline sequential
+            if body[0] != 8:
+                raise ValueError(f"unsupported JPEG precision {body[0]} (8-bit only)")
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c: 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG mode SOF{marker - 0xC0} — baseline "
+                "sequential (SOF0) only; progressive/arithmetic/"
+                "hierarchical scans refuse rather than mis-decode"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS: scan header, entropy data follows
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 0xF))
+            # entropy-coded data runs until the next non-RST marker
+            entropy_start = pos
+            i = pos
+            while i + 1 < len(payload):
+                if payload[i] == 0xFF and payload[i + 1] not in (0x00,) \
+                        and not (0xD0 <= payload[i + 1] <= 0xD7):
+                    break
+                i += 1
+            entropy = payload[entropy_start:i]
+            pos = i
+            break
+        # other markers (APPn, COM) are skipped
+    if comps is None or scan is None:
+        raise ValueError("JPEG payload missing SOF0/SOS")
+
+    # split on restart markers; unstuff each interval
+    intervals = []
+    cur = bytearray()
+    i = 0
+    while i < len(entropy):
+        if entropy[i] == 0xFF and i + 1 < len(entropy):
+            nxt = entropy[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(entropy[i])
+        i += 1
+    intervals.append(bytes(cur))
+
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64)
+    dct = _jpeg_dct_matrix()
+
+    interval_idx = 0
+    br = _JpegBitReader(intervals[0])
+    pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                interval_idx += 1
+                if interval_idx >= len(intervals):
+                    raise ValueError("JPEG entropy stream ends before all MCUs")
+                br = _JpegBitReader(intervals[interval_idx])
+                pred = {cid: 0 for cid, *_ in comps}
+            mcu_count += 1
+            for cs, td, ta in scan:
+                ch, cv, tq = by_id[cs]
+                for v in range(cv):
+                    for hh in range(ch):
+                        s = _jpeg_decode_symbol(br, huff[(0, td)])
+                        diff = _jpeg_extend(br.read_bits(s), s) if s else 0
+                        pred[cs] += diff
+                        zz = np.zeros(64, dtype=np.int64)
+                        zz[0] = pred[cs]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_decode_symbol(br, huff[(1, ta)])
+                            r, sz = rs >> 4, rs & 0xF
+                            if sz == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow (corrupt scan)")
+                            zz[k] = _jpeg_extend(br.read_bits(sz), sz)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_JPEG_ZIGZAG] = zz * qts[tq].ravel()[_JPEG_ZIGZAG]
+                        block = dct.T @ coef.reshape(8, 8) @ dct
+                        ys = (my * cv + v) * 8
+                        xs = (mx * ch + hh) * 8
+                        planes[cs][ys:ys + 8, xs:xs + 8] = block + 128.0
+    out_planes = []
+    for cid, ch, cv, tq in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        out_planes.append(p[:height, :width])
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -699,3 +699,75 @@ def multimodal_wav_features(spark, sf_dir):
         gen,
         "media_id long, n_samples long, duration_ms long, rms double, zcr double",
     )
+
+
+@query(
+    "multimodal_jpeg_features",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+    blocks AS (
+      SELECT doc_id, 2 * ((3 * doc_id + 5 * bx.v + 7 * by.v) % 128) AS v
+      FROM ids
+      CROSS JOIN (SELECT UNNEST(range(4)) AS v) bx
+      CROSS JOIN (SELECT UNNEST(range(3)) AS v) by
+    )
+    SELECT doc_id AS media_id,
+           CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
+           CAST(SUM(64 * v) AS BIGINT) AS pixel_sum,
+           SUM(64 * v) * 1.0 / 768 AS mean_px
+    FROM blocks GROUP BY doc_id
+    """,
+)
+def multimodal_jpeg_features(spark, sf_dir):
+    """REAL baseline-JPEG codec end-to-end with a value-level oracle —
+    the query that closes the multimodal component's last real-image
+    NotImplementedError (real corpora are JPEG-heavy): each document id
+    gets a 32x24 grayscale image whose 8x8 tiles are CONSTANT with value
+    2*((3*id + 5*bx + 7*by) mod 128). A constant tile survives the lossy
+    pipeline EXACTLY — its DCT is DC-only, even values quantize without
+    remainder under the Annex K table's q00=16, and the DC-only IDCT is
+    the constant again — so the full encoder/decoder chain (level shift,
+    DCT, quantization, zigzag, DC-prediction Huffman coding, byte
+    stuffing, and back) is bit-reproducible and DuckDB recomputes the
+    same pixel sums from the closed form. One wrong bit anywhere in the
+    entropy stream or a mis-seeded DC predictor changes pixel_sum and
+    fails the hash. (The lossy AC paths are covered by roundtrip
+    tolerance tests in tests/test_operators.py — closed-form oracles and
+    quantization loss are mutually exclusive by nature.)
+
+    Scale shape: synthesis/encode/decode are partition-local mapInPandas
+    (Arrow batches); image bytes never shuffle — only the 5-column
+    feature rows do."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.multimodal import decode_media, encode_jpeg
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 40
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                img = np.zeros((24, 32), dtype=np.uint8)
+                for by in range(3):
+                    for bx in range(4):
+                        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                            2 * ((3 * i + 5 * bx + 7 * by) % 128)
+                        )
+                payload = encode_jpeg(img, quality=50)
+                flat = decode_media(payload, "image")  # production dispatch
+                s = int(np.sum(flat.astype(np.int64)))
+                rows.append((i, 32, 24, s, s / flat.size))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "pixel_sum", "mean_px"],
+            )
+
+    return d.mapInPandas(
+        gen,
+        "media_id long, width int, height int, pixel_sum long, mean_px double",
+    )

@@ -1070,3 +1070,59 @@ def test_png_decoder_guards():
     # production dispatch routes PNG magic to the real decoder
     flat = decode_media(encode_png(np.full((2, 3), 9, dtype=np.uint8)), "image")
     assert flat.tolist() == [9.0] * 6
+
+
+def test_jpeg_codec_roundtrip_paths():
+    """Baseline JPEG codec: DC-only images roundtrip EXACTLY (the oracle
+    contract), smooth content stays within tight error at high quality,
+    grayscale/RGB/odd dimensions all work, and the production
+    decode_media dispatch routes on the JPEG magic."""
+    import numpy as np
+
+    from evolution_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_media,
+        encode_jpeg,
+    )
+
+    # constant-per-8x8-block gray, even values: DC-only -> exact
+    img = np.zeros((24, 32), dtype=np.uint8)
+    for by in range(3):
+        for bx in range(4):
+            img[by*8:(by+1)*8, bx*8:(bx+1)*8] = 2 * ((3 + 5*bx + 7*by) % 128)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img, quality=50)), img)
+    # smooth RGB gradient: AC paths (run-lengths, magnitudes) + YCbCr
+    yv, xv = np.meshgrid(np.arange(32), np.arange(48), indexing="ij")
+    rgb = np.stack(
+        [(xv * 3) % 200 + 20, (yv * 4) % 200 + 20, ((xv + yv) * 2) % 200 + 20],
+        axis=-1,
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(rgb, quality=90))
+    assert dec.shape == rgb.shape
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 4
+    # non-multiple-of-8 dims crop correctly (edge-replicated pad blocks)
+    odd = (np.arange(19 * 13) % 256).astype(np.uint8).reshape(19, 13)
+    dec2 = decode_jpeg(encode_jpeg(odd, quality=95))
+    assert dec2.shape == (19, 13)
+    assert np.abs(dec2.astype(int) - odd.astype(int)).max() <= 2
+    # production dispatch routes JPEG bytes
+    flat = decode_media(encode_jpeg(img), "image")
+    assert flat.shape == (24 * 32,)
+    assert int(flat.sum()) == int(img.sum())
+
+
+def test_jpeg_decoder_refusals():
+    """Non-baseline modes refuse loudly instead of mis-decoding."""
+    import numpy as np
+    import pytest
+
+    from evolution_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    payload = bytearray(encode_jpeg(np.full((8, 8), 100, dtype=np.uint8)))
+    # flip SOF0 (0xC0) to SOF2 (progressive)
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
