@@ -18,9 +18,20 @@ sink + min-of-N protocol as bench.py. FLF runs the bench schema at 10M
 rows (10x bench's 1M).
 
 Usage: python tools/scale_stress.py  [--reps 2] [--mode cluster-growth|
-fixed-cluster] [--cluster-size 5]
+fixed-cluster|format-scan] [--cluster-size 5]
 Prints one JSON line: {"sf_equiv": 1.0, "queries": {...}, "flf": {...}}
 Results are recorded in BASELINE.md (v2.0 section; v3.0 for fixed-cluster).
+
+``format-scan`` (the v3.x protocol) stresses the table-format SCAN paths
+instead of the dedup operators: customer is replicated 10x into a native
+Delta and a native Iceberg table, rows are marked deleted at increasing
+ratios (0 / 1% / 10% / 30%) via deletion vectors / position deletes, and
+each ratio's full-scan time is measured through BOTH read paths — the
+library readers (metadata-sized anti-join build sides, broadcast under
+the 4M-row cap) and the Python DataSources (per-file executor-side
+masking, no join). The claim under test: DV masking cost is proportional
+to the DELETED row count, never the table size — scan time should stay
+near-flat as the delete ratio grows, and the broadcast cap must hold.
 
 MODES. ``cluster-growth`` (default, the v2.0 protocol): every replica of a
 document is a near-duplicate of every other, so the planted candidate-pair
@@ -142,12 +153,93 @@ def replicate_tables(
     )
 
 
+def format_scan_stress(spark, tmp: str, reps: int) -> dict:
+    """Scan time vs delete ratio for both formats and both read paths.
+
+    Per ratio the tables are built FRESH (delete predicates are modular
+    classes of the replicated key, so each ratio's deleted set is
+    independent, not cumulative), then a full-scan aggregate is timed
+    min-of-``reps``. The aggregate (count + sum) forces every surviving
+    row through the scan without collecting rows to the driver."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        delete_delta_rows,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+    from evolution_spark.io.delta_source import register_delta_source
+    from evolution_spark.io.iceberg_meta import (
+        delete_iceberg_rows,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+    from evolution_spark.io.iceberg_source import register_iceberg_source
+
+    register_delta_source(spark)
+    register_iceberg_source(spark)
+    base = (
+        spark.read.parquet(f"{BASE_SF_DIR}/customer.parquet")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    reps_dfs = [
+        base.select(
+            (F.col("c_custkey") + F.lit(i * ID_STRIDE)).alias("k"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_acctbal").alias("bal"),
+        )
+        for i in range(REPLICAS)
+    ]
+    big = reps_dfs[0]
+    for r in reps_dfs[1:]:
+        big = big.unionByName(r)
+    big = big.repartition(32).cache()
+    n_rows = big.count()
+
+    def timed_scan(df) -> float:
+        samples = []
+        for _ in range(reps + 1):  # first pass is warmup
+            t0 = time.perf_counter()
+            df.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("bal").alias("s")
+            ).collect()
+            samples.append(time.perf_counter() - t0)
+        return round(min(samples[1:]), 3)
+
+    results = {"n_rows": n_rows, "ratios": {}}
+    for ratio, modulus in [(0.0, 0), (0.01, 100), (0.1, 10), (0.3, 0)]:
+        dpath = f"{tmp}/delta_r{modulus}_{ratio}"
+        ipath = f"{tmp}/ice_r{modulus}_{ratio}"
+        write_delta_snapshot(big, dpath)
+        write_iceberg_table(big, ipath)
+        row: dict = {"deleted_rows": 0}
+        if ratio > 0:
+            pred = (
+                f"k % {modulus} = 0" if modulus
+                else "k % 10 IN (1, 3, 7)"  # 30%
+            )
+            d = delete_delta_rows(spark, dpath, pred)
+            delete_iceberg_rows(spark, ipath, pred)
+            row["deleted_rows"] = d["deleted_rows"]
+        row["delta_reader_s"] = timed_scan(read_delta_snapshot(spark, dpath))
+        row["delta_source_s"] = timed_scan(
+            spark.read.format("evolution_delta").load(dpath)
+        )
+        row["iceberg_reader_s"] = timed_scan(read_iceberg_table(spark, ipath))
+        row["iceberg_source_s"] = timed_scan(
+            spark.read.format("evolution_iceberg").load(ipath)
+        )
+        results["ratios"][str(ratio)] = row
+    big.unpersist()
+    return results
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2, help="timed passes (min taken)")
     ap.add_argument(
         "--mode",
-        choices=["cluster-growth", "fixed-cluster"],
+        choices=["cluster-growth", "fixed-cluster", "format-scan"],
         default="cluster-growth",
         help="cluster-growth: every replica near-dups every other (planted "
         "pairs grow C(R,2)); fixed-cluster: near-dups only within buckets "
@@ -184,6 +276,12 @@ def main() -> int:
     }
     tmp = tempfile.mkdtemp(prefix="evoscale-")
     try:
+        if args.mode == "format-scan":
+            out["format_scan"] = format_scan_stress(spark, tmp, args.reps)
+            sys.stdout.write("\n" + json.dumps(out) + "\n")
+            sys.stdout.flush()
+            spark.stop()
+            return 0
         t0 = time.perf_counter()
         replicate_tables(spark, tmp, mode=args.mode, cluster_size=args.cluster_size)
         out["replicate_s"] = round(time.perf_counter() - t0, 2)
