@@ -860,20 +860,27 @@ def merge_delta_cdc(
     from pyspark.sql.types import StringType, StructField, StructType
 
     table_dir = Path(path)
-    live, schema_string, part_cols, _ = _replay_log(table_dir)
-    stored = StructType.fromJson(json.loads(schema_string))
+    live, schema_string, part_cols, _, repl_state = _replay_log(
+        table_dir, return_state=True
+    )
+    config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
+    schema_json = json.loads(schema_string)
+    stored = StructType.fromJson(schema_json)
     data_cols = [f.name for f in stored]
     if key not in data_cols:
         raise ValueError(f"key {key!r} not in table columns {data_cols}")
     key_type = stored[key].dataType
+    # column-mapped tables record stats under PHYSICAL names
+    phys_key = {log: phys for phys, log in
+                mapping_renames(schema_json, config).items()}.get(key, key)
 
     remove_paths: list[str] | None = None
     if prune_files and live:
         ranges = []
         for stored_path, add in live.items():
             st = json.loads(add.get("stats") or "{}")
-            lo = st.get("minValues", {}).get(key)
-            hi = st.get("maxValues", {}).get(key)
+            lo = st.get("minValues", {}).get(phys_key)
+            hi = st.get("maxValues", {}).get(phys_key)
             if lo is None or hi is None:
                 ranges = None  # a file without key stats: cannot prune safely
                 break
@@ -906,9 +913,14 @@ def merge_delta_cdc(
         target = read_delta_snapshot(spark, path)
         mode, removes = "overwrite", None
     else:
-        # _scan_adds applies any deletion vectors on the pruned files, so a
-        # MERGE rewrite can never resurrect DV-deleted rows
-        target = _scan_adds(spark, table_dir, live, remove_paths, stored)
+        # _logical_scan applies any deletion vectors on the pruned files
+        # (so a MERGE rewrite can never resurrect DV-deleted rows) AND
+        # resolves column-mapped files physical->logical — scanning a
+        # renamed column under its logical name would read all-null and
+        # the replace commit would PERSIST those nulls
+        target = _logical_scan(
+            spark, table_dir, live, remove_paths, schema_json, config
+        )
         mode, removes = "replace", remove_paths
 
     ch = changes.select(

@@ -471,22 +471,27 @@ class _ShardMessage(WriterCommitMessage):
         self.rows = rows
 
 
-def _write_shard(iterator, schema_json: str, stage_dir: str):
+def _write_shard(iterator, schema_json: str, stage_dir: str, renames=None):
     """EXECUTOR-side: drain this task's rows into one parquet shard under
     the commit's staging dir. Rows arrive as tuples in the WRITTEN
     DataFrame's column order (schema_json IS that schema — value-inferred
     arrow types would break on all-null columns and chunk-boundary type
-    flips, so the declared types are used)."""
+    flips, so the declared types are used). ``renames`` (logical ->
+    physical) names the parquet columns for column-mapped target tables —
+    files must store physical names or mapped readers resolve the
+    appended rows as all-null."""
     import os
     import uuid as _uuid
 
     import pyarrow as pa
     import pyarrow.parquet as papq
 
+    renames = renames or {}
     schema_fields = json.loads(schema_json)["fields"]
     names = [f["name"] for f in schema_fields]
     arrow_schema = pa.schema(
-        [pa.field(f["name"], _arrow_type_of(f["type"])) for f in schema_fields]
+        [pa.field(renames.get(f["name"], f["name"]), _arrow_type_of(f["type"]))
+         for f in schema_fields]
     )
     os.makedirs(stage_dir, exist_ok=True)
     out = os.path.join(stage_dir, f"shard-{_uuid.uuid4().hex}.parquet")
@@ -497,8 +502,9 @@ def _write_shard(iterator, schema_json: str, stage_dir: str):
     def flush():
         nonlocal rows
         batch = pa.table(
-            {n: pa.array([r[i] for r in buf],
-                         type=arrow_schema.field(n).type)
+            {renames.get(n, n): pa.array(
+                [r[i] for r in buf],
+                type=arrow_schema.field(renames.get(n, n)).type)
              for i, n in enumerate(names)},
             schema=arrow_schema,
         )
@@ -517,7 +523,10 @@ def _write_shard(iterator, schema_json: str, stage_dir: str):
     return _ShardMessage(out, rows)
 
 
-def _commit_shards(path: str, messages, txn=None, written_schema_json=None) -> None:
+def _commit_shards(
+    path: str, messages, txn=None, written_schema_json=None,
+    writer_renames=None,
+) -> None:
     """DRIVER-side commit: hand the staged shards to the native log commit
     as one atomic version (create-exclusive publish). ``txn`` carries the
     streaming (appId, batchId) pair for exactly-once replay skipping."""
@@ -558,6 +567,24 @@ def _commit_shards(path: str, messages, txn=None, written_schema_json=None) -> N
             "evolution_delta sink supports unpartitioned tables (shards "
             "carry no hive partition layout); write partitioned data with "
             "commit_delta"
+        )
+    from evolution_spark.io.delta_log import mapping_renames
+
+    config = dict((state.get("metadata") or {}).get("configuration") or {})
+    current_renames = {
+        log: phys
+        for phys, log in mapping_renames(
+            json.loads(schema_string), config
+        ).items()
+    }
+    if current_renames != dict(writer_renames or {}):
+        # the shards' parquet column names were fixed at write time; a
+        # mapping upgrade/rename that landed mid-flight would make mapped
+        # readers resolve them as all-null — refuse instead
+        raise RuntimeError(
+            "table column mapping changed between shard write and commit "
+            f"(writer saw {dict(writer_renames or {})}, table now has "
+            f"{current_renames}) — rerun the write"
         )
     import time as _time
 
@@ -610,6 +637,26 @@ def _reclaim_stages(messages, fallback_stage: str) -> None:
         _shutil.rmtree(s, ignore_errors=True)
 
 
+def _sink_renames(path: str) -> dict[str, str]:
+    """logical -> physical name map of the TARGET table (driver-side, at
+    writer construction): shards for a column-mapped table must store
+    physical names. Empty for unmapped tables and for targets that do
+    not exist yet (the commit refuses those with its own error)."""
+    try:
+        from evolution_spark.io.delta_log import _replay_log, mapping_renames
+
+        _, schema_string, _, _, state = _replay_log(
+            Path(path), return_state=True
+        )
+        config = dict(
+            (state.get("metadata") or {}).get("configuration") or {}
+        )
+        phys_to_log = mapping_renames(json.loads(schema_string), config)
+        return {log: phys for phys, log in phys_to_log.items()}
+    except FileNotFoundError:
+        return {}
+
+
 class _BatchWriter(DataSourceWriter):
     def __init__(self, options, schema_json):
         import uuid as _uuid
@@ -618,17 +665,21 @@ class _BatchWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("evolution_delta sink requires a path (.save(path))")
         self.schema_json = schema_json
+        self.renames = _sink_renames(self.path)
         # per-writer staging dir: a concurrent job's abort can never
         # rmtree this write's in-flight shards
         self.stage = str(Path(self.path) / f"_staging_sink-{_uuid.uuid4().hex}")
 
     def write(self, iterator):
-        return _write_shard(iterator, self.schema_json, self.stage)
+        return _write_shard(
+            iterator, self.schema_json, self.stage, renames=self.renames
+        )
 
     def commit(self, messages):
         try:
             _commit_shards(
-                self.path, messages, written_schema_json=self.schema_json
+                self.path, messages, written_schema_json=self.schema_json,
+                writer_renames=self.renames,
             )
         finally:
             # the commit moved the non-empty shards out; drop the staging
@@ -665,10 +716,13 @@ class _StreamWriter(DataSourceStreamWriter):
                 "micro-batches idempotent"
             )
         self.schema_json = schema_json  # the WRITTEN DataFrame's schema
+        self.renames = _sink_renames(self.path)
         self.stage = str(Path(self.path) / f"_staging_sink-{_uuid.uuid4().hex}")
 
     def write(self, iterator):
-        return _write_shard(iterator, self.schema_json, self.stage)
+        return _write_shard(
+            iterator, self.schema_json, self.stage, renames=self.renames
+        )
 
     def commit(self, messages, batchId):
         from evolution_spark.io.delta_log import last_txn_version
@@ -683,6 +737,7 @@ class _StreamWriter(DataSourceStreamWriter):
             _commit_shards(
                 self.path, messages, txn=(self.app_id, batchId),
                 written_schema_json=self.schema_json,
+                writer_renames=self.renames,
             )
         finally:
             # non-empty shards were moved out by the commit; reclaim the

@@ -580,6 +580,7 @@ def read_iceberg_table(
     snapshot_id: int | None = None,
     partition_where: dict[str, object] | None = None,
     _lineage: bool = False,
+    _current_schema: bool = False,
 ) -> DataFrame:
     """Open an Iceberg table by replaying its metadata chain — version
     hint -> table metadata -> current snapshot -> manifest list ->
@@ -734,8 +735,11 @@ def read_iceberg_table(
     # evolution like RENAME/DROP/widen creates no snapshot, so the last
     # snapshot's recorded schema-id may lag); TIME TRAVEL reads the schema
     # that was current at that snapshot — a post-evolution read of an old
-    # snapshot must not invent added columns or apply later renames
-    if snapshot_id is None:
+    # snapshot must not invent added columns or apply later renames.
+    # ``_current_schema=True`` (internal, DML): the scan pins the FILE
+    # LIST to a snapshot for race-freedom but must still expose CURRENT
+    # names/types — predicates arrive against the evolved schema.
+    if snapshot_id is None or _current_schema:
         want_schema_id = metadata["current-schema-id"]
     else:
         want_schema_id = snapshot.get("schema-id", metadata["current-schema-id"])
@@ -1037,10 +1041,14 @@ def iceberg_table_changes(
     for snap in snaps[start_idx : end_idx + 1]:
         sid = snap["snapshot-id"]
         op = snap["summary"].get("operation", "append")
-        if op not in ("append", "delete"):
-            # replace/overwrite/unknown: the rewrite's row diff is not
-            # derivable from metadata — refusing beats a silently
-            # incomplete feed
+        if op not in ("append", "delete", "overwrite"):
+            # replace/unknown: the rewrite's row diff is not derivable
+            # from metadata — refusing beats a silently incomplete feed.
+            # ``overwrite`` (this engine's UPDATE/MERGE) IS derivable when
+            # add-only: its delete file holds the deleted positions and
+            # its data files the new row versions — the delete+insert CDF
+            # fallback; the status==2 check below still rejects any
+            # foreign overwrite that REMOVES files.
             if skip_rewrites and op == "replace":
                 continue
             raise IcebergFormatError(
@@ -1475,6 +1483,30 @@ def _current_schema_and_guards(path: str, col: str, op: str):
             "default spec (the partition records in every manifest are "
             "keyed on it)"
         )
+    # live EQUALITY deletes block evolution: the evolved read refuses
+    # them (per-epoch field-id resolution of delete-file columns is not
+    # implemented), and compaction goes through the same read — evolving
+    # now would leave the table unreadable with only circular advice.
+    # Refusing HERE keeps compaction possible (schemas still uniform).
+    snap_id = metadata.get("current-snapshot-id")
+    if snap_id is not None:
+        snap = next(
+            s for s in metadata["snapshots"] if s["snapshot-id"] == snap_id
+        )
+        for mf in _read_avro(Path(snap["manifest-list"])):
+            if int(mf.get("content") or 0) != 1:
+                continue
+            for entry in _read_avro(Path(mf["manifest_path"])):
+                if entry["status"] == 2:
+                    continue
+                if int(entry["data_file"].get("content") or 0) == 2:
+                    raise ValueError(
+                        f"cannot {op} column {col!r} while EQUALITY deletes "
+                        "are live (the evolved read cannot resolve delete-"
+                        "file columns across schema epochs) — run "
+                        "compact_iceberg_table(path) first to materialize "
+                        "them, then evolve"
+                    )
     return metadata, current, by_name
 
 
@@ -1629,7 +1661,10 @@ def delete_iceberg_rows(spark, path: str, predicate: str) -> dict:
     # racing in between must not shift which rows the predicate saw
     snap_id = metadata["current-snapshot-id"]
     matched = (
-        read_iceberg_table(spark, path, snapshot_id=snap_id, _lineage=True)
+        read_iceberg_table(
+            spark, path, snapshot_id=snap_id, _lineage=True,
+            _current_schema=True,
+        )
         .where(predicate)
         .select("_src_file", "_src_pos")
         .collect()
@@ -1694,7 +1729,8 @@ def update_iceberg_rows(
 
     snap_id = metadata["current-snapshot-id"]
     scan = read_iceberg_table(
-        spark, path, snapshot_id=snap_id, _lineage=True
+        spark, path, snapshot_id=snap_id, _lineage=True,
+        _current_schema=True,
     ).where(predicate)
     # ONE pass: cache the matched rows so positions and updated copies
     # come from the same scan (the predicate is evaluated once)
@@ -1712,31 +1748,7 @@ def update_iceberg_rows(
     )
 
     seq = metadata["last-sequence-number"] + 1
-    data_dir = table_dir / "data"
-    stage = table_dir / f"_staging_s{seq}-{uuid.uuid4().hex}"
-    writer = updated.write.mode("error")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    try:
-        writer.parquet(str(stage))
-        if not stage.exists():
-            raise RuntimeError(
-                f"staged write output missing at {stage} — the staging dir "
-                "was reclaimed (or the write never completed); aborting "
-                "the UPDATE commit"
-            )
-        moved: list[Path] = []
-        for src in sorted(stage.rglob("*.parquet")):
-            rel = src.relative_to(stage)
-            dest_rel = rel.parent / f"part-s{seq:05d}-{uuid.uuid4().hex}.parquet"
-            dest = data_dir / dest_rel
-            dest.parent.mkdir(parents=True, exist_ok=True)
-            os.replace(src, dest)
-            moved.append(dest)
-    finally:
-        if stage.exists():
-            shutil.rmtree(stage)
-
+    moved = _stage_and_move(updated, table_dir, seq, part_cols, "UPDATE")
     res = _commit_files_as_snapshot(
         table_dir, metadata, prev_meta_file, moved, "overwrite",
         position_deletes=[(r["_src_file"], r["_src_pos"]) for r in matched],
@@ -1747,6 +1759,52 @@ def update_iceberg_rows(
         "new_files": res["files"],
         "sequence-number": res["sequence-number"],
     }
+
+
+def _stage_and_move(
+    df: DataFrame, table_dir: Path, seq: int, part_cols: list[str], what: str
+) -> list[Path]:
+    """Distributed staged write + atomic move into ``data/`` — the shared
+    front half of every snapshot commit that appends files (DataFrame
+    append, UPDATE, MERGE). Stages into a uuid-suffixed dir OWNED by this
+    process (two writers racing for the same sequence number each stage
+    privately; the race is decided by the create-exclusive metadata
+    publish, never by one writer rmtree'ing the other's files), guards
+    against a concurrent stale-staging reclaim, moves shards under
+    sequence-stamped unique names, and skips zero-row shards (a pure-
+    delete MERGE or an empty append stages them)."""
+    import pyarrow.parquet as _pq
+
+    data_dir = table_dir / "data"
+    stage = table_dir / f"_staging_s{seq}-{uuid.uuid4().hex}"
+    writer = df.write.mode("error")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    moved: list[Path] = []
+    try:
+        writer.parquet(str(stage))
+        # vacuum-race guard (same as commit_delta): if a concurrent
+        # reclaim_stale_staging rmtree'd this dir during a long stall,
+        # abort rather than committing a snapshot missing its data files
+        if not stage.exists():
+            raise RuntimeError(
+                f"staged write output missing at {stage} — the staging dir "
+                f"was reclaimed (or the write never completed); aborting "
+                f"the {what} commit"
+            )
+        for src in sorted(stage.rglob("*.parquet")):
+            if _pq.ParquetFile(src).metadata.num_rows == 0:
+                continue
+            rel = src.relative_to(stage)
+            dest_rel = rel.parent / f"part-s{seq:05d}-{uuid.uuid4().hex}.parquet"
+            dest = data_dir / dest_rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            os.replace(src, dest)
+            moved.append(dest)
+    finally:
+        if stage.exists():
+            shutil.rmtree(stage)
+    return moved
 
 
 def _commit_iceberg_snapshot(
@@ -1796,40 +1854,7 @@ def _commit_iceberg_snapshot(
     part_cols = [f["name"] for f in spec_fields]
 
     seq = metadata["last-sequence-number"] + 1
-    data_dir = table_dir / "data"
-    # uuid-suffixed staging dir OWNED by this process: two appends racing
-    # for the same sequence number each stage privately, so the race is
-    # decided solely by the create-exclusive commit marker below — never by
-    # one writer rmtree'ing the other's in-flight staged files.
-    stage = table_dir / f"_staging_s{seq}-{uuid.uuid4().hex}"
-    writer = df.write.mode("error")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    try:
-        writer.parquet(str(stage))
-        # vacuum-race guard (same as commit_delta): if a concurrent
-        # reclaim_stale_staging rmtree'd this dir during a long stall,
-        # abort rather than committing a snapshot with no data files for a
-        # non-empty write (dir-existence, not _SUCCESS — the marker is
-        # disabled under marksuccessfuljobs=false)
-        if not stage.exists():
-            raise RuntimeError(
-                f"staged write output missing at {stage} — the staging dir "
-                "was reclaimed (or the write never completed); aborting "
-                "the snapshot commit"
-            )
-        moved: list[Path] = []
-        for src in sorted(stage.rglob("*.parquet")):
-            rel = src.relative_to(stage)
-            dest_rel = rel.parent / f"part-s{seq:05d}-{uuid.uuid4().hex}.parquet"
-            dest = data_dir / dest_rel
-            dest.parent.mkdir(parents=True, exist_ok=True)
-            os.replace(src, dest)
-            moved.append(dest)
-    finally:
-        if stage.exists():
-            shutil.rmtree(stage)
-
+    moved = _stage_and_move(df, table_dir, seq, part_cols, "snapshot")
     return _commit_files_as_snapshot(
         table_dir, metadata, prev_meta_file, moved, operation
     )
@@ -2233,7 +2258,8 @@ def merge_iceberg_cdc(
 
     snap_id = metadata["current-snapshot-id"]
     scan = read_iceberg_table(
-        spark, path, snapshot_id=snap_id, _lineage=True
+        spark, path, snapshot_id=snap_id, _lineage=True,
+        _current_schema=True,
     )
     matched = (
         scan.select(F.col(key).alias("__mk"), "_src_file", "_src_pos")
@@ -2264,34 +2290,7 @@ def merge_iceberg_cdc(
         ]
     )
     seq = metadata["last-sequence-number"] + 1
-    data_dir = table_dir / "data"
-    stage = table_dir / f"_staging_s{seq}-{uuid.uuid4().hex}"
-    writer = new_rows.write.mode("error")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    moved: list[Path] = []
-    try:
-        writer.parquet(str(stage))
-        if not stage.exists():
-            raise RuntimeError(
-                f"staged write output missing at {stage} — the staging dir "
-                "was reclaimed (or the write never completed); aborting "
-                "the MERGE commit"
-            )
-        import pyarrow.parquet as _pq
-
-        for src in sorted(stage.rglob("*.parquet")):
-            if _pq.ParquetFile(src).metadata.num_rows == 0:
-                continue  # a pure-delete MERGE stages empty shards
-            rel = src.relative_to(stage)
-            dest_rel = rel.parent / f"part-s{seq:05d}-{uuid.uuid4().hex}.parquet"
-            dest = data_dir / dest_rel
-            dest.parent.mkdir(parents=True, exist_ok=True)
-            os.replace(src, dest)
-            moved.append(dest)
-    finally:
-        if stage.exists():
-            shutil.rmtree(stage)
+    moved = _stage_and_move(new_rows, table_dir, seq, part_cols, "MERGE")
     if not moved and not positions:
         return {"snapshot-id": None, "matched": 0, "new_files": 0}
     res = _commit_files_as_snapshot(

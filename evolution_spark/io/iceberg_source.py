@@ -45,7 +45,8 @@ from evolution_spark.io.delta_source import (
 
 
 def _plan_iceberg_slices(
-    table_path: str, snapshot_id=None, partition_where=None
+    table_path: str, snapshot_id=None, partition_where=None,
+    use_current_schema=False,
 ):
     """Driver-side: manifest walk -> (spark schema, slices). Position
     deletes are read with pyarrow (driver-side — delete files are the
@@ -148,8 +149,12 @@ def _plan_iceberg_slices(
             pos_by_file.setdefault(plain_path(fp), []).append(int(pos))
 
     # current read: CURRENT schema (metadata-only evolution creates no
-    # snapshot); time travel: the snapshot's recorded schema
-    if snapshot_id is None:
+    # snapshot); time travel: the snapshot's recorded schema.
+    # use_current_schema: the STREAM's initial snapshot pins the file
+    # list by snapshot id but its read() projects with the pinned CURRENT
+    # schema — resolving renames against the old schema would emit the
+    # renamed column as all-null
+    if snapshot_id is None or use_current_schema:
         sid = metadata["current-schema-id"]
     else:
         sid = snapshot.get("schema-id", metadata["current-schema-id"])
@@ -342,7 +347,8 @@ class _IcebergStreamReader(DataSourceStreamReader):
             # guaranteed by the spec)
             snap = max(candidates, key=lambda s: int(s.get("sequence-number") or 0))
             _, slices = _plan_iceberg_slices(
-                self.path, snapshot_id=snap["snapshot-id"]
+                self.path, snapshot_id=snap["snapshot-id"],
+                use_current_schema=True,
             )
             return slices
         out = []

@@ -1048,6 +1048,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # other markers (APPn, COM) are skipped
     if comps is None or scan is None:
         raise ValueError("JPEG payload missing SOF0/SOS")
+    if len(scan) < len(comps):
+        # legal per T.81 (one scan per component, non-interleaved MCU
+        # geometry) but not implemented — decoding only the first scan
+        # with interleaved geometry would return plausible garbage
+        raise ValueError(
+            f"non-interleaved multi-scan baseline JPEG (first scan covers "
+            f"{len(scan)} of {len(comps)} components) is not supported — "
+            "single interleaved scan only"
+        )
 
     # split on restart markers; unstuff each interval
     intervals = []

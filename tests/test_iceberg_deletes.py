@@ -210,24 +210,38 @@ def test_iceberg_table_changes_guards(spark, tmp_path):
     assert out.columns == ["k", "_change_type", "_snapshot_id"]
 
 
-def test_iceberg_table_changes_refuses_overwrite_ops(spark, tmp_path):
-    """Snapshots with operations other than append/delete (e.g. a foreign
-    overwrite) refuse — their row diff is not derivable from metadata."""
+def test_iceberg_table_changes_rewrite_ops(spark, tmp_path):
+    """Snapshots with unknown/rewrite operations refuse (row diff not
+    derivable from metadata); an ADD-ONLY ``overwrite`` — this engine's
+    UPDATE/MERGE shape — IS derivable and feeds delete+insert pairs."""
     import json
     from pathlib import Path
 
     from evolution_spark.io.iceberg_meta import (
         _load_metadata,
         iceberg_table_changes,
+        update_iceberg_rows,
     )
 
     path = str(tmp_path / "icecdc3")
-    write_iceberg_table(spark.range(5).select(F.col("id").alias("k")), path)
+    write_iceberg_table(
+        spark.range(5).select(F.col("id").alias("k"),
+                              (F.col("id") * 10).alias("v")),
+        path,
+    )
     meta, meta_file = _load_metadata(Path(path))
-    meta["snapshots"][-1]["summary"]["operation"] = "overwrite"
+    base = meta["current-snapshot-id"]
+    meta["snapshots"][-1]["summary"]["operation"] = "foreign-rewrite"
     meta_file.write_text(json.dumps(meta))
-    with pytest.raises(IcebergFormatError, match="overwrite"):
+    with pytest.raises(IcebergFormatError, match="foreign-rewrite"):
         iceberg_table_changes(spark, path)
+    # restore, then an UPDATE's overwrite snapshot flows as delete+insert
+    meta["snapshots"][-1]["summary"]["operation"] = "append"
+    meta_file.write_text(json.dumps(meta))
+    update_iceberg_rows(spark, path, "k = 3", {"v": "v + 1"})
+    ch = iceberg_table_changes(spark, path, base)
+    rows = sorted((r["_change_type"], r.k, r.v) for r in ch.collect())
+    assert rows == [("delete", 3, 30), ("insert", 3, 31)]
 
 
 def test_equality_deletes_read_with_sequence_scoping(spark, tmp_path):

@@ -405,3 +405,160 @@ def test_iceberg_rename_widen_guards(spark, tmp_path):
         rename_iceberg_column(path, "k", "X")  # case-insensitive
     with pytest.raises(ValueError, match="not in schema"):
         rename_iceberg_column(path, "zz", "y")
+
+
+def test_delta_sink_append_into_mapped_table(spark, tmp_path):
+    """Review fix: the evolution_delta sink must stage shards under
+    PHYSICAL column names when the target is column-mapped — logical
+    names would read back as all-null through every mapped reader."""
+    from evolution_spark.io.delta_log import (
+        read_delta_snapshot,
+        rename_delta_column,
+        write_delta_snapshot,
+    )
+    from evolution_spark.io.delta_source import register_delta_source
+
+    register_delta_source(spark)
+    path = str(tmp_path / "sinkmap")
+    write_delta_snapshot(
+        spark.range(5).select(F.col("id").alias("k"),
+                              (F.col("id") * 10).alias("v")),
+        path, column_mapping=True,
+    )
+    rename_delta_column(path, "v", "val")
+    spark.range(5, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+    ).write.format("evolution_delta").mode("append").save(path)
+    got = {(r.k, r.val) for r in read_delta_snapshot(spark, path).collect()}
+    assert got == {(i, i * 10) for i in range(8)}
+    # and through the DataSource's own read path
+    src = spark.read.format("evolution_delta").load(path)
+    assert {(r.k, r.val) for r in src.collect()} == got
+
+
+def test_delta_merge_pruned_on_mapped_table(spark, tmp_path):
+    """Review fix: merge_delta_cdc's file-pruned branch must scan mapped
+    files under physical names — the logical-name scan read a renamed
+    column as null and the replace commit PERSISTED the nulls."""
+    from evolution_spark.io.delta_log import (
+        merge_delta_cdc,
+        read_delta_snapshot,
+        rename_delta_column,
+        upgrade_delta_to_column_mapping,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "mrgmap")
+    write_delta_snapshot(
+        spark.range(20).select(F.col("id").alias("k"),
+                               (F.col("id") * 10).alias("v")),
+        path,
+    )
+    upgrade_delta_to_column_mapping(path)
+    rename_delta_column(path, "v", "val")
+    changes = spark.createDataFrame(
+        [(3, 999, "u"), (5, None, "d"), (100, 1, "u")],
+        "k long, val long, _op string",
+    )
+    res = merge_delta_cdc(spark, path, changes, key="k")
+    assert res["pruned"] is True  # the pruned branch actually ran
+    got = {(r.k, r.val) for r in read_delta_snapshot(spark, path).collect()}
+    want = {(i, i * 10) for i in range(20) if i not in (3, 5)}
+    want |= {(3, 999), (100, 1)}
+    assert got == want
+
+
+def test_iceberg_dml_right_after_metadata_only_rename(spark, tmp_path):
+    """Review fix: DELETE/UPDATE/MERGE pin their scan to the current
+    snapshot for race-freedom but must expose the CURRENT schema — a
+    metadata-only rename creates no snapshot, so snapshot-schema
+    resolution would run DML against the stale names."""
+    from evolution_spark.io.iceberg_meta import (
+        delete_iceberg_rows,
+        merge_iceberg_cdc,
+        read_iceberg_table,
+        rename_iceberg_column,
+        update_iceberg_rows,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "dmlren")
+    write_iceberg_table(
+        spark.range(12).select(F.col("id").alias("k"),
+                               (F.col("id") * 10).alias("v")),
+        path,
+    )
+    rename_iceberg_column(path, "v", "val")  # NO snapshot in between
+    assert delete_iceberg_rows(spark, path, "val >= 100")["deleted_rows"] == 2
+    assert update_iceberg_rows(spark, path, "val = 0", {"val": "val + 7"})[
+        "updated_rows"
+    ] == 1
+    assert merge_iceberg_cdc(
+        spark, path,
+        spark.createDataFrame([(1, 111, "u")], "k long, val long, _op string"),
+        key="k",
+    )["matched"] == 1
+    got = {(r.k, r.val) for r in read_iceberg_table(spark, path).collect()}
+    assert got == {(i, i * 10) for i in range(2, 10)} | {(0, 7), (1, 111)}
+
+
+def test_iceberg_stream_initial_snapshot_after_rename(spark, tmp_path):
+    """Review fix: the streaming source's initial snapshot pins the file
+    list by snapshot id but must resolve renames against the CURRENT
+    schema its read() projects with — old-schema resolution emitted the
+    renamed column as all-null."""
+    from evolution_spark.io.iceberg_meta import (
+        rename_iceberg_column,
+        write_iceberg_table,
+    )
+    from evolution_spark.io.iceberg_source import register_iceberg_source
+
+    register_iceberg_source(spark)
+    path = str(tmp_path / "strren")
+    write_iceberg_table(
+        spark.range(6).select(F.col("id").alias("k"),
+                              (F.col("id") * 2).alias("v")),
+        path,
+    )
+    rename_iceberg_column(path, "v", "w")
+    q = (
+        spark.readStream.format("evolution_iceberg").load(path)
+        .writeStream.format("memory").queryName("evo_ren_stream").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT k, w FROM evo_ren_stream").collect()
+        assert {(r.k, r.w) for r in rows} == {(i, i * 2) for i in range(6)}
+    finally:
+        q.stop()
+
+
+def test_iceberg_evolution_refused_while_equality_deletes_live(spark, tmp_path):
+    """Review fix: rename/drop/widen refuse while equality deletes are
+    live (the evolved read cannot resolve delete-file columns across
+    epochs, and compaction goes through the same read — evolving first
+    would brick the table with circular advice)."""
+    import pytest
+
+    from evolution_spark.io.iceberg_meta import (
+        append_equality_deletes,
+        compact_iceberg_table,
+        read_iceberg_table,
+        rename_iceberg_column,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "eqevol")
+    write_iceberg_table(
+        spark.range(8).select(F.col("id").alias("k"),
+                              (F.col("id") * 3).alias("v")),
+        path,
+    )
+    append_equality_deletes(path, [{"k": 2}], ["k"])
+    with pytest.raises(ValueError, match="EQUALITY deletes"):
+        rename_iceberg_column(path, "v", "val")
+    # the advised path works: compact, then evolve
+    compact_iceberg_table(spark, path)
+    rename_iceberg_column(path, "v", "val")
+    got = {(r.k, r.val) for r in read_iceberg_table(spark, path).collect()}
+    assert got == {(i, i * 3) for i in range(8) if i != 2}
