@@ -671,3 +671,36 @@ def test_column_mapping_read_is_plain_scan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "delta_column_mapping_read")
     agg_free = plan.split("HashAggregate")[0]  # the query's own agg is fine
     assert "Join" not in agg_free
+
+
+def test_iceberg_mor_delete_scan_shape(spark, sf_dir):
+    """After predicate DML + compaction the lifecycle read must be a
+    plain scan-side plan: no nested-loop/cartesian anywhere, and any
+    position-delete application a broadcast anti-join."""
+    plan = plan_of(spark, sf_dir, "iceberg_mor_delete_lifecycle")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_iceberg_merge_scan_shape(spark, sf_dir):
+    """The MOR MERGE result read applies the merge snapshot's position
+    deletes as a broadcast anti-join; the scan side never shuffles to
+    drop the metadata-sized deleted set."""
+    plan = plan_of(spark, sf_dir, "iceberg_merge_cdc")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_schema_evolved_reads_are_union_of_plain_scans(spark, sf_dir):
+    """The per-schema-epoch realigned reads (rename/widen history) must
+    stay unions of plain parquet scans — field-id realignment is pure
+    projection, so no join or exchange may appear before the query's own
+    aggregate."""
+    for name in ("iceberg_rename_widen_time_travel",
+                 "delta_rename_drop_time_travel"):
+        plan = plan_of(spark, sf_dir, name)
+        agg_free = plan.split("HashAggregate")[0]
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "SortMergeJoin" not in agg_free, name
