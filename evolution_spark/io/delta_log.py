@@ -2221,3 +2221,102 @@ def drop_delta_column(path: str, name: str) -> dict:
     version = latest + 1
     _publish_commit(table_dir, version, actions, "drop")
     return {"version": version, "schema": [f["name"] for f in new_fields]}
+
+
+def restore_delta_table(path: str, version: int) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF — make the CURRENT state equal
+    an earlier version's state with ONE new commit (history is preserved;
+    a restore is itself time-travel-able and re-restorable): files live
+    now but not then are removed, files live then but not now are
+    re-added with their original metadata (stats, partition values,
+    deletion vectors — a DV-masked file restores with its DV), and if the
+    schema or configuration changed in between, the old metaData is
+    re-committed. Metadata-only: no data file is touched, which is what
+    makes RESTORE O(changed files) at any table size — the standard
+    oops-recovery primitive after a bad MERGE/DELETE/OPTIMIZE.
+
+    Requires the target version's files to still exist (VACUUM may have
+    reclaimed them — the restore refuses with the missing list rather
+    than publishing a commit whose adds point at nothing)."""
+    from urllib.parse import unquote
+
+    table_dir = Path(path)
+    cur_live, cur_schema, cur_parts, latest, repl_state = _replay_log(
+        table_dir, return_state=True
+    )
+    _check_writer_protocol(repl_state.get("protocol"))
+    if version == latest:
+        return {"version": None, "note": "already at the requested version"}
+    old_live, old_schema, old_parts, _, old_state = _replay_log(
+        table_dir, version, return_state=True
+    )
+    if old_parts != cur_parts:
+        raise ValueError(
+            f"cannot restore across a partitioning change ({old_parts} vs "
+            f"{cur_parts})"
+        )
+    config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
+    removes = sorted(set(cur_live) - set(old_live))
+    readds = sorted(set(old_live) - set(cur_live))
+    # files present in both but with DIFFERENT add metadata (e.g. a DV
+    # added since the target version) must be re-added with the OLD state
+    changed = sorted(
+        p for p in set(old_live) & set(cur_live)
+        if old_live[p] != cur_live[p]
+    )
+    if str(config.get("delta.appendOnly", "")).lower() == "true" and (
+        removes or changed
+    ):
+        raise DeltaProtocolError(
+            "table sets delta.appendOnly=true; RESTORE would emit "
+            "dataChange=true removes — refusing"
+        )
+    missing = [
+        p for p in readds + changed
+        if not (table_dir / unquote(p)).exists()
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore to version {version}: data files already "
+            f"reclaimed by VACUUM: {missing[:5]}"
+            + ("..." if len(missing) > 5 else "")
+        )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": str(version)},
+                "engineInfo": "evolution-spark-delta-writer/1.0",
+            }
+        }
+    ]
+    old_meta = (old_state.get("metadata") or {})
+    cur_meta = (repl_state.get("metadata") or {})
+    if old_meta != cur_meta:
+        actions.append({"metaData": dict(old_meta)})
+    for p in removes:
+        rm = {"path": p, "deletionTimestamp": now_ms, "dataChange": True}
+        if cur_live[p].get("deletionVector"):
+            rm["deletionVector"] = cur_live[p]["deletionVector"]
+        actions.append({"remove": rm})
+    for p in changed:
+        rm = {"path": p, "deletionTimestamp": now_ms, "dataChange": True}
+        if cur_live[p].get("deletionVector"):
+            rm["deletionVector"] = cur_live[p]["deletionVector"]
+        actions.append({"remove": rm})
+    for p in readds + changed:
+        add = dict(old_live[p])
+        add["modificationTime"] = now_ms
+        add["dataChange"] = True
+        actions.append({"add": add})
+    new_version = latest + 1
+    _publish_commit(table_dir, new_version, actions, "RESTORE")
+    return {
+        "version": new_version,
+        "restored_to": version,
+        "files_removed": len(removes),
+        "files_readded": len(readds),
+        "files_reverted": len(changed),
+    }

@@ -2306,3 +2306,37 @@ def merge_iceberg_cdc(
         "new_files": res["files"],
         "sequence-number": res["sequence-number"],
     }
+
+
+def rollback_iceberg_table(path: str, snapshot_id: int) -> dict:
+    """ROLLBACK to an earlier snapshot — the Iceberg
+    ``rollback_to_snapshot`` maintenance op, and the Delta
+    ``restore_delta_table`` twin: ``current-snapshot-id`` moves back to
+    ``snapshot_id`` in a NEW metadata version (the abandoned snapshots
+    stay in the table's history until ``expire_iceberg_snapshots``
+    reclaims them, so the rollback itself is reversible the same way).
+    ``last-sequence-number`` never decreases — sequence numbers are
+    monotonic table-wide per the spec, so writes after a rollback
+    continue the global order. Metadata-only: O(1) at any table size."""
+    table_dir = Path(path)
+    metadata, prev_meta_file = _load_metadata(table_dir)
+    known = {s["snapshot-id"] for s in metadata["snapshots"]}
+    if snapshot_id not in known:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table history {sorted(known)}"
+        )
+    if snapshot_id == metadata.get("current-snapshot-id"):
+        return {"snapshot-id": None, "note": "already current"}
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(metadata)
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["snapshot-log"] = metadata["snapshot-log"] + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    new_meta["metadata-log"] = metadata["metadata-log"] + [
+        {"timestamp-ms": metadata["last-updated-ms"],
+         "metadata-file": str(prev_meta_file)}
+    ]
+    meta_file = _publish_metadata(table_dir / "metadata", prev_meta_file, new_meta)
+    return {"snapshot-id": snapshot_id, "metadata": str(meta_file)}

@@ -1697,3 +1697,121 @@ def iceberg_equality_delete_scan(spark, sf_dir):
         F.count(F.lit(1)).alias("n_alive"),
         F.sum("c_custkey").cast("bigint").alias("key_sum"),
     )
+
+
+@query(
+    "delta_restore_lifecycle",
+    oracle="""
+    SELECT 'restored' AS state, COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM customer
+    UNION ALL
+    SELECT 'pre_restore', COUNT(*), CAST(SUM(k) AS BIGINT), MIN(k), MAX(k)
+    FROM (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey % 4 <> 0
+      UNION ALL
+      SELECT c_custkey + 10000000 FROM customer
+      WHERE c_custkey % 6 = 0 AND c_custkey % 4 <> 0
+    )
+    """,
+)
+def delta_restore_lifecycle(spark, sf_dir):
+    """RESTORE TABLE TO VERSION AS OF, the oops-recovery primitive:
+    customer lands (v0), derived rows append (v1), a merge-on-read
+    DELETE drops every 4th key via deletion vectors (v2), then the table
+    RESTORES to v0 in ONE metadata-only commit — removes the appended
+    files and re-adds the DV-carrying files in their ORIGINAL (DV-free)
+    state. The result unions the post-restore read (exactly the v0
+    rows — a leftover DV or surviving appended file fails the hash) with
+    a time-travel read of the pre-restore v2 state (history preserved —
+    RESTORE adds history, never erases it). Scale: O(changed files)
+    metadata at any table size; no data file is touched."""
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        delete_delta_rows,
+        read_delta_snapshot,
+        restore_delta_table,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    tmp = query_tmp("deltarestore", sf_dir)
+    write_delta_snapshot(c, tmp)                                   # v0
+    commit_delta(
+        c.where(F.col("c_custkey") % 6 == 0).select(
+            (F.col("c_custkey") + 10000000).alias("c_custkey")
+        ),
+        tmp, mode="append",
+    )                                                              # v1
+    delete_delta_rows(spark, tmp, "c_custkey % 4 = 0")             # v2
+    restore_delta_table(tmp, 0)                                    # v3
+    restored = read_delta_snapshot(spark, tmp).agg(
+        F.lit("restored").alias("state"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+    pre = read_delta_snapshot(spark, tmp, version=2).agg(
+        F.lit("pre_restore").alias("state"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+    return restored.unionByName(pre)
+
+
+@query(
+    "iceberg_rollback_lifecycle",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS key_sum,
+           MIN(k) AS min_key, MAX(k) AS max_key
+    FROM (
+      SELECT c_custkey AS k FROM customer
+      UNION ALL
+      SELECT c_custkey + 20000000 FROM customer WHERE c_custkey % 5 = 0
+    )
+    """,
+)
+def iceberg_rollback_lifecycle(spark, sf_dir):
+    """Iceberg ROLLBACK (the restore twin on snapshot lineage): customer
+    lands (snap 1), a bad append lands (snap 2), the table rolls back to
+    snap 1 (metadata-only — current-snapshot-id moves, nothing is
+    deleted), and a GOOD append lands on top. The final read must hold
+    exactly base ∪ good rows — a surviving bad row means the rollback
+    didn't take; a missing good row means post-rollback writes broke.
+    Sequence numbers stay monotonic across the rollback (spec rule),
+    which the snapshot-commit core asserts by construction."""
+    from evolution_spark.io.iceberg_meta import (
+        _load_metadata,
+        append_iceberg_snapshot,
+        read_iceberg_table,
+        rollback_iceberg_table,
+        write_iceberg_table,
+    )
+    from pathlib import Path as _P
+
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    tmp = query_tmp("icerollback", sf_dir)
+    write_iceberg_table(c, tmp)                                    # snap 1
+    md, _ = _load_metadata(_P(tmp))
+    base_snap = md["current-snapshot-id"]
+    append_iceberg_snapshot(                                       # snap 2 (bad)
+        c.where(F.col("k") % 3 == 0).select((F.col("k") + 90000000).alias("k")),
+        tmp,
+    )
+    rollback_iceberg_table(tmp, base_snap)
+    append_iceberg_snapshot(                                       # snap 3 (good)
+        c.where(F.col("k") % 5 == 0).select((F.col("k") + 20000000).alias("k")),
+        tmp,
+    )
+    return read_iceberg_table(spark, tmp).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )

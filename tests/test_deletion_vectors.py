@@ -779,3 +779,71 @@ def test_update_refuses_invariant_tables(spark, tmp_path):
     (log / f"{1:020d}.json").write_text(json.dumps(meta) + "\n")
     with pytest.raises(DeltaProtocolError, match="invariants"):
         update_delta_rows(spark, path, "k = 1", {"k": "-1"})
+
+
+def test_restore_delta_table_lifecycle(spark, tmp_path):
+    """RESTORE undoes appends, MOR deletes (the DV revert re-adds the
+    file with its OLD DV state), and schema evolution in one commit;
+    history is preserved and the restore is itself restorable."""
+    from pyspark.sql import types as T
+
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        delete_delta_rows,
+        evolve_delta_schema,
+        read_delta_snapshot,
+        restore_delta_table,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "restore")
+    write_delta_snapshot(
+        spark.range(10).select(F.col("id").alias("k")), path
+    )  # v0
+    commit_delta(
+        spark.range(10, 14).select(F.col("id").alias("k")), path, mode="append"
+    )  # v1
+    delete_delta_rows(spark, path, "k % 2 = 0")  # v2 (+protocol upgrade)
+    evolve_delta_schema(path, [("w", T.DoubleType())])  # v3
+    assert read_delta_snapshot(spark, path).columns == ["k", "w"]
+
+    res = restore_delta_table(path, 1)
+    assert res["restored_to"] == 1 and res["files_reverted"] > 0
+    back = read_delta_snapshot(spark, path)
+    assert back.columns == ["k"]  # schema restored
+    assert {r.k for r in back.collect()} == set(range(14))  # DVs reverted
+    # the pre-restore state is still time-travel readable
+    v3 = read_delta_snapshot(spark, path, version=3)
+    assert {r.k for r in v3.collect()} == {k for k in range(14) if k % 2}
+    # restore the restore
+    res2 = restore_delta_table(path, 3)
+    got = {r.k for r in read_delta_snapshot(spark, path).collect()}
+    assert got == {k for k in range(14) if k % 2}
+    # no-op restore
+    from evolution_spark.io.delta_log import _replay_log
+    latest = _replay_log(tmp_path / "restore")[3]
+    assert restore_delta_table(path, latest)["version"] is None
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    """A restore whose target files were VACUUMed refuses with the
+    missing list instead of publishing adds that point at nothing."""
+    import pytest as _pytest
+
+    from evolution_spark.io.delta_log import (
+        optimize_delta,
+        read_delta_snapshot,
+        restore_delta_table,
+        vacuum_delta,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "restorevac")
+    write_delta_snapshot(
+        spark.range(8).select(F.col("id").alias("k")).repartition(2), path
+    )  # v0
+    optimize_delta(spark, path, target_files=1)  # v1 rewrites layout
+    vacuum_delta(path, keep_versions=1)  # reclaims the v0 files
+    with _pytest.raises(FileNotFoundError, match="reclaimed"):
+        restore_delta_table(path, 0)
+    assert read_delta_snapshot(spark, path).count() == 8  # table unharmed

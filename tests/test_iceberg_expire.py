@@ -256,3 +256,49 @@ def test_expire_publishes_metadata_before_reclaim(spark, tmp_path, monkeypatch):
     # walks the surviving history cleanly
     res2 = expire_iceberg_snapshots(path, keep_last=1)
     assert len(res2["expired"]) == 1
+
+
+def test_rollback_iceberg_table(spark, tmp_path):
+    """Rollback moves current-snapshot-id back (metadata-only); the
+    abandoned snapshots stay readable until expire, sequence numbers
+    stay monotonic for later writes, and rollback is reversible."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        _load_metadata,
+        append_iceberg_snapshot,
+        read_iceberg_table,
+        rollback_iceberg_table,
+        write_iceberg_table,
+    )
+    from pathlib import Path as _P
+
+    path = str(tmp_path / "rollback")
+    write_iceberg_table(spark.range(5).selectExpr("id AS k"), path)
+    md, _ = _load_metadata(_P(path))
+    first = md["current-snapshot-id"]
+    append_iceberg_snapshot(spark.range(5, 9).selectExpr("id AS k"), path)
+    md, _ = _load_metadata(_P(path))
+    second = md["current-snapshot-id"]
+    rollback_iceberg_table(path, first)
+    assert {r.k for r in read_iceberg_table(spark, path).collect()} == set(range(5))
+    # abandoned snapshot still time-travel readable; rollback reversible
+    assert read_iceberg_table(spark, path, snapshot_id=second).count() == 9
+    rollback_iceberg_table(path, second)
+    assert read_iceberg_table(spark, path).count() == 9
+    # sequence numbers continue monotonically after rollback + append
+    rollback_iceberg_table(path, first)
+    res = append_iceberg_snapshot(spark.range(100, 102).selectExpr("id AS k"), path)
+    md, _ = _load_metadata(_P(path))
+    assert res["sequence-number"] == 3  # never reuses the rolled-back seq
+    assert {r.k for r in read_iceberg_table(spark, path).collect()} == (
+        set(range(5)) | {100, 101}
+    )
+    # unknown snapshot refuses; same-snapshot rollback is a no-op
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in table history"):
+        rollback_iceberg_table(path, 123456)
+    assert rollback_iceberg_table(
+        path, md["current-snapshot-id"]
+    )["snapshot-id"] is None
