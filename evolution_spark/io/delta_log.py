@@ -119,7 +119,8 @@ def _check_reader_protocol(protocol: dict | None) -> None:
 # writes safely). Anything else (CHECK constraints, generated columns,
 # column mapping, ...) stays refused via _check_writer_protocol.
 SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
-    {"deletionVectors", "appendOnly", "invariants", "columnMapping"}
+    {"deletionVectors", "appendOnly", "invariants", "columnMapping",
+     "checkConstraints"}
 )
 
 
@@ -133,6 +134,10 @@ def _check_writer_protocol(protocol: dict | None) -> None:
         return
     v = int(protocol.get("minWriterVersion", 1))
     if v <= 2:
+        return
+    if v == 3:
+        # writer v3 adds exactly the CHECK-constraints obligation, which
+        # every row-adding commit path enforces via _enforce_constraints
         return
     features = set(protocol.get("writerFeatures") or [])
     unsupported = sorted(features - SUPPORTED_WRITER_FEATURES)
@@ -597,6 +602,13 @@ def commit_delta(
         writer = writer.partitionBy(*part_cols)
     try:
         writer.parquet(str(stage))
+        if data_change:
+            # CHECK constraints (writer v3 / checkConstraints feature):
+            # layout-only rewrites (dataChange=False) re-add validated rows
+            _enforce_constraints(
+                df.sparkSession, stage, config, "commit",
+                renames=mapping_renames(json.loads(schema_string), config),
+            )
 
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
@@ -1583,6 +1595,10 @@ def update_delta_rows(
         writer = writer.partitionBy(*part_cols)
     try:
         writer.parquet(str(stage))
+        _enforce_constraints(
+            spark, stage, config, "UPDATE",
+            renames=mapping_renames(schema_json, config),
+        )
         add_actions, n_files, updated_rows = _collect_staged_adds(
             stage, table_dir, version, now_ms, data_change=True
         )
@@ -2320,3 +2336,152 @@ def restore_delta_table(path: str, version: int) -> dict:
         "files_readded": len(readds),
         "files_reverted": len(changed),
     }
+
+
+def _table_constraints(config: dict) -> dict[str, str]:
+    """{name: SQL expression} from ``delta.constraints.*`` table config."""
+    pre = "delta.constraints."
+    return {k[len(pre):]: v for k, v in config.items() if k.startswith(pre)}
+
+
+def _enforce_constraints(
+    spark, staged_path, config: dict, what: str, renames: dict | None = None
+) -> None:
+    """Writer obligation for CHECK constraints (protocol writer v3 / the
+    v7 ``checkConstraints`` feature): every row a commit ADDS must
+    satisfy every table constraint, or the commit must not happen.
+    Validates the STAGED parquet output (already materialized — one
+    cheap combined scan, no recompute of the source plan); the detailed
+    per-constraint probe runs only on the failure path. ``renames``
+    (physical -> logical) realigns column-mapped staging output so the
+    constraint expressions see the LOGICAL names they were written in."""
+    from pyspark.sql import functions as F
+
+    constraints = _table_constraints(config)
+    if not constraints:
+        return
+    staged = spark.read.parquet(str(staged_path))
+    if not staged.columns:
+        return
+    if renames:
+        # one atomic projection (physical names may collide with other
+        # fields' logical names on upgraded-in-place tables)
+        staged = staged.select(
+            *[F.col(c).alias(renames.get(c, c)) for c in staged.columns]
+        )
+    viol = None
+    for expr in constraints.values():
+        c = ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+        viol = c if viol is None else (viol | c)
+    if staged.where(viol).limit(1).count() == 0:
+        return
+    for name, expr in sorted(constraints.items()):
+        bad = staged.where(
+            ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+        ).limit(1).collect()
+        if bad:
+            raise DeltaProtocolError(
+                f"{what} violates CHECK constraint {name!r} ({expr}); "
+                f"first offending row: {bad[0].asDict()} — the commit was "
+                "aborted, no version was published"
+            )
+
+
+def add_delta_constraint(spark, path: str, name: str, expr: str) -> dict:
+    """ALTER TABLE ... ADD CONSTRAINT (CHECK): record the expression
+    under ``delta.constraints.<name>`` and upgrade the protocol to claim
+    the obligation (v7 + ``checkConstraints``). Every subsequent
+    row-adding commit (append, overwrite, MERGE, UPDATE) validates the
+    constraint on the staged output and refuses on the first violation —
+    the writer-v3 contract that keeps a table's invariants true at 100 TB
+    without a post-hoc audit scan. The constraint must hold on the
+    EXISTING rows too (checked here, one scan) — adding an already-
+    violated constraint would make the obligation a lie."""
+    table_dir = Path(path)
+    live, schema_string, part_cols, latest, repl_state = _replay_log(
+        table_dir, return_state=True
+    )
+    proto = repl_state.get("protocol") or dict(PROTOCOL)
+    _check_writer_protocol(proto)
+    if not name.isidentifier():
+        raise ValueError(f"constraint name {name!r} must be an identifier")
+    config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
+    key = f"delta.constraints.{name}"
+    if key in config:
+        raise ValueError(f"constraint {name!r} already exists: {config[key]}")
+    from pyspark.sql import functions as F
+
+    existing = read_delta_snapshot(spark, path)
+    bad = existing.where(
+        ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+    ).limit(1).collect()
+    if bad:
+        raise DeltaProtocolError(
+            f"cannot add CHECK constraint {name!r} ({expr}): existing row "
+            f"violates it: {bad[0].asDict()}"
+        )
+    metadata = dict(repl_state["metadata"])
+    metadata["configuration"] = {**config, key: expr}
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "ADD CONSTRAINT",
+                "operationParameters": {"name": name, "expr": expr},
+                "engineInfo": "evolution-spark-delta-writer/1.0",
+            }
+        }
+    ]
+    v_w = int(proto.get("minWriterVersion", 2))
+    feats_w = set(proto.get("writerFeatures") or [])
+    if not (v_w >= 7 and "checkConstraints" in feats_w) and v_w != 3:
+        legacy_w = {"appendOnly", "invariants"} if v_w >= 2 else set()
+        actions.append({"protocol": {
+            "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+            "minWriterVersion": 7,
+            **({"readerFeatures": sorted(set(proto.get("readerFeatures") or []))}
+               if int(proto.get("minReaderVersion", 1)) >= 3 else {}),
+            "writerFeatures": sorted(
+                feats_w | legacy_w | {"checkConstraints"}
+            ),
+        }})
+    actions.append({"metaData": metadata})
+    version = latest + 1
+    _publish_commit(table_dir, version, actions, "ADD CONSTRAINT")
+    return {"version": version, "name": name, "expr": expr}
+
+
+def drop_delta_constraint(path: str, name: str) -> dict:
+    """ALTER TABLE ... DROP CONSTRAINT: metadata-only removal."""
+    table_dir = Path(path)
+    live, schema_string, part_cols, latest, repl_state = _replay_log(
+        table_dir, return_state=True
+    )
+    _check_writer_protocol(repl_state.get("protocol"))
+    config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
+    key = f"delta.constraints.{name}"
+    if key not in config:
+        raise ValueError(
+            f"no constraint {name!r} on this table "
+            f"(have {sorted(_table_constraints(config))})"
+        )
+    metadata = dict(repl_state["metadata"])
+    metadata["configuration"] = {
+        k: v for k, v in config.items() if k != key
+    }
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DROP CONSTRAINT",
+                "operationParameters": {"name": name},
+                "engineInfo": "evolution-spark-delta-writer/1.0",
+            }
+        },
+        {"metaData": metadata},
+    ]
+    version = latest + 1
+    _publish_commit(table_dir, version, actions, "DROP CONSTRAINT")
+    return {"version": version, "name": name}

@@ -568,9 +568,19 @@ def _commit_shards(
             "carry no hive partition layout); write partitioned data with "
             "commit_delta"
         )
-    from evolution_spark.io.delta_log import mapping_renames
+    from evolution_spark.io.delta_log import _table_constraints, mapping_renames
 
     config = dict((state.get("metadata") or {}).get("configuration") or {})
+    constraints = _table_constraints(config)
+    if constraints:
+        # the DataSource commit runs in a Python worker with no
+        # SparkSession — the CHECK-constraint obligation cannot be
+        # validated here, and committing unvalidated rows would break it
+        raise RuntimeError(
+            f"table declares CHECK constraints {sorted(constraints)}; the "
+            "evolution_delta sink cannot validate them — append with "
+            "commit_delta instead"
+        )
     current_renames = {
         log: phys
         for phys, log in mapping_renames(

@@ -1815,3 +1815,77 @@ def iceberg_rollback_lifecycle(spark, sf_dir):
         F.min("k").alias("min_key"),
         F.max("k").alias("max_key"),
     )
+
+
+@query(
+    "delta_check_constraint_enforcement",
+    oracle="""
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+           MIN(k) AS min_key, MAX(k) AS max_key
+    FROM (
+      SELECT c_custkey AS k, c_mktsegment, c_acctbal AS bal FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000, c_mktsegment, ABS(c_acctbal)
+      FROM customer WHERE c_custkey % 8 = 0
+    ) GROUP BY c_mktsegment
+    """,
+)
+def delta_check_constraint_enforcement(spark, sf_dir):
+    """CHECK constraints, the writer-v3 protocol obligation the round-6
+    engine still refused: customer lands, ``ADD CONSTRAINT bal_floor
+    CHECK (c_acctbal >= -1000)`` upgrades the protocol, a VALID append
+    (absolute balances) commits, and a VIOLATING append (balance -9999)
+    must ABORT with no version published — the query asserts the refusal
+    and that the log did not advance, then returns the surviving table.
+    A constraint that silently failed open (the violating rows landing)
+    or failed closed (the valid append blocked) both change the oracle's
+    closed-form row set. Scale: validation is ONE combined scan of the
+    staged output (already materialized), never of the table."""
+    from pathlib import Path as _P
+
+    from evolution_spark.io.delta_log import (
+        DeltaProtocolError,
+        _replay_log,
+        add_delta_constraint,
+        commit_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tmp = query_tmp("deltachk", sf_dir)
+    write_delta_snapshot(c, tmp)
+    add_delta_constraint(spark, tmp, "bal_floor", "c_acctbal >= -1000")
+    commit_delta(
+        c.where(F.col("c_custkey") % 8 == 0).select(
+            (F.col("c_custkey") + 10000000).alias("c_custkey"),
+            "c_mktsegment",
+            F.abs(F.col("c_acctbal")).alias("c_acctbal"),
+        ),
+        tmp, mode="append",
+    )
+    before = _replay_log(_P(tmp))[3]
+    try:
+        commit_delta(
+            spark.createDataFrame(
+                [(99999999, "BUILDING", -9999.0)],
+                "c_custkey long, c_mktsegment string, c_acctbal double",
+            ),
+            tmp, mode="append",
+        )
+        raise AssertionError("violating append must refuse")
+    except DeltaProtocolError:
+        pass
+    assert _replay_log(_P(tmp))[3] == before  # no version published
+    back = read_delta_snapshot(spark, tmp)
+    return back.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "bal_cents"
+        ),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )

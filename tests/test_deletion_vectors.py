@@ -847,3 +847,143 @@ def test_restore_refuses_vacuumed_target(spark, tmp_path):
     with _pytest.raises(FileNotFoundError, match="reclaimed"):
         restore_delta_table(path, 0)
     assert read_delta_snapshot(spark, path).count() == 8  # table unharmed
+
+
+def test_delta_check_constraints_lifecycle(spark, tmp_path):
+    """ADD CONSTRAINT upgrades the protocol and every row-adding commit
+    validates: violating appends/updates/merges abort WITHOUT publishing
+    a version; pre-violated constraints refuse at ADD time; DROP lifts
+    the obligation; mapped tables validate under logical names."""
+    from evolution_spark.io.delta_log import (
+        DeltaProtocolError,
+        _replay_log,
+        add_delta_constraint,
+        commit_delta,
+        drop_delta_constraint,
+        merge_delta_cdc,
+        read_delta_snapshot,
+        rename_delta_column,
+        update_delta_rows,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "chk")
+    write_delta_snapshot(
+        spark.range(10).selectExpr("id AS k", "id * 10 AS v"), path
+    )
+    with pytest.raises(DeltaProtocolError, match="existing row violates"):
+        add_delta_constraint(spark, path, "v_big", "v >= 10")
+    add_delta_constraint(spark, path, "v_nonneg", "v >= 0")
+    latest_before = _replay_log(Path(path))[3]
+    # violating append aborts, no version published
+    with pytest.raises(DeltaProtocolError, match="v_nonneg"):
+        commit_delta(
+            spark.createDataFrame([(99, -5)], "k long, v long"),
+            path, mode="append",
+        )
+    assert _replay_log(Path(path))[3] == latest_before
+    # valid append passes
+    commit_delta(
+        spark.createDataFrame([(10, 100)], "k long, v long"),
+        path, mode="append",
+    )
+    # violating UPDATE aborts
+    with pytest.raises(DeltaProtocolError, match="v_nonneg"):
+        update_delta_rows(spark, path, "k = 1", {"v": "-v"})
+    # violating MERGE aborts (merge commits through commit_delta)
+    with pytest.raises(DeltaProtocolError, match="v_nonneg"):
+        merge_delta_cdc(
+            spark, path,
+            spark.createDataFrame([(2, -7, "u")], "k long, v long, _op string"),
+            key="k",
+        )
+    assert {(r.k, r.v) for r in read_delta_snapshot(spark, path).collect()} == {
+        (i, i * 10) for i in range(11)
+    }
+    # DROP lifts the obligation
+    drop_delta_constraint(path, "v_nonneg")
+    commit_delta(
+        spark.createDataFrame([(11, -1)], "k long, v long"), path, mode="append"
+    )
+    assert read_delta_snapshot(spark, path).count() == 12
+
+
+def test_delta_check_constraints_on_mapped_table(spark, tmp_path):
+    """Constraint expressions are written in LOGICAL names; validation on
+    a column-mapped table's physical staging output must realign."""
+    from evolution_spark.io.delta_log import (
+        DeltaProtocolError,
+        add_delta_constraint,
+        commit_delta,
+        rename_delta_column,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "chkmap")
+    write_delta_snapshot(
+        spark.range(5).selectExpr("id AS k", "id * 10 AS v"),
+        path, column_mapping=True,
+    )
+    rename_delta_column(path, "v", "val")
+    add_delta_constraint(spark, path, "val_nonneg", "val >= 0")
+    commit_delta(
+        spark.createDataFrame([(5, 50)], "k long, val long"), path, mode="append"
+    )
+    with pytest.raises(DeltaProtocolError, match="val_nonneg"):
+        commit_delta(
+            spark.createDataFrame([(6, -1)], "k long, val long"),
+            path, mode="append",
+        )
+
+
+def test_delta_sink_refuses_constraint_tables(spark, tmp_path):
+    """The DataSource sink has no session to validate constraints with —
+    it must refuse rather than commit unvalidated rows."""
+    from evolution_spark.io.delta_log import (
+        add_delta_constraint,
+        write_delta_snapshot,
+    )
+    from evolution_spark.io.delta_source import register_delta_source
+
+    register_delta_source(spark)
+    path = str(tmp_path / "chksink")
+    write_delta_snapshot(spark.range(3).selectExpr("id AS k"), path)
+    add_delta_constraint(spark, path, "k_nonneg", "k >= 0")
+    with pytest.raises(Exception, match="CHECK constraints"):
+        spark.range(3, 5).selectExpr("id AS k").write.format(
+            "evolution_delta"
+        ).mode("append").save(path)
+
+
+def test_foreign_writer_v3_table_now_writable(spark, tmp_path):
+    """A foreign minWriterVersion=3 table (CHECK constraints era) is now
+    writable — the obligation is enforced, so the protocol gate admits
+    it."""
+    from evolution_spark.io.delta_log import (
+        DeltaProtocolError,
+        commit_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    path = tmp_path / "v3t"
+    write_delta_snapshot(spark.range(4).selectExpr("id AS k"), str(path))
+    log = path / "_delta_log"
+    lines = (log / f"{0:020d}.json").read_text().splitlines()
+    fixed = []
+    for ln in lines:
+        a = json.loads(ln)
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 1, "minWriterVersion": 3}
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.constraints.k_pos": "k >= 0"
+            }
+        fixed.append(json.dumps(a))
+    (log / f"{0:020d}.json").write_text("\n".join(fixed) + "\n")
+    commit_delta(spark.range(4, 6).selectExpr("id AS k"), str(path), mode="append")
+    assert read_delta_snapshot(spark, str(path)).count() == 6
+    with pytest.raises(DeltaProtocolError, match="k_pos"):
+        commit_delta(
+            spark.createDataFrame([(-1,)], "k long"), str(path), mode="append"
+        )
