@@ -295,6 +295,99 @@ def _partition_record_schema(part_fields: list[dict], ice_schema: dict) -> dict:
     return {"type": "record", "name": "r102", "fields": fields}
 
 
+_BOUND_PACK = {
+    "int": "<i", "long": "<q", "float": "<f", "double": "<d", "date": "<i",
+}
+
+
+def _encode_bound(ice_type: str, v) -> bytes | None:
+    """Iceberg single-value binary serialization (spec Appendix D) for
+    the bound types this engine prunes on; None = unsupported type."""
+    import datetime as _dt
+    import struct as _s
+
+    if ice_type in ("int", "long"):
+        return _s.pack(_BOUND_PACK[ice_type], int(v))
+    if ice_type in ("float", "double"):
+        return _s.pack(_BOUND_PACK[ice_type], float(v))
+    if ice_type == "string":
+        return str(v).encode("utf-8")
+    if ice_type == "date":
+        days = (v - _dt.date(1970, 1, 1)).days if isinstance(v, _dt.date) else int(v)
+        return _s.pack("<i", days)
+    return None
+
+
+def _decode_bound(ice_type: str, b: bytes):
+    import struct as _s
+
+    if ice_type in _BOUND_PACK:  # date decodes to epoch days
+        return _s.unpack(_BOUND_PACK[ice_type], b)[0]
+    if ice_type == "string":
+        return b.decode("utf-8")
+    return None
+
+
+def _file_column_bounds(pq_path, ice_schema: dict):
+    """(lower_bounds, upper_bounds) for one parquet file from its footer
+    statistics, as the manifest's array-of-{key,value} maps keyed by
+    field id — or (None, None) when no column has usable stats. Driver
+    cost: footer-only, no data read."""
+    import pyarrow.parquet as _papq
+
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    md = _papq.ParquetFile(pq_path).metadata
+    mins: dict[int, object] = {}
+    maxs: dict[int, object] = {}
+    for rg in range(md.num_row_groups):
+        row = md.row_group(rg)
+        for ci in range(row.num_columns):
+            col = row.column(ci)
+            name = col.path_in_schema
+            f = by_name.get(name)
+            if f is None:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                mins[f["id"]] = maxs[f["id"]] = None  # poison: partial stats
+                continue
+            fid = f["id"]
+            if fid in mins and mins[fid] is None:
+                continue
+            mins[fid] = st.min if fid not in mins or mins[fid] is None or st.min < mins[fid] else mins[fid]
+            maxs[fid] = st.max if fid not in maxs or maxs[fid] is None or st.max > maxs[fid] else maxs[fid]
+    id_type = {f["id"]: f["type"] for f in ice_schema["fields"]}
+    lower, upper = [], []
+    for fid in sorted(mins):
+        if mins[fid] is None or maxs.get(fid) is None:
+            continue
+        lo = _encode_bound(id_type.get(fid, ""), mins[fid])
+        hi = _encode_bound(id_type.get(fid, ""), maxs[fid])
+        if lo is None or hi is None:
+            continue
+        lower.append({"key": fid, "value": lo})
+        upper.append({"key": fid, "value": hi})
+    return (lower or None, upper or None)
+
+
+def _bounds_may_match(lo, hi, op: str, val) -> bool:
+    """Conservative range check: False ONLY when the file provably holds
+    no matching row."""
+    if lo is None or hi is None:
+        return True
+    if op in ("=", "=="):
+        return lo <= val <= hi
+    if op == "<":
+        return lo < val
+    if op == "<=":
+        return lo <= val
+    if op == ">":
+        return hi > val
+    if op == ">=":
+        return hi >= val
+    return True  # unknown op: keep
+
+
 def _manifest_entry_schema(part_schema: dict) -> dict:
     data_file = {
         "type": "record",
@@ -312,6 +405,38 @@ def _manifest_entry_schema(part_schema: dict) -> dict:
                 "name": "equality_ids",
                 "type": ["null", {"type": "array", "items": "int"}],
                 "field-id": 135,
+                "default": None,
+            },
+            {
+                # per-column value bounds keyed by FIELD ID (spec: a map
+                # serialized as an array of key/value records; values use
+                # the single-value binary serialization). Rename-safe by
+                # construction — the pruning key is the id, not the name.
+                "name": "lower_bounds",
+                "type": ["null", {
+                    "type": "array", "logicalType": "map",
+                    "items": {"type": "record", "name": "k126_v127",
+                              "fields": [
+                                  {"name": "key", "type": "int",
+                                   "field-id": 126},
+                                  {"name": "value", "type": "bytes",
+                                   "field-id": 127}]},
+                }],
+                "field-id": 125,
+                "default": None,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", {
+                    "type": "array", "logicalType": "map",
+                    "items": {"type": "record", "name": "k129_v130",
+                              "fields": [
+                                  {"name": "key", "type": "int",
+                                   "field-id": 129},
+                                  {"name": "value", "type": "bytes",
+                                   "field-id": 130}]},
+                }],
+                "field-id": 128,
                 "default": None,
             },
         ],
@@ -466,6 +591,10 @@ def write_iceberg_table(
                     "record_count": n_rows,
                     "file_size_in_bytes": p.stat().st_size,
                     "equality_ids": None,
+                    # per-column bounds from the parquet footer (field-id
+                    # keyed) — what skip_where prunes on
+                    **dict(zip(("lower_bounds", "upper_bounds"),
+                               _file_column_bounds(p, ice_schema))),
                 },
             }
         )
@@ -579,6 +708,7 @@ def read_iceberg_table(
     path: str,
     snapshot_id: int | None = None,
     partition_where: dict[str, object] | None = None,
+    skip_where: list[tuple[str, str, object]] | None = None,
     _lineage: bool = False,
     _current_schema: bool = False,
 ) -> DataFrame:
@@ -649,6 +779,46 @@ def read_iceberg_table(
     except StopIteration:
         known = [s["snapshot-id"] for s in metadata["snapshots"]]
         raise ValueError(f"snapshot {current} not in table history {known}") from None
+    # a CURRENT-table read always uses the CURRENT schema (metadata-only
+    # evolution like RENAME/DROP/widen creates no snapshot, so the last
+    # snapshot's recorded schema-id may lag); TIME TRAVEL reads the schema
+    # that was current at that snapshot — a post-evolution read of an old
+    # snapshot must not invent added columns or apply later renames.
+    # ``_current_schema=True`` (internal, DML): the scan pins the FILE
+    # LIST to a snapshot for race-freedom but must still expose CURRENT
+    # names/types — predicates arrive against the evolved schema.
+    if snapshot_id is None or _current_schema:
+        want_schema_id = metadata["current-schema-id"]
+    else:
+        want_schema_id = snapshot.get("schema-id", metadata["current-schema-id"])
+        if want_schema_id is None:
+            want_schema_id = metadata["current-schema-id"]
+    want_ice_schema = next(
+        s for s in metadata["schemas"] if s["schema-id"] == want_schema_id
+    )
+    skip_checks: list[tuple[int, str, str, object]] = []
+    if skip_where:
+        # DATA SKIPPING on manifest column bounds (field-id keyed, so a
+        # rename between write and read cannot mis-prune): files whose
+        # [lower, upper] range provably excludes the predicate are
+        # dropped from the scan BEFORE Spark lists them — the needle-on-
+        # 100 TB feature; files without bounds are conservatively kept.
+        # The SAME predicate must still be applied with .filter.
+        by_name_w = {f["name"]: f for f in want_ice_schema["fields"]}
+        for col, op, val in skip_where:
+            if col not in by_name_w:
+                raise ValueError(
+                    f"skip_where column {col!r} not in schema "
+                    f"{sorted(by_name_w)} — refusing to prune on a "
+                    "non-existent column"
+                )
+            f = by_name_w[col]
+            import datetime as _dt
+
+            if f["type"] == "date" and isinstance(val, _dt.date):
+                val = (val - _dt.date(1970, 1, 1)).days
+            skip_checks.append((f["id"], f["type"], op, val))
+
     files: list[str] = []
     file_seq: dict[str, int] = {}  # decoded path -> data sequence number
     file_sid: dict[str, int] = {}  # raw path -> manifest schema-id
@@ -728,26 +898,24 @@ def read_iceberg_table(
                 for k, v in partition_where.items()
             ):
                 continue  # metadata-level partition pruning
+            if skip_checks:
+                lbs = {e["key"]: e["value"]
+                       for e in (dfile.get("lower_bounds") or [])}
+                ubs = {e["key"]: e["value"]
+                       for e in (dfile.get("upper_bounds") or [])}
+                if any(
+                    not _bounds_may_match(
+                        _decode_bound(t, lbs[fid]) if fid in lbs else None,
+                        _decode_bound(t, ubs[fid]) if fid in ubs else None,
+                        op, val,
+                    )
+                    for fid, t, op, val in skip_checks
+                ):
+                    continue  # bounds prove no row can match
             files.append(dfile["file_path"])
             file_seq[plain_path(dfile["file_path"])] = seq
             file_sid[dfile["file_path"]] = mf_sid
-    # a CURRENT-table read always uses the CURRENT schema (metadata-only
-    # evolution like RENAME/DROP/widen creates no snapshot, so the last
-    # snapshot's recorded schema-id may lag); TIME TRAVEL reads the schema
-    # that was current at that snapshot — a post-evolution read of an old
-    # snapshot must not invent added columns or apply later renames.
-    # ``_current_schema=True`` (internal, DML): the scan pins the FILE
-    # LIST to a snapshot for race-freedom but must still expose CURRENT
-    # names/types — predicates arrive against the evolved schema.
-    if snapshot_id is None or _current_schema:
-        want_schema_id = metadata["current-schema-id"]
-    else:
-        want_schema_id = snapshot.get("schema-id", metadata["current-schema-id"])
-        if want_schema_id is None:
-            want_schema_id = metadata["current-schema-id"]
-    ice_schema = next(
-        s for s in metadata["schemas"] if s["schema-id"] == want_schema_id
-    )
+    ice_schema = want_ice_schema
     schema = spark_schema_of(ice_schema)
     out_names = [f.name for f in schema.fields]
     if _lineage:
@@ -1266,6 +1434,8 @@ def append_equality_deletes(
             "record_count": len(rows),
             "file_size_in_bytes": del_path.stat().st_size,
             "equality_ids": [by_name[c]["id"] for c in equality_cols],
+            "lower_bounds": None,
+            "upper_bounds": None,
         },
     }
     meta_dir = table_dir / "metadata"
@@ -1971,6 +2141,10 @@ def _commit_files_as_snapshot(
                     "record_count": n_rows,
                     "file_size_in_bytes": p.stat().st_size,
                     "equality_ids": None,
+                    # per-column bounds from the parquet footer (field-id
+                    # keyed) — what skip_where prunes on
+                    **dict(zip(("lower_bounds", "upper_bounds"),
+                               _file_column_bounds(p, ice_schema))),
                 },
             }
         )
@@ -2015,6 +2189,8 @@ def _commit_files_as_snapshot(
                 "record_count": n_pos_deletes,
                 "file_size_in_bytes": del_path.stat().st_size,
                 "equality_ids": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
             },
         }
         del_manifest_path = meta_dir / f"{uuid.uuid4()}-d0.avro"

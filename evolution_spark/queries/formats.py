@@ -1889,3 +1889,59 @@ def delta_check_constraint_enforcement(spark, sf_dir):
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
     )
+
+
+@query(
+    "iceberg_stats_skipping",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE o_orderkey >=
+          CAST(FLOOR((SELECT MAX(o_orderkey) FROM orders) * 0.9) AS BIGINT)
+    GROUP BY o_orderpriority
+    """,
+)
+def iceberg_stats_skipping(spark, sf_dir):
+    """Manifest-level DATA SKIPPING on column bounds — the Iceberg scan
+    path's needle-on-100-TB feature (the ``read_delta_snapshot
+    (skip_where=...)`` twin on field-id-keyed manifest bounds): orders
+    lands range-clustered on o_orderkey into 8 files, each manifest entry
+    carrying per-column lower/upper bounds from the parquet footers
+    (spec's single-value binary serialization). A read with
+    ``skip_where=[("o_orderkey", ">=", cut)]`` drops every file whose
+    bound range provably excludes the cut BEFORE Spark lists it — the
+    query asserts the pruned scan touches a strict subset of the files —
+    and the same predicate still applies as a filter (skipping only
+    removes files that cannot match). Bounds are keyed by FIELD ID, so
+    pruning survives renames. The oracle recomputes the top-decile
+    aggregate from the raw table."""
+    from evolution_spark.io.iceberg_meta import (
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    tmp = query_tmp("iceskip", sf_dir)
+    write_iceberg_table(o.repartitionByRange(8, "o_orderkey"), tmp)
+    cut = int(o.agg(F.max("o_orderkey")).collect()[0][0] * 0.9)
+    full = read_iceberg_table(spark, tmp)
+    pruned = read_iceberg_table(
+        spark, tmp, skip_where=[("o_orderkey", ">=", cut)]
+    )
+    n_full, n_pruned = len(full.inputFiles()), len(pruned.inputFiles())
+    assert n_pruned < n_full, (n_pruned, n_full)  # skipping actually fired
+    return pruned.where(F.col("o_orderkey") >= cut).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "price_cents"
+        ),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -533,3 +533,64 @@ def test_merge_iceberg_cdc_guards(spark, tmp_path):
         key="k",
     )
     assert res["matched"] == 1 and res["new_files"] == 0
+
+
+def test_iceberg_stats_skipping(spark, tmp_path):
+    """Manifest column bounds (field-id keyed, spec single-value binary
+    serialization) prune files whose range provably excludes a skip_where
+    predicate — BEFORE Spark lists them; bounds survive rename (id-keyed)
+    and deletes still apply on pruned reads."""
+    from evolution_spark.io.iceberg_meta import (
+        delete_iceberg_rows,
+        read_iceberg_table,
+        rename_iceberg_column,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "skip")
+    df = spark.range(4000).selectExpr(
+        "id AS k", "id * 2 AS v", "CAST(id AS STRING) AS s"
+    )
+    write_iceberg_table(df.repartitionByRange(8, "k"), path)
+    full = read_iceberg_table(spark, path)
+    assert len(full.inputFiles()) == 8
+    pruned = read_iceberg_table(spark, path, skip_where=[("k", ">=", 3600)])
+    assert len(pruned.inputFiles()) == 1
+    assert {r.k for r in pruned.where("k >= 3600").collect()} == set(
+        range(3600, 4000)
+    )
+    # rename-safe: bounds are field-id keyed, not name keyed
+    rename_iceberg_column(path, "k", "key")
+    p2 = read_iceberg_table(spark, path, skip_where=[("key", "=", 3999)])
+    assert len(p2.inputFiles()) == 1
+    assert p2.where("key = 3999").count() == 1
+    # string bounds prune too
+    p3 = read_iceberg_table(spark, path, skip_where=[("s", "=", "42")])
+    assert len(p3.inputFiles()) < 8
+    assert p3.where("s = '42'").count() == 1
+    # position deletes still apply on the pruned scan
+    delete_iceberg_rows(spark, path, "key = 3999")
+    p4 = read_iceberg_table(spark, path, skip_where=[("key", "=", 3999)])
+    assert p4.where("key = 3999").count() == 0
+    # unknown column refuses (a typo would silently scan everything)
+    with pytest.raises(ValueError, match="zz"):
+        read_iceberg_table(spark, path, skip_where=[("zz", "=", 1)])
+
+
+def test_iceberg_bounds_codec_roundtrip():
+    """Single-value binary serialization roundtrips for every pruned
+    type (spec Appendix D: little-endian fixed widths, UTF-8 strings)."""
+    import datetime
+    import struct
+
+    from evolution_spark.io.iceberg_meta import _decode_bound, _encode_bound
+
+    assert _encode_bound("int", 7) == struct.pack("<i", 7)
+    assert _decode_bound("long", _encode_bound("long", -(1 << 40))) == -(1 << 40)
+    assert _decode_bound("double", _encode_bound("double", 2.5)) == 2.5
+    assert abs(_decode_bound("float", _encode_bound("float", 1.25)) - 1.25) < 1e-6
+    assert _decode_bound("string", _encode_bound("string", "héllo")) == "héllo"
+    d = datetime.date(2024, 3, 1)
+    days = (d - datetime.date(1970, 1, 1)).days
+    assert _decode_bound("date", _encode_bound("date", d)) == days
+    assert _encode_bound("binary", b"x") is None  # unsupported: no bounds
