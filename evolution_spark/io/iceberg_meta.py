@@ -709,6 +709,7 @@ def read_iceberg_table(
     snapshot_id: int | None = None,
     partition_where: dict[str, object] | None = None,
     skip_where: list[tuple[str, str, object]] | None = None,
+    ref: str | None = None,
     _lineage: bool = False,
     _current_schema: bool = False,
 ) -> DataFrame:
@@ -746,6 +747,10 @@ def read_iceberg_table(
     Spark's own partition-dir pruning would skip the same rows, but only
     after listing every file; this never ships the pruned paths to the
     reader at all."""
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR ref, not both")
+        snapshot_id = resolve_iceberg_ref(path, ref)
     table_dir = Path(path)
     meta_dir = table_dir / "metadata"
     hint = (meta_dir / "version-hint.text").read_text().strip()
@@ -2293,8 +2298,18 @@ def expire_iceberg_snapshots(
         raise ValueError("keep_last must be >= 1")
     if len(snaps) <= keep_last:
         return {"expired": [], "kept": [s["snapshot-id"] for s in snaps]}
-    # snapshots are appended in commit order; keep the tail
-    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    # snapshots are appended in commit order; keep the tail — PLUS every
+    # snapshot a ref (tag/branch) pins: expiring a tagged snapshot would
+    # silently break the named read the tag exists for (spec: refs hold
+    # their snapshots against expiration)
+    ref_ids = {
+        r["snapshot-id"] for r in (metadata.get("refs") or {}).values()
+    }
+    tail = snaps[-keep_last:]
+    tail_ids = {s["snapshot-id"] for s in tail}
+    kept = [s for s in snaps
+            if s["snapshot-id"] in tail_ids or s["snapshot-id"] in ref_ids]
+    expired = [s for s in snaps if s not in kept]
     kept_ids = {s["snapshot-id"] for s in kept}
     if metadata["current-snapshot-id"] not in kept_ids:
         raise ValueError("cannot expire the current snapshot")
@@ -2516,3 +2531,69 @@ def rollback_iceberg_table(path: str, snapshot_id: int) -> dict:
     ]
     meta_file = _publish_metadata(table_dir / "metadata", prev_meta_file, new_meta)
     return {"snapshot-id": snapshot_id, "metadata": str(meta_file)}
+
+
+def tag_iceberg_snapshot(
+    path: str, name: str, snapshot_id: int | None = None
+) -> dict:
+    """Create a named TAG pinning a snapshot (default: current) — the
+    spec's ``refs`` map. Tags make audit/reproducibility reads first
+    class (``read_iceberg_table(..., ref="training-2026-08")``) and hold
+    their snapshot against ``expire_iceberg_snapshots``, which is the
+    point: a pinned training-data snapshot survives routine retention.
+    Metadata-only, O(1) at any table size."""
+    table_dir = Path(path)
+    metadata, prev_meta_file = _load_metadata(table_dir)
+    refs = dict(metadata.get("refs") or {})
+    if name in refs:
+        raise ValueError(
+            f"ref {name!r} already exists "
+            f"(-> snapshot {refs[name]['snapshot-id']})"
+        )
+    sid = snapshot_id if snapshot_id is not None else metadata.get(
+        "current-snapshot-id"
+    )
+    known = {s["snapshot-id"] for s in metadata["snapshots"]}
+    if sid not in known:
+        raise ValueError(f"snapshot {sid} not in table history {sorted(known)}")
+    refs[name] = {"snapshot-id": sid, "type": "tag"}
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(metadata)
+    new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["metadata-log"] = metadata["metadata-log"] + [
+        {"timestamp-ms": metadata["last-updated-ms"],
+         "metadata-file": str(prev_meta_file)}
+    ]
+    _publish_metadata(table_dir / "metadata", prev_meta_file, new_meta)
+    return {"ref": name, "snapshot-id": sid, "type": "tag"}
+
+
+def drop_iceberg_ref(path: str, name: str) -> dict:
+    """Remove a tag; its snapshot becomes expirable again."""
+    table_dir = Path(path)
+    metadata, prev_meta_file = _load_metadata(table_dir)
+    refs = dict(metadata.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"no ref {name!r} (have {sorted(refs)})")
+    dropped = refs.pop(name)
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(metadata)
+    new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["metadata-log"] = metadata["metadata-log"] + [
+        {"timestamp-ms": metadata["last-updated-ms"],
+         "metadata-file": str(prev_meta_file)}
+    ]
+    _publish_metadata(table_dir / "metadata", prev_meta_file, new_meta)
+    return {"ref": name, "was": dropped}
+
+
+def resolve_iceberg_ref(path: str, ref: str) -> int:
+    """Ref name -> pinned snapshot id (for ``read_iceberg_table``'s
+    ``snapshot_id`` time-travel parameter)."""
+    metadata, _ = _load_metadata(Path(path))
+    refs = metadata.get("refs") or {}
+    if ref not in refs:
+        raise ValueError(f"no ref {ref!r} on this table (have {sorted(refs)})")
+    return refs[ref]["snapshot-id"]

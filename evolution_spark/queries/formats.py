@@ -1945,3 +1945,52 @@ def iceberg_stats_skipping(spark, sf_dir):
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@query(
+    "iceberg_tag_pinned_read",
+    oracle="""
+    SELECT 'tagged' AS state, COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer WHERE c_custkey % 2 = 1
+    UNION ALL
+    SELECT 'head', COUNT(*), CAST(SUM(c_custkey) AS BIGINT)
+    FROM customer
+    """,
+)
+def iceberg_tag_pinned_read(spark, sf_dir):
+    """Named snapshot TAGS — the reproducibility primitive a training-
+    data pipeline needs (pin the exact corpus snapshot a model trained
+    on): odd customer keys land and get tagged ``corpus-v1``, even keys
+    append, snapshot retention expires everything but the head — and the
+    tagged read STILL returns exactly the pinned state, because refs
+    hold their snapshots against expiration (spec ``refs`` semantics).
+    The result unions the tagged read with the head read; a tag that
+    drifted with the table, or an expire that reclaimed the pinned
+    snapshot, fails the hash. Metadata-only: tags are O(1) at any table
+    size."""
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        expire_iceberg_snapshots,
+        read_iceberg_table,
+        tag_iceberg_snapshot,
+        write_iceberg_table,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    tmp = query_tmp("icetag", sf_dir)
+    write_iceberg_table(c.where(F.col("c_custkey") % 2 == 1), tmp)
+    tag_iceberg_snapshot(tmp, "corpus-v1")
+    append_iceberg_snapshot(c.where(F.col("c_custkey") % 2 == 0), tmp)
+    expire_iceberg_snapshots(tmp, keep_last=1)  # the tag must survive
+    tagged = read_iceberg_table(spark, tmp, ref="corpus-v1").agg(
+        F.lit("tagged").alias("state"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+    )
+    head = read_iceberg_table(spark, tmp).agg(
+        F.lit("head").alias("state"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+    )
+    return tagged.unionByName(head)

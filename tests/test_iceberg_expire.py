@@ -302,3 +302,49 @@ def test_rollback_iceberg_table(spark, tmp_path):
     assert rollback_iceberg_table(
         path, md["current-snapshot-id"]
     )["snapshot-id"] is None
+
+
+def test_iceberg_tags_pin_snapshots(spark, tmp_path):
+    """Tags read by name, survive expire (ref'd snapshots are held), and
+    expire normally once dropped."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        drop_iceberg_ref,
+        expire_iceberg_snapshots,
+        read_iceberg_table,
+        resolve_iceberg_ref,
+        tag_iceberg_snapshot,
+    )
+
+    path = str(tmp_path / "tags")
+    write_iceberg_table(spark.range(5).selectExpr("id AS k"), path)
+    tag_iceberg_snapshot(path, "v1")  # pins the first snapshot
+    append_iceberg_snapshot(spark.range(5, 9).selectExpr("id AS k"), path)
+    append_iceberg_snapshot(spark.range(9, 12).selectExpr("id AS k"), path)
+    # read by ref = the pinned state
+    by_ref = read_iceberg_table(spark, path, ref="v1")
+    assert {r.k for r in by_ref.collect()} == set(range(5))
+    assert read_iceberg_table(spark, path).count() == 12
+    # expire keeps the tagged snapshot alive
+    res = expire_iceberg_snapshots(path, keep_last=1)
+    assert resolve_iceberg_ref(path, "v1") not in [
+        s for s in res["expired"]
+    ]
+    assert {r.k for r in
+            read_iceberg_table(spark, path, ref="v1").collect()} == set(range(5))
+    # drop the tag -> next expire reclaims it
+    drop_iceberg_ref(path, "v1")
+    expire_iceberg_snapshots(path, keep_last=1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no ref"):
+        read_iceberg_table(spark, path, ref="v1")
+    assert read_iceberg_table(spark, path).count() == 12
+    # guards
+    with _pytest.raises(ValueError, match="already exists"):
+        tag_iceberg_snapshot(path, "head")
+        tag_iceberg_snapshot(path, "head")
+    with _pytest.raises(ValueError, match="not in table history"):
+        tag_iceberg_snapshot(path, "nope", snapshot_id=42)
