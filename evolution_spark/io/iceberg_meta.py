@@ -50,6 +50,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from evolution_spark.io.avro import MAGIC, _dec_long, _enc_long
+from evolution_spark.io.iceberg_transforms import (
+    parse_partition_by,
+    result_ice_type,
+    transform_column,
+    transform_literal,
+)
 
 # --------------------------------------------------------------------------
 # Spark <-> Iceberg schema mapping
@@ -273,11 +279,47 @@ def _read_avro_with_meta(path: Path) -> tuple[list[dict], dict]:
 # --------------------------------------------------------------------------
 
 
+def _with_partition_cols(df, spec_fields: list[dict], ice_schema: dict):
+    """Attach computed TRANSFORM columns (named by partition field) so a
+    plain ``partitionBy`` lays out the spec's dirs: identity fields
+    partition on the source column itself (Spark drops it from data files;
+    the reader reconstructs it from dir values), transform fields on a
+    synthetic column (dropped from data files by ``partitionBy``; the
+    LOSSY transform means the source column must stay in the files).
+    Returns (df, dir column names in spec order)."""
+    by_id = {f["id"]: f for f in ice_schema["fields"]}
+    part_cols = []
+    for pf in spec_fields:
+        src = by_id[pf["source-id"]]
+        transform = pf.get("transform", "identity")
+        if transform != "identity":
+            df = df.withColumn(
+                pf["name"],
+                transform_column(transform, src["name"], src["type"]),
+            )
+        part_cols.append(pf["name"])
+    return df, part_cols
+
+
+def _partition_dir_types(spec_fields: list[dict], ice_schema: dict) -> dict:
+    """Partition-field name -> the iceberg type its DIR VALUES parse as
+    (the transform's result type; identity keeps the source type)."""
+    by_id = {f["id"]: f for f in ice_schema["fields"]}
+    return {
+        pf["name"]: result_ice_type(
+            pf.get("transform", "identity"), by_id[pf["source-id"]]["type"]
+        )
+        for pf in spec_fields
+    }
+
+
 def _partition_record_schema(part_fields: list[dict], ice_schema: dict) -> dict:
     by_id = {f["id"]: f for f in ice_schema["fields"]}
     fields = []
     for pf in part_fields:
-        ice_t = by_id[pf["source-id"]]["type"]
+        ice_t = result_ice_type(
+            pf.get("transform", "identity"), by_id[pf["source-id"]]["type"]
+        )
         # the spec's Avro mapping: date is an int (days since epoch) with
         # the `date` logical type — the value side already stores days
         # (_parse_partition_value)
@@ -534,24 +576,15 @@ def write_iceberg_table(
         else:
             raise ValueError(f"iceberg table dir exists: {path} (mode={mode})")
 
-    part_cols = list(partition_by or [])
-    writer = df.write.mode("error")
+    ice_schema = iceberg_schema_of(df.schema)
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    spec_fields = parse_partition_by(partition_by, ice_schema)
+    out_df, part_cols = _with_partition_cols(df, spec_fields, ice_schema)
+    writer = out_df.write.mode("error")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     data_dir = table_dir / "data"
     writer.parquet(str(data_dir))
-
-    ice_schema = iceberg_schema_of(df.schema)
-    by_name = {f["name"]: f for f in ice_schema["fields"]}
-    spec_fields = [
-        {
-            "name": c,
-            "transform": "identity",
-            "source-id": by_name[c]["id"],
-            "field-id": 1000 + i,
-        }
-        for i, c in enumerate(part_cols)
-    ]
     part_schema = _partition_record_schema(spec_fields, ice_schema)
     entry_schema = _manifest_entry_schema(part_schema)
 
@@ -563,13 +596,14 @@ def write_iceberg_table(
     # ---- manifest: one ADDED entry per data file ----------------------
     entries = []
     total_rows = 0
+    dir_type = _partition_dir_types(spec_fields, ice_schema)
     for p in sorted(data_dir.rglob("*.parquet")):
         rel = p.relative_to(data_dir)
         values: dict[str, object] = {}
         for part in rel.parts[:-1]:
             if "=" in part:
                 k, _, v = part.partition("=")
-                values[k] = _parse_partition_value(by_name[k]["type"], v)
+                values[k] = _parse_partition_value(dir_type[k], v)
         if sorted(values) != sorted(part_cols):
             raise ValueError(
                 f"partition dirs {sorted(values)} != declared {sorted(part_cols)}"
@@ -761,21 +795,55 @@ def read_iceberg_table(
             f"table format-version {fv} exceeds the implemented version 2 — "
             "refusing to read rather than dropping v3 semantics"
         )
+    resolved_where: list[tuple[str, object]] = []
     if partition_where:
         spec = next(
             sp
             for sp in metadata["partition-specs"]
             if sp["spec-id"] == metadata["default-spec-id"]
         )
-        part_cols = {f["name"] for f in spec["fields"]}
-        unknown = sorted(set(partition_where) - part_cols)
-        if unknown:
-            raise ValueError(
-                f"partition_where keys {unknown} are not partition columns "
-                f"of this table (spec: {sorted(part_cols)}) — refusing to "
-                "prune on a non-existent key (it would silently return an "
-                "empty result)"
-            )
+        cur_schema = next(
+            s for s in metadata["schemas"]
+            if s["schema-id"] == metadata["current-schema-id"]
+        )
+        src_name = {f["id"]: f for f in cur_schema["fields"]}
+        for k, v in partition_where.items():
+            # a key may name the partition FIELD (``o_orderdate_day``) —
+            # value taken as the stored transform output — or the SOURCE
+            # column (``o_orderdate``) — the transform is applied to the
+            # literal driver-side, so ``{'o_orderdate': '1995-01-05'}``
+            # prunes a day/bucket-partitioned table without the caller
+            # knowing the spec. A source under several transform fields
+            # contributes one check per field (more pruning, all sound
+            # for equality).
+            hits = []
+            for pf in spec["fields"]:
+                sf = src_name[pf["source-id"]]
+                transform = pf.get("transform", "identity")
+                if pf["name"] == k:
+                    hits.append(
+                        (pf["name"],
+                         transform_literal(transform, v, sf["type"])
+                         if transform == "identity" else v)
+                    )
+                elif sf["name"] == k:
+                    hits.append(
+                        (pf["name"],
+                         transform_literal(transform, v, sf["type"]))
+                    )
+            if not hits:
+                known = sorted(
+                    {f["name"] for f in spec["fields"]}
+                    | {src_name[f["source-id"]]["name"] for f in spec["fields"]}
+                )
+                raise ValueError(
+                    f"partition_where key {k!r} is neither a partition "
+                    f"field nor a partition source column of this table "
+                    f"(spec: {known}) — refusing to prune on a "
+                    "non-existent key (it would silently return an empty "
+                    "result)"
+                )
+            resolved_where.extend(hits)
     current = snapshot_id if snapshot_id is not None else metadata["current-snapshot-id"]
     try:
         snapshot = next(
@@ -898,9 +966,9 @@ def read_iceberg_table(
                     f"{content} — malformed metadata (delete files belong "
                     "in content=1 manifests)"
                 )
-            if partition_where and any(
+            if resolved_where and any(
                 dfile.get("partition", {}).get(k) != v
-                for k, v in partition_where.items()
+                for k, v in resolved_where
             ):
                 continue  # metadata-level partition pruning
             if skip_checks:
@@ -1894,12 +1962,17 @@ def update_iceberg_rows(
         s for s in metadata["partition-specs"]
         if s["spec-id"] == metadata["default-spec-id"]
     )["fields"]
-    part_cols = [f["name"] for f in spec_fields]
-    if set(set_exprs) & set(part_cols):
+    # guard on the SOURCE columns: updating a transform's source column
+    # (e.g. the date under a day/bucket field) moves rows across
+    # partitions just as surely as updating an identity partition column
+    by_fid = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    part_srcs = {by_fid[f["source-id"]] for f in spec_fields}
+    if set(set_exprs) & part_srcs:
         raise ValueError(
-            f"set_exprs touch partition columns {sorted(set(set_exprs) & set(part_cols))} "
-            "— rewriting partition values would move rows across "
-            "partitions; delete + re-append instead"
+            f"set_exprs touch partition source columns "
+            f"{sorted(set(set_exprs) & part_srcs)} — rewriting partition "
+            "values would move rows across partitions; delete + re-append "
+            "instead"
         )
 
     snap_id = metadata["current-snapshot-id"]
@@ -1923,7 +1996,9 @@ def update_iceberg_rows(
     )
 
     seq = metadata["last-sequence-number"] + 1
-    moved = _stage_and_move(updated, table_dir, seq, part_cols, "UPDATE")
+    moved = _stage_and_move(
+        updated, table_dir, seq, spec_fields, ice_schema, "UPDATE"
+    )
     res = _commit_files_as_snapshot(
         table_dir, metadata, prev_meta_file, moved, "overwrite",
         position_deletes=[(r["_src_file"], r["_src_pos"]) for r in matched],
@@ -1937,7 +2012,12 @@ def update_iceberg_rows(
 
 
 def _stage_and_move(
-    df: DataFrame, table_dir: Path, seq: int, part_cols: list[str], what: str
+    df: DataFrame,
+    table_dir: Path,
+    seq: int,
+    spec_fields: list[dict],
+    ice_schema: dict,
+    what: str,
 ) -> list[Path]:
     """Distributed staged write + atomic move into ``data/`` — the shared
     front half of every snapshot commit that appends files (DataFrame
@@ -1952,6 +2032,7 @@ def _stage_and_move(
 
     data_dir = table_dir / "data"
     stage = table_dir / f"_staging_s{seq}-{uuid.uuid4().hex}"
+    df, part_cols = _with_partition_cols(df, spec_fields, ice_schema)
     writer = df.write.mode("error")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
@@ -2026,10 +2107,8 @@ def _commit_iceberg_snapshot(
     spec_fields = next(
         s for s in metadata["partition-specs"] if s["spec-id"] == metadata["default-spec-id"]
     )["fields"]
-    part_cols = [f["name"] for f in spec_fields]
-
     seq = metadata["last-sequence-number"] + 1
-    moved = _stage_and_move(df, table_dir, seq, part_cols, "snapshot")
+    moved = _stage_and_move(df, table_dir, seq, spec_fields, ice_schema, "snapshot")
     return _commit_files_as_snapshot(
         table_dir, metadata, prev_meta_file, moved, operation
     )
@@ -2123,13 +2202,14 @@ def _commit_files_as_snapshot(
 
     entries = []
     total_rows = 0
+    dir_type = _partition_dir_types(spec_fields, ice_schema)
     for p in moved:
         rel = p.relative_to(data_dir)
         values: dict[str, object] = {}
         for part in rel.parts[:-1]:
             if "=" in part:
                 k, _, v = part.partition("=")
-                values[k] = _parse_partition_value(by_name[k]["type"], v)
+                values[k] = _parse_partition_value(dir_type[k], v)
         n_rows = pq.ParquetFile(p).metadata.num_rows
         total_rows += n_rows
         entries.append(
@@ -2438,7 +2518,6 @@ def merge_iceberg_cdc(
         s for s in metadata["partition-specs"]
         if s["spec-id"] == metadata["default-spec-id"]
     )["fields"]
-    part_cols = [f["name"] for f in spec_fields]
 
     ch = changes.select(
         F.col(key).alias("__k"),
@@ -2481,7 +2560,9 @@ def merge_iceberg_cdc(
         ]
     )
     seq = metadata["last-sequence-number"] + 1
-    moved = _stage_and_move(new_rows, table_dir, seq, part_cols, "MERGE")
+    moved = _stage_and_move(
+        new_rows, table_dir, seq, spec_fields, ice_schema, "MERGE"
+    )
     if not moved and not positions:
         return {"snapshot-id": None, "matched": 0, "new_files": 0}
     res = _commit_files_as_snapshot(

@@ -77,11 +77,17 @@ def _plan_iceberg_slices(
         known = [s["snapshot-id"] for s in metadata["snapshots"]]
         raise ValueError(f"snapshot {current} not in table history {known}")
 
+    resolved_where: list[tuple[str, object]] = []
     if partition_where:
-        # option values arrive stringly; convert by the SPEC's source
-        # types (int-guessing would silently prune everything on string/
-        # date partitions), and reject unknown keys loudly — a typo'd key
-        # would otherwise prune ALL files into an empty result
+        # option values arrive stringly; convert by the SPEC's types
+        # (int-guessing would silently prune everything on string/date
+        # partitions), and reject unknown keys loudly — a typo'd key
+        # would otherwise prune ALL files into an empty result. A key may
+        # name the partition FIELD (value = stored transform output) or
+        # the SOURCE column (the transform is applied to the literal —
+        # ``partition.o_orderdate=1995-01-05`` prunes a day/bucket spec).
+        from evolution_spark.io.iceberg_transforms import transform_literal
+
         spec_fields = next(
             sp for sp in metadata["partition-specs"]
             if sp["spec-id"] == metadata["default-spec-id"]
@@ -90,18 +96,42 @@ def _plan_iceberg_slices(
             s for s in metadata["schemas"]
             if s["schema-id"] == metadata["current-schema-id"]
         )
-        col_type = {f["name"]: f["type"] for f in cur_schema["fields"]}
-        known_parts = {f["name"] for f in spec_fields}
-        unknown = sorted(set(partition_where) - known_parts)
-        if unknown:
-            raise ValueError(
-                f"partition option keys {unknown} are not partition "
-                f"columns of this table (spec: {sorted(known_parts)})"
-            )
-        partition_where = {
-            k: _parse_partition_value(col_type[k], str(v))
-            for k, v in partition_where.items()
-        }
+        from evolution_spark.io.iceberg_meta import _partition_dir_types
+
+        result_type = _partition_dir_types(spec_fields, cur_schema)
+        src_of = {f["id"]: f for f in cur_schema["fields"]}
+        for k, v in partition_where.items():
+            hits = []
+            for pf in spec_fields:
+                sf = src_of[pf["source-id"]]
+                transform = pf.get("transform", "identity")
+                if pf["name"] == k:
+                    hits.append(
+                        (pf["name"],
+                         _parse_partition_value(result_type[k], str(v)))
+                    )
+                elif sf["name"] == k:
+                    # stringly option value -> natural literal by SOURCE
+                    # type; transform_literal maps it to the stored
+                    # transform output (identity-date -> epoch days too)
+                    if sf["type"] in ("int", "long"):
+                        nat: object = int(v)
+                    else:
+                        nat = str(v)  # string/date/timestamp (ISO forms)
+                    hits.append(
+                        (pf["name"],
+                         transform_literal(transform, nat, sf["type"]))
+                    )
+            if not hits:
+                known = sorted(
+                    {f["name"] for f in spec_fields}
+                    | {src_of[f["source-id"]]["name"] for f in spec_fields}
+                )
+                raise ValueError(
+                    f"partition option keys [{k!r}] are not partition "
+                    f"columns of this table (spec: {known})"
+                )
+            resolved_where.extend(hits)
 
     data_entries: list[tuple[dict, int]] = []  # (data_file, schema-id)
     delete_files: list[str] = []
@@ -127,9 +157,9 @@ def _plan_iceberg_slices(
                     f"delete file {dfile['file_path']} carries content="
                     f"{content}; position deletes only"
                 )
-            if partition_where and any(
+            if resolved_where and any(
                 dfile.get("partition", {}).get(k) != v
-                for k, v in partition_where.items()
+                for k, v in resolved_where
             ):
                 continue
             data_entries.append((dfile, mf_sid))

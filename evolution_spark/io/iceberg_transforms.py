@@ -1,0 +1,374 @@
+"""Iceberg partition transforms (spec §Partition Transforms + Appendix B).
+
+The reference's Iceberg target declares partitioned writes but implements
+none of the spec's transform family (crates/evolution-target/src/target.rs);
+this module implements the v2 transform set the way a Spark engine should:
+
+- the TRANSFORM COLUMN is computed with built-in JVM expressions wherever
+  the spec's function is expressible (truncate, year/month/day/hour), and
+  with one Arrow-batched pandas UDF for ``bucket[N]`` (the spec pins
+  Murmur3-x86-32 over the type's single-value serialization, which Spark's
+  built-in ``hash()`` — seed 42, Spark-specific encoding — does NOT match);
+- hive-style dir layout comes free from ``partitionBy`` on the computed
+  column: source columns STAY in the data files (unlike identity
+  partitioning, a transform is lossy, so the reader never reconstructs the
+  source from dir values);
+- PRUNING applies the same transform to a predicate literal driver-side
+  and drops manifest entries whose partition record cannot match — at
+  100 TB this is the difference between "scan the table" and "scan one
+  bucket/day": file listing never touches the data.
+
+Supported (matching the spec's applicability table for this engine's type
+set): ``identity`` (all), ``bucket[N]`` (int, long, date, timestamp[tz],
+string), ``truncate[W]`` (int, long, string), ``year``/``month``/``day``
+(date, timestamp[tz]), ``hour`` (timestamp[tz]).
+
+Spec-exactness of ``bucket`` is pinned by the Appendix B test vectors
+(34 -> 2017239379, 'iceberg' -> 1210000089, date 2017-11-16 ->
+-653330422) in tests/test_iceberg_transforms.py.
+"""
+
+# NOTE: no ``from __future__ import annotations`` — the pandas-UDF type
+# hints must bind the locally-imported ``pd`` eagerly at def time
+import re
+
+__all__ = [
+    "murmur3_32",
+    "bucket_hash",
+    "parse_partition_by",
+    "result_ice_type",
+    "transform_column",
+    "transform_literal",
+    "partition_field_name",
+]
+
+_M3_C1 = 0xCC9E2D51
+_M3_C2 = 0x1B873593
+_MASK = 0xFFFFFFFF
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Murmur3-x86-32 (the spec's ``hash`` for bucket), unsigned result."""
+    h = seed
+    n = len(data)
+    full = n - n % 4
+    for i in range(0, full, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * _M3_C1) & _MASK
+        k = ((k << 15) | (k >> 17)) & _MASK
+        k = (k * _M3_C2) & _MASK
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & _MASK
+        h = (h * 5 + 0xE6546B64) & _MASK
+    tail = data[full:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * _M3_C1) & _MASK
+        k = ((k << 15) | (k >> 17)) & _MASK
+        k = (k * _M3_C2) & _MASK
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _MASK
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _MASK
+    h ^= h >> 16
+    return h
+
+
+# integral iceberg types bucket-hash as the 8-byte little-endian long of
+# their widened value (spec Appendix B: int/long/date/time/timestamp[tz])
+_INTEGRAL = ("int", "long", "date", "timestamp", "timestamptz")
+
+
+def bucket_hash(value, ice_type: str) -> int:
+    """The spec's single-value hash (SIGNED 32-bit, pre-modulo)."""
+    if ice_type in _INTEGRAL:
+        data = int(value).to_bytes(8, "little", signed=True)
+    elif ice_type == "string":
+        data = str(value).encode("utf-8")
+    elif ice_type == "binary":
+        data = bytes(value)
+    else:
+        raise TypeError(f"bucket transform on iceberg type {ice_type} not supported")
+    h = murmur3_32(data)
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _bucket_index(value, ice_type: str, n: int) -> int:
+    return (bucket_hash(value, ice_type) & 0x7FFFFFFF) % n
+
+
+_SPEC_RE = re.compile(
+    r"^\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$|"
+    r"^\s*(years?|months?|days?|hours?)\s*\(\s*(\w+)\s*\)\s*$"
+)
+
+_TEMPORAL_CANON = {
+    "year": "year", "years": "year",
+    "month": "month", "months": "month",
+    "day": "day", "days": "day",
+    "hour": "hour", "hours": "hour",
+}
+
+_FIELD_SUFFIX = {
+    "bucket": "bucket", "truncate": "trunc",
+    "year": "year", "month": "month", "day": "day", "hour": "hour",
+}
+
+
+def partition_field_name(transform: str, source: str) -> str:
+    """Java-writer naming convention: ``<col>_bucket``, ``<col>_trunc``,
+    ``<col>_day`` … (identity keeps the column name)."""
+    base = transform.split("[", 1)[0]
+    if base == "identity":
+        return source
+    return f"{source}_{_FIELD_SUFFIX[base]}"
+
+
+def parse_partition_by(entries, ice_schema: dict, first_field_id: int = 1000):
+    """Parse user-facing ``partition_by`` strings into spec fields.
+
+    Accepted forms per entry: ``"col"`` (identity), ``"bucket(N, col)"``,
+    ``"truncate(W, col)"``, ``"years(col)"`` / ``"months(col)"`` /
+    ``"days(col)"`` / ``"hours(col)"`` (singulars too). Returns the
+    metadata ``partition-specs`` field list with canonical spec transform
+    strings (``bucket[N]``, ``truncate[W]``, ``year``/``month``/``day``/
+    ``hour``)."""
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    spec_fields = []
+    for i, raw in enumerate(entries or []):
+        m = _SPEC_RE.match(raw)
+        if m is None:
+            col = raw.strip()
+            transform = "identity"
+        elif m.group(1):
+            transform = f"{m.group(1)}[{int(m.group(2))}]"
+            col = m.group(3)
+        else:
+            transform = _TEMPORAL_CANON[m.group(4)]
+            col = m.group(5)
+        src = by_name.get(col)
+        if src is None:
+            raise ValueError(
+                f"partition_by references unknown column {col!r} "
+                f"(table columns: {sorted(by_name)})"
+            )
+        result_ice_type(transform, src["type"])  # validates applicability
+        spec_fields.append(
+            {
+                "name": partition_field_name(transform, col),
+                "transform": transform,
+                "source-id": src["id"],
+                "field-id": first_field_id + i,
+            }
+        )
+    names = [f["name"] for f in spec_fields]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate partition field names {names}")
+    return spec_fields
+
+
+def result_ice_type(transform: str, source_type: str) -> str:
+    """The transform's result iceberg type (what dirs/partition records
+    store), validating spec applicability for this engine's type set."""
+    if transform == "identity":
+        return source_type
+    base, _, arg = transform.partition("[")
+    if base == "bucket":
+        if source_type not in _INTEGRAL + ("string", "binary"):
+            raise TypeError(
+                f"bucket transform on iceberg type {source_type} not supported"
+            )
+        return "int"
+    if base == "truncate":
+        if source_type not in ("int", "long", "string"):
+            raise TypeError(
+                f"truncate transform on iceberg type {source_type} not supported"
+            )
+        return source_type
+    if base in ("year", "month", "day"):
+        if source_type not in ("date", "timestamp", "timestamptz"):
+            raise TypeError(
+                f"{base} transform on iceberg type {source_type} not supported"
+            )
+        return "int"
+    if base == "hour":
+        if source_type not in ("timestamp", "timestamptz"):
+            raise TypeError(
+                f"hour transform needs a timestamp source, got {source_type}"
+            )
+        return "int"
+    raise ValueError(f"unknown partition transform {transform!r}")
+
+
+def _transform_arg(transform: str) -> int:
+    return int(transform.partition("[")[2].rstrip("]"))
+
+
+def transform_column(transform: str, col_name: str, source_type: str):
+    """Spark Column computing the transform of ``col_name`` — JVM
+    expressions for everything but ``bucket`` (spec-pinned Murmur3,
+    computed in ONE Arrow-batched pandas UDF; the dominant cost of a
+    partitioned write is the shuffle-free ``partitionBy`` file split, not
+    this narrow projection)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col_name)
+    if transform == "identity":
+        return c
+    base = transform.split("[", 1)[0]
+    if base == "truncate":
+        w = _transform_arg(transform)
+        if source_type == "string":
+            return F.substring(c, 1, w)
+        # spec: v - (((v % W) + W) % W) — floor-mod, exactly pmod
+        return (c - F.pmod(c, F.lit(w))).cast(
+            "int" if source_type == "int" else "long"
+        )
+    if base == "year":
+        return (F.year(c) - F.lit(1970)).cast("int")
+    if base == "month":
+        return ((F.year(c) - F.lit(1970)) * 12 + F.month(c) - 1).cast("int")
+    if base == "day":
+        if source_type == "date":
+            return F.datediff(c, F.lit("1970-01-01")).cast("int")
+        if source_type == "timestamp":  # NTZ: tz-free calendar arithmetic
+            return F.datediff(F.to_date(c), F.lit("1970-01-01")).cast("int")
+        return F.floor(F.unix_micros(c) / F.lit(86_400_000_000)).cast("int")
+    if base == "hour":
+        if source_type == "timestamp":
+            # NTZ floor(micros/3600e6) without a session-tz round-trip:
+            # epoch days * 24 + local hour IS the floor (exact also for
+            # negative days — -1 day at 23:00 -> -1, the correct floor)
+            return (
+                F.datediff(F.to_date(c), F.lit("1970-01-01")) * 24 + F.hour(c)
+            ).cast("int")
+        return F.floor(F.unix_micros(c) / F.lit(3_600_000_000)).cast("int")
+    if base == "bucket":
+        n = _transform_arg(transform)
+        return _bucket_udf(source_type, n)(c).alias(f"{col_name}_bucket")
+    raise ValueError(f"unknown partition transform {transform!r}")
+
+
+def _bucket_udf(source_type: str, n: int):
+    """Arrow-batched bucket UDF. Integral sources vectorize the whole
+    Murmur3 over numpy uint32 lanes (8-byte LE value = two 4-byte blocks,
+    fully branch-free); strings hash per value (bytes vary in length) but
+    still move via Arrow batches, not per-row pickling."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    if source_type in _INTEGRAL:
+
+        @F.pandas_udf("int")
+        def _bucket(s: pd.Series) -> pd.Series:
+            import numpy as np
+
+            if source_type == "date":
+                vals = s.map(
+                    lambda d: None if d is None else d.toordinal() - 719163
+                )
+            elif source_type in ("timestamp", "timestamptz"):
+                # pandas surfaces timestamps as datetime64[ns|us]; to
+                # spec micros
+                vals = pd.Series(s.values.astype("datetime64[us]").astype("int64"), index=s.index)
+                vals = vals.where(~s.isna(), None)
+            else:
+                vals = s
+            mask = vals.isna()
+            v = (
+                pd.to_numeric(vals.fillna(0), errors="raise")
+                .astype("int64")
+                .to_numpy()
+                .astype(np.uint64)
+            )
+            k1 = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            k2 = (v >> np.uint64(32)).astype(np.uint32)
+            h = np.zeros(len(v), np.uint32)
+            with np.errstate(over="ignore"):
+                for k in (k1, k2):
+                    k = k * np.uint32(_M3_C1)
+                    k = (k << np.uint32(15)) | (k >> np.uint32(17))
+                    k = k * np.uint32(_M3_C2)
+                    h = h ^ k
+                    h = (h << np.uint32(13)) | (h >> np.uint32(19))
+                    h = h * np.uint32(5) + np.uint32(0xE6546B64)
+                h = h ^ np.uint32(8)  # len(8-byte value)
+                h = h ^ (h >> np.uint32(16))
+                h = h * np.uint32(0x85EBCA6B)
+                h = h ^ (h >> np.uint32(13))
+                h = h * np.uint32(0xC2B2AE35)
+                h = h ^ (h >> np.uint32(16))
+            out = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype("int32")
+            res = pd.Series(out, index=s.index, dtype="Int32")
+            res[mask] = None
+            return res
+
+        return _bucket
+
+    @F.pandas_udf("int")
+    def _bucket_str(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: None if x is None else _bucket_index(x, source_type, n)
+        ).astype("Int32")
+
+    return _bucket_str
+
+
+def transform_literal(transform: str, value, source_type: str):
+    """Apply a transform to a PREDICATE literal driver-side (for
+    metadata pruning): the transformed value is what partition records
+    store, so equality on the source column prunes to equality on the
+    transform output. Accepts natural Python literals (int/str,
+    datetime.date / datetime.datetime, ISO strings for temporal types)."""
+    import datetime as dt
+
+    if value is None:
+        return None
+    if transform == "identity":
+        if source_type == "date":
+            if isinstance(value, str):
+                value = dt.date.fromisoformat(value)
+            return (value - dt.date(1970, 1, 1)).days
+        return value
+    base = transform.split("[", 1)[0]
+    if base == "bucket":
+        v = value
+        if source_type == "date":
+            if isinstance(v, str):
+                v = dt.date.fromisoformat(v)
+            v = (v - dt.date(1970, 1, 1)).days
+        elif source_type in ("timestamp", "timestamptz"):
+            if isinstance(v, str):
+                v = dt.datetime.fromisoformat(v)
+            if isinstance(v, dt.datetime):
+                epoch = dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                v = int((v - epoch).total_seconds() * 1_000_000)
+        return _bucket_index(v, source_type, _transform_arg(transform))
+    if base == "truncate":
+        w = _transform_arg(transform)
+        if source_type == "string":
+            return str(value)[:w]
+        return int(value) - (int(value) % w)  # Python % is already floor-mod
+    # temporal: normalize to a datetime
+    v = value
+    if isinstance(v, str):
+        v = (
+            dt.date.fromisoformat(v)
+            if source_type == "date"
+            else dt.datetime.fromisoformat(v)
+        )
+    if isinstance(v, dt.date) and not isinstance(v, dt.datetime):
+        v = dt.datetime(v.year, v.month, v.day)
+    if base == "year":
+        return v.year - 1970
+    if base == "month":
+        return (v.year - 1970) * 12 + v.month - 1
+    epoch = dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+    seconds = (v - epoch).total_seconds()
+    if base == "day":
+        return int(seconds // 86_400)
+    if base == "hour":
+        return int(seconds // 3_600)
+    raise ValueError(f"unknown partition transform {transform!r}")

@@ -1994,3 +1994,79 @@ def iceberg_tag_pinned_read(spark, sf_dir):
         F.sum("c_custkey").cast("bigint").alias("key_sum"),
     )
     return tagged.unionByName(head)
+
+
+@query(
+    "iceberg_partition_transforms",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+           COUNT(DISTINCT o_custkey) AS n_custs
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+      AND o_orderdate <  TIMESTAMP '1995-04-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def iceberg_partition_transforms(spark, sf_dir):
+    """Iceberg PARTITION TRANSFORMS (spec v2 family: here ``month`` +
+    ``bucket[4]``) — the layout feature that turns a 100 TB time-series
+    scan into a one-month, one-bucket file listing. Orders lands
+    partitioned by ``months(o_orderdate)`` and ``bucket(4, o_custkey)``
+    (spec-pinned Murmur3, Appendix B vectors tested); the read prunes at
+    the MANIFEST level by applying the same transform to the predicate
+    literal driver-side — ``{'o_orderdate': '1995-03-15'}`` keeps only
+    the 1995-03 month partition's files (asserted: strict inputFiles
+    subset), and adding ``{'o_custkey': k}`` prunes further to one bucket
+    while keeping every row of that key (asserted). Transform
+    partitioning is lossy, so source columns stay in the data files and
+    the month window still applies as a residual filter. The oracle
+    recomputes the month aggregate from the raw table — a wrong bucket
+    hash, a mis-parsed partition dir, or over-pruning breaks the value
+    hash. Reference parity: the reference declares the Iceberg target but
+    implements none of this (crates/evolution-target/src/target.rs)."""
+    from evolution_spark.io.iceberg_meta import (
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+        "o_orderpriority",
+    )
+    tmp = query_tmp("icetransform", sf_dir)
+    write_iceberg_table(
+        o, tmp, partition_by=["months(o_orderdate)", "bucket(4, o_custkey)"]
+    )
+    full = read_iceberg_table(spark, tmp)
+    month = read_iceberg_table(
+        spark, tmp, partition_where={"o_orderdate": "1995-03-15"}
+    )
+    assert len(month.inputFiles()) < len(full.inputFiles())
+    in_month = month.where(
+        (F.col("o_orderdate") >= F.lit("1995-03-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp_ntz"))
+    )
+    # bucket prune keeps every row of the pruned-to key
+    k = in_month.agg(F.min("o_custkey")).collect()[0][0]
+    both = read_iceberg_table(
+        spark, tmp,
+        partition_where={"o_orderdate": "1995-03-15", "o_custkey": int(k)},
+    )
+    assert len(both.inputFiles()) <= len(month.inputFiles())
+    _march = (
+        (F.col("o_orderdate") >= F.lit("1995-03-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp_ntz"))
+    )
+    assert (
+        both.where(_march & (F.col("o_custkey") == int(k))).count()
+        == full.where(_march & (F.col("o_custkey") == int(k))).count()
+    )
+    return in_month.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "price_cents"
+        ),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )

@@ -428,7 +428,7 @@ def test_update_iceberg_rows_partitioned(spark, tmp_path):
         spark.range(20).selectExpr("id AS k", "id % 2 AS p", "id * 10 AS v"),
         path, partition_by=["p"],
     )
-    with pytest.raises(ValueError, match="partition columns"):
+    with pytest.raises(ValueError, match="partition source columns"):
         update_iceberg_rows(spark, path, "k < 5", {"p": "1 - p"})
     res = update_iceberg_rows(spark, path, "p = 1 AND k < 10", {"v": "v + 1"})
     assert res["updated_rows"] == 5
