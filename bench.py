@@ -157,6 +157,23 @@ BENCH_QUERIES = [
     "delta_python_source_read",
     "iceberg_python_source_read",
     "iceberg_equality_delete_scan",
+    # batch-15: round-7 format symmetry (Iceberg write/DML/merge/evolution,
+    # Delta column-mapping write + rename/drop, JPEG codec)
+    "iceberg_python_source_write",
+    "iceberg_mor_delete_lifecycle",
+    "iceberg_mor_update_lifecycle",
+    "iceberg_merge_cdc",
+    "iceberg_rename_widen_time_travel",
+    "delta_rename_drop_time_travel",
+    "multimodal_jpeg_features",
+    # batch-16: round-7 table maintenance surface (RESTORE/ROLLBACK, CHECK
+    # constraints, stats-based file skipping, snapshot tags)
+    "delta_restore_lifecycle",
+    "iceberg_rollback_lifecycle",
+    "delta_check_constraint_enforcement",
+    "iceberg_stats_skipping",
+    "iceberg_tag_pinned_read",
+    "iceberg_partition_transforms",
 ]
 
 
