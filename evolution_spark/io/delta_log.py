@@ -2153,6 +2153,7 @@ def rename_delta_column(path: str, old: str, new: str) -> dict:
     _check_writer_protocol(repl_state.get("protocol"))
     config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
     _require_name_mapping(config, "RENAME COLUMN")
+    _refuse_constrained_column(config, old, "rename")
     if old in part_cols:
         raise ValueError(f"cannot rename partition column {old!r}")
     if not new or new == old:
@@ -2209,6 +2210,7 @@ def drop_delta_column(path: str, name: str) -> dict:
     _check_writer_protocol(repl_state.get("protocol"))
     config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
     _require_name_mapping(config, "DROP COLUMN")
+    _refuse_constrained_column(config, name, "drop")
     if name in part_cols:
         raise ValueError(f"cannot drop partition column {name!r}")
     schema_json = json.loads(schema_string)
@@ -2342,6 +2344,32 @@ def _table_constraints(config: dict) -> dict[str, str]:
     """{name: SQL expression} from ``delta.constraints.*`` table config."""
     pre = "delta.constraints."
     return {k[len(pre):]: v for k, v in config.items() if k.startswith(pre)}
+
+
+def _refuse_constrained_column(config: dict, col: str, what: str) -> None:
+    """RENAME/DROP guard: a CHECK constraint referencing ``col`` would
+    leave the table UN-WRITABLE (every later commit fails expression
+    analysis inside _enforce_constraints), so the DDL must refuse — the
+    upstream-Delta behavior. Detection is a conservative identifier-token
+    match (string literals stripped, backticks unwrapped, case-
+    insensitive like Delta's resolution): over-refusing an exotic
+    constraint is safe, silently breaking writes is not."""
+    import re as _re
+
+    for cname, expr in _table_constraints(config).items():
+        scrubbed = _re.sub(r"'(?:[^'\\]|\\.)*'", "''", expr)
+        tokens = {
+            t.lower()
+            for t in _re.findall(r"`([^`]+)`|([A-Za-z_][A-Za-z0-9_]*)", scrubbed)
+            for t in t if t
+        }
+        if col.lower() in tokens:
+            raise ValueError(
+                f"cannot {what} column {col!r}: CHECK constraint "
+                f"{cname!r} references it ({expr!r}) — DROP CONSTRAINT "
+                "first (upstream Delta refuses this DDL for the same "
+                "reason: later writes could never re-validate)"
+            )
 
 
 def _enforce_constraints(

@@ -52,9 +52,9 @@ from pyspark.sql import types as T
 from evolution_spark.io.avro import MAGIC, _dec_long, _enc_long
 from evolution_spark.io.iceberg_transforms import (
     parse_partition_by,
+    resolve_partition_where,
     result_ice_type,
     transform_column,
-    transform_literal,
 )
 
 # --------------------------------------------------------------------------
@@ -364,21 +364,37 @@ def _decode_bound(ice_type: str, b: bytes):
     import struct as _s
 
     if ice_type in _BOUND_PACK:  # date decodes to epoch days
+        # decode by the STORED width, not the current type's: bounds
+        # written before a widen_iceberg_column (int->long 4-byte,
+        # float->double 4-byte) stay valid after the metadata-only
+        # promotion — the spec widens values losslessly, so an int bound
+        # IS the long bound
+        if ice_type in ("int", "long", "date") and len(b) == 4:
+            return _s.unpack("<i", b)[0]
+        if ice_type in ("int", "long", "date") and len(b) == 8:
+            return _s.unpack("<q", b)[0]
+        if ice_type in ("float", "double") and len(b) == 4:
+            return _s.unpack("<f", b)[0]
+        if ice_type in ("float", "double") and len(b) == 8:
+            return _s.unpack("<d", b)[0]
         return _s.unpack(_BOUND_PACK[ice_type], b)[0]
     if ice_type == "string":
         return b.decode("utf-8")
     return None
 
 
-def _file_column_bounds(pq_path, ice_schema: dict):
+def _file_column_bounds(pq_path, ice_schema: dict, md=None):
     """(lower_bounds, upper_bounds) for one parquet file from its footer
     statistics, as the manifest's array-of-{key,value} maps keyed by
     field id — or (None, None) when no column has usable stats. Driver
-    cost: footer-only, no data read."""
+    cost: footer-only, no data read; pass ``md`` (a pre-read
+    ``ParquetFile(...).metadata``) to share one footer read with the
+    caller's row counting."""
     import pyarrow.parquet as _papq
 
     by_name = {f["name"]: f for f in ice_schema["fields"]}
-    md = _papq.ParquetFile(pq_path).metadata
+    if md is None:
+        md = _papq.ParquetFile(pq_path).metadata
     mins: dict[int, object] = {}
     maxs: dict[int, object] = {}
     for rg in range(md.num_row_groups):
@@ -608,7 +624,8 @@ def write_iceberg_table(
             raise ValueError(
                 f"partition dirs {sorted(values)} != declared {sorted(part_cols)}"
             )
-        n_rows = pq.ParquetFile(p).metadata.num_rows
+        pq_md = pq.ParquetFile(p).metadata  # one footer read per file
+        n_rows = pq_md.num_rows
         total_rows += n_rows
         entries.append(
             {
@@ -628,7 +645,7 @@ def write_iceberg_table(
                     # per-column bounds from the parquet footer (field-id
                     # keyed) — what skip_where prunes on
                     **dict(zip(("lower_bounds", "upper_bounds"),
-                               _file_column_bounds(p, ice_schema))),
+                               _file_column_bounds(p, ice_schema, pq_md))),
                 },
             }
         )
@@ -806,44 +823,9 @@ def read_iceberg_table(
             s for s in metadata["schemas"]
             if s["schema-id"] == metadata["current-schema-id"]
         )
-        src_name = {f["id"]: f for f in cur_schema["fields"]}
-        for k, v in partition_where.items():
-            # a key may name the partition FIELD (``o_orderdate_day``) —
-            # value taken as the stored transform output — or the SOURCE
-            # column (``o_orderdate``) — the transform is applied to the
-            # literal driver-side, so ``{'o_orderdate': '1995-01-05'}``
-            # prunes a day/bucket-partitioned table without the caller
-            # knowing the spec. A source under several transform fields
-            # contributes one check per field (more pruning, all sound
-            # for equality).
-            hits = []
-            for pf in spec["fields"]:
-                sf = src_name[pf["source-id"]]
-                transform = pf.get("transform", "identity")
-                if pf["name"] == k:
-                    hits.append(
-                        (pf["name"],
-                         transform_literal(transform, v, sf["type"])
-                         if transform == "identity" else v)
-                    )
-                elif sf["name"] == k:
-                    hits.append(
-                        (pf["name"],
-                         transform_literal(transform, v, sf["type"]))
-                    )
-            if not hits:
-                known = sorted(
-                    {f["name"] for f in spec["fields"]}
-                    | {src_name[f["source-id"]]["name"] for f in spec["fields"]}
-                )
-                raise ValueError(
-                    f"partition_where key {k!r} is neither a partition "
-                    f"field nor a partition source column of this table "
-                    f"(spec: {known}) — refusing to prune on a "
-                    "non-existent key (it would silently return an empty "
-                    "result)"
-                )
-            resolved_where.extend(hits)
+        resolved_where = resolve_partition_where(
+            partition_where, spec["fields"], cur_schema["fields"]
+        )
     current = snapshot_id if snapshot_id is not None else metadata["current-snapshot-id"]
     try:
         snapshot = next(
@@ -890,6 +872,20 @@ def read_iceberg_table(
 
             if f["type"] == "date" and isinstance(val, _dt.date):
                 val = (val - _dt.date(1970, 1, 1)).days
+            # type-check the literal NOW — a mismatched literal would
+            # otherwise surface as a bare TypeError from a bound
+            # comparison deep inside the manifest walk
+            _want = {
+                "int": (int,), "long": (int,), "date": (int,),
+                "float": (int, float), "double": (int, float),
+                "string": (str,),
+            }.get(f["type"])
+            if _want is not None and not isinstance(val, _want):
+                raise TypeError(
+                    f"skip_where literal {val!r} does not match column "
+                    f"{col!r}'s iceberg type {f['type']} — pass a "
+                    f"{'/'.join(t.__name__ for t in _want)} literal"
+                )
             skip_checks.append((f["id"], f["type"], op, val))
 
     files: list[str] = []
@@ -1277,8 +1273,9 @@ def iceberg_table_changes(
 
     from evolution_spark.io.scan_filters import plain_path
 
-    insert_files: list[tuple[str, int]] = []  # (data file, snapshot id)
+    insert_files: list[tuple[str, int, int]] = []  # (file, snap id, schema id)
     delete_files: list[tuple[str, int]] = []  # (delete parquet, snapshot id)
+    target_sid: dict[str, int] = {}  # delete-target data file -> schema id
     for snap in snaps[start_idx : end_idx + 1]:
         sid = snap["snapshot-id"]
         op = snap["summary"].get("operation", "append")
@@ -1302,7 +1299,12 @@ def iceberg_table_changes(
             if mf.get("added_snapshot_id") != sid:
                 continue  # carried by reference from an earlier snapshot
             is_delete_manifest = int(mf.get("content") or 0) == 1
-            for entry in _read_avro(Path(mf["manifest_path"])):
+            mf_entries, mf_meta = _read_avro_with_meta(Path(mf["manifest_path"]))
+            try:
+                mf_sid = int((mf_meta.get("schema-id") or b"").decode())
+            except ValueError:
+                mf_sid = metadata["current-schema-id"]
+            for entry in mf_entries:
                 if entry["status"] == 2:
                     # a file REMOVAL inside an append/delete snapshot is a
                     # rewrite in disguise — same non-derivable diff
@@ -1331,27 +1333,90 @@ def iceberg_table_changes(
                         )
                     delete_files.append((fp, sid))
                 else:
-                    insert_files.append((plain_path(fp), sid))
+                    insert_files.append((plain_path(fp), sid, mf_sid))
+        if any(s == sid for _, s in delete_files):
+            # a delete snapshot's TARGET data files may predate a later
+            # rename/widen: record each live data file's WRITTEN schema
+            # id so the delete-row recovery below reads pre-evolution
+            # files with pre-evolution names/types (metadata-sized; only
+            # delete snapshots walk their full manifest list)
+            for mf in _read_avro(Path(snap["manifest-list"])):
+                if int(mf.get("content") or 0) != 0:
+                    continue
+                t_entries, t_meta = _read_avro_with_meta(
+                    Path(mf["manifest_path"])
+                )
+                try:
+                    t_sid = int((t_meta.get("schema-id") or b"").decode())
+                except ValueError:
+                    t_sid = metadata["current-schema-id"]
+                for entry in t_entries:
+                    if entry["status"] == 2:
+                        continue
+                    target_sid[plain_path(entry["data_file"]["file_path"])] = t_sid
 
     ice_schema = next(
         s for s in metadata["schemas"] if s["schema-id"] == metadata["current-schema-id"]
     )
     schema = spark_schema_of(ice_schema)
     names = [f.name for f in schema.fields]
+
+    def _read_aligned(files_by_sid: dict[int, list[str]], tag: bool):
+        """Read data-file groups with their WRITTEN schema and realign to
+        the CURRENT one by field id (rename -> alias, widen -> upcast,
+        added -> null, dropped -> not selected) — the change feed's twin
+        of the evolved-read path in read_iceberg_table. ``tag`` adds the
+        (__chg_fp[, __chg_ri]) physical columns."""
+        branches = []
+        for gsid in sorted(files_by_sid):
+            g_schema = next(
+                (s for s in metadata["schemas"] if s["schema-id"] == gsid),
+                None,
+            )
+            if g_schema is None:
+                raise IcebergFormatError(
+                    f"manifest references unknown schema-id {gsid}"
+                )
+            gdf = (
+                spark.read.schema(spark_schema_of(g_schema))
+                .option("basePath", str(table_dir / "data"))
+                .parquet(*sorted(files_by_sid[gsid]))
+            )
+            cols = {"__chg_fp": decoded_file_path(F.col("_metadata.file_path"))}
+            if tag:
+                cols["__chg_ri"] = F.col("_metadata.row_index")
+            gdf = gdf.withColumns(cols)
+            g_by_id = {f["id"]: f for f in g_schema["fields"]}
+            sel = []
+            for f, sf in zip(ice_schema["fields"], schema.fields):
+                gf = g_by_id.get(f["id"])
+                if gf is None:  # column added after these files were written
+                    sel.append(F.lit(None).cast(sf.dataType).alias(f["name"]))
+                else:
+                    sel.append(
+                        F.col(gf["name"]).cast(sf.dataType).alias(f["name"])
+                    )
+            sel += [F.col(c) for c in cols]
+            branches.append(gdf.select(*sel))
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out
     parts: list[DataFrame] = []
     import pandas as pd
 
     if insert_files:
-        df = (
-            spark.read.schema(schema)
-            .option("basePath", str(table_dir / "data"))
-            .parquet(*sorted({f for f, _ in insert_files}))
-            .withColumn(
-                "__chg_fp", decoded_file_path(F.col("_metadata.file_path"))
-            )
+        by_sid: dict[int, list[str]] = {}
+        for f, _, fsid in insert_files:
+            by_sid.setdefault(fsid, []).append(f)
+        df = _read_aligned(
+            {s: sorted(set(fs)) for s, fs in by_sid.items()}, tag=False
         )
         vers = spark.createDataFrame(
-            pd.DataFrame(insert_files, columns=["__chg_file", "__chg_sid"]),
+            pd.DataFrame(
+                [(f, s) for f, s, _ in insert_files],
+                columns=["__chg_file", "__chg_sid"],
+            ),
             schema="__chg_file string, __chg_sid long",
         )
         parts.append(
@@ -1378,15 +1443,12 @@ def iceberg_table_changes(
         targets = sorted(
             {r.file_path for r in dels.select("file_path").distinct().collect()}
         )
-        df = (
-            spark.read.schema(schema)
-            .option("basePath", str(table_dir / "data"))
-            .parquet(*targets)
-            .withColumns({
-                "__chg_fp": decoded_file_path(F.col("_metadata.file_path")),
-                "__chg_ri": F.col("_metadata.row_index"),
-            })
-        )
+        t_by_sid: dict[int, list[str]] = {}
+        for t in targets:
+            t_by_sid.setdefault(
+                target_sid.get(t, metadata["current-schema-id"]), []
+            ).append(t)
+        df = _read_aligned(t_by_sid, tag=True)
         parts.append(
             df.join(
                 F.broadcast(dels),
@@ -2210,7 +2272,8 @@ def _commit_files_as_snapshot(
             if "=" in part:
                 k, _, v = part.partition("=")
                 values[k] = _parse_partition_value(dir_type[k], v)
-        n_rows = pq.ParquetFile(p).metadata.num_rows
+        pq_md = pq.ParquetFile(p).metadata  # one footer read per file
+        n_rows = pq_md.num_rows
         total_rows += n_rows
         entries.append(
             {
@@ -2229,7 +2292,7 @@ def _commit_files_as_snapshot(
                     # per-column bounds from the parquet footer (field-id
                     # keyed) — what skip_where prunes on
                     **dict(zip(("lower_bounds", "upper_bounds"),
-                               _file_column_bounds(p, ice_schema))),
+                               _file_column_bounds(p, ice_schema, pq_md))),
                 },
             }
         )
@@ -2312,9 +2375,12 @@ def _commit_files_as_snapshot(
     if operation == "replace":  # replace: the new files ARE the table
         total_files, total_records = len(entries), total_rows
     else:
+        # position deletes REMOVE live rows: total-records is prev +
+        # appended - deleted, else repeated UPDATE/MERGE (delete-old +
+        # append-new) drifts the summary above the live row count
         total_files, total_records = (
             prev_total_files + len(entries),
-            prev_total_rows + total_rows,
+            prev_total_rows + total_rows - n_pos_deletes,
         )
     summary = {
         "operation": operation,

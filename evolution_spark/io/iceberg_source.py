@@ -62,8 +62,6 @@ def _plan_iceberg_slices(
         spark_schema_of,
     )
 
-    from evolution_spark.io.iceberg_meta import _parse_partition_value
-
     table_dir = Path(table_path)
     metadata, _ = _load_metadata(table_dir)
     current = (
@@ -79,14 +77,14 @@ def _plan_iceberg_slices(
 
     resolved_where: list[tuple[str, object]] = []
     if partition_where:
-        # option values arrive stringly; convert by the SPEC's types
-        # (int-guessing would silently prune everything on string/date
-        # partitions), and reject unknown keys loudly — a typo'd key
-        # would otherwise prune ALL files into an empty result. A key may
-        # name the partition FIELD (value = stored transform output) or
-        # the SOURCE column (the transform is applied to the literal —
-        # ``partition.o_orderdate=1995-01-05`` prunes a day/bucket spec).
-        from evolution_spark.io.iceberg_transforms import transform_literal
+        # option values arrive stringly; the shared resolver coerces by
+        # the SPEC's types (int-guessing would silently prune everything
+        # on string/date partitions), applies transforms to SOURCE-column
+        # literals, and rejects unknown keys loudly — a typo'd key would
+        # otherwise prune ALL files into an empty result
+        from evolution_spark.io.iceberg_transforms import (
+            resolve_partition_where,
+        )
 
         spec_fields = next(
             sp for sp in metadata["partition-specs"]
@@ -96,42 +94,9 @@ def _plan_iceberg_slices(
             s for s in metadata["schemas"]
             if s["schema-id"] == metadata["current-schema-id"]
         )
-        from evolution_spark.io.iceberg_meta import _partition_dir_types
-
-        result_type = _partition_dir_types(spec_fields, cur_schema)
-        src_of = {f["id"]: f for f in cur_schema["fields"]}
-        for k, v in partition_where.items():
-            hits = []
-            for pf in spec_fields:
-                sf = src_of[pf["source-id"]]
-                transform = pf.get("transform", "identity")
-                if pf["name"] == k:
-                    hits.append(
-                        (pf["name"],
-                         _parse_partition_value(result_type[k], str(v)))
-                    )
-                elif sf["name"] == k:
-                    # stringly option value -> natural literal by SOURCE
-                    # type; transform_literal maps it to the stored
-                    # transform output (identity-date -> epoch days too)
-                    if sf["type"] in ("int", "long"):
-                        nat: object = int(v)
-                    else:
-                        nat = str(v)  # string/date/timestamp (ISO forms)
-                    hits.append(
-                        (pf["name"],
-                         transform_literal(transform, nat, sf["type"]))
-                    )
-            if not hits:
-                known = sorted(
-                    {f["name"] for f in spec_fields}
-                    | {src_of[f["source-id"]]["name"] for f in spec_fields}
-                )
-                raise ValueError(
-                    f"partition option keys [{k!r}] are not partition "
-                    f"columns of this table (spec: {known})"
-                )
-            resolved_where.extend(hits)
+        resolved_where = resolve_partition_where(
+            partition_where, spec_fields, cur_schema["fields"], stringly=True
+        )
 
     data_entries: list[tuple[dict, int]] = []  # (data_file, schema-id)
     delete_files: list[str] = []

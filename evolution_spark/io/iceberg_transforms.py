@@ -316,6 +316,83 @@ def _bucket_udf(source_type: str, n: int):
     return _bucket_str
 
 
+def resolve_partition_where(partition_where, spec_fields, schema_fields,
+                            stringly=False):
+    """Resolve a ``partition_where`` mapping into ``[(partition field
+    name, stored value)]`` checks against manifest partition records —
+    the ONE resolver both readers share (the DataFrame reader and the
+    ``evolution_iceberg`` DataSource, whose option values arrive
+    ``stringly``).
+
+    A key may name the partition FIELD (value taken as the stored
+    transform output) or the SOURCE column (the transform is applied to
+    the literal driver-side — ``{'o_orderdate': '1995-03-15'}`` prunes a
+    day/bucket spec without the caller knowing it). A source column under
+    several transform fields contributes one check per field (more
+    pruning, all sound for equality). Unknown keys raise — a typo'd key
+    would otherwise silently prune everything into an empty result."""
+    src_of = {f["id"]: f for f in schema_fields}
+    resolved = []
+    for k, v in (partition_where or {}).items():
+        hits = []
+        for pf in spec_fields:
+            sf = src_of[pf["source-id"]]
+            transform = pf.get("transform", "identity")
+            if pf["name"] == k:
+                out = result_ice_type(transform, sf["type"])
+                if stringly:
+                    val = _coerce_stored(out, str(v))
+                elif transform == "identity":
+                    val = transform_literal("identity", v, sf["type"])
+                else:
+                    val = v
+                hits.append((pf["name"], val))
+            elif sf["name"] == k:
+                nat = v
+                if stringly:
+                    nat = int(v) if sf["type"] in ("int", "long") else str(v)
+                hits.append(
+                    (pf["name"], transform_literal(transform, nat, sf["type"]))
+                )
+        if not hits:
+            known = sorted(
+                {f["name"] for f in spec_fields}
+                | {src_of[f["source-id"]]["name"] for f in spec_fields}
+            )
+            raise ValueError(
+                f"partition_where key {k!r} is neither a partition field "
+                f"nor a partition source column of this table (spec: "
+                f"{known}) — refusing to prune on a non-existent key (it "
+                "would silently return an empty result)"
+            )
+        resolved.extend(hits)
+    return resolved
+
+
+def _coerce_stored(result_type: str, s: str):
+    """A stringly option value for a partition FIELD, coerced to the
+    stored representation (dirs/records store the transform RESULT:
+    int-family values, strings, or epoch days for identity-date)."""
+    import datetime as dt
+
+    if result_type in ("int", "long"):
+        return int(s)
+    if result_type == "date":
+        return (dt.date.fromisoformat(s) - dt.date(1970, 1, 1)).days
+    return s
+
+
+def _utc_norm(v):
+    """tz-AWARE datetimes convert to the UTC instant (timestamptz values
+    partition by their UTC calendar); naive datetimes pass through (NTZ
+    semantics are tz-free by definition)."""
+    import datetime as dt
+
+    if isinstance(v, dt.datetime) and v.tzinfo is not None:
+        return v.astimezone(dt.timezone.utc)
+    return v
+
+
 def transform_literal(transform: str, value, source_type: str):
     """Apply a transform to a PREDICATE literal driver-side (for
     metadata pruning): the transformed value is what partition records
@@ -343,6 +420,7 @@ def transform_literal(transform: str, value, source_type: str):
             if isinstance(v, str):
                 v = dt.datetime.fromisoformat(v)
             if isinstance(v, dt.datetime):
+                v = _utc_norm(v)
                 epoch = dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
                 v = int((v - epoch).total_seconds() * 1_000_000)
         return _bucket_index(v, source_type, _transform_arg(transform))
@@ -351,7 +429,10 @@ def transform_literal(transform: str, value, source_type: str):
         if source_type == "string":
             return str(value)[:w]
         return int(value) - (int(value) % w)  # Python % is already floor-mod
-    # temporal: normalize to a datetime
+    # temporal: normalize to a datetime (tz-aware values are pinned to
+    # UTC first — timestamptz partition values are UTC instants, so a
+    # +05:00 literal must land in the UTC hour/day/month, not its local
+    # calendar's)
     v = value
     if isinstance(v, str):
         v = (
@@ -361,6 +442,7 @@ def transform_literal(transform: str, value, source_type: str):
         )
     if isinstance(v, dt.date) and not isinstance(v, dt.datetime):
         v = dt.datetime(v.year, v.month, v.day)
+    v = _utc_norm(v)
     if base == "year":
         return v.year - 1970
     if base == "month":

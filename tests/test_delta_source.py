@@ -460,7 +460,7 @@ def test_iceberg_source_date_partition_and_typed_pruning(ice_registered, tmp_pat
     )
     assert {r.k for r in pruned.collect()} == {1, 4}
     # typo'd partition key raises instead of silently pruning everything
-    with pytest.raises(Exception, match="not partition columns"):
+    with pytest.raises(Exception, match="neither a partition field"):
         spark.read.format("evolution_iceberg").option(
             "partition.nope", "1"
         ).load(path).count()

@@ -213,3 +213,25 @@ def test_prune_unknown_key_still_refuses(spark, orders, tmp_path):
     write_iceberg_table(orders.limit(10), p, partition_by=["days(o_orderdate)"])
     with pytest.raises(ValueError, match="neither a partition field"):
         read_iceberg_table(spark, p, partition_where={"o_totalprice": 1.0})
+
+
+def test_transform_literal_tz_aware_pins_utc():
+    """tz-AWARE literals normalize to their UTC instant before temporal/
+    bucket transforms — a +05:00 literal partitions by the UTC calendar,
+    not its local one (review r7)."""
+    import datetime as dt
+
+    tz5 = dt.timezone(dt.timedelta(hours=5))
+    v = dt.datetime(1970, 1, 1, 0, 30, tzinfo=tz5)  # 1969-12-31T19:30Z
+    assert transform_literal("hour", v, "timestamptz") == -5
+    assert transform_literal("day", v, "timestamptz") == -1
+    assert transform_literal("month", v, "timestamptz") == -1
+    assert transform_literal("year", v, "timestamptz") == -1
+    # same instant expressed in UTC buckets identically
+    utc = v.astimezone(dt.timezone.utc)
+    assert transform_literal("bucket[8]", v, "timestamptz") == transform_literal(
+        "bucket[8]", utc, "timestamptz"
+    )
+    # naive datetimes keep NTZ (tz-free) semantics
+    naive = dt.datetime(1970, 1, 1, 0, 30)
+    assert transform_literal("hour", naive, "timestamp") == 0

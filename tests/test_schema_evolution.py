@@ -562,3 +562,145 @@ def test_iceberg_evolution_refused_while_equality_deletes_live(spark, tmp_path):
     rename_iceberg_column(path, "v", "val")
     got = {(r.k, r.val) for r in read_iceberg_table(spark, path).collect()}
     assert got == {(i, i * 3) for i in range(8) if i != 2}
+
+
+def test_skip_where_bounds_survive_widen(spark, tmp_path):
+    """Manifest bounds written as 4-byte int decode correctly after
+    widen_iceberg_column(int -> long): _decode_bound keys off the STORED
+    width, so stats skipping keeps working on widened columns (review
+    r7: current-type decode crashed with struct.error)."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        read_iceberg_table,
+        widen_iceberg_column,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "widenskip")
+    df = spark.range(100).select(F.col("id").cast("int").alias("k"))
+    write_iceberg_table(df.repartitionByRange(4, "k"), path)
+    widen_iceberg_column(path, "k", "long")
+    pruned = read_iceberg_table(spark, path, skip_where=[("k", ">=", 90)])
+    assert len(pruned.inputFiles()) < 4
+    assert pruned.where(F.col("k") >= 90).count() == 10
+
+
+def test_skip_where_literal_type_mismatch_refuses(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "skiptype")
+    write_iceberg_table(spark.range(10).select(F.col("id").alias("k")), path)
+    with pytest.raises(TypeError, match="does not match column"):
+        read_iceberg_table(spark, path, skip_where=[("k", ">=", "5")])
+
+
+def test_iceberg_table_changes_realigns_evolved_schema(spark, tmp_path):
+    """The change feed reads pre-rename/pre-widen files with their
+    WRITTEN schema and realigns by field id — values survive, no silent
+    NULLs (review r7)."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        delete_iceberg_rows,
+        iceberg_table_changes,
+        read_iceberg_table,
+        rename_iceberg_column,
+        widen_iceberg_column,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "cdcevolve")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").cast("int").alias("v")
+    )
+    write_iceberg_table(df, path)
+    rename_iceberg_column(path, "v", "val")
+    widen_iceberg_column(path, "val", "long")
+    # post-evolution activity: an append (new schema) and a delete whose
+    # TARGETS are the pre-evolution files
+    append_iceberg_snapshot(
+        spark.range(10, 12).select(
+            F.col("id").alias("k"), F.col("id").alias("val")
+        ),
+        path,
+    )
+    delete_iceberg_rows(spark, path, "k < 2")
+    changes = iceberg_table_changes(spark, path)
+    got = {
+        (r.k, r.val, r._change_type) for r in changes.collect()
+    }
+    # inserts from the ORIGINAL files carry real values under the NEW name
+    assert (0, 0, "insert") in got and (9, 9, "insert") in got
+    assert (10, 10, "insert") in got and (11, 11, "insert") in got
+    # delete pre-images from pre-evolution files carry real values too
+    assert (0, 0, "delete") in got and (1, 1, "delete") in got
+    assert not any(v is None for _, v, _ in got)
+    assert read_iceberg_table(spark, path).count() == 10
+
+
+def test_delta_rename_drop_refuse_constrained_columns(spark, tmp_path):
+    """RENAME/DROP COLUMN refuse when a CHECK constraint references the
+    column — otherwise every later commit fails constraint analysis and
+    the table is un-writable (review r7, upstream-Delta behavior)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        add_delta_constraint,
+        drop_delta_column,
+        rename_delta_column,
+        upgrade_delta_to_column_mapping,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "constrained")
+    write_delta_snapshot(
+        spark.range(5).select(F.col("id").alias("k"),
+                              (F.col("id") * 10.0).alias("bal")),
+        path,
+    )
+    upgrade_delta_to_column_mapping(path)
+    add_delta_constraint(spark, path, "bal_floor", "bal >= -1000")
+    with pytest.raises(ValueError, match="CHECK constraint 'bal_floor'"):
+        rename_delta_column(path, "bal", "balance")
+    with pytest.raises(ValueError, match="CHECK constraint 'bal_floor'"):
+        drop_delta_column(path, "bal")
+    # the unconstrained column still renames/drops fine
+    rename_delta_column(path, "k", "key")
+
+
+def test_iceberg_update_keeps_total_records_honest(spark, tmp_path):
+    """UPDATE/MERGE overwrite snapshots subtract their position deletes
+    from total-records (review r7: adds-only counting drifted the
+    summary above the live row count)."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        _load_metadata,
+        read_iceberg_table,
+        update_iceberg_rows,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "sumdrift")
+    write_iceberg_table(
+        spark.range(100).select(F.col("id").alias("k"),
+                                F.lit(1).alias("v")),
+        path,
+    )
+    update_iceberg_rows(spark, path, "k < 10", {"v": "2"})
+    md, _ = _load_metadata(Path(path))
+    cur = next(s for s in md["snapshots"]
+               if s["snapshot-id"] == md["current-snapshot-id"])
+    assert int(cur["summary"]["total-records"]) == 100
+    assert read_iceberg_table(spark, path).count() == 100
