@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "iceberg_stats_skipping",
     "iceberg_tag_pinned_read",
     "iceberg_partition_transforms",
+    "iceberg_branch_lifecycle",
 ]
 
 

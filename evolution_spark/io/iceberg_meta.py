@@ -1163,7 +1163,9 @@ def _load_metadata(table_dir: Path) -> tuple[dict, Path]:
     return json.loads(meta_file.read_text()), meta_file
 
 
-def append_iceberg_snapshot(df: DataFrame, path: str) -> dict:
+def append_iceberg_snapshot(
+    df: DataFrame, path: str, branch: str | None = None
+) -> dict:
     """APPEND a new snapshot to an existing Iceberg v2 table.
 
     The spec's append commit: stage-write the new data files, write ONE new
@@ -1177,8 +1179,13 @@ def append_iceberg_snapshot(df: DataFrame, path: str) -> dict:
     stays readable by id (``read_iceberg_table(snapshot_id=...)``).
 
     Scale: the data write is distributed; manifest/metadata work is
-    metadata-sized (one entry per file)."""
-    return _commit_iceberg_snapshot(df, path, operation="append")
+    metadata-sized (one entry per file).
+
+    ``branch``: commit to a named BRANCH ref instead of main — the
+    branch head advances, ``current-snapshot-id`` does not, so readers
+    of the table see nothing until ``fast_forward_iceberg_branch``
+    publishes it (the spec's write-audit-publish pattern)."""
+    return _commit_iceberg_snapshot(df, path, operation="append", branch=branch)
 
 
 def last_iceberg_txn(path: str, app_id: str) -> int | None:
@@ -2130,6 +2137,7 @@ def _commit_iceberg_snapshot(
     path: str,
     operation: str = "append",
     expect_current: int | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Shared snapshot-commit core: ``operation='append'`` carries the
     previous snapshot's manifests by reference; ``'replace'`` starts the
@@ -2172,7 +2180,7 @@ def _commit_iceberg_snapshot(
     seq = metadata["last-sequence-number"] + 1
     moved = _stage_and_move(df, table_dir, seq, spec_fields, ice_schema, "snapshot")
     return _commit_files_as_snapshot(
-        table_dir, metadata, prev_meta_file, moved, operation
+        table_dir, metadata, prev_meta_file, moved, operation, branch=branch
     )
 
 
@@ -2211,6 +2219,7 @@ def _commit_files_as_snapshot(
     operation: str,
     extra_summary: dict | None = None,
     position_deletes: list[tuple[str, int]] | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Back half of a snapshot commit, shared by the DataFrame path
     (``_commit_iceberg_snapshot``), the DataSource sink (which stages its
@@ -2253,7 +2262,20 @@ def _commit_files_as_snapshot(
     }
 
     mlist_entries = []
-    current = metadata["current-snapshot-id"]
+    if branch is not None:
+        # a BRANCH commit bases on (and advances) the branch head; main's
+        # current-snapshot-id is untouched, so readers of the table see
+        # no change until the branch is fast-forwarded
+        refs = metadata.get("refs") or {}
+        if branch not in refs or refs[branch].get("type") != "branch":
+            raise ValueError(
+                f"no branch {branch!r} on this table (refs: "
+                f"{sorted(n for n, r in refs.items() if r.get('type') == 'branch')})"
+                " — create_iceberg_branch first"
+            )
+        current = refs[branch]["snapshot-id"]
+    else:
+        current = metadata["current-snapshot-id"]
     prev_snapshot = next(
         s for s in metadata["snapshots"] if s["snapshot-id"] == current
     )
@@ -2405,11 +2427,18 @@ def _commit_files_as_snapshot(
     new_meta = dict(metadata)
     new_meta["last-sequence-number"] = seq
     new_meta["last-updated-ms"] = now_ms
-    new_meta["current-snapshot-id"] = snapshot_id
     new_meta["snapshots"] = metadata["snapshots"] + [new_snapshot]
-    new_meta["snapshot-log"] = metadata["snapshot-log"] + [
-        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
-    ]
+    if branch is not None:
+        refs = dict(metadata.get("refs") or {})
+        refs[branch] = dict(refs[branch], **{"snapshot-id": snapshot_id})
+        new_meta["refs"] = refs
+        # snapshot-log tracks the MAIN branch's history (spec): a branch
+        # commit does not advance it or current-snapshot-id
+    else:
+        new_meta["current-snapshot-id"] = snapshot_id
+        new_meta["snapshot-log"] = metadata["snapshot-log"] + [
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+        ]
     new_meta["metadata-log"] = metadata["metadata-log"] + [
         {"timestamp-ms": metadata["last-updated-ms"], "metadata-file": str(prev_meta_file)}
     ]
@@ -2451,8 +2480,14 @@ def expire_iceberg_snapshots(
     ref_ids = {
         r["snapshot-id"] for r in (metadata.get("refs") or {}).values()
     }
-    tail = snaps[-keep_last:]
-    tail_ids = {s["snapshot-id"] for s in tail}
+    # keep_last counts MAIN-branch history (the snapshot-log), not raw
+    # snapshot order — un-published branch commits interleave in
+    # ``snapshots`` and must not evict main's recent states; they are
+    # retained via their ref head (whose manifest list carries every
+    # file the branch read needs by reference)
+    main_ids = [e["snapshot-id"] for e in metadata["snapshot-log"]]
+    tail_ids = set(main_ids[-keep_last:])
+    tail_ids.add(metadata["current-snapshot-id"])
     kept = [s for s in snaps
             if s["snapshot-id"] in tail_ids or s["snapshot-id"] in ref_ids]
     expired = [s for s in snaps if s not in kept]
@@ -2716,8 +2751,93 @@ def tag_iceberg_snapshot(
     return {"ref": name, "snapshot-id": sid, "type": "tag"}
 
 
+def create_iceberg_branch(
+    path: str, name: str, snapshot_id: int | None = None
+) -> dict:
+    """Create a named BRANCH ref at a snapshot (default: current) — the
+    writable ref flavor (spec ``refs`` ``type: branch``). Commits with
+    ``append_iceberg_snapshot(..., branch=name)`` advance the branch
+    head without touching main; ``read_iceberg_table(..., ref=name)``
+    reads it; ``fast_forward_iceberg_branch`` publishes it to main —
+    together the write-audit-publish workflow a training-data pipeline
+    stages corpus updates with. Branch heads hold their snapshot against
+    expire like tags do. Metadata-only, O(1)."""
+    table_dir = Path(path)
+    metadata, prev_meta_file = _load_metadata(table_dir)
+    refs = dict(metadata.get("refs") or {})
+    if name in refs:
+        raise ValueError(
+            f"ref {name!r} already exists "
+            f"(-> snapshot {refs[name]['snapshot-id']})"
+        )
+    sid = snapshot_id if snapshot_id is not None else metadata.get(
+        "current-snapshot-id"
+    )
+    known = {s["snapshot-id"] for s in metadata["snapshots"]}
+    if sid not in known:
+        raise ValueError(f"snapshot {sid} not in table history {sorted(known)}")
+    refs[name] = {"snapshot-id": sid, "type": "branch"}
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(metadata)
+    new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["metadata-log"] = metadata["metadata-log"] + [
+        {"timestamp-ms": metadata["last-updated-ms"],
+         "metadata-file": str(prev_meta_file)}
+    ]
+    _publish_metadata(table_dir / "metadata", prev_meta_file, new_meta)
+    return {"ref": name, "snapshot-id": sid, "type": "branch"}
+
+
+def fast_forward_iceberg_branch(path: str, name: str) -> dict:
+    """Publish a branch to MAIN by fast-forward: requires main's current
+    snapshot to be an ANCESTOR of the branch head (walked over
+    ``parent-snapshot-id``), then sets ``current-snapshot-id`` to the
+    head and appends the branch's new snapshots to the main
+    ``snapshot-log``. A diverged main (someone committed to main since
+    the branch was cut) refuses — a fast-forward would silently discard
+    main's commits; rebase the branch instead. Metadata-only."""
+    table_dir = Path(path)
+    metadata, prev_meta_file = _load_metadata(table_dir)
+    refs = dict(metadata.get("refs") or {})
+    if name not in refs or refs[name].get("type") != "branch":
+        raise ValueError(
+            f"no branch {name!r} on this table (refs: {sorted(refs)})"
+        )
+    head = refs[name]["snapshot-id"]
+    main = metadata["current-snapshot-id"]
+    if head == main:
+        return {"ref": name, "snapshot-id": head, "fast_forwarded": 0}
+    by_id = {s["snapshot-id"]: s for s in metadata["snapshots"]}
+    chain = []  # head .. (exclusive) main, newest first
+    cur = head
+    while cur is not None and cur != main:
+        chain.append(cur)
+        cur = by_id[cur].get("parent-snapshot-id")
+    if cur != main:
+        raise ValueError(
+            f"branch {name!r} head {head} does not descend from main's "
+            f"current snapshot {main} — fast-forward would discard main's "
+            "commits; rebase the branch onto main first"
+        )
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(metadata)
+    new_meta["current-snapshot-id"] = head
+    new_meta["snapshot-log"] = metadata["snapshot-log"] + [
+        {"timestamp-ms": by_id[sid]["timestamp-ms"], "snapshot-id": sid}
+        for sid in reversed(chain)
+    ]
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["metadata-log"] = metadata["metadata-log"] + [
+        {"timestamp-ms": metadata["last-updated-ms"],
+         "metadata-file": str(prev_meta_file)}
+    ]
+    _publish_metadata(table_dir / "metadata", prev_meta_file, new_meta)
+    return {"ref": name, "snapshot-id": head, "fast_forwarded": len(chain)}
+
+
 def drop_iceberg_ref(path: str, name: str) -> dict:
-    """Remove a tag; its snapshot becomes expirable again."""
+    """Remove a tag or branch; its snapshots become expirable again."""
     table_dir = Path(path)
     metadata, prev_meta_file = _load_metadata(table_dir)
     refs = dict(metadata.get("refs") or {})

@@ -2070,3 +2070,60 @@ def iceberg_partition_transforms(spark, sf_dir):
         ),
         F.countDistinct("o_custkey").alias("n_custs"),
     )
+
+
+@query(
+    "iceberg_branch_lifecycle",
+    oracle="""
+    SELECT 'main_before' AS state, COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer WHERE c_custkey % 2 = 1
+    UNION ALL
+    SELECT 'branch_audit', COUNT(*), CAST(SUM(c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'main_after', COUNT(*), CAST(SUM(c_custkey) AS BIGINT)
+    FROM customer
+    """,
+)
+def iceberg_branch_lifecycle(spark, sf_dir):
+    """Iceberg BRANCH refs — the write-audit-publish workflow a corpus
+    pipeline stages updates with: odd customer keys land on main, a
+    ``staging`` branch takes the even-key append (main provably
+    untouched: the 'main_before' leg reads main AFTER the branch
+    commit), the branch read audits the full corpus, and fast-forward
+    publishes it — 'main_after' must equal the branch read. A branch
+    commit that leaks into main, a fast-forward that drops rows, or a
+    ref resolving to the wrong snapshot breaks the hash. All ref
+    operations are metadata-only (O(1) at any table size); the branch
+    commit itself is a normal distributed append."""
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        create_iceberg_branch,
+        fast_forward_iceberg_branch,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    tmp = query_tmp("icebranch", sf_dir)
+    write_iceberg_table(c.where(F.col("c_custkey") % 2 == 1), tmp)
+    create_iceberg_branch(tmp, "staging")
+    append_iceberg_snapshot(
+        c.where(F.col("c_custkey") % 2 == 0), tmp, branch="staging"
+    )
+
+    def _leg(df, state):
+        return df.agg(
+            F.lit(state).alias("state"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").cast("bigint").alias("key_sum"),
+        )
+
+    main_before = _leg(read_iceberg_table(spark, tmp), "main_before")
+    branch_audit = _leg(
+        read_iceberg_table(spark, tmp, ref="staging"), "branch_audit"
+    )
+    fast_forward_iceberg_branch(tmp, "staging")
+    main_after = _leg(read_iceberg_table(spark, tmp), "main_after")
+    return main_before.unionByName(branch_audit).unionByName(main_after)

@@ -348,3 +348,78 @@ def test_iceberg_tags_pin_snapshots(spark, tmp_path):
         tag_iceberg_snapshot(path, "head")
     with _pytest.raises(ValueError, match="not in table history"):
         tag_iceberg_snapshot(path, "nope", snapshot_id=42)
+
+
+def test_iceberg_branch_write_audit_publish(spark, tmp_path):
+    """BRANCH refs: commits advance the branch head, main is untouched
+    until fast-forward; a diverged main refuses; expire holds branch
+    heads and keep_last counts MAIN history only."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        create_iceberg_branch,
+        expire_iceberg_snapshots,
+        fast_forward_iceberg_branch,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "branchy")
+    write_iceberg_table(
+        spark.range(10).select(F.col("id").alias("k")), path
+    )
+    create_iceberg_branch(path, "staging")
+    append_iceberg_snapshot(
+        spark.range(10, 15).select(F.col("id").alias("k")), path,
+        branch="staging",
+    )
+    append_iceberg_snapshot(
+        spark.range(15, 18).select(F.col("id").alias("k")), path,
+        branch="staging",
+    )
+    assert read_iceberg_table(spark, path).count() == 10  # main untouched
+    assert read_iceberg_table(spark, path, ref="staging").count() == 18
+    r = fast_forward_iceberg_branch(path, "staging")
+    assert r["fast_forwarded"] == 2
+    assert read_iceberg_table(spark, path).count() == 18
+    # idempotent once published
+    assert fast_forward_iceberg_branch(path, "staging")["fast_forwarded"] == 0
+
+    # diverged main refuses the fast-forward
+    create_iceberg_branch(path, "b2")
+    append_iceberg_snapshot(
+        spark.range(100, 101).select(F.col("id").alias("k")), path
+    )
+    append_iceberg_snapshot(
+        spark.range(200, 201).select(F.col("id").alias("k")), path,
+        branch="b2",
+    )
+    with pytest.raises(ValueError, match="does not descend"):
+        fast_forward_iceberg_branch(path, "b2")
+
+    # expire: keep_last=1 of MAIN; the branch head read still works
+    expire_iceberg_snapshots(path, keep_last=1)
+    assert read_iceberg_table(spark, path).count() == 19
+    assert read_iceberg_table(spark, path, ref="b2").count() == 19
+
+
+def test_iceberg_branch_commit_requires_branch(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        tag_iceberg_snapshot,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "nobranch")
+    df = spark.range(5).select(F.col("id").alias("k"))
+    write_iceberg_table(df, path)
+    tag_iceberg_snapshot(path, "v1")  # a TAG is not writable
+    with pytest.raises(ValueError, match="no branch"):
+        append_iceberg_snapshot(df, path, branch="nope")
+    with pytest.raises(ValueError, match="no branch"):
+        append_iceberg_snapshot(df, path, branch="v1")
