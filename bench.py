@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "iceberg_tag_pinned_read",
     "iceberg_partition_transforms",
     "iceberg_branch_lifecycle",
+    "delta_shallow_clone",
 ]
 
 

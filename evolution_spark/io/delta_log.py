@@ -747,10 +747,22 @@ def read_delta_snapshot(
               for f in schema_json["fields"]]
         )
     schema = StructType.fromJson(schema_json)
-    return _scan_adds(spark, table_dir, live, kept, schema)
+    df = _scan_adds(spark, table_dir, live, kept, schema)
+    # Spark surfaces hive-partition columns LAST on the relative-path
+    # scan; restore the metaData's declared order so round-trips (e.g.
+    # OPTIMIZE re-committing the snapshot) pass the order-sensitive
+    # schema check
+    return df.select(*[f["name"] for f in schema_json["fields"]])
 
 
-def _scan_adds(spark, table_dir: Path, live: dict, kept: list[str], schema):
+def _scan_adds(
+    spark,
+    table_dir: Path,
+    live: dict,
+    kept: list[str],
+    schema,
+    with_lineage: bool = False,
+):
     """Scan the given stored add paths, applying any deletion vectors.
 
     Files without a DV read as a plain pruned parquet scan. For DV-carrying
@@ -768,37 +780,102 @@ def _scan_adds(spark, table_dir: Path, live: dict, kept: list[str], schema):
     # mixing resolved adds with an unresolved basePath breaks partition
     # discovery under symlinked table locations
     root = table_dir.resolve()
-    adds = [str(root / unquote(p)) for p in kept]
-    if not adds:
+    if not kept:
         return spark.createDataFrame([], schema)
-    # basePath keeps hive partition columns resolvable from the file paths
-    df = (
-        spark.read.schema(schema)
-        .option("basePath", str(root))
-        .parquet(*adds)
-    )
-    dvd = [(p, live[p]["deletionVector"]) for p in kept
-           if live[p].get("deletionVector")]
-    if not dvd:
-        return df
+    # the spec allows add.path to be ABSOLUTE (how shallow clones
+    # reference the source table's files); pathlib's join already
+    # resolves those (Path(root) / '/abs' == '/abs'), but they live
+    # outside root, so basePath-driven partition-dir discovery cannot
+    # apply — the absolute branch reads partition columns from each
+    # add's partitionValues instead (the spec-faithful source)
+    rel_kept = [p for p in kept if not _is_absolute_stored(p)]
+    abs_kept = [p for p in kept if _is_absolute_stored(p)]
+    branches = []
+    if rel_kept:
+        branches.append(
+            (
+                rel_kept,
+                spark.read.schema(schema)
+                .option("basePath", str(root))
+                .parquet(*[str(root / unquote(p)) for p in rel_kept]),
+            )
+        )
+    if abs_kept:
+        from pyspark.sql import functions as F
+
+        part_keys = sorted(
+            {k for p in abs_kept
+             for k in (live[p].get("partitionValues") or {})}
+        )
+        by_field = {f.name: f for f in schema.fields}
+        from pyspark.sql.types import StructType
+
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in part_keys]
+        )
+        groups: dict[tuple, list[str]] = {}
+        for p in abs_kept:
+            pv = live[p].get("partitionValues") or {}
+            groups.setdefault(
+                tuple(sorted(pv.items())), []
+            ).append(p)
+        for pv, group in sorted(groups.items()):
+            gdf = spark.read.schema(data_schema).parquet(
+                *[unquote(p) for p in group]
+            )
+            gdf = gdf.withColumns({
+                k: F.lit(v).cast(by_field[k].dataType) for k, v in pv
+            })
+            branches.append((group, gdf.select(*[f.name for f in schema.fields])))
+
     import pandas as pd
 
     from evolution_spark.io.deletion_vectors import read_dv_positions
     from evolution_spark.io.scan_filters import anti_join_deleted_positions
 
-    frames = []
-    for p, desc in dvd:
-        pos = read_dv_positions(desc, table_dir)
-        frames.append(pd.DataFrame({
-            "file_path": str(root / unquote(p)),
-            "pos": pos,
-        }))
-    deleted = spark.createDataFrame(
-        pd.concat(frames, ignore_index=True),
-        schema="file_path string, pos long",
-    )
-    total_card = sum(int(d.get("cardinality") or 0) for _, d in dvd)
-    return anti_join_deleted_positions(df, deleted, total_card)
+    outs = []
+    for group, df in branches:
+        if with_lineage:
+            # lineage must become REAL columns per branch: the hidden
+            # ``_metadata`` column does not survive the rel/abs union
+            from pyspark.sql import functions as F
+
+            from evolution_spark.io.scan_filters import decoded_file_path
+
+            df = df.withColumns({
+                "__src_fp": decoded_file_path(F.col("_metadata.file_path")),
+                "__src_ri": F.col("_metadata.row_index"),
+            })
+        dvd = [(p, live[p]["deletionVector"]) for p in group
+               if live[p].get("deletionVector")]
+        if dvd:
+            frames = []
+            for p, desc in dvd:
+                pos = read_dv_positions(desc, table_dir)
+                frames.append(pd.DataFrame({
+                    "file_path": str(root / unquote(p)),
+                    "pos": pos,
+                }))
+            deleted = spark.createDataFrame(
+                pd.concat(frames, ignore_index=True),
+                schema="file_path string, pos long",
+            )
+            total_card = sum(int(d.get("cardinality") or 0) for _, d in dvd)
+            df = anti_join_deleted_positions(df, deleted, total_card)
+        outs.append(df)
+    out = outs[0]
+    for b in outs[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _is_absolute_stored(p: str) -> bool:
+    """True when an add action's stored path is absolute (clone source
+    reference) rather than table-relative."""
+    from urllib.parse import unquote
+
+    u = unquote(p)
+    return u.startswith("/") or u.startswith("file:")
 
 
 def _check_cdc_changes(ch, op_col: str) -> None:
@@ -1271,7 +1348,10 @@ def table_changes(
     return out
 
 
-def _logical_scan(spark, table_dir: Path, live, kept, schema_json, config):
+def _logical_scan(
+    spark, table_dir: Path, live, kept, schema_json, config,
+    with_lineage: bool = False,
+):
     """``_scan_adds`` under column mapping: scan with the PHYSICAL schema
     (what the parquet files store) and rename back to logical — the
     projection keeps ``_metadata`` resolvable, so DML position scans work
@@ -1281,7 +1361,8 @@ def _logical_scan(spark, table_dir: Path, live, kept, schema_json, config):
     renames = mapping_renames(schema_json, config)  # physical -> logical
     if not renames:
         return _scan_adds(
-            spark, table_dir, live, kept, StructType.fromJson(schema_json)
+            spark, table_dir, live, kept, StructType.fromJson(schema_json),
+            with_lineage=with_lineage,
         )
     phys_of = {log: phys for phys, log in renames.items()}
     phys_fields = [dict(f, name=phys_of.get(f["name"], f["name"]))
@@ -1289,6 +1370,7 @@ def _logical_scan(spark, table_dir: Path, live, kept, schema_json, config):
     df = _scan_adds(
         spark, table_dir, live, kept,
         StructType.fromJson({"type": "struct", "fields": phys_fields}),
+        with_lineage=with_lineage,
     )
     from pyspark.sql import functions as F
 
@@ -1297,7 +1379,8 @@ def _logical_scan(spark, table_dir: Path, live, kept, schema_json, config):
     # _metadata stays resolvable through a plain alias select
     return df.select(
         *[F.col(phys_of.get(f["name"], f["name"])).alias(f["name"])
-          for f in schema_json["fields"]]
+          for f in schema_json["fields"]],
+        *([F.col("__src_fp"), F.col("__src_ri")] if with_lineage else []),
     )
 
 
@@ -1328,12 +1411,15 @@ def _mor_match_positions(spark, table_dir: Path, live, schema_json, config, pred
 
     from evolution_spark.io.scan_filters import decoded_file_path
 
-    scan = _logical_scan(spark, table_dir, live, sorted(live), schema_json, config)
+    scan = _logical_scan(
+        spark, table_dir, live, sorted(live), schema_json, config,
+        with_lineage=True,
+    )
     matched = (
         scan.where(predicate)
         .select(
-            decoded_file_path(F.col("_metadata.file_path")).alias("fp"),
-            F.col("_metadata.row_index").alias("ri"),
+            F.col("__src_fp").alias("fp"),
+            F.col("__src_ri").alias("ri"),
         )
         .collect()
     )
@@ -2239,6 +2325,87 @@ def drop_delta_column(path: str, name: str) -> dict:
     version = latest + 1
     _publish_commit(table_dir, version, actions, "drop")
     return {"version": version, "schema": [f["name"] for f in new_fields]}
+
+
+def clone_delta_table(
+    src_path: str, dest_path: str, version: int | None = None
+) -> dict:
+    """SHALLOW CLONE: a new Delta table whose v0 commit references the
+    SOURCE table's data files by ABSOLUTE path — zero data copied, any
+    snapshot (``version``) cloneable, independent history from there on
+    (appends/OPTIMIZE write normal relative files next to the absolute
+    references; the reader scans both groups, resolving the absolute
+    group's partition columns from each add's ``partitionValues`` — the
+    spec-faithful source — since hive-dir discovery cannot cross roots).
+    VACUUM on the clone can never touch source files by construction: it
+    only walks under the clone root. At 100 TB a clone is a
+    metadata-sized commit — the dev/test-against-prod primitive.
+
+    Protocol, schema (incl. column-mapping metadata), partition columns
+    and table configuration (CHECK constraints, appendOnly) carry over;
+    the clone gets a fresh table id. Refuses a source whose live adds
+    carry deletion vectors (their descriptors resolve relative to the
+    SOURCE root; cloning them would silently resurrect deleted rows —
+    compact the source first)."""
+    src_dir = Path(src_path).resolve()
+    dest_dir = Path(dest_path)
+    if (dest_dir / "_delta_log").exists():
+        raise ValueError(f"destination {dest_path} is already a Delta table")
+    live, schema_string, part_cols, src_version, state = _replay_log(
+        src_dir, version, return_state=True
+    )
+    dvs = [p for p, a in live.items() if a.get("deletionVector")]
+    if dvs:
+        raise ValueError(
+            f"source snapshot carries deletion vectors on {len(dvs)} "
+            "file(s) — their descriptors resolve relative to the SOURCE "
+            "table; clone after OPTIMIZE materializes the deletes"
+        )
+    from urllib.parse import unquote
+
+    now_ms = int(time.time() * 1000)
+    meta = dict(state["metadata"])
+    meta["id"] = str(uuid.uuid4())
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": str(src_dir),
+                    "sourceVersion": src_version,
+                },
+            }
+        },
+        {"protocol": dict(state["protocol"])},
+        {"metaData": meta},
+    ]
+    total_rows = 0
+    for p in sorted(live):
+        add = dict(live[p])
+        src_file = (src_dir / unquote(p)).resolve()
+        add["path"] = quote(str(src_file))
+        add["dataChange"] = True
+        stats = add.get("stats")
+        if stats:
+            try:
+                total_rows += int(json.loads(stats).get("numRecords") or 0)
+            except (ValueError, TypeError):
+                pass
+        actions.append({"add": add})
+    log_dir = dest_dir / "_delta_log"
+    log_dir.mkdir(parents=True)
+    commit = log_dir / f"{0:020d}.json"
+    tmp = log_dir / f".{0:020d}.json.tmp"
+    tmp.write_text("".join(json.dumps(a) + "\n" for a in actions))
+    os.replace(tmp, commit)  # atomic publish
+    return {
+        "version": 0,
+        "files": len(live),
+        "rows": total_rows,
+        "source_version": src_version,
+        "path": str(commit),
+    }
 
 
 def restore_delta_table(path: str, version: int) -> dict:

@@ -2127,3 +2127,60 @@ def iceberg_branch_lifecycle(spark, sf_dir):
     fast_forward_iceberg_branch(tmp, "staging")
     main_after = _leg(read_iceberg_table(spark, tmp), "main_after")
     return main_before.unionByName(branch_audit).unionByName(main_after)
+
+
+@query(
+    "delta_shallow_clone",
+    oracle="""
+    SELECT 'clone' AS state, c_mktsegment AS segment, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'clone_evolved', c_mktsegment, COUNT(*),
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+    FROM customer WHERE c_custkey % 2 = 0 GROUP BY c_mktsegment
+    """,
+)
+def delta_shallow_clone(spark, sf_dir):
+    """Delta SHALLOW CLONE — the dev/test-against-prod primitive: a
+    metadata-only v0 commit referencing the partitioned source table's
+    files by ABSOLUTE path (spec: add.path may be absolute; partition
+    columns resolve from each add's ``partitionValues``, the
+    spec-faithful source, since hive-dir discovery cannot cross roots).
+    The clone then evolves independently: a predicate DELETE attaches a
+    deletion vector to a source-referencing add (merge-on-read — zero
+    source bytes rewritten) while the SOURCE keeps every row (asserted).
+    At 100 TB a clone is one metadata commit instead of a 100 TB copy.
+    The 'clone' leg hashes the full cloned corpus; 'clone_evolved' hashes
+    the post-DELETE clone; a clone that leaked DML into the source, lost
+    partition values, or mis-resolved absolute paths breaks the hash."""
+    from evolution_spark.io.delta_log import (
+        clone_delta_table,
+        delete_delta_rows,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    src = query_tmp("clonesrc", sf_dir)
+    dst = query_tmp("clonedst", sf_dir)
+    write_delta_snapshot(c, src, partition_by=["c_mktsegment"])
+    clone_delta_table(src, dst)
+
+    def _leg(df, state):
+        return df.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+                "bal_cents"
+            ),
+        ).select(F.lit(state).alias("state"), "segment", "n_rows", "bal_cents")
+
+    before = _leg(read_delta_snapshot(spark, dst), "clone")
+    delete_delta_rows(spark, dst, "c_custkey % 2 = 1")
+    evolved = _leg(read_delta_snapshot(spark, dst), "clone_evolved")
+    # the DML stayed in the clone: the source still holds every row
+    assert read_delta_snapshot(spark, src).count() == c.count()
+    return before.unionByName(evolved)
