@@ -790,19 +790,57 @@ def _scan_adds(
     # add's partitionValues instead (the spec-faithful source)
     rel_kept = [p for p in kept if not _is_absolute_stored(p)]
     abs_kept = [p for p in kept if _is_absolute_stored(p)]
-    branches = []
-    if rel_kept:
-        branches.append(
-            (
-                rel_kept,
-                spark.read.schema(schema)
-                .option("basePath", str(root))
-                .parquet(*[str(root / unquote(p)) for p in rel_kept]),
-            )
-        )
-    if abs_kept:
-        from pyspark.sql import functions as F
 
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.deletion_vectors import read_dv_positions
+    from evolution_spark.io.scan_filters import (
+        anti_join_deleted_positions,
+        decoded_file_path,
+    )
+
+    def _apply_dvs(df, group, fp_col=None, ri_col=None):
+        dvd = [(p, live[p]["deletionVector"]) for p in group
+               if live[p].get("deletionVector")]
+        if not dvd:
+            return df
+        frames = []
+        for p, desc in dvd:
+            frames.append(pd.DataFrame({
+                "file_path": _resolved_add_path(root, p),
+                "pos": read_dv_positions(desc, table_dir),
+            }))
+        deleted = spark.createDataFrame(
+            pd.concat(frames, ignore_index=True),
+            schema="file_path string, pos long",
+        )
+        total_card = sum(int(d.get("cardinality") or 0) for _, d in dvd)
+        return anti_join_deleted_positions(
+            df, deleted, total_card, fp_col=fp_col, ri_col=ri_col
+        )
+
+    outs = []
+    if rel_kept:
+        df = (
+            spark.read.schema(schema)
+            .option("basePath", str(root))
+            .parquet(*[str(root / unquote(p)) for p in rel_kept])
+        )
+        if with_lineage:
+            # lineage must become REAL columns per branch: the hidden
+            # ``_metadata`` column does not survive the rel/abs union
+            df = df.withColumns({
+                "__src_fp": decoded_file_path(F.col("_metadata.file_path")),
+                "__src_ri": F.col("_metadata.row_index"),
+            })
+        outs.append(_apply_dvs(df, rel_kept))
+    if abs_kept:
+        # ONE scan of all absolute files + a broadcast (file -> partition
+        # values) lookup — not a scan per partition value, whose
+        # linear union tree would blow up driver planning on
+        # many-partition clones. ``_metadata`` is materialized up front:
+        # the join output would lose the hidden column.
         part_keys = sorted(
             {k for p in abs_kept
              for k in (live[p].get("partitionValues") or {})}
@@ -813,56 +851,41 @@ def _scan_adds(
         data_schema = StructType(
             [f for f in schema.fields if f.name not in part_keys]
         )
-        groups: dict[tuple, list[str]] = {}
-        for p in abs_kept:
-            pv = live[p].get("partitionValues") or {}
-            groups.setdefault(
-                tuple(sorted(pv.items())), []
-            ).append(p)
-        for pv, group in sorted(groups.items()):
-            gdf = spark.read.schema(data_schema).parquet(
-                *[unquote(p) for p in group]
-            )
-            gdf = gdf.withColumns({
-                k: F.lit(v).cast(by_field[k].dataType) for k, v in pv
-            })
-            branches.append((group, gdf.select(*[f.name for f in schema.fields])))
-
-    import pandas as pd
-
-    from evolution_spark.io.deletion_vectors import read_dv_positions
-    from evolution_spark.io.scan_filters import anti_join_deleted_positions
-
-    outs = []
-    for group, df in branches:
-        if with_lineage:
-            # lineage must become REAL columns per branch: the hidden
-            # ``_metadata`` column does not survive the rel/abs union
-            from pyspark.sql import functions as F
-
-            from evolution_spark.io.scan_filters import decoded_file_path
-
-            df = df.withColumns({
+        abs_path_of = {p: _resolved_add_path(root, p) for p in abs_kept}
+        adf = (
+            spark.read.schema(data_schema)
+            .parquet(*sorted(abs_path_of.values()))
+            .withColumns({
                 "__src_fp": decoded_file_path(F.col("_metadata.file_path")),
                 "__src_ri": F.col("_metadata.row_index"),
             })
-        dvd = [(p, live[p]["deletionVector"]) for p in group
-               if live[p].get("deletionVector")]
-        if dvd:
-            frames = []
-            for p, desc in dvd:
-                pos = read_dv_positions(desc, table_dir)
-                frames.append(pd.DataFrame({
-                    "file_path": str(root / unquote(p)),
-                    "pos": pos,
-                }))
-            deleted = spark.createDataFrame(
-                pd.concat(frames, ignore_index=True),
-                schema="file_path string, pos long",
+        )
+        if part_keys:
+            rows = [
+                (abs_path_of[p],
+                 *[(live[p].get("partitionValues") or {}).get(k)
+                   for k in part_keys])
+                for p in abs_kept
+            ]
+            lookup = spark.createDataFrame(
+                rows,
+                schema=", ".join(
+                    ["file_path string"] + [f"`{k}` string" for k in part_keys]
+                ),
             )
-            total_card = sum(int(d.get("cardinality") or 0) for _, d in dvd)
-            df = anti_join_deleted_positions(df, deleted, total_card)
-        outs.append(df)
+            adf = adf.join(
+                F.broadcast(lookup),
+                adf["__src_fp"] == lookup["file_path"],
+                "inner",
+            ).drop("file_path")
+            adf = adf.withColumns({
+                k: F.col(k).cast(by_field[k].dataType) for k in part_keys
+            })
+        adf = _apply_dvs(adf, abs_kept, fp_col="__src_fp", ri_col="__src_ri")
+        keep_cols = [f.name for f in schema.fields] + (
+            ["__src_fp", "__src_ri"] if with_lineage else []
+        )
+        outs.append(adf.select(*keep_cols))
     out = outs[0]
     for b in outs[1:]:
         out = out.unionByName(b)
@@ -871,11 +894,27 @@ def _scan_adds(
 
 def _is_absolute_stored(p: str) -> bool:
     """True when an add action's stored path is absolute (clone source
-    reference) rather than table-relative."""
+    reference or a foreign writer's file: URI) rather than
+    table-relative."""
     from urllib.parse import unquote
 
     u = unquote(p)
     return u.startswith("/") or u.startswith("file:")
+
+
+def _resolved_add_path(root: Path, p: str) -> str:
+    """Filesystem path an add action's stored path resolves to: relative
+    paths join the table root; absolute ones (clone references) stand
+    alone, with any file: scheme stripped so joins against
+    ``decoded_file_path(_metadata.file_path)`` match."""
+    from urllib.parse import unquote
+
+    from evolution_spark.io.scan_filters import plain_path
+
+    u = unquote(p)
+    if u.startswith("file:"):
+        return plain_path(u)
+    return u if u.startswith("/") else str(root / u)
 
 
 def _check_cdc_changes(ch, op_col: str) -> None:
@@ -1194,6 +1233,9 @@ def table_changes(
     whole_deletes: list[tuple[str, int, set[int]]] = []  # excluded = old DV
     # (abs_file, pos, version, change_type) -> positional rows
     positional: list[tuple[str, int, int, str]] = []
+    # absolute (clone-referenced) files resolve partition columns from
+    # the add's partitionValues, not dirs — keep them per resolved path
+    pv_abs: dict[str, dict] = {}
 
     for v in versions:
         if v > hi:
@@ -1209,7 +1251,9 @@ def table_changes(
                        if "remove" in a
                        and a["remove"].get("dataChange", True)}
             for p, add in adds.items():
-                ap = str(root / unquote(p))
+                ap = _resolved_add_path(root, p)
+                if _is_absolute_stored(p):
+                    pv_abs[ap] = dict(add.get("partitionValues") or {})
                 prev = live.get(p)
                 if prev is not None and p in removes:
                     old_pos, new_pos = positions_of(prev), positions_of(add)
@@ -1224,9 +1268,10 @@ def table_changes(
                     continue  # handled as a DV diff above
                 prev = live.get(p)
                 if prev is not None:
-                    whole_deletes.append(
-                        (str(root / unquote(p)), v, positions_of(prev))
-                    )
+                    ap = _resolved_add_path(root, p)
+                    if _is_absolute_stored(p):
+                        pv_abs[ap] = dict(prev.get("partitionValues") or {})
+                    whole_deletes.append((ap, v, positions_of(prev)))
         for a in acts:
             _fold_action(a, live, state)
 
@@ -1252,15 +1297,66 @@ def table_changes(
     parts: list[DataFrame] = []
 
     def scan(files: list[str]):
-        return (
-            spark.read.schema(scan_schema)
-            .option("basePath", str(root))
-            .parquet(*files)
-            .withColumns({
-                "__cdf_fp": decoded_file_path(F.col("_metadata.file_path")),
-                "__cdf_ri": F.col("_metadata.row_index"),
-            })
-        )
+        # clone-referenced files live OUTSIDE the table root: they get
+        # their own basePath-free scan with partition columns joined in
+        # from partitionValues (same split as _scan_adds)
+        prefix = str(root) + "/"
+        under = [f for f in files if f.startswith(prefix)]
+        outside = [f for f in files if not f.startswith(prefix)]
+        cdf_cols = {
+            "__cdf_fp": decoded_file_path(F.col("_metadata.file_path")),
+            "__cdf_ri": F.col("_metadata.row_index"),
+        }
+        dfs = []
+        if under:
+            dfs.append(
+                spark.read.schema(scan_schema)
+                .option("basePath", str(root))
+                .parquet(*under)
+                .withColumns(cdf_cols)
+            )
+        if outside:
+            part_keys = sorted(
+                {k for f in outside for k in pv_abs.get(f, {})}
+            )
+            by_field = {f.name: f for f in scan_schema.fields}
+            data_schema = StructType(
+                [f for f in scan_schema.fields if f.name not in part_keys]
+            )
+            adf = (
+                spark.read.schema(data_schema)
+                .parquet(*outside)
+                .withColumns(cdf_cols)
+            )
+            if part_keys:
+                lookup = spark.createDataFrame(
+                    [
+                        (f, *[pv_abs.get(f, {}).get(k) for k in part_keys])
+                        for f in outside
+                    ],
+                    schema=", ".join(
+                        ["__pv_file string"]
+                        + [f"`{k}` string" for k in part_keys]
+                    ),
+                )
+                adf = adf.join(
+                    F.broadcast(lookup),
+                    adf["__cdf_fp"] == lookup["__pv_file"],
+                    "inner",
+                ).drop("__pv_file")
+                adf = adf.withColumns({
+                    k: F.col(k).cast(by_field[k].dataType) for k in part_keys
+                })
+            dfs.append(
+                adf.select(
+                    *[f.name for f in scan_schema.fields],
+                    "__cdf_fp", "__cdf_ri",
+                )
+            )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def out_cols():
         return [F.col(phys_of.get(n, n)).alias(n) for n in logical_names]
@@ -1471,7 +1567,7 @@ def _dv_mark_actions(
 
     from evolution_spark.io.deletion_vectors import read_dv_positions, write_dv_file
 
-    abs_of = {str(root / unquote(p)): p for p in live}
+    abs_of = {_resolved_add_path(root, p): p for p in live}
     actions: list[dict] = []
     deleted_rows = 0
     for abs_path, new_pos in sorted(by_abs.items()):
@@ -1642,7 +1738,7 @@ def update_delta_rows(
     # point UPDATE therefore re-reads the touched files, never the table.
     from urllib.parse import unquote
 
-    abs_of = {str(root / unquote(p)): p for p in live}
+    abs_of = {_resolved_add_path(root, p): p for p in live}
     touched = sorted(abs_of[a] for a in by_abs)
     snapshot = _logical_scan(
         spark, table_dir, live, touched, schema_json, config

@@ -1283,6 +1283,16 @@ def iceberg_table_changes(
     insert_files: list[tuple[str, int, int]] = []  # (file, snap id, schema id)
     delete_files: list[tuple[str, int]] = []  # (delete parquet, snapshot id)
     target_sid: dict[str, int] = {}  # delete-target data file -> schema id
+    _mf_cache: dict[str, tuple] = {}  # manifest path -> (entries, meta):
+    # snapshots share manifests by reference and the delete-target walk
+    # re-visits them — one avro read per distinct manifest per call
+
+    def _manifest(path_str: str):
+        hit = _mf_cache.get(path_str)
+        if hit is None:
+            hit = _mf_cache[path_str] = _read_avro_with_meta(Path(path_str))
+        return hit
+
     for snap in snaps[start_idx : end_idx + 1]:
         sid = snap["snapshot-id"]
         op = snap["summary"].get("operation", "append")
@@ -1306,7 +1316,7 @@ def iceberg_table_changes(
             if mf.get("added_snapshot_id") != sid:
                 continue  # carried by reference from an earlier snapshot
             is_delete_manifest = int(mf.get("content") or 0) == 1
-            mf_entries, mf_meta = _read_avro_with_meta(Path(mf["manifest_path"]))
+            mf_entries, mf_meta = _manifest(mf["manifest_path"])
             try:
                 mf_sid = int((mf_meta.get("schema-id") or b"").decode())
             except ValueError:
@@ -1350,9 +1360,7 @@ def iceberg_table_changes(
             for mf in _read_avro(Path(snap["manifest-list"])):
                 if int(mf.get("content") or 0) != 0:
                     continue
-                t_entries, t_meta = _read_avro_with_meta(
-                    Path(mf["manifest_path"])
-                )
+                t_entries, t_meta = _manifest(mf["manifest_path"])
                 try:
                     t_sid = int((t_meta.get("schema-id") or b"").decode())
                 except ValueError:
@@ -2177,6 +2185,17 @@ def _commit_iceberg_snapshot(
     spec_fields = next(
         s for s in metadata["partition-specs"] if s["spec-id"] == metadata["default-spec-id"]
     )["fields"]
+    if branch is not None:
+        # validate BEFORE staging: _stage_and_move irreversibly moves
+        # data files into data/, so a typo'd branch name would leak
+        # forever-unreferenced files into the table
+        refs = metadata.get("refs") or {}
+        if branch not in refs or refs[branch].get("type") != "branch":
+            raise ValueError(
+                f"no branch {branch!r} on this table (refs: "
+                f"{sorted(n for n, r in refs.items() if r.get('type') == 'branch')})"
+                " — create_iceberg_branch first"
+            )
     seq = metadata["last-sequence-number"] + 1
     moved = _stage_and_move(df, table_dir, seq, spec_fields, ice_schema, "snapshot")
     return _commit_files_as_snapshot(
@@ -2488,6 +2507,18 @@ def expire_iceberg_snapshots(
     main_ids = [e["snapshot-id"] for e in metadata["snapshot-log"]]
     tail_ids = set(main_ids[-keep_last:])
     tail_ids.add(metadata["current-snapshot-id"])
+    # a BRANCH pins its whole ancestry chain down to the first kept
+    # snapshot (not just its head): fast-forward walks parent-snapshot-id
+    # to prove main is an ancestor, so expiring an intermediate branch
+    # commit would leave the branch permanently unpublishable
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    for r in (metadata.get("refs") or {}).values():
+        if r.get("type") != "branch":
+            continue  # tags pin only their own snapshot
+        cur = (by_id.get(r["snapshot-id"]) or {}).get("parent-snapshot-id")
+        while cur is not None and cur not in tail_ids and cur not in ref_ids:
+            ref_ids.add(cur)
+            cur = (by_id.get(cur) or {}).get("parent-snapshot-id")
     kept = [s for s in snaps
             if s["snapshot-id"] in tail_ids or s["snapshot-id"] in ref_ids]
     expired = [s for s in snaps if s not in kept]
@@ -2813,6 +2844,12 @@ def fast_forward_iceberg_branch(path: str, name: str) -> dict:
     cur = head
     while cur is not None and cur != main:
         chain.append(cur)
+        if cur not in by_id:  # foreign expire broke the ancestry chain
+            raise ValueError(
+                f"branch {name!r} ancestry references snapshot {cur} which "
+                "is no longer in the table history — the chain was expired "
+                "by a foreign writer; the branch cannot be fast-forwarded"
+            )
         cur = by_id[cur].get("parent-snapshot-id")
     if cur != main:
         raise ValueError(

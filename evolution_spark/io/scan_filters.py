@@ -50,6 +50,8 @@ def anti_join_deleted_positions(
     deleted: DataFrame,
     deleted_rows: int,
     broadcast_limit: int = 4_000_000,
+    fp_col: str | None = None,
+    ri_col: str | None = None,
 ) -> DataFrame:
     """Drop rows of ``df`` whose (file, row-index) appears in ``deleted``
     (columns ``file_path`` string — plain decoded path — and ``pos``
@@ -58,14 +60,22 @@ def anti_join_deleted_positions(
     files, never table size — broadcast while small (``deleted_rows`` is
     the caller's cardinality estimate from descriptors/manifests), else
     left to AQE."""
-    phys = df.withColumns({
-        "__del_fp": decoded_file_path(F.col("_metadata.file_path")),
-        "__del_ri": F.col("_metadata.row_index"),
-    })
+    if fp_col is None:
+        # default: derive (file, row) from the hidden parquet metadata
+        # column; callers whose plan already lost ``_metadata`` (joins,
+        # unions) pass their own materialized fp_col/ri_col instead
+        phys = df.withColumns({
+            "__del_fp": decoded_file_path(F.col("_metadata.file_path")),
+            "__del_ri": F.col("_metadata.row_index"),
+        })
+        fp_col, ri_col, drop_helpers = "__del_fp", "__del_ri", True
+    else:
+        phys, drop_helpers = df, False
     build = F.broadcast(deleted) if deleted_rows <= broadcast_limit else deleted
-    return phys.join(
+    out = phys.join(
         build,
-        (phys["__del_fp"] == build["file_path"])
-        & (phys["__del_ri"] == build["pos"]),
+        (phys[fp_col] == build["file_path"])
+        & (phys[ri_col] == build["pos"]),
         "left_anti",
-    ).drop("__del_fp", "__del_ri")
+    )
+    return out.drop("__del_fp", "__del_ri") if drop_helpers else out

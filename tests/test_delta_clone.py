@@ -125,3 +125,84 @@ def test_optimize_partitioned_table(spark, tmp_path):
     got = read_delta_snapshot(spark, path)
     assert got.columns == ["k", "p", "v"]
     assert got.count() == 90
+
+
+def test_table_changes_on_clone(spark, tmp_path):
+    """The CDF reader handles clone tables: absolute source-referencing
+    adds scan without basePath, partition columns from partitionValues
+    (review r7)."""
+    from evolution_spark.io.delta_log import table_changes
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta_snapshot(_mk(spark, 0, 30), src, partition_by=["p"])
+    clone_delta_table(src, dst)
+    commit_delta(_mk(spark, 100, 105), dst, mode="append")
+    delete_delta_rows(spark, dst, "k < 3")
+    ch = table_changes(spark, dst, 0)
+    got = {(r.k, r._change_type, r._commit_version) for r in ch.collect()}
+    assert (0, "insert", 0) in got and (29, "insert", 0) in got
+    assert (100, "insert", 1) in got
+    assert (0, "delete", 2) in got and (2, "delete", 2) in got
+    # partition values came from partitionValues, not dirs
+    assert ch.where((F.col("k") % 3) != F.col("p")).count() == 0
+
+
+def test_clone_null_partition_values(spark, tmp_path):
+    """Absolute adds with NULL partition values group/read correctly
+    (review r7: sorted() over mixed None/str group keys crashed)."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 5, F.col("id") % 2).alias("p"),  # nulls for >=5
+        (F.col("id") * 1.0).alias("v"),
+    )
+    write_delta_snapshot(df, src, partition_by=["p"])
+    clone_delta_table(src, dst)
+    back = read_delta_snapshot(spark, dst)
+    assert back.count() == 10
+    assert back.where(F.col("p").isNull()).count() == 5
+    assert back.where(F.col("p") == 1).select("k").rdd.isEmpty() is False
+
+
+def test_resolved_add_path_forms():
+    from pathlib import Path
+
+    from evolution_spark.io.delta_log import _resolved_add_path
+
+    root = Path("/tables/t")
+    assert _resolved_add_path(root, "part-0.parquet") == "/tables/t/part-0.parquet"
+    assert _resolved_add_path(root, "/data/src/p.parquet") == "/data/src/p.parquet"
+    assert _resolved_add_path(root, "file:///data/src/p.parquet") == "/data/src/p.parquet"
+    # percent-encoded (the spec stores encoded paths)
+    assert _resolved_add_path(root, "p%3D1/part.parquet") == "/tables/t/p=1/part.parquet"
+    assert (
+        _resolved_add_path(root, "file:///data/seg%20a/p.parquet")
+        == "/data/seg a/p.parquet"
+    )
+
+
+def test_file_scheme_absolute_adds_read_and_mask(spark, tmp_path):
+    """A foreign writer may record absolute adds as file: URIs; the scan
+    resolves them and deletion vectors still mask (review r7: the
+    mangled join key silently resurrected deleted rows)."""
+    import json
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta_snapshot(_mk(spark, 0, 30), src)
+    clone_delta_table(src, dst)
+    delete_delta_rows(spark, dst, "k < 4")  # DV on an absolute add
+    # rewrite every absolute stored path to the file: URI form,
+    # consistently across all commits (foreign-writer style)
+    log = __import__("pathlib").Path(dst) / "_delta_log"
+    for f in sorted(log.glob("*.json")):
+        lines = []
+        for line in f.read_text().splitlines():
+            a = json.loads(line)
+            for key in ("add", "remove"):
+                if key in a and a[key]["path"].startswith("/"):
+                    a[key]["path"] = "file://" + a[key]["path"]
+            lines.append(json.dumps(a))
+        f.write_text("\n".join(lines) + "\n")
+    got = read_delta_snapshot(spark, dst)
+    assert got.count() == 26
+    assert got.where(F.col("k") < 4).count() == 0  # DV still applies

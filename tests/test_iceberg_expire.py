@@ -423,3 +423,60 @@ def test_iceberg_branch_commit_requires_branch(spark, tmp_path):
         append_iceberg_snapshot(df, path, branch="nope")
     with pytest.raises(ValueError, match="no branch"):
         append_iceberg_snapshot(df, path, branch="v1")
+
+
+def test_expire_preserves_branch_ancestry_for_fast_forward(spark, tmp_path):
+    """Expire keeps a branch's ANCESTRY chain (not just its head): the
+    fast-forward ancestry walk must still reach main after routine
+    retention runs between branch commits and publish (review r7)."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        create_iceberg_branch,
+        expire_iceberg_snapshots,
+        fast_forward_iceberg_branch,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "ffexpire")
+    write_iceberg_table(spark.range(5).select(F.col("id").alias("k")), path)
+    create_iceberg_branch(path, "staging")
+    append_iceberg_snapshot(
+        spark.range(5, 8).select(F.col("id").alias("k")), path,
+        branch="staging",
+    )
+    append_iceberg_snapshot(
+        spark.range(8, 10).select(F.col("id").alias("k")), path,
+        branch="staging",
+    )
+    expire_iceberg_snapshots(path, keep_last=1)  # B1 must survive
+    r = fast_forward_iceberg_branch(path, "staging")
+    assert r["fast_forwarded"] == 2
+    assert read_iceberg_table(spark, path).count() == 10
+
+
+def test_branch_typo_does_not_leak_data_files(spark, tmp_path):
+    """An unknown-branch append refuses BEFORE staging moves files into
+    data/ — a typo'd branch name must not leak forever-unreferenced
+    files into the table (review r7)."""
+    import glob
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "typoleak")
+    df = spark.range(5).select(F.col("id").alias("k"))
+    write_iceberg_table(df, path)
+    n_before = len(glob.glob(path + "/data/**/*.parquet", recursive=True))
+    with pytest.raises(ValueError, match="no branch"):
+        append_iceberg_snapshot(df, path, branch="typo")
+    assert len(
+        glob.glob(path + "/data/**/*.parquet", recursive=True)
+    ) == n_before
