@@ -578,8 +578,16 @@ def write_iceberg_table(
     mode: str = "error",
     partition_by: list[str] | None = None,
     properties: dict[str, str] | None = None,
+    distribute: bool = False,
 ) -> dict:
     """Write ``df`` as a single-snapshot Iceberg v2 table at ``path``.
+
+    ``distribute=True`` is the spec connector's ``write.distribution-mode
+    = hash``: ONE shuffle clustering rows by partition value before the
+    split, so each partition dir is written by one task — without it a
+    partitioned write emits up to tasks x dirs files (the small-files
+    explosion that murders a 100 TB scan); with it, dirs x 1. Off by
+    default: already-clustered inputs should not pay a second shuffle.
 
     Returns a commit summary (snapshot id, files, rows) for tests/logs.
     """
@@ -596,6 +604,10 @@ def write_iceberg_table(
     by_name = {f["name"]: f for f in ice_schema["fields"]}
     spec_fields = parse_partition_by(partition_by, ice_schema)
     out_df, part_cols = _with_partition_cols(df, spec_fields, ice_schema)
+    if distribute and part_cols:
+        from pyspark.sql import functions as F
+
+        out_df = out_df.repartition(*[F.col(c) for c in part_cols])
     writer = out_df.write.mode("error")
     if part_cols:
         writer = writer.partitionBy(*part_cols)

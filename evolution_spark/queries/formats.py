@@ -2037,7 +2037,10 @@ def iceberg_partition_transforms(spark, sf_dir):
     )
     tmp = query_tmp("icetransform", sf_dir)
     write_iceberg_table(
-        o, tmp, partition_by=["months(o_orderdate)", "bucket(4, o_custkey)"]
+        o, tmp, partition_by=["months(o_orderdate)", "bucket(4, o_custkey)"],
+        # hash distribution: one task per partition dir, dirs x 1 files —
+        # without it this write emits tasks x dirs small files
+        distribute=True,
     )
     full = read_iceberg_table(spark, tmp)
     month = read_iceberg_table(
