@@ -704,3 +704,66 @@ def test_schema_evolved_reads_are_union_of_plain_scans(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "SortMergeJoin" not in agg_free, name
+
+
+def test_clone_scan_broadcasts_partition_lookup(spark, tmp_path):
+    """A clone read's absolute-adds branch is ONE scan + a BROADCAST
+    (file -> partitionValues) join — never a cartesian product or a
+    per-partition-value scan fan-out (the plan must contain exactly one
+    parquet scan for the absolute group)."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        clone_delta_table,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta_snapshot(
+        spark.range(200).select(
+            F.col("id").alias("k"), (F.col("id") % 8).alias("p")
+        ),
+        src, partition_by=["p"],
+    )
+    clone_delta_table(src, dst)
+    df = read_delta_snapshot(spark, dst)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan, "partition lookup not broadcast"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one scan for all 8 partition values, not 8 scans (explain may
+    # render the reused scan twice under AQE; the fan-out regression
+    # would show >= 8)
+    assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+    assert df.count() == 200
+
+
+def test_transform_prune_is_metadata_only(spark, sf_dir, tmp_path):
+    """Transform-aware pruning happens at the MANIFEST level: the pruned
+    read's plan lists strictly fewer files and contains no join or
+    Python stage on the read path."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "txgate")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_iceberg_table(
+        o, path, partition_by=["bucket(4, o_custkey)"], distribute=True
+    )
+    pruned = read_iceberg_table(spark, path, partition_where={"o_custkey": 7})
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan and "ArrowEvalPython" not in plan
+    assert len(pruned.inputFiles()) < len(
+        read_iceberg_table(spark, path).inputFiles()
+    )
