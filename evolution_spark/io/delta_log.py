@@ -256,9 +256,9 @@ def write_delta_snapshot(
     (``col-<hex>``), the data files store the physical names, and the
     protocol claims the v3/v7 ``columnMapping`` feature — which is what
     makes ``rename_delta_column`` / ``drop_delta_column`` metadata-only
-    commits later. Unpartitioned tables only (partition values under
-    mapping use physical directory names; this engine keeps mapped
-    tables unpartitioned rather than shipping a half-correct layout)."""
+    commits later. Partitioned mapped tables follow the spec layout:
+    directory names AND ``partitionColumns`` AND ``partitionValues`` all
+    use the PHYSICAL partition column name."""
     import pyarrow.parquet as pq
 
     table_dir = Path(path)
@@ -273,11 +273,6 @@ def write_delta_snapshot(
     config: dict[str, str] = {}
     protocol = dict(PROTOCOL)
     if column_mapping:
-        if part_cols:
-            raise ValueError(
-                "column_mapping=True supports unpartitioned tables only "
-                "(mapped partition-directory layout is not implemented)"
-            )
         base = json.loads(df.schema.json())["fields"]
         mapped_fields = []
         for i, f in enumerate(base, start=1):
@@ -299,10 +294,15 @@ def write_delta_snapshot(
             "readerFeatures": ["columnMapping"],
             "writerFeatures": ["columnMapping"],
         }
-        df = df.withColumnsRenamed({
+        phys_of = {
             f["name"]: mf["metadata"]["delta.columnMapping.physicalName"]
             for f, mf in zip(base, mapped_fields)
-        })
+        }
+        df = df.withColumnsRenamed(phys_of)
+        # the spec keys the partition LAYOUT by physical name: directory
+        # names, metaData.partitionColumns, and add.partitionValues below
+        # (via _data_files) all carry the physical partition column
+        part_cols = [phys_of.get(c, c) for c in part_cols]
     writer = df.write.mode("error")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
@@ -713,15 +713,20 @@ def read_delta_snapshot(
     to the logical names, so renamed/dropped-column foreign tables (the
     other Databricks-default feature besides DVs) read correctly.
     ``skip_where`` columns are logical and are translated to physical for
-    the stats lookup. Mode ``'id'`` (parquet field-id resolution) is
-    refused loudly."""
+    the stats lookup. Mode ``'id'`` resolves data columns by parquet
+    FIELD ID (Spark's fieldId reader + ``parquet.field.id`` schema
+    metadata = ``delta.columnMapping.id``) — physical names may differ
+    per file and are ignored; only nested mapped structs still refuse."""
     table_dir = Path(path)
-    live, schema_string, _, _, state = _replay_log(
+    live, schema_string, part_cols, _, state = _replay_log(
         table_dir, version, return_state=True
     )
     config = dict((state.get("metadata") or {}).get("configuration") or {})
     schema_json = json.loads(schema_string)
-    renames = mapping_renames(schema_json, config)  # physical -> logical
+    mode = mapping_mode(config)
+    # stats (and partitionValues) are keyed by PHYSICAL name in BOTH
+    # mapping modes, so skip_where translation is mode-independent
+    renames = _physical_renames(schema_json) if mode != "none" else {}
     phys_of = {log: phys for phys, log in renames.items()}
     kept = sorted(live)
     if skip_where:
@@ -735,6 +740,21 @@ def read_delta_snapshot(
         ]
     from pyspark.sql.types import StructType
 
+    if mode == "id":
+        # id mode: resolve data columns by parquet field id (footers may
+        # store ANY physical names, differing per file); partition
+        # columns scan under their physical directory names and alias
+        # back. The conf only affects reads whose requested schema
+        # carries parquet.field.id metadata — every other scan in the
+        # session is untouched.
+        id_schema, aliases = field_id_scan_schema(schema_json, part_cols)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        df = _scan_adds(spark, table_dir, live, kept, id_schema)
+        from pyspark.sql import functions as F
+
+        return df.select(
+            *[F.col(scan).alias(log) for scan, log in aliases]
+        )
     if renames:
         phys_fields = [dict(f, name=phys_of.get(f["name"], f["name"]))
                        for f in schema_json["fields"]]
@@ -1141,21 +1161,26 @@ def _collect_staged_adds(
     return actions, n_files, total_rows
 
 
-def mapping_renames(schema_json: dict, config: dict) -> dict[str, str]:
-    """physical -> logical rename map when ``delta.columnMapping.mode`` is
-    ``name`` (empty when mapping is off). The single refusal surface for
-    the unsupported shapes — id mode, nested mapped structs — shared by
-    read_delta_snapshot, table_changes, and the evolution_delta source so
-    no reader can resolve columns differently from the others."""
-    mode = config.get("delta.columnMapping.mode", "none")
-    if mode in ("none", ""):
-        return {}
-    if mode != "name":
+def mapping_mode(config: dict) -> str:
+    """Resolved ``delta.columnMapping.mode``: ``'none'`` | ``'name'`` |
+    ``'id'``. Any other value is a protocol violation and refuses loudly —
+    reading under an unknown resolution rule would be silently wrong."""
+    mode = config.get("delta.columnMapping.mode", "none") or "none"
+    if mode not in ("none", "name", "id"):
         raise DeltaProtocolError(
-            f"delta.columnMapping.mode={mode!r} is not implemented (name "
-            "mode only) — refusing to read rather than resolving columns "
-            "wrong"
+            f"delta.columnMapping.mode={mode!r} is not a spec mode "
+            "(none/name/id) — refusing to read rather than resolving "
+            "columns wrong"
         )
+    return mode
+
+
+def _physical_renames(schema_json: dict) -> dict[str, str]:
+    """physical -> logical rename map from each field's
+    ``delta.columnMapping.physicalName`` metadata, shared by name AND id
+    mode (the spec requires writers to stamp physicalName in both modes;
+    stats and partitionValues are keyed by it regardless of mode). The
+    nested-struct refusal lives here so every mapped path shares it."""
     renames: dict[str, str] = {}
     for f in schema_json["fields"]:
         if "struct" in json.dumps(f["type"]):
@@ -1169,6 +1194,83 @@ def mapping_renames(schema_json: dict, config: dict) -> dict[str, str]:
         if phys != f["name"]:
             renames[phys] = f["name"]
     return renames
+
+
+def mapping_renames(schema_json: dict, config: dict) -> dict[str, str]:
+    """physical -> logical rename map when ``delta.columnMapping.mode`` is
+    ``name`` (empty when mapping is off). The shared refusal surface for
+    the unsupported shapes — nested mapped structs, and id mode on WRITE
+    paths (reads resolve id mode by parquet field id via
+    ``field_id_scan_schema``; writes into id-mode tables would need field
+    ids stamped into every footer, which this writer does not do yet) —
+    used by read_delta_snapshot, table_changes, and the evolution_delta
+    source so no path can resolve columns differently from the others."""
+    mode = mapping_mode(config)
+    if mode == "none":
+        return {}
+    if mode == "id":
+        raise DeltaProtocolError(
+            "delta.columnMapping.mode='id' is read-only in this engine "
+            "(field-id resolution via read_delta_snapshot/table_changes/"
+            "evolution_delta source); writing into an id-mode table is "
+            "not implemented — refusing rather than committing files "
+            "whose footers lack the field ids every id-mode reader needs"
+        )
+    return _physical_renames(schema_json)
+
+
+# StructField metadata key Spark's parquet reader uses to resolve columns
+# by field id when spark.sql.parquet.fieldId.read.enabled is on
+# (SPARK-38094 — the mechanism Delta id-mode resolution is defined
+# against: footers carry field ids equal to delta.columnMapping.id).
+FIELD_ID_METADATA_KEY = "parquet.field.id"
+
+
+def field_id_scan_schema(schema_json: dict, partition_columns: list[str]):
+    """Scan schema for an id-mode table: data fields keep their LOGICAL
+    names and carry ``parquet.field.id`` metadata equal to
+    ``delta.columnMapping.id``, so Spark's field-id reader resolves them
+    from the footers no matter what physical names each file stores (the
+    whole point of id mode: names may differ per file). Partition fields
+    are NOT in the footers — they resolve from directory names, which a
+    mapped writer lays out under PHYSICAL names — so they keep the
+    physical name in the scan schema and alias back afterwards.
+
+    Returns ``(scan_schema, select_aliases)`` where ``select_aliases`` is
+    the ordered list of ``(scan_name, logical_name)`` restoring the
+    declared column order. Caller must enable
+    ``spark.sql.parquet.fieldId.read.enabled`` on the session.
+    """
+    from pyspark.sql.types import StructType
+
+    _physical_renames(schema_json)  # shared nested-struct refusal
+    part_set = set(partition_columns or [])
+    scan_fields: list[dict] = []
+    aliases: list[tuple[str, str]] = []
+    for f in schema_json["fields"]:
+        meta = f.get("metadata") or {}
+        phys = meta.get("delta.columnMapping.physicalName", f["name"])
+        fid = meta.get("delta.columnMapping.id")
+        # metaData.partitionColumns is keyed by PHYSICAL name on mapped
+        # tables (same rule as add.partitionValues); match either name
+        # defensively so a writer that stored logical names still works
+        if phys in part_set or f["name"] in part_set:
+            scan_fields.append(
+                dict(f, name=phys, metadata={})
+            )
+            aliases.append((phys, f["name"]))
+            continue
+        if fid is None:
+            raise DeltaProtocolError(
+                f"id-mode table field {f['name']!r} has no "
+                "delta.columnMapping.id — cannot resolve by field id"
+            )
+        scan_fields.append(
+            dict(f, name=f["name"], metadata={FIELD_ID_METADATA_KEY: int(fid)})
+        )
+        aliases.append((f["name"], f["name"]))
+    schema = StructType.fromJson({"type": "struct", "fields": scan_fields})
+    return schema, aliases
 
 
 def table_changes(
@@ -1282,16 +1384,28 @@ def table_changes(
     _check_reader_protocol(state.get("protocol"))
     config = dict((state.get("metadata") or {}).get("configuration") or {})
     schema_json = json.loads(state["schema_string"])
-    renames = mapping_renames(schema_json, config)  # physical -> logical
-    phys_of = {log: phys for phys, log in renames.items()}
-    if renames:
-        scan_fields = [dict(f, name=phys_of.get(f["name"], f["name"]))
-                       for f in schema_json["fields"]]
-        scan_schema = StructType.fromJson(
-            {"type": "struct", "fields": scan_fields}
+    mode = mapping_mode(config)
+    if mode == "id":
+        # same field-id resolution as read_delta_snapshot: data columns
+        # by parquet.field.id (logical-named scan), partition columns by
+        # physical directory name, aliased back in out_cols below
+        scan_schema, id_aliases = field_id_scan_schema(
+            schema_json, state.get("part_cols") or []
         )
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        # out_cols() resolves via phys_of: map logical -> scan name
+        phys_of = {log: scan for scan, log in id_aliases}
     else:
-        scan_schema = StructType.fromJson(schema_json)
+        renames = mapping_renames(schema_json, config)  # physical -> logical
+        phys_of = {log: phys for phys, log in renames.items()}
+        if renames:
+            scan_fields = [dict(f, name=phys_of.get(f["name"], f["name"]))
+                           for f in schema_json["fields"]]
+            scan_schema = StructType.fromJson(
+                {"type": "struct", "fields": scan_fields}
+            )
+        else:
+            scan_schema = StructType.fromJson(schema_json)
     logical_names = [f["name"] for f in schema_json["fields"]]
 
     parts: list[DataFrame] = []
@@ -1451,9 +1565,28 @@ def _logical_scan(
     """``_scan_adds`` under column mapping: scan with the PHYSICAL schema
     (what the parquet files store) and rename back to logical — the
     projection keeps ``_metadata`` resolvable, so DML position scans work
-    on mapped tables. No-op when mapping is off."""
+    on mapped tables. Id mode resolves by parquet field id instead (same
+    rule as read_delta_snapshot). No-op when mapping is off."""
     from pyspark.sql.types import StructType
 
+    mode = mapping_mode(config)
+    if mode == "id":
+        # partition fields resolve by directory (physical) name: derive
+        # the physical partition keys from the live adds' partitionValues
+        part_keys = sorted(
+            {k for p in kept for k in (live[p].get("partitionValues") or {})}
+        )
+        id_schema, aliases = field_id_scan_schema(schema_json, part_keys)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        df = _scan_adds(
+            spark, table_dir, live, kept, id_schema, with_lineage=with_lineage
+        )
+        from pyspark.sql import functions as F
+
+        return df.select(
+            *[F.col(scan).alias(log) for scan, log in aliases],
+            *([F.col("__src_fp"), F.col("__src_ri")] if with_lineage else []),
+        )
     renames = mapping_renames(schema_json, config)  # physical -> logical
     if not renames:
         return _scan_adds(
@@ -2249,9 +2382,15 @@ def upgrade_delta_to_column_mapping(path: str) -> dict:
     upgrade touches no data) plus a stable ``delta.columnMapping.id``;
     the same commit upgrades the protocol to v3/v7 with the
     ``columnMapping`` feature. Idempotent: an already-mapped table
-    returns without a new commit. Partitioned tables are refused (this
-    engine keeps mapped tables unpartitioned; renaming a partition
-    column would also have to rewrite the directory layout)."""
+    returns without a new commit.
+
+    PARTITIONED tables upgrade too: the spec's upgrade rule (physical
+    name = current name) means the existing directory layout, the
+    ``partitionColumns`` list, and every add action's ``partitionValues``
+    keys are already the physical names — nothing on disk moves. What
+    stays refused is renaming/dropping the partition column itself
+    (``rename_delta_column``/``drop_delta_column`` guard it): that WOULD
+    require a directory-layout rewrite."""
     table_dir = Path(path)
     live, schema_string, part_cols, latest, repl_state = _replay_log(
         table_dir, return_state=True
@@ -2265,11 +2404,6 @@ def upgrade_delta_to_column_mapping(path: str) -> dict:
             f"table is in mapping mode "
             f"{config['delta.columnMapping.mode']!r}; only none->name "
             "upgrades are supported"
-        )
-    if part_cols:
-        raise ValueError(
-            "cannot enable column mapping on a partitioned table (mapped "
-            "partition-directory layout is not implemented)"
         )
     schema_json = json.loads(schema_string)
     new_fields = []
@@ -2319,6 +2453,17 @@ def upgrade_delta_to_column_mapping(path: str) -> dict:
     return {"version": version, "mode": "name"}
 
 
+def _physical_field_name(schema_json: dict, logical: str) -> str:
+    """The physicalName a field stores under (falls back to the logical
+    name for unmapped / upgraded-in-place fields)."""
+    for f in schema_json["fields"]:
+        if f["name"] == logical:
+            return (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", logical
+            )
+    return logical
+
+
 def rename_delta_column(path: str, old: str, new: str) -> dict:
     """RENAME COLUMN as a METADATA-ONLY commit (what column mapping
     exists for): the field's logical ``name`` changes, its
@@ -2336,11 +2481,18 @@ def rename_delta_column(path: str, old: str, new: str) -> dict:
     config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
     _require_name_mapping(config, "RENAME COLUMN")
     _refuse_constrained_column(config, old, "rename")
-    if old in part_cols:
-        raise ValueError(f"cannot rename partition column {old!r}")
+    schema_json = json.loads(schema_string)
+    # partitionColumns stores PHYSICAL names on mapped tables; guard by
+    # the field's physical name so fresh-created mapped tables (physical
+    # = col-<hex>) refuse partition-column renames too
+    if _physical_field_name(schema_json, old) in part_cols or old in part_cols:
+        raise ValueError(
+            f"cannot rename partition column {old!r} (the directory "
+            "layout is keyed by its physical name; a rename of any OTHER "
+            "column on this partitioned table is metadata-only)"
+        )
     if not new or new == old:
         raise ValueError(f"invalid new name {new!r}")
-    schema_json = json.loads(schema_string)
     names = {f["name"] for f in schema_json["fields"]}
     if old not in names:
         raise ValueError(f"column {old!r} not in schema {sorted(names)}")
@@ -2393,9 +2545,12 @@ def drop_delta_column(path: str, name: str) -> dict:
     config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
     _require_name_mapping(config, "DROP COLUMN")
     _refuse_constrained_column(config, name, "drop")
-    if name in part_cols:
-        raise ValueError(f"cannot drop partition column {name!r}")
     schema_json = json.loads(schema_string)
+    if _physical_field_name(schema_json, name) in part_cols or name in part_cols:
+        raise ValueError(
+            f"cannot drop partition column {name!r} (the directory "
+            "layout is keyed by its physical name)"
+        )
     names = [f["name"] for f in schema_json["fields"]]
     if name not in names:
         raise ValueError(f"column {name!r} not in schema {sorted(names)}")

@@ -65,21 +65,34 @@ class _FileSlice(InputPartition):
     hive partition values (stringly, with their column names), and the
     physical->logical rename map (column mapping)."""
 
-    def __init__(self, abs_path, dv_blob, partition_values, renames):
+    def __init__(self, abs_path, dv_blob, partition_values, renames,
+                 field_ids=None):
         self.abs_path = abs_path
         self.dv_blob = dv_blob
         self.partition_values = partition_values
         self.renames = renames
+        # id-mode tables: {parquet field id -> logical name}; executors
+        # resolve each file's columns from ITS OWN footer ids (physical
+        # names may differ per file — the point of id mode)
+        self.field_ids = field_ids
 
 
 def _plan_meta(table_path: str, version=None):
-    """Metadata-only plan: (live adds, logical schema_json, renames) —
-    one log replay, NO deletion-vector I/O (that happens per slice only
-    when slices are actually built). Column-mapping resolution and its
-    refusals come from delta_log.mapping_renames — the single shared
-    surface, so the source can never resolve columns differently from
-    read_delta_snapshot."""
-    from evolution_spark.io.delta_log import _replay_log, mapping_renames
+    """Metadata-only plan: (live adds, logical schema_json, renames,
+    field_ids) — one log replay, NO deletion-vector I/O (that happens per
+    slice only when slices are actually built). Column-mapping resolution
+    and its refusals come from delta_log's shared surface
+    (mapping_mode/_physical_renames/mapping_renames), so the source can
+    never resolve columns differently from read_delta_snapshot.
+    ``field_ids`` is None except in id mode, where it maps
+    ``delta.columnMapping.id`` -> logical name for per-file footer
+    resolution."""
+    from evolution_spark.io.delta_log import (
+        _physical_renames,
+        _replay_log,
+        mapping_mode,
+        mapping_renames,
+    )
 
     table_dir = Path(table_path)
     live, schema_string, _, _, state = _replay_log(
@@ -87,8 +100,24 @@ def _plan_meta(table_path: str, version=None):
     )
     config = dict((state.get("metadata") or {}).get("configuration") or {})
     schema_json = json.loads(schema_string)
+    if mapping_mode(config) == "id":
+        # physicalName renames still translate partitionValues keys (and
+        # act as a fallback for partition-only columns never in footers)
+        renames = _physical_renames(schema_json)
+        field_ids = {}
+        for f in schema_json["fields"]:
+            fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+            if fid is None:
+                from evolution_spark.io.delta_log import DeltaProtocolError
+
+                raise DeltaProtocolError(
+                    f"id-mode table field {f['name']!r} has no "
+                    "delta.columnMapping.id — cannot resolve by field id"
+                )
+            field_ids[int(fid)] = f["name"]
+        return live, schema_json, renames, field_ids
     renames = mapping_renames(schema_json, config)
-    return live, schema_json, renames
+    return live, schema_json, renames, None
 
 
 def _plan_slices(table_path: str, version=None):
@@ -96,15 +125,16 @@ def _plan_slices(table_path: str, version=None):
     [_FileSlice...], renames). Pure metadata work — no SparkSession
     needed."""
     table_dir = Path(table_path)
-    live, schema_json, renames = _plan_meta(table_path, version)
+    live, schema_json, renames, field_ids = _plan_meta(table_path, version)
     slices = [
-        _slice_of(table_dir, p, add, renames)
+        _slice_of(table_dir, p, add, renames, field_ids)
         for p, add in sorted(live.items())
     ]
     return StructType.fromJson(schema_json), slices, renames
 
 
-def _slice_of(table_dir: Path, stored_path: str, add: dict, renames) -> _FileSlice:
+def _slice_of(table_dir: Path, stored_path: str, add: dict, renames,
+              field_ids=None) -> _FileSlice:
     from urllib.parse import unquote
 
     from evolution_spark.io.deletion_vectors import (
@@ -118,11 +148,16 @@ def _slice_of(table_dir: Path, stored_path: str, add: dict, renames) -> _FileSli
         # re-serialize to the portable bitmap so the executor payload is
         # compact and self-contained (no file/offset chasing worker-side)
         blob = serialize_roaring64(read_dv_positions(dv, table_dir))
+    # mapped tables key partitionValues by PHYSICAL name (both modes);
+    # the executor looks them up by logical name
+    pv = {renames.get(k, k): v
+          for k, v in (add.get("partitionValues") or {}).items()}
     return _FileSlice(
         str((table_dir / unquote(stored_path)).resolve()),
         blob,
-        dict(add.get("partitionValues") or {}),
+        pv,
         dict(renames),
+        dict(field_ids) if field_ids else None,
     )
 
 
@@ -194,6 +229,14 @@ def _read_slice(slice_, logical_schema_json: str):
         deserialize_roaring64(slice_.dv_blob) if slice_.dv_blob is not None else None
     )
     pf = pq.ParquetFile(slice_.abs_path)
+    renames = dict(slice_.renames)
+    if getattr(slice_, "field_ids", None):
+        # id mode: THIS file's footer field ids are authoritative — the
+        # physical names may differ from every other file's
+        for fld in pf.schema_arrow:
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None and int(fid) in slice_.field_ids:
+                renames[fld.name] = slice_.field_ids[int(fid)]
     row_base = 0
     for batch in pf.iter_batches():
         n = batch.num_rows
@@ -207,7 +250,7 @@ def _read_slice(slice_, logical_schema_json: str):
         if batch.num_rows == 0:
             continue
         cols = {}
-        present = {slice_.renames.get(c, c): batch.column(i)
+        present = {renames.get(c, c): batch.column(i)
                    for i, c in enumerate(batch.schema.names)}
         for f in fields:
             name, typ = f["name"], f["type"]
@@ -289,7 +332,7 @@ class _StreamReader(DataSourceStreamReader):
         if self._max_versions is not None and self._max_versions < 1:
             raise ValueError("maxVersionsPerTrigger must be >= 1")
         self._last_end = None
-        _, schema_json, self.renames = _plan_meta(self.path)
+        _, schema_json, self.renames, self.field_ids = _plan_meta(self.path)
         self.schema_json = json.dumps(schema_json)
 
     def initialOffset(self):
@@ -332,7 +375,7 @@ class _StreamReader(DataSourceStreamReader):
             # correct on any history
             live, *_ = _replay_log(table_dir, hi)
             return [
-                _slice_of(table_dir, p, add, self.renames)
+                _slice_of(table_dir, p, add, self.renames, self.field_ids)
                 for p, add in sorted(live.items())
             ]
         live_before, *_ = (
@@ -391,7 +434,8 @@ class _StreamReader(DataSourceStreamReader):
                 # (upstream's at-least-once contract, never loss)
                 for add in adds:
                     out.append(
-                        _slice_of(table_dir, add["path"], add, self.renames)
+                        _slice_of(table_dir, add["path"], add, self.renames,
+                                  self.field_ids)
                     )
             for a in adds:
                 live_before[a["path"]] = a

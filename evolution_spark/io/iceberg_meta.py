@@ -766,6 +766,14 @@ class IcebergFormatError(RuntimeError):
     since round 6."""
 
 
+def _partition_record_key(part: dict) -> str:
+    """Canonical string key for a manifest entry's partition record, used
+    to match partition-SCOPED equality deletes to data files: both sides
+    go through this one encoding, so scoping can never drift on value
+    formatting (dates/decimals stringify identically)."""
+    return json.dumps(part, sort_keys=True, default=str)
+
+
 def read_iceberg_table(
     spark,
     path: str,
@@ -902,11 +910,13 @@ def read_iceberg_table(
 
     files: list[str] = []
     file_seq: dict[str, int] = {}  # decoded path -> data sequence number
+    file_part: dict[str, str] = {}  # decoded path -> canonical partition key
     file_sid: dict[str, int] = {}  # raw path -> manifest schema-id
     delete_files: list[str] = []
     delete_rows = 0
-    # (delete parquet, delete sequence, equality field-ids)
-    eq_deletes: list[tuple[str, int, list[int], int]] = []
+    # (delete parquet, delete sequence, equality field-ids, record count,
+    #  partition scope key or None for global)
+    eq_deletes: list[tuple[str, int, list[int], int, str | None]] = []
     from evolution_spark.io.scan_filters import plain_path
 
     for mf in _read_avro(Path(snapshot["manifest-list"])):
@@ -942,25 +952,25 @@ def read_iceberg_table(
                             "carries no equality_ids — malformed metadata"
                         )
                     part = dfile.get("partition") or {}
-                    # convention: an all-null partition record = GLOBAL
-                    # delete (what append_equality_deletes writes); real
-                    # values = partition-scoped, which we refuse. A
-                    # foreign delete scoped to the literal null partition
-                    # is indistinguishable in this encoding and is treated
-                    # as global (documented over-approximation).
-                    if any(v is not None for v in part.values()):
-                        # spec: a partition-scoped delete applies only to
-                        # that partition; applying it globally would
-                        # over-delete — refuse until scoping is modeled
-                        raise IcebergFormatError(
-                            f"equality delete file {dfile['file_path']} is "
-                            f"PARTITION-scoped ({part}); this reader applies "
-                            "global equality deletes only — refusing rather "
-                            "than over-deleting other partitions"
-                        )
+                    # spec scoping: a delete entry with REAL partition
+                    # values applies only to data files in that partition
+                    # (matched below via the same canonical record
+                    # encoding data files get); an all-null record is a
+                    # GLOBAL delete (what append_equality_deletes writes
+                    # without partition_scope). A foreign delete scoped to
+                    # the literal all-null partition is indistinguishable
+                    # in this encoding and is treated as global
+                    # (documented over-approximation: it can only
+                    # over-delete rows carrying the matching key values
+                    # in null partitions, never unrelated keys).
+                    scope = (
+                        _partition_record_key(part)
+                        if any(v is not None for v in part.values())
+                        else None
+                    )
                     eq_deletes.append(
                         (dfile["file_path"], seq, list(ids),
-                         int(dfile.get("record_count") or 0))
+                         int(dfile.get("record_count") or 0), scope)
                     )
                     continue
                 raise IcebergFormatError(
@@ -995,6 +1005,9 @@ def read_iceberg_table(
                     continue  # bounds prove no row can match
             files.append(dfile["file_path"])
             file_seq[plain_path(dfile["file_path"])] = seq
+            file_part[plain_path(dfile["file_path"])] = (
+                _partition_record_key(dfile.get("partition") or {})
+            )
             file_sid[dfile["file_path"]] = mf_sid
     ice_schema = want_ice_schema
     schema = spark_schema_of(ice_schema)
@@ -1129,8 +1142,10 @@ def read_iceberg_table(
         # file sequence via a broadcast (file -> seq) map, then anti-join
         # per distinct equality-column set with null-safe equality.
         name_of = {f["id"]: f["name"] for f in ice_schema["fields"]}
-        seq_rows = [(p, s) for p, s in file_seq.items()]
-        seq_df = spark.createDataFrame(seq_rows, "__eq_file string, __eq_seq long")
+        seq_rows = [(p, s, file_part.get(p)) for p, s in file_seq.items()]
+        seq_df = spark.createDataFrame(
+            seq_rows, "__eq_file string, __eq_seq long, __eq_part string"
+        )
         phys = df.withColumn(
             "__eq_fp", decoded_file_path(F.col("_metadata.file_path"))
         ).join(
@@ -1138,9 +1153,11 @@ def read_iceberg_table(
             F.col("__eq_fp") == seq_df["__eq_file"],
             "inner",
         )
-        by_ids: dict[tuple[int, ...], list[tuple[str, int, int]]] = {}
-        for dfp, dseq, ids, nrec in eq_deletes:
-            by_ids.setdefault(tuple(sorted(ids)), []).append((dfp, dseq, nrec))
+        by_ids: dict[tuple[int, ...], list[tuple[str, int, int, str | None]]] = {}
+        for dfp, dseq, ids, nrec, scope in eq_deletes:
+            by_ids.setdefault(tuple(sorted(ids)), []).append(
+                (dfp, dseq, nrec, scope)
+            )
         for ids, group in sorted(by_ids.items()):
             try:
                 cols = [name_of[i] for i in ids]
@@ -1150,20 +1167,32 @@ def read_iceberg_table(
                     "delete predates a schema this reader does not resolve"
                 ) from None
             dset = None
-            for dfp, dseq, _ in group:
+            for dfp, dseq, _, scope in group:
                 one = spark.read.parquet(dfp).select(
                     *[F.col(c).alias(f"__eqv_{c}") for c in cols]
-                ).withColumn("__eq_dseq", F.lit(dseq))
+                ).withColumns({
+                    "__eq_dseq": F.lit(dseq),
+                    # NULL scope = global delete; a real value restricts
+                    # the anti-join to data files whose canonical
+                    # partition record matches (the spec's scoping rule)
+                    "__eqd_part": F.lit(scope).cast("string"),
+                })
                 dset = one if dset is None else dset.unionByName(one)
-            cond = F.col("__eq_seq") < F.col("__eq_dseq")
+            cond = (
+                (F.col("__eq_seq") < F.col("__eq_dseq"))
+                & (
+                    F.col("__eqd_part").isNull()
+                    | (F.col("__eqd_part") == F.col("__eq_part"))
+                )
+            )
             for c in cols:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__eqv_{c}"))
             # build ~ delete-key count (manifest record_counts): broadcast
             # while small, like the position path; AQE plans it beyond
-            group_rows = sum(n for _, _, n in group)
+            group_rows = sum(n for _, _, n, _ in group)
             build = F.broadcast(dset) if group_rows <= 4_000_000 else dset
             phys = phys.join(build, cond, "left_anti")
-        df = phys.drop("__eq_fp", "__eq_seq", "__eq_file")
+        df = phys.drop("__eq_fp", "__eq_seq", "__eq_file", "__eq_part")
     # Spark surfaces hive-partition columns last; restore declared order
     return df.select(*out_names)
 
@@ -1501,7 +1530,10 @@ def iceberg_table_changes(
 
 
 def append_equality_deletes(
-    path: str, rows: list[dict], equality_cols: list[str]
+    path: str,
+    rows: list[dict],
+    equality_cols: list[str],
+    partition_scope: dict | None = None,
 ) -> dict:
     """Commit an EQUALITY-delete snapshot (Iceberg v2 merge-on-read, the
     second delete flavor): a parquet file holding the ``equality_cols``
@@ -1515,7 +1547,14 @@ def append_equality_deletes(
 
     ``rows``: ``[{col: value, ...}, ...]`` — the delete's key set, driver
     -sized by nature (it is the changed-key list an upsert materializes).
-    """
+
+    ``partition_scope``: ``{partition_field: value, ...}`` restricts the
+    delete to ONE partition (the spec's scoped form — the delete manifest
+    entry carries the real partition record instead of all-null, and the
+    scan applies the anti-join only to data files in that partition).
+    Keys must be exactly the default spec's partition field names. At
+    100 TB this is the shape to prefer: the scan proves disjoint
+    partitions untouched from metadata alone."""
     import pyarrow as pa
     import pyarrow.parquet as papq
 
@@ -1546,6 +1585,22 @@ def append_equality_deletes(
     spec_fields = next(
         s for s in metadata["partition-specs"] if s["spec-id"] == metadata["default-spec-id"]
     )["fields"]
+    if partition_scope is not None:
+        spec_names = {f["name"] for f in spec_fields}
+        if not spec_names:
+            raise ValueError(
+                "partition_scope given but the table is unpartitioned"
+            )
+        if set(partition_scope) != spec_names:
+            raise ValueError(
+                f"partition_scope keys {sorted(partition_scope)} must be "
+                f"exactly the partition fields {sorted(spec_names)}"
+            )
+        if all(v is None for v in partition_scope.values()):
+            raise ValueError(
+                "partition_scope values are all null — that encodes a "
+                "GLOBAL delete; omit partition_scope instead"
+            )
     seq = metadata["last-sequence-number"] + 1
     snapshot_id = uuid.uuid4().int % (1 << 62)
     now_ms = int(time.time() * 1000)
@@ -1592,7 +1647,10 @@ def append_equality_deletes(
             "content": 2,  # EQUALITY DELETES
             "file_path": str(del_path),
             "file_format": "PARQUET",
-            "partition": {f["name"]: None for f in spec_fields},
+            "partition": {
+                f["name"]: (partition_scope or {}).get(f["name"])
+                for f in spec_fields
+            },
             "record_count": len(rows),
             "file_size_in_bytes": del_path.stat().st_size,
             "equality_ids": [by_name[c]["id"] for c in equality_cols],

@@ -2187,3 +2187,234 @@ def delta_shallow_clone(spark, sf_dir):
     # the DML stayed in the clone: the source still holds every row
     assert read_delta_snapshot(spark, src).count() == c.count()
     return before.unionByName(evolved)
+
+
+@query(
+    "delta_id_mode_read",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def delta_id_mode_read(spark, sf_dir):
+    """READ a Delta table in column-mapping **id** mode (reader v2 /
+    ``delta.columnMapping.mode='id'``): resolution is by parquet FIELD ID
+    (``delta.columnMapping.id`` == footer field id), not by name — the
+    spec shape UniForm/converted tables produce, where different files
+    store DIFFERENT physical column names for the same logical column.
+
+    The fixture is deliberately adversarial: two file batches whose
+    physical data-column names disagree (``col-even-*`` vs ``col-odd-*``),
+    hive-partitioned under the PHYSICAL partition directory name; a
+    name-resolving reader would surface half the table as null. The read
+    goes through ``read_delta_snapshot``'s field-id branch (Spark's
+    ``spark.sql.parquet.fieldId.read.enabled`` + ``parquet.field.id``
+    schema metadata — the public SPARK-38094 mechanism), partition dirs
+    alias back to the logical name, and the aggregate hash-checks every
+    column against the source table. Reference parity: the reference's
+    Delta target is ``todo!()`` (examples/delta/src/main.rs:28-30); this
+    is native capability beyond it."""
+    import json
+    import os
+    import uuid
+    from pathlib import Path
+
+    from evolution_spark.io.delta_log import read_delta_snapshot
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    tmp = Path(query_tmp("deltaidmode", sf_dir))
+    tmp.mkdir(parents=True, exist_ok=True)
+    phys_seg = "col-seg-9af1"
+    fid = {"c_custkey": 1, "c_acctbal": 2}
+    adds = []
+    for tag, pred in (("even", "c_custkey % 2 = 0"), ("odd", "c_custkey % 2 = 1")):
+        # per-batch physical names DIFFER; only the field ids agree
+        out = c.where(pred).select(
+            F.col("c_custkey").alias(f"col-{tag}-key"),
+            F.col("c_acctbal").alias(f"col-{tag}-bal"),
+            F.col("c_mktsegment").alias(phys_seg),
+        )
+        out = out.withMetadata(f"col-{tag}-key", {"parquet.field.id": 1})
+        out = out.withMetadata(f"col-{tag}-bal", {"parquet.field.id": 2})
+        stage = tmp / f"_stage_{tag}"
+        out.repartition(2).write.partitionBy(phys_seg).mode(
+            "overwrite"
+        ).parquet(str(stage))
+        for src in sorted(stage.rglob("*.parquet")):
+            seg_dir = src.parent.name  # 'col-seg-9af1=BUILDING'
+            seg_val = seg_dir.partition("=")[2]
+            dest_dir = tmp / seg_dir
+            dest_dir.mkdir(exist_ok=True)
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            os.replace(src, dest_dir / name)
+            adds.append({"add": {
+                "path": f"{seg_dir}/{name}",
+                "partitionValues": {phys_seg: seg_val},
+                "size": (dest_dir / name).stat().st_size,
+                "modificationTime": 0, "dataChange": True,
+            }})
+    types = {"c_custkey": "long", "c_acctbal": "double",
+             "c_mktsegment": "string"}
+    phys_meta = {"c_custkey": "col-even-key", "c_acctbal": "col-even-bal",
+                 "c_mktsegment": phys_seg}
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": n, "type": types[n], "nullable": True,
+             "metadata": {
+                 "delta.columnMapping.id": fid.get(n, 3),
+                 "delta.columnMapping.physicalName": phys_meta[n]}}
+            for n in c.columns
+        ],
+    })
+    v0 = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"],
+                      "writerFeatures": ["columnMapping"]}},
+        {"metaData": {"id": str(uuid.uuid4()),
+                      "format": {"provider": "parquet"},
+                      "schemaString": schema_string,
+                      "partitionColumns": [phys_seg],
+                      "configuration": {"delta.columnMapping.mode": "id"},
+                      "createdTime": 0}},
+    ] + adds
+    log = tmp / "_delta_log"
+    log.mkdir(exist_ok=True)
+    (log / f"{0:020d}.json").write_text(
+        "".join(json.dumps(a) + "\n" for a in v0)
+    )
+    back = read_delta_snapshot(spark, str(tmp))
+    return back.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "bal_cents"
+        ),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+@query(
+    "delta_partitioned_rename_lifecycle",
+    oracle="""
+    SELECT 'v0' AS state, c_mktsegment AS segment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'renamed_deleted' AS state, c_mktsegment AS segment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM customer WHERE c_custkey % 10 <> 0 GROUP BY c_mktsegment
+    """,
+)
+def delta_partitioned_rename_lifecycle(spark, sf_dir):
+    """RENAME COLUMN on a PARTITIONED Delta table (round-8 capability —
+    previously the mapping upgrade refused partitioned tables entirely):
+    write customer hive-partitioned by segment, upgrade to name-mode
+    column mapping (metadata-only: physical name = current name, so the
+    existing directory layout and partitionValues keys are already the
+    physical names), RENAME the balance column, then run partition-aware
+    DML (DELETE) on the mapped table. Leg 'v0' time-travels to the
+    pre-rename version (old column name, all rows); leg 'renamed_deleted'
+    reads the final state through the mapping. The partition column
+    itself stays rename-refused (directory layout is keyed by its
+    physical name) — asserted inline."""
+    from evolution_spark.io.delta_log import (
+        delete_delta_rows,
+        read_delta_snapshot,
+        rename_delta_column,
+        upgrade_delta_to_column_mapping,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    path = query_tmp("deltapartmap", sf_dir)
+    write_delta_snapshot(c, path, partition_by=["c_mktsegment"])
+    upgrade_delta_to_column_mapping(path)
+    rename_delta_column(path, "c_acctbal", "bal")
+    try:
+        rename_delta_column(path, "c_mktsegment", "segment")
+        raise AssertionError("partition-column rename must refuse")
+    except ValueError:
+        pass
+    delete_delta_rows(spark, path, "c_custkey % 10 = 0")
+
+    v0 = read_delta_snapshot(spark, path, version=0)
+    leg0 = v0.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "bal_cents"
+        ),
+    ).select(F.lit("v0").alias("state"), "segment", "n_rows", "bal_cents")
+    cur = read_delta_snapshot(spark, path)
+    leg1 = cur.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("bal") * 100).cast("bigint")).alias("bal_cents"),
+    ).select(
+        F.lit("renamed_deleted").alias("state"), "segment", "n_rows",
+        "bal_cents",
+    )
+    return leg0.unionByName(leg1)
+
+
+@query(
+    "iceberg_scoped_equality_delete",
+    oracle="""
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_alive,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer
+    WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0)
+      AND c_custkey % 23 <> 0
+    GROUP BY c_mktsegment
+    """,
+)
+def iceberg_scoped_equality_delete(spark, sf_dir):
+    """PARTITION-SCOPED Iceberg equality deletes (round-8 capability —
+    previously any real partition record in a delete entry refused): the
+    customer table lands hive-partitioned by segment; a SCOPED delete
+    drops every 7th key ONLY inside the BUILDING partition (the delete
+    manifest entry carries the real partition record, and the scan
+    restricts the anti-join to data files whose canonical partition
+    record matches); a GLOBAL delete then drops every 23rd key
+    everywhere. The oracle encodes exactly that survivor set — an
+    over-applied scoped delete (the old refusal's failure mode) kills
+    the hash because the same key values exist in every other segment."""
+    from evolution_spark.io.iceberg_meta import (
+        append_equality_deletes,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    tmp = query_tmp("icescoped", sf_dir)
+    write_iceberg_table(c, tmp, partition_by=["c_mktsegment"])
+    keys = [
+        int(r.c_custkey)
+        for r in c.where(F.col("c_custkey") % 7 == 0).collect()
+    ]
+    append_equality_deletes(
+        tmp, [{"c_custkey": k} for k in keys], ["c_custkey"],
+        partition_scope={"c_mktsegment": "BUILDING"},
+    )
+    gkeys = [
+        int(r.c_custkey)
+        for r in c.where(F.col("c_custkey") % 23 == 0).collect()
+    ]
+    append_equality_deletes(tmp, [{"c_custkey": k} for k in gkeys], ["c_custkey"])
+    back = read_iceberg_table(spark, tmp)
+    return back.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_alive"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+    )

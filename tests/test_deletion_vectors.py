@@ -504,8 +504,17 @@ def test_column_mapping_id_mode_and_writes_refused(spark, tmp_path):
     meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
     lines[1] = json.dumps(meta)
     (log / f"{0:020d}.json").write_text("\n".join(lines) + "\n")
-    with pytest.raises(DeltaProtocolError, match="columnMapping.mode='id'"):
-        read_delta_snapshot(spark, str(table))
+    # id-mode READS are supported (field-id resolution,
+    # tests/test_delta_id_mode.py); WRITES into id-mode tables refuse —
+    # this writer does not stamp footer field ids
+    with pytest.raises(DeltaProtocolError, match="read-only"):
+        commit_delta(
+            spark.range(1).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            str(table),
+            mode="append",
+        )
     # writes to name-mode column-mapped tables are SUPPORTED: the append
     # lands under PHYSICAL names so every mapped reader resolves it
     meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "name"

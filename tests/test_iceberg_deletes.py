@@ -594,3 +594,71 @@ def test_iceberg_bounds_codec_roundtrip():
     days = (d - datetime.date(1970, 1, 1)).days
     assert _decode_bound("date", _encode_bound("date", d)) == days
     assert _encode_bound("binary", b"x") is None  # unsupported: no bounds
+
+
+def test_partition_scoped_equality_deletes(spark, tmp_path):
+    """Round-8: a partition-SCOPED equality delete (real values in the
+    delete entry's partition record) applies ONLY to data files in that
+    partition — the same key value in every other partition survives (the
+    over-delete regression the old refusal guarded against), and the
+    strict-sequence rule still lets re-appends into the scoped partition
+    survive."""
+    from evolution_spark.io.iceberg_meta import append_equality_deletes
+
+    path = str(tmp_path / "eqscoped")
+    # k repeats across partitions: k in 0..9, seg in (a, b)
+    df = spark.range(20).select(
+        (F.col("id") % 10).alias("k"),
+        F.when(F.col("id") < 10, "a").otherwise("b").alias("seg"),
+        (F.col("id") * 10).alias("v"),
+    )
+    write_iceberg_table(df, path, partition_by=["seg"])
+    append_equality_deletes(
+        path, [{"k": 3}, {"k": 7}], ["k"], partition_scope={"seg": "a"}
+    )
+    got = {(r.k, r.seg) for r in read_iceberg_table(spark, path).collect()}
+    # scoped partition loses the keys; the OTHER partition keeps them
+    assert (3, "a") not in got and (7, "a") not in got
+    assert (3, "b") in got and (7, "b") in got
+    assert len(got) == 18
+
+    # re-append k=3 INTO the scoped partition after the delete: newer
+    # sequence -> survives (spec sequence rule composes with scoping)
+    append_iceberg_snapshot(
+        spark.createDataFrame([(3, "a", 999)], "k long, seg string, v long"),
+        path,
+    )
+    got = {(r.k, r.seg, r.v) for r in read_iceberg_table(spark, path).collect()}
+    assert (3, "a", 999) in got
+    assert len(got) == 19
+
+    # a global delete still hits every partition
+    append_equality_deletes(path, [{"k": 5}], ["k"])
+    got = {(r.k, r.seg) for r in read_iceberg_table(spark, path).collect()}
+    assert (5, "a") not in got and (5, "b") not in got
+
+
+def test_partition_scope_validation(spark, tmp_path):
+    from evolution_spark.io.iceberg_meta import append_equality_deletes
+
+    part = str(tmp_path / "eqval_part")
+    df = spark.range(6).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("seg"),
+    )
+    write_iceberg_table(df, part, partition_by=["seg"])
+    with pytest.raises(ValueError, match="exactly the partition fields"):
+        append_equality_deletes(
+            part, [{"k": 1}], ["k"], partition_scope={"nope": "a"}
+        )
+    with pytest.raises(ValueError, match="all null"):
+        append_equality_deletes(
+            part, [{"k": 1}], ["k"], partition_scope={"seg": None}
+        )
+
+    flat = str(tmp_path / "eqval_flat")
+    write_iceberg_table(spark.range(3).select(F.col("id").alias("k")), flat)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        append_equality_deletes(
+            flat, [{"k": 1}], ["k"], partition_scope={"seg": "a"}
+        )

@@ -704,3 +704,107 @@ def test_iceberg_update_keeps_total_records_honest(spark, tmp_path):
                if s["snapshot-id"] == md["current-snapshot-id"])
     assert int(cur["summary"]["total-records"]) == 100
     assert read_iceberg_table(spark, path).count() == 100
+
+
+def test_partitioned_upgrade_rename_lifecycle(spark, tmp_path):
+    """Round-8: RENAME of a NON-partition column on a PARTITIONED table —
+    the upgrade keeps physical name == current name, so the directory
+    layout / partitionColumns / partitionValues stay untouched and every
+    mapped read resolves through them."""
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        delete_delta_rows,
+        optimize_delta,
+        read_delta_snapshot,
+        rename_delta_column,
+        upgrade_delta_to_column_mapping,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "partmap")
+    df0 = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("seg"),
+    )
+    write_delta_snapshot(df0, path, partition_by=["seg"])
+    up = upgrade_delta_to_column_mapping(path)
+    assert up["mode"] == "name"
+    rename_delta_column(path, "v", "val")
+
+    back = read_delta_snapshot(spark, path)
+    assert back.columns == ["k", "val", "seg"]
+    assert sorted((r.k, r.val, r.seg) for r in back.collect()) == sorted(
+        (i, i * 10, "a" if i % 2 == 0 else "b") for i in range(20)
+    )
+    # time travel to the pre-rename version sees the old name
+    old = read_delta_snapshot(spark, path, version=0)
+    assert old.columns == ["k", "v", "seg"]
+
+    # appends land under physical names + physical partition dirs
+    extra = spark.range(20, 25).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val"),
+        F.lit("c").alias("seg"),
+    )
+    commit_delta(extra, path, mode="append")
+    assert read_delta_snapshot(spark, path).count() == 25
+
+    # partition-scoped maintenance + DML still work on the mapped table
+    optimize_delta(spark, path)
+    assert read_delta_snapshot(spark, path).count() == 25
+    delete_delta_rows(spark, path, "k >= 22")
+    final = read_delta_snapshot(spark, path)
+    assert final.count() == 22
+    assert final.where(F.col("seg") == "c").count() == 2
+
+    # renaming / dropping the PARTITION column stays refused
+    import pytest as _pytest
+
+    from evolution_spark.io.delta_log import drop_delta_column
+
+    with _pytest.raises(ValueError, match="partition column"):
+        rename_delta_column(path, "seg", "segment")
+    with _pytest.raises(ValueError, match="partition column"):
+        drop_delta_column(path, "seg")
+
+
+def test_fresh_create_partitioned_mapped_table(spark, tmp_path):
+    """column_mapping=True + partition_by: directory names, the
+    partitionColumns list, and partitionValues keys all use the PHYSICAL
+    (col-<hex>) partition name — and the read aliases back."""
+    import json as _json
+
+    from evolution_spark.io.delta_log import (
+        read_delta_snapshot,
+        rename_delta_column,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "freshmap")
+    df0 = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "x").otherwise("y").alias("seg"),
+    )
+    write_delta_snapshot(df0, path, partition_by=["seg"], column_mapping=True)
+    # layout is keyed by the physical name
+    commit0 = (tmp_path / "freshmap" / "_delta_log" / f"{0:020d}.json").read_text()
+    meta = next(
+        _json.loads(l)["metaData"] for l in commit0.splitlines()
+        if "metaData" in l
+    )
+    phys_seg = meta["partitionColumns"][0]
+    assert phys_seg.startswith("col-")
+    assert any(p.name.startswith(f"{phys_seg}=")
+               for p in (tmp_path / "freshmap").iterdir() if p.is_dir())
+    back = read_delta_snapshot(spark, path)
+    assert back.columns == ["k", "seg"]
+    assert sorted((r.k, r.seg) for r in back.collect()) == sorted(
+        (i, "x" if i % 2 == 0 else "y") for i in range(10)
+    )
+    # the partition column guard works through the physical name
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition column"):
+        rename_delta_column(path, "seg", "segment")
+    # non-partition renames stay metadata-only
+    rename_delta_column(path, "k", "key")
+    assert read_delta_snapshot(spark, path).columns == ["key", "seg"]
