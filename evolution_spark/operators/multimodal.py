@@ -395,12 +395,13 @@ def resample_wav(payload: bytes, target_rate: int) -> bytes:
 def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Decode a media payload to a flat float32 sample array.
 
-    REAL for 24-bit BMP, 8-bit PNG, BASELINE JPEG, and 16-bit PCM WAV
-    (pure-numpy decoders in this module, dispatched on magic bytes).
-    ``fake=True`` forces the deterministic fake decoder regardless of
-    format (the test/CI path). Remaining gaps (progressive JPEG, video
-    containers) need PIL/av, none of which exist in this container, and
-    raise ``NotImplementedError``."""
+    REAL for 24-bit BMP, 8-bit PNG, BASELINE + PROGRESSIVE JPEG, and
+    16-bit PCM WAV (pure-numpy decoders in this module, dispatched on
+    magic bytes; ``decode_jpeg`` routes SOF2 to the Annex G progressive
+    path). ``fake=True`` forces the deterministic fake decoder regardless
+    of format (the test/CI path). Remaining gaps (arithmetic-coded JPEG,
+    video containers) need PIL/av, none of which exist in this container,
+    and raise ``NotImplementedError``."""
     if fake:
         return _fake_decode(payload)
     if payload[:2] == b"BM":
@@ -1019,12 +1020,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c: 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:  # SOF2: progressive DCT — dedicated decoder
+            return _decode_progressive_jpeg(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG mode SOF{marker - 0xC0} — baseline "
-                "sequential (SOF0) only; progressive/arithmetic/"
-                "hierarchical scans refuse rather than mis-decode"
+                "sequential (SOF0) and progressive (SOF2) only; "
+                "arithmetic-coded/hierarchical scans refuse rather than "
+                "mis-decode"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
@@ -1143,3 +1147,512 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Progressive JPEG (SOF2, ITU-T T.81 Annex G): real scraped corpora are
+# 10-30% progressive, so the baseline-only decoder dead-ended a large
+# slice of any web-crawl image column. Spectral selection + successive
+# approximation both decode; the encoder below emits a libjpeg-style
+# multi-scan script so every decoder path (DC first/refine, AC first with
+# EOB runs, AC refinement with correction bits) has a hermetic fixture.
+# --------------------------------------------------------------------------
+
+
+def _jpeg_split_intervals(entropy: bytes) -> list[bytes]:
+    """Split an entropy-coded segment on restart markers and unstuff
+    0xFF00 (shared by the baseline and progressive decoders)."""
+    intervals = []
+    cur = bytearray()
+    i = 0
+    while i < len(entropy):
+        if entropy[i] == 0xFF and i + 1 < len(entropy):
+            nxt = entropy[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(entropy[i])
+        i += 1
+    intervals.append(bytes(cur))
+    return intervals
+
+
+def _decode_progressive_jpeg(payload: bytes) -> np.ndarray:
+    """Progressive JPEG decoder (T.81 Annex G, Huffman entropy coding):
+    coefficients accumulate across scans — DC first (point-transformed
+    diffs) and refinement (one bit per block), AC first per spectral band
+    with EOB runs, AC refinement with correction bits — then one
+    vectorized dequantize + IDCT + upsample + YCbCr->RGB pass
+    reconstructs the image. Matches the baseline decoder's output exactly
+    for the same quantized coefficients (progressive is a transmission
+    reordering, not a different codec)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    height = width = None
+    restart_interval = 0
+    scans = []  # (scan_comps, ss, se, ah, al, tables, ri, entropy)
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        size = int.from_bytes(payload[pos + 2: pos + 4], "big")
+        body = payload[pos + 4: pos + 2 + size]
+        pos += 2 + size
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if pq == 0:
+                    vals = np.frombuffer(body[i:i + 64], dtype=np.uint8).astype(np.int64)
+                    i += 64
+                else:
+                    vals = np.frombuffer(body[i:i + 128], dtype=">u2").astype(np.int64)
+                    i += 128
+                qt = np.zeros(64, dtype=np.int64)
+                qt[_JPEG_ZIGZAG] = vals
+                qts[tq] = qt.reshape(8, 8)
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1: i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17: i + 17 + n])
+                i += 17 + n
+                table = {}
+                code = 0
+                idx = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[idx]
+                        code += 1
+                        idx += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xC2:
+            if body[0] != 8:
+                raise ValueError(f"unsupported JPEG precision {body[0]} (8-bit only)")
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c: 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan_comps.append((cs, tt >> 4, tt & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            i = pos
+            while i + 1 < len(payload):
+                if payload[i] == 0xFF and payload[i + 1] not in (0x00,) \
+                        and not (0xD0 <= payload[i + 1] <= 0xD7):
+                    break
+                i += 1
+            entropy = payload[pos:i]
+            pos = i
+            # DHT may be redefined between scans: snapshot the tables in
+            # force for THIS scan
+            scans.append((
+                scan_comps, ss, se, ah, al,
+                {k: dict(v) for k, v in huff.items()},
+                restart_interval, entropy,
+            ))
+        # other markers (APPn, COM) skipped
+    if comps is None or not scans:
+        raise ValueError("progressive JPEG payload missing SOF2/SOS")
+
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+    # coefficient accumulators in ZIGZAG order, padded to the interleaved
+    # MCU grid (non-interleaved scans cover a <= prefix of it)
+    coef = {
+        cid: np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int64)
+        for cid, ch, cv, tq in comps
+    }
+
+    for scan_comps, ss, se, ah, al, tables, ri, entropy in scans:
+        intervals = _jpeg_split_intervals(entropy)
+        interval_idx = 0
+        br = _JpegBitReader(intervals[0])
+        pred = {cid: 0 for cid, _, _ in scan_comps}
+        eobrun = 0
+
+        def _restart():
+            nonlocal interval_idx, br, pred, eobrun
+            interval_idx += 1
+            if interval_idx >= len(intervals):
+                raise ValueError("JPEG entropy stream ends before all units")
+            br = _JpegBitReader(intervals[interval_idx])
+            pred = {cid: 0 for cid, _, _ in scan_comps}
+            eobrun = 0
+
+        def _dc_unit(cs, td, bby, bbx):
+            nonlocal eobrun
+            c = coef[cs]
+            if ah == 0:
+                s = _jpeg_decode_symbol(br, tables[(0, td)])
+                diff = _jpeg_extend(br.read_bits(s), s) if s else 0
+                pred[cs] += diff
+                c[bby, bbx, 0] = pred[cs] << al
+            else:
+                # refinement: one bit appends the next lower DC bit
+                if br.read_bit():
+                    c[bby, bbx, 0] |= 1 << al
+
+        def _ac_first(cs, ta, bby, bbx):
+            nonlocal eobrun
+            c = coef[cs][bby, bbx]
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _jpeg_decode_symbol(br, tables[(1, ta)])
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC index overflow (corrupt scan)")
+                c[k] = _jpeg_extend(br.read_bits(s), s) << al
+                k += 1
+
+        def _ac_refine(cs, ta, bby, bbx):
+            nonlocal eobrun
+            c = coef[cs][bby, bbx]
+            p1 = 1 << al
+            m1 = -p1
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _jpeg_decode_symbol(br, tables[(1, ta)])
+                    r, s = rs >> 4, rs & 0xF
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        # r == 15: skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "AC refinement symbol with size != 1 "
+                                "(corrupt scan)"
+                            )
+                        val = p1 if br.read_bit() else m1
+                    while k <= se:
+                        if c[k] != 0:
+                            # correction bit for an already-nonzero coef
+                            if br.read_bit() and not (c[k] & p1):
+                                c[k] += p1 if c[k] >= 0 else m1
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if val and k <= se:
+                        c[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if c[k] != 0:
+                        if br.read_bit() and not (c[k] & p1):
+                            c[k] += p1 if c[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+        if len(scan_comps) > 1 or (ss == 0 and len(scan_comps) == len(comps)):
+            # interleaved scan: per the spec only DC scans interleave
+            if ss != 0 or se != 0:
+                raise ValueError(
+                    "interleaved progressive scan with a non-DC band "
+                    "(corrupt scan header)"
+                )
+            unit = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if ri and unit and unit % ri == 0:
+                        _restart()
+                    unit += 1
+                    for cs, td, _ in scan_comps:
+                        ch, cv, _ = by_id[cs]
+                        for v in range(cv):
+                            for hh in range(ch):
+                                _dc_unit(cs, td, my * cv + v, mx * ch + hh)
+        else:
+            cs, td, ta = scan_comps[0]
+            ch, cv, _ = by_id[cs]
+            # non-interleaved geometry: the component's OWN block grid
+            # (ceil of its sampling-scaled dimensions), NOT the padded
+            # interleaved MCU grid
+            comp_w = -(-width * ch // hmax)
+            comp_h = -(-height * cv // vmax)
+            bx = -(-comp_w // 8)
+            by_n = -(-comp_h // 8)
+            unit = 0
+            for bby in range(by_n):
+                for bbx in range(bx):
+                    if ri and unit and unit % ri == 0:
+                        _restart()
+                    unit += 1
+                    if ss == 0:
+                        if se != 0:
+                            raise ValueError(
+                                "progressive scan mixing DC and AC bands "
+                                "(corrupt scan header)"
+                            )
+                        _dc_unit(cs, td, bby, bbx)
+                    elif ah == 0:
+                        _ac_first(cs, ta, bby, bbx)
+                    else:
+                        _ac_refine(cs, ta, bby, bbx)
+
+    # one vectorized reconstruction pass: dequantize (natural order),
+    # IDCT every block, assemble planes, upsample, color-convert
+    dct = _jpeg_dct_matrix()
+    out_planes = []
+    for cid, ch, cv, tq in comps:
+        zz = coef[cid]
+        nby, nbx, _ = zz.shape
+        nat = np.zeros_like(zz, dtype=np.float64)
+        nat[..., _JPEG_ZIGZAG] = zz
+        nat *= qts[tq].reshape(1, 1, 64)
+        blocks = nat.reshape(nby, nbx, 8, 8)
+        spatial = np.einsum("ji,yxjk,kl->yxil", dct, blocks, dct) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+        )
+        out_planes.append(plane[:height, :width])
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 50) -> bytes:
+    """Encode a uint8 array as a PROGRESSIVE JPEG (SOF2, 4:4:4, Annex K
+    tables) with a libjpeg-style scan script that exercises every
+    progressive path: DC first (Al=1) -> AC first per component in two
+    spectral bands (1-5 then 6-63, Al=1) -> DC refinement (Ah=1) -> AC
+    refinement per component (full band, Ah=1->Al=0, correction bits +
+    newly-significant insertions). The quantized coefficients are
+    IDENTICAL to ``encode_jpeg`` at the same quality, so
+    ``decode_jpeg(progressive) == decode_jpeg(baseline)`` exactly — the
+    hermetic oracle the tests pin."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if not gray and px.shape[2] != 3:
+        raise ValueError("encode_jpeg_progressive takes (h, w) gray or (h, w, 3) RGB")
+    if gray:
+        planes = [px.astype(np.float64)]
+    else:
+        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    qts = [_jpeg_scaled_qt(_JPEG_QT_LUM, quality)]
+    if not gray:
+        qts.append(_jpeg_scaled_qt(_JPEG_QT_CHR, quality))
+    dct = _jpeg_dct_matrix()
+    mcus_y, mcus_x = -(-h // 8), -(-w // 8)
+
+    # quantized zigzag coefficients per component (same front-end as the
+    # baseline encoder: identical coefficients, different transmission)
+    zzs = []
+    for ci, plane in enumerate(planes):
+        t = 0 if ci == 0 else 1
+        padded = np.full((mcus_y * 8, mcus_x * 8), 128.0)
+        padded[:h, :w] = plane
+        # edge replication, matching encode_jpeg's partial-block policy
+        if h < mcus_y * 8:
+            padded[h:, :w] = plane[h - 1, :]
+        if w < mcus_x * 8:
+            padded[:, w:] = padded[:, w - 1][:, None]
+        blocks = padded.reshape(mcus_y, 8, mcus_x, 8).transpose(0, 2, 1, 3)
+        coefs = np.einsum("ij,yxjk,lk->yxil", dct, blocks - 128.0, dct)
+        q = np.round(coefs / qts[t].reshape(1, 1, 8, 8)).astype(np.int64)
+        zzs.append(q.reshape(mcus_y, mcus_x, 64)[..., _JPEG_ZIGZAG])
+    enc_dc = [_jpeg_canonical_codes(*_JPEG_HT[("dc", 0)]),
+              _jpeg_canonical_codes(*_JPEG_HT[("dc", 1)])]
+    enc_ac = [_jpeg_canonical_codes(*_JPEG_HT[("ac", 0)]),
+              _jpeg_canonical_codes(*_JPEG_HT[("ac", 1)])]
+    ncomp = len(planes)
+
+    def dc_first_scan(al: int) -> bytes:
+        bw = _JpegBitWriter()
+        pred = [0] * ncomp
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    t = 0 if ci == 0 else 1
+                    dc = int(zzs[ci][my, mx, 0]) >> al  # arithmetic shift
+                    diff = dc - pred[ci]
+                    pred[ci] = dc
+                    s, bits = _jpeg_magnitude(diff)
+                    code, ln = enc_dc[t][s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(bits, s)
+        return bw.flush()
+
+    def dc_refine_scan(al: int) -> bytes:
+        bw = _JpegBitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    bw.write((int(zzs[ci][my, mx, 0]) >> al) & 1, 1)
+        return bw.flush()
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        t = 0 if ci == 0 else 1
+        bw = _JpegBitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                zz = zzs[ci][my, mx]
+                run = 0
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    # AC point transform truncates toward ZERO (T.81
+                    # G.1.1.1) — NOT an arithmetic shift
+                    v = -((-v) >> al) if v < 0 else v >> al
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = enc_ac[t][0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s, bits = _jpeg_magnitude(v)
+                    code, ln = enc_ac[t][(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(bits, s)
+                    run = 0
+                if run > 0:
+                    code, ln = enc_ac[t][0x00]  # EOB (run length 1)
+                    bw.write(code, ln)
+        return bw.flush()
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        # T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine shape: newly
+        # significant coefficients emit (run-of-zero-history, size 1) +
+        # sign, already-significant ones buffer a correction bit that
+        # flushes after the next Huffman symbol
+        t = 0 if ci == 0 else 1
+        bw = _JpegBitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                zz = zzs[ci][my, mx]
+                absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                eob_pos = -1
+                for i, a in enumerate(absv):
+                    if a == 1:
+                        eob_pos = i
+                run = 0
+                pending: list[int] = []
+                for i, a in enumerate(absv):
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i <= eob_pos:
+                        code, ln = enc_ac[t][0xF0]
+                        bw.write(code, ln)
+                        for bit in pending:
+                            bw.write(bit, 1)
+                        pending = []
+                        run -= 16
+                    if a > 1:
+                        pending.append(a & 1)
+                        continue
+                    code, ln = enc_ac[t][(run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+                    for bit in pending:
+                        bw.write(bit, 1)
+                    pending = []
+                    run = 0
+                if run > 0 or pending:
+                    code, ln = enc_ac[t][0x00]
+                    bw.write(code, ln)
+                    for bit in pending:
+                        bw.write(bit, 1)
+        return bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for t, qt in enumerate(qts):
+        out += seg(0xDB, bytes([t]) + bytes(int(x) for x in qt.ravel()[_JPEG_ZIGZAG]))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    for cls, t in (("dc", 0), ("ac", 0)) if gray else (
+        ("dc", 0), ("ac", 0), ("dc", 1), ("ac", 1)
+    ):
+        bits, vals = _JPEG_HT[(cls, t)]
+        out += seg(0xC4, bytes([(0 if cls == "dc" else 0x10) | t])
+                   + bytes(bits) + bytes(vals))
+
+    def sos(scan_comps: list[tuple[int, int, int]], ss: int, se: int,
+            ah: int, al: int, entropy: bytes) -> bytes:
+        body = bytes([len(scan_comps)])
+        for cs, td, ta in scan_comps:
+            body += bytes([cs, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body) + entropy
+
+    all_dc = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)]
+    # scan script (libjpeg-style): coarse DC -> coarse low/high AC bands
+    # per component -> DC refinement -> AC refinement per component
+    out += sos(all_dc, 0, 0, 0, 1, dc_first_scan(1))
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        out += sos([(ci + 1, 0, t)], 1, 5, 0, 1, ac_first_scan(ci, 1, 5, 1))
+        out += sos([(ci + 1, 0, t)], 6, 63, 0, 1, ac_first_scan(ci, 6, 63, 1))
+    out += sos(all_dc, 0, 0, 1, 0, dc_refine_scan(0))
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        out += sos([(ci + 1, 0, t)], 1, 63, 1, 0, ac_refine_scan(ci, 1, 63, 0))
+    out += b"\xff\xd9"
+    return bytes(out)

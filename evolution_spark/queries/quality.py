@@ -719,8 +719,8 @@ def multimodal_wav_features(spark, sf_dir):
     """,
 )
 def multimodal_jpeg_features(spark, sf_dir):
-    """REAL baseline-JPEG codec end-to-end with a value-level oracle —
-    the query that closes the multimodal component's last real-image
+    """REAL JPEG codec end-to-end with a value-level oracle — the query
+    that closes the multimodal component's last real-image
     NotImplementedError (real corpora are JPEG-heavy): each document id
     gets a 32x24 grayscale image whose 8x8 tiles are CONSTANT with value
     2*((3*id + 5*bx + 7*by) mod 128). A constant tile survives the lossy
@@ -731,9 +731,16 @@ def multimodal_jpeg_features(spark, sf_dir):
     stuffing, and back) is bit-reproducible and DuckDB recomputes the
     same pixel sums from the closed form. One wrong bit anywhere in the
     entropy stream or a mis-seeded DC predictor changes pixel_sum and
-    fails the hash. (The lossy AC paths are covered by roundtrip
-    tolerance tests in tests/test_operators.py — closed-form oracles and
-    quantization loss are mutually exclusive by nature.)
+    fails the hash.
+
+    ODD ids encode PROGRESSIVE (SOF2 — DC/AC spectral bands + successive
+    approximation) and even ids baseline (SOF0); both route through the
+    production ``decode_media`` magic-byte dispatch, and because
+    progressive is a transmission reordering of the SAME quantized
+    coefficients, the one closed-form oracle pins both decoders to exact
+    pixels. (The lossy AC paths are covered by roundtrip tolerance tests
+    in tests/test_operators.py — closed-form oracles and quantization
+    loss are mutually exclusive by nature.)
 
     Scale shape: synthesis/encode/decode are partition-local mapInPandas
     (Arrow batches); image bytes never shuffle — only the 5-column
@@ -741,7 +748,11 @@ def multimodal_jpeg_features(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    from evolution_spark.operators.multimodal import decode_media, encode_jpeg
+    from evolution_spark.operators.multimodal import (
+        decode_media,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     d = table(spark, sf_dir, "documents").select("doc_id").where(
         F.col("doc_id") < 40
@@ -758,7 +769,8 @@ def multimodal_jpeg_features(spark, sf_dir):
                         img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
                             2 * ((3 * i + 5 * bx + 7 * by) % 128)
                         )
-                payload = encode_jpeg(img, quality=50)
+                enc = encode_jpeg_progressive if i % 2 else encode_jpeg
+                payload = enc(img, quality=50)
                 flat = decode_media(payload, "image")  # production dispatch
                 s = int(np.sum(flat.astype(np.int64)))
                 rows.append((i, 32, 24, s, s / flat.size))

@@ -1112,17 +1112,140 @@ def test_jpeg_codec_roundtrip_paths():
 
 
 def test_jpeg_decoder_refusals():
-    """Non-baseline modes refuse loudly instead of mis-decoding."""
+    """Unsupported modes refuse loudly instead of mis-decoding."""
     import numpy as np
     import pytest
 
     from evolution_spark.operators.multimodal import decode_jpeg, encode_jpeg
 
     payload = bytearray(encode_jpeg(np.full((8, 8), 100, dtype=np.uint8)))
-    # flip SOF0 (0xC0) to SOF2 (progressive)
+    # flip SOF0 (0xC0) to SOF9 (arithmetic-coded extended sequential)
     i = payload.index(b"\xff\xc0")
-    payload[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="SOF2"):
+    payload[i + 1] = 0xC9
+    with pytest.raises(ValueError, match="SOF9"):
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
+    # a baseline stream relabeled SOF2 routes to the progressive decoder
+    # and fails its scan-header validation (full-band interleaved scan)
+    payload[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-DC band"):
+        decode_jpeg(bytes(payload))
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """Progressive is a TRANSMISSION reordering of the same quantized
+    coefficients: for any image and quality, decode(progressive) must
+    equal decode(baseline) pixel-for-pixel — one bit of drift in the
+    spectral-selection / successive-approximation / refinement paths
+    breaks equality."""
+    import numpy as np
+
+    from evolution_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(17)
+    # structured + noisy RGB, dims not multiples of 8
+    h, w = 37, 53
+    x = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+    y = np.linspace(0, 255, h)[:, None] * np.ones((1, w))
+    img = np.stack([x, y, (x + y) / 2], axis=-1)
+    img[9:18, 11:29, 0] = 250
+    img += rng.normal(0, 15, img.shape)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    for q in (25, 50, 90):
+        base = decode_jpeg(encode_jpeg(img, q))
+        prog = decode_jpeg(encode_jpeg_progressive(img, q))
+        assert np.array_equal(base, prog), f"quality {q} diverged"
+    # grayscale + pure noise (dense AC spectrum stresses refinement)
+    g = rng.integers(0, 256, (24, 31), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, 75)),
+        decode_jpeg(encode_jpeg_progressive(g, 75)),
+    )
+    # flat image (EOB-heavy scans)
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(flat, 50)),
+        decode_jpeg(encode_jpeg_progressive(flat, 50)),
+    )
+
+
+def test_jpeg_progressive_eob_run_decoding():
+    """Hand-built progressive stream with an EOB RUN spanning blocks (the
+    EOBn symbols Annex K tables lack, so foreign encoders' custom tables
+    are modeled with a custom DHT): 2 blocks, AC scan ends both via one
+    EOB2 symbol. The decoder must skip exactly the run's blocks."""
+    import numpy as np
+
+    from evolution_spark.operators.multimodal import (
+        _JpegBitWriter,
+        _jpeg_canonical_codes,
+        _jpeg_magnitude,
+        decode_jpeg,
+    )
+
+    h, w = 8, 16  # 2 blocks side by side, grayscale
+    dc = [4, -6]  # quantized DC per block (q00=16 below)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    qt = bytes([0]) + bytes([16] * 64)  # flat QT: all steps 16
+    out += seg(0xDB, qt)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([1])
+    sof += bytes([1, 0x11, 0])
+    out += seg(0xC2, sof)
+    # DC table: standard-ish (sizes 0..11); AC table: EOB1 (0x10) only
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    ac_bits = [1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x10]  # the EOBn symbol with r=1: run = 2 + extra bit
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    # scan 1: DC first, Al=0
+    dc_codes = _jpeg_canonical_codes(dc_bits, dc_vals)
+    bw = _JpegBitWriter()
+    pred = 0
+    for v in dc:
+        s, bits = _jpeg_magnitude(v - pred)
+        pred = v
+        code, ln = dc_codes[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(bits, s)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + bw.flush()
+    # scan 2: AC first 1..63, Al=0 — ONE EOB2 symbol covers both blocks
+    ac_codes = _jpeg_canonical_codes(ac_bits, ac_vals)
+    bw = _JpegBitWriter()
+    code, ln = ac_codes[0x10]
+    bw.write(code, ln)
+    bw.write(0, 1)  # extra bit 0: run = (1 << 1) + 0 = 2 blocks
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + bw.flush()
+    out += b"\xff\xd9"
+
+    px = decode_jpeg(bytes(out))
+    assert px.shape == (8, 16)
+    # DC-only blocks reconstruct as constants: dc*16/8 + 128
+    assert np.all(px[:, :8] == np.clip(round(4 * 16 / 8 + 128), 0, 255))
+    assert np.all(px[:, 8:] == np.clip(round(-6 * 16 / 8 + 128), 0, 255))
+
+
+def test_jpeg_progressive_via_media_dispatch():
+    """decode_media routes SOF2 payloads through the progressive decoder
+    (magic-byte dispatch is format-blind between baseline/progressive)."""
+    import numpy as np
+
+    from evolution_spark.operators.multimodal import (
+        decode_media,
+        encode_jpeg_progressive,
+    )
+
+    img = np.full((16, 24), 90, dtype=np.uint8)
+    img[4:12, 6:18] = 200
+    flat = decode_media(encode_jpeg_progressive(img, 60), "image")
+    assert flat.shape == (16 * 24,)
