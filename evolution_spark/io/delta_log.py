@@ -168,9 +168,12 @@ def _data_files(table_dir: Path, part_cols: list[str]):
     """Yield (relative_path, partition_values, size_bytes) for every data
     file under the table dir, parsing hive-style partition directories."""
     for p in sorted(table_dir.rglob("*.parquet")):
-        if "_delta_log" in p.parts or any(
+        if "_delta_log" in p.parts or "_change_data" in p.parts or any(
             part.startswith("_staging_") for part in p.parts
         ):
+            # _change_data sidecars are referenced by cdc actions, never
+            # by add actions — retention is tied to the log (which this
+            # engine never truncates), not to live-set membership
             continue
         rel = p.relative_to(table_dir)
         values: dict[str, str | None] = {}
@@ -243,6 +246,7 @@ def write_delta_snapshot(
     name: str | None = None,
     txn: tuple[str, int] | None = None,
     column_mapping: bool = False,
+    configuration: dict | None = None,
 ) -> dict:
     """Write ``df`` as a version-0 Delta table at ``path``.
 
@@ -270,7 +274,7 @@ def write_delta_snapshot(
 
     part_cols = list(partition_by or [])
     mapped_fields = None
-    config: dict[str, str] = {}
+    config: dict[str, str] = dict(configuration or {})
     protocol = dict(PROTOCOL)
     if column_mapping:
         base = json.loads(df.schema.json())["fields"]
@@ -286,6 +290,7 @@ def write_delta_snapshot(
                 },
             ))
         config = {
+            **config,
             "delta.columnMapping.mode": "name",
             "delta.columnMapping.maxColumnId": str(len(base)),
         }
@@ -503,6 +508,7 @@ def commit_delta(
     txn: tuple[str, int] | None = None,
     remove_paths: list[str] | None = None,
     data_change: bool = True,
+    cdc_df: DataFrame | None = None,
 ) -> dict:
     """Commit a new version to an existing Delta table (create version 0 if
     the table does not exist). ``mode='append'`` adds files; ``'overwrite'``
@@ -649,6 +655,13 @@ def commit_delta(
             stage, table_dir, version, now_ms, data_change
         )
         actions.extend(add_actions)
+        if cdc_df is not None and _cdf_enabled(config):
+            # caller-supplied row-level change set (MERGE): lands as CDF
+            # sidecars in this same commit
+            actions.extend(_stage_cdc_actions(
+                cdc_df, table_dir, version, json.loads(schema_string),
+                config, part_cols, now_ms,
+            ))
     finally:
         if stage.exists():
             shutil.rmtree(stage)
@@ -1097,7 +1110,34 @@ def merge_delta_cdc(
         # the commit's order-sensitive schema check accepts any key position
         .select(*[out_col(c) for c in data_cols])
     )
-    summary = commit_delta(merged, path, mode=mode, remove_paths=removes)
+    cdc_df = None
+    if _cdf_enabled(config):
+        # exact row-level MERGE changes for the CDF sidecar: matched
+        # deletes (pre-image), matched updates (pre + post image pair),
+        # unmatched inserts. Rows merely REWRITTEN by the replace commit
+        # (carried, unchanged) are NOT changes — the whole point of
+        # sidecars over add/remove derivation, which would report every
+        # rewritten row as delete+insert.
+        matched = joined.where(target[key].isNotNull() & F.col("__k").isNotNull())
+        pre_cols = [target[c].alias(c) for c in data_cols]
+        dels = matched.where(F.col("__op") == "d").select(*pre_cols).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        pre = matched.where(F.col("__op") == "u").select(*pre_cols).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = matched.where(F.col("__op") == "u").select(
+            *[out_col(c) for c in data_cols]
+        ).withColumn("_change_type", F.lit("update_postimage"))
+        ins = joined.where(
+            target[key].isNull() & (F.col("__op") == "u")
+        ).select(*[out_col(c) for c in data_cols]).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        cdc_df = dels.unionByName(pre).unionByName(post).unionByName(ins)
+    summary = commit_delta(
+        merged, path, mode=mode, remove_paths=removes, cdc_df=cdc_df
+    )
     summary["pruned"] = remove_paths is not None
     if remove_paths is not None:
         summary["files_rewritten"] = len(remove_paths)
@@ -1159,6 +1199,74 @@ def _collect_staged_adds(
             }
         )
     return actions, n_files, total_rows
+
+
+def _cdf_enabled(config: dict) -> bool:
+    """True when ``delta.enableChangeDataFeed`` is set — the spec's signal
+    that DML commits must materialize their row-level changes as
+    ``_change_data`` sidecar files (cdc actions) instead of leaving
+    readers to derive them from add/remove diffs."""
+    return str(config.get("delta.enableChangeDataFeed", "")).lower() == "true"
+
+
+def _stage_cdc_actions(
+    cdc_df: DataFrame,
+    table_dir: Path,
+    version: int,
+    schema_json: dict,
+    config: dict,
+    part_cols: list[str],
+    now_ms: int,
+) -> list[dict]:
+    """Write a change DataFrame (table columns + ``_change_type``) as CDF
+    SIDECAR files under ``_change_data/`` and return the spec's ``cdc``
+    actions for the publishing commit (PROTOCOL.md 'Add CDC File'):
+    hive-partitioned like the data files (``part_cols`` are the PHYSICAL
+    partition names), physical column names on mapped tables,
+    ``dataChange: false`` (the cdc files describe the change, they are
+    not table data). The write is a normal distributed stage-and-move —
+    driver work stays one action per file."""
+    from pyspark.sql import functions as F
+
+    renames = mapping_renames(schema_json, config)
+    phys_of = {log: phys for phys, log in renames.items()}
+    out = cdc_df.select(
+        *[F.col(f["name"]).alias(phys_of.get(f["name"], f["name"]))
+          for f in schema_json["fields"]],
+        F.col("_change_type").cast("string").alias("_change_type"),
+    )
+    stage = table_dir / f"_staging_cdc_v{version}-{uuid.uuid4().hex}"
+    writer = out.write.mode("error")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    actions: list[dict] = []
+    try:
+        writer.parquet(str(stage))
+        for src in sorted(stage.rglob("*.parquet")):
+            rel = src.relative_to(stage)
+            dest_rel = (
+                Path("_change_data") / rel.parent
+                / f"cdc-{version:05d}-{uuid.uuid4().hex}.parquet"
+            )
+            dest = table_dir / dest_rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            os.replace(src, dest)
+            values = {
+                k: _partition_value(v)
+                for part in rel.parent.parts
+                if "=" in part
+                for k, _, v in [part.partition("=")]
+            }
+            actions.append({"cdc": {
+                "path": quote(dest_rel.as_posix()),
+                "partitionValues": values,
+                "size": dest.stat().st_size,
+                "dataChange": False,
+            }})
+    finally:
+        if stage.exists():
+            shutil.rmtree(stage)
+    return actions
 
 
 def mapping_mode(config: dict) -> str:
@@ -1278,10 +1386,15 @@ def table_changes(
 ) -> DataFrame:
     """Change-data-feed-style reader: the row-level changes each commit in
     ``[from_version, to_version]`` made, as the table columns plus
-    ``_change_type`` (``'insert'``/``'delete'``) and ``_commit_version`` —
-    what a downstream incremental consumer needs to stay in sync without
-    re-reading the table. Derived entirely from the log (no CDF sidecar
-    files needed):
+    ``_change_type`` (``'insert'``/``'delete'``, plus
+    ``'update_preimage'``/``'update_postimage'`` from sidecars) and
+    ``_commit_version`` — what a downstream incremental consumer needs to
+    stay in sync without re-reading the table. Commits that carry ``cdc``
+    actions (written by this engine's DML under
+    ``delta.enableChangeDataFeed``, or by any foreign CDF writer) are
+    read from their ``_change_data`` SIDECAR files — exact row-level
+    changes, including the pre/post-image pairing derivation cannot
+    reconstruct; all other commits are derived from the log:
 
     - an add of a NEW file (dataChange=true) -> inserts of its rows minus
       its DV positions;
@@ -1335,6 +1448,10 @@ def table_changes(
     whole_deletes: list[tuple[str, int, set[int]]] = []  # excluded = old DV
     # (abs_file, pos, version, change_type) -> positional rows
     positional: list[tuple[str, int, int, str]] = []
+    # (abs cdc file, version): commits carrying cdc actions are read from
+    # their SIDECARS (spec: "readers should use cdc actions when
+    # available"), never ALSO derived — that would double-count
+    cdc_files: list[tuple[str, int]] = []
     # absolute (clone-referenced) files resolve partition columns from
     # the add's partitionValues, not dirs — keep them per resolved path
     pv_abs: dict[str, dict] = {}
@@ -1346,6 +1463,15 @@ def table_changes(
             json.loads(line)
             for line in (log_dir / f"{v:020d}.json").read_text().splitlines()
         ]
+        cdcs = [a["cdc"] for a in acts if "cdc" in a]
+        if cdcs and v >= from_version:
+            for c in cdcs:
+                cdc_files.append(
+                    (str(root / unquote(c["path"])), v)
+                )
+            for a in acts:
+                _fold_action(a, live, state)
+            continue
         if v >= from_version:
             adds = {a["add"]["path"]: a["add"] for a in acts
                     if "add" in a and a["add"].get("dataChange", True)}
@@ -1542,6 +1668,40 @@ def table_changes(
             hit.select(
                 *out_cols(),
                 F.col("__cdf_type").alias("_change_type"),
+                F.col("__cdf_ver").alias("_commit_version"),
+            )
+        )
+
+    if cdc_files:
+        # CDF SIDECAR leg: one scan of every cdc file in range (they carry
+        # _change_type themselves — incl. update_preimage/postimage, which
+        # derivation cannot reconstruct) + a broadcast file->version map
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        cdc_schema = StructType(
+            list(scan_schema.fields)
+            + [T.StructField("_change_type", T.StringType(), True)]
+        )
+        cdf = (
+            spark.read.schema(cdc_schema)
+            .option("basePath", str(root / "_change_data"))
+            .parquet(*sorted({p for p, _ in cdc_files}))
+            .withColumn(
+                "__cdf_fp", decoded_file_path(F.col("_metadata.file_path"))
+            )
+        )
+        vmap = spark.createDataFrame(
+            pd.DataFrame(cdc_files, columns=["__cdf_file", "__cdf_ver"]),
+            schema="__cdf_file string, __cdf_ver long",
+        )
+        hit = cdf.join(
+            F.broadcast(vmap), cdf["__cdf_fp"] == vmap["__cdf_file"], "inner"
+        )
+        parts.append(
+            hit.select(
+                *out_cols(),
+                F.col("_change_type"),
                 F.col("__cdf_ver").alias("_commit_version"),
             )
         )
@@ -1790,6 +1950,7 @@ def delete_delta_rows(spark, path: str, predicate: str) -> dict:
         return {"version": None, "deleted_rows": 0, "files_touched": 0}
 
     now_ms = int(time.time() * 1000)
+    version = latest + 1
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -1807,7 +1968,24 @@ def delete_delta_rows(spark, path: str, predicate: str) -> dict:
         table_dir, live, root, by_abs, now_ms
     )
     actions.extend(dv_actions)
-    version = latest + 1
+    if _cdf_enabled(config):
+        # CDF sidecar: the deleted rows themselves (DV-filtered scan of
+        # only the touched files, same predicate) land as _change_data
+        # files in the SAME commit, so foreign CDF readers see this
+        # DELETE without deriving DV diffs
+        from pyspark.sql import functions as F
+
+        abs_of = {_resolved_add_path(root, p): p for p in live}
+        touched = sorted(abs_of[a] for a in by_abs)
+        snapshot = _logical_scan(
+            spark, table_dir, live, touched, schema_json, config
+        )
+        cdc_df = snapshot.where(predicate).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        actions.extend(_stage_cdc_actions(
+            cdc_df, table_dir, version, schema_json, config, part_cols, now_ms
+        ))
     _publish_commit(table_dir, version, actions, "DELETE")
     return {
         "version": version,
@@ -1902,6 +2080,19 @@ def update_delta_rows(
         actions.append(upgrade)
     dv_actions, _ = _dv_mark_actions(table_dir, live, root, by_abs, now_ms)
     actions.extend(dv_actions)
+    if _cdf_enabled(config):
+        # CDF sidecar: pre-images (the matched rows as they were) +
+        # post-images (their updated copies) in the SAME commit — the
+        # pairing derivation-based readers can NEVER reconstruct (they
+        # see delete+insert)
+        pre = snapshot.where(predicate).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = updated.withColumn("_change_type", F.lit("update_postimage"))
+        actions.extend(_stage_cdc_actions(
+            pre.unionByName(post), table_dir, version, schema_json, config,
+            part_cols, now_ms,
+        ))
 
     stage = table_dir / f"_staging_v{version}-{uuid.uuid4().hex}"
     # mapped tables: the updated copies must land under PHYSICAL names
@@ -2100,9 +2291,12 @@ def vacuum_delta(
         # are not yet referenced by any log version, but unlinking them would
         # sabotage that writer; only files that have LEFT staging and lost
         # their log reference are garbage.
-        if "_delta_log" in p.parts or any(
+        if "_delta_log" in p.parts or "_change_data" in p.parts or any(
             part.startswith("_staging_") for part in p.parts
         ):
+            # _change_data sidecars are referenced by cdc actions, never
+            # by add actions — retention is tied to the log (which this
+            # engine never truncates), not to live-set membership
             continue
         rel = p.relative_to(table_dir).as_posix()
         if quote(rel) not in referenced and rel not in referenced_decoded:

@@ -2418,3 +2418,65 @@ def iceberg_scoped_equality_delete(spark, sf_dir):
         F.count(F.lit(1)).alias("n_alive"),
         F.sum("c_custkey").cast("bigint").alias("key_sum"),
     )
+
+
+@query(
+    "delta_cdf_sidecar_roundtrip",
+    oracle="""
+    SELECT 'update_preimage' AS change_type, 1 AS commit_version,
+           COUNT(*) AS n_rows, CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT 'update_postimage', 1, COUNT(*), CAST(SUM(c_custkey) AS BIGINT),
+           CAST(SUM(CAST(ROUND((c_acctbal + 1) * 100) AS BIGINT)) AS BIGINT)
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT 'delete', 2, COUNT(*), CAST(SUM(c_custkey) AS BIGINT),
+           CAST(SUM(CAST(ROUND(
+             (c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END)
+             * 100) AS BIGINT)) AS BIGINT)
+    FROM customer WHERE c_custkey % 17 = 0
+    """,
+)
+def delta_cdf_sidecar_roundtrip(spark, sf_dir):
+    """Delta CDF SIDECAR lifecycle (round-8 capability — previously
+    ``table_changes`` only DERIVED changes from add/remove diffs, which
+    cannot pair update pre/post-images): customer lands with
+    ``delta.enableChangeDataFeed=true``; an UPDATE (v1) bumps every 10th
+    key's balance and a DELETE (v2) drops every 17th key — both commits
+    write ``_change_data`` sidecar parquet + ``cdc`` actions, and
+    ``table_changes`` reads those files instead of deriving. The oracle
+    recomputes all three change legs (preimage, postimage with the bump,
+    delete with the bump applied to overlapping keys) — a reader that
+    derived instead of using sidecars would emit 'delete'/'insert' types
+    and fail the hash, as would a sidecar that recorded pre-update
+    balances in the delete leg."""
+    from evolution_spark.io.delta_log import (
+        delete_delta_rows,
+        table_changes,
+        update_delta_rows,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    path = query_tmp("deltacdfside", sf_dir)
+    write_delta_snapshot(
+        c, path, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    update_delta_rows(spark, path, "c_custkey % 10 = 0", {"c_acctbal": "c_acctbal + 1"})
+    delete_delta_rows(spark, path, "c_custkey % 17 = 0")
+    ch = table_changes(spark, path, 1, 2)
+    return ch.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").cast("int").alias("commit_version"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "bal_cents"
+        ),
+    )

@@ -260,8 +260,14 @@ def test_delta_rename_drop_guards(spark, tmp_path):
         spark.range(4).select(F.col("id").alias("k"), (F.col("id") % 2).alias("p")),
         part, partition_by=["p"],
     )
-    with pytest.raises(ValueError, match="partitioned"):
-        upgrade_delta_to_column_mapping(part)
+    # round-8: partitioned tables UPGRADE (metadata-only, layout already
+    # physical-keyed); only the partition column itself stays guarded
+    upgrade_delta_to_column_mapping(part)
+    with pytest.raises(ValueError, match="partition column"):
+        rename_delta_column(part, "p", "p2")
+    with pytest.raises(ValueError, match="partition column"):
+        drop_delta_column(part, "p")
+    rename_delta_column(part, "k", "key")  # non-partition rename is fine
 
 
 # --------------------------------------------------------------------------
