@@ -5,10 +5,15 @@ none of the spec's transform family (crates/evolution-target/src/target.rs);
 this module implements the v2 transform set the way a Spark engine should:
 
 - the TRANSFORM COLUMN is computed with built-in JVM expressions wherever
-  the spec's function is expressible (truncate, year/month/day/hour), and
-  with one Arrow-batched pandas UDF for ``bucket[N]`` (the spec pins
-  Murmur3-x86-32 over the type's single-value serialization, which Spark's
-  built-in ``hash()`` — seed 42, Spark-specific encoding — does NOT match);
+  the spec's function is expressible: truncate, year/month/day/hour, AND
+  ``bucket[N]`` over integral sources (int/long/date/timestamp[tz]) —
+  the spec pins Murmur3-x86-32 over the type's single-value
+  serialization, which Spark's built-in ``hash()`` (seed 42,
+  Spark-specific encoding) does NOT match, so the two 4-byte mixing
+  rounds + finalization are spelled out as masked BIGINT/DECIMAL
+  arithmetic that whole-stage codegens (zero Python in any write hot
+  path). Only ``bucket`` over STRINGS keeps an Arrow-batched pandas UDF
+  (variable-length byte hashing has no built-in expression form);
 - hive-style dir layout comes free from ``partitionBy`` on the computed
   column: source columns STAY in the data files (unlike identity
   partitioning, a transform is lossy, so the reader never reconstructs the
@@ -207,11 +212,10 @@ def _transform_arg(transform: str) -> int:
 
 
 def transform_column(transform: str, col_name: str, source_type: str):
-    """Spark Column computing the transform of ``col_name`` — JVM
-    expressions for everything but ``bucket`` (spec-pinned Murmur3,
-    computed in ONE Arrow-batched pandas UDF; the dominant cost of a
-    partitioned write is the shuffle-free ``partitionBy`` file split, not
-    this narrow projection)."""
+    """Spark Column computing the transform of ``col_name`` — built-in
+    JVM expressions for everything except ``bucket`` over strings (the
+    one Arrow-batched pandas UDF left; integral buckets codegen via
+    ``_bucket_int_expr``)."""
     from pyspark.sql import functions as F
 
     c = F.col(col_name)
@@ -247,8 +251,74 @@ def transform_column(transform: str, col_name: str, source_type: str):
         return F.floor(F.unix_micros(c) / F.lit(3_600_000_000)).cast("int")
     if base == "bucket":
         n = _transform_arg(transform)
+        if source_type in _INTEGRAL:
+            # pure JVM expression (whole-stage codegen, zero Python in
+            # the write hot path): Murmur3-x86-32 over the 8-byte LE
+            # value as masked BIGINT arithmetic
+            return _bucket_int_expr(c, source_type, n).alias(
+                f"{col_name}_bucket"
+            )
         return _bucket_udf(source_type, n)(c).alias(f"{col_name}_bucket")
     raise ValueError(f"unknown partition transform {transform!r}")
+
+
+def _bucket_int_expr(c, source_type: str, n: int):
+    """Spec-exact ``bucket[N]`` for integral sources as a BUILT-IN
+    expression tree: Murmur3-x86-32 of the value's 8-byte little-endian
+    serialization (two 4-byte mixing rounds + finalization, Appendix B),
+    computed entirely in masked BIGINT arithmetic so it whole-stage
+    codegens AND stays ANSI-safe (no 64-bit overflow anywhere: 32-bit
+    multiplies are split 16x32 and masked before the <<16 recombine).
+    This replaces the pandas-UDF lane for int/long/date/timestamp —
+    the LAST Python in any write hot path; strings keep the Arrow UDF
+    (variable-length byte hashing has no built-in expression form)."""
+    from pyspark.sql import functions as F
+
+    m = F.lit(0xFFFFFFFF)
+
+    def mul32(k, const: int):
+        # (k * const) mod 2^32, ANSI-safe via DECIMAL(38) (a 64-bit
+        # product can overflow BIGINT). Deliberately references ``k``
+        # exactly ONCE: Column trees have no common-subexpression
+        # sharing, so a double-use helper here makes the chained tree
+        # grow exponentially (the naive 16x32 split OOM'd the analyzer)
+        prod = k.cast("decimal(20,0)") * F.lit(const).cast("decimal(20,0)")
+        return F.pmod(
+            prod, F.lit(4294967296).cast("decimal(20,0)")
+        ).cast("long")
+
+    def rotl(k, r: int):
+        return (
+            F.shiftleft(k, r).bitwiseOR(F.shiftright(k, 32 - r))
+        ).bitwiseAND(m)
+
+    if source_type == "date":
+        v = F.datediff(c, F.lit("1970-01-01")).cast("long")
+    elif source_type in ("timestamp", "timestamptz"):
+        v = F.unix_micros(c)
+    else:
+        v = c.cast("long")
+    # two's-complement 8-byte LE halves as unsigned 32-bit lanes
+    k1 = v.bitwiseAND(m)
+    k2 = F.shiftrightunsigned(v, 32).bitwiseAND(m)
+    h = F.lit(0).cast("long")
+    for k in (k1, k2):
+        k = mul32(k, _M3_C1)
+        k = rotl(k, 15)
+        k = mul32(k, _M3_C2)
+        h = h.bitwiseXOR(k)
+        h = rotl(h, 13)
+        h = (mul32(h, 5) + F.lit(0xE6546B64)).bitwiseAND(m)
+    h = h.bitwiseXOR(F.lit(8))  # length of the serialized value
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    h = mul32(h, 0x85EBCA6B)
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    h = mul32(h, 0xC2B2AE35)
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    # iceberg bucket: (signed_hash & Integer.MAX_VALUE) % N — identical
+    # to masking the unsigned value to 31 bits
+    bucket = F.pmod(h.bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(n)).cast("int")
+    return F.when(c.isNull(), F.lit(None).cast("int")).otherwise(bucket)
 
 
 def _bucket_udf(source_type: str, n: int):

@@ -235,3 +235,47 @@ def test_transform_literal_tz_aware_pins_utc():
     # naive datetimes keep NTZ (tz-free) semantics
     naive = dt.datetime(1970, 1, 1, 0, 30)
     assert transform_literal("hour", naive, "timestamp") == 0
+
+
+def test_integral_bucket_is_pure_jvm_and_spec_exact(spark):
+    """Round-8: bucket[N] over integral sources is a BUILT-IN expression
+    (whole-stage codegen, no Python eval in the plan) and matches the
+    python Murmur3 reference on spec vectors + randoms, nulls included."""
+    import datetime
+    import random
+
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_transforms import (
+        bucket_hash,
+        transform_column,
+    )
+
+    rows = [(34, 34, datetime.date(2017, 11, 16),
+             datetime.datetime(2017, 11, 16, 22, 31, 8), None)]
+    df = spark.createDataFrame(rows, "i int, l long, d date, ts timestamp, nul long")
+    q = df.select(
+        transform_column("bucket[16]", "i", "int").alias("bi"),
+        transform_column("bucket[16]", "l", "long").alias("bl"),
+        transform_column("bucket[16]", "d", "date").alias("bd"),
+        transform_column("bucket[16]", "ts", "timestamptz").alias("bts"),
+        transform_column("bucket[16]", "nul", "long").alias("bnul"),
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    out = q.first()
+    # Appendix B: 34 -> 2017239379; date -> -653330422; ts -> -2047944441
+    assert out.bi == 2017239379 % 16 and out.bl == out.bi
+    assert out.bd == (-653330422 & 0x7FFFFFFF) % 16
+    assert out.bts == (-2047944441 & 0x7FFFFFFF) % 16
+    assert out.bnul is None
+
+    rng = random.Random(8)
+    vals = [rng.randint(-2**62, 2**62) for _ in range(500)] + [
+        0, -1, 1, 2**31, -2**31,
+    ]
+    vdf = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.v: r.b for r in vdf.select(
+        "v", transform_column("bucket[97]", "v", "long").alias("b")
+    ).collect()}
+    assert got == {v: (bucket_hash(v, "long") & 0x7FFFFFFF) % 97 for v in vals}
