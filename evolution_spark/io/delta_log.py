@@ -1931,6 +1931,12 @@ def delete_delta_rows(spark, path: str, predicate: str) -> dict:
     bounds; the spec marks them non-tight implicitly — numRecords remains
     the PHYSICAL row count, matching what foreign DV writers record).
 
+    Maintenance: every DELETE grows the scan-time masking anti-join with
+    its DV cardinality — ``io.maintenance.table_health(path)`` tracks the
+    accumulated ratio against the BASELINE v3.3 stress thresholds and
+    says when to OPTIMIZE (well before the 4M-row broadcast cap, past
+    which masking degrades to a shuffle join).
+
     The reference engine has no DELETE at all (its Delta target is a
     ``todo!()`` — examples/delta/src/main.rs:28-30)."""
     from pyspark.sql.types import StructType

@@ -1554,7 +1554,11 @@ def append_equality_deletes(
     scan applies the anti-join only to data files in that partition).
     Keys must be exactly the default spec's partition field names. At
     100 TB this is the shape to prefer: the scan proves disjoint
-    partitions untouched from metadata alone."""
+    partitions untouched from metadata alone.
+
+    Maintenance: accumulated delete files grow every scan's anti-join —
+    ``io.maintenance.table_health(path)`` tracks the ratio and says when
+    to ``compact_iceberg_table`` (BASELINE v3.3 thresholds)."""
     import pyarrow as pa
     import pyarrow.parquet as papq
 

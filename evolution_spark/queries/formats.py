@@ -2480,3 +2480,52 @@ def delta_cdf_sidecar_roundtrip(spark, sf_dir):
             "bal_cents"
         ),
     )
+
+
+@query(
+    "delta_table_health_advisor",
+    oracle="""
+    WITH t AS (SELECT COUNT(*) AS total FROM customer),
+    d AS (SELECT COUNT(*) AS dels FROM customer WHERE c_custkey % 3 = 0)
+    SELECT 'delta' AS format,
+           t.total AS total_rows,
+           d.dels AS deleted_rows,
+           ROUND(d.dels * 1.0 / t.total, 4) AS delete_ratio,
+           16 AS live_files, 16 AS small_files,
+           CAST(2 AS BIGINT) AS n_recommendations
+    FROM t, d
+    """,
+)
+def delta_table_health_advisor(spark, sf_dir):
+    """Maintenance advisor end-to-end (round-8 capability): customer
+    lands as 16 Delta files, a merge-on-read DELETE marks every 3rd key
+    via deletion vectors, and ``table_health`` — one METADATA-ONLY pass,
+    no data scan — reports the accumulated debt: deleted rows / ratio
+    from DV cardinalities, live/small file counts, and the
+    recommendations the v3.3 stress thresholds trigger (a ~33% delete
+    ratio is past the 2x-scan-cost CRITICAL line, and 16 tiny files trip
+    the small-file WARN). The oracle recomputes every signal from the
+    table's own predicate arithmetic, so a drifting cardinality count or
+    threshold misfire breaks the hash."""
+    from evolution_spark.io.delta_log import (
+        delete_delta_rows,
+        write_delta_snapshot,
+    )
+    from evolution_spark.io.maintenance import table_health
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    path = query_tmp("deltahealth", sf_dir)
+    write_delta_snapshot(c.repartition(16), path)
+    delete_delta_rows(spark, path, "c_custkey % 3 = 0")
+    h = table_health(path)
+    s = h["signals"]
+    return spark.createDataFrame(
+        [(
+            h["format"], s["total_rows"], s["deleted_rows"],
+            s["delete_ratio"], s["live_files"], s["small_files"],
+            len(h["recommendations"]),
+        )],
+        "format string, total_rows bigint, deleted_rows bigint, "
+        "delete_ratio double, live_files int, small_files int, "
+        "n_recommendations bigint",
+    )

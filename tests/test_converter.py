@@ -1708,3 +1708,53 @@ def test_delta_commit_aborts_if_staging_reclaimed(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     # nothing was published: version 0 is still the table
     assert read_delta_snapshot(spark, path).count() == 10
+
+
+def test_table_health_advisor(spark, tmp_path):
+    """Maintenance advisor: metadata-only signals + actionable recs on
+    both formats; thresholds track the BASELINE v3.3 stress curves."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        delete_delta_rows,
+        optimize_delta,
+        write_delta_snapshot,
+    )
+    from evolution_spark.io.iceberg_meta import (
+        append_equality_deletes,
+        write_iceberg_table,
+    )
+    from evolution_spark.io.maintenance import table_health
+
+    df = spark.range(300).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    dpath = str(tmp_path / "hd")
+    write_delta_snapshot(df.repartition(4), dpath)
+    h0 = table_health(dpath)
+    assert h0["format"] == "delta"
+    assert h0["signals"]["deleted_rows"] == 0
+    assert not any("delete ratio" in r for r in h0["recommendations"])
+
+    delete_delta_rows(spark, dpath, "k % 3 = 0")
+    h1 = table_health(dpath)
+    assert h1["signals"]["deleted_rows"] == 100
+    assert abs(h1["signals"]["delete_ratio"] - 100 / 300) < 1e-3
+    assert any("CRITICAL" in r for r in h1["recommendations"])
+
+    # compaction clears the merge-on-read debt signal
+    optimize_delta(spark, dpath)
+    h2 = table_health(dpath)
+    assert h2["signals"]["deleted_rows"] == 0
+    assert not any("delete ratio" in r for r in h2["recommendations"])
+
+    ipath = str(tmp_path / "hi")
+    write_iceberg_table(df, ipath)
+    append_equality_deletes(ipath, [{"k": i} for i in range(45)], ["k"])
+    hi = table_health(ipath)
+    assert hi["format"] == "iceberg"
+    assert hi["signals"]["deleted_rows"] == 45
+    assert any("delete ratio" in r for r in hi["recommendations"])
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        table_health(str(tmp_path / "nope"))
