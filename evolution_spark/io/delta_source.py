@@ -304,7 +304,16 @@ class _StreamReader(DataSourceStreamReader):
     from that version instead of snapshotting. A schema-changing
     metaData commit mid-stream fails the stream (the pinned schema can
     no longer represent later files); missing log versions inside
-    (start, end] fail it too rather than silently dropping commits."""
+    (start, end] fail it too rather than silently dropping commits.
+
+    RESTART-AFTER-EVOLUTION: a restarted query (same checkpoint, fresh
+    reader) pins the CURRENT schema, so the evolution commit passes the
+    pinned-schema check, resumption starts at the checkpointed offset
+    (no version re-delivered or skipped), and pre-evolution files read
+    with added columns as null / renamed columns via the current
+    mapping — the documented recovery path from the mid-stream failure
+    (tests/test_delta_source.py::
+    test_streaming_restart_after_schema_evolution)."""
 
     def __init__(self, options):
         self.path = options.get("path")

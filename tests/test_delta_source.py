@@ -842,3 +842,71 @@ def test_iceberg_sink_shards_are_distributed(ice_registered, tmp_path):
     assert len(entries) == 5
     assert all(e["status"] == 1 for e in entries)
     assert int(snap["summary"]["added-records"]) == 40
+
+
+def test_streaming_restart_after_schema_evolution(registered, tmp_path):
+    """Round-8 restart path: after a mid-stream ADD COLUMN fails the
+    running query (previous test), a RESTARTED query — same checkpoint,
+    fresh reader pinning the NEW schema — must resume from the
+    checkpointed offset without data loss: the evolution commit's
+    metaData now matches the pinned schema (no failure), pre-evolution
+    versions' files read with the added column as null, and no version
+    is re-delivered or skipped."""
+    from pyspark.sql import types as T
+
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        evolve_delta_schema,
+        write_delta_snapshot,
+    )
+
+    spark = registered
+    path = str(tmp_path / "restartsrc")
+    sink = str(tmp_path / "restartsink")
+    ckpt = str(tmp_path / "restartckpt")
+    write_delta_snapshot(
+        spark.range(4).select(F.col("id").alias("k")), path
+    )
+
+    q = (
+        spark.readStream.format("evolution_delta").load(path)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {r.k for r in spark.read.parquet(sink).collect()} == {0, 1, 2, 3}
+
+    # v1: ADD COLUMN (metadata-only); v2: append rows under the new
+    # schema; v3: another old-column-only... (not possible post-evolve);
+    # append a second new-schema batch instead
+    evolve_delta_schema(path, [("w", T.DoubleType())])
+    commit_delta(
+        spark.range(4, 6).select(F.col("id").alias("k"),
+                                 (F.col("id") * 1.5).alias("w")),
+        path, mode="append",
+    )
+    commit_delta(
+        spark.range(6, 7).select(F.col("id").alias("k"),
+                                 (F.col("id") * 1.5).alias("w")),
+        path, mode="append",
+    )
+
+    # restart with the SAME checkpoint: the fresh reader pins the new
+    # schema and resumes from the committed offset
+    q2 = (
+        spark.readStream.format("evolution_delta").load(path)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    back = spark.read.option("mergeSchema", "true").parquet(sink)
+    rows = {(r.k, r.w) for r in back.collect()}
+    # initial snapshot rows arrived pre-evolution (no w column -> null
+    # via mergeSchema); the two post-evolution appends arrive exactly once
+    assert {k for k, _ in rows} == set(range(7))
+    assert (4, 6.0) in rows and (5, 7.5) in rows and (6, 9.0) in rows
+    assert len(rows) == 7
