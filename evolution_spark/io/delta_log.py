@@ -120,7 +120,7 @@ def _check_reader_protocol(protocol: dict | None) -> None:
 # column mapping, ...) stays refused via _check_writer_protocol.
 SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
     {"deletionVectors", "appendOnly", "invariants", "columnMapping",
-     "checkConstraints"}
+     "checkConstraints", "changeDataFeed"}
 )
 
 
@@ -308,6 +308,12 @@ def write_delta_snapshot(
         # names, metaData.partitionColumns, and add.partitionValues below
         # (via _data_files) all carry the physical partition column
         part_cols = [phys_of.get(c, c) for c in part_cols]
+    if _cdf_enabled(config):
+        # feature-activation rule: the property obliges writers to emit
+        # cdc sidecars, so the protocol must declare changeDataFeed
+        upgrade = _cdf_protocol_upgrade(protocol)
+        if upgrade:
+            protocol = upgrade["protocol"]
     writer = df.write.mode("error")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
@@ -657,7 +663,13 @@ def commit_delta(
         actions.extend(add_actions)
         if cdc_df is not None and _cdf_enabled(config):
             # caller-supplied row-level change set (MERGE): lands as CDF
-            # sidecars in this same commit
+            # sidecars in this same commit, with the changeDataFeed
+            # writer feature declared
+            cdf_up = _cdf_protocol_upgrade(
+                repl_state.get("protocol") or dict(PROTOCOL)
+            )
+            if cdf_up:
+                actions.append(cdf_up)
             actions.extend(_stage_cdc_actions(
                 cdc_df, table_dir, version, json.loads(schema_string),
                 config, part_cols, now_ms,
@@ -1135,9 +1147,23 @@ def merge_delta_cdc(
             "_change_type", F.lit("insert")
         )
         cdc_df = dels.unionByName(pre).unionByName(post).unionByName(ins)
+        cdc_df = cdc_df.cache()
+        if cdc_df.count() == 0:
+            # a MERGE that changes NOTHING must not commit: the pruned
+            # rewrite would re-add identical rows, and with an EMPTY cdc
+            # set the partitioned sidecar write stages zero files, so
+            # table_changes would fall back to derivation and report
+            # every carried row as a spurious delete+insert
+            cdc_df.unpersist()
+            return {
+                "version": None, "pruned": remove_paths is not None,
+                "note": "no-op merge: change set matched nothing",
+            }
     summary = commit_delta(
         merged, path, mode=mode, remove_paths=removes, cdc_df=cdc_df
     )
+    if cdc_df is not None:
+        cdc_df.unpersist()
     summary["pruned"] = remove_paths is not None
     if remove_paths is not None:
         summary["files_rewritten"] = len(remove_paths)
@@ -1242,6 +1268,14 @@ def _stage_cdc_actions(
     actions: list[dict] = []
     try:
         writer.parquet(str(stage))
+        if not stage.exists():
+            # same vacuum-race guard as _collect_staged_adds: a reclaimed
+            # staging dir must abort the commit, not publish a CDF commit
+            # missing its change files
+            raise RuntimeError(
+                f"staged CDF output missing at {stage} — aborting the "
+                "commit instead of publishing without its cdc actions"
+            )
         for src in sorted(stage.rglob("*.parquet")):
             rel = src.relative_to(stage)
             dest_rel = (
@@ -1819,10 +1853,19 @@ def _mor_match_positions(spark, table_dir: Path, live, schema_json, config, pred
 
 
 def _mor_guards(repl_state, operation: str):
-    """Protocol + appendOnly guards shared by DELETE and UPDATE."""
+    """Protocol + appendOnly + id-mode guards shared by DELETE and
+    UPDATE. The id-mode check runs UP FRONT so a refused DML can never
+    leave partial artifacts (DV bitmap files) on disk before the shared
+    refusal surface would have fired later in the commit."""
     proto = repl_state.get("protocol") or dict(PROTOCOL)
     _check_writer_protocol(proto)
     config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
+    if mapping_mode(config) == "id":
+        raise DeltaProtocolError(
+            f"delta.columnMapping.mode='id' is read-only in this engine; "
+            f"{operation} would commit actions an id-mode writer must "
+            "stamp field ids for — refusing up front"
+        )
     if str(config.get("delta.appendOnly", "")).lower() == "true":
         raise DeltaProtocolError(
             f"table sets delta.appendOnly=true; {operation} emits "
@@ -1830,6 +1873,24 @@ def _mor_guards(repl_state, operation: str):
             "contract"
         )
     return proto
+
+
+def _cdf_protocol_upgrade(proto: dict) -> dict | None:
+    """Same-commit protocol upgrade declaring the ``changeDataFeed``
+    writer feature (spec feature-activation rule: a table with
+    delta.enableChangeDataFeed set obliges writers to produce cdc
+    sidecars, and the protocol must say so or a spec-conformant foreign
+    writer will skip them). Writer-side feature only — minReaderVersion
+    is untouched unless the table is already on reader v3."""
+    v_w = int(proto.get("minWriterVersion", 2))
+    feats_w = set(proto.get("writerFeatures") or [])
+    if v_w >= 7 and "changeDataFeed" in feats_w:
+        return None
+    legacy_w = {"appendOnly", "invariants"} if v_w >= 2 and v_w < 7 else set()
+    out = dict(proto)
+    out["minWriterVersion"] = 7
+    out["writerFeatures"] = sorted(feats_w | legacy_w | {"changeDataFeed"})
+    return {"protocol": out}
 
 
 def _dv_protocol_upgrade(proto: dict) -> dict | None:
@@ -1968,6 +2029,15 @@ def delete_delta_rows(spark, path: str, predicate: str) -> dict:
         }
     ]
     upgrade = _dv_protocol_upgrade(proto)
+    if _cdf_enabled(config):
+        # compose the two upgrades into ONE protocol action (replay keeps
+        # the last protocol per commit, so two separate actions would
+        # drop whichever folded first)
+        cdf_up = _cdf_protocol_upgrade(
+            (upgrade or {}).get("protocol") or proto
+        )
+        if cdf_up:
+            upgrade = cdf_up
     if upgrade:
         actions.append(upgrade)
     dv_actions, deleted_rows = _dv_mark_actions(
@@ -2060,7 +2130,13 @@ def update_delta_rows(
     snapshot = _logical_scan(
         spark, table_dir, live, touched, schema_json, config
     )
-    updated = snapshot.where(predicate).select(
+    matched = snapshot.where(predicate)
+    if _cdf_enabled(config):
+        # the matched rows feed THREE consumers under CDF (pre-image
+        # sidecar, post-image sidecar, staged rewrite) — cache them so
+        # the touched files are read once, not three times
+        matched = matched.cache()
+    updated = matched.select(
         *[
             F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
             if f.name in set_exprs
@@ -2082,6 +2158,12 @@ def update_delta_rows(
         }
     ]
     upgrade = _dv_protocol_upgrade(proto)
+    if _cdf_enabled(config):
+        cdf_up = _cdf_protocol_upgrade(
+            (upgrade or {}).get("protocol") or proto
+        )
+        if cdf_up:
+            upgrade = cdf_up  # one composed protocol action (replay keeps last)
     if upgrade:
         actions.append(upgrade)
     dv_actions, _ = _dv_mark_actions(table_dir, live, root, by_abs, now_ms)
@@ -2091,9 +2173,7 @@ def update_delta_rows(
         # post-images (their updated copies) in the SAME commit — the
         # pairing derivation-based readers can NEVER reconstruct (they
         # see delete+insert)
-        pre = snapshot.where(predicate).withColumn(
-            "_change_type", F.lit("update_preimage")
-        )
+        pre = matched.withColumn("_change_type", F.lit("update_preimage"))
         post = updated.withColumn("_change_type", F.lit("update_postimage"))
         actions.extend(_stage_cdc_actions(
             pre.unionByName(post), table_dir, version, schema_json, config,
@@ -2118,6 +2198,8 @@ def update_delta_rows(
     finally:
         if stage.exists():
             shutil.rmtree(stage)
+        if _cdf_enabled(config):
+            matched.unpersist()
     _publish_commit(table_dir, version, actions, "UPDATE")
     return {
         "version": version,
@@ -2322,6 +2404,27 @@ def vacuum_delta(
         if str(p) not in referenced_dvs and p.stat().st_mtime < dv_cutoff:
             p.unlink()
             deleted.append(p.relative_to(table_dir).as_posix())
+    # ORPHANED cdc sidecars: _stage_cdc_actions moves files into
+    # _change_data BEFORE the optimistic publish, so a lost version race
+    # / mid-commit failure leaves unreferenced files there. Referenced =
+    # every cdc action in the WHOLE log (retention is log-tied, and this
+    # engine never truncates the log); the staleness window spares
+    # in-flight commits, same as the DV rule above.
+    referenced_cdc: set[str] = set()
+    for vf in sorted(log_dir.glob("*.json")):
+        if not vf.stem.isdigit():
+            continue
+        for line in vf.read_text().splitlines():
+            a = json.loads(line)
+            if "cdc" in a:
+                referenced_cdc.add(unquote(a["cdc"]["path"]))
+    cdc_dir = table_dir / "_change_data"
+    if cdc_dir.exists():
+        for p in sorted(cdc_dir.rglob("*.parquet")):
+            rel = p.relative_to(table_dir).as_posix()
+            if rel not in referenced_cdc and p.stat().st_mtime < dv_cutoff:
+                p.unlink()
+                deleted.append(rel)
     from evolution_spark.io.maintenance import reclaim_stale_staging
 
     reclaimed = reclaim_stale_staging(table_dir, stale_staging_hours)

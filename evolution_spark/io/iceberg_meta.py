@@ -1605,6 +1605,36 @@ def append_equality_deletes(
                 "partition_scope values are all null — that encodes a "
                 "GLOBAL delete; omit partition_scope instead"
             )
+        # value TYPES must match the partition field's result type: the
+        # scan matches scopes against data-file partition records via a
+        # canonical serialization, so a '7' where the record holds 7
+        # would silently match NOTHING — refuse loudly instead
+        from evolution_spark.io.iceberg_transforms import result_ice_type
+
+        field_by_id = {f["id"]: f for f in ice_schema["fields"]}
+        for pf in spec_fields:
+            v = partition_scope[pf["name"]]
+            if v is None:
+                continue
+            rtype = result_ice_type(
+                pf.get("transform", "identity"),
+                field_by_id[pf["source-id"]]["type"],
+            )
+            ok = {
+                "long": lambda x: isinstance(x, int) and not isinstance(x, bool),
+                "int": lambda x: isinstance(x, int) and not isinstance(x, bool),
+                "string": lambda x: isinstance(x, str),
+                "double": lambda x: isinstance(x, float),
+                "float": lambda x: isinstance(x, float),
+                "boolean": lambda x: isinstance(x, bool),
+                "date": lambda x: hasattr(x, "toordinal"),
+            }.get(rtype)
+            if ok is None or not ok(v):
+                raise TypeError(
+                    f"partition_scope[{pf['name']!r}] = {v!r} does not "
+                    f"match the partition field's {rtype!r} type — a "
+                    "mistyped scope would silently delete nothing"
+                )
     seq = metadata["last-sequence-number"] + 1
     snapshot_id = uuid.uuid4().int % (1 << 62)
     now_ms = int(time.time() * 1000)

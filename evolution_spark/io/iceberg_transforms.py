@@ -294,7 +294,21 @@ def _bucket_int_expr(c, source_type: str, n: int):
 
     if source_type == "date":
         v = F.datediff(c, F.lit("1970-01-01")).cast("long")
-    elif source_type in ("timestamp", "timestamptz"):
+    elif source_type == "timestamp":
+        # NTZ: unix_micros refuses TIMESTAMP_NTZ, and casting through
+        # TIMESTAMP would shift by the session zone — build the epoch
+        # micros from tz-free calendar components (extract(SECOND)
+        # carries the sub-second fraction as DECIMAL(8,6))
+        days = F.datediff(F.to_date(c), F.lit("1970-01-01")).cast("long")
+        secs = (
+            days * F.lit(86_400)
+            + F.hour(c).cast("long") * F.lit(3_600)
+            + F.minute(c).cast("long") * F.lit(60)
+        )
+        v = secs * F.lit(1_000_000) + (
+            F.extract(F.lit("SECOND"), c) * F.lit(1_000_000)
+        ).cast("long")
+    elif source_type == "timestamptz":
         v = F.unix_micros(c)
     else:
         v = c.cast("long")

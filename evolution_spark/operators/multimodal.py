@@ -957,9 +957,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     (DC prediction, AC run-length, restart-marker resets) -> dequantize
     -> inverse zigzag -> orthonormal IDCT -> chroma upsample (4:4:4 /
     4:2:2 / 4:2:0 sampling factors) -> YCbCr->RGB. Returns ``(h, w, 3)``
-    uint8 for color scans, ``(h, w)`` for grayscale. Progressive (SOF2),
-    arithmetic coding, 12-bit precision, and hierarchical modes raise —
-    stated limits, not silent corruption (ITU-T T.81 §F)."""
+    uint8 for color scans, ``(h, w)`` for grayscale. Progressive (SOF2)
+    routes to ``_decode_progressive_jpeg`` (Annex G); arithmetic coding,
+    12-bit precision, and hierarchical modes raise — stated limits, not
+    silent corruption (ITU-T T.81 §F)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2

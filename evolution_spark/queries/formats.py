@@ -2491,19 +2491,19 @@ def delta_cdf_sidecar_roundtrip(spark, sf_dir):
            t.total AS total_rows,
            d.dels AS deleted_rows,
            ROUND(d.dels * 1.0 / t.total, 4) AS delete_ratio,
-           16 AS live_files, 16 AS small_files,
+           64 AS live_files, 64 AS small_files,
            CAST(2 AS BIGINT) AS n_recommendations
     FROM t, d
     """,
 )
 def delta_table_health_advisor(spark, sf_dir):
     """Maintenance advisor end-to-end (round-8 capability): customer
-    lands as 16 Delta files, a merge-on-read DELETE marks every 3rd key
+    lands as 64 Delta files, a merge-on-read DELETE marks every 3rd key
     via deletion vectors, and ``table_health`` — one METADATA-ONLY pass,
     no data scan — reports the accumulated debt: deleted rows / ratio
     from DV cardinalities, live/small file counts, and the
     recommendations the v3.3 stress thresholds trigger (a ~33% delete
-    ratio is past the 2x-scan-cost CRITICAL line, and 16 tiny files trip
+    ratio is past the 2x-scan-cost CRITICAL line, and 64 tiny files trip
     the small-file WARN). The oracle recomputes every signal from the
     table's own predicate arithmetic, so a drifting cardinality count or
     threshold misfire breaks the hash."""
@@ -2515,7 +2515,7 @@ def delta_table_health_advisor(spark, sf_dir):
 
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     path = query_tmp("deltahealth", sf_dir)
-    write_delta_snapshot(c.repartition(16), path)
+    write_delta_snapshot(c.repartition(64), path)
     delete_delta_rows(spark, path, "c_custkey % 3 = 0")
     h = table_health(path)
     s = h["signals"]

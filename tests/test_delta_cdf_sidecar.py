@@ -153,3 +153,67 @@ def test_partitioned_cdc_sidecar(spark, tmp_path):
     assert got == [
         (4, 40, "a", "update_preimage"), (4, 45, "a", "update_postimage"),
     ]
+
+
+def test_cdf_commits_declare_writer_feature(spark, tmp_path):
+    """Spec feature-activation: a CDF table's protocol must carry the
+    changeDataFeed writer feature — at creation, and via same-commit
+    upgrade when the property lands on an existing table."""
+    import json
+
+    from evolution_spark.io.delta_log import _replay_log
+
+    path = str(tmp_path / "cdffeat")
+    _mk(spark, path)
+    *_, state = _replay_log(Path(path), return_state=True)
+    proto = state["protocol"]
+    assert proto["minWriterVersion"] == 7
+    assert "changeDataFeed" in proto["writerFeatures"]
+
+
+def test_noop_merge_on_cdf_table_commits_nothing(spark, tmp_path):
+    """A MERGE whose change set matches nothing must NOT commit: the
+    pruned rewrite would carry identical rows, and with an empty cdc set
+    table_changes would derive the commit as spurious delete+insert."""
+    from evolution_spark.io.delta_log import (
+        _log_versions,
+        merge_delta_cdc,
+        table_changes,
+    )
+
+    path = str(tmp_path / "cdfnoop")
+    _mk(spark, path)
+    # keys inside the table's min/max stats range but absent from data
+    changes = spark.createDataFrame([], "k long, v long, _op string")
+    before = _log_versions(Path(path) / "_delta_log")
+    res = merge_delta_cdc(spark, path, changes, key="k")
+    assert res["version"] is None
+    assert _log_versions(Path(path) / "_delta_log") == before
+    # d-op for a missing key: matched nothing -> also a no-op
+    changes2 = spark.createDataFrame([(500, None, "d")], "k long, v long, _op string")
+    res2 = merge_delta_cdc(spark, path, changes2, key="k")
+    assert res2["version"] is None
+    ch = table_changes(spark, path, 0)
+    assert {r._change_type for r in ch.collect()} == {"insert"}
+
+
+def test_vacuum_reclaims_orphaned_cdc(spark, tmp_path):
+    """A cdc file moved into _change_data by a commit that never
+    published is reclaimed once stale; referenced sidecars survive."""
+    import os
+    import time as _time
+
+    from evolution_spark.io.delta_log import delete_delta_rows, vacuum_delta
+
+    path = str(tmp_path / "cdforphan")
+    _mk(spark, path)
+    delete_delta_rows(spark, path, "k % 2 = 0")
+    cdc_dir = Path(path) / "_change_data"
+    referenced = sorted(cdc_dir.glob("*.parquet"))
+    orphan = cdc_dir / "cdc-99999-deadbeef.parquet"
+    orphan.write_bytes(referenced[0].read_bytes())
+    old = _time.time() - 48 * 3600
+    os.utime(orphan, (old, old))
+    vacuum_delta(path, stale_staging_hours=24.0)
+    assert not orphan.exists()
+    assert all(p.exists() for p in referenced)

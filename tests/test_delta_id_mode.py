@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
@@ -198,3 +199,14 @@ def test_id_mode_nested_struct_refuses():
     ]}
     with pytest.raises(DeltaProtocolError, match="nested struct"):
         field_id_scan_schema(schema_json, [])
+
+
+def test_id_mode_delete_refuses_up_front(spark, tmp_path):
+    """Regression (round-8 review): DELETE on an id-mode table must hit
+    the shared read-only refusal BEFORE any DV file lands on disk."""
+    from evolution_spark.io.delta_log import DeltaProtocolError, delete_delta_rows
+
+    path = _build_id_mode_table(spark, tmp_path)
+    with pytest.raises(DeltaProtocolError, match="read-only"):
+        delete_delta_rows(spark, path, "k = 1")
+    assert not list(Path(path).rglob("deletion_vector_*.bin"))

@@ -662,3 +662,25 @@ def test_partition_scope_validation(spark, tmp_path):
         append_equality_deletes(
             flat, [{"k": 1}], ["k"], partition_scope={"seg": "a"}
         )
+
+
+def test_partition_scope_value_type_validation(spark, tmp_path):
+    """Regression (round-8 review): a scope value whose TYPE differs from
+    the partition field's result type would canonicalize differently from
+    the data files' partition records and silently delete nothing —
+    refuse loudly instead."""
+    from evolution_spark.io.iceberg_meta import append_equality_deletes
+
+    path = str(tmp_path / "eqtype")
+    df = spark.range(8).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("g")
+    )
+    write_iceberg_table(df, path, partition_by=["g"])
+    with pytest.raises(TypeError, match="does not match"):
+        append_equality_deletes(
+            path, [{"k": 1}], ["k"], partition_scope={"g": "1"}  # str vs long
+        )
+    # correctly-typed scope works
+    append_equality_deletes(path, [{"k": 1}], ["k"], partition_scope={"g": 1})
+    got = {(r.k, r.g) for r in read_iceberg_table(spark, path).collect()}
+    assert (1, 1) not in got and len(got) == 7

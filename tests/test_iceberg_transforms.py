@@ -279,3 +279,32 @@ def test_integral_bucket_is_pure_jvm_and_spec_exact(spark):
         "v", transform_column("bucket[97]", "v", "long").alias("b")
     ).collect()}
     assert got == {v: (bucket_hash(v, "long") & 0x7FFFFFFF) % 97 for v in vals}
+
+
+def test_bucket_ntz_timestamp_matches_reference(spark):
+    """Regression (round-8 review): iceberg 'timestamp' is NTZ in Spark —
+    unix_micros refuses it and a session-zone cast would shift the epoch;
+    the NTZ lane builds micros from calendar components and must match
+    the python Murmur3 reference, pre-epoch and sub-second included."""
+    import datetime
+
+    from evolution_spark.io.iceberg_transforms import (
+        bucket_hash,
+        transform_column,
+    )
+
+    vals = [
+        datetime.datetime(2017, 11, 16, 22, 31, 8),
+        datetime.datetime(1969, 12, 31, 23, 59, 59, 123456),
+        datetime.datetime(1970, 1, 1, 0, 0, 0),
+        datetime.datetime(2038, 1, 19, 3, 14, 7, 999999),
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "ts timestamp_ntz")
+    got = {r.ts: r.b for r in df.select(
+        "ts", transform_column("bucket[16]", "ts", "timestamp").alias("b")
+    ).collect()}
+    epoch = datetime.datetime(1970, 1, 1)
+    us = datetime.timedelta(microseconds=1)
+    exp = {v: (bucket_hash((v - epoch) // us, "long") & 0x7FFFFFFF) % 16
+           for v in vals}
+    assert got == exp

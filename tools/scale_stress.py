@@ -234,12 +234,134 @@ def format_scan_stress(spark, tmp: str, reps: int) -> dict:
     return results
 
 
+def ref_ops_stress(spark, tmp: str, reps: int) -> dict:
+    """Round-8 protocol: the round-7/8 format surface under growth.
+
+    Per replica level the ORDERS table is replicated Rx (key-shifted),
+    then timed: the transforms-partitioned Iceberg write (month x
+    bucket(4), hash-distributed), the FULL read vs the month-pruned and
+    month+bucket-pruned reads (with scanned-file counts — the prune must
+    keep the file list O(selected partition), not O(table)), branch
+    create + fast-forward, and on Delta: partitioned write + shallow
+    CLONE commit + the clone read. The claims under test: ref/clone ops
+    are O(metadata) — flat as R grows — and pruned-read cost tracks the
+    SELECTED slice, not the table."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        clone_delta_table,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        create_iceberg_branch,
+        fast_forward_iceberg_branch,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    base = spark.read.parquet(f"{BASE_SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+    def timed(fn) -> tuple[float, object]:
+        samples = []
+        out = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            samples.append(time.perf_counter() - t0)
+        return round(min(samples), 3), out
+
+    results: dict = {"levels": {}}
+    for level in (1, 10, 30):
+        dfs = [
+            base.select(
+                (F.col("o_orderkey") + F.lit(i * ID_STRIDE)).alias("o_orderkey"),
+                (F.col("o_custkey") + F.lit(i * ID_STRIDE)).alias("o_custkey"),
+                "o_orderdate", "o_totalprice",
+            )
+            for i in range(level)
+        ]
+        big = dfs[0]
+        for d in dfs[1:]:
+            big = big.unionByName(d)
+        big = big.repartition(32).cache()
+        n = big.count()
+        row: dict = {"n_rows": n}
+
+        ipath = f"{tmp}/refops_ice_{level}"
+        t0 = time.perf_counter()
+        write_iceberg_table(
+            big, ipath,
+            partition_by=["months(o_orderdate)", "bucket(4, o_custkey)"],
+            distribute=True,
+        )
+        row["transform_write_s"] = round(time.perf_counter() - t0, 3)
+
+        full = read_iceberg_table(spark, ipath)
+        row["files_full"] = len(full.inputFiles())
+        row["full_read_s"], _ = timed(
+            lambda: full.agg(F.count(F.lit(1))).collect()
+        )
+        month = read_iceberg_table(
+            spark, ipath, partition_where={"o_orderdate": "1995-03-15"}
+        )
+        row["files_month"] = len(month.inputFiles())
+        row["month_read_s"], _ = timed(
+            lambda: month.agg(F.count(F.lit(1))).collect()
+        )
+        both = read_iceberg_table(
+            spark, ipath,
+            partition_where={"o_orderdate": "1995-03-15", "o_custkey": 7},
+        )
+        row["files_month_bucket"] = len(both.inputFiles())
+
+        # ref ops must stay O(metadata): flat across levels
+        row["branch_create_s"], _ = timed(
+            lambda: create_iceberg_branch(ipath, f"b{time.perf_counter_ns()}")
+        )
+        create_iceberg_branch(ipath, "publish")
+        append_iceberg_snapshot(
+            spark.createDataFrame(
+                [(ID_STRIDE * 99, 1, None, 0.0)],
+                "o_orderkey long, o_custkey long, "
+                "o_orderdate timestamp_ntz, o_totalprice double",
+            ),
+            ipath, branch="publish",
+        )
+        t0 = time.perf_counter()
+        fast_forward_iceberg_branch(ipath, "publish")
+        row["fast_forward_s"] = round(time.perf_counter() - t0, 3)
+
+        dpath = f"{tmp}/refops_delta_{level}"
+        big.withColumn(
+            "bucket", (F.col("o_custkey") % 8).cast("int")
+        ).write.mode("overwrite").parquet(f"{tmp}/noop_{level}")  # warm fs
+        write_delta_snapshot(
+            big.withColumn("seg", (F.col("o_custkey") % 8).cast("int")),
+            dpath, partition_by=["seg"],
+        )
+        cpath = f"{tmp}/refops_clone_{level}"
+        t0 = time.perf_counter()
+        clone_delta_table(dpath, cpath)
+        row["clone_commit_s"] = round(time.perf_counter() - t0, 3)
+        row["clone_read_s"], _ = timed(
+            lambda: read_delta_snapshot(spark, cpath)
+            .agg(F.count(F.lit(1))).collect()
+        )
+        big.unpersist()
+        results["levels"][str(level)] = row
+    return results
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2, help="timed passes (min taken)")
     ap.add_argument(
         "--mode",
-        choices=["cluster-growth", "fixed-cluster", "format-scan"],
+        choices=["cluster-growth", "fixed-cluster", "format-scan", "ref-ops"],
         default="cluster-growth",
         help="cluster-growth: every replica near-dups every other (planted "
         "pairs grow C(R,2)); fixed-cluster: near-dups only within buckets "
@@ -278,6 +400,12 @@ def main() -> int:
     try:
         if args.mode == "format-scan":
             out["format_scan"] = format_scan_stress(spark, tmp, args.reps)
+            sys.stdout.write("\n" + json.dumps(out) + "\n")
+            sys.stdout.flush()
+            spark.stop()
+            return 0
+        if args.mode == "ref-ops":
+            out["ref_ops"] = ref_ops_stress(spark, tmp, args.reps)
             sys.stdout.write("\n" + json.dumps(out) + "\n")
             sys.stdout.flush()
             spark.stop()
