@@ -176,6 +176,15 @@ BENCH_QUERIES = [
     "iceberg_partition_transforms",
     "iceberg_branch_lifecycle",
     "delta_shallow_clone",
+    # batch-17: round-8 foreign-table surface (id-mode field-id reads,
+    # partitioned column mapping, scoped equality deletes, CDF sidecars,
+    # maintenance advisor; multimodal_jpeg_features above now covers the
+    # progressive decoder on odd ids)
+    "delta_id_mode_read",
+    "delta_partitioned_rename_lifecycle",
+    "iceberg_scoped_equality_delete",
+    "delta_cdf_sidecar_roundtrip",
+    "delta_table_health_advisor",
 ]
 
 

@@ -780,17 +780,16 @@ def read_delta_snapshot(
         return df.select(
             *[F.col(scan).alias(log) for scan, log in aliases]
         )
-    if renames:
-        phys_fields = [dict(f, name=phys_of.get(f["name"], f["name"]))
-                       for f in schema_json["fields"]]
+    if mode == "name":
+        # scan under the RECURSIVELY physical schema (inner struct/array/
+        # map fields rename too) and alias back — struct-bearing fields
+        # via positional cast. Gated on the MODE, not the top-level
+        # rename map: a table whose only rename is an inner struct field
+        # has an empty flat map but still stores physical inner names.
+        phys_fields = [_physical_field(f) for f in schema_json["fields"]]
         phys_schema = StructType.fromJson({"type": "struct", "fields": phys_fields})
         df = _scan_adds(spark, table_dir, live, kept, phys_schema)
-        from pyspark.sql import functions as F
-
-        return df.select(
-            *[F.col(phys_of.get(f["name"], f["name"])).alias(f["name"])
-              for f in schema_json["fields"]]
-        )
+        return df.select(*_logical_select_cols(schema_json, phys_of))
     schema = StructType.fromJson(schema_json)
     df = _scan_adds(spark, table_dir, live, kept, schema)
     # Spark surfaces hive-partition columns LAST on the relative-path
@@ -1318,24 +1317,81 @@ def mapping_mode(config: dict) -> str:
 
 
 def _physical_renames(schema_json: dict) -> dict[str, str]:
-    """physical -> logical rename map from each field's
+    """TOP-LEVEL physical -> logical rename map from each field's
     ``delta.columnMapping.physicalName`` metadata, shared by name AND id
     mode (the spec requires writers to stamp physicalName in both modes;
-    stats and partitionValues are keyed by it regardless of mode). The
-    nested-struct refusal lives here so every mapped path shares it."""
+    stats and partitionValues are keyed by it regardless of mode).
+    Nested struct fields map at the top level only — the delta_log scan
+    paths resolve INNER physical names via ``_physical_field`` +
+    positional struct casts; paths that cannot (the arrow-side
+    DataSource, id-mode field-id schemas) refuse via
+    ``_refuse_nested_mapping``."""
     renames: dict[str, str] = {}
     for f in schema_json["fields"]:
-        if "struct" in json.dumps(f["type"]):
-            raise DeltaProtocolError(
-                f"column mapping over nested struct field {f['name']!r} "
-                "is not implemented — refusing to read rather than "
-                "mis-resolving nested physical names"
-            )
         meta = f.get("metadata") or {}
         phys = meta.get("delta.columnMapping.physicalName", f["name"])
         if phys != f["name"]:
             renames[phys] = f["name"]
     return renames
+
+
+def _refuse_nested_mapping(schema_json: dict) -> None:
+    """Loud refusal for the paths that resolve columns by FLAT rename
+    maps (evolution_delta source's arrow reader, id-mode field-id
+    schemas): a nested mapped struct would silently resolve inner fields
+    wrong there."""
+    for f in schema_json["fields"]:
+        if "struct" in json.dumps(f["type"]):
+            raise DeltaProtocolError(
+                f"column mapping over nested struct field {f['name']!r} "
+                "is not supported on this path (flat physical-name "
+                "resolution) — read via read_delta_snapshot/table_changes"
+            )
+
+
+def _physical_field(f: dict) -> dict:
+    """Recursively rename a schema field json to its PHYSICAL names at
+    every nesting level (structs, array elements, map values) — what the
+    parquet files of a name-mode mapped table store."""
+    meta = f.get("metadata") or {}
+    phys = meta.get("delta.columnMapping.physicalName", f["name"])
+
+    def walk(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                return {
+                    "type": "struct",
+                    "fields": [_physical_field(sf) for sf in t["fields"]],
+                }
+            if t.get("type") == "array":
+                return dict(t, elementType=walk(t["elementType"]))
+            if t.get("type") == "map":
+                return dict(t, valueType=walk(t["valueType"]))
+        return t
+
+    return dict(f, name=phys, type=walk(f["type"]))
+
+
+def _logical_select_cols(schema_json: dict, phys_of: dict[str, str]):
+    """Alias-back projection for a name-mode mapped scan: flat fields get
+    a plain alias; struct-bearing fields get a positional CAST to the
+    logical type — struct casts rename fields at every depth and keep
+    null structs null (unlike a rebuilt F.struct, which would turn a
+    NULL struct into a struct of nulls)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    cols = []
+    for f in schema_json["fields"]:
+        phys = phys_of.get(f["name"], f["name"])
+        c = F.col(phys)
+        if "struct" in json.dumps(f["type"]):
+            logical_type = StructType.fromJson(
+                {"type": "struct", "fields": [f]}
+            ).fields[0].dataType
+            c = c.cast(logical_type)
+        cols.append(c.alias(f["name"]))
+    return cols
 
 
 def mapping_renames(schema_json: dict, config: dict) -> dict[str, str]:
@@ -1385,7 +1441,7 @@ def field_id_scan_schema(schema_json: dict, partition_columns: list[str]):
     """
     from pyspark.sql.types import StructType
 
-    _physical_renames(schema_json)  # shared nested-struct refusal
+    _refuse_nested_mapping(schema_json)  # field ids resolve flat only
     part_set = set(partition_columns or [])
     scan_fields: list[dict] = []
     aliases: list[tuple[str, str]] = []
@@ -1555,17 +1611,16 @@ def table_changes(
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         # out_cols() resolves via phys_of: map logical -> scan name
         phys_of = {log: scan for scan, log in id_aliases}
-    else:
+    elif mode == "name":
         renames = mapping_renames(schema_json, config)  # physical -> logical
         phys_of = {log: phys for phys, log in renames.items()}
-        if renames:
-            scan_fields = [dict(f, name=phys_of.get(f["name"], f["name"]))
-                           for f in schema_json["fields"]]
-            scan_schema = StructType.fromJson(
-                {"type": "struct", "fields": scan_fields}
-            )
-        else:
-            scan_schema = StructType.fromJson(schema_json)
+        scan_schema = StructType.fromJson({
+            "type": "struct",
+            "fields": [_physical_field(f) for f in schema_json["fields"]],
+        })
+    else:
+        phys_of = {}
+        scan_schema = StructType.fromJson(schema_json)
     logical_names = [f["name"] for f in schema_json["fields"]]
 
     parts: list[DataFrame] = []
@@ -1633,6 +1688,9 @@ def table_changes(
         return out
 
     def out_cols():
+        if mode == "name":
+            # struct-bearing fields alias back via positional cast
+            return _logical_select_cols(schema_json, phys_of)
         return [F.col(phys_of.get(n, n)).alias(n) for n in logical_names]
 
     def maybe_broadcast(df, n_rows: int):
@@ -1781,15 +1839,14 @@ def _logical_scan(
             *[F.col(scan).alias(log) for scan, log in aliases],
             *([F.col("__src_fp"), F.col("__src_ri")] if with_lineage else []),
         )
-    renames = mapping_renames(schema_json, config)  # physical -> logical
-    if not renames:
+    if mode != "name":
         return _scan_adds(
             spark, table_dir, live, kept, StructType.fromJson(schema_json),
             with_lineage=with_lineage,
         )
+    renames = mapping_renames(schema_json, config)  # physical -> logical
     phys_of = {log: phys for phys, log in renames.items()}
-    phys_fields = [dict(f, name=phys_of.get(f["name"], f["name"]))
-                   for f in schema_json["fields"]]
+    phys_fields = [_physical_field(f) for f in schema_json["fields"]]
     df = _scan_adds(
         spark, table_dir, live, kept,
         StructType.fromJson({"type": "struct", "fields": phys_fields}),
@@ -1801,8 +1858,7 @@ def _logical_scan(
     # equal another field's logical name on upgraded-in-place tables);
     # _metadata stays resolvable through a plain alias select
     return df.select(
-        *[F.col(phys_of.get(f["name"], f["name"])).alias(f["name"])
-          for f in schema_json["fields"]],
+        *_logical_select_cols(schema_json, phys_of),
         *([F.col("__src_fp"), F.col("__src_ri")] if with_lineage else []),
     )
 
@@ -1810,19 +1866,31 @@ def _logical_scan(
 def _physicalize(df, schema_json: dict, config: dict):
     """Rename a logical-schema DataFrame to PHYSICAL column names for
     writing into a column-mapped table (files must store physical names
-    or every mapped reader resolves the new files as all-null). No-op
-    when mapping is off."""
-    renames = mapping_renames(schema_json, config)
-    if not renames:
+    or every mapped reader resolves the new files as all-null) — the
+    inverse of ``_logical_select_cols``: flat alias for flat fields, a
+    positional cast to the recursively-physical type for struct-bearing
+    ones. No-op when mapping is off."""
+    if mapping_mode(config) != "name":
+        mapping_renames(schema_json, config)  # id mode: shared refusal
         return df
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
 
+    renames = mapping_renames(schema_json, config)
     phys_of = {log: phys for phys, log in renames.items()}
     # one atomic projection, same collision reasoning as _logical_scan
-    return df.select(
-        *[F.col(f["name"]).alias(phys_of.get(f["name"], f["name"]))
-          for f in schema_json["fields"]]
-    )
+    cols = []
+    for f in schema_json["fields"]:
+        pf = _physical_field(f)
+        c = F.col(f["name"])
+        if "struct" in json.dumps(f["type"]):
+            c = c.cast(
+                StructType.fromJson(
+                    {"type": "struct", "fields": [pf]}
+                ).fields[0].dataType
+            )
+        cols.append(c.alias(pf["name"]))
+    return df.select(*cols)
 
 
 def _mor_match_positions(spark, table_dir: Path, live, schema_json, config, predicate):

@@ -89,6 +89,7 @@ def _plan_meta(table_path: str, version=None):
     resolution."""
     from evolution_spark.io.delta_log import (
         _physical_renames,
+        _refuse_nested_mapping,
         _replay_log,
         mapping_mode,
         mapping_renames,
@@ -100,6 +101,10 @@ def _plan_meta(table_path: str, version=None):
     )
     config = dict((state.get("metadata") or {}).get("configuration") or {})
     schema_json = json.loads(schema_string)
+    if mapping_mode(config) != "none":
+        # the arrow read path renames by FLAT maps; nested mapped structs
+        # resolve only through read_delta_snapshot's struct-cast path
+        _refuse_nested_mapping(schema_json)
     if mapping_mode(config) == "id":
         # physicalName renames still translate partitionValues keys (and
         # act as a fallback for partition-only columns never in footers)
@@ -706,7 +711,12 @@ def _sink_renames(path: str) -> dict[str, str]:
     physical names. Empty for unmapped tables and for targets that do
     not exist yet (the commit refuses those with its own error)."""
     try:
-        from evolution_spark.io.delta_log import _replay_log, mapping_renames
+        from evolution_spark.io.delta_log import (
+            _refuse_nested_mapping,
+            _replay_log,
+            mapping_mode,
+            mapping_renames,
+        )
 
         _, schema_string, _, _, state = _replay_log(
             Path(path), return_state=True
@@ -714,7 +724,12 @@ def _sink_renames(path: str) -> dict[str, str]:
         config = dict(
             (state.get("metadata") or {}).get("configuration") or {}
         )
-        phys_to_log = mapping_renames(json.loads(schema_string), config)
+        schema_json = json.loads(schema_string)
+        if mapping_mode(config) != "none":
+            # shard writes rename by a FLAT map — nested mapped structs
+            # must go through commit_delta's struct-cast physicalize
+            _refuse_nested_mapping(schema_json)
+        phys_to_log = mapping_renames(schema_json, config)
         return {log: phys for phys, log in phys_to_log.items()}
     except FileNotFoundError:
         return {}

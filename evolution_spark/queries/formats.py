@@ -2529,3 +2529,98 @@ def delta_table_health_advisor(spark, sf_dir):
         "delete_ratio double, live_files int, small_files int, "
         "n_recommendations bigint",
     )
+
+
+@query(
+    "delta_nested_struct_mapping_read",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def delta_nested_struct_mapping_read(spark, sf_dir):
+    """Column mapping over a NESTED STRUCT (round-8 capability —
+    previously any mapped table containing a struct refused): the
+    foreign-style fixture stores customer as ``k`` + ``s struct<bal,
+    seg>`` with ``col-*`` PHYSICAL names at BOTH nesting levels (the
+    shape a Databricks table gets after renaming a struct's inner
+    field); the scan reads the recursively-physical schema and aliases
+    back via a positional struct CAST — flat-map resolution would
+    surface the inner fields as null and break the hash. Aggregates
+    group by the struct's inner seg and sum its inner bal, so both
+    nested resolutions are value-checked."""
+    import json
+    import os
+    import uuid
+    from pathlib import Path
+
+    from evolution_spark.io.delta_log import read_delta_snapshot
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    tmp = Path(query_tmp("deltanested", sf_dir))
+    tmp.mkdir(parents=True, exist_ok=True)
+    src = c.select(
+        F.col("c_custkey").alias("col-k"),
+        F.struct(
+            F.col("c_acctbal").alias("col-bal"),
+            F.col("c_mktsegment").alias("col-seg"),
+        ).alias("col-s"),
+    )
+    stage = tmp / "_stage"
+    src.repartition(3).write.mode("overwrite").parquet(str(stage))
+    adds = []
+    for f in sorted(stage.rglob("*.parquet")):
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        os.replace(f, tmp / name)
+        adds.append({"add": {
+            "path": name, "partitionValues": {},
+            "size": (tmp / name).stat().st_size,
+            "modificationTime": 0, "dataChange": True,
+        }})
+    fields = [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-k"}},
+        {"name": "s", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-s"},
+         "type": {"type": "struct", "fields": [
+             {"name": "bal", "type": "double", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 3,
+                           "delta.columnMapping.physicalName": "col-bal"}},
+             {"name": "seg", "type": "string", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 4,
+                           "delta.columnMapping.physicalName": "col-seg"}},
+         ]}},
+    ]
+    v0 = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"],
+                      "writerFeatures": ["columnMapping"]}},
+        {"metaData": {"id": str(uuid.uuid4()),
+                      "format": {"provider": "parquet"},
+                      "schemaString": json.dumps(
+                          {"type": "struct", "fields": fields}),
+                      "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "name"},
+                      "createdTime": 0}},
+    ] + adds
+    log = tmp / "_delta_log"
+    log.mkdir(exist_ok=True)
+    (log / f"{0:020d}.json").write_text(
+        "".join(json.dumps(a) + "\n" for a in v0)
+    )
+    back = read_delta_snapshot(spark, str(tmp))
+    return back.groupBy(F.col("s.seg").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("s.bal") * 100).cast("bigint")).alias(
+            "bal_cents"
+        ),
+        F.min("k").alias("min_key"),
+    )

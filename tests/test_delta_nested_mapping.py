@@ -1,0 +1,160 @@
+"""Column mapping over NESTED STRUCTS (name mode) — the shape a foreign
+table gets after renaming a struct's inner field: parquet files store
+physical names at EVERY nesting level, the schema metadata maps each
+level back, and the scan aliases flat fields and positionally CASTS
+struct-bearing ones (a cast renames at all depths and keeps null structs
+null). Built on the public Delta PROTOCOL.md column-mapping rules.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _build_nested_mapped_table(spark, base):
+    """Foreign-style table: k (long), s struct<a: long, b: string> —
+    every field (incl. s.a / s.b) renamed to col-* physical names; one
+    row carries a NULL struct."""
+    tmp = base / "nestedmap"
+    tmp.mkdir(parents=True, exist_ok=True)
+    src = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.when(
+            F.col("id") % 5 != 4,
+            F.struct(
+                (F.col("id") * 100).alias("col-sa"),
+                F.concat(F.lit("v"), F.col("id")).alias("col-sb"),
+            ),
+        ).alias("col-s"),
+    ).withColumnRenamed("k", "col-k")
+    stage = tmp / "_stage"
+    src.coalesce(2).write.mode("overwrite").parquet(str(stage))
+    adds = []
+    for f in sorted(stage.rglob("*.parquet")):
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        os.replace(f, tmp / name)
+        adds.append({"add": {
+            "path": name, "partitionValues": {},
+            "size": (tmp / name).stat().st_size,
+            "modificationTime": 0, "dataChange": True,
+        }})
+    fields = [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-k"}},
+        {"name": "s", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-s"},
+         "type": {"type": "struct", "fields": [
+             {"name": "a", "type": "long", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 3,
+                           "delta.columnMapping.physicalName": "col-sa"}},
+             {"name": "b", "type": "string", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 4,
+                           "delta.columnMapping.physicalName": "col-sb"}},
+         ]}},
+    ]
+    v0 = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"],
+                      "writerFeatures": ["columnMapping"]}},
+        {"metaData": {"id": str(uuid.uuid4()),
+                      "format": {"provider": "parquet"},
+                      "schemaString": json.dumps(
+                          {"type": "struct", "fields": fields}),
+                      "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "name"},
+                      "createdTime": 0}},
+    ] + adds
+    log = tmp / "_delta_log"
+    log.mkdir(exist_ok=True)
+    (log / f"{0:020d}.json").write_text(
+        "".join(json.dumps(a) + "\n" for a in v0)
+    )
+    return str(tmp)
+
+
+def _expected():
+    return sorted(
+        (k, None if k % 5 == 4 else (k * 100, f"v{k}")) for k in range(10)
+    )
+
+
+def test_nested_mapped_read(spark, tmp_path):
+    from evolution_spark.io.delta_log import read_delta_snapshot
+
+    path = _build_nested_mapped_table(spark, tmp_path)
+    back = read_delta_snapshot(spark, path)
+    assert back.columns == ["k", "s"]
+    assert [f.name for f in back.schema["s"].dataType.fields] == ["a", "b"]
+    got = sorted(
+        (r.k, None if r.s is None else (r.s.a, r.s.b)) for r in back.collect()
+    )
+    # NULL structs stay null (a rebuilt F.struct would have produced
+    # struct(null, null) instead)
+    assert got == _expected()
+
+
+def test_nested_mapped_table_changes(spark, tmp_path):
+    from evolution_spark.io.delta_log import table_changes
+
+    path = _build_nested_mapped_table(spark, tmp_path)
+    ch = table_changes(spark, path, 0)
+    rows = ch.collect()
+    assert all(r._change_type == "insert" for r in rows)
+    got = sorted(
+        (r.k, None if r.s is None else (r.s.a, r.s.b)) for r in rows
+    )
+    assert got == _expected()
+
+
+def test_nested_mapped_dml_roundtrip(spark, tmp_path):
+    """DELETE (DV) and UPDATE (physicalized rewrite via struct cast) on a
+    nested-mapped table: the new files must store PHYSICAL nested names
+    so the mapped read keeps resolving them."""
+    import pyarrow.parquet as papq
+
+    from evolution_spark.io.delta_log import (
+        delete_delta_rows,
+        read_delta_snapshot,
+        update_delta_rows,
+    )
+
+    path = _build_nested_mapped_table(spark, tmp_path)
+    delete_delta_rows(spark, path, "k % 5 = 0")
+    back = read_delta_snapshot(spark, path)
+    assert back.where(F.col("k").isin(0, 5)).count() == 0
+    assert back.count() == 8
+
+    update_delta_rows(spark, path, "k = 1", {"k": "k + 100"})
+    back = read_delta_snapshot(spark, path)
+    row = back.where(F.col("k") == 101).collect()
+    assert len(row) == 1 and row[0].s.a == 100 and row[0].s.b == "v1"
+    # the rewrite's files store physical nested names
+    names = set()
+    for p in Path(path).glob("*.parquet"):
+        sch = papq.ParquetFile(p).schema_arrow
+        for fld in sch:
+            names.add(fld.name)
+            if hasattr(fld.type, "num_fields") and fld.type.num_fields:
+                for i in range(fld.type.num_fields):
+                    names.add(fld.type.field(i).name)
+    assert "col-sa" in names and "a" not in names
+
+
+def test_nested_mapped_python_source_refuses(spark, tmp_path):
+    """The arrow-side DataSource renames by flat maps — nested mapped
+    structs refuse loudly there and point at the supported path."""
+    from evolution_spark.io.delta_log import DeltaProtocolError
+    from evolution_spark.io.delta_source import register_delta_source
+
+    register_delta_source(spark)
+    path = _build_nested_mapped_table(spark, tmp_path)
+    with pytest.raises(Exception, match="nested"):
+        spark.read.format("evolution_delta").load(path).collect()
