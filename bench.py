@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "iceberg_scoped_equality_delete",
     "delta_cdf_sidecar_roundtrip",
     "delta_table_health_advisor",
+    "delta_nested_struct_mapping_read",
+    "delta_cdf_stream_roundtrip",
 ]
 
 

@@ -66,7 +66,7 @@ class _FileSlice(InputPartition):
     physical->logical rename map (column mapping)."""
 
     def __init__(self, abs_path, dv_blob, partition_values, renames,
-                 field_ids=None):
+                 field_ids=None, cdf=None):
         self.abs_path = abs_path
         self.dv_blob = dv_blob
         self.partition_values = partition_values
@@ -75,6 +75,11 @@ class _FileSlice(InputPartition):
         # resolve each file's columns from ITS OWN footer ids (physical
         # names may differ per file — the point of id mode)
         self.field_ids = field_ids
+        # readChangeFeed slices: (change_type | None, commit_version).
+        # A None change_type means the file IS a cdc sidecar and carries
+        # its own _change_type column; a string stamps every row (insert
+        # slices from appends / the initial snapshot).
+        self.cdf = cdf
 
 
 def _plan_meta(table_path: str, version=None):
@@ -139,7 +144,7 @@ def _plan_slices(table_path: str, version=None):
 
 
 def _slice_of(table_dir: Path, stored_path: str, add: dict, renames,
-              field_ids=None) -> _FileSlice:
+              field_ids=None, cdf=None) -> _FileSlice:
     from urllib.parse import unquote
 
     from evolution_spark.io.deletion_vectors import (
@@ -163,6 +168,7 @@ def _slice_of(table_dir: Path, stored_path: str, add: dict, renames,
         pv,
         dict(renames),
         dict(field_ids) if field_ids else None,
+        cdf,
     )
 
 
@@ -255,6 +261,7 @@ def _read_slice(slice_, logical_schema_json: str):
         if batch.num_rows == 0:
             continue
         cols = {}
+        out_names = list(logical_names)
         present = {renames.get(c, c): batch.column(i)
                    for i, c in enumerate(batch.schema.names)}
         for f in fields:
@@ -279,8 +286,22 @@ def _read_slice(slice_, logical_schema_json: str):
                     cols[name] = pa.nulls(batch.num_rows, type=at)
                 else:
                     cols[name] = _const_array(raw, at, batch.num_rows, col=name)
+        if getattr(slice_, "cdf", None) is not None:
+            ct, ver = slice_.cdf
+            if ct is None:
+                # cdc sidecar: the file carries its own _change_type
+                idx = batch.schema.names.index("_change_type")
+                cols["_change_type"] = batch.column(idx)
+            else:
+                cols["_change_type"] = pa.array(
+                    [ct] * batch.num_rows, pa.string()
+                )
+            cols["_commit_version"] = pa.array(
+                [ver] * batch.num_rows, pa.int64()
+            )
+            out_names += ["_change_type", "_commit_version"]
         yield pa.RecordBatch.from_arrays(
-            [cols[n_] for n_ in logical_names], names=logical_names
+            [cols[n_] for n_ in out_names], names=out_names
         )
 
 
@@ -329,6 +350,14 @@ class _StreamReader(DataSourceStreamReader):
         ).lower() == "true"
         self.skip_change_commits = str(
             options.get("skipChangeCommits", "false")
+        ).lower() == "true"
+        # readChangeFeed: emit CHANGE rows (table cols + _change_type +
+        # _commit_version) instead of failing on non-append commits —
+        # cdc-sidecar commits stream their exact changes, appends stream
+        # as inserts; a non-append commit WITHOUT sidecars still fails
+        # (enable delta.enableChangeDataFeed before DML)
+        self.read_change_feed = str(
+            options.get("readChangeFeed", "false")
         ).lower() == "true"
         start = options.get("startingVersion")
         # inclusive startingVersion: the offset is the last CONSUMED
@@ -386,10 +415,14 @@ class _StreamReader(DataSourceStreamReader):
             self._last_end = lo
         if not start.get("snapshot_done", True):
             # initial snapshot at `hi`: every live file, DV-masked —
-            # correct on any history
+            # correct on any history. Under readChangeFeed the snapshot
+            # streams as inserts stamped with the snapshot version (the
+            # real CDF source's initial-snapshot semantics).
             live, *_ = _replay_log(table_dir, hi)
+            cdf = ("insert", hi) if self.read_change_feed else None
             return [
-                _slice_of(table_dir, p, add, self.renames, self.field_ids)
+                _slice_of(table_dir, p, add, self.renames, self.field_ids,
+                          cdf)
                 for p, add in sorted(live.items())
             ]
         live_before, *_ = (
@@ -427,18 +460,48 @@ class _StreamReader(DataSourceStreamReader):
                     if "add" in a and a["add"].get("dataChange", True)]
             removes = [a for a in acts
                        if "remove" in a and a["remove"].get("dataChange", True)]
+            cdcs = [a["cdc"] for a in acts if "cdc" in a]
             non_append = bool(removes) or any(
                 a["path"] in live_before or a.get("deletionVector")
                 for a in adds
             )
+            if self.read_change_feed:
+                if cdcs:
+                    # sidecar commit: stream the EXACT changes (the files
+                    # carry their own _change_type); never also derive
+                    for c in cdcs:
+                        out.append(_slice_of(
+                            table_dir, c["path"], c, self.renames,
+                            self.field_ids, (None, v),
+                        ))
+                elif non_append:
+                    raise RuntimeError(
+                        f"commit {v} changed rows without CDF sidecars; "
+                        "the change-feed stream cannot reconstruct its "
+                        "row-level changes — set "
+                        "delta.enableChangeDataFeed=true before running "
+                        "DML, or consume table_changes() in batch"
+                    )
+                else:
+                    for add in adds:
+                        out.append(_slice_of(
+                            table_dir, add["path"], add, self.renames,
+                            self.field_ids, ("insert", v),
+                        ))
+                for a in adds:
+                    live_before[a["path"]] = a
+                for r in removes:
+                    live_before.pop(r["remove"]["path"], None)
+                continue
             if non_append and not (self.ignore_changes or self.skip_change_commits):
                 raise RuntimeError(
                     f"commit {v} is not an append (removes or DV re-adds "
                     "present); the stream cannot represent row deletion — "
                     "set skipChangeCommits=true to skip such commits, "
                     "ignoreChanges=true to re-emit their files "
-                    "(at-least-once duplicates), or consume "
-                    "table_changes() instead"
+                    "(at-least-once duplicates), readChangeFeed=true to "
+                    "stream row-level changes from CDF sidecars, or "
+                    "consume table_changes() instead"
                 )
             if not non_append or (self.ignore_changes
                                   and not self.skip_change_commits):
@@ -484,9 +547,24 @@ class EvolutionDeltaDataSource(DataSource):
         return "evolution_delta"
 
     def schema(self):
-        return self._plan()[0]
+        base = self._plan()[0]
+        if str(self.options.get("readChangeFeed", "false")).lower() == "true":
+            from pyspark.sql import types as T
+
+            return StructType(
+                list(base.fields)
+                + [T.StructField("_change_type", T.StringType(), True),
+                   T.StructField("_commit_version", T.LongType(), True)]
+            )
+        return base
 
     def reader(self, schema):
+        if str(self.options.get("readChangeFeed", "false")).lower() == "true":
+            raise ValueError(
+                "readChangeFeed is a STREAMING option on evolution_delta "
+                "(spark.readStream); batch change reads go through "
+                "delta_log.table_changes(spark, path, from_version)"
+            )
         logical, slices, _ = self._plan()
         return _BatchReader(logical.json(), slices)
 

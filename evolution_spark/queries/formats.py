@@ -2624,3 +2624,81 @@ def delta_nested_struct_mapping_read(spark, sf_dir):
         ),
         F.min("k").alias("min_key"),
     )
+
+
+@query(
+    "delta_cdf_stream_roundtrip",
+    oracle="""
+    SELECT 'update_preimage' AS change_type, 1 AS commit_version,
+           COUNT(*) AS n_rows, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer WHERE c_custkey % 9 = 0
+    UNION ALL
+    SELECT 'update_postimage', 1, COUNT(*), CAST(SUM(c_custkey) AS BIGINT)
+    FROM customer WHERE c_custkey % 9 = 0
+    UNION ALL
+    SELECT 'delete', 2, COUNT(*), CAST(SUM(c_custkey) AS BIGINT)
+    FROM customer WHERE c_custkey % 13 = 0
+    UNION ALL
+    SELECT 'insert', 3, COUNT(*), CAST(SUM(c_custkey + 20000000) AS BIGINT)
+    FROM customer WHERE c_custkey % 31 = 0
+    """,
+)
+def delta_cdf_stream_roundtrip(spark, sf_dir):
+    """STREAMING change data feed (round-8 capability): the
+    evolution_delta source with ``readChangeFeed=true`` runs a REAL
+    Structured Streaming query (availableNow trigger, memory sink) over
+    a CDF table's history — an UPDATE (v1) and DELETE (v2) stream their
+    exact row-level changes from the CDF sidecars (pre/post-image pairs
+    a plain stream can only fail on), and a later append (v3) streams as
+    inserts. The oracle recomputes all four change legs; a stream that
+    derived instead of reading sidecars, double-counted a commit, or
+    mis-stamped _commit_version breaks the hash. The plain (non-CDF)
+    stream's semantics are unchanged — it still fails loudly on
+    non-append commits."""
+    import uuid as _uuid
+
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        delete_delta_rows,
+        update_delta_rows,
+        write_delta_snapshot,
+    )
+    from evolution_spark.io.delta_source import register_delta_source
+
+    register_delta_source(spark)
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    path = query_tmp("deltacdfstream", sf_dir)
+    write_delta_snapshot(
+        c, path, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    update_delta_rows(spark, path, "c_custkey % 9 = 0",
+                      {"c_acctbal": "c_acctbal + 2"})
+    delete_delta_rows(spark, path, "c_custkey % 13 = 0")
+    commit_delta(
+        c.where(F.col("c_custkey") % 31 == 0).select(
+            (F.col("c_custkey") + 20_000_000).alias("c_custkey"),
+            "c_acctbal",
+        ),
+        path, mode="append",
+    )
+    sink = f"cdf_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("evolution_delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load(path)
+        .writeStream.format("memory").queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table(sink)
+    return out.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").cast("int").alias("commit_version"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # the insert leg's keys were shifted; key_sum pins exact rows on
+        # every leg without floating-point concerns
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+    )

@@ -910,3 +910,95 @@ def test_streaming_restart_after_schema_evolution(registered, tmp_path):
     assert {k for k, _ in rows} == set(range(7))
     assert (4, 6.0) in rows and (5, 7.5) in rows and (6, 9.0) in rows
     assert len(rows) == 7
+
+
+def test_streaming_read_change_feed(registered, tmp_path):
+    """readChangeFeed=true: the stream emits row-level CHANGES (table
+    cols + _change_type + _commit_version) — the initial snapshot as
+    inserts, appends as inserts, DML commits from their CDF sidecars
+    (exact pre/post-image pairs, which the plain stream can only fail
+    on). A DML commit WITHOUT sidecars fails loudly."""
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        delete_delta_rows,
+        update_delta_rows,
+        write_delta_snapshot,
+    )
+
+    spark = registered
+    path = str(tmp_path / "cdfsrc")
+    write_delta_snapshot(
+        spark.range(6).select(F.col("id").alias("k"),
+                              (F.col("id") * 10).alias("v")),
+        path, configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    update_delta_rows(spark, path, "k = 2", {"v": "v + 1"})   # v1
+    delete_delta_rows(spark, path, "k = 5")                   # v2
+    commit_delta(
+        spark.createDataFrame([(9, 90)], "k long, v long"), path,
+        mode="append",                                        # v3
+    )
+
+    q = (
+        spark.readStream.format("evolution_delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load(path)
+        .writeStream.format("memory").queryName("cdf_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM cdf_stream").collect()
+    got = sorted((r.k, r.v, r._change_type, r._commit_version) for r in rows)
+    assert got == [
+        (2, 20, "update_preimage", 1),
+        (2, 21, "update_postimage", 1),
+        (5, 50, "delete", 2),
+        (9, 90, "insert", 3),
+    ]
+
+    # initial-snapshot mode (no startingVersion): current rows as inserts
+    q2 = (
+        spark.readStream.format("evolution_delta")
+        .option("readChangeFeed", "true")
+        .load(path)
+        .writeStream.format("memory").queryName("cdf_snapshot")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    snap = spark.sql("SELECT * FROM cdf_snapshot").collect()
+    assert {r._change_type for r in snap} == {"insert"}
+    assert sorted(r.k for r in snap) == [0, 1, 2, 3, 4, 9]
+
+    # batch readChangeFeed points at table_changes
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="STREAMING option"):
+        spark.read.format("evolution_delta").option(
+            "readChangeFeed", "true"
+        ).load(path).collect()
+
+
+def test_streaming_change_feed_requires_sidecars(registered, tmp_path):
+    from evolution_spark.io.delta_log import (
+        delete_delta_rows,
+        write_delta_snapshot,
+    )
+    from evolution_spark.io.delta_source import _StreamReader
+
+    spark = registered
+    path = str(tmp_path / "cdfnoside")
+    write_delta_snapshot(
+        spark.range(4).select(F.col("id").alias("k")), path  # CDF OFF
+    )
+    delete_delta_rows(spark, path, "k = 1")  # v1: DV commit, no sidecars
+    reader = _StreamReader({"path": path, "readChangeFeed": "true"})
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="without CDF sidecars"):
+        reader.partitions(
+            {"version": 0, "snapshot_done": True},
+            {"version": 1, "snapshot_done": True},
+        )
