@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "delta_table_health_advisor",
     "delta_nested_struct_mapping_read",
     "delta_cdf_stream_roundtrip",
+    "iceberg_partition_evolution",
 ]
 
 

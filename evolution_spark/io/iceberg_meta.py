@@ -833,19 +833,38 @@ def read_iceberg_table(
             "refusing to read rather than dropping v3 semantics"
         )
     resolved_where: list[tuple[str, object]] = []
+    specs_by_id = {
+        sp["spec-id"]: sp["fields"]
+        for sp in metadata.get("partition-specs") or []
+    }
+    resolved_by_spec: dict[int, list | None] = {}
     if partition_where:
-        spec = next(
-            sp
-            for sp in metadata["partition-specs"]
-            if sp["spec-id"] == metadata["default-spec-id"]
-        )
         cur_schema = next(
             s for s in metadata["schemas"]
             if s["schema-id"] == metadata["current-schema-id"]
         )
-        resolved_where = resolve_partition_where(
-            partition_where, spec["fields"], cur_schema["fields"]
-        )
+        # per-SPEC resolution: under partition evolution a key may be
+        # expressible in some spec epochs and not others — manifests
+        # whose spec cannot express it are kept conservatively (the
+        # spec's rule). A key NO spec can resolve is a typo and raises.
+        last_err: Exception | None = None
+        for sid, sp_fields in specs_by_id.items():
+            try:
+                resolved_by_spec[sid] = resolve_partition_where(
+                    partition_where, sp_fields, cur_schema["fields"]
+                )
+            except (ValueError, KeyError) as e:
+                resolved_by_spec[sid] = None
+                last_err = e
+        if all(v is None for v in resolved_by_spec.values()):
+            raise last_err
+        resolved_where = resolved_by_spec[metadata["default-spec-id"]] or []
+
+        def _resolved_for(sid: int):
+            return resolved_by_spec.get(sid)
+    else:
+        def _resolved_for(sid: int):
+            return []
     current = snapshot_id if snapshot_id is not None else metadata["current-snapshot-id"]
     try:
         snapshot = next(
@@ -912,6 +931,7 @@ def read_iceberg_table(
     file_seq: dict[str, int] = {}  # decoded path -> data sequence number
     file_part: dict[str, str] = {}  # decoded path -> canonical partition key
     file_sid: dict[str, int] = {}  # raw path -> manifest schema-id
+    file_spec: dict[str, int] = {}  # raw path -> manifest partition-spec-id
     delete_files: list[str] = []
     delete_rows = 0
     # (delete parquet, delete sequence, equality field-ids, record count,
@@ -922,6 +942,7 @@ def read_iceberg_table(
     for mf in _read_avro(Path(snapshot["manifest-list"])):
         is_delete_manifest = int(mf.get("content") or 0) == 1
         mf_seq = int(mf.get("sequence_number") or 0)
+        mf_spec = int(mf.get("partition_spec_id") or 0)
         mf_entries, mf_meta = _read_avro_with_meta(Path(mf["manifest_path"]))
         try:
             mf_sid = int((mf_meta.get("schema-id") or b"").decode())
@@ -984,9 +1005,10 @@ def read_iceberg_table(
                     f"{content} — malformed metadata (delete files belong "
                     "in content=1 manifests)"
                 )
-            if resolved_where and any(
+            rw = _resolved_for(mf_spec) if partition_where else []
+            if rw and any(
                 dfile.get("partition", {}).get(k) != v
-                for k, v in resolved_where
+                for k, v in rw
             ):
                 continue  # metadata-level partition pruning
             if skip_checks:
@@ -1009,6 +1031,7 @@ def read_iceberg_table(
                 _partition_record_key(dfile.get("partition") or {})
             )
             file_sid[dfile["file_path"]] = mf_sid
+            file_spec[dfile["file_path"]] = mf_spec
     ice_schema = want_ice_schema
     schema = spark_schema_of(ice_schema)
     out_names = [f.name for f in schema.fields]
@@ -1027,17 +1050,27 @@ def read_iceberg_table(
             else schema
         )
         return spark.createDataFrame([], empty_schema)
-    group_of: dict[int, list[str]] = {}
+    default_spec_id = int(metadata.get("default-spec-id") or 0)
+    # group key = (schema epoch, partition-spec epoch): schema groups
+    # realign columns by field id; SPEC groups exist because each spec's
+    # files sit under a DIFFERENT hive directory layout (identity columns
+    # live in dirs, not files), so one basePath discovery over mixed
+    # layouts would conflict — each group scans its own consistent layout
+    group_of: dict[tuple[int, int], list[str]] = {}
     for f in files:
-        group_of.setdefault(file_sid.get(f, want_schema_id), []).append(f)
-    if set(group_of) != {want_schema_id}:
-        # SCHEMA-EVOLVED READ (rename/widen/drop history): data files were
-        # written under older schemas whose column names/types differ from
-        # the wanted one. Per group: scan with the WRITTEN schema, mask
-        # that group's position deletes, then realign to the wanted schema
-        # BY FIELD ID (rename -> alias, widen -> upcast, added -> null,
-        # dropped -> not selected) and union. Field-id stability is what
-        # makes this metadata-only; no file is rewritten.
+        group_of.setdefault(
+            (file_sid.get(f, want_schema_id),
+             file_spec.get(f, default_spec_id)),
+            [],
+        ).append(f)
+    if set(group_of) != {(want_schema_id, default_spec_id)}:
+        # SCHEMA- or PARTITION-SPEC-EVOLVED READ (rename/widen/drop or a
+        # repartitioned layout history): data files were written under
+        # older schemas/specs. Per group: scan with the WRITTEN schema,
+        # mask that group's position deletes, then realign to the wanted
+        # schema BY FIELD ID (rename -> alias, widen -> upcast, added ->
+        # null, dropped -> not selected) and union. Field-id stability is
+        # what makes this metadata-only; no file is rewritten.
         if eq_deletes:
             raise IcebergFormatError(
                 "equality deletes over schema-evolved data files are not "
@@ -1056,7 +1089,7 @@ def read_iceberg_table(
                 .withColumn("file_path", decoded_file_path("file_path"))
             )
         branches = []
-        for sid in sorted(group_of):
+        for sid, spec_id in sorted(group_of):
             g_schema = next(
                 (s for s in metadata["schemas"] if s["schema-id"] == sid),
                 None,
@@ -1068,7 +1101,7 @@ def read_iceberg_table(
             gdf = (
                 spark.read.schema(spark_schema_of(g_schema))
                 .option("basePath", str(table_dir / "data"))
-                .parquet(*group_of[sid])
+                .parquet(*group_of[(sid, spec_id)])
             )
             if _lineage:
                 from evolution_spark.io.scan_filters import (
@@ -1932,6 +1965,83 @@ def _current_schema_and_guards(path: str, col: str, op: str):
                         "them, then evolve"
                     )
     return metadata, current, by_name
+
+
+def evolve_iceberg_partition_spec(path: str, partition_by: list[str]) -> dict:
+    """PARTITION EVOLUTION (spec §Partition Evolution), metadata-only: a
+    NEW partition spec (fresh spec-id) becomes the default; existing data
+    files keep their old layout and their manifests keep the old
+    spec-id. Writes after this commit land under the new layout;
+    ``read_iceberg_table`` scans each spec epoch as its own group (the
+    hive directory layouts differ) and prunes each manifest against ITS
+    OWN spec — a ``partition_where`` an old spec cannot express simply
+    does not prune those manifests (conservative, never wrong). This is
+    the 100 TB lifecycle feature: repartitioning a table (day -> month,
+    add a bucket, drop a dimension) without rewriting a byte.
+
+    Partition field-ids are REUSED for (source column, transform) pairs
+    any earlier spec already named (the spec's rule — records stay
+    comparable across specs) and freshly allocated past
+    ``last-partition-id`` otherwise. Reference parity: the reference
+    declares the Iceberg target but implements none of this
+    (crates/evolution-target/src/target.rs)."""
+    from evolution_spark.io.iceberg_transforms import parse_partition_by
+
+    table_dir = Path(path)
+    metadata, prev_meta_file = _load_metadata(table_dir)
+    cur_schema = next(
+        s for s in metadata["schemas"]
+        if s["schema-id"] == metadata["current-schema-id"]
+    )
+    new_fields = parse_partition_by(partition_by or [], cur_schema)
+    existing_fid = {
+        (f["source-id"], f.get("transform", "identity")): f["field-id"]
+        for sp in metadata.get("partition-specs") or []
+        for f in sp["fields"]
+    }
+    last_pid = int(metadata.get("last-partition-id") or 999)
+    for f in new_fields:
+        key = (f["source-id"], f.get("transform", "identity"))
+        if key in existing_fid:
+            f["field-id"] = existing_fid[key]
+        else:
+            last_pid += 1
+            f["field-id"] = last_pid
+    old_default = next(
+        sp for sp in metadata["partition-specs"]
+        if sp["spec-id"] == metadata["default-spec-id"]
+    )
+    if [(f["source-id"], f.get("transform", "identity"))
+            for f in new_fields] == [
+        (f["source-id"], f.get("transform", "identity"))
+        for f in old_default["fields"]
+    ]:
+        return {"spec-id": metadata["default-spec-id"],
+                "note": "partition spec unchanged"}
+    new_spec_id = max(
+        sp["spec-id"] for sp in metadata["partition-specs"]
+    ) + 1
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(metadata)
+    new_meta["partition-specs"] = metadata["partition-specs"] + [
+        {"spec-id": new_spec_id, "fields": new_fields}
+    ]
+    new_meta["default-spec-id"] = new_spec_id
+    new_meta["last-partition-id"] = max(
+        last_pid, int(metadata.get("last-partition-id") or 999)
+    )
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["metadata-log"] = metadata["metadata-log"] + [
+        {"timestamp-ms": metadata["last-updated-ms"],
+         "metadata-file": str(prev_meta_file)}
+    ]
+    _publish_metadata(table_dir / "metadata", prev_meta_file, new_meta)
+    return {
+        "spec-id": new_spec_id,
+        "fields": [
+            (f["name"], f.get("transform", "identity")) for f in new_fields
+        ],
+    }
 
 
 def rename_iceberg_column(path: str, old: str, new: str) -> dict:

@@ -76,6 +76,11 @@ def _plan_iceberg_slices(
         raise ValueError(f"snapshot {current} not in table history {known}")
 
     resolved_where: list[tuple[str, object]] = []
+    specs_by_id = {
+        sp["spec-id"]: sp["fields"]
+        for sp in metadata.get("partition-specs") or []
+    }
+    resolved_by_spec: dict[int, list | None] = {}
     if partition_where:
         # option values arrive stringly; the shared resolver coerces by
         # the SPEC's types (int-guessing would silently prune everything
@@ -86,17 +91,32 @@ def _plan_iceberg_slices(
             resolve_partition_where,
         )
 
-        spec_fields = next(
-            sp for sp in metadata["partition-specs"]
-            if sp["spec-id"] == metadata["default-spec-id"]
-        )["fields"]
         cur_schema = next(
             s for s in metadata["schemas"]
             if s["schema-id"] == metadata["current-schema-id"]
         )
-        resolved_where = resolve_partition_where(
-            partition_where, spec_fields, cur_schema["fields"], stringly=True
-        )
+        # per-SPEC resolution: a key only SOME spec epochs can express
+        # prunes exactly those epochs' manifests; a key NO spec resolves
+        # is a typo and raises (same rule as read_iceberg_table)
+        last_err = None
+        for sid, sp_fields in specs_by_id.items():
+            try:
+                resolved_by_spec[sid] = resolve_partition_where(
+                    partition_where, sp_fields, cur_schema["fields"],
+                    stringly=True,
+                )
+            except (ValueError, KeyError) as e:
+                resolved_by_spec[sid] = None
+                last_err = e
+        if all(v is None for v in resolved_by_spec.values()):
+            raise last_err
+        resolved_where = resolved_by_spec[metadata["default-spec-id"]] or []
+
+        def _resolved_for(sid: int):
+            return resolved_by_spec.get(sid)
+    else:
+        def _resolved_for(sid: int):
+            return []
 
     data_entries: list[tuple[dict, int]] = []  # (data_file, schema-id)
     delete_files: list[str] = []
@@ -104,6 +124,7 @@ def _plan_iceberg_slices(
 
     for mf in _read_avro(Path(snapshot["manifest-list"])):
         is_delete_manifest = int(mf.get("content") or 0) == 1
+        mf_spec = int(mf.get("partition_spec_id") or 0)
         mf_entries, mf_meta = _read_avro_with_meta(Path(mf["manifest_path"]))
         try:
             mf_sid = int((mf_meta.get("schema-id") or b"").decode())
@@ -122,9 +143,10 @@ def _plan_iceberg_slices(
                     f"delete file {dfile['file_path']} carries content="
                     f"{content}; position deletes only"
                 )
-            if resolved_where and any(
+            rw = _resolved_for(mf_spec) if partition_where else []
+            if rw and any(
                 dfile.get("partition", {}).get(k) != v
-                for k, v in resolved_where
+                for k, v in rw
             ):
                 continue
             data_entries.append((dfile, mf_sid))

@@ -2702,3 +2702,62 @@ def delta_cdf_stream_roundtrip(spark, sf_dir):
         # every leg without floating-point concerns
         F.sum("c_custkey").cast("bigint").alias("key_sum"),
     )
+
+
+@query(
+    "iceberg_partition_evolution",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE (o_orderkey % 2 = 0 AND o_custkey % 4 = 1)
+       OR (o_orderkey % 2 = 1 AND o_custkey % 4 = 2)
+    GROUP BY o_orderpriority
+    """,
+)
+def iceberg_partition_evolution(spark, sf_dir):
+    """Iceberg PARTITION EVOLUTION (round-8 capability): orders lands
+    UNPARTITIONED (spec 0, even keys), the default spec evolves to
+    identity(custmod) in one metadata-only commit, and the odd keys land
+    under the new hive layout (spec 1). The read unions both spec epochs
+    (different directory layouts scan as separate groups) and
+    ``partition_where={'custmod': ...}`` prunes ONLY the new-spec
+    manifests — old-spec files are kept conservatively, so the final
+    residual filter must still find every matching old-spec row. The
+    query reads two pruned slices (custmod 1 from the evolved layout
+    plus the residually-filtered old files; custmod 2 likewise) and
+    aggregates; over-pruning old-spec files, a broken epoch union, or a
+    mis-parsed new layout all break the hash. Asserted inline: the
+    pruned read lists fewer files than the full read."""
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        evolve_iceberg_partition_spec,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    ).withColumn("custmod", (F.col("o_custkey") % 4).cast("long"))
+    tmp = query_tmp("icespecevo", sf_dir)
+    write_iceberg_table(o.where(F.col("o_orderkey") % 2 == 0), tmp)
+    evolve_iceberg_partition_spec(tmp, ["custmod"])
+    append_iceberg_snapshot(o.where(F.col("o_orderkey") % 2 == 1), tmp)
+
+    full = read_iceberg_table(spark, tmp)
+    legs = []
+    for cm, key_parity in ((1, 0), (2, 1)):
+        pr = read_iceberg_table(spark, tmp, partition_where={"custmod": cm})
+        assert len(pr.inputFiles()) < len(full.inputFiles())
+        legs.append(
+            pr.where(
+                (F.col("custmod") == cm)
+                & (F.col("o_orderkey") % 2 == key_parity)
+            )
+        )
+    out = legs[0].unionByName(legs[1])
+    return out.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )

@@ -308,3 +308,70 @@ def test_bucket_ntz_timestamp_matches_reference(spark):
     exp = {v: (bucket_hash((v - epoch) // us, "long") & 0x7FFFFFFF) % 16
            for v in vals}
     assert got == exp
+
+
+def test_partition_spec_evolution_lifecycle(spark, tmp_path):
+    """Round-8: PARTITION EVOLUTION — a new default spec (metadata-only),
+    old files keep their layout/spec-id, reads union the spec epochs, and
+    pruning applies per-manifest against each manifest's OWN spec (an old
+    spec that cannot express the filter just does not prune)."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        evolve_iceberg_partition_spec,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "specevo")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("seg"),
+            (F.col("id") * 10).alias("v"),
+        )
+
+    write_iceberg_table(batch(0, 10), path)  # spec 0: unpartitioned
+    r = evolve_iceberg_partition_spec(path, ["seg"])
+    assert r["spec-id"] == 1
+    append_iceberg_snapshot(batch(10, 16), path)  # spec 1: identity(seg)
+
+    back = read_iceberg_table(spark, path)
+    got = sorted((row.k, row.seg, row.v) for row in back.collect())
+    assert got == sorted(
+        (k, "a" if k % 2 == 0 else "b", k * 10) for k in range(16)
+    )
+
+    # pruning: new-spec manifests prune on seg; old-spec files are kept
+    # conservatively — every seg='a' row must survive
+    pr = read_iceberg_table(spark, path, partition_where={"seg": "a"})
+    assert len(pr.inputFiles()) < len(back.inputFiles())
+    assert {row.k for row in pr.collect() if row.seg == "a"} == {
+        k for k in range(16) if k % 2 == 0
+    }
+
+    # evolving again: bucket over k (field-id allocation continues);
+    # no-op evolution returns without a new spec
+    r2 = evolve_iceberg_partition_spec(path, ["bucket(4, k)"])
+    assert r2["spec-id"] == 2
+    append_iceberg_snapshot(batch(16, 20), path)
+    assert read_iceberg_table(spark, path).count() == 20
+    same = evolve_iceberg_partition_spec(path, ["bucket(4, k)"])
+    assert same.get("note") == "partition spec unchanged"
+
+    # the Python DataSource tolerates multi-spec tables too (per-file
+    # partition records, spec-aware pruning)
+    from evolution_spark.io.iceberg_source import register_iceberg_source
+
+    register_iceberg_source(spark)
+    src = spark.read.format("evolution_iceberg").load(path)
+    assert src.count() == 20
+    pruned = (
+        spark.read.format("evolution_iceberg")
+        .option("partition.seg", "a").load(path)
+    )
+    assert {row.k for row in pruned.collect() if row.seg == "a"} == {
+        k for k in range(20) if k % 2 == 0
+    }
