@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "delta_nested_struct_mapping_read",
     "delta_cdf_stream_roundtrip",
     "iceberg_partition_evolution",
+    "delta_history_audit",
+    "iceberg_snapshots_audit",
 ]
 
 

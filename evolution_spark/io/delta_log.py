@@ -515,6 +515,7 @@ def commit_delta(
     remove_paths: list[str] | None = None,
     data_change: bool = True,
     cdc_df: DataFrame | None = None,
+    operation: str = "WRITE",
 ) -> dict:
     """Commit a new version to an existing Delta table (create version 0 if
     the table does not exist). ``mode='append'`` adds files; ``'overwrite'``
@@ -627,7 +628,9 @@ def commit_delta(
             {
                 "commitInfo": {
                     "timestamp": now_ms,
-                    "operation": "WRITE",
+                    # callers label maintenance commits (OPTIMIZE/MERGE)
+                    # so DESCRIBE HISTORY reads like the real log
+                    "operation": operation,
                     "operationParameters": {
                         "mode": {"append": "Append", "overwrite": "Overwrite",
                                  "replace": "Replace"}[mode]
@@ -1159,7 +1162,8 @@ def merge_delta_cdc(
                 "note": "no-op merge: change set matched nothing",
             }
     summary = commit_delta(
-        merged, path, mode=mode, remove_paths=removes, cdc_df=cdc_df
+        merged, path, mode=mode, remove_paths=removes, cdc_df=cdc_df,
+        operation="MERGE",
     )
     if cdc_df is not None:
         cdc_df.unpersist()
@@ -2399,7 +2403,7 @@ def optimize_delta(
     # removes), and downstream streaming readers can skip the rewrite
     summary = commit_delta(
         compacted, path, mode="replace", remove_paths=sorted(live),
-        data_change=False,
+        data_change=False, operation="OPTIMIZE",
     )
     summary["files_before"] = len(live)
     return summary
@@ -3302,3 +3306,39 @@ def drop_delta_constraint(path: str, name: str) -> dict:
     version = latest + 1
     _publish_commit(table_dir, version, actions, "DROP CONSTRAINT")
     return {"version": version, "name": name}
+
+
+def delta_table_history(spark, path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per commit — version, operation, the
+    operationParameters JSON, and the commit's add/remove/cdc action
+    counts — the audit surface every Delta user queries before a RESTORE
+    or an incident review. Driver-side metadata only (one pass over the
+    log, one row per commit, never per file beyond counting)."""
+    table_dir = Path(path)
+    log_dir = table_dir / "_delta_log"
+    versions = _log_versions(log_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {log_dir}")
+    rows = []
+    for v in versions:
+        acts = [
+            json.loads(line)
+            for line in (log_dir / f"{v:020d}.json").read_text().splitlines()
+        ]
+        info = next((a["commitInfo"] for a in acts if "commitInfo" in a), {})
+        rows.append((
+            v,
+            info.get("operation", "UNKNOWN"),
+            json.dumps(info.get("operationParameters") or {},
+                       sort_keys=True),
+            int(info.get("timestamp") or 0),
+            sum(1 for a in acts if "add" in a),
+            sum(1 for a in acts if "remove" in a),
+            sum(1 for a in acts if "cdc" in a),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "version long, operation string, operation_parameters string, "
+        "timestamp_ms long, n_add_actions int, n_remove_actions int, "
+        "n_cdc_actions int",
+    )

@@ -3115,3 +3115,99 @@ def resolve_iceberg_ref(path: str, ref: str) -> int:
     if ref not in refs:
         raise ValueError(f"no ref {ref!r} on this table (have {sorted(refs)})")
     return refs[ref]["snapshot-id"]
+
+
+def iceberg_metadata_table(spark, path: str, kind: str) -> DataFrame:
+    """Iceberg metadata tables (the ``table$snapshots`` / ``$files`` /
+    ``$manifests`` / ``$refs`` / ``$history`` surface): inspection
+    DataFrames over the table's own metadata — what users query before
+    expiring snapshots, debugging a ref, or auditing file layout.
+    Driver-side metadata only; ``files`` lists the CURRENT snapshot's
+    live data/delete files from its manifests (one row per file, never
+    any data I/O)."""
+    table_dir = Path(path)
+    metadata, _ = _load_metadata(table_dir)
+    if kind == "snapshots":
+        rows = [(
+            int(s["snapshot-id"]), int(s.get("sequence-number") or 0),
+            int(s.get("timestamp-ms") or 0),
+            (s.get("summary") or {}).get("operation", "append"),
+            int((s.get("summary") or {}).get("added-records") or 0),
+            s.get("parent-snapshot-id"),
+        ) for s in metadata.get("snapshots") or []]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, sequence_number long, timestamp_ms long, "
+            "operation string, added_records long, parent_id long",
+        )
+    if kind == "refs":
+        rows = [(
+            name, str(r.get("type", "branch")), int(r["snapshot-id"]),
+        ) for name, r in (metadata.get("refs") or {}).items()]
+        if metadata.get("current-snapshot-id") is not None and not any(
+            n == "main" for n, *_ in rows
+        ):
+            rows.append(("main", "branch",
+                         int(metadata["current-snapshot-id"])))
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+    if kind == "history":
+        rows = [(
+            int(s.get("timestamp-ms") or 0), int(s["snapshot-id"]),
+            s.get("parent-snapshot-id"),
+            int(s["snapshot-id"]) == metadata.get("current-snapshot-id"),
+        ) for s in metadata.get("snapshots") or []]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at_ms long, snapshot_id long, parent_id long, "
+            "is_current boolean",
+        )
+    if kind in ("files", "manifests"):
+        current = metadata.get("current-snapshot-id")
+        if current is None:
+            return spark.createDataFrame(
+                [],
+                "content int, file_path string, record_count long, "
+                "file_size_in_bytes long, partition string, spec_id int"
+                if kind == "files"
+                else "manifest_path string, content int, spec_id int, "
+                     "sequence_number long, n_entries int",
+            )
+        snap = next(
+            s for s in metadata["snapshots"] if s["snapshot-id"] == current
+        )
+        mrows = []
+        frows = []
+        for mf in _read_avro(Path(snap["manifest-list"])):
+            entries = _read_avro(Path(mf["manifest_path"]))
+            live = [e for e in entries if e["status"] != 2]
+            mrows.append((
+                mf["manifest_path"], int(mf.get("content") or 0),
+                int(mf.get("partition_spec_id") or 0),
+                int(mf.get("sequence_number") or 0), len(live),
+            ))
+            for e in live:
+                d = e["data_file"]
+                frows.append((
+                    int(d.get("content") or 0), d["file_path"],
+                    int(d.get("record_count") or 0),
+                    int(d.get("file_size_in_bytes") or 0),
+                    _partition_record_key(d.get("partition") or {}),
+                    int(mf.get("partition_spec_id") or 0),
+                ))
+        if kind == "manifests":
+            return spark.createDataFrame(
+                mrows,
+                "manifest_path string, content int, spec_id int, "
+                "sequence_number long, n_entries int",
+            )
+        return spark.createDataFrame(
+            frows,
+            "content int, file_path string, record_count long, "
+            "file_size_in_bytes long, partition string, spec_id int",
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r} (snapshots, files, manifests, "
+        "refs, history)"
+    )

@@ -2761,3 +2761,135 @@ def iceberg_partition_evolution(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
     )
+
+
+@query(
+    "delta_history_audit",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS base FROM customer),
+    n5 AS (SELECT COUNT(*) AS added FROM customer WHERE c_custkey % 5 = 0),
+    d AS (
+      SELECT (SELECT COUNT(*) FROM customer WHERE c_custkey % 7 = 0)
+           + (SELECT COUNT(*) FROM customer
+              WHERE c_custkey % 5 = 0 AND (c_custkey + 10000000) % 7 = 0)
+           AS deleted
+    )
+    SELECT 0 AS version, 'WRITE' AS operation, n.base AS n_rows FROM n
+    UNION ALL
+    SELECT 1, 'WRITE', n.base + n5.added FROM n, n5
+    UNION ALL
+    SELECT 2, 'DELETE', n.base + n5.added - d.deleted FROM n, n5, d
+    UNION ALL
+    SELECT 3, 'OPTIMIZE', n.base + n5.added - d.deleted FROM n, n5, d
+    """,
+)
+def delta_history_audit(spark, sf_dir):
+    """DESCRIBE HISTORY x TIME TRAVEL consistency (round-8 capability):
+    ``delta_table_history`` lists every commit with its operation, and
+    each listed version must time-travel to exactly the row count the
+    operation sequence implies — write, append, merge-on-read DELETE
+    (DV), OPTIMIZE (layout-only, count unchanged). A history row with
+    the wrong operation label, a missing commit, or a version that
+    travels to the wrong snapshot breaks the hash. History is one
+    driver-side log pass; the counts are four snapshot scans."""
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        delete_delta_rows,
+        delta_table_history,
+        optimize_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    path = query_tmp("deltahist", sf_dir)
+    write_delta_snapshot(c, path)
+    commit_delta(
+        c.where(F.col("c_custkey") % 5 == 0).select(
+            (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+            "c_acctbal",
+        ),
+        path, mode="append",
+    )
+    delete_delta_rows(spark, path, "c_custkey % 7 = 0")
+    optimize_delta(spark, path)
+
+    hist = delta_table_history(spark, path).select("version", "operation")
+    legs = [
+        read_delta_snapshot(spark, path, version=v).agg(
+            F.lit(v).cast("long").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        for v in range(4)
+    ]
+    counts = legs[0]
+    for l in legs[1:]:
+        counts = counts.unionByName(l)
+    return hist.join(counts, "version").select(
+        "version", "operation", "n_rows"
+    )
+
+
+@query(
+    "iceberg_snapshots_audit",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS base FROM supplier),
+    n3 AS (SELECT COUNT(*) AS added FROM supplier WHERE s_suppkey % 3 = 0)
+    SELECT 1 AS seq, 'append' AS operation, n.base AS n_rows FROM n
+    UNION ALL
+    SELECT 2, 'append', n.base + n3.added FROM n, n3
+    UNION ALL
+    SELECT 3, 'delete',
+           n.base + n3.added
+           - (SELECT COUNT(*) FROM supplier WHERE s_suppkey % 11 = 0)
+           - (SELECT COUNT(*) FROM supplier
+              WHERE s_suppkey % 3 = 0 AND (s_suppkey + 10000000) % 11 = 0)
+    FROM n, n3
+    """,
+)
+def iceberg_snapshots_audit(spark, sf_dir):
+    """Iceberg ``$snapshots`` metadata table x snapshot time travel
+    (round-8 capability): every snapshot listed by
+    ``iceberg_metadata_table(..., 'snapshots')`` — ordered by sequence
+    number, labeled with its summary operation — must time-travel to the
+    row count its operation implies (append, append, position-delete).
+    A mislabeled summary, a missing snapshot row, or a wrong
+    snapshot-id/sequence pairing breaks the hash."""
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        delete_iceberg_rows,
+        iceberg_metadata_table,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    path = query_tmp("icesnaps", sf_dir)
+    write_iceberg_table(s, path)
+    append_iceberg_snapshot(
+        s.where(F.col("s_suppkey") % 3 == 0).select(
+            (F.col("s_suppkey") + 10_000_000).alias("s_suppkey"),
+            "s_acctbal",
+        ),
+        path,
+    )
+    delete_iceberg_rows(spark, path, "s_suppkey % 11 = 0")
+
+    snaps = iceberg_metadata_table(spark, path, "snapshots").select(
+        F.col("sequence_number").cast("int").alias("seq"),
+        "operation", "snapshot_id",
+    )
+    ids = {r.seq: r.snapshot_id for r in snaps.collect()}
+    legs = [
+        read_iceberg_table(spark, path, snapshot_id=ids[seq]).agg(
+            F.lit(seq).cast("int").alias("seq"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        for seq in sorted(ids)
+    ]
+    counts = legs[0]
+    for l in legs[1:]:
+        counts = counts.unionByName(l)
+    return snaps.drop("snapshot_id").join(counts, "seq").select(
+        "seq", "operation", "n_rows"
+    )

@@ -217,3 +217,52 @@ def test_vacuum_reclaims_orphaned_cdc(spark, tmp_path):
     vacuum_delta(path, stale_staging_hours=24.0)
     assert not orphan.exists()
     assert all(p.exists() for p in referenced)
+
+
+def test_history_and_metadata_tables(spark, tmp_path):
+    """delta_table_history lists every commit with operation labels +
+    action counts; iceberg_metadata_table exposes snapshots/files/
+    manifests/refs/history as DataFrames (metadata-only)."""
+    from evolution_spark.io.delta_log import (
+        delete_delta_rows,
+        delta_table_history,
+        optimize_delta,
+    )
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        create_iceberg_branch,
+        iceberg_metadata_table,
+        write_iceberg_table,
+    )
+
+    dpath = str(tmp_path / "histd")
+    _mk(spark, dpath)
+    delete_delta_rows(spark, dpath, "k % 2 = 0")
+    optimize_delta(spark, dpath)
+    h = delta_table_history(spark, dpath).orderBy("version").collect()
+    assert [(r.version, r.operation) for r in h] == [
+        (0, "WRITE"), (1, "DELETE"), (2, "OPTIMIZE")
+    ]
+    assert h[1].n_cdc_actions > 0  # CDF table: the DELETE wrote sidecars
+    assert h[2].n_remove_actions > 0 and h[2].n_add_actions > 0
+
+    ipath = str(tmp_path / "histi")
+    df = spark.range(8).select(F.col("id").alias("k"))
+    write_iceberg_table(df, ipath)
+    append_iceberg_snapshot(spark.range(8, 10).select(F.col("id").alias("k")), ipath)
+    create_iceberg_branch(ipath, "audit")
+    snaps = iceberg_metadata_table(spark, ipath, "snapshots").collect()
+    assert [r.sequence_number for r in sorted(snaps, key=lambda r: r.sequence_number)] == [1, 2]
+    files = iceberg_metadata_table(spark, ipath, "files")
+    assert files.count() > 0
+    assert files.where(F.col("content") != 0).count() == 0
+    refs = {r.name for r in iceberg_metadata_table(spark, ipath, "refs").collect()}
+    assert "audit" in refs and "main" in refs
+    hist = iceberg_metadata_table(spark, ipath, "history").collect()
+    assert sum(1 for r in hist if r.is_current) == 1
+    mans = iceberg_metadata_table(spark, ipath, "manifests")
+    assert mans.count() >= 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown metadata table"):
+        iceberg_metadata_table(spark, ipath, "nope")
