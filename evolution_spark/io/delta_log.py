@@ -586,8 +586,13 @@ def commit_delta(
     # Spark cannot statically prove non-nullness through outer joins (a
     # MERGE result is always "nullable" even when every row has a key), and
     # the Delta contract enforces null constraints on data, not plan types
+    # simpleString drops nullability at EVERY nesting level while keeping
+    # nested field names/types — direct dataType equality would reject a
+    # struct whose inner member nullability differs, which the contract
+    # above explicitly does not compare
     incompatible = [f.name for f in df.schema] != [f.name for f in stored] or any(
-        a.dataType != b.dataType for a, b in zip(df.schema, stored)
+        a.dataType.simpleString() != b.dataType.simpleString()
+        for a, b in zip(df.schema, stored)
     )
     if incompatible:
         raise ValueError(
@@ -1376,6 +1381,27 @@ def _physical_field(f: dict) -> dict:
     return dict(f, name=phys, type=walk(f["type"]))
 
 
+def _nullable_everywhere(f: dict) -> dict:
+    """Copy of a schema field json with ``nullable: true`` at every
+    nesting level — cast TARGETS must not demand non-null struct members
+    (Spark refuses nullable->non-null struct casts, and nullability is
+    not part of the rename semantics anyway)."""
+    def walk(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                return {
+                    "type": "struct",
+                    "fields": [_nullable_everywhere(sf) for sf in t["fields"]],
+                }
+            if t.get("type") == "array":
+                return dict(t, elementType=walk(t["elementType"]))
+            if t.get("type") == "map":
+                return dict(t, valueType=walk(t["valueType"]))
+        return t
+
+    return dict(f, nullable=True, type=walk(f["type"]))
+
+
 def _logical_select_cols(schema_json: dict, phys_of: dict[str, str]):
     """Alias-back projection for a name-mode mapped scan: flat fields get
     a plain alias; struct-bearing fields get a positional CAST to the
@@ -1391,7 +1417,7 @@ def _logical_select_cols(schema_json: dict, phys_of: dict[str, str]):
         c = F.col(phys)
         if "struct" in json.dumps(f["type"]):
             logical_type = StructType.fromJson(
-                {"type": "struct", "fields": [f]}
+                {"type": "struct", "fields": [_nullable_everywhere(f)]}
             ).fields[0].dataType
             c = c.cast(logical_type)
         cols.append(c.alias(f["name"]))
@@ -1890,7 +1916,8 @@ def _physicalize(df, schema_json: dict, config: dict):
         if "struct" in json.dumps(f["type"]):
             c = c.cast(
                 StructType.fromJson(
-                    {"type": "struct", "fields": [pf]}
+                    {"type": "struct",
+                     "fields": [_nullable_everywhere(pf)]}
                 ).fields[0].dataType
             )
         cols.append(c.alias(pf["name"]))
@@ -2781,20 +2808,37 @@ def upgrade_delta_to_column_mapping(path: str) -> dict:
             "upgrades are supported"
         )
     schema_json = json.loads(schema_string)
-    new_fields = []
-    for i, f in enumerate(schema_json["fields"], start=1):
-        if "struct" in json.dumps(f["type"]):
-            raise DeltaProtocolError(
-                f"column mapping over nested struct field {f['name']!r} "
-                "is not implemented"
-            )
-        new_fields.append(dict(f, metadata={
+    # recursive stamping: EVERY field (nested struct members, array
+    # elements' struct members, map values' struct members included)
+    # gets a stable id and physicalName = current name — the spec's
+    # upgrade semantics, so every existing file resolves without
+    # rewriting anything
+    counter = [0]
+
+    def stamp(f: dict) -> dict:
+        counter[0] += 1
+        fid = counter[0]
+
+        def walk(t):
+            if isinstance(t, dict):
+                if t.get("type") == "struct":
+                    return {
+                        "type": "struct",
+                        "fields": [stamp(sf) for sf in t["fields"]],
+                    }
+                if t.get("type") == "array":
+                    return dict(t, elementType=walk(t["elementType"]))
+                if t.get("type") == "map":
+                    return dict(t, valueType=walk(t["valueType"]))
+            return t
+
+        return dict(f, type=walk(f["type"]), metadata={
             **(f.get("metadata") or {}),
-            "delta.columnMapping.id": i,
-            # the spec's upgrade semantics: physical name = current name,
-            # so every existing file resolves without rewriting anything
+            "delta.columnMapping.id": fid,
             "delta.columnMapping.physicalName": f["name"],
-        }))
+        })
+
+    new_fields = [stamp(f) for f in schema_json["fields"]]
     metadata = dict(repl_state["metadata"])
     metadata["schemaString"] = json.dumps(
         {"type": "struct", "fields": new_fields}
@@ -2802,7 +2846,7 @@ def upgrade_delta_to_column_mapping(path: str) -> dict:
     metadata["configuration"] = {
         **config,
         "delta.columnMapping.mode": "name",
-        "delta.columnMapping.maxColumnId": str(len(new_fields)),
+        "delta.columnMapping.maxColumnId": str(counter[0]),
     }
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
@@ -2826,6 +2870,54 @@ def upgrade_delta_to_column_mapping(path: str) -> dict:
     version = latest + 1
     _publish_commit(table_dir, version, actions, "mapping upgrade")
     return {"version": version, "mode": "name"}
+
+
+def _edit_nested_field(fields: list[dict], path: list[str], op: str,
+                       new: str | None = None) -> list[dict]:
+    """Rename or drop a NESTED struct member addressed by a dotted path
+    (``s.b`` / ``s.inner.c``): the leaf's logical name changes (or the
+    leaf leaves the schema) while its ``physicalName`` and id stay — so
+    the edit is metadata-only and every mapped read keeps resolving the
+    stored data (rename) or stops selecting it (drop)."""
+    head, rest = path[0], path[1:]
+    out = []
+    hit = False
+    for f in fields:
+        if f["name"] != head:
+            out.append(f)
+            continue
+        hit = True
+        if rest:
+            t = f["type"]
+            if not (isinstance(t, dict) and t.get("type") == "struct"):
+                raise ValueError(
+                    f"{head!r} is not a struct — cannot address "
+                    f"{'.'.join(path)!r}"
+                )
+            inner = _edit_nested_field(t["fields"], rest, op, new)
+            if op == "drop" and not inner:
+                raise ValueError(
+                    f"cannot drop the last member of struct {head!r} — "
+                    "drop the struct column itself instead"
+                )
+            out.append(dict(f, type={"type": "struct", "fields": inner}))
+            continue
+        if op == "drop":
+            continue  # leaf leaves the schema
+        meta = dict(f.get("metadata") or {})
+        meta.setdefault("delta.columnMapping.physicalName", f["name"])
+        out.append(dict(f, name=new, metadata=meta))
+    if not hit:
+        raise ValueError(
+            f"field {head!r} not found while resolving {'.'.join(path)!r}"
+        )
+    if op == "rename":
+        names = [f["name"] for f in out]
+        if len(set(n.lower() for n in names)) != len(names):
+            raise ValueError(
+                f"renaming to {new!r} collides with a sibling field"
+            )
+    return out
 
 
 def _physical_field_name(schema_json: dict, logical: str) -> str:
@@ -2868,21 +2960,30 @@ def rename_delta_column(path: str, old: str, new: str) -> dict:
         )
     if not new or new == old:
         raise ValueError(f"invalid new name {new!r}")
-    names = {f["name"] for f in schema_json["fields"]}
-    if old not in names:
-        raise ValueError(f"column {old!r} not in schema {sorted(names)}")
-    if new.lower() in {n.lower() for n in names}:
-        raise ValueError(f"column {new!r} already exists")
-    new_fields = []
-    for f in schema_json["fields"]:
-        if f["name"] == old:
-            meta = dict(f.get("metadata") or {})
-            # a field upgraded in-place may carry physicalName == old
-            # name; pin it explicitly so the rename cannot orphan it
-            meta.setdefault("delta.columnMapping.physicalName", f["name"])
-            new_fields.append(dict(f, name=new, metadata=meta))
-        else:
-            new_fields.append(f)
+    if "." in new:
+        raise ValueError(f"new name {new!r} must be a plain field name")
+    if "." in old:
+        # nested member rename (s.b -> s.<new>): same metadata-only
+        # contract, addressed by dotted path
+        new_fields = _edit_nested_field(
+            schema_json["fields"], old.split("."), "rename", new
+        )
+    else:
+        names = {f["name"] for f in schema_json["fields"]}
+        if old not in names:
+            raise ValueError(f"column {old!r} not in schema {sorted(names)}")
+        if new.lower() in {n.lower() for n in names}:
+            raise ValueError(f"column {new!r} already exists")
+        new_fields = []
+        for f in schema_json["fields"]:
+            if f["name"] == old:
+                meta = dict(f.get("metadata") or {})
+                # a field upgraded in-place may carry physicalName == old
+                # name; pin it explicitly so the rename cannot orphan it
+                meta.setdefault("delta.columnMapping.physicalName", f["name"])
+                new_fields.append(dict(f, name=new, metadata=meta))
+            else:
+                new_fields.append(f)
     metadata = dict(repl_state["metadata"])
     metadata["schemaString"] = json.dumps(
         {"type": "struct", "fields": new_fields}
@@ -2926,12 +3027,19 @@ def drop_delta_column(path: str, name: str) -> dict:
             f"cannot drop partition column {name!r} (the directory "
             "layout is keyed by its physical name)"
         )
-    names = [f["name"] for f in schema_json["fields"]]
-    if name not in names:
-        raise ValueError(f"column {name!r} not in schema {sorted(names)}")
-    if len(names) == 1:
-        raise ValueError("cannot drop the last column of a table")
-    new_fields = [f for f in schema_json["fields"] if f["name"] != name]
+    if "." in name:
+        # nested member drop (s.b): metadata-only, stored data stays in
+        # the files but no mapped reader selects it
+        new_fields = _edit_nested_field(
+            schema_json["fields"], name.split("."), "drop"
+        )
+    else:
+        names = [f["name"] for f in schema_json["fields"]]
+        if name not in names:
+            raise ValueError(f"column {name!r} not in schema {sorted(names)}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the last column of a table")
+        new_fields = [f for f in schema_json["fields"] if f["name"] != name]
     metadata = dict(repl_state["metadata"])
     metadata["schemaString"] = json.dumps(
         {"type": "struct", "fields": new_fields}

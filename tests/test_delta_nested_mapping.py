@@ -158,3 +158,72 @@ def test_nested_mapped_python_source_refuses(spark, tmp_path):
     path = _build_nested_mapped_table(spark, tmp_path)
     with pytest.raises(Exception, match="nested"):
         spark.read.format("evolution_delta").load(path).collect()
+
+
+def test_upgrade_and_nested_rename_drop_on_own_table(spark, tmp_path):
+    """Round-8 write-side symmetry: upgrading a table CONTAINING structs
+    stamps ids/physicalNames at every level (metadata-only), after which
+    inner members rename/drop by dotted path — old files keep resolving
+    through the stored physical names, time travel sees the old names."""
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        drop_delta_column,
+        read_delta_snapshot,
+        rename_delta_column,
+        upgrade_delta_to_column_mapping,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "ownnested")
+    df = spark.range(8).select(
+        F.col("id").alias("k"),
+        F.struct(
+            (F.col("id") * 2).alias("a"),
+            F.concat(F.lit("x"), F.col("id")).alias("b"),
+        ).alias("s"),
+    )
+    write_delta_snapshot(df, path)
+    up = upgrade_delta_to_column_mapping(path)
+    assert up["mode"] == "name"
+    # maxColumnId counts nested members too (k, s, s.a, s.b)
+    import json as _json
+
+    lines = (Path(path) / "_delta_log" / f"{1:020d}.json").read_text()
+    meta = next(_json.loads(l)["metaData"] for l in lines.splitlines()
+                if "metaData" in l)
+    assert meta["configuration"]["delta.columnMapping.maxColumnId"] == "4"
+
+    rename_delta_column(path, "s.b", "label")
+    back = read_delta_snapshot(spark, path)
+    assert [f.name for f in back.schema["s"].dataType.fields] == ["a", "label"]
+    assert sorted((r.k, r.s.a, r.s.label) for r in back.collect()) == [
+        (i, i * 2, f"x{i}") for i in range(8)
+    ]
+    # time travel to pre-rename sees the old inner name
+    old = read_delta_snapshot(spark, path, version=1)
+    assert [f.name for f in old.schema["s"].dataType.fields] == ["a", "b"]
+
+    # append post-rename: physical inner names land in the new files
+    commit_delta(
+        spark.range(8, 10).select(
+            F.col("id").alias("k"),
+            F.struct((F.col("id") * 2).alias("a"),
+                     F.concat(F.lit("x"), F.col("id")).alias("label")).alias("s"),
+        ),
+        path, mode="append",
+    )
+    assert read_delta_snapshot(spark, path).count() == 10
+
+    drop_delta_column(path, "s.a")
+    back2 = read_delta_snapshot(spark, path)
+    assert [f.name for f in back2.schema["s"].dataType.fields] == ["label"]
+    assert sorted(r.s.label for r in back2.collect()) == sorted(
+        f"x{i}" for i in range(10)
+    )
+    # dropping the last member refuses with guidance
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="last member"):
+        drop_delta_column(path, "s.label")
+    with _pytest.raises(ValueError, match="not found"):
+        rename_delta_column(path, "s.nope", "x")
