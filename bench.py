@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "iceberg_partition_evolution",
     "delta_history_audit",
     "iceberg_snapshots_audit",
+    "delta_nested_rename_lifecycle",
 ]
 
 

@@ -2893,3 +2893,66 @@ def iceberg_snapshots_audit(spark, sf_dir):
     return snaps.drop("snapshot_id").join(counts, "seq").select(
         "seq", "operation", "n_rows"
     )
+
+
+@query(
+    "delta_nested_rename_lifecycle",
+    oracle="""
+    SELECT 'v_pre' AS state, c_mktsegment AS segment, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'v_renamed', c_mktsegment, COUNT(*),
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+    FROM customer WHERE c_custkey % 6 <> 0 GROUP BY c_mktsegment
+    """,
+)
+def delta_nested_rename_lifecycle(spark, sf_dir):
+    """Inner-struct-member RENAME on this engine's OWN table (round-8
+    capability — the write-side twin of delta_nested_struct_mapping_read):
+    customer lands as ``k`` + ``s struct<bal, seg>``, the mapping upgrade
+    stamps ids/physicalNames at every nesting level (metadata-only), the
+    inner member renames ``s.bal -> s.balance`` by dotted path, and a
+    merge-on-read DELETE then runs against the renamed schema. Leg
+    'v_pre' time-travels to the pre-rename version (old inner name, all
+    rows); 'v_renamed' reads the final state — inner values must resolve
+    through the UNCHANGED physical names or both legs break the hash."""
+    from evolution_spark.io.delta_log import (
+        delete_delta_rows,
+        read_delta_snapshot,
+        rename_delta_column,
+        upgrade_delta_to_column_mapping,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.struct(
+            F.col("c_acctbal").alias("bal"),
+            F.col("c_mktsegment").alias("seg"),
+        ).alias("s"),
+    )
+    path = query_tmp("deltanestedren", sf_dir)
+    write_delta_snapshot(c, path)
+    upgrade_delta_to_column_mapping(path)
+    rename_delta_column(path, "s.bal", "balance")
+    delete_delta_rows(spark, path, "k % 6 = 0")
+
+    pre = read_delta_snapshot(spark, path, version=0)
+    leg0 = pre.groupBy(F.col("s.seg").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("s.bal") * 100).cast("bigint")).alias(
+            "bal_cents"
+        ),
+    ).select(F.lit("v_pre").alias("state"), "segment", "n_rows", "bal_cents")
+    cur = read_delta_snapshot(spark, path)
+    leg1 = cur.groupBy(F.col("s.seg").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("s.balance") * 100).cast("bigint")).alias(
+            "bal_cents"
+        ),
+    ).select(
+        F.lit("v_renamed").alias("state"), "segment", "n_rows", "bal_cents"
+    )
+    return leg0.unionByName(leg1)
