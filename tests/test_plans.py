@@ -767,3 +767,55 @@ def test_transform_prune_is_metadata_only(spark, sf_dir, tmp_path):
     assert len(pruned.inputFiles()) < len(
         read_iceberg_table(spark, path).inputFiles()
     )
+
+
+def test_id_mode_read_is_pure_jvm_scan(spark, sf_dir):
+    """Field-id resolution is a SCAN-level mechanism (SPARK-38094): the
+    id-mode read must stay a plain parquet scan + projection — no Python
+    eval, no join before the query's own aggregate."""
+    plan = plan_of(spark, sf_dir, "delta_id_mode_read")
+    assert "Python" not in plan
+    agg_free = plan.split("HashAggregate")[0]
+    assert "Join" not in agg_free
+
+
+def test_nested_mapped_read_is_cast_projection(spark, sf_dir):
+    """Nested physical->logical renaming is a positional struct CAST —
+    pure projection over one scan: no Python, no join, no exchange
+    before the query's own aggregate."""
+    plan = plan_of(spark, sf_dir, "delta_nested_struct_mapping_read")
+    assert "Python" not in plan
+    agg_free = plan.split("HashAggregate")[0]
+    assert "Join" not in agg_free and "Exchange" not in agg_free
+
+
+def test_partition_evolution_read_unions_plain_scans(spark, sf_dir):
+    """Per-(schema, spec)-epoch groups must stay a union of plain parquet
+    scans; pruning is manifest-level (driver-side), so no join may feed
+    the epochs and nothing nested-loops."""
+    plan = plan_of(spark, sf_dir, "iceberg_partition_evolution")
+    assert "Union" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_transform_write_column_has_no_python(spark):
+    """Round-8: integral bucket transforms are built-in expressions —
+    the partitioned-write projection must carry no Python eval (strings
+    are the one documented Arrow-UDF exception)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_transforms import transform_column
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2020, 1, 2, 3, 4, 5))], "k long, ts timestamp"
+    )
+    q = df.select(
+        transform_column("bucket[8]", "k", "long"),
+        transform_column("bucket[8]", "ts", "timestamptz"),
+        transform_column("month", "ts", "timestamptz"),
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan

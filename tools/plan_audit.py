@@ -36,6 +36,9 @@ AUDITED = {
     "theil_sen_trend_revenue": "equi-bucketed banded pair join (hash join, no nested loop)",
     "benford_digit_test": "one scan; 9-row spine join + 1-row total broadcast",
     "lagged_crosscorr_orders": "post-agg daily self-join on shifted dates",
+    "delta_id_mode_read": "field-id-resolved parquet scan (SPARK-38094); no Python, no join",
+    "delta_nested_struct_mapping_read": "recursively-physical scan + positional struct-cast projection",
+    "iceberg_partition_evolution": "per-spec-epoch plain scans unioned; pruning is driver-side metadata",
 }
 
 
