@@ -1262,11 +1262,12 @@ def _stage_cdc_actions(
     driver work stays one action per file."""
     from pyspark.sql import functions as F
 
-    renames = mapping_renames(schema_json, config)
-    phys_of = {log: phys for phys, log in renames.items()}
+    # same recursive physicalize as the data files (struct-cast rule,
+    # shared via _physicalize_cols): sidecars written under flat
+    # top-level renames would store nested INNER fields under logical
+    # names, which every mapped reader then resolves as null
     out = cdc_df.select(
-        *[F.col(f["name"]).alias(phys_of.get(f["name"], f["name"]))
-          for f in schema_json["fields"]],
+        *_physicalize_cols(schema_json, config),
         F.col("_change_type").cast("string").alias("_change_type"),
     )
     stage = table_dir / f"_staging_cdc_v{version}-{uuid.uuid4().hex}"
@@ -1375,7 +1376,9 @@ def _physical_field(f: dict) -> dict:
             if t.get("type") == "array":
                 return dict(t, elementType=walk(t["elementType"]))
             if t.get("type") == "map":
-                return dict(t, valueType=walk(t["valueType"]))
+                # map KEYS can be structs too (rare but spec-legal)
+                return dict(t, keyType=walk(t["keyType"]),
+                            valueType=walk(t["valueType"]))
         return t
 
     return dict(f, name=phys, type=walk(f["type"]))
@@ -1394,9 +1397,12 @@ def _nullable_everywhere(f: dict) -> dict:
                     "fields": [_nullable_everywhere(sf) for sf in t["fields"]],
                 }
             if t.get("type") == "array":
-                return dict(t, elementType=walk(t["elementType"]))
+                return dict(t, elementType=walk(t["elementType"]),
+                            containsNull=True)
             if t.get("type") == "map":
-                return dict(t, valueType=walk(t["valueType"]))
+                return dict(t, keyType=walk(t["keyType"]),
+                            valueType=walk(t["valueType"]),
+                            valueContainsNull=True)
         return t
 
     return dict(f, nullable=True, type=walk(f["type"]))
@@ -1893,22 +1899,20 @@ def _logical_scan(
     )
 
 
-def _physicalize(df, schema_json: dict, config: dict):
-    """Rename a logical-schema DataFrame to PHYSICAL column names for
-    writing into a column-mapped table (files must store physical names
-    or every mapped reader resolves the new files as all-null) — the
-    inverse of ``_logical_select_cols``: flat alias for flat fields, a
-    positional cast to the recursively-physical type for struct-bearing
-    ones. No-op when mapping is off."""
-    if mapping_mode(config) != "name":
-        mapping_renames(schema_json, config)  # id mode: shared refusal
-        return df
+def _physicalize_cols(schema_json: dict, config: dict):
+    """Logical -> PHYSICAL projection columns for writing into a mapped
+    table: flat alias for flat fields, a positional cast to the
+    recursively-physical type for struct-bearing ones (one atomic
+    projection, same collision reasoning as _logical_scan). Identity
+    projection when mapping is off; shared by ``_physicalize`` and the
+    CDF sidecar writer so data files and sidecars can never physicalize
+    differently."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
-    renames = mapping_renames(schema_json, config)
-    phys_of = {log: phys for phys, log in renames.items()}
-    # one atomic projection, same collision reasoning as _logical_scan
+    if mapping_mode(config) != "name":
+        mapping_renames(schema_json, config)  # id mode: shared refusal
+        return [F.col(f["name"]) for f in schema_json["fields"]]
     cols = []
     for f in schema_json["fields"]:
         pf = _physical_field(f)
@@ -1921,7 +1925,18 @@ def _physicalize(df, schema_json: dict, config: dict):
                 ).fields[0].dataType
             )
         cols.append(c.alias(pf["name"]))
-    return df.select(*cols)
+    return cols
+
+
+def _physicalize(df, schema_json: dict, config: dict):
+    """Rename a logical-schema DataFrame to PHYSICAL column names for
+    writing into a column-mapped table (files must store physical names
+    or every mapped reader resolves the new files as all-null) — the
+    inverse of ``_logical_select_cols``. No-op when mapping is off."""
+    if mapping_mode(config) != "name":
+        mapping_renames(schema_json, config)  # id mode: shared refusal
+        return df
+    return df.select(*_physicalize_cols(schema_json, config))
 
 
 def _mor_match_positions(spark, table_dir: Path, live, schema_json, config, predicate):
@@ -2829,7 +2844,8 @@ def upgrade_delta_to_column_mapping(path: str) -> dict:
                 if t.get("type") == "array":
                     return dict(t, elementType=walk(t["elementType"]))
                 if t.get("type") == "map":
-                    return dict(t, valueType=walk(t["valueType"]))
+                    return dict(t, keyType=walk(t["keyType"]),
+                                valueType=walk(t["valueType"]))
             return t
 
         return dict(f, type=walk(f["type"]), metadata={

@@ -832,13 +832,17 @@ def read_iceberg_table(
             f"table format-version {fv} exceeds the implemented version 2 — "
             "refusing to read rather than dropping v3 semantics"
         )
-    resolved_where: list[tuple[str, object]] = []
     specs_by_id = {
         sp["spec-id"]: sp["fields"]
         for sp in metadata.get("partition-specs") or []
     }
     resolved_by_spec: dict[int, list | None] = {}
     if partition_where:
+        if not specs_by_id:
+            raise IcebergFormatError(
+                "metadata declares no partition-specs — cannot resolve "
+                "partition_where against a spec-less table"
+            )
         cur_schema = next(
             s for s in metadata["schemas"]
             if s["schema-id"] == metadata["current-schema-id"]
@@ -856,9 +860,10 @@ def read_iceberg_table(
             except (ValueError, KeyError) as e:
                 resolved_by_spec[sid] = None
                 last_err = e
-        if all(v is None for v in resolved_by_spec.values()):
+        if last_err is not None and all(
+            v is None for v in resolved_by_spec.values()
+        ):
             raise last_err
-        resolved_where = resolved_by_spec[metadata["default-spec-id"]] or []
 
         def _resolved_for(sid: int):
             return resolved_by_spec.get(sid)
@@ -1073,9 +1078,9 @@ def read_iceberg_table(
         # what makes this metadata-only; no file is rewritten.
         if eq_deletes:
             raise IcebergFormatError(
-                "equality deletes over schema-evolved data files are not "
-                "implemented (delete-file columns would need per-epoch "
-                "field-id resolution) — compact the table first"
+                "equality deletes over schema- or partition-spec-evolved "
+                "data files are not implemented (the anti-join would need "
+                "per-epoch resolution) — compact the table first"
             )
         from pyspark.sql import functions as F
 

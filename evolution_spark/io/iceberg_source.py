@@ -75,7 +75,6 @@ def _plan_iceberg_slices(
         known = [s["snapshot-id"] for s in metadata["snapshots"]]
         raise ValueError(f"snapshot {current} not in table history {known}")
 
-    resolved_where: list[tuple[str, object]] = []
     specs_by_id = {
         sp["spec-id"]: sp["fields"]
         for sp in metadata.get("partition-specs") or []
@@ -91,6 +90,11 @@ def _plan_iceberg_slices(
             resolve_partition_where,
         )
 
+        if not specs_by_id:
+            raise IcebergFormatError(
+                "metadata declares no partition-specs — cannot resolve "
+                "partition options against a spec-less table"
+            )
         cur_schema = next(
             s for s in metadata["schemas"]
             if s["schema-id"] == metadata["current-schema-id"]
@@ -108,9 +112,10 @@ def _plan_iceberg_slices(
             except (ValueError, KeyError) as e:
                 resolved_by_spec[sid] = None
                 last_err = e
-        if all(v is None for v in resolved_by_spec.values()):
+        if last_err is not None and all(
+            v is None for v in resolved_by_spec.values()
+        ):
             raise last_err
-        resolved_where = resolved_by_spec[metadata["default-spec-id"]] or []
 
         def _resolved_for(sid: int):
             return resolved_by_spec.get(sid)

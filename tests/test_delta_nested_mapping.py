@@ -227,3 +227,38 @@ def test_upgrade_and_nested_rename_drop_on_own_table(spark, tmp_path):
         drop_delta_column(path, "s.label")
     with _pytest.raises(ValueError, match="not found"):
         rename_delta_column(path, "s.nope", "x")
+
+
+def test_nested_mapped_cdf_sidecars(spark, tmp_path):
+    """Regression (round-8 review pass 2): CDF sidecars on a
+    nested-mapped table must physicalize INNER struct fields too — a
+    flat-rename sidecar stores inner fields under logical names and
+    every mapped change reader resolves them as null."""
+    from evolution_spark.io.delta_log import (
+        rename_delta_column,
+        table_changes,
+        update_delta_rows,
+        upgrade_delta_to_column_mapping,
+        write_delta_snapshot,
+    )
+
+    path = str(tmp_path / "nestedcdf")
+    df = spark.range(6).select(
+        F.col("id").alias("k"),
+        F.struct((F.col("id") * 10.0).alias("bal"),
+                 F.concat(F.lit("s"), F.col("id")).alias("seg")).alias("s"),
+    )
+    write_delta_snapshot(
+        df, path, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    upgrade_delta_to_column_mapping(path)
+    rename_delta_column(path, "s.bal", "balance")  # inner phys != logical
+    res = update_delta_rows(spark, path, "k = 2", {"k": "k + 100"})
+    ch = table_changes(spark, path, res["version"])
+    got = sorted(
+        (r.k, r.s.balance, r.s.seg, r._change_type) for r in ch.collect()
+    )
+    assert got == [
+        (2, 20.0, "s2", "update_preimage"),
+        (102, 20.0, "s2", "update_postimage"),
+    ]
