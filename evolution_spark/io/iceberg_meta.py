@@ -1934,16 +1934,20 @@ def _current_schema_and_guards(path: str, col: str, op: str):
         raise ValueError(
             f"column {col!r} not in schema {sorted(by_name)}"
         )
-    spec_fields = next(
-        sp for sp in metadata["partition-specs"]
-        if sp["spec-id"] == metadata["default-spec-id"]
-    )["fields"]
-    source_ids = {pf["source-id"] for pf in spec_fields}
+    # check EVERY spec, not just the default: under partition evolution
+    # an OLD spec's identity layout still reconstructs the column from
+    # its directory names, which are keyed by the name at write time —
+    # renaming the source would silently null those reads
+    source_ids = {
+        pf["source-id"]
+        for sp in metadata.get("partition-specs") or []
+        for pf in sp["fields"]
+    }
     if by_name[col]["id"] in source_ids:
         raise ValueError(
-            f"cannot {op} column {col!r}: it is a partition source of the "
-            "default spec (the partition records in every manifest are "
-            "keyed on it)"
+            f"cannot {op} column {col!r}: it is a partition source of a "
+            "partition spec (the partition records/layouts in manifests "
+            "are keyed on it)"
         )
     # live EQUALITY deletes block evolution: the evolved read refuses
     # them (per-epoch field-id resolution of delete-file columns is not

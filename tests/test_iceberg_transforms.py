@@ -375,3 +375,30 @@ def test_partition_spec_evolution_lifecycle(spark, tmp_path):
     assert {row.k for row in pruned.collect() if row.seg == "a"} == {
         k for k in range(20) if k % 2 == 0
     }
+
+
+def test_evolution_guard_covers_all_spec_epochs(spark, tmp_path):
+    """Renaming a column that is a partition source of an OLD spec (even
+    after evolving away from it) refuses — old-spec identity layouts
+    reconstruct the column from directory names keyed at write time."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_meta import (
+        evolve_iceberg_partition_spec,
+        rename_iceberg_column,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "guardspec")
+    df = spark.range(6).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("seg"),
+    )
+    write_iceberg_table(df, path, partition_by=["seg"])
+    evolve_iceberg_partition_spec(path, [])  # back to unpartitioned
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition source"):
+        rename_iceberg_column(path, "seg", "segment")
+    # non-source columns still rename fine
+    rename_iceberg_column(path, "k", "key")
