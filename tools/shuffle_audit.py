@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 AUDITED = {
     "q1_pricing_summary": "full lineitem scan, agg rows only cross the wire",
-    "delta_id_mode_read": "field-id-resolved scan; agg rows only cross the wire",
+    "delta_id_mode_read": "fixture build repartition dominates; the id-mode READ itself is scan+agg, no join shuffle",
     "iceberg_scoped_equality_delete": "scoped delete keys + file-seq map broadcast; scan narrow",
     "delta_cdf_sidecar_roundtrip": "sidecar scan + broadcast version map; change rows aggregate locally",
     "dedup_exact": "16B fingerprint + 8B id per doc; text stays put",
