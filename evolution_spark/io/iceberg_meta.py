@@ -293,9 +293,14 @@ def _with_partition_cols(df, spec_fields: list[dict], ice_schema: dict):
         src = by_id[pf["source-id"]]
         transform = pf.get("transform", "identity")
         if transform != "identity":
-            df = df.withColumn(
-                pf["name"],
-                transform_column(transform, src["name"], src["type"]),
+            from evolution_spark.io.iceberg_transforms import (
+                with_transform_column,
+            )
+
+            # staged form: integral buckets land via chained narrow
+            # projections so the write plan stays in whole-stage codegen
+            df = with_transform_column(
+                df, pf["name"], transform, src["name"], src["type"]
             )
         part_cols.append(pf["name"])
     return df, part_cols

@@ -262,6 +262,108 @@ def transform_column(transform: str, col_name: str, source_type: str):
     raise ValueError(f"unknown partition transform {transform!r}")
 
 
+def with_transform_column(df, out_name: str, transform: str,
+                          col_name: str, source_type: str):
+    """``df.withColumn(out_name, transform)`` with the integral-bucket
+    lane STAGED through ~15 narrow projections: each Murmur3 step lands
+    in its own temp column, so every expression references prior
+    ATTRIBUTES (leaves) and the trees stay LINEAR. The single-Column
+    form (``_bucket_int_expr``) is correct but its rotl/xor-shift
+    doublings build a tree large enough to fall out of whole-stage
+    codegen inside WRITE plans — interpreted eval then re-walks the
+    duplicated subtrees per row (measured 10x on the partitioned-write
+    bench line). Catalyst's CollapseProject keeps the staging (it
+    refuses to inline non-cheap expressions referenced twice), and what
+    it does inline is single-use, i.e. still linear."""
+    from pyspark.sql import functions as F
+
+    base = transform.split("[", 1)[0]
+    if base != "bucket" or source_type not in _INTEGRAL:
+        return df.withColumn(
+            out_name, transform_column(transform, col_name, source_type)
+        )
+    n = _transform_arg(transform)
+    m = F.lit(0xFFFFFFFF)
+    t = f"__bkt_{out_name}"
+
+    def mul32(col, const: int):
+        return F.pmod(
+            col.cast("decimal(20,0)") * F.lit(const).cast("decimal(20,0)"),
+            F.lit(4294967296).cast("decimal(20,0)"),
+        ).cast("long")
+
+    def rotl(col, r: int):
+        return (
+            F.shiftleft(col, r).bitwiseOR(F.shiftright(col, 32 - r))
+        ).bitwiseAND(m)
+
+    c = F.col(col_name)
+    if source_type == "date":
+        v = F.datediff(c, F.lit("1970-01-01")).cast("long")
+    elif source_type == "timestamp":
+        days = F.datediff(F.to_date(c), F.lit("1970-01-01")).cast("long")
+        secs = (
+            days * F.lit(86_400)
+            + F.hour(c).cast("long") * F.lit(3_600)
+            + F.minute(c).cast("long") * F.lit(60)
+        )
+        v = secs * F.lit(1_000_000) + (
+            F.extract(F.lit("SECOND"), c) * F.lit(1_000_000)
+        ).cast("long")
+    elif source_type == "timestamptz":
+        v = F.unix_micros(c)
+    else:
+        v = c.cast("long")
+    df = df.withColumn(f"{t}_v", F.coalesce(v, F.lit(0)))
+    df = df.withColumn(f"{t}_k1", F.col(f"{t}_v").bitwiseAND(m))
+    df = df.withColumn(
+        f"{t}_k2", F.shiftrightunsigned(F.col(f"{t}_v"), 32).bitwiseAND(m)
+    )
+    h = F.lit(0).cast("long")
+    for i in (1, 2):
+        df = df.withColumn(f"{t}_a{i}", mul32(F.col(f"{t}_k{i}"), _M3_C1))
+        df = df.withColumn(f"{t}_b{i}", rotl(F.col(f"{t}_a{i}"), 15))
+        df = df.withColumn(f"{t}_c{i}", mul32(F.col(f"{t}_b{i}"), _M3_C2))
+        df = df.withColumn(
+            f"{t}_h{i}", rotl(h.bitwiseXOR(F.col(f"{t}_c{i}")), 13)
+        )
+        df = df.withColumn(
+            f"{t}_g{i}",
+            (mul32(F.col(f"{t}_h{i}"), 5) + F.lit(0xE6546B64)).bitwiseAND(m),
+        )
+        h = F.col(f"{t}_g{i}")
+    df = df.withColumn(f"{t}_f0", h.bitwiseXOR(F.lit(8)))
+    df = df.withColumn(
+        f"{t}_f1",
+        F.col(f"{t}_f0").bitwiseXOR(F.shiftright(F.col(f"{t}_f0"), 16)),
+    )
+    df = df.withColumn(f"{t}_f2", mul32(F.col(f"{t}_f1"), 0x85EBCA6B))
+    df = df.withColumn(
+        f"{t}_f3",
+        F.col(f"{t}_f2").bitwiseXOR(F.shiftright(F.col(f"{t}_f2"), 13)),
+    )
+    df = df.withColumn(f"{t}_f4", mul32(F.col(f"{t}_f3"), 0xC2B2AE35))
+    df = df.withColumn(
+        f"{t}_f5",
+        F.col(f"{t}_f4").bitwiseXOR(F.shiftright(F.col(f"{t}_f4"), 16)),
+    )
+    df = df.withColumn(
+        out_name,
+        F.when(c.isNull(), F.lit(None).cast("int")).otherwise(
+            F.pmod(
+                F.col(f"{t}_f5").bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(n)
+            ).cast("int")
+        ),
+    )
+    return df.drop(*[
+        f"{t}_{s}" for s in (
+            "v", "k1", "k2", "a1", "b1", "c1", "h1", "g1",
+            "a2", "b2", "c2", "h2", "g2",
+            "f0", "f1", "f2", "f3", "f4", "f5",
+        )
+    ])
+
+
 def _bucket_int_expr(c, source_type: str, n: int):
     """Spec-exact ``bucket[N]`` for integral sources as a BUILT-IN
     expression tree: Murmur3-x86-32 of the value's 8-byte little-endian
