@@ -54,7 +54,7 @@ from evolution_spark.io.iceberg_transforms import (
     parse_partition_by,
     resolve_partition_where,
     result_ice_type,
-    transform_column,
+    with_transform_column,
 )
 
 # --------------------------------------------------------------------------
@@ -293,10 +293,6 @@ def _with_partition_cols(df, spec_fields: list[dict], ice_schema: dict):
         src = by_id[pf["source-id"]]
         transform = pf.get("transform", "identity")
         if transform != "identity":
-            from evolution_spark.io.iceberg_transforms import (
-                with_transform_column,
-            )
-
             # staged form: integral buckets land via chained narrow
             # projections so the write plan stays in whole-stage codegen
             df = with_transform_column(
@@ -1939,20 +1935,27 @@ def _current_schema_and_guards(path: str, col: str, op: str):
         raise ValueError(
             f"column {col!r} not in schema {sorted(by_name)}"
         )
-    # check EVERY spec, not just the default: under partition evolution
-    # an OLD spec's identity layout still reconstructs the column from
-    # its directory names, which are keyed by the name at write time —
-    # renaming the source would silently null those reads
-    source_ids = {
-        pf["source-id"]
-        for sp in metadata.get("partition-specs") or []
-        for pf in sp["fields"]
-    }
+    # guard scope: the DEFAULT spec's sources for ALL transforms (writes
+    # lay out dirs and prune by them), plus IDENTITY sources of every
+    # RETIRED spec — an old identity layout reconstructs the column from
+    # directory names keyed at write time, so renaming its source would
+    # silently null those epoch's reads. Non-identity sources of retired
+    # specs stay renameable: the transform is lossy, the source lives IN
+    # the data files (field-id realigned), and partition records key on
+    # the partition-FIELD name, not the source.
+    specs = metadata["partition-specs"]  # missing key = corrupt: loud
+    default_id = metadata["default-spec-id"]
+    source_ids = set()
+    for sp in specs:
+        for pf in sp["fields"]:
+            if sp["spec-id"] == default_id or \
+                    pf.get("transform", "identity") == "identity":
+                source_ids.add(pf["source-id"])
     if by_name[col]["id"] in source_ids:
         raise ValueError(
-            f"cannot {op} column {col!r}: it is a partition source of a "
-            "partition spec (the partition records/layouts in manifests "
-            "are keyed on it)"
+            f"cannot {op} column {col!r}: it is a partition source of the "
+            "default spec or an identity source of a retired spec (the "
+            "partition layouts/records in manifests are keyed on it)"
         )
     # live EQUALITY deletes block evolution: the evolved read refuses
     # them (per-epoch field-id resolution of delete-file columns is not

@@ -44,6 +44,7 @@ __all__ = [
     "result_ice_type",
     "transform_column",
     "transform_literal",
+    "with_transform_column",
     "partition_field_name",
 ]
 
@@ -262,6 +263,51 @@ def transform_column(transform: str, col_name: str, source_type: str):
     raise ValueError(f"unknown partition transform {transform!r}")
 
 
+def _mul32_col(col, const: int):
+    """(col * const) mod 2^32, ANSI-safe via DECIMAL(38) — the ONE 32-bit
+    multiply both JVM Murmur3 forms share. References its input exactly
+    once (Column trees have no subexpression sharing)."""
+    from pyspark.sql import functions as F
+
+    return F.pmod(
+        col.cast("decimal(20,0)") * F.lit(const).cast("decimal(20,0)"),
+        F.lit(4294967296).cast("decimal(20,0)"),
+    ).cast("long")
+
+
+def _rotl_col(col, r: int):
+    from pyspark.sql import functions as F
+
+    return (
+        F.shiftleft(col, r).bitwiseOR(F.shiftright(col, 32 - r))
+    ).bitwiseAND(F.lit(0xFFFFFFFF))
+
+
+def _int_value_expr(c, source_type: str):
+    """The integral source's 8-byte-value widening as a BIGINT Column —
+    shared by both JVM bucket forms so the NTZ micros formula can never
+    drift between them. NTZ avoids unix_micros (refuses TIMESTAMP_NTZ)
+    and session-zone casts by building micros from tz-free calendar
+    components (extract(SECOND) carries the fraction)."""
+    from pyspark.sql import functions as F
+
+    if source_type == "date":
+        return F.datediff(c, F.lit("1970-01-01")).cast("long")
+    if source_type == "timestamp":
+        days = F.datediff(F.to_date(c), F.lit("1970-01-01")).cast("long")
+        secs = (
+            days * F.lit(86_400)
+            + F.hour(c).cast("long") * F.lit(3_600)
+            + F.minute(c).cast("long") * F.lit(60)
+        )
+        return secs * F.lit(1_000_000) + (
+            F.extract(F.lit("SECOND"), c) * F.lit(1_000_000)
+        ).cast("long")
+    if source_type == "timestamptz":
+        return F.unix_micros(c)
+    return c.cast("long")
+
+
 def with_transform_column(df, out_name: str, transform: str,
                           col_name: str, source_type: str):
     """``df.withColumn(out_name, transform)`` with the integral-bucket
@@ -285,35 +331,9 @@ def with_transform_column(df, out_name: str, transform: str,
     n = _transform_arg(transform)
     m = F.lit(0xFFFFFFFF)
     t = f"__bkt_{out_name}"
-
-    def mul32(col, const: int):
-        return F.pmod(
-            col.cast("decimal(20,0)") * F.lit(const).cast("decimal(20,0)"),
-            F.lit(4294967296).cast("decimal(20,0)"),
-        ).cast("long")
-
-    def rotl(col, r: int):
-        return (
-            F.shiftleft(col, r).bitwiseOR(F.shiftright(col, 32 - r))
-        ).bitwiseAND(m)
-
+    mul32, rotl = _mul32_col, _rotl_col
     c = F.col(col_name)
-    if source_type == "date":
-        v = F.datediff(c, F.lit("1970-01-01")).cast("long")
-    elif source_type == "timestamp":
-        days = F.datediff(F.to_date(c), F.lit("1970-01-01")).cast("long")
-        secs = (
-            days * F.lit(86_400)
-            + F.hour(c).cast("long") * F.lit(3_600)
-            + F.minute(c).cast("long") * F.lit(60)
-        )
-        v = secs * F.lit(1_000_000) + (
-            F.extract(F.lit("SECOND"), c) * F.lit(1_000_000)
-        ).cast("long")
-    elif source_type == "timestamptz":
-        v = F.unix_micros(c)
-    else:
-        v = c.cast("long")
+    v = _int_value_expr(c, source_type)
     df = df.withColumn(f"{t}_v", F.coalesce(v, F.lit(0)))
     df = df.withColumn(f"{t}_k1", F.col(f"{t}_v").bitwiseAND(m))
     df = df.withColumn(
@@ -377,43 +397,8 @@ def _bucket_int_expr(c, source_type: str, n: int):
     from pyspark.sql import functions as F
 
     m = F.lit(0xFFFFFFFF)
-
-    def mul32(k, const: int):
-        # (k * const) mod 2^32, ANSI-safe via DECIMAL(38) (a 64-bit
-        # product can overflow BIGINT). Deliberately references ``k``
-        # exactly ONCE: Column trees have no common-subexpression
-        # sharing, so a double-use helper here makes the chained tree
-        # grow exponentially (the naive 16x32 split OOM'd the analyzer)
-        prod = k.cast("decimal(20,0)") * F.lit(const).cast("decimal(20,0)")
-        return F.pmod(
-            prod, F.lit(4294967296).cast("decimal(20,0)")
-        ).cast("long")
-
-    def rotl(k, r: int):
-        return (
-            F.shiftleft(k, r).bitwiseOR(F.shiftright(k, 32 - r))
-        ).bitwiseAND(m)
-
-    if source_type == "date":
-        v = F.datediff(c, F.lit("1970-01-01")).cast("long")
-    elif source_type == "timestamp":
-        # NTZ: unix_micros refuses TIMESTAMP_NTZ, and casting through
-        # TIMESTAMP would shift by the session zone — build the epoch
-        # micros from tz-free calendar components (extract(SECOND)
-        # carries the sub-second fraction as DECIMAL(8,6))
-        days = F.datediff(F.to_date(c), F.lit("1970-01-01")).cast("long")
-        secs = (
-            days * F.lit(86_400)
-            + F.hour(c).cast("long") * F.lit(3_600)
-            + F.minute(c).cast("long") * F.lit(60)
-        )
-        v = secs * F.lit(1_000_000) + (
-            F.extract(F.lit("SECOND"), c) * F.lit(1_000_000)
-        ).cast("long")
-    elif source_type == "timestamptz":
-        v = F.unix_micros(c)
-    else:
-        v = c.cast("long")
+    mul32, rotl = _mul32_col, _rotl_col
+    v = _int_value_expr(c, source_type)
     # two's-complement 8-byte LE halves as unsigned 32-bit lanes
     k1 = v.bitwiseAND(m)
     k2 = F.shiftrightunsigned(v, 32).bitwiseAND(m)

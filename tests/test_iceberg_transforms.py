@@ -402,3 +402,70 @@ def test_evolution_guard_covers_all_spec_epochs(spark, tmp_path):
         rename_iceberg_column(path, "seg", "segment")
     # non-source columns still rename fine
     rename_iceberg_column(path, "k", "key")
+
+    # a NON-identity source of a RETIRED spec stays renameable: the
+    # transform is lossy (source lives in the files, field-id realigned)
+    # and records key on the partition-FIELD name, not the source
+    from evolution_spark.io.iceberg_meta import read_iceberg_table
+
+    p2 = str(tmp_path / "guardbucket")
+    write_iceberg_table(df, p2, partition_by=["bucket(4, k)"])
+    evolve_iceberg_partition_spec(p2, [])
+    rename_iceberg_column(p2, "k", "kid")
+    got = {(r.kid, r.seg) for r in read_iceberg_table(spark, p2).collect()}
+    assert got == {(i, "a" if i % 2 == 0 else "b") for i in range(6)}
+
+
+def test_staged_bucket_matches_reference_all_integral_types(spark):
+    """The STAGED bucket lane (what every partitioned write uses) must
+    match the python Murmur3 reference for every integral source type —
+    int/long/date/NTZ-timestamp/timestamptz — not just longs; the two
+    JVM forms share _int_value_expr so the widening can never drift."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.iceberg_transforms import (
+        bucket_hash,
+        with_transform_column,
+    )
+
+    epoch_d = datetime.date(1970, 1, 1)
+    epoch_ts = datetime.datetime(1970, 1, 1)
+    us = datetime.timedelta(microseconds=1)
+    rows = [
+        (7, 7, datetime.date(2017, 11, 16),
+         datetime.datetime(2017, 11, 16, 22, 31, 8),
+         datetime.datetime(1969, 12, 31, 23, 59, 59, 123456)),
+        (-3, -3, datetime.date(1969, 6, 1),
+         datetime.datetime(2038, 1, 19, 3, 14, 7, 999999),
+         datetime.datetime(2000, 2, 29, 12, 0, 0, 5)),
+        (None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "i int, l long, d date, tz timestamp, nt timestamp_ntz"
+    )
+    out = df
+    for name, src, typ in [
+        ("bi", "i", "int"), ("bl", "l", "long"), ("bd", "d", "date"),
+        ("btz", "tz", "timestamptz"), ("bnt", "nt", "timestamp"),
+    ]:
+        out = with_transform_column(out, name, "bucket[16]", src, typ)
+    got = [(r.bi, r.bl, r.bd, r.btz, r.bnt) for r in out.collect()]
+
+    def b(v):
+        return None if v is None else (bucket_hash(v, "long") & 0x7FFFFFFF) % 16
+
+    def dt_us(d):
+        return (d - epoch_ts) // us
+
+    exp = [
+        (
+            b(r[0]), b(r[1]),
+            None if r[2] is None else b((r[2] - epoch_d).days),
+            None if r[3] is None else b(dt_us(r[3])),
+            None if r[4] is None else b(dt_us(r[4])),
+        )
+        for r in rows
+    ]
+    assert got == exp
