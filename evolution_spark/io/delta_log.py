@@ -58,11 +58,17 @@ PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 # column mapping in NAME mode (reader version 2 / the v3 `columnMapping`
 # feature — physical-name scan + logical alias in read_delta_snapshot;
 # id mode and nested-struct mappings are refused at read time with the
-# mode/shape named). Anything else a higher reader version gates — v2
-# checkpoints / type widening etc. (v3) — would be silently WRONG if
+# mode/shape named) PLUS timestampNtz (Spark's TimestampNTZType is this
+# engine's native timestamp — ``StructType.fromJson`` decodes the spec's
+# ``timestamp_ntz`` primitive directly and parquet stores it as
+# isAdjustedToUTC=false, so reads are exact) PLUS v2Checkpoint
+# (read_checkpoint_state resolves UUID-named checkpoint manifests,
+# validates their checkpointMetadata version, and folds sidecar add
+# files from _delta_log/_sidecars/). Anything else a higher reader
+# version gates — type widening etc. — would be silently WRONG if
 # ignored, so the spec's forward-compat obligation is to refuse loudly.
 SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
-    {"deletionVectors", "columnMapping"}
+    {"deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint"}
 )
 
 
@@ -120,7 +126,7 @@ def _check_reader_protocol(protocol: dict | None) -> None:
 # column mapping, ...) stays refused via _check_writer_protocol.
 SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
     {"deletionVectors", "appendOnly", "invariants", "columnMapping",
-     "checkConstraints", "changeDataFeed"}
+     "checkConstraints", "changeDataFeed", "timestampNtz", "v2Checkpoint"}
 )
 
 
@@ -333,12 +339,18 @@ def write_delta_snapshot(
     )
     if txn is not None:
         actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
-    actions.append({"protocol": protocol})
     schema_string = (
         json.dumps({"type": "struct", "fields": mapped_fields})
         if mapped_fields is not None
         else df.schema.json()
     )
+    # feature-activation rule: a schema carrying timestamp_ntz obliges the
+    # protocol to declare timestampNtz (reader AND writer feature) — else a
+    # spec reader decodes the column UTC-adjusted and shifts every value
+    ntz_up = _ntz_protocol_upgrade(protocol, schema_string)
+    if ntz_up:
+        protocol = ntz_up["protocol"]
+    actions.append({"protocol": protocol})
     actions.append(
         {
             "metaData": {
@@ -2026,6 +2038,94 @@ def _dv_protocol_upgrade(proto: dict) -> dict | None:
     }}
 
 
+def _schema_has_ntz(schema_json: object) -> bool:
+    """True when a Delta schema (parsed JSON) carries ``timestamp_ntz`` at
+    any nesting depth — the trigger for the spec's timestampNtz
+    feature-activation rule (PROTOCOL.md 'Clock/session independent
+    timestamps': a schema containing the type obliges the protocol to
+    declare the feature in BOTH readerFeatures and writerFeatures)."""
+    if isinstance(schema_json, str):
+        return schema_json == "timestamp_ntz"
+    if isinstance(schema_json, dict):
+        return any(_schema_has_ntz(v) for v in schema_json.values())
+    if isinstance(schema_json, list):
+        return any(_schema_has_ntz(v) for v in schema_json)
+    return False
+
+
+def _ntz_protocol_upgrade(proto: dict, schema_string: str) -> dict | None:
+    """Same-commit protocol-upgrade action declaring ``timestampNtz`` when
+    the schema carries the type (None when already declared or the schema
+    has no NTZ column). Both a reader and a writer feature per the spec —
+    a reader without it would decode the parquet INT64 as a UTC-adjusted
+    timestamp and shift every value by the session zone offset."""
+    if not _schema_has_ntz(json.loads(schema_string)):
+        return None
+    v_r = int(proto.get("minReaderVersion", 1))
+    v_w = int(proto.get("minWriterVersion", 2))
+    feats_r = set(proto.get("readerFeatures") or [])
+    feats_w = set(proto.get("writerFeatures") or [])
+    if v_r >= 3 and v_w >= 7 and "timestampNtz" in feats_r:
+        return None
+    legacy_w = {"appendOnly", "invariants"} if v_w >= 2 else set()
+    legacy_r = {"columnMapping"} if v_r == 2 else set()
+    return {"protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(feats_r | legacy_r | {"timestampNtz"}),
+        "writerFeatures": sorted(feats_w | legacy_w | {"timestampNtz"}),
+    }}
+
+
+def upgrade_delta_features(
+    path: str, reader: list[str] | None = None, writer: list[str] | None = None
+) -> dict:
+    """Commit a protocol upgrade adding ``reader``/``writer`` feature names
+    to the table (the ``ALTER TABLE ... SET TBLPROPERTIES
+    ('delta.feature.X'='supported')`` shape). Refuses feature names this
+    engine does not implement — upgrading a table to a feature we cannot
+    honor would strand our own writer. Idempotent: returns without a
+    commit when every requested feature is already declared."""
+    want_r = set(reader or [])
+    want_w = set(writer or [])
+    bad = (want_r - SUPPORTED_READER_FEATURES) | (want_w - SUPPORTED_WRITER_FEATURES)
+    if bad:
+        raise DeltaProtocolError(
+            f"cannot declare unimplemented features {sorted(bad)}; reader "
+            f"set: {sorted(SUPPORTED_READER_FEATURES)}, writer set: "
+            f"{sorted(SUPPORTED_WRITER_FEATURES)}"
+        )
+    table_dir = Path(path)
+    _, _, _, latest, repl_state = _replay_log(table_dir, return_state=True)
+    proto = repl_state.get("protocol") or dict(PROTOCOL)
+    _check_writer_protocol(proto)
+    v_r = int(proto.get("minReaderVersion", 1))
+    v_w = int(proto.get("minWriterVersion", 2))
+    feats_r = set(proto.get("readerFeatures") or [])
+    feats_w = set(proto.get("writerFeatures") or [])
+    if v_r >= 3 and v_w >= 7 and want_r <= feats_r and want_w <= feats_w:
+        return {"version": None, "note": "features already declared"}
+    # v3/v7 feature lists must carry every active legacy feature forward
+    legacy_w = {"appendOnly", "invariants"} if 2 <= v_w < 7 else set()
+    legacy_r = {"columnMapping"} if v_r == 2 else set()
+    new_proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(feats_r | legacy_r | want_r),
+        "writerFeatures": sorted(feats_w | legacy_w | want_w),
+    }
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {"commitInfo": {"timestamp": now_ms, "operation": "UPGRADE PROTOCOL",
+                        "operationParameters": {},
+                        "engineInfo": "evolution-spark-delta-writer/1.0"}},
+        {"protocol": new_proto},
+    ]
+    version = latest + 1
+    _publish_commit(table_dir, version, actions, "feature upgrade")
+    return {"version": version, "protocol": new_proto}
+
+
 def _dv_mark_actions(
     table_dir: Path, live: dict, root: Path, by_abs: dict, now_ms: int
 ) -> tuple[list[dict], int]:
@@ -2399,6 +2499,13 @@ def evolve_delta_schema(path: str, add_columns: list[tuple[str, object]]) -> dic
         },
         {"metaData": metadata},
     ]
+    # adding the first timestamp_ntz column to a v1 table activates the
+    # timestampNtz feature in the same commit (spec activation rule)
+    ntz_up = _ntz_protocol_upgrade(
+        repl_state.get("protocol") or dict(PROTOCOL), metadata["schemaString"]
+    )
+    if ntz_up:
+        actions.append(ntz_up)
     version = latest + 1
     _publish_commit(table_dir, version, actions, "evolution")
     return {"version": version, "schema": [f.name for f in new_schema.fields]}
@@ -2551,7 +2658,10 @@ def vacuum_delta(
 
 
 def checkpoint_delta(
-    path: str, tombstone_retention_ms: int = 7 * 24 * 3600 * 1000
+    path: str,
+    tombstone_retention_ms: int = 7 * 24 * 3600 * 1000,
+    v2: bool = False,
+    sidecar_files: int = 2,
 ) -> dict:
     """Write a Delta log CHECKPOINT for the latest version: a parquet file
     ``_delta_log/<v>.checkpoint.parquet`` holding the fully-replayed state
@@ -2567,7 +2677,20 @@ def checkpoint_delta(
     Remove tombstones newer than ``tombstone_retention_ms`` (spec default:
     ``delta.deletedFileRetentionDuration`` = 1 week) are carried so an
     external spec reader reconstructing state from this checkpoint sees
-    the same tombstone/retention state as from the JSON log."""
+    the same tombstone/retention state as from the JSON log.
+
+    ``v2=True`` writes the spec's V2 CHECKPOINT layout instead (PROTOCOL.md
+    'V2 Spec Checkpoint'): a UUID-named manifest
+    ``<v>.checkpoint.<uuid>.parquet`` carrying protocol/metaData/txn, one
+    ``checkpointMetadata`` action naming the checkpoint version, and
+    ``sidecar`` actions pointing at ``_delta_log/_sidecars/<uuid>.parquet``
+    files that hold the add/remove file actions (split across
+    ``sidecar_files`` parts — at 100 TB the file-action set dwarfs the
+    manifest, and sidecars let a distributed reader load state in
+    parallel). The spec restricts V2 checkpoints to tables whose protocol
+    declares the ``v2Checkpoint`` reader feature, so this refuses
+    otherwise (``upgrade_delta_features(path, reader=['v2Checkpoint'],
+    writer=['v2Checkpoint'])`` first)."""
     import pyarrow as pa
     import pyarrow.parquet as papq
 
@@ -2647,38 +2770,25 @@ def checkpoint_delta(
         ]
     )
 
-    rows_proto: list = [protocol_action]
-    rows_meta: list = [None]
-    rows_add: list = [None]
-    rows_txn: list = [None]
-    rows_remove: list = [None]
-
-    def push(proto=None, meta=None, add=None, txn=None, remove=None):
-        rows_proto.append(proto)
-        rows_meta.append(meta)
-        rows_add.append(add)
-        rows_txn.append(txn)
-        rows_remove.append(remove)
-
     m = dict(metadata_action)
     m["format"] = {"provider": m.get("format", {}).get("provider", "parquet")}
     m["configuration"] = list((m.get("configuration") or {}).items())
-    push(meta=m)
-    for app_id, v in sorted(txns.items()):
-        push(txn={"appId": app_id, "version": v})
+    txn_rows = [{"appId": app_id, "version": v} for app_id, v in sorted(txns.items())]
+    add_rows: list = []
     for stored_path in sorted(live):
         a = dict(live[stored_path])
         a["partitionValues"] = list(a.get("partitionValues", {}).items())
-        push(add=a)
+        add_rows.append(a)
     # unexpired remove tombstones (spec: carried until the deleted-file
     # retention window passes, so external VACUUMs don't unlink files a
     # slow reader of an old version may still be scanning)
     expiry = int(time.time() * 1000) - tombstone_retention_ms
+    remove_rows: list = []
     for stored_path in sorted(state.get("tombstones", {})):
         r = state["tombstones"][stored_path]
         if r.get("deletionTimestamp", 0) >= expiry:
-            push(
-                remove={
+            remove_rows.append(
+                {
                     "path": r["path"],
                     "deletionTimestamp": r.get("deletionTimestamp"),
                     "dataChange": bool(r.get("dataChange", True)),
@@ -2686,24 +2796,96 @@ def checkpoint_delta(
                 }
             )
 
-    table = pa.table(
-        {
-            "protocol": pa.array(rows_proto, type=proto_t),
-            "metaData": pa.array(rows_meta, type=meta_t),
-            "txn": pa.array(rows_txn, type=txn_t),
-            "add": pa.array(rows_add, type=add_t),
-            "remove": pa.array(rows_remove, type=remove_t),
-        }
-    )
-    ckpt = log_dir / f"{version:020d}.checkpoint.parquet"
-    tmp = log_dir / f".{version:020d}.checkpoint.parquet.tmp"
-    papq.write_table(table, tmp)
+    def sparse_table(columns: dict[str, tuple[object, list]]) -> "pa.Table":
+        """One action per row in the spec's sparse-columns layout: each
+        action list occupies its own row range, all other columns null."""
+        total = sum(len(rows) for _, rows in columns.values())
+        arrays, offset = {}, 0
+        for col, (typ, rows) in columns.items():
+            arrays[col] = pa.array(
+                [None] * offset + rows + [None] * (total - offset - len(rows)),
+                type=typ,
+            )
+            offset += len(rows)
+        return pa.table(arrays)
+
+    if not v2:
+        table = sparse_table({
+            "protocol": (proto_t, [protocol_action]),
+            "metaData": (meta_t, [m]),
+            "txn": (txn_t, txn_rows),
+            "add": (add_t, add_rows),
+            "remove": (remove_t, remove_rows),
+        })
+        ckpt = log_dir / f"{version:020d}.checkpoint.parquet"
+        tmp = log_dir / f".{version:020d}.checkpoint.parquet.tmp"
+        papq.write_table(table, tmp)
+        os.replace(tmp, ckpt)
+        pointer = {"version": version, "size": table.num_rows}
+        tmp_p = log_dir / "._last_checkpoint.tmp"
+        tmp_p.write_text(json.dumps(pointer))
+        os.replace(tmp_p, log_dir / "_last_checkpoint")
+        return {"version": version, "actions": table.num_rows, "path": str(ckpt)}
+
+    # --- V2 checkpoint: UUID-named manifest + file-action sidecars ---
+    feats_r = set((protocol_action or {}).get("readerFeatures") or [])
+    if "v2Checkpoint" not in feats_r:
+        raise DeltaProtocolError(
+            "v2 checkpoints may only be written to tables whose protocol "
+            "declares the v2Checkpoint reader feature (spec rule — a "
+            "feature-less reader must never encounter one); run "
+            "upgrade_delta_features(path, reader=['v2Checkpoint'], "
+            "writer=['v2Checkpoint']) first"
+        )
+    sidecar_dir = log_dir / "_sidecars"
+    sidecar_dir.mkdir(exist_ok=True)
+    parts = max(1, min(int(sidecar_files), max(1, len(add_rows) + len(remove_rows))))
+    sidecar_rows: list = []
+    now_ms = int(time.time() * 1000)
+    for i in range(parts):
+        part_adds = add_rows[i::parts]
+        part_removes = remove_rows[i::parts]
+        side = sparse_table({
+            "add": (add_t, part_adds),
+            "remove": (remove_t, part_removes),
+        })
+        name = f"{uuid.uuid4()}.parquet"
+        tmp_s = sidecar_dir / f".{name}.tmp"
+        papq.write_table(side, tmp_s)
+        os.replace(tmp_s, sidecar_dir / name)
+        sidecar_rows.append({
+            "path": name,
+            "sizeInBytes": (sidecar_dir / name).stat().st_size,
+            "modificationTime": now_ms,
+        })
+    ckpt_meta_t = pa.struct([
+        ("version", pa.int64()),
+        ("tags", pa.map_(pa.string(), pa.string())),
+    ])
+    sidecar_t = pa.struct([
+        ("path", pa.string()),
+        ("sizeInBytes", pa.int64()),
+        ("modificationTime", pa.int64()),
+    ])
+    manifest = sparse_table({
+        "checkpointMetadata": (ckpt_meta_t, [{"version": version, "tags": []}]),
+        "protocol": (proto_t, [protocol_action]),
+        "metaData": (meta_t, [m]),
+        "txn": (txn_t, txn_rows),
+        "sidecar": (sidecar_t, sidecar_rows),
+    })
+    ckpt = log_dir / f"{version:020d}.checkpoint.{uuid.uuid4()}.parquet"
+    tmp = log_dir / f".{ckpt.name}.tmp"
+    papq.write_table(manifest, tmp)
     os.replace(tmp, ckpt)
-    pointer = {"version": version, "size": table.num_rows}
+    n_actions = manifest.num_rows + len(add_rows) + len(remove_rows)
+    pointer = {"version": version, "size": n_actions,
+               "sizeInBytes": ckpt.stat().st_size, "v2Checkpoint": True}
     tmp_p = log_dir / "._last_checkpoint.tmp"
     tmp_p.write_text(json.dumps(pointer))
     os.replace(tmp_p, log_dir / "_last_checkpoint")
-    return {"version": version, "actions": table.num_rows, "path": str(ckpt)}
+    return {"version": version, "actions": n_actions, "path": str(ckpt),
+            "sidecars": [r["path"] for r in sidecar_rows]}
 
 
 def read_checkpoint_state(path: str, return_state: bool = False):
@@ -2720,18 +2902,36 @@ def read_checkpoint_state(path: str, return_state: bool = False):
         return None
     ckpt_version = json.loads(pointer.read_text())["version"]
     ckpt = log_dir / f"{ckpt_version:020d}.checkpoint.parquet"
+    if not ckpt.exists():
+        # V2 checkpoints are UUID-named (<v>.checkpoint.<uuid>.parquet) so
+        # concurrent checkpointers never collide; resolve by listing
+        candidates = sorted(log_dir.glob(f"{ckpt_version:020d}.checkpoint.*.parquet"))
+        if not candidates:
+            raise FileNotFoundError(
+                f"_last_checkpoint points at version {ckpt_version} but no "
+                f"checkpoint file exists in {log_dir}"
+            )
+        ckpt = candidates[-1]
     t = papq.read_table(ckpt).to_pylist()
     live: dict[str, dict] = {}
     schema_string = None
     part_cols: list[str] = []
     protocol = None
     metadata = None
-    for row in t:
+    sidecars: list[str] = []
+
+    def fold_file_action(row: dict) -> bool:
         if row.get("add"):
             a = dict(row["add"])
             a["partitionValues"] = dict(a.get("partitionValues") or [])
             live[a["path"]] = a
-        elif row.get("metaData"):
+            return True
+        return bool(row.get("remove"))  # checkpoint tombstones: replay no-op
+
+    for row in t:
+        if fold_file_action(row):
+            continue
+        if row.get("metaData"):
             metadata = dict(row["metaData"])
             # checkpoint's configuration is an arrow map -> list of pairs
             metadata["configuration"] = dict(metadata.get("configuration") or [])
@@ -2739,6 +2939,27 @@ def read_checkpoint_state(path: str, return_state: bool = False):
             part_cols = list(metadata.get("partitionColumns") or [])
         elif row.get("protocol"):
             protocol = dict(row["protocol"])
+        elif row.get("checkpointMetadata"):
+            cm_v = int(row["checkpointMetadata"]["version"])
+            if cm_v != ckpt_version:
+                raise RuntimeError(
+                    f"v2 checkpoint manifest {ckpt.name} declares version "
+                    f"{cm_v} but _last_checkpoint says {ckpt_version} — "
+                    "refusing a torn/stale checkpoint"
+                )
+        elif row.get("sidecar"):
+            sidecars.append(row["sidecar"]["path"])
+    # V2 layout: the manifest carries only table-wide actions; file actions
+    # live in _delta_log/_sidecars/ parquet parts (parallel-loadable)
+    for name in sidecars:
+        side = log_dir / "_sidecars" / name
+        if not side.exists():
+            raise FileNotFoundError(
+                f"v2 checkpoint sidecar missing: {side} — state would be "
+                "reconstructed with silently missing files"
+            )
+        for row in papq.read_table(side).to_pylist():
+            fold_file_action(row)
     latest = ckpt_version
     state: dict = {
         "schema_string": schema_string,

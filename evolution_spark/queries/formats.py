@@ -2956,3 +2956,81 @@ def delta_nested_rename_lifecycle(spark, sf_dir):
         F.lit("v_renamed").alias("state"), "segment", "n_rows", "bal_cents"
     )
     return leg0.unionByName(leg1)
+
+
+@query(
+    "delta_foreign_features_read",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           strftime(MIN(TIMESTAMP '1995-01-01 00:00:00'
+                        + INTERVAL (c_custkey % 48) HOUR),
+                    '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(MAX(TIMESTAMP '1995-01-01 00:00:00'
+                        + INTERVAL (c_custkey % 48) HOUR),
+                    '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def delta_foreign_features_read(spark, sf_dir):
+    """READ a Delta table exercising the two v3-protocol reader features a
+    foreign (e.g. recent-Databricks-written) table most commonly carries
+    beyond DVs/columnMapping: ``timestampNtz`` (the schema holds a
+    ``timestamp_ntz`` column, which obliges the feature per the spec's
+    activation rule — ``write_delta_snapshot`` declares it automatically)
+    and ``v2Checkpoint`` (the log's checkpoint is a UUID-named manifest
+    whose add actions live in ``_delta_log/_sidecars/`` parquet parts).
+    The table lands in three commits (custkey mod-3 slices), is
+    checkpointed in V2 form after the second, and the pre-checkpoint JSON
+    commits are then DELETED — so the read provably reconstructs state
+    through the manifest + both sidecars + the one post-checkpoint JSON
+    commit, and the NTZ values must come back bit-exact (a reader that
+    decoded them UTC-adjusted would shift every rendered hour). Scale:
+    sidecars are the spec's answer to 100 TB logs — file actions split
+    across parallel-loadable parts instead of one monolithic checkpoint.
+    Ref parity: crates/evolution-target (Delta target is `todo!()` in the
+    reference; this surface is native here)."""
+    from pathlib import Path
+
+    from evolution_spark.io.delta_log import (
+        checkpoint_delta,
+        commit_delta,
+        read_delta_snapshot,
+        upgrade_delta_features,
+        write_delta_snapshot,
+    )
+
+    def slice_df(mod):
+        return (
+            table(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") % 3 == mod)
+            .select(
+                "c_custkey",
+                "c_mktsegment",
+                F.expr(
+                    "timestamp_ntz'1995-01-01 00:00:00' "
+                    "+ make_interval(0, 0, 0, 0, c_custkey % 48, 0, 0)"
+                ).alias("ts"),
+            )
+        )
+
+    path = query_tmp("deltaforeign", sf_dir)
+    write_delta_snapshot(slice_df(0), path)          # v0: declares timestampNtz
+    commit_delta(slice_df(1), path, mode="append")   # v1
+    upgrade_delta_features(
+        path, reader=["v2Checkpoint"], writer=["v2Checkpoint"]
+    )                                                # v2
+    ck = checkpoint_delta(path, v2=True, sidecar_files=2)
+    commit_delta(slice_df(2), path, mode="append")   # v3: post-checkpoint
+    log = Path(path) / "_delta_log"
+    for v in range(ck["version"] + 1):               # truncate: force the
+        (log / f"{v:020d}.json").unlink()            # v2-manifest read path
+    back = read_delta_snapshot(spark, path)
+    assert dict(back.dtypes)["ts"] == "timestamp_ntz", back.dtypes
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").alias("key_sum"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )

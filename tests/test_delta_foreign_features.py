@@ -1,0 +1,179 @@
+"""Round-9 foreign-table reader features: timestampNtz + v2Checkpoint.
+
+The two most frequent v3-protocol features a table written by a recent
+foreign Delta engine carries beyond deletionVectors/columnMapping (VERDICT
+r08 'What's missing' #1). timestampNtz: schema carries ``timestamp_ntz``,
+the spec's activation rule obliges the protocol to declare the feature in
+both reader and writer sets. v2Checkpoint: the log checkpoint is a
+UUID-named manifest + sidecar parquet parts under ``_delta_log/_sidecars/``.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from evolution_spark.io.delta_log import (
+    DeltaProtocolError,
+    checkpoint_delta,
+    commit_delta,
+    evolve_delta_schema,
+    read_delta_snapshot,
+    upgrade_delta_features,
+    write_delta_snapshot,
+)
+
+
+def _ntz_df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        F.expr(
+            "timestamp_ntz'2001-06-01 00:00:00' "
+            "+ make_interval(0, 0, 0, 0, id % 30, 0, 0)"
+        ).alias("ts"),
+        (F.col("id") % 3).alias("grp"),
+    )
+
+
+def _v0_protocol(table_dir):
+    lines = (table_dir / "_delta_log" / f"{0:020d}.json").read_text().splitlines()
+    return next(
+        json.loads(ln)["protocol"] for ln in lines if "protocol" in json.loads(ln)
+    )
+
+
+def test_ntz_write_declares_feature_and_reads_exact(spark, tmp_path):
+    t = tmp_path / "ntz"
+    write_delta_snapshot(_ntz_df(spark, 0, 50), str(t))
+    proto = _v0_protocol(t)
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "timestampNtz" in proto["readerFeatures"]
+    assert "timestampNtz" in proto["writerFeatures"]
+    back = read_delta_snapshot(spark, str(t))
+    assert dict(back.dtypes)["ts"] == "timestamp_ntz"
+    got = {
+        (r.id, r.ts.isoformat())
+        for r in back.select("id", "ts").collect()
+    }
+    want = {
+        (r.id, r.ts.isoformat())
+        for r in _ntz_df(spark, 0, 50).collect()
+    }
+    assert got == want  # bit-exact: no session-zone shift on any value
+
+
+def test_ntz_free_schema_keeps_v1_protocol(spark, tmp_path):
+    t = tmp_path / "plain"
+    write_delta_snapshot(spark.range(5).select("id"), str(t))
+    proto = _v0_protocol(t)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def test_evolve_adding_ntz_column_upgrades_protocol(spark, tmp_path):
+    from pyspark.sql.types import TimestampNTZType
+
+    t = tmp_path / "evolve"
+    write_delta_snapshot(spark.range(5).select("id"), str(t))
+    evolve_delta_schema(str(t), [("seen_at", TimestampNTZType())])
+    log = t / "_delta_log"
+    actions = [
+        json.loads(ln)
+        for ln in (log / f"{1:020d}.json").read_text().splitlines()
+    ]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert "timestampNtz" in proto["readerFeatures"]
+    back = read_delta_snapshot(spark, str(t))
+    assert dict(back.dtypes)["seen_at"] == "timestamp_ntz"
+    assert back.where(F.col("seen_at").isNull()).count() == 5
+
+
+def test_upgrade_features_idempotent_and_guarded(spark, tmp_path):
+    t = tmp_path / "up"
+    write_delta_snapshot(spark.range(5).select("id"), str(t))
+    r1 = upgrade_delta_features(
+        str(t), reader=["v2Checkpoint"], writer=["v2Checkpoint"]
+    )
+    assert r1["version"] == 1
+    # legacy writer-v2 features carried forward into the v7 feature list
+    assert "appendOnly" in r1["protocol"]["writerFeatures"]
+    assert "invariants" in r1["protocol"]["writerFeatures"]
+    r2 = upgrade_delta_features(
+        str(t), reader=["v2Checkpoint"], writer=["v2Checkpoint"]
+    )
+    assert r2["version"] is None  # already declared: no new commit
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
+        upgrade_delta_features(str(t), reader=["typeWidening"])
+
+
+def test_v2_checkpoint_refused_without_feature(spark, tmp_path):
+    t = tmp_path / "nofeat"
+    write_delta_snapshot(spark.range(5).select("id"), str(t))
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+        checkpoint_delta(str(t), v2=True)
+
+
+def _v2_table(spark, t, sidecar_files=2):
+    write_delta_snapshot(_ntz_df(spark, 0, 40), str(t))
+    commit_delta(_ntz_df(spark, 40, 80), str(t), mode="append")
+    upgrade_delta_features(str(t), reader=["v2Checkpoint"], writer=["v2Checkpoint"])
+    return checkpoint_delta(str(t), v2=True, sidecar_files=sidecar_files)
+
+
+def test_v2_checkpoint_roundtrip_after_log_truncation(spark, tmp_path):
+    t = tmp_path / "v2ck"
+    ck = _v2_table(spark, t)
+    assert len(ck["sidecars"]) == 2
+    commit_delta(_ntz_df(spark, 80, 90), str(t), mode="append")
+    log = t / "_delta_log"
+    for v in range(ck["version"] + 1):
+        (log / f"{v:020d}.json").unlink()
+    back = read_delta_snapshot(spark, str(t))
+    assert back.count() == 90
+    assert {r.id for r in back.select("id").collect()} == set(range(90))
+
+
+def test_v2_checkpoint_stale_manifest_version_refused(spark, tmp_path):
+    import pyarrow.parquet as papq
+
+    t = tmp_path / "stale"
+    ck = _v2_table(spark, t)
+    log = t / "_delta_log"
+    # pointer lies: says a version for which only the OTHER manifest exists
+    ptr = json.loads((log / "_last_checkpoint").read_text())
+    manifest = next(log.glob(f"{ck['version']:020d}.checkpoint.*.parquet"))
+    bogus = log / f"{7:020d}.checkpoint.{manifest.name.split('.')[2]}.parquet"
+    manifest.rename(bogus)
+    ptr["version"] = 7
+    (log / "_last_checkpoint").write_text(json.dumps(ptr))
+    with pytest.raises(RuntimeError, match="declares version"):
+        read_delta_snapshot(spark, str(t))
+
+
+def test_v2_checkpoint_missing_sidecar_refused(spark, tmp_path):
+    t = tmp_path / "missside"
+    ck = _v2_table(spark, t)
+    side = t / "_delta_log" / "_sidecars" / ck["sidecars"][0]
+    side.unlink()
+    with pytest.raises(FileNotFoundError, match="sidecar missing"):
+        read_delta_snapshot(spark, str(t))
+
+
+def test_v2_checkpoint_carries_dv_and_single_sidecar(spark, tmp_path):
+    """DV descriptors survive v2 checkpointing (same obligation as v1) and
+    sidecar_files=1 degenerates to one part; deleted rows stay deleted
+    after truncation."""
+    from evolution_spark.io.delta_log import delete_delta_rows
+
+    t = tmp_path / "v2dv"
+    write_delta_snapshot(_ntz_df(spark, 0, 60), str(t))
+    delete_delta_rows(spark, str(t), "id % 5 = 0")
+    upgrade_delta_features(str(t), reader=["v2Checkpoint"], writer=["v2Checkpoint"])
+    ck = checkpoint_delta(str(t), v2=True, sidecar_files=1)
+    assert len(ck["sidecars"]) == 1
+    log = t / "_delta_log"
+    for v in range(ck["version"] + 1):
+        (log / f"{v:020d}.json").unlink()
+    back = read_delta_snapshot(spark, str(t))
+    assert {r.id for r in back.select("id").collect()} == {
+        i for i in range(60) if i % 5 != 0
+    }
