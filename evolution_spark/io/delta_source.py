@@ -106,11 +106,11 @@ def _plan_meta(table_path: str, version=None):
     )
     config = dict((state.get("metadata") or {}).get("configuration") or {})
     schema_json = json.loads(schema_string)
-    if mapping_mode(config) != "none":
-        # the arrow read path renames by FLAT maps; nested mapped structs
-        # resolve only through read_delta_snapshot's struct-cast path
-        _refuse_nested_mapping(schema_json)
     if mapping_mode(config) == "id":
+        # id-mode field-id schemas resolve FLAT only (per-file footer ids
+        # carry no nesting path); name-mode nested structs resolve fine —
+        # _read_slice renames recursively via physicalName metadata
+        _refuse_nested_mapping(schema_json)
         # physicalName renames still translate partitionValues keys (and
         # act as a fallback for partition-only columns never in footers)
         renames = _physical_renames(schema_json)
@@ -199,6 +199,125 @@ def _arrow_type_of(typ):
     )
 
 
+def _arrow_type_full(t_json):
+    """Arrow type for ANY Delta type json — complex types recurse, leaves
+    delegate to ``_arrow_type_of``. This is the LOGICAL shape of a column
+    (names at every depth are the logical names)."""
+    import pyarrow as pa
+
+    if isinstance(t_json, dict):
+        kind = t_json.get("type")
+        if kind == "struct":
+            return pa.struct([
+                pa.field(f["name"], _arrow_type_full(f["type"]))
+                for f in t_json["fields"]
+            ])
+        if kind == "array":
+            return pa.list_(_arrow_type_full(t_json["elementType"]))
+        if kind == "map":
+            return pa.map_(
+                _arrow_type_full(t_json["keyType"]),
+                _arrow_type_full(t_json["valueType"]),
+            )
+    return _arrow_type_of(t_json)
+
+
+def _logical_view_type(at, t_json):
+    """Arrow type equal in LAYOUT to ``at`` but with every nested name
+    renamed physical -> logical per the schema json's
+    ``delta.columnMapping.physicalName`` metadata — the zero-copy
+    ``Array.view`` target. Returns None when the stored shape diverges
+    from the logical schema (member count/order mismatch after a nested
+    ADD/DROP), in which case ``_restructure_struct`` rebuilds instead."""
+    import pyarrow as pa
+
+    if not isinstance(t_json, dict):
+        return at  # primitive leaf: layout unchanged (upcasts happen later)
+    kind = t_json.get("type")
+    if kind == "struct":
+        if not pa.types.is_struct(at) or at.num_fields != len(t_json["fields"]):
+            return None
+        out = []
+        for i, sf in enumerate(t_json["fields"]):
+            phys = (sf.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", sf["name"]
+            )
+            child = at.field(i)
+            if child.name != phys:
+                return None
+            ct = _logical_view_type(child.type, sf["type"])
+            if ct is None:
+                return None
+            out.append(pa.field(sf["name"], ct))
+        return pa.struct(out)
+    if kind == "array":
+        if pa.types.is_large_list(at):
+            vt = _logical_view_type(at.value_type, t_json["elementType"])
+            return pa.large_list(vt) if vt is not None else None
+        if pa.types.is_list(at):
+            vt = _logical_view_type(at.value_type, t_json["elementType"])
+            return pa.list_(vt) if vt is not None else None
+        return None
+    if kind == "map":
+        if not pa.types.is_map(at):
+            return None
+        kt = _logical_view_type(at.key_type, t_json["keyType"])
+        vt = _logical_view_type(at.item_type, t_json["valueType"])
+        return pa.map_(kt, vt) if kt is not None and vt is not None else None
+    return at
+
+
+def _restructure_struct(arr, t_json):
+    """Rebuild a stored struct column into the logical shape when a pure
+    rename can't (nested ADD COLUMN fills nulls, nested DROP selects
+    away, member order follows the logical schema). Recursion bottoms out
+    in ``.view`` renames; add/drop UNDER array/map elements has no
+    rebuild here (offsets surgery) and refuses to the library reader."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from evolution_spark.io.delta_log import DeltaProtocolError
+
+    if not (isinstance(t_json, dict) and t_json.get("type") == "struct"
+            and pa.types.is_struct(arr.type)):
+        raise DeltaProtocolError(
+            "column-mapped member add/drop under array/map elements is not "
+            "supported on the evolution_delta arrow path — read via "
+            "read_delta_snapshot"
+        )
+    stored = {arr.type.field(i).name: i for i in range(arr.type.num_fields)}
+    children, names = [], []
+    for sf in t_json["fields"]:
+        phys = (sf.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", sf["name"]
+        )
+        idx = stored.get(phys)
+        if idx is None:
+            child = pa.nulls(len(arr), type=_arrow_type_full(sf["type"]))
+        else:
+            child = arr.field(idx)
+            ct = _logical_view_type(child.type, sf["type"])
+            child = child.view(ct) if ct is not None else _restructure_struct(
+                child, sf["type"]
+            )
+        children.append(child)
+        names.append(sf["name"])
+    return pa.StructArray.from_arrays(children, names=names, mask=pc.is_null(arr))
+
+
+def _conform_column(arr, f_json):
+    """Physical -> logical conversion of one stored COMPLEX column: rename
+    every nested name (zero-copy ``.view`` when shapes match, struct
+    rebuild otherwise), then cast to the full logical arrow type when a
+    leaf was stored narrower (nested schema evolution)."""
+    target = _arrow_type_full(f_json["type"])
+    vt = _logical_view_type(arr.type, f_json["type"])
+    out = arr.view(vt) if vt is not None else _restructure_struct(
+        arr, f_json["type"]
+    )
+    return out.cast(target) if out.type != target else out
+
+
 def _const_array(raw, at, n, col=None):
     """Constant arrow array of type ``at`` from a raw partition value that
     may be a string (Delta partitionValues) or already typed (Iceberg
@@ -268,6 +387,11 @@ def _read_slice(slice_, logical_schema_json: str):
             name, typ = f["name"], f["type"]
             if name in present:
                 arr = present[name]
+                if isinstance(typ, dict):
+                    # complex column: recursive physical->logical rename
+                    # (+ null-fill/select on nested add/drop, leaf upcasts)
+                    cols[name] = _conform_column(arr, f)
+                    continue
                 try:
                     at = _arrow_type_of(typ)
                 except ValueError:
@@ -281,7 +405,7 @@ def _read_slice(slice_, logical_schema_json: str):
                 # partition column (or post-evolution column on a legacy
                 # file): typed constant from the add's partitionValues
                 raw = slice_.partition_values.get(name)
-                at = _arrow_type_of(typ)
+                at = _arrow_type_full(typ)
                 if raw is None:
                     cols[name] = pa.nulls(batch.num_rows, type=at)
                 else:

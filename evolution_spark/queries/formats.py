@@ -3034,3 +3034,74 @@ def delta_foreign_features_read(spark, sf_dir):
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
+
+
+@query(
+    "delta_source_nested_mapping_read",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_alive,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents,
+           CAST(SUM(c_custkey % 97) AS BIGINT) AS tag_sum
+    FROM customer WHERE c_custkey % 11 <> 0
+    GROUP BY c_mktsegment
+    """,
+)
+def delta_source_nested_mapping_read(spark, sf_dir):
+    """NESTED column mapping through the mounted DataSource (the path a
+    Spark user actually reads): customer lands as a column-mapped table
+    with a struct column ``s<bal, seg, inner<tag>>``, then a nested
+    RENAME (``s.bal`` -> ``balance``: pure-rename files resolve via a
+    zero-copy Arrow ``view``), a nested DROP (``s.inner.tag`` stays, a
+    sibling ``s.seg`` drop forces the struct REBUILD path on the
+    pre-drop files), and a DV DELETE (every 11th key) — and the read
+    goes through ``spark.read.format("evolution_delta")``, whose
+    executors now resolve physical names recursively per file instead of
+    refusing nested mapped structs. The oracle pins the survivor set and
+    every nested value, so a wrong inner-field resolution (the silent
+    failure the old refusal guarded against) fails the hash. Scale: the
+    rename is metadata-only; per-file conversion is zero-copy except on
+    the rebuilt pre-drop files."""
+    from evolution_spark.io.delta_log import (
+        delete_delta_rows,
+        drop_delta_column,
+        rename_delta_column,
+        write_delta_snapshot,
+    )
+    from evolution_spark.io.delta_source import register_delta_source
+
+    register_delta_source(spark)
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.struct(
+            F.col("c_acctbal").alias("bal"),
+            F.col("c_mktsegment").alias("seg"),
+            F.struct((F.col("c_custkey") % 97).alias("tag")).alias("inner"),
+        ).alias("s"),
+    )
+    tmp = query_tmp("deltasrcnested", sf_dir)
+    write_delta_snapshot(c.repartition(4), tmp, column_mapping=True)
+    rename_delta_column(tmp, "s.bal", "balance")
+    drop_delta_column(tmp, "s.seg")
+    # re-add under a NEW physical name: existing files must NOT resurrect
+    # the dropped column's stored data, new files carry the re-added one
+    from pyspark.sql.types import StringType
+
+    from evolution_spark.io.delta_log import evolve_delta_schema
+
+    evolve_delta_schema(tmp, [("segment", StringType())])
+    delete_delta_rows(spark, tmp, "c_custkey % 11 = 0")
+    back = spark.read.format("evolution_delta").load(tmp)
+    joined = back.join(
+        table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        "c_custkey",
+    )
+    assert dict(back.dtypes)["segment"] == "string"
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_alive"),
+        F.sum(F.round(F.col("s.balance") * 100).cast("bigint")).alias(
+            "bal_cents"
+        ),
+        F.sum("s.inner.tag").alias("tag_sum"),
+    )

@@ -16,6 +16,12 @@ from pathlib import Path
 import pytest
 from pyspark.sql import functions as F
 
+from evolution_spark.io.delta_log import (
+    read_delta_snapshot,
+    rename_delta_column,
+    write_delta_snapshot,
+)
+
 
 def _build_nested_mapped_table(spark, base):
     """Foreign-style table: k (long), s struct<a: long, b: string> —
@@ -148,16 +154,19 @@ def test_nested_mapped_dml_roundtrip(spark, tmp_path):
     assert "col-sa" in names and "a" not in names
 
 
-def test_nested_mapped_python_source_refuses(spark, tmp_path):
-    """The arrow-side DataSource renames by flat maps — nested mapped
-    structs refuse loudly there and point at the supported path."""
-    from evolution_spark.io.delta_log import DeltaProtocolError
+def test_nested_mapped_python_source_matches_library(spark, tmp_path):
+    """The arrow-side DataSource resolves nested mapped structs since
+    round 9 (recursive physical-name renames per file) — it must agree
+    with the library reader exactly on a foreign-built nested table."""
     from evolution_spark.io.delta_source import register_delta_source
 
     register_delta_source(spark)
     path = _build_nested_mapped_table(spark, tmp_path)
-    with pytest.raises(Exception, match="nested"):
-        spark.read.format("evolution_delta").load(path).collect()
+    got = spark.read.format("evolution_delta").load(path)
+    lib = read_delta_snapshot(spark, path)
+    # simpleString: nullability at nesting levels differs by construction
+    assert got.schema.simpleString() == lib.schema.simpleString()
+    assert sorted(map(str, got.collect())) == sorted(map(str, lib.collect()))
 
 
 def test_upgrade_and_nested_rename_drop_on_own_table(spark, tmp_path):
@@ -262,3 +271,159 @@ def test_nested_mapped_cdf_sidecars(spark, tmp_path):
         (2, 20.0, "s2", "update_preimage"),
         (102, 20.0, "s2", "update_postimage"),
     ]
+
+
+# --- round 9: nested mapping on the evolution_delta DataSource path ---
+
+
+def _mounted(spark, path):
+    from evolution_spark.io.delta_source import register_delta_source
+
+    register_delta_source(spark)
+    return spark.read.format("evolution_delta").load(path)
+
+
+def _nested_df(spark, n=12):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        F.struct(
+            (F.col("id") * 10.0).alias("bal"),
+            F.concat(F.lit("s"), F.col("id") % 3).alias("seg"),
+            F.struct((F.col("id") % 7).alias("tag")).alias("inner"),
+        ).alias("s"),
+        F.array(F.struct((F.col("id") % 5).alias("q"))).alias("arr"),
+    )
+
+
+def test_source_nested_rename_zero_copy_view(spark, tmp_path):
+    """Pure nested renames resolve on the DataSource path and agree with
+    the library reader bit-for-bit."""
+    path = str(tmp_path / "srcnested")
+    write_delta_snapshot(_nested_df(spark), path, column_mapping=True)
+    rename_delta_column(path, "s.bal", "balance")
+    rename_delta_column(path, "s.inner.tag", "ticket")
+    got = _mounted(spark, path)
+    assert dict(got.dtypes)["s"].startswith("struct<balance:")
+    lib = read_delta_snapshot(spark, path)
+    assert sorted(map(str, got.collect())) == sorted(map(str, lib.collect()))
+    r0 = got.orderBy("k").first()
+    assert r0.s.balance == 0.0 and r0.s.inner.ticket == 0 and r0.arr[0].q == 0
+
+
+def test_source_nested_drop_restructures_old_files(spark, tmp_path):
+    """Files written before a nested DROP carry the extra member; the
+    executor rebuild selects it away (and never resurrects it on re-add)."""
+    from pyspark.sql.types import StringType
+
+    from evolution_spark.io.delta_log import drop_delta_column, evolve_delta_schema
+
+    path = str(tmp_path / "srcdrop")
+    write_delta_snapshot(_nested_df(spark), path, column_mapping=True)
+    drop_delta_column(path, "s.seg")
+    evolve_delta_schema(path, [("note", StringType())])  # top-level add: nulls
+    got = _mounted(spark, path)
+    assert "seg" not in dict(got.dtypes)["s"]
+    assert got.where(F.col("note").isNull()).count() == 12
+    lib = read_delta_snapshot(spark, path)
+    assert sorted(map(str, got.collect())) == sorted(map(str, lib.collect()))
+
+
+def test_source_nested_dv_mask_composes(spark, tmp_path):
+    from evolution_spark.io.delta_log import delete_delta_rows
+
+    path = str(tmp_path / "srcdv")
+    write_delta_snapshot(_nested_df(spark), path, column_mapping=True)
+    rename_delta_column(path, "s.bal", "balance")
+    delete_delta_rows(spark, path, "k % 4 = 0")
+    got = _mounted(spark, path)
+    assert {r.k for r in got.select("k").collect()} == {
+        i for i in range(12) if i % 4 != 0
+    }
+
+
+def test_source_id_mode_still_refuses_nested(spark, tmp_path):
+    """id-mode field ids resolve flat only — the nested refusal survives
+    there (and names the shape)."""
+    import json as _json
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    from evolution_spark.io.delta_log import DeltaProtocolError
+
+    path = str(tmp_path / "srcid")
+    write_delta_snapshot(_nested_df(spark), path, column_mapping=True)
+    log = Path(path) / "_delta_log"
+    lines = (log / f"{0:020d}.json").read_text().splitlines()
+    out = []
+    for ln in lines:
+        a = _json.loads(ln)
+        if "metaData" in a:
+            a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+        out.append(_json.dumps(a))
+    (log / f"{0:020d}.json").write_text("\n".join(out) + "\n")
+    # the raise happens inside Spark's DataSource planning worker, so it
+    # surfaces wrapped — match on the message, not the exception type
+    with _pytest.raises(Exception, match="nested"):
+        _mounted(spark, path).collect()
+
+
+def test_conform_view_type_shape_mismatch_returns_none():
+    """_logical_view_type bails (-> rebuild path) on member-count or
+    order divergence instead of mis-renaming positionally."""
+    import pyarrow as pa
+
+    from evolution_spark.io.delta_source import _logical_view_type
+
+    t_json = {
+        "type": "struct",
+        "fields": [
+            {"name": "a", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "p_a"}},
+            {"name": "b", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "p_b"}},
+        ],
+    }
+    ok = pa.struct([("p_a", pa.int64()), ("p_b", pa.float64())])
+    assert _logical_view_type(ok, t_json) == pa.struct(
+        [("a", pa.int64()), ("b", pa.float64())]
+    )
+    extra = pa.struct(
+        [("p_a", pa.int64()), ("p_b", pa.float64()), ("p_c", pa.int32())]
+    )
+    assert _logical_view_type(extra, t_json) is None
+    swapped = pa.struct([("p_b", pa.float64()), ("p_a", pa.int64())])
+    assert _logical_view_type(swapped, t_json) is None
+
+
+def test_conform_add_drop_under_array_refuses():
+    """Member add/drop UNDER array elements has no offsets-preserving
+    rebuild on the arrow path — must refuse, not mis-resolve."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from evolution_spark.io.delta_log import DeltaProtocolError
+    from evolution_spark.io.delta_source import _conform_column
+
+    f_json = {
+        "name": "arr",
+        "type": {
+            "type": "array",
+            "elementType": {
+                "type": "struct",
+                "fields": [
+                    {"name": "q", "type": "long", "nullable": True,
+                     "metadata": {"delta.columnMapping.physicalName": "p_q"}},
+                ],
+            },
+            "containsNull": True,
+        },
+        "nullable": True,
+        "metadata": {},
+    }
+    stored = pa.array(
+        [[{"p_q": 1, "p_gone": 2}]],
+        type=pa.list_(pa.struct([("p_q", pa.int64()), ("p_gone", pa.int64())])),
+    )
+    with _pytest.raises(DeltaProtocolError, match="array/map"):
+        _conform_column(stored, f_json)
