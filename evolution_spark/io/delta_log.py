@@ -117,13 +117,14 @@ def _check_reader_protocol(protocol: dict | None) -> None:
 # Writer version 2's obligations on FOREIGN tables are enforced in
 # commit_delta: delta.appendOnly refuses dataChange=true removes (layout-
 # only OPTIMIZE rewrites pass data_change=False and are legal), and
-# schemas carrying delta.invariants are refused outright (we cannot
-# validate them). The v7 feature set below is the honest claim:
-# deletionVectors (full read+maintain), appendOnly (enforced in
-# commit_delta), invariants (enforced by refusing any schema that
-# actually carries one — a table listing the feature with none declared
-# writes safely). Anything else (CHECK constraints, generated columns,
-# column mapping, ...) stays refused via _check_writer_protocol.
+# legacy COLUMN INVARIANTS (per-field delta.invariants metadata) are
+# ENFORCED on every row-adding commit via _enforce_constraints — the same
+# staged-scan validation CHECK constraints get, so a v2-era table with
+# invariants commits valid rows and refuses violating ones. The v7
+# feature set below is the honest claim: deletionVectors (full
+# read+maintain), appendOnly and invariants (both enforced in
+# commit_delta/update paths). Anything else (generated columns, identity
+# columns, ...) stays refused via _check_writer_protocol.
 SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
     {"deletionVectors", "appendOnly", "invariants", "columnMapping",
      "checkConstraints", "changeDataFeed", "timestampNtz", "v2Checkpoint"}
@@ -587,12 +588,6 @@ def commit_delta(
             "append-only contract (layout-only rewrites may pass "
             "data_change=False)"
         )
-    if '"delta.invariants"' in (schema_string or ""):
-        raise DeltaProtocolError(
-            "table schema declares column invariants (delta.invariants); "
-            "this writer cannot validate them — refusing to commit rather "
-            "than silently violating the writer-version-2 obligation"
-        )
     stored = StructType.fromJson(json.loads(schema_string))
     # names+types must match; nullability is deliberately NOT compared —
     # Spark cannot statically prove non-nullness through outer joins (a
@@ -638,6 +633,7 @@ def commit_delta(
             _enforce_constraints(
                 df.sparkSession, stage, config, "commit",
                 renames=mapping_renames(json.loads(schema_string), config),
+                invariants=_schema_invariants(schema_string),
             )
 
         now_ms = int(time.time() * 1000)
@@ -2309,14 +2305,6 @@ def update_delta_rows(
         table_dir, return_state=True
     )
     proto = _mor_guards(repl_state, "UPDATE")
-    if '"delta.invariants"' in (schema_string or ""):
-        # same writer-v2 obligation commit_delta enforces: UPDATE appends
-        # new rows, and we cannot validate column invariants on them
-        raise DeltaProtocolError(
-            "table schema declares column invariants (delta.invariants); "
-            "this writer cannot validate them — refusing the UPDATE rather "
-            "than silently violating the writer obligation"
-        )
     stored_schema = StructType.fromJson(json.loads(schema_string))
     if not set_exprs:
         raise ValueError("set_exprs must be non-empty")
@@ -2404,6 +2392,7 @@ def update_delta_rows(
         _enforce_constraints(
             spark, stage, config, "UPDATE",
             renames=mapping_renames(schema_json, config),
+            invariants=_schema_invariants(schema_string),
         )
         add_actions, n_files, updated_rows = _collect_staged_adds(
             stage, table_dir, version, now_ms, data_change=True
@@ -3484,6 +3473,44 @@ def _table_constraints(config: dict) -> dict[str, str]:
     return {k[len(pre):]: v for k, v in config.items() if k.startswith(pre)}
 
 
+def _schema_invariants(schema_string: str | None) -> dict[str, str]:
+    """{label: SQL expression} for every legacy COLUMN INVARIANT in the
+    schema (Delta PROTOCOL.md 'Column Invariants': per-field metadata key
+    ``delta.invariants`` whose value is a JSON document
+    ``{"expression": {"expression": "<sql>"}}``). Writer version 2's
+    oldest obligation — tables created by early Delta releases carry
+    these instead of CHECK constraints, and a writer that ignores them
+    corrupts the table's contract exactly like an ignored CHECK would.
+    Nested fields are walked with dotted paths so their expressions
+    (which reference the full path) enforce too."""
+    if not schema_string or '"delta.invariants"' not in schema_string:
+        return {}
+    out: dict[str, str] = {}
+
+    def walk(fields: list[dict], prefix: str) -> None:
+        for f in fields:
+            path = f"{prefix}{f['name']}"
+            raw = (f.get("metadata") or {}).get("delta.invariants")
+            if raw:
+                doc = json.loads(raw) if isinstance(raw, str) else raw
+                expr = doc
+                while isinstance(expr, dict):
+                    expr = expr.get("expression")
+                if not isinstance(expr, str) or not expr.strip():
+                    raise DeltaProtocolError(
+                        f"field {path!r} carries an unparseable "
+                        f"delta.invariants document: {raw!r} — refusing to "
+                        "write rather than skipping the obligation"
+                    )
+                out[f"invariant({path})"] = expr
+            t = f.get("type")
+            if isinstance(t, dict) and t.get("type") == "struct":
+                walk(t["fields"], f"{path}.")
+
+    walk(json.loads(schema_string)["fields"], "")
+    return out
+
+
 def _refuse_constrained_column(config: dict, col: str, what: str) -> None:
     """RENAME/DROP guard: a CHECK constraint referencing ``col`` would
     leave the table UN-WRITABLE (every later commit fails expression
@@ -3511,21 +3538,32 @@ def _refuse_constrained_column(config: dict, col: str, what: str) -> None:
 
 
 def _enforce_constraints(
-    spark, staged_path, config: dict, what: str, renames: dict | None = None
+    spark, staged_path, config: dict, what: str, renames: dict | None = None,
+    invariants: dict[str, str] | None = None,
 ) -> None:
     """Writer obligation for CHECK constraints (protocol writer v3 / the
-    v7 ``checkConstraints`` feature): every row a commit ADDS must
-    satisfy every table constraint, or the commit must not happen.
-    Validates the STAGED parquet output (already materialized — one
-    cheap combined scan, no recompute of the source plan); the detailed
-    per-constraint probe runs only on the failure path. ``renames``
-    (physical -> logical) realigns column-mapped staging output so the
-    constraint expressions see the LOGICAL names they were written in."""
+    v7 ``checkConstraints`` feature) and legacy COLUMN INVARIANTS (writer
+    v2, per-field ``delta.invariants`` metadata — same row-level contract,
+    older encoding): every row a commit ADDS must satisfy every
+    expression, or the commit must not happen. Validates the STAGED
+    parquet output (already materialized — one cheap combined scan, no
+    recompute of the source plan); the detailed per-expression probe runs
+    only on the failure path. ``renames`` (physical -> logical) realigns
+    column-mapped staging output so the expressions see the LOGICAL names
+    they were written in."""
     from pyspark.sql import functions as F
 
-    constraints = _table_constraints(config)
+    constraints = {**_table_constraints(config), **(invariants or {})}
     if not constraints:
         return
+    if invariants and renames and any("." in k[len("invariant("):-1]
+                                      for k in invariants):
+        # flat staging renames can't realign NESTED physical names for the
+        # invariant expressions' dotted paths — refuse, don't mis-check
+        raise DeltaProtocolError(
+            f"{what}: column invariants on nested fields of a column-mapped "
+            "table are not enforceable on this path — refusing to commit"
+        )
     staged = spark.read.parquet(str(staged_path))
     if not staged.columns:
         return
@@ -3546,8 +3584,10 @@ def _enforce_constraints(
             ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
         ).limit(1).collect()
         if bad:
+            kind = ("column invariant" if name.startswith("invariant(")
+                    else "CHECK constraint")
             raise DeltaProtocolError(
-                f"{what} violates CHECK constraint {name!r} ({expr}); "
+                f"{what} violates {kind} {name!r} ({expr}); "
                 f"first offending row: {bad[0].asDict()} — the commit was "
                 "aborted, no version was published"
             )

@@ -3105,3 +3105,78 @@ def delta_source_nested_mapping_read(spark, sf_dir):
         ),
         F.sum("s.inner.tag").alias("tag_sum"),
     )
+
+
+@query(
+    "delta_invariants_enforced",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents,
+           1 AS refusals
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def delta_invariants_enforced(spark, sf_dir):
+    """LEGACY COLUMN INVARIANTS enforced at commit (Delta writer-v2's
+    oldest obligation, PROTOCOL.md 'Column Invariants'): a hand-aged
+    table carries ``delta.invariants: {"expression": {"expression":
+    "c_acctbal > -1000"}}`` in the ``c_acctbal`` field metadata — the
+    encoding tables created by early Delta releases still hold. A valid
+    append commits; an append whose rows violate the invariant REFUSES
+    with the first offending row named and publishes no version (the
+    caught refusal is pinned into the result as ``refusals``); the final
+    state is exactly the valid rows, hash-checked. Before round 9 such a
+    table refused ALL writes; now it writes safely under the same
+    staged-scan validation CHECK constraints get — one combined scan of
+    the staged output, no recompute of the source plan."""
+    import json
+    from pathlib import Path
+
+    from evolution_spark.io.delta_log import (
+        DeltaProtocolError,
+        commit_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = query_tmp("deltainv", sf_dir)
+    write_delta_snapshot(c.where(F.col("c_custkey") % 2 == 0), path)
+    # age the table: stamp the invariant into v0's field metadata (the
+    # shape a 2019-era writer left behind)
+    log = Path(path) / "_delta_log"
+    v0 = log / f"{0:020d}.json"
+    lines = []
+    for ln in v0.read_text().splitlines():
+        a = json.loads(ln)
+        if "metaData" in a:
+            sj = json.loads(a["metaData"]["schemaString"])
+            for f in sj["fields"]:
+                if f["name"] == "c_acctbal":
+                    f["metadata"]["delta.invariants"] = json.dumps(
+                        {"expression": {"expression": "c_acctbal > -1000"}}
+                    )
+            a["metaData"]["schemaString"] = json.dumps(sj)
+        lines.append(json.dumps(a))
+    v0.write_text("\n".join(lines) + "\n")
+    commit_delta(c.where(F.col("c_custkey") % 2 == 1), path, mode="append")
+    refusals = 0
+    try:
+        commit_delta(
+            c.limit(50).withColumn("c_acctbal", F.col("c_acctbal") - 1_000_000),
+            path, mode="append",
+        )
+    except DeltaProtocolError:
+        refusals = 1
+    back = read_delta_snapshot(spark, path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "bal_cents"
+        ),
+        F.lit(refusals).alias("refusals"),
+    )

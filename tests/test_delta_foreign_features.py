@@ -177,3 +177,113 @@ def test_v2_checkpoint_carries_dv_and_single_sidecar(spark, tmp_path):
     assert {r.id for r in back.select("id").collect()} == {
         i for i in range(60) if i % 5 != 0
     }
+
+
+# --- legacy column invariants (writer v2) enforcement ---
+
+
+def _invariants_table(spark, t, expr="qty > 0", field="qty", nested=False):
+    df = spark.range(6).select(
+        F.col("id"),
+        (F.col("id") + 1).alias("qty"),
+    ) if not nested else spark.range(6).select(
+        F.col("id"),
+        F.struct((F.col("id") + 1).alias("qty")).alias("s"),
+    )
+    write_delta_snapshot(df, str(t))
+    log = t / "_delta_log"
+    v0 = log / f"{0:020d}.json"
+    lines = []
+    for ln in v0.read_text().splitlines():
+        a = json.loads(ln)
+        if "metaData" in a:
+            sj = json.loads(a["metaData"]["schemaString"])
+
+            def stamp(fields):
+                for f in fields:
+                    if f["name"] == field:
+                        f["metadata"]["delta.invariants"] = json.dumps(
+                            {"expression": {"expression": expr}}
+                        )
+                    if isinstance(f.get("type"), dict) and \
+                            f["type"].get("type") == "struct":
+                        stamp(f["type"]["fields"])
+
+            stamp(sj["fields"])
+            a["metaData"]["schemaString"] = json.dumps(sj)
+        lines.append(json.dumps(a))
+    v0.write_text("\n".join(lines) + "\n")
+
+
+def test_invariant_valid_append_commits(spark, tmp_path):
+    t = tmp_path / "inv_ok"
+    _invariants_table(spark, t)
+    r = commit_delta(
+        spark.range(6, 9).select(F.col("id"), (F.col("id") + 1).alias("qty")),
+        str(t), mode="append",
+    )
+    assert r["version"] == 1
+    assert read_delta_snapshot(spark, str(t)).count() == 9
+
+
+def test_invariant_violation_refuses_and_publishes_nothing(spark, tmp_path):
+    t = tmp_path / "inv_bad"
+    _invariants_table(spark, t)
+    with pytest.raises(DeltaProtocolError, match="column invariant"):
+        commit_delta(
+            spark.range(6, 9).select(F.col("id"), F.lit(-1).cast("long").alias("qty")),
+            str(t), mode="append",
+        )
+    assert not (t / "_delta_log" / f"{1:020d}.json").exists()
+    assert read_delta_snapshot(spark, str(t)).count() == 6
+
+
+def test_invariant_nested_field_enforced(spark, tmp_path):
+    t = tmp_path / "inv_nested"
+    _invariants_table(spark, t, expr="s.qty > 0", nested=True)
+    with pytest.raises(DeltaProtocolError, match=r"invariant\(s.qty\)"):
+        commit_delta(
+            spark.range(6, 7).select(
+                F.col("id"), F.struct(F.lit(-2).cast("long").alias("qty")).alias("s")
+            ),
+            str(t), mode="append",
+        )
+
+
+def test_invariant_update_path_enforced(spark, tmp_path):
+    from evolution_spark.io.delta_log import update_delta_rows
+
+    t = tmp_path / "inv_upd"
+    _invariants_table(spark, t)
+    with pytest.raises(DeltaProtocolError, match="column invariant"):
+        update_delta_rows(spark, str(t), "id = 2", {"qty": "-7"})
+    update_delta_rows(spark, str(t), "id = 2", {"qty": "70"})
+    got = {(r.id, r.qty) for r in
+           read_delta_snapshot(spark, str(t)).collect()}
+    assert (2, 70) in got and len(got) == 6
+
+
+def test_invariant_unparseable_document_refuses(spark, tmp_path):
+    t = tmp_path / "inv_junk"
+    _invariants_table(spark, t)
+    # corrupt the invariant document: {"expression": {}} has no sql
+    log = t / "_delta_log"
+    v0 = log / f"{0:020d}.json"
+    lines = []
+    for ln in v0.read_text().splitlines():
+        a = json.loads(ln)
+        if "metaData" in a:
+            sj = json.loads(a["metaData"]["schemaString"])
+            for f in sj["fields"]:
+                if "delta.invariants" in (f.get("metadata") or {}):
+                    f["metadata"]["delta.invariants"] = json.dumps(
+                        {"expression": {}}
+                    )
+            a["metaData"]["schemaString"] = json.dumps(sj)
+        lines.append(json.dumps(a))
+    v0.write_text("\n".join(lines) + "\n")
+    with pytest.raises(DeltaProtocolError, match="unparseable"):
+        commit_delta(
+            spark.range(6, 7).select(F.col("id"), F.lit(9).cast("long").alias("qty")),
+            str(t), mode="append",
+        )
