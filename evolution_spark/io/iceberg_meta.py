@@ -447,7 +447,19 @@ def _bounds_may_match(lo, hi, op: str, val) -> bool:
     return True  # unknown op: keep
 
 
-def _manifest_entry_schema(part_schema: dict) -> dict:
+def _manifest_entry_schema(part_schema: dict, dv_fields: bool = False) -> dict:
+    # format-version 3 deletion-vector placement fields (spec field-ids
+    # 143-145): present only in DV delete manifests — a v2 manifest never
+    # carries them, and foreign v3 manifests are read by field name via
+    # the generic avro reader regardless
+    dv_extra = [
+        {"name": "referenced_data_file", "type": ["null", "string"],
+         "field-id": 143, "default": None},
+        {"name": "content_offset", "type": ["null", "long"],
+         "field-id": 144, "default": None},
+        {"name": "content_size_in_bytes", "type": ["null", "long"],
+         "field-id": 145, "default": None},
+    ] if dv_fields else []
     data_file = {
         "type": "record",
         "name": "r2",
@@ -458,6 +470,7 @@ def _manifest_entry_schema(part_schema: dict) -> dict:
             {"name": "partition", "type": part_schema, "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            *dv_extra,
             {
                 # spec field: the schema field-ids an EQUALITY delete file
                 # (content=2) matches on; null for data/position files
@@ -775,6 +788,50 @@ def _partition_record_key(part: dict) -> str:
     return json.dumps(part, sort_keys=True, default=str)
 
 
+def _position_delete_frame(spark, delete_files, dv_deletes):
+    """One ``(file_path, pos)`` DataFrame from parquet position-delete
+    files plus decoded v3 deletion vectors (or None when neither exists).
+    DV blobs are decoded driver-side — each is one seek+read sized by its
+    deleted-row count, and the resulting frame is the anti-join's BUILD
+    side, so cost tracks deleted rows, never table size."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.scan_filters import decoded_file_path
+
+    frames = []
+    if delete_files:
+        frames.append(
+            spark.read.schema("file_path string, pos long")
+            .parquet(*delete_files)
+            # delete files may record paths as plain paths or URIs;
+            # normalize to the same decoded plain-path form the join uses
+            .withColumn("file_path", decoded_file_path("file_path"))
+        )
+    if dv_deletes:
+        import pandas as pd
+
+        from evolution_spark.io.puffin import read_puffin_dv
+        from evolution_spark.io.scan_filters import plain_path
+
+        parts = []
+        for puffin_path, data_file, offset, size in dv_deletes:
+            positions = read_puffin_dv(puffin_path, offset, size)
+            parts.append(pd.DataFrame({
+                "file_path": plain_path(data_file),
+                "pos": positions,
+            }))
+        frames.append(spark.createDataFrame(
+            pd.concat(parts, ignore_index=True),
+            schema="file_path string, pos long",
+        ))
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def read_iceberg_table(
     spark,
     path: str,
@@ -828,11 +885,17 @@ def read_iceberg_table(
     hint = (meta_dir / "version-hint.text").read_text().strip()
     metadata = json.loads((meta_dir / hint).read_text())
     fv = int(metadata.get("format-version", 1))
-    if fv > 2:
+    if fv > 3:
         raise IcebergFormatError(
-            f"table format-version {fv} exceeds the implemented version 2 — "
-            "refusing to read rather than dropping v3 semantics"
+            f"table format-version {fv} exceeds the implemented version 3 — "
+            "refusing to read rather than dropping unknown semantics"
         )
+    # v3 read support covers what this engine models: deletion vectors
+    # (Puffin blobs, decoded below exactly like position deletes) and the
+    # unchanged v2 scan semantics. Row lineage (first-row-id assignment)
+    # is a WRITER obligation — reads that don't project _row_id need
+    # nothing from it; v3 writes refuse in _commit_files_as_snapshot
+    # except the DV path.
     specs_by_id = {
         sp["spec-id"]: sp["fields"]
         for sp in metadata.get("partition-specs") or []
@@ -939,6 +1002,8 @@ def read_iceberg_table(
     file_sid: dict[str, int] = {}  # raw path -> manifest schema-id
     file_spec: dict[str, int] = {}  # raw path -> manifest partition-spec-id
     delete_files: list[str] = []
+    # v3 DVs: (puffin path, referenced data file, offset, size)
+    dv_deletes: list[tuple[str, str, int, int]] = []
     delete_rows = 0
     # (delete parquet, delete sequence, equality field-ids, record count,
     #  partition scope key or None for global)
@@ -967,6 +1032,19 @@ def read_iceberg_table(
             es = entry.get("sequence_number")
             seq = mf_seq if es is None else int(es)
             if is_delete_manifest:
+                if content == 1 and dfile.get("referenced_data_file"):
+                    # v3 DELETION VECTOR: a Puffin blob scoped to ONE data
+                    # file; decoded driver-side (size ∝ deleted rows) and
+                    # applied through the same (file, pos) anti-join as
+                    # parquet position deletes
+                    dv_deletes.append((
+                        dfile["file_path"],
+                        dfile["referenced_data_file"],
+                        int(dfile["content_offset"]),
+                        int(dfile["content_size_in_bytes"]),
+                    ))
+                    delete_rows += int(dfile.get("record_count") or 0)
+                    continue
                 if content == 1:  # position deletes: applied below
                     delete_files.append(dfile["file_path"])
                     delete_rows += int(dfile.get("record_count") or 0)
@@ -1085,15 +1163,7 @@ def read_iceberg_table(
             )
         from pyspark.sql import functions as F
 
-        dels_df = None
-        if delete_files:
-            from evolution_spark.io.scan_filters import decoded_file_path
-
-            dels_df = (
-                spark.read.schema("file_path string, pos long")
-                .parquet(*delete_files)
-                .withColumn("file_path", decoded_file_path("file_path"))
-            )
+        dels_df = _position_delete_frame(spark, delete_files, dv_deletes)
         branches = []
         for sid, spec_id in sorted(group_of):
             g_schema = next(
@@ -1155,19 +1225,10 @@ def read_iceberg_table(
             "_src_file": _dfp(F.col("_metadata.file_path")),
             "_src_pos": F.col("_metadata.row_index"),
         })
-    if delete_files:
-        from evolution_spark.io.scan_filters import (
-            anti_join_deleted_positions,
-            decoded_file_path,
-        )
+    dels = _position_delete_frame(spark, delete_files, dv_deletes)
+    if dels is not None:
+        from evolution_spark.io.scan_filters import anti_join_deleted_positions
 
-        dels = (
-            spark.read.schema("file_path string, pos long")
-            .parquet(*delete_files)
-            # delete files may record paths as plain paths or URIs;
-            # normalize to the same decoded plain-path form the join uses
-            .withColumn("file_path", decoded_file_path("file_path"))
-        )
         # build side ~ deleted-row count (from manifest record_counts)
         df = anti_join_deleted_positions(df, dels, delete_rows)
     if eq_deletes:
@@ -1422,6 +1483,13 @@ def iceberg_table_changes(
                             "(content=2); the change feed cannot recover "
                             "their rows — refusing rather than emitting an "
                             "incomplete change set"
+                        )
+                    if dfile.get("referenced_data_file"):
+                        raise IcebergFormatError(
+                            f"delete file {fp} is a v3 DELETION VECTOR; "
+                            "the change feed cannot diff merged vectors "
+                            "across snapshots yet — refusing rather than "
+                            "emitting an incomplete change set"
                         )
                     if content != 1:
                         raise IcebergFormatError(
@@ -2190,6 +2258,122 @@ def append_position_deletes(path: str, deletes: list[tuple[str, int]]) -> dict:
     }
 
 
+def upgrade_iceberg_format_version(path: str) -> dict:
+    """Metadata-only commit bumping the table to format-version 3 (the
+    prerequisite for deletion vectors). ``next-row-id`` is initialized as
+    v3 requires, but row-lineage ASSIGNMENT stays unimplemented — which
+    is why v3 data appends refuse (``_commit_files_as_snapshot`` guard);
+    v3 here is a READ + DV-DELETE surface. Idempotent."""
+    table_dir = Path(path)
+    metadata, prev_meta_file = _load_metadata(table_dir)
+    fv = int(metadata.get("format-version", 1))
+    if fv >= 3:
+        return {"format-version": fv, "note": "already v3"}
+    new_meta = dict(metadata)
+    new_meta["format-version"] = 3
+    new_meta.setdefault("next-row-id", 0)
+    new_file = _publish_metadata(
+        table_dir / "metadata", prev_meta_file, new_meta
+    )
+    return {"format-version": 3, "metadata-file": str(new_file)}
+
+
+def append_deletion_vectors(path: str, deletes: list[tuple[str, int]]) -> dict:
+    """Commit a v3 DELETION-VECTOR delete snapshot: the merge-on-read
+    DELETE shape where deleted positions live as Puffin roaring-bitmap
+    blobs scoped one-per-data-file (``referenced_data_file`` +
+    ``content_offset``/``content_size_in_bytes`` manifest fields, spec
+    ids 143-145) instead of parquet (file, pos) rows. The v3 invariant is
+    AT MOST ONE live DV per data file, so this writer MERGES every
+    existing DV with the new positions into one fresh Puffin file and the
+    commit's manifest list drops the superseded DV manifests — rewrite
+    cost ∝ total deleted rows, the same bill Delta's DV maintenance pays,
+    amortized away by compaction. Refuses tables carrying non-DV delete
+    files (parquet position/equality deletes): silently superseding those
+    would resurrect their rows."""
+    if not deletes:
+        raise ValueError("deletes must be non-empty")
+    table_dir = Path(path)
+    metadata, prev_meta_file = _load_metadata(table_dir)
+    if int(metadata.get("format-version", 1)) < 3:
+        raise IcebergFormatError(
+            "deletion vectors require format-version 3 — run "
+            "upgrade_iceberg_format_version(path) first"
+        )
+    if metadata.get("current-snapshot-id") is None:
+        raise ValueError("cannot add deletion vectors to an empty table")
+    from evolution_spark.io.puffin import read_puffin_dv
+    from evolution_spark.io.scan_filters import plain_path
+
+    # existing live DVs (merged below) — one manifest-list walk
+    snapshot = next(
+        s for s in metadata["snapshots"]
+        if s["snapshot-id"] == metadata["current-snapshot-id"]
+    )
+    merged: dict[str, set[int]] = {}
+    for mf in _read_avro(Path(snapshot["manifest-list"])):
+        if int(mf.get("content") or 0) != 1:
+            continue
+        for entry in _read_avro(Path(mf["manifest_path"])):
+            if entry["status"] == 2:
+                continue
+            dfile = entry["data_file"]
+            if not dfile.get("referenced_data_file"):
+                raise IcebergFormatError(
+                    f"table carries a non-DV delete file "
+                    f"{dfile['file_path']} — refusing to supersede delete "
+                    "state this commit cannot merge"
+                )
+            positions = read_puffin_dv(
+                dfile["file_path"],
+                int(dfile["content_offset"]),
+                int(dfile["content_size_in_bytes"]),
+            )
+            merged.setdefault(
+                plain_path(dfile["referenced_data_file"]), set()
+            ).update(int(p) for p in positions)
+    for f, pos in deletes:
+        merged.setdefault(plain_path(f), set()).add(int(pos))
+    res = _commit_files_as_snapshot(
+        table_dir, metadata, prev_meta_file, [], "delete",
+        deletion_vectors={f: sorted(ps) for f, ps in merged.items()},
+    )
+    return {
+        "snapshot-id": res["snapshot-id"],
+        "dv-files": len(merged),
+        "dv-positions": sum(len(ps) for ps in merged.values()),
+        "sequence-number": res["sequence-number"],
+    }
+
+
+def delete_iceberg_rows_dv(spark, path: str, predicate: str) -> dict:
+    """Predicate front-end for :func:`append_deletion_vectors` — the v3
+    twin of ``delete_iceberg_rows``: scan the current snapshot with
+    per-row lineage (existing DVs applied, so dead rows never re-delete),
+    collect matched (file, position) pairs, commit ONE DV snapshot."""
+    table_dir = Path(path)
+    metadata, _ = _load_metadata(table_dir)
+    if metadata.get("current-snapshot-id") is None:
+        raise ValueError("cannot DELETE from a table with no current snapshot")
+    snap_id = metadata["current-snapshot-id"]
+    matched = (
+        read_iceberg_table(
+            spark, path, snapshot_id=snap_id, _lineage=True,
+            _current_schema=True,
+        )
+        .where(predicate)
+        .select("_src_file", "_src_pos")
+        .collect()
+    )
+    if not matched:
+        return {"snapshot-id": None, "deleted_rows": 0}
+    res = append_deletion_vectors(
+        path, [(r["_src_file"], r["_src_pos"]) for r in matched]
+    )
+    res["deleted_rows"] = len(matched)
+    return res
+
+
 def delete_iceberg_rows(spark, path: str, predicate: str) -> dict:
     """Predicate-driven merge-on-read DELETE — the Iceberg twin of
     ``delete_delta_rows``: scan the CURRENT snapshot with per-row physical
@@ -2470,6 +2654,7 @@ def _commit_files_as_snapshot(
     extra_summary: dict | None = None,
     position_deletes: list[tuple[str, int]] | None = None,
     branch: str | None = None,
+    deletion_vectors: dict[str, list[int]] | None = None,
 ) -> dict:
     """Back half of a snapshot commit, shared by the DataFrame path
     (``_commit_iceberg_snapshot``), the DataSource sink (which stages its
@@ -2486,6 +2671,23 @@ def _commit_files_as_snapshot(
     in-between."""
     import pyarrow.parquet as pq
 
+    fv = int(metadata.get("format-version", 1))
+    if fv >= 3 and (moved or position_deletes or deletion_vectors is None):
+        # v3 write support is deliberately DV-only: data appends would
+        # need row-lineage assignment (first-row-id) and v3 manifest
+        # obligations this writer does not implement, and new parquet
+        # position-delete files are FORBIDDEN in v3 (DVs replace them)
+        raise IcebergFormatError(
+            f"format-version {fv} table: only deletion-vector DELETE "
+            "commits are implemented for v3 (row lineage is a writer "
+            "obligation this engine does not take on) — refusing the "
+            f"{operation!r} commit"
+        )
+    if deletion_vectors is not None and fv < 3:
+        raise IcebergFormatError(
+            "deletion vectors require format-version 3 "
+            "(upgrade_iceberg_format_version first)"
+        )
     ice_schema = next(
         s
         for s in metadata["schemas"]
@@ -2532,7 +2734,16 @@ def _commit_files_as_snapshot(
     # non-replace: previous snapshot's manifests carried by reference;
     # replace: the new manifest list stands alone (compaction rewrite)
     if operation != "replace":
-        mlist_entries.extend(_read_avro(Path(prev_snapshot["manifest-list"])))
+        prev_entries = _read_avro(Path(prev_snapshot["manifest-list"]))
+        if deletion_vectors is not None:
+            # DV commits carry MERGED vectors (v3's one-live-DV-per-file
+            # invariant), so the superseded DV manifests must drop here —
+            # append_deletion_vectors already folded their positions in
+            # and verified no non-DV delete file hides among them
+            prev_entries = [
+                mf for mf in prev_entries if int(mf.get("content") or 0) != 1
+            ]
+        mlist_entries.extend(prev_entries)
 
     entries = []
     total_rows = 0
@@ -2634,12 +2845,69 @@ def _commit_files_as_snapshot(
             "deleted_rows_count": 0,
         })
 
+    n_dv_deletes = 0
+    if deletion_vectors:
+        from evolution_spark.io.puffin import write_puffin_dv_file
+
+        puffin_path = data_dir / "deletes" / f"dv-{uuid.uuid4()}.puffin"
+        puffin_path.parent.mkdir(parents=True, exist_ok=True)
+        placements = write_puffin_dv_file(
+            puffin_path, deletion_vectors, snapshot_id, seq
+        )
+        dv_entries = []
+        for pl in placements:
+            n_dv_deletes += pl["cardinality"]
+            dv_entries.append({
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 1,  # position deletes, DV form
+                    "file_path": str(puffin_path),
+                    "file_format": "PUFFIN",
+                    "partition": {f["name"]: None for f in spec_fields},
+                    "record_count": pl["cardinality"],
+                    "file_size_in_bytes": puffin_path.stat().st_size,
+                    "referenced_data_file": pl["referenced_data_file"],
+                    "content_offset": pl["content_offset"],
+                    "content_size_in_bytes": pl["content_size_in_bytes"],
+                    "equality_ids": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            })
+        dv_manifest_path = meta_dir / f"{uuid.uuid4()}-dv0.avro"
+        dv_manifest_len = _write_avro(
+            dv_manifest_path,
+            _manifest_entry_schema(part_schema, dv_fields=True),
+            dv_entries,
+            meta={**manifest_meta, "format-version": "3",
+                  "content": "deletes"},
+        )
+        mlist_entries.append({
+            "manifest_path": str(dv_manifest_path),
+            "manifest_length": dv_manifest_len,
+            "partition_spec_id": metadata["default-spec-id"],
+            "content": 1,  # DELETES manifest
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": len(dv_entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": n_dv_deletes,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        })
+        n_pos_deletes += n_dv_deletes
+
     mlist_path = meta_dir / f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro"
     _write_avro(
         mlist_path,
         _MANIFEST_LIST_SCHEMA,
         mlist_entries,
-        meta={"format-version": "2"},
+        meta={"format-version": "2" if fv < 3 else "3"},
     )
 
     prev_total_files = int(prev_snapshot["summary"].get("total-data-files", "0"))

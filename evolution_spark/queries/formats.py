@@ -3180,3 +3180,57 @@ def delta_invariants_enforced(spark, sf_dir):
         ),
         F.lit(refusals).alias("refusals"),
     )
+
+
+@query(
+    "iceberg_v3_dv_read",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_alive,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents,
+           MIN(c_custkey) AS min_key
+    FROM customer
+    WHERE c_custkey % 7 <> 0 AND c_custkey % 11 <> 3
+    GROUP BY c_mktsegment
+    """,
+)
+def iceberg_v3_dv_read(spark, sf_dir):
+    """Iceberg FORMAT-VERSION 3 deletion vectors (spec v3 'Deletion
+    Vectors' + Puffin spec): customer lands as a v2 table, upgrades to v3
+    (metadata-only), and two predicate DELETEs commit as Puffin
+    roaring-bitmap DVs — manifest entries carrying
+    ``referenced_data_file``/``content_offset``/``content_size_in_bytes``
+    (spec field-ids 143-145), one blob per data file, CRC-validated on
+    read. The second DELETE exercises v3's one-live-DV-per-file
+    invariant: existing vectors MERGE into fresh blobs and the commit's
+    manifest list drops the superseded DV manifests. The scan decodes
+    each blob (cost ∝ deleted rows) and applies positions through the
+    same (file, pos) anti-join as v2 position deletes — per-file scoping
+    is what makes the delete state distributable at 100 TB. The oracle
+    pins the double-survivor set, so a mis-merged or mis-scoped vector
+    fails the hash. Non-DV writes to v3 tables refuse (row lineage is a
+    writer obligation this engine does not take on)."""
+    from evolution_spark.io.iceberg_meta import (
+        delete_iceberg_rows_dv,
+        read_iceberg_table,
+        upgrade_iceberg_format_version,
+        write_iceberg_table,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = query_tmp("icev3dv", sf_dir)
+    write_iceberg_table(c.repartition(4), path)
+    upgrade_iceberg_format_version(path)
+    delete_iceberg_rows_dv(spark, path, "c_custkey % 7 = 0")
+    delete_iceberg_rows_dv(spark, path, "c_custkey % 11 = 3")
+    back = read_iceberg_table(spark, path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_alive"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "bal_cents"
+        ),
+        F.min("c_custkey").alias("min_key"),
+    )

@@ -71,10 +71,12 @@ def test_iceberg_reader_format_guard(spark, tmp_path):
     meta_file = meta_dir / hint
     metadata = _json.loads(meta_file.read_text())
 
-    # a foreign writer upgrades the table to format-version 3
-    v3 = dict(metadata, **{"format-version": 3})
-    meta_file.write_text(_json.dumps(v3))
-    with pytest.raises(IcebergFormatError, match="format-version 3"):
+    # a foreign writer upgrades the table past the implemented version
+    # (v3 READS since round 9 — tests/test_iceberg_v3.py — so the
+    # forward-compat guard now bites at 4)
+    v4 = dict(metadata, **{"format-version": 4})
+    meta_file.write_text(_json.dumps(v4))
+    with pytest.raises(IcebergFormatError, match="format-version 4"):
         read_iceberg_table(spark, path)
     meta_file.write_text(_json.dumps(metadata))  # restore
 

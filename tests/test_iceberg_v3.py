@@ -1,0 +1,175 @@
+"""Iceberg format-version 3: Puffin deletion vectors (read + DV-DELETE
+write) and the deliberate v3 write refusals (row lineage untaken).
+
+Spec sources: Iceberg format spec v3 'Deletion Vectors' (manifest fields
+143-145, one live DV per data file) and the Puffin spec
+(deletion-vector-v1 blob: BE length, D1 D3 39 64 magic, portable
+roaring64 vector, BE CRC-32). The blob's magic+vector is byte-identical
+to Delta's RoaringBitmapArray serialization — shared codec, cross-tested.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from evolution_spark.io.iceberg_meta import (
+    IcebergFormatError,
+    append_deletion_vectors,
+    append_iceberg_snapshot,
+    append_position_deletes,
+    delete_iceberg_rows_dv,
+    read_iceberg_table,
+    upgrade_iceberg_format_version,
+    write_iceberg_table,
+)
+from evolution_spark.io.puffin import (
+    PuffinFormatError,
+    read_puffin_dv,
+    read_puffin_footer,
+    write_puffin_dv_file,
+)
+
+
+def _df(spark, n=30):
+    return spark.range(n).select(
+        F.col("id"), (F.col("id") % 3).alias("g"), (F.col("id") * 2.5).alias("v")
+    )
+
+
+# --- puffin codec ---------------------------------------------------------
+
+
+def test_puffin_dv_roundtrip(tmp_path):
+    p = tmp_path / "dv.puffin"
+    dvs = {"data/a.parquet": [0, 5, 17, 2**33], "data/b.parquet": [3]}
+    placements = write_puffin_dv_file(p, dvs, snapshot_id=7, sequence_number=2)
+    assert [pl["referenced_data_file"] for pl in placements] == sorted(dvs)
+    for pl in placements:
+        got = read_puffin_dv(p, pl["content_offset"], pl["content_size_in_bytes"])
+        want = np.array(sorted(dvs[pl["referenced_data_file"]]), dtype=np.int64)
+        assert (got == want).all()
+        assert pl["cardinality"] == len(want)
+    footer = read_puffin_footer(p)
+    assert [b["type"] for b in footer["blobs"]] == ["deletion-vector-v1"] * 2
+    assert footer["blobs"][0]["properties"]["referenced-data-file"] == "data/a.parquet"
+
+
+def test_puffin_crc_validation(tmp_path):
+    p = tmp_path / "dv.puffin"
+    (pl,) = write_puffin_dv_file(p, {"f": [1, 2, 3]}, 1, 1)
+    raw = bytearray(p.read_bytes())
+    raw[pl["content_offset"] + 9] ^= 0xFF  # flip a vector byte
+    p.write_bytes(bytes(raw))
+    with pytest.raises((PuffinFormatError, ValueError)):
+        read_puffin_dv(p, pl["content_offset"], pl["content_size_in_bytes"])
+
+
+def test_puffin_footer_magic_guard(tmp_path):
+    p = tmp_path / "junk.puffin"
+    p.write_bytes(b"NOTPUFFIN")
+    with pytest.raises(PuffinFormatError, match="magic"):
+        read_puffin_footer(p)
+
+
+# --- v3 lifecycle ----------------------------------------------------------
+
+
+def test_upgrade_is_idempotent_and_read_survives(spark, tmp_path):
+    t = str(tmp_path / "v3up")
+    write_iceberg_table(_df(spark), t)
+    r1 = upgrade_iceberg_format_version(t)
+    assert r1["format-version"] == 3
+    r2 = upgrade_iceberg_format_version(t)
+    assert r2 == {"format-version": 3, "note": "already v3"}
+    assert read_iceberg_table(spark, t).count() == 30
+
+
+def test_dv_delete_and_merge_supersede(spark, tmp_path):
+    t = str(tmp_path / "v3dv")
+    write_iceberg_table(_df(spark).repartition(3), t)
+    upgrade_iceberg_format_version(t)
+    delete_iceberg_rows_dv(spark, t, "id % 5 = 0")
+    got1 = {r.id for r in read_iceberg_table(spark, t).select("id").collect()}
+    assert got1 == {i for i in range(30) if i % 5 != 0}
+    # second delete: merged vectors, superseded manifests — never resurrect
+    delete_iceberg_rows_dv(spark, t, "id % 7 = 1")
+    got2 = {r.id for r in read_iceberg_table(spark, t).select("id").collect()}
+    assert got2 == {i for i in range(30) if i % 5 != 0 and i % 7 != 1}
+    # one-live-DV-per-file invariant: every delete manifest in the current
+    # list is the latest commit's
+    import json
+    from pathlib import Path
+
+    from evolution_spark.io.iceberg_meta import _read_avro
+
+    meta_dir = Path(t) / "metadata"
+    hint = (meta_dir / "version-hint.text").read_text().strip()
+    metadata = json.loads((meta_dir / hint).read_text())
+    snap = next(s for s in metadata["snapshots"]
+                if s["snapshot-id"] == metadata["current-snapshot-id"])
+    del_manifests = [m for m in _read_avro(Path(snap["manifest-list"]))
+                     if int(m.get("content") or 0) == 1]
+    assert len(del_manifests) == 1
+    refs = [e["data_file"]["referenced_data_file"]
+            for e in _read_avro(Path(del_manifests[0]["manifest_path"]))]
+    assert len(refs) == len(set(refs))  # at most one DV per data file
+
+
+def test_v3_time_travel_to_pre_delete_snapshot(spark, tmp_path):
+    t = str(tmp_path / "v3tt")
+    write_iceberg_table(_df(spark), t)
+    upgrade_iceberg_format_version(t)
+    import json
+    from pathlib import Path
+
+    meta_dir = Path(t) / "metadata"
+    hint = (meta_dir / "version-hint.text").read_text().strip()
+    pre = json.loads((meta_dir / hint).read_text())["current-snapshot-id"]
+    delete_iceberg_rows_dv(spark, t, "id < 10")
+    assert read_iceberg_table(spark, t).count() == 20
+    assert read_iceberg_table(spark, t, snapshot_id=pre).count() == 30
+
+
+def test_v3_non_dv_writes_refuse(spark, tmp_path):
+    t = str(tmp_path / "v3guard")
+    write_iceberg_table(_df(spark), t)
+    upgrade_iceberg_format_version(t)
+    with pytest.raises(IcebergFormatError, match="deletion-vector"):
+        append_iceberg_snapshot(_df(spark, 3), t)
+    with pytest.raises(IcebergFormatError, match="deletion-vector"):
+        append_position_deletes(t, [("x", 0)])
+
+
+def test_dv_on_v2_table_refuses(spark, tmp_path):
+    t = str(tmp_path / "v2nope")
+    write_iceberg_table(_df(spark), t)
+    with pytest.raises(IcebergFormatError, match="format-version 3"):
+        append_deletion_vectors(t, [("x", 0)])
+
+
+def test_dv_refuses_to_supersede_foreign_parquet_deletes(spark, tmp_path):
+    """A v3 table carrying a non-DV delete file (foreign/hand-built) must
+    refuse DV commits — superseding state we can't merge resurrects rows."""
+    from evolution_spark.io.iceberg_meta import delete_iceberg_rows
+
+    t = str(tmp_path / "mixed")
+    write_iceberg_table(_df(spark).repartition(2), t)
+    delete_iceberg_rows(spark, t, "id = 1")  # v2 parquet position delete
+    upgrade_iceberg_format_version(t)
+    with pytest.raises(IcebergFormatError, match="non-DV delete"):
+        delete_iceberg_rows_dv(spark, t, "id = 2")
+
+
+def test_v3_format_version_4_still_refuses(spark, tmp_path):
+    import json
+    from pathlib import Path
+
+    t = str(tmp_path / "v4")
+    write_iceberg_table(_df(spark), t)
+    meta_dir = Path(t) / "metadata"
+    hint = (meta_dir / "version-hint.text").read_text().strip()
+    m = json.loads((meta_dir / hint).read_text())
+    m["format-version"] = 4
+    (meta_dir / hint).write_text(json.dumps(m))
+    with pytest.raises(IcebergFormatError, match="format-version 4"):
+        read_iceberg_table(spark, t).collect()
