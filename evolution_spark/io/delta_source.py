@@ -565,21 +565,48 @@ class _StreamReader(DataSourceStreamReader):
                 "from a fresh checkpoint to re-snapshot the table"
             )
         pinned_fields = json.loads(self.schema_json).get("fields")
-        out = []
+        # schema-evolution guard, restart-aware: a RESTARTED stream's
+        # window may hold several evolution commits (mapping upgrade,
+        # RENAME, ADD COLUMN) that happened while it was down. Those are
+        # safe exactly when (a) each schema-changing commit is
+        # METADATA-ONLY (no rows to emit under an interim schema) and
+        # (b) the window's LAST metaData equals the pinned schema (the
+        # reader pinned the post-evolution shape at construction) —
+        # intervening data commits then resolve per file (mapping renames
+        # by physicalName, added columns as nulls). A schema change the
+        # window does NOT converge from means evolution happened while
+        # the query was RUNNING: fail loudly like the real Delta source.
+        parsed: dict[int, list] = {}
+        last_fields = None
+        offending = []
         for v in present:
             acts = [json.loads(l) for l in
                     (log_dir / f"{v:020d}.json").read_text().splitlines()]
+            parsed[v] = acts
             for a in acts:
                 md = a.get("metaData")
-                if md and json.loads(md["schemaString"]).get("fields") != pinned_fields:
-                    # the reader pinned the schema at stream start; later
-                    # files would be silently projected down to it —
-                    # fail loudly like the real Delta source
-                    raise RuntimeError(
-                        f"commit {v} changes the table schema mid-stream; "
-                        "the running query pinned the schema at start — "
-                        "restart the stream to pick up the new schema"
+                if not md:
+                    continue
+                last_fields = json.loads(md["schemaString"]).get("fields")
+                if last_fields != pinned_fields:
+                    row_bearing = any(
+                        ("add" in x and x["add"].get("dataChange", True))
+                        or "cdc" in x
+                        for x in acts
                     )
+                    offending.append((v, row_bearing))
+        if offending and (
+            any(rb for _, rb in offending) or last_fields != pinned_fields
+        ):
+            v = offending[0][0]
+            raise RuntimeError(
+                f"commit {v} changes the table schema mid-stream; "
+                "the running query pinned the schema at start — "
+                "restart the stream to pick up the new schema"
+            )
+        out = []
+        for v in present:
+            acts = parsed[v]
             adds = [a["add"] for a in acts
                     if "add" in a and a["add"].get("dataChange", True)]
             removes = [a for a in acts

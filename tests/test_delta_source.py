@@ -1002,3 +1002,90 @@ def test_streaming_change_feed_requires_sidecars(registered, tmp_path):
             {"version": 0, "snapshot_done": True},
             {"version": 1, "snapshot_done": True},
         )
+
+
+def test_cdf_stream_checkpoint_restart_across_schema_evolution(
+    registered, tmp_path
+):
+    """Round-9 composition of the r08 proofs: a CHECKPOINTED readChangeFeed
+    stream (file sink — memory sinks can't recover checkpoints) stopped
+    before an in-history RENAME + ADD COLUMN + DML, then RESTARTED with the
+    same checkpoint. The fresh reader pins the evolved schema, resumes from
+    the committed offset, and the post-evolution changes (update pre/post
+    images from CDF sidecars under RENAMED physical names, the append's
+    inserts) arrive exactly once with exact values."""
+    from pyspark.sql import types as T
+
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        evolve_delta_schema,
+        rename_delta_column,
+        update_delta_rows,
+        upgrade_delta_to_column_mapping,
+        write_delta_snapshot,
+    )
+
+    spark = registered
+    path = str(tmp_path / "cdfevosrc")
+    sink = str(tmp_path / "cdfevosink")
+    ckpt = str(tmp_path / "cdfevockpt")
+    write_delta_snapshot(
+        spark.range(4).select(F.col("id").alias("k"),
+                              (F.col("id") * 10).alias("v")),
+        path, configuration={"delta.enableChangeDataFeed": "true"},
+    )
+
+    q = (
+        spark.readStream.format("evolution_delta")
+        .option("readChangeFeed", "true")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(sink)
+    assert sorted(r.k for r in first.collect()) == [0, 1, 2, 3]
+    assert {r._change_type for r in first.collect()} == {"insert"}
+
+    # in-history evolution while the stream is DOWN: mapping upgrade (v1),
+    # RENAME v->val (v2), ADD COLUMN w (v3), UPDATE with sidecars (v4),
+    # append under the evolved schema (v5)
+    upgrade_delta_to_column_mapping(path)
+    rename_delta_column(path, "v", "val")
+    evolve_delta_schema(path, [("w", T.DoubleType())])
+    update_delta_rows(spark, path, "k = 2", {"val": "val + 1"})
+    commit_delta(
+        spark.createDataFrame([(9, 90, 4.5)], "k long, val long, w double"),
+        path, mode="append",
+    )
+
+    q2 = (
+        spark.readStream.format("evolution_delta")
+        .option("readChangeFeed", "true")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    # explicit all-nullable schema: the sink holds two generations
+    # (pre-rename files carry v, post-rename val/w) and parquet's schema
+    # merge would mark the generation-specific columns required
+    back = spark.read.schema(
+        "k long, v long, val long, w double, "
+        "_change_type string, _commit_version long"
+    ).parquet(sink)
+    changes = sorted(
+        (r._commit_version, r._change_type, r.k, r.val, r.w)
+        for r in back.collect() if r._commit_version >= 4
+    )
+    assert changes == [
+        (4, "update_postimage", 2, 21, None),
+        (4, "update_preimage", 2, 20, None),
+        (5, "insert", 9, 90, 4.5),
+    ]
+    # exactly-once: restart re-delivered nothing from the snapshot batch
+    assert back.where(F.col("_commit_version") < 4).count() == 4
