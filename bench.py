@@ -191,6 +191,13 @@ BENCH_QUERIES = [
     "delta_history_audit",
     "iceberg_snapshots_audit",
     "delta_nested_rename_lifecycle",
+    # batch-18: round-9 foreign-feature closure (timestampNtz + v2Checkpoint
+    # read, nested mapping on the DataSource path, legacy invariants
+    # enforcement, Iceberg v3 Puffin deletion vectors)
+    "delta_foreign_features_read",
+    "delta_source_nested_mapping_read",
+    "delta_invariants_enforced",
+    "iceberg_v3_dv_read",
 ]
 
 

@@ -470,6 +470,22 @@ def _replay_log(
     target = versions[-1] if version is None else version
     if target not in versions:
         raise ValueError(f"version {target} not in log (have {versions})")
+    # truncated logs (retention removed pre-checkpoint commits): a raw
+    # JSON replay from the surviving files would SILENTLY reconstruct a
+    # partial live set — resolve through the checkpoint when it covers
+    # the target, refuse when the target predates it (that state is gone)
+    if versions[0] != 0:
+        result = read_checkpoint_state(
+            str(table_dir), return_state=return_state, version=target
+        )
+        if result is not None:
+            return result
+        raise RuntimeError(
+            f"version {target} is not reconstructible: commits 0.."
+            f"{versions[0] - 1} were removed by log retention and no "
+            "checkpoint at or before it survives — refusing a silently "
+            "partial snapshot"
+        )
     live: dict[str, dict] = {}
     state: dict = {}
     for v in versions:
@@ -2008,7 +2024,7 @@ def _cdf_protocol_upgrade(proto: dict) -> dict | None:
     feats_w = set(proto.get("writerFeatures") or [])
     if v_w >= 7 and "changeDataFeed" in feats_w:
         return None
-    legacy_w = {"appendOnly", "invariants"} if v_w >= 2 and v_w < 7 else set()
+    legacy_w = _legacy_writer_features(v_w)
     out = dict(proto)
     out["minWriterVersion"] = 7
     out["writerFeatures"] = sorted(feats_w | legacy_w | {"changeDataFeed"})
@@ -2025,7 +2041,7 @@ def _dv_protocol_upgrade(proto: dict) -> dict | None:
     if v_r >= 3 and v_w >= 7 and "deletionVectors" in feats_r:
         return None
     # v3/v7 feature lists must name every active legacy feature too
-    legacy_w = {"appendOnly", "invariants"} if v_w >= 2 else set()
+    legacy_w = _legacy_writer_features(v_w)
     return {"protocol": {
         "minReaderVersion": 3,
         "minWriterVersion": 7,
@@ -2034,19 +2050,43 @@ def _dv_protocol_upgrade(proto: dict) -> dict | None:
     }}
 
 
-def _schema_has_ntz(schema_json: object) -> bool:
-    """True when a Delta schema (parsed JSON) carries ``timestamp_ntz`` at
-    any nesting depth — the trigger for the spec's timestampNtz
-    feature-activation rule (PROTOCOL.md 'Clock/session independent
-    timestamps': a schema containing the type obliges the protocol to
-    declare the feature in BOTH readerFeatures and writerFeatures)."""
-    if isinstance(schema_json, str):
-        return schema_json == "timestamp_ntz"
-    if isinstance(schema_json, dict):
-        return any(_schema_has_ntz(v) for v in schema_json.values())
-    if isinstance(schema_json, list):
-        return any(_schema_has_ntz(v) for v in schema_json)
-    return False
+def _legacy_writer_features(v_w: int) -> set[str]:
+    """The spec's legacy writer-version -> feature mapping, applied when a
+    pre-v7 protocol upgrades to v7 feature lists: every obligation the old
+    version number implied must be carried as an explicit feature, or a
+    spec-conformant v7 writer would stop honoring it (e.g. dropping
+    checkConstraints lets foreign writers commit violating rows)."""
+    out: set[str] = set()
+    if 2 <= v_w < 7:
+        out |= {"appendOnly", "invariants"}
+    if 3 <= v_w < 7:
+        out |= {"checkConstraints"}
+    return out
+
+
+def _schema_has_ntz(schema_json: dict) -> bool:
+    """True when a Delta schema (parsed JSON) carries ``timestamp_ntz`` in
+    a TYPE position at any nesting depth — the trigger for the spec's
+    timestampNtz feature-activation rule (PROTOCOL.md 'Clock/session
+    independent timestamps': a schema containing the type obliges the
+    protocol to declare the feature in BOTH readerFeatures and
+    writerFeatures). Walks types only — a field NAMED 'timestamp_ntz' or
+    the string appearing in metadata/comments must not force a protocol
+    upgrade that locks out v1 readers."""
+    def type_has(t) -> bool:
+        if isinstance(t, str):
+            return t == "timestamp_ntz"
+        if isinstance(t, dict):
+            kind = t.get("type")
+            if kind == "struct":
+                return any(type_has(f.get("type")) for f in t.get("fields", []))
+            if kind == "array":
+                return type_has(t.get("elementType"))
+            if kind == "map":
+                return type_has(t.get("keyType")) or type_has(t.get("valueType"))
+        return False
+
+    return any(type_has(f.get("type")) for f in schema_json.get("fields", []))
 
 
 def _ntz_protocol_upgrade(proto: dict, schema_string: str) -> dict | None:
@@ -2063,7 +2103,7 @@ def _ntz_protocol_upgrade(proto: dict, schema_string: str) -> dict | None:
     feats_w = set(proto.get("writerFeatures") or [])
     if v_r >= 3 and v_w >= 7 and "timestampNtz" in feats_r:
         return None
-    legacy_w = {"appendOnly", "invariants"} if v_w >= 2 else set()
+    legacy_w = _legacy_writer_features(v_w)
     legacy_r = {"columnMapping"} if v_r == 2 else set()
     return {"protocol": {
         "minReaderVersion": 3,
@@ -2102,7 +2142,7 @@ def upgrade_delta_features(
     if v_r >= 3 and v_w >= 7 and want_r <= feats_r and want_w <= feats_w:
         return {"version": None, "note": "features already declared"}
     # v3/v7 feature lists must carry every active legacy feature forward
-    legacy_w = {"appendOnly", "invariants"} if 2 <= v_w < 7 else set()
+    legacy_w = _legacy_writer_features(v_w)
     legacy_r = {"columnMapping"} if v_r == 2 else set()
     new_proto = {
         "minReaderVersion": 3,
@@ -2877,11 +2917,51 @@ def checkpoint_delta(
             "sidecars": [r["path"] for r in sidecar_rows]}
 
 
-def read_checkpoint_state(path: str, return_state: bool = False):
+def _resolve_checkpoint_file(log_dir: Path, ckpt_version: int) -> Path:
+    """The checkpoint file for ``ckpt_version``: classic
+    ``<v>.checkpoint.parquet``, else the UUID-named V2 manifest in parquet
+    or (spec-legal) JSON form — concurrent checkpointers never collide on
+    UUID names, so listing is the resolution path."""
+    ckpt = log_dir / f"{ckpt_version:020d}.checkpoint.parquet"
+    if ckpt.exists():
+        return ckpt
+    candidates = sorted(
+        list(log_dir.glob(f"{ckpt_version:020d}.checkpoint.*.parquet"))
+        + list(log_dir.glob(f"{ckpt_version:020d}.checkpoint.*.json"))
+    )
+    if not candidates:
+        raise FileNotFoundError(
+            f"_last_checkpoint points at version {ckpt_version} but no "
+            f"checkpoint file exists in {log_dir}"
+        )
+    return candidates[-1]
+
+
+def _checkpoint_rows(ckpt: Path) -> list[dict]:
+    """Checkpoint manifest rows as dicts — parquet (sparse action columns)
+    or the JSON V2 manifest form (one action object per line; map-typed
+    fields arrive as dicts, which the same ``dict(...)`` normalization
+    accepts)."""
+    if ckpt.suffix == ".json":
+        return [json.loads(ln) for ln in ckpt.read_text().splitlines() if ln]
+    import pyarrow.parquet as papq
+
+    return papq.read_table(ckpt).to_pylist()
+
+
+def read_checkpoint_state(
+    path: str, return_state: bool = False, version: int | None = None
+):
     """Reconstruct (live adds, schemaString, partitionColumns, version
     [, replay state]) from the newest checkpoint + the JSON commits after
     it. Returns None when no checkpoint exists (callers fall back to the
-    full JSON replay)."""
+    full JSON replay). ``version`` caps the replay for TIME TRAVEL on
+    log-truncated tables: commits in (ckpt, version] fold, later ones
+    don't; a target OLDER than the checkpoint returns None (the caller
+    must then either find the JSON chain or fail — the state is gone).
+    The returned state carries txns and remove tombstones too, so
+    ``checkpoint_delta`` can re-checkpoint a truncated table without
+    silently dropping exactly-once markers or retention state."""
     import pyarrow.parquet as papq
 
     table_dir = Path(path)
@@ -2890,24 +2970,18 @@ def read_checkpoint_state(path: str, return_state: bool = False):
     if not pointer.exists():
         return None
     ckpt_version = json.loads(pointer.read_text())["version"]
-    ckpt = log_dir / f"{ckpt_version:020d}.checkpoint.parquet"
-    if not ckpt.exists():
-        # V2 checkpoints are UUID-named (<v>.checkpoint.<uuid>.parquet) so
-        # concurrent checkpointers never collide; resolve by listing
-        candidates = sorted(log_dir.glob(f"{ckpt_version:020d}.checkpoint.*.parquet"))
-        if not candidates:
-            raise FileNotFoundError(
-                f"_last_checkpoint points at version {ckpt_version} but no "
-                f"checkpoint file exists in {log_dir}"
-            )
-        ckpt = candidates[-1]
-    t = papq.read_table(ckpt).to_pylist()
+    if version is not None and version < ckpt_version:
+        return None
+    ckpt = _resolve_checkpoint_file(log_dir, ckpt_version)
+    t = _checkpoint_rows(ckpt)
     live: dict[str, dict] = {}
     schema_string = None
     part_cols: list[str] = []
     protocol = None
     metadata = None
     sidecars: list[str] = []
+    txns: dict[str, int] = {}
+    tombstones: dict[str, dict] = {}
 
     def fold_file_action(row: dict) -> bool:
         if row.get("add"):
@@ -2915,7 +2989,13 @@ def read_checkpoint_state(path: str, return_state: bool = False):
             a["partitionValues"] = dict(a.get("partitionValues") or [])
             live[a["path"]] = a
             return True
-        return bool(row.get("remove"))  # checkpoint tombstones: replay no-op
+        if row.get("remove"):
+            # checkpoint tombstones: no replay effect on the live set, but
+            # they must survive RE-checkpointing (retention contract)
+            r = dict(row["remove"])
+            tombstones[r["path"]] = r
+            return True
+        return False
 
     for row in t:
         if fold_file_action(row):
@@ -2928,6 +3008,10 @@ def read_checkpoint_state(path: str, return_state: bool = False):
             part_cols = list(metadata.get("partitionColumns") or [])
         elif row.get("protocol"):
             protocol = dict(row["protocol"])
+        elif row.get("txn"):
+            tx = row["txn"]
+            txns[tx["appId"]] = max(int(tx["version"]),
+                                    txns.get(tx["appId"], -1))
         elif row.get("checkpointMetadata"):
             cm_v = int(row["checkpointMetadata"]["version"])
             if cm_v != ckpt_version:
@@ -2955,10 +3039,19 @@ def read_checkpoint_state(path: str, return_state: bool = False):
         "part_cols": part_cols,
         "protocol": protocol,
         "metadata": metadata,
+        "txns": txns,
+        "tombstones": tombstones,
     }
-    for v in _log_versions(log_dir):
-        if v <= ckpt_version:
-            continue
+    post = [v for v in _log_versions(log_dir)
+            if v > ckpt_version and (version is None or v <= version)]
+    if version is not None:
+        missing = sorted(set(range(ckpt_version + 1, version + 1)) - set(post))
+        if missing:
+            raise RuntimeError(
+                f"version {version} is not reconstructible: commits "
+                f"{missing} are missing after checkpoint {ckpt_version}"
+            )
+    for v in post:
         for line in (log_dir / f"{v:020d}.json").read_text().splitlines():
             _fold_action(json.loads(line), live, state)
         latest = v
@@ -2991,7 +3084,7 @@ def _cm_protocol_upgrade(proto: dict) -> dict | None:
     feats_w = set(proto.get("writerFeatures") or [])
     if v_r >= 3 and v_w >= 7 and "columnMapping" in feats_r:
         return None
-    legacy_w = {"appendOnly", "invariants"} if v_w >= 2 else set()
+    legacy_w = _legacy_writer_features(v_w)
     return {"protocol": {
         "minReaderVersion": 3,
         "minWriterVersion": 7,
@@ -3487,11 +3580,22 @@ def _schema_invariants(schema_string: str | None) -> dict[str, str]:
         return {}
     out: dict[str, str] = {}
 
-    def walk(fields: list[dict], prefix: str) -> None:
+    def walk(fields: list[dict], prefix: str, in_container: bool) -> None:
         for f in fields:
             path = f"{prefix}{f['name']}"
             raw = (f.get("metadata") or {}).get("delta.invariants")
             if raw:
+                if in_container:
+                    # an invariant on a field INSIDE an array/map element
+                    # has no row-level SQL form here (it quantifies over
+                    # elements) — the pre-round-9 blanket refusal must
+                    # survive for this shape, or the obligation is
+                    # silently skipped
+                    raise DeltaProtocolError(
+                        f"field {path!r} carries delta.invariants inside an "
+                        "array/map element — this writer cannot enforce "
+                        "element-quantified invariants; refusing to write"
+                    )
                 doc = json.loads(raw) if isinstance(raw, str) else raw
                 expr = doc
                 while isinstance(expr, dict):
@@ -3503,11 +3607,21 @@ def _schema_invariants(schema_string: str | None) -> dict[str, str]:
                         "write rather than skipping the obligation"
                     )
                 out[f"invariant({path})"] = expr
-            t = f.get("type")
-            if isinstance(t, dict) and t.get("type") == "struct":
-                walk(t["fields"], f"{path}.")
+            walk_type(f.get("type"), f"{path}.", in_container)
 
-    walk(json.loads(schema_string)["fields"], "")
+    def walk_type(t, prefix: str, in_container: bool) -> None:
+        if not isinstance(t, dict):
+            return
+        kind = t.get("type")
+        if kind == "struct":
+            walk(t["fields"], prefix, in_container)
+        elif kind == "array":
+            walk_type(t.get("elementType"), prefix, True)
+        elif kind == "map":
+            walk_type(t.get("keyType"), prefix, True)
+            walk_type(t.get("valueType"), prefix, True)
+
+    walk(json.loads(schema_string)["fields"], "", False)
     return out
 
 
@@ -3642,7 +3756,7 @@ def add_delta_constraint(spark, path: str, name: str, expr: str) -> dict:
     v_w = int(proto.get("minWriterVersion", 2))
     feats_w = set(proto.get("writerFeatures") or [])
     if not (v_w >= 7 and "checkConstraints" in feats_w) and v_w != 3:
-        legacy_w = {"appendOnly", "invariants"} if v_w >= 2 else set()
+        legacy_w = _legacy_writer_features(v_w)
         actions.append({"protocol": {
             "minReaderVersion": int(proto.get("minReaderVersion", 1)),
             "minWriterVersion": 7,

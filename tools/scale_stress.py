@@ -356,12 +356,100 @@ def ref_ops_stress(spark, tmp: str, reps: int) -> dict:
     return results
 
 
+def cdf_ops_stress(spark, tmp: str, reps: int) -> dict:
+    """Round-9 protocol: the round-8 CDF-sidecar + table_health surface
+    under growth. Per replica level the ORDERS table is replicated Rx
+    into a CDF-enabled Delta table, then timed: a FIXED-SIZE UPDATE (the
+    same 500-key range at every level, so sidecar volume is constant), a
+    level-PROPORTIONAL UPDATE (0.5% of rows), ``table_changes`` over the
+    fixed commit (sidecar read — the claim: cost tracks CHANGED rows, so
+    the line should stay flat while the table grows 30x), and the
+    ``table_health`` advisor (metadata-only, flat). The predicate scans
+    inside UPDATE are table-proportional by nature and reported
+    separately from the change-sized reads."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        table_changes,
+        update_delta_rows,
+        write_delta_snapshot,
+    )
+    from evolution_spark.io.maintenance import table_health
+
+    base = spark.read.parquet(f"{BASE_SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def timed(fn) -> tuple[float, object]:
+        samples, out = [], None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            samples.append(time.perf_counter() - t0)
+        return round(min(samples), 3), out
+
+    results: dict = {"levels": {}}
+    for level in (1, 10, 30):
+        dfs = [
+            base.select(
+                (F.col("o_orderkey") + F.lit(i * ID_STRIDE)).alias("o_orderkey"),
+                (F.col("o_custkey") + F.lit(i * ID_STRIDE)).alias("o_custkey"),
+                "o_totalprice",
+            )
+            for i in range(level)
+        ]
+        big = dfs[0]
+        for d in dfs[1:]:
+            big = big.unionByName(d)
+        big = big.repartition(32).cache()
+        n = big.count()
+        row: dict = {"n_rows": n}
+
+        dpath = f"{tmp}/cdf_{level}"
+        t0 = time.perf_counter()
+        write_delta_snapshot(
+            big, dpath,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        row["write_s"] = round(time.perf_counter() - t0, 3)
+
+        # fixed-size change set: same 500 keys regardless of level
+        t0 = time.perf_counter()
+        res_fixed = update_delta_rows(
+            spark, dpath, "o_orderkey BETWEEN 1 AND 2000",
+            {"o_totalprice": "o_totalprice + 1"},
+        )
+        row["update_fixed_s"] = round(time.perf_counter() - t0, 3)
+        v_fixed = res_fixed["version"]
+
+        # proportional change set: ~0.5% of rows at every level
+        t0 = time.perf_counter()
+        update_delta_rows(
+            spark, dpath, "o_custkey % 200 = 7",
+            {"o_totalprice": "o_totalprice + 1"},
+        )
+        row["update_prop_s"] = round(time.perf_counter() - t0, 3)
+
+        # sidecar read of the FIXED commit only: the flat-line claim
+        row["changes_fixed_s"], ch = timed(
+            lambda: table_changes(spark, dpath, v_fixed, v_fixed)
+            .agg(F.count(F.lit(1))).collect()
+        )
+        row["changes_fixed_rows"] = ch[0][0]
+        row["health_s"], health = timed(lambda: table_health(dpath))
+        row["health_files"] = (health or {}).get("n_files")
+        big.unpersist()
+        results["levels"][str(level)] = row
+    return results
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2, help="timed passes (min taken)")
     ap.add_argument(
         "--mode",
-        choices=["cluster-growth", "fixed-cluster", "format-scan", "ref-ops"],
+        choices=["cluster-growth", "fixed-cluster", "format-scan", "ref-ops",
+                 "cdf-ops"],
         default="cluster-growth",
         help="cluster-growth: every replica near-dups every other (planted "
         "pairs grow C(R,2)); fixed-cluster: near-dups only within buckets "
@@ -406,6 +494,12 @@ def main() -> int:
             return 0
         if args.mode == "ref-ops":
             out["ref_ops"] = ref_ops_stress(spark, tmp, args.reps)
+            sys.stdout.write("\n" + json.dumps(out) + "\n")
+            sys.stdout.flush()
+            spark.stop()
+            return 0
+        if args.mode == "cdf-ops":
+            out["cdf_ops"] = cdf_ops_stress(spark, tmp, args.reps)
             sys.stdout.write("\n" + json.dumps(out) + "\n")
             sys.stdout.flush()
             spark.stop()
