@@ -514,16 +514,17 @@ def last_txn_version(path: str, app_id: str) -> int | None:
     after = -1
     pointer = log_dir / "_last_checkpoint"
     if pointer.exists():
-        import pyarrow.parquet as papq
-
-        after = json.loads(pointer.read_text())["version"]
-        ckpt = papq.read_table(
-            log_dir / f"{after:020d}.checkpoint.parquet", columns=["txn"]
-        ).to_pylist()
-        for row in ckpt:
-            t = row.get("txn")
-            if t and t["appId"] == app_id:
-                best = t["version"] if best is None else max(best, t["version"])
+        ptr = json.loads(pointer.read_text())
+        after = ptr["version"]
+        # classic single/multi-part or V2 manifest — txn rows live in the
+        # manifest parts (V2 sidecars carry only file actions, spec §V2)
+        for part in _resolve_checkpoint_files(log_dir, after,
+                                              parts=ptr.get("parts")):
+            for row in _checkpoint_rows(part):
+                t = row.get("txn")
+                if t and t["appId"] == app_id:
+                    best = (t["version"] if best is None
+                            else max(best, t["version"]))
     state: dict = {}
     for v in _log_versions(log_dir):
         if v <= after:
@@ -2144,12 +2145,26 @@ def upgrade_delta_features(
     # v3/v7 feature lists must carry every active legacy feature forward
     legacy_w = _legacy_writer_features(v_w)
     legacy_r = {"columnMapping"} if v_r == 2 else set()
-    new_proto = {
-        "minReaderVersion": 3,
-        "minWriterVersion": 7,
-        "readerFeatures": sorted(feats_r | legacy_r | want_r),
-        "writerFeatures": sorted(feats_w | legacy_w | want_w),
-    }
+    # reader-side obligations: explicit reader requests, plus any requested
+    # writer feature that is ALSO a reader feature per the spec (e.g.
+    # deletionVectors). Writer-ONLY features (appendOnly, changeDataFeed,
+    # checkConstraints, ...) must NOT raise minReaderVersion — the spec
+    # allows minReaderVersion 1 with minWriterVersion 7, and locking
+    # feature-less readers out needlessly strands them (ADVICE r09 low).
+    needed_r = want_r | (want_w & SUPPORTED_READER_FEATURES)
+    if needed_r or v_r >= 3:
+        new_proto = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(feats_r | legacy_r | needed_r),
+            "writerFeatures": sorted(feats_w | legacy_w | want_w | needed_r),
+        }
+    else:
+        new_proto = {
+            "minReaderVersion": v_r,
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(feats_w | legacy_w | want_w),
+        }
     now_ms = int(time.time() * 1000)
     actions = [
         {"commitInfo": {"timestamp": now_ms, "operation": "UPGRADE PROTOCOL",
@@ -2917,24 +2932,66 @@ def checkpoint_delta(
             "sidecars": [r["path"] for r in sidecar_rows]}
 
 
-def _resolve_checkpoint_file(log_dir: Path, ckpt_version: int) -> Path:
-    """The checkpoint file for ``ckpt_version``: classic
-    ``<v>.checkpoint.parquet``, else the UUID-named V2 manifest in parquet
-    or (spec-legal) JSON form — concurrent checkpointers never collide on
-    UUID names, so listing is the resolution path."""
+def _resolve_checkpoint_files(
+    log_dir: Path, ckpt_version: int, parts: int | None = None
+) -> list[Path]:
+    """The checkpoint file(s) for ``ckpt_version``: classic
+    ``<v>.checkpoint.parquet`` (one file), classic MULTI-PART
+    ``<v>.checkpoint.<part>.<parts>.parquet`` (ALL parts, in order — a
+    partial read would silently reconstruct a partial live set), else the
+    UUID-named V2 manifest in parquet or (spec-legal) JSON form —
+    concurrent checkpointers never collide on UUID names, so listing is
+    the resolution path. ``parts`` is the _last_checkpoint pointer's part
+    count when present; it pins which multi-part set must be complete."""
     ckpt = log_dir / f"{ckpt_version:020d}.checkpoint.parquet"
-    if ckpt.exists():
-        return ckpt
+    if ckpt.exists() and parts is None:
+        return [ckpt]
     candidates = sorted(
         list(log_dir.glob(f"{ckpt_version:020d}.checkpoint.*.parquet"))
         + list(log_dir.glob(f"{ckpt_version:020d}.checkpoint.*.json"))
     )
-    if not candidates:
+    # split multi-part (middle segments '<part>.<parts>', both numeric)
+    # from V2 UUID manifests (one non-numeric middle segment)
+    multipart: dict[int, dict[int, Path]] = {}
+    v2_manifests: list[Path] = []
+    for c in candidates:
+        mid = c.name[len(f"{ckpt_version:020d}.checkpoint."):-len(c.suffix)]
+        segs = mid.split(".")
+        if len(segs) == 2 and all(s.isdigit() for s in segs):
+            multipart.setdefault(int(segs[1]), {})[int(segs[0])] = c
+        else:
+            v2_manifests.append(c)
+    complete = None
+    for n in sorted(multipart, reverse=True):
+        if parts is not None and n != parts:
+            continue
+        have = multipart[n]
+        if set(have) == set(range(1, n + 1)):
+            complete = [have[i] for i in range(1, n + 1)]
+            break
+    if complete is not None:
+        return complete
+    if parts is not None:
         raise FileNotFoundError(
-            f"_last_checkpoint points at version {ckpt_version} but no "
-            f"checkpoint file exists in {log_dir}"
+            f"_last_checkpoint declares a {parts}-part checkpoint for "
+            f"version {ckpt_version} but no complete part set exists in "
+            f"{log_dir} (found parts "
+            f"{ {n: sorted(p) for n, p in multipart.items()} }) — refusing "
+            "a partial state reconstruction"
         )
-    return candidates[-1]
+    if v2_manifests:
+        return [v2_manifests[-1]]
+    if multipart:
+        raise FileNotFoundError(
+            f"multi-part checkpoint for version {ckpt_version} is "
+            f"incomplete in {log_dir} (found parts "
+            f"{ {n: sorted(p) for n, p in multipart.items()} }) — refusing "
+            "a partial state reconstruction"
+        )
+    raise FileNotFoundError(
+        f"_last_checkpoint points at version {ckpt_version} but no "
+        f"checkpoint file exists in {log_dir}"
+    )
 
 
 def _checkpoint_rows(ckpt: Path) -> list[dict]:
@@ -2969,11 +3026,15 @@ def read_checkpoint_state(
     pointer = log_dir / "_last_checkpoint"
     if not pointer.exists():
         return None
-    ckpt_version = json.loads(pointer.read_text())["version"]
+    ptr = json.loads(pointer.read_text())
+    ckpt_version = ptr["version"]
     if version is not None and version < ckpt_version:
         return None
-    ckpt = _resolve_checkpoint_file(log_dir, ckpt_version)
-    t = _checkpoint_rows(ckpt)
+    ckpt_parts = _resolve_checkpoint_files(
+        log_dir, ckpt_version, parts=ptr.get("parts")
+    )
+    ckpt = ckpt_parts[0]
+    t = [row for p in ckpt_parts for row in _checkpoint_rows(p)]
     live: dict[str, dict] = {}
     schema_string = None
     part_cols: list[str] = []

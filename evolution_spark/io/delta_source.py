@@ -855,7 +855,11 @@ def _commit_shards(
             "carry no hive partition layout); write partitioned data with "
             "commit_delta"
         )
-    from evolution_spark.io.delta_log import _table_constraints, mapping_renames
+    from evolution_spark.io.delta_log import (
+        _schema_invariants,
+        _table_constraints,
+        mapping_renames,
+    )
 
     config = dict((state.get("metadata") or {}).get("configuration") or {})
     constraints = _table_constraints(config)
@@ -865,6 +869,18 @@ def _commit_shards(
         # validated here, and committing unvalidated rows would break it
         raise RuntimeError(
             f"table declares CHECK constraints {sorted(constraints)}; the "
+            "evolution_delta sink cannot validate them — append with "
+            "commit_delta instead"
+        )
+    invariants = _schema_invariants(schema_string)
+    if invariants:
+        # legacy per-field delta.invariants carry the same row-level
+        # obligation as CHECK constraints (ADVICE r09 medium): the sink is
+        # a row-adding path and has no SparkSession to validate with, so
+        # committing here would silently break a writer-v2 table's
+        # invariants
+        raise RuntimeError(
+            f"table declares column invariants {sorted(invariants)}; the "
             "evolution_delta sink cannot validate them — append with "
             "commit_delta instead"
         )

@@ -1280,17 +1280,19 @@ def test_delta_reader_protocol_guard(spark, tmp_path):
     assert read_delta_snapshot(spark, path).count() == 10
 
     # the guard also runs on the checkpoint path: checkpoint BEFORE the
-    # upgrade, upgrade after it -> the resolved protocol still refuses
+    # upgrade, upgrade after it -> the resolved protocol still refuses.
+    # (v2Checkpoint became a SUPPORTED reader feature in round 9, so the
+    # unsupported example here is typeWidening, which remains refused.)
     (log / f"{1:020d}.json").unlink()
     checkpoint_delta(path)
     (log / f"{1:020d}.json").write_text(
         _json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["v2Checkpoint"],
-            "writerFeatures": ["v2Checkpoint"],
+            "readerFeatures": ["typeWidening"],
+            "writerFeatures": ["typeWidening"],
         }}) + "\n"
     )
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
         read_delta_snapshot(spark, path)
 
 
@@ -1574,7 +1576,10 @@ def test_delta_writer_v2_obligations(spark, tmp_path):
     with pytest.raises(DeltaProtocolError, match="appendOnly"):
         commit_delta(df, path, mode="overwrite")
 
-    # a schema carrying invariants is refused
+    # a schema carrying invariants is ENFORCED (round 9, d84d225): a
+    # commit whose rows all satisfy the invariant succeeds; a violating
+    # commit aborts naming the invariant and the offending row, and
+    # publishes no version.
     path2 = str(tmp_path / "invariants")
     write_delta_snapshot(df, path2)
     log2 = pathlib.Path(path2) / "_delta_log"
@@ -1586,8 +1591,13 @@ def test_delta_writer_v2_obligations(spark, tmp_path):
     }
     meta2["metaData"]["schemaString"] = _json.dumps(sch)
     (log2 / f"{1:020d}.json").write_text(_json.dumps(meta2) + "\n")
-    with pytest.raises(DeltaProtocolError, match="invariants"):
-        commit_delta(df.where("k < 2"), path2, mode="append")
+    from evolution_spark.io.delta_log import read_delta_snapshot
+    commit_delta(df.where("k >= 1 and k < 3"), path2, mode="append")
+    assert read_delta_snapshot(spark, path2).count() == 12
+    with pytest.raises(DeltaProtocolError,
+                       match=r"column invariant 'invariant\(k\)'"):
+        commit_delta(df.where("k < 2"), path2, mode="append")  # k=0 violates
+    assert read_delta_snapshot(spark, path2).count() == 12  # nothing published
 
 
 def test_delta_optimize_zorder_enables_2d_skipping(spark, tmp_path):

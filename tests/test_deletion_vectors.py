@@ -765,18 +765,22 @@ def test_update_composes_with_prior_deletes(spark, tmp_path):
 
 
 def test_update_refuses_invariant_tables(spark, tmp_path):
-    """UPDATE appends rows it cannot validate against delta.invariants —
-    the same refusal commit_delta enforces."""
+    """UPDATE on a table carrying delta.invariants VALIDATES the rewritten
+    rows (round 9, d84d225): a violating update aborts naming the invariant
+    and publishes nothing; a satisfying update commits."""
     import pathlib
 
     from evolution_spark.io.delta_log import (
         DeltaProtocolError,
+        read_delta_snapshot,
         update_delta_rows,
         write_delta_snapshot,
     )
 
     path = str(tmp_path / "upd_inv")
-    write_delta_snapshot(spark.range(5).select(F.col("id").alias("k")), path)
+    write_delta_snapshot(
+        spark.range(1, 6).select(F.col("id").alias("k")), path
+    )
     log = pathlib.Path(path) / "_delta_log"
     v0 = (log / f"{0:020d}.json").read_text().splitlines()
     meta = next(json.loads(l) for l in v0 if "metaData" in l)
@@ -786,8 +790,14 @@ def test_update_refuses_invariant_tables(spark, tmp_path):
     }
     meta["metaData"]["schemaString"] = json.dumps(sch)
     (log / f"{1:020d}.json").write_text(json.dumps(meta) + "\n")
-    with pytest.raises(DeltaProtocolError, match="invariants"):
+    with pytest.raises(DeltaProtocolError,
+                       match=r"column invariant 'invariant\(k\)'"):
         update_delta_rows(spark, path, "k = 1", {"k": "-1"})
+    assert {r.k for r in read_delta_snapshot(spark, path).collect()} == \
+        {1, 2, 3, 4, 5}  # aborted commit published nothing
+    update_delta_rows(spark, path, "k = 1", {"k": "10"})  # satisfies k > 0
+    assert {r.k for r in read_delta_snapshot(spark, path).collect()} == \
+        {10, 2, 3, 4, 5}
 
 
 def test_restore_delta_table_lifecycle(spark, tmp_path):

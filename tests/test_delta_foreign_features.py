@@ -287,3 +287,134 @@ def test_invariant_unparseable_document_refuses(spark, tmp_path):
             spark.range(6, 7).select(F.col("id"), F.lit(9).cast("long").alias("qty")),
             str(t), mode="append",
         )
+
+
+def _split_into_multipart(table_dir, n_parts=2):
+    """Rewrite the classic single-file checkpoint as a foreign writer's
+    MULTI-PART checkpoint (<v>.checkpoint.<part>.<parts>.parquet, spec
+    zero-padding) and point _last_checkpoint at it with 'parts'."""
+    import pyarrow.parquet as papq
+
+    log = table_dir / "_delta_log"
+    ptr = json.loads((log / "_last_checkpoint").read_text())
+    v = ptr["version"]
+    single = log / f"{v:020d}.checkpoint.parquet"
+    t = papq.read_table(single)
+    rows_per = max(1, (t.num_rows + n_parts - 1) // n_parts)
+    names = []
+    for i in range(n_parts):
+        part = t.slice(i * rows_per, rows_per)
+        name = log / (f"{v:020d}.checkpoint.{i + 1:010d}.{n_parts:010d}"
+                      ".parquet")
+        papq.write_table(part, name)
+        names.append(name)
+    single.unlink()
+    ptr["parts"] = n_parts
+    (log / "_last_checkpoint").write_text(json.dumps(ptr))
+    return v, names
+
+
+def test_multipart_checkpoint_reads_all_parts(spark, tmp_path):
+    """A foreign multi-part checkpoint (parts field in _last_checkpoint)
+    must be read in FULL — reading one part silently reconstructs a
+    partial live set (ADVICE r09 high)."""
+    from evolution_spark.io.delta_log import last_txn_version
+
+    t = tmp_path / "mp"
+    write_delta_snapshot(
+        spark.range(0, 8).select(F.col("id")), str(t)
+    )
+    for lo in (8, 16, 24):
+        commit_delta(spark.range(lo, lo + 8).select(F.col("id")),
+                     str(t), mode="append")
+    # a txn marker so last_txn_version also resolves through the parts
+    commit_delta(spark.range(32, 40).select(F.col("id")), str(t),
+                 mode="append", txn=("app-mp", 7))
+    checkpoint_delta(str(t))
+    v, _names = _split_into_multipart(t, n_parts=3)
+    # truncate pre-checkpoint commits: state must come from the parts alone
+    log = t / "_delta_log"
+    for j in range(v + 1):
+        p = log / f"{j:020d}.json"
+        if p.exists():
+            p.unlink()
+    got = {r.id for r in read_delta_snapshot(spark, str(t)).collect()}
+    assert got == set(range(40))
+    assert last_txn_version(str(t), "app-mp") == 7
+
+
+def test_multipart_checkpoint_missing_part_refuses(spark, tmp_path):
+    """An incomplete part set must refuse loudly, never fold a subset."""
+    t = tmp_path / "mp_missing"
+    write_delta_snapshot(spark.range(0, 8).select(F.col("id")), str(t))
+    commit_delta(spark.range(8, 16).select(F.col("id")), str(t),
+                 mode="append")
+    checkpoint_delta(str(t))
+    v, names = _split_into_multipart(t, n_parts=2)
+    names[1].unlink()
+    with pytest.raises(FileNotFoundError, match="partial"):
+        read_delta_snapshot(spark, str(t))
+
+
+def test_upgrade_writer_only_keeps_reader_version(spark, tmp_path):
+    """ALTER-style upgrades with writer-only features must NOT raise
+    minReaderVersion — the spec allows (1, 7), and locking feature-less
+    readers out needlessly strands them (ADVICE r09 low). A dual
+    reader+writer feature DOES raise it, into both feature sets."""
+    t = tmp_path / "up_wonly"
+    write_delta_snapshot(spark.range(5).select("id"), str(t))
+    r = upgrade_delta_features(str(t), writer=["changeDataFeed"])
+    p = r["protocol"]
+    assert p["minReaderVersion"] == 1 and p["minWriterVersion"] == 7
+    assert "readerFeatures" not in p
+    assert "changeDataFeed" in p["writerFeatures"]
+    # legacy v2 obligations carried forward
+    assert {"appendOnly", "invariants"} <= set(p["writerFeatures"])
+
+    # a dual feature raises the reader version and lands in BOTH sets
+    r2 = upgrade_delta_features(str(t), writer=["deletionVectors"])
+    p2 = r2["protocol"]
+    assert p2["minReaderVersion"] == 3
+    assert "deletionVectors" in p2["readerFeatures"]
+    assert "deletionVectors" in p2["writerFeatures"]
+    assert "changeDataFeed" in p2["writerFeatures"]  # earlier grant kept
+    assert read_delta_snapshot(spark, str(t)).count() == 5
+
+
+def test_upgrade_v3_table_carries_check_constraints(spark, tmp_path):
+    """A v3-era protocol (legacy CHECK-constraints obligation) upgraded to
+    v7 must carry checkConstraints in writerFeatures, else a
+    spec-conformant foreign v7 writer could commit violating rows
+    (VERDICT r09 item 4)."""
+    t = tmp_path / "up_v3"
+    write_delta_snapshot(spark.range(5).select("id"), str(t))
+    log = t / "_delta_log"
+    (log / f"{1:020d}.json").write_text(json.dumps(
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}}
+    ) + "\n")
+    r = upgrade_delta_features(str(t), writer=["changeDataFeed"])
+    p = r["protocol"]
+    assert "checkConstraints" in p["writerFeatures"]
+    assert {"appendOnly", "invariants"} <= set(p["writerFeatures"])
+    assert p["minReaderVersion"] == 1  # still no reader-side obligation
+
+
+def test_truncated_log_without_covering_checkpoint_refuses(spark, tmp_path):
+    """Log retention removed commits 0..k and no checkpoint at or before
+    the requested version survives: a raw JSON replay of the surviving
+    files would silently reconstruct a PARTIAL live set — must refuse
+    (round-9 late fix, delta_log._replay_log truncation guard)."""
+    t = tmp_path / "trunc_nockpt"
+    write_delta_snapshot(spark.range(0, 4).select("id"), str(t))     # v0
+    commit_delta(spark.range(4, 8).select("id"), str(t), "append")   # v1
+    commit_delta(spark.range(8, 12).select("id"), str(t), "append")  # v2
+    checkpoint_delta(str(t))                                          # @v2
+    commit_delta(spark.range(12, 16).select("id"), str(t), "append")  # v3
+    log = t / "_delta_log"
+    (log / f"{0:020d}.json").unlink()  # retention drops v0
+    # latest resolves through the checkpoint
+    assert read_delta_snapshot(spark, str(t)).count() == 16
+    # time travel to v1 — BEFORE the checkpoint, after truncation: the
+    # state is gone; must refuse, not replay the surviving JSON alone
+    with pytest.raises(RuntimeError, match="not reconstructible"):
+        read_delta_snapshot(spark, str(t), version=1)

@@ -1089,3 +1089,35 @@ def test_cdf_stream_checkpoint_restart_across_schema_evolution(
     ]
     # exactly-once: restart re-delivered nothing from the snapshot batch
     assert back.where(F.col("_commit_version") < 4).count() == 4
+
+
+def test_sink_refuses_invariant_tables(registered, tmp_path):
+    """The evolution_delta sink is a row-adding path with no SparkSession
+    to validate with — legacy delta.invariants must refuse like CHECK
+    constraints do, not silently commit unvalidated rows (ADVICE r09)."""
+    import json as _json
+    import pathlib
+
+    from evolution_spark.io.delta_log import (
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    spark = registered
+    path = str(tmp_path / "wsink_inv")
+    write_delta_snapshot(
+        spark.range(1, 4).select(F.col("id").alias("k")), path
+    )
+    log = pathlib.Path(path) / "_delta_log"
+    v0 = (log / f"{0:020d}.json").read_text().splitlines()
+    meta = next(_json.loads(l) for l in v0 if "metaData" in l)
+    sch = _json.loads(meta["metaData"]["schemaString"])
+    sch["fields"][0]["metadata"] = {
+        "delta.invariants": '{"expression":{"expression":"k > 0"}}'
+    }
+    meta["metaData"]["schemaString"] = _json.dumps(sch)
+    (log / f"{1:020d}.json").write_text(_json.dumps(meta) + "\n")
+    with pytest.raises(Exception, match="column invariants"):
+        spark.range(4, 6).select(F.col("id").alias("k")).write.format(
+            "evolution_delta").mode("append").save(path)
+    assert read_delta_snapshot(spark, path).count() == 3  # nothing landed
