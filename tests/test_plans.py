@@ -819,3 +819,46 @@ def test_transform_write_column_has_no_python(spark):
     )
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_foreign_features_read_is_plain_scan(spark, sf_dir):
+    """Round 9: timestampNtz + v2Checkpoint affect LOG resolution only —
+    the data plan must stay parquet scan(s) + the query's own aggregate:
+    no Python eval, no join (checkpoint/sidecar folding is driver-side,
+    metadata-sized)."""
+    plan = plan_of(spark, sf_dir, "delta_foreign_features_read")
+    assert "Python" not in plan
+    agg_free = plan.split("HashAggregate")[0]
+    assert "Join" not in agg_free
+
+
+def test_invariants_read_is_plain_scan(spark, sf_dir):
+    """Round 9: invariant enforcement is a COMMIT-time staged scan; the
+    returned read plan is untouched — plain scans + aggregate, no Python,
+    no join."""
+    plan = plan_of(spark, sf_dir, "delta_invariants_enforced")
+    assert "Python" not in plan
+    agg_free = plan.split("HashAggregate")[0]
+    assert "Join" not in agg_free
+
+
+def test_iceberg_v3_dv_scan_broadcast_anti_join(spark, sf_dir):
+    """Round 9: v3 Puffin DVs decode driver-side (cost ∝ deleted rows)
+    and apply through the same (file, pos) BROADCAST anti-join as v2
+    position deletes — never a shuffle or nested loop of the data side."""
+    plan = plan_of(spark, sf_dir, "iceberg_v3_dv_read")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_nested_mapping_read_shape(spark, sf_dir):
+    """Round 9: the evolution_delta DataSource resolves nested physical
+    names per file INSIDE the source (Arrow view / rebuild) — the Spark
+    side must show the Python data source scan feeding a broadcast-able
+    equi-join (no nested loop, no cartesian), with the small dim join
+    broadcast."""
+    plan = plan_of(spark, sf_dir, "delta_source_nested_mapping_read")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

@@ -39,6 +39,10 @@ AUDITED = {
     "delta_id_mode_read": "field-id-resolved parquet scan (SPARK-38094); no Python, no join",
     "delta_nested_struct_mapping_read": "recursively-physical scan + positional struct-cast projection",
     "iceberg_partition_evolution": "per-spec-epoch plain scans unioned; pruning is driver-side metadata",
+    "delta_foreign_features_read": "v2-checkpoint/sidecar folding is driver-side; data plan = plain scans + agg",
+    "delta_invariants_enforced": "invariant validation is commit-time; read plan untouched (scan + agg)",
+    "iceberg_v3_dv_read": "Puffin DVs decode driver-side; (file,pos) broadcast LeftAnti masks the scan",
+    "delta_source_nested_mapping_read": "per-file nested rename inside the Python source; broadcast equi-join after",
 }
 
 
