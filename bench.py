@@ -198,6 +198,9 @@ BENCH_QUERIES = [
     "delta_source_nested_mapping_read",
     "delta_invariants_enforced",
     "iceberg_v3_dv_read",
+    # batch-19: round-10 writer-feature closure (generated columns,
+    # Iceberg v3 row-lineage appends, reader-ignorable feature tolerance)
+    "delta_generated_columns_enforced",
 ]
 
 

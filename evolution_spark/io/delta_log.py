@@ -71,6 +71,19 @@ SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
     {"deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint"}
 )
 
+# Reader-IGNORABLE features (PROTOCOL.md): these appear in readerFeatures
+# of modern foreign tables but carry no obligation for a plain batch read
+# — rowTracking's row ids/commit versions are optional metadata columns a
+# reader may simply not materialize, domainMetadata actions only scope
+# writer coordination state, and vacuumProtocolCheck gates VACUUM (not
+# scans). Tolerated on READ only; they are NOT claimed as implemented —
+# upgrade_delta_features refuses to declare them, and writes to tables
+# carrying them in writerFeatures still refuse (a writer must MAINTAIN
+# row tracking / domain metadata, which this engine does not).
+READER_IGNORABLE_FEATURES: frozenset[str] = frozenset(
+    {"rowTracking", "domainMetadata", "vacuumProtocolCheck"}
+)
+
 
 class DeltaProtocolError(RuntimeError):
     """Raised when a table's protocol action demands reader capabilities
@@ -95,7 +108,9 @@ def _check_reader_protocol(protocol: dict | None) -> None:
         # mode named)
         return
     features = set(protocol.get("readerFeatures") or [])
-    unsupported = sorted(features - SUPPORTED_READER_FEATURES)
+    unsupported = sorted(
+        features - SUPPORTED_READER_FEATURES - READER_IGNORABLE_FEATURES
+    )
     if v == 3 and not unsupported:
         return
     raise DeltaProtocolError(
@@ -127,7 +142,8 @@ def _check_reader_protocol(protocol: dict | None) -> None:
 # columns, ...) stays refused via _check_writer_protocol.
 SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
     {"deletionVectors", "appendOnly", "invariants", "columnMapping",
-     "checkConstraints", "changeDataFeed", "timestampNtz", "v2Checkpoint"}
+     "checkConstraints", "changeDataFeed", "timestampNtz", "v2Checkpoint",
+     "generatedColumns"}
 )
 
 
@@ -146,6 +162,16 @@ def _check_writer_protocol(protocol: dict | None) -> None:
         # writer v3 adds exactly the CHECK-constraints obligation, which
         # every row-adding commit path enforces via _enforce_constraints
         return
+    if v == 4:
+        # writer v4 adds changeDataFeed (DML under
+        # delta.enableChangeDataFeed stages cdc sidecars in the same
+        # commit) and generatedColumns (enforced via _enforce_constraints
+        # like invariants) — both honored, so v4 tables are writable
+        return
+    if v == 5:
+        # writer v5 adds column mapping, which every write path honors
+        # (_physicalize stores physical names; DDL is mapping-aware)
+        return
     features = set(protocol.get("writerFeatures") or [])
     unsupported = sorted(features - SUPPORTED_WRITER_FEATURES)
     if v == 7 and not unsupported:
@@ -153,9 +179,10 @@ def _check_writer_protocol(protocol: dict | None) -> None:
     raise DeltaProtocolError(
         f"table requires minWriterVersion={v}"
         + (f" with writer features {unsupported}" if unsupported else "")
-        + "; this writer implements version 2 — refusing to commit rather "
-        "than silently violating protocol obligations (e.g. CHECK "
-        "constraints, generated columns, deletion-vector maintenance)"
+        + "; this writer implements versions 1-5 and 7 — refusing to "
+        "commit rather than silently violating protocol obligations "
+        "(e.g. identity-column high-water marks, deletion-vector "
+        "maintenance)"
     )
 
 
@@ -651,6 +678,7 @@ def commit_delta(
                 df.sparkSession, stage, config, "commit",
                 renames=mapping_renames(json.loads(schema_string), config),
                 invariants=_schema_invariants(schema_string),
+                generated=_schema_generated_columns(schema_string),
             )
 
         now_ms = int(time.time() * 1000)
@@ -2062,6 +2090,12 @@ def _legacy_writer_features(v_w: int) -> set[str]:
         out |= {"appendOnly", "invariants"}
     if 3 <= v_w < 7:
         out |= {"checkConstraints"}
+    if 4 <= v_w < 7:
+        out |= {"changeDataFeed", "generatedColumns"}
+    if 5 <= v_w < 7:
+        out |= {"columnMapping"}
+    if 6 <= v_w < 7:
+        out |= {"identityColumns"}
     return out
 
 
@@ -2448,6 +2482,7 @@ def update_delta_rows(
             spark, stage, config, "UPDATE",
             renames=mapping_renames(schema_json, config),
             invariants=_schema_invariants(schema_string),
+            generated=_schema_generated_columns(schema_string),
         )
         add_actions, n_files, updated_rows = _collect_staged_adds(
             stage, table_dir, version, now_ms, data_change=True
@@ -3686,6 +3721,57 @@ def _schema_invariants(schema_string: str | None) -> dict[str, str]:
     return out
 
 
+def _schema_generated_columns(schema_string: str | None) -> dict[str, str]:
+    """{label: boolean SQL expression} for every GENERATED COLUMN in the
+    schema (Delta PROTOCOL.md 'Generated Columns': per-field metadata key
+    ``delta.generationExpression`` holding a SQL expression string). The
+    writer obligation is that every committed row's value is null-safe
+    EQUAL to the expression's result — enforced as ``(col <=> (expr))``
+    through the same staged-scan validation CHECK constraints get.
+    Nested struct fields are walked with dotted paths; a generation
+    expression inside an array/map element has no row-level SQL form here
+    and refuses (same rule as element-quantified invariants)."""
+    if not schema_string or '"delta.generationExpression"' not in schema_string:
+        return {}
+    out: dict[str, str] = {}
+
+    def walk(fields: list[dict], prefix: str, in_container: bool) -> None:
+        for f in fields:
+            path = f"{prefix}{f['name']}"
+            raw = (f.get("metadata") or {}).get("delta.generationExpression")
+            if raw is not None:
+                if in_container:
+                    raise DeltaProtocolError(
+                        f"field {path!r} carries delta.generationExpression "
+                        "inside an array/map element — this writer cannot "
+                        "enforce element-quantified generated columns; "
+                        "refusing to write"
+                    )
+                if not isinstance(raw, str) or not raw.strip():
+                    raise DeltaProtocolError(
+                        f"field {path!r} carries an unparseable "
+                        f"delta.generationExpression: {raw!r} — refusing to "
+                        "write rather than skipping the obligation"
+                    )
+                out[f"generated({path})"] = f"({path} <=> ({raw}))"
+            walk_type(f.get("type"), f"{path}.", in_container)
+
+    def walk_type(t, prefix: str, in_container: bool) -> None:
+        if not isinstance(t, dict):
+            return
+        kind = t.get("type")
+        if kind == "struct":
+            walk(t["fields"], prefix, in_container)
+        elif kind == "array":
+            walk_type(t.get("elementType"), prefix, True)
+        elif kind == "map":
+            walk_type(t.get("keyType"), prefix, True)
+            walk_type(t.get("valueType"), prefix, True)
+
+    walk(json.loads(schema_string)["fields"], "", False)
+    return out
+
+
 def _refuse_constrained_column(config: dict, col: str, what: str) -> None:
     """RENAME/DROP guard: a CHECK constraint referencing ``col`` would
     leave the table UN-WRITABLE (every later commit fails expression
@@ -3715,12 +3801,15 @@ def _refuse_constrained_column(config: dict, col: str, what: str) -> None:
 def _enforce_constraints(
     spark, staged_path, config: dict, what: str, renames: dict | None = None,
     invariants: dict[str, str] | None = None,
+    generated: dict[str, str] | None = None,
 ) -> None:
     """Writer obligation for CHECK constraints (protocol writer v3 / the
-    v7 ``checkConstraints`` feature) and legacy COLUMN INVARIANTS (writer
+    v7 ``checkConstraints`` feature), legacy COLUMN INVARIANTS (writer
     v2, per-field ``delta.invariants`` metadata — same row-level contract,
-    older encoding): every row a commit ADDS must satisfy every
-    expression, or the commit must not happen. Validates the STAGED
+    older encoding), and GENERATED COLUMNS (writer v4 / the v7
+    ``generatedColumns`` feature — provided values must null-safe-equal
+    the generation expression): every row a commit ADDS must satisfy
+    every expression, or the commit must not happen. Validates the STAGED
     parquet output (already materialized — one cheap combined scan, no
     recompute of the source plan); the detailed per-expression probe runs
     only on the failure path. ``renames`` (physical -> logical) realigns
@@ -3728,16 +3817,27 @@ def _enforce_constraints(
     they were written in."""
     from pyspark.sql import functions as F
 
-    constraints = {**_table_constraints(config), **(invariants or {})}
+    constraints = {
+        **_table_constraints(config),
+        **(invariants or {}),
+        **(generated or {}),
+    }
     if not constraints:
         return
-    if invariants and renames and any("." in k[len("invariant("):-1]
-                                      for k in invariants):
+    if renames and (
+        (invariants and any("." in k[len("invariant("):-1]
+                            for k in invariants))
+        or generated  # generation exprs may reference ANY column by its
+                      # logical name at any depth — the flat staging
+                      # realignment can't guarantee nested references
+    ):
         # flat staging renames can't realign NESTED physical names for the
-        # invariant expressions' dotted paths — refuse, don't mis-check
+        # expressions' dotted paths — refuse, don't mis-check
         raise DeltaProtocolError(
-            f"{what}: column invariants on nested fields of a column-mapped "
-            "table are not enforceable on this path — refusing to commit"
+            f"{what}: column invariants/generated columns on a "
+            "column-mapped table are not enforceable on this path when "
+            "nested or expression-referenced names may be remapped — "
+            "refusing to commit"
         )
     staged = spark.read.parquet(str(staged_path))
     if not staged.columns:
@@ -3760,6 +3860,7 @@ def _enforce_constraints(
         ).limit(1).collect()
         if bad:
             kind = ("column invariant" if name.startswith("invariant(")
+                    else "generated column" if name.startswith("generated(")
                     else "CHECK constraint")
             raise DeltaProtocolError(
                 f"{what} violates {kind} {name!r} ({expr}); "

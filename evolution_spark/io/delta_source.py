@@ -856,6 +856,7 @@ def _commit_shards(
             "commit_delta"
         )
     from evolution_spark.io.delta_log import (
+        _schema_generated_columns,
         _schema_invariants,
         _table_constraints,
         mapping_renames,
@@ -881,6 +882,15 @@ def _commit_shards(
         # invariants
         raise RuntimeError(
             f"table declares column invariants {sorted(invariants)}; the "
+            "evolution_delta sink cannot validate them — append with "
+            "commit_delta instead"
+        )
+    generated = _schema_generated_columns(schema_string)
+    if generated:
+        # same row-level obligation as invariants (writer v4 /
+        # generatedColumns feature): no SparkSession here to validate with
+        raise RuntimeError(
+            f"table declares generated columns {sorted(generated)}; the "
             "evolution_delta sink cannot validate them — append with "
             "commit_delta instead"
         )

@@ -3234,3 +3234,79 @@ def iceberg_v3_dv_read(spark, sf_dir):
         ),
         F.min("c_custkey").alias("min_key"),
     )
+
+
+@query(
+    "delta_generated_columns_enforced",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents,
+           1 AS refusals
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def delta_generated_columns_enforced(spark, sf_dir):
+    """GENERATED COLUMNS enforced at commit (Delta PROTOCOL.md 'Generated
+    Columns', writer v4 / the v7 ``generatedColumns`` feature): a
+    hand-aged table carries ``delta.generationExpression = "CAST(ROUND(
+    c_acctbal * 100) AS BIGINT)"`` on its ``bal_cents`` field — the shape
+    a foreign writer's ``GENERATED ALWAYS AS`` DDL leaves behind. A valid
+    append (provided values null-safe-EQUAL the expression on every row)
+    commits; an append whose values diverge REFUSES with the offending
+    row named and publishes no version (the caught refusal is pinned into
+    the result as ``refusals``). Before round 10 such tables refused ALL
+    writes; now they write safely under the same staged-scan validation
+    CHECK constraints and invariants get — one combined scan of the
+    already-materialized staged output, no recompute of the source plan,
+    no extra shuffle. Ref parity: crates/evolution-target (the
+    reference's Delta target is `todo!()`; this surface is native
+    here)."""
+    import json
+    from pathlib import Path
+
+    from evolution_spark.io.delta_log import (
+        DeltaProtocolError,
+        commit_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    gen_expr = "CAST(ROUND(c_acctbal * 100) AS BIGINT)"
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.expr(gen_expr).alias("bal_cents"),
+    )
+    path = query_tmp("deltagen", sf_dir)
+    write_delta_snapshot(c.where(F.col("c_custkey") % 2 == 0), path)
+    # age the table: stamp the generation expression into v0's field
+    # metadata (what a foreign GENERATED ALWAYS AS column looks like)
+    log = Path(path) / "_delta_log"
+    v0 = log / f"{0:020d}.json"
+    lines = []
+    for ln in v0.read_text().splitlines():
+        a = json.loads(ln)
+        if "metaData" in a:
+            sj = json.loads(a["metaData"]["schemaString"])
+            for f in sj["fields"]:
+                if f["name"] == "bal_cents":
+                    f["metadata"]["delta.generationExpression"] = gen_expr
+            a["metaData"]["schemaString"] = json.dumps(sj)
+        lines.append(json.dumps(a))
+    v0.write_text("\n".join(lines) + "\n")
+    commit_delta(c.where(F.col("c_custkey") % 2 == 1), path, mode="append")
+    refusals = 0
+    try:
+        commit_delta(
+            c.limit(50).withColumn("bal_cents", F.col("bal_cents") + 1),
+            path, mode="append",
+        )
+    except DeltaProtocolError:
+        refusals = 1
+    back = read_delta_snapshot(spark, path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("bal_cents").alias("bal_cents"),
+        F.lit(refusals).alias("refusals"),
+    )

@@ -418,3 +418,176 @@ def test_truncated_log_without_covering_checkpoint_refuses(spark, tmp_path):
     # state is gone; must refuse, not replay the surviving JSON alone
     with pytest.raises(RuntimeError, match="not reconstructible"):
         read_delta_snapshot(spark, str(t), version=1)
+
+
+# ---------------------------------------------------------------- round 10
+# Generated columns (PROTOCOL.md 'Generated Columns'): per-field
+# delta.generationExpression — provided values must null-safe-equal the
+# expression on every row-adding commit (writer v4 / generatedColumns).
+
+
+def _generated_table(spark, t, expr="CAST(price * 100 AS BIGINT)"):
+    df = spark.range(1, 6).select(
+        F.col("id"),
+        (F.col("id") * 2.5).alias("price"),
+        (F.col("id") * 250).alias("price_cents"),
+    )
+    write_delta_snapshot(df, str(t))
+    log = t / "_delta_log"
+    v0 = log / f"{0:020d}.json"
+    lines = []
+    for ln in v0.read_text().splitlines():
+        a = json.loads(ln)
+        if "metaData" in a:
+            sj = json.loads(a["metaData"]["schemaString"])
+            for f in sj["fields"]:
+                if f["name"] == "price_cents":
+                    f["metadata"]["delta.generationExpression"] = expr
+            a["metaData"]["schemaString"] = json.dumps(sj)
+        lines.append(json.dumps(a))
+    v0.write_text("\n".join(lines) + "\n")
+    return df
+
+
+def _gen_rows(spark, lo, hi, cents_of=lambda c: c):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") * 2.5).alias("price"),
+        cents_of(F.col("id") * 250).cast("long").alias("price_cents"),
+    )
+
+
+def test_generated_column_valid_append_commits(spark, tmp_path):
+    t = tmp_path / "gen_ok"
+    _generated_table(spark, t)
+    commit_delta(_gen_rows(spark, 6, 9), str(t), mode="append")
+    back = read_delta_snapshot(spark, str(t))
+    assert back.count() == 8
+    assert back.where("price_cents <> CAST(price * 100 AS BIGINT)").count() == 0
+
+
+def test_generated_column_violation_refuses(spark, tmp_path):
+    t = tmp_path / "gen_bad"
+    _generated_table(spark, t)
+    with pytest.raises(DeltaProtocolError,
+                       match=r"generated column 'generated\(price_cents\)'"):
+        commit_delta(_gen_rows(spark, 6, 9, cents_of=lambda c: c + 1),
+                     str(t), mode="append")
+    assert read_delta_snapshot(spark, str(t)).count() == 5  # nothing landed
+
+
+def test_generated_column_null_pairing(spark, tmp_path):
+    """<=> is null-safe: a NULL value where the expression is non-null
+    violates; NULL where the expression is NULL passes."""
+    t = tmp_path / "gen_null"
+    _generated_table(spark, t, expr="CAST(price * 100 AS BIGINT)")
+    bad = spark.range(6, 7).select(
+        F.col("id"), (F.col("id") * 2.5).alias("price"),
+        F.lit(None).cast("long").alias("price_cents"),
+    )
+    with pytest.raises(DeltaProtocolError, match="generated column"):
+        commit_delta(bad, str(t), mode="append")
+    ok = spark.range(7, 8).select(
+        F.col("id"), F.lit(None).cast("double").alias("price"),
+        F.lit(None).cast("long").alias("price_cents"),
+    )
+    commit_delta(ok, str(t), mode="append")
+    assert read_delta_snapshot(spark, str(t)).count() == 6
+
+
+def test_generated_column_update_path_enforced(spark, tmp_path):
+    from evolution_spark.io.delta_log import update_delta_rows
+
+    t = tmp_path / "gen_upd"
+    _generated_table(spark, t)
+    with pytest.raises(DeltaProtocolError, match="generated column"):
+        update_delta_rows(spark, str(t), "id = 2", {"price": "99.0"})
+    # consistent update (both sides of the pairing) commits
+    update_delta_rows(spark, str(t), "id = 2",
+                      {"price": "100.0", "price_cents": "10000"})
+    got = {(r.id, r.price_cents) for r in
+           read_delta_snapshot(spark, str(t)).collect()}
+    assert (2, 10000) in got and len(got) == 5
+
+
+def test_generated_column_v4_protocol_now_writable(spark, tmp_path):
+    """minWriterVersion 4 (changeDataFeed + generatedColumns era) is now
+    within this writer's claim; v6 (identityColumns) stays refused."""
+    t = tmp_path / "gen_v4"
+    _generated_table(spark, t)
+    log = t / "_delta_log"
+    (log / f"{1:020d}.json").write_text(json.dumps(
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
+    ) + "\n")
+    commit_delta(_gen_rows(spark, 6, 8), str(t), mode="append")
+    assert read_delta_snapshot(spark, str(t)).count() == 7
+    with pytest.raises(DeltaProtocolError, match="generated column"):
+        commit_delta(_gen_rows(spark, 8, 9, cents_of=lambda c: c + 1),
+                     str(t), mode="append")
+    (log / f"{3:020d}.json").write_text(json.dumps(
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}}
+    ) + "\n")
+    with pytest.raises(DeltaProtocolError, match="minWriterVersion=6"):
+        commit_delta(_gen_rows(spark, 8, 9), str(t), mode="append")
+
+
+def test_generated_column_feature_upgrade_and_element_refusal(spark, tmp_path):
+    t = tmp_path / "gen_up"
+    write_delta_snapshot(spark.range(3).select("id"), str(t))
+    r = upgrade_delta_features(str(t), writer=["generatedColumns"])
+    p = r["protocol"]
+    assert "generatedColumns" in p["writerFeatures"]
+    assert p["minReaderVersion"] == 1  # writer-only feature
+
+    # a generation expression INSIDE an array element refuses
+    t2 = tmp_path / "gen_elem"
+    df = spark.range(3).select(
+        F.col("id"), F.array(F.struct(F.col("id").alias("x"))).alias("a")
+    )
+    write_delta_snapshot(df, str(t2))
+    log = t2 / "_delta_log"
+    v0 = log / f"{0:020d}.json"
+    lines = []
+    for ln in v0.read_text().splitlines():
+        a = json.loads(ln)
+        if "metaData" in a:
+            sj = json.loads(a["metaData"]["schemaString"])
+            arr = next(f for f in sj["fields"] if f["name"] == "a")
+            arr["type"]["elementType"]["fields"][0]["metadata"] = {
+                "delta.generationExpression": "id + 1"
+            }
+            a["metaData"]["schemaString"] = json.dumps(sj)
+        lines.append(json.dumps(a))
+    v0.write_text("\n".join(lines) + "\n")
+    with pytest.raises(DeltaProtocolError, match="array/map element"):
+        commit_delta(df, str(t2), mode="append")
+
+
+def test_reader_ignorable_features_tolerated(spark, tmp_path):
+    """rowTracking / domainMetadata / vacuumProtocolCheck in a foreign
+    table's readerFeatures carry no batch-read obligation — reads
+    proceed; typeWidening (NOT ignorable: values would decode wrong)
+    still refuses, and WRITES to the table still refuse (maintaining row
+    tracking is a writer obligation this engine does not take on)."""
+    t = tmp_path / "ignorable"
+    write_delta_snapshot(spark.range(7).select("id"), str(t))
+    log = t / "_delta_log"
+    (log / f"{1:020d}.json").write_text(json.dumps({"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["rowTracking", "domainMetadata",
+                           "vacuumProtocolCheck"],
+        "writerFeatures": ["rowTracking", "domainMetadata"],
+    }}) + "\n" + json.dumps({"domainMetadata": {
+        "domain": "delta.rowTracking", "configuration": "{}",
+        "removed": False,
+    }}) + "\n")
+    assert read_delta_snapshot(spark, str(t)).count() == 7
+    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+        commit_delta(spark.range(7, 9).select("id"), str(t), mode="append")
+    (log / f"{2:020d}.json").write_text(json.dumps({"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["rowTracking", "typeWidening"],
+        "writerFeatures": ["rowTracking", "typeWidening"],
+    }}) + "\n")
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
+        read_delta_snapshot(spark, str(t))

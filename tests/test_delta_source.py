@@ -1121,3 +1121,33 @@ def test_sink_refuses_invariant_tables(registered, tmp_path):
         spark.range(4, 6).select(F.col("id").alias("k")).write.format(
             "evolution_delta").mode("append").save(path)
     assert read_delta_snapshot(spark, path).count() == 3  # nothing landed
+
+
+def test_sink_refuses_generated_column_tables(registered, tmp_path):
+    """Generated columns carry the same row-level obligation as
+    invariants — the sink has no SparkSession to validate with."""
+    import json as _json
+    import pathlib
+
+    from evolution_spark.io.delta_log import write_delta_snapshot
+
+    spark = registered
+    path = str(tmp_path / "wsink_gen")
+    write_delta_snapshot(
+        spark.range(1, 4).select(
+            F.col("id"), (F.col("id") * 2).alias("twice")
+        ), path,
+    )
+    log = pathlib.Path(path) / "_delta_log"
+    v0 = (log / f"{0:020d}.json").read_text().splitlines()
+    meta = next(_json.loads(l) for l in v0 if "metaData" in l)
+    sch = _json.loads(meta["metaData"]["schemaString"])
+    next(f for f in sch["fields"] if f["name"] == "twice")["metadata"] = {
+        "delta.generationExpression": "id * 2"
+    }
+    meta["metaData"]["schemaString"] = _json.dumps(sch)
+    (log / f"{1:020d}.json").write_text(_json.dumps(meta) + "\n")
+    with pytest.raises(Exception, match="generated columns"):
+        spark.range(4, 6).select(
+            F.col("id"), (F.col("id") * 2).alias("twice")
+        ).write.format("evolution_delta").mode("append").save(path)
