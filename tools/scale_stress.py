@@ -437,7 +437,9 @@ def cdf_ops_stress(spark, tmp: str, reps: int) -> dict:
         )
         row["changes_fixed_rows"] = ch[0][0]
         row["health_s"], health = timed(lambda: table_health(dpath))
-        row["health_files"] = (health or {}).get("n_files")
+        row["health_files"] = ((health or {}).get("signals") or {}).get(
+            "live_files"
+        )
         big.unpersist()
         results["levels"][str(level)] = row
     return results
