@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     # batch-19: round-10 writer-feature closure (generated columns,
     # Iceberg v3 row-lineage appends, reader-ignorable feature tolerance)
     "delta_generated_columns_enforced",
+    "iceberg_v3_append",
 ]
 
 

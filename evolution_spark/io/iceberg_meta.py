@@ -447,11 +447,19 @@ def _bounds_may_match(lo, hi, op: str, val) -> bool:
     return True  # unknown op: keep
 
 
-def _manifest_entry_schema(part_schema: dict, dv_fields: bool = False) -> dict:
+def _manifest_entry_schema(
+    part_schema: dict, dv_fields: bool = False, lineage: bool = False
+) -> dict:
     # format-version 3 deletion-vector placement fields (spec field-ids
     # 143-145): present only in DV delete manifests — a v2 manifest never
     # carries them, and foreign v3 manifests are read by field name via
-    # the generic avro reader regardless
+    # the generic avro reader regardless. ``lineage`` adds the v3 row-
+    # lineage field ``first_row_id`` (spec field-id 142) for data
+    # manifests of v3 tables — the _row_id of the file's first row.
+    lineage_extra = [
+        {"name": "first_row_id", "type": ["null", "long"],
+         "field-id": 142, "default": None},
+    ] if lineage else []
     dv_extra = [
         {"name": "referenced_data_file", "type": ["null", "string"],
          "field-id": 143, "default": None},
@@ -470,6 +478,7 @@ def _manifest_entry_schema(part_schema: dict, dv_fields: bool = False) -> dict:
             {"name": "partition", "type": part_schema, "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            *lineage_extra,
             *dv_extra,
             {
                 # spec field: the schema field-ids an EQUALITY delete file
@@ -560,6 +569,25 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
     ],
 }
+
+
+def _manifest_list_schema(fv: int) -> dict:
+    """The manifest-list schema for a table's format version: v3 adds
+    ``first_row_id`` (spec field-id 520) — the starting ``_row_id``
+    assigned to rows in the manifest's ADDED data files (null for delete
+    manifests and for pre-upgrade manifests whose rows carry no ids).
+    v2 lists keep the exact pre-round-10 shape so foreign v2 readers see
+    unchanged bytes."""
+    if fv < 3:
+        return _MANIFEST_LIST_SCHEMA
+    return {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": _MANIFEST_LIST_SCHEMA["fields"] + [
+            {"name": "first_row_id", "type": ["null", "long"],
+             "field-id": 520, "default": None},
+        ],
+    }
 
 
 def _parse_partition_value(ice_type: str, raw: str):
@@ -1833,9 +1861,17 @@ def append_equality_deletes(
         "deleted_rows_count": 0,
     }
     mlist_path = meta_dir / f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro"
+    fv = int(metadata.get("format-version", 1))
+    if fv >= 3:
+        # v3 tables: carry each manifest's first_row_id through (equality
+        # deletes add no rows, so next-row-id is untouched) — re-encoding
+        # with the v2 schema would silently STRIP lineage
+        for mf in prev_entries:
+            mf.setdefault("first_row_id", None)
+        new_entry["first_row_id"] = None
     _write_avro(
-        mlist_path, _MANIFEST_LIST_SCHEMA, prev_entries + [new_entry],
-        meta={"format-version": "2"},
+        mlist_path, _manifest_list_schema(fv), prev_entries + [new_entry],
+        meta={"format-version": "2" if fv < 3 else "3"},
     )
     new_snapshot = {
         "snapshot-id": snapshot_id,
@@ -1853,6 +1889,8 @@ def append_equality_deletes(
         "schema-id": metadata["current-schema-id"],
     }
     new_meta = dict(metadata)
+    if fv >= 3:
+        new_snapshot["first-row-id"] = int(metadata.get("next-row-id") or 0)
     new_meta["last-sequence-number"] = seq
     new_meta["last-updated-ms"] = now_ms
     new_meta["current-snapshot-id"] = snapshot_id
@@ -2261,9 +2299,13 @@ def append_position_deletes(path: str, deletes: list[tuple[str, int]]) -> dict:
 def upgrade_iceberg_format_version(path: str) -> dict:
     """Metadata-only commit bumping the table to format-version 3 (the
     prerequisite for deletion vectors). ``next-row-id`` is initialized as
-    v3 requires, but row-lineage ASSIGNMENT stays unimplemented — which
-    is why v3 data appends refuse (``_commit_files_as_snapshot`` guard);
-    v3 here is a READ + DV-DELETE surface. Idempotent."""
+    v3 requires. Round 10: v3 APPENDS assign row lineage (explicit
+    ``first_row_id`` per added data file + manifest-list entry,
+    ``next-row-id`` advanced — ``_commit_files_as_snapshot``); DV DELETEs
+    commit Puffin vectors. Rewrites (replace/compaction) still refuse —
+    they must PRESERVE carried rows' ids, a copying obligation this
+    writer does not take on; pre-upgrade files keep null lineage until
+    rewritten (spec-legal). Idempotent."""
     table_dir = Path(path)
     metadata, prev_meta_file = _load_metadata(table_dir)
     fv = int(metadata.get("format-version", 1))
@@ -2672,17 +2714,26 @@ def _commit_files_as_snapshot(
     import pyarrow.parquet as pq
 
     fv = int(metadata.get("format-version", 1))
-    if fv >= 3 and (moved or position_deletes or deletion_vectors is None):
-        # v3 write support is deliberately DV-only: data appends would
-        # need row-lineage assignment (first-row-id) and v3 manifest
-        # obligations this writer does not implement, and new parquet
-        # position-delete files are FORBIDDEN in v3 (DVs replace them)
-        raise IcebergFormatError(
-            f"format-version {fv} table: only deletion-vector DELETE "
-            "commits are implemented for v3 (row lineage is a writer "
-            "obligation this engine does not take on) — refusing the "
-            f"{operation!r} commit"
-        )
+    if fv >= 3:
+        # v3 writes: APPENDS assign row lineage below (first_row_id per
+        # manifest + data file, next-row-id advanced), DV DELETEs commit
+        # Puffin vectors. New parquet position-delete FILES are FORBIDDEN
+        # in v3 (DVs replace them), and rewrites (replace/compaction)
+        # must PRESERVE the row ids of carried rows — a lineage-copying
+        # obligation this writer does not take on, so they refuse.
+        if position_deletes:
+            raise IcebergFormatError(
+                f"format-version {fv} table: parquet position-delete "
+                "files are forbidden in v3 — commit deletion vectors "
+                "instead (delete_iceberg_rows_dv)"
+            )
+        if operation == "replace":
+            raise IcebergFormatError(
+                f"format-version {fv} table: rewrites must preserve the "
+                "row lineage (_row_id) of carried rows, which this "
+                "writer does not implement — refusing the 'replace' "
+                "commit"
+            )
     if deletion_vectors is not None and fv < 3:
         raise IcebergFormatError(
             "deletion vectors require format-version 3 "
@@ -2779,11 +2830,29 @@ def _commit_files_as_snapshot(
                 },
             }
         )
+    first_row_id = None
+    next_row_id = None
+    if fv >= 3:
+        # v3 ROW LINEAGE (spec 'Row Lineage'): the snapshot's first-row-id
+        # is the table's next-row-id; each ADDED data file gets an
+        # explicit first_row_id (spec allows inheritance from the
+        # manifest, but explicit ids survive manifest compaction), and
+        # next-row-id advances by the rows assigned. Driver-side integer
+        # bookkeeping — no data file is touched, so the append cost at
+        # 100 TB is unchanged.
+        first_row_id = int(metadata.get("next-row-id") or 0)
+        next_row_id = first_row_id
+        for e in entries:
+            e["data_file"]["first_row_id"] = next_row_id
+            next_row_id += int(e["data_file"]["record_count"])
     if entries:
         manifest_path = meta_dir / f"{uuid.uuid4()}-m0.avro"
         manifest_len = _write_avro(
-            manifest_path, entry_schema, entries,
-            meta={**manifest_meta, "content": "data"},
+            manifest_path,
+            _manifest_entry_schema(part_schema, lineage=fv >= 3),
+            entries,
+            meta={**manifest_meta, "content": "data",
+                  **({"format-version": "3"} if fv >= 3 else {})},
         )
         mlist_entries.append({
             "manifest_path": str(manifest_path),
@@ -2799,6 +2868,7 @@ def _commit_files_as_snapshot(
             "added_rows_count": total_rows,
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
+            "first_row_id": first_row_id,
         })
 
     n_pos_deletes = 0
@@ -2903,9 +2973,15 @@ def _commit_files_as_snapshot(
         n_pos_deletes += n_dv_deletes
 
     mlist_path = meta_dir / f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro"
+    if fv >= 3:
+        for mf in mlist_entries:
+            # entries carried from pre-upgrade (v2-written) manifest
+            # lists have no lineage: their rows carry null _row_id until
+            # a (refused) rewrite assigns them — spec-legal
+            mf.setdefault("first_row_id", None)
     _write_avro(
         mlist_path,
-        _MANIFEST_LIST_SCHEMA,
+        _manifest_list_schema(fv),
         mlist_entries,
         meta={"format-version": "2" if fv < 3 else "3"},
     )
@@ -2943,6 +3019,12 @@ def _commit_files_as_snapshot(
         "schema-id": metadata["current-schema-id"],
     }
     new_meta = dict(metadata)
+    if fv >= 3:
+        # v3 snapshot carries its assigned base row id; the table's
+        # next-row-id advances past every id this commit assigned
+        base = int(metadata.get("next-row-id") or 0)
+        new_snapshot["first-row-id"] = base
+        new_meta["next-row-id"] = next_row_id if next_row_id is not None else base
     new_meta["last-sequence-number"] = seq
     new_meta["last-updated-ms"] = now_ms
     new_meta["snapshots"] = metadata["snapshots"] + [new_snapshot]

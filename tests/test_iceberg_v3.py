@@ -131,13 +131,19 @@ def test_v3_time_travel_to_pre_delete_snapshot(spark, tmp_path):
 
 
 def test_v3_non_dv_writes_refuse(spark, tmp_path):
+    """Round 10 narrowed the v3 write refusal: APPENDS now commit (with
+    row lineage — see test_v3_append_assigns_row_lineage); parquet
+    position-delete files (forbidden in v3) and rewrites (must preserve
+    carried rows' ids) still refuse."""
+    from evolution_spark.io.iceberg_meta import compact_iceberg_table
+
     t = str(tmp_path / "v3guard")
     write_iceberg_table(_df(spark), t)
     upgrade_iceberg_format_version(t)
-    with pytest.raises(IcebergFormatError, match="deletion-vector"):
-        append_iceberg_snapshot(_df(spark, 3), t)
-    with pytest.raises(IcebergFormatError, match="deletion-vector"):
+    with pytest.raises(IcebergFormatError, match="forbidden in v3"):
         append_position_deletes(t, [("x", 0)])
+    with pytest.raises(IcebergFormatError, match="row lineage"):
+        compact_iceberg_table(spark, t, target_files=1)
 
 
 def test_dv_on_v2_table_refuses(spark, tmp_path):
@@ -173,3 +179,80 @@ def test_v3_format_version_4_still_refuses(spark, tmp_path):
     (meta_dir / hint).write_text(json.dumps(m))
     with pytest.raises(IcebergFormatError, match="format-version 4"):
         read_iceberg_table(spark, t).collect()
+
+
+# --- round 10: v3 appends with row lineage ---------------------------------
+
+
+def test_v3_append_assigns_row_lineage(spark, tmp_path):
+    """v3 appends commit with ROW LINEAGE (spec 'Row Lineage'): the
+    snapshot carries first-row-id, each added data file an explicit
+    first_row_id, the manifest-list entry the manifest's base, and
+    next-row-id advances by the rows assigned. Reads return every row."""
+    import json
+    from pathlib import Path
+
+    from evolution_spark.io.iceberg_meta import (
+        _load_metadata,
+        _read_avro,
+    )
+
+    t = str(tmp_path / "v3append")
+    write_iceberg_table(_df(spark, 10), t)
+    upgrade_iceberg_format_version(t)
+    append_iceberg_snapshot(_df(spark, 20).where("id >= 10"), t)
+    meta, _ = _load_metadata(Path(t))
+    assert meta["format-version"] == 3
+    assert int(meta["next-row-id"]) == 10  # 10 rows assigned ids 0..9
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    assert snap["first-row-id"] == 0
+    # the new data manifest carries the base + per-entry explicit ids
+    mfs = _read_avro(Path(snap["manifest-list"]))
+    new_data = [m for m in mfs if int(m.get("content") or 0) == 0
+                and m.get("first_row_id") is not None]
+    assert len(new_data) == 1 and new_data[0]["first_row_id"] == 0
+    entries = _read_avro(Path(new_data[0]["manifest_path"]))
+    rid = 0
+    for e in sorted(entries, key=lambda e: e["data_file"]["first_row_id"]):
+        assert e["data_file"]["first_row_id"] == rid
+        rid += e["data_file"]["record_count"]
+    assert rid == 10
+    # pre-upgrade manifests carried by reference keep null lineage
+    old_data = [m for m in mfs if int(m.get("content") or 0) == 0
+                and m.get("first_row_id") is None]
+    assert len(old_data) == 1
+    # a second append starts where the first stopped
+    append_iceberg_snapshot(_df(spark, 25).where("id >= 20"), t)
+    meta2, _ = _load_metadata(Path(t))
+    assert int(meta2["next-row-id"]) == 15
+    snap2 = next(s for s in meta2["snapshots"]
+                 if s["snapshot-id"] == meta2["current-snapshot-id"])
+    assert snap2["first-row-id"] == 10
+    back = read_iceberg_table(spark, t)
+    assert {r.id for r in back.collect()} == set(range(25))
+
+
+def test_v3_append_then_dv_delete_roundtrip(spark, tmp_path):
+    """Lineage bookkeeping composes with DV deletes: DV commits add no
+    rows (next-row-id unchanged) and reads apply both."""
+    from pathlib import Path
+
+    from evolution_spark.io.iceberg_meta import _load_metadata
+
+    t = str(tmp_path / "v3adv")
+    write_iceberg_table(_df(spark, 8), t)
+    upgrade_iceberg_format_version(t)
+    append_iceberg_snapshot(_df(spark, 16).where("id >= 8"), t)
+    delete_iceberg_rows_dv(spark, t, "id % 4 = 1")
+    meta, _ = _load_metadata(Path(t))
+    assert int(meta["next-row-id"]) == 8  # DV delete assigned nothing
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    assert snap["first-row-id"] == 8  # base unchanged, carried on snapshot
+    got = {r.id for r in read_iceberg_table(spark, t).collect()}
+    assert got == {i for i in range(16) if i % 4 != 1}
+    # a post-delete append resumes id assignment
+    append_iceberg_snapshot(_df(spark, 20).where("id >= 16"), t)
+    meta2, _ = _load_metadata(Path(t))
+    assert int(meta2["next-row-id"]) == 12

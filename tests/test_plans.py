@@ -862,3 +862,22 @@ def test_source_nested_mapping_read_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_iceberg_v3_append_read_shape(spark, sf_dir):
+    """Round 10: v3 lineage assignment is driver-side metadata — the
+    read after upgrade+appends+DV delete must stay plain scans with the
+    (file,pos) broadcast anti-join, no Python, no nested loop."""
+    plan = plan_of(spark, sf_dir, "iceberg_v3_append")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_generated_columns_read_is_plain_scan(spark, sf_dir):
+    """Round 10: generated-column validation is COMMIT-time; the read
+    plan is plain scans + the query's own aggregate."""
+    plan = plan_of(spark, sf_dir, "delta_generated_columns_enforced")
+    assert "Python" not in plan
+    agg_free = plan.split("HashAggregate")[0]
+    assert "Join" not in agg_free
