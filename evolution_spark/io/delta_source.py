@@ -268,22 +268,51 @@ def _logical_view_type(at, t_json):
 
 
 def _restructure_struct(arr, t_json):
-    """Rebuild a stored struct column into the logical shape when a pure
+    """Rebuild a stored complex column into the logical shape when a pure
     rename can't (nested ADD COLUMN fills nulls, nested DROP selects
     away, member order follows the logical schema). Recursion bottoms out
-    in ``.view`` renames; add/drop UNDER array/map elements has no
-    rebuild here (offsets surgery) and refuses to the library reader."""
+    in ``.view`` renames. Round 10: add/drop UNDER array/map elements
+    rebuilds too — the stored offsets are REUSED verbatim (element counts
+    never change under a member add/drop) and only the child values
+    rebuild, so no offsets surgery and no per-element copying beyond the
+    restructured members."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from evolution_spark.io.delta_log import DeltaProtocolError
 
+    def _conform_child(child, child_json):
+        ct = _logical_view_type(child.type, child_json)
+        return child.view(ct) if ct is not None else _restructure_struct(
+            child, child_json
+        )
+
+    if (isinstance(t_json, dict) and t_json.get("type") == "array"
+            and (pa.types.is_list(arr.type)
+                 or pa.types.is_large_list(arr.type))):
+        new_vals = _conform_child(arr.values, t_json["elementType"])
+        cls = (pa.LargeListArray if pa.types.is_large_list(arr.type)
+               else pa.ListArray)
+        return cls.from_arrays(arr.offsets, new_vals, mask=pc.is_null(arr))
+    if (isinstance(t_json, dict) and t_json.get("type") == "map"
+            and pa.types.is_map(arr.type)):
+        import numpy as np
+
+        new_keys = _conform_child(arr.keys, t_json["keyType"])
+        new_items = _conform_child(arr.items, t_json["valueType"])
+        # MapArray.from_arrays has no mask parameter: null entries are
+        # restored by nulling their offsets instead
+        offs = arr.offsets.to_numpy(zero_copy_only=False).astype("int32")
+        nullmask = np.array(pc.is_null(arr).to_pylist() + [False])
+        offsets = (pa.array(offs, pa.int32(), mask=nullmask)
+                   if nullmask.any() else arr.offsets)
+        return pa.MapArray.from_arrays(offsets, new_keys, new_items)
     if not (isinstance(t_json, dict) and t_json.get("type") == "struct"
             and pa.types.is_struct(arr.type)):
         raise DeltaProtocolError(
-            "column-mapped member add/drop under array/map elements is not "
-            "supported on the evolution_delta arrow path — read via "
-            "read_delta_snapshot"
+            f"stored arrow type {arr.type} cannot be restructured into the "
+            f"logical shape {t_json!r} on the evolution_delta arrow path — "
+            "read via read_delta_snapshot"
         )
     stored = {arr.type.field(i).name: i for i in range(arr.type.num_fields)}
     children, names = [], []

@@ -134,20 +134,89 @@ def read_puffin_dv(path, offset: int, length: int) -> np.ndarray:
     return deserialize_roaring64(vec)
 
 
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+_LZ4F_MAGIC = b"\x04\x22\x4d\x18"
+
+
+def _zstd_frame_content_size(buf: bytes) -> int | None:
+    """Decoded size from a zstd frame header (RFC 8878 §3.1.1), or None
+    when the frame omits it (pyarrow needs the exact size to decode)."""
+    fhd = buf[4]
+    fcs_code = fhd >> 6
+    single_segment = (fhd >> 5) & 1
+    did_code = fhd & 0x03
+    pos = 5 + (0 if single_segment else 1)  # window descriptor
+    pos += (0, 1, 2, 4)[did_code]           # dictionary id
+    if fcs_code == 0:
+        return buf[pos] if single_segment else None
+    n = (0, 2, 4, 8)[fcs_code]
+    val = int.from_bytes(buf[pos : pos + n], "little")
+    return val + 256 if fcs_code == 1 else val
+
+
+def _lz4_frame_content_size(buf: bytes) -> int | None:
+    """Decoded size from an LZ4 frame header when the optional
+    Content-Size field (FLG bit 3) is present, else None."""
+    return (int.from_bytes(buf[6:14], "little")
+            if (buf[4] >> 3) & 1 else None)
+
+
+def _decompress_footer_payload(payload: bytes, path) -> bytes:
+    """Decompress a Puffin footer payload (flag byte 0 bit 0 set). The
+    spec's footer codec is LZ4 (frame format); zstd-compressed footers
+    exist in the wild, so both frame magics are recognized. When the
+    frame embeds its decoded size, the decode is exact; an LZ4 frame
+    WITHOUT one decodes into a generous buffer and the JSON document's
+    own end delimits the payload (the footer is a single JSON object, so
+    ``raw_decode`` is unambiguous). Unknown codecs refuse loudly."""
+    import pyarrow as pa
+
+    if payload[:4] == _ZSTD_MAGIC:
+        codec, size = "zstd", _zstd_frame_content_size(payload)
+        if size is None:
+            raise PuffinFormatError(
+                f"{path}: zstd footer frame omits its content size — "
+                "cannot size the decode buffer; refusing"
+            )
+    elif payload[:4] == _LZ4F_MAGIC:
+        codec, size = "lz4", _lz4_frame_content_size(payload)
+    else:
+        raise PuffinFormatError(
+            f"{path}: compressed footer payload with unknown frame magic "
+            f"{payload[:4].hex()} — refusing to guess the codec"
+        )
+    if size is not None:
+        return pa.Codec(codec).decompress(
+            payload, decompressed_size=size, asbytes=True
+        )
+    # LZ4 frame without embedded size: decode into a bounded buffer and
+    # let the JSON parser delimit the single footer object
+    hint = max(1 << 20, 64 * len(payload))
+    return pa.Codec(codec).decompress(
+        payload, decompressed_size=hint, asbytes=True
+    )
+
+
 def read_puffin_footer(path) -> dict:
     """Parse a Puffin file's footer payload (blob index + file properties)
-    — the discovery path when a placement is NOT known from a manifest."""
+    — the discovery path when a placement is NOT known from a manifest.
+    Compressed footer payloads (flags bit 0) decode via
+    :func:`_decompress_footer_payload` (lz4 per spec; zstd tolerated)."""
     data = Path(path).read_bytes()
     if data[:4] != MAGIC or data[-4:] != MAGIC:
         raise PuffinFormatError(f"{path} is not a Puffin file (magic)")
     flags = data[-8:-4]
-    if flags[0] & 0x01:
-        raise PuffinFormatError(
-            f"{path}: compressed footer payload is not supported — "
-            "refusing to guess the codec"
-        )
     (payload_len,) = struct.unpack_from("<I", data, len(data) - 12)
     start = len(data) - 12 - payload_len
     if data[start - 4 : start] != MAGIC:
         raise PuffinFormatError(f"{path}: footer start magic missing")
-    return json.loads(data[start : start + payload_len].decode())
+    raw = data[start : start + payload_len]
+    if flags[0] & 0x01:
+        raw = _decompress_footer_payload(raw, path)
+        # a sized decode is exact; the unsized LZ4 path over-allocates, so
+        # parse the FIRST json document and ignore the buffer tail
+        obj, _end = json.JSONDecoder().raw_decode(
+            raw.decode("utf-8", errors="replace")
+        )
+        return obj
+    return json.loads(raw.decode())

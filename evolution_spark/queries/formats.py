@@ -3036,6 +3036,61 @@ def delta_foreign_features_read(spark, sf_dir):
     )
 
 
+def _evolve_array_element(path):
+    """Foreign-writer-style evolution of an ARRAY element struct on a
+    column-mapped table: logical rename p->pp (physicalName kept), member
+    DROP q, member ADD r (fresh physicalName, never stored) — one
+    metadata-only commit, the shape a foreign engine's nested ALTER
+    leaves behind."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    from evolution_spark.io.delta_log import _replay_log
+
+    table_dir = _Path(path)
+    _, schema_string, _, latest, state = _replay_log(
+        table_dir, return_state=True
+    )
+    sj = _json.loads(schema_string)
+    h = next(f for f in sj["fields"] if f["name"] == "h")
+    elem = h["type"]["elementType"]
+    max_id = max(
+        int(m) for m in _re_findall_ids(schema_string)
+    )
+    new_fields = []
+    for f in elem["fields"]:
+        if f["name"] == "p":
+            # a rename must PIN the stored name as the physical name —
+            # element members carry no stamped physicalName at write time
+            # (they store their logical names), so the foreign ALTER
+            # records it on the renamed field
+            meta = dict(f.get("metadata") or {})
+            meta.setdefault("delta.columnMapping.physicalName", f["name"])
+            new_fields.append(dict(f, name="pp", metadata=meta))
+        elif f["name"] == "q":
+            continue  # dropped
+        else:
+            new_fields.append(f)
+    new_fields.append({
+        "name": "r", "type": "long", "nullable": True,
+        "metadata": {"delta.columnMapping.id": max_id + 1,
+                     "delta.columnMapping.physicalName":
+                         f"col-r-{max_id + 1:x}"},
+    })
+    elem["fields"] = new_fields
+    meta = dict(state["metadata"])
+    meta["schemaString"] = _json.dumps(sj)
+    (table_dir / "_delta_log" / f"{latest + 1:020d}.json").write_text(
+        _json.dumps({"metaData": meta}) + "\n"
+    )
+
+
+def _re_findall_ids(schema_string):
+    import re as _re
+
+    return _re.findall(r'"delta.columnMapping.id":\s*(\d+)', schema_string)
+
+
 @query(
     "delta_source_nested_mapping_read",
     oracle="""
@@ -3043,7 +3098,10 @@ def delta_foreign_features_read(spark, sf_dir):
            COUNT(*) AS n_alive,
            CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
              AS bal_cents,
-           CAST(SUM(c_custkey % 97) AS BIGINT) AS tag_sum
+           CAST(SUM(c_custkey % 97) AS BIGINT) AS tag_sum,
+           CAST(SUM((c_custkey % 5) + ((c_custkey * 3) % 11)) AS BIGINT)
+             AS pp_sum,
+           CAST(0 AS BIGINT) AS r_nonnull
     FROM customer WHERE c_custkey % 11 <> 0
     GROUP BY c_mktsegment
     """,
@@ -3079,11 +3137,22 @@ def delta_source_nested_mapping_read(spark, sf_dir):
             F.col("c_mktsegment").alias("seg"),
             F.struct((F.col("c_custkey") % 97).alias("tag")).alias("inner"),
         ).alias("s"),
+        F.array(
+            F.struct((F.col("c_custkey") % 5).alias("p"),
+                     (F.col("c_custkey") % 13).alias("q")),
+            F.struct(((F.col("c_custkey") * 3) % 11).alias("p"),
+                     (F.col("c_custkey") % 17).alias("q")),
+        ).alias("h"),
     )
     tmp = query_tmp("deltasrcnested", sf_dir)
     write_delta_snapshot(c.repartition(4), tmp, column_mapping=True)
     rename_delta_column(tmp, "s.bal", "balance")
     drop_delta_column(tmp, "s.seg")
+    # round 10: the ARRAY element struct evolves too, foreign-writer
+    # style (member rename p->pp, member DROP q, member ADD r never
+    # stored) — the source's arrow reader rebuilds the element struct
+    # reusing the stored list offsets
+    _evolve_array_element(tmp)
     # re-add under a NEW physical name: existing files must NOT resurrect
     # the dropped column's stored data, new files carry the re-added one
     from pyspark.sql.types import StringType
@@ -3098,12 +3167,20 @@ def delta_source_nested_mapping_read(spark, sf_dir):
         "c_custkey",
     )
     assert dict(back.dtypes)["segment"] == "string"
+    assert "array<struct<pp:bigint,r:bigint>>" == dict(back.dtypes)["h"]
     return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n_alive"),
         F.sum(F.round(F.col("s.balance") * 100).cast("bigint")).alias(
             "bal_cents"
         ),
         F.sum("s.inner.tag").alias("tag_sum"),
+        F.sum(F.expr(
+            "aggregate(transform(h, x -> x.pp), 0L, (a, b) -> a + b)"
+        )).alias("pp_sum"),
+        F.sum(F.expr(
+            "aggregate(transform(h, x -> CASE WHEN x.r IS NULL THEN 0L "
+            "ELSE 1L END), 0L, (a, b) -> a + b)"
+        )).alias("r_nonnull"),
     )
 
 

@@ -396,13 +396,13 @@ def test_conform_view_type_shape_mismatch_returns_none():
     assert _logical_view_type(swapped, t_json) is None
 
 
-def test_conform_add_drop_under_array_refuses():
-    """Member add/drop UNDER array elements has no offsets-preserving
-    rebuild on the arrow path — must refuse, not mis-resolve."""
+def test_conform_add_drop_under_array_rebuilds():
+    """Round 10: member add/drop UNDER array elements rebuilds the child
+    struct REUSING the stored offsets (was a refusal before — see
+    test_source_member_add_drop_under_array_and_map for the end-to-end
+    leg)."""
     import pyarrow as pa
-    import pytest as _pytest
 
-    from evolution_spark.io.delta_log import DeltaProtocolError
     from evolution_spark.io.delta_source import _conform_column
 
     f_json = {
@@ -422,8 +422,130 @@ def test_conform_add_drop_under_array_refuses():
         "metadata": {},
     }
     stored = pa.array(
-        [[{"p_q": 1, "p_gone": 2}]],
+        [[{"p_q": 1, "p_gone": 2}], None, [{"p_q": 7, "p_gone": 8},
+                                           {"p_q": 9, "p_gone": 10}]],
         type=pa.list_(pa.struct([("p_q", pa.int64()), ("p_gone", pa.int64())])),
     )
-    with _pytest.raises(DeltaProtocolError, match="array/map"):
-        _conform_column(stored, f_json)
+    out = _conform_column(stored, f_json)
+    assert out.to_pylist() == [[{"q": 1}], None, [{"q": 7}, {"q": 9}]]
+
+
+def _build_container_evolved_table(spark, base):
+    """Foreign mapped table whose ARRAY/MAP element structs EVOLVED after
+    the files were written: files store arr: array<struct<col-pa, col-pb>>
+    and m: map<string, struct<col-mx>>; the logical schema renames
+    arr.element.a->alpha, DROPS arr.element.b, ADDS arr.element.c (never
+    stored), and renames m.value.x->xx. The round-10 reader rebuilds the
+    element structs REUSING the stored offsets."""
+    tmp = base / "containermap"
+    tmp.mkdir(parents=True, exist_ok=True)
+    src = spark.range(8).select(
+        F.col("id").alias("col-k"),
+        F.when(
+            F.col("id") % 4 != 3,
+            F.array(
+                F.struct((F.col("id") * 2).alias("col-pa"),
+                         F.concat(F.lit("b"), F.col("id")).alias("col-pb")),
+                F.struct((F.col("id") * 2 + 1).alias("col-pa"),
+                         F.lit("z").alias("col-pb")),
+            ),
+        ).alias("col-arr"),
+        F.create_map(
+            F.lit("m1"),
+            F.struct((F.col("id") % 3).alias("col-mx")),
+        ).alias("col-m"),
+    )
+    stage = tmp / "_stage"
+    src.coalesce(2).write.mode("overwrite").parquet(str(stage))
+    adds = []
+    for f in sorted(stage.rglob("*.parquet")):
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        os.replace(f, tmp / name)
+        adds.append({"add": {
+            "path": name, "partitionValues": {},
+            "size": (tmp / name).stat().st_size,
+            "modificationTime": 0, "dataChange": True,
+        }})
+    fields = [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-k"}},
+        {"name": "arr", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-arr"},
+         "type": {"type": "array", "containsNull": True,
+                  "elementType": {"type": "struct", "fields": [
+                      {"name": "alpha", "type": "long", "nullable": True,
+                       "metadata": {
+                           "delta.columnMapping.id": 3,
+                           "delta.columnMapping.physicalName": "col-pa"}},
+                      # "b" (col-pb) DROPPED from the logical schema;
+                      # "c" ADDED later — no stored data, nulls expected
+                      {"name": "c", "type": "long", "nullable": True,
+                       "metadata": {
+                           "delta.columnMapping.id": 5,
+                           "delta.columnMapping.physicalName": "col-pc"}},
+                  ]}}},
+        {"name": "m", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 6,
+                      "delta.columnMapping.physicalName": "col-m"},
+         "type": {"type": "map", "keyType": "string",
+                  "valueContainsNull": True,
+                  "valueType": {"type": "struct", "fields": [
+                      {"name": "xx", "type": "long", "nullable": True,
+                       "metadata": {
+                           "delta.columnMapping.id": 7,
+                           "delta.columnMapping.physicalName": "col-mx"}},
+                  ]}}},
+    ]
+    v0 = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"],
+                      "writerFeatures": ["columnMapping"]}},
+        {"metaData": {"id": str(uuid.uuid4()),
+                      "format": {"provider": "parquet"},
+                      "schemaString": json.dumps(
+                          {"type": "struct", "fields": fields}),
+                      "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "name"},
+                      "createdTime": 0}},
+    ] + adds
+    log = tmp / "_delta_log"
+    log.mkdir(exist_ok=True)
+    (log / f"{0:020d}.json").write_text(
+        "".join(json.dumps(a) + "\n" for a in v0)
+    )
+    return str(tmp)
+
+
+def test_source_member_add_drop_under_array_and_map(spark, tmp_path):
+    """Round 10: member add/drop under array/map elements rebuilds on the
+    evolution_delta arrow path (stored offsets reused) and agrees with
+    the library reader row-for-row, null arrays preserved."""
+    t = _build_container_evolved_table(spark, tmp_path)
+    lib = read_delta_snapshot(spark, t)
+    src = _mounted(spark, t)
+    # types must agree exactly; top-level field METADATA differs by design
+    # (the source keeps columnMapping metadata, the library strips it)
+    assert [(f.name, f.dataType) for f in src.schema.fields] == \
+        [(f.name, f.dataType) for f in lib.schema.fields]
+
+    def norm(df):
+        return sorted(
+            (r.k,
+             None if r.arr is None else
+             tuple((e.alpha, e.c) for e in r.arr),
+             None if r.m is None else
+             tuple(sorted((mk, mv.xx) for mk, mv in r.m.items())))
+            for r in df.collect()
+        )
+
+    got = norm(src)
+    assert got == norm(lib)
+    want = sorted(
+        (k,
+         None if k % 4 == 3 else ((k * 2, None), (k * 2 + 1, None)),
+         (("m1", k % 3),))
+        for k in range(8)
+    )
+    assert got == want

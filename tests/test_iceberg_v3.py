@@ -256,3 +256,58 @@ def test_v3_append_then_dv_delete_roundtrip(spark, tmp_path):
     append_iceberg_snapshot(_df(spark, 20).where("id >= 16"), t)
     meta2, _ = _load_metadata(Path(t))
     assert int(meta2["next-row-id"]) == 12
+
+
+# --- round 10: compressed Puffin footers ------------------------------------
+
+
+def _recompress_footer(path, codec):
+    """Rewrite a Puffin file's footer payload compressed (foreign-writer
+    shape): same blobs, flags bit 0 set."""
+    import json as _json
+    import struct as _struct
+
+    import pyarrow as pa
+
+    data = Path(path).read_bytes() if not isinstance(path, Path) else path.read_bytes()
+    (payload_len,) = _struct.unpack_from("<I", data, len(data) - 12)
+    start = len(data) - 12 - payload_len
+    payload = data[start : start + payload_len]
+    comp = pa.Codec(codec).compress(payload, asbytes=True)
+    out = (data[: start - 4] + b"PFA1" + comp
+           + _struct.pack("<I", len(comp)) + b"\x01\x00\x00\x00" + b"PFA1")
+    return out
+
+
+from pathlib import Path  # noqa: E402  (test helper)
+
+
+def test_puffin_compressed_footer_reads(tmp_path):
+    """zstd- and lz4-compressed footer payloads (flags bit 0) decode; the
+    blob index matches the uncompressed original."""
+    p = tmp_path / "dv.puffin"
+    dvs = {"data/a.parquet": [0, 5, 17], "data/b.parquet": [3]}
+    write_puffin_dv_file(p, dvs, snapshot_id=7, sequence_number=2)
+    want = read_puffin_footer(p)
+    for codec in ("zstd", "lz4"):
+        q = tmp_path / f"dv_{codec}.puffin"
+        q.write_bytes(_recompress_footer(p, codec))
+        got = read_puffin_footer(q)
+        assert got == want, codec
+
+
+def test_puffin_unknown_footer_codec_refuses(tmp_path):
+    import struct as _struct
+
+    p = tmp_path / "dv.puffin"
+    write_puffin_dv_file(p, {"f": [1]}, 1, 1)
+    data = p.read_bytes()
+    (payload_len,) = _struct.unpack_from("<I", data, len(data) - 12)
+    start = len(data) - 12 - payload_len
+    junk = b"\x99\x98\x97\x96" + b"garbage"
+    q = tmp_path / "junkc.puffin"
+    q.write_bytes(data[: start - 4] + b"PFA1" + junk
+                  + _struct.pack("<I", len(junk)) + b"\x01\x00\x00\x00"
+                  + b"PFA1")
+    with pytest.raises(PuffinFormatError, match="unknown frame magic"):
+        read_puffin_footer(q)
