@@ -138,8 +138,10 @@ def _check_reader_protocol(protocol: dict | None) -> None:
 # invariants commits valid rows and refuses violating ones. The v7
 # feature set below is the honest claim: deletionVectors (full
 # read+maintain), appendOnly and invariants (both enforced in
-# commit_delta/update paths). Anything else (generated columns, identity
-# columns, ...) stays refused via _check_writer_protocol.
+# commit_delta/update paths) and (round 10) generatedColumns — per-field
+# delta.generationExpression validated with the same staged scan.
+# Anything else (identity columns, row tracking, ...) stays refused via
+# _check_writer_protocol.
 SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
     {"deletionVectors", "appendOnly", "invariants", "columnMapping",
      "checkConstraints", "changeDataFeed", "timestampNtz", "v2Checkpoint",
@@ -544,10 +546,21 @@ def last_txn_version(path: str, app_id: str) -> int | None:
         ptr = json.loads(pointer.read_text())
         after = ptr["version"]
         # classic single/multi-part or V2 manifest — txn rows live in the
-        # manifest parts (V2 sidecars carry only file actions, spec §V2)
+        # manifest parts (V2 sidecars carry only file actions, spec §V2).
+        # Parquet parts project the txn column only: this runs per
+        # micro-batch on the streaming hot path and must not decode the
+        # full sparse action table (review r10 pass 1).
         for part in _resolve_checkpoint_files(log_dir, after,
                                               parts=ptr.get("parts")):
-            for row in _checkpoint_rows(part):
+            if part.suffix == ".json":
+                rows = _checkpoint_rows(part)
+            else:
+                import pyarrow.parquet as papq
+
+                pf = papq.ParquetFile(part)
+                rows = (papq.read_table(part, columns=["txn"]).to_pylist()
+                        if "txn" in pf.schema_arrow.names else [])
+            for row in rows:
                 t = row.get("txn")
                 if t and t["appId"] == app_id:
                     best = (t["version"] if best is None
@@ -2174,18 +2187,21 @@ def upgrade_delta_features(
     v_w = int(proto.get("minWriterVersion", 2))
     feats_r = set(proto.get("readerFeatures") or [])
     feats_w = set(proto.get("writerFeatures") or [])
-    if v_r >= 3 and v_w >= 7 and want_r <= feats_r and want_w <= feats_w:
+    # reader-side obligations implied by the request (dual features land
+    # in both sets) — computed up front so the idempotence check below
+    # also covers writer-only upgrades on (1,7)/(2,7) protocols
+    needed_r = want_r | (want_w & SUPPORTED_READER_FEATURES)
+    if v_w >= 7 and want_w <= feats_w and (
+        needed_r <= feats_r if v_r >= 3 else not needed_r
+    ):
         return {"version": None, "note": "features already declared"}
     # v3/v7 feature lists must carry every active legacy feature forward
     legacy_w = _legacy_writer_features(v_w)
     legacy_r = {"columnMapping"} if v_r == 2 else set()
-    # reader-side obligations: explicit reader requests, plus any requested
-    # writer feature that is ALSO a reader feature per the spec (e.g.
-    # deletionVectors). Writer-ONLY features (appendOnly, changeDataFeed,
-    # checkConstraints, ...) must NOT raise minReaderVersion — the spec
-    # allows minReaderVersion 1 with minWriterVersion 7, and locking
+    # Writer-ONLY features (appendOnly, changeDataFeed, checkConstraints,
+    # ...) must NOT raise minReaderVersion — the spec allows
+    # minReaderVersion 1 with minWriterVersion 7, and locking
     # feature-less readers out needlessly strands them (ADVICE r09 low).
-    needed_r = want_r | (want_w & SUPPORTED_READER_FEATURES)
     if needed_r or v_r >= 3:
         new_proto = {
             "minReaderVersion": 3,

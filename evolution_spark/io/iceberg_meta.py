@@ -2722,10 +2722,16 @@ def _commit_files_as_snapshot(
         # must PRESERVE the row ids of carried rows — a lineage-copying
         # obligation this writer does not take on, so they refuse.
         if position_deletes:
+            hint = (
+                "commit deletion vectors instead (delete_iceberg_rows_dv)"
+                if operation == "delete" else
+                f"the {operation!r} path would need to rewrite its "
+                "position deletes as deletion vectors, which is not "
+                "implemented for v3 tables"
+            )
             raise IcebergFormatError(
                 f"format-version {fv} table: parquet position-delete "
-                "files are forbidden in v3 — commit deletion vectors "
-                "instead (delete_iceberg_rows_dv)"
+                f"files are forbidden in v3 — {hint}"
             )
         if operation == "replace":
             raise IcebergFormatError(

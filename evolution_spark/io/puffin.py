@@ -138,27 +138,48 @@ _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 _LZ4F_MAGIC = b"\x04\x22\x4d\x18"
 
 
-def _zstd_frame_content_size(buf: bytes) -> int | None:
+def _zstd_frame_content_size(buf: bytes, path) -> int | None:
     """Decoded size from a zstd frame header (RFC 8878 §3.1.1), or None
-    when the frame omits it (pyarrow needs the exact size to decode)."""
-    fhd = buf[4]
-    fcs_code = fhd >> 6
-    single_segment = (fhd >> 5) & 1
-    did_code = fhd & 0x03
-    pos = 5 + (0 if single_segment else 1)  # window descriptor
-    pos += (0, 1, 2, 4)[did_code]           # dictionary id
-    if fcs_code == 0:
-        return buf[pos] if single_segment else None
-    n = (0, 2, 4, 8)[fcs_code]
-    val = int.from_bytes(buf[pos : pos + n], "little")
-    return val + 256 if fcs_code == 1 else val
+    when the frame omits it (pyarrow needs the exact size to decode).
+    Truncated headers refuse with the module's error type, never a raw
+    IndexError or a size computed from a short slice."""
+    try:
+        fhd = buf[4]
+        fcs_code = fhd >> 6
+        single_segment = (fhd >> 5) & 1
+        did_code = fhd & 0x03
+        pos = 5 + (0 if single_segment else 1)  # window descriptor
+        pos += (0, 1, 2, 4)[did_code]           # dictionary id
+        if fcs_code == 0:
+            return buf[pos] if single_segment else None
+        n = (0, 2, 4, 8)[fcs_code]
+        field = buf[pos : pos + n]
+        if len(field) != n:
+            raise IndexError
+        val = int.from_bytes(field, "little")
+        return val + 256 if fcs_code == 1 else val
+    except IndexError:
+        raise PuffinFormatError(
+            f"{path}: zstd footer frame header is truncated — refusing"
+        ) from None
 
 
-def _lz4_frame_content_size(buf: bytes) -> int | None:
+def _lz4_frame_content_size(buf: bytes, path) -> int | None:
     """Decoded size from an LZ4 frame header when the optional
-    Content-Size field (FLG bit 3) is present, else None."""
-    return (int.from_bytes(buf[6:14], "little")
-            if (buf[4] >> 3) & 1 else None)
+    Content-Size field (FLG bit 3) is present, else None. Truncated
+    headers refuse with the module's error type."""
+    if len(buf) < 7:
+        raise PuffinFormatError(
+            f"{path}: lz4 footer frame header is truncated — refusing"
+        )
+    if not (buf[4] >> 3) & 1:
+        return None
+    if len(buf) < 14:
+        raise PuffinFormatError(
+            f"{path}: lz4 footer frame content-size field is truncated — "
+            "refusing"
+        )
+    return int.from_bytes(buf[6:14], "little")
 
 
 def _decompress_footer_payload(payload: bytes, path) -> bytes:
@@ -172,29 +193,44 @@ def _decompress_footer_payload(payload: bytes, path) -> bytes:
     import pyarrow as pa
 
     if payload[:4] == _ZSTD_MAGIC:
-        codec, size = "zstd", _zstd_frame_content_size(payload)
+        codec, size = "zstd", _zstd_frame_content_size(payload, path)
         if size is None:
             raise PuffinFormatError(
                 f"{path}: zstd footer frame omits its content size — "
                 "cannot size the decode buffer; refusing"
             )
     elif payload[:4] == _LZ4F_MAGIC:
-        codec, size = "lz4", _lz4_frame_content_size(payload)
+        codec, size = "lz4", _lz4_frame_content_size(payload, path)
     else:
         raise PuffinFormatError(
             f"{path}: compressed footer payload with unknown frame magic "
             f"{payload[:4].hex()} — refusing to guess the codec"
         )
-    if size is not None:
-        return pa.Codec(codec).decompress(
-            payload, decompressed_size=size, asbytes=True
-        )
-    # LZ4 frame without embedded size: decode into a bounded buffer and
-    # let the JSON parser delimit the single footer object
-    hint = max(1 << 20, 64 * len(payload))
-    return pa.Codec(codec).decompress(
-        payload, decompressed_size=hint, asbytes=True
-    )
+    try:
+        if size is not None:
+            return pa.Codec(codec).decompress(
+                payload, decompressed_size=size, asbytes=True
+            )
+        # LZ4 frame without embedded size: decode into a bounded buffer
+        # (escalating hints for very compressible blob indexes) and let
+        # the JSON parser delimit the single footer object
+        err = None
+        for hint in (max(1 << 20, 64 * len(payload)),
+                     max(1 << 26, 4096 * len(payload))):
+            try:
+                return pa.Codec(codec).decompress(
+                    payload, decompressed_size=hint, asbytes=True
+                )
+            except Exception as ex:  # pyarrow raises codec-specific types
+                err = ex
+        raise err
+    except PuffinFormatError:
+        raise
+    except Exception as ex:
+        raise PuffinFormatError(
+            f"{path}: {codec} footer payload failed to decompress "
+            f"({ex}) — refusing a corrupt or mis-framed footer"
+        ) from None
 
 
 def read_puffin_footer(path) -> dict:

@@ -3080,6 +3080,12 @@ def _evolve_array_element(path):
     elem["fields"] = new_fields
     meta = dict(state["metadata"])
     meta["schemaString"] = _json.dumps(sj)
+    # the new member consumed an id: maxColumnId must advance in the SAME
+    # commit or the next ADD COLUMN reuses it (duplicate mapping ids —
+    # review r10 pass 1)
+    config = dict(meta.get("configuration") or {})
+    config["delta.columnMapping.maxColumnId"] = str(max_id + 1)
+    meta["configuration"] = config
     (table_dir / "_delta_log" / f"{latest + 1:020d}.json").write_text(
         _json.dumps({"metaData": meta}) + "\n"
     )

@@ -591,3 +591,20 @@ def test_reader_ignorable_features_tolerated(spark, tmp_path):
     }}) + "\n")
     with pytest.raises(DeltaProtocolError, match="typeWidening"):
         read_delta_snapshot(spark, str(t))
+
+
+def test_upgrade_writer_only_idempotent(spark, tmp_path):
+    """Re-requesting an already-declared writer-only feature on a (1,7)
+    protocol must NOT commit again (review r10 pass 1: the early return
+    previously required minReaderVersion>=3)."""
+    t = tmp_path / "up_idem"
+    write_delta_snapshot(spark.range(3).select("id"), str(t))
+    r1 = upgrade_delta_features(str(t), writer=["changeDataFeed"])
+    assert r1["version"] == 1
+    r2 = upgrade_delta_features(str(t), writer=["changeDataFeed"])
+    assert r2["version"] is None
+    # a dual feature on the same table still upgrades (reader v3 needed)
+    r3 = upgrade_delta_features(str(t), writer=["deletionVectors"])
+    assert r3["version"] == 2 and r3["protocol"]["minReaderVersion"] == 3
+    r4 = upgrade_delta_features(str(t), writer=["deletionVectors"])
+    assert r4["version"] is None
