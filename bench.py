@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     # Iceberg v3 row-lineage appends, reader-ignorable feature tolerance)
     "delta_generated_columns_enforced",
     "iceberg_v3_append",
+    "delta_identity_columns",
 ]
 
 

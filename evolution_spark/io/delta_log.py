@@ -145,7 +145,7 @@ def _check_reader_protocol(protocol: dict | None) -> None:
 SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
     {"deletionVectors", "appendOnly", "invariants", "columnMapping",
      "checkConstraints", "changeDataFeed", "timestampNtz", "v2Checkpoint",
-     "generatedColumns"}
+     "generatedColumns", "identityColumns"}
 )
 
 
@@ -173,6 +173,13 @@ def _check_writer_protocol(protocol: dict | None) -> None:
     if v == 5:
         # writer v5 adds column mapping, which every write path honors
         # (_physicalize stores physical names; DDL is mapping-aware)
+        return
+    if v == 6:
+        # writer v6 adds identity columns: commit_delta generates values
+        # past the high-water mark (or validates explicit inserts) and
+        # advances delta.identity.highWaterMark in the same commit; the
+        # unsupported shapes (MERGE/partial rewrites, identity UPDATE
+        # assignments, column-mapped identity) refuse loudly per-path
         return
     features = set(protocol.get("writerFeatures") or [])
     unsupported = sorted(features - SUPPORTED_WRITER_FEATURES)
@@ -645,6 +652,60 @@ def commit_delta(
             "append-only contract (layout-only rewrites may pass "
             "data_change=False)"
         )
+    # IDENTITY COLUMNS (writer v6 / identityColumns feature): generate
+    # values past the high-water mark when the caller omits the column;
+    # validate explicit inserts against allowExplicitInsert. The mark
+    # advances via a metaData action in this same commit (below).
+    identity = _schema_identity_columns(schema_string)
+    identity_generated: set[str] = set()
+    if identity and data_change:
+        if mapping_renames(json.loads(schema_string), config):
+            raise DeltaProtocolError(
+                "identity columns on a column-mapped table are not "
+                "supported by this writer — refusing to commit"
+            )
+        from pyspark.sql import functions as F
+
+        schema_fields = [f["name"] for f in json.loads(schema_string)["fields"]]
+        for name, ident in identity.items():
+            if name in df.columns:
+                if not ident["allow"]:
+                    raise DeltaProtocolError(
+                        f"identity column {name!r} is GENERATED ALWAYS "
+                        "(allowExplicitInsert=false): explicit values are "
+                        "forbidden"
+                        + (" — a partial rewrite (MERGE/replace) cannot "
+                           "tell carried rows from new rows needing "
+                           "generation, which this writer does not "
+                           "support" if mode == "replace" else
+                           " — omit the column and the writer assigns "
+                           "them")
+                    )
+                # allowExplicitInsert=true: provided values are legal on
+                # every shape (incl. MERGE carried rows); the high-water
+                # mark syncs below when they exceed it
+            elif mode == "replace":
+                raise DeltaProtocolError(
+                    f"identity column {name!r} is absent from a partial "
+                    "rewrite (MERGE/replace) — generating here would "
+                    "reassign carried rows' values; refusing to commit"
+                )
+            else:
+                identity_generated.add(name)
+                base = (ident["high"] if ident["high"] is not None
+                        else ident["start"] - ident["step"])
+                # monotonically_increasing_id: unique non-negative k per
+                # row with NO shuffle; identity values need not be dense,
+                # only unique, beyond the mark, and start + k*step-aligned
+                df = df.withColumn(
+                    name,
+                    F.lit(base)
+                    + (F.monotonically_increasing_id() + 1)
+                    * F.lit(ident["step"]),
+                )
+        if identity_generated:
+            df = df.select(*schema_fields)
+
     stored = StructType.fromJson(json.loads(schema_string))
     # names+types must match; nullability is deliberately NOT compared —
     # Spark cannot statically prove non-nullness through outer joins (a
@@ -735,6 +796,12 @@ def commit_delta(
             stage, table_dir, version, now_ms, data_change
         )
         actions.extend(add_actions)
+        if identity and data_change:
+            hwm_meta = _identity_hwm_metadata(
+                add_actions, identity, identity_generated, repl_state
+            )
+            if hwm_meta is not None:
+                actions.append({"metaData": hwm_meta})
         if cdc_df is not None and _cdf_enabled(config):
             # caller-supplied row-level change set (MERGE): lands as CDF
             # sidecars in this same commit, with the changeDataFeed
@@ -2416,6 +2483,14 @@ def update_delta_rows(
     unknown = sorted(set(set_exprs) - {f.name for f in stored_schema.fields})
     if unknown:
         raise ValueError(f"set_exprs reference unknown columns: {unknown}")
+    ident_assigned = sorted(
+        set(set_exprs) & set(_schema_identity_columns(schema_string))
+    )
+    if ident_assigned:
+        raise DeltaProtocolError(
+            f"UPDATE must not assign identity columns {ident_assigned} — "
+            "their values are writer-managed (high-water-mark contract)"
+        )
 
     config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
     schema_json = json.loads(schema_string)
@@ -3786,6 +3861,105 @@ def _schema_generated_columns(schema_string: str | None) -> dict[str, str]:
 
     walk(json.loads(schema_string)["fields"], "", False)
     return out
+
+
+def _schema_identity_columns(schema_string: str | None) -> dict[str, dict]:
+    """{column: {start, step, high, allow}} for every IDENTITY column in
+    the schema (Delta PROTOCOL.md 'Identity Columns': per-field metadata
+    ``delta.identity.start`` / ``step`` / ``highWaterMark`` /
+    ``allowExplicitInsert``). Top-level only — the DDL surface that
+    creates them cannot nest; a nested occurrence refuses rather than
+    silently skipping the obligation."""
+    if not schema_string or '"delta.identity.' not in schema_string:
+        return {}
+    sj = json.loads(schema_string)
+    out: dict[str, dict] = {}
+    for f in sj["fields"]:
+        meta = f.get("metadata") or {}
+        if not any(k.startswith("delta.identity.") for k in meta):
+            continue
+        try:
+            out[f["name"]] = {
+                "start": int(meta.get("delta.identity.start", 1)),
+                "step": int(meta["delta.identity.step"]),
+                "high": (int(meta["delta.identity.highWaterMark"])
+                         if "delta.identity.highWaterMark" in meta else None),
+                "allow": str(meta.get("delta.identity.allowExplicitInsert",
+                                       False)).lower() == "true",
+            }
+        except (KeyError, ValueError, TypeError) as ex:
+            raise DeltaProtocolError(
+                f"field {f['name']!r} carries an unparseable identity "
+                f"document ({dict(meta)}): {ex} — refusing to write"
+            ) from None
+        if out[f["name"]]["step"] == 0:
+            raise DeltaProtocolError(
+                f"identity column {f['name']!r} declares step=0 — refusing"
+            )
+    # nested occurrences: refuse (the flat walk above only reads
+    # top-level metadata, so probe the raw string beyond those fields)
+    flat_hits = sum(
+        1 for f in sj["fields"]
+        if any(k.startswith("delta.identity.")
+               for k in (f.get("metadata") or {}))
+    )
+    if schema_string.count('"delta.identity.step"') > flat_hits:
+        raise DeltaProtocolError(
+            "identity metadata on a NESTED field — this writer cannot "
+            "honor nested identity columns; refusing to write"
+        )
+    return out
+
+
+def _identity_hwm_metadata(
+    add_actions: list[dict], identity: dict[str, dict],
+    generated: set[str], repl_state: dict,
+) -> dict | None:
+    """Updated metaData action advancing ``delta.identity.highWaterMark``
+    for the identity values this commit assigned or (explicit inserts)
+    exceeded — the spec requires the mark to move in the SAME commit, or
+    a crash between commits would let the next writer re-assign ids.
+    Driver-side: reads the add actions' footer stats, touches no data."""
+    new_high: dict[str, int] = {}
+    for name, spec_ in identity.items():
+        step, cur = spec_["step"], spec_["high"]
+        extreme: int | None = None
+        for a in add_actions:
+            st = json.loads(a["add"].get("stats") or "{}")
+            v = (st.get("maxValues") if step > 0 else st.get("minValues")
+                 ) or {}
+            if name in v:
+                x = int(v[name])
+                extreme = x if extreme is None else (
+                    max(extreme, x) if step > 0 else min(extreme, x)
+                )
+        if extreme is None:
+            if name in generated and any(
+                json.loads(a["add"].get("stats") or "{}").get("numRecords")
+                for a in add_actions
+            ):
+                raise DeltaProtocolError(
+                    f"identity column {name!r}: generated values produced "
+                    "no footer statistics — cannot advance the high-water "
+                    "mark safely; aborting the commit"
+                )
+            continue
+        beyond = (extreme > (cur if cur is not None else extreme - 1)
+                  if step > 0 else
+                  extreme < (cur if cur is not None else extreme + 1))
+        if beyond:
+            new_high[name] = extreme
+    if not new_high:
+        return None
+    meta = dict(repl_state["metadata"])
+    sj = json.loads(meta["schemaString"])
+    for f in sj["fields"]:
+        if f["name"] in new_high:
+            fm = dict(f.get("metadata") or {})
+            fm["delta.identity.highWaterMark"] = new_high[f["name"]]
+            f["metadata"] = fm
+    meta["schemaString"] = json.dumps(sj)
+    return meta
 
 
 def _refuse_constrained_column(config: dict, col: str, what: str) -> None:

@@ -914,6 +914,17 @@ def _commit_shards(
             "evolution_delta sink cannot validate them — append with "
             "commit_delta instead"
         )
+    from evolution_spark.io.delta_log import _schema_identity_columns
+
+    ident = _schema_identity_columns(schema_string)
+    if ident:
+        # the sink cannot generate values past the high-water mark nor
+        # advance it atomically — refuse toward commit_delta
+        raise RuntimeError(
+            f"table declares identity columns {sorted(ident)}; the "
+            "evolution_delta sink cannot manage their high-water mark — "
+            "append with commit_delta instead"
+        )
     generated = _schema_generated_columns(schema_string)
     if generated:
         # same row-level obligation as invariants (writer v4 /

@@ -3460,3 +3460,104 @@ def iceberg_v3_append(spark, sf_dir):
         ),
         F.max("c_custkey").alias("max_key"),
     )
+
+
+@query(
+    "delta_identity_columns",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           COUNT(*) AS n_uid_distinct,
+           CAST(0 AS BIGINT) AS misaligned,
+           CAST(0 AS BIGINT) AS below_mark,
+           1 AS refusals
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def delta_identity_columns(spark, sf_dir):
+    """IDENTITY COLUMNS managed at commit (Delta PROTOCOL.md 'Identity
+    Columns', writer v6 / the v7 ``identityColumns`` feature — round 10;
+    the last writer feature this engine refused): a hand-aged table
+    carries ``delta.identity.start=10, step=10, highWaterMark,
+    allowExplicitInsert=false`` on ``uid``. An append that OMITS the
+    column gets writer-assigned values — unique, strictly beyond the high
+    water mark, and start+k*step aligned (all three properties checked in
+    the returned aggregation: ``n_uid_distinct`` must equal ``n_rows``,
+    ``misaligned`` and ``below_mark`` must be 0) — and the mark advances
+    via a metaData action in the SAME commit, so a crash between commits
+    can never reassign ids. An explicit insert REFUSES (GENERATED ALWAYS;
+    pinned as ``refusals``). Scale: generation is
+    ``monotonically_increasing_id``-based — zero shuffle, values sparse
+    but spec-legal (uniqueness + alignment, not density); the mark update
+    is driver-side footer-stats arithmetic. Ref parity:
+    crates/evolution-target (Delta target is ``todo!()`` in the
+    reference)."""
+    import json
+    from pathlib import Path
+
+    from evolution_spark.io.delta_log import (
+        DeltaProtocolError,
+        _replay_log,
+        commit_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    even = c.where(F.col("c_custkey") % 2 == 0)
+    odd = c.where(F.col("c_custkey") % 2 == 1)
+    hwm = even.agg(F.max(F.col("c_custkey") * 10)).collect()[0][0]
+    path = query_tmp("deltaident", sf_dir)
+    write_delta_snapshot(
+        even.select((F.col("c_custkey") * 10).alias("uid"),
+                    F.col("c_custkey").alias("k"), "c_mktsegment"),
+        path,
+    )
+    log = Path(path) / "_delta_log"
+    v0 = log / f"{0:020d}.json"
+    lines = []
+    for ln in v0.read_text().splitlines():
+        a = json.loads(ln)
+        if "metaData" in a:
+            sj = json.loads(a["metaData"]["schemaString"])
+            for f in sj["fields"]:
+                if f["name"] == "uid":
+                    f["metadata"] = {
+                        "delta.identity.start": 10,
+                        "delta.identity.step": 10,
+                        "delta.identity.highWaterMark": int(hwm),
+                        "delta.identity.allowExplicitInsert": False,
+                    }
+            a["metaData"]["schemaString"] = json.dumps(sj)
+        lines.append(json.dumps(a))
+    v0.write_text("\n".join(lines) + "\n")
+    # generated append: the writer assigns uid (column omitted)
+    commit_delta(
+        odd.select(F.col("c_custkey").alias("k"), "c_mktsegment"),
+        path, mode="append",
+    )
+    refusals = 0
+    try:
+        commit_delta(
+            odd.limit(5).select(F.lit(99999).cast("long").alias("uid"),
+                                F.col("c_custkey").alias("k"),
+                                "c_mktsegment"),
+            path, mode="append",
+        )
+    except DeltaProtocolError:
+        refusals = 1
+    # the mark advanced in the generated commit
+    _, ss, _, _, _ = _replay_log(Path(path), return_state=True)
+    f = next(f for f in json.loads(ss)["fields"] if f["name"] == "uid")
+    assert f["metadata"]["delta.identity.highWaterMark"] > int(hwm)
+    back = read_delta_snapshot(spark, path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("uid").alias("n_uid_distinct"),
+        F.sum(((F.col("uid") % 10) != 0).cast("bigint")).alias("misaligned"),
+        F.sum(((F.col("k") % 2 == 1) & (F.col("uid") <= F.lit(int(hwm))))
+              .cast("bigint")).alias("below_mark"),
+        F.lit(refusals).alias("refusals"),
+    )

@@ -1429,9 +1429,11 @@ def test_avro_jvm_routing_gate(spark, tmp_path):
 
 def test_delta_writer_protocol_guard(spark, tmp_path):
     """Writer obligation: refuse to commit to a table whose protocol
-    demands writer capabilities we don't implement (e.g. CHECK
-    constraints at minWriterVersion 4+) — reading stays allowed when the
-    reader version is satisfied."""
+    demands writer capabilities we don't implement — reading stays
+    allowed when the reader version is satisfied. Round 10 made every
+    legacy writer version (2-6) writable (invariants/CHECK/CDF/generated/
+    mapping/identity all enforced), so the refusal surface is v7 with an
+    unknown feature and future version numbers."""
     import json as _json
     import pathlib
 
@@ -1455,10 +1457,25 @@ def test_delta_writer_protocol_guard(spark, tmp_path):
         _json.dumps({"protocol": {"minReaderVersion": 1,
                                   "minWriterVersion": 4}}) + "\n"
     )
-    # reads still fine (reader v1), writes refused
+    # v4 (CDF + generated columns era) is writable since round 10
     assert read_delta_snapshot(spark, path).count() == 13
-    with pytest.raises(DeltaProtocolError, match="minWriterVersion=4"):
-        commit_delta(df.where("k >= 8"), path, mode="append")
+    commit_delta(df.where("k >= 8"), path, mode="append")
+    assert read_delta_snapshot(spark, path).count() == 15
+
+    # v7 with an unknown writer feature refuses; so does a future version
+    (log / f"{4:020d}.json").write_text(
+        _json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["someFutureFeature"]}}) + "\n"
+    )
+    with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
+        commit_delta(df.where("k < 2"), path, mode="append")
+    (log / f"{4:020d}.json").write_text(
+        _json.dumps({"protocol": {"minReaderVersion": 1,
+                                  "minWriterVersion": 8}}) + "\n"
+    )
+    with pytest.raises(DeltaProtocolError, match="minWriterVersion=8"):
+        commit_delta(df.where("k < 2"), path, mode="append")
 
 
 def test_iceberg_expire_aborts_before_deleting_on_race(spark, tmp_path):

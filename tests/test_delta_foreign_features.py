@@ -524,10 +524,13 @@ def test_generated_column_v4_protocol_now_writable(spark, tmp_path):
     with pytest.raises(DeltaProtocolError, match="generated column"):
         commit_delta(_gen_rows(spark, 8, 9, cents_of=lambda c: c + 1),
                      str(t), mode="append")
+    # v6 became writable when identity columns landed (same round); the
+    # remaining refusal surface is v7 with an unknown writer feature
     (log / f"{3:020d}.json").write_text(json.dumps(
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}}
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["someFutureFeature"]}}
     ) + "\n")
-    with pytest.raises(DeltaProtocolError, match="minWriterVersion=6"):
+    with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
         commit_delta(_gen_rows(spark, 8, 9), str(t), mode="append")
 
 
@@ -608,3 +611,150 @@ def test_upgrade_writer_only_idempotent(spark, tmp_path):
     assert r3["version"] == 2 and r3["protocol"]["minReaderVersion"] == 3
     r4 = upgrade_delta_features(str(t), writer=["deletionVectors"])
     assert r4["version"] is None
+
+
+# ---------------------------------------------------------------- round 10
+# Identity columns (PROTOCOL.md 'Identity Columns'): per-field
+# delta.identity.start/step/highWaterMark/allowExplicitInsert — the writer
+# generates values past the mark and advances it in the SAME commit.
+
+
+def _identity_table(spark, t, start=100, step=10, allow=False, hwm=None):
+    df = spark.range(1, 4).select(
+        (F.lit(start) + (F.col("id") - 1) * F.lit(step)).alias("uid"),
+        F.col("id").alias("k"),
+    )
+    write_delta_snapshot(df, str(t))
+    log = t / "_delta_log"
+    v0 = log / f"{0:020d}.json"
+    lines = []
+    meta = {
+        "delta.identity.start": start,
+        "delta.identity.step": step,
+        "delta.identity.allowExplicitInsert": allow,
+    }
+    if hwm is not None:
+        meta["delta.identity.highWaterMark"] = hwm
+    for ln in v0.read_text().splitlines():
+        a = json.loads(ln)
+        if "metaData" in a:
+            sj = json.loads(a["metaData"]["schemaString"])
+            for f in sj["fields"]:
+                if f["name"] == "uid":
+                    f["metadata"] = meta
+            a["metaData"]["schemaString"] = json.dumps(sj)
+        lines.append(json.dumps(a))
+    v0.write_text("\n".join(lines) + "\n")
+
+
+def _hwm_of(t):
+    from evolution_spark.io.delta_log import _replay_log
+
+    _, ss, _, _, _ = _replay_log(t, return_state=True)
+    f = next(f for f in json.loads(ss)["fields"] if f["name"] == "uid")
+    return (f.get("metadata") or {}).get("delta.identity.highWaterMark")
+
+
+def test_identity_generates_past_high_water_mark(spark, tmp_path):
+    t = tmp_path / "ident_gen"
+    _identity_table(spark, t, start=100, step=10, hwm=120)
+    # caller omits the identity column: the writer assigns values
+    commit_delta(spark.range(4, 9).select(F.col("id").alias("k")),
+                 str(t), mode="append")
+    back = read_delta_snapshot(spark, str(t))
+    rows = {(r.k, r.uid) for r in back.collect()}
+    assert len(rows) == 8
+    uids = [u for _, u in rows]
+    assert len(set(uids)) == 8  # unique
+    new = sorted(u for k, u in rows if k >= 4)
+    assert all(u > 120 for u in new)                 # beyond the mark
+    assert all((u - 100) % 10 == 0 for u in new)     # start + k*step aligned
+    # the mark advanced in the SAME commit to the max assigned
+    assert _hwm_of(t) == max(new)
+    # a second generated append starts past the new mark
+    commit_delta(spark.range(9, 12).select(F.col("id").alias("k")),
+                 str(t), mode="append")
+    back2 = read_delta_snapshot(spark, str(t))
+    assert back2.count() == 11
+    assert back2.select("uid").distinct().count() == 11
+    assert _hwm_of(t) > max(new)
+
+
+def test_identity_generated_always_refuses_explicit(spark, tmp_path):
+    t = tmp_path / "ident_always"
+    _identity_table(spark, t, allow=False, hwm=120)
+    with pytest.raises(DeltaProtocolError, match="GENERATED ALWAYS"):
+        commit_delta(
+            spark.range(4, 6).select(F.lit(999).alias("uid"),
+                                     F.col("id").alias("k")),
+            str(t), mode="append",
+        )
+    assert read_delta_snapshot(spark, str(t)).count() == 3
+
+
+def test_identity_explicit_insert_syncs_mark(spark, tmp_path):
+    t = tmp_path / "ident_explicit"
+    _identity_table(spark, t, allow=True, hwm=120)
+    commit_delta(
+        spark.range(4, 6).select((F.lit(500) + F.col("id")).alias("uid"),
+                                 F.col("id").alias("k")),
+        str(t), mode="append",
+    )
+    assert _hwm_of(t) == 505  # explicit values beyond the mark sync it
+    # explicit values BELOW the mark leave it untouched
+    commit_delta(
+        spark.range(6, 7).select(F.lit(130).cast("long").alias("uid"),
+                                 F.col("id").alias("k")),
+        str(t), mode="append",
+    )
+    assert _hwm_of(t) == 505
+    # generation still works afterwards and lands past 505
+    commit_delta(spark.range(7, 9).select(F.col("id").alias("k")),
+                 str(t), mode="append")
+    back = read_delta_snapshot(spark, str(t))
+    gen = [r.uid for r in back.where("k >= 7").collect()]
+    assert all(u > 505 for u in gen)
+
+
+def test_identity_update_and_merge_refuse(spark, tmp_path):
+    from evolution_spark.io.delta_log import (
+        merge_delta_cdc,
+        update_delta_rows,
+    )
+
+    t = tmp_path / "ident_dml"
+    _identity_table(spark, t, allow=True, hwm=120)
+    with pytest.raises(DeltaProtocolError, match="identity columns"):
+        update_delta_rows(spark, str(t), "k = 1", {"uid": "1"})
+    # non-identity UPDATE assignments pass (values carried, mark untouched)
+    update_delta_rows(spark, str(t), "k = 1", {"k": "50"})
+    assert _hwm_of(t) == 120
+    # MERGE with allowExplicitInsert=true: all values explicit -> legal,
+    # and the inserted value beyond the mark syncs it
+    ch = spark.range(1).select(F.lit(700).cast("long").alias("uid"),
+                               F.lit(60).cast("long").alias("k"),
+                               F.lit("u").alias("_op"))
+    merge_delta_cdc(spark, str(t), ch, key="uid")
+    assert _hwm_of(t) == 700
+    # MERGE on a GENERATED ALWAYS identity table refuses (carried rows
+    # are indistinguishable from rows needing generation)
+    t2 = tmp_path / "ident_dml_always"
+    _identity_table(spark, t2, allow=False, hwm=120)
+    with pytest.raises(DeltaProtocolError, match="GENERATED ALWAYS"):
+        merge_delta_cdc(spark, str(t2), ch, key="uid")
+
+
+def test_identity_v6_protocol_now_writable(spark, tmp_path):
+    t = tmp_path / "ident_v6"
+    _identity_table(spark, t, hwm=120)
+    log = t / "_delta_log"
+    (log / f"{1:020d}.json").write_text(json.dumps(
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}}
+    ) + "\n")
+    commit_delta(spark.range(4, 6).select(F.col("id").alias("k")),
+                 str(t), mode="append")
+    assert read_delta_snapshot(spark, str(t)).count() == 5
+    r = upgrade_delta_features(str(t), writer=["appendOnly"])
+    feats = set(r["protocol"]["writerFeatures"])
+    assert {"identityColumns", "changeDataFeed", "generatedColumns",
+            "columnMapping", "checkConstraints"} <= feats  # v6 legacy carry

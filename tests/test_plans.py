@@ -881,3 +881,13 @@ def test_generated_columns_read_is_plain_scan(spark, sf_dir):
     assert "Python" not in plan
     agg_free = plan.split("HashAggregate")[0]
     assert "Join" not in agg_free
+
+
+def test_identity_read_is_plain_scan(spark, sf_dir):
+    """Round 10: identity generation is commit-time (zero-shuffle
+    monotonically_increasing_id) and the mark update is driver-side — the
+    returned read plan is plain scans + the query's own aggregate."""
+    plan = plan_of(spark, sf_dir, "delta_identity_columns")
+    assert "Python" not in plan
+    agg_free = plan.split("HashAggregate")[0]
+    assert "Join" not in agg_free
