@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "delta_generated_columns_enforced",
     "iceberg_v3_append",
     "delta_identity_columns",
+    "delta_type_widening_read",
 ]
 
 

@@ -68,8 +68,65 @@ PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 # version gates — type widening etc. — would be silently WRONG if
 # ignored, so the spec's forward-compat obligation is to refuse loudly.
 SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
-    {"deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint"}
+    {"deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint",
+     "typeWidening", "typeWidening-preview"}
 )
+
+# Type-widening conversions this reader PROVABLY performs (Spark 4's
+# parquet vectorized reader decodes the narrow stored type under the
+# widened read schema for exactly these; int->double, int->decimal and
+# long->decimal raise PARQUET_COLUMN_DATA_TYPE_MISMATCH and must REFUSE
+# at the metadata level rather than fail mid-scan or read wrong).
+# Decimal->wider-decimal is validated structurally (precision AND scale
+# AND integral digits must not shrink).
+_WIDENING_OK: frozenset[tuple[str, str]] = frozenset({
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+    ("date", "timestamp_ntz"),
+})
+
+
+def _validate_type_widening(schema_string: str | None) -> None:
+    """Refuse ``delta.typeChanges`` documents whose conversions this
+    reader cannot perform (typeWidening feature, PROTOCOL.md 'Type
+    Widening'): a supported-looking read of an unsupported pair would
+    fail mid-scan per file — or worse, a future Spark could decode it
+    differently than the spec requires."""
+    if not schema_string or '"delta.typeChanges"' not in schema_string:
+        return
+    import re as _re
+
+    def dec(t):
+        m = _re.fullmatch(r"decimal\((\d+),\s*(-?\d+)\)", str(t))
+        return (int(m.group(1)), int(m.group(2))) if m else None
+
+    def walk(fields):
+        for f in fields:
+            for ch in (f.get("metadata") or {}).get("delta.typeChanges", []):
+                frm, to = str(ch.get("fromType")), str(ch.get("toType"))
+                if (frm, to) in _WIDENING_OK:
+                    continue
+                df_, dt_ = dec(frm), dec(to)
+                if (df_ and dt_ and dt_[0] >= df_[0] and dt_[1] >= df_[1]
+                        and dt_[0] - dt_[1] >= df_[0] - df_[1]):
+                    continue
+                raise DeltaProtocolError(
+                    f"field {f['name']!r} records a type widening "
+                    f"{frm} -> {to} this reader cannot perform — "
+                    "refusing to read rather than failing per file "
+                    "(supported: integer-to-wider-integer, float->double, "
+                    "date->timestamp_ntz, decimal precision/scale growth)"
+                )
+            t = f.get("type")
+            while isinstance(t, dict):
+                if t.get("type") == "struct":
+                    walk(t["fields"])
+                    break
+                t = t.get("elementType") or t.get("valueType")
+
+    walk(json.loads(schema_string)["fields"])
 
 # Reader-IGNORABLE features (PROTOCOL.md): these appear in readerFeatures
 # of modern foreign tables but carry no obligation for a plain batch read
@@ -145,7 +202,8 @@ def _check_reader_protocol(protocol: dict | None) -> None:
 SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
     {"deletionVectors", "appendOnly", "invariants", "columnMapping",
      "checkConstraints", "changeDataFeed", "timestampNtz", "v2Checkpoint",
-     "generatedColumns", "identityColumns"}
+     "generatedColumns", "identityColumns", "typeWidening",
+     "typeWidening-preview"}
 )
 
 
@@ -248,13 +306,19 @@ def _file_stats(pq_file) -> dict:
             name = col.path_in_schema
             if "." in name:
                 continue  # nested: not a top-level prune target
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                st = col.statistics
+                has = st is not None and st.has_min_max
+                lo, hi = (st.min, st.max) if has else (None, None)
+            except Exception:
+                # pyarrow cannot extract stats for some physical types
+                # (e.g. fixed-len decimal): omit, never fail the commit
+                has = False
+            if not has:
                 mins.pop(name, None)
                 maxs.pop(name, None)
                 ok.discard(name)
                 continue
-            lo, hi = st.min, st.max
             if isinstance(lo, bytes):
                 try:
                     lo, hi = lo.decode(), hi.decode()
@@ -530,6 +594,7 @@ def _replay_log(
         for line in (log_dir / f"{v:020d}.json").read_text().splitlines():
             _fold_action(json.loads(line), live, state)
     _check_reader_protocol(state.get("protocol"))
+    _validate_type_widening(state.get("schema_string"))
     out = (live, state.get("schema_string"), state.get("part_cols", []), target)
     return out + (state,) if return_state else out
 
@@ -1767,6 +1832,7 @@ def table_changes(
     # resolve column-mapped tables under their PHYSICAL schema, aliasing
     # back to logical names at the end)
     _check_reader_protocol(state.get("protocol"))
+    _validate_type_widening(state.get("schema_string"))
     config = dict((state.get("metadata") or {}).get("configuration") or {})
     schema_json = json.loads(state["schema_string"])
     mode = mapping_mode(config)
@@ -3246,6 +3312,7 @@ def read_checkpoint_state(
     # any post-checkpoint protocol-upgrade commit) — a foreign writer that
     # upgraded the table after our checkpoint still gets refused.
     _check_reader_protocol(state.get("protocol"))
+    _validate_type_widening(state.get("schema_string"))
     out = (live, state["schema_string"], state["part_cols"], latest)
     return out + (state,) if return_state else out
 

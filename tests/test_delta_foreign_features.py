@@ -101,8 +101,8 @@ def test_upgrade_features_idempotent_and_guarded(spark, tmp_path):
         str(t), reader=["v2Checkpoint"], writer=["v2Checkpoint"]
     )
     assert r2["version"] is None  # already declared: no new commit
-    with pytest.raises(DeltaProtocolError, match="typeWidening"):
-        upgrade_delta_features(str(t), reader=["typeWidening"])
+    with pytest.raises(DeltaProtocolError, match="variantType"):
+        upgrade_delta_features(str(t), reader=["variantType"])
 
 
 def test_v2_checkpoint_refused_without_feature(spark, tmp_path):
@@ -569,7 +569,7 @@ def test_generated_column_feature_upgrade_and_element_refusal(spark, tmp_path):
 def test_reader_ignorable_features_tolerated(spark, tmp_path):
     """rowTracking / domainMetadata / vacuumProtocolCheck in a foreign
     table's readerFeatures carry no batch-read obligation — reads
-    proceed; typeWidening (NOT ignorable: values would decode wrong)
+    proceed; variantType (NOT ignorable: values would not decode)
     still refuses, and WRITES to the table still refuse (maintaining row
     tracking is a writer obligation this engine does not take on)."""
     t = tmp_path / "ignorable"
@@ -589,10 +589,10 @@ def test_reader_ignorable_features_tolerated(spark, tmp_path):
         commit_delta(spark.range(7, 9).select("id"), str(t), mode="append")
     (log / f"{2:020d}.json").write_text(json.dumps({"protocol": {
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["rowTracking", "typeWidening"],
-        "writerFeatures": ["rowTracking", "typeWidening"],
+        "readerFeatures": ["rowTracking", "variantType"],
+        "writerFeatures": ["rowTracking", "variantType"],
     }}) + "\n")
-    with pytest.raises(DeltaProtocolError, match="typeWidening"):
+    with pytest.raises(DeltaProtocolError, match="variantType"):
         read_delta_snapshot(spark, str(t))
 
 
@@ -758,3 +758,89 @@ def test_identity_v6_protocol_now_writable(spark, tmp_path):
     feats = set(r["protocol"]["writerFeatures"])
     assert {"identityColumns", "changeDataFeed", "generatedColumns",
             "columnMapping", "checkConstraints"} <= feats  # v6 legacy carry
+
+
+# ---------------------------------------------------------------- round 10
+# typeWidening reads: files stored under NARROWER types than the current
+# schema (PROTOCOL.md 'Type Widening' — delta.typeChanges metadata).
+
+
+def _widened_table(spark, t, changes=None):
+    """int-era files, then a foreign widening ALTER: k int->long,
+    f float->double, d decimal(5,2)->decimal(10,2)."""
+    df = spark.range(1, 7).selectExpr(
+        "cast(id as int) k",
+        "cast(id * 1.5 as float) f",
+        "cast(cast(id as decimal(5,2)) as decimal(5,2)) d",
+    )
+    write_delta_snapshot(df, str(t))
+    log = t / "_delta_log"
+    v0 = (log / f"{0:020d}.json").read_text().splitlines()
+    meta = next(json.loads(l) for l in v0 if "metaData" in l)
+    sj = json.loads(meta["metaData"]["schemaString"])
+    widen = changes or {
+        "k": ("long", [{"fromType": "integer", "toType": "long",
+                        "tableVersion": 1}]),
+        "f": ("double", [{"fromType": "float", "toType": "double",
+                          "tableVersion": 1}]),
+        "d": ("decimal(10,2)", [{"fromType": "decimal(5,2)",
+                                 "toType": "decimal(10,2)",
+                                 "tableVersion": 1}]),
+    }
+    for f in sj["fields"]:
+        if f["name"] in widen:
+            to, ch = widen[f["name"]]
+            f["type"] = to
+            f["metadata"] = {"delta.typeChanges": ch}
+    meta["metaData"]["schemaString"] = json.dumps(sj)
+    (log / f"{1:020d}.json").write_text(
+        json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["typeWidening"],
+            "writerFeatures": ["typeWidening"]}}) + "\n"
+        + json.dumps(meta) + "\n"
+    )
+
+
+def test_type_widening_read_and_append(spark, tmp_path):
+    """Narrow-stored files decode under the widened schema (Spark 4's
+    parquet reader performs the spec conversions natively); appends to
+    the widened table write the CURRENT types and read back mixed."""
+    t = tmp_path / "widen"
+    _widened_table(spark, t)
+    back = read_delta_snapshot(spark, str(t))
+    assert dict(back.dtypes) == {"k": "bigint", "f": "double",
+                                 "d": "decimal(10,2)"}
+    assert {r.k for r in back.collect()} == set(range(1, 7))
+    # append under the current (wide) schema: mixed-width files coexist
+    commit_delta(
+        spark.range(7, 9).selectExpr(
+            "cast(id as long) k", "cast(id * 1.5 as double) f",
+            "cast(id as decimal(10,2)) d"),
+        str(t), mode="append",
+    )
+    back2 = read_delta_snapshot(spark, str(t))
+    assert back2.count() == 8
+    assert float(back2.where("k = 7").collect()[0].f) == 10.5
+
+
+def test_type_widening_unsupported_conversion_refuses(spark, tmp_path):
+    """int->double is NOT performed by the parquet reader
+    (PARQUET_COLUMN_DATA_TYPE_MISMATCH mid-scan) — the metadata-level
+    guard must refuse up front, naming the pair."""
+    t = tmp_path / "widen_bad"
+    _widened_table(spark, t, changes={
+        "k": ("double", [{"fromType": "integer", "toType": "double",
+                          "tableVersion": 1}]),
+    })
+    with pytest.raises(DeltaProtocolError, match="integer -> double"):
+        read_delta_snapshot(spark, str(t))
+    # decimal that shrinks integral digits refuses too
+    t2 = tmp_path / "widen_bad2"
+    _widened_table(spark, t2, changes={
+        "d": ("decimal(6,4)", [{"fromType": "decimal(5,2)",
+                                "toType": "decimal(6,4)",
+                                "tableVersion": 1}]),
+    })
+    with pytest.raises(DeltaProtocolError, match="decimal"):
+        read_delta_snapshot(spark, str(t2))

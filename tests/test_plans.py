@@ -891,3 +891,13 @@ def test_identity_read_is_plain_scan(spark, sf_dir):
     assert "Python" not in plan
     agg_free = plan.split("HashAggregate")[0]
     assert "Join" not in agg_free
+
+
+def test_type_widening_read_is_plain_scan(spark, sf_dir):
+    """Round 10: the parquet reader performs the widening conversions
+    natively — mixed-width files read as plain scans, no Python, no
+    join, no per-file cast stage."""
+    plan = plan_of(spark, sf_dir, "delta_type_widening_read")
+    assert "Python" not in plan
+    agg_free = plan.split("HashAggregate")[0]
+    assert "Join" not in agg_free
