@@ -119,12 +119,18 @@ def _validate_type_widening(schema_string: str | None) -> None:
                     "(supported: integer-to-wider-integer, float->double, "
                     "date->timestamp_ntz, decimal precision/scale growth)"
                 )
-            t = f.get("type")
-            while isinstance(t, dict):
+            stack = [f.get("type")]
+            while stack:
+                t = stack.pop()
+                if not isinstance(t, dict):
+                    continue
                 if t.get("type") == "struct":
                     walk(t["fields"])
-                    break
-                t = t.get("elementType") or t.get("valueType")
+                elif t.get("type") == "array":
+                    stack.append(t.get("elementType"))
+                elif t.get("type") == "map":
+                    stack.append(t.get("keyType"))
+                    stack.append(t.get("valueType"))
 
     walk(json.loads(schema_string)["fields"])
 
@@ -246,10 +252,10 @@ def _check_writer_protocol(protocol: dict | None) -> None:
     raise DeltaProtocolError(
         f"table requires minWriterVersion={v}"
         + (f" with writer features {unsupported}" if unsupported else "")
-        + "; this writer implements versions 1-5 and 7 — refusing to "
-        "commit rather than silently violating protocol obligations "
-        "(e.g. identity-column high-water marks, deletion-vector "
-        "maintenance)"
+        + "; this writer implements versions 1-7 (v7 features: "
+        f"{sorted(SUPPORTED_WRITER_FEATURES)}) — refusing to commit "
+        "rather than silently violating protocol obligations of a "
+        "feature or version it does not know"
     )
 
 
@@ -630,7 +636,7 @@ def last_txn_version(path: str, app_id: str) -> int | None:
                 import pyarrow.parquet as papq
 
                 pf = papq.ParquetFile(part)
-                rows = (papq.read_table(part, columns=["txn"]).to_pylist()
+                rows = (pf.read(columns=["txn"]).to_pylist()
                         if "txn" in pf.schema_arrow.names else [])
             for row in rows:
                 t = row.get("txn")
@@ -757,8 +763,17 @@ def commit_delta(
                 )
             else:
                 identity_generated.add(name)
-                base = (ident["high"] if ident["high"] is not None
-                        else ident["start"] - ident["step"])
+                if ident["high"] is None:
+                    base = ident["start"] - ident["step"]
+                else:
+                    # explicit inserts may have synced an UNALIGNED mark:
+                    # snap down to the lattice (start + k*step) so
+                    # generated values keep the alignment contract; the
+                    # +step below still lands strictly beyond the mark
+                    # (review r10 pass 2)
+                    base = ident["high"] - (
+                        (ident["high"] - ident["start"]) % ident["step"]
+                    )
                 # monotonically_increasing_id: unique non-negative k per
                 # row with NO shuffle; identity values need not be dense,
                 # only unique, beyond the mark, and start + k*step-aligned
@@ -4001,14 +4016,18 @@ def _identity_hwm_metadata(
                     max(extreme, x) if step > 0 else min(extreme, x)
                 )
         if extreme is None:
-            if name in generated and any(
+            if any(
                 json.loads(a["add"].get("stats") or "{}").get("numRecords")
                 for a in add_actions
             ):
+                # explicit inserts silently skipping the sync would leave
+                # a stale mark for the next (possibly foreign) generator
+                # to re-assign ids from (review r10 pass 2)
                 raise DeltaProtocolError(
-                    f"identity column {name!r}: generated values produced "
-                    "no footer statistics — cannot advance the high-water "
-                    "mark safely; aborting the commit"
+                    f"identity column {name!r}: the commit's files carry "
+                    "no footer statistics for it (is it a partition "
+                    "column?) — cannot advance the high-water mark "
+                    "safely; aborting the commit"
                 )
             continue
         beyond = (extreme > (cur if cur is not None else extreme - 1)

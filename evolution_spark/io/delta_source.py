@@ -607,6 +607,19 @@ class _StreamReader(DataSourceStreamReader):
         # the query was RUNNING: fail loudly like the real Delta source.
         parsed: dict[int, list] = {}
         last_fields = None
+        def _sans_watermark(fields):
+            # identity HIGH-WATER-MARK bumps are metadata-only bookkeeping
+            # (names/types identical): every generated append commits one
+            # alongside its adds, so treating them as schema evolution
+            # would kill any stream over an identity table on every
+            # single append (review r10 pass 2)
+            out = []
+            for f in fields or []:
+                meta = {k: v for k, v in (f.get("metadata") or {}).items()
+                        if k != "delta.identity.highWaterMark"}
+                out.append({**f, "metadata": meta})
+            return out
+
         offending = []
         for v in present:
             acts = [json.loads(l) for l in
@@ -617,6 +630,9 @@ class _StreamReader(DataSourceStreamReader):
                 if not md:
                     continue
                 last_fields = json.loads(md["schemaString"]).get("fields")
+                if _sans_watermark(last_fields) == _sans_watermark(
+                        pinned_fields):
+                    last_fields = pinned_fields
                 if last_fields != pinned_fields:
                     row_bearing = any(
                         ("add" in x and x["add"].get("dataChange", True))

@@ -3054,8 +3054,14 @@ def _evolve_array_element(path):
     sj = _json.loads(schema_string)
     h = next(f for f in sj["fields"] if f["name"] == "h")
     elem = h["type"]["elementType"]
+    state_config = dict(
+        (state["metadata"].get("configuration")) or {}
+    )
+    # never regress below the stored maxColumnId: a prior DROP may have
+    # retired an id higher than any still visible (review r10 pass 2)
     max_id = max(
-        int(m) for m in _re_findall_ids(schema_string)
+        max(int(m) for m in _re_findall_ids(schema_string)),
+        int(state_config.get("delta.columnMapping.maxColumnId", 0)),
     )
     new_fields = []
     for f in elem["fields"]:

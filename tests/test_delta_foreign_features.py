@@ -708,12 +708,21 @@ def test_identity_explicit_insert_syncs_mark(spark, tmp_path):
         str(t), mode="append",
     )
     assert _hwm_of(t) == 505
-    # generation still works afterwards and lands past 505
+    # an UNALIGNED explicit value syncs the mark too
+    commit_delta(
+        spark.range(20, 21).select(F.lit(507).cast("long").alias("uid"),
+                                   F.col("id").alias("k")),
+        str(t), mode="append",
+    )
+    assert _hwm_of(t) == 507
+    # generation still works afterwards: past the mark AND back on the
+    # start + k*step lattice despite the unaligned sync (review r10 p2)
     commit_delta(spark.range(7, 9).select(F.col("id").alias("k")),
                  str(t), mode="append")
     back = read_delta_snapshot(spark, str(t))
-    gen = [r.uid for r in back.where("k >= 7").collect()]
-    assert all(u > 505 for u in gen)
+    gen = [r.uid for r in back.where("k >= 7 and k < 20").collect()]
+    assert all(u > 507 for u in gen)
+    assert all((u - 100) % 10 == 0 for u in gen)
 
 
 def test_identity_update_and_merge_refuse(spark, tmp_path):

@@ -1151,3 +1151,59 @@ def test_sink_refuses_generated_column_tables(registered, tmp_path):
         spark.range(4, 6).select(
             F.col("id"), (F.col("id") * 2).alias("twice")
         ).write.format("evolution_delta").mode("append").save(path)
+
+
+def test_stream_survives_identity_watermark_commits(registered, tmp_path):
+    """Identity high-water-mark bumps are metadata-only bookkeeping in
+    every generated append — the streaming evolution guard must NOT treat
+    them as schema changes (review r10 pass 2: streams over identity
+    tables died on every append)."""
+    import json as _json
+    import pathlib
+
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        write_delta_snapshot,
+    )
+
+    spark = registered
+    path = str(tmp_path / "ident_stream")
+    write_delta_snapshot(
+        spark.range(1, 4).select(
+            (F.col("id") * 10).alias("uid"), F.col("id").alias("k")
+        ), path,
+    )
+    log = pathlib.Path(path) / "_delta_log"
+    v0 = log / f"{0:020d}.json"
+    lines = []
+    for ln in v0.read_text().splitlines():
+        a = _json.loads(ln)
+        if "metaData" in a:
+            sj = _json.loads(a["metaData"]["schemaString"])
+            for f in sj["fields"]:
+                if f["name"] == "uid":
+                    f["metadata"] = {
+                        "delta.identity.start": 10,
+                        "delta.identity.step": 10,
+                        "delta.identity.highWaterMark": 30,
+                        "delta.identity.allowExplicitInsert": False,
+                    }
+            a["metaData"]["schemaString"] = _json.dumps(sj)
+        lines.append(_json.dumps(a))
+    v0.write_text("\n".join(lines) + "\n")
+
+    q = (spark.readStream.format("evolution_delta").load(path)
+         .writeStream.format("memory").queryName("identstream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="0 seconds")
+         .start())
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select count(*) n from identstream").first().n == 3
+        # generated append: carries the hwm metaData action + adds
+        commit_delta(spark.range(4, 7).select(F.col("id").alias("k")),
+                     str(path), mode="append")
+        q.processAllAvailable()
+        assert spark.sql("select count(*) n from identstream").first().n == 6
+    finally:
+        q.stop()
