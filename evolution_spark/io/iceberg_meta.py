@@ -892,9 +892,10 @@ def read_iceberg_table(
     apply as sequence-scoped null-safe anti-joins per equality-column set
     — strictly-older data files only, so rows (re-)appended after the
     delete survive (the upsert semantics). Forward-compat guard (the
-    spec's reader obligation): still refuses ``format-version`` > 2,
-    malformed delete metadata, and PARTITION-scoped equality deletes
-    (applying them globally would over-delete).
+    spec's reader obligation): refuses ``format-version`` > 3 (v3 reads
+    are full: Puffin DVs + row-lineage-bearing manifests), malformed
+    delete metadata, and PARTITION-scoped equality deletes this reader
+    cannot scope (applying them globally would over-delete).
 
     PARTITION PRUNING (``partition_where``): an equality map
     ``{partition_col: value}`` is matched against each manifest entry's
@@ -921,9 +922,10 @@ def read_iceberg_table(
     # v3 read support covers what this engine models: deletion vectors
     # (Puffin blobs, decoded below exactly like position deletes) and the
     # unchanged v2 scan semantics. Row lineage (first-row-id assignment)
-    # is a WRITER obligation — reads that don't project _row_id need
-    # nothing from it; v3 writes refuse in _commit_files_as_snapshot
-    # except the DV path.
+    # is a WRITER obligation — appends assign it (round 10,
+    # _commit_files_as_snapshot) and reads that don't project _row_id
+    # need nothing from it; v3 rewrites (replace/compaction) still refuse
+    # (they must preserve carried rows' ids).
     specs_by_id = {
         sp["spec-id"]: sp["fields"]
         for sp in metadata.get("partition-specs") or []

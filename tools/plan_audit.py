@@ -43,6 +43,10 @@ AUDITED = {
     "delta_invariants_enforced": "invariant validation is commit-time; read plan untouched (scan + agg)",
     "iceberg_v3_dv_read": "Puffin DVs decode driver-side; (file,pos) broadcast LeftAnti masks the scan",
     "delta_source_nested_mapping_read": "per-file nested rename inside the Python source; broadcast equi-join after",
+    "iceberg_v3_append": "row-lineage assignment is driver-side; DV masking via broadcast LeftAnti",
+    "delta_generated_columns_enforced": "generation-expression validation is commit-time; read plan = scan + agg",
+    "delta_identity_columns": "zero-shuffle id generation at commit; read plan = scan + agg",
+    "delta_type_widening_read": "mixed int32/int64 files decode in one plain scan (native parquet widening)",
 }
 
 

@@ -445,13 +445,189 @@ def cdf_ops_stress(spark, tmp: str, reps: int) -> dict:
     return results
 
 
+def writer_features_stress(spark, tmp: str, reps: int) -> dict:
+    """Round-10 protocol: the writer-feature surfaces under table GROWTH.
+    Per replica level the ORDERS table is replicated Rx, then timed:
+    a FIXED-size (10k-row) append to (a) an identity-column table
+    (generation + high-water-mark commit), (b) a generated-columns table
+    (staged-scan validation), (c) an Iceberg v3 table (row-lineage
+    assignment), and (d) a full-scan aggregate over a HALF-NARROW
+    (typeWidening) Delta table vs an all-wide control. Claims under
+    test: the three append costs track the APPENDED rows (staged-scan
+    validation scans only the commit's output; lineage/mark updates are
+    driver-side metadata), so the lines stay flat while the table grows
+    30x; and the widening read costs the same as the control (the
+    parquet reader converts in-scan, no extra stage)."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        read_iceberg_table,
+        upgrade_iceberg_format_version,
+        write_iceberg_table,
+    )
+
+    base = spark.read.parquet(f"{BASE_SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    slice_10k = base.limit(10_000).select(
+        (F.col("o_orderkey") + F.lit(900_000_000)).alias("o_orderkey"),
+        "o_custkey", "o_totalprice",
+    ).cache()
+    slice_10k.count()
+
+    def stamp_field_meta(dpath, field, meta):
+        log = _Path(dpath) / "_delta_log"
+        v0 = log / f"{0:020d}.json"
+        lines = []
+        for ln in v0.read_text().splitlines():
+            a = _json.loads(ln)
+            if "metaData" in a:
+                sj = _json.loads(a["metaData"]["schemaString"])
+                for f in sj["fields"]:
+                    if f["name"] == field:
+                        f["metadata"] = meta
+                a["metaData"]["schemaString"] = _json.dumps(sj)
+            lines.append(_json.dumps(a))
+        v0.write_text("\n".join(lines) + "\n")
+
+    results: dict = {"levels": {}}
+    for level in (1, 10, 30):
+        dfs = [
+            base.select(
+                (F.col("o_orderkey") + F.lit(i * ID_STRIDE)).alias("o_orderkey"),
+                "o_custkey", "o_totalprice",
+            )
+            for i in range(level)
+        ]
+        big = dfs[0]
+        for d in dfs[1:]:
+            big = big.unionByName(d)
+        big = big.repartition(32).cache()
+        n = big.count()
+        row: dict = {"n_rows": n}
+
+        # (a) identity: uid = o_orderkey * 10 era, then generated appends
+        ident = f"{tmp}/ident_{level}"
+        write_delta_snapshot(
+            big.select((F.col("o_orderkey") * 10).alias("uid"),
+                       F.col("o_orderkey").alias("k"), "o_totalprice"),
+            ident,
+        )
+        hwm = big.agg(F.max(F.col("o_orderkey") * 10)).collect()[0][0]
+        stamp_field_meta(ident, "uid", {
+            "delta.identity.start": 10, "delta.identity.step": 10,
+            "delta.identity.highWaterMark": int(hwm),
+            "delta.identity.allowExplicitInsert": False,
+        })
+        t0 = time.perf_counter()
+        commit_delta(
+            slice_10k.select(F.col("o_orderkey").alias("k"), "o_totalprice"),
+            ident, mode="append",
+        )
+        row["identity_append_s"] = round(time.perf_counter() - t0, 3)
+
+        # (b) generated columns: cents = CAST(ROUND(price*100) AS BIGINT)
+        gen = f"{tmp}/gen_{level}"
+        gexpr = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+        gdf = big.select("o_orderkey", "o_totalprice",
+                         F.expr(gexpr).alias("cents"))
+        write_delta_snapshot(gdf, gen)
+        stamp_field_meta(gen, "cents", {"delta.generationExpression": gexpr})
+        t0 = time.perf_counter()
+        commit_delta(
+            slice_10k.select("o_orderkey", "o_totalprice",
+                             F.expr(gexpr.replace("o_totalprice",
+                                                  "o_totalprice"))
+                             .alias("cents")),
+            gen, mode="append",
+        )
+        row["generated_append_s"] = round(time.perf_counter() - t0, 3)
+
+        # (c) Iceberg v3 lineage append
+        ice = f"{tmp}/ice_{level}"
+        write_iceberg_table(big, ice)
+        upgrade_iceberg_format_version(ice)
+        t0 = time.perf_counter()
+        append_iceberg_snapshot(slice_10k, ice)
+        row["v3_lineage_append_s"] = round(time.perf_counter() - t0, 3)
+        row["v3_read_rows"] = read_iceberg_table(spark, ice).count()
+
+        # (d) typeWidening read vs all-wide control (same rows)
+        wid = f"{tmp}/wid_{level}"
+        ctl = f"{tmp}/ctl_{level}"
+        half = big.where(F.col("o_orderkey") % 2 == 0)
+        other = big.where(F.col("o_orderkey") % 2 == 1)
+        write_delta_snapshot(
+            half.select(F.col("o_custkey").cast("int").alias("ck"),
+                        "o_totalprice"), wid,
+        )
+        log = _Path(wid) / "_delta_log"
+        v0 = (log / f"{0:020d}.json").read_text().splitlines()
+        meta = next(_json.loads(l) for l in v0 if "metaData" in l)
+        sj = _json.loads(meta["metaData"]["schemaString"])
+        for f in sj["fields"]:
+            if f["name"] == "ck":
+                f["type"] = "long"
+                f["metadata"] = {"delta.typeChanges": [
+                    {"fromType": "integer", "toType": "long",
+                     "tableVersion": 1}]}
+        meta["metaData"]["schemaString"] = _json.dumps(sj)
+        (log / f"{1:020d}.json").write_text(
+            _json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["typeWidening"],
+                "writerFeatures": ["typeWidening"]}}) + "\n"
+            + _json.dumps(meta) + "\n"
+        )
+        commit_delta(other.select(F.col("o_custkey").alias("ck"),
+                                  "o_totalprice"),
+                     wid, mode="append")
+        # control: SAME two-commit / file-count structure, all-wide
+        write_delta_snapshot(
+            half.select(F.col("o_custkey").alias("ck"), "o_totalprice"), ctl,
+        )
+        commit_delta(other.select(F.col("o_custkey").alias("ck"),
+                                  "o_totalprice"),
+                     ctl, mode="append")
+
+        def timed(fn):
+            samples = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn()
+                samples.append(time.perf_counter() - t0)
+            return round(min(samples), 3)
+
+        row["widening_scan_s"] = timed(
+            lambda: read_delta_snapshot(spark, wid)
+            .agg(F.sum("ck"), F.sum("o_totalprice")).collect()
+        )
+        row["control_scan_s"] = timed(
+            lambda: read_delta_snapshot(spark, ctl)
+            .agg(F.sum("ck"), F.sum("o_totalprice")).collect()
+        )
+        big.unpersist()
+        results["levels"][str(level)] = row
+    slice_10k.unpersist()
+    return results
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2, help="timed passes (min taken)")
     ap.add_argument(
         "--mode",
         choices=["cluster-growth", "fixed-cluster", "format-scan", "ref-ops",
-                 "cdf-ops"],
+                 "cdf-ops", "writer-features"],
         default="cluster-growth",
         help="cluster-growth: every replica near-dups every other (planted "
         "pairs grow C(R,2)); fixed-cluster: near-dups only within buckets "
@@ -502,6 +678,10 @@ def main() -> int:
             return 0
         if args.mode == "cdf-ops":
             out["cdf_ops"] = cdf_ops_stress(spark, tmp, args.reps)
+        elif args.mode == "writer-features":
+            out["writer_features"] = writer_features_stress(
+                spark, tmp, args.reps
+            )
             sys.stdout.write("\n" + json.dumps(out) + "\n")
             sys.stdout.flush()
             spark.stop()
