@@ -125,6 +125,7 @@ def _plan_iceberg_slices(
 
     data_entries: list[tuple[dict, int]] = []  # (data_file, schema-id)
     delete_files: list[str] = []
+    dv_entries: list[dict] = []  # v3 Puffin deletion-vector placements
     from evolution_spark.io.iceberg_meta import _read_avro_with_meta
 
     for mf in _read_avro(Path(snapshot["manifest-list"])):
@@ -141,6 +142,11 @@ def _plan_iceberg_slices(
             dfile = entry["data_file"]
             content = int(dfile.get("content") or 0)
             if is_delete_manifest:
+                if content == 1 and dfile.get("referenced_data_file"):
+                    # v3 deletion vector: Puffin blob scoped to ONE data
+                    # file (round 10 — was read as parquet and crashed)
+                    dv_entries.append(dfile)
+                    continue
                 if content == 1:
                     delete_files.append(dfile["file_path"])
                     continue
@@ -169,6 +175,16 @@ def _plan_iceberg_slices(
             t.column("file_path").to_pylist(), t.column("pos").to_pylist()
         ):
             pos_by_file.setdefault(plain_path(fp), []).append(int(pos))
+    if dv_entries:
+        from evolution_spark.io.puffin import read_puffin_dv
+
+        for d in dv_entries:
+            pos_by_file.setdefault(
+                plain_path(d["referenced_data_file"]), []
+            ).extend(int(p) for p in read_puffin_dv(
+                d["file_path"], int(d["content_offset"]),
+                int(d["content_size_in_bytes"]),
+            ))
 
     # current read: CURRENT schema (metadata-only evolution creates no
     # snapshot); time travel: the snapshot's recorded schema.

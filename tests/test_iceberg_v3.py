@@ -311,3 +311,26 @@ def test_puffin_unknown_footer_codec_refuses(tmp_path):
                   + b"PFA1")
     with pytest.raises(PuffinFormatError, match="unknown frame magic"):
         read_puffin_footer(q)
+
+
+def test_v3_dv_table_reads_through_python_source(spark, tmp_path):
+    """The evolution_iceberg DataSource must apply v3 Puffin DVs (it read
+    DV entries as parquet position-delete files before round 10 and
+    crashed) and agree with the library reader exactly — including DVs
+    that MERGED across two delete commits."""
+    from evolution_spark.io.iceberg_source import register_iceberg_source
+
+    t = str(tmp_path / "v3src")
+    write_iceberg_table(_df(spark, 30).repartition(3), t)
+    upgrade_iceberg_format_version(t)
+    append_iceberg_snapshot(
+        _df(spark, 40).where("id >= 30"), t
+    )  # lineage append
+    delete_iceberg_rows_dv(spark, t, "id % 5 = 0")
+    delete_iceberg_rows_dv(spark, t, "id % 7 = 1")
+    register_iceberg_source(spark)
+    got = {r.id for r in
+           spark.read.format("evolution_iceberg").load(t).collect()}
+    want = {r.id for r in read_iceberg_table(spark, t).collect()}
+    assert got == want
+    assert got == {i for i in range(40) if i % 5 != 0 and i % 7 != 1}
