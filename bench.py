@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "iceberg_v3_append",
     "delta_identity_columns",
     "delta_type_widening_read",
+    "delta_in_commit_timestamps",
 ]
 
 

@@ -209,7 +209,7 @@ SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
     {"deletionVectors", "appendOnly", "invariants", "columnMapping",
      "checkConstraints", "changeDataFeed", "timestampNtz", "v2Checkpoint",
      "generatedColumns", "identityColumns", "typeWidening",
-     "typeWidening-preview"}
+     "typeWidening-preview", "inCommitTimestamp"}
 )
 
 
@@ -493,6 +493,9 @@ def write_delta_snapshot(
 
     log_dir = table_dir / "_delta_log"
     log_dir.mkdir()
+    # creation-time in-commit-timestamp enablement: v0 itself must carry
+    # the stamp (spec: every commit after enablement)
+    actions = _stamp_ict(table_dir, 0, actions, config)
     commit = log_dir / f"{0:020d}.json"
     tmp = log_dir / f".{0:020d}.json.tmp"
     tmp.write_text("".join(json.dumps(a) + "\n" for a in actions))
@@ -899,7 +902,7 @@ def commit_delta(
         if stage.exists():
             shutil.rmtree(stage)
 
-    _publish_commit(table_dir, version, actions, "write")
+    _publish_commit(table_dir, version, actions, "write", config=config)
     return {"version": version, "files": n_files, "rows": total_rows}
 
 
@@ -2371,7 +2374,9 @@ def upgrade_delta_features(
         {"protocol": new_proto},
     ]
     version = latest + 1
-    _publish_commit(table_dir, version, actions, "feature upgrade")
+    _publish_commit(table_dir, version, actions, "feature upgrade",
+                    config=dict((repl_state.get("metadata") or {})
+                                .get("configuration") or {}))
     return {"version": version, "protocol": new_proto}
 
 
@@ -2419,9 +2424,67 @@ def _dv_mark_actions(
     return actions, deleted_rows
 
 
-def _publish_commit(table_dir: Path, version: int, actions: list[dict], what: str):
+def _ict_enabled(config: dict | None) -> bool:
+    return str((config or {}).get("delta.enableInCommitTimestamps", "")
+               ).lower() == "true"
+
+
+def _stamp_ict(table_dir: Path, version: int, actions: list[dict],
+               config: dict | None) -> list[dict]:
+    """IN-COMMIT TIMESTAMPS (PROTOCOL.md, the v7 ``inCommitTimestamp``
+    writer feature): when ``delta.enableInCommitTimestamps`` is set,
+    every commit MUST carry ``commitInfo.inCommitTimestamp`` strictly
+    greater than the previous commit's — the spec's fix for file-mtime
+    clock skew in timestamp time travel. Monotonicity source: the
+    previous commit's stamped value (one metadata-sized JSON read),
+    falling back to the enablement-timestamp property when retention
+    truncated it."""
+    if not _ict_enabled(config):
+        return actions
+    prev = None
+    # spec-conformant chains stamp EVERY commit, so version-1 resolves in
+    # one read; walking further back only happens on foreign chains with
+    # unstamped (e.g. protocol-only) commits
+    for v in range(version - 1, -1, -1):
+        prev_file = table_dir / "_delta_log" / f"{v:020d}.json"
+        if not prev_file.exists():
+            break  # retention-truncated: fall back to enablement property
+        saw_commit_info = False
+        for ln in prev_file.read_text().splitlines():
+            a = json.loads(ln)
+            if "commitInfo" in a:
+                saw_commit_info = True
+                prev = a["commitInfo"].get("inCommitTimestamp")
+                break
+        if prev is not None or saw_commit_info:
+            # an unstamped commitInfo marks the pre-enablement era — stop
+            # (walking the whole history per commit would be O(log) reads
+            # on late-enabled tables)
+            break
+    if prev is None:
+        prev = int((config or {}).get(
+            "delta.inCommitTimestampEnablementTimestamp", 0
+        ))
+    ict = max(int(time.time() * 1000), int(prev) + 1)
+    out = list(actions)
+    for i, a in enumerate(out):
+        if "commitInfo" in a:
+            out[i] = {"commitInfo": {**a["commitInfo"],
+                                     "inCommitTimestamp": ict}}
+            return out
+    return [{"commitInfo": {"timestamp": ict,
+                            "inCommitTimestamp": ict,
+                            "operation": "WRITE",
+                            "operationParameters": {}}}] + out
+
+
+def _publish_commit(table_dir: Path, version: int, actions: list[dict],
+                    what: str, config: dict | None = None):
     """create-EXCLUSIVE commit publish shared by every single-commit DML
-    path — a same-version race is a hard error for the loser."""
+    path — a same-version race is a hard error for the loser. ``config``
+    (the table's resolved configuration) lets the publisher honor
+    configuration-driven commit obligations (in-commit timestamps)."""
+    actions = _stamp_ict(table_dir, version, actions, config)
     commit = table_dir / "_delta_log" / f"{version:020d}.json"
     try:
         fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -2525,7 +2588,7 @@ def delete_delta_rows(spark, path: str, predicate: str) -> dict:
         actions.extend(_stage_cdc_actions(
             cdc_df, table_dir, version, schema_json, config, part_cols, now_ms
         ))
-    _publish_commit(table_dir, version, actions, "DELETE")
+    _publish_commit(table_dir, version, actions, "DELETE", config=config)
     return {
         "version": version,
         "deleted_rows": deleted_rows,
@@ -2665,7 +2728,7 @@ def update_delta_rows(
             shutil.rmtree(stage)
         if _cdf_enabled(config):
             matched.unpersist()
-    _publish_commit(table_dir, version, actions, "UPDATE")
+    _publish_commit(table_dir, version, actions, "UPDATE", config=config)
     return {
         "version": version,
         "updated_rows": updated_rows,
@@ -2758,7 +2821,7 @@ def evolve_delta_schema(path: str, add_columns: list[tuple[str, object]]) -> dic
     if ntz_up:
         actions.append(ntz_up)
     version = latest + 1
-    _publish_commit(table_dir, version, actions, "evolution")
+    _publish_commit(table_dir, version, actions, "evolution", config=config)
     return {"version": version, "schema": [f.name for f in new_schema.fields]}
 
 
@@ -3456,7 +3519,7 @@ def upgrade_delta_to_column_mapping(path: str) -> dict:
         actions.append(upgrade)
     actions.append({"metaData": metadata})
     version = latest + 1
-    _publish_commit(table_dir, version, actions, "mapping upgrade")
+    _publish_commit(table_dir, version, actions, "mapping upgrade", config=config)
     return {"version": version, "mode": "name"}
 
 
@@ -3589,7 +3652,7 @@ def rename_delta_column(path: str, old: str, new: str) -> dict:
         {"metaData": metadata},
     ]
     version = latest + 1
-    _publish_commit(table_dir, version, actions, "rename")
+    _publish_commit(table_dir, version, actions, "rename", config=config)
     return {"version": version, "schema": [f["name"] for f in new_fields]}
 
 
@@ -3645,7 +3708,7 @@ def drop_delta_column(path: str, name: str) -> dict:
         {"metaData": metadata},
     ]
     version = latest + 1
-    _publish_commit(table_dir, version, actions, "drop")
+    _publish_commit(table_dir, version, actions, "drop", config=config)
     return {"version": version, "schema": [f["name"] for f in new_fields]}
 
 
@@ -3819,7 +3882,7 @@ def restore_delta_table(path: str, version: int) -> dict:
         add["dataChange"] = True
         actions.append({"add": add})
     new_version = latest + 1
-    _publish_commit(table_dir, new_version, actions, "RESTORE")
+    _publish_commit(table_dir, new_version, actions, "RESTORE", config=config)
     return {
         "version": new_version,
         "restored_to": version,
@@ -4206,7 +4269,7 @@ def add_delta_constraint(spark, path: str, name: str, expr: str) -> dict:
         }})
     actions.append({"metaData": metadata})
     version = latest + 1
-    _publish_commit(table_dir, version, actions, "ADD CONSTRAINT")
+    _publish_commit(table_dir, version, actions, "ADD CONSTRAINT", config=config)
     return {"version": version, "name": name, "expr": expr}
 
 
@@ -4241,7 +4304,7 @@ def drop_delta_constraint(path: str, name: str) -> dict:
         {"metaData": metadata},
     ]
     version = latest + 1
-    _publish_commit(table_dir, version, actions, "DROP CONSTRAINT")
+    _publish_commit(table_dir, version, actions, "DROP CONSTRAINT", config=config)
     return {"version": version, "name": name}
 
 

@@ -999,7 +999,8 @@ def _commit_shards(
             _shutil.rmtree(stage)
     if not add_actions:
         return
-    _publish_commit(table_dir, version, actions, "sink append")
+    _publish_commit(table_dir, version, actions, "sink append",
+                    config=config)
 
 
 def _reclaim_stages(messages, fallback_stage: str) -> None:

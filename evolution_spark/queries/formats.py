@@ -3650,3 +3650,69 @@ def delta_type_widening_read(spark, sf_dir):
         F.sum("cents").alias("cents_sum"),
         F.max("k").alias("max_key"),
     )
+
+
+@query(
+    "delta_in_commit_timestamps",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents,
+           4 AS stamped_commits
+    FROM customer WHERE c_custkey % 10 <> 7
+    GROUP BY c_mktsegment
+    """,
+)
+def delta_in_commit_timestamps(spark, sf_dir):
+    """IN-COMMIT TIMESTAMPS (Delta PROTOCOL.md 'In-Commit Timestamps',
+    the v7 ``inCommitTimestamp`` writer feature — round 10): a table
+    created with ``delta.enableInCommitTimestamps`` gets
+    ``commitInfo.inCommitTimestamp`` stamped on EVERY commit — creation,
+    appends, and the DV DELETE — each strictly greater than the previous
+    (the spec's fix for file-mtime clock skew in timestamp-based time
+    travel; same-millisecond commits still advance by +1). The
+    monotone-chain property is asserted inline and the stamped-commit
+    count is pinned into the oracle-checked result. Scale: stamping reads
+    ONE metadata-sized JSON (the previous commit) per publish — no data
+    I/O. Ref parity: crates/evolution-target (Delta target is
+    ``todo!()`` in the reference)."""
+    import json
+    from pathlib import Path
+
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        delete_delta_rows,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = query_tmp("deltaict", sf_dir)
+    write_delta_snapshot(
+        c.where(F.col("c_custkey") % 3 == 0), path,
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )                                                              # v0
+    commit_delta(c.where(F.col("c_custkey") % 3 == 1), path,
+                 mode="append")                                    # v1
+    commit_delta(c.where(F.col("c_custkey") % 3 == 2), path,
+                 mode="append")                                    # v2
+    delete_delta_rows(spark, path, "c_custkey % 10 = 7")           # v3+DV
+    log = Path(path) / "_delta_log"
+    icts = []
+    for p in sorted(log.glob("*.json")):
+        for ln in p.read_text().splitlines():
+            a = json.loads(ln)
+            if "commitInfo" in a and "inCommitTimestamp" in a["commitInfo"]:
+                icts.append(a["commitInfo"]["inCommitTimestamp"])
+    assert all(b > a for a, b in zip(icts, icts[1:])), icts
+    back = read_delta_snapshot(spark, path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "bal_cents"
+        ),
+        F.lit(len(icts)).alias("stamped_commits"),
+    )

@@ -853,3 +853,56 @@ def test_type_widening_unsupported_conversion_refuses(spark, tmp_path):
     })
     with pytest.raises(DeltaProtocolError, match="decimal"):
         read_delta_snapshot(spark, str(t2))
+
+
+# ---------------------------------------------------------------- round 10
+# In-commit timestamps (PROTOCOL.md 'In-Commit Timestamps', writer v7
+# inCommitTimestamp feature): every commit to an enabled table must carry
+# commitInfo.inCommitTimestamp STRICTLY greater than the previous one.
+
+
+def test_in_commit_timestamps_stamped_monotone(spark, tmp_path):
+    from evolution_spark.io.delta_log import (
+        delete_delta_rows,
+        update_delta_rows,
+    )
+
+    t = tmp_path / "ict"
+    write_delta_snapshot(
+        spark.range(1, 6).select(F.col("id").alias("k")), str(t),
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    log = t / "_delta_log"
+    # foreign table shape: feature declared in the protocol
+    (log / f"{1:020d}.json").write_text(json.dumps({"protocol": {
+        "minReaderVersion": 1, "minWriterVersion": 7,
+        "writerFeatures": ["inCommitTimestamp"]}}) + "\n")
+    commit_delta(spark.range(6, 8).select(F.col("id").alias("k")),
+                 str(t), mode="append")                      # v2
+    update_delta_rows(spark, str(t), "k = 1", {"k": "100"})  # v3 (+upgrade)
+    delete_delta_rows(spark, str(t), "k = 2")
+    versions = sorted(int(p.stem) for p in log.glob("*.json"))
+    icts = {}
+    for v in versions:
+        for ln in (log / f"{v:020d}.json").read_text().splitlines():
+            a = json.loads(ln)
+            if "commitInfo" in a and "inCommitTimestamp" in a["commitInfo"]:
+                icts[v] = a["commitInfo"]["inCommitTimestamp"]
+    # every commit we published carries one (v0: creation-time
+    # enablement; v1 is the hand-written foreign protocol), strictly
+    # increasing
+    assert 0 in icts
+    stamped = [icts[v] for v in versions if v != 1 and v in icts]
+    assert len(stamped) == len(versions) - 1, icts
+    assert all(b > a for a, b in zip(stamped, stamped[1:])), stamped
+    assert read_delta_snapshot(spark, str(t)).count() == 6
+
+
+def test_ict_not_stamped_when_disabled(spark, tmp_path):
+    t = tmp_path / "noict"
+    write_delta_snapshot(spark.range(3).select("id"), str(t))
+    commit_delta(spark.range(3, 5).select("id"), str(t), mode="append")
+    for ln in (t / "_delta_log" / f"{1:020d}.json").read_text().splitlines():
+        a = json.loads(ln)
+        if "commitInfo" in a:
+            assert "inCommitTimestamp" not in a["commitInfo"]

@@ -901,3 +901,12 @@ def test_type_widening_read_is_plain_scan(spark, sf_dir):
     assert "Python" not in plan
     agg_free = plan.split("HashAggregate")[0]
     assert "Join" not in agg_free
+
+
+def test_ict_read_shape(spark, sf_dir):
+    """Round 10: ICT stamping is publish-time metadata; the read plan is
+    scans + the broadcast DV anti-join + the query's own aggregate."""
+    plan = plan_of(spark, sf_dir, "delta_in_commit_timestamps")
+    assert "Python" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -47,6 +47,7 @@ AUDITED = {
     "delta_generated_columns_enforced": "generation-expression validation is commit-time; read plan = scan + agg",
     "delta_identity_columns": "zero-shuffle id generation at commit; read plan = scan + agg",
     "delta_type_widening_read": "mixed int32/int64 files decode in one plain scan (native parquet widening)",
+    "delta_in_commit_timestamps": "ICT stamping is one metadata JSON read per publish; read plan = scan + DV anti-join + agg",
 }
 
 
