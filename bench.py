@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "delta_identity_columns",
     "delta_type_widening_read",
     "delta_in_commit_timestamps",
+    "delta_row_tracking_append",
 ]
 
 

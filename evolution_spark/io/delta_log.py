@@ -209,7 +209,8 @@ SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
     {"deletionVectors", "appendOnly", "invariants", "columnMapping",
      "checkConstraints", "changeDataFeed", "timestampNtz", "v2Checkpoint",
      "generatedColumns", "identityColumns", "typeWidening",
-     "typeWidening-preview", "inCommitTimestamp"}
+     "typeWidening-preview", "inCommitTimestamp", "domainMetadata",
+     "rowTracking"}
 )
 
 
@@ -551,6 +552,12 @@ def _fold_action(action: dict, live: dict, state: dict) -> None:
         t = action["txn"]
         txns = state.setdefault("txns", {})
         txns[t["appId"]] = max(t["version"], txns.get(t["appId"], -1))
+    elif "domainMetadata" in action:
+        d = action["domainMetadata"]
+        # latest action per domain wins (removed=true acts as a
+        # tombstone); carried so checkpoints and row-tracking writers
+        # can preserve foreign coordination state
+        state.setdefault("domain_metadata", {})[d["domain"]] = d
 
 
 def _replay_log(
@@ -885,6 +892,18 @@ def commit_delta(
             )
             if hwm_meta is not None:
                 actions.append({"metaData": hwm_meta})
+        if _row_tracking_active(repl_state):
+            if mode == "replace":
+                raise DeltaProtocolError(
+                    "row tracking: rewrites (MERGE/replace/OPTIMIZE) must "
+                    "preserve the MATERIALIZED row ids of carried rows, "
+                    "which this writer does not implement — refusing to "
+                    "commit (appends assign fresh ids; DV deletes re-add "
+                    "the same file and keep its baseRowId)"
+                )
+            rt_dm = _assign_row_tracking(add_actions, repl_state, version)
+            if rt_dm is not None:
+                actions.append(rt_dm)
         if cdc_df is not None and _cdf_enabled(config):
             # caller-supplied row-level change set (MERGE): lands as CDF
             # sidecars in this same commit, with the changeDataFeed
@@ -2627,6 +2646,12 @@ def update_delta_rows(
     unknown = sorted(set(set_exprs) - {f.name for f in stored_schema.fields})
     if unknown:
         raise ValueError(f"set_exprs reference unknown columns: {unknown}")
+    if _row_tracking_active(repl_state):
+        raise DeltaProtocolError(
+            "row tracking: UPDATE rewrites matched rows into new files "
+            "and must preserve their materialized row ids, which this "
+            "writer does not implement — refusing"
+        )
     ident_assigned = sorted(
         set(set_exprs) & set(_schema_identity_columns(schema_string))
     )
@@ -3049,6 +3074,17 @@ def checkpoint_delta(
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
             ("deletionVector", dv_t),
+            # row tracking (v7 rowTracking feature): dropping these on
+            # re-checkpoint would corrupt every foreign reader's row ids
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
+        ]
+    )
+    dm_t = pa.struct(
+        [
+            ("domain", pa.string()),
+            ("configuration", pa.string()),
+            ("removed", pa.bool_()),
         ]
     )
     meta_t = pa.struct(
@@ -3123,11 +3159,18 @@ def checkpoint_delta(
             offset += len(rows)
         return pa.table(arrays)
 
+    dm_rows = [
+        {"domain": d["domain"],
+         "configuration": d.get("configuration"),
+         "removed": bool(d.get("removed", False))}
+        for _, d in sorted((state.get("domain_metadata") or {}).items())
+    ]
     if not v2:
         table = sparse_table({
             "protocol": (proto_t, [protocol_action]),
             "metaData": (meta_t, [m]),
             "txn": (txn_t, txn_rows),
+            "domainMetadata": (dm_t, dm_rows),
             "add": (add_t, add_rows),
             "remove": (remove_t, remove_rows),
         })
@@ -3186,6 +3229,7 @@ def checkpoint_delta(
         "protocol": (proto_t, [protocol_action]),
         "metaData": (meta_t, [m]),
         "txn": (txn_t, txn_rows),
+        "domainMetadata": (dm_t, dm_rows),
         "sidecar": (sidecar_t, sidecar_rows),
     })
     ckpt = log_dir / f"{version:020d}.checkpoint.{uuid.uuid4()}.parquet"
@@ -3313,6 +3357,7 @@ def read_checkpoint_state(
     sidecars: list[str] = []
     txns: dict[str, int] = {}
     tombstones: dict[str, dict] = {}
+    domain_metadata: dict[str, dict] = {}
 
     def fold_file_action(row: dict) -> bool:
         if row.get("add"):
@@ -3343,6 +3388,9 @@ def read_checkpoint_state(
             tx = row["txn"]
             txns[tx["appId"]] = max(int(tx["version"]),
                                     txns.get(tx["appId"], -1))
+        elif row.get("domainMetadata"):
+            d = dict(row["domainMetadata"])
+            domain_metadata[d["domain"]] = d
         elif row.get("checkpointMetadata"):
             cm_v = int(row["checkpointMetadata"]["version"])
             if cm_v != ckpt_version:
@@ -3372,6 +3420,7 @@ def read_checkpoint_state(
         "metadata": metadata,
         "txns": txns,
         "tombstones": tombstones,
+        "domain_metadata": domain_metadata,
     }
     post = [v for v in _log_versions(log_dir)
             if v > ckpt_version and (version is None or v <= version)]
@@ -4109,6 +4158,58 @@ def _identity_hwm_metadata(
             f["metadata"] = fm
     meta["schemaString"] = json.dumps(sj)
     return meta
+
+
+def _row_tracking_active(repl_state: dict) -> bool:
+    proto = repl_state.get("protocol") or {}
+    return "rowTracking" in set(proto.get("writerFeatures") or [])
+
+
+def _assign_row_tracking(
+    add_actions: list[dict], repl_state: dict, version: int,
+) -> dict | None:
+    """ROW TRACKING writer obligation (PROTOCOL.md 'Row Tracking', the v7
+    ``rowTracking`` feature): every new add action gets a ``baseRowId``
+    (fresh row ids = baseRowId + position) past the table's
+    ``rowIdHighWaterMark`` (kept in the ``delta.rowTracking``
+    domain-metadata action) and a ``defaultRowCommitVersion``; the
+    returned domainMetadata action advances the mark in the SAME commit.
+    Driver-side integer bookkeeping over footer stats — no data I/O.
+    Files RE-ADDED with their existing baseRowId (DV deletes) keep it —
+    callers only pass the commit's NEW adds here."""
+    dm = (repl_state.get("domain_metadata") or {}).get("delta.rowTracking")
+    hwm = -1
+    if dm and dm.get("configuration"):
+        try:
+            hwm = int(json.loads(dm["configuration"]).get(
+                "rowIdHighWaterMark", -1))
+        except (ValueError, TypeError):
+            raise DeltaProtocolError(
+                "delta.rowTracking domain metadata carries an unparseable "
+                f"configuration {dm.get('configuration')!r} — refusing to "
+                "assign row ids from an unknown mark"
+            ) from None
+    assigned = False
+    for a in add_actions:
+        add = a["add"]
+        n = json.loads(add.get("stats") or "{}").get("numRecords")
+        if n is None:
+            raise DeltaProtocolError(
+                f"row tracking: add action {add.get('path')!r} carries no "
+                "numRecords stat — cannot assign baseRowId safely; "
+                "aborting the commit"
+            )
+        add["baseRowId"] = hwm + 1
+        add["defaultRowCommitVersion"] = version
+        hwm += int(n)
+        assigned = True
+    if not assigned:
+        return None
+    return {"domainMetadata": {
+        "domain": "delta.rowTracking",
+        "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+        "removed": False,
+    }}
 
 
 def _refuse_constrained_column(config: dict, col: str, what: str) -> None:

@@ -941,6 +941,14 @@ def _commit_shards(
             "evolution_delta sink cannot manage their high-water mark — "
             "append with commit_delta instead"
         )
+    proto_feats = set((state.get("protocol") or {}).get("writerFeatures")
+                      or [])
+    if "rowTracking" in proto_feats:
+        raise RuntimeError(
+            "table declares the rowTracking writer feature; the "
+            "evolution_delta sink cannot assign baseRowId past the "
+            "high-water mark — append with commit_delta instead"
+        )
     generated = _schema_generated_columns(schema_string)
     if generated:
         # same row-level obligation as invariants (writer v4 /

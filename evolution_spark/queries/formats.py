@@ -3716,3 +3716,86 @@ def delta_in_commit_timestamps(spark, sf_dir):
         ),
         F.lit(len(icts)).alias("stamped_commits"),
     )
+
+
+@query(
+    "delta_row_tracking_append",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents,
+           (SELECT COUNT(*) - 1 FROM customer WHERE c_custkey % 3 <> 0)
+             AS row_id_mark
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def delta_row_tracking_append(spark, sf_dir):
+    """ROW TRACKING writes (Delta PROTOCOL.md 'Row Tracking', the v7
+    ``rowTracking`` feature — round 10; with domainMetadata this
+    completes the writer-feature surface): a foreign table upgrades to
+    rowTracking AFTER its first slice lands, then TWO appends get
+    writer-assigned ``baseRowId`` spans — contiguous, starting at the
+    ``delta.rowTracking`` domain's ``rowIdHighWaterMark`` + 1, with
+    ``defaultRowCommitVersion`` stamped — and the mark advances via a
+    domainMetadata action in the SAME commit, so the final mark equals
+    (rows appended under the feature) - 1 (oracle-checked via a scalar
+    subquery). Contiguity/versions are asserted inline. Rewrites
+    (OPTIMIZE/UPDATE/MERGE) refuse — they must preserve carried rows'
+    materialized ids; DV deletes re-add the same file and keep its
+    baseRowId. Scale: assignment is driver-side footer-stat arithmetic,
+    one domainMetadata action per commit. Ref parity:
+    crates/evolution-target (Delta target is ``todo!()``)."""
+    import json
+    from pathlib import Path
+
+    from evolution_spark.io.delta_log import (
+        _replay_log,
+        commit_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = query_tmp("deltarowtrack", sf_dir)
+    write_delta_snapshot(c.where(F.col("c_custkey") % 3 == 0), path)  # v0
+    log = Path(path) / "_delta_log"
+    (log / f"{1:020d}.json").write_text(json.dumps({"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["rowTracking", "domainMetadata"],
+        "writerFeatures": ["rowTracking", "domainMetadata"]}}) + "\n")
+    commit_delta(c.where(F.col("c_custkey") % 3 == 1), path,
+                 mode="append")                                       # v2
+    commit_delta(c.where(F.col("c_custkey") % 3 == 2), path,
+                 mode="append")                                       # v3
+    # inline: spans contiguous per commit, versions stamped, mark exact
+    spans = {}
+    for p in sorted(log.glob("*.json")):
+        v = int(p.stem)
+        for ln in p.read_text().splitlines():
+            a = json.loads(ln)
+            if "add" in a and "baseRowId" in a["add"]:
+                assert a["add"]["defaultRowCommitVersion"] == v
+                n = json.loads(a["add"]["stats"])["numRecords"]
+                spans.setdefault(v, []).append(
+                    (a["add"]["baseRowId"], n)
+                )
+    flat = sorted(x for vs in spans.values() for x in vs)
+    rid = 0
+    for base, n in flat:
+        assert base == rid, (base, rid)
+        rid += n
+    _, _, _, _, st = _replay_log(Path(path), return_state=True)
+    mark = json.loads(st["domain_metadata"]["delta.rowTracking"][
+        "configuration"])["rowIdHighWaterMark"]
+    assert mark == rid - 1
+    back = read_delta_snapshot(spark, path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "bal_cents"
+        ),
+        F.lit(int(mark)).alias("row_id_mark"),
+    )

@@ -570,8 +570,9 @@ def test_reader_ignorable_features_tolerated(spark, tmp_path):
     """rowTracking / domainMetadata / vacuumProtocolCheck in a foreign
     table's readerFeatures carry no batch-read obligation — reads
     proceed; variantType (NOT ignorable: values would not decode)
-    still refuses, and WRITES to the table still refuse (maintaining row
-    tracking is a writer obligation this engine does not take on)."""
+    still refuses. WRITES to rowTracking tables became supported later
+    in round 10 (baseRowId assignment) — the append now commits and
+    assigns ids; an unknown writer feature still refuses."""
     t = tmp_path / "ignorable"
     write_delta_snapshot(spark.range(7).select("id"), str(t))
     log = t / "_delta_log"
@@ -585,9 +586,16 @@ def test_reader_ignorable_features_tolerated(spark, tmp_path):
         "removed": False,
     }}) + "\n")
     assert read_delta_snapshot(spark, str(t)).count() == 7
-    with pytest.raises(DeltaProtocolError, match="rowTracking"):
-        commit_delta(spark.range(7, 9).select("id"), str(t), mode="append")
-    (log / f"{2:020d}.json").write_text(json.dumps({"protocol": {
+    commit_delta(spark.range(7, 9).select("id"), str(t), mode="append")
+    assert read_delta_snapshot(spark, str(t)).count() == 9
+    (log / f"{3:020d}.json").write_text(json.dumps({"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["rowTracking"],
+        "writerFeatures": ["rowTracking", "someFutureFeature"],
+    }}) + "\n")
+    with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
+        commit_delta(spark.range(9, 10).select("id"), str(t), mode="append")
+    (log / f"{4:020d}.json").write_text(json.dumps({"protocol": {
         "minReaderVersion": 3, "minWriterVersion": 7,
         "readerFeatures": ["rowTracking", "variantType"],
         "writerFeatures": ["rowTracking", "variantType"],
@@ -906,3 +914,128 @@ def test_ict_not_stamped_when_disabled(spark, tmp_path):
         a = json.loads(ln)
         if "commitInfo" in a:
             assert "inCommitTimestamp" not in a["commitInfo"]
+
+
+# ---------------------------------------------------------------- round 10
+# Row tracking + domain metadata (PROTOCOL.md): appends assign baseRowId
+# past the delta.rowTracking domain's rowIdHighWaterMark and advance it in
+# the same commit; domain metadata survives checkpointing.
+
+
+def _row_tracking_table(spark, t, hwm=None):
+    write_delta_snapshot(spark.range(1, 6).select(F.col("id").alias("k")),
+                         str(t))
+    log = t / "_delta_log"
+    acts = [json.dumps({"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["rowTracking", "domainMetadata"],
+        "writerFeatures": ["rowTracking", "domainMetadata"]}})]
+    if hwm is not None:
+        acts.append(json.dumps({"domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+            "removed": False}}))
+    acts.append(json.dumps({"domainMetadata": {
+        "domain": "custom.coordination",
+        "configuration": '{"owner": "foreign-engine"}',
+        "removed": False}}))
+    (log / f"{1:020d}.json").write_text("\n".join(acts) + "\n")
+
+
+def _rt_adds(t):
+    out = []
+    log = t / "_delta_log"
+    for p in sorted(log.glob("*.json")):
+        for ln in p.read_text().splitlines():
+            a = json.loads(ln)
+            if "add" in a:
+                out.append((int(p.stem), a["add"]))
+    return out
+
+
+def test_row_tracking_append_assigns_base_row_ids(spark, tmp_path):
+    from evolution_spark.io.delta_log import _replay_log
+
+    t = tmp_path / "rt"
+    _row_tracking_table(spark, t, hwm=99)
+    commit_delta(
+        spark.range(6, 16).select(F.col("id").alias("k")).repartition(2),
+        str(t), mode="append",
+    )                                                              # v2
+    adds = [a for v, a in _rt_adds(t) if v == 2]
+    assert len(adds) == 2
+    assert sorted(a["baseRowId"] for a in adds)[0] == 100
+    spans = sorted(
+        (a["baseRowId"],
+         a["baseRowId"] + json.loads(a["stats"])["numRecords"] - 1)
+        for a in adds
+    )
+    assert spans[0][1] + 1 == spans[1][0]  # contiguous, no overlap
+    assert all(a["defaultRowCommitVersion"] == 2 for a in adds)
+    _, _, _, _, st = _replay_log(t, return_state=True)
+    mark = json.loads(
+        st["domain_metadata"]["delta.rowTracking"]["configuration"]
+    )["rowIdHighWaterMark"]
+    assert mark == spans[1][1] == 109
+    # second append resumes past the new mark
+    commit_delta(spark.range(16, 18).select(F.col("id").alias("k")),
+                 str(t), mode="append")
+    adds3 = [a for v, a in _rt_adds(t) if v == 3]
+    assert min(a["baseRowId"] for a in adds3) == 110
+    assert read_delta_snapshot(spark, str(t)).count() == 17
+
+
+def test_row_tracking_rewrites_refuse_dv_delete_passes(spark, tmp_path):
+    from evolution_spark.io.delta_log import (
+        delete_delta_rows,
+        optimize_delta,
+        update_delta_rows,
+    )
+
+    t = tmp_path / "rt_dml"
+    _row_tracking_table(spark, t)
+    commit_delta(spark.range(6, 10).select(F.col("id").alias("k")),
+                 str(t), mode="append")
+    with pytest.raises(DeltaProtocolError, match="row tracking"):
+        update_delta_rows(spark, str(t), "k = 2", {"k": "50"})
+    with pytest.raises(DeltaProtocolError, match="row tracking"):
+        optimize_delta(spark, str(t), target_files=1)
+    # DV DELETE re-adds the same file: baseRowId carried verbatim
+    pre = {a["path"]: a.get("baseRowId") for v, a in _rt_adds(t) if v == 2}
+    delete_delta_rows(spark, str(t), "k = 7")
+    post = {a["path"]: a.get("baseRowId") for v, a in _rt_adds(t)
+            if v == 3 and "deletionVector" in a}
+    for p, b in post.items():
+        assert b == pre.get(p)
+    assert read_delta_snapshot(spark, str(t)).count() == 8
+
+
+def test_domain_metadata_survives_checkpoint(spark, tmp_path):
+    """Checkpoints must carry the latest domainMetadata per domain — a
+    checkpoint that dropped them would erase foreign coordination state
+    (and the row-id mark) on the next checkpoint-based replay."""
+    from evolution_spark.io.delta_log import _replay_log
+
+    t = tmp_path / "dm_ckpt"
+    _row_tracking_table(spark, t, hwm=99)
+    commit_delta(spark.range(6, 9).select(F.col("id").alias("k")),
+                 str(t), mode="append")
+    checkpoint_delta(str(t))
+    # truncate the pre-checkpoint log: state must come from the checkpoint
+    log = t / "_delta_log"
+    for v in range(3):
+        p = log / f"{v:020d}.json"
+        if p.exists():
+            p.unlink()
+    _, _, _, _, st = _replay_log(t, return_state=True)
+    dm = st["domain_metadata"]
+    assert "custom.coordination" in dm
+    assert json.loads(dm["delta.rowTracking"]["configuration"])[
+        "rowIdHighWaterMark"] == 102
+    # row ids survive the checkpoint too: the next append resumes
+    commit_delta(spark.range(9, 11).select(F.col("id").alias("k")),
+                 str(t), mode="append")
+    _, _, _, _, st2 = _replay_log(t, return_state=True)
+    assert json.loads(st2["domain_metadata"]["delta.rowTracking"][
+        "configuration"])["rowIdHighWaterMark"] == 104
+    assert read_delta_snapshot(spark, str(t)).count() == 10

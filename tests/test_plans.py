@@ -910,3 +910,12 @@ def test_ict_read_shape(spark, sf_dir):
     assert "Python" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_row_tracking_read_is_plain_scan(spark, sf_dir):
+    """Round 10: row-id assignment is commit-time metadata — the read
+    plan is plain scans + the query's own aggregate."""
+    plan = plan_of(spark, sf_dir, "delta_row_tracking_append")
+    assert "Python" not in plan
+    agg_free = plan.split("HashAggregate")[0]
+    assert "Join" not in agg_free

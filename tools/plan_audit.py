@@ -48,6 +48,7 @@ AUDITED = {
     "delta_identity_columns": "zero-shuffle id generation at commit; read plan = scan + agg",
     "delta_type_widening_read": "mixed int32/int64 files decode in one plain scan (native parquet widening)",
     "delta_in_commit_timestamps": "ICT stamping is one metadata JSON read per publish; read plan = scan + DV anti-join + agg",
+    "delta_row_tracking_append": "baseRowId assignment is driver-side stat arithmetic; read plan = scan + agg",
 }
 
 
