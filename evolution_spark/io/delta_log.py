@@ -201,10 +201,13 @@ def _check_reader_protocol(protocol: dict | None) -> None:
 # invariants commits valid rows and refuses violating ones. The v7
 # feature set below is the honest claim: deletionVectors (full
 # read+maintain), appendOnly and invariants (both enforced in
-# commit_delta/update paths) and (round 10) generatedColumns — per-field
-# delta.generationExpression validated with the same staged scan.
-# Anything else (identity columns, row tracking, ...) stays refused via
-# _check_writer_protocol.
+# commit_delta/update paths) and (round 10) generatedColumns, identity
+# columns, typeWidening, in-commit timestamps, domain metadata, and row
+# tracking — each with its obligation implemented (staged-scan
+# validation, high-water marks, monotone stamps, checkpoint carry,
+# baseRowId assignment). Only type-level features this engine cannot
+# decode (variantType, collations) and unknown future features stay
+# refused via _check_writer_protocol.
 SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
     {"deletionVectors", "appendOnly", "invariants", "columnMapping",
      "checkConstraints", "changeDataFeed", "timestampNtz", "v2Checkpoint",
@@ -458,6 +461,23 @@ def write_delta_snapshot(
     ntz_up = _ntz_protocol_upgrade(protocol, schema_string)
     if ntz_up:
         protocol = ntz_up["protocol"]
+    if _ict_enabled(config):
+        # feature-activation rule (same shape as CDF/timestampNtz): the
+        # enablement property obliges the protocol to declare the
+        # inCommitTimestamp writer feature, else a spec-conformant
+        # foreign writer sees plain v2 and appends unstamped commits
+        v_w = int(protocol.get("minWriterVersion", 2))
+        feats_w = set(protocol.get("writerFeatures") or [])
+        protocol = {
+            "minReaderVersion": int(protocol.get("minReaderVersion", 1)),
+            "minWriterVersion": 7,
+            **({"readerFeatures": protocol["readerFeatures"]}
+               if "readerFeatures" in protocol else {}),
+            "writerFeatures": sorted(
+                feats_w | _legacy_writer_features(v_w)
+                | {"inCommitTimestamp"}
+            ),
+        }
     actions.append({"protocol": protocol})
     actions.append(
         {
@@ -796,6 +816,16 @@ def commit_delta(
         if identity_generated:
             df = df.select(*schema_fields)
 
+    if _row_tracking_active(repl_state) and mode == "replace":
+        # refuse BEFORE staging (the codebase convention: a refused
+        # commit never pays a distributed rewrite or leaves orphans)
+        raise DeltaProtocolError(
+            "row tracking: rewrites (MERGE/replace/OPTIMIZE) must "
+            "preserve the MATERIALIZED row ids of carried rows, which "
+            "this writer does not implement — refusing to commit "
+            "(appends assign fresh ids; DV deletes re-add the same file "
+            "and keep its baseRowId)"
+        )
     stored = StructType.fromJson(json.loads(schema_string))
     # names+types must match; nullability is deliberately NOT compared —
     # Spark cannot statically prove non-nullness through outer joins (a
@@ -893,14 +923,6 @@ def commit_delta(
             if hwm_meta is not None:
                 actions.append({"metaData": hwm_meta})
         if _row_tracking_active(repl_state):
-            if mode == "replace":
-                raise DeltaProtocolError(
-                    "row tracking: rewrites (MERGE/replace/OPTIMIZE) must "
-                    "preserve the MATERIALIZED row ids of carried rows, "
-                    "which this writer does not implement — refusing to "
-                    "commit (appends assign fresh ids; DV deletes re-add "
-                    "the same file and keep its baseRowId)"
-                )
             rt_dm = _assign_row_tracking(add_actions, repl_state, version)
             if rt_dm is not None:
                 actions.append(rt_dm)
@@ -3162,8 +3184,13 @@ def checkpoint_delta(
     dm_rows = [
         {"domain": d["domain"],
          "configuration": d.get("configuration"),
-         "removed": bool(d.get("removed", False))}
+         "removed": False}
         for _, d in sorted((state.get("domain_metadata") or {}).items())
+        # removed=true tombstones are NOT carried (delta-spark behavior):
+        # a checkpoint that omits a domain reconstructs it as absent, and
+        # re-serializing dead domains forever would grow checkpoints
+        # without bound
+        if not d.get("removed", False)
     ]
     if not v2:
         table = sparse_table({
@@ -4178,11 +4205,15 @@ def _assign_row_tracking(
     Files RE-ADDED with their existing baseRowId (DV deletes) keep it —
     callers only pass the commit's NEW adds here."""
     dm = (repl_state.get("domain_metadata") or {}).get("delta.rowTracking")
+    if dm and dm.get("removed"):
+        dm = None  # tombstoned domain: stale marks must not be consumed
     hwm = -1
     if dm and dm.get("configuration"):
         try:
-            hwm = int(json.loads(dm["configuration"]).get(
-                "rowIdHighWaterMark", -1))
+            parsed = json.loads(dm["configuration"])
+            if not isinstance(parsed, dict):
+                raise ValueError("not a JSON object")
+            hwm = int(parsed.get("rowIdHighWaterMark", -1))
         except (ValueError, TypeError):
             raise DeltaProtocolError(
                 "delta.rowTracking domain metadata carries an unparseable "
