@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "delta_type_widening_read",
     "delta_in_commit_timestamps",
     "delta_row_tracking_append",
+    "delta_variant_read",
 ]
 
 

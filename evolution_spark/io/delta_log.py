@@ -69,7 +69,8 @@ PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 # ignored, so the spec's forward-compat obligation is to refuse loudly.
 SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
     {"deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint",
-     "typeWidening", "typeWidening-preview"}
+     "typeWidening", "typeWidening-preview", "variantType",
+     "variantType-preview"}
 )
 
 # Type-widening conversions this reader PROVABLY performs (Spark 4's
@@ -213,7 +214,7 @@ SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
      "checkConstraints", "changeDataFeed", "timestampNtz", "v2Checkpoint",
      "generatedColumns", "identityColumns", "typeWidening",
      "typeWidening-preview", "inCommitTimestamp", "domainMetadata",
-     "rowTracking"}
+     "rowTracking", "variantType", "variantType-preview"}
 )
 
 
@@ -461,6 +462,9 @@ def write_delta_snapshot(
     ntz_up = _ntz_protocol_upgrade(protocol, schema_string)
     if ntz_up:
         protocol = ntz_up["protocol"]
+    var_up = _variant_protocol_upgrade(protocol, schema_string)
+    if var_up:
+        protocol = var_up["protocol"]
     if _ict_enabled(config):
         # feature-activation rule (same shape as CDF/timestampNtz): the
         # enablement property obliges the protocol to declare the
@@ -494,23 +498,54 @@ def write_delta_snapshot(
     )
     total_rows = 0
     n_files = 0
+    no_stats: list[str] = []
     for rel, values, size in _data_files(table_dir, part_cols):
-        stats = _file_stats(pq.ParquetFile(table_dir / rel))
-        total_rows += stats["numRecords"]
+        try:
+            stats = _file_stats(pq.ParquetFile(table_dir / rel))
+            total_rows += stats["numRecords"]
+        except Exception:
+            # footer carries a logical type pyarrow cannot parse (e.g.
+            # VARIANT) — per-file counts come from one Spark scan below
+            no_stats.append(rel)
+            stats = None
         n_files += 1
-        actions.append(
-            {
-                "add": {
-                    # the spec stores paths relative + URL-encoded
-                    "path": quote(rel),
-                    "partitionValues": values,
-                    "size": size,
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                    "stats": json.dumps(stats),
-                }
-            }
+        add = {
+            # the spec stores paths relative + URL-encoded
+            "path": quote(rel),
+            "partitionValues": values,
+            "size": size,
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        if stats is not None:
+            add["stats"] = json.dumps(stats)
+        actions.append({"add": add})
+    if no_stats:
+        from pyspark.sql import functions as F
+
+        from evolution_spark.io.scan_filters import (
+            decoded_file_path,
+            plain_path,
         )
+
+        by_plain = {
+            r.p: r.n
+            for r in df.sparkSession.read.parquet(
+                *[str(table_dir / rel) for rel in no_stats])
+            .groupBy(decoded_file_path("_metadata.file_path").alias("p"))
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        from urllib.parse import unquote as _unq
+
+        for a in actions:
+            if "add" not in a or "stats" in a["add"]:
+                continue
+            # absent group = the file is empty (the scan covered the
+            # exact file list, so a missing key can only mean 0 rows)
+            n = by_plain.get(plain_path(str(
+                (table_dir / _unq(a["add"]["path"])).resolve())), 0)
+            a["add"]["stats"] = json.dumps({"numRecords": int(n)})
+            total_rows += int(n)
 
     log_dir = table_dir / "_delta_log"
     log_dir.mkdir()
@@ -913,7 +948,8 @@ def commit_delta(
                     rm["deletionVector"] = dv
                 actions.append({"remove": rm})
         add_actions, n_files, total_rows = _collect_staged_adds(
-            stage, table_dir, version, now_ms, data_change
+            stage, table_dir, version, now_ms, data_change,
+            spark=df.sparkSession,
         )
         actions.extend(add_actions)
         if identity and data_change:
@@ -1437,7 +1473,8 @@ def merge_delta_cdc(
 
 
 def _collect_staged_adds(
-    stage: Path, table_dir: Path, version: int, now_ms: int, data_change: bool
+    stage: Path, table_dir: Path, version: int, now_ms: int,
+    data_change: bool, spark=None,
 ) -> tuple[list[dict], int, int]:
     """Move a completed staged write's part files into the table dir and
     return their add actions — shared by every commit that appends files
@@ -1460,6 +1497,7 @@ def _collect_staged_adds(
     actions: list[dict] = []
     total_rows = 0
     n_files = 0
+    no_stats: list[Path] = []
     for src in sorted(stage.rglob("*.parquet")):
         rel = src.relative_to(stage)
         # version-unique physical name: appended files can never collide
@@ -1468,8 +1506,17 @@ def _collect_staged_adds(
         dest = table_dir / dest_rel
         dest.parent.mkdir(parents=True, exist_ok=True)
         os.replace(src, dest)
-        stats = _file_stats(pq.ParquetFile(dest))
-        total_rows += stats["numRecords"]
+        try:
+            stats = _file_stats(pq.ParquetFile(dest))
+        except Exception:
+            # pyarrow cannot parse footers carrying logical types newer
+            # than its thrift schema (e.g. VARIANT) — fall back to a
+            # Spark-side per-file count below; min/max stats are simply
+            # absent (spec-legal; skipping keeps such files)
+            no_stats.append(dest)
+            stats = None
+        if stats is not None:
+            total_rows += stats["numRecords"]
         n_files += 1
         values = {
             k: _partition_value(v)
@@ -1477,18 +1524,46 @@ def _collect_staged_adds(
             if "=" in part
             for k, _, v in [part.partition("=")]
         }
-        actions.append(
-            {
-                "add": {
-                    "path": quote(dest_rel.as_posix()),
-                    "partitionValues": values,
-                    "size": dest.stat().st_size,
-                    "modificationTime": now_ms,
-                    "dataChange": data_change,
-                    "stats": json.dumps(stats),
-                }
-            }
-        )
+        add = {
+            "path": quote(dest_rel.as_posix()),
+            "partitionValues": values,
+            "size": dest.stat().st_size,
+            "modificationTime": now_ms,
+            "dataChange": data_change,
+        }
+        if stats is not None:
+            add["stats"] = json.dumps(stats)
+        actions.append({"add": add})
+    if no_stats:
+        if spark is None:
+            raise RuntimeError(
+                f"{len(no_stats)} staged files have footers pyarrow "
+                "cannot parse and no SparkSession was provided for the "
+                "count fallback — refusing to publish adds without "
+                "numRecords"
+            )
+        from pyspark.sql import functions as F
+
+        from evolution_spark.io.scan_filters import decoded_file_path
+
+        by_plain = {
+            r.p: r.n
+            for r in spark.read.parquet(*[str(p) for p in no_stats])
+            .groupBy(decoded_file_path("_metadata.file_path").alias("p"))
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        from urllib.parse import unquote as _unq
+
+        from evolution_spark.io.scan_filters import plain_path
+
+        for a in actions:
+            if "stats" in a["add"]:
+                continue
+            # absent group = empty file (the scan covered the exact list)
+            n = by_plain.get(plain_path(str((table_dir /
+                                             _unq(a["add"]["path"])).resolve())), 0)
+            a["add"]["stats"] = json.dumps({"numRecords": int(n)})
+            total_rows += int(n)
     return actions, n_files, total_rows
 
 
@@ -2353,6 +2428,52 @@ def _ntz_protocol_upgrade(proto: dict, schema_string: str) -> dict | None:
     }}
 
 
+def _schema_has_variant(schema_json: dict) -> bool:
+    """True when the schema carries ``variant`` in a TYPE position at any
+    depth — the activation trigger for the variantType feature (same walk
+    discipline as ``_schema_has_ntz``: a field NAMED 'variant' must not
+    force an upgrade)."""
+    def type_has(t) -> bool:
+        if isinstance(t, str):
+            return t == "variant"
+        if isinstance(t, dict):
+            kind = t.get("type")
+            if kind == "struct":
+                return any(type_has(f.get("type")) for f in t.get("fields", []))
+            if kind == "array":
+                return type_has(t.get("elementType"))
+            if kind == "map":
+                return type_has(t.get("keyType")) or type_has(t.get("valueType"))
+        return False
+
+    return any(type_has(f.get("type")) for f in schema_json.get("fields", []))
+
+
+def _variant_protocol_upgrade(proto: dict, schema_string: str) -> dict | None:
+    """Same-commit protocol-upgrade action declaring ``variantType`` when
+    the schema carries the type (PROTOCOL.md 'Variant Data Type': reader
+    AND writer feature — a reader without it would surface the physical
+    value/metadata binary pair instead of the semi-structured value).
+    Spark 4's VariantType maps 1:1 (schema json type 'variant'; parquet
+    physical = the spec's value/metadata binary group)."""
+    if not _schema_has_variant(json.loads(schema_string)):
+        return None
+    v_r = int(proto.get("minReaderVersion", 1))
+    v_w = int(proto.get("minWriterVersion", 2))
+    feats_r = set(proto.get("readerFeatures") or [])
+    feats_w = set(proto.get("writerFeatures") or [])
+    if v_r >= 3 and v_w >= 7 and "variantType" in feats_r:
+        return None
+    legacy_w = _legacy_writer_features(v_w)
+    legacy_r = {"columnMapping"} if v_r == 2 else set()
+    return {"protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(feats_r | legacy_r | {"variantType"}),
+        "writerFeatures": sorted(feats_w | legacy_w | {"variantType"}),
+    }}
+
+
 def upgrade_delta_features(
     path: str, reader: list[str] | None = None, writer: list[str] | None = None
 ) -> dict:
@@ -2767,7 +2888,7 @@ def update_delta_rows(
             generated=_schema_generated_columns(schema_string),
         )
         add_actions, n_files, updated_rows = _collect_staged_adds(
-            stage, table_dir, version, now_ms, data_change=True
+            stage, table_dir, version, now_ms, data_change=True, spark=spark,
         )
         actions.extend(add_actions)
     finally:
@@ -2862,11 +2983,14 @@ def evolve_delta_schema(path: str, add_columns: list[tuple[str, object]]) -> dic
     ]
     # adding the first timestamp_ntz column to a v1 table activates the
     # timestampNtz feature in the same commit (spec activation rule)
-    ntz_up = _ntz_protocol_upgrade(
-        repl_state.get("protocol") or dict(PROTOCOL), metadata["schemaString"]
-    )
+    proto_now = repl_state.get("protocol") or dict(PROTOCOL)
+    ntz_up = _ntz_protocol_upgrade(proto_now, metadata["schemaString"])
     if ntz_up:
         actions.append(ntz_up)
+        proto_now = ntz_up["protocol"]
+    var_up = _variant_protocol_upgrade(proto_now, metadata["schemaString"])
+    if var_up:
+        actions.append(var_up)
     version = latest + 1
     _publish_commit(table_dir, version, actions, "evolution", config=config)
     return {"version": version, "schema": [f.name for f in new_schema.fields]}

@@ -1261,11 +1261,11 @@ def test_delta_reader_protocol_guard(spark, tmp_path):
     (log / f"{1:020d}.json").write_text(
         _json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors", "variantType"],
-            "writerFeatures": ["deletionVectors", "variantType"],
+            "readerFeatures": ["deletionVectors", "collations"],
+            "writerFeatures": ["deletionVectors", "collations"],
         }}) + "\n"
     )
-    with pytest.raises(DeltaProtocolError, match="variantType"):
+    with pytest.raises(DeltaProtocolError, match="collations"):
         read_delta_snapshot(spark, path)
     # time travel to BEFORE the upgrade still works (protocol at v0 is 1)
     assert read_delta_snapshot(spark, path, version=0).count() == 10
@@ -1282,18 +1282,18 @@ def test_delta_reader_protocol_guard(spark, tmp_path):
     # the guard also runs on the checkpoint path: checkpoint BEFORE the
     # upgrade, upgrade after it -> the resolved protocol still refuses.
     # (v2Checkpoint became a SUPPORTED reader feature in round 9, so the
-    # unsupported example here is variantType (typeWidening became
-    # supported in round 10), which remains refused.)
+    # unsupported example here is collations (typeWidening and
+    # variantType became supported in round 10), which remains refused.)
     (log / f"{1:020d}.json").unlink()
     checkpoint_delta(path)
     (log / f"{1:020d}.json").write_text(
         _json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["variantType"],
-            "writerFeatures": ["variantType"],
+            "readerFeatures": ["collations"],
+            "writerFeatures": ["collations"],
         }}) + "\n"
     )
-    with pytest.raises(DeltaProtocolError, match="variantType"):
+    with pytest.raises(DeltaProtocolError, match="collations"):
         read_delta_snapshot(spark, path)
 
 

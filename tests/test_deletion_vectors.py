@@ -212,7 +212,7 @@ def test_dv_survives_checkpoint(spark, tmp_path):
 
 def test_reader_guard_still_refuses_unknown_features(spark, tmp_path):
     """deletionVectors is now accepted, but any UNIMPLEMENTED v3 reader
-    feature (variantType, collations, ...) still refuses loudly."""
+    feature (collations, icebergCompatV3, ...) still refuses loudly."""
     from evolution_spark.io.delta_log import DeltaProtocolError, read_delta_snapshot
 
     table = tmp_path / "dvguard"
@@ -220,10 +220,10 @@ def test_reader_guard_still_refuses_unknown_features(spark, tmp_path):
     log = table / "_delta_log"
     lines = (log / f"{0:020d}.json").read_text().splitlines()
     proto = json.loads(lines[0])
-    proto["protocol"]["readerFeatures"] = ["deletionVectors", "variantType"]
+    proto["protocol"]["readerFeatures"] = ["deletionVectors", "collations"]
     lines[0] = json.dumps(proto)
     (log / f"{0:020d}.json").write_text("\n".join(lines) + "\n")
-    with pytest.raises(DeltaProtocolError, match="variantType"):
+    with pytest.raises(DeltaProtocolError, match="collations"):
         read_delta_snapshot(spark, str(table))
 
 

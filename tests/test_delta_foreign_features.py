@@ -101,8 +101,8 @@ def test_upgrade_features_idempotent_and_guarded(spark, tmp_path):
         str(t), reader=["v2Checkpoint"], writer=["v2Checkpoint"]
     )
     assert r2["version"] is None  # already declared: no new commit
-    with pytest.raises(DeltaProtocolError, match="variantType"):
-        upgrade_delta_features(str(t), reader=["variantType"])
+    with pytest.raises(DeltaProtocolError, match="collations"):
+        upgrade_delta_features(str(t), reader=["collations"])
 
 
 def test_v2_checkpoint_refused_without_feature(spark, tmp_path):
@@ -569,7 +569,7 @@ def test_generated_column_feature_upgrade_and_element_refusal(spark, tmp_path):
 def test_reader_ignorable_features_tolerated(spark, tmp_path):
     """rowTracking / domainMetadata / vacuumProtocolCheck in a foreign
     table's readerFeatures carry no batch-read obligation — reads
-    proceed; variantType (NOT ignorable: values would not decode)
+    proceed; collations (NOT ignorable: comparisons would decode wrong)
     still refuses. WRITES to rowTracking tables became supported later
     in round 10 (baseRowId assignment) — the append now commits and
     assigns ids; an unknown writer feature still refuses."""
@@ -597,10 +597,10 @@ def test_reader_ignorable_features_tolerated(spark, tmp_path):
         commit_delta(spark.range(9, 10).select("id"), str(t), mode="append")
     (log / f"{4:020d}.json").write_text(json.dumps({"protocol": {
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["rowTracking", "variantType"],
-        "writerFeatures": ["rowTracking", "variantType"],
+        "readerFeatures": ["rowTracking", "collations"],
+        "writerFeatures": ["rowTracking", "collations"],
     }}) + "\n")
-    with pytest.raises(DeltaProtocolError, match="variantType"):
+    with pytest.raises(DeltaProtocolError, match="collations"):
         read_delta_snapshot(spark, str(t))
 
 
@@ -1039,3 +1039,62 @@ def test_domain_metadata_survives_checkpoint(spark, tmp_path):
     assert json.loads(st2["domain_metadata"]["delta.rowTracking"][
         "configuration"])["rowIdHighWaterMark"] == 104
     assert read_delta_snapshot(spark, str(t)).count() == 10
+
+
+# ---------------------------------------------------------------- round 10
+# variantType: Spark 4's VariantType maps 1:1 onto the Delta feature.
+
+
+def test_variant_lifecycle_and_feature_activation(spark, tmp_path):
+    """A schema carrying ``variant`` auto-declares variantType in BOTH
+    feature sets at creation (activation rule, like timestampNtz);
+    appends and DV deletes work; values decode via variant_get. Footer
+    stats for variant-bearing files come from the Spark count fallback
+    (pyarrow cannot parse the VARIANT logical type), so every add still
+    carries numRecords."""
+    t = str(tmp_path / "variant")
+    df = spark.range(5).select(
+        "id",
+        F.parse_json(F.concat(F.lit('{"a": '), F.col("id").cast("string"),
+                              F.lit(', "tags": ["x"]}'))).alias("v"),
+    )
+    write_delta_snapshot(df, t)
+    from evolution_spark.io.delta_log import _replay_log, delete_delta_rows
+    from pathlib import Path
+
+    _, _, _, _, st = _replay_log(Path(t), return_state=True)
+    proto = st["protocol"]
+    assert "variantType" in proto["readerFeatures"]
+    assert "variantType" in proto["writerFeatures"]
+    for ln in (Path(t) / "_delta_log" / f"{0:020d}.json"
+               ).read_text().splitlines():
+        a = json.loads(ln)
+        if "add" in a:
+            assert json.loads(a["add"]["stats"])["numRecords"] >= 0
+    commit_delta(
+        spark.range(5, 9).select(
+            "id", F.parse_json(F.lit('{"a": 99, "tags": []}')).alias("v")),
+        t, mode="append",
+    )
+    delete_delta_rows(spark, t, "id % 4 = 2")
+    back = read_delta_snapshot(spark, t)
+    got = sorted((r.id, r.a) for r in back.selectExpr(
+        "id", "variant_get(v, '$.a', 'long') a").collect())
+    assert got == [(i, i if i < 5 else 99) for i in range(9) if i % 4 != 2]
+
+
+def test_variant_foreign_table_reads(spark, tmp_path):
+    """A foreign v3/v7 table declaring variantType reads; one declaring
+    collations (undecodable) still refuses."""
+    t = tmp_path / "var_foreign"
+    df = spark.range(4).select(
+        "id", F.parse_json(F.lit('{"k": 1}')).alias("v"))
+    write_delta_snapshot(df, str(t))
+    # the auto-declared protocol IS the foreign shape; strengthen it with
+    # an extra ignorable feature and re-read
+    log = t / "_delta_log"
+    (log / f"{1:020d}.json").write_text(json.dumps({"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["variantType", "rowTracking"],
+        "writerFeatures": ["variantType", "rowTracking"]}}) + "\n")
+    assert read_delta_snapshot(spark, str(t)).count() == 4

@@ -919,3 +919,12 @@ def test_row_tracking_read_is_plain_scan(spark, sf_dir):
     assert "Python" not in plan
     agg_free = plan.split("HashAggregate")[0]
     assert "Join" not in agg_free
+
+
+def test_variant_read_shape(spark, sf_dir):
+    """Round 10: variant decode is native (VariantGet inside codegen) —
+    no Python, DV masking stays a broadcast anti-join."""
+    plan = plan_of(spark, sf_dir, "delta_variant_read")
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -49,6 +49,7 @@ AUDITED = {
     "delta_type_widening_read": "mixed int32/int64 files decode in one plain scan (native parquet widening)",
     "delta_in_commit_timestamps": "ICT stamping is one metadata JSON read per publish; read plan = scan + DV anti-join + agg",
     "delta_row_tracking_append": "baseRowId assignment is driver-side stat arithmetic; read plan = scan + agg",
+    "delta_variant_read": "variant decode is native in the scan; DV broadcast anti-join; no Python",
 }
 
 
