@@ -206,9 +206,9 @@ def _check_reader_protocol(protocol: dict | None) -> None:
 # columns, typeWidening, in-commit timestamps, domain metadata, and row
 # tracking — each with its obligation implemented (staged-scan
 # validation, high-water marks, monotone stamps, checkpoint carry,
-# baseRowId assignment). Only type-level features this engine cannot
-# decode (variantType, collations) and unknown future features stay
-# refused via _check_writer_protocol.
+# baseRowId assignment) and variantType (Spark 4's native VariantType,
+# 1:1 mapping). Only collations (comparisons would decode wrong) and
+# unknown future features stay refused via _check_writer_protocol.
 SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
     {"deletionVectors", "appendOnly", "invariants", "columnMapping",
      "checkConstraints", "changeDataFeed", "timestampNtz", "v2Checkpoint",
@@ -521,31 +521,10 @@ def write_delta_snapshot(
             add["stats"] = json.dumps(stats)
         actions.append({"add": add})
     if no_stats:
-        from pyspark.sql import functions as F
-
-        from evolution_spark.io.scan_filters import (
-            decoded_file_path,
-            plain_path,
+        total_rows += _backfill_stats_via_count(
+            df.sparkSession, table_dir,
+            [table_dir / rel for rel in no_stats], actions,
         )
-
-        by_plain = {
-            r.p: r.n
-            for r in df.sparkSession.read.parquet(
-                *[str(table_dir / rel) for rel in no_stats])
-            .groupBy(decoded_file_path("_metadata.file_path").alias("p"))
-            .agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        from urllib.parse import unquote as _unq
-
-        for a in actions:
-            if "add" not in a or "stats" in a["add"]:
-                continue
-            # absent group = the file is empty (the scan covered the
-            # exact file list, so a missing key can only mean 0 rows)
-            n = by_plain.get(plain_path(str(
-                (table_dir / _unq(a["add"]["path"])).resolve())), 0)
-            a["add"]["stats"] = json.dumps({"numRecords": int(n)})
-            total_rows += int(n)
 
     log_dir = table_dir / "_delta_log"
     log_dir.mkdir()
@@ -1472,6 +1451,39 @@ def merge_delta_cdc(
     return summary
 
 
+def _backfill_stats_via_count(
+    spark, table_dir: Path, no_stats: list, actions: list[dict]
+) -> int:
+    """Fill ``numRecords``-only stats for add actions whose parquet
+    footers pyarrow cannot parse (e.g. the VARIANT logical type): ONE
+    Spark count scan over exactly those files, keyed by the SAME
+    decoded-path convention as every other file join in this module
+    (``_resolved_add_path`` vs ``decoded_file_path`` — never
+    ``Path.resolve()``, which would diverge under symlinked roots).
+    Genuinely corrupt files fail THIS scan loudly, so a commit never
+    publishes them. Absent groups are empty files (the scan covers the
+    exact list). Returns the total rows backfilled."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.scan_filters import decoded_file_path
+
+    by_path = {
+        r.p: r.n
+        for r in spark.read.parquet(*[str(p) for p in no_stats])
+        .groupBy(decoded_file_path("_metadata.file_path").alias("p"))
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    added = 0
+    for a in actions:
+        if "add" not in a or "stats" in a["add"]:
+            continue
+        n = int(by_path.get(
+            _resolved_add_path(table_dir, a["add"]["path"]), 0))
+        a["add"]["stats"] = json.dumps({"numRecords": n})
+        added += n
+    return added
+
+
 def _collect_staged_adds(
     stage: Path, table_dir: Path, version: int, now_ms: int,
     data_change: bool, spark=None,
@@ -1542,28 +1554,9 @@ def _collect_staged_adds(
                 "count fallback — refusing to publish adds without "
                 "numRecords"
             )
-        from pyspark.sql import functions as F
-
-        from evolution_spark.io.scan_filters import decoded_file_path
-
-        by_plain = {
-            r.p: r.n
-            for r in spark.read.parquet(*[str(p) for p in no_stats])
-            .groupBy(decoded_file_path("_metadata.file_path").alias("p"))
-            .agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        from urllib.parse import unquote as _unq
-
-        from evolution_spark.io.scan_filters import plain_path
-
-        for a in actions:
-            if "stats" in a["add"]:
-                continue
-            # absent group = empty file (the scan covered the exact list)
-            n = by_plain.get(plain_path(str((table_dir /
-                                             _unq(a["add"]["path"])).resolve())), 0)
-            a["add"]["stats"] = json.dumps({"numRecords": int(n)})
-            total_rows += int(n)
+        total_rows += _backfill_stats_via_count(
+            spark, table_dir, no_stats, actions
+        )
     return actions, n_files, total_rows
 
 
@@ -2416,7 +2409,8 @@ def _ntz_protocol_upgrade(proto: dict, schema_string: str) -> dict | None:
     v_w = int(proto.get("minWriterVersion", 2))
     feats_r = set(proto.get("readerFeatures") or [])
     feats_w = set(proto.get("writerFeatures") or [])
-    if v_r >= 3 and v_w >= 7 and "timestampNtz" in feats_r:
+    if (v_r >= 3 and v_w >= 7 and "timestampNtz" in feats_r
+            and "timestampNtz" in feats_w):
         return None
     legacy_w = _legacy_writer_features(v_w)
     legacy_r = {"columnMapping"} if v_r == 2 else set()
@@ -2462,7 +2456,8 @@ def _variant_protocol_upgrade(proto: dict, schema_string: str) -> dict | None:
     v_w = int(proto.get("minWriterVersion", 2))
     feats_r = set(proto.get("readerFeatures") or [])
     feats_w = set(proto.get("writerFeatures") or [])
-    if v_r >= 3 and v_w >= 7 and "variantType" in feats_r:
+    if (v_r >= 3 and v_w >= 7 and "variantType" in feats_r
+            and "variantType" in feats_w):
         return None
     legacy_w = _legacy_writer_features(v_w)
     legacy_r = {"columnMapping"} if v_r == 2 else set()
@@ -4330,7 +4325,17 @@ def _assign_row_tracking(
     callers only pass the commit's NEW adds here."""
     dm = (repl_state.get("domain_metadata") or {}).get("delta.rowTracking")
     if dm and dm.get("removed"):
-        dm = None  # tombstoned domain: stale marks must not be consumed
+        # a tombstoned mark with rowTracking still in the protocol is a
+        # contradiction this writer cannot resolve: restarting at 0 would
+        # DUPLICATE materialized row ids (the spec forbids reuse even
+        # across disable/re-enable), and consuming a stale mark trusts
+        # state the tombstone disowned — refuse loudly
+        raise DeltaProtocolError(
+            "delta.rowTracking domain metadata is tombstoned "
+            "(removed=true) while the protocol still declares the "
+            "rowTracking writer feature — cannot assign row ids safely; "
+            "refusing to commit"
+        )
     hwm = -1
     if dm and dm.get("configuration"):
         try:

@@ -1066,11 +1066,13 @@ def test_variant_lifecycle_and_feature_activation(spark, tmp_path):
     proto = st["protocol"]
     assert "variantType" in proto["readerFeatures"]
     assert "variantType" in proto["writerFeatures"]
+    total = 0
     for ln in (Path(t) / "_delta_log" / f"{0:020d}.json"
                ).read_text().splitlines():
         a = json.loads(ln)
         if "add" in a:
-            assert json.loads(a["add"]["stats"])["numRecords"] >= 0
+            total += json.loads(a["add"]["stats"])["numRecords"]
+    assert total == 5  # the fallback counts must sum to the written rows
     commit_delta(
         spark.range(5, 9).select(
             "id", F.parse_json(F.lit('{"a": 99, "tags": []}')).alias("v")),
