@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "delta_in_commit_timestamps",
     "delta_row_tracking_append",
     "delta_variant_read",
+    "delta_multipart_checkpoint_read",
 ]
 
 

@@ -3861,3 +3861,86 @@ def delta_variant_read(spark, sf_dir):
         ),
         F.max("c_custkey").alias("max_key"),
     )
+
+
+@query(
+    "delta_multipart_checkpoint_read",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents,
+           MIN(c_custkey) AS min_key
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def delta_multipart_checkpoint_read(spark, sf_dir):
+    """Classic MULTI-PART checkpoint reads (Delta spec checkpoint naming
+    ``<v>.checkpoint.<part>.<parts>.parquet`` + the ``parts`` field in
+    ``_last_checkpoint`` — round 10, ADVICE r09 high): customer lands in
+    three commits, is checkpointed, and the single-file checkpoint is
+    rewritten as a foreign writer's THREE-part set (rows round-robined,
+    spec zero-padding); the pre-checkpoint JSON commits are then DELETED,
+    so the read provably reconstructs the live set from ALL parts — a
+    reader that picked one part (the pre-fix glob behavior) would return
+    a silently partial table and fail the hash. An incomplete part set
+    refuses loudly (asserted inline). Scale: multi-part checkpoints are
+    the spec's pre-V2 answer to huge logs — parts load independently.
+    Ref parity: crates/evolution-target (Delta target is ``todo!()``)."""
+    import json
+    from pathlib import Path
+
+    import pyarrow.parquet as papq
+
+    from evolution_spark.io.delta_log import (
+        checkpoint_delta,
+        commit_delta,
+        read_delta_snapshot,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = query_tmp("deltampckpt", sf_dir)
+    write_delta_snapshot(c.where(F.col("c_custkey") % 3 == 0), path)
+    commit_delta(c.where(F.col("c_custkey") % 3 == 1), path, mode="append")
+    commit_delta(c.where(F.col("c_custkey") % 3 == 2), path, mode="append")
+    ck = checkpoint_delta(path)
+    log = Path(path) / "_delta_log"
+    v = ck["version"]
+    single = log / f"{v:020d}.checkpoint.parquet"
+    t = papq.read_table(single)
+    n_parts = 3
+    rows_per = max(1, (t.num_rows + n_parts - 1) // n_parts)
+    for i in range(n_parts):
+        papq.write_table(
+            t.slice(i * rows_per, rows_per),
+            log / f"{v:020d}.checkpoint.{i + 1:010d}.{n_parts:010d}.parquet",
+        )
+    single.unlink()
+    ptr = json.loads((log / "_last_checkpoint").read_text())
+    ptr["parts"] = n_parts
+    (log / "_last_checkpoint").write_text(json.dumps(ptr))
+    for j in range(v + 1):
+        p = log / f"{j:020d}.json"
+        if p.exists():
+            p.unlink()
+    # an incomplete part set must refuse, never fold a subset
+    part2 = log / f"{v:020d}.checkpoint.{2:010d}.{n_parts:010d}.parquet"
+    moved = part2.with_name(part2.name + ".hidden")
+    part2.rename(moved)
+    try:
+        read_delta_snapshot(spark, path).count()
+        raise AssertionError("partial multi-part checkpoint did not refuse")
+    except FileNotFoundError:
+        pass
+    moved.rename(part2)
+    back = read_delta_snapshot(spark, path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "bal_cents"
+        ),
+        F.min("c_custkey").alias("min_key"),
+    )

@@ -928,3 +928,12 @@ def test_variant_read_shape(spark, sf_dir):
     assert "Python" not in plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multipart_checkpoint_read_is_plain_scan(spark, sf_dir):
+    """Round 10: multi-part checkpoint resolution is driver-side — the
+    data plan stays plain scans + the query's own aggregate."""
+    plan = plan_of(spark, sf_dir, "delta_multipart_checkpoint_read")
+    assert "Python" not in plan
+    agg_free = plan.split("HashAggregate")[0]
+    assert "Join" not in agg_free
