@@ -938,7 +938,9 @@ def commit_delta(
             if hwm_meta is not None:
                 actions.append({"metaData": hwm_meta})
         if _row_tracking_active(repl_state):
-            rt_dm = _assign_row_tracking(add_actions, repl_state, version)
+            rt_dm = _assign_row_tracking(
+                add_actions, {**repl_state, "_live_adds": live}, version
+            )
             if rt_dm is not None:
                 actions.append(rt_dm)
         if cdc_df is not None and _cdf_enabled(config):
@@ -1473,14 +1475,28 @@ def _backfill_stats_via_count(
         .groupBy(decoded_file_path("_metadata.file_path").alias("p"))
         .agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    # absolutize WITHOUT resolving symlinks (Spark qualifies the given
+    # path verbatim; resolve() diverges under symlinked roots) so
+    # RELATIVE table paths key correctly too
+    abs_root = Path(os.path.abspath(table_dir))
     added = 0
+    consumed: set[str] = set()
     for a in actions:
         if "add" not in a or "stats" in a["add"]:
             continue
-        n = int(by_path.get(
-            _resolved_add_path(table_dir, a["add"]["path"]), 0))
+        key = _resolved_add_path(abs_root, a["add"]["path"])
+        n = int(by_path.get(key, 0))
+        consumed.add(key)
         a["add"]["stats"] = json.dumps({"numRecords": n})
         added += n
+    stray = set(by_path) - consumed
+    if stray:
+        # any scan group no action consumed means the keying diverged —
+        # fail loudly instead of publishing silent numRecords=0 stats
+        raise RuntimeError(
+            f"stats count fallback keying mismatch: scan groups {sorted(stray)[:3]}"
+            " were not matched by any add action — refusing to publish"
+        )
     return added
 
 
@@ -4325,24 +4341,26 @@ def _assign_row_tracking(
     callers only pass the commit's NEW adds here."""
     dm = (repl_state.get("domain_metadata") or {}).get("delta.rowTracking")
     if dm and dm.get("removed"):
-        # a tombstoned mark with rowTracking still in the protocol is a
-        # contradiction this writer cannot resolve: restarting at 0 would
-        # DUPLICATE materialized row ids (the spec forbids reuse even
-        # across disable/re-enable), and consuming a stale mark trusts
-        # state the tombstone disowned — refuse loudly
-        raise DeltaProtocolError(
-            "delta.rowTracking domain metadata is tombstoned "
-            "(removed=true) while the protocol still declares the "
-            "rowTracking writer feature — cannot assign row ids safely; "
-            "refusing to commit"
-        )
+        # tombstoned mark with the feature still declared: never restart
+        # at 0 (row ids must not be reused) — the LIVE files' spans below
+        # reconstruct a safe mark instead
+        dm = None
     hwm = -1
+    # live files' assigned spans floor the mark: a dropped/tombstoned
+    # domain (e.g. a checkpoint that expired the tombstone) can then
+    # never cause id reuse — the mark is recomputable from the adds
+    for add in (repl_state.get("_live_adds") or {}).values():
+        base = add.get("baseRowId")
+        if base is None:
+            continue
+        n = json.loads(add.get("stats") or "{}").get("numRecords") or 0
+        hwm = max(hwm, int(base) + int(n) - 1)
     if dm and dm.get("configuration"):
         try:
             parsed = json.loads(dm["configuration"])
             if not isinstance(parsed, dict):
                 raise ValueError("not a JSON object")
-            hwm = int(parsed.get("rowIdHighWaterMark", -1))
+            hwm = max(hwm, int(parsed.get("rowIdHighWaterMark", -1)))
         except (ValueError, TypeError):
             raise DeltaProtocolError(
                 "delta.rowTracking domain metadata carries an unparseable "
@@ -4359,6 +4377,10 @@ def _assign_row_tracking(
                 "numRecords stat — cannot assign baseRowId safely; "
                 "aborting the commit"
             )
+        if int(n) == 0:
+            # empty part files hold no rows to id — assigning a base
+            # would duplicate the next file's (review r10 pass 5 probe)
+            continue
         add["baseRowId"] = hwm + 1
         add["defaultRowCommitVersion"] = version
         hwm += int(n)

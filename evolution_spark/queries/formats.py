@@ -3879,8 +3879,8 @@ def delta_multipart_checkpoint_read(spark, sf_dir):
     ``<v>.checkpoint.<part>.<parts>.parquet`` + the ``parts`` field in
     ``_last_checkpoint`` — round 10, ADVICE r09 high): customer lands in
     three commits, is checkpointed, and the single-file checkpoint is
-    rewritten as a foreign writer's THREE-part set (rows round-robined,
-    spec zero-padding); the pre-checkpoint JSON commits are then DELETED,
+    rewritten as a foreign writer's THREE-part set (contiguous row
+    slices, spec zero-padding); the pre-checkpoint JSON commits are then DELETED,
     so the read provably reconstructs the live set from ALL parts — a
     reader that picked one part (the pre-fix glob behavior) would return
     a silently partial table and fail the hash. An incomplete part set

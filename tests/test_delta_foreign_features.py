@@ -980,8 +980,8 @@ def test_row_tracking_append_assigns_base_row_ids(spark, tmp_path):
     # second append resumes past the new mark
     commit_delta(spark.range(16, 18).select(F.col("id").alias("k")),
                  str(t), mode="append")
-    adds3 = [a for v, a in _rt_adds(t) if v == 3]
-    assert min(a["baseRowId"] for a in adds3) == 110
+    adds3 = [a for v, a in _rt_adds(t) if v == 3 and "baseRowId" in a]
+    assert min(a["baseRowId"] for a in adds3) == 110  # empty parts skip ids
     assert read_delta_snapshot(spark, str(t)).count() == 17
 
 
@@ -1100,3 +1100,33 @@ def test_variant_foreign_table_reads(spark, tmp_path):
         "readerFeatures": ["variantType", "rowTracking"],
         "writerFeatures": ["variantType", "rowTracking"]}}) + "\n")
     assert read_delta_snapshot(spark, str(t)).count() == 4
+
+
+def test_row_tracking_mark_survives_tombstone_and_checkpoint(spark, tmp_path):
+    """A tombstoned (or checkpoint-expired) delta.rowTracking domain must
+    never restart ids at 0: the live files' assigned spans floor the mark
+    (review r10 pass 5 — the checkpoint drops removed tombstones, which
+    previously bypassed the tombstone refusal)."""
+    t = tmp_path / "rt_tomb"
+    _row_tracking_table(spark, t)
+    commit_delta(spark.range(6, 10).select(F.col("id").alias("k")),
+                 str(t), mode="append")          # ids 0..3 assigned
+    log = t / "_delta_log"
+    versions = sorted(int(p.stem) for p in log.glob("*.json"))
+    (log / f"{versions[-1] + 1:020d}.json").write_text(json.dumps(
+        {"domainMetadata": {"domain": "delta.rowTracking",
+                            "configuration": "{}", "removed": True}}
+    ) + "\n")
+    checkpoint_delta(str(t))  # drops the tombstone (live domains only)
+    commit_delta(spark.range(10, 12).select(F.col("id").alias("k")),
+                 str(t), mode="append")
+    bases = sorted(a["baseRowId"] for v, a in _rt_adds(t)
+                   if "baseRowId" in a)
+    assert bases == sorted(set(bases))  # unique
+    assert max(bases) >= 4  # the post-tombstone append resumed past 0..3
+    spans = sorted((a["baseRowId"],
+                    a["baseRowId"]
+                    + json.loads(a["stats"])["numRecords"] - 1)
+                   for v, a in _rt_adds(t) if "baseRowId" in a)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert s2 > e1  # no overlapping id ranges anywhere
