@@ -869,6 +869,7 @@ def read_iceberg_table(
     ref: str | None = None,
     _lineage: bool = False,
     _current_schema: bool = False,
+    row_lineage: bool = False,
 ) -> DataFrame:
     """Open an Iceberg table by replaying its metadata chain — version
     hint -> table metadata -> current snapshot -> manifest list ->
@@ -904,7 +905,21 @@ def read_iceberg_table(
     feature (the delta twin is ``read_delta_snapshot(skip_where=...)``).
     Spark's own partition-dir pruning would skip the same rows, but only
     after listing every file; this never ships the pruned paths to the
-    reader at all."""
+    reader at all.
+
+    ROW LINEAGE (``row_lineage=True``, v3 tables only): projects two
+    extra columns per the spec's 'Row Lineage' reader rule —
+    ``_row_id`` = the row's materialized ``_row_id`` column value when
+    the data file carries one (reserved name + field-id 2147483540,
+    written by this engine's v3 rewrites), else the file's assigned
+    ``first_row_id`` + the row's position, else null (pre-upgrade
+    files); ``_last_updated_sequence_number`` = the materialized value
+    (reserved field-id 2147483539) else the file's data sequence number.
+    ``first_row_id`` inheritance: an ADDED entry with a null value
+    inherits the manifest's ``first_row_id`` plus the record counts of
+    preceding ADDED data files in that manifest (spec 'First Row ID
+    Inheritance'). Scale: lineage is a broadcast (file -> first/seq) map
+    join plus two coalesce projections — no extra shuffle, no data pass."""
     if ref is not None:
         if snapshot_id is not None:
             raise ValueError("pass snapshot_id OR ref, not both")
@@ -920,12 +935,16 @@ def read_iceberg_table(
             "refusing to read rather than dropping unknown semantics"
         )
     # v3 read support covers what this engine models: deletion vectors
-    # (Puffin blobs, decoded below exactly like position deletes) and the
-    # unchanged v2 scan semantics. Row lineage (first-row-id assignment)
-    # is a WRITER obligation — appends assign it (round 10,
-    # _commit_files_as_snapshot) and reads that don't project _row_id
-    # need nothing from it; v3 rewrites (replace/compaction) still refuse
-    # (they must preserve carried rows' ids).
+    # (Puffin blobs, decoded below exactly like position deletes), the
+    # unchanged v2 scan semantics, and (round 11) the spec's row-lineage
+    # reader rule behind ``row_lineage=True`` — what lets rewrites
+    # (compaction/UPDATE/MERGE) carry each surviving row's _row_id.
+    if row_lineage and fv < 3:
+        raise IcebergFormatError(
+            "row_lineage=True requires a format-version 3 table (row "
+            "lineage is a v3 feature) — upgrade_iceberg_format_version "
+            "first"
+        )
     specs_by_id = {
         sp["spec-id"]: sp["fields"]
         for sp in metadata.get("partition-specs") or []
@@ -1029,6 +1048,7 @@ def read_iceberg_table(
     files: list[str] = []
     file_seq: dict[str, int] = {}  # decoded path -> data sequence number
     file_part: dict[str, str] = {}  # decoded path -> canonical partition key
+    file_first: dict[str, int | None] = {}  # decoded path -> first_row_id
     file_sid: dict[str, int] = {}  # raw path -> manifest schema-id
     file_spec: dict[str, int] = {}  # raw path -> manifest partition-spec-id
     delete_files: list[str] = []
@@ -1044,6 +1064,13 @@ def read_iceberg_table(
         is_delete_manifest = int(mf.get("content") or 0) == 1
         mf_seq = int(mf.get("sequence_number") or 0)
         mf_spec = int(mf.get("partition_spec_id") or 0)
+        # v3 row lineage: the manifest's base _row_id (manifest-list
+        # field-id 520) + a running record-count offset implement the
+        # spec's 'First Row ID Inheritance' for ADDED entries that carry
+        # no explicit first_row_id. Counted over ALL added data entries
+        # (pruned ones included — the writer assigned ids in entry order).
+        mf_first = mf.get("first_row_id")
+        added_offset = 0
         mf_entries, mf_meta = _read_avro_with_meta(Path(mf["manifest_path"]))
         try:
             mf_sid = int((mf_meta.get("schema-id") or b"").decode())
@@ -1119,6 +1146,11 @@ def read_iceberg_table(
                     f"{content} — malformed metadata (delete files belong "
                     "in content=1 manifests)"
                 )
+            f_first = dfile.get("first_row_id")
+            if entry["status"] == 1:  # ADDED: consumes inheritance ids
+                if f_first is None and mf_first is not None:
+                    f_first = int(mf_first) + added_offset
+                added_offset += int(dfile.get("record_count") or 0)
             rw = _resolved_for(mf_spec) if partition_where else []
             if rw and any(
                 dfile.get("partition", {}).get(k) != v
@@ -1141,6 +1173,9 @@ def read_iceberg_table(
                     continue  # bounds prove no row can match
             files.append(dfile["file_path"])
             file_seq[plain_path(dfile["file_path"])] = seq
+            file_first[plain_path(dfile["file_path"])] = (
+                int(f_first) if f_first is not None else None
+            )
             file_part[plain_path(dfile["file_path"])] = (
                 _partition_record_key(dfile.get("partition") or {})
             )
@@ -1149,21 +1184,72 @@ def read_iceberg_table(
     ice_schema = want_ice_schema
     schema = spark_schema_of(ice_schema)
     out_names = [f.name for f in schema.fields]
+    lineage_fields = [
+        T.StructField("_row_id", T.LongType(), True),
+        T.StructField(
+            "_last_updated_sequence_number", T.LongType(), True
+        ),
+    ]
+    if row_lineage:
+        clash = {f.name for f in lineage_fields} & set(out_names)
+        if clash:
+            raise IcebergFormatError(
+                f"table schema uses the spec-reserved column names "
+                f"{sorted(clash)} — cannot project row lineage"
+            )
+        out_names = out_names + [f.name for f in lineage_fields]
     if _lineage:
         # internal (DML planning): expose each surviving row's physical
         # (file, position) so DELETE/UPDATE can emit position deletes
         out_names = out_names + ["_src_file", "_src_pos"]
-    if not files:
-        empty_schema = (
-            T.StructType(
-                schema.fields
-                + [T.StructField("_src_file", T.StringType(), True),
-                   T.StructField("_src_pos", T.LongType(), True)]
-            )
-            if _lineage
-            else schema
+    need_pos = _lineage or row_lineage  # both need (file, position) cols
+    # materialized lineage columns (spec reserved names, field-ids
+    # 2147483540/2147483539): read by name when projecting lineage —
+    # files without them (plain appends) surface nulls, and the
+    # first_row_id fallback below fills those per the spec's reader rule
+    scan_schema = (
+        T.StructType(schema.fields + lineage_fields) if row_lineage
+        else schema
+    )
+
+    def _attach_row_lineage(d):
+        """coalesce(materialized, first_row_id + pos) via a broadcast
+        (file -> first_row_id, seq) map join — metadata-sized build side,
+        no shuffle of the data."""
+        if not row_lineage:
+            return d
+        from pyspark.sql import functions as F
+
+        rows = [
+            (p, file_first.get(p), s) for p, s in sorted(file_seq.items())
+        ]
+        ldf = spark.createDataFrame(
+            rows, "__lin_file string, __lin_first long, __lin_seq long"
         )
-        return spark.createDataFrame([], empty_schema)
+        d = d.join(
+            F.broadcast(ldf),
+            F.col("_src_file") == F.col("__lin_file"),
+            "inner",
+        )
+        return d.withColumns({
+            "_row_id": F.coalesce(
+                F.col("_row_id"), F.col("__lin_first") + F.col("_src_pos")
+            ),
+            "_last_updated_sequence_number": F.coalesce(
+                F.col("_last_updated_sequence_number"), F.col("__lin_seq")
+            ),
+        })
+
+    if not files:
+        extra: list = []
+        if row_lineage:
+            extra += lineage_fields
+        if _lineage:
+            extra += [T.StructField("_src_file", T.StringType(), True),
+                      T.StructField("_src_pos", T.LongType(), True)]
+        return spark.createDataFrame(
+            [], T.StructType(schema.fields + extra) if extra else schema
+        )
     default_spec_id = int(metadata.get("default-spec-id") or 0)
     # group key = (schema epoch, partition-spec epoch): schema groups
     # realign columns by field id; SPEC groups exist because each spec's
@@ -1204,12 +1290,15 @@ def read_iceberg_table(
                 raise IcebergFormatError(
                     f"manifest references unknown schema-id {sid}"
                 )
+            g_scan = spark_schema_of(g_schema)
+            if row_lineage:
+                g_scan = T.StructType(g_scan.fields + lineage_fields)
             gdf = (
-                spark.read.schema(spark_schema_of(g_schema))
+                spark.read.schema(g_scan)
                 .option("basePath", str(table_dir / "data"))
                 .parquet(*group_of[(sid, spec_id)])
             )
-            if _lineage:
+            if need_pos:
                 from evolution_spark.io.scan_filters import (
                     decoded_file_path as _dfp,
                 )
@@ -1234,19 +1323,21 @@ def read_iceberg_table(
                     sel.append(
                         F.col(gf["name"]).cast(sf.dataType).alias(f["name"])
                     )
-            if _lineage:
+            if row_lineage:
+                sel += [F.col(f.name) for f in lineage_fields]
+            if need_pos:
                 sel += [F.col("_src_file"), F.col("_src_pos")]
             branches.append(gdf.select(*sel))
         out = branches[0]
         for b in branches[1:]:
             out = out.unionByName(b)
-        return out.select(*out_names)
+        return _attach_row_lineage(out).select(*out_names)
     df = (
-        spark.read.schema(schema)
+        spark.read.schema(scan_schema)
         .option("basePath", str(table_dir / "data"))
         .parquet(*files)
     )
-    if _lineage:
+    if need_pos:
         from pyspark.sql import functions as F
 
         from evolution_spark.io.scan_filters import decoded_file_path as _dfp
@@ -1324,7 +1415,7 @@ def read_iceberg_table(
             phys = phys.join(build, cond, "left_anti")
         df = phys.drop("__eq_fp", "__eq_seq", "__eq_file", "__eq_part")
     # Spark surfaces hive-partition columns last; restore declared order
-    return df.select(*out_names)
+    return _attach_row_lineage(df).select(*out_names)
 
 
 def _load_metadata(table_dir: Path) -> tuple[dict, Path]:
@@ -1376,6 +1467,33 @@ def last_iceberg_txn(path: str, app_id: str) -> int | None:
     return best
 
 
+# Iceberg spec v3 'Reserved Field IDs': the parquet field ids of the
+# materialized row-lineage columns rewrites must carry
+_ROW_ID_FIELD_ID = 2147483540
+_LAST_UPDATED_SEQ_FIELD_ID = 2147483539
+
+
+def _with_materialized_lineage(df: DataFrame) -> DataFrame:
+    """Stamp the two lineage columns with the spec's reserved parquet
+    field ids so field-id-resolving foreign readers find them regardless
+    of column name (Spark writes ``parquet.field.id`` StructField
+    metadata into footers when fieldId.write is enabled — the caller
+    enables it). Name-resolving readers (this engine's own) match the
+    spec-reserved names directly."""
+    from pyspark.sql import functions as F
+
+    stamp = {
+        "_row_id": {"parquet.field.id": _ROW_ID_FIELD_ID},
+        "_last_updated_sequence_number": {
+            "parquet.field.id": _LAST_UPDATED_SEQ_FIELD_ID
+        },
+    }
+    return df.select(*[
+        F.col(c).alias(c, metadata=stamp[c]) if c in stamp else F.col(c)
+        for c in df.columns
+    ])
+
+
 def compact_iceberg_table(spark, path: str, target_files: int = 1) -> dict:
     """OPTIMIZE (compaction) for the native Iceberg table — the Delta
     ``optimize_delta`` twin: rewrite the CURRENT snapshot's rows into
@@ -1385,10 +1503,32 @@ def compact_iceberg_table(spark, path: str, target_files: int = 1) -> dict:
     own manifest list, so time travel by id still reads the pre-compaction
     layout until ``expire_iceberg_snapshots`` reclaims it).
 
+    FORMAT-VERSION 3 (round 11): the rewrite PRESERVES ROW LINEAGE —
+    the scan projects each surviving row's ``_row_id`` /
+    ``_last_updated_sequence_number`` (spec reader rule: materialized
+    value, else first_row_id + position) and the rewritten files
+    MATERIALIZE both as parquet columns under the spec's reserved names
+    and field ids (2147483540 / 2147483539), so ids survive the rewrite
+    byte-identically. Rows rewritten from pre-upgrade (null-lineage)
+    files materialize NULL and acquire fresh ids via the new file's
+    ``first_row_id`` + position — the spec's id-assignment-on-rewrite.
+    DVs/position deletes are materialized away by the rewrite as in v2.
+
     Scale: the rewrite is a distributed read->coalesce->write of only the
-    live files; metadata work is one manifest + one manifest list."""
+    live files; metadata work is one manifest + one manifest list, and
+    the lineage projection is a broadcast map join — no extra shuffle."""
     table_dir = Path(path)
-    base_snapshot = _load_metadata(table_dir)[0]["current-snapshot-id"]
+    metadata = _load_metadata(table_dir)[0]
+    base_snapshot = metadata["current-snapshot-id"]
+    fv = int(metadata.get("format-version", 1))
+    if fv >= 3:
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        live = read_iceberg_table(spark, path, row_lineage=True)
+        compacted = _with_materialized_lineage(live).coalesce(target_files)
+        return _commit_iceberg_snapshot(
+            compacted, path, operation="replace",
+            expect_current=base_snapshot, _carry_lineage=True,
+        )
     compacted = read_iceberg_table(spark, path).coalesce(target_files)
     return _commit_iceberg_snapshot(
         compacted, path, operation="replace", expect_current=base_snapshot
@@ -2304,10 +2444,11 @@ def upgrade_iceberg_format_version(path: str) -> dict:
     v3 requires. Round 10: v3 APPENDS assign row lineage (explicit
     ``first_row_id`` per added data file + manifest-list entry,
     ``next-row-id`` advanced — ``_commit_files_as_snapshot``); DV DELETEs
-    commit Puffin vectors. Rewrites (replace/compaction) still refuse —
-    they must PRESERVE carried rows' ids, a copying obligation this
-    writer does not take on; pre-upgrade files keep null lineage until
-    rewritten (spec-legal). Idempotent."""
+    commit Puffin vectors. Round 11: REWRITES preserve carried rows' ids
+    by materializing ``_row_id`` / ``_last_updated_sequence_number`` as
+    parquet columns (compaction, UPDATE, MERGE all work on v3);
+    pre-upgrade files keep null lineage until their first rewrite assigns
+    ids (spec-legal). Idempotent."""
     table_dir = Path(path)
     metadata, prev_meta_file = _load_metadata(table_dir)
     fv = int(metadata.get("format-version", 1))
@@ -2322,34 +2463,18 @@ def upgrade_iceberg_format_version(path: str) -> dict:
     return {"format-version": 3, "metadata-file": str(new_file)}
 
 
-def append_deletion_vectors(path: str, deletes: list[tuple[str, int]]) -> dict:
-    """Commit a v3 DELETION-VECTOR delete snapshot: the merge-on-read
-    DELETE shape where deleted positions live as Puffin roaring-bitmap
-    blobs scoped one-per-data-file (``referenced_data_file`` +
-    ``content_offset``/``content_size_in_bytes`` manifest fields, spec
-    ids 143-145) instead of parquet (file, pos) rows. The v3 invariant is
-    AT MOST ONE live DV per data file, so this writer MERGES every
-    existing DV with the new positions into one fresh Puffin file and the
-    commit's manifest list drops the superseded DV manifests — rewrite
-    cost ∝ total deleted rows, the same bill Delta's DV maintenance pays,
-    amortized away by compaction. Refuses tables carrying non-DV delete
-    files (parquet position/equality deletes): silently superseding those
-    would resurrect their rows."""
-    if not deletes:
-        raise ValueError("deletes must be non-empty")
-    table_dir = Path(path)
-    metadata, prev_meta_file = _load_metadata(table_dir)
-    if int(metadata.get("format-version", 1)) < 3:
-        raise IcebergFormatError(
-            "deletion vectors require format-version 3 — run "
-            "upgrade_iceberg_format_version(path) first"
-        )
-    if metadata.get("current-snapshot-id") is None:
-        raise ValueError("cannot add deletion vectors to an empty table")
+def _live_dv_positions(metadata: dict) -> dict[str, set[int]]:
+    """The CURRENT snapshot's live deletion-vector state as
+    {decoded data-file path -> deleted positions} — one manifest-list
+    walk plus one Puffin decode per live DV (driver cost ∝ total deleted
+    rows). Refuses tables carrying non-DV delete files (parquet
+    position/equality deletes, e.g. pre-upgrade v2 state): a DV commit
+    supersedes ALL previous delete manifests, and silently superseding
+    deletes it cannot merge would resurrect their rows — compact the
+    table first to materialize them away."""
     from evolution_spark.io.puffin import read_puffin_dv
     from evolution_spark.io.scan_filters import plain_path
 
-    # existing live DVs (merged below) — one manifest-list walk
     snapshot = next(
         s for s in metadata["snapshots"]
         if s["snapshot-id"] == metadata["current-snapshot-id"]
@@ -2376,11 +2501,43 @@ def append_deletion_vectors(path: str, deletes: list[tuple[str, int]]) -> dict:
             merged.setdefault(
                 plain_path(dfile["referenced_data_file"]), set()
             ).update(int(p) for p in positions)
+    return merged
+
+
+def append_deletion_vectors(path: str, deletes: list[tuple[str, int]]) -> dict:
+    """Commit a v3 DELETION-VECTOR delete snapshot: the merge-on-read
+    DELETE shape where deleted positions live as Puffin roaring-bitmap
+    blobs scoped one-per-data-file (``referenced_data_file`` +
+    ``content_offset``/``content_size_in_bytes`` manifest fields, spec
+    ids 143-145) instead of parquet (file, pos) rows. The v3 invariant is
+    AT MOST ONE live DV per data file, so this writer MERGES every
+    existing DV with the new positions into one fresh Puffin file and the
+    commit's manifest list drops the superseded DV manifests — rewrite
+    cost ∝ total deleted rows, the same bill Delta's DV maintenance pays,
+    amortized away by compaction. Refuses tables carrying non-DV delete
+    files (parquet position/equality deletes): silently superseding those
+    would resurrect their rows."""
+    if not deletes:
+        raise ValueError("deletes must be non-empty")
+    table_dir = Path(path)
+    metadata, prev_meta_file = _load_metadata(table_dir)
+    if int(metadata.get("format-version", 1)) < 3:
+        raise IcebergFormatError(
+            "deletion vectors require format-version 3 — run "
+            "upgrade_iceberg_format_version(path) first"
+        )
+    if metadata.get("current-snapshot-id") is None:
+        raise ValueError("cannot add deletion vectors to an empty table")
+    from evolution_spark.io.scan_filters import plain_path
+
+    merged = _live_dv_positions(metadata)
+    existing_total = sum(len(ps) for ps in merged.values())
     for f, pos in deletes:
         merged.setdefault(plain_path(f), set()).add(int(pos))
     res = _commit_files_as_snapshot(
         table_dir, metadata, prev_meta_file, [], "delete",
         deletion_vectors={f: sorted(ps) for f, ps in merged.items()},
+        superseded_delete_rows=existing_total,
     )
     return {
         "snapshot-id": res["snapshot-id"],
@@ -2436,6 +2593,10 @@ def delete_iceberg_rows(spark, path: str, predicate: str) -> dict:
         raise ValueError(
             "cannot DELETE from a table with no current snapshot"
         )
+    if int(metadata.get("format-version", 1)) >= 3:
+        # v3 forbids new parquet position-delete files — the same
+        # predicate DELETE commits deletion vectors instead
+        return delete_iceberg_rows_dv(spark, path, predicate)
     # pin the scan to the snapshot the commit will be based on — a commit
     # racing in between must not shift which rows the predicate saw
     snap_id = metadata["current-snapshot-id"]
@@ -2512,9 +2673,10 @@ def update_iceberg_rows(
         )
 
     snap_id = metadata["current-snapshot-id"]
+    fv = int(metadata.get("format-version", 1))
     scan = read_iceberg_table(
         spark, path, snapshot_id=snap_id, _lineage=True,
-        _current_schema=True,
+        _current_schema=True, row_lineage=fv >= 3,
     ).where(predicate)
     # ONE pass: cache the matched rows so positions and updated copies
     # come from the same scan (the predicate is evaluated once)
@@ -2522,14 +2684,52 @@ def update_iceberg_rows(
     matched = scan.select("_src_file", "_src_pos").collect()
     if not matched:
         return {"snapshot-id": None, "updated_rows": 0}
-    updated = scan.select(
-        *[
-            F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
-            if f.name in set_exprs
-            else F.col(f.name)
-            for f in stored_schema.fields
+    new_cols = [
+        F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+        if f.name in set_exprs
+        else F.col(f.name)
+        for f in stored_schema.fields
+    ]
+    if fv >= 3:
+        # v3 ROW LINEAGE (spec 'Row Lineage'): an UPDATE preserves each
+        # row's _row_id (materialized through the new file) and RESETS
+        # _last_updated_sequence_number — materialized as NULL so the
+        # reader's fallback resolves it to the new file's data sequence
+        # number, i.e. "last updated by this very commit". The old row
+        # versions die as DELETION VECTORS (v3 forbids new parquet
+        # position-delete files), merged with the table's existing DVs
+        # under the one-live-DV-per-file invariant.
+        new_cols += [
+            F.col("_row_id"),
+            F.lit(None).cast("long").alias("_last_updated_sequence_number"),
         ]
-    )
+        updated = _with_materialized_lineage(scan.select(*new_cols))
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        from evolution_spark.io.scan_filters import plain_path
+
+        merged = _live_dv_positions(metadata)
+        existing_total = sum(len(ps) for ps in merged.values())
+        for r in matched:
+            merged.setdefault(plain_path(r["_src_file"]), set()).add(
+                int(r["_src_pos"])
+            )
+        seq = metadata["last-sequence-number"] + 1
+        moved = _stage_and_move(
+            updated, table_dir, seq, spec_fields, ice_schema, "UPDATE"
+        )
+        res = _commit_files_as_snapshot(
+            table_dir, metadata, prev_meta_file, moved, "overwrite",
+            deletion_vectors={f: sorted(ps) for f, ps in merged.items()},
+            carried_lineage=True,
+            superseded_delete_rows=existing_total,
+        )
+        return {
+            "snapshot-id": res["snapshot-id"],
+            "updated_rows": len(matched),
+            "new_files": res["files"],
+            "sequence-number": res["sequence-number"],
+        }
+    updated = scan.select(*new_cols)
 
     seq = metadata["last-sequence-number"] + 1
     moved = _stage_and_move(
@@ -2605,6 +2805,7 @@ def _commit_iceberg_snapshot(
     operation: str = "append",
     expect_current: int | None = None,
     branch: str | None = None,
+    _carry_lineage: bool = False,
 ) -> dict:
     """Shared snapshot-commit core: ``operation='append'`` carries the
     previous snapshot's manifests by reference; ``'replace'`` starts the
@@ -2635,6 +2836,17 @@ def _commit_iceberg_snapshot(
         if s["schema-id"] == metadata["current-schema-id"]
     )
     expected = spark_schema_of(ice_schema)
+    if _carry_lineage:
+        # v3 rewrite: the frame carries the two materialized lineage
+        # columns (spec reserved names) AFTER the table columns
+        from pyspark.sql import types as _T
+
+        expected = _T.StructType(expected.fields + [
+            _T.StructField("_row_id", _T.LongType(), True),
+            _T.StructField(
+                "_last_updated_sequence_number", _T.LongType(), True
+            ),
+        ])
     if [f.name for f in df.schema] != [f.name for f in expected.fields] or any(
         a.dataType != b.dataType for a, b in zip(df.schema, expected.fields)
     ):
@@ -2658,7 +2870,8 @@ def _commit_iceberg_snapshot(
     seq = metadata["last-sequence-number"] + 1
     moved = _stage_and_move(df, table_dir, seq, spec_fields, ice_schema, "snapshot")
     return _commit_files_as_snapshot(
-        table_dir, metadata, prev_meta_file, moved, operation, branch=branch
+        table_dir, metadata, prev_meta_file, moved, operation, branch=branch,
+        carried_lineage=_carry_lineage,
     )
 
 
@@ -2699,6 +2912,8 @@ def _commit_files_as_snapshot(
     position_deletes: list[tuple[str, int]] | None = None,
     branch: str | None = None,
     deletion_vectors: dict[str, list[int]] | None = None,
+    carried_lineage: bool | set[str] = False,
+    superseded_delete_rows: int = 0,
 ) -> dict:
     """Back half of a snapshot commit, shared by the DataFrame path
     (``_commit_iceberg_snapshot``), the DataSource sink (which stages its
@@ -2712,17 +2927,46 @@ def _commit_files_as_snapshot(
     replay skipping). An UPDATE passes BOTH ``moved`` and
     ``position_deletes``, making the delete-old + append-new pair atomic
     — a reader sees the pre-update or post-update table, never the
-    in-between."""
+    in-between.
+
+    ``carried_lineage`` (v3): which of ``moved`` hold ONLY rows carried
+    from existing files with their ``_row_id`` / ``_last_updated_sequence_number``
+    MATERIALIZED as parquet columns (spec 'Row Lineage': rewrites must
+    preserve carried rows' ids). ``True`` = all files (compaction);
+    a set of path strings = those files (a MERGE mixes carried update
+    copies with fresh inserts). Carried files are verified to actually
+    hold the materialized columns before the commit publishes; they
+    still get an explicit ``first_row_id`` like every v3 ADDED file —
+    materialized non-null values take precedence (the spec's reader
+    rule), and materialized NULLs (rows rewritten from pre-lineage
+    files) resolve to ``first_row_id + position``, which is exactly how
+    pre-upgrade rows acquire ids on their first rewrite."""
     import pyarrow.parquet as pq
 
     fv = int(metadata.get("format-version", 1))
+    if isinstance(carried_lineage, bool):
+        carried_paths = {str(p) for p in moved} if carried_lineage else set()
+    else:
+        carried_paths = {str(p) for p in carried_lineage}
+        unknown_carried = carried_paths - {str(p) for p in moved}
+        if unknown_carried:
+            raise ValueError(
+                f"carried_lineage names files not in this commit: "
+                f"{sorted(unknown_carried)}"
+            )
+    if carried_paths and fv < 3:
+        raise IcebergFormatError(
+            "carried_lineage is a format-version 3 obligation — v2 "
+            "tables have no row lineage to preserve"
+        )
     if fv >= 3:
         # v3 writes: APPENDS assign row lineage below (first_row_id per
         # manifest + data file, next-row-id advanced), DV DELETEs commit
         # Puffin vectors. New parquet position-delete FILES are FORBIDDEN
         # in v3 (DVs replace them), and rewrites (replace/compaction)
-        # must PRESERVE the row ids of carried rows — a lineage-copying
-        # obligation this writer does not take on, so they refuse.
+        # must PRESERVE the row ids of carried rows — materialized
+        # ``_row_id`` columns via ``carried_lineage``; a replace that
+        # does not declare them refuses.
         if position_deletes:
             hint = (
                 "commit deletion vectors instead (delete_iceberg_rows_dv)"
@@ -2735,12 +2979,13 @@ def _commit_files_as_snapshot(
                 f"format-version {fv} table: parquet position-delete "
                 f"files are forbidden in v3 — {hint}"
             )
-        if operation == "replace":
+        if operation == "replace" and carried_paths != {str(p) for p in moved}:
             raise IcebergFormatError(
                 f"format-version {fv} table: rewrites must preserve the "
-                "row lineage (_row_id) of carried rows, which this "
-                "writer does not implement — refusing the 'replace' "
-                "commit"
+                "row lineage (_row_id) of carried rows — a 'replace' "
+                "commit must declare every file carried_lineage with "
+                "materialized _row_id columns (compact_iceberg_table "
+                "does this)"
             )
     if deletion_vectors is not None and fv < 3:
         raise IcebergFormatError(
@@ -2817,6 +3062,17 @@ def _commit_files_as_snapshot(
         pq_md = pq.ParquetFile(p).metadata  # one footer read per file
         n_rows = pq_md.num_rows
         total_rows += n_rows
+        if str(p) in carried_paths:
+            # the carried-lineage promise is load-bearing (these files
+            # consume no ids) — verify the materialized columns exist
+            have = set(pq_md.schema.to_arrow_schema().names)
+            missing = {"_row_id", "_last_updated_sequence_number"} - have
+            if missing:
+                raise IcebergFormatError(
+                    f"carried_lineage file {p} lacks materialized "
+                    f"columns {sorted(missing)} — refusing to publish a "
+                    "rewrite that would drop row lineage"
+                )
         entries.append(
             {
                 "status": 1,  # ADDED
@@ -2851,6 +3107,16 @@ def _commit_files_as_snapshot(
         first_row_id = int(metadata.get("next-row-id") or 0)
         next_row_id = first_row_id
         for e in entries:
+            # every ADDED v3 data file gets an explicit first_row_id —
+            # including carried_lineage rewrites: their carried rows read
+            # ids from the materialized _row_id column (the spec's
+            # precedence rule), while rows REWRITTEN FROM PRE-LINEAGE
+            # FILES carry a materialized null and so get first_row_id +
+            # position, i.e. the rewrite is exactly where pre-upgrade
+            # rows acquire ids. The id range is consumed for the whole
+            # file (spec: next-row-id advances by assigned record
+            # counts); ids shadowed by materialized values are simply
+            # never observed.
             e["data_file"]["first_row_id"] = next_row_id
             next_row_id += int(e["data_file"]["record_count"])
     if entries:
@@ -3001,10 +3267,16 @@ def _commit_files_as_snapshot(
     else:
         # position deletes REMOVE live rows: total-records is prev +
         # appended - deleted, else repeated UPDATE/MERGE (delete-old +
-        # append-new) drifts the summary above the live row count
+        # append-new) drifts the summary above the live row count.
+        # A DV commit carries the MERGED vector (one-live-DV-per-file
+        # invariant), so the positions already subtracted by superseded
+        # DV commits must not subtract again — the caller reports them
+        # via ``superseded_delete_rows`` (round-11 fix: the second DV
+        # delete used to double-count the first's positions).
         total_files, total_records = (
             prev_total_files + len(entries),
-            prev_total_rows + total_rows - n_pos_deletes,
+            prev_total_rows + total_rows
+            - (n_pos_deletes - superseded_delete_rows),
         )
     summary = {
         "operation": operation,
@@ -3248,14 +3520,17 @@ def merge_iceberg_cdc(
     _check_cdc_changes(ch, op_col)
 
     snap_id = metadata["current-snapshot-id"]
+    fv = int(metadata.get("format-version", 1))
     scan = read_iceberg_table(
         spark, path, snapshot_id=snap_id, _lineage=True,
-        _current_schema=True,
+        _current_schema=True, row_lineage=fv >= 3,
     )
+    rid_cols = ["_row_id"] if fv >= 3 else []
     matched = (
-        scan.select(F.col(key).alias("__mk"), "_src_file", "_src_pos")
+        scan.select(F.col(key).alias("__mk"), "_src_file", "_src_pos",
+                    *rid_cols)
         .join(ch.select("__k", "__op"), F.col("__mk") == F.col("__k"), "inner")
-        .select("__mk", "__op", "_src_file", "_src_pos")
+        .select("__mk", "__op", "_src_file", "_src_pos", *rid_cols)
         .collect()
     )
     # an upsert key matching multiple target row versions is ambiguous
@@ -3280,18 +3555,73 @@ def merge_iceberg_cdc(
             for f in stored_schema.fields
         ]
     )
+    if fv >= 3:
+        # v3 ROW LINEAGE: an upserted row that UPDATES an existing key
+        # carries the target row's _row_id (materialized through the new
+        # file — spec: updates preserve ids); a NEW key materializes a
+        # NULL _row_id and acquires a fresh id via the new file's
+        # first_row_id + position. _last_updated_sequence_number
+        # materializes NULL for both (the reader's fallback resolves it
+        # to this commit's sequence number). Old row versions die as
+        # merged DELETION VECTORS, not parquet position-delete files.
+        key_type = next(
+            f.dataType for f in stored_schema.fields if f.name == key
+        )
+        rid_schema = T.StructType([
+            T.StructField("__rk", key_type, True),
+            T.StructField("__rid", T.LongType(), True),
+        ])
+        rid_rows = [
+            (r["__mk"], r["_row_id"]) for r in matched if r["__op"] == "u"
+        ]
+        rid_df = spark.createDataFrame(rid_rows, rid_schema)
+        new_rows = (
+            new_rows.join(
+                F.broadcast(rid_df),
+                F.col(key).eqNullSafe(F.col("__rk")),
+                "left",
+            )
+            .select(
+                *[F.col(f.name) for f in stored_schema.fields],
+                F.col("__rid").alias("_row_id"),
+                F.lit(None).cast("long").alias(
+                    "_last_updated_sequence_number"
+                ),
+            )
+        )
+        new_rows = _with_materialized_lineage(new_rows)
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     seq = metadata["last-sequence-number"] + 1
     moved = _stage_and_move(
         new_rows, table_dir, seq, spec_fields, ice_schema, "MERGE"
     )
     if not moved and not positions:
         return {"snapshot-id": None, "matched": 0, "new_files": 0}
-    res = _commit_files_as_snapshot(
-        table_dir, metadata, prev_meta_file, moved,
-        "overwrite" if positions else "append",
-        position_deletes=positions or None,
-        extra_summary={"cdc-merge": "true"},
-    )
+    if fv >= 3:
+        from evolution_spark.io.scan_filters import plain_path
+
+        merged = _live_dv_positions(metadata) if positions else {}
+        existing_total = sum(len(ps) for ps in merged.values())
+        for f, pos in positions:
+            merged.setdefault(plain_path(f), set()).add(int(pos))
+        res = _commit_files_as_snapshot(
+            table_dir, metadata, prev_meta_file, moved,
+            "overwrite" if positions else "append",
+            deletion_vectors=(
+                {f: sorted(ps) for f, ps in merged.items()}
+                if positions else None
+            ),
+            carried_lineage=bool(moved),
+            superseded_delete_rows=existing_total,
+            extra_summary={"cdc-merge": "true"},
+        )
+    else:
+        res = _commit_files_as_snapshot(
+            table_dir, metadata, prev_meta_file, moved,
+            "overwrite" if positions else "append",
+            position_deletes=positions or None,
+            extra_summary={"cdc-merge": "true"},
+        )
     return {
         "snapshot-id": res["snapshot-id"],
         "matched": len(positions),

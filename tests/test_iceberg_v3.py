@@ -131,19 +131,26 @@ def test_v3_time_travel_to_pre_delete_snapshot(spark, tmp_path):
 
 
 def test_v3_non_dv_writes_refuse(spark, tmp_path):
-    """Round 10 narrowed the v3 write refusal: APPENDS now commit (with
-    row lineage — see test_v3_append_assigns_row_lineage); parquet
-    position-delete files (forbidden in v3) and rewrites (must preserve
-    carried rows' ids) still refuse."""
-    from evolution_spark.io.iceberg_meta import compact_iceberg_table
+    """Round 10 narrowed the v3 write refusal: APPENDS commit (with row
+    lineage — see test_v3_append_assigns_row_lineage); round 11 made
+    rewrites lineage-preserving (test_iceberg_v3_rewrites.py). What still
+    refuses: parquet position-delete FILES (forbidden in v3 — DVs replace
+    them) and a 'replace' commit that does not declare materialized
+    lineage for every file."""
+    from evolution_spark.io.iceberg_meta import (
+        _commit_iceberg_snapshot,
+        read_iceberg_table,
+    )
 
     t = str(tmp_path / "v3guard")
     write_iceberg_table(_df(spark), t)
     upgrade_iceberg_format_version(t)
     with pytest.raises(IcebergFormatError, match="forbidden in v3"):
         append_position_deletes(t, [("x", 0)])
-    with pytest.raises(IcebergFormatError, match="row lineage"):
-        compact_iceberg_table(spark, t, target_files=1)
+    with pytest.raises(IcebergFormatError, match="carried_lineage"):
+        _commit_iceberg_snapshot(
+            read_iceberg_table(spark, t), t, operation="replace"
+        )
 
 
 def test_dv_on_v2_table_refuses(spark, tmp_path):
