@@ -708,6 +708,7 @@ def commit_delta(
     data_change: bool = True,
     cdc_df: DataFrame | None = None,
     operation: str = "WRITE",
+    _rt_materialized: tuple[str, str] | None = None,
 ) -> dict:
     """Commit a new version to an existing Delta table (create version 0 if
     the table does not exist). ``mode='append'`` adds files; ``'overwrite'``
@@ -831,16 +832,47 @@ def commit_delta(
             df = df.select(*schema_fields)
 
     if _row_tracking_active(repl_state) and mode == "replace":
-        # refuse BEFORE staging (the codebase convention: a refused
-        # commit never pays a distributed rewrite or leaves orphans)
-        raise DeltaProtocolError(
-            "row tracking: rewrites (MERGE/replace/OPTIMIZE) must "
-            "preserve the MATERIALIZED row ids of carried rows, which "
-            "this writer does not implement — refusing to commit "
-            "(appends assign fresh ids; DV deletes re-add the same file "
-            "and keep its baseRowId)"
-        )
+        # rewrites must preserve carried rows' MATERIALIZED row ids
+        # (PROTOCOL.md 'Row Tracking') — since round 11 the OPTIMIZE path
+        # does exactly that: it projects each row's stable id and passes
+        # the materialized column names via ``_rt_materialized``. A
+        # replace that does NOT declare them still refuses BEFORE staging
+        # (the codebase convention: a refused commit never pays a
+        # distributed rewrite or leaves orphans).
+        if _rt_materialized is None:
+            raise DeltaProtocolError(
+                "row tracking: rewrites (MERGE/replace/OPTIMIZE) must "
+                "preserve the MATERIALIZED row ids of carried rows — "
+                "refusing a replace that declares no materialized "
+                "row-tracking columns (optimize_delta does; appends "
+                "assign fresh ids; DV deletes re-add the same file and "
+                "keep its baseRowId)"
+            )
+    if _rt_materialized is not None:
+        # also legal for mode='overwrite': the un-pruned MERGE fallback
+        # rewrites the whole table and still carries every surviving
+        # row's materialized id
+        if not (_row_tracking_active(repl_state)
+                and mode in ("replace", "overwrite")):
+            raise ValueError(
+                "_rt_materialized is only meaningful for replace/"
+                "overwrite commits on a rowTracking table"
+            )
+        want = (config.get(_RT_ID_KEY), config.get(_RT_VER_KEY))
+        if tuple(_rt_materialized) != want or None in want:
+            raise DeltaProtocolError(
+                f"materialized row-tracking columns {_rt_materialized} "
+                f"do not match the table configuration {want} — run "
+                "ensure_row_tracking_materialized first"
+            )
     stored = StructType.fromJson(json.loads(schema_string))
+    if _rt_materialized is not None:
+        from pyspark.sql.types import LongType, StructField
+
+        stored = StructType(
+            stored.fields
+            + [StructField(m, LongType(), True) for m in _rt_materialized]
+        )
     # names+types must match; nullability is deliberately NOT compared —
     # Spark cannot statically prove non-nullness through outer joins (a
     # MERGE result is always "nullable" even when every row has a key), and
@@ -872,8 +904,12 @@ def commit_delta(
     # would publish a commit with remove actions but missing adds).
     stage = table_dir / f"_staging_v{version}-{uuid.uuid4().hex}"
     # mapped tables: files must store PHYSICAL names (else mapped readers
-    # resolve the appended files as all-null); no-op when mapping is off
-    df_out = _physicalize(df, json.loads(schema_string), config)
+    # resolve the appended files as all-null); no-op when mapping is off.
+    # Materialized row-tracking columns are ALREADY physical names (they
+    # live outside the schema) and ride along unrenamed.
+    df_out = _physicalize_with_extras(
+        df, json.loads(schema_string), config, _rt_materialized
+    )
     writer = df_out.write.mode("error")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
@@ -1317,6 +1353,17 @@ def merge_delta_cdc(
     live, schema_string, part_cols, _, repl_state = _replay_log(
         table_dir, return_state=True
     )
+    rt = None
+    if _row_tracking_active(repl_state):
+        # ROW TRACKING (round 11): every surviving row of the rewritten
+        # files carries its materialized _row_id — carried rows keep id
+        # AND commit version, updated rows keep id with a NULL version
+        # (reads back as this commit's), inserts materialize NULL id
+        # (fresh via the new add's baseRowId + position).
+        rt = ensure_row_tracking_materialized(path)
+        live, schema_string, part_cols, _, repl_state = _replay_log(
+            table_dir, return_state=True
+        )
     config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
     schema_json = json.loads(schema_string)
     stored = StructType.fromJson(schema_json)
@@ -1364,7 +1411,13 @@ def merge_delta_cdc(
             remove_paths = sorted(r["__path"] for r in hits.collect())
 
     if remove_paths is None:
-        target = read_delta_snapshot(spark, path)
+        if rt:
+            target = _lineage_scan(
+                spark, table_dir, live, sorted(live), schema_json, config,
+                rt[0], rt[1],
+            )
+        else:
+            target = read_delta_snapshot(spark, path)
         mode, removes = "overwrite", None
     else:
         # _logical_scan applies any deletion vectors on the pruned files
@@ -1372,9 +1425,15 @@ def merge_delta_cdc(
         # resolves column-mapped files physical->logical — scanning a
         # renamed column under its logical name would read all-null and
         # the replace commit would PERSIST those nulls
-        target = _logical_scan(
-            spark, table_dir, live, remove_paths, schema_json, config
-        )
+        if rt:
+            target = _lineage_scan(
+                spark, table_dir, live, remove_paths, schema_json, config,
+                rt[0], rt[1],
+            )
+        else:
+            target = _logical_scan(
+                spark, table_dir, live, remove_paths, schema_json, config
+            )
         mode, removes = "replace", remove_paths
 
     ch = changes.select(
@@ -1394,6 +1453,18 @@ def merge_delta_cdc(
             .alias(c)
         )
 
+    rt_cols = []
+    if rt:
+        rt_cols = [
+            # carried AND updated rows keep the target's id; inserts
+            # (target side null) materialize NULL and mint fresh ids
+            target["_row_id"].alias(rt[0]),
+            # carried rows keep their commit version; updated rows reset
+            # to NULL (reads back as this commit's version)
+            F.when(F.col("__op") == "u", F.lit(None).cast("long"))
+            .otherwise(target["_row_commit_version"])
+            .alias(rt[1]),
+        ]
     merged = (
         joined
         # WHEN MATCHED AND op='d' THEN DELETE; a delete for a missing key is
@@ -1401,7 +1472,7 @@ def merge_delta_cdc(
         .where(~F.coalesce(F.col("__op") == "d", F.lit(False)))
         # output columns in the TABLE's declared order (not key-first) so
         # the commit's order-sensitive schema check accepts any key position
-        .select(*[out_col(c) for c in data_cols])
+        .select(*[out_col(c) for c in data_cols], *rt_cols)
     )
     cdc_df = None
     if _cdf_enabled(config):
@@ -1442,7 +1513,7 @@ def merge_delta_cdc(
             }
     summary = commit_delta(
         merged, path, mode=mode, remove_paths=removes, cdc_df=cdc_df,
-        operation="MERGE",
+        operation="MERGE", _rt_materialized=rt,
     )
     if cdc_df is not None:
         cdc_df.unpersist()
@@ -2275,10 +2346,29 @@ def _physicalize(df, schema_json: dict, config: dict):
     writing into a column-mapped table (files must store physical names
     or every mapped reader resolves the new files as all-null) — the
     inverse of ``_logical_select_cols``. No-op when mapping is off."""
+    if mapping_mode(config) != "none":
+        mapping_renames(schema_json, config)  # id mode: shared refusal
+    if mapping_mode(config) != "name":
+        return df
+    return df.select(*_physicalize_cols(schema_json, config))
+
+
+def _physicalize_with_extras(df, schema_json: dict, config: dict, extras):
+    """``_physicalize`` for a frame that carries trailing NON-SCHEMA
+    columns (materialized row-tracking ids): the extras are ALREADY
+    physical names (PROTOCOL.md stores them in the table configuration,
+    outside the schema) and ride along unrenamed."""
+    if not extras:
+        return _physicalize(df, schema_json, config)
     if mapping_mode(config) != "name":
         mapping_renames(schema_json, config)  # id mode: shared refusal
         return df
-    return df.select(*_physicalize_cols(schema_json, config))
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *_physicalize_cols(schema_json, config),
+        *[F.col(e) for e in extras],
+    )
 
 
 def _mor_match_positions(spark, table_dir: Path, live, schema_json, config, predicate):
@@ -2793,6 +2883,18 @@ def update_delta_rows(
     live, schema_string, part_cols, latest, repl_state = _replay_log(
         table_dir, return_state=True
     )
+    rt = None
+    if _row_tracking_active(repl_state):
+        # ROW TRACKING (round 11): the updated copies CARRY each matched
+        # row's materialized _row_id (PROTOCOL.md: updates preserve ids)
+        # and materialize a NULL row-commit-version, which reads back as
+        # the new add's defaultRowCommitVersion — "last updated by this
+        # commit". Materialized names are assigned idempotently first
+        # (may publish one metaData commit, hence the re-replay).
+        rt = ensure_row_tracking_materialized(path)
+        live, schema_string, part_cols, latest, repl_state = _replay_log(
+            table_dir, return_state=True
+        )
     proto = _mor_guards(repl_state, "UPDATE")
     stored_schema = StructType.fromJson(json.loads(schema_string))
     if not set_exprs:
@@ -2800,12 +2902,6 @@ def update_delta_rows(
     unknown = sorted(set(set_exprs) - {f.name for f in stored_schema.fields})
     if unknown:
         raise ValueError(f"set_exprs reference unknown columns: {unknown}")
-    if _row_tracking_active(repl_state):
-        raise DeltaProtocolError(
-            "row tracking: UPDATE rewrites matched rows into new files "
-            "and must preserve their materialized row ids, which this "
-            "writer does not implement — refusing"
-        )
     ident_assigned = sorted(
         set(set_exprs) & set(_schema_identity_columns(schema_string))
     )
@@ -2832,23 +2928,35 @@ def update_delta_rows(
 
     abs_of = {_resolved_add_path(root, p): p for p in live}
     touched = sorted(abs_of[a] for a in by_abs)
-    snapshot = _logical_scan(
-        spark, table_dir, live, touched, schema_json, config
-    )
+    if rt:
+        snapshot = _lineage_scan(
+            spark, table_dir, live, touched, schema_json, config,
+            rt[0], rt[1],
+        )
+    else:
+        snapshot = _logical_scan(
+            spark, table_dir, live, touched, schema_json, config
+        )
     matched = snapshot.where(predicate)
     if _cdf_enabled(config):
         # the matched rows feed THREE consumers under CDF (pre-image
         # sidecar, post-image sidecar, staged rewrite) — cache them so
         # the touched files are read once, not three times
         matched = matched.cache()
-    updated = matched.select(
-        *[
-            F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
-            if f.name in set_exprs
-            else F.col(f.name)
-            for f in stored_schema.fields
-        ]
-    )
+    update_cols = [
+        F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+        if f.name in set_exprs
+        else F.col(f.name)
+        for f in stored_schema.fields
+    ]
+    updated = matched.select(*update_cols)
+    staged_df = updated
+    if rt:
+        staged_df = matched.select(
+            *update_cols,
+            F.col("_row_id").alias(rt[0]),
+            F.lit(None).cast("long").alias(rt[1]),
+        )
 
     now_ms = int(time.time() * 1000)
     version = latest + 1
@@ -2877,8 +2985,11 @@ def update_delta_rows(
         # CDF sidecar: pre-images (the matched rows as they were) +
         # post-images (their updated copies) in the SAME commit — the
         # pairing derivation-based readers can NEVER reconstruct (they
-        # see delete+insert)
-        pre = matched.withColumn("_change_type", F.lit("update_preimage"))
+        # see delete+insert). Table columns only: the rowTracking
+        # lineage projection must not leak into the sidecar schema.
+        pre = matched.select(
+            *[F.col(f.name) for f in stored_schema.fields]
+        ).withColumn("_change_type", F.lit("update_preimage"))
         post = updated.withColumn("_change_type", F.lit("update_postimage"))
         actions.extend(_stage_cdc_actions(
             pre.unionByName(post), table_dir, version, schema_json, config,
@@ -2887,7 +2998,9 @@ def update_delta_rows(
 
     stage = table_dir / f"_staging_v{version}-{uuid.uuid4().hex}"
     # mapped tables: the updated copies must land under PHYSICAL names
-    writer = _physicalize(updated, schema_json, config).write.mode("error")
+    writer = _physicalize_with_extras(
+        staged_df, schema_json, config, rt
+    ).write.mode("error")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     try:
@@ -2902,6 +3015,14 @@ def update_delta_rows(
             stage, table_dir, version, now_ms, data_change=True, spark=spark,
         )
         actions.extend(add_actions)
+        if rt:
+            # the NEW adds still get fresh baseRowId spans (the carried
+            # materialized ids shadow them); the mark advances same-commit
+            rt_dm = _assign_row_tracking(
+                add_actions, {**repl_state, "_live_adds": live}, version
+            )
+            if rt_dm is not None:
+                actions.append(rt_dm)
     finally:
         if stage.exists():
             shutil.rmtree(stage)
@@ -3033,10 +3154,26 @@ def optimize_delta(
     recomputed from the new footers, so post-OPTIMIZE merges prune against
     tight ranges again."""
     table_dir = Path(path)
-    live, *_ = _replay_log(table_dir)
+    live, _, _, _, repl_state = _replay_log(table_dir, return_state=True)
     if not live:
         return {"version": None, "files": 0, "rows": 0, "note": "empty table"}
-    snapshot = read_delta_snapshot(spark, path)
+    rt = None
+    if _row_tracking_active(repl_state):
+        # ROW TRACKING (PROTOCOL.md 'Row Tracking', round 11): the rewrite
+        # must preserve carried rows' stable ids — project each row's
+        # (_row_id, _row_commit_version) and MATERIALIZE them into the
+        # rewritten files under the configuration's materialized column
+        # names (assigned idempotently here if absent). New adds still
+        # get fresh baseRowId/defaultRowCommitVersion; the materialized
+        # values take precedence on read, and rows from pre-feature files
+        # (null ids) acquire fresh ids via the new add's baseRowId +
+        # position — id assignment on first rewrite, like Iceberg v3.
+        rt = ensure_row_tracking_materialized(path)
+        snapshot = read_delta_row_lineage(spark, path).withColumnsRenamed(
+            {"_row_id": rt[0], "_row_commit_version": rt[1]}
+        )
+    else:
+        snapshot = read_delta_snapshot(spark, path)
     if zorder_by:
         from evolution_spark.io.clustered import zorder_dataframe
 
@@ -3048,7 +3185,7 @@ def optimize_delta(
     # removes), and downstream streaming readers can skip the rewrite
     summary = commit_delta(
         compacted, path, mode="replace", remove_paths=sorted(live),
-        data_change=False, operation="OPTIMIZE",
+        data_change=False, operation="OPTIMIZE", _rt_materialized=rt,
     )
     summary["files_before"] = len(live)
     return summary
@@ -4392,6 +4529,169 @@ def _assign_row_tracking(
         "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
         "removed": False,
     }}
+
+
+# table-property keys naming the MATERIALIZED row-tracking columns
+# (PROTOCOL.md 'Row Tracking': rewrites preserve carried rows' ids by
+# writing them into these physical parquet columns; the names live in
+# the table configuration so every writer materializes consistently)
+_RT_ID_KEY = "delta.rowTracking.materializedRowIdColumnName"
+_RT_VER_KEY = "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+
+def read_delta_row_lineage(spark, path: str, version: int | None = None):
+    """Snapshot read of a rowTracking table PLUS each row's stable
+    ``_row_id`` and ``_row_commit_version`` (PROTOCOL.md 'Row Tracking'
+    reader rule): the MATERIALIZED column value when the data file
+    carries one (column names from the table configuration's
+    ``delta.rowTracking.materializedRow*ColumnName`` keys), else the
+    FRESH value — the add action's ``baseRowId`` + the row's physical
+    position / the add's ``defaultRowCommitVersion``. Rows from files
+    added before the feature was enabled (no baseRowId) read null ids
+    until a rewrite assigns them. Scale: a broadcast (file -> base,
+    version) map join over footer-derived positions — no extra shuffle,
+    no data pass beyond the scan itself."""
+    table_dir = Path(path)
+    live, schema_string, _, _, state = _replay_log(
+        table_dir, version, return_state=True
+    )
+    if not _row_tracking_active(state):
+        raise DeltaProtocolError(
+            "row tracking is not enabled on this table (no rowTracking "
+            "writer feature) — there are no row ids to project"
+        )
+    schema_json = json.loads(schema_string)
+    config = dict((state.get("metadata") or {}).get("configuration") or {})
+    names = [f["name"] for f in schema_json["fields"]]
+    clash = {"_row_id", "_row_commit_version"} & set(names)
+    if clash:
+        raise DeltaProtocolError(
+            f"table schema uses the projection names {sorted(clash)} — "
+            "cannot project row lineage"
+        )
+    mat_id = config.get(_RT_ID_KEY)
+    mat_ver = config.get(_RT_VER_KEY)
+    if mapping_mode(config) == "id" and (mat_id or mat_ver):
+        raise DeltaProtocolError(
+            "row-lineage projection on an id-mode column-mapped table "
+            "with materialized row-tracking columns is not implemented "
+            "(materialized columns resolve by NAME, id-mode data columns "
+            "by field id — mixed resolution)"
+        )
+    return _lineage_scan(
+        spark, table_dir, live, sorted(live), schema_json, config,
+        mat_id, mat_ver,
+    )
+
+
+def _lineage_scan(
+    spark, table_dir: Path, live, kept, schema_json, config,
+    mat_id: str | None, mat_ver: str | None,
+):
+    """Scan ``kept`` add paths with per-row (_row_id, _row_commit_version)
+    attached (materialized column value, else baseRowId + position /
+    defaultRowCommitVersion) — the shared back half of
+    ``read_delta_row_lineage`` and the rowTracking DML paths, which scan
+    only their touched files."""
+    from pyspark.sql import functions as F
+
+    names = [f["name"] for f in schema_json["fields"]]
+    scan_json = dict(schema_json)
+    scan_json["fields"] = list(schema_json["fields"]) + [
+        {"name": m, "type": "long", "nullable": True, "metadata": {}}
+        for m in (mat_id, mat_ver)
+        if m
+    ]
+    sdf = _logical_scan(
+        spark, table_dir, live, kept, scan_json, config,
+        with_lineage=True,
+    )
+    root = table_dir.resolve()
+    rows = [
+        (
+            _resolved_add_path(root, p),
+            live[p].get("baseRowId"),
+            live[p].get("defaultRowCommitVersion"),
+        )
+        for p in sorted(kept)
+    ]
+    ldf = spark.createDataFrame(
+        rows, "__rt_fp string, __rt_base long, __rt_ver long"
+    )
+    sdf = sdf.join(
+        F.broadcast(ldf), F.col("__src_fp") == F.col("__rt_fp"), "inner"
+    )
+    id_expr = F.col("__rt_base") + F.col("__src_ri")
+    ver_expr = F.col("__rt_ver")
+    if mat_id:
+        id_expr = F.coalesce(F.col(mat_id), id_expr)
+    if mat_ver:
+        ver_expr = F.coalesce(F.col(mat_ver), ver_expr)
+    return sdf.select(
+        *names,
+        id_expr.alias("_row_id"),
+        ver_expr.alias("_row_commit_version"),
+    )
+
+
+def ensure_row_tracking_materialized(path: str) -> tuple[str, str]:
+    """Idempotently assign the table's MATERIALIZED row-tracking column
+    names (PROTOCOL.md 'Row Tracking': writers must record the physical
+    column names in the table configuration BEFORE materializing ids into
+    rewritten files). Returns (row-id column, row-commit-version column);
+    publishes one metaData-only commit when the keys were absent.
+    uuid-suffixed names cannot collide with schema columns, but the
+    guard still checks logical AND physical names."""
+    table_dir = Path(path)
+    _, schema_string, _, latest, state = _replay_log(
+        table_dir, return_state=True
+    )
+    if not _row_tracking_active(state):
+        raise DeltaProtocolError(
+            "row tracking is not enabled on this table — nothing to "
+            "materialize"
+        )
+    config = dict((state.get("metadata") or {}).get("configuration") or {})
+    if config.get(_RT_ID_KEY) and config.get(_RT_VER_KEY):
+        return config[_RT_ID_KEY], config[_RT_VER_KEY]
+    schema_json = json.loads(schema_string)
+    taken = {f["name"] for f in schema_json["fields"]} | {
+        (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in schema_json["fields"]
+    }
+    suffix = uuid.uuid4().hex[:12]
+    id_name = config.get(_RT_ID_KEY) or f"_row-id-col-{suffix}"
+    ver_name = config.get(_RT_VER_KEY) or f"_row-commit-col-{suffix}"
+    if {id_name, ver_name} & taken:
+        raise DeltaProtocolError(
+            f"generated materialized column names collide with schema "
+            f"columns {sorted({id_name, ver_name} & taken)}"
+        )
+    metadata = dict(state["metadata"])
+    metadata["configuration"] = {
+        **config, _RT_ID_KEY: id_name, _RT_VER_KEY: ver_name,
+    }
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {"commitInfo": {
+            "timestamp": now_ms,
+            "operation": "SET TBLPROPERTIES",
+            "operationParameters": {
+                "properties": json.dumps(
+                    {_RT_ID_KEY: id_name, _RT_VER_KEY: ver_name}
+                )
+            },
+            "engineInfo": "evolution-spark-delta-writer/1.0",
+        }},
+        {"metaData": metadata},
+    ]
+    _publish_commit(
+        table_dir, latest + 1, actions, "row-tracking materialization",
+        config=metadata["configuration"],
+    )
+    return id_name, ver_name
 
 
 def _refuse_constrained_column(config: dict, col: str, what: str) -> None:

@@ -3836,9 +3836,10 @@ def delta_row_tracking_append(spark, sf_dir):
     domainMetadata action in the SAME commit, so the final mark equals
     (rows appended under the feature) - 1 (oracle-checked via a scalar
     subquery). Contiguity/versions are asserted inline. Rewrites
-    (OPTIMIZE/UPDATE/MERGE) refuse — they must preserve carried rows'
-    materialized ids; DV deletes re-add the same file and keep its
-    baseRowId. Scale: assignment is driver-side footer-stat arithmetic,
+    (OPTIMIZE/UPDATE/MERGE) preserve carried rows' materialized ids
+    since round 11 (see delta_row_tracking_optimize); DV deletes re-add
+    the same file and keep its baseRowId.
+    Scale: assignment is driver-side footer-stat arithmetic,
     one domainMetadata action per commit. Ref parity:
     crates/evolution-target (Delta target is ``todo!()``)."""
     import json
@@ -3893,6 +3894,109 @@ def delta_row_tracking_append(spark, sf_dir):
             "bal_cents"
         ),
         F.lit(int(mark)).alias("row_id_mark"),
+    )
+
+
+@query(
+    "delta_row_tracking_optimize",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_alive,
+           CAST(SUM(CAST(ROUND(
+               (c_acctbal
+                + CASE WHEN c_custkey % 7 = 3 THEN 1000 ELSE 0 END) * 100
+           ) AS BIGINT)) AS BIGINT) AS bal_cents,
+           MAX(c_custkey) AS max_key
+    FROM customer
+    WHERE c_custkey % 9 <> 4
+    GROUP BY c_mktsegment
+    """,
+)
+def delta_row_tracking_optimize(spark, sf_dir):
+    """Delta ROW-TRACKING-PRESERVING REWRITES (PROTOCOL.md 'Row
+    Tracking' — round 11; closes the rewrite refusal the round-10
+    verdict ranked #2): customer lands across eras (plain write ->
+    rowTracking protocol upgrade -> two tracked appends), a DV DELETE
+    kills ``c_custkey % 9 = 4`` (files re-added with their baseRowId), a
+    merge-on-read UPDATE bumps ``c_acctbal`` by 1000 for
+    ``c_custkey % 7 = 3`` (updated copies MATERIALIZE the carried
+    ``_row_id``, commit version resets to the UPDATE's), then OPTIMIZE
+    rewrites the live set into 4 files, materializing every surviving
+    row's id/commit-version under the configuration's
+    ``delta.rowTracking.materializedRow*ColumnName`` columns (assigned
+    idempotently, recorded via a metaData commit). Inline asserts prove
+    (a) zero rows changed (id, commit version) across the OPTIMIZE —
+    a distributed join — and (b) the post-OPTIMIZE table has a non-null
+    unique id per row (pre-feature rows acquired fresh ids via the new
+    adds' baseRowId + position). The oracle checks the DATA; the asserts
+    check the lineage the oracle cannot see (ids are writer-assigned).
+    Scale: lineage is a broadcast file-map join over footer positions;
+    the OPTIMIZE write is distributed; the log work is metadata-sized.
+    Ref parity: the reference's Delta target is ``todo!()``
+    (examples/delta/src/main.rs:28-30)."""
+    import json
+    from pathlib import Path
+
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        delete_delta_rows,
+        optimize_delta,
+        read_delta_row_lineage,
+        read_delta_snapshot,
+        update_delta_rows,
+        write_delta_snapshot,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = query_tmp("deltartopt", sf_dir)
+    write_delta_snapshot(c.where(F.col("c_custkey") % 3 == 0), path)  # v0
+    log = Path(path) / "_delta_log"
+    (log / f"{1:020d}.json").write_text(json.dumps({"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["rowTracking", "domainMetadata"],
+        "writerFeatures": ["rowTracking", "domainMetadata"]}}) + "\n")
+    commit_delta(c.where(F.col("c_custkey") % 3 == 1), path, mode="append")
+    commit_delta(c.where(F.col("c_custkey") % 3 == 2), path, mode="append")
+    delete_delta_rows(spark, path, "c_custkey % 9 = 4")  # DV, ids kept
+    update_delta_rows(
+        spark, path, "c_custkey % 7 = 3", {"c_acctbal": "c_acctbal + 1000"}
+    )
+    pre = (
+        read_delta_row_lineage(spark, path)
+        .select("c_custkey", "_row_id", "_row_commit_version")
+        .where(F.col("_row_id").isNotNull())
+        .localCheckpoint(eager=True)  # pin: OPTIMIZE replaces the state
+    )
+    optimize_delta(spark, path, target_files=4)
+    post = read_delta_row_lineage(spark, path)
+    lost = (
+        pre.alias("a")
+        .join(post.alias("b"), "c_custkey")
+        .where(
+            (F.col("a._row_id") != F.col("b._row_id"))
+            | (
+                F.col("a._row_commit_version")
+                != F.col("b._row_commit_version")
+            )
+        )
+        .count()
+    )
+    assert lost == 0, f"{lost} rows changed lineage across OPTIMIZE"
+    stats = post.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("_row_id").alias("n_ids"),
+        F.count_distinct("_row_id").alias("n_distinct"),
+    ).collect()[0]
+    assert stats["n"] == stats["n_ids"] == stats["n_distinct"], stats
+    back = read_delta_snapshot(spark, path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_alive"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "bal_cents"
+        ),
+        F.max("c_custkey").alias("max_key"),
     )
 
 

@@ -985,22 +985,21 @@ def test_row_tracking_append_assigns_base_row_ids(spark, tmp_path):
     assert read_delta_snapshot(spark, str(t)).count() == 17
 
 
-def test_row_tracking_rewrites_refuse_dv_delete_passes(spark, tmp_path):
-    from evolution_spark.io.delta_log import (
-        delete_delta_rows,
-        optimize_delta,
-        update_delta_rows,
-    )
+def test_row_tracking_dv_delete_keeps_base_row_id(spark, tmp_path):
+    """DV DELETE re-adds the same file: baseRowId carried verbatim.
+    (Rewrites no longer refuse — round 11 made OPTIMIZE/UPDATE/MERGE
+    lineage-preserving; see test_delta_row_tracking_rewrites.py. A bare
+    replace that declares no materialized columns still refuses.)"""
+    from evolution_spark.io.delta_log import commit_delta as _cd
+    from evolution_spark.io.delta_log import delete_delta_rows
 
     t = tmp_path / "rt_dml"
     _row_tracking_table(spark, t)
     commit_delta(spark.range(6, 10).select(F.col("id").alias("k")),
                  str(t), mode="append")
     with pytest.raises(DeltaProtocolError, match="row tracking"):
-        update_delta_rows(spark, str(t), "k = 2", {"k": "50"})
-    with pytest.raises(DeltaProtocolError, match="row tracking"):
-        optimize_delta(spark, str(t), target_files=1)
-    # DV DELETE re-adds the same file: baseRowId carried verbatim
+        _cd(read_delta_snapshot(spark, str(t)), str(t), mode="replace",
+            remove_paths=[], data_change=False, operation="OPTIMIZE")
     pre = {a["path"]: a.get("baseRowId") for v, a in _rt_adds(t) if v == 2}
     delete_delta_rows(spark, str(t), "k = 7")
     post = {a["path"]: a.get("baseRowId") for v, a in _rt_adds(t)
