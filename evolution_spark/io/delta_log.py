@@ -155,12 +155,88 @@ class DeltaProtocolError(RuntimeError):
     Evolution': readers must refuse tables above their reader version)."""
 
 
-def _check_reader_protocol(protocol: dict | None) -> None:
+# collations feature names (stable + preview): tolerated on READ only
+# when the schema declares no collation that changes comparison
+# semantics — see _validate_collations
+_COLLATIONS_FEATURES: frozenset[str] = frozenset(
+    {"collations", "collations-preview"}
+)
+
+
+def _validate_collations(schema_string: str | None) -> None:
+    """COLLATIONS tolerance read (PROTOCOL.md 'Collations', round 11):
+    the feature records collation identifiers in schema FIELD METADATA.
+    A table whose every declared collation is UTF8_BINARY (the spec's
+    default — an unspecified collation IS binary) compares exactly like
+    plain Spark strings, so reading it plainly is faithful. Any OTHER
+    identifier (ICU locales, case-insensitive variants) changes
+    ordering/equality semantics this reader does not implement and
+    refuses loudly — as does any structurally unrecognized collation
+    metadata (refusing beats mis-collating). Detection is conservative:
+    every field-metadata entry whose KEY mentions 'collation' has all
+    its nested STRING VALUES checked against the UTF8_BINARY forms
+    (bare, PROVIDER.NAME, with trailing version segments)."""
+    if not schema_string:
+        raise DeltaProtocolError(
+            "table declares the collations reader feature but no schema "
+            "is resolvable — refusing to read without validating the "
+            "declared collations"
+        )
+
+    def _idents(v):
+        if isinstance(v, str):
+            yield v
+        elif isinstance(v, dict):
+            for inner in v.values():  # keys are column paths, not idents
+                yield from _idents(inner)
+        elif isinstance(v, (list, tuple)):
+            for inner in v:
+                yield from _idents(inner)
+        else:
+            yield v  # non-string leaf: fails the check below, loudly
+
+    def _is_binary(ident) -> bool:
+        if not isinstance(ident, str):
+            return False
+        parts = ident.upper().split(".")
+        return "UTF8_BINARY" in (parts[0], parts[1] if len(parts) > 1 else "")
+
+    stack = list(json.loads(schema_string).get("fields") or [])
+    while stack:
+        f = stack.pop()
+        if not isinstance(f, dict):
+            continue
+        for key, val in (f.get("metadata") or {}).items():
+            if "collation" not in key.lower():
+                continue
+            bad = [i for i in _idents(val) if not _is_binary(i)]
+            if bad:
+                raise DeltaProtocolError(
+                    f"field {f.get('name')!r} declares non-binary "
+                    f"collation(s) {bad} — comparisons under them would "
+                    "decode wrong; only UTF8_BINARY-collated tables read"
+                )
+        t = f.get("type")
+        if isinstance(t, dict):
+            stack.append(t)
+        for k in ("fields", "elementType", "keyType", "valueType"):
+            v = f.get(k) if isinstance(f, dict) else None
+            if isinstance(v, list):
+                stack.extend(v)
+            elif isinstance(v, dict):
+                stack.append(v)
+
+
+def _check_reader_protocol(
+    protocol: dict | None, schema_string: str | None = None
+) -> None:
     """Enforce the Delta protocol's reader obligation before serving data:
     a client MUST NOT read a table whose ``minReaderVersion`` (or, for
     reader version 3, whose ``readerFeatures`` set) exceeds what it
     implements. Raises ``DeltaProtocolError`` for v2 (column mapping), any
-    unknown v3 reader feature, and any future reader version."""
+    unknown v3 reader feature, and any future reader version. The
+    ``collations`` feature is schema-gated: tolerated when every declared
+    collation is UTF8_BINARY (``schema_string`` must be passed then)."""
     if not protocol:
         return
     v = int(protocol.get("minReaderVersion", 1))
@@ -174,8 +250,11 @@ def _check_reader_protocol(protocol: dict | None) -> None:
     features = set(protocol.get("readerFeatures") or [])
     unsupported = sorted(
         features - SUPPORTED_READER_FEATURES - READER_IGNORABLE_FEATURES
+        - _COLLATIONS_FEATURES
     )
     if v == 3 and not unsupported:
+        if features & _COLLATIONS_FEATURES:
+            _validate_collations(schema_string)
         return
     raise DeltaProtocolError(
         f"table requires minReaderVersion={v}"
@@ -207,7 +286,8 @@ def _check_reader_protocol(protocol: dict | None) -> None:
 # tracking — each with its obligation implemented (staged-scan
 # validation, high-water marks, monotone stamps, checkpoint carry,
 # baseRowId assignment) and variantType (Spark 4's native VariantType,
-# 1:1 mapping). Only collations (comparisons would decode wrong) and
+# 1:1 mapping). Collations stay refused for WRITES (round 11 added a
+# READ tolerance for all-UTF8_BINARY tables — _validate_collations);
 # unknown future features stay refused via _check_writer_protocol.
 SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
     {"deletionVectors", "appendOnly", "invariants", "columnMapping",
@@ -643,7 +723,7 @@ def _replay_log(
             break
         for line in (log_dir / f"{v:020d}.json").read_text().splitlines():
             _fold_action(json.loads(line), live, state)
-    _check_reader_protocol(state.get("protocol"))
+    _check_reader_protocol(state.get("protocol"), state.get("schema_string"))
     _validate_type_widening(state.get("schema_string"))
     out = (live, state.get("schema_string"), state.get("part_cols", []), target)
     return out + (state,) if return_state else out
@@ -775,11 +855,12 @@ def commit_delta(
     identity = _schema_identity_columns(schema_string)
     identity_generated: set[str] = set()
     if identity and data_change:
-        if mapping_renames(json.loads(schema_string), config):
-            raise DeltaProtocolError(
-                "identity columns on a column-mapped table are not "
-                "supported by this writer — refusing to commit"
-            )
+        # column-mapped tables (round 11): generation happens on LOGICAL
+        # names before _physicalize renames the frame, and the high-water
+        # mark sync translates logical -> physical for the footer-stats
+        # lookup (_identity_hwm_metadata); id mode refuses in
+        # mapping_renames like every write path
+        mapping_renames(json.loads(schema_string), config)
         from pyspark.sql import functions as F
 
         schema_fields = [f["name"] for f in json.loads(schema_string)["fields"]]
@@ -2045,7 +2126,7 @@ def table_changes(
     # same obligations as read_delta_snapshot (refuse unknown features;
     # resolve column-mapped tables under their PHYSICAL schema, aliasing
     # back to logical names at the end)
-    _check_reader_protocol(state.get("protocol"))
+    _check_reader_protocol(state.get("protocol"), state.get("schema_string"))
     _validate_type_widening(state.get("schema_string"))
     config = dict((state.get("metadata") or {}).get("configuration") or {})
     schema_json = json.loads(state["schema_string"])
@@ -3344,7 +3425,7 @@ def checkpoint_delta(
     # refuse to checkpoint a table we cannot faithfully read: a checkpoint
     # of a protocol with unsupported reader features would re-serialize
     # state this implementation does not understand
-    _check_reader_protocol(protocol_action)
+    _check_reader_protocol(protocol_action, state.get("schema_string"))
     txns: dict[str, int] = state.get("txns", {})
 
     # deletionVector descriptors must survive checkpointing — a checkpoint
@@ -3737,7 +3818,7 @@ def read_checkpoint_state(
     # The guard runs on the RESOLVED protocol (checkpoint row, overridden by
     # any post-checkpoint protocol-upgrade commit) — a foreign writer that
     # upgraded the table after our checkpoint still gets refused.
-    _check_reader_protocol(state.get("protocol"))
+    _check_reader_protocol(state.get("protocol"), state.get("schema_string"))
     _validate_type_widening(state.get("schema_string"))
     out = (live, state["schema_string"], state["part_cols"], latest)
     return out + (state,) if return_state else out
@@ -4413,16 +4494,26 @@ def _identity_hwm_metadata(
     exceeded — the spec requires the mark to move in the SAME commit, or
     a crash between commits would let the next writer re-assign ids.
     Driver-side: reads the add actions' footer stats, touches no data."""
+    # stats are keyed by PHYSICAL name on column-mapped tables
+    rs_config = dict(
+        (repl_state.get("metadata") or {}).get("configuration") or {}
+    )
+    rs_schema = json.loads(repl_state["metadata"]["schemaString"])
+    phys_of = {
+        log: phys
+        for phys, log in mapping_renames(rs_schema, rs_config).items()
+    }
     new_high: dict[str, int] = {}
     for name, spec_ in identity.items():
         step, cur = spec_["step"], spec_["high"]
+        stat_key = phys_of.get(name, name)
         extreme: int | None = None
         for a in add_actions:
             st = json.loads(a["add"].get("stats") or "{}")
             v = (st.get("maxValues") if step > 0 else st.get("minValues")
                  ) or {}
-            if name in v:
-                x = int(v[name])
+            if stat_key in v:
+                x = int(v[stat_key])
                 extreme = x if extreme is None else (
                     max(extreme, x) if step > 0 else min(extreme, x)
                 )

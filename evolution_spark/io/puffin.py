@@ -6,7 +6,8 @@ Layout (Puffin spec): ``Magic Blob₁..Blobₙ Footer`` where Footer =
 ``Magic FooterPayload FooterPayloadSize(4B LE) Flags(4B) Magic`` and
 FooterPayload is UTF-8 JSON ``{"blobs": [BlobMetadata...], "properties":
 {...}}``. This writer never compresses the payload (flags = 0); the
-reader refuses compressed footers loudly rather than mis-parsing.
+reader ALSO decodes zstd-compressed footers (footer flag bit 0, RFC 8878
+framing — round 10) so foreign Puffin files read correctly.
 
 ``deletion-vector-v1`` blob (Iceberg spec v3 'Deletion Vectors'):
 ``length(4B BE) magic(D1 D3 39 64) vector crc32(4B BE)`` where length

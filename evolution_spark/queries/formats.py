@@ -3653,6 +3653,70 @@ def delta_identity_columns(spark, sf_dir):
     _, ss, _, _, _ = _replay_log(Path(path), return_state=True)
     f = next(f for f in json.loads(ss)["fields"] if f["name"] == "uid")
     assert f["metadata"]["delta.identity.highWaterMark"] > int(hwm)
+
+    # COLUMN-MAPPED leg (round 11 — the identity x columnMapping refusal
+    # is lifted): a second table upgrades to name mapping, RENAMES the
+    # identity column (physical != logical), then a generated append must
+    # still assign unique aligned values and advance the mark, which now
+    # requires the physical-name footer-stats lookup. Inline-asserted so
+    # the oracle (which checks the MAIN table's data) stays unchanged.
+    from evolution_spark.io.delta_log import (
+        _schema_identity_columns,
+        rename_delta_column,
+        upgrade_delta_to_column_mapping,
+    )
+
+    mpath = query_tmp("deltaidentmap", sf_dir)
+    mseed = even.limit(50).select(
+        (F.col("c_custkey") * 10).alias("uid"),
+        F.col("c_custkey").alias("k"),
+    ).localCheckpoint(eager=True)  # pin: limit() must not re-evaluate
+    mhwm = int(mseed.agg(F.max("uid")).collect()[0][0])
+    write_delta_snapshot(mseed, mpath)
+    upgrade_delta_to_column_mapping(mpath)
+    rename_delta_column(mpath, "uid", "user_id")
+    mlog = Path(mpath) / "_delta_log"
+    _, mss, _, mlatest, mst = _replay_log(Path(mpath), return_state=True)
+    msj = json.loads(mss)
+    for fld in msj["fields"]:
+        if fld["name"] == "user_id":
+            fm = dict(fld.get("metadata") or {})
+            fm.update({
+                "delta.identity.start": 10, "delta.identity.step": 10,
+                "delta.identity.highWaterMark": mhwm,
+                "delta.identity.allowExplicitInsert": False,
+            })
+            fld["metadata"] = fm
+    mmeta = dict(mst["metadata"])
+    mmeta["schemaString"] = json.dumps(msj)
+    mproto = mst["protocol"]
+    (mlog / f"{mlatest + 1:020d}.json").write_text(
+        json.dumps({"protocol": {
+            "minReaderVersion": int(mproto.get("minReaderVersion", 2)),
+            "minWriterVersion": 7,
+            **({"readerFeatures": mproto["readerFeatures"]}
+               if mproto.get("readerFeatures") else {}),
+            "writerFeatures": sorted(
+                set(mproto.get("writerFeatures") or [])
+                | {"identityColumns", "columnMapping"}
+            )}}) + "\n" + json.dumps({"metaData": mmeta}) + "\n"
+    )
+    commit_delta(
+        odd.limit(40).select(F.col("c_custkey").alias("k")), mpath,
+        mode="append",
+    )
+    mrows = read_delta_snapshot(spark, mpath).where("user_id is not null")
+    mstats = mrows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("nd"),
+        F.sum(((F.col("user_id") % 10) != 0).cast("bigint")).alias("mis"),
+    ).collect()[0]
+    assert mstats["n"] == mstats["nd"] and mstats["mis"] == 0, mstats
+    mident = _schema_identity_columns(
+        _replay_log(Path(mpath), return_state=True)[1]
+    )
+    assert mident["user_id"]["high"] is not None  # mark advanced, logical key
+
     back = read_delta_snapshot(spark, path)
     return back.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -595,13 +595,60 @@ def test_reader_ignorable_features_tolerated(spark, tmp_path):
     }}) + "\n")
     with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
         commit_delta(spark.range(9, 10).select("id"), str(t), mode="append")
+    # collations with NO declared collations in the schema = everything
+    # is UTF8_BINARY (the spec default) — round 11 reads this tolerantly
     (log / f"{4:020d}.json").write_text(json.dumps({"protocol": {
         "minReaderVersion": 3, "minWriterVersion": 7,
         "readerFeatures": ["rowTracking", "collations"],
         "writerFeatures": ["rowTracking", "collations"],
     }}) + "\n")
+    assert read_delta_snapshot(spark, str(t)).count() == 9
+    # writes to a collations table still refuse (the feature is not
+    # claimed in SUPPORTED_WRITER_FEATURES)
     with pytest.raises(DeltaProtocolError, match="collations"):
-        read_delta_snapshot(spark, str(t))
+        commit_delta(spark.range(9, 10).select("id"), str(t), mode="append")
+
+
+def test_collations_utf8_binary_reads_non_binary_refuses(spark, tmp_path):
+    """Round-11 collations tolerance (PROTOCOL.md 'Collations'): a table
+    whose every declared collation is UTF8_BINARY compares like plain
+    Spark strings and reads green; any non-binary identifier (ICU
+    locale, case-insensitive) refuses with the field named."""
+    from evolution_spark.io.delta_log import _replay_log
+
+    def _with_collation(t, ident):
+        write_delta_snapshot(
+            spark.range(5).selectExpr("id", "cast(id as string) as s"),
+            str(t),
+        )
+        log = t / "_delta_log"
+        _, schema_string, _, _, st = _replay_log(t, return_state=True)
+        schema = json.loads(schema_string)
+        for f in schema["fields"]:
+            if f["name"] == "s":
+                f["metadata"] = {"__COLLATIONS": {"s": ident}}
+        metadata = dict(st["metadata"])
+        metadata["schemaString"] = json.dumps(schema)
+        (log / f"{1:020d}.json").write_text(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["collations"],
+            "writerFeatures": ["collations"],
+        }}) + "\n" + json.dumps({"metaData": metadata}) + "\n")
+
+    t1 = tmp_path / "colbin"
+    _with_collation(t1, "SPARK.UTF8_BINARY")
+    assert read_delta_snapshot(spark, str(t1)).count() == 5
+
+    t2 = tmp_path / "colicu"
+    _with_collation(t2, "ICU.de_DE.75.1")
+    with pytest.raises(DeltaProtocolError, match="non-binary"):
+        read_delta_snapshot(spark, str(t2))
+
+    # unrecognized structure refuses too (refusing beats mis-collating)
+    t3 = tmp_path / "colodd"
+    _with_collation(t3, {"nested": ["SPARK.UTF8_LCASE"]})
+    with pytest.raises(DeltaProtocolError, match="non-binary"):
+        read_delta_snapshot(spark, str(t3))
 
 
 def test_upgrade_writer_only_idempotent(spark, tmp_path):
@@ -759,6 +806,72 @@ def test_identity_update_and_merge_refuse(spark, tmp_path):
     _identity_table(spark, t2, allow=False, hwm=120)
     with pytest.raises(DeltaProtocolError, match="GENERATED ALWAYS"):
         merge_delta_cdc(spark, str(t2), ch, key="uid")
+
+
+def test_identity_on_column_mapped_table_generates(spark, tmp_path):
+    """identity x columnMapping (round 11 — the combination refusal is
+    lifted): generation happens on LOGICAL names before physicalize, and
+    the high-water-mark sync reads footer stats under the PHYSICAL name
+    (the rename makes them differ, so a lookup bug cannot hide)."""
+    from evolution_spark.io.delta_log import (
+        _replay_log,
+        _schema_identity_columns,
+        rename_delta_column,
+        upgrade_delta_to_column_mapping,
+    )
+
+    t = tmp_path / "ident_mapped"
+    write_delta_snapshot(
+        spark.range(1, 4).select((F.col("id") * 10).alias("uid"),
+                                 F.col("id").alias("k")),
+        str(t),
+    )
+    upgrade_delta_to_column_mapping(str(t))
+    rename_delta_column(str(t), "uid", "user_id")
+    _, ss, _, latest, st = _replay_log(t, return_state=True)
+    sj = json.loads(ss)
+    for f in sj["fields"]:
+        if f["name"] == "user_id":
+            fm = dict(f.get("metadata") or {})
+            fm.update({
+                "delta.identity.start": 10, "delta.identity.step": 10,
+                "delta.identity.highWaterMark": 30,
+                "delta.identity.allowExplicitInsert": False,
+            })
+            f["metadata"] = fm
+    meta = dict(st["metadata"])
+    meta["schemaString"] = json.dumps(sj)
+    proto = st["protocol"]
+    (t / "_delta_log" / f"{latest + 1:020d}.json").write_text(
+        json.dumps({"protocol": {
+            "minReaderVersion": int(proto.get("minReaderVersion", 2)),
+            "minWriterVersion": 7,
+            **({"readerFeatures": proto["readerFeatures"]}
+               if proto.get("readerFeatures") else {}),
+            "writerFeatures": sorted(
+                set(proto.get("writerFeatures") or [])
+                | {"identityColumns", "columnMapping"}
+            )}}) + "\n" + json.dumps({"metaData": meta}) + "\n"
+    )
+    commit_delta(spark.range(4, 8).select(F.col("id").alias("k")),
+                 str(t), mode="append")
+    back = read_delta_snapshot(spark, str(t))
+    rows = {r.k: r.user_id for r in back.collect()}
+    assert len(rows) == 7
+    new = [rows[k] for k in range(4, 8)]
+    assert all(u is not None and u > 30 and (u - 10) % 10 == 0 for u in new)
+    assert len(set(rows.values())) == 7
+    # the mark advanced in the SAME commit, keyed by the LOGICAL name
+    ident = _schema_identity_columns(_replay_log(t, return_state=True)[1])
+    assert ident["user_id"]["high"] == max(new)
+    # a second generated append resumes strictly past the new mark
+    commit_delta(spark.range(8, 10).select(F.col("id").alias("k")),
+                 str(t), mode="append")
+    back2 = read_delta_snapshot(spark, str(t))
+    assert back2.select("user_id").distinct().count() == 9
+    assert _schema_identity_columns(
+        _replay_log(t, return_state=True)[1]
+    )["user_id"]["high"] > max(new)
 
 
 def test_identity_v6_protocol_now_writable(spark, tmp_path):

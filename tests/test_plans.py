@@ -937,3 +937,22 @@ def test_multipart_checkpoint_read_is_plain_scan(spark, sf_dir):
     assert "Python" not in plan
     agg_free = plan.split("HashAggregate")[0]
     assert "Join" not in agg_free
+
+
+def test_iceberg_v3_compaction_read_is_plain_scan(spark, sf_dir):
+    """Round 11: lineage-preserving compaction materialized the DVs away
+    and the ids into columns — the post-rewrite read is a plain scan +
+    the query's aggregate (no anti-join, no Python, no lineage join)."""
+    plan = plan_of(spark, sf_dir, "iceberg_v3_compaction_lifecycle")
+    assert "Python" not in plan
+    agg_free = plan.split("HashAggregate")[0]
+    assert "Join" not in agg_free
+
+
+def test_delta_row_tracking_optimize_read_is_plain_scan(spark, sf_dir):
+    """Round 11: materialized-id OPTIMIZE — same shape as above for the
+    Delta twin: DVs compacted away, plain scan + aggregate."""
+    plan = plan_of(spark, sf_dir, "delta_row_tracking_optimize")
+    assert "Python" not in plan
+    agg_free = plan.split("HashAggregate")[0]
+    assert "Join" not in agg_free

@@ -50,6 +50,9 @@ AUDITED = {
     "delta_in_commit_timestamps": "ICT stamping is one metadata JSON read per publish; read plan = scan + DV anti-join + agg",
     "delta_row_tracking_append": "baseRowId assignment is driver-side stat arithmetic; read plan = scan + agg",
     "delta_variant_read": "variant decode is native in the scan; DV broadcast anti-join; no Python",
+    "delta_multipart_checkpoint_read": "multi-part checkpoint folding is driver-side; data plan = plain scans + agg",
+    "iceberg_v3_compaction_lifecycle": "lineage-preserving compaction; post-rewrite read = plain scan + agg, DVs gone",
+    "delta_row_tracking_optimize": "materialized-id OPTIMIZE; post-rewrite read = plain scan + agg, DVs gone",
 }
 
 
