@@ -279,6 +279,41 @@ def _read_avro_with_meta(path: Path) -> tuple[list[dict], dict]:
 # --------------------------------------------------------------------------
 
 
+def decode_initial_default(field: dict):
+    """Decode a schema field's ``initial-default`` (Iceberg spec v3
+    'Default values', JSON single-value serialization) into the Python
+    literal the realigned read injects for rows written before the
+    column existed. Supported primitives: boolean/int/long/float/double/
+    string (the JSON value verbatim) and date (ISO 'YYYY-MM-DD' string
+    -> datetime.date). Anything else refuses loudly — injecting a
+    mis-decoded default would silently corrupt every pre-evolution row,
+    the worst possible failure mode."""
+    raw = field.get("initial-default")
+    if raw is None:
+        return None
+    t = field.get("type")
+    if t == "boolean" and isinstance(raw, bool):
+        return raw
+    if t in ("int", "long") and isinstance(raw, int) and not isinstance(raw, bool):
+        return raw
+    if t in ("float", "double") and isinstance(raw, (int, float)) \
+            and not isinstance(raw, bool):
+        return float(raw)
+    if t == "string" and isinstance(raw, str):
+        return raw
+    if t == "date" and isinstance(raw, str):
+        import datetime as _dt
+
+        return _dt.date.fromisoformat(raw)
+    raise IcebergFormatError(
+        f"field {field.get('name')!r}: initial-default {raw!r} for type "
+        f"{t!r} is not a supported single-value encoding "
+        "(boolean/int/long/float/double/string/date) — refusing to read "
+        "rather than injecting a mis-decoded default into every "
+        "pre-evolution row"
+    )
+
+
 def _with_partition_cols(df, spec_fields: list[dict], ice_schema: dict):
     """Attach computed TRANSFORM columns (named by partition field) so a
     plain ``partitionBy`` lays out the spec's dirs: identity fields
@@ -1317,8 +1352,14 @@ def read_iceberg_table(
             sel = []
             for f, sf in zip(ice_schema["fields"], schema.fields):
                 gf = g_by_id.get(f["id"])
-                if gf is None:  # column added after these files were written
-                    sel.append(F.lit(None).cast(sf.dataType).alias(f["name"]))
+                if gf is None:
+                    # column added after these files were written: the
+                    # spec's v3 'Default values' reader rule — inject the
+                    # field's initial-default (null when none declared)
+                    sel.append(
+                        F.lit(decode_initial_default(f))
+                        .cast(sf.dataType).alias(f["name"])
+                    )
                 else:
                     sel.append(
                         F.col(gf["name"]).cast(sf.dataType).alias(f["name"])
@@ -1723,8 +1764,13 @@ def iceberg_table_changes(
             sel = []
             for f, sf in zip(ice_schema["fields"], schema.fields):
                 gf = g_by_id.get(f["id"])
-                if gf is None:  # column added after these files were written
-                    sel.append(F.lit(None).cast(sf.dataType).alias(f["name"]))
+                if gf is None:
+                    # added after these files were written: inject the
+                    # v3 initial-default (null when none declared)
+                    sel.append(
+                        F.lit(decode_initial_default(f))
+                        .cast(sf.dataType).alias(f["name"])
+                    )
                 else:
                     sel.append(
                         F.col(gf["name"]).cast(sf.dataType).alias(f["name"])
@@ -2067,8 +2113,14 @@ def evolve_iceberg_schema(path: str, add_columns: list[tuple[str, str]]) -> dict
 
     ``add_columns``: ``[(name, iceberg_type_string)]`` with the primitive
     types this module maps (boolean/int/long/float/double/string/binary/
-    date/timestamp/timestamptz). Added columns are optional (nullable) by
-    construction. Rename/drop/type-promotion stay out of scope."""
+    date/timestamp/timestamptz), or ``(name, type, default)`` 3-tuples on
+    FORMAT-VERSION 3 tables (spec v3 'Default values'): the default lands
+    as the field's ``initial-default`` (what pre-evolution rows read) AND
+    ``write-default``, JSON-single-value encoded (dates as ISO strings).
+    Added columns are optional (nullable) by construction. Rename/drop/
+    type-promotion stay out of scope."""
+    import datetime as _dt
+
     table_dir = Path(path)
     metadata, prev_meta_file = _load_metadata(table_dir)
     if not add_columns:
@@ -2079,7 +2131,9 @@ def evolve_iceberg_schema(path: str, add_columns: list[tuple[str, str]]) -> dict
     existing = {f["name"].lower() for f in current["fields"]}
     col_id = metadata["last-column-id"]
     new_fields = list(current["fields"])
-    for name, ice_type in add_columns:
+    for spec_col in add_columns:
+        name, ice_type = spec_col[0], spec_col[1]
+        default = spec_col[2] if len(spec_col) > 2 else None
         if ice_type not in _FROM_ICEBERG:
             raise TypeError(
                 f"column {name!r}: unsupported iceberg type {ice_type!r} "
@@ -2089,9 +2143,28 @@ def evolve_iceberg_schema(path: str, add_columns: list[tuple[str, str]]) -> dict
             raise ValueError(f"column {name!r} already exists in the schema")
         existing.add(name.lower())
         col_id += 1
-        new_fields.append(
-            {"id": col_id, "name": name, "required": False, "type": ice_type}
-        )
+        field = {
+            "id": col_id, "name": name, "required": False, "type": ice_type,
+        }
+        if default is not None:
+            if int(metadata.get("format-version", 1)) < 3:
+                raise IcebergFormatError(
+                    "column defaults are a format-version 3 feature "
+                    "(spec 'Default values') — "
+                    "upgrade_iceberg_format_version first"
+                )
+            encoded = (
+                default.isoformat()
+                if isinstance(default, _dt.date)
+                and not isinstance(default, _dt.datetime)
+                else default
+            )
+            field["initial-default"] = encoded
+            field["write-default"] = encoded
+            # round-trip through the reader's decoder NOW so a mistyped
+            # default refuses at DDL time, not on the first read
+            decode_initial_default(field)
+        new_fields.append(field)
     new_schema_id = max(s["schema-id"] for s in metadata["schemas"]) + 1
     new_schema = {"type": "struct", "schema-id": new_schema_id, "fields": new_fields}
 

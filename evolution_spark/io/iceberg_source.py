@@ -208,9 +208,11 @@ def _plan_iceberg_slices(
     # upcast executor-side in _read_slice.
     want_by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
     renames_of: dict[int, dict[str, str]] = {}
+    defaults_of: dict[int, dict[str, object]] = {}
     for g in {g for _, g in data_entries}:
         if g == sid:
             renames_of[g] = {}
+            defaults_of[g] = {}
             continue
         g_schema = next(
             (s for s in metadata["schemas"] if s["schema-id"] == g), None
@@ -224,6 +226,18 @@ def _plan_iceberg_slices(
             for f in g_schema["fields"]
             if f["id"] in want_by_id and f["name"] != want_by_id[f["id"]]
         }
+        # v3 'Default values': columns added AFTER these files were
+        # written read their initial-default — injected through the same
+        # typed-constant mechanism as partition values (real partition
+        # values take precedence in the merge below)
+        from evolution_spark.io.iceberg_meta import decode_initial_default
+
+        g_ids = {f["id"] for f in g_schema["fields"]}
+        defaults_of[g] = {
+            f["name"]: decode_initial_default(f)
+            for f in ice_schema["fields"]
+            if f["id"] not in g_ids and f.get("initial-default") is not None
+        }
     slices = []
     for dfile, g in sorted(data_entries, key=lambda d: d[0]["file_path"]):
         fp = dfile["file_path"]
@@ -235,7 +249,9 @@ def _plan_iceberg_slices(
         )
         slices.append(
             _FileSlice(
-                fp, blob, dict(dfile.get("partition") or {}), renames_of[g]
+                fp, blob,
+                {**defaults_of[g], **dict(dfile.get("partition") or {})},
+                renames_of[g],
             )
         )
     return schema, slices

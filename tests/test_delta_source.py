@@ -687,6 +687,75 @@ def test_iceberg_streaming_source(ice_registered, tmp_path):
         q2.stop()
 
 
+def test_iceberg_v3_streaming_source_dv_aware(ice_registered, tmp_path):
+    """Round 11 (verdict item 9): streaming over a FORMAT-VERSION 3 table
+    whose delete state lives as Puffin DELETION VECTORS — the initial
+    snapshot batch applies the DVs (batch-twin checked against
+    read_iceberg_table), incremental appends stream by sequence number,
+    a DV delete mid-stream fails loudly, and ignoreChanges skips it."""
+    from evolution_spark.io.iceberg_meta import (
+        append_iceberg_snapshot,
+        delete_iceberg_rows_dv,
+        read_iceberg_table,
+        upgrade_iceberg_format_version,
+        write_iceberg_table,
+    )
+
+    spark = ice_registered
+    path = str(tmp_path / "iv3stream")
+    write_iceberg_table(spark.range(10).select(F.col("id").alias("k")), path)
+    upgrade_iceberg_format_version(path)
+    delete_iceberg_rows_dv(spark, path, "k % 2 = 0")
+    batch_twin = {r.k for r in read_iceberg_table(spark, path).collect()}
+    q = (
+        spark.readStream.format("evolution_iceberg").load(path)
+        .writeStream.format("memory").queryName("ice3_stream").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.k for r in spark.sql("SELECT k FROM ice3_stream").collect()}
+        assert got == batch_twin == {1, 3, 5, 7, 9}
+        # v3 append (assigns row lineage) streams as a plain data batch
+        append_iceberg_snapshot(
+            spark.range(10, 13).select(F.col("id").alias("k")), path
+        )
+        q.processAllAvailable()
+        got = {r.k for r in spark.sql("SELECT k FROM ice3_stream").collect()}
+        assert got == {1, 3, 5, 7, 9, 10, 11, 12}
+        # a DV delete snapshot mid-stream fails loudly (same contract as
+        # the v2 position-delete case — its row removal is unrepresentable)
+        delete_iceberg_rows_dv(spark, path, "k = 1")
+        with pytest.raises(Exception, match="STREAM_FAILED|cannot represent"):
+            q.processAllAvailable()
+        assert not q.isActive
+    finally:
+        if q.isActive:
+            q.stop()
+    # a fresh stream's snapshot covers the DV delete; ignoreChanges lets
+    # later delete snapshots skip
+    q2 = (
+        spark.readStream.format("evolution_iceberg")
+        .option("ignoreChanges", "true").load(path)
+        .writeStream.format("memory").queryName("ice3_stream2").start()
+    )
+    try:
+        q2.processAllAvailable()
+        got = {r.k for r in spark.sql("SELECT k FROM ice3_stream2").collect()}
+        assert got == {r.k for r in read_iceberg_table(spark, path).collect()}
+        assert got == {3, 5, 7, 9, 10, 11, 12}
+        delete_iceberg_rows_dv(spark, path, "k = 3")
+        append_iceberg_snapshot(
+            spark.range(20, 22).select(F.col("id").alias("k")), path
+        )
+        q2.processAllAvailable()
+        got = {r.k for r in spark.sql("SELECT k FROM ice3_stream2").collect()}
+        # the skipped DV delete's rows stay in the consumer's view (the
+        # documented ignoreChanges trade-off); the append streamed
+        assert got == {3, 5, 7, 9, 10, 11, 12, 20, 21}
+    finally:
+        q2.stop()
+
+
 def test_const_array_malformed_partition_value_named_error():
     """A stored partition value that fits neither the declared type nor
     its string rendering raises a typed error NAMING the column, instead
