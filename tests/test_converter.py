@@ -1257,15 +1257,17 @@ def test_delta_reader_protocol_guard(spark, tmp_path):
         }}) + "\n"
     )
     assert read_delta_snapshot(spark, path).count() == 10
-    # ...but an unknown v3 feature alongside it still refuses
+    # ...but an unknown v3 feature alongside it still refuses (round 11
+    # made collations a schema-gated tolerance, so the unknown example is
+    # a genuinely future feature name)
     (log / f"{1:020d}.json").write_text(
         _json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors", "collations"],
-            "writerFeatures": ["deletionVectors", "collations"],
+            "readerFeatures": ["deletionVectors", "someFutureFeature"],
+            "writerFeatures": ["deletionVectors", "someFutureFeature"],
         }}) + "\n"
     )
-    with pytest.raises(DeltaProtocolError, match="collations"):
+    with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
         read_delta_snapshot(spark, path)
     # time travel to BEFORE the upgrade still works (protocol at v0 is 1)
     assert read_delta_snapshot(spark, path, version=0).count() == 10
@@ -1281,19 +1283,19 @@ def test_delta_reader_protocol_guard(spark, tmp_path):
 
     # the guard also runs on the checkpoint path: checkpoint BEFORE the
     # upgrade, upgrade after it -> the resolved protocol still refuses.
-    # (v2Checkpoint became a SUPPORTED reader feature in round 9, so the
-    # unsupported example here is collations (typeWidening and
-    # variantType became supported in round 10), which remains refused.)
+    # (v2Checkpoint became a SUPPORTED reader feature in round 9 and
+    # collations a schema-gated tolerance in round 11, so the unsupported
+    # example is an unknown future feature name, which remains refused.)
     (log / f"{1:020d}.json").unlink()
     checkpoint_delta(path)
     (log / f"{1:020d}.json").write_text(
         _json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["collations"],
-            "writerFeatures": ["collations"],
+            "readerFeatures": ["someFutureFeature"],
+            "writerFeatures": ["someFutureFeature"],
         }}) + "\n"
     )
-    with pytest.raises(DeltaProtocolError, match="collations"):
+    with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
         read_delta_snapshot(spark, path)
 
 

@@ -212,7 +212,9 @@ def test_dv_survives_checkpoint(spark, tmp_path):
 
 def test_reader_guard_still_refuses_unknown_features(spark, tmp_path):
     """deletionVectors is now accepted, but any UNIMPLEMENTED v3 reader
-    feature (collations, icebergCompatV3, ...) still refuses loudly."""
+    feature (icebergCompatV3, future names, ...) still refuses loudly.
+    (collations became a schema-gated tolerance in round 11, so the
+    unknown example is a genuinely future feature name.)"""
     from evolution_spark.io.delta_log import DeltaProtocolError, read_delta_snapshot
 
     table = tmp_path / "dvguard"
@@ -220,10 +222,12 @@ def test_reader_guard_still_refuses_unknown_features(spark, tmp_path):
     log = table / "_delta_log"
     lines = (log / f"{0:020d}.json").read_text().splitlines()
     proto = json.loads(lines[0])
-    proto["protocol"]["readerFeatures"] = ["deletionVectors", "collations"]
+    proto["protocol"]["readerFeatures"] = [
+        "deletionVectors", "someFutureFeature"
+    ]
     lines[0] = json.dumps(proto)
     (log / f"{0:020d}.json").write_text("\n".join(lines) + "\n")
-    with pytest.raises(DeltaProtocolError, match="collations"):
+    with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
         read_delta_snapshot(spark, str(table))
 
 

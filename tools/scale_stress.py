@@ -621,13 +621,133 @@ def writer_features_stress(spark, tmp: str, reps: int) -> dict:
     return results
 
 
+def rewrite_ops_stress(spark, tmp: str, reps: int) -> dict:
+    """Round-11 protocol: the LINEAGE-PRESERVING REWRITE paths under
+    table growth. Per replica level the ORDERS table is replicated Rx,
+    then timed:
+
+    - ``v2_compact_s`` vs ``v3_compact_s``: the same data compacted as a
+      plain v2 table vs a v3 table with row lineage MATERIALIZED through
+      the rewrite. Both are full rewrites (cost ∝ table, unavoidable);
+      the claim under test is that the lineage obligation adds only a
+      small constant factor (the extra two long columns + the broadcast
+      file-map join), not a new scaling term.
+    - ``v3_update_s`` / ``delta_rt_update_s``: a FIXED 500-key
+      merge-on-read UPDATE on the v3 / rowTracking table — the claim is
+      that an UPDATE's write cost tracks the TOUCHED rows (stats-pruned
+      matched files + DV/metadata bookkeeping), not table size.
+    - ``delta_plain_optimize_s`` vs ``delta_rt_optimize_s``: the Delta
+      OPTIMIZE twin of the compaction pair (materialized row ids +
+      commit-version columns through the rewrite)."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        commit_delta,
+        optimize_delta,
+        read_delta_row_lineage,
+        read_delta_snapshot,
+        update_delta_rows,
+        write_delta_snapshot,
+    )
+    from evolution_spark.io.iceberg_meta import (
+        compact_iceberg_table,
+        read_iceberg_table,
+        update_iceberg_rows,
+        upgrade_iceberg_format_version,
+        write_iceberg_table,
+    )
+
+    base = spark.read.parquet(f"{BASE_SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    results: dict = {"levels": {}}
+    for level in (1, 10, 30):
+        dfs = [
+            base.select(
+                (F.col("o_orderkey") + F.lit(i * ID_STRIDE)).alias("o_orderkey"),
+                "o_custkey", "o_totalprice",
+            )
+            for i in range(level)
+        ]
+        big = dfs[0]
+        for d in dfs[1:]:
+            big = big.unionByName(d)
+        big = big.repartition(32).cache()
+        n = big.count()
+        row: dict = {"n_rows": n}
+        target = max(4, level)  # rewritten file count grows with data
+
+        # Iceberg: v2 compaction baseline vs v3 lineage-carrying
+        ice2 = f"{tmp}/rw_ice2_{level}"
+        write_iceberg_table(big, ice2)
+        t0 = time.perf_counter()
+        compact_iceberg_table(spark, ice2, target_files=target)
+        row["v2_compact_s"] = round(time.perf_counter() - t0, 3)
+
+        ice3 = f"{tmp}/rw_ice3_{level}"
+        write_iceberg_table(big, ice3)
+        upgrade_iceberg_format_version(ice3)
+        t0 = time.perf_counter()
+        compact_iceberg_table(spark, ice3, target_files=target)
+        row["v3_compact_s"] = round(time.perf_counter() - t0, 3)
+        # fixed-size UPDATE on the compacted v3 table (ids now assigned)
+        t0 = time.perf_counter()
+        update_iceberg_rows(
+            spark, ice3, "o_orderkey % 300001 = 7",
+            {"o_totalprice": "o_totalprice + 1"},
+        )
+        row["v3_update_s"] = round(time.perf_counter() - t0, 3)
+        row["v3_rows"] = read_iceberg_table(spark, ice3).count()
+
+        # Delta: plain OPTIMIZE vs rowTracking OPTIMIZE
+        dp = f"{tmp}/rw_dp_{level}"
+        write_delta_snapshot(big, dp)
+        t0 = time.perf_counter()
+        optimize_delta(spark, dp, target_files=target)
+        row["delta_plain_optimize_s"] = round(time.perf_counter() - t0, 3)
+
+        import json as _json
+        from pathlib import Path as _Path
+
+        drt = f"{tmp}/rw_drt_{level}"
+        write_delta_snapshot(big, drt)
+        (_Path(drt) / "_delta_log" / f"{1:020d}.json").write_text(
+            _json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["rowTracking", "domainMetadata"],
+                "writerFeatures": ["rowTracking", "domainMetadata"]}})
+            + "\n"
+        )
+        t0 = time.perf_counter()
+        optimize_delta(spark, drt, target_files=target)
+        row["delta_rt_optimize_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        update_delta_rows(
+            spark, drt, "o_orderkey % 300001 = 7",
+            {"o_totalprice": "o_totalprice + 1"},
+        )
+        row["delta_rt_update_s"] = round(time.perf_counter() - t0, 3)
+        row["delta_rt_rows"] = read_delta_snapshot(spark, drt).count()
+        # sanity: lineage still unique + non-null after OPTIMIZE+UPDATE
+        lin = read_delta_row_lineage(spark, drt).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("_row_id").alias("nd"),
+        ).collect()[0]
+        row["delta_rt_lineage_ok"] = bool(lin["n"] == lin["nd"])
+
+        big.unpersist()
+        results["levels"][str(level)] = row
+    return results
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2, help="timed passes (min taken)")
     ap.add_argument(
         "--mode",
         choices=["cluster-growth", "fixed-cluster", "format-scan", "ref-ops",
-                 "cdf-ops", "writer-features"],
+                 "cdf-ops", "writer-features", "rewrite-ops"],
         default="cluster-growth",
         help="cluster-growth: every replica near-dups every other (planted "
         "pairs grow C(R,2)); fixed-cluster: near-dups only within buckets "
@@ -682,6 +802,12 @@ def main() -> int:
             out["writer_features"] = writer_features_stress(
                 spark, tmp, args.reps
             )
+            sys.stdout.write("\n" + json.dumps(out) + "\n")
+            sys.stdout.flush()
+            spark.stop()
+            return 0
+        elif args.mode == "rewrite-ops":
+            out["rewrite_ops"] = rewrite_ops_stress(spark, tmp, args.reps)
             sys.stdout.write("\n" + json.dumps(out) + "\n")
             sys.stdout.flush()
             spark.stop()
