@@ -1224,6 +1224,23 @@ def _scan_adds(
     # discovery under symlinked table locations
     root = table_dir.resolve()
     if not kept:
+        if with_lineage:
+            # the lineage columns must exist even on a zero-file scan
+            # (review r11 pass 2: an insert-only MERGE whose key ranges
+            # hit no file reads an empty target through _lineage_scan)
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            schema = StructType(
+                schema.fields
+                + [StructField("__src_fp", StringType(), True),
+                   StructField("__src_ri", LongType(), True),
+                   StructField("__src_bn", StringType(), True)]
+            )
         return spark.createDataFrame([], schema)
     # the spec allows add.path to be ABSOLUTE (how shallow clones
     # reference the source table's files); pathlib's join already
@@ -4727,7 +4744,13 @@ def _lineage_scan(
         for p in sorted(kept)
     ]
     basenames = {fp.rsplit("/", 1)[-1] for fp, _, _ in per_file}
-    if (
+    if not per_file:
+        # zero-file scan (insert-only MERGE with no range hits / empty
+        # table): no rows, but the projection must still type-check —
+        # an empty create_map() is VOID-keyed and fails analysis
+        id_expr = F.lit(None).cast("long")
+        ver_expr = F.lit(None).cast("long")
+    elif (
         len(basenames) == len(per_file)
         and len(per_file) <= 1024
         and all(_re.fullmatch(r"[A-Za-z0-9._=-]+", b) for b in basenames)
@@ -4776,6 +4799,10 @@ def ensure_row_tracking_materialized(path: str) -> tuple[str, str]:
     _, schema_string, _, latest, state = _replay_log(
         table_dir, return_state=True
     )
+    # a commit must honor the writer protocol like every other commit
+    # path (review r11 pass 1: publishing a metaData action to a table
+    # whose writerFeatures we do not implement would violate its contract)
+    _check_writer_protocol(state.get("protocol"))
     if not _row_tracking_active(state):
         raise DeltaProtocolError(
             "row tracking is not enabled on this table — nothing to "

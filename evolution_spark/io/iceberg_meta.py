@@ -3713,6 +3713,18 @@ def merge_iceberg_cdc(
         )
         new_rows = _with_materialized_lineage(new_rows)
         spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    merged: dict[str, set[int]] = {}
+    existing_total = 0
+    if fv >= 3 and positions:
+        # merge the DV state BEFORE staging (refusal convention: a table
+        # carrying non-DV deletes must refuse before any distributed
+        # write leaves orphaned staged files)
+        from evolution_spark.io.scan_filters import plain_path
+
+        merged = _live_dv_positions(metadata)
+        existing_total = sum(len(ps) for ps in merged.values())
+        for f, pos in positions:
+            merged.setdefault(plain_path(f), set()).add(int(pos))
     seq = metadata["last-sequence-number"] + 1
     moved = _stage_and_move(
         new_rows, table_dir, seq, spec_fields, ice_schema, "MERGE"
@@ -3720,12 +3732,6 @@ def merge_iceberg_cdc(
     if not moved and not positions:
         return {"snapshot-id": None, "matched": 0, "new_files": 0}
     if fv >= 3:
-        from evolution_spark.io.scan_filters import plain_path
-
-        merged = _live_dv_positions(metadata) if positions else {}
-        existing_total = sum(len(ps) for ps in merged.values())
-        for f, pos in positions:
-            merged.setdefault(plain_path(f), set()).add(int(pos))
         res = _commit_files_as_snapshot(
             table_dir, metadata, prev_meta_file, moved,
             "overwrite" if positions else "append",

@@ -135,6 +135,39 @@ def test_merge_carries_update_ids_and_mints_insert_ids(
     assert read_delta_snapshot(spark, d).count() == 12
 
 
+def test_merge_insert_only_no_range_hits(spark, tmp_path):
+    """Review r11 pass 2: an insert-only MERGE whose change keys hit no
+    file's min/max range reads an EMPTY pruned target through the
+    lineage scan — the zero-file branch must still expose the lineage
+    columns. The insert mints a fresh id."""
+    d = str(tmp_path / "insonly")
+    _mk(spark, d)
+    optimize_delta(spark, d)
+    pre = _lin(spark, d)
+    ch = spark.createDataFrame(
+        [(500, 1, "u")], "k long, v long, _op string"
+    )
+    merge_delta_cdc(spark, d, ch, key="k")
+    post = _lin(spark, d)
+    assert post[500][0] is not None
+    assert post[500][0] not in {v[0] for k, v in pre.items()}
+    for k, v in pre.items():
+        assert post[k] == v  # untouched rows untouched
+    # checkpoint carries the lineage state: replay from the checkpoint
+    # alone reads identical ids
+    from evolution_spark.io.delta_log import checkpoint_delta
+
+    checkpoint_delta(d)
+    log = Path(d) / "_delta_log"
+    import json as _json
+
+    last = _json.loads((log / "_last_checkpoint").read_text())["version"]
+    for p in list(log.glob("*.json")):
+        if int(p.stem) < last:
+            p.unlink()
+    assert _lin(spark, d) == post
+
+
 def test_bare_replace_still_refuses(spark, tmp_path):
     d = str(tmp_path / "bare")
     _mk(spark, d)

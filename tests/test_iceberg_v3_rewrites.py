@@ -240,6 +240,26 @@ def test_merge_carries_update_ids_and_mints_insert_ids(spark, tmp_path):
     assert rows2 == post
 
 
+def test_v3_merge_refuses_before_staging_on_foreign_deletes(
+    spark, tmp_path
+):
+    """Review r11 pass 1: a v3 MERGE on a table carrying pre-upgrade
+    parquet position deletes must refuse BEFORE the distributed staging
+    write — a post-staging refusal would leak orphaned data files."""
+    import glob
+
+    d = str(tmp_path / "orphan")
+    write_iceberg_table(_kv(spark).repartition(2), d)
+    delete_iceberg_rows(spark, d, "k = 1")  # v2-era parquet delete file
+    upgrade_iceberg_format_version(d)
+    pre_files = set(glob.glob(d + "/data/**/*.parquet", recursive=True))
+    ch = spark.createDataFrame([(2, 999, "u")], "k long, v long, _op string")
+    with pytest.raises(IcebergFormatError, match="non-DV delete"):
+        merge_iceberg_cdc(spark, d, ch, key="k")
+    post_files = set(glob.glob(d + "/data/**/*.parquet", recursive=True))
+    assert post_files == pre_files, "refused MERGE left staged orphans"
+
+
 def test_replace_without_materialized_lineage_refuses(spark, tmp_path):
     from evolution_spark.io.iceberg_meta import _commit_iceberg_snapshot
 
