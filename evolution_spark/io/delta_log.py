@@ -1457,30 +1457,43 @@ def merge_delta_cdc(
     from pyspark.sql.types import StringType, StructField, StructType
 
     table_dir = Path(path)
-    live, schema_string, part_cols, _, repl_state = _replay_log(
-        table_dir, return_state=True
-    )
-    rt = None
-    if _row_tracking_active(repl_state):
-        # ROW TRACKING (round 11): every surviving row of the rewritten
-        # files carries its materialized _row_id — carried rows keep id
-        # AND commit version, updated rows keep id with a NULL version
-        # (reads back as this commit's), inserts materialize NULL id
-        # (fresh via the new add's baseRowId + position).
-        rt = ensure_row_tracking_materialized(path)
-        live, schema_string, part_cols, _, repl_state = _replay_log(
-            table_dir, return_state=True
-        )
+    replayed = _replay_log(table_dir, return_state=True)
+    live, schema_string, part_cols, _, repl_state = replayed
     config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
     schema_json = json.loads(schema_string)
     stored = StructType.fromJson(schema_json)
     data_cols = [f.name for f in stored]
+    # input validation (key, change-set shape, id-mode refusal inside
+    # mapping_renames) runs BEFORE the row-tracking materialization
+    # commit below: a refused MERGE must leave no commit behind
+    # (review r11 pass 3)
     if key not in data_cols:
         raise ValueError(f"key {key!r} not in table columns {data_cols}")
     key_type = stored[key].dataType
     # column-mapped tables record stats under PHYSICAL names
     phys_key = {log: phys for phys, log in
                 mapping_renames(schema_json, config).items()}.get(key, key)
+    ch = changes.select(
+        F.col(key).alias("__k"),
+        F.col(op_col).alias("__op"),
+        *[F.col(c).alias(f"__c_{c}") for c in data_cols if c != key],
+    )
+    _check_cdc_changes(ch, op_col)
+    rt = None
+    if _row_tracking_active(repl_state):
+        # ROW TRACKING (round 11): every surviving row of the rewritten
+        # files carries its materialized _row_id — carried rows keep id
+        # AND commit version, updated rows keep id with a NULL version
+        # (reads back as this commit's), inserts materialize NULL id
+        # (fresh via the new add's baseRowId + position). Names resolve
+        # from the replayed config (steady state), else one metaData
+        # commit + re-replay.
+        rt, replayed = _rt_materialized_names(path, replayed)
+        live, schema_string, part_cols, _, repl_state = replayed
+        config = dict(
+            (repl_state.get("metadata") or {}).get("configuration") or {}
+        )
+        schema_json = json.loads(schema_string)
 
     remove_paths: list[str] | None = None
     if prune_files and live:
@@ -1543,12 +1556,6 @@ def merge_delta_cdc(
             )
         mode, removes = "replace", remove_paths
 
-    ch = changes.select(
-        F.col(key).alias("__k"),
-        F.col(op_col).alias("__op"),
-        *[F.col(c).alias(f"__c_{c}") for c in data_cols if c != key],
-    )
-    _check_cdc_changes(ch, op_col)
     joined = target.join(ch, target[key] == ch["__k"], "full_outer")
 
     def out_col(c):
@@ -2989,21 +2996,11 @@ def update_delta_rows(
     from pyspark.sql.types import StructType
 
     table_dir = Path(path)
-    live, schema_string, part_cols, latest, repl_state = _replay_log(
-        table_dir, return_state=True
-    )
-    rt = None
-    if _row_tracking_active(repl_state):
-        # ROW TRACKING (round 11): the updated copies CARRY each matched
-        # row's materialized _row_id (PROTOCOL.md: updates preserve ids)
-        # and materialize a NULL row-commit-version, which reads back as
-        # the new add's defaultRowCommitVersion — "last updated by this
-        # commit". Materialized names are assigned idempotently first
-        # (may publish one metaData commit, hence the re-replay).
-        rt = ensure_row_tracking_materialized(path)
-        live, schema_string, part_cols, latest, repl_state = _replay_log(
-            table_dir, return_state=True
-        )
+    replayed = _replay_log(table_dir, return_state=True)
+    live, schema_string, part_cols, latest, repl_state = replayed
+    # guards + input validation run BEFORE the row-tracking
+    # materialization commit below: a refused UPDATE must leave no
+    # commit behind (review r11 pass 3)
     proto = _mor_guards(repl_state, "UPDATE")
     stored_schema = StructType.fromJson(json.loads(schema_string))
     if not set_exprs:
@@ -3019,6 +3016,16 @@ def update_delta_rows(
             f"UPDATE must not assign identity columns {ident_assigned} — "
             "their values are writer-managed (high-water-mark contract)"
         )
+    rt = None
+    if _row_tracking_active(repl_state):
+        # ROW TRACKING (round 11): the updated copies CARRY each matched
+        # row's materialized _row_id (PROTOCOL.md: updates preserve ids)
+        # and materialize a NULL row-commit-version, which reads back as
+        # the new add's defaultRowCommitVersion — "last updated by this
+        # commit". Materialized names resolve from the replayed config
+        # (steady state), else one metaData commit + re-replay.
+        rt, replayed = _rt_materialized_names(path, replayed)
+        live, schema_string, part_cols, latest, repl_state = replayed
 
     config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
     schema_json = json.loads(schema_string)
@@ -3263,7 +3270,8 @@ def optimize_delta(
     recomputed from the new footers, so post-OPTIMIZE merges prune against
     tight ranges again."""
     table_dir = Path(path)
-    live, _, _, _, repl_state = _replay_log(table_dir, return_state=True)
+    replayed = _replay_log(table_dir, return_state=True)
+    live, _, _, _, repl_state = replayed
     if not live:
         return {"version": None, "files": 0, "rows": 0, "note": "empty table"}
     rt = None
@@ -3277,7 +3285,7 @@ def optimize_delta(
         # values take precedence on read, and rows from pre-feature files
         # (null ids) acquire fresh ids via the new add's baseRowId +
         # position — id assignment on first rewrite, like Iceberg v3.
-        rt = ensure_row_tracking_materialized(path)
+        rt, replayed = _rt_materialized_names(path, replayed)
         snapshot = read_delta_row_lineage(spark, path).withColumnsRenamed(
             {"_row_id": rt[0], "_row_commit_version": rt[1]}
         )
@@ -4713,14 +4721,10 @@ def _lineage_scan(
     ``read_delta_row_lineage`` and the rowTracking DML paths, which scan
     only their touched files.
 
-    Per-file constants resolve through a MAP LITERAL keyed on the raw
-    ``_metadata.file_path`` basename when basenames are unique, URL-safe
-    and the file count keeps the plan small — zero join, zero per-row
-    URI decoding, no broadcast-build job (measured 5-10x cheaper on a
-    multi-million-row OPTIMIZE read); else the decoded-path broadcast
-    join (metadata-sized build, no data shuffle)."""
-    import re as _re
-
+    Per-file constants (baseRowId, defaultRowCommitVersion) resolve via
+    :func:`evolution_spark.io.scan_filters.per_file_constant_columns` —
+    map-literal fast path / decoded-path broadcast-join fallback, shared
+    with the Iceberg v3 lineage projection."""
     from pyspark.sql import functions as F
 
     names = [f["name"] for f in schema_json["fields"]]
@@ -4738,44 +4742,27 @@ def _lineage_scan(
     per_file = [
         (
             _resolved_add_path(root, p),
-            live[p].get("baseRowId"),
-            live[p].get("defaultRowCommitVersion"),
+            (
+                live[p].get("baseRowId"),
+                live[p].get("defaultRowCommitVersion"),
+            ),
         )
         for p in sorted(kept)
     ]
-    basenames = {fp.rsplit("/", 1)[-1] for fp, _, _ in per_file}
     if not per_file:
         # zero-file scan (insert-only MERGE with no range hits / empty
         # table): no rows, but the projection must still type-check —
         # an empty create_map() is VOID-keyed and fails analysis
         id_expr = F.lit(None).cast("long")
         ver_expr = F.lit(None).cast("long")
-    elif (
-        len(basenames) == len(per_file)
-        and len(per_file) <= 1024
-        and all(_re.fullmatch(r"[A-Za-z0-9._=-]+", b) for b in basenames)
-    ):
-        base_map = F.create_map(*[
-            x
-            for fp, b, _ in per_file
-            for x in (F.lit(fp.rsplit("/", 1)[-1]), F.lit(b).cast("long"))
-        ])
-        ver_map = F.create_map(*[
-            x
-            for fp, _, v in per_file
-            for x in (F.lit(fp.rsplit("/", 1)[-1]), F.lit(v).cast("long"))
-        ])
-        id_expr = base_map[F.col("__src_bn")] + F.col("__src_ri")
-        ver_expr = ver_map[F.col("__src_bn")]
     else:
-        ldf = spark.createDataFrame(
-            per_file, "__rt_fp string, __rt_base long, __rt_ver long"
+        from evolution_spark.io.scan_filters import per_file_constant_columns
+
+        sdf, (base_c, ver_c) = per_file_constant_columns(
+            sdf, per_file, "__src_bn", "__src_fp"
         )
-        sdf = sdf.join(
-            F.broadcast(ldf), F.col("__src_fp") == F.col("__rt_fp"), "inner"
-        )
-        id_expr = F.col("__rt_base") + F.col("__src_ri")
-        ver_expr = F.col("__rt_ver")
+        id_expr = base_c + F.col("__src_ri")
+        ver_expr = ver_c
     if mat_id:
         id_expr = F.coalesce(F.col(mat_id), id_expr)
     if mat_ver:
@@ -4809,6 +4796,15 @@ def ensure_row_tracking_materialized(path: str) -> tuple[str, str]:
             "materialize"
         )
     config = dict((state.get("metadata") or {}).get("configuration") or {})
+    if mapping_mode(config) == "id":
+        # review r11 pass 3: every other write path refuses id-mode
+        # tables up front; publishing a metaData commit into a table
+        # this engine declares read-only would be a write
+        raise DeltaProtocolError(
+            "delta.columnMapping.mode='id' is read-only in this engine; "
+            "materializing row-tracking column names would publish a "
+            "commit into an id-mode table — refusing up front"
+        )
     if config.get(_RT_ID_KEY) and config.get(_RT_VER_KEY):
         return config[_RT_ID_KEY], config[_RT_VER_KEY]
     schema_json = json.loads(schema_string)
@@ -4849,6 +4845,22 @@ def ensure_row_tracking_materialized(path: str) -> tuple[str, str]:
         config=metadata["configuration"],
     )
     return id_name, ver_name
+
+
+def _rt_materialized_names(path: str, replayed):
+    """Steady-state fast path for the rowTracking DML/OPTIMIZE callers:
+    when the materialized column names are already in the caller's
+    replayed configuration, return them with the caller's replay intact —
+    no commit, no second log replay (review r11 pass 3: the unconditional
+    ensure + re-replay doubled the driver-side metadata cost of every DML
+    after the first). Otherwise ensure_row_tracking_materialized (one
+    metaData commit) and re-replay. Returns ((id, ver), replayed)."""
+    state = replayed[4]
+    config = dict((state.get("metadata") or {}).get("configuration") or {})
+    if config.get(_RT_ID_KEY) and config.get(_RT_VER_KEY):
+        return (config[_RT_ID_KEY], config[_RT_VER_KEY]), replayed
+    names = ensure_row_tracking_materialized(path)
+    return names, _replay_log(Path(path), return_state=True)
 
 
 def _refuse_constrained_column(config: dict, col: str, what: str) -> None:

@@ -45,6 +45,7 @@ import re
 import shutil
 import time
 import uuid
+from contextlib import contextmanager, nullcontext
 from pathlib import Path
 
 from pyspark.sql import DataFrame
@@ -1183,9 +1184,17 @@ def read_iceberg_table(
                     "in content=1 manifests)"
                 )
             f_first = dfile.get("first_row_id")
-            if entry["status"] == 1:  # ADDED: consumes inheritance ids
-                if f_first is None and mf_first is not None:
-                    f_first = int(mf_first) + added_offset
+            if (
+                entry["status"] == 1
+                and f_first is None
+                and mf_first is not None
+            ):
+                # spec inheritance: a null first_row_id is assigned
+                # manifest.first_row_id plus the record counts of the
+                # PRECEDING added files that were themselves assigned
+                # (null) — files carrying an explicit first_row_id do
+                # not consume from the manifest's id block
+                f_first = int(mf_first) + added_offset
                 added_offset += int(dfile.get("record_count") or 0)
             rw = _resolved_for(mf_spec) if partition_where else []
             if rw and any(
@@ -1249,65 +1258,30 @@ def read_iceberg_table(
     )
 
     def _attach_row_lineage(d):
-        """coalesce(materialized, first_row_id + pos) via a per-file
-        constant lookup. Fast path: a MAP LITERAL keyed on the raw
-        ``_metadata.file_path`` basename — zero join, zero per-row URI
-        decoding, no broadcast-build job (measured 5-10x cheaper than the
-        decoded-path broadcast join on a 4.5M-row compaction read);
-        eligible when basenames are unique, URL-safe (so the raw URI form
-        equals the stored form) and the file count keeps the plan small.
-        Fallback: the decoded-path broadcast join — still metadata-sized
-        build, no shuffle of the data."""
-        if not row_lineage:
+        """coalesce(materialized, first_row_id + pos) via
+        :func:`evolution_spark.io.scan_filters.per_file_constant_columns`
+        (map-literal fast path keyed on the ``__lin_bn`` basename
+        materialized at scan time — the ``_metadata`` pseudo-column does
+        not survive joins/unions — else a decoded-path broadcast join;
+        shared with the Delta row-tracking scan)."""
+        if not row_lineage or not file_seq:
             return d
         from pyspark.sql import functions as F
 
-        per_file = sorted(file_seq.items())
-        basenames = {p.rsplit("/", 1)[-1]: p for p, _ in per_file}
-        safe = all(
-            re.fullmatch(r"[A-Za-z0-9._=-]+", b) for b in basenames
-        )
-        if safe and len(basenames) == len(per_file) and len(per_file) <= 1024:
-            # __lin_bn was materialized at scan time (the _metadata
-            # pseudo-column does not survive joins/unions)
-            key = F.col("__lin_bn")
-            first_map = F.create_map(*[
-                x
-                for p, _ in per_file
-                for x in (
-                    F.lit(p.rsplit("/", 1)[-1]),
-                    F.lit(file_first.get(p)).cast("long"),
-                )
-            ])
-            seq_map = F.create_map(*[
-                x
-                for p, s in per_file
-                for x in (F.lit(p.rsplit("/", 1)[-1]), F.lit(s).cast("long"))
-            ])
-            return d.withColumns({
-                "_row_id": F.coalesce(
-                    F.col("_row_id"),
-                    first_map[key] + F.col("_src_pos"),
-                ),
-                "_last_updated_sequence_number": F.coalesce(
-                    F.col("_last_updated_sequence_number"), seq_map[key]
-                ),
-            })
-        rows = [(p, file_first.get(p), s) for p, s in per_file]
-        ldf = spark.createDataFrame(
-            rows, "__lin_file string, __lin_first long, __lin_seq long"
-        )
-        d = d.join(
-            F.broadcast(ldf),
-            F.col("_src_file") == F.col("__lin_file"),
-            "inner",
+        from evolution_spark.io.scan_filters import per_file_constant_columns
+
+        per_file = [
+            (p, (file_first.get(p), s)) for p, s in sorted(file_seq.items())
+        ]
+        d, (first_c, seq_c) = per_file_constant_columns(
+            d, per_file, "__lin_bn", "_src_file"
         )
         return d.withColumns({
             "_row_id": F.coalesce(
-                F.col("_row_id"), F.col("__lin_first") + F.col("_src_pos")
+                F.col("_row_id"), first_c + F.col("_src_pos")
             ),
             "_last_updated_sequence_number": F.coalesce(
-                F.col("_last_updated_sequence_number"), F.col("__lin_seq")
+                F.col("_last_updated_sequence_number"), seq_c
             ),
         })
 
@@ -1563,6 +1537,31 @@ _ROW_ID_FIELD_ID = 2147483540
 _LAST_UPDATED_SEQ_FIELD_ID = 2147483539
 
 
+@contextmanager
+def _field_id_writes(spark):
+    """Scoped ``spark.sql.parquet.fieldId.write.enabled=true`` for the
+    lineage rewrite paths (they must stamp the reserved field ids into
+    rewritten footers). Leaving the conf set SESSION-WIDE would make
+    every later parquet write embed any ``parquet.field.id`` StructField
+    metadata it carries — e.g. a frame read from an id-mode Delta table
+    (whose scan schema stamps Delta column-mapping ids) written anywhere
+    else would embed those ids for field-id-resolving readers to
+    mis-resolve. Restore the caller's value on exit (review r11 pass 3)."""
+    key = "spark.sql.parquet.fieldId.write.enabled"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def _with_materialized_lineage(df: DataFrame) -> DataFrame:
     """Stamp the two lineage columns with the spec's reserved parquet
     field ids so field-id-resolving foreign readers find them regardless
@@ -1612,13 +1611,15 @@ def compact_iceberg_table(spark, path: str, target_files: int = 1) -> dict:
     base_snapshot = metadata["current-snapshot-id"]
     fv = int(metadata.get("format-version", 1))
     if fv >= 3:
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-        live = read_iceberg_table(spark, path, row_lineage=True)
-        compacted = _with_materialized_lineage(live).coalesce(target_files)
-        return _commit_iceberg_snapshot(
-            compacted, path, operation="replace",
-            expect_current=base_snapshot, _carry_lineage=True,
-        )
+        with _field_id_writes(spark):
+            live = read_iceberg_table(spark, path, row_lineage=True)
+            compacted = _with_materialized_lineage(live).coalesce(
+                target_files
+            )
+            return _commit_iceberg_snapshot(
+                compacted, path, operation="replace",
+                expect_current=base_snapshot, _carry_lineage=True,
+            )
     compacted = read_iceberg_table(spark, path).coalesce(target_files)
     return _commit_iceberg_snapshot(
         compacted, path, operation="replace", expect_current=base_snapshot
@@ -2826,7 +2827,6 @@ def update_iceberg_rows(
             F.lit(None).cast("long").alias("_last_updated_sequence_number"),
         ]
         updated = _with_materialized_lineage(scan.select(*new_cols))
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         from evolution_spark.io.scan_filters import plain_path
 
         merged = _live_dv_positions(metadata)
@@ -2836,9 +2836,10 @@ def update_iceberg_rows(
                 int(r["_src_pos"])
             )
         seq = metadata["last-sequence-number"] + 1
-        moved = _stage_and_move(
-            updated, table_dir, seq, spec_fields, ice_schema, "UPDATE"
-        )
+        with _field_id_writes(spark):
+            moved = _stage_and_move(
+                updated, table_dir, seq, spec_fields, ice_schema, "UPDATE"
+            )
         res = _commit_files_as_snapshot(
             table_dir, metadata, prev_meta_file, moved, "overwrite",
             deletion_vectors={f: sorted(ps) for f, ps in merged.items()},
@@ -3712,7 +3713,6 @@ def merge_iceberg_cdc(
             )
         )
         new_rows = _with_materialized_lineage(new_rows)
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     merged: dict[str, set[int]] = {}
     existing_total = 0
     if fv >= 3 and positions:
@@ -3726,9 +3726,10 @@ def merge_iceberg_cdc(
         for f, pos in positions:
             merged.setdefault(plain_path(f), set()).add(int(pos))
     seq = metadata["last-sequence-number"] + 1
-    moved = _stage_and_move(
-        new_rows, table_dir, seq, spec_fields, ice_schema, "MERGE"
-    )
+    with _field_id_writes(spark) if fv >= 3 else nullcontext():
+        moved = _stage_and_move(
+            new_rows, table_dir, seq, spec_fields, ice_schema, "MERGE"
+        )
     if not moved and not positions:
         return {"snapshot-id": None, "matched": 0, "new_files": 0}
     if fv >= 3:

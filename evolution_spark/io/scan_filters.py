@@ -79,3 +79,68 @@ def anti_join_deleted_positions(
         "left_anti",
     )
     return out.drop("__del_fp", "__del_ri") if drop_helpers else out
+
+
+def per_file_constant_columns(
+    df: DataFrame,
+    per_file: list[tuple[str, tuple]],
+    basename_col: str,
+    path_col: str,
+    max_map_files: int = 1024,
+) -> tuple[DataFrame, list[Column]]:
+    """Per-file CONSTANT lookup for scans needing metadata derived from
+    each row's source file (row-lineage id bases, commit versions,
+    sequence numbers) — the one implementation behind BOTH the Delta
+    row-tracking scan (``delta_log._lineage_scan``) and the Iceberg v3
+    lineage projection (``iceberg_meta._attach_row_lineage``).
+
+    Fast path: MAP LITERALS keyed on the raw ``_metadata`` file-path
+    basename — zero join, zero per-row URI decoding, no broadcast-build
+    job (measured 5-10x cheaper than the decoded-path broadcast join on a
+    4.5M-row compaction read); eligible when basenames are unique and
+    URL-safe (so the raw URI form equals the stored form) and the file
+    count keeps the plan literals small. Fallback: a broadcast inner join
+    on the decoded path — still a metadata-sized build, no data shuffle.
+
+    ``per_file``: [(stored_path, (const, ...))], all tuples of equal
+    arity, values long-valued or None. Returns (df, [Column, ...]) where
+    the k-th Column yields the k-th constant of the row's file.
+    ``basename_col``/``path_col``: materialized basename and decoded-path
+    columns on ``df`` (the ``_metadata`` pseudo-column does not survive
+    joins/unions, so callers materialize these at scan time). Callers
+    handle the zero-file case — an empty ``create_map()`` is VOID-keyed
+    and fails analysis."""
+    import re
+
+    if not per_file:
+        raise ValueError("per_file must be non-empty")
+    arity = len(per_file[0][1])
+    basenames = {p.rsplit("/", 1)[-1] for p, _ in per_file}
+    if (
+        len(basenames) == len(per_file)
+        and len(per_file) <= max_map_files
+        and all(re.fullmatch(r"[A-Za-z0-9._=-]+", b) for b in basenames)
+    ):
+        key = F.col(basename_col)
+        cols = []
+        for k in range(arity):
+            m = F.create_map(*[
+                x
+                for p, consts in per_file
+                for x in (
+                    F.lit(p.rsplit("/", 1)[-1]),
+                    F.lit(consts[k]).cast("long"),
+                )
+            ])
+            cols.append(m[key])
+        return df, cols
+    schema = ", ".join(
+        ["__pfc_file string"] + [f"__pfc_{k} long" for k in range(arity)]
+    )
+    ldf = df.sparkSession.createDataFrame(
+        [(p, *consts) for p, consts in per_file], schema
+    )
+    joined = df.join(
+        F.broadcast(ldf), F.col(path_col) == F.col("__pfc_file"), "inner"
+    )
+    return joined, [F.col(f"__pfc_{k}") for k in range(arity)]

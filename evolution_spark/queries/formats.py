@@ -3554,6 +3554,10 @@ def iceberg_v3_compaction_lifecycle(spark, sf_dir):
         F.count_distinct("_row_id").alias("n_distinct"),
     ).collect()[0]
     assert stats["n"] == stats["n_ids"] == stats["n_distinct"], stats
+    # return a plain (no-lineage) read: the lineage projection above is
+    # for the asserts only, and keeping it in the returned plan leaves a
+    # dead per-row _metadata struct build Catalyst does not eliminate
+    post = read_iceberg_table(spark, path)
     return post.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_alive"),
         F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(

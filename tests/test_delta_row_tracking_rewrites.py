@@ -248,3 +248,83 @@ def test_optimize_on_column_mapped_row_tracking_table(spark, tmp_path):
         r["k"]: r["val"] for r in read_delta_snapshot(spark, d).collect()
     }
     assert vals == {i: i * 2 for i in range(8)}
+
+
+def _set_id_mode(d):
+    """Forge a foreign commit flipping the table to columnMapping id mode
+    (this engine never writes one — the fixture mirrors a foreign table)."""
+    log = Path(d) / "_delta_log"
+    v0 = [
+        json.loads(line)
+        for line in (log / f"{0:020d}.json").read_text().splitlines()
+    ]
+    metadata = next(a["metaData"] for a in v0 if "metaData" in a)
+    metadata = dict(metadata)
+    metadata["configuration"] = {
+        **(metadata.get("configuration") or {}),
+        "delta.columnMapping.mode": "id",
+        "delta.columnMapping.maxColumnId": "0",
+    }
+    latest = max(int(p.stem) for p in log.glob("*.json"))
+    (log / f"{latest + 1:020d}.json").write_text(
+        json.dumps({"metaData": metadata}) + "\n"
+    )
+
+
+def test_ensure_materialized_refuses_id_mode(spark, tmp_path):
+    """review r11 pass 3: materialization publishes a COMMIT — it must hit
+    the same id-mode write refusal as every other write path instead of
+    committing into a table this engine declares read-only."""
+    d = str(tmp_path / "idmode")
+    _mk(spark, d)
+    _set_id_mode(d)
+    before = _replay_log(Path(d))[3]
+    with pytest.raises(DeltaProtocolError, match="id"):
+        ensure_row_tracking_materialized(d)
+    assert _replay_log(Path(d))[3] == before  # nothing published
+
+
+def test_failed_update_publishes_no_commit(spark, tmp_path):
+    """review r11 pass 3: input validation must run BEFORE the
+    row-tracking materialization commit — a refused UPDATE/MERGE leaves
+    the log untouched."""
+    d = str(tmp_path / "noleak")
+    _mk(spark, d)
+    before = _replay_log(Path(d))[3]
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_delta_rows(spark, d, "k = 4", {"no_such_col": "1"})
+    assert _replay_log(Path(d))[3] == before
+    with pytest.raises(ValueError, match="set_exprs must be non-empty"):
+        update_delta_rows(spark, d, "k = 4", {})
+    assert _replay_log(Path(d))[3] == before
+    bad = spark.createDataFrame([(4, 1, "x")], "k long, v long, op string")
+    with pytest.raises(ValueError, match="unknown op"):
+        merge_delta_cdc(spark, d, bad, key="k", op_col="op")
+    assert _replay_log(Path(d))[3] == before
+    dup = spark.createDataFrame(
+        [(4, 1, "u"), (4, 2, "u")], "k long, v long, op string"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_delta_cdc(spark, d, dup, key="k", op_col="op")
+    assert _replay_log(Path(d))[3] == before
+    with pytest.raises(ValueError, match="not in table columns"):
+        merge_delta_cdc(
+            spark, d,
+            spark.createDataFrame([(1, "u")], "zz long, op string"),
+            key="zz", op_col="op",
+        )
+    assert _replay_log(Path(d))[3] == before
+
+
+def test_steady_state_dml_publishes_one_commit_each(spark, tmp_path):
+    """After the names exist, each DML publishes exactly ONE commit (the
+    steady-state fast path resolves names from the caller's replay — no
+    ensure commit, no second replay)."""
+    d = str(tmp_path / "steady")
+    _mk(spark, d)
+    update_delta_rows(spark, d, "k = 4", {"v": "v + 1"})  # may publish 2
+    v1 = _replay_log(Path(d))[3]
+    update_delta_rows(spark, d, "k = 6", {"v": "v + 1"})
+    assert _replay_log(Path(d))[3] == v1 + 1
+    optimize_delta(spark, d, target_files=1)
+    assert _replay_log(Path(d))[3] == v1 + 2

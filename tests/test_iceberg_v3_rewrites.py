@@ -335,3 +335,110 @@ def test_first_row_id_inheritance_from_manifest(spark, tmp_path):
             )
     after = _lineage(spark, d)
     assert after == before
+
+
+def test_first_row_id_mixed_explicit_and_null(spark, tmp_path):
+    """Spec reader rule (review r11 pass 3): a null first_row_id inherits
+    manifest.first_row_id plus the record counts of preceding added files
+    that were themselves ASSIGNED (null) — a preceding file with an
+    EXPLICIT first_row_id does not consume from the manifest's block."""
+    import json
+    from pathlib import Path
+
+    from evolution_spark.io.iceberg_meta import (
+        _manifest_entry_schema,
+        _partition_record_schema,
+        _read_avro,
+        _read_avro_with_meta,
+        _write_avro,
+    )
+
+    d = str(tmp_path / "mixed_inherit")
+    write_iceberg_table(_kv(spark).where("k < 2"), d)
+    upgrade_iceberg_format_version(d)
+    append_iceberg_snapshot(
+        _kv(spark, 20).where("k >= 10").repartition(2), d
+    )
+    before = _lineage(spark, d)
+    meta, _ = _load_metadata(Path(d))
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    # null the SECOND added entry of the two-file data manifest, keep the
+    # first explicit
+    nulled = None
+    for mf in _read_avro(Path(snap["manifest-list"])):
+        if int(mf.get("content") or 0) != 0 or mf.get("first_row_id") is None:
+            continue
+        entries, m = _read_avro_with_meta(Path(mf["manifest_path"]))
+        added = [
+            e for e in entries
+            if e["status"] == 1
+            and e["data_file"].get("first_row_id") is not None
+        ]
+        if len(added) < 2:
+            continue
+        mf_first = int(mf["first_row_id"])
+        f2_explicit = int(added[1]["data_file"]["first_row_id"])
+        added[1]["data_file"]["first_row_id"] = None
+        part_schema = _partition_record_schema(
+            json.loads(m["partition-spec"].decode()),
+            json.loads(m["schema"].decode()),
+        )
+        _write_avro(
+            Path(mf["manifest_path"]),
+            _manifest_entry_schema(part_schema, lineage=True),
+            entries,
+            meta={k: v.decode() for k, v in m.items()},
+        )
+        nulled = (mf_first, f2_explicit, added[1]["data_file"]["file_path"])
+        break
+    assert nulled is not None, "expected a two-file lineage manifest"
+    mf_first, f2_explicit, _ = nulled
+    # this engine writes contiguous explicit ids, so the second file's
+    # explicit base sits PAST the first file's rows — the spec rule must
+    # now assign it the manifest base instead (preceding file was explicit)
+    assert f2_explicit > mf_first
+    after = _lineage(spark, d)
+    for k, (rid, seq) in before.items():
+        if rid is not None and rid >= f2_explicit:
+            assert after[k] == (rid - f2_explicit + mf_first, seq), k
+        else:
+            assert after[k] == (rid, seq), k
+
+
+def test_field_id_conf_restored_after_v3_rewrites(spark, tmp_path):
+    """The lineage rewrites stamp reserved parquet field ids via a SCOPED
+    spark.sql.parquet.fieldId.write.enabled — leaving it set session-wide
+    would embed stray parquet.field.id metadata into every later write
+    (review r11 pass 3)."""
+    key = "spark.sql.parquet.fieldId.write.enabled"
+
+    def current():
+        try:
+            return spark.conf.get(key)
+        except Exception:
+            return None
+
+    baseline = current()
+    d = _mixed_era_table(spark, tmp_path, "confscope")
+    compact_iceberg_table(spark, d, target_files=2)
+    assert current() == baseline
+    update_iceberg_rows(spark, d, "k = 7", {"v": "v + 1"})
+    assert current() == baseline
+    changes = spark.createDataFrame(
+        [(9, 99, "u"), (40, 80, "u")], "k long, v long, op string"
+    )
+    merge_iceberg_cdc(spark, d, changes, key="k", op_col="op")
+    assert current() == baseline
+    # and an explicitly-set caller value is restored, not unset
+    spark.conf.set(key, "false")
+    try:
+        compact_iceberg_table(spark, d, target_files=1)
+        assert spark.conf.get(key) == "false"
+    finally:
+        if baseline is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, baseline)

@@ -53,6 +53,7 @@ AUDITED = {
     "delta_multipart_checkpoint_read": "multi-part checkpoint folding is driver-side; data plan = plain scans + agg",
     "iceberg_v3_compaction_lifecycle": "lineage-preserving compaction; post-rewrite read = plain scan + agg, DVs gone",
     "delta_row_tracking_optimize": "materialized-id OPTIMIZE; post-rewrite read = plain scan + agg, DVs gone",
+    "iceberg_v3_default_values": "initial-defaults fill at the projection (literal coalesce); plain scan + agg",
 }
 
 
