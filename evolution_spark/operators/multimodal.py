@@ -2,12 +2,15 @@
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schemas, batch iteration, partition-preserving
-transforms, deterministic fake decoders — is real and tested. Two codecs are
-REAL and dependency-free (pure numpy): 24-bit uncompressed BMP and 16-bit PCM
-WAV, with matching encoders for round-trip tests and mock-data generation.
-Everything else (JPEG/PNG/MP3/video — needs PIL/soundfile/av, none shipped in
-this container) raises ``NotImplementedError`` unless ``fake=True`` requests
-the deterministic fake (hash-derived pixels/samples), which exercises every
+transforms, deterministic fake decoders — is real and tested. The image and
+audio codecs are REAL and dependency-free (pure numpy): 24-bit BMP, 8-bit
+PNG, 16-bit PCM WAV, and JPEG in every DCT mode — baseline (SOF0), extended
+sequential (SOF1), progressive (SOF2, Annex G), and arithmetic-coded
+(SOF9/SOF10, Annex D QM-coder in ``jpeg_arith.py``) — each with a matching
+encoder for round-trip tests and mock-data generation. Only lossless /
+hierarchical JPEG and video containers (needs av, not shipped in this
+container) raise ``NotImplementedError``; ``fake=True`` requests the
+deterministic fake (hash-derived pixels/samples), which exercises every
 byte of the pipeline except the codec itself.
 
 Scale design: media bytes never shuffle — every transform here is a narrow
@@ -395,13 +398,14 @@ def resample_wav(payload: bytes, target_rate: int) -> bytes:
 def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Decode a media payload to a flat float32 sample array.
 
-    REAL for 24-bit BMP, 8-bit PNG, BASELINE + PROGRESSIVE JPEG, and
-    16-bit PCM WAV (pure-numpy decoders in this module, dispatched on
-    magic bytes; ``decode_jpeg`` routes SOF2 to the Annex G progressive
-    path). ``fake=True`` forces the deterministic fake decoder regardless
-    of format (the test/CI path). Remaining gaps (arithmetic-coded JPEG,
-    video containers) need PIL/av, none of which exist in this container,
-    and raise ``NotImplementedError``."""
+    REAL for 24-bit BMP, 8-bit PNG, JPEG in every DCT mode (baseline
+    SOF0, extended sequential SOF1, progressive SOF2, arithmetic-coded
+    SOF9/SOF10 via the T.81 Annex D QM-coder), and 16-bit PCM WAV
+    (pure-numpy decoders dispatched on magic bytes; ``decode_jpeg``
+    routes on the SOF marker). ``fake=True`` forces the deterministic
+    fake decoder regardless of format (the test/CI path). Remaining gaps
+    (lossless/hierarchical JPEG, video containers) raise
+    ``NotImplementedError``."""
     if fake:
         return _fake_decode(payload)
     if payload[:2] == b"BM":
@@ -413,9 +417,9 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload).astype(np.float32).ravel()
     raise NotImplementedError(
-        f"decoding kind={kind!r}: only BMP, PNG, baseline JPEG and PCM WAV "
-        "decode without a media codec library (PIL/soundfile/av, none "
-        "installed) — pass fake=True for the deterministic test decoder"
+        f"decoding kind={kind!r}: only BMP, PNG, JPEG (all DCT modes) and "
+        "PCM WAV decode without a media codec library (PIL/soundfile/av, "
+        "none installed) — pass fake=True for the deterministic test decoder"
     )
 
 
@@ -1011,7 +1015,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         idx += 1
                     code <<= 1
                 huff[(tc, th)] = table
-        elif marker == 0xC0:  # SOF0: baseline sequential
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+            # SOF1 (extended sequential, Huffman) is frame-identical to
+            # baseline at 8-bit precision — same decode path
             if body[0] != 8:
                 raise ValueError(f"unsupported JPEG precision {body[0]} (8-bit only)")
             height = int.from_bytes(body[1:3], "big")
@@ -1023,13 +1029,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
         elif marker == 0xC2:  # SOF2: progressive DCT — dedicated decoder
             return _decode_progressive_jpeg(payload)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC9, 0xCA):  # SOF9/SOF10: arithmetic coding
+            from evolution_spark.operators.jpeg_arith import (
+                decode_jpeg_arithmetic,
+            )
+
+            return decode_jpeg_arithmetic(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+                        0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported JPEG mode SOF{marker - 0xC0} — baseline "
-                "sequential (SOF0) and progressive (SOF2) only; "
-                "arithmetic-coded/hierarchical scans refuse rather than "
-                "mis-decode"
+                f"unsupported JPEG mode SOF{marker - 0xC0} — sequential "
+                "(SOF0/SOF1), progressive (SOF2) and arithmetic "
+                "(SOF9/SOF10) decode; lossless and hierarchical scans "
+                "refuse rather than mis-decode"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")

@@ -783,3 +783,91 @@ def multimodal_jpeg_features(spark, sf_dir):
         gen,
         "media_id long, width int, height int, pixel_sum long, mean_px double",
     )
+
+
+@query(
+    "multimodal_arith_jpeg_features",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 36),
+    blocks AS (
+      SELECT doc_id, 2 * ((5 * doc_id + 3 * bx.v + 11 * by.v) % 128) AS v
+      FROM ids
+      CROSS JOIN (SELECT UNNEST(range(4)) AS v) bx
+      CROSS JOIN (SELECT UNNEST(range(3)) AS v) by
+    )
+    SELECT doc_id AS media_id,
+           CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
+           CAST(SUM(64 * v) AS BIGINT) AS pixel_sum,
+           SUM(64 * v) * 1.0 / 768 AS mean_px
+    FROM blocks GROUP BY doc_id
+    """,
+)
+def multimodal_arith_jpeg_features(spark, sf_dir):
+    """ARITHMETIC-coded JPEG end-to-end (round 11 — closes the engine's
+    LAST declared refusal): the constant-tile closed form from
+    ``multimodal_jpeg_features`` (a constant 8x8 tile survives the lossy
+    pipeline exactly: DC-only DCT, remainder-free quantization) with a
+    different coefficient mix, pushed through the T.81 Annex D QM-coder
+    instead of Huffman. doc_id % 3 routes the THREE arithmetic paths:
+    0 -> SOF9 sequential, 1 -> SOF10 progressive (DC first/refine + AC
+    first/refine scans), 2 -> SOF9 with restart intervals (per-RSTn
+    coder + statistics resets). All decode through the production
+    ``decode_media`` magic-byte dispatch; DuckDB recomputes the exact
+    pixel sums from the closed form — one wrong binary decision in the
+    QM coder, the Table D.3 state machine, the DC/AC decision trees, or
+    the restart resets moves pixel_sum and fails the hash.
+
+    Scale shape: synthesis/encode/decode are partition-local mapInPandas
+    (Arrow batches); image bytes never shuffle — only the 5-column
+    feature rows do. The QM coder is inherently sequential (each binary
+    decision updates the state the next reads), so this path is scalar
+    Python BY NATURE, not oversight — arithmetic JPEGs are vanishingly
+    rare in real corpora and the common SOF0/SOF2 paths stay vectorized.
+    Ref parity: the reference has no image codecs (extension surface)."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.jpeg_arith import (
+        encode_jpeg_arithmetic,
+        encode_jpeg_arithmetic_progressive,
+    )
+    from evolution_spark.operators.multimodal import decode_media
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 36
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                img = np.zeros((24, 32), dtype=np.uint8)
+                for by in range(3):
+                    for bx in range(4):
+                        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                            2 * ((5 * i + 3 * bx + 11 * by) % 128)
+                        )
+                if i % 3 == 0:
+                    payload = encode_jpeg_arithmetic(img, quality=50)
+                elif i % 3 == 1:
+                    payload = encode_jpeg_arithmetic_progressive(
+                        img, quality=50
+                    )
+                else:
+                    payload = encode_jpeg_arithmetic(
+                        img, quality=50, restart_interval=2
+                    )
+                flat = decode_media(payload, "image")  # production dispatch
+                s = int(np.sum(flat.astype(np.int64)))
+                rows.append((i, 32, 24, s, s / flat.size))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height",
+                         "pixel_sum", "mean_px"],
+            )
+
+    return d.mapInPandas(
+        gen,
+        "media_id long, width int, height int, pixel_sum long, mean_px double",
+    )

@@ -1119,10 +1119,12 @@ def test_jpeg_decoder_refusals():
     from evolution_spark.operators.multimodal import decode_jpeg, encode_jpeg
 
     payload = bytearray(encode_jpeg(np.full((8, 8), 100, dtype=np.uint8)))
-    # flip SOF0 (0xC0) to SOF9 (arithmetic-coded extended sequential)
+    # flip SOF0 (0xC0) to SOF3 (lossless — a different coding process;
+    # SOF9/SOF10 arithmetic DECODE since round 11, see
+    # tests/test_jpeg_arithmetic.py)
     i = payload.index(b"\xff\xc0")
-    payload[i + 1] = 0xC9
-    with pytest.raises(ValueError, match="SOF9"):
+    payload[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="SOF3"):
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")

@@ -54,6 +54,7 @@ AUDITED = {
     "iceberg_v3_compaction_lifecycle": "lineage-preserving compaction; post-rewrite read = plain scan + agg, DVs gone",
     "delta_row_tracking_optimize": "materialized-id OPTIMIZE; post-rewrite read = plain scan + agg, DVs gone",
     "iceberg_v3_default_values": "initial-defaults fill at the projection (literal coalesce); plain scan + agg",
+    "multimodal_arith_jpeg_features": "partition-local mapInPandas; image bytes never shuffle",
 }
 
 
