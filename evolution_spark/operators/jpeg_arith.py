@@ -475,13 +475,6 @@ def _encode_ac_block(enc, bank, zz, ss, se, kx, shift=0):
         k += 1
 
 
-def _fresh_banks(n_dc: int, n_ac: int) -> tuple[list, list]:
-    return (
-        [bytearray(64) for _ in range(n_dc)],
-        [bytearray(256) for _ in range(n_ac)],
-    )
-
-
 def _split_restart_intervals(entropy: bytes) -> list[bytes]:
     """Split on RSTn markers (stuffing left INTACT — the QM decoder's
     byte feeder strips it, matching the spec's BYTEIN)."""
@@ -595,15 +588,21 @@ def _parse_markers(payload: bytes):
                 ):
                     break
                 i += 1
-            scans.append(((scan, ss, se, ah, al), payload[pos:i]))
+            # DRI/DAC are SNAPSHOTTED per scan (B.2.4.4: tables/misc
+            # segments between scans redefine them for LATER scans only)
+            scans.append((
+                {"comps": scan, "ss": ss, "se": se, "ah": ah, "al": al,
+                 "dri": restart_interval, "dc_cond": dict(dc_cond),
+                 "ac_cond": dict(ac_cond)},
+                payload[pos:i],
+            ))
             pos = i
         # other markers (APPn, COM) skipped
     if comps is None or not scans:
         raise ValueError("JPEG payload missing SOF9/SOF10 or SOS")
     return {
         "height": height, "width": width, "comps": comps, "qts": qts,
-        "progressive": progressive, "restart_interval": restart_interval,
-        "dc_cond": dc_cond, "ac_cond": ac_cond,
+        "progressive": progressive,
     }, scans
 
 
@@ -631,7 +630,7 @@ def decode_jpeg_arithmetic(payload: bytes) -> np.ndarray:
         _decode_progressive_scans(frame, scans, blocks_of, by_id,
                                   mcus_x, mcus_y)
     else:
-        if len(scans) != 1 or len(scans[0][0][0]) != len(comps):
+        if len(scans) != 1 or len(scans[0][0]["comps"]) != len(comps):
             raise ValueError(
                 "non-interleaved multi-scan sequential JPEG is not "
                 "supported — single interleaved scan only (same limit "
@@ -673,13 +672,14 @@ def decode_jpeg_arithmetic(payload: bytes) -> np.ndarray:
 
 def _decode_sequential_scan(frame, scan_pair, blocks_of, by_id,
                             mcus_x, mcus_y):
-    (scan, ss, se, ah, al), entropy = scan_pair
-    if (ss, se, ah, al) != (0, 63, 0, 0):
+    hdr, entropy = scan_pair
+    scan = hdr["comps"]
+    if (hdr["ss"], hdr["se"], hdr["ah"], hdr["al"]) != (0, 63, 0, 0):
         raise ValueError("sequential scan must cover Ss=0..Se=63, Ah=Al=0")
     comps = frame["comps"]
     intervals = _split_restart_intervals(entropy)
-    restart = frame["restart_interval"]
-    dc_cond, ac_cond = frame["dc_cond"], frame["ac_cond"]
+    restart = hdr["dri"]
+    dc_cond, ac_cond = hdr["dc_cond"], hdr["ac_cond"]
 
     def fresh():
         dc_banks = {td: bytearray(64) for _, td, _ in scan}
@@ -726,11 +726,13 @@ def _decode_progressive_scans(frame, scans, blocks_of, by_id,
     per restart interval (T.81 G.1.2 applies the Annex F models per
     scan)."""
     comps = frame["comps"]
-    restart = frame["restart_interval"]
-    dc_cond, ac_cond = frame["dc_cond"], frame["ac_cond"]
     hmax = max(h for _, h, _, _ in comps)
     vmax = max(v for _, _, v, _ in comps)
-    for (scan, ss, se, ah, al), entropy in scans:
+    for hdr, entropy in scans:
+        scan = hdr["comps"]
+        ss, se, ah, al = hdr["ss"], hdr["se"], hdr["ah"], hdr["al"]
+        restart = hdr["dri"]
+        dc_cond, ac_cond = hdr["dc_cond"], hdr["ac_cond"]
         intervals = _split_restart_intervals(entropy)
         is_dc = ss == 0
         if is_dc and se != 0:
@@ -812,54 +814,14 @@ def encode_jpeg_arithmetic_progressive(
     (Al=1), per-component AC first 1..63 (Al=1), interleaved DC
     refinement (Ah=1, Al=0), per-component AC refinement (Ah=1, Al=0)."""
     from evolution_spark.operators.multimodal import (
-        _JPEG_QT_CHR,
-        _JPEG_QT_LUM,
         _JPEG_ZIGZAG,
-        _jpeg_dct_matrix,
-        _jpeg_scaled_qt,
+        _jpeg_quantized_zigzag,
     )
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    gray = px.ndim == 2
-    h, w = px.shape[:2]
-    if not gray and px.shape[2] != 3:
-        raise ValueError("takes (h, w) gray or (h, w, 3) RGB")
-    if gray:
-        planes = [px.astype(np.float64)]
-    else:
-        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y, cb, cr]
-    qts = [_jpeg_scaled_qt(_JPEG_QT_LUM, quality)]
-    if not gray:
-        qts.append(_jpeg_scaled_qt(_JPEG_QT_CHR, quality))
-    dct = _jpeg_dct_matrix()
-    ncomp = len(planes)
+    # the ONE shared front end (same coefficients as every encoder)
+    coefs, qts, gray, h, w = _jpeg_quantized_zigzag(pixels, quality)
+    ncomp = len(coefs)
     mcus_y, mcus_x = -(-h // 8), -(-w // 8)
-
-    # quantized zigzag coefficients per component block grid (4:4:4)
-    coefs = []
-    for ci, plane in enumerate(planes):
-        t = 0 if ci == 0 else 1
-        grid = np.zeros((mcus_y, mcus_x, 64), dtype=np.int64)
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                block = np.full((8, 8), 128.0)
-                tile = plane[my * 8: my * 8 + 8, mx * 8: mx * 8 + 8]
-                block[: tile.shape[0], : tile.shape[1]] = tile
-                if tile.shape[0] < 8:
-                    block[tile.shape[0]:, :] = block[tile.shape[0] - 1, :]
-                if tile.shape[1] < 8:
-                    block[:, tile.shape[1]:] = (
-                        block[:, tile.shape[1] - 1][:, None]
-                    )
-                c = dct @ (block - 128.0) @ dct.T
-                grid[my, mx] = np.round(c / qts[t]).astype(np.int64).ravel()[
-                    _JPEG_ZIGZAG
-                ]
-        coefs.append(grid)
 
     scan_payloads = []
 
@@ -1038,33 +1000,13 @@ def encode_jpeg_arithmetic(
     hermetic fixtures — the round-trip IS the conformance test available
     in this container."""
     from evolution_spark.operators.multimodal import (
-        _JPEG_QT_CHR,
-        _JPEG_QT_LUM,
         _JPEG_ZIGZAG,
-        _jpeg_dct_matrix,
-        _jpeg_scaled_qt,
+        _jpeg_quantized_zigzag,
     )
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    gray = px.ndim == 2
-    h, w = px.shape[:2]
-    if not gray and px.shape[2] != 3:
-        raise ValueError(
-            "encode_jpeg_arithmetic takes (h, w) gray or (h, w, 3) RGB"
-        )
-    if gray:
-        planes = [px.astype(np.float64)]
-    else:
-        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y, cb, cr]
-    qts = [_jpeg_scaled_qt(_JPEG_QT_LUM, quality)]
-    if not gray:
-        qts.append(_jpeg_scaled_qt(_JPEG_QT_CHR, quality))
-    dct = _jpeg_dct_matrix()
-
+    # the ONE shared front end — arithmetic and Huffman fixtures code
+    # the same coefficients (the bit-identity tests pin this)
+    zzs, qts, gray, h, w = _jpeg_quantized_zigzag(pixels, quality)
     n_tables = 1 if gray else 2
     lo, up = dc_cond
     entropy_parts: list[bytes] = []
@@ -1074,8 +1016,8 @@ def encode_jpeg_arithmetic(
             _QMEncoder(),
             [bytearray(64) for _ in range(n_tables)],
             [bytearray(256) for _ in range(n_tables)],
-            [0] * len(planes),
-            [0] * len(planes),
+            [0] * len(zzs),
+            [0] * len(zzs),
         )
 
     enc, dc_banks, ac_banks, dc_ctx, pred = fresh()
@@ -1091,21 +1033,9 @@ def encode_jpeg_arithmetic(
                 rst = (rst + 1) % 8
                 enc, dc_banks, ac_banks, dc_ctx, pred = fresh()
             mcu_count += 1
-            for ci, plane in enumerate(planes):
+            for ci in range(len(zzs)):
                 t = 0 if ci == 0 else 1
-                block = np.full((8, 8), 128.0)
-                ys, xs = my * 8, mx * 8
-                tile = plane[ys:ys + 8, xs:xs + 8]
-                block[: tile.shape[0], : tile.shape[1]] = tile
-                if tile.shape[0] < 8:
-                    block[tile.shape[0]:, :] = block[tile.shape[0] - 1, :]
-                if tile.shape[1] < 8:
-                    block[:, tile.shape[1]:] = (
-                        block[:, tile.shape[1] - 1][:, None]
-                    )
-                coef = dct @ (block - 128.0) @ dct.T
-                q = np.round(coef / qts[t]).astype(np.int64)
-                zz = q.ravel()[_JPEG_ZIGZAG]
+                zz = zzs[ci][my, mx]
                 diff = int(zz[0]) - pred[ci]
                 pred[ci] = int(zz[0])
                 dc_ctx[ci] = _encode_dc_diff(

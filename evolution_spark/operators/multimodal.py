@@ -804,18 +804,19 @@ def _jpeg_magnitude(v: int) -> tuple[int, int]:
     return s, bits
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 50) -> bytes:
-    """Encode a uint8 array (``(h, w)`` grayscale or ``(h, w, 3)`` RGB)
-    as a BASELINE sequential JPEG (JFIF, Annex K quantization + Huffman
-    tables, 4:4:4 — no chroma subsampling, so block geometry stays
-    1 block per 8x8 tile for every component). Forward path: level shift
-    -> orthonormal DCT (matrix multiply) -> quantize -> zigzag -> DC
-    diff / AC run-length -> canonical Huffman with 0xFF byte stuffing."""
+def _jpeg_quantized_zigzag(pixels: np.ndarray, quality: int):
+    """The ONE encode front end shared by every JPEG encoder in the repo
+    (baseline, progressive, arithmetic sequential/progressive): uint8
+    pixels -> (per-component quantized zigzag grids, quantization
+    tables, gray flag, h, w). RGB->YCbCr, Annex K tables under IJG
+    quality scaling, 4:4:4, edge-replicated partial blocks, orthonormal
+    DCT. Keeping this single ensures the Huffman and arithmetic fixtures
+    code the SAME coefficients — the bit-identity tests depend on it."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if not gray and px.shape[2] != 3:
-        raise ValueError("encode_jpeg takes (h, w) gray or (h, w, 3) RGB")
+        raise ValueError("JPEG encoders take (h, w) gray or (h, w, 3) RGB")
     if gray:
         planes = [px.astype(np.float64)]
     else:
@@ -828,6 +829,33 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 50) -> bytes:
     if not gray:
         qts.append(_jpeg_scaled_qt(_JPEG_QT_CHR, quality))
     dct = _jpeg_dct_matrix()
+    mcus_y, mcus_x = -(-h // 8), -(-w // 8)
+    zzs = []
+    for ci, plane in enumerate(planes):
+        t = 0 if ci == 0 else 1
+        padded = np.full((mcus_y * 8, mcus_x * 8), 128.0)
+        padded[:h, :w] = plane
+        # edge replication beats zero-padding for ringing, and keeps
+        # constant images constant in partial edge blocks
+        if h < mcus_y * 8:
+            padded[h:, :w] = plane[h - 1, :]
+        if w < mcus_x * 8:
+            padded[:, w:] = padded[:, w - 1][:, None]
+        blocks = padded.reshape(mcus_y, 8, mcus_x, 8).transpose(0, 2, 1, 3)
+        coefs = np.einsum("ij,yxjk,lk->yxil", dct, blocks - 128.0, dct)
+        q = np.round(coefs / qts[t].reshape(1, 1, 8, 8)).astype(np.int64)
+        zzs.append(q.reshape(mcus_y, mcus_x, 64)[..., _JPEG_ZIGZAG])
+    return zzs, qts, gray, h, w
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 50) -> bytes:
+    """Encode a uint8 array (``(h, w)`` grayscale or ``(h, w, 3)`` RGB)
+    as a BASELINE sequential JPEG (JFIF, Annex K quantization + Huffman
+    tables, 4:4:4 — no chroma subsampling, so block geometry stays
+    1 block per 8x8 tile for every component). Forward path: level shift
+    -> orthonormal DCT (matrix multiply) -> quantize -> zigzag -> DC
+    diff / AC run-length -> canonical Huffman with 0xFF byte stuffing."""
+    zzs, qts, gray, h, w = _jpeg_quantized_zigzag(pixels, quality)
     enc_dc = [_jpeg_canonical_codes(*_JPEG_HT[("dc", 0)]),
               _jpeg_canonical_codes(*_JPEG_HT[("dc", 1)])]
     enc_ac = [_jpeg_canonical_codes(*_JPEG_HT[("ac", 0)]),
@@ -835,24 +863,12 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 50) -> bytes:
 
     bw = _JpegBitWriter()
     mcus_y, mcus_x = -(-h // 8), -(-w // 8)
-    pred = [0] * len(planes)
+    pred = [0] * len(zzs)
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            for ci, plane in enumerate(planes):
+            for ci in range(len(zzs)):
                 t = 0 if ci == 0 else 1
-                block = np.full((8, 8), 128.0)
-                ys, xs = my * 8, mx * 8
-                tile = plane[ys:ys + 8, xs:xs + 8]
-                block[: tile.shape[0], : tile.shape[1]] = tile
-                # edge replication beats zero-padding for ringing, and
-                # keeps constant images constant in partial edge blocks
-                if tile.shape[0] < 8:
-                    block[tile.shape[0]:, :] = block[tile.shape[0] - 1, :]
-                if tile.shape[1] < 8:
-                    block[:, tile.shape[1]:] = block[:, tile.shape[1] - 1][:, None]
-                coef = dct @ (block - 128.0) @ dct.T
-                q = np.round(coef / qts[t]).astype(np.int64)
-                zz = q.ravel()[_JPEG_ZIGZAG]
+                zz = zzs[ci][my, mx]
                 # DC: difference from predictor
                 diff = int(zz[0]) - pred[ci]
                 pred[ci] = int(zz[0])
@@ -1037,7 +1053,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             return decode_jpeg_arithmetic(payload)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(
+            # NotImplementedError, matching the decode_media contract:
+            # callers route declared codec gaps (not corrupt payloads)
+            # on this type
+            raise NotImplementedError(
                 f"unsupported JPEG mode SOF{marker - 0xC0} — sequential "
                 "(SOF0/SOF1), progressive (SOF2) and arithmetic "
                 "(SOF9/SOF10) decode; lossless and hierarchical scans "
@@ -1489,46 +1508,15 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 50) -> bytes:
     IDENTICAL to ``encode_jpeg`` at the same quality, so
     ``decode_jpeg(progressive) == decode_jpeg(baseline)`` exactly — the
     hermetic oracle the tests pin."""
-    px = np.asarray(pixels, dtype=np.uint8)
-    gray = px.ndim == 2
-    h, w = px.shape[:2]
-    if not gray and px.shape[2] != 3:
-        raise ValueError("encode_jpeg_progressive takes (h, w) gray or (h, w, 3) RGB")
-    if gray:
-        planes = [px.astype(np.float64)]
-    else:
-        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y, cb, cr]
-    qts = [_jpeg_scaled_qt(_JPEG_QT_LUM, quality)]
-    if not gray:
-        qts.append(_jpeg_scaled_qt(_JPEG_QT_CHR, quality))
-    dct = _jpeg_dct_matrix()
+    # same front end as every other encoder: identical coefficients,
+    # different transmission
+    zzs, qts, gray, h, w = _jpeg_quantized_zigzag(pixels, quality)
     mcus_y, mcus_x = -(-h // 8), -(-w // 8)
-
-    # quantized zigzag coefficients per component (same front-end as the
-    # baseline encoder: identical coefficients, different transmission)
-    zzs = []
-    for ci, plane in enumerate(planes):
-        t = 0 if ci == 0 else 1
-        padded = np.full((mcus_y * 8, mcus_x * 8), 128.0)
-        padded[:h, :w] = plane
-        # edge replication, matching encode_jpeg's partial-block policy
-        if h < mcus_y * 8:
-            padded[h:, :w] = plane[h - 1, :]
-        if w < mcus_x * 8:
-            padded[:, w:] = padded[:, w - 1][:, None]
-        blocks = padded.reshape(mcus_y, 8, mcus_x, 8).transpose(0, 2, 1, 3)
-        coefs = np.einsum("ij,yxjk,lk->yxil", dct, blocks - 128.0, dct)
-        q = np.round(coefs / qts[t].reshape(1, 1, 8, 8)).astype(np.int64)
-        zzs.append(q.reshape(mcus_y, mcus_x, 64)[..., _JPEG_ZIGZAG])
     enc_dc = [_jpeg_canonical_codes(*_JPEG_HT[("dc", 0)]),
               _jpeg_canonical_codes(*_JPEG_HT[("dc", 1)])]
     enc_ac = [_jpeg_canonical_codes(*_JPEG_HT[("ac", 0)]),
               _jpeg_canonical_codes(*_JPEG_HT[("ac", 1)])]
-    ncomp = len(planes)
+    ncomp = len(zzs)
 
     def dc_first_scan(al: int) -> bytes:
         bw = _JpegBitWriter()

@@ -228,7 +228,9 @@ def test_lossless_and_hierarchical_still_refuse():
     i = payload.find(b"\xff\xc0")
     for sof in (0xC3, 0xC5, 0xCB, 0xCF):
         payload[i + 1] = sof
-        with pytest.raises(ValueError, match="lossless and hierarchical"):
+        with pytest.raises(
+            NotImplementedError, match="lossless and hierarchical"
+        ):
             decode_jpeg(bytes(payload))
 
 
@@ -254,3 +256,25 @@ def test_12bit_precision_refuses():
     payload[i + 4] = 12  # precision byte
     with pytest.raises(ValueError, match="8-bit only"):
         decode_jpeg_arithmetic(bytes(payload))
+
+
+def test_dac_redefinition_between_scans_is_scan_scoped():
+    """T.81 B.2.4.4: a DAC (or DRI) segment between scans redefines
+    conditioning for LATER scans only. Inject a DAC with a different Kx
+    after the AC-first scans of a progressive stream — the refinement
+    scans that follow never use Kx, so the decode must be unchanged; a
+    last-wins global (the round-11 pass-4 finding) would re-decode the
+    EARLIER AC-first scans with the wrong band split and corrupt them."""
+    g = _test_image(24, 24)[..., 0]
+    payload = encode_jpeg_arithmetic_progressive(g, 50)
+    base = decode_jpeg_arithmetic(payload)
+    # gray scan order: DC first, AC first, DC refine, AC refine — inject
+    # before the 3rd SOS
+    idx = -1
+    for _ in range(3):
+        idx = payload.find(b"\xff\xda", idx + 1)
+        assert idx > 0
+    inject = bytes([0xFF, 0xCC, 0x00, 0x04, 0x10, 63])  # DAC: AC tbl 0 Kx=63
+    inject += bytes([0xFF, 0xDD, 0x00, 0x04, 0x00, 0x63])  # DRI=99 (unused)
+    mutated = payload[:idx] + inject + payload[idx:]
+    assert np.array_equal(decode_jpeg_arithmetic(mutated), base)

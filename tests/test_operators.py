@@ -1124,7 +1124,7 @@ def test_jpeg_decoder_refusals():
     # tests/test_jpeg_arithmetic.py)
     i = payload.index(b"\xff\xc0")
     payload[i + 1] = 0xC3
-    with pytest.raises(ValueError, match="SOF3"):
+    with pytest.raises(NotImplementedError, match="SOF3"):
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
