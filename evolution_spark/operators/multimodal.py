@@ -4,14 +4,16 @@ with typed metadata, processed through Arrow-batched ``mapInPandas``.
 The Spark-side plumbing — schemas, batch iteration, partition-preserving
 transforms, deterministic fake decoders — is real and tested. The image and
 audio codecs are REAL and dependency-free (pure numpy): 24-bit BMP, 8-bit
-PNG, 16-bit PCM WAV, and JPEG in every DCT mode — baseline (SOF0), extended
-sequential (SOF1), progressive (SOF2, Annex G), and arithmetic-coded
-(SOF9/SOF10, Annex D QM-coder in ``jpeg_arith.py``) — each with a matching
-encoder for round-trip tests and mock-data generation. Only lossless /
-hierarchical JPEG and video containers (needs av, not shipped in this
-container) raise ``NotImplementedError``; ``fake=True`` requests the
-deterministic fake (hash-derived pixels/samples), which exercises every
-byte of the pipeline except the codec itself.
+PNG, 16-bit PCM WAV, and JPEG in every non-hierarchical mode — baseline
+(SOF0), extended sequential (SOF1), progressive (SOF2, Annex G),
+arithmetic-coded (SOF9/SOF10, Annex D QM-coder in ``jpeg_arith.py``), and
+lossless predictive (SOF3, Annex H in ``jpeg_lossless.py``, 8/16-bit) —
+each with a matching encoder for round-trip tests and mock-data
+generation. Only hierarchical / arithmetic-lossless JPEG and video
+containers (needs av, not shipped in this container) raise
+``NotImplementedError``; ``fake=True`` requests the deterministic fake
+(hash-derived pixels/samples), which exercises every byte of the pipeline
+except the codec itself.
 
 Scale design: media bytes never shuffle — every transform here is a narrow
 ``mapInPandas`` over the scan, so a 100 TB image corpus processes at scan
@@ -398,13 +400,14 @@ def resample_wav(payload: bytes, target_rate: int) -> bytes:
 def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Decode a media payload to a flat float32 sample array.
 
-    REAL for 24-bit BMP, 8-bit PNG, JPEG in every DCT mode (baseline
-    SOF0, extended sequential SOF1, progressive SOF2, arithmetic-coded
-    SOF9/SOF10 via the T.81 Annex D QM-coder), and 16-bit PCM WAV
-    (pure-numpy decoders dispatched on magic bytes; ``decode_jpeg``
-    routes on the SOF marker). ``fake=True`` forces the deterministic
-    fake decoder regardless of format (the test/CI path). Remaining gaps
-    (lossless/hierarchical JPEG, video containers) raise
+    REAL for 24-bit BMP, 8-bit PNG, JPEG in every non-hierarchical mode
+    (baseline SOF0, extended sequential SOF1, progressive SOF2,
+    arithmetic-coded SOF9/SOF10 via the T.81 Annex D QM-coder, lossless
+    SOF3 via Annex H prediction), and 16-bit PCM WAV (pure-numpy
+    decoders dispatched on magic bytes; ``decode_jpeg`` routes on the
+    SOF marker). ``fake=True`` forces the deterministic fake decoder
+    regardless of format (the test/CI path). Remaining gaps
+    (hierarchical/arithmetic-lossless JPEG, video containers) raise
     ``NotImplementedError``."""
     if fake:
         return _fake_decode(payload)
@@ -1051,16 +1054,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
 
             return decode_jpeg_arithmetic(payload)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC3:  # SOF3: lossless (Annex H predictive)
+            from evolution_spark.operators.jpeg_lossless import (
+                decode_jpeg_lossless,
+            )
+
+            return decode_jpeg_lossless(payload)
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
             # NotImplementedError, matching the decode_media contract:
             # callers route declared codec gaps (not corrupt payloads)
             # on this type
             raise NotImplementedError(
                 f"unsupported JPEG mode SOF{marker - 0xC0} — sequential "
-                "(SOF0/SOF1), progressive (SOF2) and arithmetic "
-                "(SOF9/SOF10) decode; lossless and hierarchical scans "
-                "refuse rather than mis-decode"
+                "(SOF0/SOF1), progressive (SOF2), arithmetic (SOF9/SOF10) "
+                "and lossless (SOF3) decode; hierarchical and "
+                "arithmetic-lossless scans refuse rather than mis-decode"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")

@@ -871,3 +871,75 @@ def multimodal_arith_jpeg_features(spark, sf_dir):
         gen,
         "media_id long, width int, height int, pixel_sum long, mean_px double",
     )
+
+
+@query(
+    "multimodal_lossless_jpeg_features",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+    px AS (
+      SELECT doc_id,
+             (7 * doc_id + 3 * x.v + 11 * y.v) % 256 AS v
+      FROM ids
+      CROSS JOIN (SELECT UNNEST(range(32)) AS v) x
+      CROSS JOIN (SELECT UNNEST(range(24)) AS v) y
+    )
+    SELECT doc_id AS media_id,
+           CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           SUM(v) * 1.0 / 768 AS mean_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_lossless_jpeg_features(spark, sf_dir):
+    """LOSSLESS JPEG (SOF3, T.81 Annex H) end-to-end: each document id
+    gets a 32x24 grayscale image with pixel (y, x) = (7*id + 3*x + 11*y)
+    mod 256 — ARBITRARY per-pixel content, no constant-tile constraint,
+    because losslessness means the decoded plane equals the input
+    exactly. doc_id rotates the 7 Annex H predictors (doc_id % 7 + 1)
+    and every third id adds restart intervals, so every predictor path
+    and the restart reset rule sit under the oracle: DuckDB recomputes
+    the exact pixel sums from the closed form, and one wrong predicted
+    sample anywhere shifts pixel_sum and fails the hash. Decode goes
+    through the production ``decode_media`` dispatch.
+
+    Scale shape: partition-local mapInPandas; image bytes never shuffle.
+    The predictive entropy loop is inherently sequential (each
+    prediction needs the previous decoded sample) — scalar Python by
+    nature, a completeness path like the arithmetic coder.
+    Ref parity: the reference has no image codecs (extension surface)."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.jpeg_lossless import encode_jpeg_lossless
+    from evolution_spark.operators.multimodal import decode_media
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 30
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                yy, xx = np.mgrid[0:24, 0:32]
+                img = ((7 * i + 3 * xx + 11 * yy) % 256).astype(np.uint8)
+                payload = encode_jpeg_lossless(
+                    img,
+                    predictor=i % 7 + 1,
+                    restart_interval=4 if i % 3 == 0 else 0,
+                )
+                flat = decode_media(payload, "image")
+                s = int(np.sum(flat.astype(np.int64)))
+                rows.append((i, 32, 24, s, s / flat.size))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height",
+                         "pixel_sum", "mean_px"],
+            )
+
+    return d.mapInPandas(
+        gen,
+        "media_id long, width int, height int, pixel_sum long, mean_px double",
+    )

@@ -222,15 +222,15 @@ def test_sof1_extended_sequential_decodes_as_baseline():
     ))
 
 
-def test_lossless_and_hierarchical_still_refuse():
+def test_hierarchical_and_arith_lossless_still_refuse():
+    # SOF3 lossless DECODES since round 11 (tests/test_jpeg_lossless.py);
+    # the refusal surface is hierarchical + arithmetic-lossless
     img = _test_image(16, 16)
     payload = bytearray(encode_jpeg(img, 50))
     i = payload.find(b"\xff\xc0")
-    for sof in (0xC3, 0xC5, 0xCB, 0xCF):
+    for sof in (0xC5, 0xC7, 0xCB, 0xCF):
         payload[i + 1] = sof
-        with pytest.raises(
-            NotImplementedError, match="lossless and hierarchical"
-        ):
+        with pytest.raises(NotImplementedError, match="hierarchical"):
             decode_jpeg(bytes(payload))
 
 

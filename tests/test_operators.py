@@ -1119,12 +1119,12 @@ def test_jpeg_decoder_refusals():
     from evolution_spark.operators.multimodal import decode_jpeg, encode_jpeg
 
     payload = bytearray(encode_jpeg(np.full((8, 8), 100, dtype=np.uint8)))
-    # flip SOF0 (0xC0) to SOF3 (lossless — a different coding process;
-    # SOF9/SOF10 arithmetic DECODE since round 11, see
-    # tests/test_jpeg_arithmetic.py)
+    # flip SOF0 (0xC0) to SOF5 (differential/hierarchical; arithmetic
+    # SOF9/SOF10 and lossless SOF3 DECODE since round 11 — see
+    # tests/test_jpeg_arithmetic.py / test_jpeg_lossless.py)
     i = payload.index(b"\xff\xc0")
-    payload[i + 1] = 0xC3
-    with pytest.raises(NotImplementedError, match="SOF3"):
+    payload[i + 1] = 0xC5
+    with pytest.raises(NotImplementedError, match="SOF5"):
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")

@@ -55,6 +55,7 @@ AUDITED = {
     "delta_row_tracking_optimize": "materialized-id OPTIMIZE; post-rewrite read = plain scan + agg, DVs gone",
     "iceberg_v3_default_values": "initial-defaults fill at the projection (literal coalesce); plain scan + agg",
     "multimodal_arith_jpeg_features": "partition-local mapInPandas; image bytes never shuffle",
+    "multimodal_lossless_jpeg_features": "partition-local mapInPandas; image bytes never shuffle",
 }
 
 
