@@ -999,6 +999,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0xDE:  # DHP: hierarchical stream — dedicated decoder
+            from evolution_spark.operators.jpeg_hier import (
+                decode_jpeg_hierarchical,
+            )
+
+            return decode_jpeg_hierarchical(payload)
         size = int.from_bytes(payload[pos + 2: pos + 4], "big")
         body = payload[pos + 4: pos + 2 + size]
         pos += 2 + size
@@ -1064,12 +1070,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         0xCB, 0xCD, 0xCE, 0xCF):
             # NotImplementedError, matching the decode_media contract:
             # callers route declared codec gaps (not corrupt payloads)
-            # on this type
+            # on this type. Differential frames (SOF5-7/13-15) are only
+            # legal INSIDE a DHP hierarchical stream, which routed above.
             raise NotImplementedError(
                 f"unsupported JPEG mode SOF{marker - 0xC0} — sequential "
-                "(SOF0/SOF1), progressive (SOF2), arithmetic (SOF9/SOF10) "
-                "and lossless (SOF3) decode; hierarchical and "
-                "arithmetic-lossless scans refuse rather than mis-decode"
+                "(SOF0/SOF1), progressive (SOF2), arithmetic (SOF9/SOF10), "
+                "lossless (SOF3) and hierarchical (DHP + SOF5/SOF7) "
+                "decode; a differential frame outside a DHP stream is "
+                "malformed, and arithmetic-lossless (SOF11) refuses "
+                "rather than mis-decode"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")

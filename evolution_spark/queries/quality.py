@@ -943,3 +943,73 @@ def multimodal_lossless_jpeg_features(spark, sf_dir):
         gen,
         "media_id long, width int, height int, pixel_sum long, mean_px double",
     )
+
+
+@query(
+    "multimodal_hier_jpeg_features",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 24),
+    px AS (
+      SELECT doc_id,
+             (13 * doc_id + 5 * x.v + 3 * y.v) % 256 AS v
+      FROM ids
+      CROSS JOIN (SELECT UNNEST(range(32)) AS v) x
+      CROSS JOIN (SELECT UNNEST(range(32)) AS v) y
+    )
+    SELECT doc_id AS media_id,
+           CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           SUM(v) * 1.0 / 1024 AS mean_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_hier_jpeg_features(spark, sf_dir):
+    """HIERARCHICAL JPEG (DHP + differential frames, T.81 SS13/Annex J —
+    round 11): each document id gets a 32x32 grayscale image with pixel
+    (y, x) = (13*id + 5*x + 3*y) mod 256 — arbitrary content, because
+    the encoder's final LOSSLESS differential frame (SOF7) makes the
+    whole pyramid exact regardless of the lossy levels under it.
+    doc_id % 2 alternates the base frame mode (DCT SOF0 vs lossless
+    SOF3) and doc_id % 3 picks 2- vs 3-level pyramids (3-level adds a
+    lossy SOF5 DCT-differential intermediate), so the DHP walk, the EXP
+    doubling filter, zero-prediction differential DC, and the
+    residual-composition order all sit under the closed-form pixel-sum
+    oracle through the production ``decode_media`` dispatch.
+
+    Scale shape: partition-local mapInPandas; image bytes never shuffle.
+    Ref parity: the reference has no image codecs (extension surface)."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.jpeg_hier import encode_jpeg_hierarchical
+    from evolution_spark.operators.multimodal import decode_media
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 24
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                yy, xx = np.mgrid[0:32, 0:32]
+                img = ((13 * i + 5 * xx + 3 * yy) % 256).astype(np.uint8)
+                payload = encode_jpeg_hierarchical(
+                    img,
+                    levels=3 if i % 3 == 0 else 2,
+                    dct_base=i % 2 == 0,
+                )
+                flat = decode_media(payload, "image")
+                s = int(np.sum(flat.astype(np.int64)))
+                rows.append((i, 32, 32, s, s / flat.size))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height",
+                         "pixel_sum", "mean_px"],
+            )
+
+    return d.mapInPandas(
+        gen,
+        "media_id long, width int, height int, pixel_sum long, mean_px double",
+    )

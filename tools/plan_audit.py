@@ -56,6 +56,7 @@ AUDITED = {
     "iceberg_v3_default_values": "initial-defaults fill at the projection (literal coalesce); plain scan + agg",
     "multimodal_arith_jpeg_features": "partition-local mapInPandas; image bytes never shuffle",
     "multimodal_lossless_jpeg_features": "partition-local mapInPandas; image bytes never shuffle",
+    "multimodal_hier_jpeg_features": "partition-local mapInPandas; image bytes never shuffle",
 }
 
 
