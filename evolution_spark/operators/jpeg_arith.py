@@ -476,21 +476,14 @@ def _encode_ac_block(enc, bank, zz, ss, se, kx, shift=0):
 
 
 def _split_restart_intervals(entropy: bytes) -> list[bytes]:
-    """Split on RSTn markers (stuffing left INTACT — the QM decoder's
-    byte feeder strips it, matching the spec's BYTEIN)."""
-    intervals = []
-    start = 0
-    i = 0
-    n = len(entropy)
-    while i + 1 < n:
-        if entropy[i] == 0xFF and 0xD0 <= entropy[i + 1] <= 0xD7:
-            intervals.append(entropy[start:i])
-            i += 2
-            start = i
-            continue
-        i += 1
-    intervals.append(entropy[start:])
-    return intervals
+    """Split on RSTn markers, stuffing left INTACT (the QM decoder's
+    byte feeder strips it, matching the spec's BYTEIN) — the shared
+    splitter with unstuff=False."""
+    from evolution_spark.operators.multimodal import (
+        _split_restart_intervals as _split,
+    )
+
+    return _split(entropy, unstuff=False)
 
 
 def _parse_markers(payload: bytes):

@@ -100,23 +100,9 @@ def _segment_frames(payload: bytes):
                 tables["dqt"][tq] = (pq, body[i:i + n])
                 i += n
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0xF
-                bits = list(body[i + 1: i + 17])
-                n = sum(bits)
-                vals = list(body[i + 17: i + 17 + n])
-                i += 17 + n
-                table = {}
-                code = 0
-                idx = 0
-                for length in range(1, 17):
-                    for _ in range(bits[length - 1]):
-                        table[(length, code)] = vals[idx]
-                        code += 1
-                        idx += 1
-                    code <<= 1
-                tables["dht"][(tc, th)] = table
+            from evolution_spark.operators.multimodal import _parse_dht
+
+            _parse_dht(body, tables["dht"])
         elif marker == 0xDD:
             tables["dri"] = int.from_bytes(body[0:2], "big")
         elif marker in _NONDIFF + _DIFF_HUFF + _DIFF_LOSSLESS:
@@ -165,25 +151,9 @@ def _segment_frames(payload: bytes):
 
 
 def _split_intervals(entropy: bytes) -> list[bytes]:
-    intervals = []
-    cur = bytearray()
-    i = 0
-    while i < len(entropy):
-        if entropy[i] == 0xFF and i + 1 < len(entropy):
-            nxt = entropy[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                intervals.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-        cur.append(entropy[i])
-        i += 1
-    intervals.append(bytes(cur))
-    return intervals
+    from evolution_spark.operators.multimodal import _split_restart_intervals
+
+    return _split_restart_intervals(entropy)
 
 
 def _frame_comps(body: bytes):
@@ -323,14 +293,25 @@ def _decode_lossless_frame(frame, differential: bool, refs=None):
     from evolution_spark.operators.jpeg_lossless import _predict
 
     precision, height, width, comps = _frame_comps(frame["body"])
+    if precision != 8:
+        # the hierarchical composition/clip path is 8-bit; mis-decoding
+        # a 16-bit medical pyramid to clipped uint8 would be silent
+        # corruption (review r11 pass 5)
+        raise ValueError(
+            f"unsupported hierarchical lossless precision {precision} "
+            "(8-bit only; standalone SOF3 supports 16-bit)"
+        )
     for _cid, ch, cv, _tq in comps:
         if (ch, cv) != (1, 1):
             raise ValueError(
                 "subsampled lossless hierarchical components are not "
                 "supported (1x1 only)"
             )
+    if len(frame["scans"]) != 1:
+        raise ValueError("hierarchical lossless frames need exactly "
+                         "one scan")
     scan, sel, al, entropy = frame["scans"][0]
-    if len(frame["scans"]) != 1 or len(scan) != len(comps):
+    if len(scan) != len(comps):
         raise ValueError("non-interleaved hierarchical lossless scan")
     huff = frame["dht"]
     restart = frame.get("dri_scan", 0)
@@ -468,7 +449,7 @@ def _encode_lossless_frame_bytes(planes, differential, refs,
                     diff = int(plane[y, x]) - pred
                 fresh[ci] = False
                 diff = ((diff + 32768) & 0xFFFF) - 32768
-                if diff in (32768, -32768):
+                if diff == -32768:  # the fold's only 16-bit extreme
                     code, ln = enc[16]
                     bw.write(code, ln)
                 else:

@@ -73,6 +73,8 @@ def decode_jpeg_lossless(payload: bytes) -> np.ndarray:
         _JpegBitReader,
         _jpeg_decode_symbol,
         _jpeg_extend,
+        _parse_dht,
+        _split_restart_intervals,
     )
 
     if payload[:2] != b"\xff\xd8":
@@ -93,23 +95,7 @@ def decode_jpeg_lossless(payload: bytes) -> np.ndarray:
         body = payload[pos + 4: pos + 2 + size]
         pos += 2 + size
         if marker == 0xC4:  # DHT
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0xF
-                bits = list(body[i + 1: i + 17])
-                n = sum(bits)
-                vals = list(body[i + 17: i + 17 + n])
-                i += 17 + n
-                table = {}
-                code = 0
-                idx = 0
-                for length in range(1, 17):
-                    for _ in range(bits[length - 1]):
-                        table[(length, code)] = vals[idx]
-                        code += 1
-                        idx += 1
-                    code <<= 1
-                huff[(tc, th)] = table
+            _parse_dht(body, huff)
         elif marker == 0xC3:  # SOF3
             precision = body[0]
             if not 2 <= precision <= 16:
@@ -154,26 +140,13 @@ def decode_jpeg_lossless(payload: bytes) -> np.ndarray:
         )
     if not 1 <= sel <= 7:
         raise ValueError(f"invalid lossless predictor selection {sel}")
+    if not 0 <= pt < precision:
+        raise ValueError(
+            f"invalid point transform Pt={pt} for precision {precision}"
+        )
 
     # split restart intervals (stuffing removed, like the DCT decoders)
-    intervals = []
-    cur = bytearray()
-    i = 0
-    while i < len(entropy):
-        if entropy[i] == 0xFF and i + 1 < len(entropy):
-            nxt = entropy[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                intervals.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-        cur.append(entropy[i])
-        i += 1
-    intervals.append(bytes(cur))
+    intervals = _split_restart_intervals(entropy)
 
     planes = {
         cs: np.zeros((height, width), dtype=np.int64) for cs, _ in scan
@@ -244,6 +217,10 @@ def encode_jpeg_lossless(
     if not 1 <= predictor <= 7:
         raise ValueError(f"invalid predictor {predictor}")
     pt = int(point_transform)
+    if not 0 <= pt < precision:
+        raise ValueError(
+            f"invalid point transform Pt={pt} for precision {precision}"
+        )
     planes = [
         (px[..., c].astype(np.int64) >> pt) for c in range(ncomp)
     ]
@@ -271,7 +248,7 @@ def encode_jpeg_lossless(
                 diff = int(planes[c][y, x]) - pred
                 # modulo-2^16 representative with |diff| <= 32768
                 diff = ((diff + 32768) & 0xFFFF) - 32768
-                if diff == 32768 or diff == -32768:
+                if diff == -32768:  # the fold's only 16-bit extreme
                     code, ln = enc[16]
                     bw.write(code, ln)  # category 16: no extra bits
                 else:

@@ -807,6 +807,57 @@ def _jpeg_magnitude(v: int) -> tuple[int, int]:
     return s, bits
 
 
+def _parse_dht(body: bytes, into: dict) -> None:
+    """Parse a DHT segment body (possibly several tables) into
+    ``into[(tc, th)] = {(length, code): symbol}`` — the ONE canonical-
+    code parser shared by every Huffman JPEG decoder in the repo."""
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 0xF
+        bits = list(body[i + 1: i + 17])
+        n = sum(bits)
+        vals = list(body[i + 17: i + 17 + n])
+        i += 17 + n
+        table = {}
+        code = 0
+        idx = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                table[(length, code)] = vals[idx]
+                code += 1
+                idx += 1
+            code <<= 1
+        into[(tc, th)] = table
+
+
+def _split_restart_intervals(entropy: bytes, unstuff: bool = True):
+    """Split entropy-coded data on RSTn markers. ``unstuff=True``
+    collapses 0xFF00 to 0xFF (the Huffman decoders' bit readers take
+    raw bytes); ``unstuff=False`` keeps stuffing intact (the QM
+    arithmetic decoder's byte feeder strips it itself, mirroring the
+    spec's BYTEIN)."""
+    intervals = []
+    cur = bytearray()
+    i = 0
+    n = len(entropy)
+    while i < n:
+        if entropy[i] == 0xFF and i + 1 < n:
+            nxt = entropy[i + 1]
+            if nxt == 0x00 and unstuff:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(entropy[i])
+        i += 1
+    intervals.append(bytes(cur))
+    return intervals
+
+
 def _jpeg_quantized_zigzag(pixels: np.ndarray, quality: int):
     """The ONE encode front end shared by every JPEG encoder in the repo
     (baseline, progressive, arithmetic sequential/progressive): uint8
@@ -1023,23 +1074,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 qt[_JPEG_ZIGZAG] = vals
                 qts[tq] = qt.reshape(8, 8)
         elif marker == 0xC4:  # DHT (may hold several tables)
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0xF
-                bits = list(body[i + 1: i + 17])
-                n = sum(bits)
-                vals = list(body[i + 17: i + 17 + n])
-                i += 17 + n
-                table = {}
-                code = 0
-                idx = 0
-                for length in range(1, 17):
-                    for _ in range(bits[length - 1]):
-                        table[(length, code)] = vals[idx]
-                        code += 1
-                        idx += 1
-                    code <<= 1
-                huff[(tc, th)] = table
+            _parse_dht(body, huff)
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
             # SOF1 (extended sequential, Huffman) is frame-identical to
             # baseline at 8-bit precision — same decode path
@@ -1113,24 +1148,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         )
 
     # split on restart markers; unstuff each interval
-    intervals = []
-    cur = bytearray()
-    i = 0
-    while i < len(entropy):
-        if entropy[i] == 0xFF and i + 1 < len(entropy):
-            nxt = entropy[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                intervals.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-        cur.append(entropy[i])
-        i += 1
-    intervals.append(bytes(cur))
+    intervals = _split_restart_intervals(entropy)
 
     hmax = max(h for _, h, _, _ in comps)
     vmax = max(v for _, _, v, _ in comps)
@@ -1210,27 +1228,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def _jpeg_split_intervals(entropy: bytes) -> list[bytes]:
-    """Split an entropy-coded segment on restart markers and unstuff
-    0xFF00 (shared by the baseline and progressive decoders)."""
-    intervals = []
-    cur = bytearray()
-    i = 0
-    while i < len(entropy):
-        if entropy[i] == 0xFF and i + 1 < len(entropy):
-            nxt = entropy[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                intervals.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-        cur.append(entropy[i])
-        i += 1
-    intervals.append(bytes(cur))
-    return intervals
+    """Back-compat alias for :func:`_split_restart_intervals`."""
+    return _split_restart_intervals(entropy)
 
 
 def _decode_progressive_jpeg(payload: bytes) -> np.ndarray:
@@ -1275,23 +1274,7 @@ def _decode_progressive_jpeg(payload: bytes) -> np.ndarray:
                 qt[_JPEG_ZIGZAG] = vals
                 qts[tq] = qt.reshape(8, 8)
         elif marker == 0xC4:
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0xF
-                bits = list(body[i + 1: i + 17])
-                n = sum(bits)
-                vals = list(body[i + 17: i + 17 + n])
-                i += 17 + n
-                table = {}
-                code = 0
-                idx = 0
-                for length in range(1, 17):
-                    for _ in range(bits[length - 1]):
-                        table[(length, code)] = vals[idx]
-                        code += 1
-                        idx += 1
-                    code <<= 1
-                huff[(tc, th)] = table
+            _parse_dht(body, huff)
         elif marker == 0xC2:
             if body[0] != 8:
                 raise ValueError(f"unsupported JPEG precision {body[0]} (8-bit only)")

@@ -85,3 +85,24 @@ def test_unsupported_hierarchical_frame_modes_refuse(noise):
     p[i + 1] = 0xCB  # arithmetic lossless
     with pytest.raises(NotImplementedError, match="SOF11"):
         decode_jpeg_hierarchical(bytes(p))
+
+
+def test_16bit_hierarchical_refuses_instead_of_clipping(noise):
+    """review r11 pass 5: a 16-bit lossless pyramid must refuse, not
+    silently clip to uint8 (the composition path is 8-bit; standalone
+    SOF3 carries 16-bit)."""
+    p = bytearray(encode_jpeg_hierarchical(noise, levels=2, dct_base=False))
+    i = p.find(b"\xff\xc3")
+    p[i + 4] = 16  # precision byte of the base frame
+    with pytest.raises(ValueError, match="precision 16"):
+        decode_jpeg_hierarchical(bytes(p))
+
+
+def test_frame_without_scan_raises_value_error(noise):
+    """review r11 pass 5: truncation after a frame header must surface
+    as ValueError, not IndexError."""
+    p = encode_jpeg_hierarchical(noise, levels=2, dct_base=False)
+    i = p.find(b"\xff\xda")  # first SOS
+    truncated = p[:i] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="one scan"):
+        decode_jpeg_hierarchical(truncated)

@@ -103,3 +103,16 @@ def test_hierarchical_and_arith_lossless_still_refuse(noise8):
         payload[i + 1] = sof
         with pytest.raises(NotImplementedError, match="hierarchical"):
             decode_jpeg(bytes(payload))
+
+
+def test_point_transform_out_of_range_refuses(noise8):
+    """review r11 pass 5: Pt >= P must refuse clearly on both sides, not
+    crash with a negative-shift error."""
+    with pytest.raises(ValueError, match="point transform"):
+        encode_jpeg_lossless(noise8, point_transform=8)
+    payload = bytearray(encode_jpeg_lossless(noise8))
+    i = payload.find(b"\xff\xda")
+    # SOS body for 1 comp: [len16, ns, cid, tt, Ss, Se, AhAl]
+    payload[i + 2 + 2 + 1 + 2 + 2] = 0x09  # Al = 9 >= P = 8
+    with pytest.raises(ValueError, match="point transform"):
+        decode_jpeg_lossless(bytes(payload))
