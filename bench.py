@@ -208,6 +208,14 @@ BENCH_QUERIES = [
     "delta_row_tracking_append",
     "delta_variant_read",
     "delta_multipart_checkpoint_read",
+    # batch-20: round-11 lineage-preserving rewrites, v3 defaults, and the
+    # JPEG decode-surface completion (arithmetic/lossless/hierarchical)
+    "iceberg_v3_compaction_lifecycle",
+    "delta_row_tracking_optimize",
+    "iceberg_v3_default_values",
+    "multimodal_arith_jpeg_features",
+    "multimodal_lossless_jpeg_features",
+    "multimodal_hier_jpeg_features",
 ]
 
 
