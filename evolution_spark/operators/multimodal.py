@@ -417,12 +417,17 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
         return decode_png(payload).astype(np.float32).ravel()
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)[0].astype(np.float32).ravel()
+    if payload[:4] == b"fLaC":
+        from evolution_spark.operators.flac import decode_flac
+
+        return decode_flac(payload)[0].astype(np.float32).ravel()
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload).astype(np.float32).ravel()
     raise NotImplementedError(
-        f"decoding kind={kind!r}: only BMP, PNG, JPEG (all DCT modes) and "
-        "PCM WAV decode without a media codec library (PIL/soundfile/av, "
-        "none installed) — pass fake=True for the deterministic test decoder"
+        f"decoding kind={kind!r}: only BMP, PNG, JPEG (every "
+        "non-arithmetic-lossless mode), PCM WAV and FLAC decode without a "
+        "media codec library (PIL/soundfile/av, none installed) — pass "
+        "fake=True for the deterministic test decoder"
     )
 
 

@@ -1013,3 +1013,87 @@ def multimodal_hier_jpeg_features(spark, sf_dir):
         gen,
         "media_id long, width int, height int, pixel_sum long, mean_px double",
     )
+
+
+@query(
+    "multimodal_flac_features",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 24),
+    ch1 AS (
+      SELECT doc_id,
+             SUM((11 * doc_id + 7 * i.v) % 2001 - 1000) AS s1,
+             COUNT(*) AS n
+      FROM ids CROSS JOIN (SELECT UNNEST(range(1500)) AS v) i
+      GROUP BY doc_id
+    ),
+    ch2 AS (
+      SELECT doc_id,
+             SUM((5 * doc_id + 3 * i.v) % 1001 - 500) AS s2
+      FROM ids CROSS JOIN (SELECT UNNEST(range(1500)) AS v) i
+      GROUP BY doc_id
+    )
+    SELECT ch1.doc_id AS media_id,
+           CAST(ch1.n AS BIGINT) AS n_samples,
+           CAST(2 AS INT) AS channels,
+           CAST(ch1.s1 + ch2.s2 AS BIGINT) AS sample_sum,
+           CAST(ch1.s1 - ch2.s2 AS BIGINT) AS side_sum
+    FROM ch1 JOIN ch2 ON ch1.doc_id = ch2.doc_id
+    """,
+)
+def multimodal_flac_features(spark, sf_dir):
+    """FLAC audio codec end-to-end (RFC 9639 — round 11): each document
+    id gets a deterministic 1500-sample STEREO signal (channel 1:
+    (11*id + 7*i) mod 2001 - 1000; channel 2: (5*id + 3*i) mod 1001 -
+    500), FLAC-encoded with the stereo decorrelation mode rotating by
+    doc_id (independent / left-side / right-side / mid-side) and
+    block_size=512 so every stream spans multiple frames. Losslessness
+    means DuckDB recomputes the exact per-channel sums from the closed
+    form — one wrong rice decision, LPC shift, channel reconstruction,
+    or CRC handling anywhere shifts sample_sum/side_sum and fails the
+    hash. Decode goes through the production ``decode_media``
+    magic-byte dispatch.
+
+    Scale shape: partition-local mapInPandas; audio bytes never shuffle.
+    Ref parity: the reference has no audio codecs (extension surface)."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.flac import encode_flac
+    from evolution_spark.operators.multimodal import decode_media
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 24
+    )
+    modes = ["independent", "left-side", "right-side", "mid-side"]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                idx = np.arange(1500)
+                c1 = (11 * i + 7 * idx) % 2001 - 1000
+                c2 = (5 * i + 3 * idx) % 1001 - 500
+                sig = np.stack([c1, c2], axis=1)
+                payload = encode_flac(
+                    sig, rate=16000, block_size=512,
+                    stereo_method=modes[i % 4],
+                )
+                flat = decode_media(payload, "audio").astype(np.int64)
+                st = flat.reshape(-1, 2)
+                rows.append((
+                    i, st.shape[0], 2,
+                    int(st[:, 0].sum() + st[:, 1].sum()),
+                    int(st[:, 0].sum() - st[:, 1].sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "channels",
+                         "sample_sum", "side_sum"],
+            )
+
+    return d.mapInPandas(
+        gen,
+        "media_id long, n_samples long, channels int, "
+        "sample_sum long, side_sum long",
+    )

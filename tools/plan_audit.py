@@ -57,6 +57,7 @@ AUDITED = {
     "multimodal_arith_jpeg_features": "partition-local mapInPandas; image bytes never shuffle",
     "multimodal_lossless_jpeg_features": "partition-local mapInPandas; image bytes never shuffle",
     "multimodal_hier_jpeg_features": "partition-local mapInPandas; image bytes never shuffle",
+    "multimodal_flac_features": "partition-local mapInPandas; audio bytes never shuffle",
 }
 
 
