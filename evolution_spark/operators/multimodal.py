@@ -421,10 +421,15 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
         from evolution_spark.operators.flac import decode_flac
 
         return decode_flac(payload)[0].astype(np.float32).ravel()
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from evolution_spark.operators.gif import decode_gif
+
+        # first frame (animations sample via sample_frames)
+        return decode_gif(payload)[0][0].astype(np.float32).ravel()
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload).astype(np.float32).ravel()
     raise NotImplementedError(
-        f"decoding kind={kind!r}: only BMP, PNG, JPEG (every "
+        f"decoding kind={kind!r}: only BMP, PNG, GIF, JPEG (every "
         "non-arithmetic-lossless mode), PCM WAV and FLAC decode without a "
         "media codec library (PIL/soundfile/av, none installed) — pass "
         "fake=True for the deterministic test decoder"
@@ -533,17 +538,37 @@ _FRAMES_SCHEMA = StructType(
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFrame:
-    """Video frame sampling plumbing (STUB codec): one output row per sampled
-    frame (row-expanding mapInPandas — the streaming-friendly shape for
-    frame extraction at scale)."""
+    """Frame sampling: one output row per sampled frame (row-expanding
+    mapInPandas — the streaming-friendly shape for frame extraction at
+    scale). REAL for animated GIFs (``fake=False``): frames sample
+    EVENLY across the composited animation timeline via the from-spec
+    GIF decoder. True video containers (mp4/webm) still need av and use
+    the deterministic fake."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from evolution_spark.operators.gif import decode_gif
+
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                raw = decode_media(bytes(payload), "video", fake=fake)
+                payload = bytes(payload)
+                if not fake and payload[:6] in (b"GIF87a", b"GIF89a"):
+                    all_frames, _delays = decode_gif(payload)
+                    n = all_frames.shape[0]
+                    picks = np.unique(
+                        np.linspace(0, n - 1, min(n_frames, n)).round()
+                        .astype(int)
+                    )
+                    for i, fi in enumerate(picks):
+                        ids.append(media_id)
+                        idxs.append(i)
+                        frames.append(
+                            all_frames[fi].astype(np.uint8).tobytes()
+                        )
+                    continue
+                raw = decode_media(payload, "video", fake=fake)
                 for i in range(n_frames):
                     ids.append(media_id)
                     idxs.append(i)

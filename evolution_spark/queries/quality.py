@@ -1097,3 +1097,78 @@ def multimodal_flac_features(spark, sf_dir):
         "media_id long, n_samples long, channels int, "
         "sample_sum long, side_sum long",
     )
+
+
+@query(
+    "multimodal_gif_frames",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 20),
+    picks(frame_idx, f) AS (VALUES (0, 0), (1, 2), (2, 5)),
+    px AS (
+      SELECT doc_id, frame_idx,
+             3 * (((7 * doc_id + 11 * f + 3 * x.v + 5 * y.v) % 5) * 60)
+               AS v
+      FROM ids
+      CROSS JOIN picks
+      CROSS JOIN (SELECT UNNEST(range(16)) AS v) x
+      CROSS JOIN (SELECT UNNEST(range(16)) AS v) y
+    )
+    SELECT doc_id AS media_id, frame_idx,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id, frame_idx
+    """,
+)
+def multimodal_gif_frames(spark, sf_dir):
+    """ANIMATED GIF decode + frame sampling (round 11): each document id
+    gets a 6-frame 16x16 animation whose frame f pixel (y, x) is the
+    gray triplet ((7*id + 11*f + 3*x + 5*y) mod 5) * 60, GIF-encoded
+    (palette LZW — lossless) with interlacing on every other doc, then
+    3 frames sampled EVENLY across the timeline (indices 0/2/5, the
+    same linspace rule ``sample_frames`` uses). DuckDB recomputes the
+    exact per-frame pixel sums from the closed form — one wrong LZW
+    code width, interlace row, palette index, or frame pick shifts
+    pixel_sum and fails the hash.
+
+    Scale shape: partition-local mapInPandas; media bytes never
+    shuffle. Ref parity: the reference has no codecs (extension
+    surface)."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.gif import decode_gif, encode_gif
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 20
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                yy, xx = np.mgrid[0:16, 0:16]
+                anim = np.stack([
+                    np.repeat(
+                        (((7 * i + 11 * f + 3 * xx + 5 * yy) % 5) * 60)
+                        .astype(np.uint8)[..., None],
+                        3, axis=-1,
+                    )
+                    for f in range(6)
+                ])
+                payload = encode_gif(anim, interlace=i % 2 == 1)
+                frames, _delays = decode_gif(payload)
+                picks = np.unique(
+                    np.linspace(0, frames.shape[0] - 1, 3).round()
+                    .astype(int)
+                )
+                for fi, p in enumerate(picks):
+                    rows.append((
+                        i, fi, int(frames[p].astype(np.int64).sum()),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "pixel_sum"]
+            )
+
+    return d.mapInPandas(
+        gen, "media_id long, frame_idx int, pixel_sum long"
+    )
