@@ -222,13 +222,20 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def _pcm_bytes(samples: np.ndarray, bps: int) -> bytes:
-    """Channel-interleaved little-endian PCM, the MD5 input per spec."""
+    """Channel-interleaved little-endian PCM, the MD5 input per spec.
+    Vectorized (review r11 pass 6: the per-sample int.to_bytes loop was
+    ~180x slower and sat on every encode AND decode)."""
     flat = samples.astype(np.int64).reshape(-1)
     nbytes = (bps + 7) // 8
-    b = bytearray()
-    for v in flat:
-        b += int(v & ((1 << (8 * nbytes)) - 1)).to_bytes(nbytes, "little")
-    return bytes(b)
+    if nbytes == 1:
+        return (flat & 0xFF).astype("<u1").tobytes()
+    if nbytes == 2:
+        return flat.astype("<i2").tobytes()
+    # 3-byte samples: little-endian int32 with the high byte dropped
+    raw = np.frombuffer(
+        flat.astype("<i4").tobytes(), dtype=np.uint8
+    ).reshape(-1, 4)
+    return raw[:, :3].tobytes()
 
 
 def _decode_frame(payload: bytes, pos: int, info):

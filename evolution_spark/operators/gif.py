@@ -144,6 +144,23 @@ def decode_gif(payload: bytes):
     Static GIFs return n=1."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload (missing GIF87a/GIF89a magic)")
+    if len(payload) < 13:
+        raise ValueError("GIF header truncated")
+
+    def at(i: int) -> int:
+        # bounds-checked byte access: truncation surfaces as the same
+        # ValueError contract every other decoder keeps (review r11
+        # pass 6), not a raw IndexError mid-mapInPandas
+        if i >= len(payload):
+            raise ValueError("GIF payload truncated")
+        return payload[i]
+
+    def color_table(start: int, n: int) -> np.ndarray:
+        raw = payload[start: start + 3 * n]
+        if len(raw) < 3 * n:
+            raise ValueError("GIF color table truncated")
+        return np.frombuffer(raw, dtype=np.uint8).reshape(n, 3)
+
     w = int.from_bytes(payload[6:8], "little")
     h = int.from_bytes(payload[8:10], "little")
     packed = payload[10]
@@ -152,9 +169,7 @@ def decode_gif(payload: bytes):
     global_table = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
-        global_table = np.frombuffer(
-            payload[pos: pos + 3 * n], dtype=np.uint8
-        ).reshape(n, 3)
+        global_table = color_table(pos, n)
         pos += 3 * n
 
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
@@ -168,27 +183,31 @@ def decode_gif(payload: bytes):
     disposal = 0
     delay = 0
     while pos < len(payload):
-        block = payload[pos]
+        block = at(pos)
         pos += 1
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension
-            label = payload[pos]
+            label = at(pos)
             pos += 1
             if label == 0xF9:  # graphic control
-                size = payload[pos]
+                size = at(pos)
                 gc = payload[pos + 1: pos + 1 + size]
+                if len(gc) < 4:
+                    raise ValueError("GIF graphic-control block truncated")
                 disposal = (gc[0] >> 2) & 0x07
                 delay = int.from_bytes(gc[1:3], "little")
                 transparent = gc[3] if gc[0] & 1 else None
                 pos += 1 + size
             # skip (remaining) sub-blocks for any extension
-            while payload[pos]:
-                pos += 1 + payload[pos]
+            while at(pos):
+                pos += 1 + at(pos)
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x} at {pos - 1}")
+        if pos + 9 > len(payload):
+            raise ValueError("GIF image descriptor truncated")
         left = int.from_bytes(payload[pos: pos + 2], "little")
         top = int.from_bytes(payload[pos + 2: pos + 4], "little")
         fw = int.from_bytes(payload[pos + 4: pos + 6], "little")
@@ -198,17 +217,15 @@ def decode_gif(payload: bytes):
         table = global_table
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
-            table = np.frombuffer(
-                payload[pos: pos + 3 * n], dtype=np.uint8
-            ).reshape(n, 3)
+            table = color_table(pos, n)
             pos += 3 * n
         if table is None:
             raise ValueError("GIF image has no color table")
         interlaced = bool(ipacked & 0x40)
-        min_code = payload[pos]
+        min_code = at(pos)
         pos += 1
         data = bytearray()
-        while payload[pos]:
+        while at(pos):
             ln = payload[pos]
             data += payload[pos + 1: pos + 1 + ln]
             pos += 1 + ln
@@ -225,17 +242,22 @@ def decode_gif(payload: bytes):
             raise ValueError("GIF pixel index exceeds color table")
 
         prev_canvas = canvas.copy()
-        region = canvas[top: top + fh, left: left + fw]
-        rgb = table[grid]
+        # clip to the logical screen (mainstream decoders tolerate
+        # descriptors past the canvas; review r11 pass 6)
+        ch = max(0, min(fh, h - top))
+        cw = max(0, min(fw, w - left))
+        region = canvas[top: top + ch, left: left + cw]
+        grid_c = grid[:ch, :cw]
+        rgb = table[grid_c]
         if transparent is not None:
-            mask = grid != transparent
+            mask = grid_c != transparent
             region[mask] = rgb[mask]
         else:
             region[:] = rgb
         frames.append(canvas.copy())
         delays.append(delay)
         if disposal == 2:  # restore background in the frame region
-            canvas[top: top + fh, left: left + fw] = bg_color
+            canvas[top: top + ch, left: left + cw] = bg_color
         elif disposal == 3:  # restore previous
             canvas = prev_canvas
         transparent = None

@@ -400,15 +400,17 @@ def resample_wav(payload: bytes, target_rate: int) -> bytes:
 def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Decode a media payload to a flat float32 sample array.
 
-    REAL for 24-bit BMP, 8-bit PNG, JPEG in every non-hierarchical mode
-    (baseline SOF0, extended sequential SOF1, progressive SOF2,
-    arithmetic-coded SOF9/SOF10 via the T.81 Annex D QM-coder, lossless
-    SOF3 via Annex H prediction), and 16-bit PCM WAV (pure-numpy
+    REAL for 24-bit BMP, 8-bit PNG, GIF (incl. the first frame of
+    animations — ``sample_frames`` walks full timelines), JPEG in every
+    mode but arithmetic-lossless (baseline SOF0, extended sequential
+    SOF1, progressive SOF2, arithmetic SOF9/SOF10 via the T.81 Annex D
+    QM-coder, lossless SOF3 via Annex H prediction, hierarchical
+    DHP/SOF5/SOF7 pyramids), 16-bit PCM WAV, and FLAC (pure-numpy
     decoders dispatched on magic bytes; ``decode_jpeg`` routes on the
     SOF marker). ``fake=True`` forces the deterministic fake decoder
     regardless of format (the test/CI path). Remaining gaps
-    (hierarchical/arithmetic-lossless JPEG, video containers) raise
-    ``NotImplementedError``."""
+    (arithmetic-lossless JPEG SOF11, lossy audio, video containers)
+    raise ``NotImplementedError``."""
     if fake:
         return _fake_decode(payload)
     if payload[:2] == b"BM":

@@ -154,3 +154,24 @@ def test_transparency_and_disposal_composite():
     expect = base.copy()
     expect[2:6, 2:6] = 90
     assert np.array_equal(frames[1], expect)
+
+
+def test_truncated_payloads_raise_value_error(img):
+    """review r11 pass 6: corrupt scraped payloads must surface as the
+    ValueError contract, not raw IndexError/numpy errors."""
+    payload = encode_gif(img)
+    for cut in (8, 14, 20, len(payload) // 2, len(payload) - 3):
+        with pytest.raises(ValueError):
+            decode_gif(payload[:cut])
+
+
+def test_oversized_frame_rect_clips(img):
+    """A frame rect past the logical screen clips like mainstream
+    decoders instead of crashing (review r11 pass 6)."""
+    payload = bytearray(encode_gif(img))  # 53x37 screen
+    # shrink the LOGICAL SCREEN to 40x30: frame now overhangs
+    payload[6:8] = (40).to_bytes(2, "little")
+    payload[8:10] = (30).to_bytes(2, "little")
+    frames, _ = decode_gif(bytes(payload))
+    assert frames.shape == (1, 30, 40, 3)
+    assert np.array_equal(frames[0], img[:30, :40])
