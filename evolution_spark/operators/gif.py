@@ -25,106 +25,21 @@ import numpy as np
 
 
 def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> list[int]:
-    """GIF-flavor LZW: codes are packed LSB-FIRST; dictionary starts at
-    2^min roots + clear + EOI and grows to 12-bit codes."""
-    clear = 1 << min_code_size
-    eoi = clear + 1
-    out: list[int] = []
-    bitpos = 0
-    total_bits = len(data) * 8
+    """GIF dialect of the shared LZW: LSB-first packing, late-change
+    width growth (see ``operators/lzw.py``)."""
+    from evolution_spark.operators.lzw import lzw_decode
 
-    def next_code(width: int) -> int | None:
-        nonlocal bitpos
-        if bitpos + width > total_bits:
-            return None
-        v = 0
-        for i in range(width):
-            byte = data[(bitpos + i) >> 3]
-            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
-        bitpos += width
-        return v
-
-    def reset():
-        table = {i: (i,) for i in range(clear)}
-        return table, clear + 2, min_code_size + 1
-
-    table, next_idx, width = reset()
-    prev: tuple[int, ...] | None = None
-    while len(out) < expected:
-        code = next_code(width)
-        if code is None:
-            break  # truncated streams decode what they have
-        if code == clear:
-            table, next_idx, width = reset()
-            prev = None
-            continue
-        if code == eoi:
-            break
-        if code in table:
-            entry = table[code]
-        elif code == next_idx and prev is not None:
-            entry = prev + (prev[0],)  # the KwKwK case
-        else:
-            raise ValueError(f"invalid LZW code {code} (corrupt GIF)")
-        out.extend(entry)
-        if prev is not None and next_idx < 4096:
-            table[next_idx] = prev + (entry[0],)
-            next_idx += 1
-            if next_idx == (1 << width) and width < 12:
-                width += 1
-        prev = entry
-    return out[:expected]
+    return lzw_decode(
+        data, min_code_size, expected, msb_first=False, early_change=False
+    )
 
 
 def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
-    clear = 1 << min_code_size
-    eoi = clear + 1
-    out_bits: list[tuple[int, int]] = []
+    from evolution_spark.operators.lzw import lzw_encode
 
-    def reset():
-        return {(i,): i for i in range(clear)}, clear + 2, min_code_size + 1
-
-    table, next_idx, width = reset()
-    out_bits.append((clear, width))
-    cur: tuple[int, ...] = ()
-    for sym in indices:
-        cand = cur + (sym,)
-        if cand in table:
-            cur = cand
-            continue
-        out_bits.append((table[cur], width))
-        if next_idx < 4096:
-            table[cand] = next_idx
-            next_idx += 1
-            # GIF is a "late change" LZW: the decoder's table lags the
-            # encoder's by ONE entry (it adds prev+first(entry) only
-            # after reading the next code), so the encoder grows the
-            # code width one entry later than the decoder's
-            # next_idx == 2^width rule — at 2^width + 1
-            if next_idx == (1 << width) + 1 and width < 12:
-                width += 1
-        else:
-            out_bits.append((clear, width))
-            table, next_idx, width = reset()
-        cur = (sym,)
-    if cur:
-        out_bits.append((table[cur], width))
-    out_bits.append((eoi, width))
-
-    # pack LSB-first
-    acc = 0
-    nbits = 0
-    data = bytearray()
-    for code, w in out_bits:
-        acc |= code << nbits
-        nbits += w
-        while nbits >= 8:
-            data.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-    if nbits:
-        data.append(acc & 0xFF)
-    return bytes(data)
+    return lzw_encode(
+        indices, min_code_size, msb_first=False, early_change=False
+    )
 
 
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))

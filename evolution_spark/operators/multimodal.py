@@ -428,10 +428,15 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
 
         # first frame (animations sample via sample_frames)
         return decode_gif(payload)[0][0].astype(np.float32).ravel()
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from evolution_spark.operators.tiff import decode_tiff
+
+        # first page (multi-page via decode_tiff_pages)
+        return decode_tiff(payload).astype(np.float32).ravel()
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload).astype(np.float32).ravel()
     raise NotImplementedError(
-        f"decoding kind={kind!r}: only BMP, PNG, GIF, JPEG (every "
+        f"decoding kind={kind!r}: only BMP, PNG, GIF, TIFF, JPEG (every "
         "non-arithmetic-lossless mode), PCM WAV and FLAC decode without a "
         "media codec library (PIL/soundfile/av, none installed) — pass "
         "fake=True for the deterministic test decoder"

@@ -1172,3 +1172,76 @@ def multimodal_gif_frames(spark, sf_dir):
     return d.mapInPandas(
         gen, "media_id long, frame_idx int, pixel_sum long"
     )
+
+
+@query(
+    "multimodal_tiff_features",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 18),
+    pages(page_idx) AS (VALUES (0), (1)),
+    px AS (
+      SELECT doc_id, page_idx,
+             (9 * doc_id + 17 * page_idx + 5 * x.v + 7 * y.v) % 256 AS v
+      FROM ids
+      CROSS JOIN pages
+      CROSS JOIN (SELECT UNNEST(range(24)) AS v) x
+      CROSS JOIN (SELECT UNNEST(range(20)) AS v) y
+    )
+    SELECT doc_id AS media_id, page_idx,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id, page_idx
+    """,
+)
+def multimodal_tiff_features(spark, sf_dir):
+    """TIFF decode end-to-end (TIFF 6.0 baseline+LZW — round 11): each
+    document id gets a TWO-PAGE grayscale TIFF whose page p pixel (y, x)
+    is (9*id + 17*p + 5*x + 7*y) mod 256 (arbitrary content — TIFF is
+    lossless), with the compression rotating by doc_id (none / LZW /
+    PackBits; odd ids add the horizontal-differencing predictor) and
+    rows_per_strip=7 so strips never align with page height. DuckDB
+    recomputes the exact per-page pixel sums from the closed form — one
+    wrong LZW early-change width, PackBits run, predictor column, strip
+    boundary, or IFD offset shifts pixel_sum and fails the hash.
+
+    Scale shape: partition-local mapInPandas; image bytes never
+    shuffle. Ref parity: the reference has no codecs (extension
+    surface)."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.tiff import (
+        decode_tiff_pages,
+        encode_tiff,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 18
+    )
+    comps = ["none", "lzw", "packbits"]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                yy, xx = np.mgrid[0:20, 0:24]
+                pages = [
+                    ((9 * i + 17 * p + 5 * xx + 7 * yy) % 256)
+                    .astype(np.uint8)
+                    for p in range(2)
+                ]
+                payload = encode_tiff(
+                    pages, compression=comps[i % 3],
+                    predictor=i % 2 == 1, rows_per_strip=7,
+                )
+                for p, page in enumerate(decode_tiff_pages(payload)):
+                    rows.append((
+                        i, p, int(page.astype(np.int64).sum()),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "page_idx", "pixel_sum"]
+            )
+
+    return d.mapInPandas(
+        gen, "media_id long, page_idx int, pixel_sum long"
+    )

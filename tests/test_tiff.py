@@ -1,0 +1,150 @@
+"""TIFF codec (TIFF 6.0 baseline + LZW). Lossless — exact round-trips
+for arbitrary uint8 input across compressions, predictor, strip
+boundaries and multi-page chains."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from evolution_spark.operators.tiff import (
+    _packbits_decode,
+    _packbits_encode,
+    decode_tiff,
+    decode_tiff_pages,
+    encode_tiff,
+)
+from evolution_spark.operators.lzw import lzw_decode, lzw_encode
+from evolution_spark.operators.multimodal import decode_media
+
+
+@pytest.fixture(scope="module")
+def imgs():
+    rng = np.random.default_rng(51)
+    gray = rng.integers(0, 256, (45, 61), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    smooth = np.clip(
+        np.add.outer(np.arange(64) * 3, np.arange(80) * 2), 0, 255
+    ).astype(np.uint8)
+    return gray, rgb, smooth
+
+
+@pytest.mark.parametrize("comp", ["none", "lzw", "packbits"])
+@pytest.mark.parametrize("pred", [False, True])
+def test_roundtrips(comp, pred, imgs):
+    for img in imgs:
+        out = decode_tiff(encode_tiff(img, compression=comp, predictor=pred))
+        assert np.array_equal(out, img)
+
+
+def test_lzw_predictor_compresses(imgs):
+    smooth = imgs[2]
+    packed = encode_tiff(smooth, compression="lzw", predictor=True)
+    assert len(packed) < 0.2 * smooth.size
+
+
+def test_tiff_lzw_dialect_is_msb_early_change():
+    """The TIFF dialect must differ from GIF's on the wire: MSB-first
+    packing and early-change widths."""
+    seq = list(range(250)) * 8
+    t = lzw_encode(seq, 8, msb_first=True, early_change=True)
+    g = lzw_encode(seq, 8, msb_first=False, early_change=False)
+    assert t != g
+    assert lzw_decode(t, 8, len(seq), msb_first=True,
+                      early_change=True) == seq
+    # cross-reading the wrong dialect must not silently give the input
+    try:
+        wrong = lzw_decode(t, 8, len(seq), msb_first=False,
+                           early_change=False)
+        assert wrong != seq
+    except ValueError:
+        pass
+
+
+def test_packbits_pair():
+    rng = np.random.default_rng(3)
+    cases = [
+        b"", b"\x00" * 300, bytes(rng.integers(0, 256, 500)),
+        b"abc" + b"\xff" * 130 + b"xy",
+    ]
+    for raw in cases:
+        enc = _packbits_encode(raw)
+        assert _packbits_decode(enc, len(raw)) == raw
+
+
+def test_multipage_chain(imgs):
+    gray, _rgb, smooth = imgs
+    pages = [gray, smooth, (gray // 2).astype(np.uint8)]
+    dec = decode_tiff_pages(encode_tiff(pages, compression="lzw"))
+    assert len(dec) == 3
+    for a, b in zip(dec, pages):
+        assert np.array_equal(a, b)
+
+
+def test_strip_boundaries(imgs):
+    rgb = imgs[1]
+    for rps in (1, 5, 32, 1000):
+        out = decode_tiff(encode_tiff(rgb, rows_per_strip=rps))
+        assert np.array_equal(out, rgb)
+
+
+def test_big_endian_reads(imgs):
+    """Byte-order handling: flip a little-endian file's scalars into a
+    hand-built big-endian one and decode identically."""
+    gray = imgs[0]
+    # hand-build MM uncompressed single-strip
+    h, w = gray.shape
+    out = bytearray(b"MM\x00*" + bytes(4))
+    soff = len(out)
+    out += gray.tobytes()
+    ifd_off = len(out)
+    out[4:8] = ifd_off.to_bytes(4, "big")
+    entries = [
+        (256, 3, [w]), (257, 3, [h]), (258, 3, [8]), (259, 3, [1]),
+        (262, 3, [1]), (273, 4, [soff]), (277, 3, [1]), (278, 4, [h]),
+        (279, 4, [h * w]),
+    ]
+    ifd = bytearray(len(entries).to_bytes(2, "big"))
+    for tag, typ, vals in entries:
+        step = {3: 2, 4: 4}[typ]
+        raw = b"".join(int(v).to_bytes(step, "big") for v in vals)
+        ifd += tag.to_bytes(2, "big") + typ.to_bytes(2, "big")
+        ifd += len(vals).to_bytes(4, "big") + raw + bytes(4 - len(raw))
+    ifd += bytes(4)
+    out += ifd
+    assert np.array_equal(decode_tiff(bytes(out)), gray)
+
+
+def test_white_is_zero_inverts(imgs):
+    gray = imgs[0]
+    payload = bytearray(encode_tiff(gray, compression="none"))
+    # photometric tag 262 value: find the IFD entry and flip 1 -> 0
+    # (encoder writes sorted entries; scan for tag 262 type 3)
+    i = payload.find(bytes([262 & 0xFF, 262 >> 8, 3, 0]))
+    assert i > 0
+    payload[i + 8] = 0
+    out = decode_tiff(bytes(payload))
+    assert np.array_equal(out, 255 - gray)
+
+
+def test_refusals(imgs):
+    gray = imgs[0]
+    with pytest.raises(ValueError, match="II\\*|magic"):
+        decode_tiff(b"GIF89a....")
+    payload = bytearray(encode_tiff(gray))
+    # truncate mid-IFD
+    with pytest.raises(ValueError, match="truncated|IFD"):
+        decode_tiff(bytes(payload[: len(payload) - 6]))
+    # unknown compression code
+    i = payload.find(bytes([259 & 0xFF, 259 >> 8, 3, 0]))
+    payload[i + 8] = 7  # JPEG-in-TIFF
+    with pytest.raises(ValueError, match="compression 7"):
+        decode_tiff(bytes(payload))
+
+
+def test_decode_media_dispatch(imgs):
+    rgb = imgs[1]
+    flat = decode_media(encode_tiff(rgb), "image")
+    assert np.array_equal(
+        flat.reshape(rgb.shape).astype(np.uint8), rgb
+    )

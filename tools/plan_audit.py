@@ -59,6 +59,7 @@ AUDITED = {
     "multimodal_hier_jpeg_features": "partition-local mapInPandas; image bytes never shuffle",
     "multimodal_flac_features": "partition-local mapInPandas; audio bytes never shuffle",
     "multimodal_gif_frames": "partition-local mapInPandas; media bytes never shuffle",
+    "multimodal_tiff_features": "partition-local mapInPandas; image bytes never shuffle",
 }
 
 
