@@ -216,6 +216,9 @@ BENCH_QUERIES = [
     "multimodal_arith_jpeg_features",
     "multimodal_lossless_jpeg_features",
     "multimodal_hier_jpeg_features",
+    "multimodal_flac_features",
+    "multimodal_gif_frames",
+    "multimodal_tiff_features",
 ]
 
 

@@ -401,7 +401,9 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Decode a media payload to a flat float32 sample array.
 
     REAL for 24-bit BMP, 8-bit PNG, GIF (incl. the first frame of
-    animations — ``sample_frames`` walks full timelines), JPEG in every
+    animations — ``sample_frames`` walks full timelines), TIFF
+    (baseline+LZW profile, first page — ``decode_tiff_pages`` walks
+    multi-page chains), JPEG in every
     mode but arithmetic-lossless (baseline SOF0, extended sequential
     SOF1, progressive SOF2, arithmetic SOF9/SOF10 via the T.81 Annex D
     QM-coder, lossless SOF3 via Annex H prediction, hierarchical

@@ -154,6 +154,8 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
     comp = one(259, 1)
     photo = one(262)
     predictor = one(317, 1)
+    if 273 not in tags or 279 not in tags:
+        raise ValueError("TIFF missing required strip tags 273/279")
     offsets = tags[273]
     counts = tags[279]
     rows_per_strip = one(278, h)
@@ -233,20 +235,28 @@ def encode_tiff(
 ) -> bytes:
     """Encode uint8 page(s) (``(h, w)`` gray / ``(h, w, 3)`` RGB, or a
     list of such for a multi-page file) as little-endian TIFF."""
-    if isinstance(pages, np.ndarray) and pages.ndim in (2, 3) and (
-        pages.ndim == 2 or pages.shape[-1] == 3
-    ):
-        pages = [pages]
+    if isinstance(pages, np.ndarray):
+        if pages.ndim == 2 or (pages.ndim == 3 and pages.shape[-1] == 3):
+            pages = [pages]
+        else:
+            # a 3-D array with last dim != 3 is ambiguous (RGBA? a stack
+            # of gray pages?) — refuse; pass a LIST of pages instead
+            raise ValueError(
+                f"encode_tiff takes (h, w) gray or (h, w, 3) RGB pages "
+                f"(or a list of them), got shape {pages.shape}"
+            )
     comp_code = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
 
-    out = bytearray(b"II*\x00")
-    out += (8).to_bytes(4, "little")  # first IFD offset placeholder pos 4
-    ifd_pos = 8
-    # we build sequentially: for each page, strips first, then its IFD
+    # build sequentially: for each page, strips first, then its IFD
     out = bytearray(b"II*\x00" + bytes(4))
     prev_link = 4  # where to patch the next-IFD offset
     for page in pages:
         px = np.asarray(page, dtype=np.uint8)
+        if px.ndim not in (2, 3) or (px.ndim == 3 and px.shape[-1] != 3):
+            raise ValueError(
+                f"encode_tiff takes (h, w) gray or (h, w, 3) RGB pages, "
+                f"got shape {px.shape}"
+            )
         gray = px.ndim == 2
         h, w = px.shape[:2]
         spp = 1 if gray else 3

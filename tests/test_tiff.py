@@ -148,3 +148,68 @@ def test_decode_media_dispatch(imgs):
     assert np.array_equal(
         flat.reshape(rgb.shape).astype(np.uint8), rgb
     )
+
+
+def _palette_fixture():
+    """Hand-built photometric-3 TIFF: 4-color 8x8, 16-bit colormap."""
+    idx = (np.arange(64) % 4).reshape(8, 8).astype(np.uint8)
+    colors16 = [0, 20000, 40000, 60000]
+    cmap = colors16 + [v // 2 for v in colors16] + [v // 3 for v in colors16]
+    out = bytearray(b"II*\x00" + bytes(4))
+    strip = idx.tobytes()
+    soff = len(out)
+    out += strip
+    ifd_off = len(out)
+    out[4:8] = ifd_off.to_bytes(4, "little")
+    entries = [
+        (256, 3, [8]), (257, 3, [8]), (258, 3, [8]), (259, 3, [1]),
+        (262, 3, [3]), (273, 4, [soff]), (277, 3, [1]), (278, 4, [8]),
+        (279, 4, [len(strip)]), (320, 3, cmap),
+    ]
+    entries.sort()
+    cmap_off = ifd_off + 2 + 12 * len(entries) + 4
+    ifd = bytearray(len(entries).to_bytes(2, "little"))
+    extra = bytearray()
+    for tag, typ, vals in entries:
+        step = {3: 2, 4: 4}[typ]
+        raw = b"".join(int(v).to_bytes(step, "little") for v in vals)
+        ifd += tag.to_bytes(2, "little") + typ.to_bytes(2, "little")
+        ifd += len(vals).to_bytes(4, "little")
+        if len(raw) <= 4:
+            ifd += raw + bytes(4 - len(raw))
+        else:
+            ifd += (cmap_off + len(extra)).to_bytes(4, "little")
+            extra += raw
+    ifd += bytes(4)
+    out += ifd + extra
+    expect = np.array(
+        [[v >> 8, (v // 2) >> 8, (v // 3) >> 8] for v in colors16],
+        dtype=np.uint8,
+    )[idx]
+    return bytes(out), expect
+
+
+def test_palette_photometric_decodes():
+    payload, expect = _palette_fixture()
+    assert np.array_equal(decode_tiff(payload), expect)
+
+
+def test_encode_refuses_bad_shapes():
+    """review r11 pass 7: RGBA or other shapes must refuse, not silently
+    mis-encode as a stack of gray pages."""
+    with pytest.raises(ValueError, match="shape"):
+        encode_tiff(np.zeros((5, 6, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="shape"):
+        encode_tiff(np.zeros((5,), dtype=np.uint8))
+
+
+def test_missing_strip_tags_raise_value_error(imgs):
+    """review r11 pass 7: a malformed file without StripOffsets refuses
+    with ValueError, not KeyError."""
+    payload = bytearray(encode_tiff(imgs[0]))
+    # rewrite tag 273 id to an unknown tag so the decoder cannot find it
+    i = payload.find(bytes([273 & 0xFF, 273 >> 8, 4, 0]))
+    assert i > 0
+    payload[i: i + 2] = (999).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="273"):
+        decode_tiff(bytes(payload))
