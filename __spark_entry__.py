@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query (TPC-H Q1-shape pricing summary) on
 sf0.001. ``queries()``/``oracle_sql()`` expose the engine's full declared
-query surface (SURVEY.md §2.3; 267 queries, 263 with DuckDB oracles — the
+query surface (SURVEY.md §2.3; 268 queries, 264 with DuckDB oracles — the
 4 rows-only are genuinely estimate/seeded): all 22 TPC-H shapes,
 date/window analytics, temporal joins (as-of/range/PIT), text analysis +
 dedup (exact, MinHash-LSH, n-gram Jaccard, SimHash, SemDeDup, winnowing),

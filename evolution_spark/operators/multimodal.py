@@ -503,12 +503,12 @@ def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
     """Image resize over Arrow-batched mapInPandas.
 
-    REAL for 24-bit BMP payloads when ``fake=False`` (magic-byte dispatch
-    to the pure-numpy nearest-neighbor ``resize_bmp``; the output payload
-    is itself a valid BMP). ``fake=True`` keeps the deterministic
-    byte-resample stub for formats whose codecs aren't in this container
-    (JPEG/PNG need PIL); swapping in a real library touches only the inner
-    function, never the Spark plumbing."""
+    REAL for every supported image format when ``fake=False`` (round 11:
+    BMP/PNG/GIF/TIFF/JPEG all decode via ``decode_image_array``) —
+    spatial nearest-neighbor resample, re-encoded as a valid BMP (the
+    canonical raw container for downstream feature extraction).
+    ``fake=True`` keeps the deterministic byte-resample stub (the CI
+    path for opaque payloads)."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
@@ -519,8 +519,14 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> 
                     out.append(None)
                     continue
                 raw_bytes = bytes(payload)
-                if not fake and raw_bytes[:2] == b"BM":
-                    out.append(resize_bmp(raw_bytes, width, height))
+                if not fake:
+                    arr = decode_image_array(raw_bytes)
+                    if arr.ndim == 2:
+                        arr = np.repeat(arr[..., None], 3, axis=-1)
+                    h0, w0 = arr.shape[:2]
+                    rows = (np.arange(height) * h0) // height
+                    cols = (np.arange(width) * w0) // width
+                    out.append(encode_bmp(arr[np.ix_(rows, cols)]))
                     continue
                 raw = decode_media(raw_bytes, "image", fake=fake)
                 resized = np.resize(raw, target).astype(np.uint8)
@@ -607,13 +613,41 @@ _DHASH_SCHEMA = StructType(
 )
 
 
+def decode_image_array(payload: bytes) -> np.ndarray:
+    """Any supported IMAGE payload -> ``(h, w, 3)`` or ``(h, w)`` uint8
+    array with its spatial shape intact (``decode_media`` flattens):
+    BMP, PNG, GIF (first frame), TIFF (first page), JPEG (every
+    non-arithmetic-lossless mode). The shared spatial entry point for
+    the cross-format operators (dHash, resize)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from evolution_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)[0][0]
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from evolution_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    raise ValueError(
+        "unrecognized image payload (BMP/PNG/GIF/TIFF/JPEG magic expected)"
+    )
+
+
 def dhash_bits(payload: bytes, fake: bool = False) -> int:
     """64-bit difference hash (dHash) of one image payload: decode ->
     luma (ITU-R BT.601 weights) -> 9x8 nearest-neighbor downsample ->
     bit b set iff cell[r, c] > cell[r, c+1]. Brightness-invariant by
     construction (a uniform shift leaves every comparison unchanged), so
     re-encoded / re-exposed copies that raw-byte dedup misses hash
-    identically; small crops/edits flip only a few bits (hamming-near)."""
+    identically; small crops/edits flip only a few bits (hamming-near).
+    CROSS-FORMAT since round 11: decodes any supported image payload
+    (BMP/PNG/GIF/TIFF/JPEG), so a JPEG re-save of a PNG — the canonical
+    scraped-corpus near-dup — hashes hamming-near its original."""
     if fake:
         raw = _fake_decode(payload)
         px = raw[: 9 * 8 * 3].reshape(-1, 3) if raw.size >= 9 * 8 * 3 else None
@@ -623,8 +657,11 @@ def dhash_bits(payload: bytes, fake: bool = False) -> int:
         gray = px @ np.array([0.299, 0.587, 0.114])
         grid = gray.reshape(8, 9)
     else:
-        img = decode_bmp(payload).astype(np.float64)
-        gray = img @ np.array([0.299, 0.587, 0.114])
+        img = decode_image_array(payload).astype(np.float64)
+        if img.ndim == 2:
+            gray = img
+        else:
+            gray = img @ np.array([0.299, 0.587, 0.114])
         h, w = gray.shape
         rows = (np.arange(8) * h) // 8
         cols = (np.arange(9) * w) // 9

@@ -1245,3 +1245,141 @@ def multimodal_tiff_features(spark, sf_dir):
     return d.mapInPandas(
         gen, "media_id long, page_idx int, pixel_sum long"
     )
+
+
+def _cross_format_neardup_oracle() -> str:
+    """Closed-form oracle for multimodal_cross_format_neardup: payloads
+    are pure functions of doc_id (0..35 exist at every sf), so the full
+    expected near-dup pair list is computable locally with the same
+    straight-line codecs the distributed pipeline batches — ALL pairs
+    popcount-checked, coincidental near-dups included."""
+    import numpy as np
+
+    from evolution_spark.operators.gif import encode_gif
+    from evolution_spark.operators.jpeg_arith import encode_jpeg_arithmetic
+    from evolution_spark.operators.multimodal import (
+        dhash_bits,
+        encode_bmp,
+        encode_png,
+    )
+    from evolution_spark.operators.tiff import encode_tiff
+
+    def tiles(i, shift=0):
+        img = np.zeros((24, 32), dtype=np.uint8)
+        for by in range(3):
+            for bx in range(4):
+                img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                    2 * ((3 * i + 5 * bx + 7 * by) % 124) + shift
+                )
+        return np.repeat(img[..., None], 3, axis=-1)
+
+    encoders = [
+        encode_bmp,
+        encode_png,
+        lambda px: encode_tiff(px, compression="lzw"),
+        encode_gif,
+    ]
+    hashes: dict[int, int] = {}
+    for i in range(36):
+        px = tiles(i)
+        hashes[i] = dhash_bits(encoders[i % 4](px))
+        if i % 6 == 0:  # constant tiles -> the JPEG re-save is EXACT
+            hashes[i + 100000] = dhash_bits(
+                encode_jpeg_arithmetic(px, quality=50)
+            )
+        if i % 9 == 0:  # brightness shift -> dHash-invariant
+            hashes[i + 200000] = dhash_bits(
+                encode_tiff(tiles(i, shift=4), compression="packbits")
+            )
+    ids = sorted(hashes)
+    rows = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            hm = bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1")
+            if hm <= 3:
+                rows.append(f"({a}, {b}, {hm})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(id_a, id_b, hamming) ORDER BY id_a, id_b"
+    )
+
+
+@query("multimodal_cross_format_neardup", oracle=_cross_format_neardup_oracle())
+def multimodal_cross_format_neardup(spark, sf_dir):
+    """CROSS-FORMAT perceptual dedup (round 11): the same pixels stored
+    as BMP / PNG / TIFF-LZW / GIF (rotating per doc) hash IDENTICALLY
+    under dHash because the hash decodes every supported container;
+    every 6th document plants an arithmetic-JPEG re-save (constant 8x8
+    tiles survive the lossy pipeline exactly, so it collides at hamming
+    0) and every 9th a +4-brightness PackBits-TIFF copy (dHash is
+    brightness-invariant). This is THE scraped-corpus near-dup shape —
+    the same image re-encoded through a different codec — and raw-byte
+    dedup misses every planted pair by construction.
+
+    Oracle: closed-form VALUES list computed locally from the same pure
+    payload functions (all pairs popcount-checked). Scale shape: hashing
+    is partition-local mapInPandas (payloads never shuffle; 8-byte
+    hashes do); candidates come from 16-bit band equality self-joins —
+    no all-pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.multimodal import (
+        dhash_images,
+        dhash_near_dups,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 36
+    )
+
+    def gen(batches):
+        from evolution_spark.operators.gif import encode_gif
+        from evolution_spark.operators.jpeg_arith import (
+            encode_jpeg_arithmetic,
+        )
+        from evolution_spark.operators.multimodal import (
+            encode_bmp,
+            encode_png,
+        )
+        from evolution_spark.operators.tiff import encode_tiff
+
+        encoders = [
+            encode_bmp,
+            encode_png,
+            lambda px: encode_tiff(px, compression="lzw"),
+            encode_gif,
+        ]
+
+        def tiles(i, shift=0):
+            img = np.zeros((24, 32), dtype=np.uint8)
+            for by in range(3):
+                for bx in range(4):
+                    img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                        2 * ((3 * i + 5 * bx + 7 * by) % 124) + shift
+                    )
+            return np.repeat(img[..., None], 3, axis=-1)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                px = tiles(i)
+                ids.append(i)
+                payloads.append(encoders[i % 4](px))
+                if i % 6 == 0:
+                    ids.append(i + 100000)
+                    payloads.append(encode_jpeg_arithmetic(px, quality=50))
+                if i % 9 == 0:
+                    ids.append(i + 200000)
+                    payloads.append(
+                        encode_tiff(tiles(i, shift=4),
+                                    compression="packbits")
+                    )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(gen, "media_id BIGINT, payload BINARY")
+    hashes = dhash_images(media, fake=False)
+    return dhash_near_dups(hashes, max_hamming=3).orderBy("id_a", "id_b")

@@ -1251,3 +1251,70 @@ def test_jpeg_progressive_via_media_dispatch():
     img[4:12, 6:18] = 200
     flat = decode_media(encode_jpeg_progressive(img, 60), "image")
     assert flat.shape == (16 * 24,)
+
+
+def test_dhash_cross_format_identity_and_jpeg_near(spark):
+    """round 11: dHash decodes EVERY supported image format, so the same
+    pixels hash IDENTICALLY across lossless containers and hamming-near
+    across a lossy JPEG re-save — the canonical scraped-corpus near-dup."""
+    import numpy as np
+
+    from evolution_spark.operators.gif import encode_gif
+    from evolution_spark.operators.multimodal import (
+        dhash_bits,
+        encode_bmp,
+        encode_jpeg,
+        encode_png,
+    )
+    from evolution_spark.operators.tiff import encode_tiff
+
+    rng = np.random.default_rng(61)
+    img = (rng.integers(0, 5, (40, 56, 3)) * 60).astype(np.uint8)
+    h_bmp = dhash_bits(encode_bmp(img))
+    assert dhash_bits(encode_png(img)) == h_bmp
+    assert dhash_bits(encode_tiff(img, compression="lzw")) == h_bmp
+    assert dhash_bits(encode_gif(img)) == h_bmp
+    h_jpeg = dhash_bits(encode_jpeg(img, quality=75))
+    ham = bin((h_jpeg ^ h_bmp) & ((1 << 64) - 1)).count("1")
+    assert ham <= 10, ham  # lossy re-save stays hamming-near
+    # an unrelated image is far
+    other = (rng.integers(0, 5, (40, 56, 3)) * 60).astype(np.uint8)
+    far = bin((dhash_bits(encode_bmp(other)) ^ h_bmp) & ((1 << 64) - 1)).count("1")
+    assert far > 10, far
+
+
+def test_resize_images_real_cross_format(spark):
+    """round 11: the real resize path decodes any image format and emits
+    a valid BMP with exact nearest-neighbor content."""
+    import numpy as np
+
+    from evolution_spark.operators.gif import encode_gif
+    from evolution_spark.operators.multimodal import (
+        decode_bmp,
+        encode_png,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(62)
+    img = (rng.integers(0, 5, (30, 44, 3)) * 60).astype(np.uint8)
+    rows_df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(encode_png(img)), "image/png",
+             44, 30, None),
+            (2, "image", bytearray(encode_gif(img)), "image/gif",
+             44, 30, None),
+        ],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    out = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resize_images(rows_df, 11, 10, fake=False).collect()
+    }
+    rows = (np.arange(10) * 30) // 10
+    cols = (np.arange(11) * 44) // 11
+    expect = img[np.ix_(rows, cols)]
+    for mid in (1, 2):
+        got = decode_bmp(out[mid])
+        assert got.shape == (10, 11, 3)
+        assert np.array_equal(got, expect), mid

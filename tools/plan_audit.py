@@ -60,6 +60,7 @@ AUDITED = {
     "multimodal_flac_features": "partition-local mapInPandas; audio bytes never shuffle",
     "multimodal_gif_frames": "partition-local mapInPandas; media bytes never shuffle",
     "multimodal_tiff_features": "partition-local mapInPandas; image bytes never shuffle",
+    "multimodal_cross_format_neardup": "partition-local hashing; 16-bit band self-join, no all-pairs",
 }
 
 
