@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "multimodal_flac_features",
     "multimodal_gif_frames",
     "multimodal_tiff_features",
+    "multimodal_cross_format_neardup",
 ]
 
 
