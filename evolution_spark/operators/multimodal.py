@@ -415,28 +415,17 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     raise ``NotImplementedError``."""
     if fake:
         return _fake_decode(payload)
-    if payload[:2] == b"BM":
-        return decode_bmp(payload).astype(np.float32).ravel()
-    if payload[: len(_PNG_SIG)] == _PNG_SIG:
-        return decode_png(payload).astype(np.float32).ravel()
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)[0].astype(np.float32).ravel()
     if payload[:4] == b"fLaC":
         from evolution_spark.operators.flac import decode_flac
 
         return decode_flac(payload)[0].astype(np.float32).ravel()
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
-        from evolution_spark.operators.gif import decode_gif
-
-        # first frame (animations sample via sample_frames)
-        return decode_gif(payload)[0][0].astype(np.float32).ravel()
-    if payload[:4] in (b"II*\x00", b"MM\x00*"):
-        from evolution_spark.operators.tiff import decode_tiff
-
-        # first page (multi-page via decode_tiff_pages)
-        return decode_tiff(payload).astype(np.float32).ravel()
-    if payload[:2] == b"\xff\xd8":
-        return decode_jpeg(payload).astype(np.float32).ravel()
+    try:
+        # ONE image dispatch table (decode_image_array); this flattens
+        return decode_image_array(payload).astype(np.float32).ravel()
+    except _UnrecognizedImage:
+        pass
     raise NotImplementedError(
         f"decoding kind={kind!r}: only BMP, PNG, GIF, TIFF, JPEG (every "
         "non-arithmetic-lossless mode), PCM WAV and FLAC decode without a "
@@ -613,16 +602,29 @@ _DHASH_SCHEMA = StructType(
 )
 
 
+class _UnrecognizedImage(ValueError):
+    """No known image magic — lets ``decode_media`` fall through to its
+    own gap message while callers of ``decode_image_array`` still catch
+    plain ValueError."""
+
+
 def decode_image_array(payload: bytes) -> np.ndarray:
     """Any supported IMAGE payload -> ``(h, w, 3)`` or ``(h, w)`` uint8
     array with its spatial shape intact (``decode_media`` flattens):
-    BMP, PNG, GIF (first frame), TIFF (first page), JPEG (every
-    non-arithmetic-lossless mode). The shared spatial entry point for
-    the cross-format operators (dHash, resize)."""
+    BMP, PNG (alpha stripped: RGBA -> RGB, gray+alpha -> gray — dHash/
+    resize consumers need color planes, review r11 pass 8), GIF (first
+    frame), TIFF (first page), JPEG (every non-arithmetic-lossless
+    mode). The ONE image dispatch table; ``decode_media`` delegates
+    here."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
-        return decode_png(payload)
+        arr = decode_png(payload)
+        if arr.ndim == 3 and arr.shape[-1] == 4:
+            return arr[..., :3]
+        if arr.ndim == 3 and arr.shape[-1] == 2:
+            return arr[..., 0]
+        return arr
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from evolution_spark.operators.gif import decode_gif
 
@@ -633,7 +635,7 @@ def decode_image_array(payload: bytes) -> np.ndarray:
         return decode_tiff(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
-    raise ValueError(
+    raise _UnrecognizedImage(
         "unrecognized image payload (BMP/PNG/GIF/TIFF/JPEG magic expected)"
     )
 

@@ -1247,38 +1247,47 @@ def multimodal_tiff_features(spark, sf_dir):
     )
 
 
+def _neardup_tiles(i: int, shift: int = 0):
+    """Constant-8x8-tile test image shared by the cross-format query AND
+    its locally-computed oracle (one definition — the two must stay in
+    lockstep, review r11 pass 8). Constant tiles survive the lossy JPEG
+    pipeline exactly."""
+    import numpy as np
+
+    img = np.zeros((24, 32), dtype=np.uint8)
+    for by in range(3):
+        for bx in range(4):
+            img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                2 * ((3 * i + 5 * bx + 7 * by) % 124) + shift
+            )
+    return np.repeat(img[..., None], 3, axis=-1)
+
+
+def _neardup_encoders():
+    from evolution_spark.operators.gif import encode_gif
+    from evolution_spark.operators.multimodal import encode_bmp, encode_png
+    from evolution_spark.operators.tiff import encode_tiff
+
+    return [
+        encode_bmp,
+        encode_png,
+        lambda px: encode_tiff(px, compression="lzw"),
+        encode_gif,
+    ]
+
+
 def _cross_format_neardup_oracle() -> str:
     """Closed-form oracle for multimodal_cross_format_neardup: payloads
     are pure functions of doc_id (0..35 exist at every sf), so the full
     expected near-dup pair list is computable locally with the same
     straight-line codecs the distributed pipeline batches — ALL pairs
     popcount-checked, coincidental near-dups included."""
-    import numpy as np
-
-    from evolution_spark.operators.gif import encode_gif
     from evolution_spark.operators.jpeg_arith import encode_jpeg_arithmetic
-    from evolution_spark.operators.multimodal import (
-        dhash_bits,
-        encode_bmp,
-        encode_png,
-    )
+    from evolution_spark.operators.multimodal import dhash_bits
     from evolution_spark.operators.tiff import encode_tiff
 
-    def tiles(i, shift=0):
-        img = np.zeros((24, 32), dtype=np.uint8)
-        for by in range(3):
-            for bx in range(4):
-                img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
-                    2 * ((3 * i + 5 * bx + 7 * by) % 124) + shift
-                )
-        return np.repeat(img[..., None], 3, axis=-1)
-
-    encoders = [
-        encode_bmp,
-        encode_png,
-        lambda px: encode_tiff(px, compression="lzw"),
-        encode_gif,
-    ]
+    tiles = _neardup_tiles
+    encoders = _neardup_encoders()
     hashes: dict[int, int] = {}
     for i in range(36):
         px = tiles(i)
@@ -1336,32 +1345,17 @@ def multimodal_cross_format_neardup(spark, sf_dir):
     )
 
     def gen(batches):
-        from evolution_spark.operators.gif import encode_gif
         from evolution_spark.operators.jpeg_arith import (
             encode_jpeg_arithmetic,
         )
-        from evolution_spark.operators.multimodal import (
-            encode_bmp,
-            encode_png,
-        )
         from evolution_spark.operators.tiff import encode_tiff
+        from evolution_spark.queries.quality import (
+            _neardup_encoders,
+            _neardup_tiles,
+        )
 
-        encoders = [
-            encode_bmp,
-            encode_png,
-            lambda px: encode_tiff(px, compression="lzw"),
-            encode_gif,
-        ]
-
-        def tiles(i, shift=0):
-            img = np.zeros((24, 32), dtype=np.uint8)
-            for by in range(3):
-                for bx in range(4):
-                    img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
-                        2 * ((3 * i + 5 * bx + 7 * by) % 124) + shift
-                    )
-            return np.repeat(img[..., None], 3, axis=-1)
-
+        tiles = _neardup_tiles
+        encoders = _neardup_encoders()
         for pdf in batches:
             ids, payloads = [], []
             for i in pdf["doc_id"]:

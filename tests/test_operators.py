@@ -1253,7 +1253,7 @@ def test_jpeg_progressive_via_media_dispatch():
     assert flat.shape == (16 * 24,)
 
 
-def test_dhash_cross_format_identity_and_jpeg_near(spark):
+def test_dhash_cross_format_identity_and_jpeg_near():
     """round 11: dHash decodes EVERY supported image format, so the same
     pixels hash IDENTICALLY across lossless containers and hamming-near
     across a lossy JPEG re-save — the canonical scraped-corpus near-dup."""
@@ -1318,3 +1318,25 @@ def test_resize_images_real_cross_format(spark):
         got = decode_bmp(out[mid])
         assert got.shape == (10, 11, 3)
         assert np.array_equal(got, expect), mid
+
+
+def test_dhash_handles_alpha_png():
+    """review r11 pass 8: alpha PNGs (the common web/screenshot shape)
+    hash instead of crashing — alpha strips at the shared spatial
+    dispatch."""
+    import numpy as np
+
+    from evolution_spark.operators.multimodal import (
+        dhash_bits,
+        encode_bmp,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(63)
+    img = (rng.integers(0, 5, (24, 24, 3)) * 60).astype(np.uint8)
+    rgba = np.concatenate(
+        [img, np.full((24, 24, 1), 255, np.uint8)], axis=-1
+    )
+    assert dhash_bits(encode_png(rgba)) == dhash_bits(encode_bmp(img))
+    ga = np.stack([img[..., 0], np.full((24, 24), 255, np.uint8)], axis=-1)
+    assert isinstance(dhash_bits(encode_png(ga)), int)
