@@ -24,7 +24,6 @@ surface)."""
 from __future__ import annotations
 
 import hashlib
-import struct
 
 import numpy as np
 
