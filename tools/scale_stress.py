@@ -741,13 +741,88 @@ def rewrite_ops_stress(spark, tmp: str, reps: int) -> dict:
     return results
 
 
+
+
+def codec_stress(spark, reps: int) -> dict:
+    """Codec-throughput linearity: push N and 4N deterministic payloads
+    per codec through the production ``decode_media``/``decode_gif``
+    mapInPandas path and check wall time scales with payload count (the
+    100 TB claim for media is per-payload linear work, no cross-payload
+    state). Per codec: {n, s, n4, s4, ratio} — ratio ~ 4 means linear."""
+    import numpy as np
+    import pandas as pd
+    import time as _time
+
+    from evolution_spark.operators.flac import encode_flac
+    from evolution_spark.operators.gif import encode_gif
+    from evolution_spark.operators.jpeg_arith import encode_jpeg_arithmetic
+    from evolution_spark.operators.jpeg_lossless import encode_jpeg_lossless
+    from evolution_spark.operators.multimodal import (
+        decode_media,
+        encode_jpeg,
+        encode_png,
+    )
+    from evolution_spark.operators.tiff import encode_tiff
+
+    rng = np.random.default_rng(9)
+    img = (rng.integers(0, 5, (48, 64, 3)) * 60).astype(np.uint8)
+    gray = img[..., 0]
+    sig = (8000 * np.sin(np.arange(12000) / 15)).astype(np.int64)
+    payloads = {
+        "png": encode_png(img),
+        "jpeg_baseline": encode_jpeg(img, 50),
+        "jpeg_arith": encode_jpeg_arithmetic(img, 50),
+        "jpeg_lossless": encode_jpeg_lossless(gray),
+        "gif": encode_gif(img),
+        "tiff_lzw": encode_tiff(img, compression="lzw"),
+        "flac": encode_flac(sig),
+    }
+
+    def run(name: str, payload: bytes, n: int) -> float:
+        df = spark.range(n).selectExpr("id as media_id")
+        blob = bytearray(payload)
+
+        def gen(batches):
+            for pdf in batches:
+                sums = []
+                for _ in pdf["media_id"]:
+                    kind = "audio" if name == "flac" else "image"
+                    sums.append(
+                        float(decode_media(bytes(blob), kind).sum())
+                    )
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"], "s": sums,
+                })
+
+        out_df = df.repartition(32).mapInPandas(gen, "media_id long, s double")
+        best = None
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            out_df.write.format("noop").mode("overwrite").save()
+            dt = _time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return best
+
+    res = {}
+    n = 256
+    for name, payload in payloads.items():
+        s1 = run(name, payload, n)
+        s4 = run(name, payload, 4 * n)
+        res[name] = {
+            "bytes": len(payload), "n": n, "s": round(s1, 3),
+            "n4": 4 * n, "s4": round(s4, 3),
+            "ratio": round(s4 / s1, 2) if s1 else None,
+        }
+    return res
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2, help="timed passes (min taken)")
     ap.add_argument(
         "--mode",
         choices=["cluster-growth", "fixed-cluster", "format-scan", "ref-ops",
-                 "cdf-ops", "writer-features", "rewrite-ops"],
+                 "cdf-ops", "writer-features", "rewrite-ops", "codecs"],
         default="cluster-growth",
         help="cluster-growth: every replica near-dups every other (planted "
         "pairs grow C(R,2)); fixed-cluster: near-dups only within buckets "
@@ -784,6 +859,12 @@ def main() -> int:
     }
     tmp = tempfile.mkdtemp(prefix="evoscale-")
     try:
+        if args.mode == "codecs":
+            out["codecs"] = codec_stress(spark, args.reps)
+            sys.stdout.write("\n" + json.dumps(out) + "\n")
+            sys.stdout.flush()
+            spark.stop()
+            return 0
         if args.mode == "format-scan":
             out["format_scan"] = format_scan_stress(spark, tmp, args.reps)
             sys.stdout.write("\n" + json.dumps(out) + "\n")
