@@ -751,7 +751,6 @@ def codec_stress(spark, reps: int) -> dict:
     state). Per codec: {n, s, n4, s4, ratio} — ratio ~ 4 means linear."""
     import numpy as np
     import pandas as pd
-    import time as _time
 
     from evolution_spark.operators.flac import encode_flac
     from evolution_spark.operators.gif import encode_gif
@@ -780,16 +779,14 @@ def codec_stress(spark, reps: int) -> dict:
 
     def run(name: str, payload: bytes, n: int) -> float:
         df = spark.range(n).selectExpr("id as media_id")
-        blob = bytearray(payload)
+        kind = "audio" if name == "flac" else "image"
 
         def gen(batches):
             for pdf in batches:
-                sums = []
-                for _ in pdf["media_id"]:
-                    kind = "audio" if name == "flac" else "image"
-                    sums.append(
-                        float(decode_media(bytes(blob), kind).sum())
-                    )
+                sums = [
+                    float(decode_media(payload, kind).sum())
+                    for _ in pdf["media_id"]
+                ]
                 yield pd.DataFrame({
                     "media_id": pdf["media_id"], "s": sums,
                 })
@@ -797,9 +794,9 @@ def codec_stress(spark, reps: int) -> dict:
         out_df = df.repartition(32).mapInPandas(gen, "media_id long, s double")
         best = None
         for _ in range(reps):
-            t0 = _time.perf_counter()
+            t0 = time.perf_counter()
             out_df.write.format("noop").mode("overwrite").save()
-            dt = _time.perf_counter() - t0
+            dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         return best
 
@@ -859,36 +856,33 @@ def main() -> int:
     }
     tmp = tempfile.mkdtemp(prefix="evoscale-")
     try:
-        if args.mode == "codecs":
-            out["codecs"] = codec_stress(spark, args.reps)
-            sys.stdout.write("\n" + json.dumps(out) + "\n")
-            sys.stdout.flush()
-            spark.stop()
-            return 0
-        if args.mode == "format-scan":
-            out["format_scan"] = format_scan_stress(spark, tmp, args.reps)
-            sys.stdout.write("\n" + json.dumps(out) + "\n")
-            sys.stdout.flush()
-            spark.stop()
-            return 0
-        if args.mode == "ref-ops":
-            out["ref_ops"] = ref_ops_stress(spark, tmp, args.reps)
-            sys.stdout.write("\n" + json.dumps(out) + "\n")
-            sys.stdout.flush()
-            spark.stop()
-            return 0
-        if args.mode == "cdf-ops":
-            out["cdf_ops"] = cdf_ops_stress(spark, tmp, args.reps)
-        elif args.mode == "writer-features":
-            out["writer_features"] = writer_features_stress(
-                spark, tmp, args.reps
-            )
-            sys.stdout.write("\n" + json.dumps(out) + "\n")
-            sys.stdout.flush()
-            spark.stop()
-            return 0
-        elif args.mode == "rewrite-ops":
-            out["rewrite_ops"] = rewrite_ops_stress(spark, tmp, args.reps)
+        # one dispatch table + one shared print/stop/return (review r11
+        # pass 9: the per-mode copy-paste let cdf-ops fall through into
+        # the full cluster-growth run)
+        standalone = {
+            "codecs": ("codecs", lambda: codec_stress(spark, args.reps)),
+            "format-scan": (
+                "format_scan",
+                lambda: format_scan_stress(spark, tmp, args.reps),
+            ),
+            "ref-ops": (
+                "ref_ops", lambda: ref_ops_stress(spark, tmp, args.reps)
+            ),
+            "cdf-ops": (
+                "cdf_ops", lambda: cdf_ops_stress(spark, tmp, args.reps)
+            ),
+            "writer-features": (
+                "writer_features",
+                lambda: writer_features_stress(spark, tmp, args.reps),
+            ),
+            "rewrite-ops": (
+                "rewrite_ops",
+                lambda: rewrite_ops_stress(spark, tmp, args.reps),
+            ),
+        }
+        if args.mode in standalone:
+            key, fn = standalone[args.mode]
+            out[key] = fn()
             sys.stdout.write("\n" + json.dumps(out) + "\n")
             sys.stdout.flush()
             spark.stop()
