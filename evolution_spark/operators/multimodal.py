@@ -3,8 +3,8 @@ with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schemas, batch iteration, partition-preserving
 transforms, deterministic fake decoders — is real and tested. The image and
-audio codecs are REAL and dependency-free (pure numpy): 24-bit BMP, 8-bit
-PNG, 16-bit PCM WAV, and JPEG in every non-hierarchical mode — baseline
+audio codecs are REAL and dependency-free (pure numpy): 24-bit BMP, PNG
+(truecolor/gray/palette, Adam7), 16-bit PCM WAV, and JPEG in every non-hierarchical mode — baseline
 (SOF0), extended sequential (SOF1), progressive (SOF2, Annex G),
 arithmetic-coded (SOF9/SOF10, Annex D QM-coder in ``jpeg_arith.py``), and
 lossless predictive (SOF3, Annex H in ``jpeg_lossless.py``, 8/16-bit) —
@@ -192,10 +192,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     the chunk list, inflates the IDAT stream, and reconstructs all five
     scanline filters (None/Sub/Up/Average/Paeth) per the PNG spec
     (RFC 2083 §6). Supports 8-bit grayscale / gray+alpha / RGB / RGBA,
-    non-interlaced — the shapes ``PIL.Image.save`` and virtually every
-    screenshot/web encoder emit. Returns ``(h, w, channels)`` uint8 (or
-    ``(h, w)`` for grayscale). Palette (color type 3), 16-bit, and Adam7
-    interlace still raise — stated limits, not silent corruption."""
+    PALETTE images (color type 3 at 1/2/4/8-bit packing, PLTE + optional
+    tRNS alpha — the common web icon shape), and ADAM7 interlacing
+    (round 11). Returns ``(h, w, channels)`` uint8 (or ``(h, w)`` for
+    grayscale; palette returns RGB, or RGBA when tRNS is present).
+    16-bit depths still raise — a stated limit, not silent corruption."""
     import zlib as _zlib
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
@@ -203,6 +204,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     pos = len(_PNG_SIG)
     width = height = None
     color_type = bit_depth = interlace = None
+    plte = trns = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         size = int.from_bytes(payload[pos : pos + 4], "big")
@@ -213,6 +215,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             height = int.from_bytes(body[4:8], "big")
             bit_depth, color_type = body[8], body[9]
             interlace = body[12]
+        elif ctype == b"PLTE":
+            plte = bytes(body)
+        elif ctype == b"tRNS":
+            trns = bytes(body)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -220,15 +226,27 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + size  # len + type + data + crc
     if width is None:
         raise ValueError("PNG payload missing IHDR")
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+    ok = (
+        (color_type in _PNG_CHANNELS and bit_depth == 8)
+        or (color_type == 3 and bit_depth in (1, 2, 4, 8))
+    ) and interlace in (0, 1)
+    if not ok:
         raise ValueError(
             f"unsupported PNG shape (bit_depth={bit_depth}, color_type="
-            f"{color_type}, interlace={interlace}): 8-bit non-interlaced "
-            "gray/gray+alpha/RGB/RGBA only"
+            f"{color_type}, interlace={interlace}): 8-bit "
+            "gray/gray+alpha/RGB/RGBA or 1/2/4/8-bit palette, "
+            "non-interlaced or Adam7"
         )
-    ch = _PNG_CHANNELS[color_type]
-    raw = _zlib.decompress(bytes(idat))
-    stride = width * ch
+    return _png_pixels(
+        bytes(idat), width, height, bit_depth, color_type, interlace,
+        plte, trns,
+    )
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct the five PNG scanline filters over one (sub-)image.
+    ``bpp`` is the filter byte offset (bytes per pixel, min 1 — sub-byte
+    palette depths filter on whole bytes per spec)."""
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG IDAT stream has wrong length")
     lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
@@ -243,33 +261,100 @@ def decode_png(payload: bytes) -> np.ndarray:
             rec = (row + prev) & 0xFF
         elif f == 1:  # Sub: sequential in x, vectorized across channels
             rec = row.copy()
-            for x in range(ch, stride, ch):
-                rec[x : x + ch] = (rec[x : x + ch] + rec[x - ch : x]) & 0xFF
+            for x in range(bpp, stride, bpp):
+                rec[x : x + bpp] = (rec[x : x + bpp] + rec[x - bpp : x]) & 0xFF
         elif f == 3:  # Average
             rec = row.copy()
-            rec[:ch] = (rec[:ch] + (prev[:ch].astype(np.int32) >> 1)) & 0xFF
-            for x in range(ch, stride, ch):
-                avg = (rec[x - ch : x].astype(np.int32) + prev[x : x + ch]) >> 1
-                rec[x : x + ch] = (rec[x : x + ch] + avg) & 0xFF
+            rec[:bpp] = (rec[:bpp] + (prev[:bpp].astype(np.int32) >> 1)) & 0xFF
+            for x in range(bpp, stride, bpp):
+                avg = (rec[x - bpp : x].astype(np.int32) + prev[x : x + bpp]) >> 1
+                rec[x : x + bpp] = (rec[x : x + bpp] + avg) & 0xFF
         elif f == 4:  # Paeth
             rec = row.copy()
-            rec[:ch] = (rec[:ch] + prev[:ch]) & 0xFF  # left=0 -> predictor=up
-            for x in range(ch, stride, ch):
-                a = rec[x - ch : x].astype(np.int32)
-                b = prev[x : x + ch].astype(np.int32)
-                c = prev[x - ch : x].astype(np.int32)
+            rec[:bpp] = (rec[:bpp] + prev[:bpp]) & 0xFF  # left=0 -> up
+            for x in range(bpp, stride, bpp):
+                a = rec[x - bpp : x].astype(np.int32)
+                b = prev[x : x + bpp].astype(np.int32)
+                c = prev[x - bpp : x].astype(np.int32)
                 p = a + b - c
                 pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
                 pred = np.where(
                     (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
                 )
-                rec[x : x + ch] = (rec[x : x + ch] + pred) & 0xFF
+                rec[x : x + bpp] = (rec[x : x + bpp] + pred) & 0xFF
         else:
             raise ValueError(f"unknown PNG filter {f} on scanline {y}")
         out[y] = rec.astype(np.uint8)
         prev = out[y].astype(np.uint8)
-    img = out.reshape(height, width, ch)
-    return img[..., 0] if ch == 1 else img
+    return out
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_rows_to_samples(rows: np.ndarray, width: int, bits: int,
+                         ch: int) -> np.ndarray:
+    """(h, stride_bytes) filtered-out rows -> (h, width*ch) samples,
+    unpacking sub-byte palette depths MSB-first per spec."""
+    h = rows.shape[0]
+    if bits == 8:
+        return rows[:, : width * ch]
+    unpacked = np.unpackbits(rows, axis=1)
+    vals = unpacked.reshape(h, -1, bits)
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint16)
+    samples = (vals * weights).sum(axis=2)
+    return samples[:, : width * ch].astype(np.uint8)
+
+
+def _png_pixels(idat: bytes, width: int, height: int, bits: int,
+                color_type: int, interlace: int, plte, trns) -> np.ndarray:
+    import zlib as _zlib
+
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = _zlib.decompress(idat)
+
+    def stride_of(w: int) -> int:
+        return (w * ch * bits + 7) // 8
+
+    bpp = max(1, ch * bits // 8)
+    if interlace == 0:
+        rows = _png_unfilter(raw, height, stride_of(width), bpp)
+        samples = _png_rows_to_samples(rows, width, bits, ch)
+        grid = samples.reshape(height, width, ch)
+    else:  # Adam7
+        grid = np.zeros((height, width, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = stride_of(pw)
+            chunk = raw[pos: pos + ph * (stride + 1)]
+            pos += ph * (stride + 1)
+            rows = _png_unfilter(chunk, ph, stride, bpp)
+            samples = _png_rows_to_samples(rows, pw, bits, ch)
+            grid[y0::dy, x0::dx] = samples.reshape(ph, pw, ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = grid[..., 0]
+        if int(idx.max(initial=0)) >= len(table):
+            raise ValueError("PNG palette index exceeds PLTE size")
+        rgb = table[idx]
+        if trns is not None:
+            alpha = np.full(len(table), 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            return np.concatenate(
+                [rgb, alpha[idx][..., None]], axis=-1
+            )
+        return rgb
+    return grid[..., 0] if ch == 1 else grid
 
 
 def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
@@ -328,6 +413,103 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", _zlib.compress(bytes(lines), 6))
         + chunk(b"IEND", b"")
+    )
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib as _zlib
+
+    crc = _zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return len(body).to_bytes(4, "big") + ctype + body + crc.to_bytes(4, "big")
+
+
+def encode_png_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    bit_depth: int = 8,
+    trns: np.ndarray | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode a palette PNG (color type 3 — the common web icon/
+    screenshot shape): ``indices`` (h, w) into ``palette`` (n, 3), with
+    1/2/4/8-bit packing, optional tRNS alpha, optional Adam7 interlace.
+    Filter 0 per scanline (the fixture encoder for the decoder's
+    palette/sub-byte/Adam7 paths)."""
+    import zlib as _zlib
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette bit depth must be 1/2/4/8, got {bit_depth}")
+    if int(idx.max(initial=0)) >= min(len(pal), 1 << bit_depth):
+        raise ValueError("palette index exceeds palette/bit-depth capacity")
+
+    def pack_rows(sub: np.ndarray) -> bytes:
+        ph, pw = sub.shape
+        out = bytearray()
+        for y in range(ph):
+            out.append(0)  # filter None
+            if bit_depth == 8:
+                out += sub[y].tobytes()
+            else:
+                bits = np.unpackbits(
+                    sub[y][:, None], axis=1, count=8
+                )[:, 8 - bit_depth:]
+                out += np.packbits(bits.reshape(-1)).tobytes()
+        return bytes(out)
+
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = idx[y0::dy, x0::dx]
+            if sub.size:
+                raw += pack_rows(sub)
+        raw = bytes(raw)
+    else:
+        raw = pack_rows(idx)
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([bit_depth, 3, 0, 0, 1 if interlace else 0])
+    )
+    out = bytearray(_PNG_SIG)
+    out += _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS", np.asarray(trns, np.uint8).tobytes())
+    out += _png_chunk(b"IDAT", _zlib.compress(raw, 6))
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def encode_png_adam7(pixels: np.ndarray) -> bytes:
+    """Encode an 8-bit truecolor/gray PNG with ADAM7 interlacing
+    (filter 0 per scanline) — the fixture encoder for the decoder's
+    interlaced path."""
+    import zlib as _zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            raw.append(0)
+            raw += sub[y].tobytes()
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 1])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
     )
 
 

@@ -1340,3 +1340,67 @@ def test_dhash_handles_alpha_png():
     assert dhash_bits(encode_png(rgba)) == dhash_bits(encode_bmp(img))
     ga = np.stack([img[..., 0], np.full((24, 24), 255, np.uint8)], axis=-1)
     assert isinstance(dhash_bits(encode_png(ga)), int)
+
+
+def test_png_palette_decode_all_depths():
+    """round 11: palette PNGs (color type 3, the common web icon shape)
+    decode at 1/2/4/8-bit packing, with tRNS alpha when present."""
+    import numpy as np
+
+    from evolution_spark.operators.multimodal import (
+        decode_png,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(71)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    for bits, ncol in ((1, 2), (2, 4), (4, 16), (8, 16)):
+        idx = rng.integers(0, ncol, (23, 31)).astype(np.uint8)
+        out = decode_png(encode_png_palette(idx, pal[:ncol], bit_depth=bits))
+        assert np.array_equal(out, pal[:ncol][idx]), bits
+    trns = np.array([255, 128, 0, 255], np.uint8)
+    idx = rng.integers(0, 4, (9, 9)).astype(np.uint8)
+    out = decode_png(encode_png_palette(idx, pal[:4], trns=trns))
+    assert out.shape == (9, 9, 4)
+    assert np.array_equal(out[..., :3], pal[:4][idx])
+    assert np.array_equal(out[..., 3], trns[idx])
+
+
+def test_png_adam7_decode():
+    """round 11: Adam7-interlaced PNGs deinterlace exactly for every
+    channel shape, odd/degenerate sizes, and sub-byte palette depths."""
+    import numpy as np
+
+    from evolution_spark.operators.multimodal import (
+        decode_png,
+        encode_png_adam7,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(72)
+    for shape in ((16, 16, 3), (23, 31, 3), (7, 5), (1, 9, 3), (9, 1),
+                  (8, 8, 4), (13, 17, 2)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png_adam7(img)), img), shape
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    for bits, ncol in ((1, 2), (2, 4), (4, 16), (8, 16)):
+        idx = rng.integers(0, ncol, (21, 15)).astype(np.uint8)
+        out = decode_png(
+            encode_png_palette(idx, pal[:ncol], bit_depth=bits,
+                               interlace=True)
+        )
+        assert np.array_equal(out, pal[:ncol][idx]), bits
+
+
+def test_png_16bit_still_refuses():
+    import numpy as np
+
+    from evolution_spark.operators.multimodal import decode_png, encode_png
+
+    payload = bytearray(encode_png(np.zeros((4, 4), np.uint8)))
+    i = payload.find(b"IHDR")
+    payload[i + 4 + 8] = 16  # bit depth byte
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported PNG shape"):
+        decode_png(bytes(payload))
