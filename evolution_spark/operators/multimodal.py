@@ -339,6 +339,8 @@ def _png_pixels(idat: bytes, width: int, height: int, bits: int,
             rows = _png_unfilter(chunk, ph, stride, bpp)
             samples = _png_rows_to_samples(rows, pw, bits, ch)
             grid[y0::dy, x0::dx] = samples.reshape(ph, pw, ch)
+        if pos != len(raw):
+            raise ValueError("PNG IDAT stream has wrong length")
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -348,6 +350,10 @@ def _png_pixels(idat: bytes, width: int, height: int, bits: int,
             raise ValueError("PNG palette index exceeds PLTE size")
         rgb = table[idx]
         if trns is not None:
+            if len(trns) > len(table):
+                raise ValueError(
+                    "PNG tRNS chunk longer than the PLTE palette"
+                )
             alpha = np.full(len(table), 255, dtype=np.uint8)
             alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
             return np.concatenate(
@@ -400,19 +406,15 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
         lines += enc.astype(np.uint8).tobytes()
         prev = row
 
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        crc = _zlib.crc32(ctype + body) & 0xFFFFFFFF
-        return len(body).to_bytes(4, "big") + ctype + body + crc.to_bytes(4, "big")
-
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
         + bytes([8, color_type, 0, 0, 0])
     )
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", _zlib.compress(bytes(lines), 6))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
     )
 
 

@@ -1404,3 +1404,48 @@ def test_png_16bit_still_refuses():
 
     with _pytest.raises(ValueError, match="unsupported PNG shape"):
         decode_png(bytes(payload))
+
+
+def test_png_malformed_interlace_and_trns_refuse():
+    """review r11 pass 10: trailing IDAT junk on Adam7 streams and
+    oversized tRNS chunks refuse with PNG-specific ValueErrors."""
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from evolution_spark.operators.multimodal import (
+        decode_png,
+        encode_png_adam7,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(73)
+    img = rng.integers(0, 256, (12, 12, 3)).astype(np.uint8)
+    payload = bytearray(encode_png_adam7(img))
+    # rebuild the IDAT with 50 junk bytes appended post-deflate
+    i = payload.find(b"IDAT")
+    size = int.from_bytes(payload[i - 4: i], "big")
+    raw = zlib.decompress(bytes(payload[i + 4: i + 4 + size]))
+    bad = zlib.compress(raw + b"\x00" * 50, 6)
+    rebuilt = (
+        bytes(payload[: i - 4])
+        + len(bad).to_bytes(4, "big") + b"IDAT" + bad
+        + (zlib.crc32(b"IDAT" + bad) & 0xFFFFFFFF).to_bytes(4, "big")
+        + bytes(payload[i + 8 + size:])
+    )
+    with _pytest.raises(ValueError, match="wrong length"):
+        decode_png(rebuilt)
+
+    pal = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+    idx = rng.integers(0, 4, (6, 6)).astype(np.uint8)
+    good = encode_png_palette(idx, pal, trns=np.zeros(4, np.uint8))
+    j = good.find(b"tRNS")
+    oversized = (
+        good[: j - 4]
+        + (10).to_bytes(4, "big") + b"tRNS" + bytes(10)
+        + (zlib.crc32(b"tRNS" + bytes(10)) & 0xFFFFFFFF).to_bytes(4, "big")
+        + good[j + 4 + 4 + 4:]
+    )
+    with _pytest.raises(ValueError, match="tRNS"):
+        decode_png(oversized)
