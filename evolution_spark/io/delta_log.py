@@ -3285,7 +3285,10 @@ def optimize_delta(
         # values take precedence on read, and rows from pre-feature files
         # (null ids) acquire fresh ids via the new add's baseRowId +
         # position — id assignment on first rewrite, like Iceberg v3.
-        rt, replayed = _rt_materialized_names(path, replayed)
+        # The refreshed replay is discarded on purpose: name
+        # materialization is a metadata-only commit, so `live`/`repl_state`
+        # from the pre-materialization replay stay valid here.
+        rt, _ = _rt_materialized_names(path, replayed)
         snapshot = read_delta_row_lineage(spark, path).withColumnsRenamed(
             {"_row_id": rt[0], "_row_commit_version": rt[1]}
         )

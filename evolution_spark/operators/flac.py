@@ -274,6 +274,8 @@ def _decode_frame(payload: bytes, pos: int, info):
         if inv_bps[bps_code] != bps:
             raise ValueError("frame bps differs from STREAMINFO")
     assert br.bit == 0
+    if br.byte >= len(payload):
+        raise ValueError("FLAC frame truncated before header CRC-8")
     if _crc8(payload[hdr_start: br.byte]) != payload[br.byte]:
         raise ValueError("FLAC frame header CRC-8 mismatch")
     br.byte += 1
@@ -305,6 +307,8 @@ def _decode_frame(payload: bytes, pos: int, info):
     else:
         raise ValueError(f"reserved channel assignment {ch_code:04b}")
     br.align()
+    if br.byte + 2 > len(payload):
+        raise ValueError("FLAC frame truncated before frame CRC-16")
     crc = int.from_bytes(payload[br.byte: br.byte + 2], "big")
     if _crc16(payload[hdr_start: br.byte]) != crc:
         raise ValueError("FLAC frame CRC-16 mismatch")
@@ -559,6 +563,13 @@ def encode_flac(
         raise ValueError("FLAC supports at most 8 channels")
     if bps not in _BPS_CODES:
         raise ValueError(f"unsupported bits-per-sample {bps}")
+    # STREAMINFO carries block size in a 16-bit field (spec minimum 16)
+    # and rate in a 20-bit field; out-of-range values would silently
+    # truncate through the masking bit-writer into invalid streams.
+    if not 16 <= block_size <= 0xFFFF:
+        raise ValueError(f"block_size {block_size} outside [16, 65535]")
+    if not 1 <= rate < (1 << 20):
+        raise ValueError(f"sample rate {rate} outside [1, 2^20-1]")
     lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
     if x.size and (x.min() < lo or x.max() > hi):
         raise ValueError(f"samples exceed {bps}-bit range")

@@ -90,7 +90,6 @@ def decode_gif(payload: bytes):
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
     if global_table is not None and bg_idx < len(global_table):
         canvas[:] = global_table[bg_idx]
-    bg_color = canvas[0, 0].copy()
 
     frames = []
     delays = []
@@ -171,8 +170,13 @@ def decode_gif(payload: bytes):
             region[:] = rgb
         frames.append(canvas.copy())
         delays.append(delay)
-        if disposal == 2:  # restore background in the frame region
-            canvas[top: top + ch, left: left + cw] = bg_color
+        if disposal == 2:
+            # GIF89a says "restore to background color", but mainstream
+            # decoders (browsers, ImageMagick) composite disposal-2
+            # regions as transparent over a black backdrop rather than
+            # the logical-screen background color; match them so foreign
+            # animations composite the way viewers show them.
+            canvas[top: top + ch, left: left + cw] = 0
         elif disposal == 3:  # restore previous
             canvas = prev_canvas
         transparent = None

@@ -79,6 +79,31 @@ def test_crc_detects_corruption(signals):
         decode_flac(bytes(enc))
 
 
+def test_truncation_at_every_frame_boundary_raises_value_error(signals):
+    """ADVICE r11: a frame cut exactly after its header (or anywhere
+    else) must raise ValueError, never IndexError — the mapInPandas
+    error contract."""
+    enc = encode_flac(signals[2], block_size=1024)
+    # magic(4) + block hdr(4) + STREAMINFO(34) = 42; cut through frames
+    for cut in range(42, len(enc), max(1, len(enc) // 60)):
+        with pytest.raises(ValueError):
+            decode_flac(enc[:cut])
+
+
+def test_encode_flac_validates_block_size_and_rate(signals):
+    """ADVICE r11: out-of-range STREAMINFO fields must refuse, not
+    silently truncate through the masking bit-writer."""
+    for bs in (8, 15, 65536):
+        with pytest.raises(ValueError, match="block_size"):
+            encode_flac(signals[0], block_size=bs)
+    for rate in (0, 1 << 20, 1 << 24):
+        with pytest.raises(ValueError, match="rate"):
+            encode_flac(signals[0], rate=rate)
+    # boundary values are legal
+    decode_flac(encode_flac(signals[0][:40], block_size=16))
+    decode_flac(encode_flac(signals[0][:40], rate=(1 << 20) - 1))
+
+
 def test_md5_detects_metadata_tamper(signals):
     enc = bytearray(encode_flac(signals[0]))
     # STREAMINFO md5 starts at offset 4 (magic) + 4 (block hdr) + 18
