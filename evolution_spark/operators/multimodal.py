@@ -605,6 +605,21 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
         from evolution_spark.operators.flac import decode_flac
 
         return decode_flac(payload)[0].astype(np.float32).ravel()
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and payload[1] & 0xE0 == 0xE0
+    ):
+        # MPEG-audio sync word (or an ID3v2-tagged stream): the
+        # frame-header METADATA path is real (operators/mp3.py,
+        # parse_mp3_metadata — duration/bitrate/rate/mode); lossy PCM
+        # synthesis stays a declared refusal.
+        raise NotImplementedError(
+            "MPEG audio (MP3): PCM decode is refused by design — use "
+            "evolution_spark.operators.mp3.parse_mp3_metadata for the "
+            "frame-header metadata path (duration, bitrate, sample "
+            "rate, channel mode)"
+        )
     try:
         # ONE image dispatch table (decode_image_array); this flattens
         return decode_image_array(payload).astype(np.float32).ravel()

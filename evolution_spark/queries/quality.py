@@ -1377,3 +1377,143 @@ def multimodal_cross_format_neardup(spark, sf_dir):
     media = d.mapInPandas(gen, "media_id BIGINT, payload BINARY")
     hashes = dhash_images(media, fake=False)
     return dhash_near_dups(hashes, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@query(
+    "multimodal_mp3_metadata",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 24),
+    params AS (
+      SELECT i,
+             CASE i % 3 WHEN 0 THEN '1' WHEN 1 THEN '2' ELSE '2.5' END
+               AS version,
+             CASE WHEN i % 5 = 4 THEN 2 ELSE 3 END AS layer,
+             (i // 3) % 3 AS sr_idx,
+             8 + (i % 5) AS n_frames,
+             i % 4 AS mode,
+             i % 2 = 1 AS is_vbr
+      FROM ids
+    ),
+    rates(version, sr_idx, rate) AS (VALUES
+      ('1', 0, 44100), ('1', 1, 48000), ('1', 2, 32000),
+      ('2', 0, 22050), ('2', 1, 24000), ('2', 2, 16000),
+      ('2.5', 0, 11025), ('2.5', 1, 12000), ('2.5', 2, 8000)),
+    spf AS (
+      SELECT i, CASE WHEN layer = 2 THEN 1152
+                     WHEN version = '1' THEN 1152 ELSE 576 END AS v
+      FROM params
+    ),
+    perframe AS (
+      SELECT p.i,
+             list_extract(
+               CASE WHEN p.version = '1' AND p.layer = 3 THEN
+                 [0,32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+               WHEN p.version = '1' AND p.layer = 2 THEN
+                 [0,32,48,56,64,80,96,112,128,160,192,224,256,320,384]
+               ELSE
+                 [0,8,16,24,32,40,48,56,64,80,96,112,128,144,160]
+               END,
+               CASE WHEN p.is_vbr THEN 2 + ((p.i + f.v) % 8)
+                    ELSE 10 END) AS kbps
+      FROM params p
+      CROSS JOIN (SELECT UNNEST(range(13)) AS v) f
+      WHERE f.v < p.n_frames
+    )
+    SELECT p.i AS media_id, p.version, p.layer,
+           r.rate AS sample_rate,
+           CASE WHEN p.mode = 3 THEN 1 ELSE 2 END AS channels,
+           CAST(p.n_frames AS BIGINT) AS n_frames,
+           CAST(p.n_frames * s.v * 1000000 // r.rate AS BIGINT)
+             AS duration_us,
+           CAST(SUM(pf.kbps) AS BIGINT) AS br_sum,
+           CAST(MIN(pf.kbps) AS INT) AS br_min,
+           CAST(MAX(pf.kbps) AS INT) AS br_max,
+           p.is_vbr AS vbr,
+           p.i % 6 = 0 AS has_xing,
+           CAST(CASE WHEN p.i % 6 = 0 THEN p.n_frames END AS BIGINT)
+             AS xing_frames,
+           p.i % 3 = 0 AS has_id3v2,
+           p.i % 4 = 2 AS has_id3v1
+    FROM params p
+    JOIN rates r ON r.version = p.version AND r.sr_idx = p.sr_idx
+    JOIN spf s ON s.i = p.i
+    JOIN perframe pf ON pf.i = p.i
+    GROUP BY ALL
+    """,
+)
+def multimodal_mp3_metadata(spark, sf_dir):
+    """MP3 frame-header metadata walk (round 12, verdict item 3): each
+    document id gets a structurally valid MPEG-audio stream — version
+    rotating 1/2/2.5, Layer III (Layer II every 5th id), sample-rate
+    index (id//3)%3, 8..12 frames with the padding bit alternating, VBR
+    on odd ids (per-frame bitrate index 1+((id+f)%8), CBR index 9
+    otherwise), channel mode id%4, an ID3v2 prefix every 3rd id, an
+    ID3v1 tail every 4th-plus-2, and a Xing tag every 6th — then
+    ``parse_mp3_metadata`` (ISO 11172-3 / 13818-3 header layout) walks
+    the frames and reports exact duration/bitrate totals. DuckDB
+    recomputes every column closed-form from the same parameter
+    derivation, including the version/layer bitrate tables — one wrong
+    table entry, frame-length slot, samples-per-frame (576 vs 1152 on
+    LSF Layer III), padding byte, or tag skip shifts the walk and fails
+    the hash. PCM synthesis stays a declared refusal in
+    ``decode_media``; this is the metadata curation path.
+
+    Scale shape: partition-local mapInPandas, audio bytes never
+    shuffle. Ref parity: the reference has no media handling
+    (extension surface)."""
+    import pandas as pd
+
+    from evolution_spark.operators.mp3 import build_mp3, parse_mp3_metadata
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 24
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                version = ["1", "2", "2.5"][i % 3]
+                layer = 2 if i % 5 == 4 else 3
+                n_frames = 8 + (i % 5)
+                if i % 2 == 1:
+                    idxs = [1 + ((i + f) % 8) for f in range(n_frames)]
+                else:
+                    idxs = 9
+                payload = build_mp3(
+                    n_frames,
+                    version=version,
+                    layer=layer,
+                    bitrate_indices=idxs,
+                    sr_idx=(i // 3) % 3,
+                    mode=i % 4,
+                    pad_alternate=True,
+                    id3v2=bytes(40 + i) if i % 3 == 0 else None,
+                    id3v1=i % 4 == 2,
+                    xing=i % 6 == 0,
+                    seed=i,
+                )
+                m = parse_mp3_metadata(payload)
+                rows.append((
+                    i, m["version"], m["layer"], m["sample_rate"],
+                    m["channels"], m["n_frames"], m["duration_us"],
+                    m["bitrate_kbps_sum"], m["bitrate_kbps_min"],
+                    m["bitrate_kbps_max"], m["vbr"], m["has_xing"],
+                    m["xing_frames"], m["has_id3v2"], m["has_id3v1"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "version", "layer", "sample_rate",
+                         "channels", "n_frames", "duration_us", "br_sum",
+                         "br_min", "br_max", "vbr", "has_xing",
+                         "xing_frames", "has_id3v2", "has_id3v1"],
+            )
+
+    return d.mapInPandas(
+        gen,
+        "media_id long, version string, layer int, sample_rate int, "
+        "channels int, n_frames long, duration_us long, br_sum long, "
+        "br_min int, br_max int, vbr boolean, has_xing boolean, "
+        "xing_frames long, has_id3v2 boolean, has_id3v1 boolean",
+    )

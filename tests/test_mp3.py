@@ -1,0 +1,116 @@
+"""MP3 frame-header metadata walker (operators/mp3.py).
+
+Fixtures are hand-built frame sequences (build_mp3 is a structural
+fixture generator, not an encoder); expectations are closed-form from
+the ISO 11172-3 / 13818-3 header tables."""
+import pytest
+
+from evolution_spark.operators.mp3 import (
+    _frame_length,
+    build_mp3,
+    parse_mp3_metadata,
+)
+
+
+def test_cbr_mpeg1_layer3_stereo():
+    # 44100 Hz, idx 9 = 128 kbps, 10 frames of 1152 samples
+    p = build_mp3(10, version="1", layer=3, bitrate_indices=9,
+                  sr_idx=0, mode=0, pad_alternate=False)
+    m = parse_mp3_metadata(p)
+    assert m["version"] == "1" and m["layer"] == 3
+    assert m["sample_rate"] == 44100 and m["channels"] == 2
+    assert m["channel_mode"] == "stereo"
+    assert m["n_frames"] == 10 and m["total_samples"] == 11520
+    assert m["duration_us"] == 11520 * 1_000_000 // 44100
+    assert m["bitrate_kbps_min"] == m["bitrate_kbps_max"] == 128
+    assert m["bitrate_kbps_sum"] == 1280 and not m["vbr"]
+    assert not (m["has_id3v2"] or m["has_id3v1"] or m["has_xing"])
+    # frame length: 144 * 128000 / 44100 = 417 (padding 0)
+    assert len(p) == 10 * _frame_length(0b11, 3, 128, 44100, 0)
+
+
+def test_vbr_padding_and_tags():
+    idxs = [1 + (i % 8) for i in range(12)]
+    p = build_mp3(12, version="1", layer=3, bitrate_indices=idxs,
+                  sr_idx=1, mode=1, pad_alternate=True,
+                  id3v2=b"\x00" * 77, id3v1=True)
+    m = parse_mp3_metadata(p)
+    assert m["vbr"] and m["n_frames"] == 12
+    assert m["sample_rate"] == 48000
+    assert m["channel_mode"] == "joint_stereo" and m["channels"] == 2
+    kbps = [0, 32, 40, 48, 56, 64, 80, 96, 112]
+    assert m["bitrate_kbps_sum"] == sum(kbps[i] for i in idxs)
+    assert m["bitrate_kbps_min"] == 32 and m["bitrate_kbps_max"] == 112
+    assert m["has_id3v2"] and m["has_id3v1"]
+
+
+@pytest.mark.parametrize("version,layer,sr_idx,rate,spf", [
+    ("1", 1, 0, 44100, 384),
+    ("1", 2, 2, 32000, 1152),
+    ("2", 3, 0, 22050, 576),
+    ("2", 2, 1, 24000, 1152),
+    ("2.5", 3, 2, 8000, 576),
+    ("2.5", 1, 0, 11025, 384),
+])
+def test_versions_layers_samples_per_frame(version, layer, sr_idx, rate,
+                                           spf):
+    p = build_mp3(6, version=version, layer=layer, bitrate_indices=5,
+                  sr_idx=sr_idx, mode=3)
+    m = parse_mp3_metadata(p)
+    assert m["version"] == version and m["layer"] == layer
+    assert m["sample_rate"] == rate and m["channels"] == 1
+    assert m["total_samples"] == 6 * spf
+    assert m["duration_us"] == 6 * spf * 1_000_000 // rate
+
+
+def test_xing_tag_detected_mpeg1_and_mpeg2():
+    for version, mode in (("1", 0), ("1", 3), ("2", 0), ("2.5", 3)):
+        p = build_mp3(9, version=version, layer=3, bitrate_indices=11,
+                      mode=mode, xing=True)
+        m = parse_mp3_metadata(p)
+        assert m["has_xing"] and m["xing_frames"] == 9
+
+
+def test_truncated_final_frame_not_counted():
+    p = build_mp3(5, bitrate_indices=9, pad_alternate=False)
+    flen = _frame_length(0b11, 3, 128, 44100, 0)
+    m = parse_mp3_metadata(p[: len(p) - flen // 2])
+    assert m["n_frames"] == 4
+
+
+def test_refusals_are_value_errors():
+    with pytest.raises(ValueError, match="sync"):
+        parse_mp3_metadata(b"\x00" * 64)
+    with pytest.raises(ValueError, match="free-format"):
+        # header with bitrate index 0
+        parse_mp3_metadata(bytes([0xFF, 0xFB, 0x00, 0x00]) + bytes(400))
+    with pytest.raises(ValueError, match="no MP3 frame data"):
+        parse_mp3_metadata(b"TAG" + bytes(125))
+    with pytest.raises(ValueError, match="reserved MPEG version"):
+        parse_mp3_metadata(bytes([0xFF, 0xEB, 0x90, 0x00]) + bytes(400))
+    # mid-stream parameter change: 2nd frame at a different sample rate
+    a = build_mp3(2, sr_idx=0, pad_alternate=False)
+    b = build_mp3(2, sr_idx=1, pad_alternate=False)
+    with pytest.raises(ValueError, match="mid-stream"):
+        parse_mp3_metadata(a + b)
+
+
+def test_id3v2_syncsafe_and_footer():
+    body = bytes(200)
+    p = build_mp3(3, id3v2=body)
+    m = parse_mp3_metadata(p)
+    assert m["has_id3v2"] and m["n_frames"] == 3
+    # corrupt the syncsafe size (high bit set) -> ValueError
+    bad = bytearray(p)
+    bad[6] |= 0x80
+    with pytest.raises(ValueError, match="syncsafe"):
+        parse_mp3_metadata(bytes(bad))
+
+
+def test_decode_media_refuses_mp3_with_pointer():
+    from evolution_spark.operators.multimodal import decode_media
+
+    p = build_mp3(3)
+    for payload in (p, build_mp3(3, id3v2=b"\x00" * 10)):
+        with pytest.raises(NotImplementedError, match="parse_mp3_metadata"):
+            decode_media(payload, "audio")
