@@ -605,6 +605,18 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
         from evolution_spark.operators.flac import decode_flac
 
         return decode_flac(payload)[0].astype(np.float32).ravel()
+    if payload[4:8] == b"ftyp":
+        # ISO-BMFF (MP4/MOV/3GP): the container METADATA + keyframe
+        # byte-index path is real (operators/mp4.py,
+        # parse_mp4_metadata / keyframe_index); av bitstream decode
+        # stays a declared refusal.
+        raise NotImplementedError(
+            "ISO-BMFF (MP4): codec bitstream decode is refused by "
+            "design — use evolution_spark.operators.mp4."
+            "parse_mp4_metadata / keyframe_index for the container "
+            "metadata path (duration, tracks, resolutions, keyframe "
+            "byte offsets)"
+        )
     if payload[:3] == b"ID3" or (
         len(payload) >= 2
         and payload[0] == 0xFF
