@@ -178,9 +178,9 @@ def _validate_collations(schema_string: str | None) -> None:
     (bare, PROVIDER.NAME, with trailing version segments)."""
     if not schema_string:
         raise DeltaProtocolError(
-            "table declares the collations reader feature but no schema "
-            "is resolvable — refusing to read without validating the "
-            "declared collations"
+            "table declares the collations feature but no schema is "
+            "resolvable — refusing without validating the declared "
+            "collations"
         )
 
     def _idents(v):
@@ -286,9 +286,14 @@ def _check_reader_protocol(
 # tracking — each with its obligation implemented (staged-scan
 # validation, high-water marks, monotone stamps, checkpoint carry,
 # baseRowId assignment) and variantType (Spark 4's native VariantType,
-# 1:1 mapping). Collations stay refused for WRITES (round 11 added a
-# READ tolerance for all-UTF8_BINARY tables — _validate_collations);
-# unknown future features stay refused via _check_writer_protocol.
+# 1:1 mapping). Collations are schema-gated BOTH ways (round 11 read,
+# round 12 write): a foreign table whose every declared collation is
+# UTF8_BINARY reads and accepts appends/maintenance faithfully — the
+# writer obligation is only to preserve the collation metadata, which
+# every commit path does (appends carry schemaString verbatim; DDL adds
+# collation-free fields) — while any non-binary collation, or CREATING/
+# ALTERING collations, stays refused; unknown future features stay
+# refused via _check_writer_protocol.
 SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
     {"deletionVectors", "appendOnly", "invariants", "columnMapping",
      "checkConstraints", "changeDataFeed", "timestampNtz", "v2Checkpoint",
@@ -298,12 +303,20 @@ SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
 )
 
 
-def _check_writer_protocol(protocol: dict | None) -> None:
+def _check_writer_protocol(
+    protocol: dict | None, schema_string: str | None = None
+) -> None:
     """Enforce the Delta protocol's writer obligation before committing: a
     client MUST NOT write to a table whose ``minWriterVersion`` (or, for
     writer version 7, whose ``writerFeatures`` set) exceeds what it
     implements — e.g. appending to a table with CHECK constraints without
-    validating them corrupts the table's invariants silently."""
+    validating them corrupts the table's invariants silently. The
+    ``collations`` feature is schema-gated like the read side (round 12):
+    writing to a foreign table whose every declared collation is
+    UTF8_BINARY is faithful — commits preserve the schema's collation
+    metadata verbatim and binary collation compares like plain Spark
+    strings — so such tables accept appends/maintenance; any non-binary
+    collation refuses (``schema_string`` must be passed for the gate)."""
     if not protocol:
         return
     v = int(protocol.get("minWriterVersion", 1))
@@ -331,8 +344,12 @@ def _check_writer_protocol(protocol: dict | None) -> None:
         # assignments, column-mapped identity) refuse loudly per-path
         return
     features = set(protocol.get("writerFeatures") or [])
-    unsupported = sorted(features - SUPPORTED_WRITER_FEATURES)
+    unsupported = sorted(
+        features - SUPPORTED_WRITER_FEATURES - _COLLATIONS_FEATURES
+    )
     if v == 7 and not unsupported:
+        if features & _COLLATIONS_FEATURES:
+            _validate_collations(schema_string)
         return
     raise DeltaProtocolError(
         f"table requires minWriterVersion={v}"
@@ -834,7 +851,7 @@ def commit_delta(
     live, schema_string, part_cols, latest, repl_state = _replay_log(
         table_dir, return_state=True
     )
-    _check_writer_protocol(repl_state.get("protocol"))
+    _check_writer_protocol(repl_state.get("protocol"), schema_string)
     config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
     # the spec forbids only dataChange=true removes on append-only tables;
     # OPTIMIZE-style rewrites (mode='replace' with data_change=False) are
@@ -2520,7 +2537,7 @@ def _mor_guards(repl_state, operation: str):
     leave partial artifacts (DV bitmap files) on disk before the shared
     refusal surface would have fired later in the commit."""
     proto = repl_state.get("protocol") or dict(PROTOCOL)
-    _check_writer_protocol(proto)
+    _check_writer_protocol(proto, repl_state.get("schema_string"))
     config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
     if mapping_mode(config) == "id":
         raise DeltaProtocolError(
@@ -2712,7 +2729,7 @@ def upgrade_delta_features(
     table_dir = Path(path)
     _, _, _, latest, repl_state = _replay_log(table_dir, return_state=True)
     proto = repl_state.get("protocol") or dict(PROTOCOL)
-    _check_writer_protocol(proto)
+    _check_writer_protocol(proto, repl_state.get("schema_string"))
     v_r = int(proto.get("minReaderVersion", 1))
     v_w = int(proto.get("minWriterVersion", 2))
     feats_r = set(proto.get("readerFeatures") or [])
@@ -3174,7 +3191,7 @@ def evolve_delta_schema(path: str, add_columns: list[tuple[str, object]]) -> dic
     live, schema_string, part_cols, latest, repl_state = _replay_log(
         table_dir, return_state=True
     )
-    _check_writer_protocol(repl_state.get("protocol"))
+    _check_writer_protocol(repl_state.get("protocol"), schema_string)
     if not add_columns:
         raise ValueError("add_columns must be non-empty")
     config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
@@ -3915,7 +3932,7 @@ def upgrade_delta_to_column_mapping(path: str) -> dict:
     live, schema_string, part_cols, latest, repl_state = _replay_log(
         table_dir, return_state=True
     )
-    _check_writer_protocol(repl_state.get("protocol"))
+    _check_writer_protocol(repl_state.get("protocol"), schema_string)
     config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
     if config.get("delta.columnMapping.mode") == "name":
         return {"version": None, "note": "column mapping already enabled"}
@@ -4063,7 +4080,7 @@ def rename_delta_column(path: str, old: str, new: str) -> dict:
     live, schema_string, part_cols, latest, repl_state = _replay_log(
         table_dir, return_state=True
     )
-    _check_writer_protocol(repl_state.get("protocol"))
+    _check_writer_protocol(repl_state.get("protocol"), schema_string)
     config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
     _require_name_mapping(config, "RENAME COLUMN")
     _refuse_constrained_column(config, old, "rename")
@@ -4136,7 +4153,7 @@ def drop_delta_column(path: str, name: str) -> dict:
     live, schema_string, part_cols, latest, repl_state = _replay_log(
         table_dir, return_state=True
     )
-    _check_writer_protocol(repl_state.get("protocol"))
+    _check_writer_protocol(repl_state.get("protocol"), schema_string)
     config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
     _require_name_mapping(config, "DROP COLUMN")
     _refuse_constrained_column(config, name, "drop")
@@ -4282,7 +4299,7 @@ def restore_delta_table(path: str, version: int) -> dict:
     cur_live, cur_schema, cur_parts, latest, repl_state = _replay_log(
         table_dir, return_state=True
     )
-    _check_writer_protocol(repl_state.get("protocol"))
+    _check_writer_protocol(repl_state.get("protocol"), cur_schema)
     if version == latest:
         return {"version": None, "note": "already at the requested version"}
     old_live, old_schema, old_parts, _, old_state = _replay_log(
@@ -4792,7 +4809,7 @@ def ensure_row_tracking_materialized(path: str) -> tuple[str, str]:
     # a commit must honor the writer protocol like every other commit
     # path (review r11 pass 1: publishing a metaData action to a table
     # whose writerFeatures we do not implement would violate its contract)
-    _check_writer_protocol(state.get("protocol"))
+    _check_writer_protocol(state.get("protocol"), schema_string)
     if not _row_tracking_active(state):
         raise DeltaProtocolError(
             "row tracking is not enabled on this table — nothing to "
@@ -4978,7 +4995,7 @@ def add_delta_constraint(spark, path: str, name: str, expr: str) -> dict:
         table_dir, return_state=True
     )
     proto = repl_state.get("protocol") or dict(PROTOCOL)
-    _check_writer_protocol(proto)
+    _check_writer_protocol(proto, schema_string)
     if not name.isidentifier():
         raise ValueError(f"constraint name {name!r} must be an identifier")
     config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
@@ -5034,7 +5051,7 @@ def drop_delta_constraint(path: str, name: str) -> dict:
     live, schema_string, part_cols, latest, repl_state = _replay_log(
         table_dir, return_state=True
     )
-    _check_writer_protocol(repl_state.get("protocol"))
+    _check_writer_protocol(repl_state.get("protocol"), schema_string)
     config = dict((repl_state.get("metadata") or {}).get("configuration") or {})
     key = f"delta.constraints.{name}"
     if key not in config:

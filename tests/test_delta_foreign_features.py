@@ -603,10 +603,11 @@ def test_reader_ignorable_features_tolerated(spark, tmp_path):
         "writerFeatures": ["rowTracking", "collations"],
     }}) + "\n")
     assert read_delta_snapshot(spark, str(t)).count() == 9
-    # writes to a collations table still refuse (the feature is not
-    # claimed in SUPPORTED_WRITER_FEATURES)
-    with pytest.raises(DeltaProtocolError, match="collations"):
-        commit_delta(spark.range(9, 10).select("id"), str(t), mode="append")
+    # round 12: writes to an all-binary collations table are tolerated
+    # (the obligation is only to preserve the collation metadata, which
+    # appends do verbatim)
+    commit_delta(spark.range(9, 10).select("id"), str(t), mode="append")
+    assert read_delta_snapshot(spark, str(t)).count() == 10
 
 
 def test_collations_utf8_binary_reads_non_binary_refuses(spark, tmp_path):
@@ -638,11 +639,30 @@ def test_collations_utf8_binary_reads_non_binary_refuses(spark, tmp_path):
     t1 = tmp_path / "colbin"
     _with_collation(t1, "SPARK.UTF8_BINARY")
     assert read_delta_snapshot(spark, str(t1)).count() == 5
+    # round-12 write tolerance: appending to the all-binary foreign
+    # table commits, PRESERVES the collations feature and the field's
+    # collation metadata, and the table still reads
+    commit_delta(
+        spark.range(5, 8).selectExpr("id", "cast(id as string) as s"),
+        str(t1), mode="append",
+    )
+    assert read_delta_snapshot(spark, str(t1)).count() == 8
+    _, schema_after, _, _, st_after = _replay_log(t1, return_state=True)
+    assert "collations" in (st_after["protocol"].get("writerFeatures") or [])
+    s_field = [f for f in json.loads(schema_after)["fields"]
+               if f["name"] == "s"][0]
+    assert s_field["metadata"]["__COLLATIONS"] == {"s": "SPARK.UTF8_BINARY"}
 
     t2 = tmp_path / "colicu"
     _with_collation(t2, "ICU.de_DE.75.1")
     with pytest.raises(DeltaProtocolError, match="non-binary"):
         read_delta_snapshot(spark, str(t2))
+    # ...and the write side refuses the same table
+    with pytest.raises(DeltaProtocolError, match="non-binary"):
+        commit_delta(
+            spark.range(8, 9).selectExpr("id", "cast(id as string) as s"),
+            str(t2), mode="append",
+        )
 
     # unrecognized structure refuses too (refusing beats mis-collating)
     t3 = tmp_path / "colodd"
