@@ -281,16 +281,17 @@ def _read_avro_with_meta(path: Path) -> tuple[list[dict], dict]:
 # --------------------------------------------------------------------------
 
 
-def decode_initial_default(field: dict):
-    """Decode a schema field's ``initial-default`` (Iceberg spec v3
-    'Default values', JSON single-value serialization) into the Python
-    literal the realigned read injects for rows written before the
-    column existed. Supported primitives: boolean/int/long/float/double/
-    string (the JSON value verbatim) and date (ISO 'YYYY-MM-DD' string
-    -> datetime.date). Anything else refuses loudly — injecting a
-    mis-decoded default would silently corrupt every pre-evolution row,
-    the worst possible failure mode."""
-    raw = field.get("initial-default")
+def decode_initial_default(field: dict, key: str = "initial-default"):
+    """Decode a schema field's ``initial-default`` / ``write-default``
+    (Iceberg spec v3 'Default values', JSON single-value serialization)
+    into a Python literal — what the realigned read injects for
+    pre-evolution rows (``initial-default``) or what an append fills
+    into omitted columns (``write-default``). Supported primitives:
+    boolean/int/long/float/double/string (the JSON value verbatim) and
+    date (ISO 'YYYY-MM-DD' string -> datetime.date). Anything else
+    refuses loudly — injecting a mis-decoded default would silently
+    corrupt every affected row, the worst possible failure mode."""
+    raw = field.get(key)
     if raw is None:
         return None
     t = field.get("type")
@@ -308,11 +309,10 @@ def decode_initial_default(field: dict):
 
         return _dt.date.fromisoformat(raw)
     raise IcebergFormatError(
-        f"field {field.get('name')!r}: initial-default {raw!r} for type "
+        f"field {field.get('name')!r}: {key} {raw!r} for type "
         f"{t!r} is not a supported single-value encoding "
-        "(boolean/int/long/float/double/string/date) — refusing to read "
-        "rather than injecting a mis-decoded default into every "
-        "pre-evolution row"
+        "(boolean/int/long/float/double/string/date) — refusing rather "
+        "than injecting a mis-decoded default"
     )
 
 
@@ -2970,6 +2970,28 @@ def _commit_iceberg_snapshot(
                 "_last_updated_sequence_number", _T.LongType(), True
             ),
         ])
+    if not _carry_lineage and int(metadata.get("format-version", 1)) >= 3:
+        # spec v3 'Default values' WRITE side: a writer that omits a
+        # column carrying a write-default fills it with that default
+        # (decoded through the same single-value decoder the read side
+        # uses, so a mistyped default refuses instead of mis-filling).
+        # Columns omitted WITHOUT a write-default still hit the strict
+        # schema check below — silent null-filling is not the contract.
+        from pyspark.sql import functions as F
+
+        have = set(df.columns)
+        fills = {
+            f["name"]: decode_initial_default(f, key="write-default")
+            for f in ice_schema["fields"]
+            if f["name"] not in have and f.get("write-default") is not None
+        }
+        if fills and have | set(fills) == {f.name for f in expected.fields}:
+            for sf in expected.fields:
+                if sf.name in fills:
+                    df = df.withColumn(
+                        sf.name, F.lit(fills[sf.name]).cast(sf.dataType)
+                    )
+            df = df.select(*[f.name for f in expected.fields])
     if [f.name for f in df.schema] != [f.name for f in expected.fields] or any(
         a.dataType != b.dataType for a, b in zip(df.schema, expected.fields)
     ):

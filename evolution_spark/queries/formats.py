@@ -3571,33 +3571,37 @@ def iceberg_v3_compaction_lifecycle(spark, sf_dir):
     "iceberg_v3_default_values",
     oracle="""
     SELECT c_mktsegment,
-           CASE WHEN c_custkey % 2 = 0 THEN 'legacy' ELSE 'active' END
+           CASE WHEN c_custkey % 3 = 1 THEN 'active' ELSE 'legacy' END
              AS tier,
            COUNT(*) AS n_rows,
-           CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 2500 ELSE 5000 END)
+           CAST(SUM(CASE WHEN c_custkey % 3 = 1 THEN 5000 ELSE 2500 END)
                 AS BIGINT) AS bonus_cents,
            MAX(c_custkey) AS max_key
     FROM customer
     GROUP BY c_mktsegment,
-             CASE WHEN c_custkey % 2 = 0 THEN 'legacy' ELSE 'active' END
+             CASE WHEN c_custkey % 3 = 1 THEN 'active' ELSE 'legacy' END
     """,
 )
 def iceberg_v3_default_values(spark, sf_dir):
-    """Iceberg v3 COLUMN DEFAULTS (spec v3 'Default values' — round 11):
-    the even-custkey half of customer lands BEFORE the columns exist, the
-    table upgrades to v3 and ADD COLUMNs ``tier`` (string, default
-    'legacy'), ``bonus`` (double, default 25.0) and ``joined`` (date
-    default) — the defaults land as ``initial-default``/``write-default``
-    on the new schema fields, metadata-only — then the odd half appends
-    WITH explicit values. The read realigns pre-evolution files by field
-    id and injects each field's ``initial-default`` instead of null (the
-    v3 reader rule), on BOTH the library reader and the
-    ``evolution_iceberg`` DataSource (asserted equal inline; the date
-    default is asserted inline too since DuckDB sees no date column).
-    Scale: defaults are literals in the realign projection — zero data
-    rewritten at ADD COLUMN time, zero extra plan nodes beyond the
-    existing evolved-read union. Ref parity: the reference's Iceberg
-    target is ``todo!()`` (examples/iceberg/src/main.rs:28-30)."""
+    """Iceberg v3 COLUMN DEFAULTS, both directions (spec v3 'Default
+    values' — round 11 read, round 12 write): a third of customer lands
+    BEFORE the columns exist, the table upgrades to v3 and ADD COLUMNs
+    ``tier`` (string, default 'legacy'), ``bonus`` (double, default
+    25.0) and ``joined`` (date default) — the defaults land as
+    ``initial-default``/``write-default`` on the new schema fields,
+    metadata-only — then one third appends WITH explicit values and the
+    last third appends OMITTING the three columns entirely: the commit
+    fills them from ``write-default`` (physically written — the file
+    claims the current schema, so the read-side realign would never
+    inject for it; reaching the same aggregate proves the write fill).
+    The read realigns pre-evolution files by field id and injects each
+    field's ``initial-default`` instead of null (the v3 reader rule), on
+    BOTH the library reader and the ``evolution_iceberg`` DataSource
+    (asserted equal inline; the date defaults are asserted inline too
+    since DuckDB sees no date column). Scale: defaults are literals in
+    the realign projection / append projection — zero data rewritten at
+    ADD COLUMN time. Ref parity: the reference's Iceberg target is
+    ``todo!()`` (examples/iceberg/src/main.rs:28-30)."""
     import datetime
 
     from evolution_spark.io.iceberg_meta import (
@@ -3610,7 +3614,7 @@ def iceberg_v3_default_values(spark, sf_dir):
 
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     path = query_tmp("icev3def", sf_dir)
-    write_iceberg_table(c.where(F.col("c_custkey") % 2 == 0), path)
+    write_iceberg_table(c.where(F.col("c_custkey") % 3 == 0), path)
     upgrade_iceberg_format_version(path)
     evolve_iceberg_schema(path, [
         ("tier", "string", "legacy"),
@@ -3618,7 +3622,7 @@ def iceberg_v3_default_values(spark, sf_dir):
         ("joined", "date", datetime.date(2020, 1, 2)),
     ])
     append_iceberg_snapshot(
-        c.where(F.col("c_custkey") % 2 == 1).select(
+        c.where(F.col("c_custkey") % 3 == 1).select(
             "c_custkey", "c_mktsegment",
             F.lit("active").alias("tier"),
             F.lit(50.0).alias("bonus"),
@@ -3626,9 +3630,13 @@ def iceberg_v3_default_values(spark, sf_dir):
         ),
         path,
     )
+    # round-12 write leg: OMIT the three default-bearing columns — the
+    # commit must fill them from write-default (or refuse; pre-round-12
+    # this raised a schema mismatch)
+    append_iceberg_snapshot(c.where(F.col("c_custkey") % 3 == 2), path)
     back = read_iceberg_table(spark, path)
-    # the date default applied to every pre-evolution row (inline — the
-    # oracle has no date column to compare)
+    # the date default applied to every pre-evolution row AND every
+    # write-default-filled row (inline — the oracle has no date column)
     dates = back.agg(
         F.min(F.when(F.col("tier") == "legacy", F.col("joined"))).alias("lo"),
         F.max(F.when(F.col("tier") == "legacy", F.col("joined"))).alias("hi"),

@@ -120,3 +120,57 @@ def test_foreign_unsupported_default_encoding_refuses_on_read(
     (meta_dir / hint).write_text(json.dumps(meta))
     with pytest.raises(IcebergFormatError, match="initial-default"):
         read_iceberg_table(spark, d).collect()
+
+
+def test_write_default_fills_omitted_columns(spark, tmp_path):
+    """Round 12 (spec v3 'Default values' write side): an append that
+    omits columns carrying a write-default gets them filled — physically
+    written, since the new file claims the current schema and the read
+    realign never injects for it."""
+    d = _evolved(spark, tmp_path, "wd_fill")
+    # omit tier/score/joined (all have write-defaults) but keep note
+    append_iceberg_snapshot(
+        spark.range(6, 9).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+            F.lit("y").alias("note"),
+        ),
+        d,
+    )
+    back = read_iceberg_table(spark, d).where("k >= 6")
+    rows = {r["k"]: r for r in back.collect()}
+    assert set(rows) == {6, 7, 8}
+    for r in rows.values():
+        assert r["tier"] == "bronze" and r["score"] == 1.5
+        assert str(r["joined"]) == "2020-01-02" and r["note"] == "y"
+    # the fill is PHYSICAL: the newest data file contains the columns
+    files = sorted(
+        (Path(d) / "data").glob("*.parquet"),
+        key=lambda p: p.stat().st_mtime,
+    )
+    raw = spark.read.parquet(str(files[-1]))
+    assert "tier" in raw.columns
+    assert raw.where("tier = 'bronze'").count() == raw.count() > 0
+
+
+def test_omitting_column_without_default_still_refuses(spark, tmp_path):
+    """'note' has NO write-default: omitting it stays a schema mismatch
+    (silent null-filling is not the contract)."""
+    d = _evolved(spark, tmp_path, "wd_strict")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_iceberg_snapshot(
+            spark.range(9, 11).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+            ),
+            d,
+        )
+
+
+def test_v2_table_append_unchanged_by_fill_path(spark, tmp_path):
+    """A v2 table (no format upgrade) keeps the strict schema check for
+    any omission — write-default is a v3 feature."""
+    d = str(tmp_path / "wd_v2")
+    df = spark.range(4).select(F.col("id").alias("k"))
+    write_iceberg_table(df, d)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_iceberg_snapshot(spark.range(4, 6).select(
+            F.col("id").alias("extra")), d)
