@@ -178,7 +178,10 @@ def parse_mp3_metadata(payload: bytes) -> dict:
         if pos + hdr["frame_len"] > end:
             break  # truncated final frame: not counted, like stream rippers
         if n_frames == 0:
-            off = pos + _xing_offset(hdr["version_code"], hdr["mode"])
+            # a protected frame carries a 2-byte CRC between header and
+            # side info, shifting the Xing tag by 2
+            off = (pos + _xing_offset(hdr["version_code"], hdr["mode"])
+                   + (2 if hdr["crc"] else 0))
             tag = payload[off: off + 4]
             if tag in (b"Xing", b"Info"):
                 has_xing = True

@@ -339,7 +339,7 @@ def build_mp4(
     v_chunks = chunked(video_sizes, samples_per_chunk)
     a_chunks = chunked(a_sizes, 6)
 
-    def stbl(codec_entry, sizes, chunks, spc, sync, chunk_offs):
+    def stbl(codec_entry, sizes, spc, sync, chunk_offs):
         stsd = _full(b"stsd", 0, 0, (1).to_bytes(4, "big") + codec_entry)
         stts = _full(b"stts", 0, 0,
                      (1).to_bytes(4, "big")
@@ -412,7 +412,7 @@ def build_mp4(
     # with placeholder offsets, then rebuild with real ones (size is
     # unaffected because counts don't change).
     def build_moov(v_offs, a_offs):
-        v_stbl = stbl(visual_entry, video_sizes, v_chunks,
+        v_stbl = stbl(visual_entry, video_sizes,
                       samples_per_chunk, sync, v_offs)
         v_minf = _box(b"minf", _full(b"vmhd", 0, 1, bytes(8)) + dinf
                       + v_stbl)
@@ -422,7 +422,7 @@ def build_mp4(
                       + v_mdia)
         traks = v_trak
         if audio:
-            a_stbl = stbl(audio_entry, a_sizes, a_chunks, 6, None, a_offs)
+            a_stbl = stbl(audio_entry, a_sizes, 6, None, a_offs)
             a_minf = _box(b"minf", _full(b"smhd", 0, 0, bytes(4)) + dinf
                           + a_stbl)
             a_mdia = _box(b"mdia", mdhd(audio["rate"], audio["n"] * 256)

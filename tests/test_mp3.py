@@ -71,6 +71,29 @@ def test_xing_tag_detected_mpeg1_and_mpeg2():
         assert m["has_xing"] and m["xing_frames"] == 9
 
 
+def test_xing_offset_shifts_past_frame_crc():
+    """A protected frame (protection bit 0) carries a 2-byte CRC between
+    header and side info; the Xing tag sits 2 bytes later."""
+    p = bytearray(build_mp3(4, bitrate_indices=9, mode=3,
+                            pad_alternate=False, xing=True))
+    # make frame 0 protected: flag the CRC, insert 2 CRC bytes after the
+    # header, drop 2 filler bytes at the frame end (slot count unchanged)
+    flen = _frame_length(0b11, 3, 128, 44100, 0)
+    frame0 = p[:flen]
+    frame0[1] &= 0xFE  # protection bit 0 = CRC present
+    body = frame0[4:]
+    # shift the Xing area: re-plant the tag 2 bytes later
+    off = 17  # mono MPEG-1 side-info size
+    body[off: off + 12] = b"\x00" * 12
+    shifted = bytes(frame0[:4]) + b"\x00\x00" + bytes(body[:-2])
+    shifted = bytearray(shifted)
+    shifted[4 + 2 + off: 4 + 2 + off + 4] = b"Xing"
+    shifted[4 + 2 + off + 4: 4 + 2 + off + 8] = (1).to_bytes(4, "big")
+    shifted[4 + 2 + off + 8: 4 + 2 + off + 12] = (4).to_bytes(4, "big")
+    m = parse_mp3_metadata(bytes(shifted) + bytes(p[flen:]))
+    assert m["has_xing"] and m["xing_frames"] == 4
+
+
 def test_truncated_final_frame_not_counted():
     p = build_mp3(5, bitrate_indices=9, pad_alternate=False)
     flen = _frame_length(0b11, 3, 128, 44100, 0)

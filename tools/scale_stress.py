@@ -813,13 +813,103 @@ def codec_stress(spark, reps: int) -> dict:
     return res
 
 
+def codec_stress_large(spark, reps: int) -> dict:
+    """Round-12 verdict item 8: the v4.8 codec table used 48x64 images /
+    12k-sample FLAC; real corpora carry 100 KB-5 MB payloads where the
+    bit-serial completeness paths (QM-coder, rice) could be seconds per
+    payload. This tier measures the SAME production decode path at
+    512x512 RGB / ~1 MB FLAC (1s stereo at 262144 samples total), with
+    smaller fan-out counts (payload work dominates job overhead), and
+    reports marginal ms/payload and ms per MB of DECODED output — the
+    number that sets ``mapInPandas`` batch-size guidance."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.flac import encode_flac
+    from evolution_spark.operators.gif import encode_gif
+    from evolution_spark.operators.jpeg_arith import encode_jpeg_arithmetic
+    from evolution_spark.operators.jpeg_lossless import encode_jpeg_lossless
+    from evolution_spark.operators.multimodal import (
+        decode_media,
+        encode_jpeg,
+        encode_png,
+    )
+    from evolution_spark.operators.tiff import encode_tiff
+
+    rng = np.random.default_rng(12)
+    # structured-plus-noise content: flat regions favor RLE/LZW paths,
+    # the noise floor keeps entropy coders honest
+    base = (rng.integers(0, 5, (32, 32, 3)) * 60).astype(np.uint8)
+    img_flat = np.kron(base, np.ones((16, 16, 1), dtype=np.uint8))
+    img = np.clip(img_flat.astype(np.int16)
+                  + rng.integers(-8, 9, img_flat.shape), 0, 255
+                  ).astype(np.uint8)
+    gray = img[..., 0]
+    t = np.arange(131072)
+    sig = np.stack([
+        (8000 * np.sin(t / 15) + rng.integers(-64, 65, t.size)),
+        (6000 * np.sin(t / 23) + rng.integers(-64, 65, t.size)),
+    ], axis=1).astype(np.int64)
+    payloads = {
+        "png": (encode_png(img), img.size),
+        "jpeg_baseline": (encode_jpeg(img, 50), img.size),
+        "jpeg_arith": (encode_jpeg_arithmetic(img, 50), img.size),
+        "jpeg_lossless": (encode_jpeg_lossless(gray), gray.size),
+        # GIF is palette-bound (<=256 colors): it gets the pre-noise
+        # tiles — the realistic input for the format anyway
+        "gif": (encode_gif(img_flat), img_flat.size),
+        "tiff_lzw": (encode_tiff(img, compression="lzw"), img.size),
+        "flac": (encode_flac(sig, rate=44100), sig.size * 2),
+    }
+
+    def run(name: str, payload: bytes, n: int) -> float:
+        df = spark.range(n).selectExpr("id as media_id")
+        kind = "audio" if name == "flac" else "image"
+
+        def gen(batches):
+            for pdf in batches:
+                sums = [
+                    float(decode_media(payload, kind).sum())
+                    for _ in pdf["media_id"]
+                ]
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"], "s": sums,
+                })
+
+        out_df = df.repartition(32).mapInPandas(gen, "media_id long, s double")
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out_df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return best
+
+    res = {}
+    for name, (payload, raw_units) in payloads.items():
+        n = 32
+        s1 = run(name, payload, n)
+        s4 = run(name, payload, 4 * n)
+        marginal_ms = (s4 - s1) * 1000 / (3 * n)
+        raw_mb = raw_units / (1024 * 1024)
+        res[name] = {
+            "bytes": len(payload), "raw_mb": round(raw_mb, 2),
+            "n": n, "s": round(s1, 3), "n4": 4 * n, "s4": round(s4, 3),
+            "marginal_ms_per_payload": round(marginal_ms, 1),
+            "ms_per_raw_mb": round(marginal_ms / raw_mb, 1)
+            if raw_mb else None,
+        }
+    return res
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2, help="timed passes (min taken)")
     ap.add_argument(
         "--mode",
         choices=["cluster-growth", "fixed-cluster", "format-scan", "ref-ops",
-                 "cdf-ops", "writer-features", "rewrite-ops", "codecs"],
+                 "cdf-ops", "writer-features", "rewrite-ops", "codecs",
+                 "codecs-large"],
         default="cluster-growth",
         help="cluster-growth: every replica near-dups every other (planted "
         "pairs grow C(R,2)); fixed-cluster: near-dups only within buckets "
@@ -861,6 +951,8 @@ def main() -> int:
         # the full cluster-growth run)
         standalone = {
             "codecs": ("codecs", lambda: codec_stress(spark, args.reps)),
+            "codecs-large": ("codecs-large",
+                             lambda: codec_stress_large(spark, args.reps)),
             "format-scan": (
                 "format_scan",
                 lambda: format_scan_stress(spark, tmp, args.reps),

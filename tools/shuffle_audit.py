@@ -56,6 +56,8 @@ AUDITED = {
     "data_contract_orders": "all rules in one scan; one aggregate row moves",
     "feature_hash_vectorize": "(doc_id, dim, partial n) after map-side combine",
     "bfs_khop_reach": "per-round frontier-id joins; visited set checkpointed",
+    "iceberg_v3_compaction_lifecycle": "lineage ids come from a map-literal projection over the scan — no join, no added exchange; compaction is coalesce-only",
+    "delta_row_tracking_optimize": "materialized row ids ride the rewrite projection (map-literal base ids + pos); no shuffle beyond plain OPTIMIZE",
 }
 
 
