@@ -18,8 +18,10 @@ Scale shape: like the other codecs, decode is per-payload inside
 Arrow-batched ``mapInPandas`` — audio bytes never shuffle. The entropy
 loop is bit-serial by nature (rice codes are self-delimiting), so this
 is a scalar-Python completeness path; WAV stays the vectorized fast
-path. Ref parity: the reference has no audio codecs (extension
-surface)."""
+path. Measured envelope (BASELINE v4.9): ~140 ms per MB of decoded
+PCM — a payload longer than ~1 MB PCM crosses 100 ms, so cap Arrow
+batch sizes accordingly for multi-MB audio. Ref parity: the reference
+has no audio codecs (extension surface)."""
 
 from __future__ import annotations
 

@@ -15,6 +15,11 @@ uint16. The matching encoder gives every path a hermetic round-trip
 fixture; losslessness means decode(encode(x)) == x EXACTLY for
 arbitrary input, the strongest oracle any codec here has.
 
+Measured envelope (BASELINE v4.9): the sample-serial prediction +
+Huffman loop runs ~200 ms per MB of decoded samples (49 ms at
+512x512 gray) — a frame larger than ~0.5 MB decoded crosses
+100 ms/payload; batch accordingly for large medical frames.
+
 Prediction reset rule: the first sample of the scan and the first
 sample after each RSTn use the default prediction 2^(P-Pt-1) (H.1.1);
 all other samples follow the line rules (first line -> predictor 1,

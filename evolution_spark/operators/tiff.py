@@ -17,6 +17,10 @@ Declared limits (refuse, never mis-decode): bits-per-sample other than
 8 (bilevel fax profiles G3/G4 are a different coding system), tiled
 layout (tag 322), planar configuration 2, JPEG-in-TIFF.
 
+Measured envelope (BASELINE v4.9): the LZW path is bit-serial,
+~107 ms per MB of decoded pixels — a scan larger than ~1 MB decoded
+crosses 100 ms/payload; none/PackBits stay vectorized-cheap.
+
 Scale shape: per-payload decode inside Arrow-batched ``mapInPandas`` —
 image bytes never shuffle. Ref parity: the reference has no codecs
 (extension surface)."""
