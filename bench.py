@@ -220,6 +220,9 @@ BENCH_QUERIES = [
     "multimodal_gif_frames",
     "multimodal_tiff_features",
     "multimodal_cross_format_neardup",
+    # batch-21: round-12 container-metadata walkers (no codec decode)
+    "multimodal_mp3_metadata",
+    "multimodal_mp4_metadata",
 ]
 
 

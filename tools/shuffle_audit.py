@@ -56,14 +56,109 @@ AUDITED = {
     "data_contract_orders": "all rules in one scan; one aggregate row moves",
     "feature_hash_vectorize": "(doc_id, dim, partial n) after map-side combine",
     "bfs_khop_reach": "per-round frontier-id joins; visited set checkpointed",
-    "iceberg_v3_compaction_lifecycle": "lineage ids come from a map-literal projection over the scan — no join, no added exchange; compaction is coalesce-only",
-    "delta_row_tracking_optimize": "materialized row ids ride the rewrite projection (map-literal base ids + pos); no shuffle beyond plain OPTIMIZE",
+    "iceberg_v3_compaction_lifecycle": "bytes are the query's fixture writes + verification anti-joins; the compaction op itself exchanges 0 B (see the scale table below)",
+    "delta_row_tracking_optimize": "bytes are fixture + verification joins; the OPTIMIZE op itself exchanges 0 B (see the scale table below)",
 }
 
 
 def _get(base: str, path: str):
     with urllib.request.urlopen(base + path, timeout=10) as r:
         return json.load(r)
+
+
+def _group_shuffle_bytes(base: str, app_id: str, group: str):
+    """Sum shuffle read/write bytes and max input rows over every stage
+    of the jobs tagged with ``group``."""
+    jobs = _get(base, f"/applications/{app_id}/jobs")
+    stage_ids = sorted({
+        sid for j in jobs if j.get("jobGroup") == group
+        for sid in j.get("stageIds", [])
+    })
+    read_b = write_b = in_rows = 0
+    for sid in stage_ids:
+        try:
+            for att in _get(base, f"/applications/{app_id}/stages/{sid}"):
+                read_b += att.get("shuffleReadBytes", 0)
+                write_b += att.get("shuffleWriteBytes", 0)
+                in_rows = max(in_rows, att.get("inputRecords", 0))
+        except Exception:
+            pass
+    return in_rows, write_b, read_b
+
+
+def lineage_rewrite_scale_rows(spark, base: str, app_id: str, sf_dir: str):
+    """Round-12 verdict item 10: the map-literal lineage scan claims the
+    rewrite obligation adds NO data-shuffle term — measure the exchange
+    profile of Iceberg v3 compaction and Delta rowTracking OPTIMIZE at
+    1x and 30x the orders table so the claim is a number at both ends.
+    Table setup (writes, protocol stamps) runs OUTSIDE the job groups so
+    only the rewrite's own exchanges are attributed."""
+    import json as _json
+    import tempfile
+    from pathlib import Path as _Path
+
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.delta_log import (
+        optimize_delta,
+        write_delta_snapshot,
+    )
+    from evolution_spark.io.iceberg_meta import (
+        compact_iceberg_table,
+        upgrade_iceberg_format_version,
+        write_iceberg_table,
+    )
+
+    sc = spark.sparkContext
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    rows = []
+    with tempfile.TemporaryDirectory() as tmp:
+        for level in (1, 30):
+            big = orders
+            if level > 1:
+                big = orders.select(
+                    F.explode(
+                        F.sequence(F.lit(0), F.lit(level - 1))
+                    ).alias("__rep"),
+                    "*",
+                ).select(
+                    (F.col("o_orderkey")
+                     + F.col("__rep") * 10_000_000).alias("o_orderkey"),
+                    "o_custkey", "o_totalprice",
+                )
+            big = big.repartition(32).cache()
+            n = big.count()
+            target = max(4, level)
+
+            ice = f"{tmp}/lin_ice_{level}"
+            write_iceberg_table(big, ice)
+            upgrade_iceberg_format_version(ice)
+            g = f"ice_v3_compact_{level}x"
+            sc.setJobGroup(g, g)
+            compact_iceberg_table(spark, ice, target_files=target)
+            sc.setJobGroup("", "")
+            _, wb, rb = _group_shuffle_bytes(base, app_id, g)
+            rows.append((f"iceberg v3 compaction @{level}x", n, wb, rb))
+
+            drt = f"{tmp}/lin_drt_{level}"
+            write_delta_snapshot(big, drt)
+            (_Path(drt) / "_delta_log" / f"{1:020d}.json").write_text(
+                _json.dumps({"protocol": {
+                    "minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["rowTracking", "domainMetadata"],
+                    "writerFeatures": ["rowTracking", "domainMetadata"],
+                }}) + "\n"
+            )
+            g = f"delta_rt_optimize_{level}x"
+            sc.setJobGroup(g, g)
+            optimize_delta(spark, drt, target_files=target)
+            sc.setJobGroup("", "")
+            _, wb, rb = _group_shuffle_bytes(base, app_id, g)
+            rows.append((f"delta rowTracking OPTIMIZE @{level}x", n, wb, rb))
+            big.unpersist()
+    return rows
 
 
 def main() -> None:
@@ -87,25 +182,10 @@ def main() -> None:
         sc.setJobGroup(name, name)
         run_noop(QUERIES[name](spark, sf_dir))
         sc.setJobGroup("", "")
-        jobs = _get(base, f"/applications/{app_id}/jobs")
-        stage_ids = sorted(
-            {
-                sid
-                for j in jobs
-                if j.get("jobGroup") == name
-                for sid in j.get("stageIds", [])
-            }
-        )
-        read_b = write_b = in_rows = 0
-        for sid in stage_ids:
-            try:
-                for att in _get(base, f"/applications/{app_id}/stages/{sid}"):
-                    read_b += att.get("shuffleReadBytes", 0)
-                    write_b += att.get("shuffleWriteBytes", 0)
-                    in_rows = max(in_rows, att.get("inputRecords", 0))
-            except Exception:
-                pass
+        in_rows, write_b, read_b = _group_shuffle_bytes(base, app_id, name)
         rows.append((name, claim, in_rows, write_b, read_b))
+
+    lineage_rows = lineage_rewrite_scale_rows(spark, base, app_id, sf_dir)
 
     def fmt(b: int) -> str:
         if b >= 1 << 20:
@@ -129,6 +209,21 @@ def main() -> None:
     ]
     for name, claim, in_rows, wb, rb in rows:
         out.append(f"| {name} | {in_rows:,} | {fmt(wb)} | {fmt(rb)} | {claim} |")
+    out += [
+        "",
+        "## Lineage-preserving rewrites at scale (round 12)",
+        "",
+        "The map-literal lineage scan (`io/scan_filters.py`) claims the",
+        "row-lineage rewrite obligation adds NO data-shuffle term over a",
+        "plain rewrite — only two extra long columns in the projection.",
+        "Measured exchange profile of the full maintenance ops at 1x and",
+        "30x the orders table (table setup excluded via job groups):",
+        "",
+        "| op | input rows | shuffle write | shuffle read |",
+        "|---|---|---|---|",
+    ]
+    for name, n, wb, rb in lineage_rows:
+        out.append(f"| {name} | {n:,} | {fmt(wb)} | {fmt(rb)} |")
     path = os.path.join(os.path.dirname(__file__), "..", "SHUFFLES.md")
     with open(path, "w") as f:
         f.write("\n".join(out) + "\n")
