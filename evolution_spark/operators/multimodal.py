@@ -4,13 +4,16 @@ with typed metadata, processed through Arrow-batched ``mapInPandas``.
 The Spark-side plumbing — schemas, batch iteration, partition-preserving
 transforms, deterministic fake decoders — is real and tested. The image and
 audio codecs are REAL and dependency-free (pure numpy): 24-bit BMP, PNG
-(truecolor/gray/palette, Adam7), 16-bit PCM WAV, and JPEG in every non-hierarchical mode — baseline
+(truecolor/gray/palette, 8/16-bit, Adam7), GIF, TIFF, 16-bit PCM WAV, FLAC,
+and JPEG in every mode — baseline
 (SOF0), extended sequential (SOF1), progressive (SOF2, Annex G),
-arithmetic-coded (SOF9/SOF10, Annex D QM-coder in ``jpeg_arith.py``), and
-lossless predictive (SOF3, Annex H in ``jpeg_lossless.py``, 8/16-bit) —
+arithmetic-coded (SOF9/SOF10, Annex D QM-coder in ``jpeg_arith.py``),
+lossless predictive (SOF3, Annex H in ``jpeg_lossless.py``, 8/16-bit), and
+hierarchical (DHP/EXP pyramids in ``jpeg_hier.py``) —
 each with a matching encoder for round-trip tests and mock-data
-generation. Only hierarchical / arithmetic-lossless JPEG and video
-containers (needs av, not shipped in this container) raise
+generation. Arithmetic-lossless JPEG (SOF11) refuses; MP3 and
+MP4/ISO-BMFF dispatch to their frame-/box-walker METADATA paths
+(``mp3.py``/``mp4.py``) while their lossy bitstream decode raises
 ``NotImplementedError``; ``fake=True`` requests the deterministic fake
 (hash-derived pixels/samples), which exercises every byte of the pipeline
 except the codec itself.
@@ -191,12 +194,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     """REAL PNG decoder, dependency-free (stdlib ``zlib`` + numpy): walks
     the chunk list, inflates the IDAT stream, and reconstructs all five
     scanline filters (None/Sub/Up/Average/Paeth) per the PNG spec
-    (RFC 2083 §6). Supports 8-bit grayscale / gray+alpha / RGB / RGBA,
-    PALETTE images (color type 3 at 1/2/4/8-bit packing, PLTE + optional
-    tRNS alpha — the common web icon shape), and ADAM7 interlacing
-    (round 11). Returns ``(h, w, channels)`` uint8 (or ``(h, w)`` for
-    grayscale; palette returns RGB, or RGBA when tRNS is present).
-    16-bit depths still raise — a stated limit, not silent corruption."""
+    (RFC 2083 §6). Supports 8- and 16-BIT (round 12; big-endian
+    samples, byte-level filtering per spec) grayscale / gray+alpha /
+    RGB / RGBA, PALETTE images (color type 3 at 1/2/4/8-bit packing,
+    PLTE + optional tRNS alpha — the common web icon shape), and ADAM7
+    interlacing (round 11). Returns ``(h, w, channels)`` (or ``(h, w)``
+    for grayscale) — uint8, or uint16 for 16-bit depth; palette returns
+    RGB, or RGBA when tRNS is present."""
     import zlib as _zlib
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
@@ -227,13 +231,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     if width is None:
         raise ValueError("PNG payload missing IHDR")
     ok = (
-        (color_type in _PNG_CHANNELS and bit_depth == 8)
+        (color_type in _PNG_CHANNELS and bit_depth in (8, 16))
         or (color_type == 3 and bit_depth in (1, 2, 4, 8))
     ) and interlace in (0, 1)
     if not ok:
         raise ValueError(
             f"unsupported PNG shape (bit_depth={bit_depth}, color_type="
-            f"{color_type}, interlace={interlace}): 8-bit "
+            f"{color_type}, interlace={interlace}): 8/16-bit "
             "gray/gray+alpha/RGB/RGBA or 1/2/4/8-bit palette, "
             "non-interlaced or Adam7"
         )
@@ -303,6 +307,11 @@ def _png_rows_to_samples(rows: np.ndarray, width: int, bits: int,
     h = rows.shape[0]
     if bits == 8:
         return rows[:, : width * ch]
+    if bits == 16:
+        # big-endian sample pairs (PNG spec §7.1); filtering already ran
+        # on raw bytes, which is exactly the spec's byte-level rule
+        b = rows[:, : width * ch * 2].astype(np.uint16)
+        return (b[:, 0::2] << 8) | b[:, 1::2]
     unpacked = np.unpackbits(rows, axis=1)
     vals = unpacked.reshape(h, -1, bits)
     weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint16)
@@ -326,7 +335,10 @@ def _png_pixels(idat: bytes, width: int, height: int, bits: int,
         samples = _png_rows_to_samples(rows, width, bits, ch)
         grid = samples.reshape(height, width, ch)
     else:  # Adam7
-        grid = np.zeros((height, width, ch), dtype=np.uint8)
+        grid = np.zeros(
+            (height, width, ch),
+            dtype=np.uint16 if bits == 16 else np.uint8,
+        )
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (width - x0 + dx - 1) // dx
@@ -364,19 +376,32 @@ def _png_pixels(idat: bytes, width: int, height: int, bits: int,
 
 
 def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
-    """Encode a uint8 array (``(h, w)`` gray, ``(h, w, 2/3/4)``) as an
-    8-bit non-interlaced PNG. ``filter_type`` applies one filter (0-4) to
-    every scanline — used by the tests/oracle to exercise each of the
-    decoder's reconstruction paths."""
+    """Encode an array (``(h, w)`` gray, ``(h, w, 2/3/4)``) as a
+    non-interlaced PNG — 8-bit for uint8 input, 16-bit (big-endian
+    samples, round 12) for uint16. ``filter_type`` applies one filter
+    (0-4) to every scanline — used by the tests/oracle to exercise each
+    of the decoder's reconstruction paths; filtering operates on raw
+    BYTES with a bytes-per-pixel offset, the spec's rule for every
+    depth."""
     import zlib as _zlib
 
-    px = np.asarray(pixels, dtype=np.uint8)
+    px = np.asarray(pixels)
+    depth = 16 if px.dtype == np.uint16 else 8
+    if depth == 8:
+        px = px.astype(np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    flat = px.reshape(h, w * ch).astype(np.int32)
-    stride = w * ch
+    if depth == 16:
+        flat = (
+            np.ascontiguousarray(px.reshape(h, w * ch).astype(">u2"))
+            .view(np.uint8).astype(np.int32)
+        )
+    else:
+        flat = px.reshape(h, w * ch).astype(np.int32)
+    bpp = ch * depth // 8
+    stride = w * bpp
     if filter_type not in range(5):
         raise ValueError(f"filter_type must be 0-4, got {filter_type}")
     lines = bytearray()
@@ -384,9 +409,9 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     for y in range(h):
         row = flat[y]
         left = np.zeros(stride, dtype=np.int32)
-        left[ch:] = row[:-ch]
+        left[bpp:] = row[:-bpp]
         upleft = np.zeros(stride, dtype=np.int32)
-        upleft[ch:] = prev[:-ch]
+        upleft[bpp:] = prev[:-bpp]
         if filter_type == 0:
             enc = row
         elif filter_type == 1:
@@ -408,7 +433,7 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
 
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, 0])
+        + bytes([depth, color_type, 0, 0, 0])
     )
     return (
         _PNG_SIG
@@ -584,7 +609,7 @@ def resample_wav(payload: bytes, target_rate: int) -> bytes:
 def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Decode a media payload to a flat float32 sample array.
 
-    REAL for 24-bit BMP, 8-bit PNG, GIF (incl. the first frame of
+    REAL for 24-bit BMP, 8/16-bit PNG, GIF (incl. the first frame of
     animations — ``sample_frames`` walks full timelines), TIFF
     (baseline+LZW profile, first page — ``decode_tiff_pages`` walks
     multi-page chains), JPEG in every

@@ -1010,6 +1010,55 @@ def test_png_codec_roundtrip_all_filters():
         assert np.array_equal(decode_png(encode_png(grad, f)), grad)
 
 
+def test_png_16bit_roundtrip_and_spec_fixture():
+    """16-bit PNG (round 12): every filter round-trips full-range uint16
+    content for gray/gray+alpha/RGB/RGBA; a hand-built 16-bit stream
+    decodes the exact big-endian samples; dtype is preserved."""
+    import zlib
+
+    import numpy as np
+
+    from evolution_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_media,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(5, 7), (4, 6, 2), (6, 5, 3), (3, 4, 4), (1, 1), (2, 1, 3)]:
+        img = rng.integers(0, 1 << 16, size=shape, dtype=np.uint16)
+        for f in range(5):
+            got = decode_png(encode_png(img, filter_type=f))
+            assert got.dtype == np.uint16
+            assert np.array_equal(got, img), (shape, f)
+    # hand-built fixture: 2x1 gray 16-bit, filter None, samples
+    # 0x0102 0xFFFE big-endian (independent of encode_png)
+    ihdr = (2).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes(
+        [16, 0, 0, 0, 0])
+    raw = bytes([0, 0x01, 0x02, 0xFF, 0xFE])
+    payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(raw))
+               + _png_chunk(b"IEND", b""))
+    assert decode_png(payload).tolist() == [[0x0102, 0xFFFE]]
+    # production dispatch flattens 16-bit values losslessly to float32?
+    # 0xFFFE needs 16 bits — float32 holds integers to 2^24, exact
+    flat = decode_media(payload, "image")
+    assert flat.tolist() == [258.0, 65534.0]
+    # 16-bit + Adam7: 2x2 gray emits passes 1 ((0,0)), 6 ((0,1)),
+    # 7 (row 1) — hand-built per the spec pass grid
+    ihdr7 = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes(
+        [16, 0, 0, 0, 1])
+    raw7 = (bytes([0, 0x00, 0x0A]) + bytes([0, 0x10, 0x01])
+            + bytes([0, 0x20, 0x02, 0x30, 0x03]))
+    payload7 = (_PNG_SIG + _png_chunk(b"IHDR", ihdr7)
+                + _png_chunk(b"IDAT", zlib.compress(raw7))
+                + _png_chunk(b"IEND", b""))
+    assert decode_png(payload7).tolist() == [
+        [0x000A, 0x1001], [0x2002, 0x3003]]
+
+
 def test_png_decoder_spec_fixtures():
     """Decode hand-built PNG byte streams with filter bytes computed BY
     HAND from the spec (RFC 2083 §6) — independent of encode_png, so a
@@ -1064,8 +1113,13 @@ def test_png_decoder_guards():
     # 16-bit / palette / interlace refuse loudly: flip IHDR fields
     img = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
     broken = bytearray(img)
-    broken[24] = 16  # bit depth byte inside IHDR
+    broken[24] = 7  # invalid bit depth byte inside IHDR
     with pytest.raises(ValueError, match="unsupported PNG shape"):
+        decode_png(bytes(broken))
+    # 16-bit is supported since round 12, but a lying depth byte makes
+    # the stream length wrong — refuses, never mis-decodes
+    broken[24] = 16
+    with pytest.raises(ValueError, match="wrong length"):
         decode_png(bytes(broken))
     # production dispatch routes PNG magic to the real decoder
     flat = decode_media(encode_png(np.full((2, 3), 9, dtype=np.uint8)), "image")
@@ -1392,7 +1446,9 @@ def test_png_adam7_decode():
         assert np.array_equal(out, pal[:ncol][idx]), bits
 
 
-def test_png_16bit_still_refuses():
+def test_png_lying_depth_byte_refuses():
+    """16-bit decodes since round 12; an 8-bit stream whose IHDR CLAIMS
+    16 has the wrong IDAT length and must refuse, never mis-decode."""
     import numpy as np
 
     from evolution_spark.operators.multimodal import decode_png, encode_png
@@ -1402,7 +1458,7 @@ def test_png_16bit_still_refuses():
     payload[i + 4 + 8] = 16  # bit depth byte
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="unsupported PNG shape"):
+    with _pytest.raises(ValueError, match="wrong length"):
         decode_png(bytes(payload))
 
 
