@@ -13,9 +13,13 @@ compressions, optional predictor, and multi-page chains — all lossless,
 so decode(encode(x)) == x EXACTLY for arbitrary uint8 input (the
 repo-wide strongest-oracle strategy).
 
+Round 12 added the TILED layout (TIFF 6.0 §15, tags 322-325): tw x tl
+blocks in row-major tile order with zero-padded edge tiles, the
+predictor differencing within tile rows, on both decode and encode.
+
 Declared limits (refuse, never mis-decode): bits-per-sample other than
-8 (bilevel fax profiles G3/G4 are a different coding system), tiled
-layout (tag 322), planar configuration 2, JPEG-in-TIFF.
+8 (bilevel fax profiles G3/G4 are a different coding system), planar
+configuration 2, JPEG-in-TIFF.
 
 Measured envelope (BASELINE v4.9): the LZW path is bit-serial,
 ~107 ms per MB of decoded pixels — a scan larger than ~1 MB decoded
@@ -142,8 +146,6 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
             raise ValueError(f"TIFF missing required tag {tag}")
         return default
 
-    if 322 in tags:
-        raise ValueError("tiled TIFF layout is not supported (strips only)")
     w = one(256)
     h = one(257)
     spp = one(277, 1)
@@ -158,47 +160,87 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
     comp = one(259, 1)
     photo = one(262)
     predictor = one(317, 1)
-    if 273 not in tags or 279 not in tags:
-        raise ValueError("TIFF missing required strip tags 273/279")
-    offsets = tags[273]
-    counts = tags[279]
-    rows_per_strip = one(278, h)
-    if len(offsets) != len(counts):
-        raise ValueError("TIFF strip offsets/counts mismatch")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
 
-    row_bytes = w * spp
-    data = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        raw = payload[off: off + cnt]
-        if len(raw) < cnt:
-            raise ValueError("TIFF strip truncated")
-        nrows = min(rows_per_strip, h - si * rows_per_strip)
-        expected = nrows * row_bytes
+    def _decompress(raw: bytes, expected: int, what: str) -> bytes:
         if comp == 1:
             if len(raw) < expected:
-                raise ValueError("TIFF uncompressed strip short")
-            strip = bytes(raw[:expected])
-        elif comp == 5:
+                raise ValueError(f"TIFF uncompressed {what} short")
+            return bytes(raw[:expected])
+        if comp == 5:
             vals = lzw_decode(
                 bytes(raw), 8, expected, msb_first=True, early_change=True
             )
             if len(vals) < expected:
-                raise ValueError("TIFF LZW strip short")
-            strip = bytes(vals)
-        elif comp == 32773:
-            strip = _packbits_decode(bytes(raw), expected)
-        else:
+                raise ValueError(f"TIFF LZW {what} short")
+            return bytes(vals)
+        if comp == 32773:
+            return _packbits_decode(bytes(raw), expected)
+        raise ValueError(
+            f"unsupported TIFF compression {comp} (none/LZW/PackBits)"
+        )
+
+    if 322 in tags:
+        # TILED layout (TIFF 6.0 §15): tw x tl blocks, left-to-right
+        # top-to-bottom, right/bottom edge tiles padded to FULL tile
+        # size; the predictor differences within each TILE row (rows
+        # break at tile boundaries, unlike strips)
+        tw, tl = one(322), one(323)
+        if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
             raise ValueError(
-                f"unsupported TIFF compression {comp} (none/LZW/PackBits)"
+                f"TIFF tile size {tw}x{tl} violates the spec's "
+                "multiple-of-16 rule"
             )
-        data += strip
-    arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w * spp)
-    if predictor == 2:
-        arr = np.cumsum(
-            arr.reshape(h, w, spp).astype(np.int64), axis=1
-        ).astype(np.uint8).reshape(h, w * spp)
-    elif predictor != 1:
-        raise ValueError(f"unsupported TIFF predictor {predictor}")
+        if 324 not in tags or 325 not in tags:
+            raise ValueError("tiled TIFF missing tags 324/325")
+        offsets, counts = tags[324], tags[325]
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if len(offsets) != across * down or len(counts) != len(offsets):
+            raise ValueError(
+                f"TIFF tile count {len(offsets)} != grid {across}x{down}"
+            )
+        full = np.zeros((h, w, spp), dtype=np.uint8)
+        expected = tl * tw * spp
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            raw = payload[off: off + cnt]
+            if len(raw) < cnt:
+                raise ValueError("TIFF tile truncated")
+            tile = np.frombuffer(
+                _decompress(raw, expected, "tile"), dtype=np.uint8
+            ).reshape(tl, tw, spp)
+            if predictor == 2:
+                tile = np.cumsum(
+                    tile.astype(np.int64), axis=1
+                ).astype(np.uint8)
+            r, c = divmod(ti, across)
+            y0, x0 = r * tl, c * tw
+            ph_, pw_ = min(tl, h - y0), min(tw, w - x0)
+            full[y0: y0 + ph_, x0: x0 + pw_] = tile[:ph_, :pw_]
+        arr = full.reshape(h, w * spp)
+    else:
+        if 273 not in tags or 279 not in tags:
+            raise ValueError("TIFF missing required strip tags 273/279")
+        offsets = tags[273]
+        counts = tags[279]
+        rows_per_strip = one(278, h)
+        if len(offsets) != len(counts):
+            raise ValueError("TIFF strip offsets/counts mismatch")
+
+        row_bytes = w * spp
+        data = bytearray()
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            raw = payload[off: off + cnt]
+            if len(raw) < cnt:
+                raise ValueError("TIFF strip truncated")
+            nrows = min(rows_per_strip, h - si * rows_per_strip)
+            data += _decompress(raw, nrows * row_bytes, "strip")
+        arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w * spp)
+        if predictor == 2:
+            arr = np.cumsum(
+                arr.reshape(h, w, spp).astype(np.int64), axis=1
+            ).astype(np.uint8).reshape(h, w * spp)
 
     if photo in (0, 1):
         if spp != 1:
@@ -236,9 +278,12 @@ def encode_tiff(
     compression: str = "lzw",
     predictor: bool = False,
     rows_per_strip: int = 64,
+    tile_size: tuple[int, int] | None = None,
 ) -> bytes:
     """Encode uint8 page(s) (``(h, w)`` gray / ``(h, w, 3)`` RGB, or a
-    list of such for a multi-page file) as little-endian TIFF."""
+    list of such for a multi-page file) as little-endian TIFF.
+    ``tile_size=(tw, tl)`` (multiples of 16 per spec) writes the TILED
+    layout (tags 322-325, zero-padded edge tiles) instead of strips."""
     if isinstance(pages, np.ndarray):
         if pages.ndim == 2 or (pages.ndim == 3 and pages.shape[-1] == 3):
             pages = [pages]
@@ -265,27 +310,48 @@ def encode_tiff(
         h, w = px.shape[:2]
         spp = 1 if gray else 3
         flat = px.reshape(h, w * spp)
-        strips = []
-        for r0 in range(0, h, rows_per_strip):
-            rows = flat[r0: r0 + rows_per_strip]
-            if predictor:
-                p = rows.reshape(rows.shape[0], w, spp).astype(np.int64)
-                # first column stays raw; the rest are horizontal diffs
-                d = np.diff(p, axis=1, prepend=0)
-                rows = (d & 0xFF).astype(np.uint8).reshape(
-                    rows.shape[0], w * spp
-                )
-            raw = rows.tobytes()
+
+        def _pack(raw: bytes) -> bytes:
             if comp_code == 1:
-                strips.append(raw)
-            elif comp_code == 5:
-                strips.append(
-                    lzw_encode(
-                        list(raw), 8, msb_first=True, early_change=True
-                    )
+                return raw
+            if comp_code == 5:
+                return lzw_encode(
+                    list(raw), 8, msb_first=True, early_change=True
                 )
-            else:
-                strips.append(_packbits_encode(raw))
+            return _packbits_encode(raw)
+
+        def _diff(block: np.ndarray, width: int) -> np.ndarray:
+            p = block.reshape(block.shape[0], width, spp).astype(np.int64)
+            # first column stays raw; the rest are horizontal diffs
+            d = np.diff(p, axis=1, prepend=0)
+            return (d & 0xFF).astype(np.uint8).reshape(
+                block.shape[0], width * spp
+            )
+
+        strips = []
+        if tile_size is not None:
+            tw, tl = tile_size
+            if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
+                raise ValueError(
+                    f"tile_size {tile_size} must be positive multiples "
+                    "of 16 (TIFF 6.0 §15)"
+                )
+            grid = px.reshape(h, w, spp)
+            for y0 in range(0, h, tl):
+                for x0 in range(0, w, tw):
+                    tile = np.zeros((tl, tw, spp), dtype=np.uint8)
+                    src = grid[y0: y0 + tl, x0: x0 + tw]
+                    tile[: src.shape[0], : src.shape[1]] = src
+                    block = tile.reshape(tl, tw * spp)
+                    if predictor:
+                        block = _diff(block, tw)
+                    strips.append(_pack(block.tobytes()))
+        else:
+            for r0 in range(0, h, rows_per_strip):
+                rows = flat[r0: r0 + rows_per_strip]
+                if predictor:
+                    rows = _diff(rows, w)
+                strips.append(_pack(rows.tobytes()))
         strip_offsets = []
         for sdata in strips:
             strip_offsets.append(len(out))
@@ -303,10 +369,16 @@ def encode_tiff(
         entry(258, 3, [8] * spp)
         entry(259, 3, [comp_code])
         entry(262, 3, [1 if gray else 2])
-        entry(273, 4, strip_offsets)
         entry(277, 3, [spp])
-        entry(278, 4, [min(rows_per_strip, h)])
-        entry(279, 4, [len(s) for s in strips])
+        if tile_size is not None:
+            entry(322, 4, [tile_size[0]])
+            entry(323, 4, [tile_size[1]])
+            entry(324, 4, strip_offsets)
+            entry(325, 4, [len(s) for s in strips])
+        else:
+            entry(273, 4, strip_offsets)
+            entry(278, 4, [min(rows_per_strip, h)])
+            entry(279, 4, [len(s) for s in strips])
         if predictor:
             entry(317, 3, [2])
         entries.sort()

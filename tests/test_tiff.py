@@ -213,3 +213,50 @@ def test_missing_strip_tags_raise_value_error(imgs):
     payload[i: i + 2] = (999).to_bytes(2, "little")
     with pytest.raises(ValueError, match="273"):
         decode_tiff(bytes(payload))
+
+
+@pytest.mark.parametrize("comp", ["none", "lzw", "packbits"])
+@pytest.mark.parametrize("pred", [False, True])
+def test_tiled_roundtrips(comp, pred, imgs):
+    """TILED layout (round 12, TIFF 6.0 §15): non-multiple-of-tile
+    dimensions exercise zero-padded edge tiles; the predictor
+    differences within tile rows."""
+    gray, rgb = imgs[0], imgs[1]
+    for img in (gray, rgb):
+        payload = encode_tiff(img, compression=comp, predictor=pred,
+                              tile_size=(16, 16))
+        assert np.array_equal(decode_tiff(payload), img), (comp, pred)
+    # a larger tile than the image: single padded tile
+    payload = encode_tiff(gray, compression=comp, predictor=pred,
+                          tile_size=(64, 48))
+    assert np.array_equal(decode_tiff(payload), gray)
+
+
+def test_tiled_refusals(imgs):
+    gray = imgs[0]
+    with pytest.raises(ValueError, match="multiple-of-16|multiples"):
+        encode_tiff(gray, tile_size=(20, 16))
+    payload = bytearray(encode_tiff(gray, tile_size=(16, 16)))
+    # corrupt TileWidth to a non-multiple of 16 -> decode refuses
+    i = payload.find(bytes([322 & 0xFF, 322 >> 8, 4, 0]))
+    assert i > 0
+    payload[i + 8] = 20
+    with pytest.raises(ValueError, match="multiple-of-16"):
+        decode_tiff(bytes(payload))
+
+
+def test_tiled_multipage_and_dispatch(imgs):
+    """Tiled and striped pages can share one file; decode_media routes
+    tiled payloads like any other TIFF."""
+    from evolution_spark.operators.multimodal import decode_media
+
+    gray, rgb = imgs[0], imgs[1]
+    # encoder writes per-page layout: emulate by two single-layout files
+    tiled = encode_tiff(rgb, tile_size=(16, 32))
+    pages = decode_tiff_pages(tiled)
+    assert len(pages) == 1 and np.array_equal(pages[0], rgb)
+    flat = decode_media(tiled, "image")
+    assert flat.shape == (rgb.size,)
+    assert np.array_equal(
+        flat.reshape(rgb.shape).astype(np.uint8), rgb
+    )
