@@ -1671,3 +1671,96 @@ def multimodal_mp4_metadata(spark, sf_dir):
         "kf_rel_sum long, kf_size_sum long, a_n_samples long, "
         "a_sample_rate int, a_channels int, a_duration_us long",
     )
+
+
+@query(
+    "multimodal_png16_tiled_tiff",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 24),
+    png AS (
+      SELECT i, SUM((i * 31 + x.v * 7 + y.v * 13) % 65536) AS s
+      FROM ids
+      CROSS JOIN (SELECT UNNEST(range(24)) AS v) x
+      CROSS JOIN (SELECT UNNEST(range(16)) AS v) y
+      GROUP BY i
+    ),
+    tif AS (
+      SELECT i, SUM((i + 3 * x.v + 5 * y.v + 11 * c.v) % 256) AS s
+      FROM ids
+      CROSS JOIN (SELECT UNNEST(range(40)) AS v) x
+      CROSS JOIN (SELECT UNNEST(range(24)) AS v) y
+      CROSS JOIN (SELECT UNNEST(range(3)) AS v) c
+      GROUP BY i
+    )
+    SELECT png.i AS media_id,
+           CAST(png.s AS BIGINT) AS png16_sum,
+           CAST(tif.s AS BIGINT) AS tiff_tiled_sum
+    FROM png JOIN tif ON png.i = tif.i
+    """,
+)
+def multimodal_png16_tiled_tiff(spark, sf_dir):
+    """Round-12 refusal lifts, oracle-checked end-to-end: each document
+    id gets (a) a 16-BIT grayscale PNG (24x16, sample (x,y) =
+    (31*id + 7*x + 13*y) mod 65536 — full 16-bit range, big-endian
+    samples, filter type rotating by id to exercise byte-level
+    filtering at bpp=2) and (b) a TILED RGB TIFF (40x24, 16x16 tiles —
+    a 3x2 grid with right AND bottom zero-padded edge tiles — LZW +
+    predictor, channel value (id + 3x + 5y + 11c) mod 256). DuckDB
+    recomputes both pixel sums closed-form: one wrong filter offset,
+    sample byte order, tile placement, pad handling, or per-tile-row
+    predictor reset shifts a sum and fails the hash. Decode goes
+    through the production ``decode_media`` dispatch.
+
+    Scale shape: partition-local mapInPandas; media bytes never
+    shuffle. Ref parity: the reference has no codecs (extension
+    surface)."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.multimodal import (
+        decode_media,
+        encode_png,
+    )
+    from evolution_spark.operators.tiff import encode_tiff
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 24
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                yy, xx = np.meshgrid(
+                    np.arange(16), np.arange(24), indexing="ij"
+                )
+                png_px = ((i * 31 + xx * 7 + yy * 13) % 65536).astype(
+                    np.uint16
+                )
+                png_payload = encode_png(png_px, filter_type=i % 5)
+                png_sum = int(
+                    decode_media(png_payload, "image").astype(np.int64).sum()
+                )
+                cy, cx = np.meshgrid(
+                    np.arange(24), np.arange(40), indexing="ij"
+                )
+                rgb = np.stack(
+                    [(i + 3 * cx + 5 * cy + 11 * c) % 256 for c in range(3)],
+                    axis=-1,
+                ).astype(np.uint8)
+                tif_payload = encode_tiff(
+                    rgb, compression="lzw", predictor=True,
+                    tile_size=(16, 16),
+                )
+                tif_sum = int(
+                    decode_media(tif_payload, "image").astype(np.int64).sum()
+                )
+                rows.append((i, png_sum, tif_sum))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "png16_sum", "tiff_tiled_sum"]
+            )
+
+    return d.mapInPandas(
+        gen, "media_id long, png16_sum long, tiff_tiled_sum long"
+    )
