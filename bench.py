@@ -221,8 +221,11 @@ BENCH_QUERIES = [
     "multimodal_tiff_features",
     "multimodal_cross_format_neardup",
     # batch-21: round-12 container-metadata walkers (no codec decode)
+    # and the 16-bit-PNG / tiled-TIFF refusal lifts
     "multimodal_mp3_metadata",
     "multimodal_mp4_metadata",
+    "multimodal_png16_tiled_tiff",
+    "multimodal_webm_metadata",
 ]
 
 

@@ -642,6 +642,16 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
             "metadata path (duration, tracks, resolutions, keyframe "
             "byte offsets)"
         )
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        # EBML magic (WebM/Matroska): the container METADATA + cue-index
+        # path is real (operators/webm.py); VP8/VP9/AV1/Opus bitstream
+        # decode stays a declared refusal.
+        raise NotImplementedError(
+            "WebM/Matroska: codec bitstream decode is refused by design "
+            "— use evolution_spark.operators.webm.parse_webm_metadata / "
+            "cue_index for the container metadata path (duration, "
+            "tracks, resolutions, cue byte offsets)"
+        )
     if payload[:3] == b"ID3" or (
         len(payload) >= 2
         and payload[0] == 0xFF

@@ -1764,3 +1764,125 @@ def multimodal_png16_tiled_tiff(spark, sf_dir):
     return d.mapInPandas(
         gen, "media_id long, png16_sum long, tiff_tiled_sum long"
     )
+
+
+@query(
+    "multimodal_webm_metadata",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 24),
+    params AS (
+      SELECT i,
+             1000 + 250 * i AS dur_ticks,
+             CASE WHEN i % 2 = 0 THEN 1000 ELSE 500 END AS scale_us,
+             3 + (i % 3) AS k,
+             50 + 10 * (i % 4) AS cb,
+             i % 3 <> 2 AS has_audio
+      FROM ids
+    )
+    SELECT i AS media_id,
+           'webm' AS doctype,
+           CAST(dur_ticks * scale_us AS BIGINT) AS duration_us,
+           CAST(CASE WHEN has_audio THEN 2 ELSE 1 END AS INT) AS n_tracks,
+           list_extract(['V_VP9', 'V_VP8', 'V_AV1'], 1 + i % 3)
+             AS v_codec,
+           CAST(160 + 16 * (i % 5) AS INT) AS width,
+           CAST(90 + 16 * (i % 4) AS INT) AS height,
+           CAST(CASE WHEN has_audio THEN
+                list_extract([16000, 24000, 48000], 1 + (i // 3) % 3)
+                END AS INT) AS a_rate,
+           CAST(CASE WHEN has_audio THEN 1 + i % 2 END AS INT)
+             AS a_channels,
+           CAST(k AS BIGINT) AS n_cues,
+           CAST(500 * k * (k - 1) / 2 AS BIGINT) AS cue_time_sum,
+           CAST((k - 1) * (cb + 5) AS BIGINT) AS cue_off_span
+    FROM params
+    """,
+)
+def multimodal_webm_metadata(spark, sf_dir):
+    """WebM/Matroska EBML container metadata + cue index (round 12,
+    the video-container sibling of ``multimodal_mp4_metadata``): each
+    document id gets a spec-shaped EBML container — duration
+    1000+250*id ticks at a TimestampScale alternating 1 ms / 0.5 ms
+    per tick (exercising the scale math), a VP9/VP8/AV1 video track
+    with rotating resolution, an Opus audio track on two of three ids,
+    and 3..5 CuePoints each pointing at a REAL cluster byte offset —
+    then ``parse_webm_metadata`` + ``cue_index`` (RFC 8794 VINT walk)
+    reconstruct every fact. ``cue_off_span`` pins the byte ARITHMETIC:
+    consecutive cluster offsets differ by exactly cluster_bytes + 5
+    (4-byte Cluster id + 1-byte size VINT), which DuckDB recomputes
+    closed-form — one wrong VINT marker bit, element size, or offset
+    base shifts it. Codec bitstream decode stays a declared refusal in
+    ``decode_media``.
+
+    Scale shape: partition-local mapInPandas; container bytes never
+    shuffle. Ref parity: the reference has no media handling
+    (extension surface)."""
+    import pandas as pd
+
+    from evolution_spark.operators.webm import (
+        build_webm,
+        cue_index,
+        parse_webm_metadata,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 24
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                k = 3 + (i % 3)
+                audio = None
+                if i % 3 != 2:
+                    audio = {
+                        "rate": [16000, 24000, 48000][(i // 3) % 3],
+                        "channels": 1 + i % 2,
+                        "codec": "A_OPUS",
+                    }
+                payload = build_webm(
+                    duration_ticks=float(1000 + 250 * i),
+                    video={
+                        "width": 160 + 16 * (i % 5),
+                        "height": 90 + 16 * (i % 4),
+                        "codec": ["V_VP9", "V_VP8", "V_AV1"][i % 3],
+                    },
+                    audio=audio,
+                    cue_times=tuple(j * 500 for j in range(k)),
+                    n_clusters=k,
+                    cluster_bytes=50 + 10 * (i % 4),
+                    timestamp_scale_ns=(
+                        1_000_000 if i % 2 == 0 else 500_000
+                    ),
+                    seed=i,
+                )
+                m = parse_webm_metadata(payload)
+                cues = cue_index(payload)
+                v = m["tracks"][0]
+                a = m["tracks"][1] if len(m["tracks"]) > 1 else None
+                rows.append((
+                    i, m["doctype"], m["duration_us"], m["n_tracks"],
+                    v["codec_id"], v["width"], v["height"],
+                    a["sample_rate"] if a else None,
+                    a["channels"] if a else None,
+                    len(cues),
+                    sum(c[0] for c in cues),
+                    cues[-1][2] - cues[0][2],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "doctype", "duration_us", "n_tracks",
+                         "v_codec", "width", "height", "a_rate",
+                         "a_channels", "n_cues", "cue_time_sum",
+                         "cue_off_span"],
+            )
+
+    return d.mapInPandas(
+        gen,
+        "media_id long, doctype string, duration_us long, n_tracks int, "
+        "v_codec string, width int, height int, a_rate int, "
+        "a_channels int, n_cues long, cue_time_sum long, "
+        "cue_off_span long",
+    )
