@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "multimodal_mp4_metadata",
     "multimodal_png16_tiled_tiff",
     "multimodal_webm_metadata",
+    "multimodal_ogg_metadata",
 ]
 
 

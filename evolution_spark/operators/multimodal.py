@@ -652,6 +652,15 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
             "cue_index for the container metadata path (duration, "
             "tracks, resolutions, cue byte offsets)"
         )
+    if payload[:4] == b"OggS":
+        # OGG container: the page-walk METADATA path is real
+        # (operators/ogg.py — duration from granule positions, codec id
+        # headers); Vorbis/Opus decode stays a declared refusal.
+        raise NotImplementedError(
+            "OGG (Vorbis/Opus): audio decode is refused by design — use "
+            "evolution_spark.operators.ogg.parse_ogg_metadata for the "
+            "container metadata path (duration, codec, channels, rate)"
+        )
     if payload[:3] == b"ID3" or (
         len(payload) >= 2
         and payload[0] == 0xFF

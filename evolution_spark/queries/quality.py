@@ -1886,3 +1886,102 @@ def multimodal_webm_metadata(spark, sf_dir):
         "a_channels int, n_cues long, cue_time_sum long, "
         "cue_off_span long",
     )
+
+
+@query(
+    "multimodal_ogg_metadata",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 24),
+    params AS (
+      SELECT i,
+             i % 2 = 0 AS is_vorbis,
+             list_extract([8000, 16000, 44100, 48000], 1 + (i // 2) % 4)
+               AS v_rate,
+             list_extract([16000, 24000, 48000], 1 + (i // 2) % 3)
+               AS o_rate,
+             1 + i % 2 AS channels,
+             3 + i % 3 AS n_audio
+      FROM ids
+    ),
+    calc AS (
+      SELECT i, is_vorbis, channels, n_audio,
+             CASE WHEN is_vorbis THEN v_rate ELSE o_rate END AS rate,
+             CASE WHEN is_vorbis THEN 0 ELSE 120 + i END AS pre_skip,
+             CASE WHEN is_vorbis THEN v_rate * (1 + i % 3) + 50 * i
+                  ELSE 48000 * (1 + i % 2) + 100 * i END AS total,
+             CASE WHEN is_vorbis THEN v_rate ELSE 48000 END AS gr
+      FROM params
+    )
+    SELECT i AS media_id,
+           CASE WHEN is_vorbis THEN 'vorbis' ELSE 'opus' END AS codec,
+           CAST(channels AS INT) AS channels,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(pre_skip AS INT) AS pre_skip,
+           CAST(2 + n_audio AS BIGINT) AS n_pages,
+           CAST(total AS BIGINT) AS total_samples,
+           CAST(total * 1000000 // gr AS BIGINT) AS duration_us
+    FROM calc
+    """,
+)
+def multimodal_ogg_metadata(spark, sf_dir):
+    """OGG container metadata (round 12 — the last common audio
+    container after WAV/FLAC/MP3): each document id gets a spec-shaped
+    single-stream OGG — Vorbis on even ids (granule rate = stream
+    rate), Opus on odd (granules ALWAYS at 48 kHz with a per-id
+    pre-skip, RFC 7845 §4 — the two rules real tools get wrong), 3..5
+    audio pages with real RFC 3533 CRC-32s — then ``parse_ogg_metadata``
+    walks every page and reports exact duration from the last granule.
+    DuckDB recomputes every column closed-form; one wrong granule-rate
+    pick, pre-skip subtraction, lacing sum, or CRC table entry shifts a
+    value and fails the hash. Audio decode stays a declared refusal in
+    ``decode_media``.
+
+    Scale shape: partition-local mapInPandas; container bytes never
+    shuffle. Ref parity: the reference has no media handling
+    (extension surface)."""
+    import pandas as pd
+
+    from evolution_spark.operators.ogg import build_ogg, parse_ogg_metadata
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 24
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    codec = "vorbis"
+                    rate = [8000, 16000, 44100, 48000][(i // 2) % 4]
+                    total = rate * (1 + i % 3) + 50 * i
+                    pre_skip = 0
+                else:
+                    codec = "opus"
+                    rate = [16000, 24000, 48000][(i // 2) % 3]
+                    total = 48000 * (1 + i % 2) + 100 * i
+                    pre_skip = 120 + i
+                payload = build_ogg(
+                    codec, total_samples=total, rate=rate,
+                    channels=1 + i % 2, pre_skip=pre_skip,
+                    n_audio_pages=3 + i % 3, seed=i,
+                )
+                m = parse_ogg_metadata(payload)
+                rows.append((
+                    i, m["codec"], m["channels"], m["sample_rate"],
+                    m["pre_skip"], m["n_pages"], m["total_samples"],
+                    m["duration_us"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "codec", "channels", "sample_rate",
+                         "pre_skip", "n_pages", "total_samples",
+                         "duration_us"],
+            )
+
+    return d.mapInPandas(
+        gen,
+        "media_id long, codec string, channels int, sample_rate int, "
+        "pre_skip int, n_pages long, total_samples long, duration_us long",
+    )
