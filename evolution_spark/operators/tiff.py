@@ -13,13 +13,15 @@ compressions, optional predictor, and multi-page chains — all lossless,
 so decode(encode(x)) == x EXACTLY for arbitrary uint8 input (the
 repo-wide strongest-oracle strategy).
 
-Round 12 added the TILED layout (TIFF 6.0 §15, tags 322-325): tw x tl
+Round 12 added the TILED layout (TIFF 6.0 §15, tags 322-325 — tw x tl
 blocks in row-major tile order with zero-padded edge tiles, the
-predictor differencing within tile rows, on both decode and encode.
+predictor differencing within tile rows) and PLANAR configuration 2
+(tag 284 — the strip/tile sequence repeated per sample plane), on both
+decode and encode.
 
 Declared limits (refuse, never mis-decode): bits-per-sample other than
-8 (bilevel fax profiles G3/G4 are a different coding system), planar
-configuration 2, JPEG-in-TIFF.
+8 (bilevel G3/G4 fax profiles are a different coding system),
+JPEG-in-TIFF.
 
 Measured envelope (BASELINE v4.9): the LZW path is bit-serial,
 ~107 ms per MB of decoded pixels — a scan larger than ~1 MB decoded
@@ -155,8 +157,9 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
             f"unsupported TIFF bits-per-sample {bits} (8-bit only; "
             "bilevel G3/G4 fax profiles are a different coding system)"
         )
-    if one(284, 1) != 1:
-        raise ValueError("planar configuration 2 is not supported")
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise ValueError(f"unsupported TIFF planar configuration {planar}")
     comp = one(259, 1)
     photo = one(262)
     predictor = one(317, 1)
@@ -181,35 +184,30 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
             f"unsupported TIFF compression {comp} (none/LZW/PackBits)"
         )
 
-    if 322 in tags:
-        # TILED layout (TIFF 6.0 §15): tw x tl blocks, left-to-right
-        # top-to-bottom, right/bottom edge tiles padded to FULL tile
-        # size; the predictor differences within each TILE row (rows
-        # break at tile boundaries, unlike strips)
+    def _assemble_tiled(offsets, counts, spp_eff: int) -> np.ndarray:
+        """One pass of tile assembly with ``spp_eff`` samples per pixel
+        (1 per plane under planar config 2) -> (h, w, spp_eff)."""
         tw, tl = one(322), one(323)
         if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
             raise ValueError(
                 f"TIFF tile size {tw}x{tl} violates the spec's "
                 "multiple-of-16 rule"
             )
-        if 324 not in tags or 325 not in tags:
-            raise ValueError("tiled TIFF missing tags 324/325")
-        offsets, counts = tags[324], tags[325]
         across = (w + tw - 1) // tw
         down = (h + tl - 1) // tl
         if len(offsets) != across * down or len(counts) != len(offsets):
             raise ValueError(
                 f"TIFF tile count {len(offsets)} != grid {across}x{down}"
             )
-        full = np.zeros((h, w, spp), dtype=np.uint8)
-        expected = tl * tw * spp
+        full = np.zeros((h, w, spp_eff), dtype=np.uint8)
+        expected = tl * tw * spp_eff
         for ti, (off, cnt) in enumerate(zip(offsets, counts)):
             raw = payload[off: off + cnt]
             if len(raw) < cnt:
                 raise ValueError("TIFF tile truncated")
             tile = np.frombuffer(
                 _decompress(raw, expected, "tile"), dtype=np.uint8
-            ).reshape(tl, tw, spp)
+            ).reshape(tl, tw, spp_eff)
             if predictor == 2:
                 tile = np.cumsum(
                     tile.astype(np.int64), axis=1
@@ -218,17 +216,13 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
             y0, x0 = r * tl, c * tw
             ph_, pw_ = min(tl, h - y0), min(tw, w - x0)
             full[y0: y0 + ph_, x0: x0 + pw_] = tile[:ph_, :pw_]
-        arr = full.reshape(h, w * spp)
-    else:
-        if 273 not in tags or 279 not in tags:
-            raise ValueError("TIFF missing required strip tags 273/279")
-        offsets = tags[273]
-        counts = tags[279]
+        return full
+
+    def _assemble_strips(offsets, counts, spp_eff: int) -> np.ndarray:
         rows_per_strip = one(278, h)
         if len(offsets) != len(counts):
             raise ValueError("TIFF strip offsets/counts mismatch")
-
-        row_bytes = w * spp
+        row_bytes = w * spp_eff
         data = bytearray()
         for si, (off, cnt) in enumerate(zip(offsets, counts)):
             raw = payload[off: off + cnt]
@@ -236,11 +230,42 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
                 raise ValueError("TIFF strip truncated")
             nrows = min(rows_per_strip, h - si * rows_per_strip)
             data += _decompress(raw, nrows * row_bytes, "strip")
-        arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w * spp)
+        a = np.frombuffer(bytes(data), dtype=np.uint8).reshape(
+            h, w, spp_eff
+        )
         if predictor == 2:
-            arr = np.cumsum(
-                arr.reshape(h, w, spp).astype(np.int64), axis=1
-            ).astype(np.uint8).reshape(h, w * spp)
+            a = np.cumsum(a.astype(np.int64), axis=1).astype(np.uint8)
+        return a
+
+    tiled = 322 in tags
+    if tiled:
+        if 324 not in tags or 325 not in tags:
+            raise ValueError("tiled TIFF missing tags 324/325")
+        offsets, counts = tags[324], tags[325]
+        assemble = _assemble_tiled
+    else:
+        if 273 not in tags or 279 not in tags:
+            raise ValueError("TIFF missing required strip tags 273/279")
+        offsets, counts = tags[273], tags[279]
+        assemble = _assemble_strips
+    if planar == 2 and spp > 1:
+        # PLANAR config 2 (TIFF 6.0 tag 284): the strip/tile sequence
+        # repeats once PER SAMPLE PLANE, each plane stored like a
+        # single-sample image; the predictor differences within a plane
+        if len(offsets) % spp:
+            raise ValueError(
+                f"planar-2 TIFF: {len(offsets)} strips/tiles not "
+                f"divisible by {spp} planes"
+            )
+        per = len(offsets) // spp
+        planes = [
+            assemble(offsets[p * per: (p + 1) * per],
+                     counts[p * per: (p + 1) * per], 1)[..., 0]
+            for p in range(spp)
+        ]
+        arr = np.stack(planes, axis=-1).reshape(h, w * spp)
+    else:
+        arr = assemble(offsets, counts, spp).reshape(h, w * spp)
 
     if photo in (0, 1):
         if spp != 1:
@@ -279,11 +304,14 @@ def encode_tiff(
     predictor: bool = False,
     rows_per_strip: int = 64,
     tile_size: tuple[int, int] | None = None,
+    planar: bool = False,
 ) -> bytes:
     """Encode uint8 page(s) (``(h, w)`` gray / ``(h, w, 3)`` RGB, or a
     list of such for a multi-page file) as little-endian TIFF.
     ``tile_size=(tw, tl)`` (multiples of 16 per spec) writes the TILED
-    layout (tags 322-325, zero-padded edge tiles) instead of strips."""
+    layout (tags 322-325, zero-padded edge tiles) instead of strips.
+    ``planar=True`` (RGB only) writes planar configuration 2: the
+    strip/tile sequence repeated once per sample plane (tag 284)."""
     if isinstance(pages, np.ndarray):
         if pages.ndim == 2 or (pages.ndim == 3 and pages.shape[-1] == 3):
             pages = [pages]
@@ -309,7 +337,6 @@ def encode_tiff(
         gray = px.ndim == 2
         h, w = px.shape[:2]
         spp = 1 if gray else 3
-        flat = px.reshape(h, w * spp)
 
         def _pack(raw: bytes) -> bytes:
             if comp_code == 1:
@@ -320,38 +347,54 @@ def encode_tiff(
                 )
             return _packbits_encode(raw)
 
-        def _diff(block: np.ndarray, width: int) -> np.ndarray:
-            p = block.reshape(block.shape[0], width, spp).astype(np.int64)
+        def _diff(block: np.ndarray, width: int, spp_eff: int) -> np.ndarray:
+            p = block.reshape(
+                block.shape[0], width, spp_eff
+            ).astype(np.int64)
             # first column stays raw; the rest are horizontal diffs
             d = np.diff(p, axis=1, prepend=0)
             return (d & 0xFF).astype(np.uint8).reshape(
-                block.shape[0], width * spp
+                block.shape[0], width * spp_eff
             )
 
-        strips = []
-        if tile_size is not None:
-            tw, tl = tile_size
-            if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
-                raise ValueError(
-                    f"tile_size {tile_size} must be positive multiples "
-                    "of 16 (TIFF 6.0 §15)"
-                )
-            grid = px.reshape(h, w, spp)
-            for y0 in range(0, h, tl):
-                for x0 in range(0, w, tw):
-                    tile = np.zeros((tl, tw, spp), dtype=np.uint8)
-                    src = grid[y0: y0 + tl, x0: x0 + tw]
-                    tile[: src.shape[0], : src.shape[1]] = src
-                    block = tile.reshape(tl, tw * spp)
+        if planar and gray:
+            raise ValueError("planar=True needs an RGB page")
+
+        def _blocks(grid: np.ndarray, spp_eff: int) -> list[bytes]:
+            """Strip/tile byte blocks for one (h, w, spp_eff) image."""
+            out_blocks = []
+            if tile_size is not None:
+                tw, tl = tile_size
+                if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
+                    raise ValueError(
+                        f"tile_size {tile_size} must be positive "
+                        "multiples of 16 (TIFF 6.0 §15)"
+                    )
+                for y0 in range(0, h, tl):
+                    for x0 in range(0, w, tw):
+                        tile = np.zeros((tl, tw, spp_eff), dtype=np.uint8)
+                        src = grid[y0: y0 + tl, x0: x0 + tw]
+                        tile[: src.shape[0], : src.shape[1]] = src
+                        block = tile.reshape(tl, tw * spp_eff)
+                        if predictor:
+                            block = _diff(block, tw, spp_eff)
+                        out_blocks.append(_pack(block.tobytes()))
+            else:
+                flat_g = grid.reshape(h, w * spp_eff)
+                for r0 in range(0, h, rows_per_strip):
+                    rows = flat_g[r0: r0 + rows_per_strip]
                     if predictor:
-                        block = _diff(block, tw)
-                    strips.append(_pack(block.tobytes()))
+                        rows = _diff(rows, w, spp_eff)
+                    out_blocks.append(_pack(rows.tobytes()))
+            return out_blocks
+
+        grid_all = px.reshape(h, w, spp)
+        if planar:
+            strips = []
+            for p in range(spp):
+                strips += _blocks(grid_all[..., p: p + 1], 1)
         else:
-            for r0 in range(0, h, rows_per_strip):
-                rows = flat[r0: r0 + rows_per_strip]
-                if predictor:
-                    rows = _diff(rows, w)
-                strips.append(_pack(rows.tobytes()))
+            strips = _blocks(grid_all, spp)
         strip_offsets = []
         for sdata in strips:
             strip_offsets.append(len(out))
@@ -370,6 +413,8 @@ def encode_tiff(
         entry(259, 3, [comp_code])
         entry(262, 3, [1 if gray else 2])
         entry(277, 3, [spp])
+        if planar:
+            entry(284, 3, [2])
         if tile_size is not None:
             entry(322, 4, [tile_size[0]])
             entry(323, 4, [tile_size[1]])

@@ -260,3 +260,31 @@ def test_tiled_multipage_and_dispatch(imgs):
     assert np.array_equal(
         flat.reshape(rgb.shape).astype(np.uint8), rgb
     )
+
+
+@pytest.mark.parametrize("comp", ["none", "lzw", "packbits"])
+@pytest.mark.parametrize("pred", [False, True])
+@pytest.mark.parametrize("tiled", [False, True])
+def test_planar2_roundtrips(comp, pred, tiled, imgs):
+    """Planar configuration 2 (round 12, tag 284): the strip/tile
+    sequence repeats per sample plane; the predictor differences within
+    a plane."""
+    rgb = imgs[1]
+    payload = encode_tiff(
+        rgb, compression=comp, predictor=pred, planar=True,
+        tile_size=(16, 16) if tiled else None, rows_per_strip=10,
+    )
+    assert np.array_equal(decode_tiff(payload), rgb), (comp, pred, tiled)
+
+
+def test_planar2_refusals(imgs):
+    gray, rgb = imgs[0], imgs[1]
+    with pytest.raises(ValueError, match="RGB"):
+        encode_tiff(gray, planar=True)
+    payload = bytearray(encode_tiff(rgb, planar=True, rows_per_strip=10))
+    # corrupt planar tag value to 3 -> decode refuses
+    i = payload.find(bytes([284 & 0xFF, 284 >> 8, 3, 0]))
+    assert i > 0
+    payload[i + 8] = 3
+    with pytest.raises(ValueError, match="planar configuration 3"):
+        decode_tiff(bytes(payload))
