@@ -7,11 +7,12 @@ byte counts / rows-per-strip), compressions 1 (none), 5 (LZW — the
 MSB-first EARLY-CHANGE dialect via the shared ``operators/lzw`` core)
 and 32773 (PackBits), the horizontal-differencing predictor (tag 317),
 photometric interpretations 0/1 (gray, white- or black-is-zero),
-2 (RGB) and 3 (palette with the 16-bit TIFF colormap), 8-bit samples.
-The matching encoder writes II streams with any of the three
-compressions, optional predictor, and multi-page chains — all lossless,
-so decode(encode(x)) == x EXACTLY for arbitrary uint8 input (the
-repo-wide strongest-oracle strategy).
+2 (RGB) and 3 (palette with the 16-bit TIFF colormap), and 8- or
+16-BIT samples (round 12 — both byte orders, the predictor
+differencing on sample values). The matching encoder writes II streams
+with any of the three compressions, optional predictor, and multi-page
+chains — all lossless, so decode(encode(x)) == x EXACTLY for arbitrary
+uint8/uint16 input (the repo-wide strongest-oracle strategy).
 
 Round 12 added the TILED layout (TIFF 6.0 §15, tags 322-325 — tw x tl
 blocks in row-major tile order with zero-padded edge tiles, the
@@ -19,9 +20,9 @@ predictor differencing within tile rows) and PLANAR configuration 2
 (tag 284 — the strip/tile sequence repeated per sample plane), on both
 decode and encode.
 
-Declared limits (refuse, never mis-decode): bits-per-sample other than
-8 (bilevel G3/G4 fax profiles are a different coding system),
-JPEG-in-TIFF.
+Declared limits (refuse, never mis-decode): bits-per-sample other
+than uniform 8/16 (bilevel G3/G4 fax profiles are a different coding
+system), 16-bit palette, JPEG-in-TIFF.
 
 Measured envelope (BASELINE v4.9): the LZW path is bit-serial,
 ~107 ms per MB of decoded pixels — a scan larger than ~1 MB decoded
@@ -152,11 +153,15 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
     h = one(257)
     spp = one(277, 1)
     bits = tags.get(258, [8])
-    if any(b != 8 for b in bits):
+    if len(set(bits)) != 1 or bits[0] not in (8, 16):
         raise ValueError(
-            f"unsupported TIFF bits-per-sample {bits} (8-bit only; "
-            "bilevel G3/G4 fax profiles are a different coding system)"
+            f"unsupported TIFF bits-per-sample {bits} (uniform 8- or "
+            "16-bit only; bilevel G3/G4 fax profiles are a different "
+            "coding system)"
         )
+    bps = bits[0] // 8
+    px_dt = np.dtype("<u2" if bo == "little" else ">u2") if bps == 2 \
+        else np.dtype(np.uint8)
     planar = one(284, 1)
     if planar not in (1, 2):
         raise ValueError(f"unsupported TIFF planar configuration {planar}")
@@ -199,19 +204,20 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
             raise ValueError(
                 f"TIFF tile count {len(offsets)} != grid {across}x{down}"
             )
-        full = np.zeros((h, w, spp_eff), dtype=np.uint8)
-        expected = tl * tw * spp_eff
+        full = np.zeros((h, w, spp_eff), dtype=px_dt)
+        expected = tl * tw * spp_eff * bps
         for ti, (off, cnt) in enumerate(zip(offsets, counts)):
             raw = payload[off: off + cnt]
             if len(raw) < cnt:
                 raise ValueError("TIFF tile truncated")
             tile = np.frombuffer(
-                _decompress(raw, expected, "tile"), dtype=np.uint8
+                _decompress(raw, expected, "tile"), dtype=px_dt
             ).reshape(tl, tw, spp_eff)
             if predictor == 2:
+                # differencing operates on SAMPLE values at any depth
                 tile = np.cumsum(
                     tile.astype(np.int64), axis=1
-                ).astype(np.uint8)
+                ).astype(np.uint16 if bps == 2 else np.uint8).astype(px_dt)
             r, c = divmod(ti, across)
             y0, x0 = r * tl, c * tw
             ph_, pw_ = min(tl, h - y0), min(tw, w - x0)
@@ -222,7 +228,7 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
         rows_per_strip = one(278, h)
         if len(offsets) != len(counts):
             raise ValueError("TIFF strip offsets/counts mismatch")
-        row_bytes = w * spp_eff
+        row_bytes = w * spp_eff * bps
         data = bytearray()
         for si, (off, cnt) in enumerate(zip(offsets, counts)):
             raw = payload[off: off + cnt]
@@ -230,11 +236,13 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
                 raise ValueError("TIFF strip truncated")
             nrows = min(rows_per_strip, h - si * rows_per_strip)
             data += _decompress(raw, nrows * row_bytes, "strip")
-        a = np.frombuffer(bytes(data), dtype=np.uint8).reshape(
+        a = np.frombuffer(bytes(data), dtype=px_dt).reshape(
             h, w, spp_eff
         )
         if predictor == 2:
-            a = np.cumsum(a.astype(np.int64), axis=1).astype(np.uint8)
+            a = np.cumsum(a.astype(np.int64), axis=1).astype(
+                np.uint16 if bps == 2 else np.uint8
+            ).astype(px_dt)
         return a
 
     tiled = 322 in tags
@@ -271,12 +279,15 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
         if spp != 1:
             raise ValueError("gray photometric with multiple samples")
         img = arr.reshape(h, w)
-        return (255 - img) if photo == 0 else img
+        maxval = (1 << bits[0]) - 1
+        return (maxval - img).astype(img.dtype) if photo == 0 else img
     if photo == 2:
         if spp < 3:
             raise ValueError("RGB photometric needs >= 3 samples")
         return arr.reshape(h, w, spp)[..., :3].copy()
     if photo == 3:
+        if bps != 1:
+            raise ValueError("16-bit palette TIFF is not supported")
         cmap = tags.get(320)
         if cmap is None:
             raise ValueError("palette TIFF missing colormap")
@@ -328,7 +339,9 @@ def encode_tiff(
     out = bytearray(b"II*\x00" + bytes(4))
     prev_link = 4  # where to patch the next-IFD offset
     for page in pages:
-        px = np.asarray(page, dtype=np.uint8)
+        px = np.asarray(page)
+        if px.dtype != np.uint16:
+            px = px.astype(np.uint8)
         if px.ndim not in (2, 3) or (px.ndim == 3 and px.shape[-1] != 3):
             raise ValueError(
                 f"encode_tiff takes (h, w) gray or (h, w, 3) RGB pages, "
@@ -337,6 +350,9 @@ def encode_tiff(
         gray = px.ndim == 2
         h, w = px.shape[:2]
         spp = 1 if gray else 3
+        depth = 16 if px.dtype == np.uint16 else 8
+        mask = (1 << depth) - 1
+        enc_dt = "<u2" if depth == 16 else np.uint8
 
         def _pack(raw: bytes) -> bytes:
             if comp_code == 1:
@@ -352,8 +368,9 @@ def encode_tiff(
                 block.shape[0], width, spp_eff
             ).astype(np.int64)
             # first column stays raw; the rest are horizontal diffs
+            # on SAMPLE values (any depth)
             d = np.diff(p, axis=1, prepend=0)
-            return (d & 0xFF).astype(np.uint8).reshape(
+            return (d & mask).astype(px.dtype).reshape(
                 block.shape[0], width * spp_eff
             )
 
@@ -372,20 +389,24 @@ def encode_tiff(
                     )
                 for y0 in range(0, h, tl):
                     for x0 in range(0, w, tw):
-                        tile = np.zeros((tl, tw, spp_eff), dtype=np.uint8)
-                        src = grid[y0: y0 + tl, x0: x0 + tw]
-                        tile[: src.shape[0], : src.shape[1]] = src
+                        tile = np.zeros((tl, tw, spp_eff), dtype=px.dtype)
+                        srcb = grid[y0: y0 + tl, x0: x0 + tw]
+                        tile[: srcb.shape[0], : srcb.shape[1]] = srcb
                         block = tile.reshape(tl, tw * spp_eff)
                         if predictor:
                             block = _diff(block, tw, spp_eff)
-                        out_blocks.append(_pack(block.tobytes()))
+                        out_blocks.append(
+                            _pack(block.astype(enc_dt).tobytes())
+                        )
             else:
                 flat_g = grid.reshape(h, w * spp_eff)
                 for r0 in range(0, h, rows_per_strip):
                     rows = flat_g[r0: r0 + rows_per_strip]
                     if predictor:
                         rows = _diff(rows, w, spp_eff)
-                    out_blocks.append(_pack(rows.tobytes()))
+                    out_blocks.append(
+                        _pack(rows.astype(enc_dt).tobytes())
+                    )
             return out_blocks
 
         grid_all = px.reshape(h, w, spp)
@@ -409,7 +430,7 @@ def encode_tiff(
 
         entry(256, 4, [w])
         entry(257, 4, [h])
-        entry(258, 3, [8] * spp)
+        entry(258, 3, [depth] * spp)
         entry(259, 3, [comp_code])
         entry(262, 3, [1 if gray else 2])
         entry(277, 3, [spp])
