@@ -3,7 +3,7 @@
 The document/scientific-imagery container scraped corpora carry beside
 PNG/JPEG/GIF. REAL decode of the baseline + LZW profile: both byte
 orders (II/MM), the IFD walk with multi-page chains, strips (offsets /
-byte counts / rows-per-strip), compressions 1 (none), 5 (LZW — the
+byte counts / rows-per-strip), compressions 1 (none), 8/32946 (Deflate), 5 (LZW — the
 MSB-first EARLY-CHANGE dialect via the shared ``operators/lzw`` core)
 and 32773 (PackBits), the horizontal-differencing predictor (tag 317),
 photometric interpretations 0/1 (gray, white- or black-is-zero),
@@ -185,8 +185,18 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
             return bytes(vals)
         if comp == 32773:
             return _packbits_decode(bytes(raw), expected)
+        if comp in (8, 32946):
+            # Deflate (8, the TIFF-F/Adobe code) and the legacy 32946:
+            # a raw zlib stream per strip/tile
+            import zlib
+
+            out = zlib.decompress(bytes(raw))
+            if len(out) < expected:
+                raise ValueError(f"TIFF deflate {what} short")
+            return out[:expected]
         raise ValueError(
-            f"unsupported TIFF compression {comp} (none/LZW/PackBits)"
+            f"unsupported TIFF compression {comp} "
+            "(none/LZW/PackBits/Deflate)"
         )
 
     def _assemble_tiled(offsets, counts, spp_eff: int) -> np.ndarray:
@@ -333,7 +343,8 @@ def encode_tiff(
                 f"encode_tiff takes (h, w) gray or (h, w, 3) RGB pages "
                 f"(or a list of them), got shape {pages.shape}"
             )
-    comp_code = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    comp_code = {"none": 1, "lzw": 5, "packbits": 32773,
+                 "deflate": 8}[compression]
 
     # build sequentially: for each page, strips first, then its IFD
     out = bytearray(b"II*\x00" + bytes(4))
@@ -361,6 +372,10 @@ def encode_tiff(
                 return lzw_encode(
                     list(raw), 8, msb_first=True, early_change=True
                 )
+            if comp_code == 8:
+                import zlib
+
+                return zlib.compress(raw, 6)
             return _packbits_encode(raw)
 
         def _diff(block: np.ndarray, width: int, spp_eff: int) -> np.ndarray:

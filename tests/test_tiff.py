@@ -378,3 +378,23 @@ def test_16bit_mm_byte_order_hand_fixture():
     assert out.dtype.itemsize == 2
     assert out.astype(np.uint32).tolist() == [
         [0x0102, 0xFFFE], [0x00FF, 0xAB00]]
+
+
+@pytest.mark.parametrize("pred", [False, True])
+@pytest.mark.parametrize("tiled", [False, True])
+def test_deflate_roundtrips(pred, tiled, imgs):
+    """Deflate compression (round 12, codes 8/32946 — raw zlib per
+    strip/tile) round-trips 8- and 16-bit content."""
+    rng = np.random.default_rng(80)
+    gray16 = rng.integers(0, 1 << 16, (20, 30), dtype=np.uint16)
+    for img in (imgs[0], imgs[1], gray16):
+        payload = encode_tiff(
+            img, compression="deflate", predictor=pred,
+            tile_size=(16, 16) if tiled else None, rows_per_strip=9,
+        )
+        assert np.array_equal(decode_tiff(payload), img), (pred, tiled)
+    # legacy code 32946 decodes identically
+    p = bytearray(encode_tiff(imgs[0], compression="deflate"))
+    i = p.find(bytes([259 & 0xFF, 259 >> 8, 3, 0]))
+    p[i + 8: i + 10] = (32946).to_bytes(2, "little")
+    assert np.array_equal(decode_tiff(bytes(p)), imgs[0])
