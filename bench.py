@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "multimodal_png16_tiled_tiff",
     "multimodal_webm_metadata",
     "multimodal_ogg_metadata",
+    "multimodal_keyframe_ranges",
 ]
 
 

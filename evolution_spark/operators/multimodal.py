@@ -838,6 +838,84 @@ def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFr
     return df.mapInPandas(_sample, _FRAMES_SCHEMA)
 
 
+_KEYFRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("container", StringType(), False),
+        StructField("time_ticks", LongType(), True),
+        StructField("byte_offset", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def sample_keyframe_ranges(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Keyframe BYTE RANGES sampled evenly across each video container's
+    sync points — the 100 TB frame-extraction plan: list the ranges
+    distributed (this operator, metadata-only, no decode), then
+    range-read exactly those bytes instead of fetching whole files.
+
+    MP4 rows come from the stss/stsc/stsz/stco index (exact offset AND
+    size per keyframe sample); WebM rows from the Cues index (cluster
+    byte offset, relative to the segment body per spec; ``n_bytes`` is
+    the span to the next cue or segment end). Non-container payloads
+    are skipped. Partition-preserving mapInPandas; payload bytes never
+    shuffle — only the id/offset rows come out."""
+
+    def _ranges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from evolution_spark.operators.mp4 import (
+            keyframe_index,
+            parse_mp4_metadata,
+        )
+        from evolution_spark.operators.webm import cue_index
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                if payload[4:8] == b"ftyp":
+                    parse_mp4_metadata(payload)  # structural validation
+                    tracks = keyframe_index(payload)
+                    if not tracks:
+                        continue
+                    kfs = tracks[0]
+                    picks = np.unique(
+                        np.linspace(0, len(kfs) - 1,
+                                    min(n_frames, len(kfs))).round()
+                        .astype(int)
+                    )
+                    for i, pi in enumerate(picks):
+                        num, off, size = kfs[pi]
+                        rows.append((media_id, i, "mp4", num, off, size))
+                elif payload[:4] == b"\x1a\x45\xdf\xa3":
+                    cues = cue_index(payload)
+                    if not cues:
+                        continue
+                    picks = np.unique(
+                        np.linspace(0, len(cues) - 1,
+                                    min(n_frames, len(cues))).round()
+                        .astype(int)
+                    )
+                    for i, pi in enumerate(picks):
+                        t, _trk, off = cues[pi]
+                        nxt = (cues[pi + 1][2] if pi + 1 < len(cues)
+                               else None)
+                        rows.append((
+                            media_id, i, "webm", t, off,
+                            (nxt - off) if nxt is not None else None,
+                        ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "container",
+                         "time_ticks", "byte_offset", "n_bytes"],
+            )
+
+    return df.mapInPandas(_ranges, _KEYFRAME_SCHEMA)
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Byte-level stats over media payloads — pure JVM (no decode):
     per-kind counts, payload sizes, null rates."""

@@ -96,3 +96,47 @@ def test_decode_media_refuses_mp4_with_pointer():
     p = build_mp4(_sizes(6))
     with pytest.raises(NotImplementedError, match="parse_mp4_metadata"):
         decode_media(p, "video")
+
+
+def test_sample_keyframe_ranges_operator(spark):
+    """Spark-side plumbing for distributed keyframe range-reads: MP4
+    rows carry exact (offset, size); WebM rows carry cue offsets with
+    next-cue spans; non-container payloads drop out."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.multimodal import sample_keyframe_ranges
+    from evolution_spark.operators.webm import build_webm
+
+    sizes = _sizes(12, seed=2)
+    mp4 = build_mp4(sizes, keyframe_every=2, samples_per_chunk=5)
+    webm = build_webm(
+        duration_ticks=6000.0, video={"width": 64, "height": 48},
+        cue_times=(0, 2000, 4000), n_clusters=3, cluster_bytes=80,
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": [1, 2, 3],
+            "payload": [mp4, webm, b"not a container"],
+        })
+    )
+    rows = sample_keyframe_ranges(df, n_frames=3).orderBy(
+        "media_id", "frame_idx"
+    ).collect()
+    mp4_rows = [r for r in rows if r["media_id"] == 1]
+    webm_rows = [r for r in rows if r["media_id"] == 2]
+    assert not [r for r in rows if r["media_id"] == 3]
+    # MP4: keyframes at samples 1,3,5,7,9,11 -> picks 0, 2(idx), last
+    assert len(mp4_rows) == 3
+    (kfs,) = keyframe_index(mp4)
+    base = kfs[0][1]
+    for r in mp4_rows:
+        assert r["container"] == "mp4"
+        num = r["time_ticks"]
+        assert r["byte_offset"] - base == sum(sizes[: num - 1])
+        assert r["n_bytes"] == sizes[num - 1]
+        assert r["byte_offset"] + r["n_bytes"] <= len(mp4)
+    # WebM: 3 cues, consecutive spans equal (same cluster sizes)
+    assert [r["time_ticks"] for r in webm_rows] == [0, 2000, 4000]
+    assert webm_rows[0]["n_bytes"] == webm_rows[1]["n_bytes"] == 85
+    assert webm_rows[2]["n_bytes"] is None
