@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "multimodal_webm_metadata",
     "multimodal_ogg_metadata",
     "multimodal_keyframe_ranges",
+    "multimodal_fax_tiff",
 ]
 
 

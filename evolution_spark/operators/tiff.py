@@ -20,9 +20,14 @@ predictor differencing within tile rows) and PLANAR configuration 2
 (tag 284 — the strip/tile sequence repeated per sample plane), on both
 decode and encode.
 
-Declared limits (refuse, never mis-decode): bits-per-sample other
-than uniform 8/16 (bilevel G3/G4 fax profiles are a different coding
-system), 16-bit palette, JPEG-in-TIFF.
+Round 12 also added BILEVEL CCITT fax pages via ``operators/fax``:
+MH RLE (compression 2, byte-aligned 1-D rows) and Group 4 (compression
+4, T.6 MMR), strip-coded, both photometrics normalized to 1 = white,
+with matching encoders.
+
+Declared limits (refuse, never mis-decode): bits-per-sample other than
+uniform 8/16 or bilevel-fax 1, T.4-with-EOL (compression 3), tiled or
+predictor fax, 16-bit palette, JPEG-in-TIFF.
 
 Measured envelope (BASELINE v4.9): the LZW path is bit-serial,
 ~107 ms per MB of decoded pixels — a scan larger than ~1 MB decoded
@@ -153,11 +158,18 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
     h = one(257)
     spp = one(277, 1)
     bits = tags.get(258, [8])
+    comp0 = one(259, 1)
+    if bits == [1]:
+        if comp0 not in (2, 4):
+            raise ValueError(
+                "bilevel TIFF decodes only under CCITT MH RLE (2) or "
+                f"G4 (4) compression, got compression {comp0}"
+            )
+        return _decode_bilevel_fax(payload, tags, one)
     if len(set(bits)) != 1 or bits[0] not in (8, 16):
         raise ValueError(
-            f"unsupported TIFF bits-per-sample {bits} (uniform 8- or "
-            "16-bit only; bilevel G3/G4 fax profiles are a different "
-            "coding system)"
+            f"unsupported TIFF bits-per-sample {bits} (uniform 8/16-bit "
+            "continuous-tone, or 1-bit CCITT fax)"
         )
     bps = bits[0] // 8
     px_dt = np.dtype("<u2" if bo == "little" else ">u2") if bps == 2 \
@@ -319,6 +331,42 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
     raise ValueError(f"unsupported TIFF photometric {photo}")
 
 
+def _decode_bilevel_fax(payload: bytes, tags: dict, one) -> np.ndarray:
+    """CCITT bilevel strips (round 12): MH RLE (compression 2) or G4
+    (compression 4) via ``operators/fax``; each strip is independently
+    coded. Returns (h, w) uint8 with 1 = WHITE (the same black-is-zero
+    normalization the continuous-tone paths return)."""
+    from evolution_spark.operators.fax import decode_g4, decode_mh
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    photo = one(262)
+    if one(277, 1) != 1:
+        raise ValueError("bilevel TIFF with multiple samples per pixel")
+    if one(317, 1) != 1:
+        raise ValueError("predictor is not defined for CCITT fax")
+    if 322 in tags:
+        raise ValueError("tiled CCITT fax TIFF is not supported")
+    if photo not in (0, 1):
+        raise ValueError(f"bilevel TIFF photometric {photo} unsupported")
+    if 273 not in tags or 279 not in tags:
+        raise ValueError("TIFF missing required strip tags 273/279")
+    offsets, counts = tags[273], tags[279]
+    rows_per_strip = one(278, h)
+    dec = decode_mh if comp == 2 else decode_g4
+    parts = []
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        raw = payload[off: off + cnt]
+        if len(raw) < cnt:
+            raise ValueError("TIFF fax strip truncated")
+        nrows = min(rows_per_strip, h - si * rows_per_strip)
+        parts.append(dec(bytes(raw), w, nrows))
+    black = np.concatenate(parts, axis=0)
+    # photometric 0 (WhiteIsZero, the fax norm): sample value == black
+    # mask; photometric 1 inverts. Both normalize to 1 = white.
+    return (1 - black).astype(np.uint8)
+
+
 def encode_tiff(
     pages: np.ndarray | list[np.ndarray],
     compression: str = "lzw",
@@ -344,7 +392,7 @@ def encode_tiff(
                 f"(or a list of them), got shape {pages.shape}"
             )
     comp_code = {"none": 1, "lzw": 5, "packbits": 32773,
-                 "deflate": 8}[compression]
+                 "deflate": 8, "mh": 2, "g4": 4}[compression]
 
     # build sequentially: for each page, strips first, then its IFD
     out = bytearray(b"II*\x00" + bytes(4))
@@ -424,13 +472,35 @@ def encode_tiff(
                     )
             return out_blocks
 
-        grid_all = px.reshape(h, w, spp)
-        if planar:
-            strips = []
-            for p in range(spp):
-                strips += _blocks(grid_all[..., p: p + 1], 1)
+        bilevel = comp_code in (2, 4)
+        if bilevel:
+            # CCITT fax: (h, w) 0/1 intensities (1 = white), written as
+            # photometric 0 (WhiteIsZero) strips of the BLACK mask
+            from evolution_spark.operators.fax import encode_g4, encode_mh
+
+            if not gray or px.dtype != np.uint8 or px.max(initial=0) > 1:
+                raise ValueError(
+                    "CCITT compression takes a (h, w) 0/1 uint8 page "
+                    "(1 = white)"
+                )
+            if tile_size is not None or planar or predictor:
+                raise ValueError(
+                    "CCITT fax pages are strip-only, no predictor"
+                )
+            enc = encode_mh if comp_code == 2 else encode_g4
+            depth = 1
+            strips = [
+                enc(1 - px[r0: r0 + rows_per_strip])
+                for r0 in range(0, h, rows_per_strip)
+            ]
         else:
-            strips = _blocks(grid_all, spp)
+            grid_all = px.reshape(h, w, spp)
+            if planar:
+                strips = []
+                for p in range(spp):
+                    strips += _blocks(grid_all[..., p: p + 1], 1)
+            else:
+                strips = _blocks(grid_all, spp)
         strip_offsets = []
         for sdata in strips:
             strip_offsets.append(len(out))
@@ -447,7 +517,7 @@ def encode_tiff(
         entry(257, 4, [h])
         entry(258, 3, [depth] * spp)
         entry(259, 3, [comp_code])
-        entry(262, 3, [1 if gray else 2])
+        entry(262, 3, [0 if bilevel else (1 if gray else 2)])
         entry(277, 3, [spp])
         if planar:
             entry(284, 3, [2])

@@ -2092,3 +2092,72 @@ def multimodal_keyframe_ranges(spark, sf_dir):
         ),
         "n_bytes",
     )
+
+
+@query(
+    "multimodal_fax_tiff",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 24),
+    px AS (
+      SELECT i,
+             CASE WHEN (3 * x.v + 7 * y.v + i) % 11 < 4
+                  THEN 0 ELSE 1 END AS white
+      FROM ids
+      CROSS JOIN (SELECT UNNEST(range(46)) AS v) x
+      CROSS JOIN (SELECT UNNEST(range(29)) AS v) y
+    )
+    SELECT i AS media_id,
+           CASE WHEN i % 2 = 0 THEN 'g4' ELSE 'mh' END AS coding,
+           CAST(SUM(white) AS BIGINT) AS white_px,
+           CAST(COUNT(*) - SUM(white) AS BIGINT) AS black_px
+    FROM px GROUP BY i
+    """,
+)
+def multimodal_fax_tiff(spark, sf_dir):
+    """CCITT fax TIFF end-to-end (round 12 — the 'different coding
+    system' refusal lifted): each document id gets a 46x29 bilevel page
+    (black iff (3x+7y+id) mod 11 < 4 — diagonal run texture exercising
+    every T.6 mode), G4-coded on even ids and MH-RLE on odd, multi-strip
+    (8 rows/strip), then decoded through the production ``decode_media``
+    dispatch. DuckDB recomputes the white/black pixel counts
+    closed-form — one wrong T.4 table entry, vertical-mode offset, pass
+    fill, or photometric flip shifts a count and fails the hash.
+
+    Scale shape: partition-local mapInPandas; scan bytes never shuffle.
+    Ref parity: the reference has no codecs (extension surface)."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.multimodal import decode_media
+    from evolution_spark.operators.tiff import encode_tiff
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 24
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                yy, xx = np.meshgrid(
+                    np.arange(29), np.arange(46), indexing="ij"
+                )
+                white = ((3 * xx + 7 * yy + i) % 11 >= 4).astype(np.uint8)
+                coding = "g4" if i % 2 == 0 else "mh"
+                payload = encode_tiff(white, compression=coding,
+                                      rows_per_strip=8)
+                flat = decode_media(payload, "image").astype(np.int64)
+                rows.append((
+                    i, coding, int(flat.sum()),
+                    int(flat.size - flat.sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "coding", "white_px", "black_px"],
+            )
+
+    return d.mapInPandas(
+        gen,
+        "media_id long, coding string, white_px long, black_px long",
+    )
