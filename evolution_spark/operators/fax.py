@@ -288,6 +288,38 @@ def _b1_of(rc: list[int], ref: np.ndarray, a0: int, color: int,
     return w
 
 
+def _encode_row_2d(bw: _BitWriter, cur: np.ndarray, ref: np.ndarray,
+                   w: int) -> None:
+    """One 2-D coded row (the mode set shared by T.6 and T.4 2-D)."""
+    cc = _changes(cur)
+    rc = _changes(ref)
+    a0 = -1
+    color = 0
+    while a0 < w:
+        # a1: first changing element of cur right of a0
+        a1 = next((c for c in cc if c > a0), w)
+        b1 = _b1_of(rc, ref, a0, color, w)
+        b2 = next((c for c in rc if c > b1), w)
+        if b2 < a1:
+            bw.write("0001")  # pass
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            d = a1 - b1
+            bw.write({0: "1", 1: "011", 2: "000011", 3: "0000011",
+                      -1: "010", -2: "000010", -3: "0000010"}[d])
+            a0 = a1
+            color ^= 1
+        else:
+            # horizontal: runs a0a1 (current color), a1a2 (opposite)
+            a2 = next((c for c in cc if c > a1), w)
+            r1 = a1 - (a0 if a0 >= 0 else 0)
+            r2 = a2 - a1
+            bw.write("001")
+            _emit_run(bw, r1, color)
+            _emit_run(bw, r2, color ^ 1)
+            a0 = a2
+
+
 def encode_g4(black: np.ndarray) -> bytes:
     """ITU-T T.6 (Group 4 / MMR, TIFF compression 4): 2-D coding of
     every row against the previous one (first reference line all
@@ -298,36 +330,83 @@ def encode_g4(black: np.ndarray) -> bytes:
     ref = np.zeros(w, dtype=np.uint8)
     for y in range(h):
         cur = black[y]
-        cc = _changes(cur)
-        rc = _changes(ref)
-        a0 = -1
-        color = 0
-        while a0 < w:
-            # a1: first changing element of cur right of a0
-            a1 = next((c for c in cc if c > a0), w)
-            b1 = _b1_of(rc, ref, a0, color, w)
-            b2 = next((c for c in rc if c > b1), w)
-            if b2 < a1:
-                bw.write("0001")  # pass
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                d = a1 - b1
-                bw.write({0: "1", 1: "011", 2: "000011", 3: "0000011",
-                          -1: "010", -2: "000010", -3: "0000010"}[d])
-                a0 = a1
-                color ^= 1
-            else:
-                # horizontal: runs a0a1 (current color), a1a2 (opposite)
-                a2 = next((c for c in cc if c > a1), w)
-                r1 = a1 - (a0 if a0 >= 0 else 0)
-                r2 = a2 - a1
-                bw.write("001")
-                _emit_run(bw, r1, color)
-                _emit_run(bw, r2, color ^ 1)
-                a0 = a2
+        _encode_row_2d(bw, cur, ref, w)
         ref = cur
     bw.write(_EOL + _EOL)  # EOFB
     return bw.bytes()
+
+
+def _decode_row_2d(br: _BitReader, cur: np.ndarray, ref: np.ndarray,
+                   width: int, y: int) -> None:
+    """Decode one 2-D coded row into ``cur`` (zeros on entry)."""
+    rc = _changes(ref)
+    a0 = -1
+    color = 0
+    while a0 < width:
+        b1 = _b1_of(rc, ref, a0, color, width)
+        b2 = next((c for c in rc if c > b1), width)
+        head = br.peek(7)
+        if head.startswith("1"):  # V0
+            br.skip(1)
+            a1 = b1
+            mode = "v"
+        elif head.startswith("011"):
+            br.skip(3)
+            a1 = b1 + 1
+            mode = "v"
+        elif head.startswith("010"):
+            br.skip(3)
+            a1 = b1 - 1
+            mode = "v"
+        elif head.startswith("0001"):  # pass: run extends past b2
+            br.skip(4)
+            if color:
+                cur[max(a0, 0): b2] = 1
+            a0 = b2
+            continue
+        elif head.startswith("001"):
+            br.skip(3)
+            start = a0 if a0 >= 0 else 0
+            r1 = _read_run(br, color)
+            r2 = _read_run(br, color ^ 1)
+            if start + r1 + r2 > width:
+                raise ValueError(
+                    f"fax G4 horizontal overrun on row {y}"
+                )
+            if color:
+                cur[start: start + r1] = 1
+            else:
+                cur[start + r1: start + r1 + r2] = 1
+            a0 = start + r1 + r2
+            continue
+        elif head.startswith("000011"):
+            br.skip(6)
+            a1 = b1 + 2
+            mode = "v"
+        elif head.startswith("000010"):
+            br.skip(6)
+            a1 = b1 - 2
+            mode = "v"
+        elif head.startswith("0000011"):
+            br.skip(7)
+            a1 = b1 + 3
+            mode = "v"
+        elif head.startswith("0000010"):
+            br.skip(7)
+            a1 = b1 - 3
+            mode = "v"
+        else:
+            raise ValueError(
+                f"invalid fax G4 mode code {head!r} on row {y}"
+            )
+        if mode == "v":
+            if a1 < 0 or a1 > width:
+                raise ValueError(f"fax G4 vertical out of row {y}")
+            if color:
+                start = a0 if a0 >= 0 else 0
+                cur[start: a1] = 1
+            a0 = a1
+            color ^= 1
 
 
 def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
@@ -338,75 +417,99 @@ def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
     out = np.zeros((height, width), dtype=np.uint8)
     ref = np.zeros(width, dtype=np.uint8)
     for y in range(height):
+        _decode_row_2d(br, out[y], ref, width, y)
+        ref = out[y]
+    # optional EOFB
+    return out
+
+
+def encode_t4(black: np.ndarray, two_d: bool = False,
+              k: int = 4, fill: bool = False) -> bytes:
+    """ITU-T T.4 (Group 3, TIFF compression 3): every row preceded by
+    an EOL; in 2-D mode (T4Options bit 0) each EOL carries a tag bit —
+    1 = the next row is 1-D MH coded, 0 = 2-D coded against the
+    previous row. ``k`` is the classic K-factor: at most k-1 2-D rows
+    between 1-D rows (error confinement). ``fill`` (T4Options bit 2)
+    zero-pads so each EOL ends on a byte boundary. Ends with RTC
+    (six EOLs, 1-D tagged in 2-D mode)."""
+    black = np.asarray(black).astype(np.uint8)
+    h, w = black.shape
+    bw = _BitWriter()
+    ref = np.zeros(w, dtype=np.uint8)
+
+    def eol(tag: int | None) -> None:
+        if fill:
+            # pad so that the EOL (+ tag bit) ENDS byte-aligned
+            total = len(bw.bits) + len(_EOL) + (0 if tag is None else 1)
+            bw.write("0" * (-total % 8))
+        bw.write(_EOL)
+        if tag is not None:
+            bw.write(str(tag))
+
+    for y in range(h):
+        one_d = (not two_d) or (y % k == 0)
+        eol(None if not two_d else (1 if one_d else 0))
+        if one_d:
+            color = 0
+            for r in _row_runs(black[y]):
+                _emit_run(bw, r, color)
+                color ^= 1
+        else:
+            _encode_row_2d(bw, black[y], ref, w)
+        ref = black[y]
+    for _ in range(6):  # RTC
+        eol(None if not two_d else 1)
+    return bw.bytes()
+
+
+def decode_t4(data: bytes, width: int, height: int,
+              two_d: bool = False) -> np.ndarray:
+    """Inverse of ``encode_t4`` -> (h, w) uint8, 1 = black. Fill bits
+    (zeros before each EOL) are consumed implicitly by the EOL scan, so
+    both fill settings decode."""
+    br = _BitReader(bytes(data))
+    out = np.zeros((height, width), dtype=np.uint8)
+    ref = np.zeros(width, dtype=np.uint8)
+
+    def expect_eol() -> int | None:
+        zeros = 0
+        while True:
+            b = br.peek(1)
+            if b == "":
+                raise ValueError("fax T.4 stream truncated before EOL")
+            br.skip(1)
+            if b == "1":
+                break
+            zeros += 1
+        if zeros < 11:
+            raise ValueError(
+                f"fax T.4: expected EOL, saw only {zeros} zeros"
+            )
+        if two_d:
+            tag = br.peek(1)
+            if tag == "":
+                raise ValueError("fax T.4 stream truncated at tag bit")
+            br.skip(1)
+            return int(tag)
+        return None
+
+    for y in range(height):
+        tag = expect_eol()
         cur = out[y]
-        rc = _changes(ref)
-        a0 = -1
-        color = 0
-        while a0 < width:
-            b1 = _b1_of(rc, ref, a0, color, width)
-            b2 = next((c for c in rc if c > b1), width)
-            head = br.peek(7)
-            if head.startswith("1"):  # V0
-                br.skip(1)
-                a1 = b1
-                mode = "v"
-            elif head.startswith("011"):
-                br.skip(3)
-                a1 = b1 + 1
-                mode = "v"
-            elif head.startswith("010"):
-                br.skip(3)
-                a1 = b1 - 1
-                mode = "v"
-            elif head.startswith("0001"):  # pass: run extends past b2
-                br.skip(4)
-                if color:
-                    cur[max(a0, 0): b2] = 1
-                a0 = b2
-                continue
-            elif head.startswith("001"):
-                br.skip(3)
-                start = a0 if a0 >= 0 else 0
-                r1 = _read_run(br, color)
-                r2 = _read_run(br, color ^ 1)
-                if start + r1 + r2 > width:
+        if tag is None or tag == 1:  # 1-D MH row
+            x = 0
+            color = 0
+            while x < width:
+                run = _read_run(br, color)
+                if x + run > width:
                     raise ValueError(
-                        f"fax G4 horizontal overrun on row {y}"
+                        f"fax T.4 row {y} overruns width"
                     )
                 if color:
-                    cur[start: start + r1] = 1
-                else:
-                    cur[start + r1: start + r1 + r2] = 1
-                a0 = start + r1 + r2
-                continue
-            elif head.startswith("000011"):
-                br.skip(6)
-                a1 = b1 + 2
-                mode = "v"
-            elif head.startswith("000010"):
-                br.skip(6)
-                a1 = b1 - 2
-                mode = "v"
-            elif head.startswith("0000011"):
-                br.skip(7)
-                a1 = b1 + 3
-                mode = "v"
-            elif head.startswith("0000010"):
-                br.skip(7)
-                a1 = b1 - 3
-                mode = "v"
-            else:
-                raise ValueError(
-                    f"invalid fax G4 mode code {head!r} on row {y}"
-                )
-            if mode == "v":
-                if a1 < 0 or a1 > width:
-                    raise ValueError(f"fax G4 vertical out of row {y}")
-                if color:
-                    start = a0 if a0 >= 0 else 0
-                    cur[start: a1] = 1
-                a0 = a1
+                    cur[x: x + run] = 1
+                x += run
                 color ^= 1
+        else:
+            _decode_row_2d(br, cur, ref, width, y)
         ref = cur
-    # optional EOFB
     return out

@@ -21,12 +21,13 @@ predictor differencing within tile rows) and PLANAR configuration 2
 decode and encode.
 
 Round 12 also added BILEVEL CCITT fax pages via ``operators/fax``:
-MH RLE (compression 2, byte-aligned 1-D rows) and Group 4 (compression
-4, T.6 MMR), strip-coded, both photometrics normalized to 1 = white,
-with matching encoders.
+MH RLE (compression 2, byte-aligned 1-D rows), G3/T.4 (compression 3,
+EOL-framed 1-D and 2-D rows with tag bits, fill tolerated,
+T4Options-gated) and Group 4 (compression 4, T.6 MMR), strip-coded,
+both photometrics normalized to 1 = white, with matching encoders.
 
 Declared limits (refuse, never mis-decode): bits-per-sample other than
-uniform 8/16 or bilevel-fax 1, T.4-with-EOL (compression 3), tiled or
+uniform 8/16 or bilevel-fax 1, T.4 uncompressed mode, tiled or
 predictor fax, 16-bit palette, JPEG-in-TIFF.
 
 Measured envelope (BASELINE v4.9): the LZW path is bit-serial,
@@ -160,10 +161,10 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
     bits = tags.get(258, [8])
     comp0 = one(259, 1)
     if bits == [1]:
-        if comp0 not in (2, 4):
+        if comp0 not in (2, 3, 4):
             raise ValueError(
-                "bilevel TIFF decodes only under CCITT MH RLE (2) or "
-                f"G4 (4) compression, got compression {comp0}"
+                "bilevel TIFF decodes only under CCITT MH RLE (2), "
+                f"G3/T.4 (3) or G4 (4) compression, got {comp0}"
             )
         return _decode_bilevel_fax(payload, tags, one)
     if len(set(bits)) != 1 or bits[0] not in (8, 16):
@@ -336,7 +337,11 @@ def _decode_bilevel_fax(payload: bytes, tags: dict, one) -> np.ndarray:
     (compression 4) via ``operators/fax``; each strip is independently
     coded. Returns (h, w) uint8 with 1 = WHITE (the same black-is-zero
     normalization the continuous-tone paths return)."""
-    from evolution_spark.operators.fax import decode_g4, decode_mh
+    from evolution_spark.operators.fax import (
+        decode_g4,
+        decode_mh,
+        decode_t4,
+    )
 
     w, h = one(256), one(257)
     comp = one(259, 1)
@@ -353,7 +358,18 @@ def _decode_bilevel_fax(payload: bytes, tags: dict, one) -> np.ndarray:
         raise ValueError("TIFF missing required strip tags 273/279")
     offsets, counts = tags[273], tags[279]
     rows_per_strip = one(278, h)
-    dec = decode_mh if comp == 2 else decode_g4
+    if comp == 3:
+        t4opts = one(292, 0)
+        if t4opts & 0b10:
+            raise ValueError(
+                "T.4 uncompressed mode (T4Options bit 1) is refused"
+            )
+        two_d = bool(t4opts & 0b1)
+
+        def dec(raw, width, nrows):
+            return decode_t4(raw, width, nrows, two_d=two_d)
+    else:
+        dec = decode_mh if comp == 2 else decode_g4
     parts = []
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
         raw = payload[off: off + cnt]
@@ -391,8 +407,9 @@ def encode_tiff(
                 f"encode_tiff takes (h, w) gray or (h, w, 3) RGB pages "
                 f"(or a list of them), got shape {pages.shape}"
             )
-    comp_code = {"none": 1, "lzw": 5, "packbits": 32773,
-                 "deflate": 8, "mh": 2, "g4": 4}[compression]
+    comp_code = {"none": 1, "lzw": 5, "packbits": 32773, "deflate": 8,
+                 "mh": 2, "t4": 3, "t4_2d": 3, "g4": 4}[compression]
+    t4_two_d = compression == "t4_2d"
 
     # build sequentially: for each page, strips first, then its IFD
     out = bytearray(b"II*\x00" + bytes(4))
@@ -472,11 +489,11 @@ def encode_tiff(
                     )
             return out_blocks
 
-        bilevel = comp_code in (2, 4)
+        bilevel = comp_code in (2, 3, 4)
         if bilevel:
             # CCITT fax: (h, w) 0/1 intensities (1 = white), written as
             # photometric 0 (WhiteIsZero) strips of the BLACK mask
-            from evolution_spark.operators.fax import encode_g4, encode_mh
+            from evolution_spark.operators.fax import encode_g4, encode_mh  # noqa: F401
 
             if not gray or px.dtype != np.uint8 or px.max(initial=0) > 1:
                 raise ValueError(
@@ -487,7 +504,13 @@ def encode_tiff(
                 raise ValueError(
                     "CCITT fax pages are strip-only, no predictor"
                 )
-            enc = encode_mh if comp_code == 2 else encode_g4
+            if comp_code == 3:
+                from evolution_spark.operators.fax import encode_t4
+
+                def enc(rows):
+                    return encode_t4(rows, two_d=t4_two_d)
+            else:
+                enc = encode_mh if comp_code == 2 else encode_g4
             depth = 1
             strips = [
                 enc(1 - px[r0: r0 + rows_per_strip])
@@ -521,6 +544,8 @@ def encode_tiff(
         entry(277, 3, [spp])
         if planar:
             entry(284, 3, [2])
+        if comp_code == 3:
+            entry(292, 4, [1 if t4_two_d else 0])
         if tile_size is not None:
             entry(322, 4, [tile_size[0]])
             entry(323, 4, [tile_size[1]])

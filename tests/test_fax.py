@@ -145,3 +145,43 @@ def test_tiff_fax_decode_media_dispatch():
     flat = decode_media(encode_tiff(page, compression="g4"), "image")
     assert flat.shape == (16 * 24,)
     assert np.array_equal(flat.reshape(16, 24).astype(np.uint8), page)
+
+
+@pytest.mark.parametrize("two_d", [False, True])
+@pytest.mark.parametrize("fill", [False, True])
+def test_t4_roundtrips(two_d, fill):
+    from evolution_spark.operators.fax import decode_t4, encode_t4
+
+    rng = np.random.default_rng(47)
+    for img in _fixtures(rng):
+        data = encode_t4(img, two_d=two_d, fill=fill)
+        got = decode_t4(data, img.shape[1], img.shape[0], two_d=two_d)
+        assert np.array_equal(got, img), (img.shape, two_d, fill)
+
+
+def test_t4_eol_guard():
+    from evolution_spark.operators.fax import decode_t4
+
+    with pytest.raises(ValueError, match="EOL|truncated"):
+        decode_t4(b"\xff\x00\x00", 16, 2)
+
+
+@pytest.mark.parametrize("compression", ["t4", "t4_2d"])
+def test_tiff_t4_integration(compression):
+    """Compression 3 (T.4/G3) with T4Options: 1-D and 2-D variants
+    round-trip through encode_tiff/decode_tiff; uncompressed-mode
+    option refuses."""
+    from evolution_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(48)
+    page = (rng.random((25, 40)) < 0.5).astype(np.uint8)
+    payload = encode_tiff(page, compression=compression,
+                          rows_per_strip=9)
+    assert np.array_equal(decode_tiff(payload), page)
+    # T4Options bit 1 (uncompressed mode) refuses
+    p = bytearray(payload)
+    i = p.find(bytes([292 & 0xFF, 292 >> 8, 4, 0]))
+    assert i > 0
+    p[i + 8] |= 0b10
+    with pytest.raises(ValueError, match="uncompressed mode"):
+        decode_tiff(bytes(p))
