@@ -26,9 +26,15 @@ EOL-framed 1-D and 2-D rows with tag bits, fill tolerated,
 T4Options-gated) and Group 4 (compression 4, T.6 MMR), strip-coded,
 both photometrics normalized to 1 = white, with matching encoders.
 
+Round 12 also added new-style JPEG-in-TIFF (compression 7): one JIF
+stream per strip decoded by the module's own JPEG codec, abbreviated
+streams resolved against the JPEGTables tag (347) by SOI splicing —
+the one inherently lossy path here.
+
 Declared limits (refuse, never mis-decode): bits-per-sample other than
 uniform 8/16 or bilevel-fax 1, T.4 uncompressed mode, tiled or
-predictor fax, 16-bit palette, JPEG-in-TIFF.
+predictor fax, 16-bit palette, old-style JPEG (compression 6,
+deprecated by TIFF/EP and never coherently specified).
 
 Measured envelope (BASELINE v4.9): the LZW path is bit-serial,
 ~107 ms per MB of decoded pixels — a scan larger than ~1 MB decoded
@@ -198,6 +204,33 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
             return bytes(vals)
         if comp == 32773:
             return _packbits_decode(bytes(raw), expected)
+        if comp == 7:
+            # new-style JPEG-in-TIFF: each strip/tile is a JIF stream;
+            # abbreviated streams get the JPEGTables (tag 347) spliced
+            # in after their SOI
+            from evolution_spark.operators.multimodal import decode_jpeg
+
+            stream = bytes(raw)
+            tables = tags.get(347)
+            if tables is not None:
+                t = tables[0]
+                if not isinstance(t, (bytes, bytearray)):
+                    raise ValueError("TIFF JPEGTables tag is not bytes")
+                t = bytes(t)
+                if t[:2] != b"\xff\xd8" or t[-2:] != b"\xff\xd9":
+                    raise ValueError(
+                        "TIFF JPEGTables must be SOI..EOI delimited"
+                    )
+                if stream[:2] != b"\xff\xd8":
+                    raise ValueError("TIFF JPEG strip missing SOI")
+                stream = t[:-2] + stream[2:]
+            img = decode_jpeg(stream)
+            if img.ndim == 2:
+                img = img[:, :, None]
+            flat = img.reshape(-1)[:expected]
+            if flat.size < expected:
+                raise ValueError(f"TIFF JPEG {what} short")
+            return flat.astype(np.uint8).tobytes()
         if comp in (8, 32946):
             # Deflate (8, the TIFF-F/Adobe code) and the legacy 32946:
             # a raw zlib stream per strip/tile
@@ -209,7 +242,7 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
             return out[:expected]
         raise ValueError(
             f"unsupported TIFF compression {comp} "
-            "(none/LZW/PackBits/Deflate)"
+            "(none/LZW/PackBits/Deflate/JPEG)"
         )
 
     def _assemble_tiled(offsets, counts, spp_eff: int) -> np.ndarray:
@@ -408,7 +441,8 @@ def encode_tiff(
                 f"(or a list of them), got shape {pages.shape}"
             )
     comp_code = {"none": 1, "lzw": 5, "packbits": 32773, "deflate": 8,
-                 "mh": 2, "t4": 3, "t4_2d": 3, "g4": 4}[compression]
+                 "mh": 2, "t4": 3, "t4_2d": 3, "g4": 4,
+                 "jpeg": 7}[compression]
     t4_two_d = compression == "t4_2d"
 
     # build sequentially: for each page, strips first, then its IFD
@@ -490,7 +524,24 @@ def encode_tiff(
             return out_blocks
 
         bilevel = comp_code in (2, 3, 4)
-        if bilevel:
+        if comp_code == 7:
+            # new-style JPEG-in-TIFF: one self-contained JIF stream per
+            # strip (LOSSY — the one non-lossless path in this module,
+            # inherent to the compression; round-trips are exact only
+            # for DC-only content like the JPEG module's own oracle)
+            from evolution_spark.operators.multimodal import encode_jpeg
+
+            if px.dtype != np.uint8:
+                raise ValueError("JPEG-in-TIFF takes 8-bit pages")
+            if tile_size is not None or planar or predictor:
+                raise ValueError(
+                    "JPEG-in-TIFF is strip-only here, no predictor"
+                )
+            strips = [
+                encode_jpeg(px[r0: r0 + rows_per_strip], quality=90)
+                for r0 in range(0, h, rows_per_strip)
+            ]
+        elif bilevel:
             # CCITT fax: (h, w) 0/1 intensities (1 = white), written as
             # photometric 0 (WhiteIsZero) strips of the BLACK mask
             from evolution_spark.operators.fax import encode_g4, encode_mh  # noqa: F401

@@ -135,10 +135,10 @@ def test_refusals(imgs):
     # truncate mid-IFD
     with pytest.raises(ValueError, match="truncated|IFD"):
         decode_tiff(bytes(payload[: len(payload) - 6]))
-    # unknown compression code
+    # unknown compression code (6 = deprecated old-style JPEG)
     i = payload.find(bytes([259 & 0xFF, 259 >> 8, 3, 0]))
-    payload[i + 8] = 7  # JPEG-in-TIFF
-    with pytest.raises(ValueError, match="compression 7"):
+    payload[i + 8] = 6
+    with pytest.raises(ValueError, match="compression 6"):
         decode_tiff(bytes(payload))
 
 
@@ -398,3 +398,79 @@ def test_deflate_roundtrips(pred, tiled, imgs):
     i = p.find(bytes([259 & 0xFF, 259 >> 8, 3, 0]))
     p[i + 8: i + 10] = (32946).to_bytes(2, "little")
     assert np.array_equal(decode_tiff(bytes(p)), imgs[0])
+
+
+def test_jpeg_in_tiff_roundtrip_and_tables():
+    """Compression 7 (new-style JPEG-in-TIFF): per-strip JIF streams
+    decode through the module's own JPEG codec; DC-only content (even
+    constant 8x8 blocks) survives exactly; an abbreviated-stream
+    variant with the tables factored into tag 347 decodes identically."""
+    img = np.zeros((32, 48), dtype=np.uint8)
+    for by in range(4):
+        for bx in range(6):
+            img[by*8:(by+1)*8, bx*8:(bx+1)*8] = 2 * ((5*bx + 7*by) % 120)
+    payload = encode_tiff(img, compression="jpeg", rows_per_strip=16)
+    assert np.array_equal(decode_tiff(payload), img)
+    rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+    rgb[:8, :8] = (64, 128, 196)
+    dec = decode_tiff(encode_tiff(rgb, compression="jpeg",
+                                  rows_per_strip=16))
+    assert dec.shape == rgb.shape
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 12
+
+    # build an abbreviated variant: factor DQT/DHT segments of each
+    # strip into a JPEGTables (347) stream
+    from evolution_spark.operators.multimodal import encode_jpeg
+
+    def split(stream):
+        assert stream[:2] == b"\xff\xd8"
+        pos, tables, rest = 2, b"", b""
+        while pos < len(stream):
+            assert stream[pos] == 0xFF
+            marker = stream[pos + 1]
+            if marker == 0xD9:
+                rest += stream[pos:]
+                break
+            seg_len = int.from_bytes(stream[pos + 2: pos + 4], "big")
+            seg = stream[pos: pos + 2 + seg_len]
+            if marker == 0xDA:  # SOS: entropy data follows to EOI
+                rest += stream[pos:]
+                break
+            if marker in (0xDB, 0xC4):
+                tables += seg
+            else:
+                rest += seg
+            pos += 2 + seg_len
+        return tables, b"\xff\xd8" + rest
+
+    jif = encode_jpeg(img, quality=90)
+    tables, abbrev = split(jif)
+    jpeg_tables = b"\xff\xd8" + tables + b"\xff\xd9"
+    # hand-build a single-strip TIFF with tag 347
+    data_off = 8
+    ifd_off = data_off + len(abbrev)
+    tbl_off = None
+
+    def entry(tag, typ, cnt, val):
+        return (tag.to_bytes(2, "little") + typ.to_bytes(2, "little")
+                + cnt.to_bytes(4, "little") + val)
+
+    entries_n = 10
+    ifd_size = 2 + 12 * entries_n + 4
+    tbl_off = ifd_off + ifd_size
+    entries = [
+        entry(256, 4, 1, (48).to_bytes(4, "little")),
+        entry(257, 4, 1, (32).to_bytes(4, "little")),
+        entry(258, 3, 1, (8).to_bytes(2, "little") + bytes(2)),
+        entry(259, 3, 1, (7).to_bytes(2, "little") + bytes(2)),
+        entry(262, 3, 1, (1).to_bytes(2, "little") + bytes(2)),
+        entry(273, 4, 1, data_off.to_bytes(4, "little")),
+        entry(277, 3, 1, (1).to_bytes(2, "little") + bytes(2)),
+        entry(278, 4, 1, (32).to_bytes(4, "little")),
+        entry(279, 4, 1, len(abbrev).to_bytes(4, "little")),
+        entry(347, 7, len(jpeg_tables), tbl_off.to_bytes(4, "little")),
+    ]
+    ifd = (entries_n.to_bytes(2, "little") + b"".join(entries) + bytes(4))
+    payload2 = (b"II*\x00" + ifd_off.to_bytes(4, "little")
+                + abbrev + ifd + jpeg_tables)
+    assert np.array_equal(decode_tiff(payload2), img)
