@@ -227,6 +227,11 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
             img = decode_jpeg(stream)
             if img.ndim == 2:
                 img = img[:, :, None]
+            if img.shape[2] != spp:
+                raise ValueError(
+                    f"TIFF JPEG {what} has {img.shape[2]} components, "
+                    f"IFD declares {spp} samples/pixel"
+                )
             flat = img.reshape(-1)[:expected]
             if flat.size < expected:
                 raise ValueError(f"TIFF JPEG {what} short")

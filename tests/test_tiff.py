@@ -474,3 +474,15 @@ def test_jpeg_in_tiff_roundtrip_and_tables():
     payload2 = (b"II*\x00" + ifd_off.to_bytes(4, "little")
                 + abbrev + ifd + jpeg_tables)
     assert np.array_equal(decode_tiff(payload2), img)
+
+
+def test_jpeg_in_tiff_component_mismatch_refuses():
+    """review r12 pass 5: a JIF strip whose component count disagrees
+    with the IFD's SamplesPerPixel must refuse, not silently truncate."""
+    img = np.zeros((16, 16), dtype=np.uint8)
+    payload = bytearray(encode_tiff(img, compression="jpeg",
+                                    rows_per_strip=16))
+    i = payload.find(bytes([277 & 0xFF, 277 >> 8, 3, 0]))
+    payload[i + 8] = 3  # claim RGB against a gray JIF stream
+    with pytest.raises(ValueError, match="components"):
+        decode_tiff(bytes(payload))
