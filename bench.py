@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "multimodal_ogg_metadata",
     "multimodal_keyframe_ranges",
     "multimodal_fax_tiff",
+    "multimodal_probe_mixed",
 ]
 
 

@@ -838,6 +838,129 @@ def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFr
     return df.mapInPandas(_sample, _FRAMES_SCHEMA)
 
 
+_PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("container", StringType(), True),
+        StructField("kind", StringType(), True),
+        StructField("codec", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_us", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def probe_media(df: DataFrame) -> DataFrame:
+    """ONE metadata probe over a mixed corpus — the curation entry
+    point: dispatch every payload on its magic bytes to the right walker
+    (MP3 frames / MP4 boxes / WebM EBML / OGG pages / WAV / FLAC
+    STREAMINFO / the image headers) and return one unified row per
+    payload with container, kind, codec, resolution, duration, and
+    audio params; malformed payloads surface their ValueError text in
+    ``error`` instead of failing the job (the quarantine pattern).
+    Unknown magics probe as container=None with the byte count only.
+
+    Scale shape: header-only parsing inside Arrow-batched mapInPandas —
+    no pixel/sample decode, payload bytes never shuffle."""
+
+    def _probe_one(payload: bytes):
+        from evolution_spark.operators.mp3 import parse_mp3_metadata
+        from evolution_spark.operators.mp4 import parse_mp4_metadata
+        from evolution_spark.operators.ogg import parse_ogg_metadata
+        from evolution_spark.operators.webm import parse_webm_metadata
+
+        if payload[4:8] == b"ftyp":
+            m = parse_mp4_metadata(payload)
+            v = next((t for t in m["tracks"] if t["handler"] == "vide"),
+                     None)
+            a = next((t for t in m["tracks"] if t["handler"] == "soun"),
+                     None)
+            return ("mp4", "video" if v else "audio",
+                    (v or a or {}).get("codec"),
+                    v["width"] if v else None,
+                    v["height"] if v else None,
+                    m["duration_us"],
+                    a["sample_rate"] if a else None,
+                    a["channels"] if a else None)
+        if payload[:4] == b"\x1a\x45\xdf\xa3":
+            m = parse_webm_metadata(payload)
+            v = next((t for t in m["tracks"] if t["track_type"] == 1),
+                     None)
+            a = next((t for t in m["tracks"] if t["track_type"] == 2),
+                     None)
+            return (m["doctype"], "video" if v else "audio",
+                    (v or a or {}).get("codec_id"),
+                    v["width"] if v else None,
+                    v["height"] if v else None,
+                    m["duration_us"],
+                    a["sample_rate"] if a else None,
+                    a["channels"] if a else None)
+        if payload[:4] == b"OggS":
+            m = parse_ogg_metadata(payload)
+            return ("ogg", "audio", m["codec"], None, None,
+                    m["duration_us"], m["sample_rate"], m["channels"])
+        if payload[:3] == b"ID3" or (
+            len(payload) >= 2 and payload[0] == 0xFF
+            and payload[1] & 0xE0 == 0xE0
+        ):
+            m = parse_mp3_metadata(payload)
+            return ("mp3", "audio", f"mp3_layer{m['layer']}", None,
+                    None, m["duration_us"], m["sample_rate"],
+                    m["channels"])
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            pcm, rate = decode_wav(payload)
+            return ("wav", "audio", "pcm_s16le", None, None,
+                    pcm.shape[0] * 1_000_000 // rate, rate,
+                    pcm.shape[1])
+        if payload[:4] == b"fLaC":
+            from evolution_spark.operators.flac import decode_flac
+
+            pcm, rate = decode_flac(payload)
+            return ("flac", "audio", "flac", None, None,
+                    pcm.shape[0] * 1_000_000 // rate, rate,
+                    pcm.shape[1])
+        # images: decode the header-bearing container fully (cheap at
+        # corpus-metadata time only for small ones; dims suffice here)
+        img = decode_image_array(payload)
+        container = {
+            b"BM": "bmp", b"\x89P": "png", b"GI": "gif",
+            b"II": "tiff", b"MM": "tiff", b"\xff\xd8": "jpeg",
+        }.get(bytes(payload[:2]), "image")
+        return (container, "image", container,
+                int(img.shape[1]), int(img.shape[0]), None, None, None)
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                try:
+                    (container, kind, codec, w, h, dur, rate,
+                     ch) = _probe_one(payload)
+                    err = None
+                except (ValueError, _UnrecognizedImage) as e:
+                    container = kind = codec = None
+                    w = h = dur = rate = ch = None
+                    err = str(e)[:200]
+                rows.append((media_id, container, kind, codec, w, h,
+                             dur, rate, ch, len(payload), err))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "container", "kind", "codec",
+                         "width", "height", "duration_us",
+                         "sample_rate", "channels", "n_bytes", "error"],
+            )
+
+    return df.mapInPandas(_probe, _PROBE_SCHEMA)
+
+
 _KEYFRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

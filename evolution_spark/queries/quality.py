@@ -2161,3 +2161,131 @@ def multimodal_fax_tiff(spark, sf_dir):
         gen,
         "media_id long, coding string, white_px long, black_px long",
     )
+
+
+@query(
+    "multimodal_probe_mixed",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 30),
+    p AS (
+      SELECT i, i % 6 AS v,
+             8 + i % 3 AS mp4_n,
+             500 + 100 * i AS webm_ticks,
+             8 + i % 5 AS mp3_n,
+             list_extract([44100, 48000, 32000], 1 + (i // 6) % 3)
+               AS mp3_rate,
+             48000 + 100 * i AS opus_total,
+             4000 + 10 * i AS wav_n
+      FROM ids
+    )
+    SELECT i AS media_id,
+           CASE v WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm' WHEN 2 THEN 'mp3'
+                  WHEN 3 THEN 'ogg' WHEN 4 THEN 'wav' ELSE 'png' END
+             AS container,
+           CASE WHEN v IN (0, 1) THEN 'video'
+                WHEN v = 5 THEN 'image' ELSE 'audio' END AS kind,
+           CASE v WHEN 0 THEN 'avc1' WHEN 1 THEN 'V_VP9'
+                  WHEN 2 THEN 'mp3_layer3' WHEN 3 THEN 'opus'
+                  WHEN 4 THEN 'pcm_s16le' ELSE 'png' END AS codec,
+           CAST(CASE v WHEN 0 THEN 64 + 16 * (i % 4)
+                       WHEN 1 THEN 160 + 16 * (i % 5)
+                       WHEN 5 THEN 20 + (i % 5) END AS INT) AS width,
+           CAST(CASE v WHEN 0 THEN 48 WHEN 1 THEN 90
+                       WHEN 5 THEN 12 + (i % 3) END AS INT) AS height,
+           CAST(CASE v
+                WHEN 0 THEN (mp4_n * 100 * 1000 // 600) * 1000
+                WHEN 1 THEN webm_ticks * 1000
+                WHEN 2 THEN mp3_n * 1152 * 1000000 // mp3_rate
+                WHEN 3 THEN opus_total * 1000000 // 48000
+                WHEN 4 THEN wav_n * 1000000 // 8000
+                END AS BIGINT) AS duration_us,
+           CAST(CASE v WHEN 2 THEN mp3_rate WHEN 3 THEN 16000
+                       WHEN 4 THEN 8000 END AS INT) AS sample_rate,
+           CAST(CASE v WHEN 2 THEN 2 WHEN 3 THEN 1 + i % 2
+                       WHEN 4 THEN 2 END AS INT) AS channels
+    FROM p
+    """,
+)
+def multimodal_probe_mixed(spark, sf_dir):
+    """UNIFIED media probe over a MIXED corpus (round 12 — the curation
+    entry point): document ids rotate across all six container families
+    (MP4 / WebM / MP3 / OGG-Opus / WAV / PNG) with deterministic
+    parameters, then ONE ``probe_media`` pass returns a uniform
+    metadata row per payload — container, kind, codec, resolution,
+    exact duration, audio params — with no pixel/sample decode for the
+    container formats. DuckDB recomputes every column closed-form; a
+    wrong dispatch, duration rule (Opus 48 kHz granules, MP3
+    samples-per-frame, MP4 movie-timescale math), or header offset
+    shifts a value and fails the hash.
+
+    Scale shape: header-only parse in one partition-local mapInPandas;
+    this is the pass a 100 TB ingest runs FIRST to route payloads.
+    Ref parity: the reference has no media handling (extension
+    surface)."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.flac import encode_flac  # noqa: F401
+    from evolution_spark.operators.mp3 import build_mp3
+    from evolution_spark.operators.mp4 import build_mp4
+    from evolution_spark.operators.multimodal import (
+        encode_png,
+        encode_wav,
+        probe_media,
+    )
+    from evolution_spark.operators.ogg import build_ogg
+    from evolution_spark.operators.webm import build_webm
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 30
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                v = i % 6
+                if v == 0:
+                    pl = build_mp4(
+                        [100] * (8 + i % 3), keyframe_every=2,
+                        width=64 + 16 * (i % 4), height=48, seed=i,
+                    )
+                elif v == 1:
+                    pl = build_webm(
+                        duration_ticks=float(500 + 100 * i),
+                        video={"width": 160 + 16 * (i % 5),
+                               "height": 90, "codec": "V_VP9"},
+                        seed=i,
+                    )
+                elif v == 2:
+                    pl = build_mp3(
+                        8 + i % 5, bitrate_indices=9,
+                        sr_idx=(i // 6) % 3, mode=0, seed=i,
+                    )
+                elif v == 3:
+                    pl = build_ogg(
+                        "opus", total_samples=48000 + 100 * i,
+                        rate=16000, channels=1 + i % 2, seed=i,
+                    )
+                elif v == 4:
+                    n = 4000 + 10 * i
+                    sig = ((i * 37 + np.arange(n)) % 2001 - 1000)
+                    pl = encode_wav(
+                        np.stack([sig, sig], axis=1), sample_rate=8000
+                    )
+                else:
+                    img = (
+                        (i + np.arange((12 + i % 3) * (20 + i % 5)))
+                        % 256
+                    ).astype(np.uint8).reshape(12 + i % 3, 20 + i % 5)
+                    pl = encode_png(img)
+                ids.append(i)
+                payloads.append(pl)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return probe_media(media).select(
+        "media_id", "container", "kind", "codec", "width", "height",
+        "duration_us", "sample_rate", "channels",
+    )

@@ -140,3 +140,60 @@ def test_sample_keyframe_ranges_operator(spark):
     assert [r["time_ticks"] for r in webm_rows] == [0, 2000, 4000]
     assert webm_rows[0]["n_bytes"] == webm_rows[1]["n_bytes"] == 85
     assert webm_rows[2]["n_bytes"] is None
+
+
+def test_probe_media_mixed_corpus(spark):
+    """One probe over a mixed corpus: every container yields its
+    unified metadata row; a corrupt payload lands in `error` instead of
+    failing the job."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.flac import encode_flac
+    from evolution_spark.operators.mp3 import build_mp3
+    from evolution_spark.operators.multimodal import (
+        encode_png,
+        encode_wav,
+        probe_media,
+    )
+    from evolution_spark.operators.ogg import build_ogg
+    from evolution_spark.operators.webm import build_webm
+
+    img = np.zeros((12, 20), dtype=np.uint8)
+    sig = (1000 * np.sin(np.arange(4000) / 9)).astype(np.int64)
+    payloads = {
+        1: build_mp4([120] * 8, keyframe_every=2,
+                     audio={"n": 10, "rate": 22050, "channels": 2,
+                            "size": 32}),
+        2: build_webm(duration_ticks=1500.0,
+                      video={"width": 320, "height": 180}),
+        3: build_mp3(10, bitrate_indices=9, pad_alternate=False),
+        4: build_ogg("opus", total_samples=48000, rate=16000,
+                     channels=1),
+        5: encode_wav(np.stack([sig, sig], axis=1), sample_rate=8000),
+        6: encode_flac(sig, rate=16000),
+        7: encode_png(img),
+        8: b"\x1a\x45\xdf\xa3 truncated garbage",
+        9: b"completely unknown bytes",
+    }
+    df = spark.createDataFrame(pd.DataFrame({
+        "media_id": list(payloads),
+        "payload": list(payloads.values()),
+    }))
+    rows = {r["media_id"]: r for r in probe_media(df).collect()}
+    assert rows[1]["container"] == "mp4" and rows[1]["kind"] == "video"
+    assert rows[1]["codec"] == "avc1"
+    assert rows[1]["sample_rate"] == 22050 and rows[1]["channels"] == 2
+    assert rows[2]["container"] == "webm" and rows[2]["width"] == 320
+    assert rows[2]["duration_us"] == 1_500_000
+    assert rows[3]["container"] == "mp3"
+    assert rows[3]["duration_us"] == 10 * 1152 * 1_000_000 // 44100
+    assert rows[4]["container"] == "ogg" and rows[4]["codec"] == "opus"
+    assert rows[4]["duration_us"] == 1_000_000
+    assert rows[5]["container"] == "wav" and rows[5]["channels"] == 2
+    assert rows[5]["duration_us"] == 4000 * 1_000_000 // 8000
+    assert rows[6]["container"] == "flac"
+    assert rows[7]["container"] == "png"
+    assert rows[7]["width"] == 20 and rows[7]["height"] == 12
+    assert rows[8]["error"] and rows[8]["container"] is None
+    assert rows[9]["error"] and rows[9]["n_bytes"] == 24
