@@ -855,6 +855,51 @@ _PROBE_SCHEMA = StructType(
 )
 
 
+def _image_dims_header(payload: bytes):
+    """(container, width, height) from image HEADERS only — no pixel
+    decode (the probe path must stay cheap on 100 MB scans): PNG IHDR,
+    BMP info header, GIF logical screen, TIFF IFD tags 256/257, JPEG
+    SOFx scan. None for unrecognized magics."""
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        if len(payload) < 24:
+            raise ValueError("PNG IHDR truncated")
+        return ("png", int.from_bytes(payload[16:20], "big"),
+                int.from_bytes(payload[20:24], "big"))
+    if payload[:2] == b"BM":
+        if len(payload) < 26:
+            raise ValueError("BMP header truncated")
+        return ("bmp", int.from_bytes(payload[18:22], "little"),
+                int.from_bytes(payload[22:26], "little"))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("GIF screen descriptor truncated")
+        return ("gif", int.from_bytes(payload[6:8], "little"),
+                int.from_bytes(payload[8:10], "little"))
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from evolution_spark.operators.tiff import _read_ifds
+
+        tags, _bo = _read_ifds(payload)[0][0], None
+        if 256 not in tags or 257 not in tags:
+            raise ValueError("TIFF missing dimension tags")
+        return ("tiff", int(tags[256][0]), int(tags[257][0]))
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("JPEG marker stream desynced")
+            marker = payload[pos + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (
+                0xC4, 0xC8, 0xCC
+            ):
+                return ("jpeg",
+                        int.from_bytes(payload[pos + 7: pos + 9], "big"),
+                        int.from_bytes(payload[pos + 5: pos + 7], "big"))
+            size = int.from_bytes(payload[pos + 2: pos + 4], "big")
+            pos += 2 + size
+        raise ValueError("JPEG has no SOF marker")
+    return None
+
+
 def probe_media(df: DataFrame) -> DataFrame:
     """ONE metadata probe over a mixed corpus — the curation entry
     point: dispatch every payload on its magic bytes to the right walker
@@ -913,26 +958,45 @@ def probe_media(df: DataFrame) -> DataFrame:
                     None, m["duration_us"], m["sample_rate"],
                     m["channels"])
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-            pcm, rate = decode_wav(payload)
+            # fmt chunk only — no sample decode
+            pos, n_frames, rate, ch = 12, None, None, None
+            while pos + 8 <= len(payload):
+                cid = payload[pos: pos + 4]
+                size = int.from_bytes(payload[pos + 4: pos + 8],
+                                      "little")
+                if cid == b"fmt ":
+                    ch = int.from_bytes(
+                        payload[pos + 10: pos + 12], "little")
+                    rate = int.from_bytes(
+                        payload[pos + 12: pos + 16], "little")
+                elif cid == b"data" and rate:
+                    n_frames = size // (2 * ch)
+                pos += 8 + size + (size & 1)
+            if rate is None or n_frames is None:
+                raise ValueError("WAV missing fmt/data chunks")
             return ("wav", "audio", "pcm_s16le", None, None,
-                    pcm.shape[0] * 1_000_000 // rate, rate,
-                    pcm.shape[1])
+                    n_frames * 1_000_000 // rate, rate, ch)
         if payload[:4] == b"fLaC":
-            from evolution_spark.operators.flac import decode_flac
-
-            pcm, rate = decode_flac(payload)
+            # STREAMINFO only (the first metadata block) — no frame
+            # decode: rate(20) channels-1(3) bps-1(5) total(36) start
+            # at byte 18 of the block body
+            if len(payload) < 8 + 34:
+                raise ValueError("FLAC STREAMINFO truncated")
+            body = payload[8: 8 + 34]
+            v = int.from_bytes(body[10: 18], "big")
+            rate = v >> 44
+            ch = ((v >> 41) & 0x7) + 1
+            total = v & ((1 << 36) - 1)
+            if not rate:
+                raise ValueError("FLAC STREAMINFO has zero sample rate")
             return ("flac", "audio", "flac", None, None,
-                    pcm.shape[0] * 1_000_000 // rate, rate,
-                    pcm.shape[1])
-        # images: decode the header-bearing container fully (cheap at
-        # corpus-metadata time only for small ones; dims suffice here)
-        img = decode_image_array(payload)
-        container = {
-            b"BM": "bmp", b"\x89P": "png", b"GI": "gif",
-            b"II": "tiff", b"MM": "tiff", b"\xff\xd8": "jpeg",
-        }.get(bytes(payload[:2]), "image")
-        return (container, "image", container,
-                int(img.shape[1]), int(img.shape[0]), None, None, None)
+                    total * 1_000_000 // rate, rate, ch)
+        dims = _image_dims_header(payload)
+        if dims is not None:
+            container, w_, h_ = dims
+            return (container, "image", container, w_, h_, None, None,
+                    None)
+        raise _UnrecognizedImage("unknown media magic")
 
     def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
