@@ -71,9 +71,18 @@ def _fullbox(b: bytes, s: int):
     return b[s], int.from_bytes(b[s + 1: s + 4], "big"), s + 4
 
 
+def _count(b: bytes, p: int, e: int, entry: int, what: str) -> int:
+    """Read a 4-byte entry count and bound it by the box body — a
+    corrupt count must refuse, not allocate or run off the buffer."""
+    n = int.from_bytes(b[p: p + 4], "big")
+    if p + 4 + n * entry > e:
+        raise ValueError(f"{what} count {n} exceeds its box size")
+    return n
+
+
 def _read_stts(b: bytes, s: int, e: int):
     _, _, p = _fullbox(b, s)
-    n = int.from_bytes(b[p: p + 4], "big")
+    n = _count(b, p, e, 8, "stts")
     p += 4
     total, dur = 0, 0
     for _ in range(n):
@@ -86,7 +95,7 @@ def _read_stts(b: bytes, s: int, e: int):
 
 def _read_stss(b: bytes, s: int, e: int):
     _, _, p = _fullbox(b, s)
-    n = int.from_bytes(b[p: p + 4], "big")
+    n = _count(b, p, e, 4, "stss")
     p += 4
     return [int.from_bytes(b[p + 4 * i: p + 4 * i + 4], "big")
             for i in range(n)]
@@ -94,7 +103,7 @@ def _read_stss(b: bytes, s: int, e: int):
 
 def _read_stsc(b: bytes, s: int, e: int):
     _, _, p = _fullbox(b, s)
-    n = int.from_bytes(b[p: p + 4], "big")
+    n = _count(b, p, e, 12, "stsc")
     p += 4
     runs = []
     for _ in range(n):
@@ -106,19 +115,25 @@ def _read_stsc(b: bytes, s: int, e: int):
 
 def _read_stsz(b: bytes, s: int, e: int):
     _, _, p = _fullbox(b, s)
+    if p + 8 > e:
+        raise ValueError("stsz box truncated")
     const, n = struct.unpack_from(">II", b, p)
     p += 8
     if const:
+        if n > (1 << 28):
+            raise ValueError(f"stsz sample count {n} implausible")
         return [const] * n
+    if p + 4 * n > e:
+        raise ValueError(f"stsz count {n} exceeds its box size")
     return [int.from_bytes(b[p + 4 * i: p + 4 * i + 4], "big")
             for i in range(n)]
 
 
 def _read_stco(b: bytes, s: int, e: int, wide: bool):
     _, _, p = _fullbox(b, s)
-    n = int.from_bytes(b[p: p + 4], "big")
-    p += 4
     w = 8 if wide else 4
+    n = _count(b, p, e, w, "stco/co64")
+    p += 4
     return [int.from_bytes(b[p + w * i: p + w * i + w], "big")
             for i in range(n)]
 
@@ -150,6 +165,12 @@ def _sample_layout(sizes, stsc_runs, chunk_offsets):
     return offsets
 
 
+def _need(x, what: str):
+    if x is None:
+        raise ValueError(f"ISO-BMFF structure missing {what}")
+    return x
+
+
 def _parse_track(b: bytes, s: int, e: int) -> dict:
     tk = _child(b, s, e, b"tkhd")
     if tk is None:
@@ -169,7 +190,7 @@ def _parse_track(b: bytes, s: int, e: int) -> dict:
     md = _child(b, s, e, b"mdia")
     if md is None:
         raise ValueError("trak without mdia")
-    mh = _child(b, md[0], md[1], b"mdhd")
+    mh = _need(_child(b, md[0], md[1], b"mdhd"), "mdhd")
     v, _, p = _fullbox(b, mh[0])
     if v == 1:
         timescale = int.from_bytes(b[p + 16: p + 20], "big")
@@ -177,13 +198,13 @@ def _parse_track(b: bytes, s: int, e: int) -> dict:
     else:
         timescale = int.from_bytes(b[p + 8: p + 12], "big")
         duration = int.from_bytes(b[p + 12: p + 16], "big")
-    hd = _child(b, md[0], md[1], b"hdlr")
+    hd = _need(_child(b, md[0], md[1], b"hdlr"), "hdlr")
     _, _, p = _fullbox(b, hd[0])
     handler = b[p + 4: p + 8].decode("ascii", "replace")
 
-    mi = _child(b, md[0], md[1], b"minf")
-    st = _child(b, mi[0], mi[1], b"stbl")
-    sd = _child(b, st[0], st[1], b"stsd")
+    mi = _need(_child(b, md[0], md[1], b"minf"), "minf")
+    st = _need(_child(b, mi[0], mi[1], b"stbl"), "stbl")
+    sd = _need(_child(b, st[0], st[1], b"stsd"), "stsd")
     _, _, p = _fullbox(b, sd[0])
     codec = None
     channels = sample_rate = None
@@ -199,11 +220,14 @@ def _parse_track(b: bytes, s: int, e: int) -> dict:
             # channelcount(2) samplesize(2) pre_defined(2) reserved(2)
             sample_rate = int.from_bytes(b[q + 8: q + 12], "big") >> 16
 
-    n_samples, stts_dur = _read_stts(b, *_child(b, st[0], st[1], b"stts"))
+    n_samples, stts_dur = _read_stts(
+        b, *_need(_child(b, st[0], st[1], b"stts"), "stts"))
     ss = _child(b, st[0], st[1], b"stss")
     sync = _read_stss(b, *ss) if ss else None
-    sizes = _read_stsz(b, *_child(b, st[0], st[1], b"stsz"))
-    runs = _read_stsc(b, *_child(b, st[0], st[1], b"stsc"))
+    sizes = _read_stsz(b, *_need(_child(b, st[0], st[1], b"stsz"),
+                                 "stsz"))
+    runs = _read_stsc(b, *_need(_child(b, st[0], st[1], b"stsc"),
+                                "stsc"))
     co = _child(b, st[0], st[1], b"stco")
     wide = False
     if co is None:

@@ -197,3 +197,59 @@ def test_probe_media_mixed_corpus(spark):
     assert rows[7]["width"] == 20 and rows[7]["height"] == 12
     assert rows[8]["error"] and rows[8]["container"] is None
     assert rows[9]["error"] and rows[9]["n_bytes"] == 24
+
+
+def test_walker_mutation_fuzz_error_contract():
+    """review r12 pass 10: corrupt payloads (bit flips, truncations,
+    splices) must raise ValueError quickly — never struct.error /
+    TypeError / unbounded allocation (the mapInPandas error contract;
+    a corrupt stsz count previously tried to allocate billions of
+    entries)."""
+    import time
+
+    import numpy as np
+
+    from evolution_spark.operators.mp3 import (
+        build_mp3,
+        parse_mp3_metadata,
+    )
+    from evolution_spark.operators.ogg import build_ogg, parse_ogg_metadata
+    from evolution_spark.operators.webm import (
+        build_webm,
+        parse_webm_metadata,
+    )
+
+    rng = np.random.default_rng(5)
+    cases = [
+        (build_mp4([100 + (f % 5) * 10 for f in range(12)],
+                   keyframe_every=3,
+                   audio={"n": 20, "rate": 22050, "channels": 2,
+                          "size": 40}),
+         lambda p: (parse_mp4_metadata(p), keyframe_index(p))),
+        (build_mp3(10, bitrate_indices=[1 + (i % 8) for i in range(10)],
+                   id3v2=b"x" * 30), parse_mp3_metadata),
+        (build_webm(duration_ticks=3000.0,
+                    video={"width": 64, "height": 48},
+                    cue_times=(0, 1000, 2000), n_clusters=3),
+         parse_webm_metadata),
+        (build_ogg("vorbis", total_samples=20000, rate=16000),
+         parse_ogg_metadata),
+    ]
+    for base, parse in cases:
+        for trial in range(300):
+            b = bytearray(base)
+            mode = trial % 3
+            if mode == 0:
+                b[rng.integers(0, len(b))] ^= rng.integers(1, 256)
+            elif mode == 1:
+                b = b[: rng.integers(0, len(b))]
+            else:
+                pos = rng.integers(0, len(b))
+                b[pos: pos] = bytes(
+                    rng.integers(0, 256, rng.integers(1, 12)))
+            t0 = time.perf_counter()
+            try:
+                parse(bytes(b))
+            except ValueError:
+                pass
+            assert time.perf_counter() - t0 < 1.0
