@@ -324,7 +324,10 @@ def _png_pixels(idat: bytes, width: int, height: int, bits: int,
     import zlib as _zlib
 
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    raw = _zlib.decompress(idat)
+    try:
+        raw = _zlib.decompress(idat)
+    except _zlib.error as exc:
+        raise ValueError(f"PNG IDAT stream corrupt: {exc}")
 
     def stride_of(w: int) -> int:
         return (w * ch * bits + 7) // 8

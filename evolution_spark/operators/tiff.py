@@ -156,15 +156,36 @@ def decode_tiff(payload: bytes) -> np.ndarray:
 def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
     def one(tag, default=None):
         if tag in tags:
-            return tags[tag][0]
+            v = tags[tag][0]
+            if not isinstance(v, int):
+                raise ValueError(
+                    f"TIFF tag {tag} has a non-integer type (corrupt "
+                    "IFD type byte)"
+                )
+            return v
         if default is None:
             raise ValueError(f"TIFF missing required tag {tag}")
         return default
 
+    def int_list(tag):
+        vals = tags[tag]
+        if not all(isinstance(v, int) for v in vals):
+            raise ValueError(
+                f"TIFF tag {tag} has non-integer values (corrupt IFD)"
+            )
+        return vals
+
     w = one(256)
     h = one(257)
     spp = one(277, 1)
-    bits = tags.get(258, [8])
+    if not (0 < w and 0 < h and 0 < spp <= 4):
+        raise ValueError(f"implausible TIFF dimensions {w}x{h}x{spp}")
+    if w * h * spp > (1 << 30):
+        raise ValueError(
+            f"TIFF dimensions {w}x{h}x{spp} exceed the 1 GiB decode "
+            "guard (corrupt or hostile header)"
+        )
+    bits = int_list(258) if 258 in tags else [8]
     comp0 = one(259, 1)
     if bits == [1]:
         if comp0 not in (2, 3, 4):
@@ -241,7 +262,10 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
             # a raw zlib stream per strip/tile
             import zlib
 
-            out = zlib.decompress(bytes(raw))
+            try:
+                out = zlib.decompress(bytes(raw))
+            except zlib.error as exc:
+                raise ValueError(f"TIFF deflate {what} corrupt: {exc}")
             if len(out) < expected:
                 raise ValueError(f"TIFF deflate {what} short")
             return out[:expected]
@@ -287,6 +311,8 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
 
     def _assemble_strips(offsets, counts, spp_eff: int) -> np.ndarray:
         rows_per_strip = one(278, h)
+        if rows_per_strip <= 0:
+            raise ValueError("TIFF RowsPerStrip must be positive")
         if len(offsets) != len(counts):
             raise ValueError("TIFF strip offsets/counts mismatch")
         row_bytes = w * spp_eff * bps
@@ -310,12 +336,12 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
     if tiled:
         if 324 not in tags or 325 not in tags:
             raise ValueError("tiled TIFF missing tags 324/325")
-        offsets, counts = tags[324], tags[325]
+        offsets, counts = int_list(324), int_list(325)
         assemble = _assemble_tiled
     else:
         if 273 not in tags or 279 not in tags:
             raise ValueError("TIFF missing required strip tags 273/279")
-        offsets, counts = tags[273], tags[279]
+        offsets, counts = int_list(273), int_list(279)
         assemble = _assemble_strips
     if planar == 2 and spp > 1:
         # PLANAR config 2 (TIFF 6.0 tag 284): the strip/tile sequence
@@ -382,6 +408,8 @@ def _decode_bilevel_fax(payload: bytes, tags: dict, one) -> np.ndarray:
     )
 
     w, h = one(256), one(257)
+    if not (0 < w and 0 < h) or w * h > (1 << 30):
+        raise ValueError(f"implausible TIFF dimensions {w}x{h}")
     comp = one(259, 1)
     photo = one(262)
     if one(277, 1) != 1:
@@ -395,7 +423,11 @@ def _decode_bilevel_fax(payload: bytes, tags: dict, one) -> np.ndarray:
     if 273 not in tags or 279 not in tags:
         raise ValueError("TIFF missing required strip tags 273/279")
     offsets, counts = tags[273], tags[279]
+    if not all(isinstance(v, int) for v in list(offsets) + list(counts)):
+        raise ValueError("TIFF strip tags have non-integer values")
     rows_per_strip = one(278, h)
+    if rows_per_strip <= 0:
+        raise ValueError("TIFF RowsPerStrip must be positive")
     if comp == 3:
         t4opts = one(292, 0)
         if t4opts & 0b10:

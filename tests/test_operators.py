@@ -1505,3 +1505,19 @@ def test_png_malformed_interlace_and_trns_refuse():
     )
     with _pytest.raises(ValueError, match="tRNS"):
         decode_png(oversized)
+
+
+def test_png_corrupt_idat_raises_value_error():
+    """review r12 pass 10: a corrupt (not just truncated) IDAT stream
+    must surface as ValueError, not zlib.error — the mapInPandas error
+    contract."""
+    import numpy as np
+    import pytest as _pytest
+
+    from evolution_spark.operators.multimodal import decode_png, encode_png
+
+    p = bytearray(encode_png(np.arange(64, dtype=np.uint8).reshape(8, 8)))
+    i = p.find(b"IDAT") + 8
+    p[i] ^= 0xFF
+    with _pytest.raises(ValueError, match="IDAT stream corrupt"):
+        decode_png(bytes(p))

@@ -486,3 +486,27 @@ def test_jpeg_in_tiff_component_mismatch_refuses():
     payload[i + 8] = 3  # claim RGB against a gray JIF stream
     with pytest.raises(ValueError, match="components"):
         decode_tiff(bytes(payload))
+
+
+def test_corrupt_streams_raise_value_error_everywhere():
+    """review r12 pass 10 (mutation fuzz): corrupt deflate payloads and
+    corrupt IFD type bytes must raise ValueError, never zlib.error /
+    TypeError, and implausible headers must refuse before allocating."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (20, 30), dtype=np.uint8)
+    p = bytearray(encode_tiff(img, compression="deflate"))
+    p[12] ^= 0xFF  # strip data starts at byte 8; IFD is at the END
+    with pytest.raises(ValueError, match="deflate"):
+        decode_tiff(bytes(p))
+    # corrupt the ImageWidth IFD entry TYPE byte to 2 (ASCII)
+    q = bytearray(encode_tiff(img, compression="none"))
+    i = q.find(bytes([256 & 0xFF, 256 >> 8, 4, 0]))
+    q[i + 2] = 2
+    with pytest.raises(ValueError, match="non-integer"):
+        decode_tiff(bytes(q))
+    # implausible dimensions refuse before allocation
+    r = bytearray(encode_tiff(img, compression="none"))
+    i = r.find(bytes([257 & 0xFF, 257 >> 8, 4, 0]))
+    r[i + 8: i + 12] = (1 << 30).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="exceed|implausible"):
+        decode_tiff(bytes(r))
