@@ -284,3 +284,102 @@ def build_mp3(
     if id3v1:
         out += b"TAG" + bytes(125)
     return bytes(out)
+
+
+_ID3_ENCODINGS = {
+    0: "latin-1",        # ISO-8859-1
+    1: "utf-16",         # UTF-16 with BOM
+    2: "utf-16-be",      # UTF-16BE, no BOM (v2.4)
+    3: "utf-8",          # v2.4
+}
+
+
+def parse_id3v2_tags(payload: bytes) -> dict:
+    """Parse the TEXT frames of an ID3v2.3/2.4 prefix into a dict of
+    frame-id -> decoded string (T*** frames only — the curation
+    fields: TIT2 title, TPE1 artist, TALB album, TCON genre, TDRC/TYER
+    year...). Returns {} when no ID3v2 tag is present; raises
+    ValueError on structural corruption (bad syncsafe bytes, frame
+    overruns). v2.4 per-frame unsynchronisation and compression are
+    refused by omission (the frame is skipped with its flag noted
+    under ``_skipped``) rather than mis-decoded."""
+    b = bytes(payload)
+    total = _id3v2_size(b)
+    if total == 0:
+        return {}
+    if len(b) < 10:
+        raise ValueError("ID3v2 header truncated")
+    ver = b[3]
+    if ver not in (3, 4):
+        # v2.2 uses 3-byte frame ids (a different layout) — report
+        # presence without frames rather than mis-parsing
+        return {"_version": f"2.{ver}"}
+    flags = b[5]
+    pos = 10
+    end = min(total - (10 if flags & 0x10 else 0), len(b))
+    if flags & 0x40:  # extended header: skip by its own size field
+        if pos + 4 > end:
+            raise ValueError("ID3v2 extended header truncated")
+        ext = int.from_bytes(b[pos: pos + 4], "big")
+        if ver == 4:  # syncsafe in v2.4
+            ext = ((ext & 0x7F000000) >> 3 | (ext & 0x7F0000) >> 2
+                   | (ext & 0x7F00) >> 1 | (ext & 0x7F))
+        pos += ext if ver == 4 else ext + 4
+    out: dict = {"_version": f"2.{ver}"}
+    skipped = []
+    while pos + 10 <= end:
+        fid = b[pos: pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if not all(0x30 <= c <= 0x5A for c in fid):
+            raise ValueError(f"ID3v2 frame id {fid!r} malformed")
+        size = int.from_bytes(b[pos + 4: pos + 8], "big")
+        if ver == 4:
+            if any(x & 0x80 for x in b[pos + 4: pos + 8]):
+                raise ValueError("ID3v2.4 frame size not syncsafe")
+            size = ((b[pos + 4] << 21) | (b[pos + 5] << 14)
+                    | (b[pos + 6] << 7) | b[pos + 7])
+        fflags = int.from_bytes(b[pos + 8: pos + 10], "big")
+        body = b[pos + 10: pos + 10 + size]
+        if len(body) < size:
+            raise ValueError(f"ID3v2 frame {fid!r} overruns the tag")
+        pos += 10 + size
+        if not fid.startswith(b"T") or size < 1:
+            continue
+        if fflags & 0x00FF:  # compression/encryption/unsync per frame
+            skipped.append(fid.decode("ascii"))
+            continue
+        enc = _ID3_ENCODINGS.get(body[0])
+        if enc is None:
+            raise ValueError(
+                f"ID3v2 frame {fid!r} has unknown text encoding "
+                f"{body[0]}"
+            )
+        try:
+            text = body[1:].decode(enc)
+        except UnicodeDecodeError as exc:
+            raise ValueError(f"ID3v2 frame {fid!r} text corrupt: {exc}")
+        out[fid.decode("ascii")] = text.rstrip("\x00")
+    if skipped:
+        out["_skipped"] = skipped
+    return out
+
+
+def build_id3v2(frames: dict, version: int = 3, encoding: int = 3,
+                padding: int = 24) -> bytes:
+    """Fixture builder: an ID3v2.3/2.4 tag from frame-id -> text."""
+    body = bytearray()
+    for fid, text in frames.items():
+        raw = bytes([encoding]) + text.encode(_ID3_ENCODINGS[encoding])
+        size = len(raw)
+        if version == 4:
+            enc_size = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                              (size >> 7) & 0x7F, size & 0x7F])
+        else:
+            enc_size = size.to_bytes(4, "big")
+        body += fid.encode("ascii") + enc_size + b"\x00\x00" + raw
+    body += bytes(padding)
+    sz = len(body)
+    return (b"ID3" + bytes([version, 0, 0])
+            + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                     (sz >> 7) & 0x7F, sz & 0x7F]) + bytes(body))

@@ -137,3 +137,43 @@ def test_decode_media_refuses_mp3_with_pointer():
     for payload in (p, build_mp3(3, id3v2=b"\x00" * 10)):
         with pytest.raises(NotImplementedError, match="parse_mp3_metadata"):
             decode_media(payload, "audio")
+
+
+def test_id3v2_text_frames():
+    """ID3v2.3/2.4 text frames decode across all four declared text
+    encodings; the tag composes with the frame walker."""
+    from evolution_spark.operators.mp3 import build_id3v2, parse_id3v2_tags
+
+    frames = {"TIT2": "Ünïcode Title", "TPE1": "Artist/名前",
+              "TALB": "Album", "TCON": "Ambient"}
+    for version in (3, 4):
+        encodings = (0, 1, 3) if version == 3 else (0, 1, 2, 3)
+        for enc in encodings:
+            use = dict(frames)
+            if enc == 0:  # latin-1 cannot carry CJK
+                use["TPE1"] = "Artist"
+            tag = build_id3v2(use, version=version, encoding=enc)
+            got = parse_id3v2_tags(tag + build_mp3(2, pad_alternate=False))
+            for k, v in use.items():
+                assert got[k] == v, (version, enc, k)
+            assert got["_version"] == f"2.{version}"
+    # the same payload still walks as MP3
+    tag = build_id3v2(frames)
+    m = parse_mp3_metadata(tag + build_mp3(3, pad_alternate=False))
+    assert m["has_id3v2"] and m["n_frames"] == 3
+    # no tag -> {}
+    assert parse_id3v2_tags(build_mp3(2, pad_alternate=False)) == {}
+
+
+def test_id3v2_corruption_refuses():
+    from evolution_spark.operators.mp3 import build_id3v2, parse_id3v2_tags
+
+    tag = bytearray(build_id3v2({"TIT2": "x"}))
+    tag[10] = 0x01  # malformed frame id byte
+    with pytest.raises(ValueError, match="frame id"):
+        parse_id3v2_tags(bytes(tag))
+    tag2 = bytearray(build_id3v2({"TIT2": "hello"}, padding=0))
+    # frame size overruns the tag
+    tag2[14] = 0x7F
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        parse_id3v2_tags(bytes(tag2))
