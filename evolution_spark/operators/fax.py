@@ -20,8 +20,11 @@ COLORS; ``decode_*`` return uint8 arrays with 1 = BLACK pixel (the
 photometric mapping to TIFF sample values lives in ``tiff.py``).
 
 Scale shape: per-payload decode inside Arrow-batched ``mapInPandas``
-like every codec here; bit-serial completeness path. Ref parity: the
-reference has no codecs (extension surface)."""
+like every codec here; bit-serial completeness path. Measured envelope
+(round 12, a standard-resolution 1728x1100 text-like page): G4
+~136 ms/page (~75 ms per decoded MB), MH ~93 ms/page — so a full fax
+page sits just over the 100 ms/payload line; batch accordingly.
+Ref parity: the reference has no codecs (extension surface)."""
 from __future__ import annotations
 
 import numpy as np
