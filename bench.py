@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "multimodal_keyframe_ranges",
     "multimodal_fax_tiff",
     "multimodal_probe_mixed",
+    "multimodal_sof11_jpeg_features",
 ]
 
 

@@ -1702,19 +1702,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
 
             return decode_jpeg_lossless(payload)
-        elif marker in (0xC5, 0xC6, 0xC7,
-                        0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xCB:  # SOF11: arithmetic lossless (round 12)
+            from evolution_spark.operators.jpeg_lossless_arith import (
+                decode_jpeg_lossless_arith,
+            )
+
+            return decode_jpeg_lossless_arith(payload)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             # NotImplementedError, matching the decode_media contract:
             # callers route declared codec gaps (not corrupt payloads)
             # on this type. Differential frames (SOF5-7/13-15) are only
             # legal INSIDE a DHP hierarchical stream, which routed above.
             raise NotImplementedError(
                 f"unsupported JPEG mode SOF{marker - 0xC0} — sequential "
-                "(SOF0/SOF1), progressive (SOF2), arithmetic (SOF9/SOF10), "
-                "lossless (SOF3) and hierarchical (DHP + SOF5/SOF7) "
-                "decode; a differential frame outside a DHP stream is "
-                "malformed, and arithmetic-lossless (SOF11) refuses "
-                "rather than mis-decode"
+                "(SOF0/SOF1), progressive (SOF2), arithmetic "
+                "(SOF9/SOF10/SOF11), lossless (SOF3) and hierarchical "
+                "(DHP + SOF5/SOF7) decode; a differential frame outside "
+                "a DHP stream is malformed"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")

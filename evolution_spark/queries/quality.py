@@ -2289,3 +2289,85 @@ def multimodal_probe_mixed(spark, sf_dir):
         "media_id", "container", "kind", "codec", "width", "height",
         "duration_us", "sample_rate", "channels",
     )
+
+
+@query(
+    "multimodal_sof11_jpeg_features",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 24),
+    px AS (
+      SELECT doc_id,
+             (doc_id * 7 + x.v * 3 + y.v * 11
+              + CASE WHEN (x.v + y.v) % 5 = 0 THEN 97 ELSE 0 END) % 256
+               AS v
+      FROM ids
+      CROSS JOIN (SELECT UNNEST(range(26)) AS v) x
+      CROSS JOIN (SELECT UNNEST(range(18)) AS v) y
+    )
+    SELECT doc_id AS media_id,
+           CAST(468 AS BIGINT) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(MAX(v) AS INT) AS max_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_sof11_jpeg_features(spark, sf_dir):
+    """ARITHMETIC LOSSLESS JPEG (SOF11 — round 12, the LAST JPEG mode
+    this engine refused): each document id gets a 26x18 gray image
+    (pixel (x,y) = (7*id + 3x + 11y + spike) mod 256 — gradient plus a
+    diagonal spike lattice exercising the 2-D conditioning contexts),
+    SOF11-encoded with the predictor rotating over all seven Annex-H
+    selections by id, restart intervals on every 3rd id, and a
+    non-default conditioning bound pair on every 4th — then decoded
+    through the production ``decode_media`` -> ``decode_jpeg`` SOF
+    dispatch. Losslessness means DuckDB recomputes the exact pixel sums
+    closed-form; one wrong QM state, context classification, magnitude
+    tree offset, or prediction reset shifts a sum and fails the hash.
+    (Provenance note in the module: within-repo conformance is total;
+    foreign-encoder conformance is unverifiable in this container and
+    documented as such.)
+
+    Scale shape: partition-local mapInPandas; image bytes never
+    shuffle. Ref parity: the reference has no codecs (extension
+    surface)."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.jpeg_lossless_arith import (
+        encode_jpeg_lossless_arith,
+    )
+    from evolution_spark.operators.multimodal import decode_media
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 24
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                yy, xx = np.meshgrid(
+                    np.arange(18), np.arange(26), indexing="ij"
+                )
+                img = ((i * 7 + xx * 3 + yy * 11
+                        + np.where((xx + yy) % 5 == 0, 97, 0)) % 256
+                       ).astype(np.uint8)
+                payload = encode_jpeg_lossless_arith(
+                    img,
+                    predictor=1 + (i % 7),
+                    restart_interval=40 if i % 3 == 0 else 0,
+                    conditioning=(0, 4) if i % 4 == 0 else (0, 1),
+                )
+                flat = decode_media(payload, "image").astype(np.int64)
+                rows.append((
+                    i, int(flat.size), int(flat.sum()), int(flat.max()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_px", "pixel_sum", "max_px"],
+            )
+
+    return d.mapInPandas(
+        gen, "media_id long, n_px long, pixel_sum long, max_px int"
+    )

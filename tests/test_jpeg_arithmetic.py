@@ -222,16 +222,22 @@ def test_sof1_extended_sequential_decodes_as_baseline():
     ))
 
 
-def test_hierarchical_and_arith_lossless_still_refuse():
-    # SOF3 lossless DECODES since round 11 (tests/test_jpeg_lossless.py);
-    # the refusal surface is hierarchical + arithmetic-lossless
+def test_never_emitted_differential_variants_still_refuse():
+    # SOF3 lossless decodes since round 11, SOF11 arithmetic-lossless
+    # since round 12; the refusal surface is the never-emitted
+    # differential variants outside a DHP stream
     img = _test_image(16, 16)
     payload = bytearray(encode_jpeg(img, 50))
     i = payload.find(b"\xff\xc0")
-    for sof in (0xC5, 0xC7, 0xCB, 0xCF):
+    for sof in (0xC5, 0xC7, 0xCF):
         payload[i + 1] = sof
-        with pytest.raises(NotImplementedError, match="hierarchical"):
+        with pytest.raises(NotImplementedError, match="DHP"):
             decode_jpeg(bytes(payload))
+    # a baseline stream RELABELED SOF11 is structurally wrong for the
+    # lossless decoder (scan Ss=0 is no predictor) — loud ValueError
+    payload[i + 1] = 0xCB
+    with pytest.raises(ValueError, match="predictor"):
+        decode_jpeg(bytes(payload))
 
 
 def test_corrupt_arithmetic_stream_errors_loudly():

@@ -96,13 +96,22 @@ def test_invalid_shapes_refuse(noise8):
         decode_jpeg_lossless(bytes(payload))
 
 
-def test_hierarchical_and_arith_lossless_still_refuse(noise8):
+def test_differential_variants_still_refuse(noise8):
     payload = bytearray(encode_jpeg_lossless(noise8))
     i = payload.find(b"\xff\xc3")
-    for sof in (0xC5, 0xC7, 0xCB, 0xCF):
+    for sof in (0xC5, 0xC7, 0xCF):
         payload[i + 1] = sof
-        with pytest.raises(NotImplementedError, match="hierarchical"):
+        with pytest.raises(NotImplementedError, match="DHP"):
             decode_jpeg(bytes(payload))
+    # relabeled SOF11 (round 12): structurally parseable but the
+    # Huffman entropy bits are garbage to the QM decoder — either a
+    # loud ValueError or a garbage decode, never a crash
+    payload[i + 1] = 0xCB
+    try:
+        out = decode_jpeg(bytes(payload))
+        assert out.shape == noise8.shape
+    except ValueError:
+        pass
 
 
 def test_point_transform_out_of_range_refuses(noise8):
