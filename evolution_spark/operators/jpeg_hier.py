@@ -26,7 +26,8 @@ orchestration, differential semantics and interpolation filter follow
 the spec text, validated by round-trip and by the spec-required
 property that a lossless-final pyramid reproduces the input exactly.
 
-Remaining JPEG refusals after this module: SOF11 (arithmetic-coded
+Remaining JPEG refusals after this module (SOF11 lifted in round 12,
+``jpeg_lossless_arith.py``): historical note — SOF11 (arithmetic-coded
 lossless — its 2-D statistical conditioning could not be locally
 verified against any reference, and a guessed model would decode
 foreign files wrong; refusal is the honest option) and the

@@ -11,7 +11,9 @@ arithmetic-coded (SOF9/SOF10, Annex D QM-coder in ``jpeg_arith.py``),
 lossless predictive (SOF3, Annex H in ``jpeg_lossless.py``, 8/16-bit), and
 hierarchical (DHP/EXP pyramids in ``jpeg_hier.py``) —
 each with a matching encoder for round-trip tests and mock-data
-generation. Arithmetic-lossless JPEG (SOF11) refuses; MP3 and
+generation — round 12 completed the set with arithmetic lossless
+(SOF11 in ``jpeg_lossless_arith.py``), so every SOF mode a real
+encoder emits decodes. MP3 and
 MP4/ISO-BMFF dispatch to their frame-/box-walker METADATA paths
 (``mp3.py``/``mp4.py``) while their lossy bitstream decode raises
 ``NotImplementedError``; ``fake=True`` requests the deterministic fake
@@ -616,15 +618,15 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     animations — ``sample_frames`` walks full timelines), TIFF
     (baseline+LZW profile, first page — ``decode_tiff_pages`` walks
     multi-page chains), JPEG in every
-    mode but arithmetic-lossless (baseline SOF0, extended sequential
-    SOF1, progressive SOF2, arithmetic SOF9/SOF10 via the T.81 Annex D
-    QM-coder, lossless SOF3 via Annex H prediction, hierarchical
-    DHP/SOF5/SOF7 pyramids), 16-bit PCM WAV, and FLAC (pure-numpy
+    mode (baseline SOF0, extended sequential
+    SOF1, progressive SOF2, arithmetic SOF9/SOF10/SOF11 via the T.81
+    Annex D QM-coder, lossless SOF3 via Annex H prediction,
+    hierarchical DHP/SOF5/SOF7 pyramids), 16-bit PCM WAV, and FLAC (pure-numpy
     decoders dispatched on magic bytes; ``decode_jpeg`` routes on the
     SOF marker). ``fake=True`` forces the deterministic fake decoder
     regardless of format (the test/CI path). Remaining gaps
-    (arithmetic-lossless JPEG SOF11, lossy audio, video containers)
-    raise ``NotImplementedError``."""
+    (lossy audio / video BITSTREAM decode — their metadata walkers are
+    real) raise ``NotImplementedError`` naming the metadata path."""
     if fake:
         return _fake_decode(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
