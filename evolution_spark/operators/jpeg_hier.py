@@ -26,13 +26,11 @@ orchestration, differential semantics and interpolation filter follow
 the spec text, validated by round-trip and by the spec-required
 property that a lossless-final pyramid reproduces the input exactly.
 
-Remaining JPEG refusals after this module (SOF11 lifted in round 12,
-``jpeg_lossless_arith.py``): historical note — SOF11 (arithmetic-coded
-lossless — its 2-D statistical conditioning could not be locally
-verified against any reference, and a guessed model would decode
-foreign files wrong; refusal is the honest option) and the
-differential-progressive / differential-arithmetic variants
-(SOF6/13/14/15), which no known encoder ever emitted.
+Remaining JPEG refusals after this module: the differential-
+progressive / differential-arithmetic variants (SOF6/13/14/15), which
+no known encoder ever emitted. SOF11 (arithmetic lossless) was lifted
+in round 12 by ``jpeg_lossless_arith.py``, carrying a provenance note
+on the 2-D conditioning layout in place of round 11's refusal.
 
 Ref parity: the reference has no image codecs (extension surface)."""
 
