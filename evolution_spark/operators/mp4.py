@@ -146,9 +146,20 @@ def _sample_layout(sizes, stsc_runs, chunk_offsets):
     stco chunk count."""
     n_chunks = len(chunk_offsets)
     spc_by_chunk = []
+    prev_first = 0
     for ridx, (first, spc) in enumerate(stsc_runs):
+        if first <= prev_first:
+            raise ValueError(
+                "stsc first_chunk values must be strictly increasing"
+            )
+        prev_first = first
         last = (stsc_runs[ridx + 1][0] - 1 if ridx + 1 < len(stsc_runs)
                 else n_chunks)
+        if first > n_chunks + 1 or last > n_chunks:
+            raise ValueError(
+                f"stsc run references chunk {max(first, last)} beyond "
+                f"the stco count {n_chunks}"
+            )
         spc_by_chunk.extend(spc for _ in range(first, last + 1))
     offsets = []
     sample = 0
@@ -317,6 +328,12 @@ def keyframe_index(payload: bytes, handler: str = "vide"):
                                  tr["chunk_offsets"])
         sync = tr["sync_samples"]
         nums = sync if sync is not None else range(1, tr["n_samples"] + 1)
+        n_samples = tr["n_samples"]
+        for n in nums:
+            if not 1 <= n <= n_samples:
+                raise ValueError(
+                    f"stss sample number {n} outside 1..{n_samples}"
+                )
         out.append([
             (n, offsets[n - 1], tr["sizes"][n - 1]) for n in nums
         ])

@@ -917,117 +917,142 @@ def probe_media(df: DataFrame) -> DataFrame:
 
     Scale shape: header-only parsing inside Arrow-batched mapInPandas —
     no pixel/sample decode, payload bytes never shuffle."""
+    return df.mapInPandas(_probe_batches, _PROBE_SCHEMA)
 
-    def _probe_one(payload: bytes):
-        from evolution_spark.operators.mp3 import parse_mp3_metadata
-        from evolution_spark.operators.mp4 import parse_mp4_metadata
-        from evolution_spark.operators.ogg import parse_ogg_metadata
-        from evolution_spark.operators.webm import parse_webm_metadata
 
-        if payload[4:8] == b"ftyp":
-            m = parse_mp4_metadata(payload)
-            v = next((t for t in m["tracks"] if t["handler"] == "vide"),
-                     None)
-            a = next((t for t in m["tracks"] if t["handler"] == "soun"),
-                     None)
-            return ("mp4", "video" if v else "audio",
-                    (v or a or {}).get("codec"),
-                    v["width"] if v else None,
-                    v["height"] if v else None,
-                    m["duration_us"],
-                    a["sample_rate"] if a else None,
-                    a["channels"] if a else None)
-        if payload[:4] == b"\x1a\x45\xdf\xa3":
-            m = parse_webm_metadata(payload)
-            v = next((t for t in m["tracks"] if t["track_type"] == 1),
-                     None)
-            a = next((t for t in m["tracks"] if t["track_type"] == 2),
-                     None)
-            return (m["doctype"], "video" if v else "audio",
-                    (v or a or {}).get("codec_id"),
-                    v["width"] if v else None,
-                    v["height"] if v else None,
-                    m["duration_us"],
-                    a["sample_rate"] if a else None,
-                    a["channels"] if a else None)
-        if payload[:4] == b"OggS":
-            m = parse_ogg_metadata(payload)
-            return ("ogg", "audio", m["codec"], None, None,
-                    m["duration_us"], m["sample_rate"], m["channels"])
-        if payload[:3] == b"ID3" or (
-            len(payload) >= 2 and payload[0] == 0xFF
-            and payload[1] & 0xE0 == 0xE0
-        ):
-            m = parse_mp3_metadata(payload)
-            return ("mp3", "audio", f"mp3_layer{m['layer']}", None,
-                    None, m["duration_us"], m["sample_rate"],
-                    m["channels"])
-        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-            # fmt chunk only — no sample decode
-            pos, n_frames, rate, ch = 12, None, None, None
-            while pos + 8 <= len(payload):
-                cid = payload[pos: pos + 4]
-                size = int.from_bytes(payload[pos + 4: pos + 8],
-                                      "little")
-                if cid == b"fmt ":
-                    ch = int.from_bytes(
-                        payload[pos + 10: pos + 12], "little")
-                    rate = int.from_bytes(
-                        payload[pos + 12: pos + 16], "little")
-                elif cid == b"data" and rate:
-                    n_frames = size // (2 * ch)
-                pos += 8 + size + (size & 1)
-            if rate is None or n_frames is None:
-                raise ValueError("WAV missing fmt/data chunks")
-            return ("wav", "audio", "pcm_s16le", None, None,
-                    n_frames * 1_000_000 // rate, rate, ch)
-        if payload[:4] == b"fLaC":
-            # STREAMINFO only (the first metadata block) — no frame
-            # decode: rate(20) channels-1(3) bps-1(5) total(36) start
-            # at byte 18 of the block body
-            if len(payload) < 8 + 34:
-                raise ValueError("FLAC STREAMINFO truncated")
-            body = payload[8: 8 + 34]
-            v = int.from_bytes(body[10: 18], "big")
-            rate = v >> 44
-            ch = ((v >> 41) & 0x7) + 1
-            total = v & ((1 << 36) - 1)
-            if not rate:
-                raise ValueError("FLAC STREAMINFO has zero sample rate")
-            return ("flac", "audio", "flac", None, None,
-                    total * 1_000_000 // rate, rate, ch)
-        dims = _image_dims_header(payload)
-        if dims is not None:
-            container, w_, h_ = dims
-            return (container, "image", container, w_, h_, None, None,
-                    None)
-        raise _UnrecognizedImage("unknown media magic")
+def probe_one_payload(payload: bytes):
+    """Header-only probe of ONE payload (the per-row worker behind
+    :func:`probe_media`, module-level so contracts are unit-testable):
+    returns (container, kind, codec, width, height, duration_us,
+    sample_rate, channels) or raises ValueError."""
+    from evolution_spark.operators.mp3 import parse_mp3_metadata
+    from evolution_spark.operators.mp4 import parse_mp4_metadata
+    from evolution_spark.operators.ogg import parse_ogg_metadata
+    from evolution_spark.operators.webm import parse_webm_metadata
 
-    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                if payload is None:
-                    continue
-                payload = bytes(payload)
-                try:
-                    (container, kind, codec, w, h, dur, rate,
-                     ch) = _probe_one(payload)
-                    err = None
-                except (ValueError, _UnrecognizedImage) as e:
-                    container = kind = codec = None
-                    w = h = dur = rate = ch = None
-                    err = str(e)[:200]
-                rows.append((media_id, container, kind, codec, w, h,
-                             dur, rate, ch, len(payload), err))
-            yield pd.DataFrame(
-                rows,
-                columns=["media_id", "container", "kind", "codec",
-                         "width", "height", "duration_us",
-                         "sample_rate", "channels", "n_bytes", "error"],
+    if payload[4:8] == b"ftyp":
+        m = parse_mp4_metadata(payload)
+        v = next((t for t in m["tracks"] if t["handler"] == "vide"),
+                 None)
+        a = next((t for t in m["tracks"] if t["handler"] == "soun"),
+                 None)
+        return ("mp4", "video" if v else "audio",
+                (v or a or {}).get("codec"),
+                v["width"] if v else None,
+                v["height"] if v else None,
+                m["duration_us"],
+                a["sample_rate"] if a else None,
+                a["channels"] if a else None)
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        m = parse_webm_metadata(payload)
+        v = next((t for t in m["tracks"] if t["track_type"] == 1),
+                 None)
+        a = next((t for t in m["tracks"] if t["track_type"] == 2),
+                 None)
+        return (m["doctype"], "video" if v else "audio",
+                (v or a or {}).get("codec_id"),
+                v["width"] if v else None,
+                v["height"] if v else None,
+                m["duration_us"],
+                a["sample_rate"] if a else None,
+                a["channels"] if a else None)
+    if payload[:4] == b"OggS":
+        m = parse_ogg_metadata(payload)
+        return ("ogg", "audio", m["codec"], None, None,
+                m["duration_us"], m["sample_rate"], m["channels"])
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF
+        and payload[1] & 0xE0 == 0xE0
+    ):
+        m = parse_mp3_metadata(payload)
+        return ("mp3", "audio", f"mp3_layer{m['layer']}", None,
+                None, m["duration_us"], m["sample_rate"],
+                m["channels"])
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # fmt chunk only — no sample decode. Read wFormatTag and
+        # wBitsPerSample so 8/24/32-bit and float WAVs get correct
+        # durations and codec labels instead of a silent s16 guess.
+        pos, n_frames, rate, ch, tag, bits = 12, None, None, None, \
+            None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos: pos + 4]
+            size = int.from_bytes(payload[pos + 4: pos + 8],
+                                  "little")
+            if cid == b"fmt ":
+                if size < 16:
+                    raise ValueError("WAV fmt chunk too short")
+                tag = int.from_bytes(
+                    payload[pos + 8: pos + 10], "little")
+                ch = int.from_bytes(
+                    payload[pos + 10: pos + 12], "little")
+                rate = int.from_bytes(
+                    payload[pos + 12: pos + 16], "little")
+                bits = int.from_bytes(
+                    payload[pos + 22: pos + 24], "little")
+            elif cid == b"data" and rate and ch and bits:
+                n_frames = size // (ch * (bits // 8))
+            pos += 8 + size + (size & 1)
+        if rate is None or n_frames is None:
+            raise ValueError("WAV missing fmt/data chunks")
+        if tag == 1 and bits in (8, 16, 24, 32):
+            codec = "pcm_u8" if bits == 8 else f"pcm_s{bits}le"
+        elif tag == 3 and bits in (32, 64):
+            codec = f"pcm_f{bits}le"
+        else:
+            raise ValueError(
+                f"WAV format tag {tag} / {bits}-bit unrecognized "
+                "(integer PCM 8/16/24/32 or float 32/64)"
             )
+        return ("wav", "audio", codec, None, None,
+                n_frames * 1_000_000 // rate, rate, ch)
+    if payload[:4] == b"fLaC":
+        # STREAMINFO only (the first metadata block) — no frame
+        # decode: rate(20) channels-1(3) bps-1(5) total(36) start
+        # at byte 18 of the block body
+        if len(payload) < 8 + 34:
+            raise ValueError("FLAC STREAMINFO truncated")
+        body = payload[8: 8 + 34]
+        v = int.from_bytes(body[10: 18], "big")
+        rate = v >> 44
+        ch = ((v >> 41) & 0x7) + 1
+        total = v & ((1 << 36) - 1)
+        if not rate:
+            raise ValueError("FLAC STREAMINFO has zero sample rate")
+        return ("flac", "audio", "flac", None, None,
+                total * 1_000_000 // rate, rate, ch)
+    dims = _image_dims_header(payload)
+    if dims is not None:
+        container, w_, h_ = dims
+        return (container, "image", container, w_, h_, None, None,
+                None)
+    raise _UnrecognizedImage("unknown media magic")
 
-    return df.mapInPandas(_probe, _PROBE_SCHEMA)
+
+def _probe_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            if payload is None:
+                continue
+            payload = bytes(payload)
+            try:
+                (container, kind, codec, w, h, dur, rate,
+                 ch) = probe_one_payload(payload)
+                err = None
+            except (ValueError, _UnrecognizedImage) as e:
+                container = kind = codec = None
+                w = h = dur = rate = ch = None
+                err = str(e)[:200]
+            rows.append((media_id, container, kind, codec, w, h,
+                         dur, rate, ch, len(payload), err))
+        yield pd.DataFrame(
+            rows,
+            columns=["media_id", "container", "kind", "codec",
+                     "width", "height", "duration_us",
+                     "sample_rate", "channels", "n_bytes", "error"],
+        )
 
 
 _KEYFRAME_SCHEMA = StructType(

@@ -211,7 +211,8 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
 
-    def _decompress(raw: bytes, expected: int, what: str) -> bytes:
+    def _decompress(raw: bytes, expected: int, what: str,
+                    width: int = 0) -> bytes:
         if comp == 1:
             if len(raw) < expected:
                 raise ValueError(f"TIFF uncompressed {what} short")
@@ -253,7 +254,23 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
                     f"TIFF JPEG {what} has {img.shape[2]} components, "
                     f"IFD declares {spp} samples/pixel"
                 )
-            flat = img.reshape(-1)[:expected]
+            # the embedded SOF dimensions must AGREE with the IFD: a
+            # width mismatch would silently re-wrap rows on reshape, so
+            # it is a hard refusal; extra rows (MCU padding) are cropped
+            # explicitly, missing rows refuse
+            if width and img.shape[1] != width:
+                raise ValueError(
+                    f"TIFF JPEG {what} SOF width {img.shape[1]} != IFD "
+                    f"{what} width {width}"
+                )
+            jrows = expected // (max(width, 1) * spp * bps) if width \
+                else img.shape[0]
+            if img.shape[0] < jrows:
+                raise ValueError(
+                    f"TIFF JPEG {what} SOF height {img.shape[0]} < "
+                    f"expected {jrows} rows"
+                )
+            flat = img[:jrows].reshape(-1)[:expected]
             if flat.size < expected:
                 raise ValueError(f"TIFF JPEG {what} short")
             return flat.astype(np.uint8).tobytes()
@@ -296,7 +313,7 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
             if len(raw) < cnt:
                 raise ValueError("TIFF tile truncated")
             tile = np.frombuffer(
-                _decompress(raw, expected, "tile"), dtype=px_dt
+                _decompress(raw, expected, "tile", width=tw), dtype=px_dt
             ).reshape(tl, tw, spp_eff)
             if predictor == 2:
                 # differencing operates on SAMPLE values at any depth
@@ -322,7 +339,7 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
             if len(raw) < cnt:
                 raise ValueError("TIFF strip truncated")
             nrows = min(rows_per_strip, h - si * rows_per_strip)
-            data += _decompress(raw, nrows * row_bytes, "strip")
+            data += _decompress(raw, nrows * row_bytes, "strip", width=w)
         a = np.frombuffer(bytes(data), dtype=px_dt).reshape(
             h, w, spp_eff
         )
@@ -448,8 +465,13 @@ def _decode_bilevel_fax(payload: bytes, tags: dict, one) -> np.ndarray:
         nrows = min(rows_per_strip, h - si * rows_per_strip)
         parts.append(dec(bytes(raw), w, nrows))
     black = np.concatenate(parts, axis=0)
-    # photometric 0 (WhiteIsZero, the fax norm): sample value == black
-    # mask; photometric 1 inverts. Both normalize to 1 = white.
+    # The codec emits the coding-layer BLACK mask (1 = a "black" pel in
+    # the T.4/T.6 sense). Photometric 0 (WhiteIsZero, the fax norm)
+    # stores that mask directly, so normalizing to 1 = white inverts it;
+    # photometric 1 (BlackIsZero) stores the INVERSE (0 = black), so the
+    # coding-layer black mask IS already the 1 = white normalization.
+    if photo == 1:
+        return black.astype(np.uint8)
     return (1 - black).astype(np.uint8)
 
 

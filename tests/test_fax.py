@@ -117,13 +117,14 @@ def test_tiff_fax_integration():
         got = decode_tiff(payload)
         assert got.dtype == np.uint8
         assert np.array_equal(got, page), compression
-    # photometric 1 (BlackIsZero): flip the tag; decode must INVERT the
-    # sample interpretation and still return 1 = white
+    # photometric 1 (BlackIsZero): flipping ONLY the tag (leaving the
+    # coded strips untouched) flips the sample interpretation, so the
+    # normalized (1 = white) decode is the INVERSE of the photo-0 image
     payload = bytearray(encode_tiff(page, compression="g4",
                                     rows_per_strip=100))
     i = payload.find(bytes([262 & 0xFF, 262 >> 8, 3, 0]))
     payload[i + 8] = 1
-    assert np.array_equal(decode_tiff(bytes(payload)), page)
+    assert np.array_equal(decode_tiff(bytes(payload)), 1 - page)
     # bilevel with a non-fax compression refuses
     q = bytearray(encode_tiff(page, compression="g4"))
     j = q.find(bytes([259 & 0xFF, 259 >> 8, 3, 0]))

@@ -253,3 +253,73 @@ def test_walker_mutation_fuzz_error_contract():
             except ValueError:
                 pass
             assert time.perf_counter() - t0 < 1.0
+
+
+def test_keyframe_index_validates_stss_numbers():
+    """review r13 (ADVICE): stss sample number 0 previously indexed
+    offsets[-1] silently; out-of-range numbers raised IndexError. Both
+    must be loud ValueErrors."""
+    p = build_mp4(_sizes(10, seed=2), keyframe_every=4,
+                  samples_per_chunk=3)
+    i = p.index(b"stss")
+    # entries start after type(4) + version/flags(4) + count(4)
+    for bad in (0, 10_001):
+        b = bytearray(p)
+        b[i + 12: i + 16] = bad.to_bytes(4, "big")
+        with pytest.raises(ValueError, match="stss sample number"):
+            keyframe_index(bytes(b))
+
+
+def test_sample_layout_validates_stsc_runs():
+    """review r13 (ADVICE): stsc runs referencing chunks beyond the
+    stco count (or non-increasing first_chunk) must ValueError, not
+    IndexError."""
+    from evolution_spark.operators.mp4 import _sample_layout
+
+    with pytest.raises(ValueError, match="beyond"):
+        _sample_layout([10] * 6, [(5, 2)], [0, 100])
+    with pytest.raises(ValueError, match="strictly increasing"):
+        _sample_layout([10] * 6, [(1, 2), (1, 3)], [0, 100, 200])
+    # in-container: patch the single stsc run's first_chunk sky-high
+    p = build_mp4(_sizes(9), samples_per_chunk=3)
+    i = p.index(b"stsc")
+    b = bytearray(p)
+    b[i + 12: i + 16] = (900).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="beyond"):
+        keyframe_index(bytes(b))
+
+
+def test_probe_wav_reads_fmt_tag_and_bits():
+    """review r13 (ADVICE): the WAV probe must honour wFormatTag and
+    wBitsPerSample — 24-bit PCM and float32 get correct durations and
+    codec labels; unrecognized formats refuse loudly."""
+    from evolution_spark.operators.multimodal import probe_one_payload
+
+    def wav(tag, bits, ch, rate, n_frames):
+        frame = ch * (bits // 8)
+        fmt = (b"fmt " + (16).to_bytes(4, "little")
+               + tag.to_bytes(2, "little") + ch.to_bytes(2, "little")
+               + rate.to_bytes(4, "little")
+               + (rate * frame).to_bytes(4, "little")
+               + frame.to_bytes(2, "little")
+               + bits.to_bytes(2, "little"))
+        body = bytes(n_frames * frame)
+        data = b"data" + len(body).to_bytes(4, "little") + body
+        return (b"RIFF" + (4 + len(fmt) + len(data)).to_bytes(4, "little")
+                + b"WAVE" + fmt + data)
+
+    # 24-bit PCM: 8000 frames @ 16 kHz -> exactly 500 ms
+    got = probe_one_payload(wav(1, 24, 2, 16000, 8000))
+    assert got[2] == "pcm_s24le" and got[5] == 500_000
+    # float32 mono
+    got = probe_one_payload(wav(3, 32, 1, 8000, 4000))
+    assert got[2] == "pcm_f32le" and got[5] == 500_000 and got[7] == 1
+    # 8-bit unsigned
+    got = probe_one_payload(wav(1, 8, 1, 8000, 800))
+    assert got[2] == "pcm_u8" and got[5] == 100_000
+    # unrecognized: a-law (tag 6) and 12-bit PCM both refuse
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="format tag"):
+        probe_one_payload(wav(6, 8, 1, 8000, 100))
+    with _pytest.raises(ValueError, match="format tag"):
+        probe_one_payload(wav(1, 12, 1, 8000, 100))
