@@ -621,7 +621,8 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     mode (baseline SOF0, extended sequential
     SOF1, progressive SOF2, arithmetic SOF9/SOF10/SOF11 via the T.81
     Annex D QM-coder, lossless SOF3 via Annex H prediction,
-    hierarchical DHP/SOF5/SOF7 pyramids), 16-bit PCM WAV, and FLAC (pure-numpy
+    hierarchical DHP/SOF5/SOF7 pyramids), lossless WebP (VP8L, RFC 9649
+    — lossy VP8 refuses), 16-bit PCM WAV, and FLAC (pure-numpy
     decoders dispatched on magic bytes; ``decode_jpeg`` routes on the
     SOF marker). ``fake=True`` forces the deterministic fake decoder
     regardless of format (the test/CI path). Remaining gaps
@@ -908,8 +909,8 @@ def _image_dims_header(payload: bytes):
 def probe_media(df: DataFrame) -> DataFrame:
     """ONE metadata probe over a mixed corpus — the curation entry
     point: dispatch every payload on its magic bytes to the right walker
-    (MP3 frames / MP4 boxes / WebM EBML / OGG pages / WAV / FLAC
-    STREAMINFO / the image headers) and return one unified row per
+    (MP3 frames / MP4 boxes / WebM EBML / OGG pages / WebP RIFF / WAV /
+    FLAC STREAMINFO / the image headers) and return one unified row per
     payload with container, kind, codec, resolution, duration, and
     audio params; malformed payloads surface their ValueError text in
     ``error`` instead of failing the job (the quarantine pattern).
@@ -968,6 +969,17 @@ def probe_one_payload(payload: bytes):
         return ("mp3", "audio", f"mp3_layer{m['layer']}", None,
                 None, m["duration_us"], m["sample_rate"],
                 m["channels"])
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from evolution_spark.operators.webp import parse_webp_metadata
+
+        m = parse_webp_metadata(payload)
+        codec = {"lossy": "vp8", "lossless": "vp8l"}.get(
+            m["flavor"], "vp8x_anim" if m["animated"] else "vp8x"
+        )
+        dur = (m["duration_ms"] * 1000 if m["duration_ms"] is not None
+               else None)
+        return ("webp", "image", codec, m["width"], m["height"], dur,
+                None, None)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         # fmt chunk only — no sample decode. Read wFormatTag and
         # wBitsPerSample so 8/24/32-bit and float WAVs get correct
@@ -1185,8 +1197,16 @@ def decode_image_array(payload: bytes) -> np.ndarray:
         return decode_tiff(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from evolution_spark.operators.webp import decode_webp
+
+        arr = decode_webp(payload)  # VP8L real; lossy VP8 refuses
+        if arr.shape[-1] == 4:
+            return arr[..., :3]
+        return arr
     raise _UnrecognizedImage(
-        "unrecognized image payload (BMP/PNG/GIF/TIFF/JPEG magic expected)"
+        "unrecognized image payload (BMP/PNG/GIF/TIFF/JPEG/WebP magic "
+        "expected)"
     )
 
 

@@ -2371,3 +2371,163 @@ def multimodal_sof11_jpeg_features(spark, sf_dir):
     return d.mapInPandas(
         gen, "media_id long, n_px long, pixel_sum long, max_px int"
     )
+
+
+@query(
+    "multimodal_webp_features",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 24),
+    px AS (
+      SELECT doc_id,
+             (7 * x.v + 11 * y.v + 13 * doc_id + 41 * c.v) % 256 AS v
+      FROM ids
+      CROSS JOIN (SELECT UNNEST(range(25)) AS v) x
+      CROSS JOIN (SELECT UNNEST(range(17)) AS v) y
+      CROSS JOIN (SELECT UNNEST(range(3)) AS v) c
+    )
+    SELECT doc_id AS media_id,
+           'lossless' AS flavor,
+           CAST(25 AS INT) AS width,
+           CAST(17 AS INT) AS height,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(SUM(CASE WHEN v >= 128 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hi_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_webp_features(spark, sf_dir):
+    """Lossless WebP (VP8L, RFC 9649 — round 13: the most common
+    post-JPEG/PNG web-corpus image format, previously not even a
+    refusal): each document id gets a 25x17 RGB image (channel c at
+    (x, y) = (7x + 11y + 13*id + 41c) mod 256), encoded with the
+    module's VP8L encoder (odd ids via the LZ77 backref path, even ids
+    literal-only), then decoded back through the production
+    ``decode_media`` -> ``decode_image_array`` RIFF dispatch and the
+    full prefix-code pipeline. Losslessness means DuckDB recomputes the
+    exact channel sums closed-form — one wrong canonical code
+    assignment, bit-order flip, or prefix-value offset shifts a sum and
+    fails the hash. The ``flavor`` column rides through
+    ``parse_webp_metadata`` so the container walk is checked too.
+
+    Scale shape: partition-local mapInPandas; image bytes never
+    shuffle. Ref parity: the reference has no codecs (extension
+    surface)."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.multimodal import decode_media
+    from evolution_spark.operators.webp import (
+        encode_webp,
+        parse_webp_metadata,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 24
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                yy, xx = np.meshgrid(np.arange(17), np.arange(25),
+                                     indexing="ij")
+                img = np.stack(
+                    [(7 * xx + 11 * yy + 13 * i + 41 * c) % 256
+                     for c in range(3)], axis=2
+                ).astype(np.uint8)
+                payload = encode_webp(img, use_backrefs=bool(i % 2))
+                meta = parse_webp_metadata(payload)
+                flat = decode_media(payload, "image").astype(np.int64)
+                rows.append((
+                    i, meta["flavor"], meta["width"], meta["height"],
+                    int(flat.sum()),
+                    int((flat >= 128).sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "flavor", "width", "height",
+                         "px_sum", "hi_px"],
+            )
+
+    return d.mapInPandas(
+        gen,
+        "media_id long, flavor string, width int, height int, "
+        "px_sum long, hi_px long",
+    )
+
+
+@query(
+    "multimodal_webp_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'lossless' WHEN 1 THEN 'lossy'
+                ELSE 'extended' END AS flavor,
+           CASE doc_id % 3 WHEN 0 THEN 'vp8l' WHEN 1 THEN 'vp8'
+                ELSE 'vp8x_anim' END AS codec,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 10 + doc_id % 7
+                WHEN 1 THEN 100 + doc_id ELSE 32 + doc_id END
+                AS INT) AS width,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 6 + doc_id % 5
+                WHEN 1 THEN 50 + doc_id ELSE 24 + doc_id END
+                AS INT) AS height,
+           CAST(CASE doc_id % 3 WHEN 2
+                THEN (2 + doc_id % 3) * (30 + doc_id) * 1000
+                ELSE NULL END AS BIGINT) AS duration_us
+    FROM documents WHERE doc_id < 24
+    """,
+)
+def multimodal_webp_metadata(spark, sf_dir):
+    """All three WebP container flavors through the unified
+    ``probe_media`` dispatch (round 13): lossless VP8L (5-byte header
+    dims), lossy VP8 (key-frame tag + 0x9d012a start code + 14-bit
+    dims), and animated VP8X (canvas from the extended header, total
+    duration summed over ANMF frame headers). DuckDB recomputes every
+    field closed-form from the fixture formulas.
+
+    Scale shape: header-only mapInPandas probe; payload bytes never
+    shuffle. Ref parity: extension surface."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.multimodal import probe_media
+    from evolution_spark.operators.webp import (
+        build_webp_animation,
+        build_webp_lossy,
+        encode_webp,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 24
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                v = i % 3
+                if v == 0:
+                    img = np.zeros((6 + i % 5, 10 + i % 7, 3),
+                                   dtype=np.uint8)
+                    pl = encode_webp(img)
+                elif v == 1:
+                    pl = build_webp_lossy(100 + i, 50 + i)
+                else:
+                    n = 2 + i % 3
+                    pl = build_webp_animation(
+                        [(8, 8, 30 + i)] * n,
+                        canvas=(32 + i, 24 + i),
+                    )
+                ids.append(i)
+                payloads.append(pl)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return probe_media(media).select(
+        "media_id",
+        F.when(F.col("codec") == "vp8l", "lossless")
+         .when(F.col("codec") == "vp8", "lossy")
+         .otherwise("extended").alias("flavor"),
+        "codec", "width", "height", "duration_us",
+    )
