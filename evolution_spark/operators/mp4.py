@@ -497,3 +497,127 @@ def build_mp4(
     total = sum(video_sizes) + sum(a_sizes)
     filler = bytes((seed * 37 + j) % 251 for j in range(total))
     return ftyp + moov + _box(b"mdat", filler)
+
+
+# --------------------------------------------------------- HEIF / AVIF
+
+_HEIF_CODECS = {b"heic": "hevc", b"heix": "hevc", b"hevs": "hevc",
+                b"avif": "av1", b"avis": "av1"}
+_HEIF_BRANDS = frozenset(
+    [b"heic", b"heix", b"hevs", b"mif1", b"msf1", b"avif", b"avis"]
+)
+
+
+def is_heif_brand(payload: bytes) -> bool:
+    """True when an ISO-BMFF payload's major brand is a HEIF/AVIF image
+    (so the probe routes it to :func:`parse_heif_metadata` instead of
+    the movie walker — these files carry meta/ipco, not moov)."""
+    return payload[4:8] == b"ftyp" and payload[8:12] in _HEIF_BRANDS
+
+
+def parse_heif_metadata(payload: bytes) -> dict:
+    """HEIF/AVIF image metadata from the ISO-BMFF item structure
+    (ISO/IEC 23008-12): ftyp brand -> codec family, meta/iprp/ipco
+    'ispe' properties -> dimensions. The PRIMARY item's ispe is chosen
+    via pitm + ipma association when present (thumbnails carry their
+    own smaller ispe), else the largest-area ispe. HEVC/AV1 intra
+    decode stays a declared refusal in ``decode_media``."""
+    b = bytes(payload)
+    ft = _child(b, 0, len(b), b"ftyp")
+    if ft is None or b[ft[0]: ft[0] + 4] not in _HEIF_BRANDS:
+        raise ValueError("not a HEIF/AVIF payload (ftyp brand)")
+    major = b[ft[0]: ft[0] + 4]
+    compat = [b[p: p + 4] for p in range(ft[0] + 8, ft[1], 4)]
+    codec = _HEIF_CODECS.get(major)
+    if codec is None:
+        for br in compat:
+            if br in _HEIF_CODECS:
+                codec = _HEIF_CODECS[br]
+                break
+    mt = _child(b, 0, len(b), b"meta")
+    if mt is None:
+        raise ValueError("HEIF payload without a meta box")
+    _, _, p = _fullbox(b, mt[0])      # meta is a FullBox
+    ip = _child(b, p, mt[1], b"iprp")
+    if ip is None:
+        raise ValueError("HEIF meta without iprp")
+    co = _child(b, ip[0], ip[1], b"ipco")
+    if co is None:
+        raise ValueError("HEIF iprp without ipco")
+    props = list(_walk_boxes(b, co[0], co[1]))   # 1-based property ids
+    ispes = {}
+    for idx, (t, s, e) in enumerate(props, start=1):
+        if t == b"ispe":
+            _, _, q = _fullbox(b, s)
+            if q + 8 > e:
+                raise ValueError("HEIF ispe truncated")
+            ispes[idx] = (int.from_bytes(b[q: q + 4], "big"),
+                          int.from_bytes(b[q + 4: q + 8], "big"))
+    if not ispes:
+        raise ValueError("HEIF ipco has no ispe property")
+    width = height = None
+    pit = _child(b, p, mt[1], b"pitm")
+    ipma = _child(b, ip[0], ip[1], b"ipma")
+    if pit is not None and ipma is not None:
+        v, _, q = _fullbox(b, pit[0])
+        primary = int.from_bytes(b[q: q + (2 if v == 0 else 4)], "big")
+        v, flags, q = _fullbox(b, ipma[0])
+        n = int.from_bytes(b[q: q + 4], "big")
+        if n > (ipma[1] - q):
+            raise ValueError("HEIF ipma entry count exceeds its box")
+        q += 4
+        for _ in range(n):
+            iid_len = 2 if v == 0 else 4
+            iid = int.from_bytes(b[q: q + iid_len], "big")
+            q += iid_len
+            assoc_n = b[q]
+            q += 1
+            for _ in range(assoc_n):
+                if flags & 1:
+                    prop = int.from_bytes(b[q: q + 2], "big") & 0x7FFF
+                    q += 2
+                else:
+                    prop = b[q] & 0x7F
+                    q += 1
+                if iid == primary and prop in ispes:
+                    width, height = ispes[prop]
+    if width is None:
+        width, height = max(ispes.values(), key=lambda wh: wh[0] * wh[1])
+    return {
+        "brand": major.decode("ascii", "replace"),
+        "codec": codec,
+        "width": width,
+        "height": height,
+        "n_ispe": len(ispes),
+        "animated": major in (b"avis", b"hevs", b"msf1"),
+    }
+
+
+def build_heif(brand: str = "heic", width: int = 64, height: int = 48,
+               thumb: tuple[int, int] | None = None) -> bytes:
+    """Spec-shaped HEIF/AVIF fixture for the metadata walker: ftyp +
+    meta{hdlr, pitm, iprp{ipco{ispe...}, ipma}} — NO coded image data
+    (the walker never reads item payloads)."""
+    bb = brand.encode("ascii")
+    ftyp = _box(b"ftyp", bb + (0).to_bytes(4, "big") + bb + b"mif1")
+    hdlr = _full(b"hdlr", 0, 0,
+                 (0).to_bytes(4, "big") + b"pict" + bytes(12) + b"\x00")
+    pitm = _full(b"pitm", 0, 0, (1).to_bytes(2, "big"))
+    ispe_main = _full(b"ispe", 0, 0,
+                      width.to_bytes(4, "big") + height.to_bytes(4, "big"))
+    props = [ispe_main]
+    if thumb:
+        props.append(_full(
+            b"ispe", 0, 0,
+            thumb[0].to_bytes(4, "big") + thumb[1].to_bytes(4, "big")))
+    ipco = _box(b"ipco", b"".join(props))
+    # item 1 (primary) -> property 1; item 2 (thumb) -> property 2
+    entries = (1).to_bytes(2, "big") + bytes([1, 1])
+    n = 1
+    if thumb:
+        entries += (2).to_bytes(2, "big") + bytes([1, 2])
+        n = 2
+    ipma = _full(b"ipma", 0, 0, n.to_bytes(4, "big") + entries)
+    iprp = _box(b"iprp", ipco + ipma)
+    meta = _full(b"meta", 0, 0, hdlr + pitm + iprp)
+    return ftyp + meta

@@ -932,6 +932,17 @@ def probe_one_payload(payload: bytes):
     from evolution_spark.operators.webm import parse_webm_metadata
 
     if payload[4:8] == b"ftyp":
+        from evolution_spark.operators.mp4 import (
+            is_heif_brand,
+            parse_heif_metadata,
+        )
+
+        if is_heif_brand(payload):
+            hm = parse_heif_metadata(payload)
+            container = "avif" if hm["brand"].startswith("avi") \
+                else "heif"
+            return (container, "image", hm["codec"], hm["width"],
+                    hm["height"], None, None, None)
         m = parse_mp4_metadata(payload)
         v = next((t for t in m["tracks"] if t["handler"] == "vide"),
                  None)

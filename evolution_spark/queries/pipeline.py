@@ -376,3 +376,90 @@ def temperature_mix_sample(spark, sf_dir):
         .groupBy("lang", F.col("n").alias("n_total"), "quota")
         .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_doc"))
     )
+
+
+@query(
+    "warc_ingest_stats",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 36),
+    rec AS (
+      SELECT i,
+             CASE WHEN i % 2 = 0 THEN 'response' ELSE 'metadata' END
+               AS warc_type,
+             CASE WHEN i % 2 = 0
+                  THEN CASE i % 6 WHEN 0 THEN 200 WHEN 2 THEN 404
+                       ELSE 301 END END AS http_status,
+             -- payload = 'doc-<i:02d>:' (7 bytes) + 'a' * (10 + i % 7)
+             CAST(7 + 10 + i % 7 AS BIGINT) AS n_bytes
+      FROM ids
+    )
+    SELECT warc_type, http_status,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(n_bytes) AS BIGINT) AS payload_bytes,
+           CAST(COUNT(DISTINCT i) AS BIGINT) AS distinct_uris
+    FROM rec GROUP BY warc_type, http_status
+    """,
+)
+def warc_ingest_stats(spark, sf_dir):
+    """WARC ingestion end-to-end (round 13 — Common Crawl is how a
+    100 TB pretraining corpus ARRIVES): deterministic fixture
+    ``.warc.gz`` files (3 files x 12 records, one gzip member per
+    record per the Common Crawl convention, mtime pinned) go through
+    the production ``read_warc`` path — file-parallel member indexing,
+    record-parallel range-read + inflate + header parse, HTTP body
+    extraction — then aggregate per (warc_type, http_status). DuckDB
+    recomputes record counts, exact payload byte totals (headers
+    stripped), and URI cardinality closed-form from the fixture
+    formulas; a wrong member boundary, unstripped HTTP header, or
+    status mis-parse shifts a sum and fails the hash.
+
+    Scale shape: index tasks stream files in bounded chunks (inflated
+    bytes discarded); parse parallelism tracks RECORD count via an
+    explicit repartition, so one giant .warc.gz cannot serialize the
+    stage; payloads never shuffle before the aggregate's partial
+    (map-side) reduction. Ref parity: extension surface
+    (the reference ingests fixed-length files only)."""
+    from evolution_spark.io.warc import (
+        build_warc_record,
+        read_warc,
+        write_warc_gz,
+    )
+    from evolution_spark.queries.base import query_tmp
+
+    tmp = query_tmp("warc", sf_dir)
+    import os
+
+    os.makedirs(tmp, exist_ok=True)
+    paths = []
+    for k in range(3):
+        recs = []
+        for j in range(12):
+            i = k * 12 + j
+            body = f"doc-{i:02d}:".encode() + b"a" * (10 + i % 7)
+            if i % 2 == 0:
+                status = {0: "200 OK", 2: "404 Not Found",
+                          4: "301 Moved Permanently"}[i % 6]
+                payload = (f"HTTP/1.1 {status}\r\nContent-Type: "
+                           "text/html\r\n\r\n").encode() + body
+                recs.append(build_warc_record(
+                    "response", f"http://example.com/{i}",
+                    "2026-01-01T00:00:00Z", payload,
+                    f"<urn:uuid:rec-{i}>",
+                    content_type="application/http; msgtype=response"))
+            else:
+                recs.append(build_warc_record(
+                    "metadata", f"http://example.com/{i}",
+                    "2026-01-01T00:00:00Z", body,
+                    f"<urn:uuid:rec-{i}>"))
+        p = os.path.join(tmp, f"crawl-{k}.warc.gz")
+        write_warc_gz(p, recs)
+        paths.append(p)
+    df = read_warc(spark, paths, records_per_partition=8)
+    return (
+        df.groupBy("warc_type", "http_status")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("n_bytes").alias("payload_bytes"),
+            F.countDistinct("uri").alias("distinct_uris"),
+        )
+    )

@@ -323,3 +323,35 @@ def test_probe_wav_reads_fmt_tag_and_bits():
         probe_one_payload(wav(6, 8, 1, 8000, 100))
     with _pytest.raises(ValueError, match="format tag"):
         probe_one_payload(wav(1, 12, 1, 8000, 100))
+
+
+def test_heif_avif_metadata():
+    """HEIF/AVIF (ISO 23008-12) item-structure walk — round 13: the
+    ipma association picks the PRIMARY item's ispe over a larger
+    thumbnail, brands map to codec families, and probe_media
+    classifies instead of erroring on the missing moov."""
+    from evolution_spark.operators.mp4 import (
+        build_heif,
+        is_heif_brand,
+        parse_heif_metadata,
+    )
+    from evolution_spark.operators.multimodal import probe_one_payload
+
+    p = build_heif("heic", 640, 480)
+    assert is_heif_brand(p)
+    m = parse_heif_metadata(p)
+    assert (m["brand"], m["codec"], m["width"], m["height"]) == (
+        "heic", "hevc", 640, 480)
+    # primary selection: a LARGER thumb ispe must not win over ipma
+    m = parse_heif_metadata(build_heif("avif", 100, 80,
+                                       thumb=(800, 600)))
+    assert (m["codec"], m["width"], m["height"]) == ("av1", 100, 80)
+    assert m["n_ispe"] == 2
+    got = probe_one_payload(build_heif("avif", 320, 200))
+    assert got[:5] == ("avif", "image", "av1", 320, 200)
+    got = probe_one_payload(build_heif("mif1", 32, 16))
+    assert got[:3] == ("heif", "image", None)
+    with pytest.raises(ValueError, match="ftyp brand"):
+        parse_heif_metadata(build_mp4(_sizes(4)))
+    with pytest.raises(ValueError, match="meta box"):
+        parse_heif_metadata(build_heif("heic", 8, 8)[:24])

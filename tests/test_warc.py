@@ -1,0 +1,161 @@
+"""WARC source (io/warc.py): gzip member indexing, distributed record
+parse, HTTP payload extraction, refusal contract."""
+import gzip
+import zlib
+
+import numpy as np
+import pytest
+
+from evolution_spark.io.warc import (
+    build_warc_record,
+    index_gzip_members,
+    parse_warc_record,
+    read_warc,
+    write_warc_gz,
+)
+
+
+def _mk_records(n, seed=0):
+    recs = []
+    for i in range(n):
+        body = f"doc-{seed}-{i}:".encode() + b"a" * (10 + i % 7)
+        if i % 2 == 0:
+            payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+                       b"\r\nServer: x\r\n\r\n" + body)
+            recs.append(build_warc_record(
+                "response", f"http://ex.com/{seed}/{i}",
+                "2026-01-01T00:00:00Z", payload,
+                f"<urn:uuid:{seed}-{i}>",
+                content_type="application/http; msgtype=response"))
+        else:
+            recs.append(build_warc_record(
+                "metadata", f"http://ex.com/{seed}/{i}",
+                "2026-01-01T00:00:00Z", body, f"<urn:uuid:{seed}-{i}>"))
+    return recs
+
+
+def test_member_index_exact(tmp_path):
+    recs = _mk_records(9)
+    p = str(tmp_path / "a.warc.gz")
+    write_warc_gz(p, recs)
+    idx = index_gzip_members(p)
+    assert len(idx) == 9
+    # offsets tile the file exactly
+    total = sum(ln for _, ln in idx)
+    import os
+    assert total == os.path.getsize(p)
+    assert idx[0][0] == 0
+    for (o1, l1), (o2, _) in zip(idx, idx[1:]):
+        assert o1 + l1 == o2
+    # each member independently inflates to its record
+    raw = open(p, "rb").read()
+    for (off, ln), rec in zip(idx, recs):
+        assert zlib.decompress(raw[off: off + ln],
+                               16 + zlib.MAX_WBITS) == rec
+
+
+def test_parse_record_http_and_raw():
+    rec = _mk_records(2)
+    row = parse_warc_record(rec[0], "f", 0)
+    assert row[2] == "response" and row[7] == 200
+    assert row[6] == "text/html"          # inner HTTP content-type wins
+    assert row[8] == b"doc-0-0:" + b"a" * 10
+    assert row[9] == 18
+    row = parse_warc_record(rec[1], "f", 1)
+    assert row[2] == "metadata" and row[7] is None
+    assert row[8].startswith(b"doc-0-1:")
+    with pytest.raises(ValueError, match="version line"):
+        parse_warc_record(b"HTTP/1.1 200\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_record(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n")
+    bad = rec[0].replace(b"Content-Length: ", b"Content-Length: 9999")
+    with pytest.raises(ValueError, match="overruns"):
+        parse_warc_record(bad)
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    paths = []
+    for k in range(3):
+        p = str(tmp_path / f"crawl-{k}.warc.gz")
+        write_warc_gz(p, _mk_records(8, seed=k))
+        paths.append(p)
+    df = read_warc(spark, paths, records_per_partition=5)
+    rows = df.collect()
+    assert len(rows) == 24
+    by_type = {}
+    for r in rows:
+        by_type[r.warc_type] = by_type.get(r.warc_type, 0) + 1
+        assert r.uri.startswith("http://ex.com/")
+        assert r.n_bytes == len(r.payload)
+    assert by_type == {"response": 12, "metadata": 12}
+    resp = [r for r in rows if r.warc_type == "response"]
+    assert all(r.http_status == 200 for r in resp)
+    assert all(not r.payload.startswith(b"HTTP/") for r in resp)
+    # parse parallelism tracks records, not files
+    assert df.rdd.getNumPartitions() == 5   # ceil(24 / 5)
+
+
+def test_plain_warc_refused(tmp_path):
+    p = str(tmp_path / "plain.warc")
+    with open(p, "wb") as f:
+        f.write(b"".join(_mk_records(3)))
+    with pytest.raises(ValueError, match="refused"):
+        index_gzip_members(p)
+
+
+def test_truncated_and_garbage_members(tmp_path):
+    p = str(tmp_path / "t.warc.gz")
+    write_warc_gz(p, _mk_records(4))
+    raw = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(raw[: len(raw) - 7])
+    with pytest.raises(ValueError, match="truncated"):
+        index_gzip_members(p)
+    q = str(tmp_path / "g.warc.gz")
+    first_len = index_gzip_members_first(raw)
+    with open(q, "wb") as f:
+        f.write(raw[:first_len] + b"JUNKJUNK" + raw[first_len:])
+    with pytest.raises(ValueError, match="not another member"):
+        index_gzip_members(q)
+
+
+def index_gzip_members_first(raw: bytes) -> int:
+    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+    d.decompress(raw)
+    return len(raw) - len(d.unused_data)
+
+
+def test_fuzz_error_contract(tmp_path):
+    """Corrupt .warc.gz files: ValueError (or zlib refusal wrapped) in
+    bounded time, never hangs or foreign exceptions."""
+    import time
+
+    rng = np.random.default_rng(9)
+    p = str(tmp_path / "z.warc.gz")
+    write_warc_gz(p, _mk_records(5))
+    base = open(p, "rb").read()
+    for trial in range(200):
+        b = bytearray(base)
+        mode = trial % 3
+        if mode == 0:
+            b[rng.integers(0, len(b))] ^= int(rng.integers(1, 256))
+        elif mode == 1:
+            b = b[: rng.integers(0, len(b))]
+        else:
+            pos = int(rng.integers(0, len(b)))
+            b[pos:pos] = bytes(rng.integers(0, 256,
+                                            int(rng.integers(1, 9))))
+        mutated = bytes(b)
+        with open(p, "wb") as f:
+            f.write(mutated)
+        t0 = time.perf_counter()
+        try:
+            for off, ln in index_gzip_members(p):
+                block = zlib.decompress(mutated[off: off + ln],
+                                        16 + zlib.MAX_WBITS)
+                parse_warc_record(block)
+        except (ValueError, zlib.error):
+            # zlib.error only from the raw decompress in THIS test;
+            # index_gzip_members itself wraps to ValueError
+            pass
+        assert time.perf_counter() - t0 < 1.0
