@@ -695,12 +695,86 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     )
 
 
-def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+def cap_payload_partitions(
+    df: DataFrame,
+    max_payload_mb_per_batch: float,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """EXECUTABLE batch-size guard for payload-heavy decode stages
+    (round 13 — this used to be docstring guidance only): bound the
+    payload bytes any one task holds, so an Arrow batch handed to a
+    Python decode worker can never exceed the cap regardless of row
+    count (a batch of 10k x 5 MB TIFFs would otherwise materialize
+    50 GB in one worker).
+
+    Shape: (1) one cheap per-input-partition ``sum(length)`` aggregate
+    — if EVERY partition is already under the cap, pass through with
+    no shuffle at all; (2) otherwise assign each row a byte-bucket by
+    partition-LOCAL cumulative payload offset (computed inside the
+    scan stage — no extra shuffle) at cap/2 granularity, and range-
+    repartition on the bucket. Range merging joins at most adjacent
+    buckets, so a task's payload is HARD-bounded by ~cap plus one
+    oversized row (a single row larger than the cap cannot be split).
+    This is deterministic bin-packing, not round-robin-in-expectation
+    — Spark's plain ``repartition(n)`` balances only on average and
+    was measured 1.5x over its even share on small skewed inputs."""
+    if max_payload_mb_per_batch <= 0:
+        raise ValueError("max_payload_mb_per_batch must be positive")
+    cap = int(max_payload_mb_per_batch * (1 << 20))
+    half = max(1, cap // 2)
+    per_part = df.groupBy(
+        F.spark_partition_id().alias("__pid")
+    ).agg(F.sum(F.coalesce(F.length(payload_col),
+                           F.lit(0))).alias("__b")).collect()
+    if not per_part:
+        return df
+    if all((r["__b"] or 0) <= cap for r in per_part):
+        return df
+    total = sum((r["__b"] or 0) for r in per_part)
+    n = int(max(1, -(-total // half)))
+    cols = [f.name for f in df.schema.fields]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("__bucket", LongType(), False)]
+    )
+    with_pid = df.withColumn("__pid", F.spark_partition_id())
+
+    def _bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        offset = 0
+        for pdf in batches:
+            pid = int(pdf["__pid"].iloc[0]) if len(pdf) else 0
+            lens = pdf[payload_col].map(
+                lambda p: len(p) if p is not None else 0
+            ).to_numpy()
+            starts = offset + np.concatenate(
+                ([0], np.cumsum(lens[:-1]))
+            ) if len(lens) else np.array([], dtype=np.int64)
+            offset += int(lens.sum())
+            out = pdf[cols].copy()
+            # composite key: monotone within a partition, disjoint
+            # across partitions (pid in the high bits)
+            out["__bucket"] = (np.int64(pid) << 40) + (
+                starts // half
+            ).astype(np.int64)
+            yield out
+
+    bucketed = with_pid.mapInPandas(_bucket, out_schema)
+    return bucketed.repartitionByRange(n, "__bucket").drop("__bucket")
+
+
+def extract_features(
+    df: DataFrame,
+    fake: bool = True,
+    max_payload_mb_per_batch: float | None = None,
+) -> DataFrame:
     """payload -> fixed-width feature vector via Arrow-batched mapInPandas.
 
     Partition-preserving (no shuffle); batch shape: the pandas iterator
     yields input-partition-sized chunks, and each output row carries a
-    FEATURE_DIM float vector."""
+    FEATURE_DIM float vector. ``max_payload_mb_per_batch`` applies
+    :func:`cap_payload_partitions` first (multi-MB payload corpora)."""
+    if max_payload_mb_per_batch is not None:
+        df = cap_payload_partitions(df, max_payload_mb_per_batch)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -750,8 +824,16 @@ def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
     return encode_bmp(px[rows][:, cols])
 
 
-def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    fake: bool = True,
+    max_payload_mb_per_batch: float | None = None,
+) -> DataFrame:
     """Image resize over Arrow-batched mapInPandas.
+    ``max_payload_mb_per_batch`` applies :func:`cap_payload_partitions`
+    first (this stage holds decoded pixels AND re-encoded output rows).
 
     REAL for every supported image format when ``fake=False`` (round 11:
     BMP/PNG/GIF/TIFF/JPEG all decode via ``decode_image_array``) —
@@ -759,6 +841,8 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> 
     canonical raw container for downstream feature extraction).
     ``fake=True`` keeps the deterministic byte-resample stub (the CI
     path for opaque payloads)."""
+    if max_payload_mb_per_batch is not None:
+        df = cap_payload_partitions(df, max_payload_mb_per_batch)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
@@ -802,13 +886,22 @@ _FRAMES_SCHEMA = StructType(
 )
 
 
-def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFrame:
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    fake: bool = True,
+    max_payload_mb_per_batch: float | None = None,
+) -> DataFrame:
     """Frame sampling: one output row per sampled frame (row-expanding
     mapInPandas — the streaming-friendly shape for frame extraction at
     scale). REAL for animated GIFs (``fake=False``): frames sample
     EVENLY across the composited animation timeline via the from-spec
     GIF decoder. True video containers (mp4/webm) still need av and use
-    the deterministic fake."""
+    the deterministic fake. ``max_payload_mb_per_batch`` applies
+    :func:`cap_payload_partitions` first (animations composite every
+    timeline frame in memory)."""
+    if max_payload_mb_per_batch is not None:
+        df = cap_payload_partitions(df, max_payload_mb_per_batch)
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from evolution_spark.operators.gif import decode_gif
