@@ -2531,3 +2531,213 @@ def multimodal_webp_metadata(spark, sf_dir):
          .otherwise("extended").alias("flavor"),
         "codec", "width", "height", "duration_us",
     )
+
+
+@query(
+    "audio_metadata_neardup",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 30),
+    rec AS (
+      SELECT i, i // 3 AS g, i % 3 AS j,
+             'track ' || CAST(i // 3 AS VARCHAR) AS title_key,
+             'artist ' || CAST((i // 3) % 4 AS VARCHAR) AS artist_key,
+             CAST((20 + i // 3 + CASE i % 3 WHEN 0 THEN 0 WHEN 1 THEN 1
+                   ELSE 6 END) * 1152 * 1000000 // 44100 AS BIGINT)
+               AS duration_us
+      FROM ids
+    )
+    SELECT a.title_key, a.artist_key,
+           a.i AS left_id, b.i AS right_id,
+           b.duration_us - a.duration_us AS gap_us
+    FROM rec a JOIN rec b
+      ON a.title_key = b.title_key AND a.artist_key = b.artist_key
+     AND a.i < b.i
+     AND abs(a.duration_us - b.duration_us) <= 80000
+    """,
+)
+def audio_metadata_neardup(spark, sf_dir):
+    """Audio-corpus near-duplicate detection by METADATA-KEY BLOCKING
+    (round 13 — joins the ID3v2 walker into the dedup surface): 30
+    fixture MP3s (10 groups x 3 variants) carry ID3v2 title/artist tags
+    that differ in case, punctuation, and whitespace; tags parse
+    through the production ``parse_id3v2_tags`` + ``parse_mp3_metadata``
+    walkers inside one mapInPandas, normalize to blocking keys
+    JVM-side (lower / strip punctuation / collapse whitespace), and a
+    self-join WITHIN blocks pairs tracks whose frame-exact durations
+    agree within 80 ms. One variant per group is 6 frames longer —
+    same metadata, duration outside tolerance — so each group yields
+    exactly one pair and the tolerance predicate is load-bearing.
+    DuckDB recomputes keys and the frame-time arithmetic closed-form
+    from the fixture formulas (integer //, never ROUND), so a wrong
+    text-encoding decode, syncsafe size, frame-length slot, or
+    normalization step changes the pair set and fails the hash.
+
+    Scale shape: the join is BLOCKED on (title_key, artist_key) —
+    never all-pairs; payload bytes stay in the parse stage (only id +
+    key + duration rows shuffle). Hot keys (compilation albums) bound
+    the block size the same way the MinHash band join bounds cluster
+    size. Ref parity: extension surface."""
+    import pandas as pd
+
+    from evolution_spark.operators.mp3 import (
+        build_id3v2,
+        build_mp3,
+        parse_id3v2_tags,
+        parse_mp3_metadata,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 30
+    )
+
+    def gen_and_parse(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                g, j = i // 3, i % 3
+                title = [f"Track {g}", f"track {g}!!",
+                         f" TRACK  {g} "][j]
+                artist = [f"Artist {g % 4}", f"ARTIST {g % 4}",
+                          f"artist  {g % 4}."][j]
+                tag = build_id3v2({"TIT2": title, "TPE1": artist},
+                                  version=(3, 4, 4)[j],
+                                  encoding=(0, 1, 3)[j])
+                n = 20 + g + (0, 1, 6)[j]
+                # full tag (with its own header) prefixes the stream —
+                # build_mp3's id3v2 kwarg takes a BODY and would wrap
+                # a second header around it
+                payload = tag + build_mp3(n, bitrate_indices=9,
+                                          sr_idx=0, seed=i)
+                meta = parse_mp3_metadata(payload)
+                tags = parse_id3v2_tags(payload)
+                rows.append((i, tags.get("TIT2"), tags.get("TPE1"),
+                             meta["duration_us"]))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "title", "artist",
+                               "duration_us"])
+
+    meta = d.mapInPandas(
+        gen_and_parse,
+        "media_id long, title string, artist string, duration_us long",
+    )
+
+    def norm(col):
+        return F.trim(F.regexp_replace(
+            F.regexp_replace(F.lower(col), "[^a-z0-9 ]", ""),
+            "\\s+", " "))
+
+    keyed = meta.select(
+        F.col("media_id"),
+        norm(F.col("title")).alias("title_key"),
+        norm(F.col("artist")).alias("artist_key"),
+        "duration_us",
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.title_key") == F.col("b.title_key"))
+            & (F.col("a.artist_key") == F.col("b.artist_key"))
+            & (F.col("a.media_id") < F.col("b.media_id"))
+            & (F.abs(F.col("a.duration_us") - F.col("b.duration_us"))
+               <= 80000),
+        )
+        .select(
+            F.col("a.title_key").alias("title_key"),
+            F.col("a.artist_key").alias("artist_key"),
+            F.col("a.media_id").alias("left_id"),
+            F.col("b.media_id").alias("right_id"),
+            (F.col("b.duration_us") - F.col("a.duration_us"))
+            .alias("gap_us"),
+        )
+    )
+
+
+def _langid_oracle() -> str:
+    """DuckDB oracle for ``language_profile``: embeds the checked-in
+    profile weights as a VALUES table and re-implements the rank-weight
+    scoring + argmax independently of the Spark plan."""
+    from evolution_spark.functions.langid import (
+        SEED_TEXTS,
+        profile_rows,
+    )
+
+    langs = sorted(SEED_TEXTS)
+    vals = ",\n      ".join(
+        f"('{lang}', '{tri}', {w})" for lang, tri, w in profile_rows()
+    )
+    inject = " ".join(
+        f"WHEN {i} THEN '{SEED_TEXTS[lang]}'"
+        for i, lang in enumerate(langs)
+    )
+    return f"""
+    WITH prof(lang, tri, w) AS (VALUES
+      {vals}
+    ),
+    txt AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN trim(regexp_replace(lower(text), '\\s+', ' ',
+                                           'g'))
+                  ELSE CASE doc_id % 20 {inject} END
+             END AS t
+      FROM documents WHERE doc_id < 200
+    ),
+    tg AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(greatest(length(t) - 2, 0)),
+                                   i -> substr(t, i + 1, 3))) AS tri
+      FROM txt
+    ),
+    scored AS (
+      SELECT doc_id, lang, CAST(SUM(w) AS BIGINT) AS score
+      FROM tg JOIN prof USING (tri)
+      GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang AS pred_lang, score
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, lang ASC) = 1
+    """
+
+
+@query("language_profile", oracle=_langid_oracle())
+def language_profile(spark, sf_dir):
+    """Language identification over a mixed corpus (round 13 — the
+    language dimension the Gopher-style quality signals lacked): even
+    doc_ids classify their REAL ``documents.text``; odd doc_ids carry
+    an injected seed sentence rotating over all 20 languages, so every
+    profile is exercised and recovering the injected language
+    end-to-end is part of the hash. The classifier is the checked-in
+    rank-weight trigram model (functions/langid.py — Cavnar-Trenkle
+    family, integer weights); DuckDB re-implements the full scoring
+    pipeline (normalize, explode trigrams, join the embedded weight
+    table, argmax with the same tie-break) independently.
+
+    Scale shape: 800-row profile BROADCAST; the corpus side shuffles
+    once as (doc_id, lang) partial aggregates (map-side combine ships
+    at most 20 rows per doc regardless of text size); the argmax
+    window partitions by doc_id on the same key. No UDFs — the whole
+    plan is codegen. Ref parity: extension surface."""
+    from evolution_spark.functions.langid import (
+        SEED_TEXTS,
+        classify_language,
+    )
+
+    langs = sorted(SEED_TEXTS)
+    d = table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    inject = F.when(F.lit(False), F.lit(None))
+    expr = None
+    for i, lang in enumerate(langs):
+        cond = (F.col("doc_id") % 20 == i)
+        expr = F.when(cond, F.lit(SEED_TEXTS[lang])) if expr is None \
+            else expr.when(cond, F.lit(SEED_TEXTS[lang]))
+    mixed = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(expr).alias("text"),
+    )
+    return classify_language(mixed)
