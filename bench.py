@@ -231,7 +231,122 @@ BENCH_QUERIES = [
     "multimodal_fax_tiff",
     "multimodal_probe_mixed",
     "multimodal_sof11_jpeg_features",
+    # batch-22: round-13 additions (first-recorded = their baseline)
+    "multimodal_webp_features",
+    "multimodal_webp_metadata",
+    "warc_ingest_stats",
+    "audio_metadata_neardup",
+    "language_profile",
 ]
+
+# Registered queries deliberately NOT in the bench suite: basic
+# relational/function shapes whose plans are fully covered by the
+# TPC-H and analytics lines above (benching them would double suite
+# wall time without adding signal). tests/test_bench_list.py forces
+# every NEW registration to be placed in exactly one of the two lists,
+# so a round can no longer end with an unsnapshotted query (the
+# r11/r12 late-registration gap).
+NOT_BENCHED = frozenset([
+    "agg_approx_count_distinct",
+    "agg_count_distinct_group",
+    "agg_cube",
+    "agg_global_stats",
+    "agg_group_having",
+    "agg_grouping_sets",
+    "ann_lsh_buckets",
+    "approx_percentile_prices",
+    "array_functions",
+    "asof_join_tolerance",
+    "bm25_rank",
+    "conditional_functions",
+    "csv_roundtrip_orders",
+    "date_diff_arithmetic",
+    "date_extract_parts",
+    "date_trunc_daily",
+    "dedup_cluster_components",
+    "dedup_minhash_signature",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "doc_length_histogram",
+    "embedding_centroid_distance",
+    "embedding_near_dup_planted",
+    "entity_scrub_redact",
+    "event_dedup_exact",
+    "exists_not_exists_sql",
+    "filter_predicates",
+    "flf_mock_generate",
+    "flf_parse_expression",
+    "flf_roundtrip_customer",
+    "join_cross",
+    "join_full_outer",
+    "join_inner",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_right_outer",
+    "json_props_extract",
+    "jsonl_roundtrip_documents",
+    "lang_id_heuristic",
+    "lateral_view_explode",
+    "math_functions",
+    "multimodal_bmp_features",
+    "null_safe_comparison",
+    "orc_roundtrip_customer",
+    "pivot_status_by_priority",
+    "pq_adc_topk",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "quality_filter_gopher",
+    "quality_score",
+    "random_projection_reduce",
+    "schema_evolution_merge",
+    "set_distinct",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union_all",
+    "sliding_window_30min",
+    "sort_multi_key_limit",
+    "sort_nulls_ordering",
+    "sql_correlated_scalar_subquery",
+    "sql_in_subquery",
+    "stats_mad_exact",
+    "stats_variance_exact",
+    "stratified_sample_hash",
+    "string_functions",
+    "string_functions_2",
+    "table_profile",
+    "tfidf_top_terms",
+    "theta_sketch_set_ops",
+    "token_count",
+    "train_test_split_hash",
+    "union_by_name_missing",
+    "unpivot_melt",
+    "variant_props_analytics",
+    "vector_norms",
+    "window_first_last_nth",
+    "window_lag_lead",
+    "window_ntile_dist",
+    "window_range_frame",
+    "window_rank_dense",
+    "window_running_sum",
+])
 
 
 def main() -> int:

@@ -188,7 +188,8 @@ def read_warc(spark: SparkSession, paths: list[str],
 
     idx = files.repartition(max(len(paths), 1), "file").mapInPandas(
         _index, _INDEX_SCHEMA
-    )
+    ).localCheckpoint()  # index rows are tiny; never re-stream the
+    # raw files for the count + the parse stage below
     n_total = idx.count()
     n_parts = max(1, (n_total + records_per_partition - 1)
                   // records_per_partition)

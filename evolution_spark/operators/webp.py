@@ -155,8 +155,9 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int):
         s1 = br.read(8)
         if s1 >= alphabet_size or s1 == s0:
             raise ValueError("VP8L simple-code symbol invalid")
-        lengths[s0] = lengths[s1] = 1
-        return _canonical_table(lengths)
+        # simple codes assign 0/1 in READ order (not canonical-sorted):
+        # a stream with s0 > s1 would otherwise decode swapped
+        return {(1, 0): s0, (1, 1): s1}, 1
     num_cl = 4 + br.read(4)
     cl_lengths = [0] * 19
     for i in range(num_cl):

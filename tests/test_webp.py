@@ -448,3 +448,23 @@ def test_mutation_fuzz_error_contract():
             except (ValueError, NotImplementedError):
                 pass
             assert time.perf_counter() - t0 < 1.0
+
+
+def test_simple_code_read_order():
+    """review r13 pass 1: a 2-symbol simple code assigns bit 0 to the
+    FIRST symbol read even when it sorts after the second — a foreign
+    stream with s0 > s1 must not decode swapped."""
+    from evolution_spark.operators.webp import _BitReader, \
+        _read_code, _read_prefix_code
+
+    bw = _BitWriter()
+    bw.write(1, 1)          # simple
+    bw.write(1, 1)          # two symbols
+    bw.write(1, 1)          # first symbol is 8-bit
+    bw.write(200, 8)        # s0 = 200 (sorts AFTER s1)
+    bw.write(3, 8)          # s1 = 3
+    bw.write(0b10, 2)       # then two code bits: 0 -> s0, 1 -> s1
+    br = _BitReader(bw.done())
+    table = _read_prefix_code(br, 256)
+    assert _read_code(br, table) == 200   # wrote bit 0 first
+    assert _read_code(br, table) == 3
