@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "warc_ingest_stats",
     "audio_metadata_neardup",
     "language_profile",
+    "warc_media_probe",
 ]
 
 # Registered queries deliberately NOT in the bench suite: basic

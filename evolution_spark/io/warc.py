@@ -257,3 +257,103 @@ def write_warc_gz(path: str, records: list[bytes]):
             with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
                 g.write(rec)
             f.write(buf.getvalue())
+
+
+# ------------------------------------------------------------- ARC (legacy)
+
+_ARC_RECORD_SCHEMA = (
+    "file string, offset long, uri string, ip string, date string, "
+    "content_type string, payload binary, n_bytes long"
+)
+
+
+def parse_arc_record(block: bytes, file: str = "", offset: int = 0):
+    """Parse ONE inflated ARC record (Internet Archive legacy format,
+    the pre-WARC Common Crawl packaging): a single space-separated
+    header line -- v1 ``URL IP date content-type length`` (5 fields) or
+    v2 (10 fields, length last) -- then ``length`` payload bytes."""
+    nl = block.find(b"\n")
+    if nl < 0:
+        raise ValueError("ARC record missing its header line")
+    fields = block[:nl].decode("utf-8", "replace").split(" ")
+    if len(fields) not in (5, 10):
+        raise ValueError(
+            f"ARC header has {len(fields)} fields (v1=5 or v2=10)"
+        )
+    url, ip, date = fields[0], fields[1], fields[2]
+    mime = fields[3]  # Content-type is field 4 in both v1 and v2
+    try:
+        length = int(fields[-1])
+    except ValueError:
+        raise ValueError("ARC header length field is not an integer")
+    body = block[nl + 1: nl + 1 + length]
+    if len(body) < length:
+        raise ValueError("ARC length overruns the record")
+    return (file, offset, url, ip, date, mime, bytes(body), length)
+
+
+def read_arc(spark: SparkSession, paths: list[str],
+             records_per_partition: int = 2000) -> DataFrame:
+    """Distributed ``.arc.gz`` reader: the same member-index-then-
+    range-read shape as :func:`read_warc` (ARC files from the Internet
+    Archive era use the identical gzip-member-per-record packaging).
+    The leading ``filedesc://`` version record of each file is emitted
+    like any other row (filter on ``uri`` to drop it)."""
+    import pandas as pd
+
+    if not paths:
+        raise ValueError("read_arc needs at least one path")
+    files = spark.createDataFrame([(p,) for p in sorted(paths)],
+                                  "file string")
+
+    def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf["file"]:
+                for off, ln in index_gzip_members(p):
+                    rows.append((p, off, ln))
+            yield pd.DataFrame(rows, columns=["file", "offset",
+                                              "length"])
+
+    idx = files.repartition(max(len(paths), 1), "file").mapInPandas(
+        _index, _INDEX_SCHEMA
+    ).localCheckpoint()
+    n_total = idx.count()
+    n_parts = max(1, (n_total + records_per_partition - 1)
+                  // records_per_partition)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            handles = {}
+            try:
+                for p, off, ln in zip(pdf["file"], pdf["offset"],
+                                      pdf["length"]):
+                    f = handles.get(p)
+                    if f is None:
+                        f = handles[p] = open(p, "rb")
+                    f.seek(int(off))
+                    raw = f.read(int(ln))
+                    try:
+                        block = zlib.decompress(raw, 16 + zlib.MAX_WBITS)
+                    except zlib.error as exc:
+                        raise ValueError(
+                            f"{p}: corrupt gzip member at {off}: {exc}"
+                        )
+                    rows.append(parse_arc_record(block, p, int(off)))
+            finally:
+                for f in handles.values():
+                    f.close()
+            yield pd.DataFrame(rows, columns=[
+                "file", "offset", "uri", "ip", "date", "content_type",
+                "payload", "n_bytes",
+            ])
+
+    return idx.repartition(n_parts).mapInPandas(_parse,
+                                                _ARC_RECORD_SCHEMA)
+
+
+def build_arc_record(url: str, ip: str, date: str, content_type: str,
+                     payload: bytes) -> bytes:
+    hdr = f"{url} {ip} {date} {content_type} {len(payload)}\n"
+    return hdr.encode() + payload + b"\n"

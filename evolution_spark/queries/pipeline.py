@@ -463,3 +463,113 @@ def warc_ingest_stats(spark, sf_dir):
             F.countDistinct("uri").alias("distinct_uris"),
         )
     )
+
+
+@query(
+    "warc_media_probe",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 24),
+    rec AS (
+      SELECT i,
+             CASE i % 4 WHEN 0 THEN 'webp' WHEN 1 THEN 'png'
+                  WHEN 2 THEN 'mp3' ELSE 'wav' END AS container,
+             CASE i % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'image'
+                  ELSE 'audio' END AS kind,
+             CASE i % 4
+                  WHEN 0 THEN (10 + i % 5) * (6 + i % 3)
+                  WHEN 1 THEN (8 + i % 4) * (5 + i % 2)
+             END AS px,
+             CASE i % 4
+                  WHEN 2 THEN (8 + i % 5) * 1152 * 1000000 // 44100
+                  WHEN 3 THEN (4000 + 10 * i) * 1000000 // 8000
+             END AS dur
+      FROM ids
+    )
+    SELECT container, kind,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(px) AS BIGINT) AS total_px,
+           CAST(SUM(dur) AS BIGINT) AS total_dur_us
+    FROM rec GROUP BY container, kind
+    """,
+)
+def warc_media_probe(spark, sf_dir):
+    """The COMPLETE ingest story end-to-end (round 13): media payloads
+    arrive INSIDE WARC response records (as a scraped corpus does),
+    flow through the production ``read_warc`` (member index ->
+    range-read -> inflate -> HTTP body strip) into the unified
+    ``probe_media`` dispatch, and aggregate per (container, kind).
+    Fixtures rotate WebP (VP8L header dims), PNG (IHDR), MP3 (frame
+    walk durations @44.1 kHz) and WAV (fmt/data chunks @8 kHz); DuckDB
+    recomputes pixel and duration totals closed-form, so a wrong HTTP
+    header strip (probe would see 'HTTP/...' not magic bytes), member
+    boundary, or any walker regression fails the hash.
+
+    Scale shape: both stages are the production ones — indexing is
+    file-parallel bounded-memory, probe is header-only mapInPandas;
+    payload bytes move once (the record-parallel repartition) and
+    never again. Ref parity: extension surface."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.io.warc import (
+        build_warc_record,
+        read_warc,
+        write_warc_gz,
+    )
+    from evolution_spark.operators.multimodal import (
+        encode_png,
+        encode_wav,
+        probe_media,
+    )
+    from evolution_spark.operators.mp3 import build_mp3
+    from evolution_spark.operators.webp import encode_webp
+    from evolution_spark.queries.base import query_tmp
+
+    import os
+
+    tmp = query_tmp("warcmedia", sf_dir)
+    os.makedirs(tmp, exist_ok=True)
+    paths = []
+    for k in range(2):
+        recs = []
+        for j in range(12):
+            i = k * 12 + j
+            v = i % 4
+            if v == 0:
+                img = np.zeros((6 + i % 3, 10 + i % 5, 3),
+                               dtype=np.uint8)
+                body, mime = encode_webp(img), "image/webp"
+            elif v == 1:
+                img = ((i + np.arange((5 + i % 2) * (8 + i % 4)))
+                       % 256).astype(np.uint8).reshape(
+                    5 + i % 2, 8 + i % 4)
+                body, mime = encode_png(img), "image/png"
+            elif v == 2:
+                body, mime = build_mp3(8 + i % 5, bitrate_indices=9,
+                                       sr_idx=0, seed=i), "audio/mpeg"
+            else:
+                n = 4000 + 10 * i
+                sig = ((i * 37 + np.arange(n)) % 2001 - 1000)
+                body, mime = encode_wav(sig, sample_rate=8000), \
+                    "audio/wav"
+            payload = (f"HTTP/1.1 200 OK\r\nContent-Type: {mime}"
+                       "\r\n\r\n").encode() + body
+            recs.append(build_warc_record(
+                "response", f"http://media.example.com/{i}",
+                "2026-01-01T00:00:00Z", payload, f"<urn:uuid:m-{i}>",
+                content_type="application/http; msgtype=response"))
+        p = os.path.join(tmp, f"media-{k}.warc.gz")
+        write_warc_gz(p, recs)
+        paths.append(p)
+    rows = read_warc(spark, paths, records_per_partition=8)
+    media = rows.select(
+        F.regexp_extract("uri", r"/(\d+)$", 1).cast("long")
+         .alias("media_id"),
+        "payload",
+    )
+    probed = probe_media(media)
+    return probed.groupBy("container", "kind").agg(
+        F.count("*").alias("n_records"),
+        F.sum(F.col("width") * F.col("height")).alias("total_px"),
+        F.sum("duration_us").alias("total_dur_us"),
+    )

@@ -159,3 +159,50 @@ def test_fuzz_error_contract(tmp_path):
             # index_gzip_members itself wraps to ValueError
             pass
         assert time.perf_counter() - t0 < 1.0
+
+
+def test_arc_reader(spark, tmp_path):
+    """ARC legacy format (pre-WARC Common Crawl packaging): v1 5-field
+    and v2 10-field headers, gzip member per record, filedesc version
+    record emitted like any row."""
+    import gzip as _gz
+    import io
+
+    from evolution_spark.io.warc import (
+        build_arc_record,
+        parse_arc_record,
+        read_arc,
+    )
+
+    def gz(rec):
+        buf = io.BytesIO()
+        with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(rec)
+        return buf.getvalue()
+
+    recs = [build_arc_record("filedesc://crawl.arc", "0.0.0.0",
+                             "20260101000000", "text/plain", b"1 0 arc")]
+    for i in range(6):
+        body = f"page {i} ".encode() + b"b" * (5 + i)
+        recs.append(build_arc_record(f"http://ex.com/{i}", "10.0.0.1",
+                                     "20260101000000", "text/html", body))
+    # one v2-style record (10 fields)
+    v2 = (b"http://ex.com/v2 10.0.0.2 20260101000000 image/png 200 "
+          b"chk - 0 f.arc 4\n\x89PNG\n")
+    recs.append(v2)
+    p = str(tmp_path / "a.arc.gz")
+    with open(p, "wb") as f:
+        for r in recs:
+            f.write(gz(r))
+    rows = read_arc(spark, [p], records_per_partition=3).collect()
+    assert len(rows) == 8
+    pages = [r for r in rows if r.uri.startswith("http://ex.com/")
+             and r.content_type == "text/html"]
+    assert len(pages) == 6
+    assert all(r.n_bytes == len(r.payload) for r in rows)
+    v2row = [r for r in rows if r.content_type == "image/png"][0]
+    assert v2row.payload == b"\x89PNG" and v2row.ip == "10.0.0.2"
+    with pytest.raises(ValueError, match="fields"):
+        parse_arc_record(b"http://x 1.2.3.4 20260101 text/plain\nxx")
+    with pytest.raises(ValueError, match="overruns"):
+        parse_arc_record(b"http://x 1.2.3.4 20260101 text/plain 99\nxx")
