@@ -24,6 +24,9 @@ AUDITED = {
     "iceberg_scoped_equality_delete": "scoped delete keys + file-seq map broadcast; scan narrow",
     "delta_cdf_sidecar_roundtrip": "sidecar scan + broadcast version map; change rows aggregate locally",
     "dedup_exact": "16B fingerprint + 8B id per doc; text stays put",
+    "language_profile": "profile table broadcast; partial agg ships <=20 (doc,lang,score) rows per doc, never trigram rows",
+    "audio_metadata_neardup": "blocked self-join on metadata keys; only id+key+duration rows leave the parse stage",
+    "warc_media_probe": "payload bytes move once (record repartition); probe emits metadata rows only",
     "dedup_minhash_lsh": "band hashes + ids; text joins back by id at the end",
     "dedup_repeated_chunks": "hash/int winner shuffles only; text re-derives per doc",
     "knn_bruteforce_cosine": "probes broadcast — corpus never shuffles",
