@@ -33,8 +33,6 @@ Ref parity: the reference has no media handling (extension surface).
 """
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 
 # ---------------------------------------------------------------- bits

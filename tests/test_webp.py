@@ -468,3 +468,47 @@ def test_simple_code_read_order():
     table = _read_prefix_code(br, 256)
     assert _read_code(br, table) == 200   # wrote bit 0 first
     assert _read_code(br, table) == 3
+
+
+def test_combined_subtract_green_plus_predictor():
+    """review r13 pass 5: transform COMPOSITION — stream lists
+    [subtract-green, predictor]; decoder must invert in reverse order
+    (predictor first, then add-green)."""
+    rng = np.random.default_rng(77)
+    w, h, sb = 9, 6, 2
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    argb = [
+        (255 << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
+        for (r, g, b) in img.reshape(-1, 3)
+    ]
+    # forward subtract-green
+    sg = []
+    for p in argb:
+        g = (p >> 8) & 0xFF
+        r = (((p >> 16) & 0xFF) - g) & 0xFF
+        b = ((p & 0xFF) - g) & 0xFF
+        sg.append((p & 0xFF00FF00) | (r << 16) | b)
+    bwb = (w + (1 << sb) - 1) >> sb
+    bhb = (h + (1 << sb) - 1) >> sb
+    mode = 7  # avg2(L, T)
+    res = _forward_predict(sg, w, h, sb, [mode] * (bwb * bhb), bwb)
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(2, 2)          # subtract-green (listed FIRST)
+    bw.write(1, 1)
+    bw.write(0, 2)          # predictor (listed second)
+    bw.write(sb - 2, 3)
+    bw.write(0, 1)          # pred subimage: no cache
+    _plain_codes(bw)
+    for _ in range(bwb * bhb):
+        _emit_argb(bw, 0, 0, mode, 0)
+    bw.write(0, 1)          # end transforms
+    bw.write(0, 1)
+    bw.write(0, 1)
+    _plain_codes(bw)
+    for v in res:
+        _emit_argb(bw, (v >> 24) & 0xFF, (v >> 16) & 0xFF,
+                   (v >> 8) & 0xFF, v & 0xFF)
+    out = decode_vp8l(bw.done())
+    assert np.array_equal(out[..., :3], img)

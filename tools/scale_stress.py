@@ -861,6 +861,10 @@ def codec_stress_large(spark, reps: int) -> dict:
         "tiff_lzw": (encode_tiff(img, compression="lzw"), img.size),
         "flac": (encode_flac(sig, rate=44100), sig.size * 2),
     }
+    from evolution_spark.operators.webp import encode_webp
+
+    payloads["webp_vp8l"] = (encode_webp(img, use_backrefs=True),
+                             img.size)
 
     def run(name: str, payload: bytes, n: int) -> float:
         df = spark.range(n).selectExpr("id as media_id")
