@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "audio_metadata_neardup",
     "language_profile",
     "warc_media_probe",
+    "multimodal_webp_animation",
 ]
 
 # Registered queries deliberately NOT in the bench suite: basic

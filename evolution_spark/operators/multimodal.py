@@ -926,6 +926,26 @@ def sample_frames(
                             all_frames[fi].astype(np.uint8).tobytes()
                         )
                     continue
+                if (not fake and payload[:4] == b"RIFF"
+                        and payload[8:12] == b"WEBP"):
+                    from evolution_spark.operators.webp import (
+                        decode_webp_animation,
+                    )
+
+                    timeline = decode_webp_animation(payload)
+                    n = len(timeline)
+                    picks = np.unique(
+                        np.linspace(0, n - 1, min(n_frames, n)).round()
+                        .astype(int)
+                    )
+                    for i, fi in enumerate(picks):
+                        ids.append(media_id)
+                        idxs.append(i)
+                        frames.append(
+                            timeline[fi][1][..., :3].astype(np.uint8)
+                            .tobytes()
+                        )
+                    continue
                 raw = decode_media(payload, "video", fake=fake)
                 for i in range(n_frames):
                     ids.append(media_id)

@@ -876,31 +876,144 @@ def build_webp_lossy(width: int, height: int, n_bytes: int = 64) -> bytes:
             + chunk)
 
 
-def build_webp_animation(frames: list[tuple[int, int, int]],
-                         canvas: tuple[int, int] = (64, 64)) -> bytes:
+def build_webp_animation(frames: list, canvas: tuple[int, int] = (64, 64),
+                         background: int = 0xFF000000) -> bytes:
     """Spec-shaped ANIMATED WebP fixture: VP8X + ANIM + one ANMF per
-    (width, height, duration_ms) frame, each embedding a real 1-entry
-    VP8L frame payload."""
+    frame, each embedding a real VP8L frame payload. A frame is either
+    the legacy ``(width, height, duration_ms)`` tuple (black frame at
+    the origin, no-blend, keep) or a dict with keys ``w h dur`` and
+    optional ``x y`` (EVEN canvas offsets — the ANMF header stores
+    them halved), ``fill`` (RGB or RGBA tuple), ``blend`` (True =
+    alpha-blend onto the canvas), ``dispose`` (True = dispose to the
+    ANIM background color after display)."""
     cw, ch = canvas
     vp8x = (bytes([0x02]) + b"\x00\x00\x00"
             + (cw - 1).to_bytes(3, "little")
             + (ch - 1).to_bytes(3, "little"))
     chunks = b"VP8X" + (10).to_bytes(4, "little") + vp8x
-    anim = (0xFF000000).to_bytes(4, "little") + (0).to_bytes(2, "little")
+    anim = background.to_bytes(4, "little") + (0).to_bytes(2, "little")
     chunks += b"ANIM" + (6).to_bytes(4, "little") + anim
-    for (fw, fh, dur) in frames:
-        img = np.zeros((fh, fw, 3), dtype=np.uint8)
+    for fr in frames:
+        if isinstance(fr, dict):
+            fw, fh, dur = fr["w"], fr["h"], fr["dur"]
+            x, y = fr.get("x", 0), fr.get("y", 0)
+            fill = fr.get("fill", (0, 0, 0))
+            blend = fr.get("blend", False)
+            dispose = fr.get("dispose", False)
+        else:
+            (fw, fh, dur), x, y = fr, 0, 0
+            fill, blend, dispose = (0, 0, 0), False, False
+        if x % 2 or y % 2:
+            raise ValueError("ANMF frame offsets must be even")
+        img = np.empty((fh, fw, len(fill)), dtype=np.uint8)
+        img[:] = np.asarray(fill, dtype=np.uint8)
         sub = encode_vp8l(img)
         sub_chunk = b"VP8L" + len(sub).to_bytes(4, "little") + sub
         if len(sub) & 1:
             sub_chunk += b"\x00"
-        body = ((0).to_bytes(3, "little") + (0).to_bytes(3, "little")
+        flags = (0 if blend else 0x02) | (0x01 if dispose else 0)
+        body = ((x // 2).to_bytes(3, "little")
+                + (y // 2).to_bytes(3, "little")
                 + (fw - 1).to_bytes(3, "little")
                 + (fh - 1).to_bytes(3, "little")
-                + dur.to_bytes(3, "little") + bytes([0x02])
+                + dur.to_bytes(3, "little") + bytes([flags])
                 + sub_chunk)
         chunks += b"ANMF" + len(body).to_bytes(4, "little") + body
         if len(body) & 1:
             chunks += b"\x00"
     return (b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WEBP"
             + chunks)
+
+
+def decode_webp_animation(payload: bytes):
+    """Decode an ANIMATED WebP to its composited timeline:
+    ``[(duration_ms, (ch, cw, 4) RGBA canvas), ...]`` — ANMF frames
+    decode via the VP8L path and composite per their header flags
+    (placement at the halved stored offsets, source-over alpha
+    blending or overwrite, dispose-to-background-color). A still WebP
+    returns a single zero-duration entry. Lossy VP8 frames refuse.
+
+    Blend math is the spec's source-over with 8-bit alpha, computed in
+    exact integer arithmetic scaled by 255*255 then rounded half-up —
+    fully opaque or fully transparent sources degrade to
+    overwrite/no-op exactly."""
+    payload = bytes(payload)
+    meta = parse_webp_metadata(payload)
+    if not meta["animated"]:
+        img = decode_webp(payload)
+        return [(0, img)]
+    chunks = _chunks(payload)
+    cw, ch = meta["width"], meta["height"]
+    if cw * ch > (1 << 26):
+        raise ValueError("WebP canvas exceeds the decode guard")
+    bg = None
+    for f, s, e in chunks:
+        if f == b"ANIM":
+            if e - s < 6:
+                raise ValueError("ANIM chunk truncated")
+            b_, g_, r_, a_ = payload[s: s + 4]   # BGRA per spec
+            bg = np.array([r_, g_, b_, a_], dtype=np.uint8)
+    if bg is None:
+        raise ValueError("animated WebP without an ANIM chunk")
+    canvas = np.empty((ch, cw, 4), dtype=np.uint8)
+    canvas[:] = bg
+    out = []
+    for f, s, e in chunks:
+        if f != b"ANMF":
+            continue
+        if e - s < 16:
+            raise ValueError("ANMF frame header truncated")
+        x = int.from_bytes(payload[s: s + 3], "little") * 2
+        y = int.from_bytes(payload[s + 3: s + 6], "little") * 2
+        fw = int.from_bytes(payload[s + 6: s + 9], "little") + 1
+        fh = int.from_bytes(payload[s + 9: s + 12], "little") + 1
+        dur = int.from_bytes(payload[s + 12: s + 15], "little")
+        flags = payload[s + 15]
+        if x + fw > cw or y + fh > ch:
+            raise ValueError("ANMF frame rectangle outside the canvas")
+        sub = None
+        pos = s + 16
+        while pos + 8 <= e:
+            fourcc = payload[pos: pos + 4]
+            size = int.from_bytes(payload[pos + 4: pos + 8], "little")
+            if pos + 8 + size > e:
+                raise ValueError("ANMF sub-chunk overruns the frame")
+            if fourcc == b"VP8L":
+                sub = decode_vp8l(payload[pos + 8: pos + 8 + size])
+            elif fourcc == b"VP8 ":
+                raise NotImplementedError(
+                    "lossy VP8 animation frames are refused by design"
+                    " — parse_webp_metadata covers the timeline"
+                )
+            pos += 8 + size + (size & 1)
+        if sub is None:
+            raise ValueError("ANMF frame without an image chunk")
+        if sub.shape[0] != fh or sub.shape[1] != fw:
+            raise ValueError(
+                f"ANMF frame bitstream {sub.shape[1]}x{sub.shape[0]} "
+                f"!= header {fw}x{fh}"
+            )
+        region = canvas[y: y + fh, x: x + fw]
+        if flags & 0x02:                      # do-not-blend: overwrite
+            region[:] = sub
+        else:                                 # source-over alpha blend
+            sa = sub[..., 3].astype(np.int64)
+            da = region[..., 3].astype(np.int64)
+            # alpha and color scaled by 255 resp. 255*255, then
+            # rounded half-up back to 8 bits
+            ba255 = sa * 255 + da * (255 - sa)
+            for c in range(3):
+                sc = sub[..., c].astype(np.int64)
+                dc = region[..., c].astype(np.int64)
+                num = sc * sa * 255 + dc * da * (255 - sa)
+                region[..., c] = np.where(
+                    ba255 > 0, (num * 2 + ba255) // (2 * ba255), 0
+                ).astype(np.uint8)
+            region[..., 3] = ((ba255 * 2 + 255) // (2 * 255)).astype(
+                np.uint8)
+        out.append((dur, canvas.copy()))
+        if flags & 0x01:                      # dispose to background
+            canvas[y: y + fh, x: x + fw] = bg
+    if not out:
+        raise ValueError("animated WebP with no ANMF frames")
+    return out

@@ -2741,3 +2741,74 @@ def language_profile(spark, sf_dir):
         .otherwise(expr).alias("text"),
     )
     return classify_language(mixed)
+
+
+@query(
+    "multimodal_webp_animation",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 24),
+    frames AS (
+      SELECT i, 0 AS frame_idx,
+             CAST(192 * ((13 * i) % 256) AS BIGINT) AS r_sum
+      FROM ids
+      UNION ALL
+      SELECT i, 1,
+             CAST(48 * ((7 * i + 5) % 256)
+                  + 144 * CASE WHEN i % 2 = 1 THEN 17
+                          ELSE (13 * i) % 256 END AS BIGINT)
+      FROM ids
+    )
+    SELECT i AS media_id, frame_idx, r_sum FROM frames
+    """,
+)
+def multimodal_webp_animation(spark, sf_dir):
+    """Animated WebP COMPOSITING end-to-end (round 13): each doc id
+    gets a 16x12 two-frame animation — a full-canvas frame (red
+    channel 13*id mod 256, dispose-to-background on odd ids) then an
+    8x6 rect at (4, 2) (red 7*id+5 mod 256) — decoded through the
+    production ``decode_webp_animation`` timeline (VP8L frame decode,
+    halved-offset placement, overwrite compositing, ANIM background
+    disposal). DuckDB recomputes each composited frame's red-channel
+    sum closed-form: a wrong disposal fill, offset doubling, or
+    rectangle bound shifts a sum and fails the hash.
+
+    Scale shape: partition-local mapInPandas; payloads never shuffle.
+    Ref parity: extension surface."""
+    import pandas as pd
+
+    from evolution_spark.operators.webp import (
+        build_webp_animation,
+        decode_webp_animation,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 24
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                p = build_webp_animation(
+                    [
+                        {"w": 16, "h": 12, "dur": 40,
+                         "fill": ((13 * i) % 256, 60, 70),
+                         "dispose": bool(i % 2)},
+                        {"w": 8, "h": 6, "dur": 50, "x": 4, "y": 2,
+                         "fill": ((7 * i + 5) % 256, 80, 90)},
+                    ],
+                    canvas=(16, 12),
+                    background=0xFF112233,
+                )
+                for fi, (_dur, canvas) in enumerate(
+                    decode_webp_animation(p)
+                ):
+                    rows.append((i, fi, int(canvas[..., 0]
+                                            .astype("int64").sum())))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "r_sum"])
+
+    return d.mapInPandas(
+        gen, "media_id long, frame_idx int, r_sum long"
+    )

@@ -512,3 +512,78 @@ def test_combined_subtract_green_plus_predictor():
                    (v >> 8) & 0xFF, v & 0xFF)
     out = decode_vp8l(bw.done())
     assert np.array_equal(out[..., :3], img)
+
+
+def test_animation_compositing():
+    """Animated WebP timeline: placement at halved stored offsets,
+    overwrite vs source-over blending, dispose-to-background."""
+    from evolution_spark.operators.webp import decode_webp_animation
+
+    p = build_webp_animation(
+        [
+            {"w": 16, "h": 16, "dur": 40, "x": 0, "y": 0,
+             "fill": (10, 20, 30), "dispose": False},
+            {"w": 8, "h": 8, "dur": 50, "x": 4, "y": 6,
+             "fill": (200, 100, 50), "dispose": True},
+            {"w": 4, "h": 4, "dur": 60, "x": 0, "y": 0,
+             "fill": (1, 2, 3)},
+        ],
+        canvas=(16, 16),
+        background=0xFF112233,   # BGRA bytes: 33 22 11 FF -> RGB(17,34,51)... 
+    )
+    tl = decode_webp_animation(p)
+    assert [d for d, _ in tl] == [40, 50, 60]
+    f0, f1, f2 = (c for _, c in tl)
+    assert (f0[..., :3] == (10, 20, 30)).all()
+    # frame 1 overwrites an 8x8 rect at (6, 4) [row y=6, col x=4]
+    assert tuple(f1[6, 4, :3]) == (200, 100, 50)
+    assert tuple(f1[0, 0, :3]) == (10, 20, 30)
+    # frame 1 disposed its rect to the ANIM background before frame 2
+    bg_le = (0xFF112233).to_bytes(4, "little")   # B,G,R,A on the wire
+    bg_rgb = (bg_le[2], bg_le[1], bg_le[0])
+    assert tuple(f2[6, 4, :3]) == bg_rgb
+    assert tuple(f2[0, 0, :3]) == (1, 2, 3)      # new frame on top
+    assert tuple(f2[15, 15, :3]) == (10, 20, 30)  # untouched area
+
+
+def test_animation_alpha_blend():
+    from evolution_spark.operators.webp import decode_webp_animation
+
+    p = build_webp_animation(
+        [
+            {"w": 8, "h": 8, "dur": 10, "fill": (100, 100, 100, 255)},
+            # half-transparent source over the opaque base
+            {"w": 8, "h": 8, "dur": 10, "fill": (200, 0, 0, 128),
+             "blend": True},
+            # fully transparent source: no-op
+            {"w": 8, "h": 8, "dur": 10, "fill": (9, 9, 9, 0),
+             "blend": True},
+        ],
+        canvas=(8, 8),
+    )
+    tl = decode_webp_animation(p)
+    f1 = tl[1][1]
+    # source-over: a = 255; rgb = (200*128 + 100*255*(127/255)) / 255
+    sa, da = 128, 255
+    num = 200 * sa * 255 + 100 * da * (255 - sa)
+    den = sa * 255 + da * (255 - sa)
+    expect_r = (num * 2 + den) // (2 * den)
+    assert f1[0, 0, 0] == expect_r and f1[0, 0, 3] == 255
+    assert np.array_equal(tl[2][1], f1)   # alpha-0 source changed nothing
+
+
+def test_sample_frames_animated_webp(spark):
+    from evolution_spark.operators.multimodal import sample_frames
+
+    p = build_webp_animation(
+        [{"w": 6, "h": 4, "dur": 10, "fill": (i * 30, 0, 0)}
+         for i in range(5)],
+        canvas=(6, 4),
+    )
+    df = spark.createDataFrame([(1, "video", bytearray(p))],
+                               "media_id long, kind string, payload binary")
+    rows = sample_frames(df, n_frames=3, fake=False).collect()
+    assert len(rows) == 3
+    first = np.frombuffer(rows[0].frame, dtype=np.uint8).reshape(4, 6, 3)
+    last = np.frombuffer(rows[-1].frame, dtype=np.uint8).reshape(4, 6, 3)
+    assert first[0, 0, 0] == 0 and last[0, 0, 0] == 120
