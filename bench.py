@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "language_profile",
     "warc_media_probe",
     "multimodal_webp_animation",
+    "multimodal_heif_metadata",
 ]
 
 # Registered queries deliberately NOT in the bench suite: basic

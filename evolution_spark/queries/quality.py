@@ -2812,3 +2812,53 @@ def multimodal_webp_animation(spark, sf_dir):
     return d.mapInPandas(
         gen, "media_id long, frame_idx int, r_sum long"
     )
+
+
+@query(
+    "multimodal_heif_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'heif' WHEN 1 THEN 'avif'
+                ELSE 'heif' END AS container,
+           CASE doc_id % 3 WHEN 0 THEN 'hevc' WHEN 1 THEN 'av1'
+                ELSE NULL END AS codec,
+           CAST(64 + 4 * doc_id AS INT) AS width,
+           CAST(48 + 2 * doc_id AS INT) AS height
+    FROM documents WHERE doc_id < 24
+    """,
+)
+def multimodal_heif_metadata(spark, sf_dir):
+    """HEIC/AVIF classification through ``probe_media`` (round 13):
+    rotating ftyp brands (heic -> hevc, avif -> av1, mif1 -> codec
+    unknown), primary-item dimensions chosen via pitm+ipma over a
+    LARGER decoy thumbnail ispe on every third id — the association
+    walk, not max-area, must win. DuckDB recomputes every field from
+    the fixture formulas.
+
+    Scale shape: header-only mapInPandas probe. Ref parity: extension
+    surface."""
+    import pandas as pd
+
+    from evolution_spark.operators.mp4 import build_heif
+    from evolution_spark.operators.multimodal import probe_media
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 24
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                brand = ("heic", "avif", "mif1")[i % 3]
+                thumb = (512, 512) if i % 3 == 2 else None
+                payloads.append(build_heif(
+                    brand, 64 + 4 * i, 48 + 2 * i, thumb=thumb))
+                ids.append(i)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return probe_media(media).select(
+        "media_id", "container", "codec", "width", "height"
+    )
