@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "warc_media_probe",
     "multimodal_webp_animation",
     "multimodal_heif_metadata",
+    "multimodal_exif_metadata",
 ]
 
 # Registered queries deliberately NOT in the bench suite: basic

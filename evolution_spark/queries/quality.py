@@ -2862,3 +2862,86 @@ def multimodal_heif_metadata(spark, sf_dir):
     return probe_media(media).select(
         "media_id", "container", "codec", "width", "height"
     )
+
+
+@query(
+    "multimodal_exif_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'webp' END
+             AS container,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           '2026:01:' || lpad(CAST(1 + doc_id AS VARCHAR), 2, '0')
+             || ' 12:00:00' AS datetime_original,
+           CAST(100 + doc_id AS BIGINT) AS exif_width,
+           CAST(50 + doc_id AS BIGINT) AS exif_height
+    FROM documents WHERE doc_id < 24
+    """,
+)
+def multimodal_exif_metadata(spark, sf_dir):
+    """EXIF curation fields end-to-end (round 13): each doc id gets a
+    real image payload — JPEG on even ids (APP1 Exif segment spliced
+    after SOI), lossless WebP rebuilt as a VP8X/EXIF extended container
+    on odd — whose EXIF block carries rotating orientation, make, and
+    an Exif sub-IFD (DateTimeOriginal + pixel dims); extracted through
+    the production ``parse_exif`` IFD walk inside one mapInPandas.
+    DuckDB recomputes every field from the fixture formulas — a wrong
+    sub-IFD pointer, ASCII NUL strip, byte order, or APP1 scan fails
+    the hash.
+
+    Scale shape: header-only (no pixel decode); payloads never
+    shuffle. Ref parity: extension surface."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.exif import (
+        build_exif,
+        embed_exif_jpeg,
+        embed_exif_webp,
+        parse_exif,
+    )
+    from evolution_spark.operators.multimodal import encode_jpeg
+    from evolution_spark.operators.webp import encode_webp
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 24
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                ex = build_exif(
+                    orientation=1 + i % 8,
+                    make=f"Cam{i % 5}",
+                    datetime_original=f"2026:01:{1 + i:02d} 12:00:00",
+                    pixel_xy=(100 + i, 50 + i),
+                )
+                img = ((i + np.arange(192)) % 256).astype(
+                    np.uint8).reshape(8, 8, 3)
+                if i % 2 == 0:
+                    payload = embed_exif_jpeg(encode_jpeg(img, 70), ex)
+                    container = "jpeg"
+                else:
+                    payload = embed_exif_webp(encode_webp(img), ex)
+                    container = "webp"
+                m = parse_exif(payload)
+                rows.append((
+                    i, container, m["orientation"], m["make"],
+                    m["datetime_original"], m["exif_width"],
+                    m["exif_height"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "container", "orientation",
+                         "make", "datetime_original", "exif_width",
+                         "exif_height"])
+
+    return d.mapInPandas(
+        gen,
+        "media_id long, container string, orientation int, "
+        "make string, datetime_original string, exif_width long, "
+        "exif_height long",
+    )
