@@ -294,15 +294,59 @@ _ID3_ENCODINGS = {
 }
 
 
+_ID3V22_MAP = {  # v2.2 3-byte ids -> the v2.3/2.4 names callers key on
+    b"TT2": "TIT2", b"TP1": "TPE1", b"TAL": "TALB", b"TCO": "TCON",
+    b"TYE": "TYER", b"TRK": "TRCK",
+}
+
+
+def _parse_id3v22(b: bytes, total: int) -> dict:
+    """ID3v2.2 frames (round 13 — was presence-only): 3-byte ids,
+    3-byte big-endian sizes, no per-frame flags; text frames carry the
+    same leading-encoding-byte layout (latin-1 / UTF-16-BOM only in
+    v2.2). Known ids normalize to their v2.3 names so the curation
+    join keys (TIT2/TPE1/TALB) work across tag versions."""
+    out: dict = {"_version": "2.2"}
+    pos = 10
+    end = min(total, len(b))
+    while pos + 6 <= end:
+        fid = b[pos: pos + 3]
+        if fid == b"\x00\x00\x00":
+            break  # padding
+        if not all(0x30 <= c <= 0x5A for c in fid):
+            raise ValueError(f"ID3v2.2 frame id {fid!r} malformed")
+        size = int.from_bytes(b[pos + 3: pos + 6], "big")
+        body = b[pos + 6: pos + 6 + size]
+        if len(body) < size:
+            raise ValueError(f"ID3v2.2 frame {fid!r} overruns the tag")
+        pos += 6 + size
+        if not fid.startswith(b"T") or size < 1:
+            continue
+        if body[0] not in (0, 1):
+            raise ValueError(
+                f"ID3v2.2 frame {fid!r} has encoding {body[0]} "
+                "(v2.2 allows latin-1/UTF-16 only)"
+            )
+        try:
+            text = body[1:].decode(_ID3_ENCODINGS[body[0]])
+        except UnicodeDecodeError as exc:
+            raise ValueError(
+                f"ID3v2.2 frame {fid!r} text corrupt: {exc}")
+        key = _ID3V22_MAP.get(fid, fid.decode("ascii"))
+        out[key] = text.rstrip("\x00")
+    return out
+
+
 def parse_id3v2_tags(payload: bytes) -> dict:
-    """Parse the TEXT frames of an ID3v2.3/2.4 prefix into a dict of
-    frame-id -> decoded string (T*** frames only — the curation
+    """Parse the TEXT frames of an ID3v2.2/2.3/2.4 prefix into a dict
+    of frame-id -> decoded string (T*** frames only — the curation
     fields: TIT2 title, TPE1 artist, TALB album, TCON genre, TDRC/TYER
-    year...). Returns {} when no ID3v2 tag is present; raises
-    ValueError on structural corruption (bad syncsafe bytes, frame
-    overruns). v2.4 per-frame unsynchronisation and compression are
-    refused by omission (the frame is skipped with its flag noted
-    under ``_skipped``) rather than mis-decoded."""
+    year...; v2.2 3-byte ids normalize to these names). Returns {}
+    when no ID3v2 tag is present; raises ValueError on structural
+    corruption (bad syncsafe bytes, frame overruns). v2.4 per-frame
+    unsynchronisation and compression are refused by omission (the
+    frame is skipped with its flag noted under ``_skipped``) rather
+    than mis-decoded."""
     b = bytes(payload)
     total = _id3v2_size(b)
     if total == 0:
@@ -310,9 +354,11 @@ def parse_id3v2_tags(payload: bytes) -> dict:
     if len(b) < 10:
         raise ValueError("ID3v2 header truncated")
     ver = b[3]
+    if ver == 2:
+        return _parse_id3v22(b, total)
     if ver not in (3, 4):
-        # v2.2 uses 3-byte frame ids (a different layout) — report
-        # presence without frames rather than mis-parsing
+        # future/unknown layout — report presence without frames
+        # rather than mis-parsing
         return {"_version": f"2.{ver}"}
     flags = b[5]
     pos = 10

@@ -177,3 +177,47 @@ def test_id3v2_corruption_refuses():
     tag2[14] = 0x7F
     with pytest.raises(ValueError, match="overruns|truncated"):
         parse_id3v2_tags(bytes(tag2))
+
+
+def test_id3v22_text_frames():
+    """round 13: v2.2 3-byte-id frames parse (was presence-only) and
+    normalize to the v2.3 key names the curation joins use."""
+    import pytest
+
+    from evolution_spark.operators.mp3 import parse_id3v2_tags
+
+    def v22(frames, pad=8):
+        body = bytearray()
+        for fid, text in frames:
+            raw = bytes([0]) + text.encode("latin-1")
+            body += fid + len(raw).to_bytes(3, "big") + raw
+        body += bytes(pad)
+        sz = len(body)
+        return (b"ID3" + bytes([2, 0, 0])
+                + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                         (sz >> 7) & 0x7F, sz & 0x7F]) + bytes(body))
+
+    tag = v22([(b"TT2", "Old Song"), (b"TP1", "Old Band"),
+               (b"TAL", "Old Album"), (b"TXX", "other")])
+    got = parse_id3v2_tags(tag + b"\xff\xfb" + bytes(40))
+    assert got["_version"] == "2.2"
+    assert got["TIT2"] == "Old Song" and got["TPE1"] == "Old Band"
+    assert got["TALB"] == "Old Album"
+    assert got["TXX"] == "other"      # unmapped id kept raw
+    # utf-16 with BOM
+    body = b"TT2" + (1 + len("héllo".encode("utf-16"))).to_bytes(3, "big") \
+        + bytes([1]) + "héllo".encode("utf-16")
+    sz = len(body)
+    tag = (b"ID3" + bytes([2, 0, 0])
+           + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                    (sz >> 7) & 0x7F, sz & 0x7F]) + body)
+    assert parse_id3v2_tags(tag)["TIT2"] == "héllo"
+    # refusals: bad encoding byte, overrun
+    bad = v22([(b"TT2", "x")])
+    i = bad.find(b"TT2") + 6
+    b2 = bytearray(bad)
+    b2[i] = 3                          # utf-8 is not a v2.2 encoding
+    with pytest.raises(ValueError, match="encoding"):
+        parse_id3v2_tags(bytes(b2))
+    with pytest.raises(ValueError, match="overruns"):
+        parse_id3v2_tags(v22([(b"TT2", "x")], pad=0)[:-2])
