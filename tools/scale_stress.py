@@ -906,6 +906,90 @@ def codec_stress_large(spark, reps: int) -> dict:
     return res
 
 
+
+def warc_stress(spark, reps: int) -> dict:
+    """Round-13 WARC source scale claims, measured: (a) single-task
+    member-index throughput in compressed MB/s (the per-file cost of
+    the index pass — bounded-memory streaming, so this number times
+    file count is the whole first stage); (b) end-to-end read+count
+    linearity at N vs 4N records with file count HELD at 4 (record-
+    parallel parse: time must track records, not files); (c) the parse
+    stage's partition count tracking ceil(records / rpp)."""
+    import shutil
+    import tempfile
+    import time
+
+    from evolution_spark.io.warc import (
+        build_warc_record,
+        index_gzip_members,
+        read_warc,
+        write_warc_gz,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="evowarc-")
+    try:
+        def mk_files(n_records: int, n_files: int, tag: str):
+            paths = []
+            per = n_records // n_files
+            for k in range(n_files):
+                recs = []
+                for j in range(per):
+                    i = k * per + j
+                    body = (f"rec {i} ".encode()
+                            + bytes((i + t) % 251 for t in range(1024)))
+                    payload = (b"HTTP/1.1 200 OK\r\nContent-Type: "
+                               b"text/plain\r\n\r\n" + body)
+                    recs.append(build_warc_record(
+                        "response", f"http://s.com/{i}",
+                        "2026-01-01T00:00:00Z", payload,
+                        f"<urn:uuid:{tag}-{i}>",
+                        content_type="application/http"))
+                pth = os.path.join(tmp, f"{tag}-{k}.warc.gz")
+                write_warc_gz(pth, recs)
+                paths.append(pth)
+            return paths
+
+        small = mk_files(5000, 4, "s")
+        big = mk_files(20000, 4, "b")
+        comp_bytes = sum(os.path.getsize(p) for p in big)
+        t0 = time.perf_counter()
+        n_members = sum(len(index_gzip_members(p)) for p in big)
+        idx_s = time.perf_counter() - t0
+        res = {
+            "index_compressed_mb": round(comp_bytes / 1e6, 1),
+            "index_s_single_thread": round(idx_s, 3),
+            "index_mb_per_s": round(comp_bytes / 1e6 / idx_s, 1),
+            "n_members": n_members,
+        }
+
+        def timed_read(paths, rpp):
+            df = read_warc(spark, paths, records_per_partition=rpp)
+            t0 = time.perf_counter()
+            n = df.count()
+            return n, time.perf_counter() - t0, \
+                df.rdd.getNumPartitions()
+
+        for _ in range(1):  # warm
+            timed_read(small, 1000)
+        n1 = s1 = None
+        for _ in range(reps):
+            n, sec, parts = timed_read(small, 1000)
+            s1 = sec if s1 is None else min(s1, sec)
+            n1 = n
+        res["read_5k_s"] = round(s1, 3)
+        res["parse_partitions_5k"] = parts
+        s4 = None
+        for _ in range(reps):
+            n, sec, parts4 = timed_read(big, 1000)
+            s4 = sec if s4 is None else min(s4, sec)
+        res["read_20k_s"] = round(s4, 3)
+        res["parse_partitions_20k"] = parts4
+        res["linearity_4x"] = round(s4 / s1, 2)
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2, help="timed passes (min taken)")
@@ -913,7 +997,7 @@ def main() -> int:
         "--mode",
         choices=["cluster-growth", "fixed-cluster", "format-scan", "ref-ops",
                  "cdf-ops", "writer-features", "rewrite-ops", "codecs",
-                 "codecs-large"],
+                 "codecs-large", "warc"],
         default="cluster-growth",
         help="cluster-growth: every replica near-dups every other (planted "
         "pairs grow C(R,2)); fixed-cluster: near-dups only within buckets "
@@ -957,6 +1041,7 @@ def main() -> int:
             "codecs": ("codecs", lambda: codec_stress(spark, args.reps)),
             "codecs-large": ("codecs-large",
                              lambda: codec_stress_large(spark, args.reps)),
+            "warc": ("warc", lambda: warc_stress(spark, args.reps)),
             "format-scan": (
                 "format_scan",
                 lambda: format_scan_stress(spark, tmp, args.reps),
