@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "multimodal_webp_animation",
     "multimodal_heif_metadata",
     "multimodal_exif_metadata",
+    "arc_ingest_stats",
 ]
 
 # Registered queries deliberately NOT in the bench suite: basic

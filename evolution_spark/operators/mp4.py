@@ -566,13 +566,19 @@ def parse_heif_metadata(payload: bytes) -> dict:
         if n > (ipma[1] - q):
             raise ValueError("HEIF ipma entry count exceeds its box")
         q += 4
+        box_end = ipma[1]
         for _ in range(n):
             iid_len = 2 if v == 0 else 4
+            if q + iid_len + 1 > box_end:
+                raise ValueError("HEIF ipma entry truncated")
             iid = int.from_bytes(b[q: q + iid_len], "big")
             q += iid_len
             assoc_n = b[q]
             q += 1
             for _ in range(assoc_n):
+                step = 2 if flags & 1 else 1
+                if q + step > box_end:
+                    raise ValueError("HEIF ipma association truncated")
                 if flags & 1:
                     prop = int.from_bytes(b[q: q + 2], "big") & 0x7FFF
                     q += 2

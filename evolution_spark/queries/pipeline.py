@@ -573,3 +573,72 @@ def warc_media_probe(spark, sf_dir):
         F.sum(F.col("width") * F.col("height")).alias("total_px"),
         F.sum("duration_us").alias("total_dur_us"),
     )
+
+
+@query(
+    "arc_ingest_stats",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 24),
+    rec AS (
+      SELECT i,
+             CASE WHEN i % 3 = 0 THEN 'image/png' ELSE 'text/html' END
+               AS content_type,
+             -- payload = 'arc-<i:02d>|' (7 bytes) + 'c' * (12 + i % 5)
+             CAST(7 + 12 + i % 5 AS BIGINT) AS n_bytes
+      FROM ids
+    )
+    SELECT content_type,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(n_bytes) AS BIGINT) AS payload_bytes,
+           CAST(COUNT(DISTINCT i) AS BIGINT) AS distinct_uris
+    FROM rec GROUP BY content_type
+    """,
+)
+def arc_ingest_stats(spark, sf_dir):
+    """Legacy ARC ingestion end-to-end (round 13 — the pre-WARC
+    Common Crawl packaging): two fixture ``.arc.gz`` files (12 records
+    each plus their filedesc version record, one gzip member per
+    record) through the production ``read_arc`` path; the filedesc
+    rows filter out by URI scheme, and per-mime stats aggregate.
+    DuckDB recomputes counts and exact payload byte totals from the
+    fixture formulas.
+
+    Scale shape: identical to read_warc — file-parallel bounded-memory
+    indexing, record-parallel inflate+parse. Ref parity: extension
+    surface."""
+    import os
+
+    from evolution_spark.io.warc import (
+        build_arc_record,
+        read_arc,
+        write_warc_gz,
+    )
+    from evolution_spark.queries.base import query_tmp
+
+    tmp = query_tmp("arc", sf_dir)
+    os.makedirs(tmp, exist_ok=True)
+    paths = []
+    for k in range(2):
+        recs = [build_arc_record(
+            f"filedesc://crawl-{k}.arc", "0.0.0.0",
+            "20260101000000", "text/plain", b"1 0 InternetArchive")]
+        for j in range(12):
+            i = k * 12 + j
+            body = f"arc-{i:02d}|".encode() + b"c" * (12 + i % 5)
+            mime = "image/png" if i % 3 == 0 else "text/html"
+            recs.append(build_arc_record(
+                f"http://arc.example.com/{i}", "10.0.0.9",
+                "20260101000000", mime, body))
+        p = os.path.join(tmp, f"crawl-{k}.arc.gz")
+        write_warc_gz(p, recs)  # same member-per-record packaging
+        paths.append(p)
+    df = read_arc(spark, paths, records_per_partition=10)
+    return (
+        df.where(F.col("uri").startswith("http://"))
+        .groupBy("content_type")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("n_bytes").alias("payload_bytes"),
+            F.countDistinct("uri").alias("distinct_uris"),
+        )
+    )

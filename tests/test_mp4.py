@@ -355,3 +355,34 @@ def test_heif_avif_metadata():
         parse_heif_metadata(build_mp4(_sizes(4)))
     with pytest.raises(ValueError, match="meta box"):
         parse_heif_metadata(build_heif("heic", 8, 8)[:24])
+
+
+def test_heif_mutation_fuzz_error_contract():
+    """round 13: the HEIF walker honors the same ValueError/bounded
+    time contract as every other container parser."""
+    import time
+
+    import numpy as np
+
+    from evolution_spark.operators.mp4 import build_heif, \
+        parse_heif_metadata
+
+    rng = np.random.default_rng(17)
+    base = build_heif("avif", 320, 200, thumb=(64, 40))
+    for trial in range(300):
+        b = bytearray(base)
+        mode = trial % 3
+        if mode == 0:
+            b[rng.integers(0, len(b))] ^= int(rng.integers(1, 256))
+        elif mode == 1:
+            b = b[: rng.integers(0, len(b))]
+        else:
+            pos = int(rng.integers(0, len(b)))
+            b[pos:pos] = bytes(rng.integers(0, 256,
+                                            int(rng.integers(1, 9))))
+        t0 = time.perf_counter()
+        try:
+            parse_heif_metadata(bytes(b))
+        except ValueError:
+            pass
+        assert time.perf_counter() - t0 < 1.0
