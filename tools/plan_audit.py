@@ -18,6 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 AUDITED = {
     "q1_pricing_summary": "pushed filters + partial agg before the exchange",
+    "language_profile": "broadcast profile join; partial agg per (doc, lang) before one exchange",
+    "audio_metadata_neardup": "metadata-key-blocked self-join (broadcast at fixture size, SMJ on blocks at scale)",
     "q5_local_supplier_volume": "dimension joins broadcast; one fact shuffle",
     "topk_per_group": "TakeOrderedAndProject (no global sort)",
     "dedup_minhash_lsh": "id/hash-only exchanges; text never shuffles",
