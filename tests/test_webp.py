@@ -587,3 +587,43 @@ def test_sample_frames_animated_webp(spark):
     first = np.frombuffer(rows[0].frame, dtype=np.uint8).reshape(4, 6, 3)
     last = np.frombuffer(rows[-1].frame, dtype=np.uint8).reshape(4, 6, 3)
     assert first[0, 0, 0] == 0 and last[0, 0, 0] == 120
+
+
+def test_vp8l_roundtrip_property():
+    """Property: ANY uint8 image round-trips exactly through both
+    encoder modes (hypothesis over shapes, channel counts, content
+    styles)."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 24),
+        ch=st.sampled_from([3, 4]),
+        style=st.sampled_from(["random", "runs", "constant"]),
+        backrefs=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, ch, style, backrefs, seed):
+        rng = np.random.default_rng(seed)
+        if style == "random":
+            img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        elif style == "runs":
+            cols = max(1, w // 5)
+            img = np.repeat(
+                rng.integers(0, 256, (h, cols, ch), dtype=np.uint8),
+                -(-w // cols), axis=1)[:, :w]
+        else:
+            img = np.full((h, w, ch), int(rng.integers(0, 256)),
+                          dtype=np.uint8)
+        out = decode_webp(encode_webp(img, use_backrefs=backrefs))
+        assert out.shape == (h, w, 4)
+        assert np.array_equal(out[..., :ch], img)
+        if ch == 3:
+            assert (out[..., 3] == 255).all()
+
+    check()
