@@ -926,6 +926,28 @@ def sample_frames(
                             all_frames[fi].astype(np.uint8).tobytes()
                         )
                     continue
+                if (not fake
+                        and payload[: len(_PNG_SIG)] == _PNG_SIG):
+                    from evolution_spark.operators.apng import (
+                        decode_apng,
+                        is_apng,
+                    )
+
+                    if is_apng(payload):
+                        timeline = decode_apng(payload)
+                        n = len(timeline)
+                        picks = np.unique(
+                            np.linspace(0, n - 1, min(n_frames, n))
+                            .round().astype(int)
+                        )
+                        for i, fi in enumerate(picks):
+                            ids.append(media_id)
+                            idxs.append(i)
+                            frames.append(
+                                timeline[fi][1][..., :3]
+                                .astype(np.uint8).tobytes()
+                            )
+                        continue
                 if (not fake and payload[:4] == b"RIFF"
                         and payload[8:12] == b"WEBP"):
                     from evolution_spark.operators.webp import (
