@@ -141,9 +141,13 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Decode a 24-bit uncompressed BMP to an RGB ``uint8`` array of shape
-    ``(height, width, 3)``, rows top-down. Handles 4-byte row padding and
-    both bottom-up (positive height) and top-down (negative) layouts."""
+    """Decode a BMP to an RGB ``uint8`` array ``(height, width, 3)``,
+    rows top-down: 24-bit uncompressed (both row orders, 4-byte row
+    padding), and — round 13 — 8/4-bit PALETTE images, uncompressed or
+    RLE8/RLE4 compressed (BI_RLE encoded-mode runs, absolute mode,
+    end-of-line / end-of-bitmap / delta escapes per the public
+    BITMAPINFOHEADER layout; RLE is bottom-up by definition, so a
+    negative height refuses)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload (missing 'BM' magic)")
     data_offset = int.from_bytes(payload[10:14], "little")
@@ -154,17 +158,124 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     height = int.from_bytes(payload[22:26], "little", signed=True)
     bpp = int.from_bytes(payload[28:30], "little")
     compression = int.from_bytes(payload[30:34], "little")
-    if bpp != 24 or compression != 0:
-        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp}, compression={compression})")
     top_down, h = height < 0, abs(height)
-    stride = (width * 3 + 3) & ~3
-    if data_offset + stride * h > len(payload):
-        raise ValueError("BMP payload truncated")
-    px = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_offset)
-    px = px.reshape(h, stride)[:, : width * 3].reshape(h, width, 3)
+    if width <= 0 or h == 0 or width * h > (1 << 26):
+        raise ValueError(f"implausible BMP dimensions {width}x{height}")
+    if bpp == 24 and compression == 0:
+        stride = (width * 3 + 3) & ~3
+        if data_offset + stride * h > len(payload):
+            raise ValueError("BMP payload truncated")
+        px = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_offset)
+        px = px.reshape(h, stride)[:, : width * 3].reshape(h, width, 3)
+        if not top_down:
+            px = px[::-1]
+        return px[..., ::-1].copy()  # stored BGR -> returned RGB
+    if bpp in (4, 8):
+        return _decode_bmp_palette(payload, width, h, top_down, bpp,
+                                   compression, header_size,
+                                   data_offset)
+    raise ValueError(
+        f"unsupported BMP (bpp={bpp}, compression={compression}): "
+        "24-bit uncompressed or 4/8-bit palette (raw or RLE4/RLE8)"
+    )
+
+
+def _decode_bmp_palette(payload, width, h, top_down, bpp, compression,
+                        header_size, data_offset):
+    clr_used = int.from_bytes(payload[46:50], "little")
+    n_colors = clr_used or (1 << bpp)
+    if n_colors > 1 << bpp:
+        raise ValueError(f"BMP declares {n_colors} palette colors")
+    pal_off = 14 + header_size
+    pal_raw = payload[pal_off: pal_off + 4 * n_colors]
+    if len(pal_raw) < 4 * n_colors:
+        raise ValueError("BMP palette truncated")
+    pal = np.frombuffer(pal_raw, dtype=np.uint8).reshape(n_colors, 4)
+    rgb = pal[:, [2, 1, 0]]            # stored BGRA
+    idx = np.zeros((h, width), dtype=np.uint8)
+    if compression == 0:
+        stride = ((width * bpp + 31) // 32) * 4
+        if data_offset + stride * h > len(payload):
+            raise ValueError("BMP payload truncated")
+        rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                             offset=data_offset).reshape(h, stride)
+        if bpp == 8:
+            idx = rows[:, :width].copy()
+        else:
+            nib = np.empty((h, stride * 2), dtype=np.uint8)
+            nib[:, 0::2] = rows >> 4
+            nib[:, 1::2] = rows & 0x0F
+            idx = nib[:, :width].copy()
+    elif compression in (1, 2):
+        if (compression == 1) != (bpp == 8):
+            raise ValueError(
+                f"BMP RLE{4 if compression == 2 else 8} requires "
+                f"{'8' if compression == 1 else '4'}-bit pixels, "
+                f"got {bpp}"
+            )
+        if top_down:
+            raise ValueError("RLE BMPs are bottom-up by definition")
+        pos = data_offset
+        x = y = 0              # y counts bottom-up rows
+        end = len(payload)
+        while True:
+            if pos + 2 > end:
+                raise ValueError("BMP RLE stream truncated")
+            n, v = payload[pos], payload[pos + 1]
+            pos += 2
+            if n > 0:          # encoded run
+                if y >= h or x + n > width:
+                    raise ValueError("BMP RLE run overruns the row")
+                if bpp == 8:
+                    idx[y, x: x + n] = v
+                else:
+                    pair = np.array([v >> 4, v & 0x0F], dtype=np.uint8)
+                    idx[y, x: x + n] = np.tile(pair, (n + 1) // 2)[:n]
+                x += n
+            elif v == 0:       # end of line
+                x, y = 0, y + 1
+            elif v == 1:       # end of bitmap
+                break
+            elif v == 2:       # delta
+                if pos + 2 > end:
+                    raise ValueError("BMP RLE delta truncated")
+                x += payload[pos]
+                y += payload[pos + 1]
+                pos += 2
+                if x > width or y > h:
+                    raise ValueError("BMP RLE delta outside the image")
+            else:              # absolute mode: v literal pixels
+                if y >= h or x + v > width:
+                    raise ValueError("BMP RLE absolute overruns the row")
+                if bpp == 8:
+                    nbytes = (v + 1) & ~1      # padded to even
+                    raw = payload[pos: pos + nbytes]
+                    if len(raw) < nbytes:
+                        raise ValueError("BMP RLE absolute truncated")
+                    idx[y, x: x + v] = np.frombuffer(
+                        raw[:v], dtype=np.uint8)
+                else:
+                    nbytes = (((v + 1) // 2) + 1) & ~1
+                    raw = payload[pos: pos + nbytes]
+                    if len(raw) < nbytes:
+                        raise ValueError("BMP RLE absolute truncated")
+                    arr = np.frombuffer(raw, dtype=np.uint8)
+                    nib = np.empty(arr.size * 2, dtype=np.uint8)
+                    nib[0::2] = arr >> 4
+                    nib[1::2] = arr & 0x0F
+                    idx[y, x: x + v] = nib[:v]
+                pos += nbytes
+                x += v
+        idx = idx[::-1].copy()  # RLE wrote bottom-up rows
+        top_down = True          # already top-down now
+    else:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if (idx >= n_colors).any():
+        raise ValueError("BMP palette index out of range")
+    img = rgb[idx]
     if not top_down:
-        px = px[::-1]
-    return px[..., ::-1].copy()  # stored BGR -> returned RGB
+        img = img[::-1]
+    return np.ascontiguousarray(img)
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:

@@ -1561,3 +1561,68 @@ def test_cap_payload_partitions_bounds_task_bytes(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="positive"):
         cap_payload_partitions(df, 0)
+
+
+def test_bmp_palette_and_rle_decode():
+    """round 13: 8/4-bit palette BMPs (raw + RLE8/RLE4) decode — runs,
+    absolute mode, EOL/EOF/delta escapes, bottom-up flip, palette
+    bounds."""
+    import numpy as np
+    import pytest as _pytest
+
+    from evolution_spark.operators.multimodal import decode_bmp
+
+    def bmp(width, height, bpp, compression, palette, body):
+        n = len(palette)
+        pal = b"".join(bytes([b_, g, r, 0]) for (r, g, b_) in palette)
+        data_off = 14 + 40 + len(pal)
+        info = ((40).to_bytes(4, "little")
+                + width.to_bytes(4, "little", signed=True)
+                + height.to_bytes(4, "little", signed=True)
+                + (1).to_bytes(2, "little")
+                + bpp.to_bytes(2, "little")
+                + compression.to_bytes(4, "little")
+                + len(body).to_bytes(4, "little")
+                + bytes(8) + n.to_bytes(4, "little") + bytes(4))
+        hdr = (b"BM" + (data_off + len(body)).to_bytes(4, "little")
+               + bytes(4) + data_off.to_bytes(4, "little"))
+        return hdr + info + pal + body
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    # raw 8-bit, 5x2, stride pads to 8
+    body = bytes([0, 1, 2, 3, 0, 0, 0, 0,
+                  3, 2, 1, 0, 3, 0, 0, 0])
+    img = decode_bmp(bmp(5, 2, 8, 0, palette, body))
+    assert img.shape == (2, 5, 3)
+    # bottom-up: file row 0 is the BOTTOM row
+    assert tuple(img[1, 0]) == (255, 0, 0) and tuple(img[0, 0]) == (9, 9, 9)
+    # RLE8: run of 3 idx1, absolute [2,0,3], EOL; delta skip; EOF
+    rle = bytes([3, 1,                 # run: 1 1 1
+                 0, 3, 2, 0, 3, 0,     # absolute: 2 0 3 (padded)
+                 0, 0,                 # EOL -> row 1
+                 0, 2, 2, 0,           # delta: x += 2
+                 4, 2,                 # run: 2 2 2 2
+                 0, 1])                # EOF
+    img = decode_bmp(bmp(6, 2, 8, 1, palette, rle))
+    assert img.shape == (2, 6, 3)
+    assert [tuple(p) for p in img[1]] == [
+        (0, 255, 0)] * 3 + [(0, 0, 255), (255, 0, 0), (9, 9, 9)]
+    # row 1 (top): 2 skipped (stay index 0 default) then 4x idx2
+    assert [tuple(p) for p in img[0][:2]] == [(255, 0, 0)] * 2
+    assert [tuple(p) for p in img[0][2:]] == [(0, 0, 255)] * 4
+    # RLE4: run alternates nibbles; absolute packs nibbles
+    rle4 = bytes([5, 0x12,             # 1 2 1 2 1
+                  0, 3, 0x30, 0x10, 0, 0,  # absolute: 3 0 1 (pad to 2+2)
+                  0, 1])               # EOF
+    img = decode_bmp(bmp(8, 1, 4, 2, palette, rle4))
+    got = [tuple(p) for p in img[0]]
+    assert got[:5] == [(0, 255, 0), (0, 0, 255)] * 2 + [(0, 255, 0)]
+    assert got[5:] == [(9, 9, 9), (255, 0, 0), (0, 255, 0)]
+    # refusals
+    with _pytest.raises(ValueError, match="bottom-up"):
+        decode_bmp(bmp(4, -2, 8, 1, palette, bytes([0, 1])))
+    with _pytest.raises(ValueError, match="overruns"):
+        decode_bmp(bmp(4, 2, 8, 1, palette, bytes([9, 1, 0, 1])))
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_bmp(bmp(4, 1, 8, 0, palette[:2],
+                       bytes([3, 0, 0, 0])))
