@@ -725,7 +725,7 @@ def resample_wav(payload: bytes, target_rate: int) -> bytes:
 def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Decode a media payload to a flat float32 sample array.
 
-    REAL for 24-bit BMP, 8/16-bit PNG, GIF (incl. the first frame of
+    REAL for BMP (24-bit + 4/8-bit palette incl. RLE4/RLE8), 8/16-bit PNG, GIF (incl. the first frame of
     animations — ``sample_frames`` walks full timelines), TIFF
     (baseline+LZW profile, first page — ``decode_tiff_pages`` walks
     multi-page chains), JPEG in every
