@@ -242,6 +242,8 @@ BENCH_QUERIES = [
     "multimodal_heif_metadata",
     "multimodal_exif_metadata",
     "arc_ingest_stats",
+    "multimodal_apng_timeline",
+    "multimodal_bmp_rle_features",
 ]
 
 # Registered queries deliberately NOT in the bench suite: basic

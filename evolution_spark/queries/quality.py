@@ -2945,3 +2945,159 @@ def multimodal_exif_metadata(spark, sf_dir):
         "make string, datetime_original string, exif_width long, "
         "exif_height long",
     )
+
+
+@query(
+    "multimodal_apng_timeline",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 24),
+    frames AS (
+      SELECT i, 0 AS frame_idx,
+             CAST(192 * ((11 * i) % 256) AS BIGINT) AS r_sum
+      FROM ids
+      UNION ALL
+      SELECT i, 1,
+             CAST(48 * ((5 * i + 3) % 256)
+                  + 144 * CASE WHEN i % 2 = 1 THEN 0
+                          ELSE (11 * i) % 256 END AS BIGINT)
+      FROM ids
+    )
+    SELECT i AS media_id, frame_idx, r_sum FROM frames
+    """,
+)
+def multimodal_apng_timeline(spark, sf_dir):
+    """APNG animation COMPOSITING end-to-end (round 13): each doc id
+    gets a 16x12 two-frame APNG — a full-canvas frame (red 11*id mod
+    256, dispose-to-transparent on odd ids) then an 8x6 rect at (4, 2)
+    (red 5*id+3 mod 256) — decoded through the production
+    ``decode_apng`` timeline (acTL/fcTL/fdAT grouping, per-frame PNG
+    synthesis through the from-spec PNG decoder, overwrite compositing,
+    dispose-1 clears to TRANSPARENT BLACK, unlike WebP's background
+    color — the oracle's CASE encodes exactly that difference). DuckDB
+    recomputes each composited frame's red-channel sum closed-form.
+
+    Scale shape: partition-local mapInPandas; payloads never shuffle.
+    Ref parity: extension surface."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.apng import build_apng, decode_apng
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 24
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                base = np.zeros((12, 16, 3), dtype=np.uint8)
+                base[..., 0] = (11 * i) % 256
+                base[..., 1] = 60
+                rect = np.zeros((6, 8, 3), dtype=np.uint8)
+                rect[..., 0] = (5 * i + 3) % 256
+                p = build_apng(
+                    [{"img": base, "delay_ms": 40,
+                      "dispose": 1 if i % 2 else 0},
+                     {"img": rect, "x": 4, "y": 2, "delay_ms": 50}],
+                    canvas=(16, 12),
+                )
+                for fi, (_d, canvas) in enumerate(decode_apng(p)):
+                    rows.append((i, fi, int(canvas[..., 0]
+                                            .astype("int64").sum())))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "r_sum"])
+
+    return d.mapInPandas(
+        gen, "media_id long, frame_idx int, r_sum long"
+    )
+
+
+@query(
+    "multimodal_bmp_rle_features",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 24),
+    px AS (
+      SELECT i, (40 * ((x.v + 2 * y.v + i) % 4) + 10 * i) % 256 AS r
+      FROM ids
+      CROSS JOIN (SELECT UNNEST(range(21)) AS v) x
+      CROSS JOIN (SELECT UNNEST(range(9)) AS v) y
+    )
+    SELECT i AS media_id,
+           CAST(SUM(r) AS BIGINT) AS px_sum,
+           CAST(SUM(CASE WHEN r >= 128 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hi_px
+    FROM px GROUP BY i
+    """,
+)
+def multimodal_bmp_rle_features(spark, sf_dir):
+    """RLE8-compressed palette BMP decode end-to-end (round 13 — the
+    last BMP variant lifted from refusal): each doc id gets a 21x9
+    4-color image (index (x + 2y + id) mod 4, red-only palette
+    (40k + 10*id) mod 256), hand-packed as BI_RLE8 encoded runs with
+    per-row EOL escapes and an EOF terminator, then decoded through the
+    production ``decode_media`` -> ``decode_bmp`` path (bottom-up RLE
+    contract). Green/blue palette channels are zero so the flat pixel
+    sum IS the red sum DuckDB recomputes closed-form — a wrong run
+    repeat, nibble order, row flip, or palette lookup fails the hash.
+
+    Scale shape: partition-local mapInPandas; payloads never shuffle.
+    Ref parity: extension surface."""
+    import numpy as np
+    import pandas as pd
+
+    from evolution_spark.operators.multimodal import decode_media
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 24
+    )
+    W, H = 21, 9
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                pal = b"".join(
+                    bytes([0, 0, (40 * k + 10 * i) % 256, 0])
+                    for k in range(4)
+                )  # stored BGRA, red-only
+                body = bytearray()
+                # bottom-up rows: file row r is image row H-1-r
+                for r in range(H):
+                    y = H - 1 - r
+                    x = 0
+                    while x < W:
+                        v = (x + 2 * y + i) % 4
+                        n = 1
+                        while x + n < W and (x + n + 2 * y + i) % 4 == v:
+                            n += 1
+                        body += bytes([min(n, 255), v])
+                        x += n
+                    body += bytes([0, 0])          # EOL
+                body += bytes([0, 1])              # EOF
+                data_off = 14 + 40 + len(pal)
+                info = ((40).to_bytes(4, "little")
+                        + W.to_bytes(4, "little", signed=True)
+                        + H.to_bytes(4, "little", signed=True)
+                        + (1).to_bytes(2, "little")
+                        + (8).to_bytes(2, "little")
+                        + (1).to_bytes(4, "little")
+                        + len(body).to_bytes(4, "little")
+                        + bytes(8) + (4).to_bytes(4, "little")
+                        + bytes(4))
+                payload = (b"BM"
+                           + (data_off + len(body)).to_bytes(4, "little")
+                           + bytes(4) + data_off.to_bytes(4, "little")
+                           + info + pal + bytes(body))
+                flat = decode_media(payload, "image").astype(np.int64)
+                rows.append((
+                    i, int(flat.sum()), int((flat >= 128).sum() // 1),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "px_sum", "hi_px"])
+
+    return d.mapInPandas(
+        gen, "media_id long, px_sum long, hi_px long"
+    )
