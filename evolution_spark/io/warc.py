@@ -38,7 +38,7 @@ types carry their raw block.
 
 Ref parity: the reference has no web-archive source (extension
 surface; its scan operator is the fixed-length-file reader —
-crates/evolution-source/src/scan.rs).
+crates/evolution-slicer/src/slicer.rs).
 """
 from __future__ import annotations
 
@@ -83,7 +83,14 @@ def index_gzip_members(path: str):
             base = pos
             while data:
                 try:
-                    d.decompress(data)  # output discarded; offsets only
+                    # Bound the inflated output too (a gzip-bomb member
+                    # would otherwise materialize its full expansion):
+                    # max_length caps each decompress call at _CHUNK
+                    # bytes of output; unconsumed input waits in
+                    # unconsumed_tail until the next bounded call.
+                    d.decompress(data, _CHUNK)  # output discarded
+                    while d.unconsumed_tail and not d.eof:
+                        d.decompress(d.unconsumed_tail, _CHUNK)
                 except zlib.error as exc:
                     raise ValueError(
                         f"{path}: corrupt gzip member at offset "

@@ -66,6 +66,16 @@ def is_apng(payload: bytes) -> bool:
 
 
 def _to_rgba(img: np.ndarray) -> np.ndarray:
+    if img.dtype == np.uint16:
+        # 16-bit APNG: decode_png returns uint16. A raw assignment
+        # into a uint8 canvas would keep the LOW byte (0xFF00 -> 0);
+        # take the high byte, the standard 16->8 downsample.
+        img = (img >> 8).astype(np.uint8)
+    elif img.dtype != np.uint8:
+        raise ValueError(
+            f"APNG frame sample dtype {img.dtype} unsupported "
+            "(uint8/uint16 only)"
+        )
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape

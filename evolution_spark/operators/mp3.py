@@ -313,7 +313,8 @@ def _parse_id3v22(b: bytes, total: int) -> dict:
         fid = b[pos: pos + 3]
         if fid == b"\x00\x00\x00":
             break  # padding
-        if not all(0x30 <= c <= 0x5A for c in fid):
+        if not all(0x30 <= c <= 0x39 or 0x41 <= c <= 0x5A
+                   for c in fid):
             raise ValueError(f"ID3v2.2 frame id {fid!r} malformed")
         size = int.from_bytes(b[pos + 3: pos + 6], "big")
         body = b[pos + 6: pos + 6 + size]
@@ -377,7 +378,8 @@ def parse_id3v2_tags(payload: bytes) -> dict:
         fid = b[pos: pos + 4]
         if fid == b"\x00\x00\x00\x00":
             break  # padding
-        if not all(0x30 <= c <= 0x5A for c in fid):
+        if not all(0x30 <= c <= 0x39 or 0x41 <= c <= 0x5A
+                   for c in fid):
             raise ValueError(f"ID3v2 frame id {fid!r} malformed")
         size = int.from_bytes(b[pos + 4: pos + 8], "big")
         if ver == 4:

@@ -820,19 +820,27 @@ def cap_payload_partitions(
 
     Shape: (1) one cheap per-input-partition ``sum(length)`` aggregate
     — if EVERY partition is already under the cap, pass through with
-    no shuffle at all; (2) otherwise assign each row a byte-bucket by
-    partition-LOCAL cumulative payload offset (computed inside the
-    scan stage — no extra shuffle) at cap/2 granularity, and range-
-    repartition on the bucket. Range merging joins at most adjacent
-    buckets, so a task's payload is HARD-bounded by ~cap plus one
-    oversized row (a single row larger than the cap cannot be split).
-    This is deterministic bin-packing, not round-robin-in-expectation
-    — Spark's plain ``repartition(n)`` balances only on average and
-    was measured 1.5x over its even share on small skewed inputs."""
+    no shuffle at all; (2) otherwise compute each row's EXACT global
+    byte offset (driver holds one (pid, bytes) pair per input
+    partition — bounded state — whose prefix sums anchor the
+    partition-local cumulative offsets computed inside the scan
+    stage), assign bin = global_offset // cap, and range-repartition
+    on the bin. Bins are exact cap-sized byte bins over a dense key
+    space 0..n-1 with one requested partition per bin, so a task's
+    payload is bounded by cap plus one row's overhang (a single row
+    larger than the cap cannot be split); the final exchange is
+    Spark's range partitioner, whose sampled boundaries over dense
+    integer keys can in rare skew merge two adjacent bins (2x cap
+    worst case). This is deterministic bin-packing, not round-robin-
+    in-expectation — Spark's plain ``repartition(n)`` balances only
+    on average and was measured 1.5x over its even share on small
+    skewed inputs. The input is evaluated twice (sums pass + bucket
+    pass), so ``df`` must be deterministic — true for scans and
+    deterministic shuffles."""
     if max_payload_mb_per_batch <= 0:
         raise ValueError("max_payload_mb_per_batch must be positive")
     cap = int(max_payload_mb_per_batch * (1 << 20))
-    half = max(1, cap // 2)
+    cap = max(1, cap)
     per_part = df.groupBy(
         F.spark_partition_id().alias("__pid")
     ).agg(F.sum(F.coalesce(F.length(payload_col),
@@ -841,8 +849,12 @@ def cap_payload_partitions(
         return df
     if all((r["__b"] or 0) <= cap for r in per_part):
         return df
-    total = sum((r["__b"] or 0) for r in per_part)
-    n = int(max(1, -(-total // half)))
+    base: dict = {}
+    acc = 0
+    for r in sorted(per_part, key=lambda r: r["__pid"]):
+        base[int(r["__pid"])] = acc
+        acc += int(r["__b"] or 0)
+    n = int(max(1, -(-acc // cap)))
     cols = [f.name for f in df.schema.fields]
     out_schema = StructType(
         list(df.schema.fields)
@@ -851,22 +863,21 @@ def cap_payload_partitions(
     with_pid = df.withColumn("__pid", F.spark_partition_id())
 
     def _bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        offset = 0
+        offset = None
         for pdf in batches:
-            pid = int(pdf["__pid"].iloc[0]) if len(pdf) else 0
+            if len(pdf) and offset is None:
+                # exact global anchor for this partition's offsets
+                offset = base.get(int(pdf["__pid"].iloc[0]), 0)
             lens = pdf[payload_col].map(
                 lambda p: len(p) if p is not None else 0
             ).to_numpy()
-            starts = offset + np.concatenate(
+            starts = (offset or 0) + np.concatenate(
                 ([0], np.cumsum(lens[:-1]))
             ) if len(lens) else np.array([], dtype=np.int64)
-            offset += int(lens.sum())
+            if offset is not None:
+                offset += int(lens.sum())
             out = pdf[cols].copy()
-            # composite key: monotone within a partition, disjoint
-            # across partitions (pid in the high bits)
-            out["__bucket"] = (np.int64(pid) << 40) + (
-                starts // half
-            ).astype(np.int64)
+            out["__bucket"] = (starts // cap).astype(np.int64)
             yield out
 
     bucketed = with_pid.mapInPandas(_bucket, out_schema)
@@ -1258,20 +1269,26 @@ def probe_one_payload(payload: bytes):
                     payload[pos + 12: pos + 16], "little")
                 bits = int.from_bytes(
                     payload[pos + 22: pos + 24], "little")
+                # Validate tag/bits BEFORE any data-chunk math: a
+                # sub-byte bits-per-sample (4-bit IMA/MS ADPCM, tags
+                # 2/17) would make bits//8 == 0 and divide by zero,
+                # failing the task instead of quarantining the row.
+                if tag == 1 and bits in (8, 16, 24, 32):
+                    codec = ("pcm_u8" if bits == 8
+                             else f"pcm_s{bits}le")
+                elif tag == 3 and bits in (32, 64):
+                    codec = f"pcm_f{bits}le"
+                else:
+                    raise ValueError(
+                        f"WAV format tag {tag} / {bits}-bit "
+                        "unrecognized (integer PCM 8/16/24/32 or "
+                        "float 32/64)"
+                    )
             elif cid == b"data" and rate and ch and bits:
                 n_frames = size // (ch * (bits // 8))
             pos += 8 + size + (size & 1)
         if rate is None or n_frames is None:
             raise ValueError("WAV missing fmt/data chunks")
-        if tag == 1 and bits in (8, 16, 24, 32):
-            codec = "pcm_u8" if bits == 8 else f"pcm_s{bits}le"
-        elif tag == 3 and bits in (32, 64):
-            codec = f"pcm_f{bits}le"
-        else:
-            raise ValueError(
-                f"WAV format tag {tag} / {bits}-bit unrecognized "
-                "(integer PCM 8/16/24/32 or float 32/64)"
-            )
         return ("wav", "audio", codec, None, None,
                 n_frames * 1_000_000 // rate, rate, ch)
     if payload[:4] == b"fLaC":

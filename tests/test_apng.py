@@ -109,3 +109,24 @@ def test_mutation_fuzz_error_contract():
         except ValueError:
             pass
         assert time.perf_counter() - t0 < 1.0
+
+
+def test_16bit_png_composites_high_byte():
+    """round 14 (ADVICE): _to_rgba assigned uint16 decode output into
+    a uint8 canvas, silently keeping the LOW byte (0xFF00 -> 0). 16-bit
+    samples must downscale by the high byte."""
+    img = np.zeros((4, 4, 3), dtype=np.uint16)
+    img[..., 0] = 0xFF00  # red: high byte 0xFF, low byte 0x00
+    img[..., 1] = 0x00FF  # green: high byte 0x00
+    img[..., 2] = 0x8081  # ~mid: high byte 0x80
+    tl = decode_apng(encode_png(img))
+    assert len(tl) == 1
+    c = tl[0][1]
+    assert c.dtype == np.uint8
+    assert tuple(c[0, 0]) == (0xFF, 0x00, 0x80, 255)
+    # 16-bit gray+alpha: alpha high byte survives too
+    ga = np.zeros((2, 2, 2), dtype=np.uint16)
+    ga[..., 0] = 0xABCD
+    ga[..., 1] = 0x7F00
+    c2 = decode_apng(encode_png(ga))[0][1]
+    assert tuple(c2[0, 0]) == (0xAB, 0xAB, 0xAB, 0x7F)

@@ -221,3 +221,28 @@ def test_id3v22_text_frames():
         parse_id3v2_tags(bytes(b2))
     with pytest.raises(ValueError, match="overruns"):
         parse_id3v2_tags(v22([(b"TT2", "x")], pad=0)[:-2])
+
+
+def test_id3_frame_id_rejects_punctuation_bytes():
+    """round 14 (ADVICE): frame-id validation accepted ':;<=>?@'
+    (0x3A-0x40) via the single contiguous 0x30-0x5A range; only
+    A-Z / 0-9 are valid id characters in every ID3v2 version."""
+    from evolution_spark.operators.mp3 import build_id3v2, parse_id3v2_tags
+
+    # v2.3: corrupt a valid id with ':' (0x3A) — must refuse
+    tag = bytearray(build_id3v2({"TIT2": "x"}))
+    tag[10] = 0x3A
+    with pytest.raises(ValueError, match="frame id"):
+        parse_id3v2_tags(bytes(tag))
+    # v2.2: same byte in a 3-byte id
+    raw = bytes([0]) + b"t"
+    body = b":T2" + len(raw).to_bytes(3, "big") + raw
+    sz = len(body)
+    v22 = (b"ID3" + bytes([2, 0, 0])
+           + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                    (sz >> 7) & 0x7F, sz & 0x7F]) + body)
+    with pytest.raises(ValueError, match="frame id"):
+        parse_id3v2_tags(v22)
+    # boundary sanity: digits and A-Z still pass
+    tag2 = build_id3v2({"TIT2": "ok"})
+    assert parse_id3v2_tags(tag2)["TIT2"] == "ok"

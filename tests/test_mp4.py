@@ -386,3 +386,38 @@ def test_heif_mutation_fuzz_error_contract():
         except ValueError:
             pass
         assert time.perf_counter() - t0 < 1.0
+
+
+def test_wav_sub_byte_bits_refuses_not_crashes():
+    """round 14 (ADVICE): a fmt chunk with bits-per-sample < 8 (4-bit
+    IMA/MS ADPCM, tags 17/2) made ``bits // 8 == 0`` and raised
+    ZeroDivisionError in the data-chunk math — escaping the probe's
+    ValueError quarantine and failing the whole task. Validation now
+    runs before any frame arithmetic."""
+    import pytest
+
+    from evolution_spark.operators.multimodal import probe_one_payload
+
+    def wav(tag, bits, ch, rate, data_size):
+        fmt = (b"fmt " + (16).to_bytes(4, "little")
+               + tag.to_bytes(2, "little") + ch.to_bytes(2, "little")
+               + rate.to_bytes(4, "little")
+               + (rate * ch).to_bytes(4, "little")
+               + ch.to_bytes(2, "little")
+               + bits.to_bytes(2, "little"))
+        data = b"data" + data_size.to_bytes(4, "little") + bytes(data_size)
+        return (b"RIFF" + (4 + len(fmt) + len(data)).to_bytes(4, "little")
+                + b"WAVE" + fmt + data)
+
+    # 4-bit IMA ADPCM (tag 17) and MS ADPCM (tag 2): ValueError, not
+    # ZeroDivisionError
+    for tag, bits in ((17, 4), (2, 4), (1, 0)):
+        with pytest.raises(ValueError, match="unrecognized"):
+            probe_one_payload(wav(tag, bits, 2, 8000, 256))
+    # zero channels with valid bits: quarantined too, not a crash
+    got_exc = None
+    try:
+        probe_one_payload(wav(1, 16, 0, 8000, 256))
+    except ValueError as e:
+        got_exc = e
+    assert got_exc is not None

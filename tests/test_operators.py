@@ -1626,3 +1626,31 @@ def test_bmp_palette_and_rle_decode():
     with _pytest.raises(ValueError, match="palette index"):
         decode_bmp(bmp(4, 1, 8, 0, palette[:2],
                        bytes([3, 0, 0, 0])))
+
+
+def test_cap_payload_partitions_exact_global_bins(spark):
+    """round 14 (ADVICE): bucket keys are now exact global byte bins
+    (driver anchors per-partition prefix sums), not partition-local
+    pid<<40 composites whose sparse key space let range sampling pile
+    several cap/2 buckets into one task."""
+    from evolution_spark.operators.multimodal import cap_payload_partitions
+
+    # 3 skewed input partitions: 9 x 1 MiB, 2 x 1 MiB, 1 x 1 MiB
+    rows = [(i, bytes([i]) * (1 << 20)) for i in range(12)]
+    df = (
+        spark.createDataFrame(rows, "media_id long, payload binary")
+        .repartitionByRange(3, "media_id")
+    )
+    cap_mb = 2.0
+    capped = cap_payload_partitions(df, cap_mb)
+    per_part = capped.rdd.mapPartitions(
+        lambda it: [sum(len(r.payload) for r in it)]
+    ).collect()
+    cap = int(cap_mb * (1 << 20))
+    # every task <= cap + one row's overhang (rows are 1 MiB)
+    assert max(per_part) <= cap + (1 << 20)
+    # exact packing: ceil(12 MiB / 2 MiB) = 6 bins, all non-empty
+    assert sorted(b for b in per_part if b) == [2 << 20] * 6
+    # nothing lost or duplicated
+    assert sorted(capped.select("media_id").rdd.flatMap(
+        lambda r: r).collect()) == list(range(12))

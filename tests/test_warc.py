@@ -206,3 +206,25 @@ def test_arc_reader(spark, tmp_path):
         parse_arc_record(b"http://x 1.2.3.4 20260101 text/plain\nxx")
     with pytest.raises(ValueError, match="overruns"):
         parse_arc_record(b"http://x 1.2.3.4 20260101 text/plain 99\nxx")
+
+
+def test_gzip_bomb_member_indexes_in_bounded_memory(tmp_path):
+    """round 14 (ADVICE): index_gzip_members inflated each input chunk
+    unboundedly (a bomb member materialized its full expansion before
+    being discarded). The inflate loop is now output-capped too."""
+    import gzip
+    import tracemalloc
+
+    # 64 MiB of zeros compresses to ~64 KiB; one normal member after
+    bomb = gzip.compress(bytes(64 << 20))
+    tail = gzip.compress(b"WARC/1.0\r\n\r\n")
+    p = tmp_path / "bomb.warc.gz"
+    p.write_bytes(bomb + tail)
+    tracemalloc.start()
+    idx = index_gzip_members(str(p))
+    peak = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+    assert idx == [(0, len(bomb)), (len(bomb), len(tail))]
+    # old code held the full 64 MiB expansion; bounded loop stays
+    # within a few working chunks
+    assert peak < 16 << 20, f"peak {peak} bytes"
