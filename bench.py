@@ -244,6 +244,8 @@ BENCH_QUERIES = [
     "arc_ingest_stats",
     "multimodal_apng_timeline",
     "multimodal_bmp_rle_features",
+    # batch-23: round-14 additions (first-recorded = their baseline)
+    "warc_html_text_stats",
 ]
 
 # Registered queries deliberately NOT in the bench suite: basic

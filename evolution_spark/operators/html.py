@@ -1,0 +1,373 @@
+"""HTML -> text extraction: the bridge between the WARC source's raw
+``text/html`` response bodies and the ``documents``-shaped text surface
+(dedup / quality / language-ID) — the literal first step of a Common
+Crawl pretraining pipeline.
+
+Three layers, all pure Python and deterministic (the Spark side is one
+Arrow-batched ``mapInPandas``, partition-preserving — payload bytes
+never shuffle):
+
+1. **Charset sniff + decode** (:func:`sniff_charset`,
+   :func:`decode_html`): BOM first (UTF-8 / UTF-16 LE/BE), then the
+   Content-Type header parameter, then a WHATWG-style ``<meta>``
+   prescan over the first 1024 bytes; otherwise strict UTF-8 with a
+   windows-1252 fallback (the browser default for legacy bytes).
+   Decode is TOTAL — undecodable bytes become U+FFFD, never an
+   exception — because a crawl corpus always contains mislabeled pages
+   and one bad page must not fail a task.
+
+2. **Tokenizer** (:func:`parse_blocks`): a small from-scratch scanner
+   (comments, CDATA, doctype/PI, quoted attribute values, HTML5
+   raw-text elements ``script/style/noscript/template/iframe`` skipped
+   to their closing tag, ``<title>`` captured separately). Text
+   segments into BLOCKS at block-level element boundaries; inline
+   markup (``a``, ``span``, ``b`` …) does not split a block. Each
+   block tracks its word count and anchor-word count (text inside
+   ``<a>``), the two features main-content classification needs.
+   Entities resolve via the stdlib WHATWG table (``html.unescape``);
+   whitespace collapses to single spaces (including inside ``pre`` —
+   documented simplification, token statistics downstream are
+   whitespace-insensitive). The scanner is total: any byte soup yields
+   some text, never an exception (fuzz-tested contract).
+
+3. **Main-content classifier** (:func:`classify_blocks`): the
+   published densitometric decision rules of Kohlschuetter, Fankhauser
+   & Nejdl, "Boilerplate Detection using Shallow Text Features"
+   (WSDM 2010) — the ``NumWordsRulesClassifier``: a block is content
+   or boilerplate from (link density, word count) of itself and its
+   neighbor blocks. No model file, deterministic, language-agnostic.
+
+Ref parity: extension surface — the reference (a fixed-length-file
+converter, crates/evolution-slicer/src/slicer.rs) has no HTML or web
+corpus handling; this implements the engine's own WARC->documents
+ambition (VERDICT r13 item 1).
+"""
+from __future__ import annotations
+
+import html as _htmllib
+import re
+from typing import Iterator, NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Elements whose content browsers do not render as page text: skip to
+# the matching close tag (HTML5 raw-text / escapable-raw-text rules;
+# iframe fallback content is also never rendered).
+_RAW_TEXT = {"script", "style", "noscript", "template", "iframe"}
+
+# Block-level boundaries: text on either side belongs to different
+# blocks. (br is handled as a boundary too — nav link stacks separated
+# by <br> would otherwise fuse with the adjacent paragraph.)
+_BLOCK = {
+    "address", "article", "aside", "blockquote", "br", "caption",
+    "center", "dd", "div", "dl", "dt", "fieldset", "figcaption",
+    "figure", "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6",
+    "header", "hr", "li", "main", "nav", "ol", "option", "p", "pre",
+    "section", "select", "table", "tbody", "td", "tfoot", "th",
+    "thead", "tr", "ul",
+}
+
+_TAG_NAME = re.compile(r"[a-zA-Z][a-zA-Z0-9-]*")
+_META_CHARSET = re.compile(
+    r"""<meta[^>]+charset\s*=\s*["']?\s*([\w.:-]+)""", re.IGNORECASE
+)
+_CT_CHARSET = re.compile(r"""charset\s*=\s*["']?\s*([\w.:-]+)""",
+                         re.IGNORECASE)
+
+# WHATWG-ish label normalization for the charsets a crawl actually
+# carries. Unknown labels fall back to the default utf-8/cp1252 path.
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+    "utf-16": "utf-16-le", "utf-16le": "utf-16-le",
+    "utf-16be": "utf-16-be",
+    # WHATWG maps latin-1/ascii labels to windows-1252
+    "iso-8859-1": "cp1252", "iso8859-1": "cp1252", "latin-1": "cp1252",
+    "latin1": "cp1252", "ascii": "cp1252", "us-ascii": "cp1252",
+    "windows-1252": "cp1252", "cp1252": "cp1252", "x-cp1252": "cp1252",
+    "iso-8859-15": "iso-8859-15", "iso-8859-2": "iso-8859-2",
+    "windows-1251": "cp1251", "cp1251": "cp1251", "koi8-r": "koi8-r",
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis",
+    "sjis": "shift_jis", "euc-jp": "euc_jp", "euc-kr": "euc_kr",
+    "gbk": "gbk", "gb2312": "gbk", "gb18030": "gb18030",
+    "big5": "big5",
+}
+
+
+def sniff_charset(payload: bytes, content_type: str | None = None):
+    """Return (python codec name, bom_length). Precedence per the
+    WHATWG encoding sniff: BOM > Content-Type param > meta prescan
+    (first 1024 bytes) > None (caller applies the utf-8/cp1252
+    default)."""
+    if payload[:3] == b"\xef\xbb\xbf":
+        return "utf-8", 3
+    if payload[:2] == b"\xff\xfe":
+        return "utf-16-le", 2
+    if payload[:2] == b"\xfe\xff":
+        return "utf-16-be", 2
+    if content_type:
+        m = _CT_CHARSET.search(content_type)
+        if m:
+            enc = _CHARSET_ALIASES.get(m.group(1).lower())
+            if enc:
+                return enc, 0
+    head = payload[:1024].decode("latin-1")
+    m = _META_CHARSET.search(head)
+    if m:
+        enc = _CHARSET_ALIASES.get(m.group(1).lower())
+        if enc:
+            return enc, 0
+    return None, 0
+
+
+def decode_html(payload: bytes, content_type: str | None = None):
+    """Total bytes->str decode. Returns (text, charset_label): the
+    sniffed codec with errors='replace', else strict utf-8, else
+    cp1252 with errors='replace' (every byte yields SOMETHING —
+    the one-bad-page-cannot-fail-a-task contract)."""
+    payload = bytes(payload)
+    enc, bom = sniff_charset(payload, content_type)
+    if enc is not None:
+        return payload[bom:].decode(enc, "replace"), enc
+    try:
+        return payload.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        return payload.decode("cp1252", "replace"), "cp1252"
+
+
+class Block(NamedTuple):
+    text: str
+    n_words: int
+    n_anchor_words: int
+
+    @property
+    def link_density(self) -> float:
+        return self.n_anchor_words / self.n_words if self.n_words else 0.0
+
+
+def _find_raw_end(s: str, pos: int, name: str) -> int:
+    """Index just past ``</name`` + '>' from pos (HTML5 raw-text rule:
+    the content ends only at a matching close tag, case-insensitive).
+    Unterminated -> end of input."""
+    low = s.lower()
+    i = low.find("</" + name, pos)
+    if i < 0:
+        return len(s)
+    gt = s.find(">", i)
+    return len(s) if gt < 0 else gt + 1
+
+
+def parse_blocks(text: str):
+    """Scan an HTML string into (blocks, title). Never raises —
+    malformed markup degrades to literal text."""
+    blocks: list[Block] = []
+    title: str | None = None
+    buf: list[str] = []          # text segments of the current block
+    anchor_buf: list[str] = []   # segments emitted while inside <a>
+    anchor_depth = 0
+    n = len(text)
+    pos = 0
+
+    def flush():
+        nonlocal buf, anchor_buf
+        words = _htmllib.unescape(" ".join(buf)).split()
+        if words:
+            a_words = _htmllib.unescape(" ".join(anchor_buf)).split()
+            blocks.append(Block(" ".join(words), len(words),
+                                min(len(a_words), len(words))))
+        buf, anchor_buf = [], []
+
+    while pos < n:
+        lt = text.find("<", pos)
+        if lt < 0:
+            seg = text[pos:]
+            buf.append(seg)
+            if anchor_depth:
+                anchor_buf.append(seg)
+            break
+        if lt > pos:
+            seg = text[pos:lt]
+            buf.append(seg)
+            if anchor_depth:
+                anchor_buf.append(seg)
+        # comment / CDATA / doctype / processing instruction
+        if text.startswith("<!--", lt):
+            end = text.find("-->", lt + 4)
+            pos = n if end < 0 else end + 3
+            continue
+        if text.startswith("<![CDATA[", lt):
+            end = text.find("]]>", lt + 9)
+            pos = n if end < 0 else end + 3
+            continue
+        if text.startswith("<!", lt) or text.startswith("<?", lt):
+            end = text.find(">", lt)
+            pos = n if end < 0 else end + 1
+            continue
+        close = text.startswith("</", lt)
+        m = _TAG_NAME.match(text, lt + (2 if close else 1))
+        if not m:
+            # stray '<': literal text
+            buf.append("<")
+            if anchor_depth:
+                anchor_buf.append("<")
+            pos = lt + 1
+            continue
+        name = m.group(0).lower()
+        # scan to the tag's closing '>', honoring quoted attr values
+        i = m.end()
+        while i < n:
+            c = text[i]
+            if c in "\"'":
+                q = text.find(c, i + 1)
+                i = n if q < 0 else q + 1
+                continue
+            if c == ">":
+                break
+            i += 1
+        pos = n if i >= n else i + 1
+        if close:
+            if name in _BLOCK:
+                flush()
+            elif name == "a" and anchor_depth:
+                anchor_depth -= 1
+            continue
+        if name == "title" and title is None:
+            end_content = text.lower().find("</title", pos)
+            raw = text[pos:] if end_content < 0 else \
+                text[pos:end_content]
+            title = " ".join(_htmllib.unescape(raw).split())
+            pos = _find_raw_end(text, pos, "title") \
+                if end_content >= 0 else n
+            continue
+        if name in _RAW_TEXT:
+            pos = _find_raw_end(text, pos, name)
+            if name in _BLOCK:  # (none today, future-proof)
+                flush()
+            continue
+        if name in _BLOCK:
+            flush()
+        elif name == "a":
+            anchor_depth += 1
+    flush()
+    return blocks, title
+
+
+_EMPTY = Block("", 0, 0)
+
+
+def classify_blocks(blocks: list[Block]) -> list[bool]:
+    """Kohlschuetter et al. (WSDM 2010) NumWordsRulesClassifier —
+    published decision rules verbatim; True = main content."""
+    out = []
+    for k, curr in enumerate(blocks):
+        prev = blocks[k - 1] if k else _EMPTY
+        nxt = blocks[k + 1] if k + 1 < len(blocks) else _EMPTY
+        if curr.link_density > 0.333333:
+            out.append(False)
+        elif prev.link_density <= 0.555556:
+            if curr.n_words > 16 or nxt.n_words > 15:
+                out.append(True)
+            else:
+                out.append(prev.n_words > 4)
+        else:
+            out.append(curr.n_words > 40 or nxt.n_words > 17)
+    return out
+
+
+def html_to_text(payload, content_type: str | None = None,
+                 main_content: bool = True):
+    """One page end-to-end: decode -> parse -> classify. Returns
+    (text, title, charset, n_blocks, n_content_blocks); ``text`` joins
+    kept blocks with newlines (all blocks when main_content=False)."""
+    if isinstance(payload, str):
+        text, charset = payload, "str"
+    else:
+        text, charset = decode_html(payload, content_type)
+    blocks, title = parse_blocks(text)
+    keep = classify_blocks(blocks) if main_content else \
+        [True] * len(blocks)
+    kept = [b.text for b, k in zip(blocks, keep) if k]
+    return ("\n".join(kept), title, charset, len(blocks),
+            sum(keep))
+
+
+def extract_html_text(
+    df: DataFrame,
+    payload_col: str = "payload",
+    content_type_col: str | None = "content_type",
+    main_content: bool = True,
+) -> DataFrame:
+    """Spark operator: append (charset, title, text, n_blocks,
+    n_content_blocks) to each row by running :func:`html_to_text` over
+    Arrow batches. Partition-preserving mapInPandas — no shuffle, the
+    multi-KB html payloads stay where the WARC reader put them; NULL
+    payloads pass through with NULL outputs. Pair with
+    :func:`~evolution_spark.operators.multimodal.cap_payload_partitions`
+    for multi-MB pathological pages."""
+    import pandas as pd
+
+    fields = list(df.schema.fields)
+    out_schema = StructType(fields + [
+        StructField("charset", StringType(), True),
+        StructField("title", StringType(), True),
+        StructField("text", StringType(), True),
+        StructField("n_blocks", IntegerType(), True),
+        StructField("n_content_blocks", IntegerType(), True),
+    ])
+    cols = [f.name for f in fields]
+    has_ct = content_type_col is not None and \
+        content_type_col in df.columns
+
+    def _extract(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            cts = pdf[content_type_col] if has_ct else None
+            for j, payload in enumerate(pdf[payload_col]):
+                if payload is None:
+                    outs.append((None, None, None, None, None))
+                    continue
+                ct = cts.iloc[j] if cts is not None else None
+                outs.append(html_to_text(payload, ct, main_content))
+            out = pdf[cols].copy()
+            # html_to_text tuple order: (text, title, charset, nb, nc)
+            res = pd.DataFrame(
+                outs, columns=["text", "title", "charset", "n_blocks",
+                               "n_content_blocks"], index=out.index)
+            for c in ("charset", "title", "text", "n_blocks",
+                      "n_content_blocks"):
+                out[c] = res[c]
+            yield out
+
+    return df.mapInPandas(_extract, out_schema)
+
+
+def warc_html_documents(spark, paths, main_content: bool = True,
+                        records_per_partition: int = 2000) -> DataFrame:
+    """The WARC -> documents bridge: read .warc.gz, keep HTTP-200
+    ``text/html`` responses, extract text, and shape the result like
+    the ``documents`` table (doc_id-less: record_id/uri are the keys a
+    crawl provides). Downstream dedup/quality/langid consume ``text``
+    directly."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.io.warc import read_warc
+
+    recs = read_warc(spark, paths,
+                     records_per_partition=records_per_partition)
+    pages = recs.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").contains("text/html")
+    )
+    return extract_html_text(
+        pages, main_content=main_content
+    ).select(
+        "record_id", "uri", "date", "charset", "title", "text",
+        "n_blocks", "n_content_blocks", "n_bytes",
+    )

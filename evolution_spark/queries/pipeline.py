@@ -642,3 +642,108 @@ def arc_ingest_stats(spark, sf_dir):
             F.countDistinct("uri").alias("distinct_uris"),
         )
     )
+
+
+@query(
+    "warc_html_text_stats",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 36),
+    rec AS (
+      SELECT i,
+             CASE i % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16-le'
+                  ELSE 'cp1252' END AS charset,
+             -- p1 words + p2 words (nav/footer are boilerplate)
+             CAST(18 + i % 9 + 21 + (i * 7) % 11 AS BIGINT) AS words,
+             'Pagé ' || CAST(i AS VARCHAR) AS title
+      FROM ids
+    )
+    SELECT charset,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(words) AS BIGINT) AS total_words,
+           CAST(4 * COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(2 * COUNT(*) AS BIGINT) AS n_content_blocks,
+           MIN(title) AS first_title
+    FROM rec GROUP BY charset
+    """,
+)
+def warc_html_text_stats(spark, sf_dir):
+    """HTML -> text extraction end-to-end (round 14, VERDICT item 1 —
+    the step that turns Common Crawl bytes into curatable documents):
+    deterministic ``.warc.gz`` fixtures carry text/html responses in
+    three charsets (utf-8 via <meta charset>, utf-16-le via BOM,
+    latin-1 via <meta http-equiv> — normalized to cp1252 per WHATWG),
+    each page a nav + two content paragraphs + an all-link footer.
+    The production bridge (``warc_html_documents``: read_warc ->
+    HTTP-200 text/html filter -> charset-sniffed decode -> block
+    tokenizer -> WSDM-2010 boilerplate rules) must drop exactly the
+    nav/footer blocks and keep both paragraphs; DuckDB recomputes
+    per-charset page counts, extracted word totals, block counts and
+    the lexicographic-min title (titles carry a non-ASCII 'é', so a
+    mojibake'd decode in ANY of the three charsets shifts first_title
+    and fails the hash).
+
+    Scale shape: extraction is a partition-preserving mapInPandas over
+    the WARC reader's record-parallel layout — page bytes move once
+    (the record repartition) and never shuffle again; the aggregate
+    reduces map-side to a 3-row result. Ref parity: extension surface
+    (the reference ingests fixed-length files only)."""
+    import os
+
+    from evolution_spark.io.warc import build_warc_record, write_warc_gz
+    from evolution_spark.operators.html import warc_html_documents
+    from evolution_spark.queries.base import query_tmp
+
+    tmp = query_tmp("warchtml", sf_dir)
+    os.makedirs(tmp, exist_ok=True)
+    paths = []
+    for k in range(3):
+        recs = []
+        for j in range(12):
+            i = k * 12 + j
+            p1 = " ".join(f"t{i}w{m}" for m in range(18 + i % 9))
+            p2 = " ".join(f"u{i}x{m}" for m in range(21 + (i * 7) % 11))
+            meta = {
+                0: '<meta charset="utf-8">',
+                1: "",
+                2: ('<meta http-equiv="Content-Type" content='
+                    '"text/html; charset=iso-8859-1">'),
+            }[i % 3]
+            doc = (
+                f"<html><head>{meta}<title>Pagé {i}</title>"
+                "<script>var nav = '<p>js is not text</p>';</script>"
+                "</head><body>"
+                '<nav><a href="/">home</a> <a href="/a">about us</a>'
+                ' <a href="/c">contact</a></nav>'
+                f"<p>{p1}</p><p>{p2}</p>"
+                "<footer><a>terms of use</a> <a>privacy policy</a>"
+                "</footer></body></html>"
+            )
+            body = {
+                0: doc.encode("utf-8"),
+                1: b"\xff\xfe" + doc.encode("utf-16-le"),
+                2: doc.encode("latin-1"),
+            }[i % 3]
+            payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+                       b"\r\n\r\n" + body)
+            recs.append(build_warc_record(
+                "response", f"http://html.example.com/{i}",
+                "2026-01-01T00:00:00Z", payload, f"<urn:uuid:h-{i}>",
+                content_type="application/http; msgtype=response"))
+        p = os.path.join(tmp, f"crawl-{k}.warc.gz")
+        write_warc_gz(p, recs)
+        paths.append(p)
+    docs = warc_html_documents(spark, paths, records_per_partition=8)
+    return (
+        docs.withColumn(
+            "words", F.size(F.split(F.col("text"), r"\s+"))
+        )
+        .groupBy("charset")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("words").cast("bigint").alias("total_words"),
+            F.sum("n_blocks").cast("bigint").alias("n_blocks"),
+            F.sum("n_content_blocks").cast("bigint")
+            .alias("n_content_blocks"),
+            F.min("title").alias("first_title"),
+        )
+    )

@@ -1,0 +1,210 @@
+"""HTML -> text extraction (operators/html.py): charset sniff
+precedence, total decode, tokenizer, block/link-density features, the
+WSDM-2010 main-content rules, the Spark operator, the WARC bridge, and
+the mutation-fuzz error contract (never raises, bounded time)."""
+import time
+
+import pytest
+
+from evolution_spark.operators.html import (
+    Block,
+    classify_blocks,
+    decode_html,
+    extract_html_text,
+    html_to_text,
+    parse_blocks,
+    sniff_charset,
+    warc_html_documents,
+)
+
+
+def test_charset_sniff_precedence():
+    # BOM beats everything
+    assert sniff_charset(b"\xef\xbb\xbfx") == ("utf-8", 3)
+    assert sniff_charset(b"\xff\xfex\x00") == ("utf-16-le", 2)
+    assert sniff_charset(b"\xfe\xffx") == ("utf-16-be", 2)
+    # Content-Type param beats meta
+    body = b'<meta charset="iso-8859-1"><p>x</p>'
+    assert sniff_charset(body, "text/html; charset=utf-8") == \
+        ("utf-8", 0)
+    # meta prescan: both forms, only inside the first 1024 bytes
+    assert sniff_charset(body) == ("cp1252", 0)
+    hq = (b'<meta http-equiv="Content-Type" content="text/html; '
+          b'charset=Shift_JIS">')
+    assert sniff_charset(hq) == ("shift_jis", 0)
+    late = b" " * 1100 + body
+    assert sniff_charset(late) == (None, 0)
+    # unknown labels fall through to the default path
+    assert sniff_charset(b'<meta charset="klingon">') == (None, 0)
+
+
+def test_decode_total_and_fallback():
+    assert decode_html("café".encode()) == ("café", "utf-8")
+    # invalid utf-8 -> cp1252 fallback, never raises
+    t, cs = decode_html(b"caf\xe9")
+    assert (t, cs) == ("café", "cp1252")
+    # declared charset decodes with replace (never raises)
+    t, cs = decode_html(b"\xff\xfe" + "ab".encode("utf-16-le"))
+    assert (t, cs) == ("ab", "utf-16-le")
+    t, _ = decode_html(b"a\x81b", "text/html; charset=windows-1252")
+    assert t[0] == "a" and t[2] == "b"  # 0x81 replaced, not fatal
+    assert decode_html(b"") == ("", "utf-8")
+
+
+def test_parse_blocks_tokenizer():
+    html = (
+        "<!DOCTYPE html><html><head><title>My &amp; Title</title>"
+        "<script>var x = '<p>not text</p>';</script>"
+        "<style>p > a { color: red }</style></head>"
+        "<body><!-- <p>comment</p> -->"
+        "<p>Hello &lt;world&gt; caf&eacute;</p>"
+        '<div data-x="a > b">attr gt survives</div>'
+        "<p>split <b>by</b> inline <span>tags</span></p>"
+        "<ul><li>one item</li><li>two item</li></ul>"
+        "5 < 6 stray bracket"
+        "</body></html>"
+    )
+    blocks, title = parse_blocks(html)
+    assert title == "My & Title"
+    texts = [b.text for b in blocks]
+    assert texts == [
+        "Hello <world> café",
+        "attr gt survives",
+        "split by inline tags",
+        "one item",
+        "two item",
+        "5 < 6 stray bracket",
+    ]
+    assert blocks[0].n_words == 3 and blocks[0].n_anchor_words == 0
+
+
+def test_anchor_word_tracking_and_link_density():
+    html = ('<p><a href="/">home page</a> and some plain text '
+            "here</p><p><a>all anchor words</a></p>")
+    blocks, _ = parse_blocks(html)
+    assert blocks[0].n_words == 7 and blocks[0].n_anchor_words == 2
+    assert blocks[0].link_density == pytest.approx(2 / 7)
+    assert blocks[1].link_density == 1.0
+    # unmatched </a> and nested blocks inside an anchor don't crash
+    blocks, _ = parse_blocks("</a><a><div>x y</div>tail</a><p>z</p>")
+    assert [b.text for b in blocks] == ["x y", "tail", "z"]
+    assert blocks[1].n_anchor_words == 1
+
+
+def test_classifier_rules():
+    def blk(words, anchor=0):
+        return Block(" ".join(["w"] * words), words, anchor)
+
+    # high link density -> boilerplate regardless of size
+    assert classify_blocks([blk(30, 15)]) == [False]
+    # long block -> content
+    assert classify_blocks([blk(20)]) == [True]
+    # short isolated block -> boilerplate
+    assert classify_blocks([blk(3)]) == [False]
+    # short block next to a long NEXT block -> content
+    assert classify_blocks([blk(3), blk(20)]) == [True, True]
+    # after a nav (prev link density > .5556): needs >40 words or a
+    # long next block
+    nav = blk(6, 6)
+    assert classify_blocks([nav, blk(30)]) == [False, False]
+    assert classify_blocks([nav, blk(41)]) == [False, True]
+    assert classify_blocks([nav, blk(30), blk(18)]) == \
+        [False, True, True]
+
+
+def test_html_to_text_end_to_end():
+    page = (
+        "<html><head><title>T</title></head><body>"
+        '<nav><a href="/">home</a> <a href="/a">about us</a></nav>'
+        "<p>" + " ".join(f"word{k}" for k in range(25)) + "</p>"
+        "<p>" + " ".join(f"tail{k}" for k in range(18)) + "</p>"
+        "<footer><a>terms of use</a> <a>privacy policy</a></footer>"
+        "</body></html>"
+    ).encode()
+    text, title, charset, n_blocks, n_content = html_to_text(page)
+    assert title == "T" and charset == "utf-8"
+    assert n_blocks == 4 and n_content == 2
+    lines = text.split("\n")
+    assert len(lines) == 2 and lines[0].startswith("word0 ")
+    assert "home" not in text and "privacy" not in text
+    # main_content=False keeps everything
+    all_text = html_to_text(page, main_content=False)[0]
+    assert "home" in all_text and "privacy" in all_text
+
+
+def test_mutation_fuzz_never_raises():
+    """Contract: any byte soup extracts (possibly empty) text, < 1 s
+    per page, no exception — a crawl always contains broken markup."""
+    import random
+
+    base = (
+        "<html><head><title>t</title><script>s</script></head><body>"
+        '<p><a href="x">l</a> text here and more</p><div>d</div>'
+        "<!-- c --><![CDATA[q]]><ul><li>i</li></ul></body></html>"
+    ).encode()
+    rng = random.Random(14)
+    for trial in range(300):
+        p = bytearray(base)
+        op = trial % 4
+        if op == 0:
+            for _ in range(rng.randrange(1, 8)):
+                p[rng.randrange(len(p))] ^= 1 << rng.randrange(8)
+        elif op == 1:
+            p = p[: rng.randrange(len(p))]
+        elif op == 2:
+            cut = rng.randrange(len(p))
+            p = p[cut:] + p[:cut]
+        else:
+            i = rng.randrange(len(p))
+            p = p[:i] + bytes([rng.randrange(256)] * 16) + p[i:]
+        t0 = time.monotonic()
+        text, title, charset, nb, nc = html_to_text(bytes(p))
+        assert time.monotonic() - t0 < 1.0
+        assert isinstance(text, str) and nc <= nb
+    # adversarial: unterminated everything
+    for s in (b"<script>never closed", b"<!-- open", b"<![CDATA[ open",
+              b"<p", b"<", b"</", b"<a href='unterminated",
+              b"<title>no close", b"\xff\xfe\x00", b"<?php echo"):
+        text, *_ = html_to_text(s)
+        assert isinstance(text, str)
+
+
+def test_spark_operator_and_warc_bridge(spark, tmp_path):
+    from evolution_spark.io.warc import build_warc_record, write_warc_gz
+
+    recs = []
+    for i in range(6):
+        body = (
+            f"<html><head><title>Page {i}</title></head><body>"
+            f'<nav><a href="/">home</a> <a href="/x">about</a></nav>'
+            f"<p>{' '.join(f'tok{i}x{k}' for k in range(20 + i))}</p>"
+            f"<p>{' '.join(f'end{k}' for k in range(19))}</p>"
+            "</body></html>"
+        ).encode()
+        payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                   b"charset=utf-8\r\n\r\n" + body)
+        recs.append(build_warc_record(
+            "response", f"http://h/{i}", "2026-01-01T00:00:00Z",
+            payload, f"<urn:uuid:h-{i}>",
+            content_type="application/http; msgtype=response"))
+    # one non-html response: must be filtered out by the bridge
+    recs.append(build_warc_record(
+        "response", "http://h/bin", "2026-01-01T00:00:00Z",
+        b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\nPNG",
+        "<urn:uuid:h-bin>",
+        content_type="application/http; msgtype=response"))
+    p = tmp_path / "pages.warc.gz"
+    write_warc_gz(str(p), recs)
+
+    docs = warc_html_documents(spark, [str(p)]).orderBy("uri")
+    rows = docs.collect()
+    assert len(rows) == 6
+    assert rows[0].title == "Page 0" and rows[0].charset == "utf-8"
+    assert rows[0].n_blocks == 3 and rows[0].n_content_blocks == 2
+    assert rows[0].text.split("\n")[0].split()[0] == "tok0x0"
+    assert all("home" not in r.text for r in rows)
+    # null payload passes through the operator as nulls
+    df = spark.createDataFrame(
+        [(1, None)], "id long, payload binary")
+    out = extract_html_text(df, content_type_col=None).collect()[0]
+    assert out.text is None and out.n_blocks is None
