@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "multimodal_bmp_rle_features",
     # batch-23: round-14 additions (first-recorded = their baseline)
     "warc_html_text_stats",
+    "warc_revisit_dedup",
 ]
 
 # Registered queries deliberately NOT in the bench suite: basic

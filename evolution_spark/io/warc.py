@@ -54,7 +54,8 @@ _INDEX_SCHEMA = "file string, offset long, length long"
 _RECORD_SCHEMA = (
     "file string, offset long, warc_type string, record_id string, "
     "uri string, date string, content_type string, http_status int, "
-    "payload binary, n_bytes long"
+    "payload binary, n_bytes long, refers_to string, "
+    "payload_digest string, profile string"
 )
 
 
@@ -168,6 +169,13 @@ def parse_warc_record(block: bytes, file: str = "", offset: int = 0):
         file, offset, warc_type, headers.get("warc-record-id"),
         headers.get("warc-target-uri"), headers.get("warc-date"),
         ctype, http_status, bytes(payload), len(payload),
+        # revisit-dedup surface (ISO 28500 §6.7): the original this
+        # record re-observed, the payload content digest, and the
+        # revisit profile URI (identical-payload-digest vs
+        # server-not-modified)
+        headers.get("warc-refers-to"),
+        headers.get("warc-payload-digest"),
+        headers.get("warc-profile"),
     )
 
 
@@ -226,7 +234,7 @@ def read_warc(spark: SparkSession, paths: list[str],
             yield pd.DataFrame(rows, columns=[
                 "file", "offset", "warc_type", "record_id", "uri",
                 "date", "content_type", "http_status", "payload",
-                "n_bytes",
+                "n_bytes", "refers_to", "payload_digest", "profile",
             ])
 
     return idx.repartition(n_parts).mapInPandas(_parse, _RECORD_SCHEMA)
@@ -237,7 +245,8 @@ def read_warc(spark: SparkSession, paths: list[str],
 
 def build_warc_record(warc_type: str, uri: str | None, date: str,
                       payload: bytes, record_id: str,
-                      content_type: str = "text/plain") -> bytes:
+                      content_type: str = "text/plain",
+                      extra_headers: dict | None = None) -> bytes:
     hdrs = [
         b"WARC/1.0",
         f"WARC-Type: {warc_type}".encode(),
@@ -248,6 +257,8 @@ def build_warc_record(warc_type: str, uri: str | None, date: str,
     ]
     if uri is not None:
         hdrs.insert(3, f"WARC-Target-URI: {uri}".encode())
+    for k, v in (extra_headers or {}).items():
+        hdrs.append(f"{k}: {v}".encode())
     return b"\r\n".join(hdrs) + b"\r\n\r\n" + payload + b"\r\n\r\n"
 
 

@@ -484,3 +484,83 @@ def semdedup(
         "cell_id",
         F.coalesce("is_pruned", F.lit(False)).alias("is_pruned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC revisit dedup (round 14)
+# ---------------------------------------------------------------------------
+
+def collapse_revisits(df: DataFrame) -> DataFrame:
+    """Consume WARC ``revisit`` records (ISO 28500 §6.7.2 — the crawl's
+    BUILT-IN URL-level dedup signal: a crawler that re-fetches a page
+    whose payload digest it has already stored writes a payload-less
+    revisit record instead of the body) into one original-level view:
+    every ``response`` record annotated with how many revisits
+    re-observed it and how many payload bytes the crawler's dedup
+    saved.
+
+    Matching semantics, in precedence order per record:
+
+    1. ``WARC-Refers-To`` — the explicit record-id link to the
+       original (what a well-formed crawler writes).
+    2. ``WARC-Payload-Digest`` fallback for revisits without a
+       refers-to header (Common Crawl's older segments): the revisit
+       attaches to the canonical original for that digest — the
+       lexicographically-smallest record_id, a deterministic rule so
+       re-runs agree when several originals share a payload.
+
+    Only ``identical-payload-digest`` profile revisits (or revisits
+    with no profile header) participate; ``server-not-modified``
+    revisits carry no payload digest semantics and are ignored.
+
+    Scale shape: both match paths shuffle (id/digest, count) pairs
+    only — never payloads; the final annotate is an id-keyed join of
+    the metadata projection (payload column deliberately excluded from
+    the output, so original bodies never shuffle either; re-join on
+    record_id downstream when bodies are needed). At 100 TB the
+    revisit side is payload-less by construction, so its rows are a
+    few hundred bytes each.
+    """
+    originals = df.where(F.col("warc_type") == "response")
+    revisits = df.where(
+        (F.col("warc_type") == "revisit")
+        & (
+            F.col("profile").isNull()
+            | F.col("profile").contains("identical-payload-digest")
+        )
+    )
+    by_ref = (
+        revisits.where(F.col("refers_to").isNotNull())
+        .groupBy(F.col("refers_to").alias("record_id"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    # digest fallback: attach to the canonical (min record_id) original
+    canon = originals.where(F.col("payload_digest").isNotNull()).groupBy(
+        "payload_digest"
+    ).agg(F.min("record_id").alias("record_id"))
+    by_digest = (
+        revisits.where(
+            F.col("refers_to").isNull()
+            & F.col("payload_digest").isNotNull()
+        )
+        .groupBy("payload_digest")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .join(canon, "payload_digest")
+        .select("record_id", "__n")
+    )
+    counts = (
+        by_ref.unionByName(by_digest)
+        .groupBy("record_id")
+        .agg(F.sum("__n").alias("n_revisits"))
+    )
+    meta = originals.select(
+        "record_id", "uri", "date", "content_type", "http_status",
+        "payload_digest", "n_bytes",
+    )
+    return (
+        meta.join(counts, "record_id", "left")
+        .na.fill({"n_revisits": 0})
+        .withColumn(
+            "dup_bytes_saved", F.col("n_revisits") * F.col("n_bytes")
+        )
+    )

@@ -747,3 +747,94 @@ def warc_html_text_stats(spark, sf_dir):
             F.min("title").alias("first_title"),
         )
     )
+
+
+@query(
+    "warc_revisit_dedup",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 36),
+    orig AS (SELECT i AS k FROM ids WHERE i < 6),
+    rev AS (
+      SELECT i, i % 5 AS k FROM ids
+      WHERE i >= 6 AND (i % 10) <> 7
+    )
+    SELECT '<urn:uuid:rec-' || CAST(o.k AS VARCHAR) || '>'
+             AS record_id,
+           'http://r.example.com/' || CAST(o.k AS VARCHAR) AS uri,
+           '2026-01-01T00:00:00Z' AS "date",
+           'text/html' AS content_type,
+           200 AS http_status,
+           'sha1:FIX' || CAST(o.k AS VARCHAR) AS payload_digest,
+           CAST(37 + 3 * o.k AS BIGINT) AS n_bytes,
+           CAST(COUNT(r.i) AS BIGINT) AS n_revisits,
+           CAST(COUNT(r.i) * (37 + 3 * o.k) AS BIGINT)
+             AS dup_bytes_saved
+    FROM orig o LEFT JOIN rev r ON r.k = o.k
+    GROUP BY o.k
+    """,
+)
+def warc_revisit_dedup(spark, sf_dir):
+    """WARC ``revisit`` dedup semantics (round 14, VERDICT item 2 —
+    the crawl's built-in URL-level dedup signal, consumed instead of
+    merely surfaced): fixtures carry 6 originals and 27 participating
+    revisits split across BOTH match paths — even ids link explicitly
+    via ``WARC-Refers-To``, odd ids carry only the payload digest (the
+    canonical-original fallback) — plus 3 ``server-not-modified``
+    revisits that must be IGNORED (no payload-identity semantics) and
+    one original with zero revisits (left-join fill). DuckDB recomputes
+    the per-original revisit counts and saved-byte totals closed-form;
+    a missed header, a profile filter regression, or digest/ref
+    double-count shifts a row and fails the hash.
+
+    Scale shape: ``collapse_revisits`` shuffles (id/digest, count)
+    pairs only — original payload bytes are excluded from the output
+    projection and never move. Ref parity: extension surface."""
+    import os
+
+    from evolution_spark.io.warc import build_warc_record, write_warc_gz
+    from evolution_spark.operators.dedup import collapse_revisits
+    from evolution_spark.queries.base import query_tmp
+
+    tmp = query_tmp("warcrev", sf_dir)
+    os.makedirs(tmp, exist_ok=True)
+    rev_profile = ("http://netpreserve.org/warc/1.0/revisit/"
+                   "identical-payload-digest")
+    snm_profile = ("http://netpreserve.org/warc/1.0/revisit/"
+                   "server-not-modified")
+    paths = []
+    for fk in range(3):
+        recs = []
+        for j in range(12):
+            i = fk * 12 + j
+            if i < 6:
+                body = f"body-{i}:".encode() + b"x" * (30 + i * 3)
+                payload = (b"HTTP/1.1 200 OK\r\nContent-Type: "
+                           b"text/html\r\n\r\n" + body)
+                recs.append(build_warc_record(
+                    "response", f"http://r.example.com/{i}",
+                    "2026-01-01T00:00:00Z", payload,
+                    f"<urn:uuid:rec-{i}>",
+                    content_type="application/http; msgtype=response",
+                    extra_headers={
+                        "WARC-Payload-Digest": f"sha1:FIX{i}"}))
+            else:
+                k = i % 5
+                hdrs = {"WARC-Profile":
+                        snm_profile if i % 10 == 7 else rev_profile}
+                if i % 2 == 0:
+                    hdrs["WARC-Refers-To"] = f"<urn:uuid:rec-{k}>"
+                else:
+                    hdrs["WARC-Payload-Digest"] = f"sha1:FIX{k}"
+                recs.append(build_warc_record(
+                    "revisit", f"http://r.example.com/{k}",
+                    "2026-02-01T00:00:00Z", b"",
+                    f"<urn:uuid:rev-{i}>",
+                    content_type="message/http",
+                    extra_headers=hdrs))
+        p = os.path.join(tmp, f"crawl-{fk}.warc.gz")
+        write_warc_gz(p, recs)
+        paths.append(p)
+    from evolution_spark.io.warc import read_warc
+
+    df = read_warc(spark, paths, records_per_partition=8)
+    return collapse_revisits(df)

@@ -228,3 +228,65 @@ def test_gzip_bomb_member_indexes_in_bounded_memory(tmp_path):
     # old code held the full 64 MiB expansion; bounded loop stays
     # within a few working chunks
     assert peak < 16 << 20, f"peak {peak} bytes"
+
+
+def test_collapse_revisits_semantics(spark, tmp_path):
+    """round 14: revisit dedup — explicit refers-to, digest fallback
+    to the canonical (min record_id) original when several originals
+    share a payload, server-not-modified ignored, null-profile
+    participates, zero-revisit originals fill 0."""
+    from evolution_spark.operators.dedup import collapse_revisits
+
+    def resp(rid, uri, body, digest):
+        return build_warc_record(
+            "response", uri, "2026-01-01T00:00:00Z",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+            + body, rid,
+            content_type="application/http; msgtype=response",
+            extra_headers={"WARC-Payload-Digest": digest})
+
+    def rev(rid, uri, hdrs):
+        return build_warc_record(
+            "revisit", uri, "2026-02-01T00:00:00Z", b"", rid,
+            content_type="message/http", extra_headers=hdrs)
+
+    ident = ("http://netpreserve.org/warc/1.0/revisit/"
+             "identical-payload-digest")
+    recs = [
+        # two originals SHARING digest sha1:D — canonical is min id
+        resp("<urn:uuid:a>", "http://h/1", b"same", "sha1:D"),
+        resp("<urn:uuid:b>", "http://h/2", b"same", "sha1:D"),
+        resp("<urn:uuid:c>", "http://h/3", b"other", "sha1:E"),
+        # digest-fallback revisit -> canonical <a>, not <b>
+        rev("<urn:uuid:r1>", "http://h/9",
+            {"WARC-Payload-Digest": "sha1:D", "WARC-Profile": ident}),
+        # explicit refers-to beats digest (points at <b>)
+        rev("<urn:uuid:r2>", "http://h/2",
+            {"WARC-Refers-To": "<urn:uuid:b>",
+             "WARC-Payload-Digest": "sha1:D",
+             "WARC-Profile": ident}),
+        # no profile header: participates (digest path)
+        rev("<urn:uuid:r3>", "http://h/3",
+            {"WARC-Payload-Digest": "sha1:E"}),
+        # server-not-modified: ignored even with refers-to
+        rev("<urn:uuid:r4>", "http://h/3",
+            {"WARC-Refers-To": "<urn:uuid:c>",
+             "WARC-Profile": "http://netpreserve.org/warc/1.0/"
+                             "revisit/server-not-modified"}),
+    ]
+    p = tmp_path / "rv.warc.gz"
+    write_warc_gz(str(p), recs)
+    out = {r.record_id: r for r in collapse_revisits(
+        read_warc(spark, [str(p)])).collect()}
+    assert out["<urn:uuid:a>"].n_revisits == 1       # digest fallback
+    assert out["<urn:uuid:b>"].n_revisits == 1       # explicit ref
+    assert out["<urn:uuid:c>"].n_revisits == 1       # null profile
+    assert out["<urn:uuid:c>"].dup_bytes_saved == len(b"other")
+    assert "payload" not in out["<urn:uuid:a>"].asDict()
+    # revisit headers surface on the reader schema
+    raw = read_warc(spark, [str(p)])
+    rv = {r.record_id: r for r in raw.where(
+        raw.warc_type == "revisit").collect()}
+    assert rv["<urn:uuid:r2>"].refers_to == "<urn:uuid:b>"
+    assert rv["<urn:uuid:r1>"].payload_digest == "sha1:D"
+    assert "identical-payload-digest" in rv["<urn:uuid:r1>"].profile
