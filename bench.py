@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     # batch-23: round-14 additions (first-recorded = their baseline)
     "warc_html_text_stats",
     "warc_revisit_dedup",
+    "audio_id3v22_metadata",
 ]
 
 # Registered queries deliberately NOT in the bench suite: basic

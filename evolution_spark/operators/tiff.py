@@ -33,8 +33,10 @@ the one inherently lossy path here.
 
 Declared limits (refuse, never mis-decode): bits-per-sample other than
 uniform 8/16 or bilevel-fax 1, T.4 uncompressed mode, tiled or
-predictor fax, 16-bit palette, old-style JPEG (compression 6,
-deprecated by TIFF/EP and never coherently specified).
+predictor fax, old-style JPEG (compression 6, deprecated by TIFF/EP
+and never coherently specified). (The 16-bit palette refusal was
+lifted round 14: indices at either depth go through the same colormap
+lookup.)
 
 Measured envelope (BASELINE v4.9): the LZW path is bit-serial,
 ~107 ms per MB of decoded pixels — a scan larger than ~1 MB decoded
@@ -390,8 +392,12 @@ def _decode_page(payload: bytes, tags: dict, bo: str) -> np.ndarray:
             raise ValueError("RGB photometric needs >= 3 samples")
         return arr.reshape(h, w, spp)[..., :3].copy()
     if photo == 3:
-        if bps != 1:
-            raise ValueError("16-bit palette TIFF is not supported")
+        # palette indices are 8-bit OR 16-bit (round 14 — the 16-bit
+        # refusal is lifted; bits[0] is already gated to 8/16 above,
+        # and the colormap lookup below is depth-independent)
+        if spp != 1:
+            raise ValueError("palette photometric needs exactly one "
+                             "sample per pixel")
         cmap = tags.get(320)
         if cmap is None:
             raise ValueError("palette TIFF missing colormap")

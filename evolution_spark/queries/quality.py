@@ -3101,3 +3101,111 @@ def multimodal_bmp_rle_features(spark, sf_dir):
     return d.mapInPandas(
         gen, "media_id long, px_sum long, hi_px long"
     )
+
+
+@query(
+    "audio_id3v22_metadata",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 24),
+    t AS (
+      SELECT i,
+             'Album ' || CAST(i % 4 AS VARCHAR) AS album,
+             'Sóng ' || CAST(i AS VARCHAR) AS title,
+             'Band ' || CAST(i % 3 AS VARCHAR) AS artist,
+             CAST(1990 + i % 8 AS VARCHAR) AS year,
+             CAST((15 + i % 9) * 1152 * 1000000 // 44100 AS BIGINT)
+               AS dur
+      FROM ids
+    )
+    SELECT album,
+           CAST(COUNT(*) AS BIGINT) AS n_tracks,
+           MIN(title) AS first_title,
+           CAST(COUNT(DISTINCT artist) AS BIGINT) AS n_artists,
+           CAST(SUM(dur) AS BIGINT) AS total_dur_us,
+           MIN(year) AS min_year
+    FROM t GROUP BY album
+    """,
+)
+def audio_id3v22_metadata(spark, sf_dir):
+    """ID3v2.2 tag walk (round 14, VERDICT item 5 — the legacy 3-byte
+    -frame-id tag version gets oracle coverage; it parsed since r13 but
+    only unit tests exercised it): 24 fixture MP3s carry v2.2 tags
+    (TT2/TP1/TAL/TYE/TRK frames, 3-byte big-endian sizes, no frame
+    flags) alternating latin-1 and UTF-16-BOM text encodings, with a
+    non-ASCII 'ó' in every title so a mis-decode in either encoding
+    shifts first_title and fails the hash. Tags parse through the
+    production ``parse_id3v2_tags`` (ids normalized to their v2.3
+    names) and durations through ``parse_mp3_metadata``'s frame walk;
+    DuckDB recomputes everything closed-form from the fixture formulas
+    (frame time = n*1152*1e6 // 44100, integer division both sides).
+
+    Scale shape: one partition-preserving mapInPandas generates and
+    parses in place — payload bytes never shuffle; only (album, title,
+    artist, year, dur) rows reach the vocabulary-sized aggregate.
+    Ref parity: extension surface."""
+    import pandas as pd
+
+    from evolution_spark.operators.mp3 import (
+        build_mp3,
+        parse_id3v2_tags,
+        parse_mp3_metadata,
+    )
+
+    def v22_tag(frames: list[tuple[bytes, str, int]]) -> bytes:
+        """ID3v2.2 tag: 3-byte ids, 3-byte sizes, enc 0 latin-1 /
+        enc 1 UTF-16 with BOM (the only v2.2 text encodings)."""
+        body = bytearray()
+        for fid, text, enc in frames:
+            raw = bytes([enc]) + (
+                text.encode("latin-1") if enc == 0
+                else b"\xff\xfe" + text.encode("utf-16-le")
+            )
+            body += fid + len(raw).to_bytes(3, "big") + raw
+        body += bytes(6)  # padding
+        sz = len(body)
+        return (b"ID3" + bytes([2, 0, 0])
+                + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                         (sz >> 7) & 0x7F, sz & 0x7F]) + bytes(body))
+
+    d = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 24
+    )
+
+    def gen_and_parse(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                enc = i % 2
+                tag = v22_tag([
+                    (b"TT2", f"Sóng {i}", enc),
+                    (b"TP1", f"Band {i % 3}", enc),
+                    (b"TAL", f"Album {i % 4}", enc),
+                    (b"TYE", str(1990 + i % 8), 0),
+                    (b"TRK", str(i), 0),
+                ])
+                payload = tag + build_mp3(15 + i % 9,
+                                          bitrate_indices=9,
+                                          sr_idx=0, seed=i)
+                tags = parse_id3v2_tags(payload)
+                meta = parse_mp3_metadata(payload)
+                assert tags["_version"] == "2.2"
+                rows.append((i, tags.get("TALB"), tags.get("TIT2"),
+                             tags.get("TPE1"), tags.get("TYER"),
+                             meta["duration_us"]))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "album", "title", "artist",
+                               "year", "dur"])
+
+    meta = d.mapInPandas(
+        gen_and_parse,
+        "media_id long, album string, title string, artist string, "
+        "year string, dur long",
+    )
+    return meta.groupBy("album").agg(
+        F.count(F.lit(1)).alias("n_tracks"),
+        F.min("title").alias("first_title"),
+        F.countDistinct("artist").alias("n_artists"),
+        F.sum("dur").alias("total_dur_us"),
+        F.min("year").alias("min_year"),
+    )

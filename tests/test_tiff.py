@@ -510,3 +510,77 @@ def test_corrupt_streams_raise_value_error_everywhere():
     r[i + 8: i + 12] = (1 << 30).to_bytes(4, "little")
     with pytest.raises(ValueError, match="exceed|implausible"):
         decode_tiff(bytes(r))
+
+
+def _palette16_fixture(full_map=False):
+    """round 14: photometric-3 with 16-BIT indices (refusal lifted).
+    Little-endian, uncompressed; colormap either minimal (n distinct
+    colors) or the spec's full 3 * 2^16 table."""
+    h, w = 6, 9
+    n_colors = 5
+    idx = ((np.arange(h * w) * 7) % n_colors).reshape(h, w).astype("<u2")
+    if full_map:
+        # spread the used entries across the full 65536-entry planes
+        idx = (idx * 13107).astype("<u2")  # 0, 13107, ..., 52428
+        used = [v * 13107 for v in range(n_colors)]
+        plane_r = [0] * 65536
+        plane_g = [0] * 65536
+        plane_b = [0] * 65536
+        for k, v in enumerate(used):
+            plane_r[v] = 60000 - 1000 * k
+            plane_g[v] = 30000 + 1000 * k
+            plane_b[v] = 5000 * k
+        cmap = plane_r + plane_g + plane_b
+        lut = {v: (plane_r[v] >> 8, plane_g[v] >> 8, plane_b[v] >> 8)
+               for v in used}
+    else:
+        colors16 = [0, 16000, 32000, 48000, 64000]
+        cmap = (colors16 + [v // 2 for v in colors16]
+                + [v // 5 for v in colors16])
+        lut = {k: (colors16[k] >> 8, (colors16[k] // 2) >> 8,
+                   (colors16[k] // 5) >> 8) for k in range(n_colors)}
+    out = bytearray(b"II*\x00" + bytes(4))
+    strip = idx.tobytes()
+    soff = len(out)
+    out += strip
+    ifd_off = len(out)
+    out[4:8] = ifd_off.to_bytes(4, "little")
+    entries = [
+        (256, 3, [w]), (257, 3, [h]), (258, 3, [16]), (259, 3, [1]),
+        (262, 3, [3]), (273, 4, [soff]), (277, 3, [1]), (278, 4, [h]),
+        (279, 4, [len(strip)]), (320, 3, cmap),
+    ]
+    entries.sort()
+    cmap_off = ifd_off + 2 + 12 * len(entries) + 4
+    ifd = bytearray(len(entries).to_bytes(2, "little"))
+    extra = bytearray()
+    for tag, typ, vals in entries:
+        step = {3: 2, 4: 4}[typ]
+        raw = b"".join(int(v).to_bytes(step, "little") for v in vals)
+        ifd += tag.to_bytes(2, "little") + typ.to_bytes(2, "little")
+        ifd += len(vals).to_bytes(4, "little")
+        if len(raw) <= 4:
+            ifd += raw + bytes(4 - len(raw))
+        else:
+            ifd += (cmap_off + len(extra)).to_bytes(4, "little")
+            extra += raw
+    ifd += bytes(4)
+    out += ifd + extra
+    expect = np.array(
+        [lut[int(v)] for v in idx.ravel()], dtype=np.uint8
+    ).reshape(h, w, 3)
+    return bytes(out), expect
+
+
+def test_16bit_palette_decodes():
+    for full in (False, True):
+        payload, expect = _palette16_fixture(full_map=full)
+        got = decode_tiff(payload)
+        assert got.dtype == np.uint8 and got.shape == expect.shape
+        assert np.array_equal(got, expect), f"full_map={full}"
+    # out-of-range 16-bit index still refuses
+    payload, _ = _palette16_fixture()
+    p = bytearray(payload)
+    p[8:10] = (60000).to_bytes(2, "little")  # index beyond 5-color map
+    with pytest.raises(ValueError, match="palette index"):
+        decode_tiff(bytes(p))
