@@ -990,6 +990,160 @@ def warc_stress(spark, reps: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def text_paths_stress(spark, reps: int) -> dict:
+    """Round-14 (VERDICT item 7): corpus-tier scale curves for the two
+    r13 paths that landed with bounded fixtures but no 10x/30x rows —
+    language-ID and the EXIF walker.
+
+    (a) langid: ``classify_language`` over the REAL sf0.1 documents
+    text replicated 1x/10x/30x (explode, ids offset). Measures wall
+    linearity AND the docstring's '<=20 (doc,lang) rows per doc
+    shuffle' claim as a number: total shuffle-write records across the
+    job's stages divided by doc count (the trigram stream itself must
+    never appear in an exchange — a doc has hundreds of trigrams, so a
+    leak is an order-of-magnitude signature, not a rounding error).
+
+    (b) exif: ``parse_exif`` over N and 4N embedded-EXIF JPEG payloads
+    through the same mapInPandas shape the oracle query uses — wall
+    ratio ~4 means per-payload-linear, no cross-payload state."""
+    import urllib.request
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from evolution_spark.functions.langid import classify_language
+
+    sc = spark.sparkContext
+    if sc.uiWebUrl is None:
+        # the shared stress session disables the UI; shuffle metrics
+        # need the REST API, so rebuild with it on (same local[N])
+        master = sc.master
+        spark.stop()
+        from evolution_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="evolution-text-paths", master=master,
+            shuffle_partitions=32,
+            extra_conf={"spark.ui.enabled": "true",
+                        "spark.ui.port": "4048"},
+        )
+        sc = spark.sparkContext
+        sc.setLogLevel("ERROR")
+    base = sc.uiWebUrl + "/api/v1"
+    app_id = sc.applicationId
+
+    def group_shuffle(group: str):
+        def get(path):
+            with urllib.request.urlopen(base + path, timeout=10) as r:
+                return json.load(r)
+
+        jobs = get(f"/applications/{app_id}/jobs")
+        stage_ids = sorted({
+            sid for j in jobs if j.get("jobGroup") == group
+            for sid in j.get("stageIds", [])
+        })
+        wb = wr = 0
+        for sid in stage_ids:
+            try:
+                for att in get(f"/applications/{app_id}/stages/{sid}"):
+                    wb += att.get("shuffleWriteBytes", 0)
+                    wr += att.get("shuffleWriteRecords", 0)
+            except Exception:
+                pass
+        return wb, wr
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    res: dict = {"langid": {}, "exif": {}}
+    docs = spark.read.parquet(f"{BASE_SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for level in (1, 10, 30):
+        big = docs
+        if level > 1:
+            big = docs.select(
+                F.explode(F.sequence(F.lit(0), F.lit(level - 1)))
+                .alias("__rep"), "*"
+            ).select(
+                (F.col("doc_id") + F.col("__rep") * 10_000_000)
+                .alias("doc_id"), "text",
+            )
+        big = big.repartition(32).cache()
+        n = big.count()
+        noop(classify_language(big))  # warm
+        best = None
+        for r in range(reps):
+            group = f"langid_{level}_{r}"
+            sc.setJobGroup(group, "langid stress")
+            t0 = time.perf_counter()
+            noop(classify_language(big))
+            dt = time.perf_counter() - t0
+            sc.setJobGroup(None, None)
+            best = dt if best is None or dt < best else best
+        wb, wr = group_shuffle(group)
+        res["langid"][f"x{level}"] = {
+            "docs": n, "s": round(best, 3),
+            "shuffle_write_mb": round(wb / 1e6, 2),
+            "shuffle_rows_per_doc": round(wr / n, 2),
+        }
+        big.unpersist()
+    r1 = res["langid"]["x1"]["s"]
+    res["langid"]["linearity_30x"] = round(
+        res["langid"]["x30"]["s"] / r1, 2) if r1 else None
+
+    # ---- EXIF walker linearity ------------------------------------
+    from evolution_spark.operators.exif import (
+        build_exif,
+        embed_exif_jpeg,
+        parse_exif,
+    )
+    from evolution_spark.operators.multimodal import encode_jpeg
+
+    img = ((np.arange(192)) % 256).astype(np.uint8).reshape(8, 8, 3)
+    payload = embed_exif_jpeg(
+        encode_jpeg(img, 70),
+        build_exif(orientation=6, make="CamX", model="M1",
+                   datetime_original="2026:01:01 12:00:00",
+                   pixel_xy=(640, 480)),
+    )
+
+    def run_exif(n: int) -> float:
+        df = spark.range(n).selectExpr("id as media_id")
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["media_id"]:
+                    m = parse_exif(payload)
+                    rows.append((int(i), m["orientation"],
+                                 m["exif_width"]))
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "orientation", "exif_width"])
+
+        out = df.repartition(32).mapInPandas(
+            gen, "media_id long, orientation int, exif_width long")
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            noop(out)
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return best
+
+    n = 100_000
+    s1 = run_exif(n)
+    s4 = run_exif(4 * n)
+    res["exif"] = {
+        "payload_bytes": len(payload), "n": n, "s": round(s1, 3),
+        "n4": 4 * n, "s4": round(s4, 3),
+        "ratio": round(s4 / s1, 2) if s1 else None,
+        "payloads_per_s_per_core": int(4 * n / s4 / 32) if s4 else None,
+    }
+    return res
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2, help="timed passes (min taken)")
@@ -997,7 +1151,7 @@ def main() -> int:
         "--mode",
         choices=["cluster-growth", "fixed-cluster", "format-scan", "ref-ops",
                  "cdf-ops", "writer-features", "rewrite-ops", "codecs",
-                 "codecs-large", "warc"],
+                 "codecs-large", "warc", "text-paths"],
         default="cluster-growth",
         help="cluster-growth: every replica near-dups every other (planted "
         "pairs grow C(R,2)); fixed-cluster: near-dups only within buckets "
@@ -1042,6 +1196,8 @@ def main() -> int:
             "codecs-large": ("codecs-large",
                              lambda: codec_stress_large(spark, args.reps)),
             "warc": ("warc", lambda: warc_stress(spark, args.reps)),
+            "text-paths": ("text_paths",
+                           lambda: text_paths_stress(spark, args.reps)),
             "format-scan": (
                 "format_scan",
                 lambda: format_scan_stress(spark, tmp, args.reps),
