@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "warc_html_text_stats",
     "warc_revisit_dedup",
     "audio_id3v22_metadata",
+    "multimodal_webp_lossy_features",
 ]
 
 # Registered queries deliberately NOT in the bench suite: basic

@@ -832,8 +832,10 @@ def parse_webp_metadata(payload: bytes) -> dict:
 
 def decode_webp(payload: bytes) -> np.ndarray:
     """Decode a WebP payload: VP8L (incl. the VP8L frame inside a
-    non-animated VP8X) decodes fully; lossy VP8 bitstream decode is a
-    declared refusal (parse_webp_metadata covers curation needs)."""
+    non-animated VP8X) decodes fully; lossy VP8 key frames decode via
+    the RFC 6386 implementation in ``operators/vp8`` (round 14 — the
+    refusal is lifted; see that module's docstring for the validation
+    level of its trained probability tables)."""
     chunks = _chunks(bytes(payload))
     by_kind = {}
     for f, s, e in chunks:
@@ -842,11 +844,14 @@ def decode_webp(payload: bytes) -> np.ndarray:
         s, e = by_kind[b"VP8L"]
         return decode_vp8l(bytes(payload[s:e]))
     if b"VP8 " in by_kind:
-        raise NotImplementedError(
-            "lossy VP8 bitstream decode is out of scope (boolean "
-            "arithmetic coder + loop filter DSP); parse_webp_metadata "
-            "extracts dimensions and probe_media classifies the payload"
+        from evolution_spark.operators.vp8 import (
+            decode_vp8_frame,
+            yuv420_to_rgb,
         )
+
+        s, e = by_kind[b"VP8 "]
+        f = decode_vp8_frame(bytes(payload[s:e]))
+        return yuv420_to_rgb(f["y"], f["u"], f["v"])
     raise ValueError("WebP payload has no image chunk")
 
 
@@ -854,6 +859,25 @@ def encode_webp(img: np.ndarray, use_backrefs: bool = False) -> bytes:
     """RGB(A) uint8 -> a complete lossless WebP file (RIFF + VP8L)."""
     body = encode_vp8l(img, use_backrefs=use_backrefs)
     chunk = b"VP8L" + len(body).to_bytes(4, "little") + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return (b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP"
+            + chunk)
+
+
+def encode_webp_lossy(img: np.ndarray, qi: int = 40,
+                      filter_level: int = 0, filter_type: int = 0,
+                      sharpness: int = 0,
+                      bpred_bias: float = 5.0) -> bytes:
+    """RGB uint8 -> a complete LOSSY WebP file (RIFF + VP8 key frame)
+    through the real RFC 6386 encoder in ``operators/vp8``."""
+    from evolution_spark.operators.vp8 import encode_vp8_frame
+
+    body, _ = encode_vp8_frame(img, qi=qi, filter_level=filter_level,
+                               filter_type=filter_type,
+                               sharpness=sharpness,
+                               bpred_bias=bpred_bias)
+    chunk = b"VP8 " + len(body).to_bytes(4, "little") + body
     if len(body) & 1:
         chunk += b"\x00"
     return (b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP"

@@ -1,0 +1,205 @@
+"""Lossy VP8 key-frame codec (operators/vp8.py): boolean coder
+identities, transforms, predictors, bit-exact encode/decode round
+trips across the quantizer/filter matrix, container integration, and
+the mutation-fuzz error contract."""
+import time
+
+import numpy as np
+import pytest
+
+from evolution_spark.operators.vp8 import (
+    AC_QLOOKUP,
+    DC_QLOOKUP,
+    BoolDecoder,
+    BoolEncoder,
+    COEF_BANDS,
+    ZIGZAG,
+    decode_vp8_frame,
+    encode_vp8_frame,
+    fdct4x4,
+    fwht4x4,
+    idct4x4,
+    iwht4x4,
+    rgb_to_yuv420,
+    yuv420_to_rgb,
+    _lf_limits,
+    _pad_plane,
+    _pred_b,
+    _quant_factors,
+)
+
+rng = np.random.default_rng(14)
+
+
+def _img(h, w, kind):
+    yy, xx = np.mgrid[0:h, 0:w]
+    if kind == "flat":
+        return np.full((h, w, 3), 120, dtype=np.uint8)
+    if kind == "grad":
+        return np.stack(
+            [(xx * 2) % 256, (yy * 3) % 256, (xx - yy) % 256], -1
+        ).astype(np.uint8)
+    if kind == "noise":
+        return rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    img = np.stack([(xx * 5) % 256] * 3, -1).astype(np.uint8)
+    img[h // 3: 2 * h // 3] = 30
+    return img
+
+
+def test_bool_coder_roundtrip():
+    r = np.random.default_rng(7)
+    for _ in range(30):
+        n = int(r.integers(1, 300))
+        bits = [(int(r.integers(0, 2)), int(r.integers(1, 255)))
+                for _ in range(n)]
+        enc = BoolEncoder()
+        for b, p in bits:
+            enc.encode(b, p)
+        dec = BoolDecoder(enc.done())
+        assert [dec.decode(p) for _, p in bits] == [b for b, _ in bits]
+        assert not dec.overrun
+    enc = BoolEncoder()
+    enc.literal(0xAB, 8)
+    enc.signed(-13, 5)
+    dec = BoolDecoder(enc.done())
+    assert dec.literal(8) == 0xAB and dec.signed(5) == -13
+
+
+def test_tables_and_limits():
+    assert len(DC_QLOOKUP) == len(AC_QLOOKUP) == 128
+    assert all(DC_QLOOKUP[i] <= DC_QLOOKUP[i + 1] for i in range(127))
+    assert all(AC_QLOOKUP[i] <= AC_QLOOKUP[i + 1] for i in range(127))
+    assert sorted(ZIGZAG) == list(range(16)) and len(COEF_BANDS) == 16
+    q = _quant_factors(0, {})
+    assert q["y1dc"] == 4 and q["y2ac"] == 8  # the y2ac floor
+    q = _quant_factors(127, {"uvdc": 0})
+    assert q["uvdc"] == 132  # the chroma-DC cap
+    i, h, e_mb, e_sub = _lf_limits(40, 0)
+    assert h == 2 and e_mb == (42 * 2) + 40 and e_sub == 80 + 40
+    i, h, _, _ = _lf_limits(40, 7)
+    assert i == min(max(1, 40 >> 2), 2)  # sharpness cap 9-7
+
+
+def test_transform_inverses():
+    r = np.random.default_rng(3)
+    for _ in range(100):
+        x = r.integers(-90, 90, (4, 4))
+        assert np.abs(idct4x4(fdct4x4(x)) - x).max() <= 1
+        y = r.integers(-600, 600, (4, 4))
+        assert np.abs(iwht4x4(fwht4x4(y)) - y).max() <= 1
+    dc = np.zeros((4, 4), dtype=int)
+    dc[0, 0] = 17
+    assert (idct4x4(dc) == (17 + 4) >> 3).all()
+
+
+def test_bpred_edge_semantics():
+    buf = _pad_plane(16, 16)
+    buf[1:, 1:17] = 77
+    # B_HU bottom rows replicate L[3]
+    out = _pred_b(buf, 9, 9, 9, None)  # B_HU
+    assert (out[3] == buf[12, 8]).all()
+    # the 127 above-border / 129 left-border feed the first MB
+    out = _pred_b(_pad_plane(16, 16), 1, 1, 0, None)  # B_DC at origin
+    assert (out == (127 * 4 + 129 * 4 + 4) >> 3).all()
+
+
+@pytest.mark.parametrize("kind", ["flat", "grad", "noise", "bands"])
+def test_roundtrip_bit_exact(kind):
+    for qi, fl, ft, sh, h, w in (
+        (10, 0, 0, 0, 16, 16),
+        (40, 20, 0, 0, 33, 49),
+        (80, 40, 0, 3, 48, 64),
+        (120, 63, 0, 7, 32, 32),
+        (40, 25, 1, 0, 48, 48),   # simple filter
+    ):
+        img = _img(h, w, kind)
+        data, exp = encode_vp8_frame(img, qi=qi, filter_level=fl,
+                                     filter_type=ft, sharpness=sh)
+        got = decode_vp8_frame(data)
+        for p in "yuv":
+            assert np.array_equal(got[p], exp[p]), (kind, qi, fl, ft,
+                                                    sh, p)
+        assert (got["width"], got["height"]) == (w, h)
+
+
+def test_quality_and_yuv():
+    img = _img(48, 64, "grad")
+    data, _ = encode_vp8_frame(img, qi=20)
+    got = decode_vp8_frame(data)
+    ys, us, vs = rgb_to_yuv420(img)
+    mse = float(((got["y"].astype(float) - ys.astype(float)) ** 2)
+                .mean())
+    psnr = 10 * np.log10(255 ** 2 / mse)
+    assert psnr > 35, psnr
+    # lower qi -> smaller quantizers -> at least as good
+    data2, _ = encode_vp8_frame(img, qi=100)
+    assert len(data2) <= len(data)
+    rgb = yuv420_to_rgb(got["y"], got["u"], got["v"])
+    assert rgb.shape == img.shape and rgb.dtype == np.uint8
+
+
+def test_container_and_decode_media():
+    from evolution_spark.operators.multimodal import (
+        decode_media,
+        probe_one_payload,
+    )
+    from evolution_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossy,
+    )
+
+    img = _img(32, 48, "grad")
+    p = encode_webp_lossy(img, qi=30, filter_level=20)
+    assert probe_one_payload(p)[:5] == ("webp", "image", "vp8", 48, 32)
+    out = decode_webp(p)
+    assert out.shape == (32, 48, 3)
+    flat = decode_media(p, "image", fake=False)
+    assert flat.size == 32 * 48 * 3
+    # lossy-but-close: container round trip stays within coarse bounds
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 20
+
+
+def test_interframe_and_garbage_refuse():
+    img = _img(16, 16, "flat")
+    data, _ = encode_vp8_frame(img)
+    d = bytearray(data)
+    d[0] |= 1  # interframe bit
+    with pytest.raises(ValueError, match="interframe"):
+        decode_vp8_frame(bytes(d))
+    d = bytearray(data)
+    d[3] = 0  # start code
+    with pytest.raises(ValueError, match="start code"):
+        decode_vp8_frame(bytes(d))
+    with pytest.raises(ValueError):
+        decode_vp8_frame(b"")
+    with pytest.raises(ValueError, match="implausible|dimensions"):
+        # 0-width frame (valid tag + start code, zero width field)
+        decode_vp8_frame(bytes(data[:6]) + b"\x00\x00\x10\x00"
+                         + bytes(32))
+
+
+def test_mutation_fuzz_error_contract():
+    """Any corruption either still decodes to SOME frame (arithmetic
+    bits are self-delimiting) or raises ValueError — never another
+    exception type, never > 2 s."""
+    img = _img(32, 32, "bands")
+    base, _ = encode_vp8_frame(img, qi=60, filter_level=15)
+    r = np.random.default_rng(1)
+    for trial in range(150):
+        p = bytearray(base)
+        op = trial % 3
+        if op == 0:
+            for _ in range(int(r.integers(1, 6))):
+                p[int(r.integers(0, len(p)))] ^= 1 << int(
+                    r.integers(0, 8))
+        elif op == 1:
+            p = p[: int(r.integers(4, len(p)))]
+        else:
+            i = int(r.integers(0, len(p)))
+            p = p[:i] + bytes(int(r.integers(1, 12))) + p[i:]
+        t0 = time.monotonic()
+        try:
+            decode_vp8_frame(bytes(p))
+        except ValueError:
+            pass
+        assert time.monotonic() - t0 < 2.0

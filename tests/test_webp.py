@@ -390,7 +390,10 @@ def test_dispatch_probe_and_decode_media():
     lossy = build_webp_lossy(64, 48)
     assert probe_one_payload(lossy)[:5] == ("webp", "image", "vp8",
                                             64, 48)
-    with pytest.raises(NotImplementedError, match="parse_webp_metadata"):
+    # round 14: the lossy refusal is lifted — the metadata-only
+    # fixture (filler coefficients) now fails as CORRUPT, while a
+    # real encoder-produced lossy payload decodes (tests/test_vp8.py)
+    with pytest.raises(ValueError):
         decode_webp(lossy)
     anim = build_webp_animation([(8, 8, 25)] * 3)
     got = probe_one_payload(anim)
