@@ -732,10 +732,11 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     mode (baseline SOF0, extended sequential
     SOF1, progressive SOF2, arithmetic SOF9/SOF10/SOF11 via the T.81
     Annex D QM-coder, lossless SOF3 via Annex H prediction,
-    hierarchical DHP/SOF5/SOF7 pyramids), WebP both flavors (VP8L per
-    RFC 9649; lossy VP8 key frames per RFC 6386 — round 14, see
-    operators/vp8.py for the validation level), 16-bit PCM WAV, and
-    FLAC (pure-numpy
+    hierarchical DHP/SOF5/SOF7 pyramids), lossless WebP (VP8L, RFC
+    9649; a full lossy-VP8 key-frame decoder also exists in
+    operators/vp8.py but this arbitrary-bytes dispatch keeps refusing
+    it until its trained tables are conformance-verified — round 14,
+    see decode_webp's docstring), 16-bit PCM WAV, and FLAC (pure-numpy
     decoders dispatched on magic bytes; ``decode_jpeg`` routes on the
     SOF marker). ``fake=True`` forces the deterministic fake decoder
     regardless of format (the test/CI path). Remaining gaps
@@ -1476,7 +1477,11 @@ def decode_image_array(payload: bytes) -> np.ndarray:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from evolution_spark.operators.webp import decode_webp
 
-        arr = decode_webp(payload)  # VP8L and lossy VP8 both real
+        # VP8L decodes; lossy VP8 stays refused HERE by default —
+        # the RFC 6386 decoder exists (operators/vp8) but its trained
+        # tables await external conformance vectors, and this dispatch
+        # feeds arbitrary scraped bytes (decode_webp's docstring)
+        arr = decode_webp(payload)
         if arr.shape[-1] == 4:
             return arr[..., :3]
         return arr

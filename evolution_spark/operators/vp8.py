@@ -769,8 +769,9 @@ def decode_vp8_frame(data: bytes, apply_filter: bool = True):
     tag = data[0] | (data[1] << 8) | (data[2] << 16)
     if tag & 1:
         raise ValueError(
-            "VP8 interframe: only key (intra) frames decode — WebP "
-            "stills and animation key frames are all key frames"
+            "VP8 interframe: only key (intra) frames decode — a WebP "
+            "STILL is always a key frame (animated lossy WebP frames "
+            "remain a refusal in decode_webp_animation)"
         )
     version = (tag >> 1) & 7
     if version > 3:
@@ -780,8 +781,16 @@ def decode_vp8_frame(data: bytes, apply_filter: bool = True):
         raise ValueError("VP8 key frame start code missing")
     width = (data[6] | (data[7] << 8)) & 0x3FFF
     height = (data[8] | (data[9] << 8)) & 0x3FFF
-    if not width or not height or width * height > (1 << 24):
+    if not width or not height:
         raise ValueError(f"implausible VP8 dimensions {width}x{height}")
+    if width * height > (1 << 26):
+        # deliberate resource bound, not a spec limit: this is a
+        # bit-serial Python decoder (~3.7 s per raw MB), so a 268 MP
+        # spec-max frame would hold a task for tens of minutes
+        raise ValueError(
+            f"VP8 frame {width}x{height} exceeds the decoder's 64 MP "
+            "resource bound (bit-serial Python decode)"
+        )
     if 10 + part1_size > len(data):
         raise ValueError("VP8 first partition overruns the frame")
     bd = BoolDecoder(data[10: 10 + part1_size])
@@ -1041,6 +1050,13 @@ def decode_vp8_frame(data: bytes, apply_filter: bool = True):
     if bd.overrun:
         raise ValueError("VP8 first partition truncated")
 
+    # RFC 6386 §9.2: the version field overrides the loop filter —
+    # version 1 forces the simple filter, versions 2/3 disable the
+    # loop filter entirely regardless of the header fields
+    if version >= 2:
+        apply_filter = False
+    elif version == 1:
+        filter_type = 1
     if filter_level and apply_filter:
         _loop_filter_frame(Y, U, V, mb_info, filter_type, sharpness,
                            mb_w, mb_h)

@@ -830,12 +830,21 @@ def parse_webp_metadata(payload: bytes) -> dict:
     return meta
 
 
-def decode_webp(payload: bytes) -> np.ndarray:
-    """Decode a WebP payload: VP8L (incl. the VP8L frame inside a
-    non-animated VP8X) decodes fully; lossy VP8 key frames decode via
-    the RFC 6386 implementation in ``operators/vp8`` (round 14 — the
-    refusal is lifted; see that module's docstring for the validation
-    level of its trained probability tables)."""
+def decode_webp(payload: bytes, vp8: str = "refuse") -> np.ndarray:
+    """Decode a WebP payload. VP8L (incl. the VP8L frame inside a
+    non-animated VP8X) decodes fully and unconditionally.
+
+    Lossy VP8 key frames (round 14): a complete RFC 6386 decoder
+    exists in ``operators/vp8``, but its large TRAINED probability
+    tables are transcribed without conformance vectors (no reference
+    decoder exists in this offline environment), and a wrong entry
+    desyncs the arithmetic decode of an EXTERNALLY-encoded stream into
+    silently wrong pixels — violating this repo's refuse-over-
+    misdecode contract. So the DEFAULT here still refuses lossy VP8;
+    pass ``vp8="roundtrip"`` to decode streams whose provenance is
+    this repo's own ``encode_webp_lossy`` / ``encode_vp8_frame``
+    (bit-exact, 240-configuration round-trip matrix) or any stream
+    after the tables have been conformance-spot-checked."""
     chunks = _chunks(bytes(payload))
     by_kind = {}
     for f, s, e in chunks:
@@ -844,6 +853,16 @@ def decode_webp(payload: bytes) -> np.ndarray:
         s, e = by_kind[b"VP8L"]
         return decode_vp8l(bytes(payload[s:e]))
     if b"VP8 " in by_kind:
+        if vp8 != "roundtrip":
+            raise NotImplementedError(
+                "lossy VP8 decode is implemented (operators/vp8, RFC "
+                "6386) but its trained probability tables are not yet "
+                "conformance-verified against external encoders — "
+                "decode_webp(payload, vp8='roundtrip') opts in for "
+                "streams produced by this repo's own encoder; "
+                "parse_webp_metadata/probe_media stay the default "
+                "curation path"
+            )
         from evolution_spark.operators.vp8 import (
             decode_vp8_frame,
             yuv420_to_rgb,
@@ -855,14 +874,20 @@ def decode_webp(payload: bytes) -> np.ndarray:
     raise ValueError("WebP payload has no image chunk")
 
 
-def encode_webp(img: np.ndarray, use_backrefs: bool = False) -> bytes:
-    """RGB(A) uint8 -> a complete lossless WebP file (RIFF + VP8L)."""
-    body = encode_vp8l(img, use_backrefs=use_backrefs)
-    chunk = b"VP8L" + len(body).to_bytes(4, "little") + body
+def _riff_webp(fourcc: bytes, body: bytes) -> bytes:
+    """Wrap one chunk as a complete RIFF/WEBP file (odd-size pad per
+    the RIFF rule) — the single framing helper for both encoders."""
+    chunk = fourcc + len(body).to_bytes(4, "little") + body
     if len(body) & 1:
         chunk += b"\x00"
     return (b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP"
             + chunk)
+
+
+def encode_webp(img: np.ndarray, use_backrefs: bool = False) -> bytes:
+    """RGB(A) uint8 -> a complete lossless WebP file (RIFF + VP8L)."""
+    return _riff_webp(b"VP8L", encode_vp8l(img,
+                                           use_backrefs=use_backrefs))
 
 
 def encode_webp_lossy(img: np.ndarray, qi: int = 40,
@@ -877,11 +902,7 @@ def encode_webp_lossy(img: np.ndarray, qi: int = 40,
                                filter_type=filter_type,
                                sharpness=sharpness,
                                bpred_bias=bpred_bias)
-    chunk = b"VP8 " + len(body).to_bytes(4, "little") + body
-    if len(body) & 1:
-        chunk += b"\x00"
-    return (b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP"
-            + chunk)
+    return _riff_webp(b"VP8 ", body)
 
 
 def build_webp_lossy(width: int, height: int, n_bytes: int = 64) -> bytes:
@@ -893,11 +914,7 @@ def build_webp_lossy(width: int, height: int, n_bytes: int = 64) -> bytes:
     hdr = tag + b"\x9d\x01\x2a" + width.to_bytes(2, "little") \
         + height.to_bytes(2, "little")
     body = hdr + bytes((i * 37) & 0xFF for i in range(n_bytes))
-    chunk = b"VP8 " + len(body).to_bytes(4, "little") + body
-    if len(body) & 1:
-        chunk += b"\x00"
-    return (b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP"
-            + chunk)
+    return _riff_webp(b"VP8 ", body)
 
 
 def build_webp_animation(frames: list, canvas: tuple[int, int] = (64, 64),

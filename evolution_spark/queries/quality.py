@@ -3264,8 +3264,7 @@ def multimodal_webp_lossy_features(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    from evolution_spark.operators.multimodal import decode_media
-    from evolution_spark.operators.webp import encode_webp_lossy
+    from evolution_spark.operators.webp import decode_webp, encode_webp_lossy
 
     d = table(spark, sf_dir, "documents").select("doc_id").where(
         F.col("doc_id") < 30
@@ -3285,7 +3284,11 @@ def multimodal_webp_lossy_features(spark, sf_dir):
                 payload = encode_webp_lossy(
                     np.stack([img] * 3, -1), qi=0, filter_level=0,
                     bpred_bias=1e9)
-                flat = decode_media(payload, "image")
+                # provenance is our own encoder -> the round-trip
+                # opt-in is exactly the verified case (decode_webp
+                # docstring); the default dispatch keeps refusing
+                # arbitrary scraped lossy bytes
+                flat = decode_webp(payload, vp8="roundtrip")
                 s = int(np.sum(flat.astype(np.int64)))
                 rows.append((i, 64, 48, s, s / flat.size))
             yield pd.DataFrame(

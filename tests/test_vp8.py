@@ -151,10 +151,14 @@ def test_container_and_decode_media():
     img = _img(32, 48, "grad")
     p = encode_webp_lossy(img, qi=30, filter_level=20)
     assert probe_one_payload(p)[:5] == ("webp", "image", "vp8", 48, 32)
-    out = decode_webp(p)
+    # default dispatches REFUSE (tables unverified against external
+    # encoders); the explicit round-trip opt-in decodes
+    with pytest.raises(NotImplementedError, match="roundtrip"):
+        decode_webp(p)
+    with pytest.raises(NotImplementedError):
+        decode_media(p, "image", fake=False)
+    out = decode_webp(p, vp8="roundtrip")
     assert out.shape == (32, 48, 3)
-    flat = decode_media(p, "image", fake=False)
-    assert flat.size == 32 * 48 * 3
     # lossy-but-close: container round trip stays within coarse bounds
     assert np.abs(out.astype(int) - img.astype(int)).mean() < 20
 
@@ -162,6 +166,14 @@ def test_container_and_decode_media():
 def test_interframe_and_garbage_refuse():
     img = _img(16, 16, "flat")
     data, _ = encode_vp8_frame(img)
+    # version 2/3 disable the loop filter regardless of header fields
+    img2 = _img(32, 32, "grad")
+    fdata, fexp = encode_vp8_frame(img2, qi=40, filter_level=30)
+    v2 = bytearray(fdata)
+    v2[0] = (v2[0] & ~0x0E) | (2 << 1)   # set version=2
+    unfiltered = decode_vp8_frame(bytes(v2))
+    nofilt = decode_vp8_frame(fdata, apply_filter=False)
+    assert np.array_equal(unfiltered["y"], nofilt["y"])
     d = bytearray(data)
     d[0] |= 1  # interframe bit
     with pytest.raises(ValueError, match="interframe"):

@@ -390,11 +390,17 @@ def test_dispatch_probe_and_decode_media():
     lossy = build_webp_lossy(64, 48)
     assert probe_one_payload(lossy)[:5] == ("webp", "image", "vp8",
                                             64, 48)
-    # round 14: the lossy refusal is lifted — the metadata-only
-    # fixture (filler coefficients) now fails as CORRUPT, while a
-    # real encoder-produced lossy payload decodes (tests/test_vp8.py)
-    with pytest.raises(ValueError):
+    # round 14: a full RFC 6386 decoder exists, but the DEFAULT
+    # dispatch still refuses lossy VP8 (trained tables await external
+    # conformance vectors — refuse-over-misdecode); the opt-in path
+    # honors the fuzz contract (some frame, or ValueError)
+    with pytest.raises(NotImplementedError, match="roundtrip"):
         decode_webp(lossy)
+    try:
+        out = decode_webp(lossy, vp8="roundtrip")
+        assert out.ndim == 3
+    except ValueError:
+        pass
     anim = build_webp_animation([(8, 8, 25)] * 3)
     got = probe_one_payload(anim)
     assert got[2] == "vp8x_anim" and got[5] == 75_000
