@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "warc_revisit_dedup",
     "audio_id3v22_metadata",
     "multimodal_webp_lossy_features",
+    "crawl_html_pipeline",
 ]
 
 # Registered queries deliberately NOT in the bench suite: basic

@@ -838,3 +838,104 @@ def warc_revisit_dedup(spark, sf_dir):
 
     df = read_warc(spark, paths, records_per_partition=8)
     return collapse_revisits(df)
+
+
+@query(
+    "crawl_html_pipeline",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 24),
+    p AS (
+      SELECT i, i % 12 AS k,
+             CASE (i % 12) % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                  WHEN 2 THEN 'es' ELSE 'da' END AS lang
+      FROM ids
+    )
+    SELECT lang AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(CASE WHEN i < 12 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_canonical,
+           MIN('Doc ' || lpad(CAST(k AS VARCHAR), 2, '0'))
+             AS first_title
+    FROM p GROUP BY lang
+    """,
+)
+def crawl_html_pipeline(spark, sf_dir):
+    """The COMPLETE crawl-curation story in one plan (round 14 — every
+    stage is the production operator, chained): ``.warc.gz`` fixtures
+    -> ``read_warc`` (member index, range-read, HTTP strip) ->
+    ``warc_html_documents`` (charset sniff, block tokenizer, WSDM-2010
+    boilerplate rules; nav/footer dropped, the one content paragraph
+    kept) -> ``classify_language`` (broadcast trigram profiles, zero
+    UDFs) -> ``dedup_exact`` (128-bit fingerprint, min-uri canonical).
+    24 pages carry langid seed sentences in 4 languages, each page
+    body duplicated once at a different URL (k = i mod 12), so the
+    oracle recomputes per-language page counts, canonical (first-URL)
+    counts, and the lexicographic-min title closed-form. A wrong
+    charset decode, a boilerplate rule regression (nav text would
+    poison the trigram profile), a misclassification, or a dedup
+    fingerprint slip shifts a group and fails the hash.
+
+    Scale shape: text moves ONCE (the WARC record repartition);
+    extraction is partition-preserving; langid ships <= 20 (uri,
+    lang) rows per doc (measured, BASELINE v5.2); dedup shuffles
+    16-byte fingerprints + uris only. Ref parity: extension surface."""
+    import os
+
+    from evolution_spark.functions.langid import SEED_TEXTS, \
+        classify_language
+    from evolution_spark.io.warc import build_warc_record, write_warc_gz
+    from evolution_spark.operators.dedup import dedup_exact
+    from evolution_spark.operators.html import warc_html_documents
+    from evolution_spark.queries.base import query_tmp
+
+    langs = ["en", "de", "es", "da"]
+    tmp = query_tmp("crawlpipe", sf_dir)
+    os.makedirs(tmp, exist_ok=True)
+    paths = []
+    for fk in range(2):
+        recs = []
+        for j in range(12):
+            i = fk * 12 + j
+            k = i % 12
+            lang = langs[k % 4]
+            # k-specific tail token: pages k and k+12 are EXACT
+            # duplicates, but the three k's of one language are not
+            para = " ".join([SEED_TEXTS[lang]] * 4) + f" page{k:02d}"
+            doc = (
+                '<html><head><meta charset="utf-8">'
+                f"<title>Doc {k:02d}</title></head><body>"
+                '<nav><a href="/">home</a> <a href="/a">about us</a>'
+                ' <a href="/c">contact</a></nav>'
+                f"<p>{para}</p>"
+                "<footer><a>terms of use</a> <a>privacy policy</a>"
+                "</footer></body></html>"
+            )
+            payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+                       b"\r\n\r\n" + doc.encode("utf-8"))
+            recs.append(build_warc_record(
+                "response", f"http://c.example.com/{i:02d}",
+                "2026-01-01T00:00:00Z", payload, f"<urn:uuid:c-{i}>",
+                content_type="application/http; msgtype=response"))
+        p = os.path.join(tmp, f"crawl-{fk}.warc.gz")
+        write_warc_gz(p, recs)
+        paths.append(p)
+    docs = warc_html_documents(spark, paths, records_per_partition=8)
+    langd = classify_language(docs.select("uri", "text"),
+                              text_col="text", id_col="uri")
+    kept = (
+        dedup_exact(docs.select("uri", "text"), "text", "uri")
+        .select("uri")
+        .withColumn("is_canonical", F.lit(1))
+    )
+    return (
+        docs.select("uri", "title")
+        .join(langd, "uri")
+        .join(kept, "uri", "left")
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.coalesce(F.col("is_canonical"), F.lit(0)))
+            .cast("bigint").alias("n_canonical"),
+            F.min("title").alias("first_title"),
+        )
+    )
