@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "audio_id3v22_metadata",
     "multimodal_webp_lossy_features",
     "crawl_html_pipeline",
+    "warc_link_graph",
 ]
 
 # Registered queries deliberately NOT in the bench suite: basic

@@ -371,3 +371,105 @@ def warc_html_documents(spark, paths, main_content: bool = True,
         "record_id", "uri", "date", "charset", "title", "text",
         "n_blocks", "n_content_blocks", "n_bytes",
     )
+
+
+_HREF = re.compile(
+    r"""href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE)
+
+
+def extract_links(text_or_bytes, content_type: str | None = None):
+    """Collect the href targets of ``<a>`` elements, in document
+    order (entities resolved, surrounding whitespace stripped). Same
+    scanning discipline as :func:`parse_blocks` — comments, CDATA,
+    doctype/PI and raw-text element bodies (a ``<a href`` inside a
+    script string is NOT a link) are skipped, quoted attribute values
+    may contain ``>``. Total: malformed markup yields a (possibly
+    empty) list, never an exception."""
+    if isinstance(text_or_bytes, (bytes, bytearray, memoryview)):
+        text, _ = decode_html(bytes(text_or_bytes), content_type)
+    else:
+        text = text_or_bytes
+    links: list[str] = []
+    n = len(text)
+    pos = 0
+    while pos < n:
+        lt = text.find("<", pos)
+        if lt < 0:
+            break
+        if text.startswith("<!--", lt):
+            end = text.find("-->", lt + 4)
+            pos = n if end < 0 else end + 3
+            continue
+        if text.startswith("<![CDATA[", lt):
+            end = text.find("]]>", lt + 9)
+            pos = n if end < 0 else end + 3
+            continue
+        if text.startswith("<!", lt) or text.startswith("<?", lt):
+            end = text.find(">", lt)
+            pos = n if end < 0 else end + 1
+            continue
+        close = text.startswith("</", lt)
+        m = _TAG_NAME.match(text, lt + (2 if close else 1))
+        if not m:
+            pos = lt + 1
+            continue
+        name = m.group(0).lower()
+        i = m.end()
+        while i < n:
+            c = text[i]
+            if c in "\"'":
+                q = text.find(c, i + 1)
+                i = n if q < 0 else q + 1
+                continue
+            if c == ">":
+                break
+            i += 1
+        attr_span = text[m.end(): i]
+        pos = n if i >= n else i + 1
+        if close:
+            continue
+        if name == "a":
+            hm = _HREF.search(attr_span)
+            if hm:
+                raw = hm.group(2) or hm.group(3) or hm.group(4) or ""
+                href = _htmllib.unescape(raw).strip()
+                if href:
+                    links.append(href)
+        elif name in _RAW_TEXT or name == "title":
+            pos = _find_raw_end(text, pos, name)
+    return links
+
+
+def extract_html_links(
+    df: DataFrame,
+    payload_col: str = "payload",
+    content_type_col: str | None = "content_type",
+    uri_col: str = "uri",
+) -> DataFrame:
+    """Spark operator: explode each HTML payload into (src_uri, href,
+    link_pos) edge rows — the raw material of a crawl's link graph
+    (frontier expansion, in-degree quality signals, PageRank).
+    Partition-preserving mapInPandas: page bytes never shuffle, only
+    the edge rows (two strings + an int) leave the scan stage."""
+    import pandas as pd
+
+    has_ct = content_type_col is not None and \
+        content_type_col in df.columns
+
+    def _links(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            cts = pdf[content_type_col] if has_ct else None
+            for j, payload in enumerate(pdf[payload_col]):
+                if payload is None:
+                    continue
+                uri = pdf[uri_col].iloc[j]
+                ct = cts.iloc[j] if cts is not None else None
+                for k, href in enumerate(extract_links(payload, ct)):
+                    rows.append((uri, href, k))
+            yield pd.DataFrame(
+                rows, columns=["src_uri", "href", "link_pos"])
+
+    return df.mapInPandas(
+        _links, "src_uri string, href string, link_pos int")

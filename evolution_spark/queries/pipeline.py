@@ -939,3 +939,94 @@ def crawl_html_pipeline(spark, sf_dir):
             F.min("title").alias("first_title"),
         )
     )
+
+
+@query(
+    "warc_link_graph",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 20),
+    e AS (
+      SELECT i AS src, (i + j.v * 7) % 20 AS dst
+      FROM ids CROSS JOIN (SELECT UNNEST(range(1, 4)) AS v) j
+      WHERE j.v < 2 + i % 3
+    )
+    SELECT dst AS page,
+           CAST(COUNT(*) AS BIGINT) AS in_degree,
+           CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources,
+           CAST(MIN(src) AS BIGINT) AS min_source
+    FROM e GROUP BY dst
+    """,
+)
+def warc_link_graph(spark, sf_dir):
+    """Crawl link-graph extraction end-to-end (round 14 — the OTHER
+    half of the HTML bridge: out-links feed frontier expansion,
+    in-degree quality signals, and PageRank): 20 fixture pages carry
+    a varying number of internal ``<a href>`` links ((i + 7j) mod 20
+    for j = 1..1+i%3), an external-domain link on every fifth page
+    (must be FILTERED by the internal-link predicate), and a
+    ``<script>`` body containing a decoy ``<a href="/page99">`` (the
+    raw-text skip rule — a scanner that reads script bodies as markup
+    shifts every count). ``extract_html_links`` explodes pages into
+    (src, href, pos) rows; the in-degree aggregate is recomputed
+    closed-form by DuckDB.
+
+    Scale shape: link extraction is partition-preserving (page bytes
+    never shuffle; only (uri, href, int) rows leave the scan); the
+    in-degree aggregate reduces map-side. Ref parity: extension
+    surface."""
+    import os
+
+    from evolution_spark.io.warc import build_warc_record, write_warc_gz
+    from evolution_spark.operators.html import extract_html_links
+    from evolution_spark.io.warc import read_warc
+    from evolution_spark.queries.base import query_tmp
+
+    tmp = query_tmp("warclinks", sf_dir)
+    os.makedirs(tmp, exist_ok=True)
+    paths = []
+    for fk in range(2):
+        recs = []
+        for j in range(10):
+            i = fk * 10 + j
+            links = "".join(
+                f'<a href="/page{(i + v * 7) % 20:02d}">l{v}</a> '
+                for v in range(1, 2 + i % 3)
+            )
+            ext = (f'<a href="https://ext.example.org/{i}">ext</a>'
+                   if i % 5 == 0 else "")
+            doc = (
+                f"<html><head><title>P{i}</title>"
+                "<script>var decoy = '<a href=\"/page99\">';</script>"
+                f"</head><body><p>{links}{ext}</p></body></html>"
+            )
+            payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+                       b"\r\n\r\n" + doc.encode())
+            recs.append(build_warc_record(
+                "response", f"http://g.example.com/{i:02d}",
+                "2026-01-01T00:00:00Z", payload, f"<urn:uuid:g-{i}>",
+                content_type="application/http; msgtype=response"))
+        p = os.path.join(tmp, f"crawl-{fk}.warc.gz")
+        write_warc_gz(p, recs)
+        paths.append(p)
+    recs_df = read_warc(spark, paths, records_per_partition=8)
+    pages = recs_df.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").contains("text/html")
+    )
+    edges = extract_html_links(pages)
+    internal = edges.where(F.col("href").rlike(r"^/page\d{2}$"))
+    return (
+        internal.select(
+            F.regexp_extract("src_uri", r"/(\d+)$", 1)
+            .cast("bigint").alias("src"),
+            F.regexp_extract("href", r"^/page(\d+)$", 1)
+            .cast("bigint").alias("page"),
+        )
+        .groupBy("page")
+        .agg(
+            F.count(F.lit(1)).alias("in_degree"),
+            F.countDistinct("src").alias("n_sources"),
+            F.min("src").alias("min_source"),
+        )
+    )

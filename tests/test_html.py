@@ -208,3 +208,39 @@ def test_spark_operator_and_warc_bridge(spark, tmp_path):
         [(1, None)], "id long, payload binary")
     out = extract_html_text(df, content_type_col=None).collect()[0]
     assert out.text is None and out.n_blocks is None
+
+
+def test_extract_links():
+    from evolution_spark.operators.html import extract_links
+
+    html = (
+        '<a href="/a">x</a>'
+        "<script>var s = '<a href=\"/script-decoy\">'</script>"
+        "<a href='/b?q=1&amp;r=2'>y</a><!-- <a href=/comment> -->"
+        "<A HREF=bare>z</A><a name=anchor>no href</a>"
+        '<div data-x="a > b"><a href="/after-attr-gt">k</a></div>'
+        '<a href="">empty dropped</a><a href=" /sp ">stripped</a>'
+        "<![CDATA[<a href=/cdata>]]>"
+    )
+    assert extract_links(html) == [
+        "/a", "/b?q=1&r=2", "bare", "/after-attr-gt", "/sp"]
+    # bytes input goes through the charset-sniffed total decode
+    assert extract_links(b"<a href='/u'>\xff</a>") == ["/u"]
+    # malformed: total, never raises
+    for s in (b"<a href", b"<a href='unterminated", b"<", b""):
+        assert isinstance(extract_links(s), list)
+
+
+def test_extract_html_links_spark(spark):
+    from evolution_spark.operators.html import extract_html_links
+
+    rows = [
+        ("http://h/0", b'<a href="/x">a</a><a href="/y">b</a>', "text/html"),
+        ("http://h/1", b"<script><a href='/no'></script>", "text/html"),
+        ("http://h/2", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "uri string, payload binary, content_type string")
+    got = extract_html_links(df).orderBy("src_uri", "link_pos").collect()
+    assert [(r.src_uri, r.href, r.link_pos) for r in got] == [
+        ("http://h/0", "/x", 0), ("http://h/0", "/y", 1)]
