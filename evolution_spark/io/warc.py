@@ -131,13 +131,18 @@ def parse_warc_record(block: bytes, file: str = "", offset: int = 0):
     if hdr_end < 0:
         raise ValueError("WARC header block unterminated")
     headers = {}
+    last_key = None
     for line in block[nl + 2: hdr_end].split(b"\r\n"):
+        if line[:1] in (b" ", b"\t") and last_key is not None:
+            # RFC2822-style folded (continuation) line — valid WARC
+            headers[last_key] += " " + line.strip().decode(
+                "utf-8", "replace")
+            continue
         if b":" not in line:
             raise ValueError("malformed WARC header line")
         k, v = line.split(b":", 1)
-        headers[k.strip().lower().decode("ascii", "replace")] = (
-            v.strip().decode("utf-8", "replace")
-        )
+        last_key = k.strip().lower().decode("ascii", "replace")
+        headers[last_key] = v.strip().decode("utf-8", "replace")
     try:
         length = int(headers["content-length"])
     except (KeyError, ValueError):
@@ -180,12 +185,24 @@ def parse_warc_record(block: bytes, file: str = "", offset: int = 0):
 
 
 def read_warc(spark: SparkSession, paths: list[str],
-              records_per_partition: int = 2000) -> DataFrame:
+              records_per_partition: int = 2000,
+              on_error: str = "raise") -> DataFrame:
     """Distributed ``.warc.gz`` reader: file-parallel member indexing,
     then record-parallel inflate+parse (see module docstring for the
     scale shape). ``records_per_partition`` sizes the second stage so
-    parse parallelism is independent of file count."""
+    parse parallelism is independent of file count.
+
+    ``on_error``: ``"raise"`` (default) fails the task on a corrupt
+    record — the strict-container posture; ``"skip"`` drops corrupt
+    RECORDS (bad header block, short Content-Length, corrupt member)
+    and keeps the rest of the file — the posture for a 100 TB crawl
+    where one mangled record must not abort a stage. Member-INDEX
+    errors (a file that is not record-per-member gzip at all) always
+    raise: that is a wrong-packaging error, not a bad record."""
     import pandas as pd
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
 
     if not paths:
         raise ValueError("read_warc needs at least one path")
@@ -222,12 +239,21 @@ def read_warc(spark: SparkSession, paths: list[str],
                     f.seek(int(off))
                     raw = f.read(int(ln))
                     try:
-                        block = zlib.decompress(raw, 16 + zlib.MAX_WBITS)
-                    except zlib.error as exc:
-                        raise ValueError(
-                            f"{p}: corrupt gzip member at {off}: {exc}"
-                        )
-                    rows.append(parse_warc_record(block, p, int(off)))
+                        try:
+                            block = zlib.decompress(
+                                raw, 16 + zlib.MAX_WBITS)
+                        except zlib.error as exc:
+                            raise ValueError(
+                                f"{p}: corrupt gzip member at {off}: "
+                                f"{exc}"
+                            )
+                        rows.append(
+                            parse_warc_record(block, p, int(off)))
+                    except ValueError:
+                        if on_error == "raise":
+                            raise
+                        # on_error="skip": drop this record, keep the
+                        # rest of the file
             finally:
                 for f in handles.values():
                     f.close()

@@ -121,6 +121,11 @@ def sniff_charset(payload: bytes, content_type: str | None = None):
     if m:
         enc = _CHARSET_ALIASES.get(m.group(1).lower())
         if enc:
+            # WHATWG meta-prescan rule: a declared UTF-16 maps to
+            # UTF-8 — an ASCII-readable <meta> proves the bytes are
+            # not UTF-16 (the classic mislabeled-page case)
+            if enc.startswith("utf-16"):
+                enc = "utf-8"
             return enc, 0
     return None, 0
 
@@ -150,16 +155,57 @@ class Block(NamedTuple):
         return self.n_anchor_words / self.n_words if self.n_words else 0.0
 
 
-def _find_raw_end(s: str, pos: int, name: str) -> int:
-    """Index just past ``</name`` + '>' from pos (HTML5 raw-text rule:
-    the content ends only at a matching close tag, case-insensitive).
-    Unterminated -> end of input."""
-    low = s.lower()
-    i = low.find("</" + name, pos)
-    if i < 0:
-        return len(s)
-    gt = s.find(">", i)
-    return len(s) if gt < 0 else gt + 1
+def _raw_text_end(s: str, low: str, pos: int, name: str):
+    """(content_end, resume_pos) for an HTML5 raw-text element body
+    starting at ``pos``: the body ends only at a matching close tag —
+    ``</name`` followed by whitespace, '/' or '>' (so ``</scripts>``
+    does NOT terminate a script). ``low`` is the pre-lowercased
+    document (lowercase once per parse, not per element).
+    Unterminated -> (len, len)."""
+    needle = "</" + name
+    i = pos
+    while True:
+        i = low.find(needle, i)
+        if i < 0:
+            return len(s), len(s)
+        after = i + len(needle)
+        if after >= len(s) or s[after] in " \t\n\r\f/>":
+            gt = s.find(">", after)
+            return i, (len(s) if gt < 0 else gt + 1)
+        i = after
+
+
+def _tag_end(text: str, i: int) -> int:
+    """Scan from just past the tag name to the tag's closing '>',
+    with HTML5 attribute-value quote semantics: a quote starts a
+    quoted value only immediately after '=' (optionally with
+    whitespace); anywhere else it is literal (a stray apostrophe in
+    an unquoted value must not swallow the rest of the document)."""
+    n = len(text)
+    expect_value = False
+    while i < n:
+        c = text[i]
+        if c in "\"'":
+            if expect_value:
+                q = text.find(c, i + 1)
+                i = n if q < 0 else q + 1
+                expect_value = False
+                continue
+            i += 1
+            continue
+        if c == ">":
+            return i
+        if c == "=":
+            expect_value = True
+        elif c not in " \t\n\r\f":
+            if expect_value and c != "=":
+                # first character of an unquoted value: consume it
+                while i < n and text[i] not in " \t\n\r\f>":
+                    i += 1
+                expect_value = False
+                continue
+        i += 1
+    return n
 
 
 def parse_blocks(text: str):
@@ -171,6 +217,7 @@ def parse_blocks(text: str):
     anchor_buf: list[str] = []   # segments emitted while inside <a>
     anchor_depth = 0
     n = len(text)
+    low = text.lower()           # one lowercase pass for raw-text ends
     pos = 0
 
     def flush():
@@ -218,17 +265,7 @@ def parse_blocks(text: str):
             pos = lt + 1
             continue
         name = m.group(0).lower()
-        # scan to the tag's closing '>', honoring quoted attr values
-        i = m.end()
-        while i < n:
-            c = text[i]
-            if c in "\"'":
-                q = text.find(c, i + 1)
-                i = n if q < 0 else q + 1
-                continue
-            if c == ">":
-                break
-            i += 1
+        i = _tag_end(text, m.end())
         pos = n if i >= n else i + 1
         if close:
             if name in _BLOCK:
@@ -236,23 +273,28 @@ def parse_blocks(text: str):
             elif name == "a" and anchor_depth:
                 anchor_depth -= 1
             continue
-        if name == "title" and title is None:
-            end_content = text.lower().find("</title", pos)
-            raw = text[pos:] if end_content < 0 else \
-                text[pos:end_content]
-            title = " ".join(_htmllib.unescape(raw).split())
-            pos = _find_raw_end(text, pos, "title") \
-                if end_content >= 0 else n
+        if name == "title":
+            # every <title> body is raw text (head title, SVG titles
+            # — none renders as page text); only the first is THE
+            # document title
+            end_content, resume = _raw_text_end(text, low, pos,
+                                                "title")
+            if title is None:
+                title = " ".join(
+                    _htmllib.unescape(text[pos:end_content]).split())
+            pos = resume
             continue
         if name in _RAW_TEXT:
-            pos = _find_raw_end(text, pos, name)
+            _, pos = _raw_text_end(text, low, pos, name)
             if name in _BLOCK:  # (none today, future-proof)
                 flush()
             continue
         if name in _BLOCK:
             flush()
         elif name == "a":
-            anchor_depth += 1
+            # HTML5: a new <a> implicitly closes any open anchor (and
+            # caps a forgotten </a>'s poisoning at the next anchor)
+            anchor_depth = 1
     flush()
     return blocks, title
 
@@ -373,8 +415,45 @@ def warc_html_documents(spark, paths, main_content: bool = True,
     )
 
 
-_HREF = re.compile(
-    r"""href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE)
+def _attr_value(span: str, want: str):
+    """HTML5-shaped attribute walk over a tag's attribute span:
+    returns the value of attribute ``want`` (exact name match — a
+    ``data-href`` or an ``href=`` inside ANOTHER attribute's quoted
+    value is not a hit), or None."""
+    i, n = 0, len(span)
+    while i < n:
+        while i < n and span[i] in " \t\n\r\f/":
+            i += 1
+        if i >= n:
+            return None
+        j = i
+        while j < n and span[j] not in " \t\n\r\f=/":
+            j += 1
+        if j == i:  # stray '=' with no name
+            i += 1
+            continue
+        name = span[i:j].lower()
+        i = j
+        while i < n and span[i] in " \t\n\r\f":
+            i += 1
+        val = ""
+        if i < n and span[i] == "=":
+            i += 1
+            while i < n and span[i] in " \t\n\r\f":
+                i += 1
+            if i < n and span[i] in "\"'":
+                q = span.find(span[i], i + 1)
+                val = span[i + 1: (n if q < 0 else q)]
+                i = n if q < 0 else q + 1
+            else:
+                k = i
+                while k < n and span[k] not in " \t\n\r\f":
+                    k += 1
+                val = span[i:k]
+                i = k
+        if name == want:
+            return val
+    return None
 
 
 def extract_links(text_or_bytes, content_type: str | None = None):
@@ -391,6 +470,7 @@ def extract_links(text_or_bytes, content_type: str | None = None):
         text = text_or_bytes
     links: list[str] = []
     n = len(text)
+    low = text.lower()
     pos = 0
     while pos < n:
         lt = text.find("<", pos)
@@ -414,29 +494,19 @@ def extract_links(text_or_bytes, content_type: str | None = None):
             pos = lt + 1
             continue
         name = m.group(0).lower()
-        i = m.end()
-        while i < n:
-            c = text[i]
-            if c in "\"'":
-                q = text.find(c, i + 1)
-                i = n if q < 0 else q + 1
-                continue
-            if c == ">":
-                break
-            i += 1
+        i = _tag_end(text, m.end())  # shared quote-aware scanner
         attr_span = text[m.end(): i]
         pos = n if i >= n else i + 1
         if close:
             continue
         if name == "a":
-            hm = _HREF.search(attr_span)
-            if hm:
-                raw = hm.group(2) or hm.group(3) or hm.group(4) or ""
+            raw = _attr_value(attr_span, "href")
+            if raw is not None:
                 href = _htmllib.unescape(raw).strip()
                 if href:
                     links.append(href)
         elif name in _RAW_TEXT or name == "title":
-            pos = _find_raw_end(text, pos, name)
+            _, pos = _raw_text_end(text, low, pos, name)
     return links
 
 

@@ -920,6 +920,11 @@ def crawl_html_pipeline(spark, sf_dir):
         write_warc_gz(p, recs)
         paths.append(p)
     docs = warc_html_documents(spark, paths, records_per_partition=8)
+    # three consumers below (title projection, langid, dedup's two
+    # scans): checkpoint so the WARC inflate + extraction mapInPandas
+    # runs ONCE, not once per subtree (the repo's 3-consumer pattern,
+    # cf. operators/dedup.semdedup)
+    docs = docs.localCheckpoint(eager=False)
     langd = classify_language(docs.select("uri", "text"),
                               text_col="text", id_col="uri")
     kept = (

@@ -244,3 +244,43 @@ def test_extract_html_links_spark(spark):
     got = extract_html_links(df).orderBy("src_uri", "link_pos").collect()
     assert [(r.src_uri, r.href, r.link_pos) for r in got] == [
         ("http://h/0", "/x", 0), ("http://h/0", "/y", 1)]
+
+
+def test_review_pass_robustness_fixes():
+    """round 14 review pass 2: real-world byte-soup cases that used to
+    poison extraction."""
+    from evolution_spark.operators.html import extract_links
+
+    # 1. unclosed <a>: a new <a> implicitly closes it, so later text
+    #    is not all anchor-flagged (stuck-depth poisoning)
+    blocks, _ = parse_blocks(
+        '<li><a href="/x">Item one</a></li>'
+        '<li><a href="/y">Item two</li>'   # forgot </a>
+        "<p>" + " ".join(f"w{k}" for k in range(20)) + "</p>"
+        '<p><a href="/z">next anchor</a> trailing words here</p>')
+    # the 20-word paragraph is still inside the unclosed anchor
+    # (HTML5: block tags do not close <a>) but the NEXT anchor resets
+    assert blocks[-1].n_anchor_words == 2
+    # 2. stray apostrophe in an unquoted attr value must not swallow
+    #    the document
+    blocks, _ = parse_blocks(
+        "<a href=obrien's.html>link</a> <p>body text stays</p>")
+    assert any("body text stays" in b.text for b in blocks)
+    # 3. </scripts> does not terminate <script>
+    blocks, _ = parse_blocks(
+        "<script>a = 1; </scripts> leak; </script><p>real text</p>")
+    assert [b.text for b in blocks] == ["real text"]
+    # 4. WHATWG: a meta-declared utf-16 on ASCII-readable bytes means
+    #    utf-8, not mojibake
+    assert sniff_charset(b'<meta charset="utf-16">x') == ("utf-8", 0)
+    # 5. SVG <title> never leaks into block text
+    blocks, title = parse_blocks(
+        "<title>Doc</title><p>para words here</p>"
+        "<svg><title>chart tooltip</title></svg><p>more body</p>")
+    assert title == "Doc"
+    assert not any("tooltip" in b.text for b in blocks)
+    # 6. data-href is not a link; title bodies yield no links
+    assert extract_links(
+        '<a data-href="/t" href="/real">x</a>'
+        "<title><a href='/in-title'>t</a></title>"
+        '<a title="see href=decoy">no link</a>') == ["/real"]

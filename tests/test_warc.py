@@ -290,3 +290,45 @@ def test_collapse_revisits_semantics(spark, tmp_path):
     assert rv["<urn:uuid:r2>"].refers_to == "<urn:uuid:b>"
     assert rv["<urn:uuid:r1>"].payload_digest == "sha1:D"
     assert "identical-payload-digest" in rv["<urn:uuid:r1>"].profile
+
+
+def test_folded_headers_and_on_error_skip(spark, tmp_path):
+    """round 14 review pass 2: RFC2822-folded WARC headers parse, and
+    on_error='skip' drops a corrupt record without failing the task."""
+    rec = build_warc_record(
+        "response", "http://h/1", "2026-01-01T00:00:00Z",
+        b"HTTP/1.1 200 OK\r\n\r\nbody", "<urn:uuid:f-1>",
+        content_type="application/http; msgtype=response")
+    # fold the target-URI header across a continuation line
+    folded = rec.replace(
+        b"WARC-Target-URI: http://h/1",
+        b"WARC-Target-URI: http://h\r\n  /1-folded")
+    from evolution_spark.io.warc import parse_warc_record
+    got = parse_warc_record(folded)
+    assert got[4] == "http:/" + "/h /1-folded"
+    # skip mode: one corrupt member among three records
+    ok1 = build_warc_record("response", "http://h/2",
+                            "2026-01-01T00:00:00Z",
+                            b"HTTP/1.1 200 OK\r\n\r\nb2",
+                            "<urn:uuid:f-2>",
+                            content_type="application/http")
+    bad = build_warc_record("response", None, "2026-01-01T00:00:00Z",
+                            b"x", "<urn:uuid:f-3>")
+    bad = bad.replace(b"Content-Length: 1", b"Content-Length: 99")
+    ok2 = build_warc_record("metadata", "http://h/4",
+                            "2026-01-01T00:00:00Z", b"m",
+                            "<urn:uuid:f-4>")
+    p = tmp_path / "mix.warc.gz"
+    write_warc_gz(str(p), [ok1, bad, ok2])
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+
+    strict = read_warc(spark, [str(p)])
+    with _pytest.raises(Exception):
+        strict.count()
+    lax = read_warc(spark, [str(p)], on_error="skip")
+    rows = lax.collect()
+    assert sorted(r.record_id for r in rows) == [
+        "<urn:uuid:f-2>", "<urn:uuid:f-4>"]
+    with _pytest.raises(ValueError, match="on_error"):
+        read_warc(spark, [str(p)], on_error="quarantine")
