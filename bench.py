@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "multimodal_webp_lossy_features",
     "crawl_html_pipeline",
     "warc_link_graph",
+    "warc_corrupt_skip",
 ]
 
 # Registered queries deliberately NOT in the bench suite: basic

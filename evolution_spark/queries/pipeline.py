@@ -1035,3 +1035,75 @@ def warc_link_graph(spark, sf_dir):
             F.min("src").alias("min_source"),
         )
     )
+
+
+@query(
+    "warc_corrupt_skip",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 30),
+    ok AS (SELECT i FROM ids WHERE i % 5 <> 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(20 + i % 7) AS BIGINT) AS payload_bytes,
+           CAST(MIN(i) AS BIGINT) AS first_id,
+           CAST(MAX(i) AS BIGINT) AS last_id
+    FROM ok
+    """,
+)
+def warc_corrupt_skip(spark, sf_dir):
+    """Per-record quarantine on the WARC reader (round 14 —
+    ``on_error="skip"``: at 100 TB one mangled record must not abort a
+    stage, mirroring the HTML decoder's total-decode posture): 30
+    records across 3 files, every (i % 5 == 3) record corrupted with a
+    Content-Length that overruns its block — a record-level fault the
+    strict mode fails loudly on. Skip mode must keep EXACTLY the other
+    24 records with their payloads intact; DuckDB recomputes the
+    surviving ids and byte totals closed-form, so both over-skipping
+    (dropping a healthy neighbor) and under-skipping (emitting a
+    corrupt row) fail the hash.
+
+    Scale shape: identical to warc_ingest_stats — the skip branch adds
+    no exchange, it only drops rows inside the record-parallel parse
+    stage. Ref parity: extension surface (the reference aborts on the
+    first bad row by design — O9; this is the crawl-side complement
+    where the data, not the schema, is the contract)."""
+    import os
+
+    from evolution_spark.io.warc import (
+        build_warc_record,
+        read_warc,
+        write_warc_gz,
+    )
+    from evolution_spark.queries.base import query_tmp
+
+    tmp = query_tmp("warcskip", sf_dir)
+    os.makedirs(tmp, exist_ok=True)
+    paths = []
+    for fk in range(3):
+        recs = []
+        for j in range(10):
+            i = fk * 10 + j
+            body = f"r{i:02d}:".encode() + b"d" * (16 + i % 7)
+            rec = build_warc_record(
+                "resource", f"http://s.example.com/{i}",
+                "2026-01-01T00:00:00Z", body, f"<urn:uuid:s-{i}>",
+                content_type="text/plain")
+            if i % 5 == 3:
+                # Content-Length overrunning the block: a record-level
+                # structural fault (the member still inflates)
+                n = len(body)
+                rec = rec.replace(
+                    f"Content-Length: {n}".encode(),
+                    f"Content-Length: {n + 500}".encode())
+            recs.append(rec)
+        p = os.path.join(tmp, f"crawl-{fk}.warc.gz")
+        write_warc_gz(p, recs)
+        paths.append(p)
+    df = read_warc(spark, paths, records_per_partition=8,
+                   on_error="skip")
+    rid = F.regexp_extract("record_id", r"s-(\d+)", 1).cast("bigint")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("n_bytes").alias("payload_bytes"),
+        F.min(rid).alias("first_id"),
+        F.max(rid).alias("last_id"),
+    )
