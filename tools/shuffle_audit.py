@@ -27,6 +27,9 @@ AUDITED = {
     "language_profile": "profile table broadcast; partial agg ships <=20 (doc,lang,score) rows per doc, never trigram rows",
     "audio_metadata_neardup": "blocked self-join on metadata keys; only id+key+duration rows leave the parse stage",
     "warc_media_probe": "payload bytes move once (record repartition); probe emits metadata rows only",
+    "crawl_html_pipeline": "page bytes move once (record repartition + checkpoint); langid ships (uri,lang) rows, dedup ships 16B fingerprints + uris",
+    "warc_link_graph": "page bytes move once; only (uri, href, int) edge rows leave the scan before the map-side-reduced in-degree agg",
+    "warc_revisit_dedup": "payloads excluded from the output projection; (id/digest, count) pairs are the only join traffic",
     "dedup_minhash_lsh": "band hashes + ids; text joins back by id at the end",
     "dedup_repeated_chunks": "hash/int winner shuffles only; text re-derives per doc",
     "knn_bruteforce_cosine": "probes broadcast — corpus never shuffles",
