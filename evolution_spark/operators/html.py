@@ -74,9 +74,32 @@ _BLOCK = {
 }
 
 _TAG_NAME = re.compile(r"[a-zA-Z][a-zA-Z0-9-]*")
-_META_CHARSET = re.compile(
-    r"""<meta[^>]+charset\s*=\s*["']?\s*([\w.:-]+)""", re.IGNORECASE
-)
+# length-PRESERVING lowercase for scanner offset maps: str.lower() can
+# change string length (U+0130 'İ' -> 2 code points), which would
+# desynchronize raw-text close-tag offsets against the original text;
+# tag names are ASCII, so an A-Z-only translation is both correct and
+# offset-stable.
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
+
+def _skip_markup_decl(text: str, lt: int):
+    """If ``text[lt:]`` opens a comment / CDATA / doctype / PI,
+    return the resume position past it; else None. Shared by both
+    scanners so their markup-skipping can never drift."""
+    n = len(text)
+    if text.startswith("<!--", lt):
+        end = text.find("-->", lt + 4)
+        return n if end < 0 else end + 3
+    if text.startswith("<![CDATA[", lt):
+        end = text.find("]]>", lt + 9)
+        return n if end < 0 else end + 3
+    if text.startswith("<!", lt) or text.startswith("<?", lt):
+        end = text.find(">", lt)
+        return n if end < 0 else end + 1
+    return None
+
+
 _CT_CHARSET = re.compile(r"""charset\s*=\s*["']?\s*([\w.:-]+)""",
                          re.IGNORECASE)
 
@@ -117,16 +140,32 @@ def sniff_charset(payload: bytes, content_type: str | None = None):
             if enc:
                 return enc, 0
     head = payload[:1024].decode("latin-1")
-    m = _META_CHARSET.search(head)
-    if m:
-        enc = _CHARSET_ALIASES.get(m.group(1).lower())
-        if enc:
-            # WHATWG meta-prescan rule: a declared UTF-16 maps to
-            # UTF-8 — an ASCII-readable <meta> proves the bytes are
-            # not UTF-16 (the classic mislabeled-page case)
-            if enc.startswith("utf-16"):
-                enc = "utf-8"
-            return enc, 0
+    # WHATWG-style prescan: comments never contribute (strip closed
+    # comments, truncate at an unterminated one), and charset is read
+    # from META ATTRIBUTE position only — a 'charset=' inside some
+    # other tag's content attribute is page text, not a declaration
+    head = re.sub(r"<!--.*?-->", " ", head, flags=re.S)
+    cut = head.find("<!--")
+    if cut >= 0:
+        head = head[:cut]
+    for mm in re.finditer(r"<meta\b", head, re.IGNORECASE):
+        span = head[mm.end(): _tag_end(head, mm.end())]
+        cs = _attr_value(span, "charset")
+        if cs is None:
+            he = (_attr_value(span, "http-equiv") or "").strip()
+            if he.lower() == "content-type":
+                m2 = _CT_CHARSET.search(_attr_value(span, "content")
+                                        or "")
+                cs = m2.group(1) if m2 else None
+        if cs:
+            enc = _CHARSET_ALIASES.get(cs.strip().lower())
+            if enc:
+                # WHATWG meta rule: a declared UTF-16 maps to UTF-8 —
+                # an ASCII-readable <meta> proves the bytes are not
+                # UTF-16 (the classic mislabeled-page case)
+                if enc.startswith("utf-16"):
+                    enc = "utf-8"
+                return enc, 0
     return None, 0
 
 
@@ -217,7 +256,7 @@ def parse_blocks(text: str):
     anchor_buf: list[str] = []   # segments emitted while inside <a>
     anchor_depth = 0
     n = len(text)
-    low = text.lower()           # one lowercase pass for raw-text ends
+    low = text.translate(_ASCII_LOWER)  # offset-stable (see above)
     pos = 0
 
     def flush():
@@ -242,18 +281,9 @@ def parse_blocks(text: str):
             buf.append(seg)
             if anchor_depth:
                 anchor_buf.append(seg)
-        # comment / CDATA / doctype / processing instruction
-        if text.startswith("<!--", lt):
-            end = text.find("-->", lt + 4)
-            pos = n if end < 0 else end + 3
-            continue
-        if text.startswith("<![CDATA[", lt):
-            end = text.find("]]>", lt + 9)
-            pos = n if end < 0 else end + 3
-            continue
-        if text.startswith("<!", lt) or text.startswith("<?", lt):
-            end = text.find(">", lt)
-            pos = n if end < 0 else end + 1
+        decl = _skip_markup_decl(text, lt)
+        if decl is not None:
+            pos = decl
             continue
         close = text.startswith("</", lt)
         m = _TAG_NAME.match(text, lt + (2 if close else 1))
@@ -470,23 +500,15 @@ def extract_links(text_or_bytes, content_type: str | None = None):
         text = text_or_bytes
     links: list[str] = []
     n = len(text)
-    low = text.lower()
+    low = text.translate(_ASCII_LOWER)  # offset-stable lowercase
     pos = 0
     while pos < n:
         lt = text.find("<", pos)
         if lt < 0:
             break
-        if text.startswith("<!--", lt):
-            end = text.find("-->", lt + 4)
-            pos = n if end < 0 else end + 3
-            continue
-        if text.startswith("<![CDATA[", lt):
-            end = text.find("]]>", lt + 9)
-            pos = n if end < 0 else end + 3
-            continue
-        if text.startswith("<!", lt) or text.startswith("<?", lt):
-            end = text.find(">", lt)
-            pos = n if end < 0 else end + 1
+        decl = _skip_markup_decl(text, lt)
+        if decl is not None:
+            pos = decl
             continue
         close = text.startswith("</", lt)
         m = _TAG_NAME.match(text, lt + (2 if close else 1))

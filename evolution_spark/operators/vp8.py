@@ -1605,6 +1605,12 @@ def encode_vp8_frame(img: np.ndarray, qi: int = 40,
 
     hdr = be.done()
     tokens = bt.done()
+    if len(hdr) >= 1 << 19:
+        raise ValueError(
+            "VP8 first partition exceeds the frame tag's 19-bit size "
+            "field — encode smaller tiles (mode data for very large "
+            "B_PRED-heavy frames does not fit one key frame header)"
+        )
     tag = (0) | (0 << 1) | (1 << 4) | (len(hdr) << 5)
     out = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
     out += b"\x9d\x01\x2a"

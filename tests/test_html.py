@@ -284,3 +284,28 @@ def test_review_pass_robustness_fixes():
         '<a data-href="/t" href="/real">x</a>'
         "<title><a href='/in-title'>t</a></title>"
         '<a title="see href=decoy">no link</a>') == ["/real"]
+
+
+def test_review_pass_3_offset_and_prescan():
+    """round 14 review pass 3: length-changing lowercase desync and
+    prescan attribute-position rules."""
+    from evolution_spark.operators.html import extract_links
+
+    # U+0130 lowercases to TWO code points — the offset map must be
+    # length-preserving or everything after a raw-text element is lost
+    blocks, _ = parse_blocks(
+        "İ<script>var x = 1;</script><p>hello world</p>")
+    assert [b.text for b in blocks] == ["İ", "hello world"]
+    assert extract_links('İ<script>s</script><a href="/x">l</a>') == \
+        ["/x"]
+    # commented-out meta and charset= inside unrelated attributes are
+    # NOT declarations; the http-equiv form still is
+    assert sniff_charset(
+        b'<!-- <meta charset="shift_jis"> --><p>x</p>') == (None, 0)
+    assert sniff_charset(
+        b'<meta name="d" content="charset=big5 fans">') == (None, 0)
+    assert sniff_charset(
+        b'<!-- unterminated <meta charset="big5">') == (None, 0)
+    assert sniff_charset(
+        b'<meta http-equiv="content-type" '
+        b'content="text/html; charset=ISO-8859-1">') == ("cp1252", 0)
