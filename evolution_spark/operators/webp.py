@@ -4,7 +4,8 @@ WebP is the most common image format in modern scraped web corpora
 after JPEG/PNG, and arrives in three flavors inside one RIFF
 container (public container spec; lossless bitstream per RFC 9649):
 
-  "VP8 "  lossy VP8 key frame  -> metadata here, decode is a refusal
+  "VP8 "  lossy VP8 key frame  -> metadata here; full decode exists
+          (operators/vp8, RFC 6386) behind an explicit opt-in gate
   "VP8L"  lossless             -> FULL decode/encode in this module
   "VP8X"  extended             -> canvas/flags/animation metadata
                                   (ALPH/ANIM/ANMF/EXIF/XMP chunks)
@@ -966,13 +967,15 @@ def build_webp_animation(frames: list, canvas: tuple[int, int] = (64, 64),
             + chunks)
 
 
-def decode_webp_animation(payload: bytes):
+def decode_webp_animation(payload: bytes, vp8: str = "refuse"):
     """Decode an ANIMATED WebP to its composited timeline:
     ``[(duration_ms, (ch, cw, 4) RGBA canvas), ...]`` — ANMF frames
     decode via the VP8L path and composite per their header flags
     (placement at the halved stored offsets, source-over alpha
     blending or overwrite, dispose-to-background-color). A still WebP
-    returns a single zero-duration entry. Lossy VP8 frames refuse.
+    returns a single zero-duration entry. Lossy VP8 frames follow the
+    same gate as :func:`decode_webp`: refused by default, decoded
+    with ``vp8="roundtrip"`` (opaque alpha).
 
     Blend math is the spec's source-over with 8-bit alpha, computed in
     exact integer arithmetic scaled by 255*255 then rounded half-up —
@@ -981,7 +984,10 @@ def decode_webp_animation(payload: bytes):
     payload = bytes(payload)
     meta = parse_webp_metadata(payload)
     if not meta["animated"]:
-        img = decode_webp(payload)
+        img = decode_webp(payload, vp8=vp8)
+        if img.shape[-1] == 3:  # lossy frames carry no alpha plane
+            img = np.dstack(
+                [img, np.full(img.shape[:2], 255, dtype=np.uint8)])
         return [(0, img)]
     chunks = _chunks(payload)
     cw, ch = meta["width"], meta["height"]
@@ -1022,10 +1028,22 @@ def decode_webp_animation(payload: bytes):
             if fourcc == b"VP8L":
                 sub = decode_vp8l(payload[pos + 8: pos + 8 + size])
             elif fourcc == b"VP8 ":
-                raise NotImplementedError(
-                    "lossy VP8 animation frames are refused by design"
-                    " — parse_webp_metadata covers the timeline"
+                if vp8 != "roundtrip":
+                    raise NotImplementedError(
+                        "lossy VP8 animation frames: decoder exists "
+                        "but awaits conformance vectors — pass "
+                        "vp8='roundtrip' for frames from this repo's "
+                        "own encoder (decode_webp docstring)"
+                    )
+                from evolution_spark.operators.vp8 import (
+                    decode_vp8_frame,
+                    yuv420_to_rgb,
                 )
+
+                fr = decode_vp8_frame(payload[pos + 8: pos + 8 + size])
+                rgb = yuv420_to_rgb(fr["y"], fr["u"], fr["v"])
+                sub = np.dstack(
+                    [rgb, np.full(rgb.shape[:2], 255, dtype=np.uint8)])
             pos += 8 + size + (size & 1)
         if sub is None:
             raise ValueError("ANMF frame without an image chunk")

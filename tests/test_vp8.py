@@ -215,3 +215,49 @@ def test_mutation_fuzz_error_contract():
         except ValueError:
             pass
         assert time.monotonic() - t0 < 2.0
+
+
+def test_lossy_animation_frames_gated():
+    """Animated WebP with lossy VP8 frames: refused by default, decoded
+    and composited under the round-trip opt-in."""
+    from evolution_spark.operators.vp8 import encode_vp8_frame
+    from evolution_spark.operators.webp import decode_webp_animation
+
+    def anmf(x, y, w, h, dur, body, flags=0x02):
+        payload = (x // 2).to_bytes(3, "little") \
+            + (y // 2).to_bytes(3, "little") \
+            + (w - 1).to_bytes(3, "little") \
+            + (h - 1).to_bytes(3, "little") \
+            + dur.to_bytes(3, "little") + bytes([flags])
+        chunk = b"VP8 " + len(body).to_bytes(4, "little") + body
+        if len(body) & 1:
+            chunk += b"\x00"
+        payload += chunk
+        out = b"ANMF" + len(payload).to_bytes(4, "little") + payload
+        return out + (b"\x00" if len(payload) & 1 else b"")
+
+    f0, e0 = encode_vp8_frame(_img(32, 32, "flat"), qi=10)
+    f1, e1 = encode_vp8_frame(_img(16, 16, "grad"), qi=10)
+    vp8x = (bytes([0x02]) + b"\x00\x00\x00"
+            + (31).to_bytes(3, "little") + (31).to_bytes(3, "little"))
+    chunks = (b"VP8X" + (10).to_bytes(4, "little") + vp8x
+              + b"ANIM" + (6).to_bytes(4, "little")
+              + (0xFF000000).to_bytes(4, "little") + b"\x00\x00"
+              + anmf(0, 0, 32, 32, 40, f0)
+              + anmf(8, 8, 16, 16, 60, f1))
+    payload = (b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
+               + b"WEBP" + chunks)
+    with pytest.raises(NotImplementedError, match="roundtrip"):
+        decode_webp_animation(payload)
+    tl = decode_webp_animation(payload, vp8="roundtrip")
+    assert [d for d, _ in tl] == [40, 60]
+    c0, c1 = tl[0][1], tl[1][1]
+    assert c0.shape == (32, 32, 4) and (c0[..., 3] == 255).all()
+    # frame 1 overwrote the 8..24 square; outside it frame 0 persists
+    assert np.array_equal(c1[:8], c0[:8])
+    # composited pixels match the decoders' own expected planes
+    from evolution_spark.operators.vp8 import yuv420_to_rgb
+    exp0 = yuv420_to_rgb(e0["y"], e0["u"], e0["v"])
+    assert np.array_equal(c0[..., :3], exp0)
+    exp1 = yuv420_to_rgb(e1["y"], e1["u"], e1["v"])
+    assert np.array_equal(c1[8:24, 8:24, :3], exp1)
