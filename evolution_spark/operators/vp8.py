@@ -1094,72 +1094,74 @@ def _lf_limits(level: int, sharpness: int):
     return interior, hev, mb_edge, sub_edge
 
 
-def _c8(x):
-    # signed-char clamp; minimum/maximum ufuncs beat np.clip's
-    # dispatch overhead ~2x on the loop filter's 8/16-pixel segments
-    return np.minimum(np.maximum(x, -128), 127)
 
 
 def _filter_edge_normal(seg: np.ndarray, I: int, E: int, H: int,
                         mb_edge: bool) -> np.ndarray:
-    """seg: (n, 8) int columns [p3 p2 p1 p0 q0 q1 q2 q3]."""
-    p3, p2, p1, p0, q0, q1, q2, q3 = (seg[:, k] for k in range(8))
-    mask = (
-        (np.abs(p3 - p2) <= I) & (np.abs(p2 - p1) <= I)
-        & (np.abs(p1 - p0) <= I) & (np.abs(q1 - q0) <= I)
-        & (np.abs(q2 - q1) <= I) & (np.abs(q3 - q2) <= I)
-        & (np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2 <= E)
-    )
-    hev = (np.abs(p1 - p0) > H) | (np.abs(q1 - q0) > H)
-    ps1, ps0 = p1 - 128, p0 - 128
-    qs0, qs1 = q0 - 128, q1 - 128
-    out = seg.copy()
-    if mb_edge:
-        # hev pixels: 2-tap common adjust with outer taps
-        a = _c8(_c8(ps1 - qs1) + 3 * (qs0 - ps0))
-        f1 = _c8(a + 4) >> 3
-        f2 = _c8(a + 3) >> 3
-        sel = mask & hev
-        out[:, 4] = np.where(sel, _c8(qs0 - f1) + 128, out[:, 4])
-        out[:, 3] = np.where(sel, _c8(ps0 + f2) + 128, out[:, 3])
-        # non-hev: 6-tap wide adjust
-        w = _c8(_c8(ps1 - qs1) + 3 * (qs0 - ps0))
-        sel = mask & ~hev
-        a1 = _c8((27 * w + 63) >> 7)
-        a2 = _c8((18 * w + 63) >> 7)
-        a3 = _c8((9 * w + 63) >> 7)
-        ps2, qs2 = p2 - 128, q2 - 128
-        out[:, 4] = np.where(sel, _c8(qs0 - a1) + 128, out[:, 4])
-        out[:, 3] = np.where(sel, _c8(ps0 + a1) + 128, out[:, 3])
-        out[:, 5] = np.where(sel, _c8(qs1 - a2) + 128, out[:, 5])
-        out[:, 2] = np.where(sel, _c8(ps1 + a2) + 128, out[:, 2])
-        out[:, 6] = np.where(sel, _c8(qs2 - a3) + 128, out[:, 6])
-        out[:, 1] = np.where(sel, _c8(ps2 + a3) + 128, out[:, 1])
-    else:
-        a = _c8(np.where(hev, _c8(ps1 - qs1), 0) + 3 * (qs0 - ps0))
-        f1 = _c8(a + 4) >> 3
-        f2 = _c8(a + 3) >> 3
-        out[:, 4] = np.where(mask, _c8(qs0 - f1) + 128, out[:, 4])
-        out[:, 3] = np.where(mask, _c8(ps0 + f2) + 128, out[:, 3])
-        a2 = (f1 + 1) >> 1
-        sel = mask & ~hev
-        out[:, 5] = np.where(sel, _c8(qs1 - a2) + 128, out[:, 5])
-        out[:, 2] = np.where(sel, _c8(ps1 + a2) + 128, out[:, 2])
-    return out
+    """seg: (n, 8) int columns [p3 p2 p1 p0 q0 q1 q2 q3]. Hot path of
+    the whole decoder: at <= 16 rows per edge, a plain-Python int loop
+    runs ~6x faster than the equivalent numpy expression chain (122us
+    -> 19us per edge measured) — vector dispatch overhead dominates at
+    this size, so this is one of the repo's rare deliberate
+    Python-loop hot paths (BASELINE v5.3)."""
+    rows = seg.tolist()
+    c8 = _c8i
+    for r in rows:
+        p3, p2, p1, p0, q0, q1, q2, q3 = r
+        if not (abs(p3 - p2) <= I and abs(p2 - p1) <= I
+                and abs(p1 - p0) <= I and abs(q1 - q0) <= I
+                and abs(q2 - q1) <= I and abs(q3 - q2) <= I
+                and 2 * abs(p0 - q0) + abs(p1 - q1) // 2 <= E):
+            continue
+        hev = abs(p1 - p0) > H or abs(q1 - q0) > H
+        ps1, ps0 = p1 - 128, p0 - 128
+        qs0, qs1 = q0 - 128, q1 - 128
+        if mb_edge:
+            a = c8(c8(ps1 - qs1) + 3 * (qs0 - ps0))
+            if hev:
+                # a in [-128,127]: a+4 needs only the top clamp
+                r[4] = c8(qs0 - (min(a + 4, 127) >> 3)) + 128
+                r[3] = c8(ps0 + (min(a + 3, 127) >> 3)) + 128
+            else:
+                # (k*a+63)>>7 stays in signed-char range for k <= 27
+                a1 = (27 * a + 63) >> 7
+                a2 = (18 * a + 63) >> 7
+                a3 = (9 * a + 63) >> 7
+                r[4] = c8(qs0 - a1) + 128
+                r[3] = c8(ps0 + a1) + 128
+                r[5] = c8(qs1 - a2) + 128
+                r[2] = c8(ps1 + a2) + 128
+                r[6] = c8((q2 - 128) - a3) + 128
+                r[1] = c8((p2 - 128) + a3) + 128
+        else:
+            a = c8((c8(ps1 - qs1) if hev else 0) + 3 * (qs0 - ps0))
+            f1 = min(a + 4, 127) >> 3
+            r[4] = c8(qs0 - f1) + 128
+            r[3] = c8(ps0 + (min(a + 3, 127) >> 3)) + 128
+            if not hev:
+                a2 = (f1 + 1) >> 1
+                r[5] = c8(qs1 - a2) + 128
+                r[2] = c8(ps1 + a2) + 128
+    return np.asarray(rows, dtype=np.int64)
+
+
+def _c8i(x: int) -> int:
+    return -128 if x < -128 else (127 if x > 127 else x)
 
 
 def _filter_edge_simple(seg: np.ndarray, E: int) -> np.ndarray:
-    p1, p0, q0, q1 = (seg[:, k] for k in range(2, 6))
-    mask = np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2 <= E
-    ps1, ps0 = p1 - 128, p0 - 128
-    qs0, qs1 = q0 - 128, q1 - 128
-    a = _c8(_c8(ps1 - qs1) + 3 * (qs0 - ps0))
-    f1 = _c8(a + 4) >> 3
-    f2 = _c8(a + 3) >> 3
-    out = seg.copy()
-    out[:, 4] = np.where(mask, _c8(qs0 - f1) + 128, out[:, 4])
-    out[:, 3] = np.where(mask, _c8(ps0 + f2) + 128, out[:, 3])
-    return out
+    rows = seg.tolist()
+    c8 = _c8i
+    for r in rows:
+        p1, p0, q0, q1 = r[2], r[3], r[4], r[5]
+        if 2 * abs(p0 - q0) + abs(p1 - q1) // 2 > E:
+            continue
+        ps1, ps0 = p1 - 128, p0 - 128
+        qs0, qs1 = q0 - 128, q1 - 128
+        a = c8(c8(ps1 - qs1) + 3 * (qs0 - ps0))
+        r[4] = c8(qs0 - (min(a + 4, 127) >> 3)) + 128
+        r[3] = c8(ps0 + (min(a + 3, 127) >> 3)) + 128
+    return np.asarray(rows, dtype=np.int64)
 
 
 def _v_edge(buf, y, x, n, fn):
@@ -1170,6 +1172,27 @@ def _v_edge(buf, y, x, n, fn):
 def _h_edge(buf, y, x, n, fn):
     seg = buf[y - 4: y + 4, x: x + n].T.astype(np.int64)
     buf[y - 4: y + 4, x: x + n] = fn(seg).T
+
+
+def _uv_v_edge(U, V, y, x, fn):
+    """One filter call for the U and V edges at the same position —
+    identical limits, so stacking halves the per-edge numpy overhead
+    (the loop filter dominates decode wall; see BASELINE v5.3)."""
+    seg = np.concatenate(
+        (U[y: y + 8, x - 4: x + 4], V[y: y + 8, x - 4: x + 4])
+    ).astype(np.int64)
+    out = fn(seg)
+    U[y: y + 8, x - 4: x + 4] = out[:8]
+    V[y: y + 8, x - 4: x + 4] = out[8:]
+
+
+def _uv_h_edge(U, V, y, x, fn):
+    seg = np.concatenate(
+        (U[y - 4: y + 4, x: x + 8].T, V[y - 4: y + 4, x: x + 8].T)
+    ).astype(np.int64)
+    out = fn(seg)
+    U[y - 4: y + 4, x: x + 8] = out[:8].T
+    V[y - 4: y + 4, x: x + 8] = out[8:].T
 
 
 def _loop_filter_frame(Y, U, V, mb_info, filter_type: int,
@@ -1207,22 +1230,18 @@ def _loop_filter_frame(Y, U, V, mb_info, filter_type: int,
 
             if mbx > 0:
                 _v_edge(Y, y0, x0, 16, mbf)
-                _v_edge(U, cy0, cx0, 8, mbf)
-                _v_edge(V, cy0, cx0, 8, mbf)
+                _uv_v_edge(U, V, cy0, cx0, mbf)
             if not skip_inner:
                 for dx in (4, 8, 12):
                     _v_edge(Y, y0, x0 + dx, 16, sbf)
-                _v_edge(U, cy0, cx0 + 4, 8, sbf)
-                _v_edge(V, cy0, cx0 + 4, 8, sbf)
+                _uv_v_edge(U, V, cy0, cx0 + 4, sbf)
             if mby > 0:
                 _h_edge(Y, y0, x0, 16, mbf)
-                _h_edge(U, cy0, cx0, 8, mbf)
-                _h_edge(V, cy0, cx0, 8, mbf)
+                _uv_h_edge(U, V, cy0, cx0, mbf)
             if not skip_inner:
                 for dy in (4, 8, 12):
                     _h_edge(Y, y0 + dy, x0, 16, sbf)
-                _h_edge(U, cy0 + 4, cx0, 8, sbf)
-                _h_edge(V, cy0 + 4, cx0, 8, sbf)
+                _uv_h_edge(U, V, cy0 + 4, cx0, sbf)
 
 
 # --------------------------------------------------------------------
