@@ -760,7 +760,22 @@ class _FrameHeader:
 
 def decode_vp8_frame(data: bytes, apply_filter: bool = True):
     """Decode one VP8 KEY frame -> dict with ``y`` ``u`` ``v`` uint8
-    planes (YUV 4:2:0), ``width``/``height``, and header fields.
+    planes (YUV 4:2:0), ``width``/``height``, header fields, and
+    ``used_synth_bmode`` (True when any B_PRED submode was read from
+    a synthesized KF_BMODE_PROB context row — i.e. any context other
+    than the transcribed (B_DC, B_DC) row).
+
+    PROVENANCE CONTRACT: only streams produced by this module's own
+    :func:`encode_vp8_frame` are safe to decode until the full RFC
+    6386 appendix tables are transcribed and conformance-checked —
+    99 of 100 KF_BMODE_PROB context rows and most of
+    COEF_UPDATE_PROBS are synthesized, so an externally-encoded
+    stream can silently desync into wrong pixels. Two guards narrow
+    the blast radius: frames requesting coefficient-probability
+    updates are refused outright (this encoder never emits them, so
+    such a frame is provably external), and ``used_synth_bmode``
+    lets callers audit whether a decode leaned on synthesized rows.
+
     Raises ValueError on anything structurally corrupt (the
     mapInPandas quarantine contract); interframes are a refusal."""
     data = bytes(data)
@@ -874,6 +889,12 @@ def decode_vp8_frame(data: bytes, apply_filter: bool = True):
     bd.decode(128)  # refresh entropy probs (no cross-frame state here)
 
     # --- token probability updates --------------------------------------
+    # HARD GUARD (round 15): this repo's encoder writes a 0 for every
+    # update flag, so ANY set flag proves the frame was encoded
+    # elsewhere — and COEF_UPDATE_PROBS is mostly synthesized 255-fill
+    # (module docstring), so decoding the update stream itself would
+    # already be reading unverified probabilities. Refuse loudly
+    # rather than desync into silently wrong pixels.
     probs = [[[list(r) for r in c] for c in b]
              for b in DEFAULT_COEF_PROBS]
     for i in range(4):
@@ -881,7 +902,15 @@ def decode_vp8_frame(data: bytes, apply_filter: bool = True):
             for k in range(3):
                 for t in range(11):
                     if bd.decode(COEF_UPDATE_PROBS[i][j][k][t]):
-                        probs[i][j][k][t] = bd.literal(8)
+                        raise ValueError(
+                            "VP8 frame requests coefficient-"
+                            "probability updates: provably not from "
+                            "this module's encoder, and the update-"
+                            "probability table is partly synthesized "
+                            "(no offline conformance vectors) — "
+                            "external lossy VP8 streams are refused "
+                            "even under vp8='roundtrip'"
+                        )
 
     mb_no_skip = bd.decode(128)
     skip_prob = bd.literal(8) if mb_no_skip else 0
@@ -904,6 +933,7 @@ def decode_vp8_frame(data: bytes, apply_filter: bool = True):
     above_sub = np.full((mb_w, 4), B_DC_PRED, dtype=np.int8)
 
     mb_info = []  # (filter_level, skip_inner) per MB for the loop filter
+    used_synth_bmode = False  # any B_PRED submode read outside (DC,DC)?
 
     for mby in range(mb_h):
         left_y = np.zeros(4, dtype=np.int8)
@@ -927,6 +957,13 @@ def decode_vp8_frame(data: bytes, apply_filter: bool = True):
                                else submodes[sb - 4])
                     left_m = (left_sub[r] if c == 0
                               else submodes[sb - 1])
+                    if above_m != B_DC_PRED or left_m != B_DC_PRED:
+                        # only the (B_DC, B_DC) KF_BMODE_PROB row is
+                        # transcribed from the RFC appendix; every
+                        # other context row is a synthesized prior
+                        # (see _kf_bmode_table) — surface that fact
+                        # to callers via used_synth_bmode
+                        used_synth_bmode = True
                     m = bd.tree(BMODE_TREE,
                                 KF_BMODE_PROB[above_m][left_m])
                     submodes[sb] = m
@@ -1070,6 +1107,7 @@ def decode_vp8_frame(data: bytes, apply_filter: bool = True):
         "width": width, "height": height,
         "filter_level": filter_level, "filter_type": filter_type,
         "y_ac_qi": y_ac_qi,
+        "used_synth_bmode": used_synth_bmode,
     }
 
 

@@ -842,10 +842,19 @@ def decode_webp(payload: bytes, vp8: str = "refuse") -> np.ndarray:
     desyncs the arithmetic decode of an EXTERNALLY-encoded stream into
     silently wrong pixels — violating this repo's refuse-over-
     misdecode contract. So the DEFAULT here still refuses lossy VP8;
-    pass ``vp8="roundtrip"`` to decode streams whose provenance is
+    pass ``vp8="roundtrip"`` ONLY for streams whose provenance is
     this repo's own ``encode_webp_lossy`` / ``encode_vp8_frame``
-    (bit-exact, 240-configuration round-trip matrix) or any stream
-    after the tables have been conformance-spot-checked."""
+    (bit-exact, 240-configuration round-trip matrix). Externally
+    encoded streams are NOT safe under the opt-in until the full
+    appendix tables are transcribed and conformance-checked: 99 of
+    100 ``KF_BMODE_PROB`` context rows and most of
+    ``COEF_UPDATE_PROBS`` are synthesized, so an external stream can
+    silently desync into wrong pixels. Two hard guards narrow the
+    blast radius: frames that request coefficient-probability updates
+    are REFUSED even under the opt-in (this repo's encoder never
+    emits them, so such a frame is provably external), and the
+    decoder reports whether any B_PRED block used a synthesized
+    B-mode context row (``used_synth_bmode`` in the frame dict)."""
     chunks = _chunks(bytes(payload))
     by_kind = {}
     for f, s, e in chunks:
@@ -973,9 +982,13 @@ def decode_webp_animation(payload: bytes, vp8: str = "refuse"):
     decode via the VP8L path and composite per their header flags
     (placement at the halved stored offsets, source-over alpha
     blending or overwrite, dispose-to-background-color). A still WebP
-    returns a single zero-duration entry. Lossy VP8 frames follow the
-    same gate as :func:`decode_webp`: refused by default, decoded
-    with ``vp8="roundtrip"`` (opaque alpha).
+    returns a single zero-duration entry, ALWAYS normalized to RGBA:
+    a 3-channel still (VP8L without alpha, or lossy VP8) gets an
+    opaque alpha plane appended so every timeline entry is (h, w, 4)
+    — callers indexing channel counts must not assume the still path
+    preserves :func:`decode_webp`'s 3-channel shape. Lossy VP8 frames
+    follow the same gate as :func:`decode_webp`: refused by default,
+    decoded with ``vp8="roundtrip"`` (opaque alpha).
 
     Blend math is the spec's source-over with 8-bit alpha, computed in
     exact integer arithmetic scaled by 255*255 then rounded half-up —

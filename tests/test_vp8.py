@@ -261,3 +261,40 @@ def test_lossy_animation_frames_gated():
     assert np.array_equal(c0[..., :3], exp0)
     exp1 = yuv420_to_rgb(e1["y"], e1["u"], e1["v"])
     assert np.array_equal(c1[8:24, 8:24, :3], exp1)
+
+
+def test_coef_update_frames_refused():
+    """Round-15 provenance guard: a frame whose header requests
+    coefficient-probability updates is provably not from this
+    module's encoder (which writes a 0 for every update flag), and
+    COEF_UPDATE_PROBS is partly synthesized — such frames must be
+    REFUSED, not decoded with unverified tables. Simulate an external
+    stream by decoding a valid self-encoded frame with the update
+    probabilities swapped to 1: the arithmetic decode then reads at
+    least one update flag as 1, which must raise."""
+    import evolution_spark.operators.vp8 as vp8mod
+
+    data, _ = encode_vp8_frame(_img(32, 32, "grad"), qi=40)
+    orig = vp8mod.COEF_UPDATE_PROBS
+    fake = [[[[1] * 11 for _ in range(3)] for _ in range(8)]
+            for _ in range(4)]
+    vp8mod.COEF_UPDATE_PROBS = fake
+    try:
+        with pytest.raises(ValueError, match="probability updates"):
+            decode_vp8_frame(data)
+    finally:
+        vp8mod.COEF_UPDATE_PROBS = orig
+
+
+def test_used_synth_bmode_reporting():
+    """used_synth_bmode is False for 16x16-mode frames (no B_PRED
+    submode reads at all) and True when B_PRED submodes leave the
+    single transcribed (B_DC, B_DC) context row."""
+    flat, _ = encode_vp8_frame(_img(64, 64, "flat"), qi=0,
+                               bpred_bias=float("inf"))
+    assert decode_vp8_frame(flat)["used_synth_bmode"] is False
+    noisy, _ = encode_vp8_frame(_img(64, 64, "noise"), qi=0)
+    got = decode_vp8_frame(noisy)
+    # the noise frame must actually exercise B_PRED for the assertion
+    # to be meaningful; the SAD-per-pixel switch guarantees it here
+    assert got["used_synth_bmode"] is True
