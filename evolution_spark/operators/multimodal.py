@@ -839,7 +839,10 @@ def cap_payload_partitions(
     on average and was measured 1.5x over its even share on small
     skewed inputs. The input is evaluated twice (sums pass + bucket
     pass), so ``df`` must be deterministic — true for scans and
-    deterministic shuffles."""
+    deterministic shuffles; a partition id that appears in the
+    bucket pass but not the sums pass raises ValueError rather than
+    silently anchoring at offset 0 (which would merge bins and
+    degrade the cap)."""
     if max_payload_mb_per_batch <= 0:
         raise ValueError("max_payload_mb_per_batch must be positive")
     cap = int(max_payload_mb_per_batch * (1 << 20))
@@ -869,8 +872,24 @@ def cap_payload_partitions(
         offset = None
         for pdf in batches:
             if len(pdf) and offset is None:
-                # exact global anchor for this partition's offsets
-                offset = base.get(int(pdf["__pid"].iloc[0]), 0)
+                # exact global anchor for this partition's offsets;
+                # a pid unseen in the sums pass means the two
+                # evaluations of df did not agree (nondeterministic
+                # upstream, task retry with different partitioning,
+                # AQE re-coalesce) — anchoring at 0 would silently
+                # pile several bins into one task, so fail loudly
+                # instead of degrading the cap guarantee
+                pid = int(pdf["__pid"].iloc[0])
+                if pid not in base:
+                    raise ValueError(
+                        "cap_payload_partitions: partition id "
+                        f"{pid} was not seen in the byte-sums "
+                        "pass — the input DataFrame is not "
+                        "deterministic across evaluations (see "
+                        "docstring); cache() or localCheckpoint() "
+                        "the input before capping"
+                    )
+                offset = base[pid]
             lens = pdf[payload_col].map(
                 lambda p: len(p) if p is not None else 0
             ).to_numpy()
