@@ -95,12 +95,65 @@ def test_read_warc_distributed(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 5   # ceil(24 / 5)
 
 
-def test_plain_warc_refused(tmp_path):
+def test_plain_warc_supported(spark, tmp_path):
+    """round 15: plain uncompressed .warc (wget/warcio default) reads
+    through the same read_warc dispatch — record-boundary scan on
+    Content-Length, payloads never buffered by the index pass."""
+    from evolution_spark.io.warc import (
+        index_plain_records,
+        index_warc_records,
+        write_warc_plain,
+    )
+
+    recs = _mk_records(7)
     p = str(tmp_path / "plain.warc")
-    with open(p, "wb") as f:
-        f.write(b"".join(_mk_records(3)))
-    with pytest.raises(ValueError, match="refused"):
+    write_warc_plain(p, recs)
+    idx = index_plain_records(p)
+    assert len(idx) == 7
+    import os
+    assert idx[0][0] == 0
+    assert sum(ln for _, ln in idx) == os.path.getsize(p)
+    for (o1, l1), (o2, _) in zip(idx, idx[1:]):
+        assert o1 + l1 == o2
+    # dispatch marks plain units uncompressed
+    units = index_warc_records(p)
+    assert all(gz is False for _, _, gz in units)
+    rows = read_warc(spark, [p], records_per_partition=3).collect()
+    assert len(rows) == 7
+    assert {r.warc_type for r in rows} == {"response", "metadata"}
+    # offsets are real byte offsets into the plain file
+    raw = open(p, "rb").read()
+    for r in rows:
+        assert raw[r.offset: r.offset + 5] == b"WARC/"
+    # direct index_gzip_members call on a plain file: clear redirect
+    with pytest.raises(ValueError, match="not member-compressed"):
         index_gzip_members(p)
+    # unknown magic is a loud wrong-packaging refusal
+    q = str(tmp_path / "junk.bin")
+    with open(q, "wb") as f:
+        f.write(b"\x00\x01\x02\x03garbage")
+    with pytest.raises(ValueError, match="neither gzip nor WARC"):
+        index_warc_records(q)
+    # truncated final record
+    t = str(tmp_path / "trunc.warc")
+    with open(t, "wb") as f:
+        f.write(b"".join(recs)[:-9])
+    with pytest.raises(ValueError, match="truncated final"):
+        index_plain_records(t)
+
+
+def test_multi_record_gzip_members(spark, tmp_path):
+    """round 15: gzip members holding several records split on the
+    Content-Length walk; offsets stay unique and monotonic."""
+    recs = _mk_records(10)
+    p = str(tmp_path / "multi.warc.gz")
+    write_warc_gz(p, recs, records_per_member=4)  # 4+4+2
+    assert len(index_gzip_members(p)) == 3
+    rows = read_warc(spark, [p], records_per_partition=4).collect()
+    assert len(rows) == 10
+    assert len({(r.file, r.offset) for r in rows}) == 10
+    ids = sorted(r.record_id for r in rows)
+    assert ids == sorted(f"<urn:uuid:0-{i}>" for i in range(10))
 
 
 def test_truncated_and_garbage_members(tmp_path):
@@ -332,3 +385,172 @@ def test_folded_headers_and_on_error_skip(spark, tmp_path):
         "<urn:uuid:f-2>", "<urn:uuid:f-4>"]
     with _pytest.raises(ValueError, match="on_error"):
         read_warc(spark, [str(p)], on_error="quarantine")
+
+
+def test_http_body_decoding_unit():
+    """round 15 (judge ask 1): chunked de-framing + gzip/deflate
+    inflation on HTTP response bodies, recorded in the
+    content_encoding column; unknown codings refuse."""
+    from evolution_spark.io.warc import build_http_response
+
+    body = b"<html><body>" + b"hello world " * 40 + b"</body></html>"
+
+    def rec_of(http):
+        return build_warc_record(
+            "response", "http://h/x", "2026-01-01T00:00:00Z", http,
+            "<urn:uuid:h-1>",
+            content_type="application/http; msgtype=response")
+
+    # identity: no decoding, null content_encoding
+    row = parse_warc_record(rec_of(build_http_response(body)))
+    assert row[8] == body and row[13] is None
+
+    # gzip content-encoding
+    row = parse_warc_record(rec_of(
+        build_http_response(body, content_encoding="gzip")))
+    assert row[8] == body and row[13] == "gzip"
+    assert row[9] == len(body)  # n_bytes reflects DECODED size
+
+    # zlib-wrapped deflate and raw deflate both decode
+    for ce in ("deflate", "deflate-raw"):
+        row = parse_warc_record(rec_of(
+            build_http_response(body, content_encoding=ce)))
+        assert row[8] == body and row[13] == "deflate"
+
+    # chunked transfer-encoding
+    row = parse_warc_record(rec_of(
+        build_http_response(body, transfer_encoding="chunked")))
+    assert row[8] == body and row[13] == "chunked"
+
+    # the Common Crawl double: chunked framing over a gzipped body
+    row = parse_warc_record(rec_of(build_http_response(
+        body, content_encoding="gzip", transfer_encoding="chunked",
+        chunk_size=11)))
+    assert row[8] == body and row[13] == "chunked+gzip"
+
+    # decode_http=False returns the raw wire body
+    raw = parse_warc_record(rec_of(build_http_response(
+        body, content_encoding="gzip")), decode_http=False)
+    assert raw[8] != body and raw[8][:2] == b"\x1f\x8b"
+    assert raw[13] is None
+
+    # unknown codings refuse (quarantinable, not silent)
+    with pytest.raises(ValueError, match="content-coding"):
+        parse_warc_record(rec_of(build_http_response(
+            body, extra_headers={"Content-Encoding": "br"})))
+    with pytest.raises(ValueError, match="transfer-coding"):
+        parse_warc_record(rec_of(build_http_response(
+            body, extra_headers={"Transfer-Encoding": "gzip2"})))
+
+    # multi-coding list header: gzip applied then chunked (TE list)
+    import gzip as _gz
+    import io as _io
+    buf = _io.BytesIO()
+    with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+        g.write(body)
+    gz_body = buf.getvalue()
+    chunks = []
+    for i in range(0, len(gz_body), 9):
+        part = gz_body[i: i + 9]
+        chunks.append(f"{len(part):x}".encode() + b"\r\n" + part
+                      + b"\r\n")
+    chunks.append(b"0\r\n\r\n")
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: gzip, chunked\r\n\r\n"
+            + b"".join(chunks))
+    row = parse_warc_record(rec_of(http))
+    assert row[8] == body and row[13] == "chunked+gzip"
+
+
+def test_http_decoding_error_contract():
+    """round 15: truncated/garbage encodings keep the ValueError-only
+    contract — mutation fuzz over chunked and gzipped bodies."""
+    import time
+
+    from evolution_spark.io.warc import build_http_response
+
+    body = b"x" * 500 + b"<p>real text</p>" * 30
+    base_recs = []
+    for kw in ({"content_encoding": "gzip"},
+               {"transfer_encoding": "chunked"},
+               {"content_encoding": "gzip",
+                "transfer_encoding": "chunked"}):
+        base_recs.append(build_warc_record(
+            "response", "http://h/f", "2026-01-01T00:00:00Z",
+            build_http_response(body, **kw), "<urn:uuid:z-1>",
+            content_type="application/http; msgtype=response"))
+    rng = np.random.default_rng(15)
+    for rec in base_recs:
+        for trial in range(120):
+            b = bytearray(rec)
+            mode = trial % 3
+            if mode == 0:
+                b[rng.integers(len(b) // 2, len(b))] ^= int(
+                    rng.integers(1, 256))
+            elif mode == 1:
+                cut = int(rng.integers(len(b) // 2, len(b)))
+                del b[cut:]
+                # keep the WARC framing parseable: fix Content-Length?
+                # no — a short record must ALSO only ValueError
+            else:
+                pos = int(rng.integers(len(b) // 2, len(b)))
+                b[pos:pos] = bytes(rng.integers(0, 256, 5))
+            t0 = time.perf_counter()
+            try:
+                parse_warc_record(bytes(b))
+            except ValueError:
+                pass
+            assert time.perf_counter() - t0 < 1.0
+
+
+def test_chunked_deframe_strictness():
+    """_dechunk framing violations all raise with precise messages."""
+    from evolution_spark.io.warc import _dechunk
+
+    assert _dechunk(b"3\r\nabc\r\n0\r\n\r\n") == b"abc"
+    # chunk extension ignored
+    assert _dechunk(b"3;ext=1\r\nabc\r\n0\r\n\r\n") == b"abc"
+    # trailer fields consumed
+    assert _dechunk(b"2\r\nhi\r\n0\r\nX-T: 1\r\n\r\n") == b"hi"
+    for bad, msg in [
+        (b"", "missing chunk-size"),
+        (b"zz\r\nab\r\n0\r\n\r\n", "bad chunk size"),
+        (b"-3\r\nabc\r\n0\r\n\r\n", "bad chunk size"),
+        (b"5\r\nabc\r\n0\r\n\r\n", "overruns|not CRLF"),
+        (b"3\r\nabcXX0\r\n\r\n", "not CRLF"),
+        (b"3\r\nabc\r\n0\r\n", "unterminated trailer"),
+        (b"3\r\nabc\r\n0\r\n\r\nEXTRA", "trailing bytes"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            _dechunk(bad)
+
+
+def test_skip_observability(spark, tmp_path):
+    """round 15 (ADVICE): on_error='skip' exposes a warc_skipped
+    accumulator so quarantine rates are auditable."""
+    ok1 = build_warc_record("metadata", "http://h/1",
+                            "2026-01-01T00:00:00Z", b"m1",
+                            "<urn:uuid:s-1>")
+    bad = build_warc_record("metadata", "http://h/2",
+                            "2026-01-01T00:00:00Z", b"x",
+                            "<urn:uuid:s-2>")
+    bad = bad.replace(b"Content-Length: 1", b"Content-Length: 77")
+    # a response whose declared gzip body is garbage: skipped too
+    enc_bad = build_warc_record(
+        "response", "http://h/3", "2026-01-01T00:00:00Z",
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nNOTGZIP",
+        "<urn:uuid:s-3>",
+        content_type="application/http; msgtype=response")
+    ok2 = build_warc_record("metadata", "http://h/4",
+                            "2026-01-01T00:00:00Z", b"m2",
+                            "<urn:uuid:s-4>")
+    p = str(tmp_path / "sk.warc.gz")
+    write_warc_gz(p, [ok1, bad, enc_bad, ok2])
+    df = read_warc(spark, [p], on_error="skip")
+    rows = df.collect()
+    assert sorted(r.record_id for r in rows) == [
+        "<urn:uuid:s-1>", "<urn:uuid:s-4>"]
+    assert df.warc_skipped is not None
+    assert df.warc_skipped.value == 2
+    # strict mode carries no accumulator
+    assert read_warc(spark, [p]).warc_skipped is None
