@@ -486,19 +486,16 @@ def _attr_value(span: str, want: str):
     return None
 
 
-def extract_links(text_or_bytes, content_type: str | None = None):
-    """Collect the href targets of ``<a>`` elements, in document
-    order (entities resolved, surrounding whitespace stripped). Same
-    scanning discipline as :func:`parse_blocks` — comments, CDATA,
-    doctype/PI and raw-text element bodies (a ``<a href`` inside a
-    script string is NOT a link) are skipped, quoted attribute values
-    may contain ``>``. Total: malformed markup yields a (possibly
-    empty) list, never an exception."""
-    if isinstance(text_or_bytes, (bytes, bytearray, memoryview)):
-        text, _ = decode_html(bytes(text_or_bytes), content_type)
-    else:
-        text = text_or_bytes
+def _scan_links(text: str):
+    """Shared walk behind the link extractors: returns (hrefs,
+    base_href) — the ``<a href>`` targets in document order plus the
+    FIRST ``<base href>`` (WHATWG: later base elements are ignored).
+    Same scanning discipline as :func:`parse_blocks` — comments,
+    CDATA, doctype/PI and raw-text element bodies (a ``<a href``
+    inside a script string is NOT a link) are skipped, quoted
+    attribute values may contain ``>``."""
     links: list[str] = []
+    base_href = None
     n = len(text)
     low = text.translate(_ASCII_LOWER)  # offset-stable lowercase
     pos = 0
@@ -527,9 +524,134 @@ def extract_links(text_or_bytes, content_type: str | None = None):
                 href = _htmllib.unescape(raw).strip()
                 if href:
                     links.append(href)
+        elif name == "base" and base_href is None:
+            raw = _attr_value(attr_span, "href")
+            if raw is not None:
+                b = _htmllib.unescape(raw).strip()
+                if b:
+                    base_href = b
         elif name in _RAW_TEXT or name == "title":
             _, pos = _raw_text_end(text, low, pos, name)
-    return links
+    return links, base_href
+
+
+def extract_links(text_or_bytes, content_type: str | None = None):
+    """Collect the href targets of ``<a>`` elements, in document
+    order (entities resolved, surrounding whitespace stripped),
+    VERBATIM — no URL resolution (see
+    :func:`extract_links_resolved`). Total: malformed markup yields
+    a (possibly empty) list, never an exception."""
+    if isinstance(text_or_bytes, (bytes, bytearray, memoryview)):
+        text, _ = decode_html(bytes(text_or_bytes), content_type)
+    else:
+        text = text_or_bytes
+    return _scan_links(text)[0]
+
+
+# ------------------------------------------------------ URL resolution
+
+# WHATWG special schemes and their default ports (https://url.spec
+# .whatwg.org/#special-scheme); file has no port
+_SPECIAL_SCHEMES = {"http": 80, "https": 443, "ws": 80, "wss": 443,
+                    "ftp": 21, "file": None}
+_URL_TAB_NL = re.compile(r"[\t\n\r]")
+_SCHEME_RE = re.compile(r"([a-zA-Z][a-zA-Z0-9+.\-]*):")
+# WHATWG trims C0 controls and space from both ends before parsing
+_C0_SPACE = "".join(map(chr, range(0x21)))
+
+
+def resolve_url(ref: str | None, base: str | None):
+    """WHATWG-flavored basic URL resolution on top of the stdlib's
+    RFC 3986 ``urljoin``: ASCII tab/newline removed, C0-control/space
+    trimmed, backslashes treated as slashes for special-scheme refs
+    (browsers do), then urljoin handles the scheme / network-path /
+    absolute-path / relative / fragment reference forms including
+    dot-segment normalization. Returns None when the inputs cannot
+    resolve (total — never raises)."""
+    from urllib.parse import urljoin, urlsplit
+
+    if not ref or not base:
+        return None
+    ref = _URL_TAB_NL.sub("", ref).strip(_C0_SPACE)
+    if not ref:
+        return None
+    try:
+        m = _SCHEME_RE.match(ref)
+        scheme = (m.group(1).lower() if m
+                  else urlsplit(base).scheme.lower())
+        if scheme in _SPECIAL_SCHEMES:
+            ref = ref.replace("\\", "/")
+        out = urljoin(base, ref)
+        return out if out else None
+    except ValueError:
+        return None
+
+
+def canonicalize_url(url: str | None):
+    """Canonical form for link-graph / dedup keys: lowercase scheme
+    and host, default port stripped (http:80, https:443, ...), empty
+    path of a special-scheme authority URL becomes "/", fragment
+    dropped (two pages differing only in fragment are the same fetch
+    target). Query strings are KEPT — they address distinct
+    resources. Total: anything unparseable comes back unchanged."""
+    from urllib.parse import urlsplit, urlunsplit
+
+    if not url:
+        return url
+    try:
+        parts = urlsplit(url)
+        scheme = parts.scheme.lower()
+        host = parts.hostname
+        if host is None:
+            netloc = parts.netloc
+        else:
+            if ":" in host:  # IPv6 literal — re-bracket
+                host = f"[{host}]"
+            userinfo = ""
+            if parts.username:
+                userinfo = parts.username
+                if parts.password:
+                    userinfo += ":" + parts.password
+                userinfo += "@"
+            netloc = userinfo + host
+            port = parts.port  # may raise ValueError (bad port)
+            if port is not None and port != _SPECIAL_SCHEMES.get(
+                    scheme):
+                netloc += f":{port}"
+        path = parts.path
+        if not path and netloc and scheme in _SPECIAL_SCHEMES:
+            path = "/"
+        return urlunsplit((scheme, netloc, path, parts.query, ""))
+    except ValueError:
+        return url
+
+
+def extract_links_resolved(text_or_bytes, base_url: str | None,
+                           content_type: str | None = None):
+    """Like :func:`extract_links` but each href is RESOLVED against
+    the document's effective base — the first ``<base href>`` (itself
+    resolved against ``base_url``, per WHATWG) or ``base_url`` — and
+    canonicalized. Returns [(raw_href, resolved_or_None)] in document
+    order; an unresolvable href keeps its raw form with None."""
+    if isinstance(text_or_bytes, (bytes, bytearray, memoryview)):
+        text, _ = decode_html(bytes(text_or_bytes), content_type)
+    else:
+        text = text_or_bytes
+    links, base_href = _scan_links(text)
+    effective = base_url
+    if base_href is not None:
+        resolved_base = resolve_url(base_href, base_url)
+        if resolved_base is not None:
+            effective = resolved_base
+        elif _SCHEME_RE.match(base_href):
+            # absolute base works even without a document URL
+            effective = base_href
+    out = []
+    for raw in links:
+        r = resolve_url(raw, effective)
+        out.append((raw, canonicalize_url(r) if r is not None
+                    else None))
+    return out
 
 
 def extract_html_links(
@@ -537,12 +659,20 @@ def extract_html_links(
     payload_col: str = "payload",
     content_type_col: str | None = "content_type",
     uri_col: str = "uri",
+    resolve: bool = True,
 ) -> DataFrame:
-    """Spark operator: explode each HTML payload into (src_uri, href,
-    link_pos) edge rows — the raw material of a crawl's link graph
-    (frontier expansion, in-degree quality signals, PageRank).
+    """Spark operator: explode each HTML payload into link-graph edge
+    rows — the raw material of a crawl's frontier expansion,
+    in-degree quality signals, and PageRank. With ``resolve=True``
+    (the default — real pages mix absolute and relative hrefs, and a
+    graph keyed on verbatim hrefs conflates them) each href is
+    resolved against the record URI with ``<base href>`` precedence
+    and canonicalized (lowercase scheme/host, default-port strip,
+    fragment drop); output is (src_uri, href, raw_href, link_pos)
+    with ``href`` the canonical form (null when unresolvable).
+    ``resolve=False`` keeps the verbatim 3-column shape.
     Partition-preserving mapInPandas: page bytes never shuffle, only
-    the edge rows (two strings + an int) leave the scan stage."""
+    the edge rows (a few strings + an int) leave the scan stage."""
     import pandas as pd
 
     has_ct = content_type_col is not None and \
@@ -558,10 +688,20 @@ def extract_html_links(
                     continue
                 uri = pdf[uri_col].iloc[j]
                 ct = cts.iloc[j] if cts is not None else None
-                for k, href in enumerate(extract_links(payload, ct)):
-                    rows.append((uri, href, k))
-            yield pd.DataFrame(
-                rows, columns=["src_uri", "href", "link_pos"])
+                if resolve:
+                    for k, (raw, res) in enumerate(
+                            extract_links_resolved(payload, uri,
+                                                   ct)):
+                        rows.append((uri, res, raw, k))
+                else:
+                    for k, href in enumerate(
+                            extract_links(payload, ct)):
+                        rows.append((uri, href, k))
+            cols = (["src_uri", "href", "raw_href", "link_pos"]
+                    if resolve else ["src_uri", "href", "link_pos"])
+            yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(
-        _links, "src_uri string, href string, link_pos int")
+    schema = ("src_uri string, href string, raw_href string, "
+              "link_pos int") if resolve else \
+        "src_uri string, href string, link_pos int"
+    return df.mapInPandas(_links, schema)

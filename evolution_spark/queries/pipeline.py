@@ -950,34 +950,61 @@ def crawl_html_pipeline(spark, sf_dir):
     "warc_link_graph",
     oracle="""
     WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 20),
-    e AS (
-      SELECT i AS src, (i + j.v * 7) % 20 AS dst
+    v_edges AS (
+      SELECT i AS src,
+             ((i + j.v * 7) % 20) % 2 * 100 + (i + j.v * 7) % 20
+               AS page_key
       FROM ids CROSS JOIN (SELECT UNNEST(range(1, 4)) AS v) j
       WHERE j.v < 2 + i % 3
+    ),
+    base_edges AS (
+      SELECT i AS src, 100 + (i * 3) % 20 AS page_key
+      FROM ids WHERE i % 5 = 1
+    ),
+    frag_edges AS (
+      -- pages WITH a <base href> resolve their fragment-only link
+      -- against the base URL (WHATWG quirk), which has no /pNN path
+      -- and falls outside the internal predicate
+      SELECT i AS src, (i % 2) * 100 + i AS page_key
+      FROM ids WHERE i % 5 <> 1
+    ),
+    e AS (
+      SELECT * FROM v_edges
+      UNION ALL SELECT * FROM base_edges
+      UNION ALL SELECT * FROM frag_edges
     )
-    SELECT dst AS page,
+    SELECT page_key,
            CAST(COUNT(*) AS BIGINT) AS in_degree,
            CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources,
            CAST(MIN(src) AS BIGINT) AS min_source
-    FROM e GROUP BY dst
+    FROM e GROUP BY page_key
     """,
 )
 def warc_link_graph(spark, sf_dir):
-    """Crawl link-graph extraction end-to-end (round 14 — the OTHER
-    half of the HTML bridge: out-links feed frontier expansion,
-    in-degree quality signals, and PageRank): 20 fixture pages carry
-    a varying number of internal ``<a href>`` links ((i + 7j) mod 20
-    for j = 1..1+i%3), an external-domain link on every fifth page
-    (must be FILTERED by the internal-link predicate), and a
-    ``<script>`` body containing a decoy ``<a href="/page99">`` (the
-    raw-text skip rule — a scanner that reads script bodies as markup
-    shifts every count). ``extract_html_links`` explodes pages into
-    (src, href, pos) rows; the in-degree aggregate is recomputed
-    closed-form by DuckDB.
+    """Crawl link-graph extraction end-to-end, now over RESOLVED
+    canonical URLs (round 15 — real pages mix absolute and relative
+    hrefs; a graph keyed on verbatim hrefs conflates them). 20
+    fixture pages live at mixed-case-host default-port URLs
+    ``http://G.Example.COM:80/d{i%2}/p{i}`` and carry internal links
+    to dst=(i+7v)%20 for v=1..1+i%3, each written in a DIFFERENT
+    reference form — absolute-path (v=1), scheme-relative with
+    uppercase host + explicit :80 (v=2, canonicalization), dot-
+    segment relative ``../d{k}/p{dst}`` (v=3). Pages with i%5==1
+    add a ``<base href>`` pointing at /d1/ and a PLAIN-relative link
+    that must resolve against the base (ignoring the base flips its
+    directory and fails the hash). Every page has a ``#frag`` self
+    link (fragment drop -> one self edge — except on base pages,
+    where WHATWG resolves fragment-only refs against the BASE URL,
+    which the internal predicate excludes), a ``mailto:`` link and an
+    every-fifth-page external link (excluded by the internal
+    predicate), and a ``<script>`` decoy href (raw-text skip). The
+    page key is dir*100+dst so a wrong directory — the visible
+    symptom of every resolution bug — shifts the key. DuckDB
+    recomputes the in-degree aggregate closed-form.
 
     Scale shape: link extraction is partition-preserving (page bytes
-    never shuffle; only (uri, href, int) rows leave the scan); the
-    in-degree aggregate reduces map-side. Ref parity: extension
+    never shuffle; only (uri, href, raw, int) rows leave the scan);
+    the in-degree aggregate reduces map-side. Ref parity: extension
     surface."""
     import os
 
@@ -993,21 +1020,37 @@ def warc_link_graph(spark, sf_dir):
         recs = []
         for j in range(10):
             i = fk * 10 + j
-            links = "".join(
-                f'<a href="/page{(i + v * 7) % 20:02d}">l{v}</a> '
-                for v in range(1, 2 + i % 3)
-            )
-            ext = (f'<a href="https://ext.example.org/{i}">ext</a>'
-                   if i % 5 == 0 else "")
+            parts = []
+            for v in range(1, 2 + i % 3):
+                dst = (i + v * 7) % 20
+                k = dst % 2
+                if v == 1:
+                    href = f"/d{k}/p{dst:02d}"
+                elif v == 2:
+                    href = f"//G.EXAMPLE.COM:80/d{k}/p{dst:02d}"
+                else:
+                    href = f"../d{k}/p{dst:02d}"
+                parts.append(f'<a href="{href}">l{v}</a> ')
+            base_tag = ""
+            if i % 5 == 1:
+                base_tag = '<base href="http://g.example.com/d1/">'
+                parts.append(
+                    f'<a href="p{(i * 3) % 20:02d}">b</a> ')
+            parts.append('<a href="#frag">self</a> ')
+            parts.append('<a href="mailto:u@e.x">m</a> ')
+            if i % 5 == 0:
+                parts.append(
+                    f'<a href="https://ext.example.org/{i}">ext</a>')
             doc = (
-                f"<html><head><title>P{i}</title>"
-                "<script>var decoy = '<a href=\"/page99\">';</script>"
-                f"</head><body><p>{links}{ext}</p></body></html>"
+                f"<html><head>{base_tag}<title>P{i}</title>"
+                "<script>var decoy = '<a href=\"/d0/p99\">';</script>"
+                f"</head><body><p>{''.join(parts)}</p></body></html>"
             )
             payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
                        b"\r\n\r\n" + doc.encode())
             recs.append(build_warc_record(
-                "response", f"http://g.example.com/{i:02d}",
+                "response",
+                f"http://G.Example.COM:80/d{i % 2}/p{i:02d}",
                 "2026-01-01T00:00:00Z", payload, f"<urn:uuid:g-{i}>",
                 content_type="application/http; msgtype=response"))
         p = os.path.join(tmp, f"crawl-{fk}.warc.gz")
@@ -1020,15 +1063,18 @@ def warc_link_graph(spark, sf_dir):
         & F.col("content_type").contains("text/html")
     )
     edges = extract_html_links(pages)
-    internal = edges.where(F.col("href").rlike(r"^/page\d{2}$"))
+    internal = edges.where(
+        F.col("href").rlike(r"^http://g\.example\.com/d[01]/p\d{2}$"))
     return (
         internal.select(
-            F.regexp_extract("src_uri", r"/(\d+)$", 1)
+            F.regexp_extract("src_uri", r"/p(\d+)$", 1)
             .cast("bigint").alias("src"),
-            F.regexp_extract("href", r"^/page(\d+)$", 1)
-            .cast("bigint").alias("page"),
+            (F.regexp_extract("href", r"/d([01])/", 1)
+             .cast("bigint") * 100
+             + F.regexp_extract("href", r"/p(\d+)$", 1)
+             .cast("bigint")).alias("page_key"),
         )
-        .groupBy("page")
+        .groupBy("page_key")
         .agg(
             F.count(F.lit(1)).alias("in_degree"),
             F.countDistinct("src").alias("n_sources"),

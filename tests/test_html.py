@@ -242,8 +242,11 @@ def test_extract_html_links_spark(spark):
     df = spark.createDataFrame(
         rows, "uri string, payload binary, content_type string")
     got = extract_html_links(df).orderBy("src_uri", "link_pos").collect()
-    assert [(r.src_uri, r.href, r.link_pos) for r in got] == [
-        ("http://h/0", "/x", 0), ("http://h/0", "/y", 1)]
+    # resolve=True default (round 15): href is canonical, raw kept
+    assert [(r.src_uri, r.href, r.raw_href, r.link_pos)
+            for r in got] == [
+        ("http://h/0", "http://h/x", "/x", 0),
+        ("http://h/0", "http://h/y", "/y", 1)]
 
 
 def test_review_pass_robustness_fixes():
@@ -309,3 +312,94 @@ def test_review_pass_3_offset_and_prescan():
     assert sniff_charset(
         b'<meta http-equiv="content-type" '
         b'content="text/html; charset=ISO-8859-1">') == ("cp1252", 0)
+
+
+def test_url_resolution_unit():
+    """round 15 (judge ask 3): WHATWG basic resolution forms, base
+    href precedence, canonicalization (case/port/fragment/backslash),
+    total behavior on junk."""
+    from evolution_spark.operators.html import (
+        canonicalize_url,
+        extract_links_resolved,
+        resolve_url,
+    )
+
+    base = "http://G.Example.COM:80/d0/p00"
+    for ref, want in [
+        ("p07", "http://g.example.com/d0/p07"),          # relative
+        ("../d1/p07", "http://g.example.com/d1/p07"),    # dot-segment
+        ("/d1/p07", "http://g.example.com/d1/p07"),      # abs-path
+        ("//G.EXAMPLE.COM:80/d1/p07",
+         "http://g.example.com/d1/p07"),                 # net-path
+        ("#top", "http://g.example.com/d0/p00"),         # fragment
+        ("\\d1\\p07", "http://g.example.com/d1/p07"),    # backslashes
+        ("HtTpS://Ex.COM:443/a?q=1#f",
+         "https://ex.com/a?q=1"),                        # abs URL
+        ("  http://h/x\t\n  ", "http://h/x"),            # WHATWG trim
+        ("mailto:u@e.x", "mailto:u@e.x"),                # non-special
+    ]:
+        assert canonicalize_url(resolve_url(ref, base)) == want, ref
+    assert resolve_url("", base) is None
+    assert resolve_url("x", None) is None
+    assert resolve_url(None, base) is None
+    # empty path of an authority URL -> "/"
+    assert canonicalize_url("HTTP://Host.COM") == "http://host.com/"
+    # non-default port kept; IPv6 brackets survive
+    assert canonicalize_url("http://h:8080/x") == "http://h:8080/x"
+    assert canonicalize_url("http://[::1]:8080/x") == \
+        "http://[::1]:8080/x"
+    # userinfo preserved
+    assert canonicalize_url("http://U:pw@H.com:80/") == \
+        "http://U:pw@h.com/"
+    # junk comes back unchanged, never raises
+    assert canonicalize_url("http://h:99999/x") == "http://h:99999/x"
+
+    html = (b'<html><head><base href="http://g.example.com/d1/">'
+            b'<base href="/IGNORED/"></head><body>'
+            b'<a href="p03">x</a><a href="../d0/p04">y</a>'
+            b'<a href="bad\x01url%">z</a>'
+            b"<script>var a='<a href=\"/page99\">';</script>"
+            b'</body></html>')
+    got = extract_links_resolved(html, "http://G.Example.COM:80/d0/p00")
+    # FIRST base wins; second ignored; script decoy skipped
+    assert got[0] == ("p03", "http://g.example.com/d1/p03")
+    assert got[1] == ("../d0/p04", "http://g.example.com/d0/p04")
+    assert len(got) == 3
+    # absolute <base> works without a document URL
+    got = extract_links_resolved(html, None)
+    assert got[0][1] == "http://g.example.com/d1/p03"
+    # no base element, no document URL -> unresolvable, raw kept
+    from evolution_spark.operators.html import extract_links
+    plain = b'<a href="rel/x">r</a>'
+    assert extract_links(plain) == ["rel/x"]
+    from evolution_spark.operators.html import extract_links_resolved as elr
+    assert elr(plain, None) == [("rel/x", None)]
+
+
+def test_extract_html_links_resolved_spark(spark):
+    """resolve=True default: 4-column schema with canonical hrefs;
+    resolve=False keeps the verbatim 3-column shape."""
+    import pandas as pd
+
+    from evolution_spark.operators.html import extract_html_links
+
+    pdf = pd.DataFrame({
+        "uri": ["http://A.com:80/dir/page1", "http://b.com/x"],
+        "content_type": ["text/html", "text/html"],
+        "payload": [
+            b'<a href="other">o</a><a href="#f">s</a>',
+            b'<base href="http://c.com/base/"><a href="q">q</a>',
+        ],
+    })
+    df = spark.createDataFrame(pdf)
+    rows = extract_html_links(df).collect()
+    got = {(r.src_uri, r.raw_href): r.href for r in rows}
+    assert got[("http://A.com:80/dir/page1", "other")] == \
+        "http://a.com/dir/other"
+    assert got[("http://A.com:80/dir/page1", "#f")] == \
+        "http://a.com/dir/page1"
+    assert got[("http://b.com/x", "q")] == "http://c.com/base/q"
+    raw_rows = extract_html_links(df, resolve=False).collect()
+    assert set(raw_rows[0].asDict().keys()) == {
+        "src_uri", "href", "link_pos"}
+    assert sorted(r.href for r in raw_rows) == ["#f", "other", "q"]
