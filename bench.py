@@ -252,6 +252,8 @@ BENCH_QUERIES = [
     "crawl_html_pipeline",
     "warc_link_graph",
     "warc_corrupt_skip",
+    # batch-24: round-15 additions (first-recorded = their baseline)
+    "crawl_url_dedup",
 ]
 
 # Registered queries deliberately NOT in the bench suite: basic

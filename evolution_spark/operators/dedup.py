@@ -564,3 +564,92 @@ def collapse_revisits(df: DataFrame) -> DataFrame:
             "dup_bytes_saved", F.col("n_revisits") * F.col("n_bytes")
         )
     )
+
+
+def dedup_crawl_urls(df: DataFrame, uri_col: str = "uri") -> DataFrame:
+    """Canonical-URL + payload-digest two-level crawl dedup — the
+    standard Common Crawl curation step BEFORE content dedup (and the
+    :func:`collapse_revisits` sibling for archives without revisit
+    records).
+
+    Level 1 — CAPTURE collapse: recrawls of the same fetch target
+    arrive under trivially-different URIs (host case, explicit
+    default port, fragment). Group on the canonical URL (the same
+    ``canonicalize_url`` the link graph uses: lowercase scheme/host,
+    default-port strip, fragment drop) and keep the LATEST capture by
+    ``WARC-Date`` (tie: smallest record_id — deterministic re-runs).
+    ``n_captures`` counts the collapsed group.
+
+    Level 2 — CONTENT-alias collapse among the URL winners: distinct
+    URLs serving byte-identical payloads (mirrors, tracking-parameter
+    twins that survive canonicalization, www/apex duplicates) share a
+    ``WARC-Payload-Digest``; the lexicographically-smallest canonical
+    URL becomes the representative (``rep_url``), the others are
+    flagged ``is_content_canonical = false`` with ``n_url_aliases``
+    counting the alias group beyond the representative. Records with
+    a NULL digest never collapse (unknown content is kept).
+
+    Returns one row per URL winner (both canonical and alias rows —
+    filter on ``is_content_canonical`` to materialize the deduped
+    set; aliases carry the counts an audit needs).
+
+    Scale shape: the payload column is PROJECTED AWAY before the
+    first exchange, so document bodies never shuffle — both levels
+    move (canonical_url, date, record_id, digest, n_bytes) metadata
+    only; each level is a single hash-partitioned window (URL key,
+    then digest key). Canonicalization is an Arrow-batched pandas
+    UDF (the one Python step; pure string work per row).
+
+    Ref parity: extension surface (crawl curation; the reference
+    ingests fixed-length files only — crates/evolution-slicer)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    from evolution_spark.operators.html import canonicalize_url
+
+    # explicit returnType style: the module's deferred annotations
+    # (`from __future__ import annotations`) would stringify the
+    # pd.Series hints and break pandas_udf's type inference
+    _canon = pandas_udf(
+        lambda uris: uris.map(
+            lambda u: canonicalize_url(u) if u is not None else None),
+        "string",
+    )
+
+    meta = df.where(F.col("warc_type") == "response").select(
+        "record_id", F.col(uri_col).alias("uri"),
+        _canon(F.col(uri_col)).alias("canonical_url"),
+        "date", "content_type", "http_status", "payload_digest",
+        "n_bytes",
+    )
+    w_url = Window.partitionBy("canonical_url")
+    w_pick = w_url.orderBy(F.col("date").desc(),
+                           F.col("record_id").asc())
+    winners = (
+        meta.withColumn("__rn", F.row_number().over(w_pick))
+        .withColumn("n_captures", F.count(F.lit(1)).over(w_url))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    w_digest = Window.partitionBy("payload_digest")
+    has_digest = F.col("payload_digest").isNotNull()
+    return (
+        winners
+        .withColumn(
+            "rep_url",
+            F.when(has_digest,
+                   F.min("canonical_url").over(w_digest))
+            .otherwise(F.col("canonical_url")),
+        )
+        .withColumn(
+            "n_url_aliases",
+            F.when(has_digest,
+                   F.count(F.lit(1)).over(w_digest) - F.lit(1))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "is_content_canonical",
+            F.col("canonical_url") == F.col("rep_url"),
+        )
+    )

@@ -1153,3 +1153,86 @@ def warc_corrupt_skip(spark, sf_dir):
         F.min(rid).alias("first_id"),
         F.max(rid).alias("last_id"),
     )
+
+
+@query(
+    "crawl_url_dedup",
+    oracle="""
+    WITH pages AS (SELECT doc_id AS p FROM documents WHERE doc_id < 8)
+    SELECT p AS page,
+           'urn:uuid:u-' || CAST(16 + p AS VARCHAR) AS winner_id,
+           'http://site.example.com/page' || CAST(p AS VARCHAR)
+             AS canonical_url,
+           CAST(3 AS BIGINT) AS n_captures,
+           'http://site.example.com/page'
+             || CAST((p // 2) * 2 AS VARCHAR) AS rep_url,
+           CAST(1 AS BIGINT) AS n_url_aliases,
+           CAST(CASE WHEN p % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_canonical
+    FROM pages
+    """,
+)
+def crawl_url_dedup(spark, sf_dir):
+    """Canonical-URL + digest two-level crawl dedup end-to-end
+    (round 15 — the standard CC curation step before content dedup):
+    8 fixture pages are each captured THREE times under trivially-
+    different URIs (plain, UPPERCASE host + explicit :80, #fragment)
+    at increasing WARC-Dates; ``dedup_crawl_urls`` must canonicalize
+    the variants together (level 1: keep the latest capture,
+    n_captures=3) and then collapse content aliases — page pairs
+    (2k, 2k+1) share a payload digest, so the even page of each pair
+    becomes the representative (level 2: n_url_aliases=1, the odd
+    page flagged non-canonical). DuckDB recomputes every output
+    column closed-form; a canonicalization miss splits a level-1
+    group (n_captures shifts), a wrong keep-rule changes winner_id,
+    a digest-collapse bug flips rep_url/is_canonical.
+
+    Scale shape: bodies are projected away before the first exchange
+    (payload never shuffles — the operator's contract); both levels
+    are single hash-partitioned windows on metadata. Ref parity:
+    extension surface."""
+    import os
+
+    from evolution_spark.io.warc import build_warc_record, write_warc_gz
+    from evolution_spark.io.warc import read_warc
+    from evolution_spark.operators.dedup import dedup_crawl_urls
+    from evolution_spark.queries.base import query_tmp
+
+    tmp = query_tmp("urldedup", sf_dir)
+    os.makedirs(tmp, exist_ok=True)
+    paths = []
+    for fk in range(2):
+        recs = []
+        for j in range(12):
+            i = fk * 12 + j
+            p_id, k = i % 8, i // 8
+            if k == 0:
+                uri = f"http://site.example.com/page{p_id}"
+            elif k == 1:
+                uri = f"http://SITE.EXAMPLE.COM:80/page{p_id}"
+            else:
+                uri = f"http://site.example.com/page{p_id}#frag"
+            body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+                    b"\r\n\r\n<html>" + str(p_id).encode() + b"</html>")
+            recs.append(build_warc_record(
+                "response", uri, f"2026-01-0{k + 1}T00:00:00Z",
+                body, f"<urn:uuid:u-{i}>",
+                content_type="application/http; msgtype=response",
+                extra_headers={
+                    "WARC-Payload-Digest": f"sha1:D{p_id // 2}"}))
+        p = os.path.join(tmp, f"caps-{fk}.warc.gz")
+        write_warc_gz(p, recs)
+        paths.append(p)
+    df = read_warc(spark, paths, records_per_partition=8)
+    out = dedup_crawl_urls(df)
+    return out.select(
+        F.regexp_extract("canonical_url", r"page(\d+)$", 1)
+        .cast("bigint").alias("page"),
+        F.regexp_extract("record_id", r"<(.+)>", 1).alias("winner_id"),
+        "canonical_url",
+        F.col("n_captures").cast("long").alias("n_captures"),
+        "rep_url",
+        "n_url_aliases",
+        F.col("is_content_canonical").cast("long")
+        .alias("is_canonical"),
+    )
