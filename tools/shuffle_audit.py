@@ -64,6 +64,7 @@ AUDITED = {
     "bfs_khop_reach": "per-round frontier-id joins; visited set checkpointed",
     "iceberg_v3_compaction_lifecycle": "bytes are the query's fixture writes + verification anti-joins; the compaction op itself exchanges 0 B (see the scale table below)",
     "delta_row_tracking_optimize": "bytes are fixture + verification joins; the OPTIMIZE op itself exchanges 0 B (see the scale table below)",
+    "crawl_url_dedup": "payload column projected away before the first exchange; both window levels move (url, date, id, digest, n_bytes) metadata only — bodies stay put",
 }
 
 
