@@ -686,7 +686,15 @@ def write_iceberg_table(
     if distribute and part_cols:
         from pyspark.sql import functions as F
 
-        out_df = out_df.repartition(*[F.col(c) for c in part_cols])
+        # explicit task count (the session's shuffle-partition setting —
+        # exactly what write.distribution-mode=hash does in the spec
+        # connector): a countless keyed repartition lets AQE coalesce the
+        # few-MB exchange to ONE task that then writes every partition
+        # dir serially (r15: measured 2.44 s -> 2.10 s on the 642-file
+        # months x bucket layout with the count pinned; same file layout,
+        # still one file per dir per holding task)
+        n_out = int(out_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        out_df = out_df.repartition(n_out, *[F.col(c) for c in part_cols])
     writer = out_df.write.mode("error")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
@@ -704,7 +712,21 @@ def write_iceberg_table(
     entries = []
     total_rows = 0
     dir_type = _partition_dir_types(spec_fields, ice_schema)
-    for p in sorted(data_dir.rglob("*.parquet")):
+    paths = sorted(data_dir.rglob("*.parquet"))
+    # footer reads are independent per file and IO-bound (pyarrow releases
+    # the GIL); a partitioned write can land hundreds of files, and the
+    # sequential driver-side loop was the long pole of the metadata commit
+    # (guide 5: the driver should not do per-file data work serially)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _footer(p):
+        md = pq.ParquetFile(p).metadata
+        return (md.num_rows, p.stat().st_size,
+                _file_column_bounds(p, ice_schema, md))
+
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as pool:
+        footers = list(pool.map(_footer, paths))
+    for p, (n_rows, file_size, bounds) in zip(paths, footers):
         rel = p.relative_to(data_dir)
         values: dict[str, object] = {}
         for part in rel.parts[:-1]:
@@ -715,8 +737,6 @@ def write_iceberg_table(
             raise ValueError(
                 f"partition dirs {sorted(values)} != declared {sorted(part_cols)}"
             )
-        pq_md = pq.ParquetFile(p).metadata  # one footer read per file
-        n_rows = pq_md.num_rows
         total_rows += n_rows
         entries.append(
             {
@@ -731,12 +751,11 @@ def write_iceberg_table(
                     "file_format": "PARQUET",
                     "partition": values,
                     "record_count": n_rows,
-                    "file_size_in_bytes": p.stat().st_size,
+                    "file_size_in_bytes": file_size,
                     "equality_ids": None,
                     # per-column bounds from the parquet footer (field-id
                     # keyed) — what skip_where prunes on
-                    **dict(zip(("lower_bounds", "upper_bounds"),
-                               _file_column_bounds(p, ice_schema, pq_md))),
+                    **dict(zip(("lower_bounds", "upper_bounds"), bounds)),
                 },
             }
         )
