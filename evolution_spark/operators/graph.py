@@ -107,8 +107,17 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     # one-time degree annotation, hash-partitioned on src and materialized:
     # every iteration's rank join reuses this partitioning (only the small
-    # (id, rank) side shuffles per round — the edge list never moves again)
-    ann = e.join(deg, "src").repartition("src").localCheckpoint()
+    # (id, rank) side shuffles per round — the edge list never moves again).
+    # The partition count is pinned (r15): a countless keyed repartition is
+    # AQE-coalesced on the edge list's bytes (tens of MB -> 1 partition at
+    # bench scale), and because this layout is frozen by the checkpoint,
+    # EVERY iteration's join+aggregate then runs at that collapsed
+    # parallelism — the one-time exchange decides the whole run's.
+    ann = (
+        e.join(deg, "src")
+        .repartition(e.sparkSession.sparkContext.defaultParallelism, "src")
+        .localCheckpoint()
+    )
     nodes = (
         ann.select("src").union(ann.select(F.col("dst").alias("src"))).distinct()
         .select(F.col("src").alias("id"))
@@ -177,6 +186,14 @@ def project_bipartite(
         e = (
             e.join(ldeg.where(F.col("__ld") <= max_left_degree), "l", "left_semi")
         )
+    # explicit-count spread on the join key (r15): the self-join's exchange
+    # carries only (left, right) id pairs, so AQE sizes its partition count
+    # on a few MB of ids — blind to the k^2-per-left-node pair explosion
+    # the join FANS OUT of each partition (measured sf0.1: 23M join rows
+    # from 0.6M edges; stage 3.0 s -> 1.8 s once spread). Both join sides
+    # derive from this one frame, so the pinned exchange is computed once
+    # and reused — same exchange count as before, just not collapsed.
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism, "l")
     a = e.select("l", F.col("r").alias("a"))
     b = e.select("l", F.col("r").alias("b"))
     return (
@@ -285,6 +302,12 @@ def bfs_khops(
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
+        # pinned-count layout on the join key (r15): the checkpoint freezes
+        # this frame's partitioning for every round's expansion join, and
+        # without the pin AQE coalesces the id-pair exchange to ~1
+        # partition, serializing the whole walk (same rationale as
+        # pagerank's ann frame)
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "u")
         .localCheckpoint()
     )
     frontier = (

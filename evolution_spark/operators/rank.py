@@ -133,3 +133,54 @@ def global_running_sum(
         .withColumn(out_col, F.col("__loc") + F.coalesce("__carry", F.lit(0)))
         .drop("__pid", "__loc", "__carry")
     )
+
+
+def global_running_sum_with_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+    rank_col: str = "rank",
+    n_partitions: int | None = None,
+    cut_lineage: bool = True,
+) -> DataFrame:
+    """Fused ``global_running_sum`` + ``with_global_rank`` over the SAME
+    total order (r15): one range exchange, one lineage cut, one
+    per-partition window producing cumsum AND row number together, and one
+    metadata-sized carry pass feeding BOTH the value prefix and the
+    row-count prefix. Stacking the two standalone operators costs two
+    range exchanges and two checkpoints of the full frame for what is one
+    physical layout — measured on revenue_concentration (sf0.1): build
+    phase 12 jobs -> 6. Tie handling matches the standalone ops: equal
+    order keys receive intra-tie cum/rank values in partition-placement
+    order (callers needing determinism add a tiebreak column, exactly as
+    before)."""
+    spark = df.sparkSession
+    n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    stamped = parted.withColumn("__pid", F.spark_partition_id())
+    if cut_lineage:
+        stamped = stamped.localCheckpoint()
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = stamped.withColumn("__loc", F.sum(value_col).over(w_local)).withColumn(
+        "__rn", F.count(F.lit(1)).over(w_local)
+    )
+    totals = stamped.groupBy("__pid").agg(
+        F.sum(value_col).alias("__tot"), F.count(F.lit(1)).alias("__cnt")
+    )
+    w_carry = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    carries = totals.select(
+        "__pid",
+        F.sum("__tot").over(w_carry).alias("__carry"),
+        F.coalesce(F.sum("__cnt").over(w_carry), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(carries), "__pid")
+        .withColumn(out_col, F.col("__loc") + F.coalesce("__carry", F.lit(0)))
+        .withColumn(rank_col, F.col("__off") + F.col("__rn"))
+        .drop("__pid", "__loc", "__rn", "__carry", "__off")
+    )

@@ -1371,15 +1371,20 @@ def revenue_concentration(spark, sf_dir):
     partition + metadata-sized carries — no single-task window, unlike
     the oracle's formulation); the crossing detection is a one-row
     aggregate with the totals broadcast in."""
-    from evolution_spark.operators.rank import global_running_sum, with_global_rank
+    from evolution_spark.operators.rank import global_running_sum_with_rank
 
     o = table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
     )
     neg = cust.withColumn("__negc", -F.col("cents"))
-    run = global_running_sum(neg, ["__negc", "o_custkey"], "cents", out_col="cum")
-    run = with_global_rank(run, ["__negc", "o_custkey"], rank_col="r")
+    # fused cum+rank (r15): one range exchange + one checkpoint instead of
+    # the stacked global_running_sum -> with_global_rank pair, which paid
+    # the identical range layout twice (keys are unique, so cum and rank
+    # are bit-identical to the stacked form)
+    run = global_running_sum_with_rank(
+        neg, ["__negc", "o_custkey"], "cents", out_col="cum", rank_col="r"
+    )
     tot = cust.agg(
         F.sum("cents").alias("t"), F.count(F.lit(1)).alias("nc")
     )

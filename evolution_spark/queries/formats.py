@@ -268,7 +268,13 @@ def avro_roundtrip_events(spark, sf_dir):
 
     e = table(spark, sf_dir, "events")
     tmp = query_tmp("avro", sf_dir)
-    write_avro(e, tmp)
+    # rebalance before the file-per-partition sink (r15, guide §6 file
+    # sizing): the single-row-group source scan is one partition, which
+    # would serialize the whole Python encode into one file AND the
+    # read-back decode into one task (the source parallelizes per file).
+    # A round-robin spread to defaultParallelism is the standard pre-sink
+    # rebalance; the roundtrip aggregate is placement-invariant.
+    write_avro(e.repartition(spark.sparkContext.defaultParallelism), tmp)
     back = read_avro(spark, tmp, e.schema)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

@@ -1654,3 +1654,37 @@ def test_cap_payload_partitions_exact_global_bins(spark):
     # nothing lost or duplicated
     assert sorted(capped.select("media_id").rdd.flatMap(
         lambda r: r).collect()) == list(range(12))
+
+
+def test_global_running_sum_with_rank_matches_stacked_ops(spark):
+    """r15 fusion: the one-exchange cum+rank operator must equal the
+    stacked global_running_sum -> with_global_rank pipeline at every row
+    (unique keys), for any partition count."""
+    import random
+
+    from evolution_spark.operators.rank import (
+        global_running_sum,
+        global_running_sum_with_rank,
+        with_global_rank,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(-9, 9)) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long")
+    for n in (1, 3, 16):
+        stacked = {
+            (r.k): (r.running, r.rank)
+            for r in with_global_rank(
+                global_running_sum(df, ["k"], "v", n_partitions=n),
+                ["k"],
+                n_partitions=n,
+            ).collect()
+        }
+        fused = {
+            (r.k): (r.running, r.rank)
+            for r in global_running_sum_with_rank(
+                df, ["k"], "v", n_partitions=n
+            ).collect()
+        }
+        assert fused == stacked, f"n_partitions={n}"
