@@ -59,9 +59,29 @@ def edit_distance_join(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with levenshtein(s_a, s_b) <= k.
 
-    Returns (id_a, id_b, dist). Exact — the segment filter is lossless
-    (pigeonhole over k+1 segments), verification is exact Levenshtein.
+    Returns (id_a, id_b, dist). Exact — the candidate filter is lossless,
+    verification is exact Levenshtein.
+
+    Strategy: for k == 1 the candidate keys are DELETION VARIANTS
+    (FastSS, Bocek et al. 2007): each string joins on itself plus its
+    |s| one-character deletions. If ed(s, t) <= 1 the two variant sets
+    intersect (equal -> s itself; deletion/insertion -> the shorter
+    string is a variant of the longer; substitution -> deleting the
+    substituted position from both gives the same string), so the
+    equality join is a lossless candidate filter. Unlike the k+1-segment
+    pigeonhole, no key is a short shared SUBSTRING: corpora with a
+    constant prefix/suffix (catalog names, URLs, file paths — any
+    "PREFIX#<number>" shape) make some segment identical across ALL
+    rows, which degenerates the segment join into the cross product the
+    operator exists to avoid. Deletion variants keep every distinguishing
+    character in the key, so co-frequency tracks true near-duplicates.
+    Cost: |s|+1 keys of |s|-1 chars per row (vs O(k^3) constant-count
+    segment keys) — the right trade for match/name-length strings; for
+    k >= 2 the variant count is C(|s|, k)-shaped, so the PassJoin
+    segment path below stays the general algorithm.
     """
+    if k == 1:
+        return _deletion_variant_join_k1(df, id_col, str_col)
     s = df.select(
         F.col(id_col).alias("__id"),
         F.col(str_col).alias("__s"),
@@ -151,3 +171,37 @@ def edit_distance_join(
         )
         .where(F.col("dist") <= k)
     )
+
+
+def _deletion_variant_join_k1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
+    """FastSS candidate join for k == 1 (see edit_distance_join docstring
+    for the losslessness argument). array_distinct collapses the repeated
+    variants a run of equal characters produces ("aab" deletes to "ab"
+    twice), so each row emits each distinct key once."""
+    s = df.select(F.col(id_col).alias("__id"), F.col(str_col).alias("__s"))
+    sc, ln = F.col("__s"), F.length("__s")
+    dels = F.when(
+        ln > 0,
+        F.transform(
+            F.sequence(F.lit(1), ln),
+            lambda i: F.concat(
+                sc.substr(F.lit(1), i - F.lit(1)), sc.substr(i + F.lit(1), ln)
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    keyed = s.select(
+        "__id", "__s", F.explode(F.array_distinct(F.concat(F.array(sc), dels))).alias("__v")
+    )
+    pairs = (
+        keyed.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"), "__v")
+        .join(
+            keyed.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"), "__v"),
+            "__v",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "__sa", "id_b", "__sb")
+        .distinct()
+    )
+    return pairs.select(
+        "id_a", "id_b", F.levenshtein("__sa", "__sb").alias("dist")
+    ).where(F.col("dist") <= 1)

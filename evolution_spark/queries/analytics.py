@@ -767,19 +767,39 @@ def brand_association_rules(spark, sf_dir):
     counts in both engines, so the top-k ordering is bit-deterministic."""
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
-        l.join(p, l.l_partkey == p.p_partkey)
+    # ONE shuffle on the order key builds the distinct per-order brand
+    # SET (collect_set = the old distinct + self-join's grouping in one
+    # pass); pairs come from an in-row sorted-array explode — per-order
+    # brand count is single-digit, so the k^2 fan-out is bounded and
+    # never crosses an exchange. The three consumers (pairs, brand
+    # marginals, order count) hang off the same subtree; ReuseExchange
+    # dedupes the one shuffle write, so re-aggregation per consumer is
+    # post-shuffle-read only (A/B'd against an eager localCheckpoint,
+    # which cost more than it saved at every scale tried).
+    sets_df = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
-        .distinct()
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("b")).alias("bs"))
     )
-    total = baskets.agg(F.count_distinct("o").alias("n"))
-    brand_n = baskets.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
-    a = baskets.select("o", F.col("b").alias("lhs"))
-    c = baskets.select("o", F.col("b").alias("rhs"))
+    total = sets_df.agg(F.count(F.lit(1)).alias("n"))
+    brand_n = sets_df.select(F.explode("bs").alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    bs = F.col("bs")
+    # ascending in-row pairs (lhs < rhs comes free from the sorted set)
+    pair_structs = F.flatten(
+        F.transform(
+            bs,
+            lambda x, i: F.transform(
+                F.slice(bs, i + F.lit(2), F.size(bs)),
+                lambda y: F.struct(x.alias("lhs"), y.alias("rhs")),
+            ),
+        )
+    )
     pairs = (
-        a.join(c, "o")
-        .where(F.col("lhs") < F.col("rhs"))
-        .groupBy("lhs", "rhs")
+        sets_df.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.lhs").alias("lhs"), F.col("pr.rhs").alias("rhs"))
         .agg(F.count(F.lit(1)).alias("nab"))
         .where(F.col("nab") >= 5)
     )

@@ -312,7 +312,8 @@ def pq_encode_codes(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     cb = pq_train(e, "vec_id", "embedding", n_codes=PQ_CODES, scale=PQ_SCALE)
     enc = pq_encode(e, cb, "vec_id", "embedding",
-                    n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE)
+                    n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE,
+                    dims_per_subspace=64 // PQ_SUBSPACES)
     return enc.select(
         "vec_id",
         F.array_join(F.transform("codes", lambda c: c.cast("string")), ",").alias("codes"),
@@ -438,7 +439,8 @@ def _ivf_pq_setup(spark, sf_dir):
         [(cb_rows,)], "__pq array<struct<code:int,cen:array<bigint>>>"
     )
     enc = pq_encode(e, cb_lit, "vec_id", "embedding",
-                    n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE)
+                    n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE,
+                    dims_per_subspace=64 // PQ_SUBSPACES)
 
     # IVF cells: the 8 smallest-hash training vectors double as cell
     # centroids (ranks 0-7 of the same deterministic sample); probe cells
