@@ -48,6 +48,12 @@ def norm(a) -> Column:
 
 
 def cosine(a, b) -> Column:
+    # NOTE (r15): an element_at-unrolled dot (no zip_with/aggregate) was
+    # A/B'd here and measured 2-5x SLOWER in every top-level expression
+    # context (projection, join filter) — the HOF fold wins outside HOF
+    # lambdas; only operators/pq.py's INNER distance (already inside a
+    # transform lambda, where everything is interpreted) benefits from
+    # unrolling. Keep the fold.
     return dot(a, b) / (norm(a) * norm(b))
 
 

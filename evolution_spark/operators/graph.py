@@ -310,24 +310,28 @@ def bfs_khops(
         .repartition(edges.sparkSession.sparkContext.defaultParallelism, "u")
         .localCheckpoint()
     )
-    frontier = (
+    # ONE maintained (node, hop) visited set, checkpointed ONCE per round
+    # (r15: the frontier is visited filtered to the last hop — deriving it
+    # from the checkpointed union instead of checkpointing it separately
+    # halves the per-round materialization jobs). The anti-join is a
+    # single join per round (not one per earlier layer, which would be
+    # O(max_hops^2) joins over a deep walk), and the checkpoint keeps
+    # lineage O(1).
+    visited = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("hop", F.lit(0))
         .localCheckpoint()
     )
-    # ONE maintained visited set, checkpointed per round: the anti-join is
-    # a single join per round (not one per earlier layer, which would be
-    # O(max_hops^2) joins over a deep walk), and the checkpoint keeps its
-    # lineage O(1) like the frontier's
-    visited = frontier
     for h in range(1, max_hops + 1):
+        frontier = visited.where(F.col("hop") == h - 1)
         nxt = (
             frontier.join(e, frontier["node"] == e["u"])
             .select(F.col("v").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
         )
-        frontier = nxt.withColumn("hop", F.lit(h)).localCheckpoint()
-        visited = visited.unionByName(frontier).localCheckpoint()
+        visited = visited.unionByName(
+            nxt.withColumn("hop", F.lit(h))
+        ).localCheckpoint()
     return visited
