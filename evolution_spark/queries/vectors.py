@@ -438,9 +438,14 @@ def _ivf_pq_setup(spark, sf_dir):
     cb_lit = spark.createDataFrame(
         [(cb_rows,)], "__pq array<struct<code:int,cen:array<bigint>>>"
     )
+    # NOTE (r15): dims_per_subspace deliberately NOT passed here — the
+    # unrolled encode is ~30% SLOWER in this query family (the codes
+    # column is consumed in cell-prune filters and the ADC join, where
+    # the flat expression tree loses to the HOF fold; same finding as
+    # functions/vectors.cosine). Only pq_encode_codes (projection-only
+    # consumer) uses the unrolled path.
     enc = pq_encode(e, cb_lit, "vec_id", "embedding",
-                    n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE,
-                    dims_per_subspace=64 // PQ_SUBSPACES)
+                    n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE)
 
     # IVF cells: the 8 smallest-hash training vectors double as cell
     # centroids (ranks 0-7 of the same deterministic sample); probe cells
