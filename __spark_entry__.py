@@ -78,11 +78,22 @@ def _coverage_priority() -> list[str]:
 
     reg_order = {n: i for i, n in enumerate(QUERIES)}
 
+    # Queries whose internals were changed by the r15/r16 optimization
+    # rounds but which the rotating oracle sample has not re-hashed since:
+    # front them (r15 verdict item 3) so the driver confirms the rewrites,
+    # ahead of merely-stale green queries.
+    promote = {
+        "bfs_khop_reach", "dedup_ngram_jaccard", "map_functions",
+        "pq_encode_codes", "iceberg_partition_transforms",
+    }
+
     def key(name: str):
         if name in last_round and not last_green[name]:
             return (0, 0, reg_order[name])          # failed last check: re-verify now
         if name not in last_round:
             return (1, 0, reg_order[name])          # never driver-checked
+        if name in promote and last_round[name] < 16:
+            return (1, 1, reg_order[name])          # optimizer-touched, unsampled
         if last_rows_only.get(name) and name in ORACLES:
             # last check was the weaker rows-only form but an oracle exists
             # NOW (added after that check): promote so the hash check runs

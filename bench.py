@@ -440,9 +440,13 @@ def main() -> int:
     # So: print a SHORT final line the tail buffer always holds whole, and
     # write the full per-query map to a committed artifact next to this
     # script (override with $BENCH_FULL_OUT) for round-over-round diffing.
+    # Default full-output name embeds the core count so a scaling run at a
+    # different $SPARK_GRAFT_CPUS cannot clobber the main run's per-query
+    # record (r15 lost its 32-core full data exactly this way).
     full_path = os.environ.get(
         "BENCH_FULL_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     f"BENCH_FULL_c{cpus}.json"),
     )
     full = {
         "metric": "headline_query_suite_wall_time",

@@ -693,7 +693,14 @@ def write_iceberg_table(
         # dir serially (r15: measured 2.44 s -> 2.10 s on the 642-file
         # months x bucket layout with the count pinned; same file layout,
         # still one file per dir per holding task)
-        n_out = int(out_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            n_out = int(
+                out_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except ValueError:
+            # deployments may set the conf to a non-numeric value (e.g.
+            # "auto"); mirror the other pinned-count sites' fallback
+            n_out = out_df.sparkSession.sparkContext.defaultParallelism
         out_df = out_df.repartition(n_out, *[F.col(c) for c in part_cols])
     writer = out_df.write.mode("error")
     if part_cols:

@@ -55,7 +55,8 @@ def _segments(col, length, k: int):
 
 
 def edit_distance_join(
-    df: DataFrame, id_col: str, str_col: str, k: int = 2
+    df: DataFrame, id_col: str, str_col: str, k: int = 2,
+    k1_max_len: int = 64,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with levenshtein(s_a, s_b) <= k.
 
@@ -76,17 +77,40 @@ def edit_distance_join(
     operator exists to avoid. Deletion variants keep every distinguishing
     character in the key, so co-frequency tracks true near-duplicates.
     Cost: |s|+1 keys of |s|-1 chars per row (vs O(k^3) constant-count
-    segment keys) — the right trade for match/name-length strings; for
-    k >= 2 the variant count is C(|s|, k)-shaped, so the PassJoin
-    segment path below stays the general algorithm.
+    segment keys) — the right trade for match/name-length strings, but
+    O(|s|^2) key bytes per row, which regresses LONG-string corpora. So
+    the k==1 dispatch is banded by ``k1_max_len`` (r16, per advisor):
+    strings of length <= cap pair via deletion variants; pairs with a
+    member longer than the cap go through the segment path restricted to
+    strings of length >= cap. ed<=1 bounds the length gap at 1, so a pair
+    with one member > cap has BOTH members >= cap — the two bands are
+    jointly complete, and the segment band keeps only pairs whose longer
+    member exceeds the cap, so they are disjoint (no duplicate pairs).
+    ``k1_max_len <= 0`` forces the segment path outright.
     """
-    if k == 1:
-        return _deletion_variant_join_k1(df, id_col, str_col)
     s = df.select(
         F.col(id_col).alias("__id"),
         F.col(str_col).alias("__s"),
         F.length(str_col).alias("__len"),
     )
+    if k == 1 and k1_max_len > 0:
+        short = _deletion_variant_join_k1(
+            s.where(F.col("__len") <= k1_max_len)
+        )
+        longer = _segment_join(
+            s.where(F.col("__len") >= k1_max_len), 1,
+            require_longer_than=k1_max_len,
+        )
+        return short.unionByName(longer)
+    return _segment_join(s, k)
+
+
+def _segment_join(
+    s: DataFrame, k: int, require_longer_than: int | None = None
+) -> DataFrame:
+    """PassJoin segment-filter join over a prepared (__id, __s, __len)
+    frame. ``require_longer_than`` keeps only pairs whose LONGER member
+    exceeds the given length (the k==1 band split above)."""
     # probe side: the k+1 segments of each string
     probe = s.select(
         "__id",
@@ -163,6 +187,11 @@ def edit_distance_join(
         .select("id_a", "__sa", "id_b", "__sb")
         .distinct()
     )
+    if require_longer_than is not None:
+        pairs = pairs.where(
+            F.greatest(F.length("__sa"), F.length("__sb"))
+            > require_longer_than
+        )
     return (
         pairs.select(
             "id_a",
@@ -173,12 +202,13 @@ def edit_distance_join(
     )
 
 
-def _deletion_variant_join_k1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
-    """FastSS candidate join for k == 1 (see edit_distance_join docstring
-    for the losslessness argument). array_distinct collapses the repeated
-    variants a run of equal characters produces ("aab" deletes to "ab"
-    twice), so each row emits each distinct key once."""
-    s = df.select(F.col(id_col).alias("__id"), F.col(str_col).alias("__s"))
+def _deletion_variant_join_k1(s: DataFrame) -> DataFrame:
+    """FastSS candidate join for k == 1 over a prepared (__id, __s, ...)
+    frame (see edit_distance_join docstring for the losslessness
+    argument). array_distinct collapses the repeated variants a run of
+    equal characters produces ("aab" deletes to "ab" twice), so each row
+    emits each distinct key once."""
+    s = s.select("__id", "__s")
     sc, ln = F.col("__s"), F.length("__s")
     dels = F.when(
         ln > 0,

@@ -124,6 +124,23 @@ def pq_encode(
             )["code"]
 
         codes = F.array(*[code_unrolled(j) for j in range(n_subspaces)])
+        # guard: a vector shorter than n_subspaces*dims_per_subspace would
+        # make element_at read out of range and yield silently-wrong codes
+        # (null-dist argmin); fail loudly instead. One O(1) size check per
+        # row, lazily evaluated, bit-identical output on well-formed input.
+        codes = F.when(
+            F.size(F.col("__vi")) == n_subspaces * d, codes
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("pq_encode: vector length "),
+                    F.size(F.col("__vi")).cast("string"),
+                    F.lit(
+                        f" != n_subspaces*dims_per_subspace = {n_subspaces * d}"
+                    ),
+                )
+            )
+        )
         return (
             corpus.select(F.col(id_col), _quantized(vec_col, scale).alias("__vi"))
             .crossJoin(F.broadcast(codebook))

@@ -776,8 +776,12 @@ def brand_association_rules(spark, sf_dir):
     # dedupes the one shuffle write, so re-aggregation per consumer is
     # post-shuffle-read only (A/B'd against an eager localCheckpoint,
     # which cost more than it saved at every scale tried).
+    # No explicit broadcast hint on part: it scales linearly with SF, so a
+    # forced broadcast could exceed executor memory at large scale where the
+    # planner's autoBroadcastJoinThreshold decision degrades gracefully (it
+    # still broadcasts whenever part fits, including at this fixture scale).
     sets_df = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
         .groupBy("o")
         .agg(F.sort_array(F.collect_set("b")).alias("bs"))

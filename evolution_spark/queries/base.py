@@ -67,7 +67,15 @@ def _scratch_root() -> str:
         return env
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return shm
+        # tmpfs is typically capped at 50% of RAM; only prefer it when it
+        # has real headroom (>= 4 GiB free), else large-SF fixtures could
+        # hit ENOSPC or squeeze JVM memory where plain disk would not
+        try:
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize >= 4 << 30:
+                return shm
+        except OSError:
+            pass
     return tempfile.gettempdir()
 
 

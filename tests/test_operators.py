@@ -898,6 +898,39 @@ def test_edit_distance_join_empty_strings(spark):
     assert got == {(0, 1): 1, (0, 2): 0, (1, 2): 1, (1, 3): 1}
 
 
+def test_edit_distance_join_k1_length_bands(spark):
+    """The k=1 dispatch splits by string length (deletion variants <= cap,
+    segment path >= cap): pairs straddling the cap boundary must be found
+    exactly once, long-long pairs by the segment band, short-short by the
+    variant band — verified against brute force with a tiny cap so every
+    band and the boundary are exercised."""
+    from pyspark.sql import functions as F
+
+    from evolution_spark.operators.fuzzy import edit_distance_join
+
+    # lengths 3..8 around cap=5: short(<=5), boundary (5 vs 6), long(>5)
+    strs = [
+        "abc", "abd", "abcd", "abcde", "abcdf", "abcdef", "abcdeg",
+        "abcdefg", "abcdefh", "abcdefgh", "xbcde", "xbcdef",
+    ]
+    df = spark.createDataFrame(list(enumerate(strs)), "id BIGINT, s STRING")
+    a = df.selectExpr("id id_a", "s sa")
+    b = df.selectExpr("id id_b", "s sb")
+    ref = {
+        (r.id_a, r.id_b, r.dist)
+        for r in a.crossJoin(b)
+        .where("id_a < id_b")
+        .select("id_a", "id_b", F.levenshtein("sa", "sb").alias("dist"))
+        .where(F.col("dist") <= 1)
+        .collect()
+    }
+    for cap in (0, 1, 5, 64):
+        rows = edit_distance_join(df, "id", "s", k=1, k1_max_len=cap).collect()
+        got = [(r.id_a, r.id_b, r.dist) for r in rows]
+        assert len(got) == len(set(got)), f"cap={cap}: duplicate pairs"
+        assert set(got) == ref, f"cap={cap}: {len(got)} vs {len(ref)}"
+
+
 def test_dedup_keep_best_string_ids_tie_deterministic(spark):
     """Tie-break must be the MIN id even for string ids (regression: the
     negated-id ordering cast string ids to NULL, making ties arbitrary)."""
