@@ -118,11 +118,25 @@ def pagerank(
         .repartition(e.sparkSession.sparkContext.defaultParallelism, "src")
         .localCheckpoint()
     )
-    nodes = (
-        ann.select("src").union(ann.select(F.col("dst").alias("src"))).distinct()
-        .select(F.col("src").alias("id"))
-        .localCheckpoint()
-    )
+    if symmetric:
+        # mirrored edge lists make the per-iteration "nodes LEFT JOIN
+        # contrib" reinstatement the IDENTITY: every node appears as both
+        # src and dst, so (by induction from ranks0 = all nodes) every
+        # node receives a contribution every round and the left join
+        # attaches nothing. Dropping it removes one join + one exchange
+        # per iteration (r16, guide §2.4); the node set itself is just
+        # the distinct src side (src set == dst set == node set), so the
+        # union-of-both-sides pass and its checkpoint go too. Rank VALUES
+        # are unchanged — contrib's join/sum is untouched and the rank
+        # expression is the same arithmetic.
+        nodes = ann.select(F.col("src").alias("id")).distinct()
+    else:
+        nodes = (
+            ann.select("src").union(ann.select(F.col("dst").alias("src")))
+            .distinct()
+            .select(F.col("src").alias("id"))
+            .localCheckpoint()
+        )
     ranks = nodes.select("id", F.lit(1.0).alias("rank"))
     for i in range(iters):
         contrib = (
@@ -131,16 +145,25 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
-            .select(
-                "id",
+        if symmetric:
+            ranks = contrib.select(
+                F.col("dst").alias("id"),
                 (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    F.lit(1.0 - damping) + F.lit(damping) * F.col("contrib")
                 ).alias("rank"),
             )
-        )
+        else:
+            ranks = (
+                nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping)
+                        * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
             ranks = ranks.localCheckpoint()
     return ranks

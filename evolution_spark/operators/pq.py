@@ -82,7 +82,6 @@ def pq_encode(
     vec_col: str,
     n_subspaces: int = 8,
     scale: int = 1000,
-    dims_per_subspace: int | None = None,
 ) -> DataFrame:
     """Encode each vector as ``n_subspaces`` codes: per subspace j, the
     code of the training vector whose j-th slice is L2-nearest (ties ->
@@ -90,63 +89,15 @@ def pq_encode(
     pass: the packed codebook row is broadcast, the argmin runs per corpus
     row — the corpus is never shuffled.
 
-    ``dims_per_subspace`` (= vector dim / n_subspaces), when the caller
-    knows it statically, unrolls the inner squared distance into direct
-    ``element_at`` arithmetic — no per-(code, subspace) slice/zip array
-    allocations, ~1.4x faster per row, bit-identical (measured; the full
-    unroll across codes/subspaces was also tried and is 5x SLOWER — the
-    giant expression tree defeats codegen — so only the inner loop
-    unrolls and the per-code argmin stays a higher-order function).
+    NOTE (r16): an ``element_at``-unrolled inner distance (r15) was
+    REMOVED after a clean interleaved A/B showed it ~1.7x SLOWER than
+    this slice/zip form on the projection-only consumer too (min-of-4
+    noop: 3.20 s unrolled+guard / 2.85 s unrolled / 1.84 s sliced at
+    sf0.1, 32 cores) — the 128-term flat expression tree defeats codegen
+    subexpression reuse, same failure mode as the rejected full unroll
+    and the rejected cosine unroll (functions/vectors.py).
 
     Returns (id, __vi quantized vector, codes array<int>)."""
-    if dims_per_subspace is not None:
-        d = dims_per_subspace
-
-        def code_unrolled(j: int) -> Column:
-            def d2_inner(e):
-                terms = None
-                for i in range(d):
-                    idx = j * d + i + 1
-                    dx = F.element_at(F.col("__vi"), idx) - F.element_at(
-                        e["cen"], idx
-                    )
-                    sq = dx * dx
-                    terms = sq if terms is None else terms + sq
-                return terms
-
-            return F.array_min(
-                F.transform(
-                    F.col("__pq"),
-                    lambda e: F.struct(
-                        d2_inner(e).alias("dist"), e["code"].alias("code")
-                    ),
-                )
-            )["code"]
-
-        codes = F.array(*[code_unrolled(j) for j in range(n_subspaces)])
-        # guard: a vector shorter than n_subspaces*dims_per_subspace would
-        # make element_at read out of range and yield silently-wrong codes
-        # (null-dist argmin); fail loudly instead. One O(1) size check per
-        # row, lazily evaluated, bit-identical output on well-formed input.
-        codes = F.when(
-            F.size(F.col("__vi")) == n_subspaces * d, codes
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("pq_encode: vector length "),
-                    F.size(F.col("__vi")).cast("string"),
-                    F.lit(
-                        f" != n_subspaces*dims_per_subspace = {n_subspaces * d}"
-                    ),
-                )
-            )
-        )
-        return (
-            corpus.select(F.col(id_col), _quantized(vec_col, scale).alias("__vi"))
-            .crossJoin(F.broadcast(codebook))
-            .select(F.col(id_col), F.col("__vi"), codes.alias("codes"))
-        )
-
     sub = F.size(F.col("__pq")[0]["cen"]) / n_subspaces  # dims per subspace
 
     def code_for(j: Column) -> Column:

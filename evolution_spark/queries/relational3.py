@@ -217,47 +217,32 @@ def percentile_exact(spark, sf_dir):
     values — verified bit-exact. (The sketch-based one-pass path for 100 TB
     is ``approx_percentile_prices``.)
 
-    r16: computed via the distributed rank rewrite
-    (operators/rank.grouped_exact_percentiles) instead of ``F.percentile``,
-    whose aggregation buffer holds EVERY value of a group in one reducer —
-    at sf0.1 that is a 3-task final merge buffering 600k values each; at
-    100 TB it is an OOM. The rewrite range-partitions (flag, value), reads
-    the two order statistics each percentile needs from the exact global
-    rank, and replicates Percentile.scala's interpolation term-for-term
-    (bit-identical; proven by test_grouped_exact_percentiles_* and the
-    oracle hash). Both value columns share ONE range exchange via a
-    tagged union."""
-    from evolution_spark.operators.rank import grouped_exact_percentiles
-
+    r16 note: a sort-based distributed rewrite
+    (operators/rank.grouped_exact_percentiles — bit-identical, tested)
+    exists for groups too large for the builtin's per-group (value, count)
+    aggregation buffer, but it is >= 2 full passes by construction and
+    measured 1.9x SLOWER than this one-pass aggregate at sf0.1/32c
+    (builtin 1.38 s vs 2.60 s rewrite, interleaved min-of-4), so the
+    declared query stays on the builtin; at 100 TB per-group-distinct
+    scale, switch callers to the operator."""
     l = table(spark, sf_dir, "lineitem")
-    tagged = l.select(
-        F.col("l_returnflag").alias("returnflag"),
-        F.lit(0).alias("__tag"),
-        F.col("l_extendedprice").alias("__val"),
-    ).unionByName(
-        l.select(
-            F.col("l_returnflag").alias("returnflag"),
-            F.lit(1).alias("__tag"),
-            F.col("l_quantity").alias("__val"),
+    # One percentile buffer for all three quantiles (array form) instead of
+    # three independent full-copy accumulations of the same column.
+    return (
+        l.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95))
+            ).alias("ps"),
+            F.median("l_quantity").alias("median_qty"),
         )
-    )
-    res = grouped_exact_percentiles(
-        tagged, ["__tag", "returnflag"], "__val", [0.25, 0.5, 0.95]
-    )
-
-    def pick(tag: int, p: float):
-        return F.max(
-            F.when(
-                (F.col("__tag") == tag) & (F.col("__p") == F.lit(p)),
-                F.col("__value"),
-            )
+        .select(
+            "returnflag",
+            F.col("ps")[0].alias("p25"),
+            F.col("ps")[1].alias("p50"),
+            F.col("ps")[2].alias("p95"),
+            "median_qty",
         )
-
-    return res.groupBy("returnflag").agg(
-        pick(0, 0.25).alias("p25"),
-        pick(0, 0.5).alias("p50"),
-        pick(0, 0.95).alias("p95"),
-        pick(1, 0.5).alias("median_qty"),
     )
 
 

@@ -312,8 +312,7 @@ def pq_encode_codes(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     cb = pq_train(e, "vec_id", "embedding", n_codes=PQ_CODES, scale=PQ_SCALE)
     enc = pq_encode(e, cb, "vec_id", "embedding",
-                    n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE,
-                    dims_per_subspace=64 // PQ_SUBSPACES)
+                    n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE)
     return enc.select(
         "vec_id",
         F.array_join(F.transform("codes", lambda c: c.cast("string")), ",").alias("codes"),
@@ -438,12 +437,6 @@ def _ivf_pq_setup(spark, sf_dir):
     cb_lit = spark.createDataFrame(
         [(cb_rows,)], "__pq array<struct<code:int,cen:array<bigint>>>"
     )
-    # NOTE (r15): dims_per_subspace deliberately NOT passed here — the
-    # unrolled encode is ~30% SLOWER in this query family (the codes
-    # column is consumed in cell-prune filters and the ADC join, where
-    # the flat expression tree loses to the HOF fold; same finding as
-    # functions/vectors.cosine). Only pq_encode_codes (projection-only
-    # consumer) uses the unrolled path.
     enc = pq_encode(e, cb_lit, "vec_id", "embedding",
                     n_subspaces=PQ_SUBSPACES, scale=PQ_SCALE)
 

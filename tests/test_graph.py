@@ -179,3 +179,22 @@ def test_bfs_khops_min_hop_semantics(spark):
     sources_b = spark.createDataFrame([(4,)], "node long")
     got3 = {r.node: r.hop for r in bfs_khops(edges, sources_b, 3).collect()}
     assert got3 == {4: 0}
+
+
+def test_pagerank_symmetric_fastpath_matches_general_path(spark):
+    """symmetric=True drops the per-iteration nodes-LEFT-JOIN-contrib
+    reinstatement (identity on mirrored edge lists). The ranks must match
+    the general path run on a pre-mirrored edge list (same algorithm,
+    join retained) to float tolerance (sum reduction order is the only
+    legitimate difference)."""
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e"),
+             ("e", "a"), ("b", "e"), ("f", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    fast = {r.id: r.rank for r in pagerank(df, symmetric=True, iters=4).collect()}
+    mirrored = df.union(df.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+    slow = {r.id: r.rank
+            for r in pagerank(mirrored, symmetric=False, iters=4).collect()}
+    assert set(fast) == set(slow)
+    for n in fast:
+        assert abs(fast[n] - slow[n]) < 1e-12, (n, fast[n], slow[n])
