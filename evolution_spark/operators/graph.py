@@ -325,12 +325,19 @@ def bfs_khops(
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
-        # pinned-count layout on the join key (r15): the checkpoint freezes
-        # this frame's partitioning for every round's expansion join, and
-        # without the pin AQE coalesces the id-pair exchange to ~1
-        # partition, serializing the whole walk (same rationale as
-        # pagerank's ann frame)
-        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "u")
+        # keyed layout on the join key, COUNTLESS (r16): hash-on-u means
+        # every round's expansion join reuses this one exchange when the
+        # frontier outgrows a broadcast, and AQE sizes the partition count
+        # by bytes — coalesced small here, wide at scale. r15 pinned the
+        # count to defaultParallelism instead; measured at 32c that only
+        # adds ~200 scan tasks across the walk (970 vs 778) for a frontier
+        # join that is broadcast anyway at this scale, and it was the real
+        # cause of the r15 bfs regression (interleaved A/B: pinned 2.60 s
+        # min vs 1.98 unkeyed / 2.58 keyed-countless; r14 two-checkpoint
+        # form 2.25). Unlike pagerank's ann frame, nothing here computes
+        # AT e's parallelism per round — the per-round aggregates get
+        # their parallelism from their own exchanges.
+        .repartition("u")
         .localCheckpoint()
     )
     # ONE maintained (node, hop) visited set, checkpointed ONCE per round
