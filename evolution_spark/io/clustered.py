@@ -49,17 +49,25 @@ def write_range_clustered(
     )
 
 
-def _morton_interleave(cols, bits: int):
-    """Morton (Z-curve) bit-interleave of k pre-scaled integer columns:
-    bit i of column j lands at output bit i*k + j. Static expression tree
-    (k*bits OR/shift terms), fully inside codegen — no UDF."""
-    from pyspark.sql import functions as F
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a column name for embedding in a SQL string
+    (backticks inside the name escape by doubling, per the SQL parser)."""
+    return "`" + name.replace("`", "``") + "`"
 
-    k = len(cols)
-    z = F.lit(0).cast("long")
-    for j, c in enumerate(cols):
+
+def _morton_interleave_sql(col_sqls: list[str], bits: int) -> str:
+    """Morton (Z-curve) bit-interleave of k pre-scaled integer column SQL
+    expressions: bit i of column j lands at output bit i*k + j. Static
+    expression tree (k*bits OR/shift terms), fully inside codegen — no
+    UDF. Built as ONE SQL string parsed by a single F.expr call: the
+    Column-API form issued ~4 py4j round trips per term (k*bits terms =
+    hundreds of driver->JVM calls, measured 0.26 s of the zorder build's
+    socket wait), the parsed form is one round trip for the same tree."""
+    k = len(col_sqls)
+    z = "CAST(0 AS BIGINT)"
+    for j, c in enumerate(col_sqls):
         for i in range(bits):
-            z = z.bitwiseOR(F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * k + j))
+            z = f"({z} | shiftleft((shiftright({c}, {i}) & 1), {i * k + j}))"
     return z
 
 
@@ -94,17 +102,18 @@ def zorder_dataframe(
     )
     with_stats = df.crossJoin(F.broadcast(stats))
     top = (1 << bits) - 1
+    # min-max scaling + Morton code as ONE parsed SQL expression (see
+    # _morton_interleave_sql): same expression tree as the Column-API
+    # chain, a single py4j round trip instead of hundreds
     scaled = []
     for c in cols:
-        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
-        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+        mn, mx = _quote_ident(f"__mn_{c}"), _quote_ident(f"__mx_{c}")
+        span = f"(CASE WHEN {mx} > {mn} THEN ({mx} - {mn}) ELSE 1.0D END)"
         scaled.append(
-            F.least(
-                F.floor((F.col(c).cast("double") - mn) / span * top).cast("long"),
-                F.lit(top).cast("long"),
-            )
+            f"least(CAST(floor((CAST({_quote_ident(c)} AS DOUBLE) - {mn})"
+            f" / {span} * {top}) AS BIGINT), CAST({top} AS BIGINT))"
         )
-    z = _morton_interleave(scaled, bits)
+    z = F.expr(_morton_interleave_sql(scaled, bits))
     return (
         with_stats.withColumn("__z", z)
         .repartitionByRange(n, "__z")

@@ -121,18 +121,23 @@ def per_file_constant_columns(
         and len(per_file) <= max_map_files
         and all(re.fullmatch(r"[A-Za-z0-9._=-]+", b) for b in basenames)
     ):
-        key = F.col(basename_col)
+        # each map is built as ONE parsed SQL expression: the Column-API
+        # form (2 F.lit calls per file per constant + create_map) costs
+        # ~4*N py4j round trips per map, which at ~0.5 ms each dominated
+        # the plan-construction time of every lineage scan (r16 cProfile:
+        # socket.recv_into under create_map). The parsed tree is the same
+        # map literal — basenames are regex-validated identifier-safe, so
+        # single-quoting cannot inject
+        def _sql_long(v):
+            return "CAST(NULL AS BIGINT)" if v is None else f"{int(v)}L"
+
         cols = []
         for k in range(arity):
-            m = F.create_map(*[
-                x
+            entries = ",".join(
+                f"'{p.rsplit('/', 1)[-1]}',{_sql_long(consts[k])}"
                 for p, consts in per_file
-                for x in (
-                    F.lit(p.rsplit("/", 1)[-1]),
-                    F.lit(consts[k]).cast("long"),
-                )
-            ])
-            cols.append(m[key])
+            )
+            cols.append(F.expr(f"map({entries})[`{basename_col}`]"))
         return df, cols
     schema = ", ".join(
         ["__pfc_file string"] + [f"__pfc_{k} long" for k in range(arity)]
