@@ -264,9 +264,16 @@ def transform_column(transform: str, col_name: str, source_type: str):
 
 
 def _mul32_col(col, const: int):
-    """(col * const) mod 2^32, ANSI-safe via DECIMAL(38) — the ONE 32-bit
-    multiply both JVM Murmur3 forms share. References its input exactly
-    once (Column trees have no subexpression sharing)."""
+    """(col * const) mod 2^32, ANSI-safe via DECIMAL(38) — the 32-bit
+    multiply of the single-Column Murmur3 form (``_bucket_int_expr``).
+    DECIMAL here is deliberate: this form's trees have no subexpression
+    sharing, so the 16x32 BIGINT split (which must reference ``col``
+    TWICE — see the staged lane's ``mul32`` in ``with_transform_column``)
+    doubles the subtree per use and blows the nested hash up
+    exponentially (r16: tried it, the spec-vector test went 100 s ->
+    360 s in pure plan analysis). The hot write path does not come
+    through here — ``with_transform_column`` stages through attributes
+    and uses the cheap split form."""
     from pyspark.sql import functions as F
 
     return F.pmod(
@@ -308,6 +315,28 @@ def _int_value_expr(c, source_type: str):
     return c.cast("long")
 
 
+def _int_value_sql(qc: str, source_type: str) -> str:
+    """SQL-string twin of ``_int_value_expr`` for the lateral-alias
+    staged bucket lane — same widening arithmetic per source type, kept
+    adjacent so the two forms cannot drift (the Column form remains the
+    one ``_bucket_int_expr`` uses)."""
+    if source_type == "date":
+        return f"CAST(datediff({qc}, '1970-01-01') AS BIGINT)"
+    if source_type == "timestamp":
+        days = f"CAST(datediff(to_date({qc}), '1970-01-01') AS BIGINT)"
+        secs = (
+            f"({days} * 86400 + CAST(hour({qc}) AS BIGINT) * 3600 "
+            f"+ CAST(minute({qc}) AS BIGINT) * 60)"
+        )
+        return (
+            f"({secs} * 1000000 + "
+            f"CAST(extract(SECOND FROM {qc}) * 1000000 AS BIGINT))"
+        )
+    if source_type == "timestamptz":
+        return f"unix_micros({qc})"
+    return f"CAST({qc} AS BIGINT)"
+
+
 def with_transform_column(df, out_name: str, transform: str,
                           col_name: str, source_type: str):
     """``df.withColumn(out_name, transform)`` with the integral-bucket
@@ -329,59 +358,58 @@ def with_transform_column(df, out_name: str, transform: str,
             out_name, transform_column(transform, col_name, source_type)
         )
     n = _transform_arg(transform)
-    m = F.lit(0xFFFFFFFF)
     t = f"__bkt_{out_name}"
-    mul32, rotl = _mul32_col, _rotl_col
-    c = F.col(col_name)
-    v = _int_value_expr(c, source_type)
-    df = df.withColumn(f"{t}_v", F.coalesce(v, F.lit(0)))
-    df = df.withColumn(f"{t}_k1", F.col(f"{t}_v").bitwiseAND(m))
-    df = df.withColumn(
-        f"{t}_k2", F.shiftrightunsigned(F.col(f"{t}_v"), 32).bitwiseAND(m)
-    )
-    h = F.lit(0).cast("long")
+    qc = "`" + col_name.replace("`", "``") + "`"
+
+    # the staged chain is issued as ONE selectExpr whose items reference
+    # earlier items by LATERAL COLUMN ALIAS (Spark 3.4+): the analyzer
+    # expands that into exactly the nested Projects the old 20-withColumn
+    # chain built, but the driver pays ONE py4j round trip instead of
+    # ~150 (r16 cProfile: with_transform_column was 0.5 s of the
+    # partitioned-write build, all socket wait)
+    def mul32(x: str, const: int) -> str:
+        # 16x32 split in pure BIGINT (see _mul32_col): intermediates stay
+        # under 2^49 (ANSI-safe), ~80x cheaper per row than DECIMAL pmod
+        return (
+            f"((({x} & 65535) * {const} "
+            f"+ shiftleft((shiftright({x}, 16) * {const}) & 65535, 16)) "
+            f"& 4294967295)"
+        )
+
+    def rotl(x: str, r: int) -> str:
+        return f"((shiftleft({x}, {r}) | shiftright({x}, {32 - r})) & 4294967295)"
+
+    v = _int_value_sql(qc, source_type)
+    stages: list[tuple[str, str]] = [
+        (f"{t}_v", f"coalesce({v}, 0L)"),
+        (f"{t}_k1", f"({t}_v & 4294967295)"),
+        (f"{t}_k2", f"(shiftrightunsigned({t}_v, 32) & 4294967295)"),
+    ]
+    h = "CAST(0 AS BIGINT)"
     for i in (1, 2):
-        df = df.withColumn(f"{t}_a{i}", mul32(F.col(f"{t}_k{i}"), _M3_C1))
-        df = df.withColumn(f"{t}_b{i}", rotl(F.col(f"{t}_a{i}"), 15))
-        df = df.withColumn(f"{t}_c{i}", mul32(F.col(f"{t}_b{i}"), _M3_C2))
-        df = df.withColumn(
-            f"{t}_h{i}", rotl(h.bitwiseXOR(F.col(f"{t}_c{i}")), 13)
-        )
-        df = df.withColumn(
-            f"{t}_g{i}",
-            (mul32(F.col(f"{t}_h{i}"), 5) + F.lit(0xE6546B64)).bitwiseAND(m),
-        )
-        h = F.col(f"{t}_g{i}")
-    df = df.withColumn(f"{t}_f0", h.bitwiseXOR(F.lit(8)))
-    df = df.withColumn(
-        f"{t}_f1",
-        F.col(f"{t}_f0").bitwiseXOR(F.shiftright(F.col(f"{t}_f0"), 16)),
-    )
-    df = df.withColumn(f"{t}_f2", mul32(F.col(f"{t}_f1"), 0x85EBCA6B))
-    df = df.withColumn(
-        f"{t}_f3",
-        F.col(f"{t}_f2").bitwiseXOR(F.shiftright(F.col(f"{t}_f2"), 13)),
-    )
-    df = df.withColumn(f"{t}_f4", mul32(F.col(f"{t}_f3"), 0xC2B2AE35))
-    df = df.withColumn(
-        f"{t}_f5",
-        F.col(f"{t}_f4").bitwiseXOR(F.shiftright(F.col(f"{t}_f4"), 16)),
-    )
-    df = df.withColumn(
-        out_name,
-        F.when(c.isNull(), F.lit(None).cast("int")).otherwise(
-            F.pmod(
-                F.col(f"{t}_f5").bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(n)
-            ).cast("int")
+        stages += [
+            (f"{t}_a{i}", mul32(f"{t}_k{i}", _M3_C1)),
+            (f"{t}_b{i}", rotl(f"{t}_a{i}", 15)),
+            (f"{t}_c{i}", mul32(f"{t}_b{i}", _M3_C2)),
+            (f"{t}_h{i}", rotl(f"({h} ^ {t}_c{i})", 13)),
+            (f"{t}_g{i}", f"(({mul32(f'{t}_h{i}', 5)} + {0xE6546B64}) & 4294967295)"),
+        ]
+        h = f"{t}_g{i}"
+    stages += [
+        (f"{t}_f0", f"({h} ^ 8)"),
+        (f"{t}_f1", f"({t}_f0 ^ shiftright({t}_f0, 16))"),
+        (f"{t}_f2", mul32(f"{t}_f1", 0x85EBCA6B)),
+        (f"{t}_f3", f"({t}_f2 ^ shiftright({t}_f2, 13))"),
+        (f"{t}_f4", mul32(f"{t}_f3", 0xC2B2AE35)),
+        (f"{t}_f5", f"({t}_f4 ^ shiftright({t}_f4, 16))"),
+        (
+            out_name,
+            f"CASE WHEN {qc} IS NULL THEN CAST(NULL AS INT) ELSE "
+            f"CAST(pmod(({t}_f5 & {0x7FFFFFFF}), {n}) AS INT) END",
         ),
-    )
-    return df.drop(*[
-        f"{t}_{s}" for s in (
-            "v", "k1", "k2", "a1", "b1", "c1", "h1", "g1",
-            "a2", "b2", "c2", "h2", "g2",
-            "f0", "f1", "f2", "f3", "f4", "f5",
-        )
-    ])
+    ]
+    df = df.selectExpr("*", *[f"{sql} AS `{name}`" for name, sql in stages])
+    return df.drop(*[name for name, _ in stages[:-1]])
 
 
 def _bucket_int_expr(c, source_type: str, n: int):

@@ -2068,10 +2068,20 @@ def iceberg_partition_transforms(spark, sf_dir):
         (F.col("o_orderdate") >= F.lit("1995-03-01").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp_ntz"))
     )
-    assert (
-        both.where(_march & (F.col("o_custkey") == int(k))).count()
-        == full.where(_march & (F.col("o_custkey") == int(k))).count()
+    # both counts in ONE action (a 1x1 crossJoin of the two aggregates):
+    # same two counts compared, one driver round trip instead of two
+    # (guide §5 — every extra action at this fixture scale is ~130 ms of
+    # JVM wait)
+    _cnts = (
+        both.where(_march & (F.col("o_custkey") == int(k)))
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .crossJoin(
+            full.where(_march & (F.col("o_custkey") == int(k)))
+            .agg(F.count(F.lit(1)).alias("nf"))
+        )
+        .first()
     )
+    assert _cnts["nb"] == _cnts["nf"]
     return in_month.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
